@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+import graft.marts._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 surfaces here as a named
+  * query over the driver testdata (`TESTDATA.md`); `oracleSql` holds
+  * the DuckDB-equivalent SQL for the correctness gate. Column names and
+  * value determinism follow SURVEY §7.6 (decimal money, second-precision
+  * time strings, explicit tie-breakers, DuckDB dayofweek shim).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    DailySales.build(SilverEvents.build(Tables.events(spark, "/root/testdata/sf0.001")))
+
+  private def silver(s: SparkSession, dir: String): DataFrame =
+    SilverEvents.build(Tables.events(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "silver_events" -> ((s, dir) => silver(s, dir)),
+    "gold_daily_sales" -> ((s, dir) => DailySales.build(silver(s, dir))),
+    "q1_pricing_summary" -> ((s, dir) => PricingSummary.build(Tables.lineitem(s, dir))),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "silver_events" -> SilverEvents.oracleSql,
+    "gold_daily_sales" -> DailySales.oracleSql,
+    "q1_pricing_summary" -> PricingSummary.oracleSql,
+  )
 }

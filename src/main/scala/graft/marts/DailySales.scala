@@ -1,0 +1,73 @@
+package graft.marts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.ConditionalAgg._
+
+/** Gold: daily sales summary over silver events.
+  *
+  * Adapted from reference gold_daily_sales_summary.sql:10-60 — 1-key
+  * GROUP BY with conditional sums/counts (A1-A3), conditional distinct
+  * users, and NULLIF-guarded rates (A10). The reference's
+  * view/cart/purchase event domain maps onto this dataset's
+  * view/click/purchase/signup/error domain.
+  *
+  * Scale: single hash-aggregate shuffle on event_date; partial
+  * aggregation (map-side combine) halves shuffle volume. The two
+  * `countDistinctIf` columns expand to Spark's distinct-aggregate
+  * rewrite (expand + two-phase agg) — still one shuffle; swap to
+  * `approxCountDistinctIf` at 100 TB if exactness is negotiable.
+  */
+object DailySales {
+
+  def build(silver: DataFrame): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    val isView     = col("event_type") === "view"
+    silver.groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countIf(isView).as("view_count"),
+        countIf(col("event_type") === "click").as("click_count"),
+        countIf(isPurchase).as("purchase_count"),
+        countIf(col("event_type") === "signup").as("signup_count"),
+        countIf(col("event_type") === "error").as("error_count"),
+        count_distinct(col("user_id")).as("unique_users"),
+        countDistinctIf(isPurchase, col("user_id")).as("unique_buyers"),
+        moneySumIf(isPurchase, col("price")).as("total_revenue"))
+      .withColumn("avg_purchase_value", ratio(col("total_revenue"), col("purchase_count")))
+      .withColumn("conversion_rate", pct(col("purchase_count"), col("view_count")))
+      .withColumn("revenue_per_user", ratio(col("total_revenue"), col("unique_users")))
+      .orderBy(col("event_date"))
+  }
+
+  val oracleSql: String = SilverEvents.oracleCte +
+    """
+      |SELECT
+      |  event_date,
+      |  count(*) AS total_events,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click_count,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_count,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
+      |  count(DISTINCT user_id) AS unique_users,
+      |  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS unique_buyers,
+      |  CAST(round(sum(CASE WHEN event_type = 'purchase'
+      |                      THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
+      |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS total_revenue,
+      |  round(CAST(round(sum(CASE WHEN event_type = 'purchase'
+      |                      THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
+      |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+      |        / nullif(CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE), 0), 2)
+      |    AS avg_purchase_value,
+      |  round(100.0 * CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+      |        / nullif(CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE), 0), 2)
+      |    AS conversion_rate,
+      |  round(CAST(round(sum(CASE WHEN event_type = 'purchase'
+      |                      THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
+      |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+      |        / nullif(CAST(count(DISTINCT user_id) AS DOUBLE), 0), 2) AS revenue_per_user
+      |FROM silver
+      |GROUP BY event_date
+      |ORDER BY event_date""".stripMargin
+}
