@@ -25,6 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "silver_events" -> ((s, dir) => silver(s, dir)),
     "gold_daily_sales" -> ((s, dir) => DailySales.build(silver(s, dir))),
+    "gold_hourly_traffic" -> ((s, dir) => HourlyTraffic.build(silver(s, dir))),
+    "gold_item_performance" -> ((s, dir) => ItemPerformance.build(silver(s, dir))),
+    "gold_user_journey_funnel" -> ((s, dir) => UserJourneyFunnel.build(silver(s, dir))),
+    "gold_conversion_funnel_daily" -> ((s, dir) => ConversionFunnelDaily.build(silver(s, dir))),
+    "gold_category_performance" -> ((s, dir) => CategoryPerformance.build(silver(s, dir))),
+    "gold_user_rfm_segments" -> ((s, dir) => RfmSegments.build(silver(s, dir))),
     "q1_pricing_summary" -> ((s, dir) => PricingSummary.build(Tables.lineitem(s, dir))),
   )
 
@@ -33,6 +39,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "silver_events" -> SilverEvents.oracleSql,
     "gold_daily_sales" -> DailySales.oracleSql,
+    "gold_hourly_traffic" -> HourlyTraffic.oracleSql,
+    "gold_item_performance" -> ItemPerformance.oracleSql,
+    "gold_user_journey_funnel" -> UserJourneyFunnel.oracleSql,
+    "gold_conversion_funnel_daily" -> ConversionFunnelDaily.oracleSql,
+    "gold_category_performance" -> CategoryPerformance.oracleSql,
+    "gold_user_rfm_segments" -> RfmSegments.oracleSql,
     "q1_pricing_summary" -> PricingSummary.oracleSql,
   )
 }

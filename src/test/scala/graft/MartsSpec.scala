@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gold-mart invariants — encodes the reference's dbt tests and the
+  * FIXTURES §3 key invariants (unique keys, bounded rates, funnel
+  * monotonicity, segment domains). */
+class MartsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("hourly_traffic: key unique, events_per_user >= 1") {
+    val df = q("gold_hourly_traffic").cache()
+    assert(df.count() > 0)
+    assert(df.select("event_date", "event_hour").distinct().count() === df.count())
+    assert(df.filter(col("events_per_user") < 1).count() === 0)
+  }
+
+  test("item_performance: item_key unique, rates in [0,100] when bounded") {
+    val df = q("gold_item_performance").cache()
+    assert(df.select("item_key").distinct().count() === df.count())
+    assert(df.filter(col("total_revenue") < 0).count() === 0)
+    assert(df.filter(col("first_purchase_date") > col("last_purchase_date")).count() === 0)
+  }
+
+  test("user_journey: user_id unique, funnel stage domain, flag consistency") {
+    val df = q("gold_user_journey_funnel").cache()
+    assert(df.select("user_id").distinct().count() === df.count())
+    val stages = df.select("current_funnel_stage").distinct().collect().map(_.getString(0)).toSet
+    assert(stages.subsetOf(Set("PURCHASED", "CLICKED", "VIEWED", "SIGNED_UP", "OTHER")))
+    // has_purchased=1 => total_purchases>0
+    assert(df.filter(col("has_purchased") === 1 && col("total_purchases") === 0).count() === 0)
+  }
+
+  test("conversion_funnel: stage counts positive-guarded, rates bounded") {
+    val df = q("gold_conversion_funnel_daily").cache()
+    assert(df.filter(col("stage_1_view_users") <= 0).count() === 0)
+    assert(df.filter(col("view_to_click_rate") < 0).count() === 0)
+  }
+
+  test("category_performance: NULL level-2 rows never match top-item join") {
+    val df = q("gold_category_performance").cache()
+    assert(df.count() > 0)
+    // SQL equality on NULL keys: rows with NULL category_level_2 must have NULL top_item_key
+    assert(df.filter(col("category_level_2").isNull && col("top_item_key").isNotNull).count() === 0)
+    // non-null groups with purchases must have found a top item
+    assert(df.filter(col("category_level_2").isNotNull &&
+      col("purchase_count") > 0 && col("top_item_key").isNull).count() === 0)
+  }
+
+  test("rfm: user unique, scores in 1..5, quintiles balanced, segment domain") {
+    val df = q("gold_user_rfm_segments").cache()
+    val n = df.count()
+    assert(df.select("user_id").distinct().count() === n)
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      assert(df.filter(col(c) < 1 || col(c) > 5).count() === 0, s"$c out of range")
+      // ntile balance: bucket sizes differ by at most 1
+      val sizes = df.groupBy(col(c)).count().collect().map(_.getLong(1))
+      assert(sizes.max - sizes.min <= 1, s"$c unbalanced: ${sizes.toSeq}")
+    }
+    val segs = df.select("rfm_segment").distinct().collect().map(_.getString(0)).toSet
+    assert(segs.subsetOf(Set("CHAMPION", "LOYAL", "NEW_CUSTOMER", "AT_RISK", "HIBERNATING", "REGULAR")))
+    assert(df.filter(col("clv_estimate") < col("monetary")).count() === 0)
+  }
+}
