@@ -32,6 +32,14 @@ object SparkEntry {
     "gold_category_performance" -> ((s, dir) => CategoryPerformance.build(silver(s, dir))),
     "gold_user_rfm_segments" -> ((s, dir) => RfmSegments.build(silver(s, dir))),
     "q1_pricing_summary" -> ((s, dir) => PricingSummary.build(Tables.lineitem(s, dir))),
+    "q_revenue_by_nation" -> (TpchQueries.revenueByNation _),
+    "q_top_parts" -> (TpchQueries.topParts _),
+    "q_union_counts" -> (TpchQueries.unionCounts _),
+    "q_recent_shipments" -> (TpchQueries.recentShipments _),
+    "q_frequent_buyers" -> (TpchQueries.frequentBuyers _),
+    "q_customers_without_big_orders" -> (TpchQueries.customersWithoutBigOrders _),
+    "q_order_priority_share" -> (TpchQueries.orderPriorityShare _),
+    "q_sessionize" -> (TpchQueries.sessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +54,13 @@ object SparkEntry {
     "gold_category_performance" -> CategoryPerformance.oracleSql,
     "gold_user_rfm_segments" -> RfmSegments.oracleSql,
     "q1_pricing_summary" -> PricingSummary.oracleSql,
+    "q_revenue_by_nation" -> TpchQueries.revenueByNationSql,
+    "q_top_parts" -> TpchQueries.topPartsSql,
+    "q_union_counts" -> TpchQueries.unionCountsSql,
+    "q_recent_shipments" -> TpchQueries.recentShipmentsSql,
+    "q_frequent_buyers" -> TpchQueries.frequentBuyersSql,
+    "q_customers_without_big_orders" -> TpchQueries.customersWithoutBigOrdersSql,
+    "q_order_priority_share" -> TpchQueries.orderPriorityShareSql,
+    "q_sessionize" -> TpchQueries.sessionizeSql,
   )
 }

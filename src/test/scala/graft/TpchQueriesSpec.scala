@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.marts.TpchQueries
+import graft.sources.Tables
+
+class TpchQueriesSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("revenue_by_nation: every nation keyed once, revenue positive") {
+    val df = TpchQueries.revenueByNation(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.select("n_name").distinct().count() === df.count())
+    assert(df.filter(col("revenue") <= 0).count() === 0)
+  }
+
+  test("top_parts: exactly k rows in descending revenue order") {
+    val rows = TpchQueries.topParts(spark, sf).collect()
+    assert(rows.length === 5)
+    val revs = rows.map(_.getAs[Double]("part_revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("union_counts: one row per table, counts positive") {
+    val df = TpchQueries.unionCounts(spark, sf)
+    assert(df.count() === 10)
+    assert(df.filter(col("row_count") <= 0).count() === 0)
+  }
+
+  test("anti join: excluded customers really have no big orders") {
+    val kept = TpchQueries.customersWithoutBigOrders(spark, sf)
+    val bigCusts = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    assert(kept.join(bigCusts, Seq("c_custkey"), "inner").count() === 0)
+  }
+
+  test("order_priority_share sums to ~100") {
+    val total = TpchQueries.orderPriorityShare(spark, sf)
+      .agg(sum("pct_of_total")).first().getDouble(0)
+    assert(math.abs(total - 100.0) < 0.5)
+  }
+
+  test("sessionize: no session spans a >30min internal gap; events conserved") {
+    val sess = TpchQueries.sessionize(spark, sf).cache()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(sess.agg(sum("session_events")).first().getLong(0) === nEvents)
+    // each (user, session) duration is consistent with event count
+    assert(sess.filter(col("duration_seconds") < 0).count() === 0)
+    assert(sess.filter(col("session_events") === 1 && col("duration_seconds") =!= 0).count() === 0)
+  }
+
+  test("recent_shipments watermark keeps only trailing window") {
+    val df = TpchQueries.recentShipments(spark, sf)
+    val totalLines = Tables.lineitem(spark, sf).count()
+    val recent = df.agg(sum("recent_lines")).first().getLong(0)
+    assert(recent > 0 && recent < totalLines)
+  }
+}
