@@ -40,6 +40,9 @@ object SparkEntry {
     "q_customers_without_big_orders" -> (TpchQueries.customersWithoutBigOrders _),
     "q_order_priority_share" -> (TpchQueries.orderPriorityShare _),
     "q_sessionize" -> (TpchQueries.sessionize _),
+    "text_doc_stats" -> (graft.text.TextAnalysis.docStatsQuery _),
+    "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
+    "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,5 +65,8 @@ object SparkEntry {
     "q_customers_without_big_orders" -> TpchQueries.customersWithoutBigOrdersSql,
     "q_order_priority_share" -> TpchQueries.orderPriorityShareSql,
     "q_sessionize" -> TpchQueries.sessionizeSql,
+    "text_doc_stats" -> graft.text.TextAnalysis.docStatsSql,
+    "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
+    "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,
   )
 }
