@@ -43,6 +43,13 @@ object SparkEntry {
     "text_doc_stats" -> (graft.text.TextAnalysis.docStatsQuery _),
     "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
+    "dedup_exact" -> (graft.dedup.NearDup.exactGroupsQuery _),
+    "dedup_ngram_jaccard" -> (graft.dedup.NearDup.jaccardPairsQuery _),
+    "dedup_minhash_lsh" -> (graft.dedup.NearDup.minhashPairsQuery _),
+    "dedup_simhash" -> (graft.dedup.NearDup.simhashPairsQuery _),
+    "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
+    "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
+    "sim_embed_neardup" -> (graft.sim.EmbeddingSim.nearDupPairsQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,5 +75,9 @@ object SparkEntry {
     "text_doc_stats" -> graft.text.TextAnalysis.docStatsSql,
     "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,
+    "dedup_exact" -> graft.dedup.NearDup.exactGroupsSql,
+    "dedup_ngram_jaccard" -> graft.dedup.NearDup.jaccardPairsSql,
+    // dedup_minhash_lsh / dedup_simhash / sim_embed_*: xxhash64-based
+    // signatures & float fold order are not DuckDB-portable → rows-only.
   )
 }

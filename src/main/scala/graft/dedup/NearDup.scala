@@ -1,0 +1,229 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** Document deduplication operators for training-data curation
+  * (north-star scope, SURVEY §7.5 (a)): exact, n-gram Jaccard,
+  * MinHash+LSH, and SimHash near-dup detection — all expressed with
+  * DataFrame built-ins (no UDFs): higher-order array functions build
+  * shingles/signatures per row (codegen'd, shuffle-free), then the
+  * candidate generation is a hash shuffle on shingle / band keys.
+  *
+  * Scale shape (the LSH point): exact-Jaccard all-pairs is O(n²);
+  * MinHash banding turns it into "explode to n×bands rows, hash
+  * shuffle, join within buckets" — linear in corpus size with
+  * per-bucket quadratic only on collisions, which is the standard
+  * 100 TB dedup architecture (the reference has only the W1 exact
+  * path, silver_ecommerce_events.sql:111-123).
+  */
+object NearDup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup over normalized-text fingerprints: one row per
+    * distinct fingerprint with the min-doc_id representative (the
+    * deterministic survivor rule). */
+  def exactGroups(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("fingerprint",
+        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("rep_doc_id"),
+           count(lit(1)).as("doc_count"))
+      .orderBy(col("rep_doc_id"))
+
+  def exactGroupsQuery(s: SparkSession, dir: String): DataFrame =
+    exactGroups(Tables.documents(s, dir))
+
+  val exactGroupsSql: String =
+    """SELECT
+      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  min(doc_id) AS rep_doc_id,
+      |  count(*) AS doc_count
+      |FROM documents
+      |GROUP BY fingerprint
+      |ORDER BY rep_doc_id""".stripMargin
+
+  // ------------------------------------------------------- shingling
+
+  /** Distinct word k-shingles per document: (doc_id, shingle).
+    * Built with sequence+transform (codegen'd); empty for docs with
+    * fewer than k tokens. */
+  def shingles(documents: DataFrame, k: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    documents
+      .withColumn("__toks", toks)
+      .withColumn("shingle", explode(when(size(col("__toks")) >= k,
+        array_distinct(transform(
+          sequence(lit(1), size(col("__toks")) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(o => element_at(col("__toks"), i + o)): _*))))
+        .otherwise(typedLit(Seq.empty[String]))))
+      .select(col("doc_id"), col("shingle"))
+  }
+
+  /** DuckDB equivalent of [[shingles]] as a CTE body (k=3). */
+  private val shinglesCte: String =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |      generate_series(1, len(toks) - 2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 3
+      |)""".stripMargin
+
+  // --------------------------------------------------- n-gram Jaccard
+
+  /** Exact pairwise Jaccard over 3-gram shingle sets, for pairs above
+    * `threshold`. Candidate pairs come from a self-join on shared
+    * shingles (every surviving pair shares ≥1 shingle, so this is
+    * exact, not approximate). At 100 TB use [[minhashPairs]] first and
+    * feed only its candidates through this verifier. */
+  def jaccardPairs(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(documents)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("intersection"))
+
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("intersection").cast("double") /
+          (col("size_a") + col("size_b") - col("intersection")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def jaccardPairsQuery(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(s, dir))
+
+  val jaccardPairsSql: String =
+    s"""WITH $shinglesCte,
+       |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT doc_a, doc_b, intersection, sa.set_size AS size_a, sb.set_size AS size_b,
+       |  round(CAST(intersection AS DOUBLE)
+       |        / CAST(sa.set_size + sb.set_size - intersection AS DOUBLE), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON inter.doc_a = sa.doc_id
+       |JOIN sizes sb ON inter.doc_b = sb.doc_id
+       |WHERE round(CAST(intersection AS DOUBLE)
+       |        / CAST(sa.set_size + sb.set_size - intersection AS DOUBLE), 4) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ----------------------------------------------------- MinHash LSH
+
+  /** Deterministic affine hash family over a 31-bit fold of
+    * xxhash64(shingle): h_i(x) = (a_i * x + b_i) mod p with Mersenne
+    * prime p = 2^31 - 1 and a,b < p, so every product stays < 2^62 —
+    * no long overflow under Spark 4's default ANSI mode. */
+  private val MinhashP = (1L << 31) - 1
+  private def hashParams(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (MinhashP - 1)) + 1 ->
+                 math.abs(rnd.nextLong()) % MinhashP)
+  }
+
+  /** Per-doc MinHash signature columns (sig_0 … sig_{k-1}): explode
+    * shingles once, one grouped agg computes all k mins (map-side
+    * partial agg keeps the shuffle at |docs|×k). `pmod` keeps the
+    * affine hash nonnegative. */
+  def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame = {
+    val sh = shingles(documents)
+    val x31 = pmod(xxhash64(col("shingle")), lit(MinhashP))
+    val aggs = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(x31 * lit(a) + lit(b), lit(MinhashP))).as(s"sig_$i")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs, verified with exact Jaccard.
+    * Banding: k=16 signature → `bands` bands of k/bands rows; docs
+    * agreeing on any band collide. One explode-to-bands shuffle (the
+    * linear-scale path), then exact verification only on candidates. */
+  def minhashPairs(documents: DataFrame, k: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.8): DataFrame = {
+    val sig = minhashSignatures(documents, k)
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*).as("band_hash"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact-Jaccard verification restricted to LSH candidates
+    jaccardPairs(documents, threshold).join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def minhashPairsQuery(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(s, dir))
+
+  // ------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash per doc: per-token xxhash64, each bit votes
+    * +1/-1 weighted by term frequency; sign → bit. Assembled as a
+    * single grouped aggregate with 64 conditional sums (wide but
+    * map-side combined; shuffle is |docs| rows). */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val bitAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val votes = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_ + _)  // bits are disjoint powers of two → sum == OR
+    votes.select(col("doc_id"), sig.as("simhash64"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit signature into four
+    * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal),
+    * join on chunk equality, verify hamming distance via bit_count. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(documents)
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk_id"),
+        shiftright(col("simhash64"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))
+    }
+    val banded = sig.select(col("doc_id"), col("simhash64"),
+        explode(array(chunks: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash64"), col("ch.chunk_id"), col("ch.chunk_val"))
+
+    banded.as("x").join(banded.as("y"),
+        col("x.chunk_id") === col("y.chunk_id") &&
+        col("x.chunk_val") === col("y.chunk_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash64").bitwiseXOR(col("y.simhash64"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def simhashPairsQuery(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(s, dir))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.NearDup
+import graft.sim.EmbeddingSim
+import graft.sources.Tables
+
+class DedupSimSpec extends AnyFunSuite {
+  import TestSession._
+
+  lazy val docs = Tables.documents(spark, sf).cache()
+  lazy val embs = Tables.embeddings(spark, sf).cache()
+
+  test("exact groups partition the corpus") {
+    val g = NearDup.exactGroups(docs)
+    assert(g.agg(sum("doc_count")).first().getLong(0) === docs.count())
+  }
+
+  test("jaccard pairs are symmetric-canonical and above threshold") {
+    val p = NearDup.jaccardPairs(docs).cache()
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    assert(p.filter(col("jaccard") < 0.8 || col("jaccard") > 1.0).count() === 0)
+    assert(p.filter(col("intersection") > col("size_a") ||
+      col("intersection") > col("size_b")).count() === 0)
+  }
+
+  test("minhash LSH candidates recover the exact-jaccard pairs (recall)") {
+    val exact = NearDup.jaccardPairs(docs).select("doc_a", "doc_b")
+    val lsh = NearDup.minhashPairs(docs).select("doc_a", "doc_b")
+    val nExact = exact.count()
+    val recovered = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi").count()
+    // LSH output is defined as a subset of the exact pairs (verified);
+    // on the planted near-identical dups recall should be total.
+    assert(lsh.count() === recovered)
+    assert(nExact === 0 || recovered.toDouble / nExact >= 0.9,
+      s"recall $recovered/$nExact")
+  }
+
+  test("simhash pairs respect the hamming bound") {
+    val p = NearDup.simhashPairs(docs)
+    assert(p.filter(col("hamming") > 3 || col("hamming") < 0).count() === 0)
+  }
+
+  test("brute-force topk: k rows per probe, cosine in [-1,1], ranked desc") {
+    val t = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3).cache()
+    val perProbe = t.groupBy("probe_id").count()
+    assert(perProbe.filter(col("count") =!= 3).count() === 0)
+    assert(t.filter(col("cosine") < -1.0 || col("cosine") > 1.0).count() === 0)
+    // rank 1 cosine >= rank k cosine within each probe
+    val r1 = t.filter(col("rank") === 1).select(col("probe_id"), col("cosine").as("c1"))
+    val rk = t.filter(col("rank") === 3).select(col("probe_id"), col("cosine").as("ck"))
+    assert(r1.join(rk, "probe_id").filter(col("c1") < col("ck")).count() === 0)
+  }
+
+  test("LSH topk is dominated by brute-force topk (no better-than-exact)") {
+    val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
+      .groupBy("probe_id").agg(min("cosine").as("worst_exact"))
+    val lsh = EmbeddingSim.lshTopK(embs, nProbes = 5, k = 3)
+      .groupBy("probe_id").agg(max("cosine").as("best_lsh"))
+    val brute1 = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 1)
+      .select(col("probe_id"), col("cosine").as("best_exact"))
+    assert(lsh.join(brute1, "probe_id").filter(col("best_lsh") > col("best_exact")).count() === 0)
+  }
+
+  test("embedding neardup pairs canonical and ranked") {
+    val p = EmbeddingSim.nearDupPairs(embs, topPairs = 10).collect()
+    assert(p.length <= 10 && p.nonEmpty)
+    assert(p.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+    val cosines = p.map(_.getAs[Double]("cosine"))
+    assert(cosines.sameElements(cosines.sortBy(-_)))
+  }
+}
