@@ -50,6 +50,11 @@ object SparkEntry {
     "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
     "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
     "sim_embed_neardup" -> (graft.sim.EmbeddingSim.nearDupPairsQuery _),
+    "mm_media_meta" -> (graft.multimodal.Multimodal.mediaMetaQuery _),
+    "mm_media_features" -> (graft.multimodal.Multimodal.featuresQuery _),
+    "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),
+    "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
+    "quality_silver_report" -> (graft.quality.DataChecks.silverReportQuery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -79,5 +84,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> graft.dedup.NearDup.jaccardPairsSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_*: xxhash64-based
     // signatures & float fold order are not DuckDB-portable → rows-only.
+    "mm_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
+    // mm_media_features / mm_video_frames: array + byte-fold columns → rows-only.
+    "stream_hourly_agg" -> graft.streaming.StreamingEvents.hourlyAggSql,
+    "quality_silver_report" -> graft.quality.DataChecks.silverReportSql,
   )
 }

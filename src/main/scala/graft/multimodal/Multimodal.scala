@@ -1,0 +1,131 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal column plumbing (north-star scope, SURVEY §7.5 (c)):
+  * media as opaque BINARY columns + typed metadata, with
+  * decode / feature-extract / frame-sample as partition-batched
+  * Dataset transforms.
+  *
+  * The actual codec step is STUBBED (no image/audio libs in this
+  * environment — see [[MediaCodec.decodeReal]]); everything around it
+  * is real: the schema, the binary column handling, the
+  * mapPartitions batch shape (records stream through an iterator one
+  * partition at a time — the same contract a JNI/FFI decoder or a
+  * `mapInPandas`-style batch UDF needs), and the deterministic fake
+  * decode used to test the plumbing end-to-end.
+  *
+  * Scale: media rows are wide (MBs per row at production sizes) —
+  * the feature extraction is a per-partition map with NO shuffle, and
+  * downstream analytics select only the small typed columns, so
+  * column pruning drops the binary payload right after decode.
+  */
+object Multimodal {
+
+  /** Typed record for the media table: the Dataset boundary gives the
+    * decode step a stable compile-checked batch element. */
+  case class MediaRecord(media_id: Long, uri: String, mime: String, data: Array[Byte])
+
+  case class MediaFeatures(
+      media_id: Long, uri: String, mime: String, byte_len: Int,
+      content_sha: String, width: Int, height: Int, histogram: Array[Double])
+
+  /** Deterministic media table derived from `documents` (the driver
+    * testdata ships no binary columns — FIXTURES §4): payload = UTF-8
+    * bytes of the text, mime assigned round-robin. */
+  def mediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      concat(lit("mem://doc/"), col("doc_id")).as("uri"),
+      element_at(typedLit(Seq("image/png", "audio/wav", "video/mp4")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
+      encode(col("text"), "UTF-8").cast("binary").as("data"))
+
+  object MediaCodec {
+    /** REAL decoder entry point — requires platform codec libraries
+      * that are absent here. Wire libjpeg/ffmpeg/etc. bindings in at
+      * deployment; the pipeline shape does not change. */
+    def decodeReal(record: MediaRecord): MediaFeatures =
+      ??? // stub: no codec libs in this environment (see scaladoc)
+
+    /** Deterministic fake decode exercising the same signature and
+      * batch shape: "dimensions" from a stable byte fold, features =
+      * 16-bin normalized byte histogram. */
+    def decodeFake(r: MediaRecord): MediaFeatures = {
+      val bytes = r.data
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).map("%02x".format(_)).mkString
+      val hist = new Array[Double](16)
+      bytes.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+      val n = math.max(1, bytes.length)
+      val norm = hist.map(v => math.rint(v / n * 10000) / 10000)
+      val fold = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xFF))
+      MediaFeatures(r.media_id, r.uri, r.mime, bytes.length, sha,
+        width = (math.floorMod(fold, 1280) + 1).toInt,
+        height = (math.floorMod(fold >> 16, 720) + 1).toInt,
+        histogram = norm)
+    }
+  }
+
+  /** Feature extraction as a partition-batched transform: one decoder
+    * instantiation per partition (the expensive part for real codecs),
+    * then a streaming map over the partition's records. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { records =>
+      // per-partition decoder setup would go here (real codec handles)
+      records.map(MediaCodec.decodeFake)
+    }
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th 64-byte
+    * chunk becomes a "frame" row (real impl: keyframe extraction).
+    * Demonstrates the explode-to-frames shape that keeps frames
+    * co-partitioned with their parent video. */
+  def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("mime") === "video/mp4").as[MediaRecord]
+      .flatMap { r =>
+        r.data.grouped(64).zipWithIndex
+          .filter { case (_, i) => i % stride == 0 }
+          .map { case (chunk, i) => (r.media_id, i, chunk.length,
+            chunk.foldLeft(0L)((a, b) => a * 31 + (b & 0xFF))) }
+      }
+      .toDF("media_id", "frame_index", "frame_bytes", "frame_digest")
+  }
+
+  /** Scalar-only metadata view (oracle-friendly: no arrays/binary). */
+  def mediaMeta(documents: DataFrame): DataFrame =
+    extractFeatures(mediaTable(documents))
+      .toDF()
+      .select("media_id", "uri", "mime", "byte_len", "content_sha")
+      .orderBy(col("media_id"))
+
+  def mediaMetaQuery(s: SparkSession, dir: String): DataFrame =
+    mediaMeta(Tables.documents(s, dir))
+
+  /** DuckDB oracle for the scalar metadata: sha256/byte length are
+    * recomputable from the source text (ASCII, so chars == bytes);
+    * width/height replicate the deterministic byte fold. */
+  val mediaMetaSql: String =
+    """SELECT
+      |  doc_id AS media_id,
+      |  concat('mem://doc/', CAST(doc_id AS VARCHAR)) AS uri,
+      |  ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+      |  CAST(strlen(text) AS INT) AS byte_len,
+      |  sha256(text) AS content_sha
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  def featuresQuery(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(Tables.documents(s, dir))).toDF()
+      .orderBy(col("media_id"))
+
+  def framesQuery(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(Tables.documents(s, dir)))
+      .orderBy(col("media_id"), col("frame_index"))
+}

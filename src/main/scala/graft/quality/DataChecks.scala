@@ -1,0 +1,99 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-test combinators — the engine-level form of the
+  * reference's 21 dbt data tests (SURVEY §5: `unique`, `not_null`,
+  * `accepted_values`, `dbt_utils.accepted_range`, freshness;
+  * dbt/models/silver/schema.yml:10-60, gold/schema.yml). Each check
+  * compiles to a violations count (the dbt "SELECT count(*) FROM
+  * (violations)" contract) and the suite aggregates to one small
+  * report DataFrame — all lazily, one job per suite run.
+  */
+object DataChecks {
+
+  final case class Check(name: String, violations: DataFrame)
+
+  /** dbt `unique`: key values appearing more than once. */
+  def unique(df: DataFrame, cols: Seq[String]): Check =
+    Check(s"unique(${cols.mkString(",")})",
+      df.groupBy(cols.map(col): _*).count().filter(col("count") > 1))
+
+  /** dbt `not_null`. */
+  def notNull(df: DataFrame, c: String): Check =
+    Check(s"not_null($c)", df.filter(col(c).isNull))
+
+  /** dbt `accepted_values`. */
+  def acceptedValues(df: DataFrame, c: String, values: Seq[String]): Check =
+    Check(s"accepted_values($c)",
+      df.filter(col(c).isNotNull && !col(c).isInCollection(values)))
+
+  /** dbt_utils `accepted_range` with optional predicate (the
+    * reference's "price >= 0 where not null"). */
+  def acceptedRange(df: DataFrame, c: String, min: Option[Double], max: Option[Double]): Check = {
+    val conds = Seq(
+      min.map(m => col(c) < m),
+      max.map(m => col(c) > m)).flatten
+    Check(s"accepted_range($c)",
+      df.filter(col(c).isNotNull && conds.reduce(_ || _)))
+  }
+
+  /** Source freshness (SURVEY §2.9: warn/error SLA on ingestion time,
+    * reference sources.yml:57-59) against an explicit as-of instant. */
+  def freshness(df: DataFrame, tsCol: String, maxAgeHours: Int, asOf: Column): Check =
+    Check(s"freshness($tsCol<=${maxAgeHours}h)",
+      df.agg(max(col(tsCol)).as("newest"))
+        .filter(col("newest").isNull ||
+          col("newest") < asOf - expr(s"INTERVAL $maxAgeHours HOURS")))
+
+  /** Run a suite: one row per check with its violation count. A single
+    * union-of-counts job (each branch is an independent aggregate —
+    * Catalyst runs them as one union plan, no driver loop). */
+  def report(checks: Seq[Check]): DataFrame =
+    checks.map { c =>
+      c.violations.agg(count(lit(1)).as("violation_count"))
+        .select(lit(c.name).as("check_name"), col("violation_count"),
+          (col("violation_count") === 0).as("passed"))
+    }.reduce(_ union _)
+
+  /** The reference's silver-layer test suite over our silver events. */
+  def silverSuite(silver: DataFrame): Seq[Check] = Seq(
+    unique(silver, Seq("event_unique_id")),
+    notNull(silver, "event_unique_id"),
+    notNull(silver, "user_id"),
+    acceptedValues(silver, "event_type", Seq("view", "click", "purchase", "signup", "error")),
+    acceptedValues(silver, "price_bucket",
+      Seq("UNKNOWN", "0-50", "50-100", "100-200", "200-500", "500+")),
+    acceptedValues(silver, "time_of_day", Seq("MORNING", "AFTERNOON", "EVENING", "NIGHT")),
+    acceptedRange(silver, "price", min = Some(0.0), max = None))
+
+  def silverReportQuery(s: SparkSession, dir: String): DataFrame =
+    report(silverSuite(graft.marts.SilverEvents.build(graft.sources.Tables.events(s, dir))))
+      .orderBy(col("check_name"))
+
+  /** DuckDB oracle: each check as its violations-count SQL over the
+    * shared silver CTE (the compiled-dbt-test form). */
+  val silverReportSql: String = graft.marts.SilverEvents.oracleCte + """
+    |SELECT check_name, violation_count, violation_count = 0 AS passed FROM (
+    |  SELECT 'unique(event_unique_id)' AS check_name,
+    |    (SELECT count(*) FROM (SELECT event_unique_id FROM silver
+    |      GROUP BY event_unique_id HAVING count(*) > 1)) AS violation_count
+    |  UNION ALL SELECT 'not_null(event_unique_id)',
+    |    (SELECT count(*) FROM silver WHERE event_unique_id IS NULL)
+    |  UNION ALL SELECT 'not_null(user_id)',
+    |    (SELECT count(*) FROM silver WHERE user_id IS NULL)
+    |  UNION ALL SELECT 'accepted_values(event_type)',
+    |    (SELECT count(*) FROM silver WHERE event_type IS NOT NULL
+    |      AND event_type NOT IN ('view','click','purchase','signup','error'))
+    |  UNION ALL SELECT 'accepted_values(price_bucket)',
+    |    (SELECT count(*) FROM silver WHERE price_bucket IS NOT NULL
+    |      AND price_bucket NOT IN ('UNKNOWN','0-50','50-100','100-200','200-500','500+'))
+    |  UNION ALL SELECT 'accepted_values(time_of_day)',
+    |    (SELECT count(*) FROM silver WHERE time_of_day IS NOT NULL
+    |      AND time_of_day NOT IN ('MORNING','AFTERNOON','EVENING','NIGHT'))
+    |  UNION ALL SELECT 'accepted_range(price)',
+    |    (SELECT count(*) FROM silver WHERE price IS NOT NULL AND price < 0)
+    |)
+    |ORDER BY check_name""".stripMargin
+}

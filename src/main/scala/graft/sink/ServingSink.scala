@@ -1,0 +1,55 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Serving-layout sinks — the Spark-native stand-in for the
+  * reference's ClickHouse MergeTree serving layer (SURVEY §2.1 K2/K4,
+  * §4 "serving-side sort/index": clickhouse/create_tables.sql:22-25
+  * `ENGINE = MergeTree() PARTITION BY toYYYYMM(sale_date) ORDER BY
+  * sale_date`, loaded via JDBC in sync_gold_to_clickhouse.py:89-98).
+  *
+  * Emulation: partition directories = PARTITION BY, in-file ordering
+  * via sortWithinPartitions = ORDER BY key (gives parquet min/max
+  * rowgroup pruning on the sort key — the poor man's primary index).
+  * Snappy parquet matches the reference's storage codec
+  * (bronze_ingestion.py:114-116).
+  *
+  * Scale: repartition(partitionCols) before partitionBy avoids the
+  * many-small-files explosion (each task writing every partition);
+  * one file per partition value per task is the contract.
+  */
+object ServingSink {
+
+  /** Month bucket (`toYYYYMM` analog) for date-partitioned marts. */
+  def monthOf(c: Column): Column = date_format(c, "yyyyMM")
+
+  /** NOTE: the sort must LEAD with the partition columns — otherwise
+    * FileFormatWriter injects its own (unstable) sort on them to
+    * group rows by output file, destroying the data-level ordering. */
+  def writeSorted(df: DataFrame, path: String, partitionCols: Seq[String],
+                  sortCols: Seq[Column]): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(partitionCols.map(col) ++ sortCols: _*)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Append-mode variant (K1: the reference's Iceberg append sink,
+    * bronze_ingestion.py:180-182). */
+  def appendSorted(df: DataFrame, path: String, partitionCols: Seq[String],
+                   sortCols: Seq[Column]): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(partitionCols.map(col) ++ sortCols: _*)
+      .write.mode("append")
+      .option("compression", "snappy")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Serving write of a date-keyed gold mart: monthly partitions,
+    * date-ordered files (the MergeTree layout analog). */
+  def writeDateMart(df: DataFrame, path: String, dateCol: String): Unit =
+    writeSorted(df.withColumn("part_month", monthOf(col(dateCol))),
+      path, Seq("part_month"), Seq(col(dateCol)))
+}

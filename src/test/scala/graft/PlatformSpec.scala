@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+import graft.ops.Incremental
+import graft.sink.ServingSink
+import graft.sources.Tables
+import graft.streaming.StreamingEvents
+
+/** Multimodal plumbing, streaming facade, serving sink, incremental
+  * wrapper — the platform pieces around the query library. */
+class PlatformSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("multimodal: features preserve rows, histogram normalized, sha stable") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf)).cache()
+    val feats = Multimodal.extractFeatures(media).cache()
+    assert(feats.count() === media.count())
+    val r = feats.head()
+    assert(r.histogram.length === 16)
+    assert(math.abs(r.histogram.sum - 1.0) < 0.01)
+    assert(r.content_sha.matches("[0-9a-f]{64}"))
+    assert(r.width >= 1 && r.height >= 1)
+    // determinism: second run produces identical shas
+    val again = Multimodal.extractFeatures(media)
+    assert(feats.toDF().select("media_id", "content_sha")
+      .except(again.toDF().select("media_id", "content_sha")).count() === 0)
+  }
+
+  test("multimodal: frame sampling only from video mime, strided") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf))
+    val frames = Multimodal.sampleFrames(media).cache()
+    val videoIds = media.filter(col("mime") === "video/mp4")
+      .select(col("media_id")).distinct()
+    assert(frames.select("media_id").distinct()
+      .join(videoIds, Seq("media_id"), "left_anti").count() === 0)
+    assert(frames.filter(col("frame_index") % 4 =!= 0).count() === 0)
+  }
+
+  test("streaming: AvailableNow backlog run matches batch transform") {
+    val tmp = Files.createTempDirectory("graft_stream_").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = StreamingEvents.readStream(spark, s"$tmp/in")
+    assert(stream.isStreaming)
+    val q = StreamingEvents.backlogWriter(stream)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("stream_out").start()
+    q.awaitTermination(120000)
+    val got = spark.table("stream_out")
+      .select("window_start", "window_end", "event_type", "event_count", "window_revenue")
+    // Append mode only emits windows closed by the final watermark
+    // (max event ts - 1h horizon); compare that closed subset.
+    val maxTs = Tables.events(spark, sf).agg(max(col("ts"))).first().getTimestamp(0)
+    val horizon = date_format(
+      lit(maxTs).cast("timestamp") - expr("INTERVAL 1 HOUR"), "yyyy-MM-dd HH:mm:ss")
+    val expected = StreamingEvents.hourlyAgg(Tables.events(spark, sf))
+      .filter(col("window_end") <= horizon)
+      .select("window_start", "window_end", "event_type", "event_count", "window_revenue")
+    assert(got.count() === expected.count())
+    assert(got.except(expected).count() === 0)
+  }
+
+  test("serving sink: monthly partition dirs, rows sorted within files") {
+    val tmp = Files.createTempDirectory("graft_sink_").toString
+    val daily = SparkEntry.queries("gold_daily_sales")(spark, sf)
+    ServingSink.writeDateMart(daily, s"$tmp/daily", "event_date")
+    val dirs = new java.io.File(s"$tmp/daily").listFiles()
+      .filter(_.getName.startsWith("part_month=")).map(_.getName)
+    assert(dirs.nonEmpty)
+    val back = spark.read.parquet(s"$tmp/daily")
+    assert(back.count() === daily.count())
+    // sort-within-file: per input split, event_date must be nondecreasing
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(input_file_name())
+      .orderBy(monotonically_increasing_id())
+    val viol = back
+      .withColumn("prev", lag(col("event_date"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") > col("event_date"))
+    assert(viol.count() === 0)
+  }
+
+  test("incremental appendNew: merge mode excludes existing keys") {
+    val ev = Tables.events(spark, sf)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    val target = ev.filter(col("ts") <= cut)
+    // overlap: source includes some already-present rows
+    val source = ev.filter(col("ts") > lit("2024-01-10 00:00:00").cast("timestamp"))
+    val appended = Incremental.pastWatermark(source, target, "ts", "ts")
+    assert(appended.filter(col("ts") <= cut).count() === 0)
+    val merged = Incremental.appendNew(source, target, "ts", Seq("event_id"), merge = true)
+    assert(merged.join(target, Seq("event_id"), "inner").count() === 0)
+    // full rebuild equivalence: target ∪ appended == all events
+    assert(target.count() + appended.count() === ev.count())
+  }
+}
