@@ -18,8 +18,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     DailySales.build(SilverEvents.build(Tables.events(spark, "/root/testdata/sf0.001")))
 
+  /** Silver is the shared input of all gold marts — cache it once per
+    * (session, dir) so a mart suite run pays the clean+dedup shuffle
+    * once (the reference materializes silver as a table for the same
+    * reason; BASELINE.md B9 "amortized caching of silver allowed"). */
+  private val silverCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def silver(s: SparkSession, dir: String): DataFrame =
-    SilverEvents.build(Tables.events(s, dir))
+    silverCache.computeIfAbsent((s, dir),
+      _ => SilverEvents.build(Tables.events(s, dir)).cache())
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

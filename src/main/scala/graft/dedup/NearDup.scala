@@ -150,31 +150,59 @@ object NearDup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash-LSH candidate pairs, verified with exact Jaccard.
+  /** MinHash-LSH candidate pairs, verified with exact Jaccard — but
+    * ONLY on the candidates (this is the whole point of LSH: the
+    * full shared-shingle self-join of [[jaccardPairs]] never runs).
+    *
     * Banding: k=16 signature → `bands` bands of k/bands rows; docs
-    * agreeing on any band collide. One explode-to-bands shuffle (the
-    * linear-scale path), then exact verification only on candidates. */
+    * agreeing on any band collide. Pipeline: one explode-to-bands
+    * shuffle (linear in corpus), per-bucket pair generation, then the
+    * exact Jaccard of each candidate pair via array_intersect over
+    * the two docs' (sorted, deterministic) shingle sets. */
   def minhashPairs(documents: DataFrame, k: Int = 16, bands: Int = 4,
                    threshold: Double = 0.8): DataFrame = {
-    val sig = minhashSignatures(documents, k)
-    val rows = k / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*).as("band_hash"))
+    // shingles appears twice in the plan (signatures + verification
+    // sets); it's a narrow map off the scan, so recomputation is
+    // cheaper than materializing it and keeps the query fully lazy.
+    val sh = shingles(documents)
+    locally {
+      val x31 = pmod(xxhash64(col("shingle")), lit(MinhashP))
+      val aggs = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(x31 * lit(a) + lit(b), lit(MinhashP))).as(s"sig_$i")
+      }
+      val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+
+      val rows = k / bands
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band_id"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*).as("band_hash"))
+      }
+      val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("shingle"))).as("sh_set"))
+
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), "doc_b")
+        .withColumn("intersection", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+        .withColumn("size_a", size(col("set_a")).cast("long"))
+        .withColumn("size_b", size(col("set_b")).cast("long"))
+        .withColumn("jaccard",
+          round(col("intersection").cast("double") /
+            (col("size_a") + col("size_b") - col("intersection")).cast("double"), 4))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
+        .orderBy(col("doc_a"), col("doc_b"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-
-    // exact-Jaccard verification restricted to LSH candidates
-    jaccardPairs(documents, threshold).join(cand, Seq("doc_a", "doc_b"), "left_semi")
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   def minhashPairsQuery(s: SparkSession, dir: String): DataFrame =
