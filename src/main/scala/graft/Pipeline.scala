@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.marts._
+import graft.sink.ServingSink
+import graft.sources.Tables
+
+/** End-to-end pipeline: the reference's E1–E3 chain (Airflow → Spark
+  * jobs → dbt silver/gold → ClickHouse sync, SURVEY §3) collapsed into
+  * one library call — raw events → silver → all gold marts → sorted
+  * partitioned serving layout.
+  *
+  * Each mart is a pure DataFrame→DataFrame function; this object only
+  * sequences them and owns the serving write. Silver is cached for the
+  * fan-out (the reference materializes it as a table for the same
+  * reason).
+  */
+object Pipeline {
+
+  /** The seven gold marts keyed by serving-table name, with their
+    * serving sort/partition key. */
+  def goldMarts(silver: DataFrame): Seq[(String, DataFrame, String)] = Seq(
+    ("daily_sales", DailySales.build(silver), "event_date"),
+    ("hourly_traffic", HourlyTraffic.build(silver), "event_date"),
+    ("item_performance", ItemPerformance.build(silver), ""),
+    ("user_journey_funnel", UserJourneyFunnel.build(silver), ""),
+    ("conversion_funnel_daily", ConversionFunnelDaily.build(silver), "event_date"),
+    ("category_performance", CategoryPerformance.build(silver), "event_date"),
+    ("user_rfm_segments", RfmSegments.build(silver), ""))
+
+  /** Build everything and write the serving layout; returns a summary
+    * (mart, rows) frame. Date-keyed marts get monthly partitions +
+    * date-sorted files (the MergeTree analog); entity-keyed marts get
+    * a single sorted layout on their key. */
+  def runAll(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val silver = SilverEvents.build(Tables.events(spark, sfDir)).cache()
+    try {
+      // event_time_str is yyyy-MM-dd HH:mm:ss → lexicographic == chronological
+      ServingSink.writeSorted(silver, s"$outDir/silver_events",
+        Seq("event_date"), Seq(col("event_time_str").asc))
+      val summaries = goldMarts(silver).map { case (name, df, dateCol) =>
+        if (dateCol.nonEmpty)
+          ServingSink.writeDateMart(df, s"$outDir/$name", dateCol)
+        else {
+          val key = df.schema.fieldNames.head
+          df.sortWithinPartitions(col(key)).coalesce(1)
+            .write.mode("overwrite").option("compression", "snappy")
+            .parquet(s"$outDir/$name")
+        }
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        (name, rows)
+      }
+      import spark.implicits._
+      summaries.toDF("mart", "rows_served").orderBy(col("mart"))
+    } finally silver.unpersist()
+  }
+}

@@ -62,6 +62,10 @@ object SparkEntry {
     "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),
     "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
     "quality_silver_report" -> (graft.quality.DataChecks.silverReportQuery _),
+    "pipeline_serving_sink" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_serving_").toString
+      Pipeline.runAll(s, dir, out)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV event source with an explicit schema + ingest-time metadata
+  * enrichment — the reference's bronze ingestion path (SURVEY §2.1 S1,
+  * §2.2 P2: spark/jobs/bronze_ingestion.py:156-182 reads CSV with
+  * header and appends `_ingestion_time` / `_source_file` /
+  * `_processing_date`).
+  *
+  * The schema is DECLARED, not inferred: inference costs an extra full
+  * read and can drift between files; the reference treats its Iceberg
+  * DDL as the contract and we do the same (SURVEY §1.3). An optional
+  * validation mode runs inference on a sample and asserts
+  * compatibility instead.
+  *
+  * Determinism (SURVEY §7.6 #1): ingestion time is an explicit
+  * parameter, not current_timestamp().
+  */
+object CsvEventSource {
+
+  /** Raw event contract (events-table shape, FIXTURES §4 adapter). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+      .schema(schema)
+      .csv(path)
+
+  /** Ingest-time metadata columns (bronze_ingestion.py:166-169 analog;
+    * `_source_file` from the scan's file metadata, not a literal —
+    * correct under multi-file globs). */
+  def enrich(df: DataFrame, ingestionTime: java.sql.Timestamp): DataFrame =
+    df.withColumn("_ingestion_time", lit(ingestionTime))
+      .withColumn("_source_file", input_file_name())
+      .withColumn("_processing_date", to_date(lit(ingestionTime)))
+
+  /** Pre-flight verification (SURVEY §2.1 S6: sample-read + required
+    * columns + non-empty, dags/01_download_kaggle_dataset.py:113-147
+    * analog). Throws with a precise message on contract violation. */
+  def preflight(spark: SparkSession, path: String, requiredCols: Seq[String]): Long = {
+    val sample = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path).limit(100)
+    val missing = requiredCols.filterNot(sample.columns.contains)
+    require(missing.isEmpty, s"missing required columns: ${missing.mkString(", ")}")
+    val n = read(spark, path).count()
+    require(n > 0, s"empty source: $path")
+    n
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{CsvEventSource, SchemaEvolution, Tables}
+
+/** CSV ingestion path (S1/S6/P2), local-rows source (S4), and parquet
+  * schema evolution (K6/K7) — SURVEY §2.1. */
+class SourcesSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("csv roundtrip with declared schema + metadata enrichment") {
+    val tmp = Files.createTempDirectory("graft_csv_").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    ev.coalesce(1).write.option("header", "true").mode("overwrite").csv(s"$tmp/in")
+
+    val n = CsvEventSource.preflight(spark, s"$tmp/in",
+      Seq("event_id", "ts", "user_id", "event_type", "value"))
+    assert(n === ev.count())
+
+    val t0 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val loaded = CsvEventSource.enrich(CsvEventSource.read(spark, s"$tmp/in"), t0).cache()
+    assert(loaded.count() === n)
+    assert(loaded.schema("ts").dataType.typeName === "timestamp")
+    assert(loaded.filter(col("_ingestion_time") =!= lit(t0)).count() === 0)
+    assert(loaded.filter(!col("_source_file").contains(".csv")).count() === 0)
+    assert(loaded.filter(col("_processing_date") =!= to_date(lit(t0))).count() === 0)
+    // values survive the roundtrip
+    val orig = Tables.events(spark, sf).select("event_id", "value")
+    assert(loaded.select("event_id", "value").except(orig).count() === 0)
+  }
+
+  test("csv preflight rejects missing required columns") {
+    val tmp = Files.createTempDirectory("graft_csv_bad_").toString
+    Seq((1, "x")).toDF("a", "b").write.option("header", "true").csv(s"$tmp/in")
+    val e = intercept[IllegalArgumentException] {
+      CsvEventSource.preflight(spark, s"$tmp/in", Seq("event_id", "ts"))
+    }
+    assert(e.getMessage.contains("event_id"))
+  }
+
+  test("local-rows source (S4): literal rows become a typed DataFrame") {
+    val df = Seq((1L, "view", 9.5), (2L, "purchase", 20.0))
+      .toDF("event_id", "event_type", "value")
+    assert(df.count() === 2)
+    assert(df.schema("value").dataType.typeName === "double")
+  }
+
+  test("schema evolution: old files read NULL for new column, new carry values") {
+    val tmp = Files.createTempDirectory("graft_evo_").toString
+    val gen1 = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+    SchemaEvolution.appendEvolved(gen1, s"$tmp/t")
+    val gen2 = Seq((3L, "c", "CARD"), (4L, "d", "CASH"))
+      .toDF("id", "payload", "payment_method")
+    SchemaEvolution.appendEvolved(gen2, s"$tmp/t")
+
+    val evolved = SchemaEvolution.readEvolved(spark, s"$tmp/t").cache()
+    assert(SchemaEvolution.describe(evolved).toMap
+      .get("payment_method").contains("string"))
+    val rep = SchemaEvolution.evolutionReport(evolved, "payment_method").first()
+    assert(rep.getAs[Long]("total_rows") === 4)
+    assert(rep.getAs[Long]("pre_evolution_rows") === 2)
+    assert(rep.getAs[Long]("post_evolution_rows") === 2)
+    // old ids are exactly the NULL ones
+    assert(evolved.filter(col("payment_method").isNull)
+      .select("id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("pipeline serving sink writes all marts with positive rows") {
+    val out = Files.createTempDirectory("graft_pipeline_").toString
+    val summary = Pipeline.runAll(spark, sf, out).collect()
+    assert(summary.length === 7)
+    assert(summary.forall(_.getAs[Long]("rows_served") > 0))
+    // silver also written, partitioned by event_date
+    val silverDirs = new java.io.File(s"$out/silver_events").listFiles()
+    assert(silverDirs.exists(_.getName.startsWith("event_date=")))
+  }
+}
