@@ -47,6 +47,7 @@ object SparkEntry {
     "q_customers_without_big_orders" -> (TpchQueries.customersWithoutBigOrders _),
     "q_order_priority_share" -> (TpchQueries.orderPriorityShare _),
     "q_sessionize" -> (TpchQueries.sessionize _),
+    "q_asof_last_signup" -> (TpchQueries.purchasesWithLastSignup _),
     "text_doc_stats" -> (graft.text.TextAnalysis.docStatsQuery _),
     "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_customers_without_big_orders" -> TpchQueries.customersWithoutBigOrdersSql,
     "q_order_priority_share" -> TpchQueries.orderPriorityShareSql,
     "q_sessionize" -> TpchQueries.sessionizeSql,
+    "q_asof_last_signup" -> TpchQueries.purchasesWithLastSignupSql,
     "text_doc_stats" -> graft.text.TextAnalysis.docStatsSql,
     "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,

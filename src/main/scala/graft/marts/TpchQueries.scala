@@ -180,6 +180,35 @@ object TpchQueries {
       |      FROM orders GROUP BY o_orderpriority)
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** As-of join (beyond-reference operator, SURVEY custom-op ladder
+    * (a)): each purchase matched to the user's latest signup at or
+    * before it. Cross-checked against DuckDB's NATIVE ASOF JOIN — our
+    * union-window composition must agree with a first-class
+    * implementation. */
+  def purchasesWithLastSignup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        date_format(col("ts"), SilverEvents.TsFmt).as("purchase_time"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        date_format(col("ts"), SilverEvents.TsFmt).as("last_signup_time"))
+    graft.ops.AsOfJoin.backwardFlat(purchases, signups, "user_id", "ts", "ts",
+        Seq("last_signup_time"))
+      .select(col("event_id"), col("user_id"), col("purchase_time"),
+        col("asof_last_signup_time").as("last_signup_time"))
+      .orderBy(col("event_id"))
+  }
+
+  val purchasesWithLastSignupSql: String =
+    """SELECT e.event_id, e.user_id,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+      |  strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS last_signup_time
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+      |  ON e.user_id = s.user_id AND e.ts >= s.ts
+      |ORDER BY e.event_id""".stripMargin
+
   /** Gap-based sessionization over raw events (beyond-reference
     * window surface: lag + conditional cumulative sum). A new session
     * starts after a >30 min silence per user.

@@ -2,6 +2,7 @@ package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.CosineSimilarity.cosineSim
 import graft.ops.TopK
 import graft.sources.Tables
 
@@ -40,11 +41,11 @@ object EmbeddingSim {
   def norm(a: Column): Column =
     sqrt(fsum(transform(a, x => x.cast("double") * x.cast("double"))))
 
+  /** Composable higher-order-function cosine (allocates intermediate
+    * arrays; kept as the portable reference implementation). The hot
+    * paths below use the native fused [[cosineSim]] Expression
+    * instead — same double math, one codegen'd loop, no allocations. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
-
-  /** Vectors with precomputed norm (reused across comparisons). */
-  private def withNorm(embeddings: DataFrame): DataFrame =
-    embeddings.withColumn("nrm", norm(col("embedding")))
 
   /** Probe set: the first `n` vectors by vec_id. */
   private def probes(embeddings: DataFrame, n: Int): DataFrame =
@@ -56,12 +57,10 @@ object EmbeddingSim {
     * variant is measured against. Probe side is broadcast; corpus side
     * streams (one pass, no shuffle before the per-probe top-k). */
   def bruteForceTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
-    val corpus = withNorm(embeddings)
+    val corpus = embeddings
     val p = probes(embeddings, nProbes)
-      .withColumn("probe_nrm", norm(col("probe_emb")))
     val scored = corpus.join(broadcast(p), col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine",
-        round(dot(col("embedding"), col("probe_emb")) / (col("nrm") * col("probe_nrm")), 6))
+      .withColumn("cosine", round(cosineSim(col("embedding"), col("probe_emb")), 6))
     TopK.perGroup(
         scored.select(col("probe_id"), col("vec_id"), col("label"), col("cosine")),
         groupKeys = Seq("probe_id"),
@@ -92,19 +91,17 @@ object EmbeddingSim {
     * ≥1 band (recall <1 by design — the scale path; compare against
     * [[bruteForceTopK]] for recall measurements). */
   def lshTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5): DataFrame = {
-    val corpus = withNorm(embeddings)
-    val corpusBands = banded(corpus, col("embedding"),
-      Seq(col("vec_id"), col("label"), col("embedding"), col("nrm")))
-    val p = probes(embeddings, nProbes).withColumn("probe_nrm", norm(col("probe_emb")))
+    val corpusBands = banded(embeddings, col("embedding"),
+      Seq(col("vec_id"), col("label"), col("embedding")))
+    val p = probes(embeddings, nProbes)
     val probeBands = banded(p, col("probe_emb"),
-      Seq(col("probe_id"), col("probe_emb"), col("probe_nrm")))
+      Seq(col("probe_id"), col("probe_emb")))
 
     val cand = corpusBands.join(broadcast(probeBands), Seq("band_id", "band_val"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select("probe_id", "vec_id", "label", "embedding", "nrm", "probe_emb", "probe_nrm")
+      .select("probe_id", "vec_id", "label", "embedding", "probe_emb")
       .dropDuplicates("probe_id", "vec_id")
-      .withColumn("cosine",
-        round(dot(col("embedding"), col("probe_emb")) / (col("nrm") * col("probe_nrm")), 6))
+      .withColumn("cosine", round(cosineSim(col("embedding"), col("probe_emb")), 6))
     TopK.perGroup(
         cand.select(col("probe_id"), col("vec_id"), col("label"), col("cosine")),
         groupKeys = Seq("probe_id"),
@@ -119,19 +116,16 @@ object EmbeddingSim {
     * candidates, globally ranked by cosine (the embedding-space
     * counterpart of NearDup.minhashPairs). */
   def nearDupPairs(embeddings: DataFrame, topPairs: Int = 20): DataFrame = {
-    val corpus = withNorm(embeddings)
-    val bands = banded(corpus, col("embedding"),
-      Seq(col("vec_id"), col("embedding"), col("nrm")))
+    val bands = banded(embeddings, col("embedding"),
+      Seq(col("vec_id"), col("embedding")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.embedding").as("emb_a"), col("x.nrm").as("nrm_a"),
-        col("y.embedding").as("emb_b"), col("y.nrm").as("nrm_b"))
+        col("x.embedding").as("emb_a"), col("y.embedding").as("emb_b"))
       .dropDuplicates("vec_a", "vec_b")
-      .withColumn("cosine",
-        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .withColumn("cosine", round(cosineSim(col("emb_a"), col("emb_b")), 6))
     TopK.global(cand.select("vec_a", "vec_b", "cosine"),
       order = Seq(col("cosine").desc, col("vec_a").asc, col("vec_b").asc), k = topPairs)
   }
