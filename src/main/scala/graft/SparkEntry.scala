@@ -48,6 +48,11 @@ object SparkEntry {
     "q_order_priority_share" -> (TpchQueries.orderPriorityShare _),
     "q_sessionize" -> (TpchQueries.sessionize _),
     "q_asof_last_signup" -> (TpchQueries.purchasesWithLastSignup _),
+    "q_rollup_sales" -> (CoverageQueries.rollupSales _),
+    "q_buyer_set_ops" -> (CoverageQueries.buyerSetOps _),
+    "q_pivot_daily_types" -> (CoverageQueries.pivotDailyTypes _),
+    "q_purchase_ranks" -> (CoverageQueries.purchaseRanks _),
+    "q_json_props" -> (CoverageQueries.jsonProps _),
     "text_doc_stats" -> (graft.text.TextAnalysis.docStatsQuery _),
     "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
@@ -90,6 +95,11 @@ object SparkEntry {
     "q_order_priority_share" -> TpchQueries.orderPriorityShareSql,
     "q_sessionize" -> TpchQueries.sessionizeSql,
     "q_asof_last_signup" -> TpchQueries.purchasesWithLastSignupSql,
+    "q_rollup_sales" -> CoverageQueries.rollupSalesSql,
+    "q_buyer_set_ops" -> CoverageQueries.buyerSetOpsSql,
+    "q_pivot_daily_types" -> CoverageQueries.pivotDailyTypesSql,
+    "q_purchase_ranks" -> CoverageQueries.purchaseRanksSql,
+    "q_json_props" -> CoverageQueries.jsonPropsSql,
     "text_doc_stats" -> graft.text.TextAnalysis.docStatsSql,
     "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,

@@ -1,0 +1,150 @@
+package graft.marts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.ConditionalAgg._
+import graft.sources.Tables
+
+/** Surface-completeness queries beyond the reference's own inventory
+  * (SURVEY §2.7 notes INTERSECT/EXCEPT/rollup "absent" — a user of a
+  * general engine still expects them): multi-level ROLLUP, set
+  * intersection/difference, pivot, the full rank-window family, and
+  * JSON extraction.
+  */
+object CoverageQueries {
+
+  /** GROUP BY ROLLUP over (event_type, price_bucket) with grouping
+    * flags — subtotal + grand-total rows. One expand + hash agg;
+    * rollup multiplies shuffle rows by (#levels+1), which is the
+    * standard cost and still one exchange. */
+  def rollupSales(s: SparkSession, dir: String): DataFrame = {
+    val silver = SilverEvents.build(Tables.events(s, dir))
+    silver.filter(col("event_type") === "purchase")
+      .rollup(col("time_of_day"), col("price_bucket"))
+      .agg(
+        count(lit(1)).as("purchases"),
+        moneySumIf(lit(true), col("price")).as("revenue"),
+        grouping(col("time_of_day")).as("g_tod"),
+        grouping(col("price_bucket")).as("g_bucket"))
+      .orderBy(col("g_tod"), col("g_bucket"), col("time_of_day"), col("price_bucket"))
+  }
+
+  val rollupSalesSql: String = SilverEvents.oracleCte +
+    """
+      |SELECT time_of_day, price_bucket,
+      |  count(*) AS purchases,
+      |  CAST(round(sum(CAST(coalesce(price, 0) AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+      |  CAST(grouping(time_of_day) AS TINYINT) AS g_tod,
+      |  CAST(grouping(price_bucket) AS TINYINT) AS g_bucket
+      |FROM silver
+      |WHERE event_type = 'purchase'
+      |GROUP BY ROLLUP(time_of_day, price_bucket)
+      |ORDER BY g_tod, g_bucket, time_of_day, price_bucket""".stripMargin
+
+  /** INTERSECT / EXCEPT surface: buyers who never hit an error, and
+    * the overlap of viewer/buyer user sets (SURVEY §2.7 "absent" ops). */
+  def buyerSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val viewersAndBuyers = users("view").intersect(users("purchase"))
+      .withColumn("cohort", lit("viewer_and_buyer"))
+    val buyersNoError = users("purchase").except(users("error"))
+      .withColumn("cohort", lit("buyer_no_error"))
+    viewersAndBuyers.union(buyersNoError)
+      .select(col("cohort"), col("user_id"))
+      .orderBy(col("cohort"), col("user_id"))
+  }
+
+  val buyerSetOpsSql: String =
+    """SELECT 'viewer_and_buyer' AS cohort, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+      |  INTERSECT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT 'buyer_no_error' AS cohort, user_id FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      |ORDER BY cohort, user_id""".stripMargin
+
+  /** Pivot: events per day × event type as columns (`ds.pivot` with a
+    * declared domain — declared so the plan needs no extra distinct
+    * pass and the output schema is stable). */
+  def pivotDailyTypes(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.withColumn("event_date", to_date(col("ts")))
+      .groupBy(col("event_date"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("event_date"))
+  }
+
+  val pivotDailyTypesSql: String =
+    """SELECT CAST(ts AS DATE) AS event_date,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+      |FROM events
+      |GROUP BY CAST(ts AS DATE)
+      |ORDER BY event_date""".stripMargin
+
+  /** Full rank-window family over per-user purchase sequences:
+    * rank/dense_rank on spend, lag/lead navigation, cumulative spend
+    * (frames beyond the reference's default-frame-only usage). */
+  def purchaseRanks(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val bySpend = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    ev.select(
+        col("user_id"), col("event_id"), col("ts"), col("value"),
+        date_format(col("ts"), SilverEvents.TsFmt).as("purchase_time"),
+        round(col("value"), 2).as("amount"))
+      .withColumn("purchase_seq", row_number().over(byUser))
+      .withColumn("spend_rank", rank().over(bySpend))
+      .withColumn("spend_dense_rank", dense_rank().over(bySpend))
+      .withColumn("prev_amount", lag(col("amount"), 1).over(byUser))
+      .withColumn("next_amount", lead(col("amount"), 1).over(byUser))
+      .withColumn("cumulative_spend",
+        round(sum(col("amount").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)), 2).cast("double"))
+      .drop("ts", "value")
+      .orderBy(col("user_id"), col("purchase_seq"))
+  }
+
+  val purchaseRanksSql: String =
+    """SELECT user_id, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+      |  round(value, 2) AS amount,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS purchase_seq,
+      |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS spend_rank,
+      |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS spend_dense_rank,
+      |  lag(round(value, 2), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_amount,
+      |  lead(round(value, 2), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_amount,
+      |  CAST(round(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE)
+      |    AS cumulative_spend
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_seq""".stripMargin
+
+  /** JSON extraction (§2.8 "JSON functions: none in reference" — but
+    * the props column is JSON, so surface the native path). */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_value"))
+      .groupBy(col("k_value"))
+      .agg(count(lit(1)).as("event_count"))
+      .orderBy(col("k_value"))
+
+  val jsonPropsSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+      |  count(*) AS event_count
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k_value""".stripMargin
+}
