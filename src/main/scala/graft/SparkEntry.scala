@@ -32,6 +32,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "silver_events" -> ((s, dir) => silver(s, dir)),
     "gold_daily_sales" -> ((s, dir) => DailySales.build(silver(s, dir))),
+    "gold_daily_sales_approx" -> ((s, dir) => DailySales.buildApprox(silver(s, dir))),
     "gold_hourly_traffic" -> ((s, dir) => HourlyTraffic.build(silver(s, dir))),
     "gold_item_performance" -> ((s, dir) => ItemPerformance.build(silver(s, dir))),
     "gold_user_journey_funnel" -> ((s, dir) => UserJourneyFunnel.build(silver(s, dir))),

@@ -40,6 +40,22 @@ object DailySales {
       .orderBy(col("event_date"))
   }
 
+  /** 100 TB variant: distinct users via HyperLogLog++ sketches
+    * (mergeable single-pass partials — no distinct-expand shuffle).
+    * Deterministic for fixed input/rsd but not oracle-portable →
+    * rows-only check; DailySalesApproxSpec bounds it against exact. */
+  def buildApprox(silver: DataFrame, rsd: Double = 0.02): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    silver.groupBy(col("event_date"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countIf(isPurchase).as("purchase_count"),
+        approx_count_distinct(col("user_id"), rsd).as("unique_users"),
+        approxCountDistinctIf(isPurchase, col("user_id"), rsd).as("unique_buyers"),
+        moneySumIf(isPurchase, col("price")).as("total_revenue"))
+      .orderBy(col("event_date"))
+  }
+
   val oracleSql: String = SilverEvents.oracleCte +
     """
       |SELECT
