@@ -96,7 +96,7 @@ object NearDup {
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
       .withColumn("jaccard",
-        round(col("intersection").cast("double") /
+        graft.ops.ConditionalAgg.roundPortable(col("intersection").cast("double") /
           (col("size_a") + col("size_b") - col("intersection")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
@@ -115,13 +115,15 @@ object NearDup {
        |  GROUP BY a.doc_id, b.doc_id
        |)
        |SELECT doc_a, doc_b, intersection, sa.set_size AS size_a, sb.set_size AS size_b,
-       |  round(CAST(intersection AS DOUBLE)
-       |        / CAST(sa.set_size + sb.set_size - intersection AS DOUBLE), 4) AS jaccard
+       |  CAST(round(CAST(CAST(intersection AS DOUBLE)
+       |        / CAST(sa.set_size + sb.set_size - intersection AS DOUBLE)
+       |      AS DECIMAL(28,10)), 4) AS DOUBLE) AS jaccard
        |FROM inter
        |JOIN sizes sa ON inter.doc_a = sa.doc_id
        |JOIN sizes sb ON inter.doc_b = sb.doc_id
-       |WHERE round(CAST(intersection AS DOUBLE)
-       |        / CAST(sa.set_size + sb.set_size - intersection AS DOUBLE), 4) >= 0.8
+       |WHERE CAST(round(CAST(CAST(intersection AS DOUBLE)
+       |        / CAST(sa.set_size + sb.set_size - intersection AS DOUBLE)
+       |      AS DECIMAL(28,10)), 4) AS DOUBLE) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ----------------------------------------------------- MinHash LSH
@@ -197,7 +199,7 @@ object NearDup {
         .withColumn("size_a", size(col("set_a")).cast("long"))
         .withColumn("size_b", size(col("set_b")).cast("long"))
         .withColumn("jaccard",
-          round(col("intersection").cast("double") /
+          graft.ops.ConditionalAgg.roundPortable(col("intersection").cast("double") /
             (col("size_a") + col("size_b") - col("intersection")).cast("double"), 4))
         .filter(col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")

@@ -45,14 +45,17 @@ object ConversionFunnelDaily {
       |    CAST(round(sum(CASE WHEN event_type = 'purchase'
       |                        THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
       |                        ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS funnel_revenue,
-      |    round(100.0 * CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS DOUBLE)
-      |          / nullif(CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS DOUBLE), 0), 2)
+      |    CAST(round(CAST(100.0 * CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS DOUBLE)
+      |          / nullif(CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS DOUBLE), 0)
+      |        AS DECIMAL(28,10)), 2) AS DOUBLE)
       |      AS view_to_click_rate,
-      |    round(100.0 * CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS DOUBLE)
-      |          / nullif(CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS DOUBLE), 0), 2)
+      |    CAST(round(CAST(100.0 * CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS DOUBLE)
+      |          / nullif(CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS DOUBLE), 0)
+      |        AS DECIMAL(28,10)), 2) AS DOUBLE)
       |      AS click_to_purchase_rate,
-      |    round(100.0 * CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS DOUBLE)
-      |          / nullif(CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS DOUBLE), 0), 2)
+      |    CAST(round(CAST(100.0 * CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS DOUBLE)
+      |          / nullif(CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS DOUBLE), 0)
+      |        AS DECIMAL(28,10)), 2) AS DOUBLE)
       |      AS overall_conversion_rate
       |  FROM silver
       |  GROUP BY event_date, day_of_week_num, is_weekend, time_of_day, price_bucket

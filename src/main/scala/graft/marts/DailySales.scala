@@ -71,18 +71,21 @@ object DailySales {
       |  CAST(round(sum(CASE WHEN event_type = 'purchase'
       |                      THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
       |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS total_revenue,
-      |  round(CAST(round(sum(CASE WHEN event_type = 'purchase'
+      |  CAST(round(CAST(CAST(round(sum(CASE WHEN event_type = 'purchase'
       |                      THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
       |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
-      |        / nullif(CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE), 0), 2)
+      |        / nullif(CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE), 0)
+      |      AS DECIMAL(28,10)), 2) AS DOUBLE)
       |    AS avg_purchase_value,
-      |  round(100.0 * CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
-      |        / nullif(CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE), 0), 2)
+      |  CAST(round(CAST(100.0 * CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+      |        / nullif(CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE), 0)
+      |      AS DECIMAL(28,10)), 2) AS DOUBLE)
       |    AS conversion_rate,
-      |  round(CAST(round(sum(CASE WHEN event_type = 'purchase'
+      |  CAST(round(CAST(CAST(round(sum(CASE WHEN event_type = 'purchase'
       |                      THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
       |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
-      |        / nullif(CAST(count(DISTINCT user_id) AS DOUBLE), 0), 2) AS revenue_per_user
+      |        / nullif(CAST(count(DISTINCT user_id) AS DOUBLE), 0)
+      |      AS DECIMAL(28,10)), 2) AS DOUBLE) AS revenue_per_user
       |FROM silver
       |GROUP BY event_date
       |ORDER BY event_date""".stripMargin

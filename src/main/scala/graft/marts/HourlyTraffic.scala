@@ -37,8 +37,9 @@ object HourlyTraffic {
       |  CAST(round(sum(CASE WHEN event_type = 'purchase'
       |                      THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
       |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS hourly_revenue,
-      |  round(CAST(count(*) AS DOUBLE)
-      |        / nullif(CAST(count(DISTINCT user_id) AS DOUBLE), 0), 2) AS events_per_user
+      |  CAST(round(CAST(CAST(count(*) AS DOUBLE)
+      |        / nullif(CAST(count(DISTINCT user_id) AS DOUBLE), 0)
+      |      AS DECIMAL(28,10)), 2) AS DOUBLE) AS events_per_user
       |FROM silver
       |GROUP BY event_date, event_hour, time_of_day, is_weekend
       |ORDER BY event_date, event_hour""".stripMargin

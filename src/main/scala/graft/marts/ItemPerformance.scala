@@ -52,13 +52,15 @@ object ItemPerformance {
       |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS total_revenue,
       |  min(CASE WHEN event_type = 'purchase' THEN event_date END) AS first_purchase_date,
       |  max(CASE WHEN event_type = 'purchase' THEN event_date END) AS last_purchase_date,
-      |  round(CAST(round(sum(CASE WHEN event_type = 'purchase'
+      |  CAST(round(CAST(CAST(round(sum(CASE WHEN event_type = 'purchase'
       |                      THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
       |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
-      |        / nullif(CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE), 0), 2)
+      |        / nullif(CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE), 0)
+      |      AS DECIMAL(28,10)), 2) AS DOUBLE)
       |    AS avg_purchase_value,
-      |  round(100.0 * CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
-      |        / nullif(CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE), 0), 2)
+      |  CAST(round(CAST(100.0 * CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+      |        / nullif(CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE), 0)
+      |      AS DECIMAL(28,10)), 2) AS DOUBLE)
       |    AS view_to_purchase_rate,
       |  CAST(date_diff('day', max(CASE WHEN event_type = 'purchase' THEN event_date END),
       |                 DATE '${Params.AsOfDate}') AS INT) AS days_since_last_purchase

@@ -42,10 +42,10 @@ object PricingSummary {
       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
       |                 * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order,
-      |  round(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
-      |        / nullif(CAST(count(*) AS DOUBLE), 0), 2) AS avg_qty,
-      |  round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
-      |        / nullif(CAST(count(*) AS DOUBLE), 0), 2) AS avg_price
+      |  CAST(round(CAST(CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |        / nullif(CAST(count(*) AS DOUBLE), 0) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_qty,
+      |  CAST(round(CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      |        / nullif(CAST(count(*) AS DOUBLE), 0) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_price
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin

@@ -169,13 +169,15 @@ object TpchQueries {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
     agg.withColumn("pct_of_total",
-        round(lit(100.0) * col("order_count") / sum(col("order_count")).over(Window.partitionBy()), 2))
+        ConditionalAgg.roundPortable(
+          lit(100.0) * col("order_count") / sum(col("order_count")).over(Window.partitionBy()), 2))
       .orderBy(col("o_orderpriority"))
   }
 
   val orderPriorityShareSql: String =
     """SELECT o_orderpriority, order_count,
-      |  round(100.0 * order_count / sum(order_count) OVER (), 2) AS pct_of_total
+      |  CAST(round(CAST(100.0 * CAST(order_count AS DOUBLE) / CAST(sum(order_count) OVER () AS DOUBLE)
+      |    AS DECIMAL(28,10)), 2) AS DOUBLE) AS pct_of_total
       |FROM (SELECT o_orderpriority, count(*) AS order_count
       |      FROM orders GROUP BY o_orderpriority)
       |ORDER BY o_orderpriority""".stripMargin

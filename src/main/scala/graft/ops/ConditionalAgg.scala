@@ -51,12 +51,26 @@ object ConditionalAgg {
   def moneySumExact(x: Column): Column =
     round(sum(x), 2).cast(DoubleType)
 
+  /** Cross-engine-portable rounding of a computed DOUBLE: Spark's
+    * round() sees the double's SHORTEST string ("1.025" for 123/120)
+    * where other engines round the binary value (1.02499…) — ties
+    * resolve differently. Routing through DECIMAL(28,10) first makes
+    * both agree: nearest-10-digit-decimal equals the shortest string
+    * for any ratio of integers below ~2×10⁷. Mirror in oracle SQL via
+    * [[roundPortableSql]]. */
+  def roundPortable(x: Column, scale: Int): Column =
+    round(x.cast(DecimalType(28, 10)), scale).cast(DoubleType)
+
+  /** The DuckDB-side twin of [[roundPortable]]. */
+  def roundPortableSql(expr: String, scale: Int): String =
+    s"CAST(round(CAST($expr AS DECIMAL(28,10)), $scale) AS DOUBLE)"
+
   /** ROUND(num / NULLIF(den, 0), scale)  (A10 divide-by-zero guard,
     * reference gold_daily_sales_summary.sql:20-24). */
   def ratio(num: Column, den: Column, scale: Int = 2): Column =
-    round(num.cast(DoubleType) / nullif(den.cast(DoubleType), lit(0.0)), scale)
+    roundPortable(num.cast(DoubleType) / nullif(den.cast(DoubleType), lit(0.0)), scale)
 
   /** ROUND(100.0 * num / NULLIF(den, 0), scale) — percentage form. */
   def pct(num: Column, den: Column, scale: Int = 2): Column =
-    round(lit(100.0) * num.cast(DoubleType) / nullif(den.cast(DoubleType), lit(0.0)), scale)
+    roundPortable(lit(100.0) * num.cast(DoubleType) / nullif(den.cast(DoubleType), lit(0.0)), scale)
 }

@@ -66,11 +66,11 @@ object TextAnalysis {
       .withColumn("alpha_chars", length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")))
       .withColumn("stopword_count", countIn(col("tokens"), Stopwords))
       .withColumn("avg_token_len",
-        round(col("alpha_chars").cast("double") / nullif(col("token_count").cast("double"), lit(0.0)), 4))
+        graft.ops.ConditionalAgg.ratio(col("alpha_chars"), col("token_count"), 4))
       .withColumn("stopword_ratio",
-        round(col("stopword_count").cast("double") / nullif(col("token_count").cast("double"), lit(0.0)), 4))
+        graft.ops.ConditionalAgg.ratio(col("stopword_count"), col("token_count"), 4))
       .withColumn("type_token_ratio",
-        round(col("unique_token_count").cast("double") / nullif(col("token_count").cast("double"), lit(0.0)), 4))
+        graft.ops.ConditionalAgg.ratio(col("unique_token_count"), col("token_count"), 4))
       .withColumn("quality_score", expr(QualityScoreSql))
       .withColumn("fingerprint",
         md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
@@ -99,9 +99,12 @@ object TextAnalysis {
       |  FROM t
       |), r AS (
       |  SELECT *,
-      |    round(CAST(alpha_chars AS DOUBLE) / nullif(CAST(token_count AS DOUBLE), 0), 4) AS avg_token_len,
-      |    round(CAST(stopword_count AS DOUBLE) / nullif(CAST(token_count AS DOUBLE), 0), 4) AS stopword_ratio,
-      |    round(CAST(unique_token_count AS DOUBLE) / nullif(CAST(token_count AS DOUBLE), 0), 4) AS type_token_ratio
+      |    CAST(round(CAST(CAST(alpha_chars AS DOUBLE) / nullif(CAST(token_count AS DOUBLE), 0)
+      |      AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_token_len,
+      |    CAST(round(CAST(CAST(stopword_count AS DOUBLE) / nullif(CAST(token_count AS DOUBLE), 0)
+      |      AS DECIMAL(28,10)), 4) AS DOUBLE) AS stopword_ratio,
+      |    CAST(round(CAST(CAST(unique_token_count AS DOUBLE) / nullif(CAST(token_count AS DOUBLE), 0)
+      |      AS DECIMAL(28,10)), 4) AS DOUBLE) AS type_token_ratio
       |  FROM c
       |)
       |SELECT doc_id, lang, source, n_chars,
@@ -179,8 +182,9 @@ object TextAnalysis {
         count(lit(1)).as("doc_count"),
         sum(col("token_count").cast("long")).as("total_tokens"),
         // decimal sum → order-independent average (scores are exact 4dp)
-        round(sum(col("quality_score").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-          .cast("double") / count(lit(1)).cast("double"), 4).as("avg_quality"),
+        graft.ops.ConditionalAgg.ratio(
+          sum(col("quality_score").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double"), count(lit(1)), 4).as("avg_quality"),
         min(col("quality_score")).as("min_quality"),
         max(col("quality_score")).as("max_quality"),
         count_distinct(col("fingerprint")).as("distinct_fingerprints"))
@@ -195,8 +199,8 @@ object TextAnalysis {
        |SELECT source,
        |  count(*) AS doc_count,
        |  CAST(sum(token_count) AS BIGINT) AS total_tokens,
-       |  round(CAST(sum(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE)
-       |        / CAST(count(*) AS DOUBLE), 4) AS avg_quality,
+       |  CAST(round(CAST(CAST(sum(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE)
+       |        / nullif(CAST(count(*) AS DOUBLE), 0) AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_quality,
        |  min(quality_score) AS min_quality,
        |  max(quality_score) AS max_quality,
        |  count(DISTINCT fingerprint) AS distinct_fingerprints
