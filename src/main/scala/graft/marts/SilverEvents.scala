@@ -52,6 +52,7 @@ object SilverEvents {
       .select("event_unique_id", "event_id", "event_time_str", "event_date",
         "event_hour", "day_of_week_num", "is_weekend", "time_of_day",
         "event_type", "user_id", "item_key", "price", "price_bucket")
+      .orderBy(col("event_id"))
   }
 
   /** DuckDB CTE equivalent (`silver` CTE over raw `events`), used as the
@@ -98,5 +99,5 @@ object SilverEvents {
 
   /** Standalone oracle for the silver table itself. */
   val oracleSql: String =
-    oracleCte + "\nSELECT * FROM silver"
+    oracleCte + "\nSELECT * FROM silver ORDER BY event_id"
 }
