@@ -54,6 +54,9 @@ object SparkEntry {
     "q_pivot_daily_types" -> (CoverageQueries.pivotDailyTypes _),
     "q_purchase_ranks" -> (CoverageQueries.purchaseRanks _),
     "q_json_props" -> (CoverageQueries.jsonProps _),
+    "q_shipping_priority" -> (TpchMoreQueries.shippingPriority _),
+    "q_returned_items" -> (TpchMoreQueries.returnedItems _),
+    "q_order_price_tiers" -> (TpchMoreQueries.orderPriceTiers _),
     "text_doc_stats" -> (graft.text.TextAnalysis.docStatsQuery _),
     "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
@@ -101,6 +104,9 @@ object SparkEntry {
     "q_pivot_daily_types" -> CoverageQueries.pivotDailyTypesSql,
     "q_purchase_ranks" -> CoverageQueries.purchaseRanksSql,
     "q_json_props" -> CoverageQueries.jsonPropsSql,
+    "q_shipping_priority" -> TpchMoreQueries.shippingPrioritySql,
+    "q_returned_items" -> TpchMoreQueries.returnedItemsSql,
+    "q_order_price_tiers" -> TpchMoreQueries.orderPriceTiersSql,
     "text_doc_stats" -> graft.text.TextAnalysis.docStatsSql,
     "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,

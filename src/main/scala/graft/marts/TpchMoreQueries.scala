@@ -1,0 +1,117 @@
+package graft.marts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.ConditionalAgg._
+import graft.ops.{RangeJoin, TopK}
+import graft.sources.Tables
+
+/** Additional TPC-H-shaped workloads widening the join/filter
+  * surface: shipping-priority (Q3-like), returned-items customer
+  * ranking (Q10-like), and a grid-bucketed range join (value→tier). */
+object TpchMoreQueries {
+
+  private def discRevenue = col("l_extendedprice").cast(DecimalType(18, 2)) *
+    (lit(1).cast(DecimalType(3, 0)) - col("l_discount").cast(DecimalType(4, 2)))
+
+  private val discRevenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+  /** Q3-like shipping priority: top-10 open orders by pending revenue
+    * for one market segment. Fact⋈fact shuffle join + broadcast
+    * customer filter + date predicates pushed to both scans. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-06-01"
+    val buildCust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val openOrders = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+    val lateLines = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+    val joined = lateLines
+      .join(openOrders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(buildCust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"))
+      .agg(moneySumExact(discRevenue).as("revenue"))
+    TopK.global(joined, Seq(col("revenue").desc, col("l_orderkey").asc), 10)
+  }
+
+  val shippingPrioritySql: String =
+    s"""SELECT l_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |  o_orderpriority,
+       |  CAST(round(sum($discRevenueSql), 2) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-06-01'
+       |  AND l_shipdate > TIMESTAMP '1998-06-01'
+       |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  /** Q10-like: customers ranked by revenue lost to returned items
+    * (returnflag = 'R'), with nation context. */
+  def returnedItems(s: SparkSession, dir: String): DataFrame = {
+    val returns = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val joined = returns
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(moneySumExact(discRevenue).as("lost_revenue"),
+           count(lit(1)).as("returned_lines"))
+    TopK.global(joined, Seq(col("lost_revenue").desc, col("c_custkey").asc), 20)
+  }
+
+  val returnedItemsSql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  CAST(round(sum($discRevenueSql), 2) AS DOUBLE) AS lost_revenue,
+       |  count(*) AS returned_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY lost_revenue DESC, c_custkey ASC
+       |LIMIT 20""".stripMargin
+
+  /** Price-tier range join over orders via the grid-bucketed
+    * formulation (ops.RangeJoin): tier table is tiny here, but the
+    * plan shape is the equi-join one that survives unbroadcastable
+    * interval sides. */
+  def orderPriceTiers(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val tiers = Seq(
+      ("ECONOMY", 0.0, 100000.0),
+      ("STANDARD", 100000.0, 250000.0),
+      ("PREMIUM", 250000.0, 400000.0),
+      ("LUXURY", 400000.0, 1000000.0)).toDF("tier", "lo", "hi")
+    RangeJoin.bucketed(Tables.orders(s, dir), tiers, "o_totalprice", "lo", "hi",
+        bucketWidth = 50000.0)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("order_count"),
+           moneySum(col("o_totalprice")).as("tier_revenue"))
+      .orderBy(col("tier"))
+  }
+
+  val orderPriceTiersSql: String =
+    """WITH tiers(tier, lo, hi) AS (VALUES
+      |  ('ECONOMY', 0.0, 100000.0),
+      |  ('STANDARD', 100000.0, 250000.0),
+      |  ('PREMIUM', 250000.0, 400000.0),
+      |  ('LUXURY', 400000.0, 1000000.0))
+      |SELECT tier,
+      |  count(*) AS order_count,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS tier_revenue
+      |FROM orders JOIN tiers
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY tier
+      |ORDER BY tier""".stripMargin
+}
