@@ -131,6 +131,37 @@ object CoverageQueries {
       |FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id, purchase_seq""".stripMargin
 
+  /** Pure-SQL entry path (the reference's dbt-over-Thrift lane,
+    * SURVEY §3 E2): SQL text through spark.sql over registered views —
+    * same Catalyst pipeline as the DataFrame API, proven by sharing
+    * the oracle with a DuckDB twin of the same text. */
+  def sqlWeeklyRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_events")
+    s.sql(
+      """SELECT date_format(date_trunc('week', ts), 'yyyy-MM-dd') AS week_start,
+        |  event_type,
+        |  count(*) AS events,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  CAST(round(sum(CASE WHEN event_type = 'purchase'
+        |                      THEN CAST(value AS DECIMAL(18,2))
+        |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS revenue
+        |FROM graft_events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)
+  }
+
+  val sqlWeeklyRevenueSql: String =
+    """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+      |  event_type,
+      |  count(*) AS events,
+      |  count(DISTINCT user_id) AS unique_users,
+      |  CAST(round(sum(CASE WHEN event_type = 'purchase'
+      |                      THEN CAST(value AS DECIMAL(18,2))
+      |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS revenue
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** JSON extraction (§2.8 "JSON functions: none in reference" — but
     * the props column is JSON, so surface the native path). */
   def jsonProps(s: SparkSession, dir: String): DataFrame =
