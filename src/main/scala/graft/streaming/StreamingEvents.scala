@@ -87,4 +87,29 @@ object StreamingEvents {
       .writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
+
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's signups within the preceding hour. Both sides carry
+    * watermarks and the join condition bounds the time range, so
+    * state on each side is evictable — the canonical bounded-state
+    * stream join shape (state grows with the interval, not the
+    * stream). */
+  def purchaseSignupJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("signup_user"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "30 minutes")
+    purchases.join(signups,
+      col("user_id") === col("signup_user") &&
+        col("signup_ts") <= col("purchase_ts") &&
+        col("signup_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"),
+        col("signup_id"),
+        date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_time"))
+  }
 }

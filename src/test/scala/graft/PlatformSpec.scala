@@ -62,6 +62,24 @@ class PlatformSpec extends AnyFunSuite {
     assert(got.except(expected).count() === 0)
   }
 
+  test("stream-stream interval join matches the batch formulation") {
+    val tmp = Files.createTempDirectory("graft_ssj_").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = StreamingEvents.readStream(spark, s"$tmp/in")
+    val q = StreamingEvents.purchaseSignupJoin(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("ssj_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val got = spark.table("ssj_out")
+    val batch = StreamingEvents.purchaseSignupJoin(Tables.events(spark, sf))
+    // inner interval join: a single AvailableNow pass emits complete results
+    assert(got.count() === batch.count())
+    assert(got.except(batch).count() === 0)
+  }
+
   test("serving sink: monthly partition dirs, rows sorted within files") {
     val tmp = Files.createTempDirectory("graft_sink_").toString
     val daily = SparkEntry.queries("gold_daily_sales")(spark, sf)
