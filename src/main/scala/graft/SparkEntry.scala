@@ -58,6 +58,8 @@ object SparkEntry {
     "q_shipping_priority" -> (TpchMoreQueries.shippingPriority _),
     "q_returned_items" -> (TpchMoreQueries.returnedItems _),
     "q_order_price_tiers" -> (TpchMoreQueries.orderPriceTiers _),
+    "q_above_avg_orders" -> (TpchMoreQueries.aboveAvgOrders _),
+    "q_urgent_customers" -> (TpchMoreQueries.urgentCustomers _),
     "text_doc_stats" -> (graft.text.TextAnalysis.docStatsQuery _),
     "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
@@ -109,6 +111,8 @@ object SparkEntry {
     "q_shipping_priority" -> TpchMoreQueries.shippingPrioritySql,
     "q_returned_items" -> TpchMoreQueries.returnedItemsSql,
     "q_order_price_tiers" -> TpchMoreQueries.orderPriceTiersSql,
+    "q_above_avg_orders" -> TpchMoreQueries.aboveAvgOrdersSql,
+    "q_urgent_customers" -> TpchMoreQueries.urgentCustomersSql,
     "text_doc_stats" -> graft.text.TextAnalysis.docStatsSql,
     "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,

@@ -81,6 +81,54 @@ object TpchMoreQueries {
        |ORDER BY lost_revenue DESC, c_custkey ASC
        |LIMIT 20""".stripMargin
 
+  /** Correlated scalar subqueries (Catalyst's
+    * RewriteCorrelatedScalarSubquery path): customers' orders above
+    * their own per-customer total/count threshold. The comparison is
+    * cross-multiplied (`price × count > sum`) so it stays in exact
+    * DECIMAL — a correlated AVG of doubles would tie-break
+    * differently across engines. */
+  def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o_custkey, count(*) AS above_avg_orders
+        |FROM graft_orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |      * (SELECT count(*) FROM graft_orders i WHERE i.o_custkey = o.o_custkey)
+        |    > (SELECT sum(CAST(i.o_totalprice AS DECIMAL(18,2)))
+        |       FROM graft_orders i WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin)
+  }
+
+  val aboveAvgOrdersSql: String =
+    """SELECT o_custkey, count(*) AS above_avg_orders
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+      |      * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |    > (SELECT sum(CAST(i.o_totalprice AS DECIMAL(18,2)))
+      |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** EXISTS predicate subquery (RewritePredicateSubquery → semi join). */
+  def urgentCustomers(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_customer")
+    s.sql(
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM graft_customer
+        |WHERE EXISTS (SELECT 1 FROM graft_orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val urgentCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
   /** Price-tier range join over orders via the grid-bucketed
     * formulation (ops.RangeJoin): tier table is tiny here, but the
     * plan shape is the equi-join one that survives unbroadcastable
