@@ -63,6 +63,8 @@ object SparkEntry {
     "text_doc_stats" -> (graft.text.TextAnalysis.docStatsQuery _),
     "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
+    "text_filter_flags" -> (graft.text.QualityFilters.filterFlagsQuery _),
+    "text_vocabulary" -> (graft.text.QualityFilters.vocabularyQuery _),
     "dedup_exact" -> (graft.dedup.NearDup.exactGroupsQuery _),
     "dedup_ngram_jaccard" -> (graft.dedup.NearDup.jaccardPairsQuery _),
     "dedup_minhash_lsh" -> (graft.dedup.NearDup.minhashPairsQuery _),
@@ -116,6 +118,8 @@ object SparkEntry {
     "text_doc_stats" -> graft.text.TextAnalysis.docStatsSql,
     "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,
+    "text_filter_flags" -> graft.text.QualityFilters.filterFlagsSql,
+    "text_vocabulary" -> graft.text.QualityFilters.vocabularySql,
     "dedup_exact" -> graft.dedup.NearDup.exactGroupsSql,
     "dedup_ngram_jaccard" -> graft.dedup.NearDup.jaccardPairsSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_*: xxhash64-based

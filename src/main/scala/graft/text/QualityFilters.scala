@@ -1,0 +1,129 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.ConditionalAgg
+import graft.sources.Tables
+
+/** Corpus-curation filters in the C4/Gopher style (public filtering
+  * rules: doc length bounds, mean word length bounds, repetition
+  * detection) — the pre-training data-quality pass a 100 TB text
+  * pipeline runs before tokenization. All column expressions +
+  * one explode/agg for the repetition stats; no UDFs.
+  */
+object QualityFilters {
+
+  /** Per-doc repetition stats: top 2-gram frequency share (Gopher's
+    * duplicate-n-gram-fraction family). One explode → two-level agg,
+    * shuffles on doc_id only. NOTE: unlike NearDup.shingles this keeps
+    * duplicate grams — the duplicates ARE the signal here. */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    val grams = documents
+      .withColumn("__toks", toks)
+      .withColumn("shingle", explode(when(size(col("__toks")) >= 2,
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat_ws(" ", element_at(col("__toks"), i), element_at(col("__toks"), i + 1))))
+        .otherwise(typedLit(Seq.empty[String]))))
+      .select(col("doc_id"), col("shingle"))
+    val counts = grams.groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("total_2grams"),
+        max(col("n")).as("top_2gram_count"),
+        count(lit(1)).as("distinct_2grams"))
+      .withColumn("top_2gram_share",
+        ConditionalAgg.ratio(col("top_2gram_count"), col("total_2grams"), 4))
+  }
+
+  /** Gopher-ish accept/reject flags; thresholds as parameters with
+    * public-rule-like defaults. */
+  def filterFlags(documents: DataFrame,
+                  minTokens: Int = 20, maxTokens: Int = 100000,
+                  minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 10.0,
+                  maxTopGramShare: Double = 0.20): DataFrame = {
+    val stats = TextAnalysis.docStats(documents)
+      .select("doc_id", "token_count", "avg_token_len")
+    val rep = repetitionStats(documents)
+    stats.join(rep, Seq("doc_id"), "left")
+      .withColumn("pass_length",
+        col("token_count") >= minTokens && col("token_count") <= maxTokens)
+      .withColumn("pass_word_len",
+        col("avg_token_len") >= minMeanWordLen && col("avg_token_len") <= maxMeanWordLen)
+      .withColumn("pass_repetition",
+        coalesce(col("top_2gram_share") <= maxTopGramShare, lit(true)))
+      .withColumn("pass_all",
+        col("pass_length") && col("pass_word_len") && col("pass_repetition"))
+      .select("doc_id", "token_count", "avg_token_len", "top_2gram_share",
+        "pass_length", "pass_word_len", "pass_repetition", "pass_all")
+      .orderBy(col("doc_id"))
+  }
+
+  def filterFlagsQuery(s: SparkSession, dir: String): DataFrame =
+    filterFlags(Tables.documents(s, dir))
+
+  val filterFlagsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens,
+      |    length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alpha_chars
+      |  FROM documents
+      |), stats AS (
+      |  SELECT doc_id,
+      |    CAST(len(tokens) AS INT) AS token_count,
+      |    CAST(round(CAST(CAST(alpha_chars AS DOUBLE) / nullif(CAST(len(tokens) AS DOUBLE), 0)
+      |      AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_token_len
+      |  FROM toks
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tokens) - 1),
+      |    i -> concat_ws(' ', tokens[i], tokens[i+1]))) AS shingle
+      |  FROM toks WHERE len(tokens) >= 2
+      |), gcounts AS (
+      |  SELECT doc_id, shingle, count(*) AS n FROM grams GROUP BY doc_id, shingle
+      |), rep AS (
+      |  SELECT doc_id,
+      |    CAST(sum(n) AS BIGINT) AS total_2grams,
+      |    CAST(max(n) AS BIGINT) AS top_2gram_count
+      |  FROM gcounts GROUP BY doc_id
+      |)
+      |SELECT s.doc_id, s.token_count, s.avg_token_len,
+      |  CAST(round(CAST(CAST(top_2gram_count AS DOUBLE) / nullif(CAST(total_2grams AS DOUBLE), 0)
+      |    AS DECIMAL(28,10)), 4) AS DOUBLE) AS top_2gram_share,
+      |  s.token_count >= 20 AND s.token_count <= 100000 AS pass_length,
+      |  s.avg_token_len >= 2.0 AND s.avg_token_len <= 10.0 AS pass_word_len,
+      |  coalesce(CAST(round(CAST(CAST(top_2gram_count AS DOUBLE) / nullif(CAST(total_2grams AS DOUBLE), 0)
+      |    AS DECIMAL(28,10)), 4) AS DOUBLE) <= 0.20, TRUE) AS pass_repetition,
+      |  (s.token_count >= 20 AND s.token_count <= 100000)
+      |    AND (s.avg_token_len >= 2.0 AND s.avg_token_len <= 10.0)
+      |    AND coalesce(CAST(round(CAST(CAST(top_2gram_count AS DOUBLE) / nullif(CAST(total_2grams AS DOUBLE), 0)
+      |      AS DECIMAL(28,10)), 4) AS DOUBLE) <= 0.20, TRUE) AS pass_all
+      |FROM stats s LEFT JOIN rep USING (doc_id)
+      |ORDER BY s.doc_id""".stripMargin
+
+  /** Corpus vocabulary: global top-k tokens by frequency with doc
+    * frequency — the tokenizer-training / stopword-discovery stat.
+    * Explode → two grouped aggs; partial aggregation absorbs the
+    * per-token fan-out map-side. */
+  def vocabulary(documents: DataFrame, topK: Int = 50): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+    graft.ops.TopK.global(
+      toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("term_freq"),
+             count_distinct(col("doc_id")).as("doc_freq")),
+      order = Seq(col("term_freq").desc, col("token").asc), k = topK)
+  }
+
+  def vocabularyQuery(s: SparkSession, dir: String): DataFrame =
+    vocabulary(Tables.documents(s, dir))
+
+  val vocabularySql: String =
+    """SELECT shingle AS token, count(*) AS term_freq,
+      |  count(DISTINCT doc_id) AS doc_freq
+      |FROM (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS shingle
+      |  FROM documents)
+      |GROUP BY shingle
+      |ORDER BY term_freq DESC, token ASC
+      |LIMIT 50""".stripMargin
+}
