@@ -65,6 +65,7 @@ object SparkEntry {
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
     "text_filter_flags" -> (graft.text.QualityFilters.filterFlagsQuery _),
     "text_vocabulary" -> (graft.text.QualityFilters.vocabularyQuery _),
+    "text_token_estimates" -> (graft.text.QualityFilters.tokenEstimatesQuery _),
     "dedup_exact" -> (graft.dedup.NearDup.exactGroupsQuery _),
     "dedup_ngram_jaccard" -> (graft.dedup.NearDup.jaccardPairsQuery _),
     "dedup_minhash_lsh" -> (graft.dedup.NearDup.minhashPairsQuery _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,
     "text_filter_flags" -> graft.text.QualityFilters.filterFlagsSql,
     "text_vocabulary" -> graft.text.QualityFilters.vocabularySql,
+    "text_token_estimates" -> graft.text.QualityFilters.tokenEstimatesSql,
     "dedup_exact" -> graft.dedup.NearDup.exactGroupsSql,
     "dedup_ngram_jaccard" -> graft.dedup.NearDup.jaccardPairsSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_*: xxhash64-based

@@ -100,6 +100,36 @@ object QualityFilters {
       |FROM stats s LEFT JOIN rep USING (doc_id)
       |ORDER BY s.doc_id""".stripMargin
 
+  /** BPE-ish token-count estimation (prompt/training-cost budgeting
+    * without running a tokenizer): whitespace words contribute
+    * ceil(len/4) subword units (the ~4-chars-per-BPE-token heuristic),
+    * floored by the word count; plus the chars/4 global estimate for
+    * comparison. Pure higher-order array math — no tokenizer library,
+    * no UDF, linear scan. */
+  def tokenEstimates(documents: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokensCol(col("text"))
+    documents
+      .withColumn("word_tokens", size(toks))
+      .withColumn("bpe_estimate",
+        aggregate(transform(toks, t => ceil(length(t).cast("double") / 4.0).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("char_estimate", ceil(length(col("text")).cast("double") / 4.0).cast("long"))
+      .select("doc_id", "word_tokens", "bpe_estimate", "char_estimate")
+      .orderBy(col("doc_id"))
+  }
+
+  def tokenEstimatesQuery(s: SparkSession, dir: String): DataFrame =
+    tokenEstimates(Tables.documents(s, dir))
+
+  val tokenEstimatesSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS word_tokens,
+      |  CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |    t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_estimate,
+      |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS char_estimate
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary: global top-k tokens by frequency with doc
     * frequency — the tokenizer-training / stopword-discovery stat.
     * Explode → two grouped aggs; partial aggregation absorbs the
