@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Run-to-run determinism check (NOT part of the library): compare two
+graft.Verify output dirs value-for-value (rows and columns sorted;
+array columns stringified). Use with runs at DIFFERENT parallelism to
+prove partitioning-invariance of every query.
+
+Usage:
+  sbt 'runMain graft.Verify <sfDir> /tmp/vrun1'
+  SPARK_GRAFT_CPUS=7 sbt 'runMain graft.Verify <sfDir> /tmp/vrun2'
+  python3 tools/stability_check.py /tmp/vrun1 /tmp/vrun2
+"""
+import glob
+import os
+import sys
+
+import duckdb
+import numpy as np
+
+
+def canon(df):
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: str(v.tolist()) if isinstance(v, np.ndarray) else str(v))
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main(dir1, dir2):
+    con = duckdb.connect()
+    bad = n = 0
+    for d in sorted(os.listdir(dir1)):
+        if not os.path.isdir(os.path.join(dir1, d)):
+            continue
+        n += 1
+        f1 = glob.glob(os.path.join(dir1, d, "*.parquet"))
+        f2 = glob.glob(os.path.join(dir2, d, "*.parquet"))
+        a = canon(con.execute(f"SELECT * FROM read_parquet({f1!r})").fetchdf())
+        b = canon(con.execute(f"SELECT * FROM read_parquet({f2!r})").fetchdf())
+        if not a.equals(b):
+            print(f"NONDETERMINISTIC: {d}")
+            bad += 1
+    print(("stable" if bad == 0 else f"{bad} unstable") + f" — {n} queries compared")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
