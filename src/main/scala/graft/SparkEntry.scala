@@ -66,6 +66,7 @@ object SparkEntry {
     "text_filter_flags" -> (graft.text.QualityFilters.filterFlagsQuery _),
     "text_vocabulary" -> (graft.text.QualityFilters.vocabularyQuery _),
     "text_token_estimates" -> (graft.text.QualityFilters.tokenEstimatesQuery _),
+    "text_topk_tokens_sketch" -> (graft.text.QualityFilters.topTokensSketch _),
     "dedup_exact" -> (graft.dedup.NearDup.exactGroupsQuery _),
     "dedup_ngram_jaccard" -> (graft.dedup.NearDup.jaccardPairsQuery _),
     "dedup_minhash_lsh" -> (graft.dedup.NearDup.minhashPairsQuery _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "text_filter_flags" -> graft.text.QualityFilters.filterFlagsSql,
     "text_vocabulary" -> graft.text.QualityFilters.vocabularySql,
     "text_token_estimates" -> graft.text.QualityFilters.tokenEstimatesSql,
+    "text_topk_tokens_sketch" -> graft.text.QualityFilters.topTokensSketchSql,
     "dedup_exact" -> graft.dedup.NearDup.exactGroupsSql,
     "dedup_ngram_jaccard" -> graft.dedup.NearDup.jaccardPairsSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_*: xxhash64-based

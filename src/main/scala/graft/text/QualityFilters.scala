@@ -147,6 +147,34 @@ object QualityFilters {
   def vocabularyQuery(s: SparkSession, dir: String): DataFrame =
     vocabulary(Tables.documents(s, dir))
 
+  /** Per-source top-5 tokens via the native SpaceSaving aggregate
+    * (graftext.ApproxTopK). With capacity far above the corpus
+    * vocabulary the sketch is in its exact regime, so the DuckDB
+    * oracle can reproduce it with a plain grouped rank. */
+  def topTokensSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftext.ApproxTopK.approxTopK
+    Tables.documents(s, dir)
+      .select(col("source"), explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+      .groupBy(col("source"))
+      .agg(approxTopK(col("token"), 5, 2048).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("rank0", "e")))
+      .select(col("source"), (col("rank0") + 1).cast("int").as("rnk"),
+        col("e.item"), col("e.count_est"), col("e.count_err"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val topTokensSketchSql: String =
+    """SELECT source, CAST(rnk AS INT) AS rnk, item, count_est, CAST(0 AS BIGINT) AS count_err
+      |FROM (
+      |  SELECT source, shingle AS item, CAST(count(*) AS BIGINT) AS count_est,
+      |    row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, shingle ASC) AS rnk
+      |  FROM (
+      |    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS shingle
+      |    FROM documents)
+      |  GROUP BY source, shingle)
+      |WHERE rnk <= 5
+      |ORDER BY source, rnk""".stripMargin
+
   val vocabularySql: String =
     """SELECT shingle AS token, count(*) AS term_freq,
       |  count(DISTINCT doc_id) AS doc_freq

@@ -43,5 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("approx_top_k_ss"),
+      new ExpressionInfo(classOf[ApproxTopK].getName, "approx_top_k_ss"),
+      (exprs: Seq[Expression]) => ApproxTopK(exprs(0),
+        k = exprs(1).eval().asInstanceOf[Int],
+        capacity = exprs(2).eval().asInstanceOf[Int]).toAggregateExpression()))
   }
 }
