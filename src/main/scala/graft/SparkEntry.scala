@@ -60,6 +60,8 @@ object SparkEntry {
     "q_order_price_tiers" -> (TpchMoreQueries.orderPriceTiers _),
     "q_above_avg_orders" -> (TpchMoreQueries.aboveAvgOrders _),
     "q_urgent_customers" -> (TpchMoreQueries.urgentCustomers _),
+    "q_customer_distribution" -> (TpchMoreQueries.customerDistribution _),
+    "q_trailing_revenue" -> (TpchMoreQueries.trailingRevenue _),
     "text_doc_stats" -> (graft.text.TextAnalysis.docStatsQuery _),
     "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
@@ -117,6 +119,8 @@ object SparkEntry {
     "q_order_price_tiers" -> TpchMoreQueries.orderPriceTiersSql,
     "q_above_avg_orders" -> TpchMoreQueries.aboveAvgOrdersSql,
     "q_urgent_customers" -> TpchMoreQueries.urgentCustomersSql,
+    "q_customer_distribution" -> TpchMoreQueries.customerDistributionSql,
+    "q_trailing_revenue" -> TpchMoreQueries.trailingRevenueSql,
     "text_doc_stats" -> graft.text.TextAnalysis.docStatsSql,
     "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,

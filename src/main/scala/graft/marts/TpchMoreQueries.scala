@@ -81,6 +81,64 @@ object TpchMoreQueries {
        |ORDER BY lost_revenue DESC, c_custkey ASC
        |LIMIT 20""".stripMargin
 
+  /** Q13-like customer distribution: LEFT OUTER join preserving
+    * order-less customers, then a count-of-counts histogram — two
+    * chained aggregations over one join. */
+  def customerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("order_count"))  // count skips NULLs → 0 for orderless
+    perCust.groupBy(col("order_count"))
+      .agg(count(lit(1)).as("customer_count"))
+      .orderBy(col("customer_count").desc, col("order_count").desc)
+  }
+
+  val customerDistributionSql: String =
+    """SELECT order_count, count(*) AS customer_count
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS order_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY order_count
+      |ORDER BY customer_count DESC, order_count DESC""".stripMargin
+
+  /** Trailing-7-day revenue per day — a RANGE frame over a numeric
+    * date ordinal (the only frame family the reference never uses;
+    * SURVEY §2.5 "no explicit frame specs"). RANGE (not ROWS) so gaps
+    * in the date spine are handled correctly. */
+  def trailingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("sale_date"))
+      .agg(moneySum(col("value")).as("day_revenue"))
+      .withColumn("day_ord", datediff(col("sale_date"), lit("1970-01-01").cast("date")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day_ord")).rangeBetween(-6, 0)
+    daily
+      .withColumn("trailing_7d_revenue",
+        round(sum(col("day_revenue").cast(DecimalType(18, 2))).over(w), 2).cast("double"))
+      .select(date_format(col("sale_date"), "yyyy-MM-dd").as("sale_date"),
+        col("day_revenue"), col("trailing_7d_revenue"))
+      .orderBy(col("sale_date"))
+  }
+
+  val trailingRevenueSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS sale_date,
+      |    CAST(round(sum(CAST(coalesce(value, 0) AS DECIMAL(18,2))), 2) AS DOUBLE) AS day_revenue,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_ord
+      |  FROM events
+      |  WHERE event_type = 'purchase'
+      |  GROUP BY CAST(ts AS DATE)
+      |)
+      |SELECT strftime(sale_date, '%Y-%m-%d') AS sale_date, day_revenue,
+      |  CAST(round(sum(CAST(day_revenue AS DECIMAL(18,2)))
+      |    OVER (ORDER BY day_ord RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+      |    AS trailing_7d_revenue
+      |FROM daily
+      |ORDER BY sale_date""".stripMargin
+
   /** Correlated scalar subqueries (Catalyst's
     * RewriteCorrelatedScalarSubquery path): customers' orders above
     * their own per-customer total/count threshold. The comparison is
