@@ -43,9 +43,15 @@ object Pipeline {
         if (dateCol.nonEmpty)
           ServingSink.writeDateMart(df, s"$outDir/$name", dateCol)
         else {
+          // Entity-keyed marts (|users|-sized at production scale):
+          // range-partition on the key so every writer task gets a
+          // contiguous sorted slice — globally ordered files without a
+          // single-task bottleneck (coalesce(1) would serialize the
+          // whole mart through one writer at 100×).
           val key = df.schema.fieldNames.head
-          df.sortWithinPartitions(col(key)).coalesce(1)
+          df.repartitionByRange(col(key)).sortWithinPartitions(col(key))
             .write.mode("overwrite").option("compression", "snappy")
+            .option("maxRecordsPerFile", 5000000)
             .parquet(s"$outDir/$name")
         }
         val rows = spark.read.parquet(s"$outDir/$name").count()

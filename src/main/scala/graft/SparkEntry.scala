@@ -133,7 +133,8 @@ object SparkEntry {
     // dedup_minhash_lsh / dedup_simhash / sim_embed_*: xxhash64-based
     // signatures & float fold order are not DuckDB-portable → rows-only.
     "mm_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
-    // mm_media_features / mm_video_frames: array + byte-fold columns → rows-only.
+    "mm_media_features" -> graft.multimodal.Multimodal.featuresSql,
+    "mm_video_frames" -> graft.multimodal.Multimodal.framesSql,
     "stream_hourly_agg" -> graft.streaming.StreamingEvents.hourlyAggSql,
     "quality_silver_report" -> graft.quality.DataChecks.silverReportSql,
   )

@@ -43,7 +43,11 @@ object SilverEvents {
       .withColumn("day_of_week_num", dayofweek(col("ts")).cast("int"))
       .withColumn("is_weekend", Bucketize.isWeekend(col("day_of_week_num")))
       .withColumn("time_of_day", Bucketize.timeOfDay(col("event_hour")))
-      .withColumn("item_key", regexp_extract(col("props"), "([0-9]+)", 1).cast("int"))
+      // nullif guard: digitless props → regexp_extract returns '' and
+      // CAST('' AS INT) throws under Spark 4 ANSI mode (and in DuckDB) —
+      // both sides must agree on NULL instead.
+      .withColumn("item_key",
+        nullif(regexp_extract(col("props"), "([0-9]+)", 1), lit("")).cast("int"))
       .withColumn("price", when(col("value") >= 0, round(col("value"), 2)))
       .withColumn("price_bucket", Bucketize.priceBucket(col("price")))
 
@@ -78,7 +82,7 @@ object SilverEvents {
       |           ELSE 'NIGHT' END AS time_of_day,
       |      lower(trim(event_type)) AS event_type,
       |      user_id,
-      |      CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS item_key,
+      |      CAST(nullif(regexp_extract(props, '([0-9]+)', 1), '') AS INT) AS item_key,
       |      CASE WHEN value >= 0 THEN round(value, 2) END AS price,
       |      CASE WHEN value IS NULL OR value < 0 THEN 'UNKNOWN'
       |           WHEN round(value, 2) < 50 THEN '0-50'

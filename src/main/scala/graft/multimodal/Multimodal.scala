@@ -50,9 +50,20 @@ object Multimodal {
     def decodeReal(record: MediaRecord): MediaFeatures =
       ??? // stub: no codec libs in this environment (see scaladoc)
 
+    /** Modulus keeping the byte folds inside non-overflowing BIGINT
+      * range in ANY engine (acc < 2³⁰ ⇒ acc*31+255 < 2³⁵): the folds
+      * stay cross-engine portable — 64-bit wrap-around would be silent
+      * in the JVM but an overflow error in ANSI SQL engines. */
+    val FoldMod = 1000000007L
+
+    def foldBytes(bytes: Array[Byte], init: Long): Long =
+      bytes.foldLeft(init)((acc, b) => (acc * 31 + (b & 0xFF)) % FoldMod)
+
     /** Deterministic fake decode exercising the same signature and
       * batch shape: "dimensions" from a stable byte fold, features =
-      * 16-bin normalized byte histogram. */
+      * 16-bin normalized byte histogram (floor-quantized to 4 dp —
+      * floor is bit-portable across engines where round-half ties are
+      * not). */
     def decodeFake(r: MediaRecord): MediaFeatures = {
       val bytes = r.data
       val sha = java.security.MessageDigest.getInstance("SHA-256")
@@ -60,11 +71,11 @@ object Multimodal {
       val hist = new Array[Double](16)
       bytes.foreach(b => hist((b & 0xFF) / 16) += 1.0)
       val n = math.max(1, bytes.length)
-      val norm = hist.map(v => math.rint(v / n * 10000) / 10000)
-      val fold = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xFF))
+      val norm = hist.map(v => math.floor(v / n * 10000) / 10000)
+      val fold = foldBytes(bytes, 17L)
       MediaFeatures(r.media_id, r.uri, r.mime, bytes.length, sha,
-        width = (math.floorMod(fold, 1280) + 1).toInt,
-        height = (math.floorMod(fold >> 16, 720) + 1).toInt,
+        width = (fold % 1280 + 1).toInt,
+        height = ((fold >> 16) % 720 + 1).toInt,
         histogram = norm)
     }
   }
@@ -93,7 +104,7 @@ object Multimodal {
         r.data.grouped(64).zipWithIndex
           .filter { case (_, i) => i % stride == 0 }
           .map { case (chunk, i) => (r.media_id, i, chunk.length,
-            chunk.foldLeft(0L)((a, b) => a * 31 + (b & 0xFF))) }
+            MediaCodec.foldBytes(chunk, 0L)) }
       }
       .toDF("media_id", "frame_index", "frame_bytes", "frame_digest")
   }
@@ -121,11 +132,74 @@ object Multimodal {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
-  def featuresQuery(s: SparkSession, dir: String): DataFrame =
+  /** Feature query with the histogram projected to 16 scalar columns
+    * (hist_00…hist_15): arrays are not sortable/hashable by generic
+    * result-diff harnesses, and the flat layout is also the
+    * feature-store serving shape. */
+  def featuresQuery(s: SparkSession, dir: String): DataFrame = {
+    val histCols = (0 until 16).map(i =>
+      element_at(col("histogram"), i + 1).as(f"hist_$i%02d"))
     extractFeatures(mediaTable(Tables.documents(s, dir))).toDF()
+      .select(Seq(col("media_id"), col("uri"), col("mime"), col("byte_len"),
+        col("content_sha"), col("width"), col("height")) ++ histCols: _*)
       .orderBy(col("media_id"))
+  }
+
+  /** DuckDB oracle for the full feature extraction: the fake decode is
+    * deterministic byte math over ASCII text, so every output —
+    * byte fold dimensions, sha, floor-quantized histogram bins — is
+    * recomputable in SQL (list_reduce = the sequential byte fold). */
+  val featuresSql: String = {
+    val histCols = (0 until 16).map(i =>
+      s"  floor(CAST(len(list_filter(bytes, b -> b // 16 = $i)) AS DOUBLE) / n * 10000) / 10000 AS hist_${"%02d".format(i)}")
+      .mkString(",\n")
+    s"""WITH base AS (
+      |  SELECT
+      |    doc_id AS media_id,
+      |    concat('mem://doc/', CAST(doc_id AS VARCHAR)) AS uri,
+      |    ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+      |    CAST(strlen(text) AS INT) AS byte_len,
+      |    sha256(text) AS content_sha,
+      |    list_transform(string_split(text, ''), c -> ord(c)) AS bytes,
+      |    greatest(strlen(text), 1) AS n
+      |  FROM documents
+      |), folded AS (
+      |  SELECT *,
+      |    list_reduce(list_prepend(CAST(17 AS BIGINT), bytes),
+      |                (a, b) -> (a * 31 + b) % 1000000007) AS fold
+      |  FROM base
+      |)
+      |SELECT media_id, uri, mime, byte_len, content_sha,
+      |  CAST(fold % 1280 + 1 AS INT) AS width,
+      |  CAST((fold // 65536) % 720 + 1 AS INT) AS height,
+      |$histCols
+      |FROM folded
+      |ORDER BY media_id""".stripMargin
+  }
 
   def framesQuery(s: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaTable(Tables.documents(s, dir)))
       .orderBy(col("media_id"), col("frame_index"))
+
+  /** DuckDB oracle for strided frame sampling: 64-char chunks of the
+    * video-mime docs, every 4th chunk, digest = the same mod-prime
+    * byte fold. */
+  val framesSql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, text
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), frames AS (
+      |  SELECT media_id, CAST(i AS INT) AS frame_index,
+      |    substr(text, CAST(i * 64 + 1 AS INT), 64) AS chunk
+      |  FROM media, unnest(range((strlen(text) + 63) // 64)) AS t(i)
+      |  WHERE i % 4 = 0
+      |)
+      |SELECT media_id, frame_index,
+      |  CAST(strlen(chunk) AS INT) AS frame_bytes,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(chunk, ''), c -> ord(c))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS frame_digest
+      |FROM frames
+      |ORDER BY media_id, frame_index""".stripMargin
 }

@@ -17,14 +17,18 @@ import org.apache.spark.sql.functions._
 object Incremental {
 
   /** Rows of `source` strictly past `max(watermarkCol of target) + offsetExpr`.
-    * `offsetExpr` example: "INTERVAL -7 DAY" (empty for none). */
+    * `offsetExpr` example: "INTERVAL -7 DAY" (empty for none).
+    *
+    * Empty/new target ⇒ `max(..)` is NULL ⇒ process EVERYTHING — the
+    * dbt `is_incremental()` semantics (first run against a missing
+    * target is a full load), not `> NULL` (which would drop all rows). */
   def pastWatermark(source: DataFrame, target: DataFrame, sourceCol: String,
                     targetCol: String, offsetSql: String = ""): DataFrame = {
     val wmExpr = if (offsetSql.isEmpty) col("__graft_wm")
                  else expr(s"__graft_wm $offsetSql")
     val wm = target.agg(max(col(targetCol)).as("__graft_wm"))
     source.crossJoin(broadcast(wm))
-      .filter(col(sourceCol) > wmExpr)
+      .filter(col("__graft_wm").isNull || col(sourceCol) > wmExpr)
       .drop("__graft_wm")
   }
 

@@ -112,4 +112,11 @@ class PlatformSpec extends AnyFunSuite {
     // full rebuild equivalence: target ∪ appended == all events
     assert(target.count() + appended.count() === ev.count())
   }
+
+  test("incremental: empty target means full load (dbt first-run semantics)") {
+    val ev = Tables.events(spark, sf)
+    val empty = ev.filter(lit(false))
+    assert(Incremental.pastWatermark(ev, empty, "ts", "ts").count() === ev.count())
+    assert(Incremental.appendNew(ev, empty, "ts", Seq("event_id")).count() === ev.count())
+  }
 }
