@@ -39,6 +39,7 @@ object SparkEntry {
     "gold_conversion_funnel_daily" -> ((s, dir) => ConversionFunnelDaily.build(silver(s, dir))),
     "gold_category_performance" -> ((s, dir) => CategoryPerformance.build(silver(s, dir))),
     "gold_user_rfm_segments" -> ((s, dir) => RfmSegments.build(silver(s, dir))),
+    "gold_user_rfm_segments_scalable" -> ((s, dir) => RfmSegments.buildAtScale(silver(s, dir))),
     "q1_pricing_summary" -> ((s, dir) => PricingSummary.build(Tables.lineitem(s, dir))),
     "q_revenue_by_nation" -> (TpchQueries.revenueByNation _),
     "q_top_parts" -> (TpchQueries.topParts _),

@@ -1,10 +1,10 @@
 package graft.marts
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.ops.ConditionalAgg._
+import graft.ops.GlobalRank
 
 /** Gold: RFM (recency/frequency/monetary) user segments. Adapted from
   * reference gold_user_rfm_segments.sql:8-99 — per-user purchase
@@ -17,33 +17,31 @@ import graft.ops.ConditionalAgg._
   * ×1.5 half-cent ties round identically to the oracle (half-up ==
   * DuckDB's half-away-from-zero for positive money).
   *
-  * Scale: NTILE over an unpartitioned window forces all rows through
-  * ONE partition — acceptable because the input is already one row per
-  * user with ≥1 purchase. At 100 TB user counts, swap the ntile for
-  * the percentile-bucket path: `approxQuantile` cutoffs + a `when`
-  * chain — same 1–5 scores, no single-partition sort (SURVEY §7.6 #4).
+  * Scale: the reference's `NTILE(5) OVER (ORDER BY …)` would force the
+  * |users|-sized frame through ONE partition ×3 sorts. The scores here
+  * are the SAME exact ntile quintiles computed distributed via
+  * [[GlobalRank.withNtile]] (range-repartition + per-partition offset
+  * ranks) — no single-partition window anywhere in the plan, identical
+  * output, same DuckDB oracle. [[buildAtScale]] is the one-pass
+  * approximate alternative (quantile-cutoff scoring) for when three
+  * range shuffles are too many.
   */
 object RfmSegments {
 
-  def build(silver: DataFrame): DataFrame = {
-    val perUser = silver
-      .filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"))
-      .agg(
-        max(col("event_date")).as("last_purchase_date"),
-        count(lit(1)).as("frequency"),
-        round(sum(coalesce(col("price"), lit(0)).cast(DecimalType(18, 2))), 2).as("monetary_dec"))
-      .withColumn("recency_days",
-        datediff(to_date(lit(Params.AsOfDate)), col("last_purchase_date")))
+  private[marts] def perUser(silver: DataFrame): DataFrame = silver
+    .filter(col("event_type") === "purchase")
+    .groupBy(col("user_id"))
+    .agg(
+      max(col("event_date")).as("last_purchase_date"),
+      count(lit(1)).as("frequency"),
+      round(sum(coalesce(col("price"), lit(0)).cast(DecimalType(18, 2))), 2).as("monetary_dec"))
+    .withColumn("recency_days",
+      datediff(to_date(lit(Params.AsOfDate)), col("last_purchase_date")))
 
-    val wr = Window.orderBy(col("recency_days").desc, col("user_id").asc)
-    val wf = Window.orderBy(col("frequency").asc, col("user_id").asc)
-    val wm = Window.orderBy(col("monetary_dec").asc, col("user_id").asc)
-
-    perUser
-      .withColumn("r_score", ntile(5).over(wr))
-      .withColumn("f_score", ntile(5).over(wf))
-      .withColumn("m_score", ntile(5).over(wm))
+  /** Segment CASE chain + CLV + serving projection, shared by both
+    * scoring paths (expects r_score/f_score/m_score present). */
+  private def deriveSegments(scored: DataFrame): DataFrame =
+    scored
       .withColumn("monetary", col("monetary_dec").cast(DoubleType))
       .withColumn("clv_estimate",
         round(col("monetary_dec") * lit(1.5).cast(DecimalType(2, 1)), 2).cast(DoubleType))
@@ -57,6 +55,42 @@ object RfmSegments {
       .select("user_id", "last_purchase_date", "recency_days", "frequency",
         "monetary", "r_score", "f_score", "m_score", "rfm_segment", "clv_estimate")
       .orderBy(col("user_id"))
+
+  def build(silver: DataFrame): DataFrame = {
+    val base = perUser(silver)
+    val r = GlobalRank.withNtile(base,
+      Seq(col("recency_days").desc, col("user_id").asc), 5, "r_score")
+    val f = GlobalRank.withNtile(r,
+      Seq(col("frequency").asc, col("user_id").asc), 5, "f_score")
+    val m = GlobalRank.withNtile(f,
+      Seq(col("monetary_dec").asc, col("user_id").asc), 5, "m_score")
+    deriveSegments(m)
+  }
+
+  /** One-pass approximate scoring: quantile cutoffs (Greenwald–Khanna
+    * sketch, `relErr` rank error; 0 = exact) + a comparison chain.
+    * Trades the exact path's three range shuffles for a single stats
+    * pass — the shape to prefer when the per-user frame itself is
+    * huge. Scores can differ from [[build]] only for users whose
+    * metric ties a quintile boundary (ntile splits ties by user_id;
+    * cutoff scoring keeps tied values together). */
+  def buildAtScale(silver: DataFrame, relErr: Double = 0.0): DataFrame = {
+    val base = perUser(silver)
+      .withColumn("monetary_dbl", col("monetary_dec").cast(DoubleType))
+    val probs = Array(0.2, 0.4, 0.6, 0.8)
+    // one job computes all three sketches (columns share the pass)
+    val cuts = base.stat.approxQuantile(
+      Array("recency_days", "frequency", "monetary_dbl"), probs, relErr)
+    def above(c: Column, qs: Array[Double]): Column =
+      qs.map(q => when(c > q, 1).otherwise(0)).reduce(_ + _) + 1
+    def below(c: Column, qs: Array[Double]): Column =
+      qs.map(q => when(c < q, 1).otherwise(0)).reduce(_ + _) + 1
+    val scored = base
+      // recency scores DESCENDING (recent = high score): below-cutoff counts
+      .withColumn("r_score", below(col("recency_days"), cuts(0)).cast("int"))
+      .withColumn("f_score", above(col("frequency"), cuts(1)).cast("int"))
+      .withColumn("m_score", above(col("monetary_dbl"), cuts(2)).cast("int"))
+    deriveSegments(scored)
   }
 
   val oracleSql: String = SilverEvents.oracleCte +
