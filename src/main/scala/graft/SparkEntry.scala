@@ -82,6 +82,7 @@ object SparkEntry {
     "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),
     "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
     "quality_silver_report" -> (graft.quality.DataChecks.silverReportQuery _),
+    "quality_gold_report" -> (graft.quality.DataChecks.goldReportQuery _),
     "pipeline_serving_sink" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_serving_").toString
       Pipeline.runAll(s, dir, out)
@@ -138,5 +139,6 @@ object SparkEntry {
     "mm_video_frames" -> graft.multimodal.Multimodal.framesSql,
     "stream_hourly_agg" -> graft.streaming.StreamingEvents.hourlyAggSql,
     "quality_silver_report" -> graft.quality.DataChecks.silverReportSql,
+    "quality_gold_report" -> graft.quality.DataChecks.goldReportSql,
   )
 }

@@ -9,57 +9,53 @@ import org.apache.spark.sql.functions._
   * force every row through ONE partition — the scale-killer the
   * reference's RFM model inherits from its SQL form
   * (gold_user_rfm_segments.sql:43-45). This operator computes the same
-  * exact ranks distributed:
+  * exact ranks distributed (the classic sort + zipWithIndex offset
+  * pattern, kept in DataFrame land):
   *
-  *  1. range-repartition on the order keys (Spark's distributed sort
-  *     machinery — the same exchange `ORDER BY` itself plans);
-  *  2. per-partition local row number via `monotonically_increasing_id`
-  *     on the partition-sorted data (narrow — no window, no shuffle);
-  *  3. global rank = local + offset, where the offsets come from the
-  *     one-row-per-partition count frame (≤ numPartitions rows,
-  *     prefix-summed with a tiny triangular self-join and broadcast
-  *     back — deliberately window-free so nothing in the plan ever
-  *     warns "moving all data to a single partition").
+  *  1. range-repartition on the order keys with an EXPLICIT partition
+  *     count (a pinned count keeps AQE from re-coalescing the exchange
+  *     differently between the two jobs below);
+  *  2. local row number = the low 33 bits of
+  *     `monotonically_increasing_id` on the partition-sorted data
+  *     (narrow — no window, no extra shuffle);
+  *  3. one lightweight job collects the ≤ numPartitions per-partition
+  *     counts; their prefix sums are injected back as a literal
+  *     pid→offset map (codegen'd lookup, no join).
   *
-  * The rank is invariant to where the range boundaries land (the order
-  * must be TOTAL — include a tie-breaker), so results are partitioning-
-  * stable. Both branches read the same range exchange; Catalyst's
-  * ReuseExchange dedups the shuffle.
+  * The driver-side collect is numPartitions longs — the same scale of
+  * driver state Spark's own RangePartitioner samples; the data plane
+  * itself never converges. Ranks are invariant to where the range
+  * boundaries land (the order must be TOTAL — include a tie-breaker),
+  * so results are partitioning-stable.
   */
 object GlobalRank {
 
   private val Pid = "__graft_pid"
   private val Local = "__graft_local"
-  private val Off = "__graft_off"
-  private val Total = "__graft_total"
 
   /** Adds `rankCol` = exact global row_number under `order` (must be a
-    * total order) and `totalCol` = the frame's row count. */
+    * total order) and `totalCol` = the frame's row count. Runs one
+    * small counting job eagerly (documented above). */
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
                           rankCol: String, totalCol: String): DataFrame = {
-    val ranged = df.repartitionByRange(order: _*)
-    val counts = ranged
-      .select(spark_partition_id().as(Pid))
-      .groupBy(col(Pid)).agg(count(lit(1)).as("__graft_cnt"))
-    // prefix sum over ≤ numPartitions rows: triangular self-join keeps
-    // the plan window-free (a partitionless window here would be
-    // harmless but would still trip Spark's single-partition warning).
-    val offsets = counts.as("c")
-      .join(counts.as("p"), col(s"p.$Pid") < col(s"c.$Pid"), "left")
-      .groupBy(col(s"c.$Pid").as(Pid))
-      .agg(coalesce(sum(col("p.__graft_cnt")), lit(0L)).as(Off))
-      .crossJoin(broadcast(counts.agg(sum(col("__graft_cnt")).as(Total))))
-    // monotonically_increasing_id = (pid << 33) | in-partition index,
-    // so masking the low 33 bits of the id on partition-sorted rows
-    // yields the local row number — no per-partition window needed.
-    ranged.sortWithinPartitions(order: _*)
+    val numParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df.repartitionByRange(numParts, order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn(Pid, spark_partition_id())
       .withColumn(Local,
         (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))) + 1)
-      .join(broadcast(offsets), Seq(Pid))
-      .withColumn(rankCol, col(Off) + col(Local))
-      .withColumn(totalCol, col(Total))
-      .drop(Pid, Local, Off, Total)
+    val counts = sorted.groupBy(col(Pid)).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets: Map[Int, Long] =
+      counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(offsets), col(Pid)), lit(0L))
+    sorted
+      .withColumn(rankCol, offCol + col(Local))
+      .withColumn(totalCol, lit(total))
+      .drop(Pid, Local)
   }
 
   /** SQL NTILE(k) bucket for global rank `rn` of `n` rows: the first

@@ -72,6 +72,37 @@ object DataChecks {
     report(silverSuite(graft.marts.SilverEvents.build(graft.sources.Tables.events(s, dir))))
       .orderBy(col("check_name"))
 
+  private def prefixed(mart: String, c: Check): Check =
+    c.copy(name = s"$mart.${c.name}")
+
+  /** The reference's GOLD-layer test suite (dbt gold/schema.yml: unique
+    * + not_null mart keys, accepted_values on segment/stage domains,
+    * non-negative revenue) over our gold marts. */
+  def goldSuite(silver: DataFrame): Seq[Check] = {
+    import graft.marts._
+    val daily = DailySales.build(silver)
+    val item = ItemPerformance.build(silver)
+    val journey = UserJourneyFunnel.build(silver)
+    val rfm = RfmSegments.build(silver)
+    Seq(
+      prefixed("daily_sales", unique(daily, Seq("event_date"))),
+      prefixed("daily_sales", notNull(daily, "event_date")),
+      prefixed("daily_sales", acceptedRange(daily, "total_revenue", min = Some(0.0), max = None)),
+      prefixed("item_performance", unique(item, Seq("item_key"))),
+      prefixed("item_performance", notNull(item, "item_key")),
+      prefixed("user_journey_funnel", unique(journey, Seq("user_id"))),
+      prefixed("user_journey_funnel", acceptedValues(journey, "current_funnel_stage",
+        Seq("PURCHASED", "CLICKED", "VIEWED", "SIGNED_UP", "OTHER"))),
+      prefixed("user_rfm_segments", unique(rfm, Seq("user_id"))),
+      prefixed("user_rfm_segments", acceptedValues(rfm, "rfm_segment",
+        Seq("CHAMPION", "LOYAL", "NEW_CUSTOMER", "AT_RISK", "HIBERNATING", "REGULAR"))),
+      prefixed("user_rfm_segments", acceptedRange(rfm, "r_score", min = Some(1.0), max = Some(5.0))))
+  }
+
+  def goldReportQuery(s: SparkSession, dir: String): DataFrame =
+    report(goldSuite(graft.marts.SilverEvents.build(graft.sources.Tables.events(s, dir))))
+      .orderBy(col("check_name"))
+
   /** DuckDB oracle: each check as its violations-count SQL over the
     * shared silver CTE (the compiled-dbt-test form). */
   val silverReportSql: String = graft.marts.SilverEvents.oracleCte + """
@@ -96,4 +127,60 @@ object DataChecks {
     |    (SELECT count(*) FROM silver WHERE price IS NOT NULL AND price < 0)
     |)
     |ORDER BY check_name""".stripMargin
+
+  /** DuckDB oracle for the gold suite. Key/domain checks reconstruct
+    * only the mart columns they inspect; the three RFM checks embed the
+    * full RFM oracle as a derived table (its inner `silver` CTE shadows
+    * this query's). */
+  val goldReportSql: String = {
+    val rfm = "(" + graft.marts.RfmSegments.oracleSql + ")"
+    graft.marts.SilverEvents.oracleCte + s"""
+    |, daily AS (
+    |  SELECT event_date,
+    |    CAST(round(sum(CASE WHEN event_type = 'purchase'
+    |                        THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
+    |                        ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS total_revenue
+    |  FROM silver GROUP BY event_date
+    |), item AS (
+    |  SELECT item_key FROM silver GROUP BY item_key
+    |), journey AS (
+    |  SELECT user_id,
+    |    CASE WHEN max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 THEN 'PURCHASED'
+    |         WHEN max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1 THEN 'CLICKED'
+    |         WHEN max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) = 1 THEN 'VIEWED'
+    |         WHEN max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) = 1 THEN 'SIGNED_UP'
+    |         ELSE 'OTHER' END AS current_funnel_stage
+    |  FROM silver GROUP BY user_id
+    |)
+    |SELECT check_name, violation_count, violation_count = 0 AS passed FROM (
+    |  SELECT 'daily_sales.unique(event_date)' AS check_name,
+    |    (SELECT count(*) FROM (SELECT event_date FROM daily
+    |      GROUP BY event_date HAVING count(*) > 1)) AS violation_count
+    |  UNION ALL SELECT 'daily_sales.not_null(event_date)',
+    |    (SELECT count(*) FROM daily WHERE event_date IS NULL)
+    |  UNION ALL SELECT 'daily_sales.accepted_range(total_revenue)',
+    |    (SELECT count(*) FROM daily WHERE total_revenue IS NOT NULL AND total_revenue < 0)
+    |  UNION ALL SELECT 'item_performance.unique(item_key)',
+    |    (SELECT count(*) FROM (SELECT item_key FROM item
+    |      GROUP BY item_key HAVING count(*) > 1))
+    |  UNION ALL SELECT 'item_performance.not_null(item_key)',
+    |    (SELECT count(*) FROM item WHERE item_key IS NULL)
+    |  UNION ALL SELECT 'user_journey_funnel.unique(user_id)',
+    |    (SELECT count(*) FROM (SELECT user_id FROM journey
+    |      GROUP BY user_id HAVING count(*) > 1))
+    |  UNION ALL SELECT 'user_journey_funnel.accepted_values(current_funnel_stage)',
+    |    (SELECT count(*) FROM journey WHERE current_funnel_stage IS NOT NULL
+    |      AND current_funnel_stage NOT IN ('PURCHASED','CLICKED','VIEWED','SIGNED_UP','OTHER'))
+    |  UNION ALL SELECT 'user_rfm_segments.unique(user_id)',
+    |    (SELECT count(*) FROM (SELECT user_id FROM $rfm
+    |      GROUP BY user_id HAVING count(*) > 1))
+    |  UNION ALL SELECT 'user_rfm_segments.accepted_values(rfm_segment)',
+    |    (SELECT count(*) FROM $rfm WHERE rfm_segment IS NOT NULL
+    |      AND rfm_segment NOT IN ('CHAMPION','LOYAL','NEW_CUSTOMER','AT_RISK','HIBERNATING','REGULAR'))
+    |  UNION ALL SELECT 'user_rfm_segments.accepted_range(r_score)',
+    |    (SELECT count(*) FROM $rfm WHERE r_score IS NOT NULL
+    |      AND (r_score < 1 OR r_score > 5))
+    |)
+    |ORDER BY check_name""".stripMargin
+  }
 }
