@@ -132,8 +132,11 @@ object SparkEntry {
     "text_topk_tokens_sketch" -> graft.text.QualityFilters.topTokensSketchSql,
     "dedup_exact" -> graft.dedup.NearDup.exactGroupsSql,
     "dedup_ngram_jaccard" -> graft.dedup.NearDup.jaccardPairsSql,
-    // dedup_minhash_lsh / dedup_simhash / sim_embed_*: xxhash64-based
-    // signatures & float fold order are not DuckDB-portable → rows-only.
+    "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
+    // dedup_minhash_lsh / dedup_simhash / sim_embed_topk_lsh /
+    // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are
+    // not DuckDB-portable → rows-only (recall is measured in
+    // DedupSimSpec against the oracle-checked brute-force baseline).
     "mm_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
     "mm_media_features" -> graft.multimodal.Multimodal.featuresSql,
     "mm_video_frames" -> graft.multimodal.Multimodal.framesSql,

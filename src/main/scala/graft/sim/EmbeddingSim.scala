@@ -3,7 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftext.CosineSimilarity.cosineSim
-import graft.ops.TopK
+import graft.ops.{ConditionalAgg, TopK}
 import graft.sources.Tables
 
 /** Similarity search over embedding columns (north-star scope, SURVEY
@@ -60,7 +60,8 @@ object EmbeddingSim {
     val corpus = embeddings
     val p = probes(embeddings, nProbes)
     val scored = corpus.join(broadcast(p), col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine", round(cosineSim(col("embedding"), col("probe_emb")), 6))
+      .withColumn("cosine",
+        ConditionalAgg.roundPortable(cosineSim(col("embedding"), col("probe_emb")), 6))
     TopK.perGroup(
         scored.select(col("probe_id"), col("vec_id"), col("label"), col("cosine")),
         groupKeys = Seq("probe_id"),
@@ -70,6 +71,42 @@ object EmbeddingSim {
 
   def bruteForceTopKQuery(s: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.embeddings(s, dir))
+
+  /** DuckDB oracle for the exact brute-force top-k: replicates the
+    * native [[cosineSim]] fold bit-for-bit — float elements widened to
+    * double, sequential sums in array order, zero-norm guard on the
+    * SQUARED sums, `dot/(sqrt(nx)*sqrt(ny))` — then the same portable
+    * DECIMAL(28,10) rounding and (cosine DESC, vec_id) ranking. */
+  val bruteForceTopKSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id < 10
+      |), scored AS (
+      |  SELECT p.probe_id, e.vec_id, e.label,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(e.emb) + 1),
+      |      i -> e.emb[i] * p.probe_emb[i])), (a, b) -> a + b) AS dot,
+      |    list_reduce(list_prepend(0.0, list_transform(e.emb, x -> x * x)),
+      |      (a, b) -> a + b) AS nx,
+      |    list_reduce(list_prepend(0.0, list_transform(p.probe_emb, x -> x * x)),
+      |      (a, b) -> a + b) AS ny
+      |  FROM e CROSS JOIN p
+      |  WHERE e.vec_id <> p.probe_id
+      |), rounded AS (
+      |  SELECT probe_id, vec_id, label,
+      |    ${ConditionalAgg.roundPortableSql(
+             "CASE WHEN nx = 0 OR ny = 0 THEN 0.0 ELSE dot / (sqrt(nx) * sqrt(ny)) END", 6)} AS cosine
+      |  FROM scored
+      |), ranked AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+      |  FROM rounded
+      |)
+      |SELECT probe_id, vec_id, label, cosine, rank FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY probe_id, rank""".stripMargin
 
   /** 4-bit sign chunks over 16 hyperplanes → (band_id, band_val) keys
     * per vector. */
@@ -101,7 +138,8 @@ object EmbeddingSim {
       .filter(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id", "label", "embedding", "probe_emb")
       .dropDuplicates("probe_id", "vec_id")
-      .withColumn("cosine", round(cosineSim(col("embedding"), col("probe_emb")), 6))
+      .withColumn("cosine",
+        ConditionalAgg.roundPortable(cosineSim(col("embedding"), col("probe_emb")), 6))
     TopK.perGroup(
         cand.select(col("probe_id"), col("vec_id"), col("label"), col("cosine")),
         groupKeys = Seq("probe_id"),
@@ -125,7 +163,8 @@ object EmbeddingSim {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         col("x.embedding").as("emb_a"), col("y.embedding").as("emb_b"))
       .dropDuplicates("vec_a", "vec_b")
-      .withColumn("cosine", round(cosineSim(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cosine",
+        ConditionalAgg.roundPortable(cosineSim(col("emb_a"), col("emb_b")), 6))
     TopK.global(cand.select("vec_a", "vec_b", "cosine"),
       order = Seq(col("cosine").desc, col("vec_a").asc, col("vec_b").asc), k = topPairs)
   }
