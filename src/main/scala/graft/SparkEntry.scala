@@ -63,6 +63,9 @@ object SparkEntry {
     "q_urgent_customers" -> (TpchMoreQueries.urgentCustomers _),
     "q_customer_distribution" -> (TpchMoreQueries.customerDistribution _),
     "q_trailing_revenue" -> (TpchMoreQueries.trailingRevenue _),
+    "q_min_cost_supplier" -> (TpchHeavyQueries.minCostSupplier _),
+    "q_sole_late_supplier" -> (TpchHeavyQueries.soleLateSupplier _),
+    "q_large_quantity_orders" -> (TpchHeavyQueries.largeQuantityOrders _),
     "text_doc_stats" -> (graft.text.TextAnalysis.docStatsQuery _),
     "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
@@ -83,6 +86,7 @@ object SparkEntry {
     "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
     "quality_silver_report" -> (graft.quality.DataChecks.silverReportQuery _),
     "quality_gold_report" -> (graft.quality.DataChecks.goldReportQuery _),
+    "meta_snapshots" -> (graft.sources.Snapshots.snapshotsQuery _),
     "pipeline_serving_sink" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_serving_").toString
       Pipeline.runAll(s, dir, out)
@@ -123,6 +127,9 @@ object SparkEntry {
     "q_urgent_customers" -> TpchMoreQueries.urgentCustomersSql,
     "q_customer_distribution" -> TpchMoreQueries.customerDistributionSql,
     "q_trailing_revenue" -> TpchMoreQueries.trailingRevenueSql,
+    "q_min_cost_supplier" -> TpchHeavyQueries.minCostSupplierSql,
+    "q_sole_late_supplier" -> TpchHeavyQueries.soleLateSupplierSql,
+    "q_large_quantity_orders" -> TpchHeavyQueries.largeQuantityOrdersSql,
     "text_doc_stats" -> graft.text.TextAnalysis.docStatsSql,
     "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,
@@ -143,5 +150,6 @@ object SparkEntry {
     "stream_hourly_agg" -> graft.streaming.StreamingEvents.hourlyAggSql,
     "quality_silver_report" -> graft.quality.DataChecks.silverReportSql,
     "quality_gold_report" -> graft.quality.DataChecks.goldReportSql,
+    "meta_snapshots" -> graft.sources.Snapshots.snapshotsSql,
   )
 }

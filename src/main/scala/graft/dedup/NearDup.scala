@@ -160,9 +160,17 @@ object NearDup {
     * agreeing on any band collide. Pipeline: one explode-to-bands
     * shuffle (linear in corpus), per-bucket pair generation, then the
     * exact Jaccard of each candidate pair via array_intersect over
-    * the two docs' (sorted, deterministic) shingle sets. */
+    * the two docs' (sorted, deterministic) shingle sets.
+    *
+    * Hot-bucket hardening: a corpus slice of near-identical docs makes
+    * ONE band bucket quadratic (the residual risk at 100 TB). Buckets
+    * larger than `bucketCap` members are salt-split into
+    * ceil(n/bucketCap) sub-buckets by doc_id hash, bounding per-bucket
+    * pair generation at ~bucketCap²; pairs split across salts are the
+    * (deliberate, bounded) recall cost — near-identical groups remain
+    * connected transitively inside each sub-bucket. */
   def minhashPairs(documents: DataFrame, k: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.8): DataFrame = {
+                   threshold: Double = 0.8, bucketCap: Int = 1000): DataFrame = {
     // shingles appears twice in the plan (signatures + verification
     // sets); it's a narrow map off the scan, so recomputation is
     // cheaper than materializing it and keeps the query fully lazy.
@@ -182,9 +190,21 @@ object NearDup {
       val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
         .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
 
-      val cand = banded.as("x").join(banded.as("y"),
+      // size each band bucket and salt-split the oversized ones; the
+      // sizes join shuffles on the same keys as the pair join below,
+      // so the exchanges co-locate
+      val sizes = banded.groupBy(col("band_id"), col("band_hash"))
+        .agg(count(lit(1)).as("bucket_n"))
+      val salted = banded.join(sizes, Seq("band_id", "band_hash"))
+        .withColumn("n_salts",
+          ceil(col("bucket_n").cast("double") / bucketCap).cast("int"))
+        .withColumn("salt", pmod(xxhash64(col("doc_id")), col("n_salts")).cast("int"))
+        .select(col("doc_id"), col("band_id"), col("band_hash"), col("salt"))
+
+      val cand = salted.as("x").join(salted.as("y"),
           col("x.band_id") === col("y.band_id") &&
           col("x.band_hash") === col("y.band_hash") &&
+          col("x.salt") === col("y.salt") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()

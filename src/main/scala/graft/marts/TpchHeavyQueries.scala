@@ -1,0 +1,151 @@
+package graft.marts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.ConditionalAgg.{roundPortable, roundPortableSql}
+import graft.sources.Tables
+
+/** TPC-H-shaped heavy query forms the round-1 library lacked
+  * (engine-completeness coverage, no reference analog):
+  *
+  *  - Q2 shape: correlated MIN subquery (min-cost supplier per part)
+  *  - Q21 shape: EXISTS + NOT-EXISTS anti-join chain (sole late
+  *    supplier in multi-supplier orders)
+  *  - Q18 shape: IN over a grouped-HAVING subquery (large-quantity
+  *    orders)
+  *
+  * Adapted to the driver testdata (TESTDATA.md): no partsupp table —
+  * the part↔supplier cost relation is derived from lineitem unit
+  * prices; no receipt/commit dates — "late" is a >90-day ship lag
+  * from the order date.
+  */
+object TpchHeavyQueries {
+
+  // ------------------------------------------------ Q2 shape
+  /** Min-cost supplier per part (p_size = 15 slice): the correlated
+    * `cost = (SELECT min(cost) … WHERE partkey = outer.partkey)`
+    * decorrelated the Spark way — a per-part window MIN co-partitioned
+    * with the cost relation (one shuffle on l_partkey), dimensions
+    * broadcast. */
+  def minCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val costs = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val wPart = Window.partitionBy(col("l_partkey"))
+    val minCost = costs
+      .withColumn("min_cost", min(col("unit_cost")).over(wPart))
+      .filter(col("unit_cost") === col("min_cost"))
+    minCost
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size") === 15)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("n_name").as("supplier_nation"),
+        roundPortable(col("unit_cost"), 4).as("best_unit_cost"))
+      .orderBy(col("best_unit_cost").asc, col("p_partkey").asc, col("s_name").asc)
+      .limit(100)
+  }
+
+  val minCostSupplierSql: String =
+    s"""WITH costs AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      |  FROM lineitem WHERE l_quantity > 0
+      |  GROUP BY l_partkey, l_suppkey
+      |)
+      |SELECT p_partkey, p_name, s_name, n_name AS supplier_nation,
+      |  ${roundPortableSql("c.unit_cost", 4)} AS best_unit_cost
+      |FROM costs c
+      |JOIN part ON c.l_partkey = p_partkey AND p_size = 15
+      |JOIN supplier ON c.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE c.unit_cost = (SELECT min(c2.unit_cost) FROM costs c2
+      |                     WHERE c2.l_partkey = c.l_partkey)
+      |ORDER BY best_unit_cost ASC, p_partkey ASC, s_name ASC
+      |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------ Q21 shape
+  /** Suppliers that were the SOLE late shipper of a multi-supplier
+    * order (late = shipped >90 days after the order date). The
+    * EXISTS branch is a left-semi join, the NOT-EXISTS an anti join —
+    * both on l_orderkey with the ≠-supplier predicate attached, so
+    * each is one co-partitioned shuffle; supplier is broadcast. */
+  def soleLateSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = li
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val l1 = late.as("l1")
+    // EXISTS: some other supplier shipped a line of the same order
+    val withOther = l1.join(li.select("l_orderkey", "l_suppkey").as("l2"),
+      col("l1.l_orderkey") === col("l2.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l2.l_suppkey"), "left_semi")
+    // NOT EXISTS: no other supplier was ALSO late on that order
+    val sole = withOther.join(late.as("l3"),
+      col("l1.l_orderkey") === col("l3.l_orderkey") &&
+        col("l1.l_suppkey") =!= col("l3.l_suppkey"), "left_anti")
+    sole
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  val soleLateSupplierSql: String =
+    """WITH late AS (
+      |  SELECT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |)
+      |SELECT s_name, count(*) AS numwait
+      |FROM late l1
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC
+      |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------ Q18 shape
+  /** Large-quantity orders: customers whose orders exceed 250 total
+    * units — `o_orderkey IN (grouped HAVING)` planned as a left-semi
+    * against the re-aggregated lineitem (quantities are integral
+    * doubles, so the sums are exact and portable). */
+  def largeQuantityOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val largeQuantityOrdersSql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  o_totalprice, total_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING sum(l_quantity) > 250) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+}

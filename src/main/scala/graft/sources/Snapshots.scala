@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned-table emulation of the reference's Iceberg snapshot /
+  * time-travel surface (SURVEY §2.1 S3/K5; reference
+  * spark/jobs/schema_check.py:33 `SELECT * FROM t.snapshots`,
+  * schema_verify.py:42-47 read-as-of) — without Iceberg jars (absent
+  * in this offline env).
+  *
+  * Layout, Iceberg-shaped but parquet-native:
+  * {{{
+  *   <table>/v=N/part-*.parquet     // snapshot N's full data
+  *   <table>/_meta/N.json           // manifest: version, row_count, columns
+  * }}}
+  * Every write is a new immutable version (Iceberg's CTAS/overwrite
+  * snapshot semantics — the reference never merges); manifests are
+  * tiny driver-side metadata, exactly like Iceberg's metadata JSON.
+  * Schema may evolve between versions; `readAsOf(n)` sees version n's
+  * schema, `snapshots()` lists the history.
+  *
+  * Scale: data files are written by the normal distributed writer (any
+  * partitioning the caller applied is preserved); only the manifest is
+  * driver-side. Readers open exactly one version directory — no
+  * multi-version listing cost on the read path.
+  */
+object Snapshots {
+
+  private def metaDir(table: String) = Paths.get(table, "_meta")
+
+  /** Versions present, ascending (from manifests). */
+  def versions(table: String): Seq[Long] = {
+    val dir = metaDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.endsWith(".json") => s.stripSuffix(".json").toLong }
+      .toSeq.sorted
+  }
+
+  /** Write `df` as the next version of `table`; returns the new
+    * version number (1-based). */
+  def writeSnapshot(df: DataFrame, table: String, operation: String = "overwrite"): Long = {
+    val v = versions(table).lastOption.getOrElse(0L) + 1
+    df.write.mode("errorifexists").option("compression", "snappy")
+      .parquet(s"$table/v=$v")
+    val rows = df.sparkSession.read.parquet(s"$table/v=$v").count()
+    val cols = df.schema.fieldNames
+      .map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    val manifest =
+      s"""{"version":$v,"operation":"$operation","row_count":$rows,"columns":$cols}"""
+    Files.createDirectories(metaDir(table))
+    Files.write(metaDir(table).resolve(s"$v.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  /** Time travel: the table exactly as of version `v`. */
+  def readAsOf(spark: SparkSession, table: String, v: Long): DataFrame = {
+    require(versions(table).contains(v), s"no snapshot $v of $table")
+    spark.read.parquet(s"$table/v=$v")
+  }
+
+  /** The current (highest-version) table state. */
+  def readLatest(spark: SparkSession, table: String): DataFrame = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no snapshots of $table")
+    readAsOf(spark, table, vs.last)
+  }
+
+  /** The `.snapshots` metadata frame: one row per version. */
+  def snapshots(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    versions(table).map { v =>
+      val text = new String(
+        Files.readAllBytes(metaDir(table).resolve(s"$v.json")), StandardCharsets.UTF_8)
+      val op = "\"operation\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+      val rows = "\"row_count\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
+      val nCols = "\"columns\":\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+        .map(m => if (m.group(1).isEmpty) 0 else m.group(1).split(",").length).getOrElse(0)
+      (v, op, rows, nCols)
+    }.toDF("version", "operation", "row_count", "num_columns")
+      .orderBy(col("version"))
+  }
+
+  /** Driver query: a deterministic 3-version history of the daily-sales
+    * mart (progressively wider date range; v2 adds a column) written to
+    * a temp table, then listed via [[snapshots]] — every listed value
+    * is recomputable from silver, so the metadata surface itself is
+    * oracle-checkable. */
+  def snapshotsQuery(s: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_snap_").toString + "/daily_sales"
+    val daily = graft.marts.DailySales.build(
+      graft.marts.SilverEvents.build(Tables.events(s, dir)))
+    writeSnapshot(daily.filter(col("event_date") <= lit("2024-01-10")), table)
+    writeSnapshot(daily.filter(col("event_date") <= lit("2024-01-20"))
+      .withColumn("is_backfill", lit(true)), table)
+    writeSnapshot(daily, table)
+    snapshots(s, table)
+  }
+
+  /** DuckDB oracle: the version history replayed as counts over the
+    * same mart definition. */
+  val snapshotsSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS operation,
+    |    (SELECT count(*) FROM daily WHERE event_date <= DATE '2024-01-10') AS row_count,
+    |    13 AS num_columns
+    |  UNION ALL SELECT 2, 'overwrite',
+    |    (SELECT count(*) FROM daily WHERE event_date <= DATE '2024-01-20'), 14
+    |  UNION ALL SELECT 3, 'overwrite', (SELECT count(*) FROM daily), 13
+    |)
+    |ORDER BY version""".stripMargin
+}

@@ -37,6 +37,24 @@ class DedupSimSpec extends AnyFunSuite {
       s"recall $recovered/$nExact")
   }
 
+  test("hot-bucket cap bounds pair generation on a degenerate corpus") {
+    import spark.implicits._
+    // 200 near-identical docs: every band bucket collapses to one hash
+    val degenerate = (1 to 200)
+      .map(i => (i.toLong, s"the quick brown fox jumps over the lazy dog $i"))
+      .toDF("doc_id", "text")
+    // tiny cap: pair generation must stay ~sum of per-salt C(cap', 2),
+    // far below the uncapped C(200,2)=19900 per band
+    val capped = NearDup.minhashPairs(degenerate, threshold = 0.0, bucketCap = 10)
+    val nPairs = capped.count()
+    assert(nPairs > 0, "salt split must keep intra-bucket pairs")
+    assert(nPairs < 4000, s"cap failed to bound pair explosion: $nPairs")
+    // and with the default cap the query is unaffected on real data
+    val dflt = NearDup.minhashPairs(docs).select("doc_a", "doc_b")
+    val exact = NearDup.jaccardPairs(docs).select("doc_a", "doc_b")
+    assert(dflt.join(exact, Seq("doc_a", "doc_b"), "left_anti").count() === 0)
+  }
+
   test("simhash pairs respect the hamming bound") {
     val p = NearDup.simhashPairs(docs)
     assert(p.filter(col("hamming") > 3 || col("hamming") < 0).count() === 0)

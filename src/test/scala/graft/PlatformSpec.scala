@@ -113,6 +113,30 @@ class PlatformSpec extends AnyFunSuite {
     assert(target.count() + appended.count() === ev.count())
   }
 
+  test("snapshots: versioned round-trip, schema evolution, time travel") {
+    import graft.sources.Snapshots
+    val table = Files.createTempDirectory("graft_snaptest_").toString + "/t"
+    val ev = Tables.events(spark, sf).limit(100).cache()
+    val v1 = Snapshots.writeSnapshot(ev.select("event_id", "user_id"), table)
+    val v2 = Snapshots.writeSnapshot(
+      ev.select("event_id", "user_id").withColumn("src", lit("backfill")), table)
+    assert((v1, v2) === (1L, 2L))
+    // time travel: each version keeps its own schema and content
+    assert(Snapshots.readAsOf(spark, table, 1).columns.toSeq === Seq("event_id", "user_id"))
+    assert(Snapshots.readAsOf(spark, table, 2).columns.length === 3)
+    assert(Snapshots.readLatest(spark, table).count() === 100)
+    assert(Snapshots.readAsOf(spark, table, 1)
+      .except(ev.select("event_id", "user_id")).count() === 0)
+    val snaps = Snapshots.snapshots(spark, table).collect()
+    assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(snaps.forall(_.getLong(2) === 100L))
+    assert(snaps.map(_.getInt(3)).toSeq === Seq(2, 3))
+    // immutability: a version directory is never rewritten
+    intercept[Exception] {
+      ev.write.mode("errorifexists").parquet(s"$table/v=1")
+    }
+  }
+
   test("incremental: empty target means full load (dbt first-run semantics)") {
     val ev = Tables.events(spark, sf)
     val empty = ev.filter(lit(false))
