@@ -52,4 +52,31 @@ object ServingSink {
   def writeDateMart(df: DataFrame, path: String, dateCol: String): Unit =
     writeSorted(df.withColumn("part_month", monthOf(col(dateCol))),
       path, Seq("part_month"), Seq(col(dateCol)))
+
+  /** K4: the JDBC serving sink proper (the reference loads gold marts
+    * into ClickHouse over JDBC, sync_gold_to_clickhouse.py:89-98
+    * analog). Thin passthrough over Spark's jdbc source — each input
+    * partition opens one connection and batch-inserts, so parallelism
+    * (and the load on the target DB) is `df.rdd.getNumPartitions`;
+    * repartition first to tune. Extra options (`batchsize`,
+    * `isolationLevel`, `createTableOptions`, `numPartitions`…) pass
+    * through verbatim. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                options: Map[String, String] = Map.empty,
+                mode: String = "overwrite"): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+      .mode(mode)
+      .save()
+
+  /** Matching read side (round-trip verification / serving reads). */
+  def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
+               table: String, options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+      .load()
 }

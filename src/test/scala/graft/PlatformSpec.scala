@@ -113,6 +113,20 @@ class PlatformSpec extends AnyFunSuite {
     assert(target.count() + appended.count() === ev.count())
   }
 
+  test("jdbc sink: round-trip through embedded Derby") {
+    // Derby ships on the Spark classpath and Spark has a DerbyDialect —
+    // a real JDBC round-trip, standing in for the ClickHouse target.
+    val url = "jdbc:derby:memory:graft_jdbc;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val daily = SparkEntry.queries("gold_daily_sales")(spark, sf)
+      .select("event_date", "total_events", "purchase_count", "total_revenue")
+    ServingSink.writeJdbc(daily, url, "daily_sales", opts)
+    val back = ServingSink.readJdbc(spark, url, "daily_sales", opts)
+    assert(back.count() === daily.count())
+    assert(back.select("event_date", "total_events", "purchase_count", "total_revenue")
+      .except(daily).count() === 0)
+  }
+
   test("snapshots: versioned round-trip, schema evolution, time travel") {
     import graft.sources.Snapshots
     val table = Files.createTempDirectory("graft_snaptest_").toString + "/t"
