@@ -26,11 +26,13 @@ object Bench {
     files.lastOption.map { f =>
       val text = scala.io.Source.fromFile(f)
       val s = try text.mkString finally text.close()
-      val qStart = s.indexOf("\"queries\":{")
+      // the driver may wrap the bench line inside a JSON "tail" string
+      // (quotes escaped) — tolerate both raw and escaped forms
+      val qStart = s.indexOf("queries")
       if (qStart < 0) (f.getName, Map.empty[String, Double])
       else {
-        val body = s.substring(qStart + 11, s.indexOf('}', qStart))
-        val pairs = "\"([A-Za-z0-9_]+)\":([0-9.eE+-]+)".r.findAllMatchIn(body)
+        val body = s.substring(qStart, s.indexOf('}', qStart) max qStart)
+        val pairs = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":([-0-9.eE+]+)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         (f.getName, pairs)
       }
