@@ -45,14 +45,56 @@ object CsvEventSource {
       .withColumn("_source_file", input_file_name())
       .withColumn("_processing_date", to_date(lit(ingestionTime)))
 
+  /** True when a column inference produced can safely serve a declared
+    * type: exact match, numeric widening toward the declaration, or a
+    * string-typed declaration (accepts anything). A declared timestamp
+    * also accepts an inferred string — custom timestamp formats read
+    * as strings under inference but parse under the declared schema. */
+  private[sources] def compatible(inferred: DataType, declared: DataType): Boolean =
+    (inferred, declared) match {
+      case (i, d) if i == d => true
+      case (_, StringType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (LongType, DoubleType) => true
+      case (StringType, TimestampType) => true
+      case _ => false
+    }
+
+  /** Schema-inference-as-validation (the other half of S1, reference
+    * bronze_ingestion.py:156-159 `inferSchema=true`): infer from a
+    * sample and return one message per declared column the inferred
+    * shape cannot serve (missing, or type-incompatible). Empty = the
+    * contract holds. */
+  def validateInferredSchema(spark: SparkSession, path: String,
+                             declared: StructType = schema): Seq[String] = {
+    val inferred = spark.read
+      .option("header", "true").option("inferSchema", "true")
+      .option("samplingRatio", "1.0")
+      .csv(path).schema
+    declared.fields.toSeq.flatMap { f =>
+      inferred.fields.find(_.name == f.name) match {
+        case None =>
+          Some(s"${f.name}: missing from source")
+        case Some(i) if !compatible(i.dataType, f.dataType) =>
+          Some(s"${f.name}: inferred ${i.dataType.simpleString} " +
+            s"incompatible with declared ${f.dataType.simpleString}")
+        case _ => None
+      }
+    }
+  }
+
   /** Pre-flight verification (SURVEY §2.1 S6: sample-read + required
-    * columns + non-empty, dags/01_download_kaggle_dataset.py:113-147
-    * analog). Throws with a precise message on contract violation. */
+    * columns + per-column inferred-vs-declared type compatibility +
+    * non-empty; dags/01_download_kaggle_dataset.py:113-147 analog).
+    * Throws with a precise message on contract violation. */
   def preflight(spark: SparkSession, path: String, requiredCols: Seq[String]): Long = {
     val sample = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(path).limit(100)
     val missing = requiredCols.filterNot(sample.columns.contains)
     require(missing.isEmpty, s"missing required columns: ${missing.mkString(", ")}")
+    val incompatible = validateInferredSchema(spark, path,
+      StructType(schema.fields.filter(f => requiredCols.contains(f.name))))
+    require(incompatible.isEmpty, s"schema contract violations: ${incompatible.mkString("; ")}")
     val n = read(spark, path).count()
     require(n > 0, s"empty source: $path")
     n

@@ -42,6 +42,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("event_id"))
   }
 
+  test("schema inference validates the declared contract per column") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_csv_val_").toString
+    // event_id holds text -> inference sees string, declared bigint
+    Seq(("not-a-number", "2024-01-01 00:00:00", 1L))
+      .toDF("event_id", "ts", "user_id")
+      .write.option("header", "true").csv(s"$tmp/in")
+    val declared = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val problems = CsvEventSource.validateInferredSchema(spark, s"$tmp/in", declared)
+    assert(problems.exists(_.startsWith("event_id:")), problems.mkString("; "))
+    assert(problems.exists(_.startsWith("value: missing")), problems.mkString("; "))
+    // ts inferred as string/timestamp is acceptable; user_id widens fine
+    assert(!problems.exists(_.startsWith("ts:")), problems.mkString("; "))
+    assert(!problems.exists(_.startsWith("user_id:")), problems.mkString("; "))
+  }
+
   test("local-rows source (S4): literal rows become a typed DataFrame") {
     val df = Seq((1L, "view", 9.5), (2L, "purchase", 20.0))
       .toDF("event_id", "event_type", "value")
