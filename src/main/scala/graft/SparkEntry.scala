@@ -50,6 +50,7 @@ object SparkEntry {
     "q_order_priority_share" -> (TpchQueries.orderPriorityShare _),
     "q_sessionize" -> (TpchQueries.sessionize _),
     "q_asof_last_signup" -> (TpchQueries.purchasesWithLastSignup _),
+    "q_asof_last_signup_native" -> (TpchQueries.purchasesWithLastSignupNative _),
     "q_rollup_sales" -> (CoverageQueries.rollupSales _),
     "q_buyer_set_ops" -> (CoverageQueries.buyerSetOps _),
     "q_pivot_daily_types" -> (CoverageQueries.pivotDailyTypes _),
@@ -114,6 +115,7 @@ object SparkEntry {
     "q_order_priority_share" -> TpchQueries.orderPriorityShareSql,
     "q_sessionize" -> TpchQueries.sessionizeSql,
     "q_asof_last_signup" -> TpchQueries.purchasesWithLastSignupSql,
+    "q_asof_last_signup_native" -> TpchQueries.purchasesWithLastSignupSql,
     "q_rollup_sales" -> CoverageQueries.rollupSalesSql,
     "q_buyer_set_ops" -> CoverageQueries.buyerSetOpsSql,
     "q_pivot_daily_types" -> CoverageQueries.pivotDailyTypesSql,

@@ -202,6 +202,27 @@ object TpchQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The same as-of query through the NATIVE whole-operator path
+    * (custom-op ladder (c): AsOfJoinPlan → AsOfJoinStrategy →
+    * AsOfJoinExec, a co-partitioned streaming merge) — same oracle as
+    * the composed version, so the custom SparkPlan is hash-verified
+    * against DuckDB's native ASOF JOIN. */
+  def purchasesWithLastSignupNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        date_format(col("ts"), SilverEvents.TsFmt).as("purchase_time"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        date_format(col("ts"), SilverEvents.TsFmt).as("last_signup_time"))
+    org.apache.spark.sql.graftext.AsOfJoinNative
+      .backwardFlat(purchases, signups, "user_id", "ts", "ts",
+        Seq("last_signup_time"))
+      .select(col("event_id"), col("user_id"), col("purchase_time"),
+        col("asof_last_signup_time").as("last_signup_time"))
+      .orderBy(col("event_id"))
+  }
+
   val purchasesWithLastSignupSql: String =
     """SELECT e.event_id, e.user_id,
       |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,

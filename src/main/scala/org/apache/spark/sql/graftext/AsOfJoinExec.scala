@@ -1,0 +1,175 @@
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.SparkException
+
+/** Whole-operator Catalyst extension — tier (c) of the custom-operator
+  * ladder (SURVEY §7.4): the backward AS-OF join as a first-class
+  * logical plan + planner strategy + physical operator, instead of the
+  * union-sort-window composition in `graft.ops.AsOfJoin`.
+  *
+  * Why a native exec: the composition funnels BOTH sides through one
+  * window (one shuffle, but every left row carries the running-state
+  * machinery and the whole union is materialized per key partition).
+  * The native operator requires only co-partitioned (key, time)-sorted
+  * children — the SAME distribution a sort-merge join needs — and then
+  * streams both sides through a single forward merge per partition:
+  * O(|L|+|R|) per partition, no union frame, no window buffers, and
+  * Catalyst/AQE plan the exchanges (so bucketed or pre-partitioned
+  * inputs skip the shuffle entirely).
+  *
+  * Semantics: for each left row, the LAST right row of the same key
+  * with rightTime <= leftTime (ties among equal right (key, time)
+  * resolve to the last row in child sort order — give rights a unique
+  * (key, time) or pre-aggregate for full determinism). NULL keys and
+  * NULL times never match (emit null payload).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightPayload: Seq[AttributeReference]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightPayload: Seq[AttributeReference]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightPayload.map(_.withNullability(true))
+
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  /** The sort-merge-join shape: co-partition on the key… */
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKey :: Nil), ClusteredDistribution(rightKey :: Nil))
+
+  /** …and (key, time)-sort each side, so the merge is one forward pass. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    // bind the key/time expressions to their child schemas for
+    // interpreted per-row eval inside the merge
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val (lOut, rPayload) = (left.output, rightPayload)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val rBuf = rIter.buffered
+      val payloadProj = UnsafeProjection.create(rPayload, right.output)
+      val resultProj = UnsafeProjection.create(
+        lOut ++ rPayload.map(_.withNullability(true)),
+        lOut ++ rPayload)
+      val nullPayload = InternalRow.fromSeq(Seq.fill(rPayload.size)(null))
+      val joined = new JoinedRow
+      // running state: the latest right payload and the key it belongs to
+      var stateKey: Any = null
+      var statePayload: InternalRow = null
+
+      lIter.map { lRow =>
+        val lk = lKey.eval(lRow)
+        val lt = lTime.eval(lRow)
+        if (lk != null && lt != null) {
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKey.eval(head)
+            val rt = rTime.eval(head)
+            if (rk == null || rt == null) { rBuf.next() } // unmatchable, drop
+            else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) { rBuf.next() } // right entirely behind this left key
+              else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
+                // eligible state: remember (copy — the iterator reuses buffers)
+                stateKey = InternalRow.copyValue(rk)
+                statePayload = payloadProj(rBuf.next()).copy()
+              } else advance = false // right is ahead; stop
+            }
+          }
+        }
+        val payload =
+          if (lk != null && stateKey != null && keyOrd.compare(stateKey, lk) == 0) {
+            numMatched += 1
+            statePayload
+          } else nullPayload
+        numOutputRows += 1
+        resultProj(joined(lRow, payload))
+      }
+    }
+  }
+}
+
+/** DataFrame-level API for the native operator. */
+object AsOfJoinNative {
+
+  /** Backward as-of join: `left` plus `asof_<p>` columns holding the
+    * latest `right` payload at or before each left row's time, per
+    * key. Registers the planner strategy on the session idempotently
+    * (also available via [[GraftExtensions]]). */
+  def backwardFlat(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightTime: String,
+                   rightPayload: Seq[String]): DataFrame = {
+    val session = left.sparkSession.asInstanceOf[ClassicSession]
+    if (!session.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    // re-alias the right side so a self-join never shares attribute ids
+    val rCols = (Seq(key, rightTime) ++ rightPayload).distinct
+    val rightFresh = right.select(rCols.map(org.apache.spark.sql.functions.col): _*)
+      .toDF(rCols.map("__r_" + _): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightFresh.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): AttributeReference =
+      p.output.collectFirst { case a: AttributeReference if a.name == n => a }
+        .getOrElse(throw new SparkException(s"asof join: no column $n"))
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, "__r_" + key),
+      attr(lPlan, leftTime), attr(rPlan, "__r_" + rightTime),
+      rightPayload.map(p => attr(rPlan, "__r_" + p)))
+    val joinedDf = Dataset.ofRows(session, plan)
+    rightPayload.foldLeft(joinedDf)((df, p) =>
+      df.withColumnRenamed("__r_" + p, s"asof_$p"))
+  }
+}

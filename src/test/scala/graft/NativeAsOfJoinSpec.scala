@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.graftext.{AsOfJoinExec, AsOfJoinNative}
+import graft.ops.AsOfJoin
+import graft.sources.Tables
+
+/** The native whole-operator as-of join (logical plan + strategy +
+  * physical merge exec) against the composed union-window version. */
+class NativeAsOfJoinSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("native as-of join matches the composed implementation on events") {
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("signup_time"))
+    val native = AsOfJoinNative.backwardFlat(
+      purchases, signups, "user_id", "ts", "ts", Seq("signup_time"))
+    val composed = AsOfJoin.backwardFlat(
+      purchases, signups, "user_id", "ts", "ts", Seq("signup_time"))
+    assert(native.count() === purchases.count())
+    assert(native.except(composed).count() === 0)
+    assert(composed.except(native).count() === 0)
+  }
+
+  test("native as-of join edge semantics: no-prior-right, null keys, equal times") {
+    val left = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),   // before any right -> null
+      (2L, 10L, "2024-01-01 12:00:00"),   // after r1 -> A
+      (3L, 10L, "2024-01-01 13:00:00"),   // equal time of r2 -> B (<= matches)
+      (4L, 20L, "2024-01-01 12:00:00"),   // other key, no rights -> null
+      (5L, -1L, "2024-01-01 12:00:00"))
+      .toDF("id", "k", "t_str")
+      .withColumn("t", col("t_str").cast("timestamp"))
+      .withColumn("k", when(col("k") < 0, lit(null)).otherwise(col("k")))
+    val right = Seq(
+      (10L, "2024-01-01 11:00:00", "A"),
+      (10L, "2024-01-01 13:00:00", "B"),
+      (30L, "2024-01-01 09:00:00", "C"))
+      .toDF("k", "t_str", "v")
+      .withColumn("t", col("t_str").cast("timestamp"))
+    val out = AsOfJoinNative
+      .backwardFlat(left, right, "k", "t", "t", Seq("v"))
+      .select("id", "asof_v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> null, 2L -> "A", 3L -> "B", 4L -> null, 5L -> null))
+  }
+
+  test("native exec plans as a co-partitioned merge (no window, no union)") {
+    val ev = Tables.events(spark, sf)
+    val l = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+    val r = ev.filter(col("event_type") === "signup").select("user_id", "ts")
+      .withColumn("st", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+    val df = AsOfJoinNative.backwardFlat(l, r, "user_id", "ts", "ts", Seq("st"))
+    // sparkPlan: the AQE wrapper hides its input plan from traversal
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.exists(_.isInstanceOf[AsOfJoinExec]))
+    val s = plan.toString
+    assert(!s.contains("WindowExec") && !s.contains("Union"))
+  }
+}
