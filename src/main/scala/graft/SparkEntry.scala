@@ -80,6 +80,7 @@ object SparkEntry {
     "dedup_simhash" -> (graft.dedup.NearDup.simhashPairsQuery _),
     "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
     "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
+    "sim_embed_topk_ivf" -> (graft.sim.IvfAnn.ivfTopKQuery _),
     "sim_embed_neardup" -> (graft.sim.EmbeddingSim.nearDupPairsQuery _),
     "mm_media_meta" -> (graft.multimodal.Multimodal.mediaMetaQuery _),
     "mm_media_features" -> (graft.multimodal.Multimodal.featuresQuery _),

@@ -71,6 +71,23 @@ class DedupSimSpec extends AnyFunSuite {
     assert(r1.join(rk, "probe_id").filter(col("c1") < col("ck")).count() === 0)
   }
 
+  test("IVF topk: recall vs brute force, k rows per probe, dominated by exact") {
+    import graft.sim.IvfAnn
+    val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
+      .select("probe_id", "vec_id").cache()
+    val ivf = IvfAnn.ivfTopK(embs, nProbes = 5, k = 3).cache()
+    assert(ivf.groupBy("probe_id").count().filter(col("count") > 3).count() === 0)
+    val recovered = ivf.select("probe_id", "vec_id")
+      .join(brute, Seq("probe_id", "vec_id"), "left_semi").count()
+    val recall = recovered.toDouble / brute.count()
+    assert(recall >= 0.4, s"IVF recall $recall too low for nprobe=4/16")
+    // no candidate may beat the exact baseline's best
+    val bestExact = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 1)
+      .select(col("probe_id"), col("cosine").as("c_exact"))
+    assert(ivf.filter(col("rank") === 1).join(bestExact, "probe_id")
+      .filter(col("cosine") > col("c_exact")).count() === 0)
+  }
+
   test("LSH topk is dominated by brute-force topk (no better-than-exact)") {
     val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
       .groupBy("probe_id").agg(min("cosine").as("worst_exact"))
