@@ -52,6 +52,8 @@ object SparkEntry {
     "q_asof_last_signup" -> (TpchQueries.purchasesWithLastSignup _),
     "q_asof_last_signup_native" -> (TpchQueries.purchasesWithLastSignupNative _),
     "q_rollup_sales" -> (CoverageQueries.rollupSales _),
+    "q_cube_sales" -> (CoverageQueries.cubeSales _),
+    "q_item_revenue_percentiles" -> (CoverageQueries.itemRevenuePercentiles _),
     "q_buyer_set_ops" -> (CoverageQueries.buyerSetOps _),
     "q_pivot_daily_types" -> (CoverageQueries.pivotDailyTypes _),
     "q_purchase_ranks" -> (CoverageQueries.purchaseRanks _),
@@ -86,9 +88,16 @@ object SparkEntry {
     "mm_media_features" -> (graft.multimodal.Multimodal.featuresQuery _),
     "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),
     "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
-    "quality_silver_report" -> (graft.quality.DataChecks.silverReportQuery _),
-    "quality_gold_report" -> (graft.quality.DataChecks.goldReportQuery _),
-    "meta_snapshots" -> (graft.sources.Snapshots.snapshotsQuery _),
+    // report/snapshot queries run over the shared silver cache (they
+    // rebuild several marts internally — same amortization the marts get)
+    "quality_silver_report" -> ((s, dir) =>
+      graft.quality.DataChecks.report(graft.quality.DataChecks.silverSuite(silver(s, dir)))
+        .orderBy(org.apache.spark.sql.functions.col("check_name"))),
+    "quality_gold_report" -> ((s, dir) =>
+      graft.quality.DataChecks.report(graft.quality.DataChecks.goldSuite(silver(s, dir)))
+        .orderBy(org.apache.spark.sql.functions.col("check_name"))),
+    "meta_snapshots" -> ((s, dir) =>
+      graft.sources.Snapshots.snapshotsOver(s, DailySales.build(silver(s, dir)))),
     "pipeline_serving_sink" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_serving_").toString
       Pipeline.runAll(s, dir, out)
@@ -118,6 +127,8 @@ object SparkEntry {
     "q_asof_last_signup" -> TpchQueries.purchasesWithLastSignupSql,
     "q_asof_last_signup_native" -> TpchQueries.purchasesWithLastSignupSql,
     "q_rollup_sales" -> CoverageQueries.rollupSalesSql,
+    "q_cube_sales" -> CoverageQueries.cubeSalesSql,
+    "q_item_revenue_percentiles" -> CoverageQueries.itemRevenuePercentilesSql,
     "q_buyer_set_ops" -> CoverageQueries.buyerSetOpsSql,
     "q_pivot_daily_types" -> CoverageQueries.pivotDailyTypesSql,
     "q_purchase_ranks" -> CoverageQueries.purchaseRanksSql,

@@ -178,4 +178,66 @@ object CoverageQueries {
       |FROM events
       |GROUP BY 1
       |ORDER BY k_value""".stripMargin
+
+  /** GROUP BY CUBE over (price_bucket, is_weekend) — all four grouping
+    * combinations in one expand + hash agg (completes the grouping-set
+    * family next to [[rollupSales]]). */
+  def cubeSales(s: SparkSession, dir: String): DataFrame = {
+    val silver = SilverEvents.build(Tables.events(s, dir))
+    silver.filter(col("event_type") === "purchase")
+      .cube(col("price_bucket"), col("is_weekend"))
+      .agg(
+        count(lit(1)).as("purchases"),
+        moneySumIf(lit(true), col("price")).as("revenue"),
+        grouping(col("price_bucket")).as("g_bucket"),
+        grouping(col("is_weekend")).as("g_wknd"))
+      .orderBy(col("g_bucket"), col("g_wknd"), col("price_bucket"), col("is_weekend"))
+  }
+
+  val cubeSalesSql: String = SilverEvents.oracleCte +
+    """
+      |SELECT price_bucket, is_weekend,
+      |  count(*) AS purchases,
+      |  CAST(round(sum(CAST(coalesce(price, 0) AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+      |  CAST(grouping(price_bucket) AS TINYINT) AS g_bucket,
+      |  CAST(grouping(is_weekend) AS TINYINT) AS g_wknd
+      |FROM silver
+      |WHERE event_type = 'purchase'
+      |GROUP BY CUBE(price_bucket, is_weekend)
+      |ORDER BY g_bucket, g_wknd, price_bucket, is_weekend""".stripMargin
+
+  /** Distribution-window family (percent_rank / cume_dist) — item
+    * revenue ranks WITHIN each price bucket, so every window is
+    * partitioned (no global sort). The outputs are exact small-integer
+    * ratios, bit-portable without decimal routing. */
+  def itemRevenuePercentiles(s: SparkSession, dir: String): DataFrame = {
+    val silver = SilverEvents.build(Tables.events(s, dir))
+    val perItem = silver
+      .filter(col("event_type") === "purchase" && col("item_key").isNotNull)
+      .groupBy(col("price_bucket"), col("item_key"))
+      .agg(count(lit(1)).as("purchases"),
+        moneySumIf(lit(true), col("price")).as("revenue"))
+    val w = Window.partitionBy(col("price_bucket"))
+      .orderBy(col("revenue").asc, col("item_key").asc)
+    perItem
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy(col("price_bucket"), col("item_key"))
+  }
+
+  val itemRevenuePercentilesSql: String = SilverEvents.oracleCte +
+    """
+      |, per_item AS (
+      |  SELECT price_bucket, item_key,
+      |    count(*) AS purchases,
+      |    CAST(round(sum(CAST(coalesce(price, 0) AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+      |  FROM silver
+      |  WHERE event_type = 'purchase' AND item_key IS NOT NULL
+      |  GROUP BY price_bucket, item_key
+      |)
+      |SELECT price_bucket, item_key, purchases, revenue,
+      |  percent_rank() OVER (PARTITION BY price_bucket ORDER BY revenue ASC, item_key ASC) AS pct_rank,
+      |  cume_dist() OVER (PARTITION BY price_bucket ORDER BY revenue ASC, item_key ASC) AS cume
+      |FROM per_item
+      |ORDER BY price_bucket, item_key""".stripMargin
 }

@@ -92,10 +92,14 @@ object Snapshots {
     * a temp table, then listed via [[snapshots]] — every listed value
     * is recomputable from silver, so the metadata surface itself is
     * oracle-checkable. */
-  def snapshotsQuery(s: SparkSession, dir: String): DataFrame = {
+  def snapshotsQuery(s: SparkSession, dir: String): DataFrame =
+    snapshotsOver(s, graft.marts.DailySales.build(
+      graft.marts.SilverEvents.build(Tables.events(s, dir))))
+
+  /** Same, over an already-built daily mart (lets callers reuse a
+    * cached silver). */
+  def snapshotsOver(s: SparkSession, daily: DataFrame): DataFrame = {
     val table = Files.createTempDirectory("graft_snap_").toString + "/daily_sales"
-    val daily = graft.marts.DailySales.build(
-      graft.marts.SilverEvents.build(Tables.events(s, dir)))
     writeSnapshot(daily.filter(col("event_date") <= lit("2024-01-10")), table)
     writeSnapshot(daily.filter(col("event_date") <= lit("2024-01-20"))
       .withColumn("is_backfill", lit(true)), table)
