@@ -69,6 +69,7 @@ object SparkEntry {
     "q_min_cost_supplier" -> (TpchHeavyQueries.minCostSupplier _),
     "q_sole_late_supplier" -> (TpchHeavyQueries.soleLateSupplier _),
     "q_large_quantity_orders" -> (TpchHeavyQueries.largeQuantityOrders _),
+    "q_order_value_percentiles" -> (TpchHeavyQueries.orderValuePercentiles _),
     "text_doc_stats" -> (graft.text.TextAnalysis.docStatsQuery _),
     "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
@@ -144,6 +145,7 @@ object SparkEntry {
     "q_min_cost_supplier" -> TpchHeavyQueries.minCostSupplierSql,
     "q_sole_late_supplier" -> TpchHeavyQueries.soleLateSupplierSql,
     "q_large_quantity_orders" -> TpchHeavyQueries.largeQuantityOrdersSql,
+    "q_order_value_percentiles" -> TpchHeavyQueries.orderValuePercentilesSql,
     "text_doc_stats" -> graft.text.TextAnalysis.docStatsSql,
     "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,

@@ -148,4 +148,31 @@ object TpchHeavyQueries {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey ASC
       |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------ exact percentiles
+  /** Exact interpolated percentiles of order value per priority:
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * (1−d)·lower + d·upper definition, so the doubles agree bit-for-
+    * bit. Exact percentile sorts each group's values — at 100 TB
+    * switch to `percentile_approx` (mergeable sketch) like the
+    * approx-distinct swap. */
+  def orderValuePercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("orders"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .orderBy(col("o_orderpriority"))
+
+  val orderValuePercentilesSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS orders,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  quantile_cont(o_totalprice, 0.99) AS p99
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }
