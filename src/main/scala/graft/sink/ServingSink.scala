@@ -79,4 +79,45 @@ object ServingSink {
       .option("dbtable", table)
       .options(options)
       .load()
+
+  /** Interleaved-bit (Z-order) sort key over two numeric columns:
+    * each column min/max-normalized to `bits` bits, then bit-
+    * interleaved — pure `functions._` Column arithmetic, fully
+    * codegen'd. */
+  private[sink] def zKey(a: Column, b: Column,
+                         aMin: Double, aMax: Double,
+                         bMin: Double, bMax: Double, bits: Int): Column = {
+    val scale = (1L << bits) - 1
+    def norm(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else floor((c.cast("double") - lo) / (hi - lo) * scale).cast("long")
+    val (na, nb) = (norm(a, aMin, aMax), norm(b, bMin, bMax))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(na, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(nb, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustered layout: rows sorted along the interleaved-bit
+    * curve of TWO columns, so parquet min/max footer ranges stay tight
+    * on BOTH — point/range predicates on either column prune files,
+    * where a linear sort prunes only its leading column. One stats
+    * pass (driver-side min/max, the usual offline-layout-job shape)
+    * + one range shuffle on the z key; the key never reaches the
+    * files. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int = 16, bits: Int = 16): Unit = {
+    val stats = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val z = zKey(col(colA), col(colB),
+      stats.getDouble(0), stats.getDouble(1),
+      stats.getDouble(2), stats.getDouble(3), bits)
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite").option("compression", "snappy")
+      .parquet(path)
+  }
 }

@@ -94,6 +94,24 @@ object StreamingEvents {
     * state on each side is evictable — the canonical bounded-state
     * stream join shape (state grows with the interval, not the
     * stream). */
+  /** Stream-static enrichment join: the event stream decorated with a
+    * static dimension (part catalog keyed by the props-extracted
+    * item_key). The static side is broadcast per micro-batch — no
+    * streaming state at all, the canonical dimension-enrichment shape
+    * (at 100 TB the dim re-broadcasts on change; for slowly-changing
+    * dims use the as-of join on a snapshot stream instead). Works
+    * identically on a batch frame (oracle/spec equivalence). */
+  def enrichedPurchases(events: DataFrame, part: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .withColumn("item_key",
+        nullif(regexp_extract(col("props"), "([0-9]+)", 1), lit("")).cast("long"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_name"), col("p_brand"))),
+        col("item_key") === col("p_partkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_time"),
+        col("item_key"), col("p_name"), col("p_brand"),
+        round(col("value"), 2).as("amount"))
+
   def purchaseSignupJoin(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),

@@ -62,6 +62,26 @@ class PlatformSpec extends AnyFunSuite {
     assert(got.except(expected).count() === 0)
   }
 
+  test("stream-static broadcast enrichment matches the batch formulation") {
+    val tmp = Files.createTempDirectory("graft_ssd_").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(s"$tmp/in")
+    val part = Tables.part(spark, sf)
+    val q = StreamingEvents.enrichedPurchases(
+        StreamingEvents.readStream(spark, s"$tmp/in"), part)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("ssd_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssd_out")
+    val batch = StreamingEvents.enrichedPurchases(Tables.events(spark, sf), part)
+    assert(got.count() === batch.count())
+    assert(got.except(batch).count() === 0)
+    // enrichment really happened: some rows carry dimension values
+    assert(got.filter(col("p_name").isNotNull).count() > 0)
+  }
+
   test("stream-stream interval join matches the batch formulation") {
     val tmp = Files.createTempDirectory("graft_ssj_").toString
     Tables.events(spark, sf).write.mode("overwrite").parquet(s"$tmp/in")
@@ -111,6 +131,29 @@ class PlatformSpec extends AnyFunSuite {
     assert(merged.join(target, Seq("event_id"), "inner").count() === 0)
     // full rebuild equivalence: target ∪ appended == all events
     assert(target.count() + appended.count() === ev.count())
+  }
+
+  test("z-order layout keeps per-file ranges tight on BOTH columns") {
+    val tmp = Files.createTempDirectory("graft_z_").toString
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    // linear: sorted by the first column only
+    li.repartitionByRange(16, col("l_partkey")).sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(s"$tmp/linear")
+    ServingSink.writeZOrdered(li, s"$tmp/zorder", "l_partkey", "l_suppkey")
+    def meanSpan(path: String, c: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("span"))
+      spans.agg(avg(col("span"))).head().getDouble(0)
+    }
+    // same file count, same rows
+    assert(spark.read.parquet(s"$tmp/zorder").count() === li.count())
+    // the second column's per-file range collapses under z-order
+    val linearB = meanSpan(s"$tmp/linear", "l_suppkey")
+    val zB = meanSpan(s"$tmp/zorder", "l_suppkey")
+    assert(zB < linearB * 0.7, s"z-order span $zB not tighter than linear $linearB")
+    // and the first column's range stays bounded (not degenerate)
+    val fullA = li.agg(max(col("l_partkey")) - min(col("l_partkey"))).head().getLong(0)
+    assert(meanSpan(s"$tmp/zorder", "l_partkey") < fullA * 0.8)
   }
 
   test("jdbc sink: round-trip through embedded Derby") {
