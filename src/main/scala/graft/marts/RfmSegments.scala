@@ -57,7 +57,11 @@ object RfmSegments {
       .orderBy(col("user_id"))
 
   def build(silver: DataFrame): DataFrame = {
-    val base = perUser(silver)
+    // localCheckpoint: the three rankings each run a small counting job
+    // plus the final pass — truncating lineage here means they all read
+    // the materialized per-user frame instead of re-aggregating silver
+    // (per-user rows are tiny relative to events; executor-local storage)
+    val base = perUser(silver).localCheckpoint()
     val r = GlobalRank.withNtile(base,
       Seq(col("recency_days").desc, col("user_id").asc), 5, "r_score")
     val f = GlobalRank.withNtile(r,
