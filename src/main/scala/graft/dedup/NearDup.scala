@@ -139,17 +139,29 @@ object NearDup {
                  math.abs(rnd.nextLong()) % MinhashP)
   }
 
-  /** Per-doc MinHash signature columns (sig_0 … sig_{k-1}): explode
-    * shingles once, one grouped agg computes all k mins (map-side
-    * partial agg keeps the shuffle at |docs|×k). `pmod` keeps the
-    * affine hash nonnegative. */
+  /** sig_i column derived NARROWLY from a shingle-set array column:
+    * `array_min(transform(set, s → (xxhash64(s)·a + b) mod p))` — no
+    * shuffle (min over distinct set == min over exploded occurrences). */
+  private def sigFromSet(set: Column, a: Long, b: Long): Column =
+    array_min(transform(set, s =>
+      pmod(pmod(xxhash64(s), lit(MinhashP)) * lit(a) + lit(b), lit(MinhashP))))
+
+  /** Per-doc sorted shingle sets — ONE grouped shuffle; signatures and
+    * the exact-Jaccard verification both derive from it. */
+  private def shingleSets(documents: DataFrame): DataFrame =
+    shingles(documents).groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("sh_set"))
+
+  /** Per-doc MinHash signature columns (sig_0 … sig_{k-1}): one
+    * grouped shuffle collects the shingle set, then all k mins are
+    * higher-order array expressions over it (narrow, codegen'd) —
+    * round 1 shuffled the exploded shingles a second time for the
+    * min aggregates. */
   def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame = {
-    val sh = shingles(documents)
-    val x31 = pmod(xxhash64(col("shingle")), lit(MinhashP))
-    val aggs = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(x31 * lit(a) + lit(b), lit(MinhashP))).as(s"sig_$i")
+    val cols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      sigFromSet(col("sh_set"), a, b).as(s"sig_$i")
     }
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    shingleSets(documents).select(col("doc_id") +: cols: _*)
   }
 
   /** MinHash-LSH candidate pairs, verified with exact Jaccard — but
@@ -171,16 +183,17 @@ object NearDup {
     * connected transitively inside each sub-bucket. */
   def minhashPairs(documents: DataFrame, k: Int = 16, bands: Int = 4,
                    threshold: Double = 0.8, bucketCap: Int = 1000): DataFrame = {
-    // shingles appears twice in the plan (signatures + verification
-    // sets); it's a narrow map off the scan, so recomputation is
-    // cheaper than materializing it and keeps the query fully lazy.
-    val sh = shingles(documents)
+    // ONE shingle-set aggregation feeds everything: signatures derive
+    // narrowly from the set arrays (sigFromSet), and the exact-Jaccard
+    // verification reuses the same sets — round 1 shuffled the exploded
+    // shingles twice (min-agg + collect_set); this halves the dedup
+    // shuffle volume and lets Catalyst reuse the one exchange.
     locally {
-      val x31 = pmod(xxhash64(col("shingle")), lit(MinhashP))
-      val aggs = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
-        min(pmod(x31 * lit(a) + lit(b), lit(MinhashP))).as(s"sig_$i")
+      val sets = shingleSets(documents)
+      val sigCols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+        sigFromSet(col("sh_set"), a, b).as(s"sig_$i")
       }
-      val sig = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val sig = sets.select(col("doc_id") +: sigCols: _*)
 
       val rows = k / bands
       val bandCols = (0 until bands).map { b =>
@@ -208,9 +221,6 @@ object NearDup {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-
-      val sets = sh.groupBy(col("doc_id"))
-        .agg(sort_array(collect_set(col("shingle"))).as("sh_set"))
 
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), "doc_a")
