@@ -94,6 +94,27 @@ object StreamingEvents {
     * state on each side is evictable — the canonical bounded-state
     * stream join shape (state grows with the interval, not the
     * stream). */
+  /** Incremental gold serving via foreachBatch: every micro-batch of
+    * (deduplicated) events re-aggregates ONLY its own rows and appends
+    * to the serving layout — the streaming upgrade of the reference's
+    * incremental-batch gold DAG (downstream readers aggregate the
+    * per-batch partials, the standard append-log serving contract; a
+    * compaction pass can fold them offline). */
+  def incrementalDailySalesWriter(stream: DataFrame, outDir: String): DataStreamWriter[Row] =
+    dedupped(stream)
+      .writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val part = graft.marts.DailySales.build(
+          graft.marts.SilverEvents.build(batch))
+        graft.sink.ServingSink.appendSorted(
+          part.withColumn("batch_id", lit(batchId))
+            .withColumn("part_month",
+              graft.sink.ServingSink.monthOf(col("event_date"))),
+          outDir, Seq("part_month"), Seq(col("event_date")))
+      }
+
   /** Stream-static enrichment join: the event stream decorated with a
     * static dimension (part catalog keyed by the props-extracted
     * item_key). The static side is broadcast per micro-batch — no

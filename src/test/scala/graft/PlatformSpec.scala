@@ -62,6 +62,22 @@ class PlatformSpec extends AnyFunSuite {
     assert(got.except(expected).count() === 0)
   }
 
+  test("foreachBatch incremental gold serving: appended partials aggregate to batch") {
+    val tmp = Files.createTempDirectory("graft_fb_").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(s"$tmp/in")
+    val q = StreamingEvents.incrementalDailySalesWriter(
+        StreamingEvents.readStream(spark, s"$tmp/in"), s"$tmp/gold")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$tmp/gold")
+      .groupBy("event_date").agg(sum("total_events").as("total_events"))
+    val expected = SparkEntry.queries("gold_daily_sales")(spark, sf)
+      .select("event_date", "total_events")
+    assert(got.count() === expected.count())
+    assert(got.except(expected).count() === 0)
+  }
+
   test("stream-static broadcast enrichment matches the batch formulation") {
     val tmp = Files.createTempDirectory("graft_ssd_").toString
     Tables.events(spark, sf).write.mode("overwrite").parquet(s"$tmp/in")
