@@ -37,6 +37,21 @@ object CsvEventSource {
       .schema(schema)
       .csv(path)
 
+  /** PERMISSIVE read that quarantines malformed lines instead of
+    * failing the job: unparseable rows keep their raw text in
+    * `_corrupt_record` (all contract fields NULL), well-formed rows
+    * have it NULL — split with a `_corrupt_record IS NULL` filter.
+    * The continue-and-quarantine bronze-ingestion mode; `read` (strict
+    * declared schema) remains the default contract. */
+  def readPermissive(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+      .schema(schema.add(StructField("_corrupt_record", StringType)))
+      .csv(path)
+
   /** Ingest-time metadata columns (bronze_ingestion.py:166-169 analog;
     * `_source_file` from the scan's file metadata, not a literal —
     * correct under multi-file globs). */

@@ -95,25 +95,51 @@ object StreamingEvents {
     * stream join shape (state grows with the interval, not the
     * stream). */
   /** Incremental gold serving via foreachBatch: every micro-batch of
-    * (deduplicated) events re-aggregates ONLY its own rows and appends
-    * to the serving layout — the streaming upgrade of the reference's
-    * incremental-batch gold DAG (downstream readers aggregate the
-    * per-batch partials, the standard append-log serving contract; a
-    * compaction pass can fold them offline). */
+    * (deduplicated) events aggregates ONLY its own rows into a
+    * MERGEABLE partial — additive counts, full-scale decimal revenue,
+    * and datasketches HLL binaries for the distinct-user metrics
+    * (plain distinct counts cannot be folded across partials; sketches
+    * are the only streaming-correct representation) — and appends it
+    * batch-stamped to the serving layout. */
   def incrementalDailySalesWriter(stream: DataFrame, outDir: String): DataStreamWriter[Row] =
     dedupped(stream)
       .writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val part = graft.marts.DailySales.build(
-          graft.marts.SilverEvents.build(batch))
+        val silver = graft.marts.SilverEvents.build(batch)
+        val isPurchase = col("event_type") === "purchase"
+        val partial = silver.groupBy(col("event_date")).agg(
+          count(lit(1)).as("total_events"),
+          countIf(isPurchase).as("purchase_count"),
+          sum(when(isPurchase, coalesce(col("price"), lit(0)))
+            .otherwise(lit(0))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("revenue_dec"),
+          hll_sketch_agg(col("user_id")).as("users_hll"),
+          hll_sketch_agg(when(isPurchase, col("user_id"))).as("buyers_hll"))
         graft.sink.ServingSink.appendSorted(
-          part.withColumn("batch_id", lit(batchId))
+          partial.withColumn("batch_id", lit(batchId))
             .withColumn("part_month",
               graft.sink.ServingSink.monthOf(col("event_date"))),
           outDir, Seq("part_month"), Seq(col("event_date")))
       }
+
+  /** Offline compaction for [[incrementalDailySalesWriter]] output:
+    * fold the batch-stamped partials to one serving row per day —
+    * sums re-add, decimal revenue re-sums exactly, HLL sketches union
+    * and estimate (the MergeTree background-merge analog). */
+  def compactDailySales(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val folded = spark.read.parquet(dir)
+      .groupBy(col("event_date"))
+      .agg(
+        sum(col("total_events")).as("total_events"),
+        sum(col("purchase_count")).as("purchase_count"),
+        moneySumExact(col("revenue_dec")).as("total_revenue"),
+        hll_sketch_estimate(hll_union_agg(col("users_hll"))).as("unique_users"),
+        hll_sketch_estimate(hll_union_agg(col("buyers_hll"))).as("unique_buyers"))
+    graft.sink.ServingSink.writeDateMart(folded, outDir, "event_date")
+    spark.read.parquet(outDir).drop("part_month")
+  }
 
   /** Stream-static enrichment join: the event stream decorated with a
     * static dimension (part catalog keyed by the props-extracted

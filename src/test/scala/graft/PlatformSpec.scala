@@ -62,20 +62,32 @@ class PlatformSpec extends AnyFunSuite {
     assert(got.except(expected).count() === 0)
   }
 
-  test("foreachBatch incremental gold serving: appended partials aggregate to batch") {
+  test("foreachBatch incremental serving: compacted partials match the batch mart") {
     val tmp = Files.createTempDirectory("graft_fb_").toString
-    Tables.events(spark, sf).write.mode("overwrite").parquet(s"$tmp/in")
-    val q = StreamingEvents.incrementalDailySalesWriter(
+    // two separate input loads -> at least two batches of partials
+    val ev = Tables.events(spark, sf)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    ev.filter(col("ts") <= cut).write.mode("overwrite").parquet(s"$tmp/in")
+    val w1 = StreamingEvents.incrementalDailySalesWriter(
         StreamingEvents.readStream(spark, s"$tmp/in"), s"$tmp/gold")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .start()
-    q.awaitTermination(120000)
-    val got = spark.read.parquet(s"$tmp/gold")
-      .groupBy("event_date").agg(sum("total_events").as("total_events"))
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    w1.awaitTermination(120000)
+    ev.filter(col("ts") > cut).write.mode("append").parquet(s"$tmp/in")
+    val w2 = StreamingEvents.incrementalDailySalesWriter(
+        StreamingEvents.readStream(spark, s"$tmp/in"), s"$tmp/gold")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    w2.awaitTermination(120000)
+    val compacted = StreamingEvents.compactDailySales(spark, s"$tmp/gold", s"$tmp/serving")
     val expected = SparkEntry.queries("gold_daily_sales")(spark, sf)
-      .select("event_date", "total_events")
-    assert(got.count() === expected.count())
-    assert(got.except(expected).count() === 0)
+    assert(compacted.count() === expected.count())
+    // additive metrics fold exactly
+    val j = compacted.as("c").join(expected.as("e"), Seq("event_date")).cache()
+    assert(j.filter(col("c.total_events") =!= col("e.total_events")).count() === 0)
+    assert(j.filter(col("c.purchase_count") =!= col("e.purchase_count")).count() === 0)
+    assert(j.filter(abs(col("c.total_revenue") - col("e.total_revenue")) > 0.001).count() === 0)
+    // sketch-merged distincts land within HLL error of the exact counts
+    assert(j.filter(abs(col("c.unique_users") - col("e.unique_users")) >
+      col("e.unique_users") * 0.05 + 3).count() === 0)
   }
 
   test("stream-static broadcast enrichment matches the batch formulation") {

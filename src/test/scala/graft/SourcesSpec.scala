@@ -62,6 +62,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(!problems.exists(_.startsWith("user_id:")), problems.mkString("; "))
   }
 
+  test("permissive csv read quarantines malformed rows instead of failing") {
+    val tmp = Files.createTempDirectory("graft_csv_perm_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/events.csv"),
+      ("event_id,ts,user_id,event_type,value,props\n" +
+        "1,2024-01-01 10:00:00,7,view,9.5,{}\n" +
+        "not-a-long,garbage-ts,x,view,nan?,{}\n" +
+        "2,2024-01-01 11:00:00,8,purchase,20.0,{}\n").getBytes)
+    val df = CsvEventSource.readPermissive(spark, s"$tmp/events.csv").cache()
+    assert(df.count() === 3)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() === 1)
+    assert(bad.head().getAs[String]("_corrupt_record").startsWith("not-a-long"))
+    val good = df.filter(col("_corrupt_record").isNull)
+    assert(good.count() === 2)
+    assert(good.agg(sum(col("value"))).head().getDouble(0) === 29.5)
+  }
+
   test("local-rows source (S4): literal rows become a typed DataFrame") {
     val df = Seq((1L, "view", 9.5), (2L, "purchase", 20.0))
       .toDF("event_id", "event_type", "value")
