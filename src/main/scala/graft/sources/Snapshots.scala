@@ -72,6 +72,26 @@ object Snapshots {
     readAsOf(spark, table, vs.last)
   }
 
+  /** MERGE INTO emulation (the lakehouse upsert the reference's
+    * append-only dbt never does): matched keys take the update row,
+    * unmatched update rows insert, everything else carries over — all
+    * as ONE new immutable snapshot (copy-on-write, like Delta/Iceberg
+    * MERGE without the file-level pruning). Schemas must match.
+    *
+    * Scale: current ⋈ updates is a key-equi left-anti (shuffle or
+    * broadcast if updates are small) + union — one pass over the
+    * current version; no driver-side row handling. */
+  def mergeInto(spark: SparkSession, table: String, updates: DataFrame,
+                keys: Seq[String]): Long = {
+    val current = readLatest(spark, table)
+    require(current.columns.sorted.sameElements(updates.columns.sorted),
+      s"merge schema mismatch: ${current.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    val kept = current.join(
+      updates.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
+      keys, "left_anti")
+    writeSnapshot(kept.unionByName(updates), table, operation = "merge")
+  }
+
   /** The `.snapshots` metadata frame: one row per version. */
   def snapshots(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._

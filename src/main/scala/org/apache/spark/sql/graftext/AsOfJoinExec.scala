@@ -37,7 +37,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightPayload: Seq[AttributeReference]) extends BinaryNode {
+    rightPayload: Seq[AttributeReference],
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -47,8 +48,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, payload, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -57,7 +58,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    rightPayload: Seq[AttributeReference]) extends BinaryExecNode {
+    rightPayload: Seq[AttributeReference],
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightPayload.map(_.withNullability(true))
@@ -110,6 +112,7 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKey.eval(lRow)
         val lt = lTime.eval(lRow)
+        var fwdMatch: InternalRow = null
         if (lk != null && lt != null) {
           var advance = true
           while (advance && rBuf.hasNext) {
@@ -120,8 +123,17 @@ case class AsOfJoinExec(
             else {
               val c = keyOrd.compare(rk, lk)
               if (c < 0) { rBuf.next() } // right entirely behind this left key
-              else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
-                // eligible state: remember (copy — the iterator reuses buffers)
+              else if (c > 0) advance = false // right is past this key; stop
+              else if (forward) {
+                // forward: rights strictly before lt are useless for this
+                // left AND every later left of the key (times ascend) —
+                // drop; the first right at/after lt is the match, left
+                // UNCONSUMED (later lefts of the key may share it)
+                if (timeOrd.compare(rt, lt) < 0) { rBuf.next() }
+                else { fwdMatch = payloadProj(head); advance = false }
+              } else if (timeOrd.compare(rt, lt) <= 0) {
+                // backward: remember the latest eligible state
+                // (copy — the iterator reuses buffers)
                 stateKey = InternalRow.copyValue(rk)
                 statePayload = payloadProj(rBuf.next()).copy()
               } else advance = false // right is ahead; stop
@@ -129,7 +141,10 @@ case class AsOfJoinExec(
           }
         }
         val payload =
-          if (lk != null && stateKey != null && keyOrd.compare(stateKey, lk) == 0) {
+          if (forward) {
+            if (fwdMatch != null) { numMatched += 1; fwdMatch } else nullPayload
+          } else if (lk != null && stateKey != null &&
+              keyOrd.compare(stateKey, lk) == 0) {
             numMatched += 1
             statePayload
           } else nullPayload
@@ -149,7 +164,19 @@ object AsOfJoinNative {
     * (also available via [[GraftExtensions]]). */
   def backwardFlat(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String, rightTime: String,
-                   rightPayload: Seq[String]): DataFrame = {
+                   rightPayload: Seq[String]): DataFrame =
+    joinFlat(left, right, key, leftTime, rightTime, rightPayload, forward = false)
+
+  /** Forward variant: the EARLIEST right payload at or after each left
+    * row's time (the "next state change" lookup). */
+  def forwardFlat(left: DataFrame, right: DataFrame, key: String,
+                  leftTime: String, rightTime: String,
+                  rightPayload: Seq[String]): DataFrame =
+    joinFlat(left, right, key, leftTime, rightTime, rightPayload, forward = true)
+
+  private def joinFlat(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String,
+                       rightPayload: Seq[String], forward: Boolean): DataFrame = {
     val session = left.sparkSession.asInstanceOf[ClassicSession]
     if (!session.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       session.experimental.extraStrategies =
@@ -167,7 +194,7 @@ object AsOfJoinNative {
     val plan = AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, key), attr(rPlan, "__r_" + key),
       attr(lPlan, leftTime), attr(rPlan, "__r_" + rightTime),
-      rightPayload.map(p => attr(rPlan, "__r_" + p)))
+      rightPayload.map(p => attr(rPlan, "__r_" + p)), forward)
     val joinedDf = Dataset.ofRows(session, plan)
     rightPayload.foldLeft(joinedDf)((df, p) =>
       df.withColumnRenamed("__r_" + p, s"asof_$p"))

@@ -50,6 +50,44 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(out === Map(1L -> null, 2L -> "A", 3L -> "B", 4L -> null, 5L -> null))
   }
 
+  test("forward as-of join: earliest right at-or-after, shared across lefts") {
+    val left = Seq(
+      (1L, 10L, "2024-01-01 10:00:00"),  // before r1 -> A (next state)
+      (2L, 10L, "2024-01-01 11:00:00"),  // equal to r1 -> A
+      (3L, 10L, "2024-01-01 12:30:00"),  // between r1,r2 -> B
+      (4L, 10L, "2024-01-01 14:00:00"),  // after all -> null
+      (5L, 20L, "2024-01-01 10:00:00"))  // keyless rights -> null
+      .toDF("id", "k", "t_str")
+      .withColumn("t", col("t_str").cast("timestamp"))
+    val right = Seq(
+      (10L, "2024-01-01 11:00:00", "A"),
+      (10L, "2024-01-01 13:00:00", "B"),
+      (30L, "2024-01-01 09:00:00", "C"))
+      .toDF("k", "t_str", "v")
+      .withColumn("t", col("t_str").cast("timestamp"))
+    val out = AsOfJoinNative
+      .forwardFlat(left, right, "k", "t", "t", Seq("v"))
+      .select("id", "asof_v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> null, 5L -> null))
+    // cross-check on real data against a join+min_by formulation
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("u2"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+    val native = AsOfJoinNative.forwardFlat(purchases,
+        errors.select(col("u2").as("user_id"), col("err_ts").as("ts"), col("err_id")),
+        "user_id", "ts", "ts", Seq("err_id"))
+      .select(col("event_id"), col("asof_err_id"))
+    val expected = purchases.join(errors,
+        col("user_id") === col("u2") && col("err_ts") >= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(min_by(col("err_id"), struct(col("err_ts"), col("err_id"))).as("asof_err_id"))
+    assert(native.except(expected).count() === 0)
+    assert(expected.except(native).count() === 0)
+  }
+
   test("native exec plans as a co-partitioned merge (no window, no union)") {
     val ev = Tables.events(spark, sf)
     val l = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")

@@ -222,6 +222,26 @@ class PlatformSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshots mergeInto: upsert as a new immutable version") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_merge_").toString + "/t"
+    Snapshots.writeSnapshot(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v"), table)
+    // update id=2, insert id=4
+    val v = Snapshots.mergeInto(spark, table,
+      Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("id", "name", "v"), Seq("id"))
+    assert(v === 2L)
+    val now = Snapshots.readLatest(spark, table)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(now === Map(1L -> ("a", 10.0), 2L -> ("b2", 25.0),
+      3L -> ("c", 30.0), 4L -> ("d", 40.0)))
+    // time travel still sees the pre-merge state
+    assert(Snapshots.readAsOf(spark, table, 1).count() === 3)
+    val ops = Snapshots.snapshots(spark, table).collect().map(_.getString(1)).toSeq
+    assert(ops === Seq("overwrite", "merge"))
+  }
+
   test("incremental: empty target means full load (dbt first-run semantics)") {
     val ev = Tables.events(spark, sf)
     val empty = ev.filter(lit(false))
