@@ -51,6 +51,7 @@ object SparkEntry {
     "q_sessionize" -> (TpchQueries.sessionize _),
     "q_asof_last_signup" -> (TpchQueries.purchasesWithLastSignup _),
     "q_asof_last_signup_native" -> (TpchQueries.purchasesWithLastSignupNative _),
+    "q_asof_next_error" -> (TpchQueries.purchasesWithNextError _),
     "q_rollup_sales" -> (CoverageQueries.rollupSales _),
     "q_cube_sales" -> (CoverageQueries.cubeSales _),
     "q_item_revenue_percentiles" -> (CoverageQueries.itemRevenuePercentiles _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "q_sessionize" -> TpchQueries.sessionizeSql,
     "q_asof_last_signup" -> TpchQueries.purchasesWithLastSignupSql,
     "q_asof_last_signup_native" -> TpchQueries.purchasesWithLastSignupSql,
+    "q_asof_next_error" -> TpchQueries.purchasesWithNextErrorSql,
     "q_rollup_sales" -> CoverageQueries.rollupSalesSql,
     "q_cube_sales" -> CoverageQueries.cubeSalesSql,
     "q_item_revenue_percentiles" -> CoverageQueries.itemRevenuePercentilesSql,

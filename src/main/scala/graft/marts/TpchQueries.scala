@@ -223,6 +223,36 @@ object TpchQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of through the native exec: each purchase matched to
+    * the user's NEXT error at or after it (time-to-failure style
+    * lookup); DuckDB's ASOF JOIN with the `<=` inequality is the
+    * oracle. Keyed on (user_id) with error times unique per user in
+    * the fixture (ties would resolve arbitrarily — documented). */
+  def purchasesWithNextError(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        date_format(col("ts"), SilverEvents.TsFmt).as("purchase_time"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"),
+        date_format(col("ts"), SilverEvents.TsFmt).as("next_error_time"))
+    org.apache.spark.sql.graftext.AsOfJoinNative
+      .forwardFlat(purchases, errors, "user_id", "ts", "ts",
+        Seq("next_error_time"))
+      .select(col("event_id"), col("user_id"), col("purchase_time"),
+        col("asof_next_error_time").as("next_error_time"))
+      .orderBy(col("event_id"))
+  }
+
+  val purchasesWithNextErrorSql: String =
+    """SELECT e.event_id, e.user_id,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+      |  strftime(x.ts, '%Y-%m-%d %H:%M:%S') AS next_error_time
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') x
+      |  ON e.user_id = x.user_id AND e.ts <= x.ts
+      |ORDER BY e.event_id""".stripMargin
+
   val purchasesWithLastSignupSql: String =
     """SELECT e.event_id, e.user_id,
       |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,

@@ -39,6 +39,41 @@ object DataChecks {
       df.filter(col(c).isNotNull && conds.reduce(_ || _)))
   }
 
+  /** Statistical screen: Benford first-significant-digit test. The
+    * violation row appears when the chi-square statistic of the
+    * observed digit distribution vs Benford's law exceeds `maxChi2`
+    * (guideline: 9 digits ⇒ 8 dof, chi² > ~20 is suspicious at α=0.01;
+    * fabricated/defaulted numeric columns fail hard). One aggregate
+    * pass + a 9-row broadcast join. */
+  def benford(df: DataFrame, c: String, maxChi2: Double = 50.0): Check = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = (1 to 9)
+      .map(d => (d.toString, math.log10(1.0 + 1.0 / d))).toDF("d", "p")
+    val digits = df
+      .filter(col(c).isNotNull && col(c) =!= 0)
+      .select(regexp_extract(abs(col(c)).cast("string"), "([1-9])", 1).as("d"))
+      .filter(col("d") =!= "")
+    val counts = digits.groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val stat = expected.join(counts, Seq("d"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(digits.agg(count(lit(1)).as("total"))))
+      .select(((col("n") - col("p") * col("total")) * (col("n") - col("p") * col("total"))
+        / (col("p") * col("total"))).as("term"))
+      .agg(sum(col("term")).as("chi2"))
+    Check(s"benford($c)", stat.filter(col("chi2") > maxChi2))
+  }
+
+  /** Statistical screen: rows beyond `maxSigma` standard deviations of
+    * the column mean (broadcast 1-row stats join, no collect). */
+  def outliers(df: DataFrame, c: String, maxSigma: Double = 6.0): Check = {
+    val stats = df.agg(avg(col(c)).as("__m"), stddev_samp(col(c)).as("__s"))
+    Check(s"outliers($c>${maxSigma}sigma)",
+      df.crossJoin(broadcast(stats))
+        .filter(col(c).isNotNull && col("__s").isNotNull && col("__s") > 0 &&
+          abs(col(c) - col("__m")) > col("__s") * maxSigma))
+  }
+
   /** Source freshness (SURVEY §2.9: warn/error SLA on ingestion time,
     * reference sources.yml:57-59) against an explicit as-of instant. */
   def freshness(df: DataFrame, tsCol: String, maxAgeHours: Int, asOf: Column): Check =
