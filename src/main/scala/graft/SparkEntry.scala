@@ -71,6 +71,8 @@ object SparkEntry {
     "q_sole_late_supplier" -> (TpchHeavyQueries.soleLateSupplier _),
     "q_large_quantity_orders" -> (TpchHeavyQueries.largeQuantityOrders _),
     "q_order_value_percentiles" -> (TpchHeavyQueries.orderValuePercentiles _),
+    "q_idle_wealthy_customers" -> (TpchHeavyQueries.idleWealthyCustomers _),
+    "q_major_suppliers" -> ((s, dir) => TpchHeavyQueries.majorSuppliers(s, dir)),
     "text_doc_stats" -> (graft.text.TextAnalysis.docStatsQuery _),
     "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
@@ -148,6 +150,8 @@ object SparkEntry {
     "q_sole_late_supplier" -> TpchHeavyQueries.soleLateSupplierSql,
     "q_large_quantity_orders" -> TpchHeavyQueries.largeQuantityOrdersSql,
     "q_order_value_percentiles" -> TpchHeavyQueries.orderValuePercentilesSql,
+    "q_idle_wealthy_customers" -> TpchHeavyQueries.idleWealthyCustomersSql,
+    "q_major_suppliers" -> TpchHeavyQueries.majorSuppliersSql,
     "text_doc_stats" -> graft.text.TextAnalysis.docStatsSql,
     "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,

@@ -149,6 +149,77 @@ object TpchHeavyQueries {
       |ORDER BY o_totalprice DESC, o_orderkey ASC
       |LIMIT 100""".stripMargin
 
+  // ------------------------------------------------ Q22 shape
+  /** Idle wealthy customers: above-average account balance and no
+    * URGENT orders — the global-avg scalar subquery (broadcast 1-row
+    * cross join, same pattern as the incremental watermark) plus a
+    * left-anti join standing in for NOT EXISTS. */
+  def idleWealthyCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("__avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        roundPortable(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val idleWealthyCustomersSql: String =
+    s"""SELECT c_mktsegment, count(*) AS numcust,
+      |  ${roundPortableSql("sum(c_acctbal)", 2)} AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------ Q11 shape
+  /** Major suppliers: those whose revenue exceeds a fixed fraction of
+    * TOTAL revenue — HAVING against a global scalar subquery
+    * (broadcast the 1-row total; per-supplier aggregate shuffles once
+    * on l_suppkey). Revenue in DECIMAL so group and total sums are
+    * order-independent. */
+  def majorSuppliers(s: SparkSession, dir: String, fraction: Double = 0.0012): DataFrame = {
+    // per-row double→decimal goes through DECIMAL(28,10): a direct 2dp
+    // cast rounds Spark's shortest-string repr where DuckDB rounds the
+    // binary double — at 10 digits both agree, then the 2dp round and
+    // the decimal sum are exact on both sides
+    import org.apache.spark.sql.types.DecimalType
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"),
+        round((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(28, 10)), 2).cast(DecimalType(18, 2)).as("rev"))
+    val perSupp = li.groupBy(col("l_suppkey")).agg(sum(col("rev")).as("supp_rev"))
+    val total = li.agg(sum(col("rev")).as("total_rev"))
+    perSupp.crossJoin(broadcast(total))
+      .filter(col("supp_rev") > col("total_rev") * lit(fraction))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("supp_rev").cast("double").as("supplier_revenue"))
+      .orderBy(col("supplier_revenue").desc, col("s_suppkey").asc)
+  }
+
+  val majorSuppliersSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10)), 2)
+      |      AS DECIMAL(18,2)) AS r
+      |  FROM lineitem
+      |)
+      |SELECT s_suppkey, s_name,
+      |  CAST(sum(r) AS DOUBLE) AS supplier_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_suppkey, s_name
+      |HAVING sum(r) > (SELECT sum(r) FROM rev) * 0.0012
+      |ORDER BY supplier_revenue DESC, s_suppkey ASC""".stripMargin
+
   // ------------------------------------------------ exact percentiles
   /** Exact interpolated percentiles of order value per priority:
     * Spark's `percentile` and DuckDB's `quantile_cont` share the
