@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_exact" -> (graft.dedup.NearDup.exactGroupsQuery _),
     "dedup_ngram_jaccard" -> (graft.dedup.NearDup.jaccardPairsQuery _),
     "dedup_minhash_lsh" -> (graft.dedup.NearDup.minhashPairsQuery _),
+    "dedup_clusters" -> (graft.dedup.NearDup.clustersQuery _),
     "dedup_simhash" -> (graft.dedup.NearDup.simhashPairsQuery _),
     "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
     "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
@@ -161,6 +162,7 @@ object SparkEntry {
     "text_topk_tokens_sketch" -> graft.text.QualityFilters.topTokensSketchSql,
     "dedup_exact" -> graft.dedup.NearDup.exactGroupsSql,
     "dedup_ngram_jaccard" -> graft.dedup.NearDup.jaccardPairsSql,
+    "dedup_clusters" -> graft.dedup.NearDup.clustersSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_topk_lsh /
     // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are

@@ -126,6 +126,67 @@ object NearDup {
        |      AS DECIMAL(28,10)), 4) AS DOUBLE) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------ duplicate clustering
+
+  /** Connected components over duplicate pairs — the keep-list builder
+    * (each doc labeled with its component's min doc_id; keep the label
+    * row, drop the rest). Iterative min-label propagation, the
+    * GraphX/Pregel pattern in plain DataFrames: each round every node
+    * takes the min label among itself and its neighbours; converged
+    * when nothing changes. Rounds needed ≈ graph diameter (dup
+    * clusters are near-cliques, so 2–3 in practice); `localCheckpoint`
+    * per round truncates the growing lineage. One hash shuffle per
+    * round on the node id — the standard large-scale CC shape (the
+    * large-star/small-star optimization drops in here if components
+    * ever get web-scale deep). */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      converged = updated.filter(col("new_label") < col("label")).isEmpty
+      labels = updated.select(col("node"), col("new_label").as("label"))
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .withColumn("is_kept", col("doc_id") === col("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cluster the exact-Jaccard duplicate pairs (every doc that appears
+    * in some duplicate pair, labeled by component). */
+  def clustersQuery(s: SparkSession, dir: String): DataFrame =
+    duplicateClusters(jaccardPairs(Tables.documents(s, dir)))
+
+  /** DuckDB oracle: transitive closure by recursive CTE (min reachable
+    * id per node == the component representative). */
+  val clustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${jaccardPairsSql.replace("\n", "\n  ")})
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach(s, l) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+       |  UNION
+       |  SELECT e.s, r.l FROM edges e JOIN reach r ON e.d = r.s
+       |)
+       |SELECT s AS doc_id, min(l) AS cluster_rep,
+       |  s = min(l) AS is_kept
+       |FROM reach GROUP BY s
+       |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------- MinHash LSH
 
   /** Deterministic affine hash family over a 31-bit fold of

@@ -37,6 +37,21 @@ class DedupSimSpec extends AnyFunSuite {
       s"recall $recovered/$nExact")
   }
 
+  test("duplicate clustering: min-label components across chained pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 (diameter 5) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = NearDup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // keep-list: exactly one kept doc per component
+    val kept = NearDup.duplicateClusters(pairs)
+      .filter(col("is_kept")).count()
+    assert(kept === 2)
+  }
+
   test("hot-bucket cap bounds pair generation on a degenerate corpus") {
     import spark.implicits._
     // 200 near-identical docs: every band bucket collapses to one hash
