@@ -84,7 +84,7 @@ object ServingSink {
     * each column min/max-normalized to `bits` bits, then bit-
     * interleaved — pure `functions._` Column arithmetic, fully
     * codegen'd. */
-  private[sink] def zKey(a: Column, b: Column,
+  private[graft] def zKey(a: Column, b: Column,
                          aMin: Double, aMax: Double,
                          bMin: Double, bMax: Double, bits: Int): Column = {
     val scale = (1L << bits) - 1

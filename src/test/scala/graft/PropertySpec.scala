@@ -57,6 +57,49 @@ class PropertySpec extends AnyFunSuite {
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
   }
 
+  test("ntileOf formula matches SQL NTILE bucket sizes for random (n, k)") {
+    val cases = samples(Gen.zip(Gen.chooseNum(1, 500), Gen.chooseNum(1, 12)), 40)
+    cases.foreach { case (n, k) =>
+      val df = (1 to n).map(_.toLong).toDF("rn")
+        .withColumn("b", graft.ops.GlobalRank.ntileOf(col("rn"), lit(n.toLong), k))
+      val sizes = df.groupBy("b").count().orderBy("b")
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+      val q = n / k; val r = n % k
+      val expected = (1 to math.min(k, n)).map(i =>
+        i -> (if (i <= r) (q + 1).toLong else q.toLong)).filter(_._2 > 0)
+      assert(sizes.toSeq === expected, s"n=$n k=$k")
+    }
+  }
+
+  test("foldBytes stays within [0, p) and is order-sensitive") {
+    import graft.multimodal.Multimodal.MediaCodec
+    val cases = samples(Gen.listOfN(64, Gen.chooseNum(-128, 127)), 30)
+    cases.foreach { xs =>
+      val bytes = xs.map(_.toByte).toArray
+      val f = MediaCodec.foldBytes(bytes, 17L)
+      assert(f >= 0 && f < MediaCodec.FoldMod)
+      if (bytes.distinct.length > 1) {
+        val rev = MediaCodec.foldBytes(bytes.reverse, 17L)
+        // order sensitivity (rolling hash, not a bag hash) — reversal
+        // collides only with probability ~1/p
+        assert(f != rev || bytes.sameElements(bytes.reverse))
+      }
+    }
+  }
+
+  test("z-key interleave: adjacent cells differ, key bounded by 2*bits") {
+    val df = (for (a <- 0 until 16; b <- 0 until 16) yield (a, b)).toDF("a", "b")
+    val keyed = df.withColumn("z",
+      graft.sink.ServingSink.zKey(col("a"), col("b"), 0, 15, 0, 15, 4)).cache()
+    // bijective on the 16x16 grid, bounded by 2*4 bits
+    assert(keyed.select("z").distinct().count() === 256)
+    assert(keyed.filter(col("z") < 0 || col("z") > 255).count() === 0)
+    // locality: the max z of the lower-left quadrant is below the min z
+    // of the upper-right quadrant's top cell region only in curve order —
+    // check the defining bit property instead: z(a,b) with a,b < 4 < 16
+    assert(keyed.filter(col("a") < 4 && col("b") < 4 && col("z") >= 64).count() === 0)
+  }
+
   test("rate guards: rates non-negative, denominators guarded (no inf/NaN)") {
     // NOTE: rates CAN exceed 100 here — event types are independent in
     // this dataset, so a segment can have more distinct purchasers than
