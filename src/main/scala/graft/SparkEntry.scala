@@ -92,6 +92,7 @@ object SparkEntry {
     "mm_media_meta" -> (graft.multimodal.Multimodal.mediaMetaQuery _),
     "mm_media_features" -> (graft.multimodal.Multimodal.featuresQuery _),
     "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),
+    "mm_modality_stats" -> (graft.multimodal.Multimodal.modalityStatsQuery _),
     "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
     // report/snapshot queries run over the shared silver cache (they
     // rebuild several marts internally — same amortization the marts get)
@@ -171,6 +172,7 @@ object SparkEntry {
     "mm_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
     "mm_media_features" -> graft.multimodal.Multimodal.featuresSql,
     "mm_video_frames" -> graft.multimodal.Multimodal.framesSql,
+    "mm_modality_stats" -> graft.multimodal.Multimodal.modalityStatsSql,
     "stream_hourly_agg" -> graft.streaming.StreamingEvents.hourlyAggSql,
     "quality_silver_report" -> graft.quality.DataChecks.silverReportSql,
     "quality_gold_report" -> graft.quality.DataChecks.goldReportSql,

@@ -181,6 +181,78 @@ object Multimodal {
     sampleFrames(mediaTable(Tables.documents(s, dir)))
       .orderBy(col("media_id"), col("frame_index"))
 
+  /** Per-modality typed stats — the mime-dispatched decode shape (a
+    * real pipeline runs a different codec per modality; here each
+    * branch is deterministic byte math on the payload, so the whole
+    * dispatch is oracle-checkable). Columns are NULL off-modality:
+    *  - image: mean intensity (mean byte / 255, floor-quantized 4 dp)
+    *  - audio: RMS of the 128-centered samples + zero-crossing count
+    *  - video: 64-byte frame count + mean frame length
+    * Same partition-batched single pass as [[extractFeatures]]. */
+  def modalityStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { records =>
+      records.map { r =>
+        val bytes = r.data
+        val n = math.max(1, bytes.length)
+        def q4(v: Double): Double = math.floor(v * 10000) / 10000
+        val (imgMean, audioRms, audioZc, vidFrames, vidMeanLen) = r.mime match {
+          case "image/png" =>
+            val mean = bytes.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / n / 255.0
+            (Some(q4(mean)), None, None, None, None)
+          case "audio/wav" =>
+            val sq = bytes.foldLeft(0L)((a, b) =>
+              a + (((b & 0xFF) - 128).toLong * ((b & 0xFF) - 128)))
+            val zc = bytes.sliding(2).count(p =>
+              p.length == 2 && ((p(0) & 0xFF) < 128) != ((p(1) & 0xFF) < 128))
+            (None, Some(q4(math.sqrt(sq.toDouble / n))), Some(zc), None, None)
+          case _ =>
+            val frames = (bytes.length + 63) / 64
+            (None, None, None, Some(frames),
+              Some(q4(bytes.length.toDouble / math.max(1, frames))))
+        }
+        (r.media_id, r.mime, imgMean, audioRms, audioZc, vidFrames, vidMeanLen)
+      }
+    }.toDF("media_id", "mime", "img_mean_intensity", "audio_rms",
+      "audio_zero_crossings", "video_frames", "video_mean_frame_len")
+  }
+
+  def modalityStatsQuery(s: SparkSession, dir: String): DataFrame =
+    modalityStats(mediaTable(Tables.documents(s, dir)))
+      .orderBy(col("media_id"))
+
+  /** DuckDB oracle: every branch replayed over the ASCII payload's
+    * byte list (identical IEEE division/sqrt; floor quantization is
+    * bit-portable). */
+  val modalityStatsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+      |    list_transform(string_split(text, ''), c -> ord(c)) AS bytes,
+      |    greatest(strlen(text), 1) AS n,
+      |    CAST(strlen(text) AS INT) AS len
+      |  FROM documents
+      |)
+      |SELECT media_id, mime,
+      |  CASE WHEN mime = 'image/png' THEN
+      |    floor(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (a,b) -> a + b) AS DOUBLE)
+      |      / n / 255.0 * 10000) / 10000 END AS img_mean_intensity,
+      |  CASE WHEN mime = 'audio/wav' THEN
+      |    floor(sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(bytes, b -> (b - 128) * (b - 128))), (a,b) -> a + b) AS DOUBLE)
+      |      / n) * 10000) / 10000 END AS audio_rms,
+      |  CASE WHEN mime = 'audio/wav' THEN
+      |    CAST(len(list_filter(range(len - 1),
+      |      i -> (bytes[i + 1] < 128) <> (bytes[i + 2] < 128))) AS INT)
+      |  END AS audio_zero_crossings,
+      |  CASE WHEN mime = 'video/mp4' THEN CAST((len + 63) // 64 AS INT) END AS video_frames,
+      |  CASE WHEN mime = 'video/mp4' THEN
+      |    floor(CAST(len AS DOUBLE) / greatest((len + 63) // 64, 1) * 10000) / 10000
+      |  END AS video_mean_frame_len
+      |FROM base
+      |ORDER BY media_id""".stripMargin
+
   /** DuckDB oracle for strided frame sampling: 64-char chunks of the
     * video-mime docs, every 4th chunk, digest = the same mod-prime
     * byte fold. */
