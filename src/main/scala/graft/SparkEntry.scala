@@ -49,6 +49,7 @@ object SparkEntry {
     "q_customers_without_big_orders" -> (TpchQueries.customersWithoutBigOrders _),
     "q_order_priority_share" -> (TpchQueries.orderPriorityShare _),
     "q_sessionize" -> (TpchQueries.sessionize _),
+    "q_session_windows" -> (TpchQueries.sessionWindows _),
     "q_asof_last_signup" -> (TpchQueries.purchasesWithLastSignup _),
     "q_asof_last_signup_native" -> (TpchQueries.purchasesWithLastSignupNative _),
     "q_asof_next_error" -> (TpchQueries.purchasesWithNextError _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "q_customers_without_big_orders" -> TpchQueries.customersWithoutBigOrdersSql,
     "q_order_priority_share" -> TpchQueries.orderPriorityShareSql,
     "q_sessionize" -> TpchQueries.sessionizeSql,
+    "q_session_windows" -> TpchQueries.sessionWindowsSql,
     "q_asof_last_signup" -> TpchQueries.purchasesWithLastSignupSql,
     "q_asof_last_signup_native" -> TpchQueries.purchasesWithLastSignupSql,
     "q_asof_next_error" -> TpchQueries.purchasesWithNextErrorSql,

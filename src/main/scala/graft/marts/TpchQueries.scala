@@ -310,4 +310,46 @@ object TpchQueries {
       |FROM seq
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
+
+  /** The NATIVE session-window operator (`session_window(ts, gap)` —
+    * Spark's merging-interval session aggregation, the streaming-ready
+    * form of [[sessionize]]): session end = last event + gap, events
+    * exactly `gap` apart start a NEW session (interval overlap is
+    * strict). Oracle reconstructs the same semantics at full µs
+    * precision with a lag + cumulative-sum pass. */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("session_events"),
+        moneySumIf(col("event_type") === "purchase", col("value")).as("session_revenue"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), SilverEvents.TsFmt).as("session_start"),
+        date_format(col("session_window.end"), SilverEvents.TsFmt).as("session_end"),
+        col("session_events"), col("session_revenue"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionWindowsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_type, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |), seq AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                              ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked
+      |)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  count(*) AS session_events,
+      |  CAST(round(sum(CASE WHEN event_type = 'purchase'
+      |                      THEN CAST(coalesce(value, 0) AS DECIMAL(18,2))
+      |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS session_revenue
+      |FROM seq
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 }
