@@ -179,6 +179,35 @@ object CoverageQueries {
       |GROUP BY 1
       |ORDER BY k_value""".stripMargin
 
+  /** Explicit GROUPING SETS through the SQL entry path (the exact set
+    * list rollup/cube can't express: per-type, per-day, and grand
+    * total — but NOT (type, day)). */
+  def groupingSetsSales(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_events")
+    s.sql(
+      """SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS event_day,
+        |  count(*) AS events,
+        |  CAST(round(sum(CASE WHEN event_type = 'purchase'
+        |                      THEN CAST(value AS DECIMAL(18,2))
+        |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS revenue,
+        |  grouping(event_type) AS g_type, grouping(date_format(ts, 'yyyy-MM-dd')) AS g_day
+        |FROM graft_events
+        |GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM-dd')), ())
+        |ORDER BY g_type, g_day, event_type, event_day""".stripMargin)
+  }
+
+  val groupingSetsSalesSql: String =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_day,
+      |  count(*) AS events,
+      |  CAST(round(sum(CASE WHEN event_type = 'purchase'
+      |                      THEN CAST(value AS DECIMAL(18,2))
+      |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS revenue,
+      |  CAST(grouping(event_type) AS TINYINT) AS g_type,
+      |  CAST(grouping(strftime(ts, '%Y-%m-%d')) AS TINYINT) AS g_day
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')), ())
+      |ORDER BY g_type, g_day, event_type, event_day""".stripMargin
+
   /** GROUP BY CUBE over (price_bucket, is_weekend) — all four grouping
     * combinations in one expand + hash agg (completes the grouping-set
     * family next to [[rollupSales]]). */

@@ -90,6 +90,39 @@ class PlatformSpec extends AnyFunSuite {
       col("e.unique_users") * 0.05 + 3).count() === 0)
   }
 
+  test("streaming session_window: emitted sessions agree with batch") {
+    val tmp = Files.createTempDirectory("graft_ssw_").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(s"$tmp/in")
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    val stream = StreamingEvents.readStream(spark, s"$tmp/in")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("session_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), fmt).as("session_start"),
+        date_format(col("session_window.end"), fmt).as("session_end"),
+        col("session_events"))
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("ssw_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val got = spark.table("ssw_out").cache()
+    val batch = SparkEntry.queries("q_session_windows")(spark, sf)
+      .select("user_id", "session_start", "session_end", "session_events").cache()
+    // append mode emits only watermark-closed sessions: every emitted
+    // session must exist verbatim in the batch result, and everything
+    // comfortably before the final watermark must have been emitted
+    assert(got.count() > 0)
+    assert(got.except(batch).count() === 0)
+    val maxTs = Tables.events(spark, sf).agg(max(col("ts"))).first().getTimestamp(0)
+    val safeHorizon = date_format(
+      lit(maxTs).cast("timestamp") - expr("INTERVAL 65 MINUTES"), fmt)
+    assert(batch.filter(col("session_end") <= safeHorizon)
+      .except(got).count() === 0)
+  }
+
   test("stream-static broadcast enrichment matches the batch formulation") {
     val tmp = Files.createTempDirectory("graft_ssd_").toString
     Tables.events(spark, sf).write.mode("overwrite").parquet(s"$tmp/in")
