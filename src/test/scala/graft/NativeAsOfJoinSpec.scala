@@ -88,6 +88,34 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(expected.except(native).count() === 0)
   }
 
+  test("bucketed inputs let the native as-of join skip both exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.sink.BucketedTables
+    val ev = Tables.events(spark, sf)
+    BucketedTables.writeBucketed(
+      ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+      "asof_purchases_b", Seq("user_id"), buckets = 4)
+    BucketedTables.writeBucketed(
+      ev.filter(col("event_type") === "signup").select("user_id", "ts")
+        .withColumn("st", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")),
+      "asof_signups_b", Seq("user_id"), buckets = 4)
+    val joined = AsOfJoinNative.backwardFlat(
+      spark.table("asof_purchases_b"), spark.table("asof_signups_b"),
+      "user_id", "ts", "ts", Seq("st"))
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      "bucketed co-clustered inputs must satisfy the as-of distribution without exchanges")
+    // and it still computes the right thing
+    val unbucketed = AsOfJoinNative.backwardFlat(
+      ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "signup").select("user_id", "ts")
+        .withColumn("st", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")),
+      "user_id", "ts", "ts", Seq("st"))
+    assert(joined.except(unbucketed).count() === 0)
+  }
+
   test("native exec plans as a co-partitioned merge (no window, no union)") {
     val ev = Tables.events(spark, sf)
     val l = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
