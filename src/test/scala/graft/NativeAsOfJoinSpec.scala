@@ -88,9 +88,20 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(expected.except(native).count() === 0)
   }
 
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // a fresh session catalog can leave orphan locations behind
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+  }
+
   test("bucketed inputs let the native as-of join skip both exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import graft.sink.BucketedTables
+    dropTable("asof_purchases_b"); dropTable("asof_signups_b")
     val ev = Tables.events(spark, sf)
     BucketedTables.writeBucketed(
       ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
