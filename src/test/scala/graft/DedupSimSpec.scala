@@ -50,6 +50,12 @@ class DedupSimSpec extends AnyFunSuite {
     val kept = NearDup.duplicateClusters(pairs)
       .filter(col("is_kept")).count()
     assert(kept === 2)
+    // pointer doubling: a 120-node chain (diameter 119) must converge
+    // well inside the round cap (O(log d) rounds)
+    val chain = (1 until 120).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val labels = NearDup.duplicateClusters(chain)
+    assert(labels.filter(col("cluster_rep") =!= 1L).count() === 0)
+    assert(labels.count() === 120)
   }
 
   test("hot-bucket cap bounds pair generation on a degenerate corpus") {
