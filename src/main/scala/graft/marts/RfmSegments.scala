@@ -82,9 +82,14 @@ object RfmSegments {
     val base = perUser(silver)
       .withColumn("monetary_dbl", col("monetary_dec").cast(DoubleType))
     val probs = Array(0.2, 0.4, 0.6, 0.8)
-    // one job computes all three sketches (columns share the pass)
-    val cuts = base.stat.approxQuantile(
+    // one job computes all three sketches (columns share the pass);
+    // empty input yields empty sketches — degrade to all-1 scores
+    // instead of folding over zero cutoffs
+    val cuts0 = base.stat.approxQuantile(
       Array("recency_days", "frequency", "monetary_dbl"), probs, relErr)
+    val cuts =
+      if (cuts0.exists(_.isEmpty)) Array.fill(3)(Array(Double.MaxValue))
+      else cuts0
     def above(c: Column, qs: Array[Double]): Column =
       qs.map(q => when(c > q, 1).otherwise(0)).reduce(_ + _) + 1
     def below(c: Column, qs: Array[Double]): Column =

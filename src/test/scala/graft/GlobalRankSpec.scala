@@ -54,6 +54,12 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(unpartitioned.isEmpty, "RFM must not plan an unpartitioned window")
   }
 
+  test("both RFM paths tolerate an empty silver frame") {
+    val empty = SparkEntry.queries("silver_events")(spark, sf).filter(lit(false))
+    assert(RfmSegments.build(empty).count() === 0)
+    assert(RfmSegments.buildAtScale(empty).count() === 0)
+  }
+
   test("buildAtScale agrees with exact ntile scoring away from boundaries") {
     val silver = SparkEntry.queries("silver_events")(spark, sf)
     val exact = RfmSegments.build(silver).cache()
