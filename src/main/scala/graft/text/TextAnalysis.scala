@@ -208,4 +208,60 @@ object TextAnalysis {
        |GROUP BY source
        |ORDER BY source""".stripMargin
   }
+
+  // --------------------------------- rolling-hash fingerprinting
+
+  /** Winnowing-style rolling-hash fingerprint (the MOSS idea): hash
+    * every 64-char window at stride 32 with the mod-prime polynomial
+    * fold, keep the MINIMUM window hash as the document fingerprint
+    * (robust to insertions outside the minimizing window, unlike a
+    * whole-document digest). All higher-order Column expressions —
+    * codegen'd, no UDF; the ragged tail past the last full window is
+    * ignored (standard winnowing). */
+  private val FpMod = 1000000007L
+  private val FpWin = 64
+  private val FpStride = 32
+
+  private def windowHash(text: Column, start: Column, len: Column): Column =
+    aggregate(
+      slice(split(text, ""), start, len),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + ascii(c), lit(FpMod)))
+
+  def rollingFingerprints(documents: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val nWin = when(len <= FpWin, lit(1))
+      .otherwise(floor((len - FpWin) / FpStride).cast("int") + 1)
+    val starts = sequence(lit(1), (nWin - 1) * FpStride + 1, lit(FpStride))
+    documents.select(
+        col("doc_id"),
+        nWin.as("n_windows"),
+        array_min(transform(starts,
+          s => windowHash(col("text"), s, least(lit(FpWin), len)))).as("min_window_hash"),
+        windowHash(col("text"), lit(1), len).as("full_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def rollingFingerprintsQuery(s: SparkSession, dir: String): DataFrame =
+    rollingFingerprints(graft.sources.Tables.documents(s, dir))
+
+  val rollingFingerprintsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, strlen(text) AS len,
+      |    CASE WHEN strlen(text) <= 64 THEN 1
+      |         ELSE CAST((strlen(text) - 64) // 32 AS INT) + 1 END AS n_windows
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_windows,
+      |  list_min(list_transform(range(n_windows), k ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(
+      |        substr(text, CAST(1 + 32 * k AS INT), least(64, CAST(len AS INT))), ''),
+      |        c -> ord(c))),
+      |      (a, b) -> (a * 31 + b) % 1000000007))) AS min_window_hash,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), c -> ord(c))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS full_hash
+      |FROM base
+      |ORDER BY doc_id""".stripMargin
 }
