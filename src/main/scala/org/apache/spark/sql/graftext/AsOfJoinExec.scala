@@ -174,6 +174,37 @@ object AsOfJoinNative {
                   rightPayload: Seq[String]): DataFrame =
     joinFlat(left, right, key, leftTime, rightTime, rightPayload, forward = true)
 
+  /** Nearest variant (pandas merge_asof direction='nearest' parity):
+    * the closer of the backward and forward matches per left row, ties
+    * preferring backward. Composed from the two native passes — the
+    * matched right time is threaded through both payloads so the
+    * distance compare is row-local. */
+  def nearestFlat(left: DataFrame, right: DataFrame, key: String,
+                  leftTime: String, rightTime: String,
+                  rightPayload: Seq[String]): DataFrame = {
+    // named imports: functions._ would shadow the left/right params
+    import org.apache.spark.sql.functions.{col, unix_micros, when}
+    val payloadWithT = (rightTime +: rightPayload).distinct
+    val back = joinFlat(left, right, key, leftTime, rightTime, payloadWithT,
+      forward = false)
+    val backRenamed = payloadWithT.foldLeft(back)((df, p) =>
+      df.withColumnRenamed(s"asof_$p", s"__bk_$p"))
+    val both = joinFlat(backRenamed, right, key, leftTime, rightTime, payloadWithT,
+      forward = true)
+    // µs precision — a plain long cast truncates to seconds
+    val bt = unix_micros(col(s"__bk_$rightTime"))
+    val ft = unix_micros(col(s"asof_$rightTime"))
+    val lt = unix_micros(col(leftTime))
+    val useBack = ft.isNull || (bt.isNotNull && (lt - bt) <= (ft - lt))
+    val picked = rightPayload.foldLeft(both)((df, p) =>
+      df.withColumn(s"asof_$p",
+        when(useBack, col(s"__bk_$p")).otherwise(col(s"asof_$p"))))
+    val dropCols = payloadWithT.map(p => s"__bk_$p") ++
+      (if (rightPayload.contains(rightTime)) Seq.empty[String]
+       else Seq(s"asof_$rightTime"))
+    picked.drop(dropCols: _*)
+  }
+
   private def joinFlat(left: DataFrame, right: DataFrame, key: String,
                        leftTime: String, rightTime: String,
                        rightPayload: Seq[String], forward: Boolean): DataFrame = {

@@ -88,6 +88,25 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(expected.except(native).count() === 0)
   }
 
+  test("nearest as-of picks the closer side, backward on ties") {
+    val left = Seq(
+      (1L, 10L, "2024-01-01 10:10:00"),  // back A@10:00 (10m) vs fwd B@11:00 (50m) -> A
+      (2L, 10L, "2024-01-01 10:50:00"),  // back A (50m) vs fwd B (10m) -> B
+      (3L, 10L, "2024-01-01 10:30:00"),  // exact tie 30m/30m -> backward A
+      (4L, 10L, "2024-01-01 09:00:00"),  // nothing before -> forward A
+      (5L, 10L, "2024-01-01 12:00:00"))  // nothing after -> backward B
+      .toDF("id", "k", "t_str")
+      .withColumn("t", col("t_str").cast("timestamp"))
+    val right = Seq(
+      (10L, "2024-01-01 10:00:00", "A"),
+      (10L, "2024-01-01 11:00:00", "B"))
+      .toDF("k", "t_str", "v")
+      .withColumn("t", col("t_str").cast("timestamp"))
+    val out = AsOfJoinNative.nearestFlat(left, right, "k", "t", "t", Seq("v"))
+      .select("id", "asof_v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "A", 2L -> "B", 3L -> "A", 4L -> "A", 5L -> "B"))
+  }
+
   private def dropTable(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     // a fresh session catalog can leave orphan locations behind
