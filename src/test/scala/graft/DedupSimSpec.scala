@@ -107,6 +107,14 @@ class DedupSimSpec extends AnyFunSuite {
       .select(col("probe_id"), col("cosine").as("c_exact"))
     assert(ivf.filter(col("rank") === 1).join(bestExact, "probe_id")
       .filter(col("cosine") > col("c_exact")).count() === 0)
+    // classic IVF trade: widening the probe set can only help recall
+    def recallAt(nprobe: Int): Double = {
+      val r = IvfAnn.ivfTopK(embs, nProbes = 5, k = 3, nprobe = nprobe)
+        .select("probe_id", "vec_id")
+        .join(brute, Seq("probe_id", "vec_id"), "left_semi").count()
+      r.toDouble / brute.count()
+    }
+    assert(recallAt(8) >= recallAt(2), "recall must be monotone in nprobe")
   }
 
   test("LSH topk is dominated by brute-force topk (no better-than-exact)") {
