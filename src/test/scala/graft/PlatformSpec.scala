@@ -90,6 +90,49 @@ class PlatformSpec extends AnyFunSuite {
       col("e.unique_users") * 0.05 + 3).count() === 0)
   }
 
+  test("dropDuplicatesWithinWatermark suppresses replayed duplicates") {
+    val tmp = Files.createTempDirectory("graft_ddw_").toString
+    val ev = Tables.events(spark, sf)
+    // replay: the same events land twice (duplicate event_ids)
+    ev.write.mode("overwrite").parquet(s"$tmp/in")
+    ev.write.mode("append").parquet(s"$tmp/in")
+    val q = StreamingEvents.deduppedWithinWatermark(
+        StreamingEvents.readStream(spark, s"$tmp/in"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("memory").queryName("ddw_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("ddw_out").count() === ev.count())
+    assert(spark.table("ddw_out").select("event_id").distinct().count() === ev.count())
+  }
+
+  test("runtime bloom filter prunes a selective fact-fact join") {
+    val conf = spark.conf
+    val old = (conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // test-scale scans are tiny; drop the application-side threshold
+      // AND disable auto-broadcast (the injection rule skips joins it
+      // could broadcast) so the rewrite fires like on a 100 TB fact join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter_agg"),
+        "expected a runtime bloom filter on the probe side")
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", old._1)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old._2)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", old._3)
+    }
+  }
+
   test("streaming session_window: emitted sessions agree with batch") {
     val tmp = Files.createTempDirectory("graft_ssw_").toString
     Tables.events(spark, sf).write.mode("overwrite").parquet(s"$tmp/in")
