@@ -56,6 +56,7 @@ object SparkEntry {
     "q_rollup_sales" -> (CoverageQueries.rollupSales _),
     "q_cube_sales" -> (CoverageQueries.cubeSales _),
     "q_grouping_sets_sales" -> (CoverageQueries.groupingSetsSales _),
+    "q_cohort_retention" -> (CoverageQueries.cohortRetention _),
     "q_item_revenue_percentiles" -> (CoverageQueries.itemRevenuePercentiles _),
     "q_buyer_set_ops" -> (CoverageQueries.buyerSetOps _),
     "q_pivot_daily_types" -> (CoverageQueries.pivotDailyTypes _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "q_rollup_sales" -> CoverageQueries.rollupSalesSql,
     "q_cube_sales" -> CoverageQueries.cubeSalesSql,
     "q_grouping_sets_sales" -> CoverageQueries.groupingSetsSalesSql,
+    "q_cohort_retention" -> CoverageQueries.cohortRetentionSql,
     "q_item_revenue_percentiles" -> CoverageQueries.itemRevenuePercentilesSql,
     "q_buyer_set_ops" -> CoverageQueries.buyerSetOpsSql,
     "q_pivot_daily_types" -> CoverageQueries.pivotDailyTypesSql,

@@ -179,6 +179,48 @@ object CoverageQueries {
       |GROUP BY 1
       |ORDER BY k_value""".stripMargin
 
+  /** Cohort retention matrix — the classic product-analytics query the
+    * reference's dashboards stop short of: users cohorted by first
+    * purchase month, counted per month offset they remained active.
+    * Two grouped aggregates + one join on user_id (the cohort frame is
+    * per-user — broadcast at test scale, shuffle join at 100 TB). */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    // weekly grain (epoch-Monday weeks) — the fixture spans ~1 month
+    val week = floor(datediff(to_date(col("ts")), lit("1970-01-05")) / 7)
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), week.as("w"))
+    val cohorts = purchases.groupBy(col("user_id"))
+      .agg(min(col("w")).as("cohort_w"))
+    val active = purchases.select(col("user_id"), col("w")).distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_w"), (col("w") - col("cohort_w")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(
+        date_format(date_add(lit("1970-01-05").cast("date"),
+          (col("cohort_w") * 7).cast("int")), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH purchases AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS w
+      |  FROM events WHERE event_type = 'purchase'
+      |), cohorts AS (
+      |  SELECT user_id, min(w) AS cohort_w FROM purchases GROUP BY user_id
+      |), active AS (
+      |  SELECT DISTINCT user_id, w FROM purchases
+      |)
+      |SELECT
+      |  strftime(DATE '1970-01-05' + INTERVAL (cohort_w * 7) DAY, '%Y-%m-%d') AS cohort_week,
+      |  w - cohort_w AS week_offset,
+      |  count(*) AS active_users
+      |FROM active JOIN cohorts USING (user_id)
+      |GROUP BY cohort_w, w - cohort_w
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Explicit GROUPING SETS through the SQL entry path (the exact set
     * list rollup/cube can't express: per-type, per-day, and grand
     * total — but NOT (type, day)). */
