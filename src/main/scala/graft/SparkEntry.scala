@@ -57,6 +57,8 @@ object SparkEntry {
     "q_cube_sales" -> (CoverageQueries.cubeSales _),
     "q_grouping_sets_sales" -> (CoverageQueries.groupingSetsSales _),
     "q_cohort_retention" -> (CoverageQueries.cohortRetention _),
+    "q_value_windows" -> (CoverageQueries.valueWindows _),
+    "q_multiset_ops" -> (CoverageQueries.multisetOps _),
     "q_item_revenue_percentiles" -> (CoverageQueries.itemRevenuePercentiles _),
     "q_buyer_set_ops" -> (CoverageQueries.buyerSetOps _),
     "q_pivot_daily_types" -> (CoverageQueries.pivotDailyTypes _),
@@ -142,6 +144,8 @@ object SparkEntry {
     "q_cube_sales" -> CoverageQueries.cubeSalesSql,
     "q_grouping_sets_sales" -> CoverageQueries.groupingSetsSalesSql,
     "q_cohort_retention" -> CoverageQueries.cohortRetentionSql,
+    "q_value_windows" -> CoverageQueries.valueWindowsSql,
+    "q_multiset_ops" -> CoverageQueries.multisetOpsSql,
     "q_item_revenue_percentiles" -> CoverageQueries.itemRevenuePercentilesSql,
     "q_buyer_set_ops" -> CoverageQueries.buyerSetOpsSql,
     "q_pivot_daily_types" -> CoverageQueries.pivotDailyTypesSql,

@@ -162,6 +162,71 @@ object CoverageQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Value-window family (first_value / last_value / nth_value with
+    * explicit frames) over per-user purchase sequences — completes the
+    * window inventory next to the rank family (purchaseRanks) and the
+    * distribution family (itemRevenuePercentiles). */
+  def valueWindows(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val fullFrame = byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        date_format(col("ts"), SilverEvents.TsFmt).as("purchase_time"),
+        round(col("value"), 2).as("amount"))
+      .withColumn("first_amount", first(col("amount")).over(byUser))
+      .withColumn("last_amount", last(col("amount")).over(fullFrame))
+      .withColumn("second_amount", nth_value(col("amount"), 2).over(fullFrame))
+      .drop("ts")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val valueWindowsSql: String =
+    """SELECT user_id, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+      |  round(value, 2) AS amount,
+      |  first_value(round(value, 2)) OVER w AS first_amount,
+      |  last_value(round(value, 2)) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_amount,
+      |  nth_value(round(value, 2), 2) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_amount
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Multiset set ops (EXCEPT ALL / INTERSECT ALL — §2.7 completion
+    * beyond the distinct-set forms in [[buyerSetOps]]): per-occurrence
+    * semantics over the (user_id, event_type) bags of two date halves. */
+  def multisetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+    val firstHalf = ev.filter(col("d") <= lit("2024-01-15")).drop("d")
+    val secondHalf = ev.filter(col("d") > lit("2024-01-15")).drop("d")
+    firstHalf.exceptAll(secondHalf).withColumn("op", lit("first_minus_second"))
+      .union(firstHalf.intersectAll(secondHalf).withColumn("op", lit("in_both")))
+      .groupBy(col("op"), col("event_type"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("op"), col("event_type"))
+  }
+
+  val multisetOpsSql: String =
+    """WITH fh AS (SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15'),
+      |sh AS (SELECT user_id, event_type FROM events WHERE CAST(ts AS DATE) > DATE '2024-01-15'),
+      |diffed AS (
+      |  SELECT 'first_minus_second' AS op, event_type
+      |  FROM (SELECT * FROM fh EXCEPT ALL SELECT * FROM sh)
+      |  UNION ALL
+      |  SELECT 'in_both', event_type
+      |  FROM (SELECT * FROM fh INTERSECT ALL SELECT * FROM sh)
+      |)
+      |SELECT op, event_type, count(*) AS occurrences
+      |FROM diffed
+      |GROUP BY op, event_type
+      |ORDER BY op, event_type""".stripMargin
+
   /** JSON extraction (§2.8 "JSON functions: none in reference" — but
     * the props column is JSON, so surface the native path). */
   def jsonProps(s: SparkSession, dir: String): DataFrame =
