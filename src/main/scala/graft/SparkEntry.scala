@@ -78,6 +78,10 @@ object SparkEntry {
     "q_order_value_percentiles" -> (TpchHeavyQueries.orderValuePercentiles _),
     "q_idle_wealthy_customers" -> (TpchHeavyQueries.idleWealthyCustomers _),
     "q_major_suppliers" -> ((s, dir) => TpchHeavyQueries.majorSuppliers(s, dir)),
+    "q_volume_shipping" -> (TpchTradeQueries.volumeShippingQuery _),
+    "q_market_share" -> (TpchTradeQueries.marketShareQuery _),
+    "q_promo_revenue" -> (TpchTradeQueries.promoRevenue _),
+    "q_disjunctive_revenue" -> (TpchTradeQueries.disjunctiveRevenue _),
     "text_doc_stats" -> (graft.text.TextAnalysis.docStatsQuery _),
     "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
@@ -90,6 +94,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (graft.dedup.NearDup.jaccardPairsQuery _),
     "dedup_minhash_lsh" -> (graft.dedup.NearDup.minhashPairsQuery _),
     "dedup_clusters" -> (graft.dedup.NearDup.clustersQuery _),
+    "dedup_clusters_star" -> ((s, dir) => graft.dedup.ConnectedComponents
+      .duplicateClustersStar(graft.dedup.NearDup.jaccardPairs(
+        graft.sources.Tables.documents(s, dir)))),
     "dedup_simhash" -> (graft.dedup.NearDup.simhashPairsQuery _),
     "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
     "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
@@ -165,6 +172,10 @@ object SparkEntry {
     "q_order_value_percentiles" -> TpchHeavyQueries.orderValuePercentilesSql,
     "q_idle_wealthy_customers" -> TpchHeavyQueries.idleWealthyCustomersSql,
     "q_major_suppliers" -> TpchHeavyQueries.majorSuppliersSql,
+    "q_volume_shipping" -> TpchTradeQueries.volumeShippingSql,
+    "q_market_share" -> TpchTradeQueries.marketShareSql,
+    "q_promo_revenue" -> TpchTradeQueries.promoRevenueSql,
+    "q_disjunctive_revenue" -> TpchTradeQueries.disjunctiveRevenueSql,
     "text_doc_stats" -> graft.text.TextAnalysis.docStatsSql,
     "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,
@@ -176,6 +187,8 @@ object SparkEntry {
     "dedup_exact" -> graft.dedup.NearDup.exactGroupsSql,
     "dedup_ngram_jaccard" -> graft.dedup.NearDup.jaccardPairsSql,
     "dedup_clusters" -> graft.dedup.NearDup.clustersSql,
+    // the star-contraction CC must produce byte-identical components
+    "dedup_clusters_star" -> graft.dedup.NearDup.clustersSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_topk_lsh /
     // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are

@@ -115,10 +115,16 @@ object DataChecks {
     * non-negative revenue) over our gold marts. */
   def goldSuite(silver: DataFrame): Seq[Check] = {
     import graft.marts._
-    val daily = DailySales.build(silver)
-    val item = ItemPerformance.build(silver)
-    val journey = UserJourneyFunnel.build(silver)
-    val rfm = RfmSegments.build(silver)
+    // Each mart feeds 2-3 union branches of the report; without a
+    // materialization point every branch re-aggregates silver (RFM —
+    // the most expensive mart — ran 3× in the round-2 bench).
+    // Checkpoint once: the marts are the small side (|dates|, |items|,
+    // |users| rows, not |events|), so storing them beats recompute at
+    // any scale.
+    val daily = DailySales.build(silver).localCheckpoint()
+    val item = ItemPerformance.build(silver).localCheckpoint()
+    val journey = UserJourneyFunnel.build(silver).localCheckpoint()
+    val rfm = RfmSegments.build(silver).localCheckpoint()
     Seq(
       prefixed("daily_sales", unique(daily, Seq("event_date"))),
       prefixed("daily_sales", notNull(daily, "event_date")),

@@ -134,12 +134,18 @@ object EmbeddingSim {
     val probeBands = banded(p, col("probe_emb"),
       Seq(col("probe_id"), col("probe_emb")))
 
+    // Score BEFORE dropDuplicates: a pair colliding in b bands is
+    // scored b (≤4) times, but the dedup shuffle then moves only
+    // (probe_id, vec_id, label, cosine) — not two 64-float arrays per
+    // row. Duplicate collisions score identically, so the dedup pick
+    // is deterministic. CPU ≤4× cosine vs ~30× narrower shuffle rows
+    // is the right trade at any scale.
     val cand = corpusBands.join(broadcast(probeBands), Seq("band_id", "band_val"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select("probe_id", "vec_id", "label", "embedding", "probe_emb")
-      .dropDuplicates("probe_id", "vec_id")
       .withColumn("cosine",
         ConditionalAgg.roundPortable(cosineSim(col("embedding"), col("probe_emb")), 6))
+      .select("probe_id", "vec_id", "label", "cosine")
+      .dropDuplicates("probe_id", "vec_id")
     TopK.perGroup(
         cand.select(col("probe_id"), col("vec_id"), col("label"), col("cosine")),
         groupKeys = Seq("probe_id"),
@@ -156,16 +162,19 @@ object EmbeddingSim {
   def nearDupPairs(embeddings: DataFrame, topPairs: Int = 20): DataFrame = {
     val bands = banded(embeddings, col("embedding"),
       Seq(col("vec_id"), col("embedding")))
+    // Same shape as lshTopK: score inside the bucket join, THEN dedup
+    // — the (vec_a, vec_b) dedup shuffle carries one double instead of
+    // two 64-float arrays (the round-2 plan shuffled ~1.6 GB of
+    // embedding payload at sf0.1 for this; narrow rows are ~30× less).
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.embedding").as("emb_a"), col("y.embedding").as("emb_b"))
+        ConditionalAgg.roundPortable(
+          cosineSim(col("x.embedding"), col("y.embedding")), 6).as("cosine"))
       .dropDuplicates("vec_a", "vec_b")
-      .withColumn("cosine",
-        ConditionalAgg.roundPortable(cosineSim(col("emb_a"), col("emb_b")), 6))
-    TopK.global(cand.select("vec_a", "vec_b", "cosine"),
+    TopK.global(cand,
       order = Seq(col("cosine").desc, col("vec_a").asc, col("vec_b").asc), k = topPairs)
   }
 

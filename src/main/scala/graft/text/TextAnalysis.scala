@@ -222,23 +222,31 @@ object TextAnalysis {
   private val FpWin = 64
   private val FpStride = 32
 
-  private def windowHash(text: Column, start: Column, len: Column): Column =
+  /** Fold a pre-computed char-code slice. Taking codes (not text) means
+    * the O(|doc|) split+ascii runs once per ROW, not once per window —
+    * the round-2 formulation re-split the document inside every
+    * window's lambda (no common-subexpression elimination across
+    * higher-order-function boundaries), ~150× redundant work on a
+    * 5 KB doc. */
+  private def windowHash(codes: Column, start: Column, len: Column): Column =
     aggregate(
-      slice(split(text, ""), start, len),
+      slice(codes, start, len),
       lit(0L),
-      (acc, c) => pmod(acc * 31 + ascii(c), lit(FpMod)))
+      (acc, x) => pmod(acc * 31 + x, lit(FpMod)))
 
   def rollingFingerprints(documents: DataFrame): DataFrame = {
     val len = length(col("text"))
     val nWin = when(len <= FpWin, lit(1))
       .otherwise(floor((len - FpWin) / FpStride).cast("int") + 1)
     val starts = sequence(lit(1), (nWin - 1) * FpStride + 1, lit(FpStride))
-    documents.select(
+    documents
+      .withColumn("__codes", transform(split(col("text"), ""), c => ascii(c)))
+      .select(
         col("doc_id"),
         nWin.as("n_windows"),
         array_min(transform(starts,
-          s => windowHash(col("text"), s, least(lit(FpWin), len)))).as("min_window_hash"),
-        windowHash(col("text"), lit(1), len).as("full_hash"))
+          s => windowHash(col("__codes"), s, least(lit(FpWin), len)))).as("min_window_hash"),
+        windowHash(col("__codes"), lit(1), len).as("full_hash"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver captures only the last ~2000 chars of stdout and sbt
+  * appends its own `[success]` line after ours, so the single JSON
+  * line Bench prints must stay under 1700 chars no matter how many
+  * queries SparkEntry grows (round-2 lesson: the full 74-query map
+  * was 2.8 KB and the driver recorded `parsed: null`).
+  */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private def fakeResults(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => f"q_some_rather_long_query_name_$i%03d" -> (i * 0.123456789))
+
+  test("small result sets emit the full per-query map") {
+    val line = Bench.benchJson(fakeResults(10), 1.234567, "/tmp/sf")
+    assert(line.length <= 1700)
+    assert(line.contains("\"q_some_rather_long_query_name_001\":0.123"))
+    assert(!line.contains("queries_omitted"))
+    // one line, valid-JSON-ish shape
+    assert(!line.contains("\n"))
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":1.235,"))
+  }
+
+  test("large result sets fall back to the headline subset and stay under budget") {
+    val many = fakeResults(120) ++ Seq("silver_events" -> 0.5, "gold_daily_sales" -> 0.7)
+    val line = Bench.benchJson(many, 99.9, "/tmp/sf")
+    assert(line.length <= 1700, s"line was ${line.length} chars")
+    assert(line.contains("\"queries_omitted\":120"))
+    assert(line.contains("\"silver_events\":0.5"))
+    assert(line.contains("\"queries_full_file\":\"BENCH_FULL.json\""))
+  }
+
+  test("even the worst-case headline subset fits with sbt's success line in a 2000-char tail") {
+    val worst = (Bench.headlineNames.map(_ -> 999.999) ++ fakeResults(200)).toSeq
+    val line = Bench.benchJson(worst, 9999.999, "/root/testdata/sf0.1")
+    assert(line.length + 100 <= 2000, s"line was ${line.length} chars")
+  }
+}
