@@ -53,6 +53,7 @@ object SparkEntry {
     "q_asof_last_signup" -> (TpchQueries.purchasesWithLastSignup _),
     "q_asof_last_signup_native" -> (TpchQueries.purchasesWithLastSignupNative _),
     "q_asof_next_error" -> (TpchQueries.purchasesWithNextError _),
+    "q_asof_nearest_signup" -> (TpchQueries.purchasesWithNearestSignup _),
     "q_rollup_sales" -> (CoverageQueries.rollupSales _),
     "q_cube_sales" -> (CoverageQueries.cubeSales _),
     "q_grouping_sets_sales" -> (CoverageQueries.groupingSetsSales _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "q_idle_wealthy_customers" -> (TpchHeavyQueries.idleWealthyCustomers _),
     "q_major_suppliers" -> ((s, dir) => TpchHeavyQueries.majorSuppliers(s, dir)),
     "q_volume_shipping" -> (TpchTradeQueries.volumeShippingQuery _),
+    "q_order_line_arrays" -> (ArrayFunQueries.orderLineArrays _),
     "q_market_share" -> (TpchTradeQueries.marketShareQuery _),
     "q_promo_revenue" -> (TpchTradeQueries.promoRevenue _),
     "q_disjunctive_revenue" -> (TpchTradeQueries.disjunctiveRevenue _),
@@ -117,6 +119,7 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("check_name"))),
     "meta_snapshots" -> ((s, dir) =>
       graft.sources.Snapshots.snapshotsOver(s, DailySales.build(silver(s, dir)))),
+    "maintenance_compaction" -> (graft.sink.Compaction.compactionQuery _),
     "pipeline_serving_sink" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_serving_").toString
       Pipeline.runAll(s, dir, out)
@@ -147,6 +150,7 @@ object SparkEntry {
     "q_asof_last_signup" -> TpchQueries.purchasesWithLastSignupSql,
     "q_asof_last_signup_native" -> TpchQueries.purchasesWithLastSignupSql,
     "q_asof_next_error" -> TpchQueries.purchasesWithNextErrorSql,
+    "q_asof_nearest_signup" -> TpchQueries.purchasesWithNearestSignupSql,
     "q_rollup_sales" -> CoverageQueries.rollupSalesSql,
     "q_cube_sales" -> CoverageQueries.cubeSalesSql,
     "q_grouping_sets_sales" -> CoverageQueries.groupingSetsSalesSql,
@@ -173,6 +177,7 @@ object SparkEntry {
     "q_idle_wealthy_customers" -> TpchHeavyQueries.idleWealthyCustomersSql,
     "q_major_suppliers" -> TpchHeavyQueries.majorSuppliersSql,
     "q_volume_shipping" -> TpchTradeQueries.volumeShippingSql,
+    "q_order_line_arrays" -> ArrayFunQueries.orderLineArraysSql,
     "q_market_share" -> TpchTradeQueries.marketShareSql,
     "q_promo_revenue" -> TpchTradeQueries.promoRevenueSql,
     "q_disjunctive_revenue" -> TpchTradeQueries.disjunctiveRevenueSql,
@@ -202,5 +207,6 @@ object SparkEntry {
     "quality_silver_report" -> graft.quality.DataChecks.silverReportSql,
     "quality_gold_report" -> graft.quality.DataChecks.goldReportSql,
     "meta_snapshots" -> graft.sources.Snapshots.snapshotsSql,
+    "maintenance_compaction" -> graft.sink.Compaction.compactionSql,
   )
 }

@@ -253,6 +253,44 @@ object TpchQueries {
       |  ON e.user_id = x.user_id AND e.ts <= x.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Nearest-direction as-of (merge_asof direction='nearest' parity)
+    * through the native exec: each purchase matched to the CLOSER of
+    * the user's previous/next signup, ties preferring backward. The
+    * oracle composes DuckDB's two directional ASOF joins and re-applies
+    * the same µs-distance pick. */
+  def purchasesWithNearestSignup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        date_format(col("ts"), SilverEvents.TsFmt).as("purchase_time"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        date_format(col("ts"), SilverEvents.TsFmt).as("nearest_signup_time"))
+    org.apache.spark.sql.graftext.AsOfJoinNative
+      .nearestFlat(purchases, signups, "user_id", "ts", "ts",
+        Seq("nearest_signup_time"))
+      .select(col("event_id"), col("user_id"), col("purchase_time"),
+        col("asof_nearest_signup_time").as("nearest_signup_time"))
+      .orderBy(col("event_id"))
+  }
+
+  val purchasesWithNearestSignupSql: String =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+      |b AS (SELECT p.event_id, p.user_id, p.ts, s.ts AS bt
+      |      FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts),
+      |f AS (SELECT p.event_id, s2.ts AS ft
+      |      FROM p ASOF LEFT JOIN s s2 ON p.user_id = s2.user_id AND p.ts <= s2.ts)
+      |SELECT b.event_id, b.user_id,
+      |  strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+      |  strftime(CASE
+      |    WHEN ft IS NULL THEN bt
+      |    WHEN bt IS NULL THEN ft
+      |    WHEN (epoch_us(b.ts) - epoch_us(bt)) <= (epoch_us(ft) - epoch_us(b.ts)) THEN bt
+      |    ELSE ft END, '%Y-%m-%d %H:%M:%S') AS nearest_signup_time
+      |FROM b JOIN f USING (event_id)
+      |ORDER BY event_id""".stripMargin
+
   val purchasesWithLastSignupSql: String =
     """SELECT e.event_id, e.user_id,
       |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
