@@ -103,6 +103,7 @@ object SparkEntry {
     "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
     "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
     "sim_embed_topk_ivf" -> (graft.sim.IvfAnn.ivfTopKQuery _),
+    "sim_embed_topk_sq8" -> (graft.sim.ScalarQuantAnn.sq8TopKQuery _),
     "sim_embed_neardup" -> (graft.sim.EmbeddingSim.nearDupPairsQuery _),
     "mm_media_meta" -> (graft.multimodal.Multimodal.mediaMetaQuery _),
     "mm_media_features" -> (graft.multimodal.Multimodal.featuresQuery _),

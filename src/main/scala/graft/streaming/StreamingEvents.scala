@@ -103,7 +103,26 @@ object StreamingEvents {
     * watermarks and the join condition bounds the time range, so
     * state on each side is evictable — the canonical bounded-state
     * stream join shape (state grows with the interval, not the
-    * stream). */
+    * stream). Works identically on batch DataFrames (same plan minus
+    * state), which is what the parity spec exploits. */
+  def purchaseSignupIntervalJoin(events: DataFrame): DataFrame = {
+    val isStreaming = events.isStreaming
+    def wm(df: DataFrame, c: String): DataFrame =
+      if (isStreaming) df.withWatermark(c, "2 hours") else df
+    val purchases = wm(events
+      .filter(lower(trim(col("event_type"))) === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts")), "p_ts")
+    val signups = wm(events
+      .filter(lower(trim(col("event_type"))) === "signup")
+      .select(col("user_id").as("s_user_id"), col("ts").as("s_ts")), "s_ts")
+    purchases.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("s_ts"))
+  }
+
   /** Incremental gold serving via foreachBatch: every micro-batch of
     * (deduplicated) events aggregates ONLY its own rows into a
     * MERGEABLE partial — additive counts, full-scale decimal revenue,

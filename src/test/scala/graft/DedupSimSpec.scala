@@ -117,6 +117,35 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recallAt(8) >= recallAt(2), "recall must be monotone in nprobe")
   }
 
+  test("SQ8: codes bounded, round-trip error bounded, high recall after refine") {
+    import graft.sim.ScalarQuantAnn
+    val (lo, hi) = ScalarQuantAnn.trainBounds(embs)
+    assert(lo.size === EmbeddingSim.Dim && hi.size === EmbeddingSim.Dim)
+    assert(lo.zip(hi).forall { case (l, h) => l <= h })
+    // codes integral in [0,255]; dequantized values inside trained bounds
+    val coded = embs.select(col("vec_id"),
+      ScalarQuantAnn.quantize(col("embedding"), lo, hi).as("code"))
+    assert(coded.filter(exists(col("code"), c => c < 0 || c > 255)).isEmpty)
+    // max reconstruction error per dim is half a quantization step
+    val err = embs
+      .select(zip_with(col("embedding"),
+        ScalarQuantAnn.dequantize(
+          ScalarQuantAnn.quantize(col("embedding"), lo, hi), lo, hi),
+        (x, y) => abs(x.cast("double") - y.cast("double"))).as("errs"))
+      .select(array_max(col("errs")).as("e"))
+      .agg(max(col("e"))).first().getDouble(0)
+    val maxStep = lo.zip(hi).map { case (l, h) => (h - l) / 255.0 }.max
+    assert(err <= maxStep / 2 + 1e-6, s"reconstruction error $err > half-step")
+    // refined SQ8 search recovers nearly all of the exact top-k
+    val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
+      .select("probe_id", "vec_id").cache()
+    val sq8 = ScalarQuantAnn.sq8TopK(embs, nProbes = 5, k = 3)
+    val recovered = sq8.select("probe_id", "vec_id")
+      .join(brute, Seq("probe_id", "vec_id"), "left_semi").count()
+    val recall = recovered.toDouble / brute.count()
+    assert(recall >= 0.85, s"SQ8 recall $recall too low for refine=4")
+  }
+
   test("LSH topk is dominated by brute-force topk (no better-than-exact)") {
     val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
       .groupBy("probe_id").agg(min("cosine").as("worst_exact"))
