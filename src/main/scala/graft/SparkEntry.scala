@@ -33,6 +33,8 @@ object SparkEntry {
     "silver_events" -> ((s, dir) => silver(s, dir)),
     "gold_daily_sales" -> ((s, dir) => DailySales.build(silver(s, dir))),
     "gold_daily_sales_approx" -> ((s, dir) => DailySales.buildApprox(silver(s, dir))),
+    "q_unpivot_daily_metrics" -> ((s, dir) =>
+      DailySales.unpivotMetrics(DailySales.build(silver(s, dir)))),
     "gold_hourly_traffic" -> ((s, dir) => HourlyTraffic.build(silver(s, dir))),
     "gold_item_performance" -> ((s, dir) => ItemPerformance.build(silver(s, dir))),
     "gold_user_journey_funnel" -> ((s, dir) => UserJourneyFunnel.build(silver(s, dir))),
@@ -100,6 +102,7 @@ object SparkEntry {
       .duplicateClustersStar(graft.dedup.NearDup.jaccardPairs(
         graft.sources.Tables.documents(s, dir)))),
     "dedup_simhash" -> (graft.dedup.NearDup.simhashPairsQuery _),
+    "dedup_fuzzy_parts" -> ((s, dir) => graft.dedup.FuzzyMatch.fuzzyPartPairs(s, dir)),
     "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
     "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
     "sim_embed_topk_ivf" -> (graft.sim.IvfAnn.ivfTopKQuery _),
@@ -132,6 +135,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "silver_events" -> SilverEvents.oracleSql,
     "gold_daily_sales" -> DailySales.oracleSql,
+    "q_unpivot_daily_metrics" -> DailySales.unpivotMetricsSql,
     "gold_hourly_traffic" -> HourlyTraffic.oracleSql,
     "gold_item_performance" -> ItemPerformance.oracleSql,
     "gold_user_journey_funnel" -> UserJourneyFunnel.oracleSql,
@@ -195,6 +199,7 @@ object SparkEntry {
     "dedup_clusters" -> graft.dedup.NearDup.clustersSql,
     // the star-contraction CC must produce byte-identical components
     "dedup_clusters_star" -> graft.dedup.NearDup.clustersSql,
+    "dedup_fuzzy_parts" -> graft.dedup.FuzzyMatch.fuzzyPartPairsSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_topk_lsh /
     // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are

@@ -56,6 +56,45 @@ object DailySales {
       .orderBy(col("event_date"))
   }
 
+  private val countMetrics = Seq("total_events", "view_count", "click_count",
+    "purchase_count", "signup_count", "error_count", "unique_users", "unique_buyers")
+
+  /** Wide→long melt of the daily count metrics (`Dataset.unpivot`, the
+    * relational UNPIVOT/melt operator): one row per (date, metric).
+    * Value columns must share a type — the eight counts are all
+    * BIGINT; the derived DOUBLE ratios stay wide. */
+  def unpivotMetrics(daily: DataFrame): DataFrame =
+    daily.unpivot(
+        Array(col("event_date")),
+        countMetrics.map(col).toArray,
+        "metric", "value")
+      .orderBy(col("event_date"), col("metric"))
+
+  val unpivotMetricsSql: String = SilverEvents.oracleCte + """,
+      |daily AS (
+      |  SELECT event_date,
+      |    count(*) AS total_events,
+      |    count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+      |    count(CASE WHEN event_type = 'click' THEN 1 END) AS click_count,
+      |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+      |    count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup_count,
+      |    count(CASE WHEN event_type = 'error' THEN 1 END) AS error_count,
+      |    count(DISTINCT user_id) AS unique_users,
+      |    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS unique_buyers
+      |  FROM silver GROUP BY event_date
+      |)
+      |SELECT event_date, metric, value FROM (
+      |  SELECT event_date, 'total_events' AS metric, total_events AS value FROM daily
+      |  UNION ALL SELECT event_date, 'view_count', view_count FROM daily
+      |  UNION ALL SELECT event_date, 'click_count', click_count FROM daily
+      |  UNION ALL SELECT event_date, 'purchase_count', purchase_count FROM daily
+      |  UNION ALL SELECT event_date, 'signup_count', signup_count FROM daily
+      |  UNION ALL SELECT event_date, 'error_count', error_count FROM daily
+      |  UNION ALL SELECT event_date, 'unique_users', unique_users FROM daily
+      |  UNION ALL SELECT event_date, 'unique_buyers', unique_buyers FROM daily
+      |)
+      |ORDER BY event_date, metric""".stripMargin
+
   val oracleSql: String = SilverEvents.oracleCte +
     """
       |SELECT

@@ -121,10 +121,13 @@ object DataChecks {
     // Checkpoint once: the marts are the small side (|dates|, |items|,
     // |users| rows, not |events|), so storing them beats recompute at
     // any scale.
-    val daily = DailySales.build(silver).localCheckpoint()
-    val item = ItemPerformance.build(silver).localCheckpoint()
-    val journey = UserJourneyFunnel.build(silver).localCheckpoint()
-    val rfm = RfmSegments.build(silver).localCheckpoint()
+    // eager=false: materialization happens inside the report job's own
+    // stages (parallel across marts) instead of four serial driver-
+    // blocking jobs; later branches reuse the stored partitions.
+    val daily = DailySales.build(silver).localCheckpoint(false)
+    val item = ItemPerformance.build(silver).localCheckpoint(false)
+    val journey = UserJourneyFunnel.build(silver).localCheckpoint(false)
+    val rfm = RfmSegments.build(silver).localCheckpoint(false)
     Seq(
       prefixed("daily_sales", unique(daily, Seq("event_date"))),
       prefixed("daily_sales", notNull(daily, "event_date")),
