@@ -35,6 +35,7 @@ object SparkEntry {
     "gold_daily_sales_approx" -> ((s, dir) => DailySales.buildApprox(silver(s, dir))),
     "q_unpivot_daily_metrics" -> ((s, dir) =>
       DailySales.unpivotMetrics(DailySales.build(silver(s, dir)))),
+    "q_scd2_user_stages" -> (Scd2.userStageHistory _),
     "gold_hourly_traffic" -> ((s, dir) => HourlyTraffic.build(silver(s, dir))),
     "gold_item_performance" -> ((s, dir) => ItemPerformance.build(silver(s, dir))),
     "gold_user_journey_funnel" -> ((s, dir) => UserJourneyFunnel.build(silver(s, dir))),
@@ -136,6 +137,7 @@ object SparkEntry {
     "silver_events" -> SilverEvents.oracleSql,
     "gold_daily_sales" -> DailySales.oracleSql,
     "q_unpivot_daily_metrics" -> DailySales.unpivotMetricsSql,
+    "q_scd2_user_stages" -> Scd2.userStageHistorySql,
     "gold_hourly_traffic" -> HourlyTraffic.oracleSql,
     "gold_item_performance" -> ItemPerformance.oracleSql,
     "gold_user_journey_funnel" -> UserJourneyFunnel.oracleSql,

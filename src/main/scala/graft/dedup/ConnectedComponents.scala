@@ -64,10 +64,13 @@ object ConnectedComponents {
     * min, is_kept = doc is the representative) for every node that
     * appears in some pair. */
   def duplicateClustersStar(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
-    val nodes = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct().localCheckpoint()
-    var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint()
+    // checkpoint the (possibly expensive) pair source ONCE — nodes and
+    // edges both derive from it, and without the materialization point
+    // each derivation re-evaluates the whole upstream pair query
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val nodes = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id"))).distinct()
+    var edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     var fp = fingerprint(edges)
     var converged = false
     var i = 0

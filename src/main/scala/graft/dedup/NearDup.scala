@@ -140,8 +140,11 @@ object NearDup {
     * large-star/small-star optimization drops in here if components
     * ever get web-scale deep). */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 40): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // materialize the pair source once — the symmetrizing union would
+    // otherwise evaluate the upstream pair query in BOTH branches
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
