@@ -94,6 +94,7 @@ object SparkEntry {
     "text_vocabulary" -> (graft.text.QualityFilters.vocabularyQuery _),
     "text_token_estimates" -> (graft.text.QualityFilters.tokenEstimatesQuery _),
     "text_topk_tokens_sketch" -> (graft.text.QualityFilters.topTokensSketch _),
+    "text_tfidf_top_terms" -> ((s, dir) => graft.text.QualityFilters.tfidfTopTerms(s, dir)),
     "text_rolling_fingerprints" -> (graft.text.TextAnalysis.rollingFingerprintsQuery _),
     "dedup_exact" -> (graft.dedup.NearDup.exactGroupsQuery _),
     "dedup_ngram_jaccard" -> (graft.dedup.NearDup.jaccardPairsQuery _),
@@ -195,6 +196,7 @@ object SparkEntry {
     "text_vocabulary" -> graft.text.QualityFilters.vocabularySql,
     "text_token_estimates" -> graft.text.QualityFilters.tokenEstimatesSql,
     "text_topk_tokens_sketch" -> graft.text.QualityFilters.topTokensSketchSql,
+    "text_tfidf_top_terms" -> graft.text.QualityFilters.tfidfTopTermsSql,
     "text_rolling_fingerprints" -> graft.text.TextAnalysis.rollingFingerprintsSql,
     "dedup_exact" -> graft.dedup.NearDup.exactGroupsSql,
     "dedup_ngram_jaccard" -> graft.dedup.NearDup.jaccardPairsSql,

@@ -184,4 +184,68 @@ object QualityFilters {
       |GROUP BY shingle
       |ORDER BY term_freq DESC, token ASC
       |LIMIT 50""".stripMargin
+
+  /** TF-IDF top terms per source, in the determinism-safe
+    * factorization: per-(source, term) term counts are EXACT long
+    * sums, and the smoothed IDF `ln((N+1)/(df+1)) + 1` multiplies the
+    * summed count ONCE — never a float accumulated across rows, so the
+    * score is order-independent (a per-row tfidf sum would float-drift
+    * under repartitioning). The 6-dp portable round keeps the ranking
+    * hash-comparable; ties break on term.
+    *
+    * Scale: tokens explode linearly; two hash aggregations (doc-term,
+    * source-term) + one shuffle join on term; the 1-row corpus size is
+    * a broadcast cross join, the same watermark-scalar pattern as
+    * Incremental. */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import graft.ops.ConditionalAgg.roundPortable
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokensCol(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val agg = tf.groupBy(col("source"), col("term"))
+      .agg(sum(col("tf")).as("term_count"))
+    val scored = agg.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score", roundPortable(
+        col("term_count") *
+          (log((col("n_docs") + 1).cast("double") / (col("dfreq") + 1).cast("double")) + 1), 6))
+      .select("source", "term", "term_count", "score")
+    graft.ops.TopK.perGroup(scored, Seq("source"),
+        Seq(col("score").desc, col("term").asc), k)
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val tfidfTopTermsSql: String = {
+    import graft.ops.ConditionalAgg.roundPortableSql
+    s"""WITH tokens AS (
+      |  SELECT doc_id, source,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, source, term, count(*) AS tf FROM tokens GROUP BY 1, 2, 3
+      |), dfreq AS (
+      |  SELECT term, count(*) AS dfreq FROM tf GROUP BY term
+      |), tot AS (SELECT count(*) AS n_docs FROM documents),
+      |agg AS (
+      |  SELECT source, term, CAST(sum(tf) AS BIGINT) AS term_count
+      |  FROM tf GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT source, term, term_count,
+      |    ${roundPortableSql(
+             "term_count * (ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq + 1 AS DOUBLE)) + 1)", 6)} AS score
+      |  FROM agg JOIN dfreq USING (term) CROSS JOIN tot
+      |), ranked AS (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY source ORDER BY score DESC, term ASC) AS INT) AS rank
+      |  FROM scored
+      |)
+      |SELECT source, term, term_count, score, rank FROM ranked
+      |WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin
+  }
 }
