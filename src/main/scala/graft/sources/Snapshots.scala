@@ -92,6 +92,35 @@ object Snapshots {
     writeSnapshot(kept.unionByName(updates), table, operation = "merge")
   }
 
+  /** CDC-style diff between two snapshot versions (Delta CHANGE DATA
+    * FEED / Iceberg changelog analog, computed after the fact from
+    * immutable versions): one row per changed key with change_type ∈
+    * {INSERT, DELETE, UPDATE}. Row equality is md5-of-JSON over the
+    * full row (column order fixed by the schema), so any non-key
+    * change surfaces as UPDATE.
+    *
+    * Scale: one full-outer key-equi join between the two versions —
+    * the unavoidable shape when the writer kept no per-commit row
+    * log; with key-sorted serving layouts both sides arrive
+    * pre-partitioned. */
+  def diff(spark: SparkSession, table: String, v1: Long, v2: Long,
+           keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def hashed(v: Long, tag: String) = {
+      val df = readAsOf(spark, table, v)
+      df.select(keys.map(col) :+
+        md5(to_json(struct(df.columns.sorted.map(col): _*))).as(s"__h_$tag"): _*)
+    }
+    hashed(v1, "a").join(hashed(v2, "b"), keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__h_a").isNull, lit("INSERT"))
+          .when(col("__h_b").isNull, lit("DELETE"))
+          .when(col("__h_a") =!= col("__h_b"), lit("UPDATE")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+      .orderBy(keys.map(col) :+ col("change_type"): _*)
+  }
+
   /** The `.snapshots` metadata frame: one row per version. */
   def snapshots(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._

@@ -98,31 +98,6 @@ object StreamingEvents {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
 
-  /** Stream-stream interval join: each purchase joined to the same
-    * user's signups within the preceding hour. Both sides carry
-    * watermarks and the join condition bounds the time range, so
-    * state on each side is evictable — the canonical bounded-state
-    * stream join shape (state grows with the interval, not the
-    * stream). Works identically on batch DataFrames (same plan minus
-    * state), which is what the parity spec exploits. */
-  def purchaseSignupIntervalJoin(events: DataFrame): DataFrame = {
-    val isStreaming = events.isStreaming
-    def wm(df: DataFrame, c: String): DataFrame =
-      if (isStreaming) df.withWatermark(c, "2 hours") else df
-    val purchases = wm(events
-      .filter(lower(trim(col("event_type"))) === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("ts").as("p_ts")), "p_ts")
-    val signups = wm(events
-      .filter(lower(trim(col("event_type"))) === "signup")
-      .select(col("user_id").as("s_user_id"), col("ts").as("s_ts")), "s_ts")
-    purchases.join(signups,
-      col("user_id") === col("s_user_id") &&
-        col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("s_ts"))
-  }
-
   /** Incremental gold serving via foreachBatch: every micro-batch of
     * (deduplicated) events aggregates ONLY its own rows into a
     * MERGEABLE partial — additive counts, full-scale decimal revenue,
@@ -188,6 +163,13 @@ object StreamingEvents {
         col("item_key"), col("p_name"), col("p_brand"),
         round(col("value"), 2).as("amount"))
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's signups within the preceding hour. Both sides carry
+    * watermarks and the join condition bounds the time range, so
+    * state on each side is evictable — the canonical bounded-state
+    * stream join shape (state grows with the interval, not the
+    * stream). Works identically on batch DataFrames (same plan minus
+    * state), which is what the PlatformSpec parity test exploits. */
   def purchaseSignupJoin(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),

@@ -44,6 +44,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(out(30L) === 30L && out(31L) === 30L)
   }
 
+  test("random graphs: star CC equals label-propagation CC (100 nodes, 3 seeds)") {
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(120)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val star = ConnectedComponents.duplicateClustersStar(toPairs(edges))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val prop = NearDup.duplicateClusters(toPairs(edges))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(star === prop, s"divergence at seed $seed")
+    }
+  }
+
   test("order of pair endpoints does not matter") {
     val fwd = toPairs(Seq((1L, 5L), (5L, 9L), (2L, 9L)))
     val rev = toPairs(Seq((5L, 1L), (9L, 5L), (9L, 2L)))

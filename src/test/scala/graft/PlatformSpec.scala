@@ -298,6 +298,25 @@ class PlatformSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshots diff: CDC change feed between two versions") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft_diff_").toString + "/t"
+    Snapshots.writeSnapshot(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "v"), table)
+    // v2: delete id=1, update id=2, keep id=3, insert id=4
+    Snapshots.writeSnapshot(
+      Seq((2L, "b2", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "name", "v"), table)
+    val changes = Snapshots.diff(spark, table, 1L, 2L, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes === Map(1L -> "DELETE", 2L -> "UPDATE", 4L -> "INSERT"))
+    // diff against self is empty; reversed diff flips INSERT/DELETE
+    assert(Snapshots.diff(spark, table, 2L, 2L, Seq("id")).isEmpty)
+    val rev = Snapshots.diff(spark, table, 2L, 1L, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rev === Map(1L -> "INSERT", 2L -> "UPDATE", 4L -> "DELETE"))
+  }
+
   test("snapshots mergeInto: upsert as a new immutable version") {
     import graft.sources.Snapshots
     import spark.implicits._
