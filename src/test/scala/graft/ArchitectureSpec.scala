@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-level guard rails for the 100 TB anti-pattern inventory: the
+  * data plane must stay declarative. Every exception is listed HERE
+  * with its reason — adding a new `.collect()`/UDF means consciously
+  * extending the allowlist, not silently regressing the scale story. */
+class ArchitectureSpec extends AnyFunSuite {
+
+  private val root = Paths.get("src/main/scala")
+
+  private def scalaFiles: Seq[Path] =
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala")).toSeq
+
+  private def offenders(needle: String, allow: Map[String, Int]): Seq[String] =
+    scalaFiles.flatMap { p =>
+      val name = p.getFileName.toString
+      val n = new String(Files.readAllBytes(p))
+        .linesIterator.map(_.trim)
+        .filterNot(l => l.startsWith("//") || l.startsWith("*") || l.startsWith("/*"))
+        .count(_.contains(needle))
+      val allowed = allow.getOrElse(name, 0)
+      if (n > allowed) Some(s"$name: $n×'$needle' (allowed $allowed)") else None
+    }
+
+  test("collect() only where the result is metadata-sized") {
+    // GlobalRank: <= numPartitions (pid, count) longs — the zipWithIndex offset map
+    // ConnectedComponents: one 3-long convergence fingerprint per round
+    // ScalarQuantAnn: 64 per-dimension (min, max) training bounds
+    val allow = Map("GlobalRank.scala" -> 1,
+      "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1)
+    assert(offenders(".collect()", allow).isEmpty,
+      offenders(".collect()", allow).mkString("; "))
+  }
+
+  test("no Scala UDFs anywhere — native expressions or built-ins only") {
+    assert(offenders("functions.udf", Map.empty).isEmpty)
+    assert(offenders("spark.udf.register", Map.empty).isEmpty)
+  }
+
+  test("RDD drops only in the whole-operator exec and partition-batched codec") {
+    // AsOfJoinExec: custom SparkPlan must produce RDD[InternalRow]
+    // Multimodal: partition-batched decode is the documented mapPartitions use
+    // ServingSink: JDBC writer iterates partitions for connection batching
+    val allow = Map("AsOfJoinExec.scala" -> 3,
+      "Multimodal.scala" -> 2, "ServingSink.scala" -> 2)
+    val hits = offenders("mapPartitions", allow) ++
+      offenders(".toRdd", Map("Bench.scala" -> 1))
+    assert(hits.isEmpty, hits.mkString("; "))
+  }
+
+  test("no driver-side row loops: first()/head() absent from the data plane") {
+    // Incremental reads its watermark via a broadcast 1-row join, not first()
+    // ServingSink: one 4-double min/max stats row for the z-order key bounds
+    assert(offenders(".first()", Map.empty).isEmpty)
+    assert(offenders(".head()", Map("ServingSink.scala" -> 1)).isEmpty)
+  }
+}
