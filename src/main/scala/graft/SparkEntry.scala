@@ -36,6 +36,7 @@ object SparkEntry {
     "q_unpivot_daily_metrics" -> ((s, dir) =>
       DailySales.unpivotMetrics(DailySales.build(silver(s, dir)))),
     "q_scd2_user_stages" -> (Scd2.userStageHistory _),
+    "q_customer_ltv_deciles" -> (LtvDeciles.build _),
     "gold_hourly_traffic" -> ((s, dir) => HourlyTraffic.build(silver(s, dir))),
     "gold_item_performance" -> ((s, dir) => ItemPerformance.build(silver(s, dir))),
     "gold_user_journey_funnel" -> ((s, dir) => UserJourneyFunnel.build(silver(s, dir))),
@@ -139,6 +140,7 @@ object SparkEntry {
     "gold_daily_sales" -> DailySales.oracleSql,
     "q_unpivot_daily_metrics" -> DailySales.unpivotMetricsSql,
     "q_scd2_user_stages" -> Scd2.userStageHistorySql,
+    "q_customer_ltv_deciles" -> LtvDeciles.oracleSql,
     "gold_hourly_traffic" -> HourlyTraffic.oracleSql,
     "gold_item_performance" -> ItemPerformance.oracleSql,
     "gold_user_journey_funnel" -> UserJourneyFunnel.oracleSql,

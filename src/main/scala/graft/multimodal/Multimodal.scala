@@ -46,7 +46,27 @@ object Multimodal {
   object MediaCodec {
     /** REAL decoder entry point — requires platform codec libraries
       * that are absent here. Wire libjpeg/ffmpeg/etc. bindings in at
-      * deployment; the pipeline shape does not change. */
+      * deployment; the pipeline shape does not change.
+      *
+      * Deployment wiring (three public options, in preference order):
+      *  1. JVM-native: TwelveMonkeys ImageIO (images) / JAVE or a
+      *     bundled ffmpeg binary driven per-partition (audio/video).
+      *     Drop the implementation straight into this method — the
+      *     `mapPartitions` callers batch records through one codec
+      *     instance per partition, which is exactly the lifecycle a
+      *     native-library context wants (init once, stream records,
+      *     close on iterator exhaustion).
+      *  2. `mapInPandas` + Pillow/torchaudio/decord on a PySpark
+      *     driver: same schema contract (binary `data` in, struct of
+      *     width/height/duration/histogram out), with
+      *     `spark.sql.execution.arrow.maxRecordsPerBatch` sized so a
+      *     batch of decoded frames fits executor memory (media rows
+      *     are MBs, not KBs — 64–256 rows/batch, not the 10k default).
+      *  3. External service: partition-batched async calls from
+      *     `mapPartitions` with bounded in-flight requests.
+      * In every case column pruning still drops `data` before any
+      * stage that only needs metadata — keep feature extraction and
+      * metadata queries in separate projections as done here. */
     def decodeReal(record: MediaRecord): MediaFeatures =
       ??? // stub: no codec libs in this environment (see scaladoc)
 

@@ -39,11 +39,20 @@ object GlobalRank {
   def withGlobalRowNumber(df: DataFrame, order: Seq[Column],
                           rankCol: String, totalCol: String): DataFrame = {
     val numParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // The checkpoint AFTER the range exchange is load-bearing: the
+    // counting job and the final job are separate query executions,
+    // and RangePartitioner seeds its boundary sampler from the RDD id
+    // — which differs per execution — so re-running the exchange can
+    // land rows in different partitions than the ones the collected
+    // counts describe (surfaced as off-by-a-few NTILE boundaries at
+    // 15k rows). Materializing the partitioned+numbered frame freezes
+    // pid/local-id, and every downstream job reads the same layout.
     val sorted = df.repartitionByRange(numParts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn(Pid, spark_partition_id())
       .withColumn(Local,
         (monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))) + 1)
+      .localCheckpoint()
     val counts = sorted.groupBy(col(Pid)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val total = counts.map(_._2).sum
