@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts: the properties the 100 TB story depends on,
+  * asserted against the actual planned string so a regression (lost
+  * broadcast, lost WindowGroupLimit, a window sneaking onto a single
+  * partition) fails the suite instead of surfacing as a slow cluster.
+  * String-level matching on executedPlan is deliberate — it survives
+  * operator reshuffles but catches strategy changes. */
+class PlanContractSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def analyzedPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("global top-k plans as TakeOrderedAndProject, never a full sort") {
+    assert(plan("q_top_parts").contains("TakeOrderedAndProject"))
+    assert(plan("q_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("per-group top-1 carries the WindowGroupLimit pushdown") {
+    assert(plan("gold_category_performance").contains("WindowGroupLimit"))
+  }
+
+  test("dimension joins broadcast in the trade queries") {
+    for (q <- Seq("q_volume_shipping", "q_market_share", "q_promo_revenue",
+        "q_disjunctive_revenue", "q_revenue_by_nation"))
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast")
+  }
+
+  test("scalable RFM never funnels rows through a single partition") {
+    // (a bare "Window" match would false-positive on the cached silver
+    // relation's partitioned dedup window printed inside
+    // InMemoryRelation — the actual scale property is the exchange)
+    assert(!plan("gold_user_rfm_segments_scalable").contains("SinglePartition"))
+    assert(!plan("gold_user_rfm_segments").contains("SinglePartition"))
+  }
+
+  test("parquet scans prune columns: lineitem reads only what q1 needs") {
+    val p = plan("q1_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"q1 scan reads columns it never uses: $readSchema")
+  }
+
+  test("selective dim predicates reach the scans as pushed filters") {
+    val p = plan("q_volume_shipping")
+    assert(p.contains("PushedFilters: [In(n_name"),
+      "nation pair filter did not push to the parquet scan")
+  }
+
+  test("native as-of join exec is actually planned for the native query") {
+    assert(plan("q_asof_last_signup_native").contains("AsOfJoin"))
+  }
+}
