@@ -104,7 +104,8 @@ object Bench {
     * written to BENCH_FULL.json alongside.
     */
   private[graft] def benchJson(
-      results: Seq[(String, Double)], total: Double, sfDir: String): String = {
+      results: Seq[(String, Double)], total: Double, sfDir: String,
+      fullFile: String = "BENCH_FULL.json"): String = {
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def line(rs: Seq[(String, Double)], extra: String): String = {
@@ -114,7 +115,7 @@ object Bench {
     }
     val full = line(results, "")
     try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      val w = new java.io.PrintWriter(fullFile)
       try w.println(full) finally w.close()
     } catch { case _: Throwable => }
     if (full.length <= 1700) full

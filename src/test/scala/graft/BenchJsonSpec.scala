@@ -10,11 +10,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchJsonSpec extends AnyFunSuite {
 
+  // NEVER the repo-root BENCH_FULL.json — a test run must not clobber
+  // the committed artifact of the last real benchmark
+  private def tmpFull: String =
+    java.nio.file.Files.createTempFile("bench_full_spec_", ".json").toString
+
   private def fakeResults(n: Int): Seq[(String, Double)] =
     (1 to n).map(i => f"q_some_rather_long_query_name_$i%03d" -> (i * 0.123456789))
 
   test("small result sets emit the full per-query map") {
-    val line = Bench.benchJson(fakeResults(10), 1.234567, "/tmp/sf")
+    val line = Bench.benchJson(fakeResults(10), 1.234567, "/tmp/sf", tmpFull)
     assert(line.length <= 1700)
     assert(line.contains("\"q_some_rather_long_query_name_001\":0.123"))
     assert(!line.contains("queries_omitted"))
@@ -25,7 +30,7 @@ class BenchJsonSpec extends AnyFunSuite {
 
   test("large result sets fall back to the headline subset and stay under budget") {
     val many = fakeResults(120) ++ Seq("silver_events" -> 0.5, "gold_daily_sales" -> 0.7)
-    val line = Bench.benchJson(many, 99.9, "/tmp/sf")
+    val line = Bench.benchJson(many, 99.9, "/tmp/sf", tmpFull)
     assert(line.length <= 1700, s"line was ${line.length} chars")
     assert(line.contains("\"queries_omitted\":120"))
     assert(line.contains("\"silver_events\":0.5"))
@@ -34,7 +39,7 @@ class BenchJsonSpec extends AnyFunSuite {
 
   test("even the worst-case headline subset fits with sbt's success line in a 2000-char tail") {
     val worst = (Bench.headlineNames.map(_ -> 999.999) ++ fakeResults(200)).toSeq
-    val line = Bench.benchJson(worst, 9999.999, "/root/testdata/sf0.1")
+    val line = Bench.benchJson(worst, 9999.999, "/root/testdata/sf0.1", tmpFull)
     assert(line.length + 100 <= 2000, s"line was ${line.length} chars")
   }
 }
