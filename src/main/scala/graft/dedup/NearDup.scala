@@ -77,52 +77,95 @@ object NearDup {
 
   // --------------------------------------------------- n-gram Jaccard
 
-  /** Exact pairwise Jaccard over 3-gram shingle sets, for pairs above
-    * `threshold`. Candidate pairs come from a self-join on shared
-    * shingles (every surviving pair shares ≥1 shingle, so this is
-    * exact, not approximate). At 100 TB use [[minhashPairs]] first and
-    * feed only its candidates through this verifier. */
-  def jaccardPairs(documents: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(documents)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("set_size"))
+  /** Shared-shingle candidate pairs with a document-frequency cap.
+    * Shingles held by more than `maxDf` docs are stop-phrases: a
+    * shingle shared by k docs emits k² join rows, so ONE hot 3-gram
+    * ("terms and conditions") makes the uncapped self-join quadratic
+    * in corpus size — the plan that dies first at 100 TB. Dropping
+    * them from candidate generation bounds the join at maxDf² rows
+    * per shingle while `df >= 2` prunes the (majority) singleton
+    * shingles that cannot form a pair at all.
+    *
+    * Exactness contract: Jaccard values of surviving pairs are later
+    * computed over the FULL sets (hot shingles included), so they are
+    * exact; only a pair whose shared shingles are ALL hotter than
+    * `maxDf` is missed — by then the docs belong to a >maxDf-member
+    * boilerplate family, which is [[minhashPairs]]'s job (its
+    * `bucketCap` salt-split keeps those families connected). The
+    * DuckDB oracle in [[jaccardPairsSql]] mirrors the cap. */
+  private[graft] def candidatePairs(sets: DataFrame, maxDf: Long): DataFrame = {
+    val sh = sets.select(col("doc_id"), explode(col("sh_set")).as("shingle"))
+    // df filter and the pair join below both shuffle on `shingle`, so
+    // the exchanges co-locate; the df agg is map-side combined
+    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("shingle"))
+    val rare = sh.join(keep, "shingle")
+    rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
 
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("intersection"))
-
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+  /** Exact-Jaccard verification of candidate pairs: join each pair to
+    * its two (sorted, distinct) shingle-set arrays and score with
+    * `array_intersect` — narrow per-row work on |candidates| rows, the
+    * shared tail of [[jaccardPairs]] and [[minhashPairs]]. */
+  private[graft] def verifiedJaccard(cand: DataFrame, sets: DataFrame,
+                                     threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), "doc_b")
+      .withColumn("intersection", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("size_a", size(col("set_a")).cast("long"))
+      .withColumn("size_b", size(col("set_b")).cast("long"))
       .withColumn("jaccard",
         graft.ops.ConditionalAgg.roundPortable(col("intersection").cast("double") /
           (col("size_a") + col("size_b") - col("intersection")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Exact pairwise Jaccard over 3-gram shingle sets, for pairs above
+    * `threshold`. Candidate pairs come from a df-capped self-join on
+    * shared shingles ([[candidatePairs]]); scores are computed over
+    * the full sets, so every reported pair's Jaccard is exact. */
+  def jaccardPairs(documents: DataFrame, threshold: Double = 0.8,
+                   maxShingleDf: Long = 1000): DataFrame = {
+    val sets = shingleSets(documents)
+    verifiedJaccard(candidatePairs(sets, maxShingleDf), sets, threshold)
   }
 
   def jaccardPairsQuery(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(Tables.documents(s, dir))
 
+  /** Mirrors [[jaccardPairs]] incl. the df cap (BETWEEN 2 AND 1000)
+    * and full-set `list_intersect` scoring. */
   val jaccardPairsSql: String =
     s"""WITH $shinglesCte,
-       |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id
+       |sets AS (SELECT doc_id, list(shingle) AS sh_set FROM sh GROUP BY doc_id),
+       |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 1000),
+       |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN keep k ON s.shingle = k.shingle),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS BIGINT) AS intersection,
+       |    CAST(len(sa.sh_set) AS BIGINT) AS size_a,
+       |    CAST(len(sb.sh_set) AS BIGINT) AS size_b
+       |  FROM cand
+       |  JOIN sets sa ON cand.doc_a = sa.doc_id
+       |  JOIN sets sb ON cand.doc_b = sb.doc_id
        |)
-       |SELECT doc_a, doc_b, intersection, sa.set_size AS size_a, sb.set_size AS size_b,
+       |SELECT doc_a, doc_b, intersection, size_a, size_b,
        |  CAST(round(CAST(CAST(intersection AS DOUBLE)
-       |        / CAST(sa.set_size + sb.set_size - intersection AS DOUBLE)
+       |        / CAST(size_a + size_b - intersection AS DOUBLE)
        |      AS DECIMAL(28,10)), 4) AS DOUBLE) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON inter.doc_a = sa.doc_id
-       |JOIN sizes sb ON inter.doc_b = sb.doc_id
+       |FROM scored
        |WHERE CAST(round(CAST(CAST(intersection AS DOUBLE)
-       |        / CAST(sa.set_size + sb.set_size - intersection AS DOUBLE)
+       |        / CAST(size_a + size_b - intersection AS DOUBLE)
        |      AS DECIMAL(28,10)), 4) AS DOUBLE) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -224,7 +267,7 @@ object NearDup {
 
   /** Per-doc sorted shingle sets — ONE grouped shuffle; signatures and
     * the exact-Jaccard verification both derive from it. */
-  private def shingleSets(documents: DataFrame): DataFrame =
+  private[graft] def shingleSets(documents: DataFrame): DataFrame =
     shingles(documents).groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("shingle"))).as("sh_set"))
 
@@ -298,18 +341,7 @@ object NearDup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
 
-      cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), "doc_b")
-        .withColumn("intersection", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-        .withColumn("size_a", size(col("set_a")).cast("long"))
-        .withColumn("size_b", size(col("set_b")).cast("long"))
-        .withColumn("jaccard",
-          graft.ops.ConditionalAgg.roundPortable(col("intersection").cast("double") /
-            (col("size_a") + col("size_b") - col("intersection")).cast("double"), 4))
-        .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard")
-        .orderBy(col("doc_a"), col("doc_b"))
+      verifiedJaccard(cand, sets, threshold)
     }
   }
 

@@ -76,6 +76,29 @@ class DedupSimSpec extends AnyFunSuite {
     assert(dflt.join(exact, Seq("doc_a", "doc_b"), "left_anti").count() === 0)
   }
 
+  test("shingle df-cap bounds exact-Jaccard candidate generation on a stop-phrase corpus") {
+    import spark.implicits._
+    // 60 docs share an 8-token stop phrase (every stop shingle df=60);
+    // tails are unique (df=1). Plus one true duplicate pair whose
+    // shingles have df=2 — well under any sane cap.
+    val stop = "please read these terms and conditions very carefully"
+    val corpus = ((1 to 60)
+      .map(i => (i.toLong, s"$stop unique$i tail$i token$i")) ++
+      Seq((100L, "identical duplicated content appears twice here"),
+          (101L, "identical duplicated content appears twice here")))
+      .toDF("doc_id", "text")
+    val sets = NearDup.shingleSets(corpus).cache()
+    // uncapped: the hot shingles alone emit C(60,2)=1770 candidates
+    assert(NearDup.candidatePairs(sets, 1000).count() === 1770 + 1)
+    // capped at 10: the stop-phrase pairs vanish, the real dup survives
+    val capped = NearDup.candidatePairs(sets, 10)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((100L, 101L)))
+    // end-to-end: exact Jaccard of the surviving pair is exact (1.0)
+    val pairs = NearDup.jaccardPairs(corpus, threshold = 0.8, maxShingleDf = 10).collect()
+    assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq === Seq((100L, 101L)))
+    assert(pairs.head.getAs[Double]("jaccard") === 1.0)
+  }
+
   test("simhash pairs respect the hamming bound") {
     val p = NearDup.simhashPairs(docs)
     assert(p.filter(col("hamming") > 3 || col("hamming") < 0).count() === 0)
