@@ -32,7 +32,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "silver_events" -> ((s, dir) => silver(s, dir)),
     "gold_daily_sales" -> ((s, dir) => DailySales.build(silver(s, dir))),
-    "gold_daily_sales_approx" -> ((s, dir) => DailySales.buildApprox(silver(s, dir))),
+    // approx marts surface as their error-bound reports: the report
+    // internally builds BOTH the approx and exact variants and emits a
+    // DuckDB-pinnable pass/fail surface (green hash row, not rows-only)
+    "gold_daily_sales_approx" -> ((s, dir) => DailySales.approxErrorReport(silver(s, dir))),
     "q_unpivot_daily_metrics" -> ((s, dir) =>
       DailySales.unpivotMetrics(DailySales.build(silver(s, dir)))),
     "q_scd2_user_stages" -> (Scd2.userStageHistory _),
@@ -43,7 +46,8 @@ object SparkEntry {
     "gold_conversion_funnel_daily" -> ((s, dir) => ConversionFunnelDaily.build(silver(s, dir))),
     "gold_category_performance" -> ((s, dir) => CategoryPerformance.build(silver(s, dir))),
     "gold_user_rfm_segments" -> ((s, dir) => RfmSegments.build(silver(s, dir))),
-    "gold_user_rfm_segments_scalable" -> ((s, dir) => RfmSegments.buildAtScale(silver(s, dir))),
+    "gold_user_rfm_segments_scalable" -> ((s, dir) =>
+      RfmSegments.scalableEquivalenceReport(silver(s, dir))),
     "q1_pricing_summary" -> ((s, dir) => PricingSummary.build(Tables.lineitem(s, dir))),
     "q_revenue_by_nation" -> (TpchQueries.revenueByNation _),
     "q_top_parts" -> (TpchQueries.topParts _),
@@ -111,6 +115,7 @@ object SparkEntry {
     "sim_embed_topk_ivf" -> (graft.sim.IvfAnn.ivfTopKQuery _),
     "sim_embed_topk_sq8" -> (graft.sim.ScalarQuantAnn.sq8TopKQuery _),
     "sim_embed_neardup" -> (graft.sim.EmbeddingSim.nearDupPairsQuery _),
+    "sim_recall_report" -> (graft.sim.EmbeddingSim.recallReport _),
     "mm_media_meta" -> (graft.multimodal.Multimodal.mediaMetaQuery _),
     "mm_media_features" -> (graft.multimodal.Multimodal.featuresQuery _),
     "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),
@@ -138,6 +143,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "silver_events" -> SilverEvents.oracleSql,
     "gold_daily_sales" -> DailySales.oracleSql,
+    "gold_daily_sales_approx" -> DailySales.approxErrorReportSql,
+    "gold_user_rfm_segments_scalable" -> RfmSegments.scalableEquivalenceSql,
+    "sim_recall_report" -> graft.sim.EmbeddingSim.recallReportSql,
     "q_unpivot_daily_metrics" -> DailySales.unpivotMetricsSql,
     "q_scd2_user_stages" -> Scd2.userStageHistorySql,
     "q_customer_ltv_deciles" -> LtvDeciles.oracleSql,

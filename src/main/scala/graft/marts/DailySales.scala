@@ -56,6 +56,52 @@ object DailySales {
       .orderBy(col("event_date"))
   }
 
+  /** Error-bound report gating [[buildApprox]] against [[build]]: per
+    * shared metric, the day count and the number of days where the
+    * approx value leaves its bound (exact equality for the pass-through
+    * counts/revenue; `relBound` relative error for the two HLL
+    * distinct-counts). All values are deterministic for a fixed input
+    * and rsd, and the DuckDB oracle recomputes `n_days` exactly and
+    * pins `n_out_of_bound` at zero — so CORRECTNESS carries a green
+    * hash row for the approx mart instead of a rows-only entry, and
+    * any sketch regression turns the row red. */
+  def approxErrorReport(silver: DataFrame, relBound: Double = 0.05): DataFrame = {
+    val exact = build(silver).select(col("event_date"),
+      col("total_events").as("x_events"), col("purchase_count").as("x_purchases"),
+      col("unique_users").as("x_users"), col("unique_buyers").as("x_buyers"),
+      col("total_revenue").as("x_revenue"))
+    val approx = buildApprox(silver).select(col("event_date"),
+      col("total_events").as("a_events"), col("purchase_count").as("a_purchases"),
+      col("unique_users").as("a_users"), col("unique_buyers").as("a_buyers"),
+      col("total_revenue").as("a_revenue"))
+    def relErr(a: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =
+      abs(a.cast("double") - x.cast("double")) / greatest(x.cast("double"), lit(1.0))
+    val oob = exact.join(approx, "event_date").agg(
+      count(lit(1)).as("n_days"),
+      countIf(col("a_events") =!= col("x_events")).as("oob_total_events"),
+      countIf(col("a_purchases") =!= col("x_purchases")).as("oob_purchase_count"),
+      countIf(col("a_revenue") =!= col("x_revenue")).as("oob_total_revenue"),
+      countIf(relErr(col("a_users"), col("x_users")) > relBound).as("oob_unique_users"),
+      countIf(relErr(col("a_buyers"), col("x_buyers")) > relBound).as("oob_unique_buyers"))
+    oob.unpivot(
+        Array(col("n_days")),
+        Seq("oob_total_events", "oob_purchase_count", "oob_total_revenue",
+          "oob_unique_users", "oob_unique_buyers").map(col).toArray,
+        "metric", "n_out_of_bound")
+      .withColumn("metric", regexp_replace(col("metric"), "^oob_", ""))
+      .select("metric", "n_days", "n_out_of_bound")
+      .orderBy("metric")
+  }
+
+  /** Oracle for [[approxErrorReport]]: n_days exactly, zero
+    * out-of-bound days per metric. */
+  val approxErrorReportSql: String = SilverEvents.oracleCte + """
+      |, d AS (SELECT count(DISTINCT event_date) AS n_days FROM silver)
+      |SELECT m.metric, d.n_days, CAST(0 AS BIGINT) AS n_out_of_bound
+      |FROM d, (VALUES ('total_events'), ('purchase_count'), ('total_revenue'),
+      |                ('unique_users'), ('unique_buyers')) AS m(metric)
+      |ORDER BY metric""".stripMargin
+
   private val countMetrics = Seq("total_events", "view_count", "click_count",
     "purchase_count", "signup_count", "error_count", "unique_users", "unique_buyers")
 

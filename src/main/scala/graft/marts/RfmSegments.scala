@@ -102,6 +102,68 @@ object RfmSegments {
     deriveSegments(scored)
   }
 
+  /** Driver-gated equivalence report for [[buildAtScale]] vs [[build]]:
+    * per score dimension, the joined user count plus two violation
+    * counters that are zero by construction —
+    *
+    *  - `n_drift_violations`: users whose approx score leaves the
+    *    provable |Δ| ≤ tie-span+1 bound (cutoff scoring differs from
+    *    ntile only inside metric tie groups straddling a quintile
+    *    boundary, ±1 for the rank convention at the cut value);
+    *  - `n_monotone_violations`: metric-value pairs where a better
+    *    metric received a lower approx score.
+    *
+    * Both paths are deterministic, so the DuckDB oracle can recompute
+    * the purchasing-user count exactly and pin the violation counts at
+    * zero — turning the scalable path's rows-only entry into a green
+    * hash row that goes red on any scoring regression. */
+  def scalableEquivalenceReport(silver: DataFrame): DataFrame = {
+    // both frames are |purchasing users|-sized — checkpoint once so the
+    // three per-dimension passes below reread materialized rows
+    val exact = build(silver).localCheckpoint()
+    val approx = buildAtScale(silver).localCheckpoint()
+    val e = exact.select(col("user_id"),
+      col("recency_days"), col("frequency"), col("monetary"),
+      col("r_score").as("e_r"), col("f_score").as("e_f"), col("m_score").as("e_m"))
+    val a = approx.select(col("user_id"),
+      col("r_score").as("a_r"), col("f_score").as("a_f"), col("m_score").as("a_m"))
+    val joined = e.join(a, Seq("user_id"), "full_outer")
+    val dims = Seq(("r_score", "recency_days", false),
+                   ("f_score", "frequency", true),
+                   ("m_score", "monetary", true))
+    dims.map { case (s, m, asc) =>
+      val short = s.substring(0, 1)
+      val span = exact.groupBy(col(m).as("mv"))
+        .agg((max(col(s)) - min(col(s))).as("tie_span"))
+      val drift = joined.join(span, col(m) === col("mv"), "left").agg(
+        count(lit(1)).as("n_users"),
+        countIf(col(s"e_$short").isNull || col(s"a_$short").isNull ||
+          abs(col(s"e_$short") - col(s"a_$short")) > coalesce(col("tie_span"), lit(0)) + 1)
+          .as("n_drift_violations"))
+      // value-level monotonicity: for metric values x better-than y,
+      // no x-user may score below a y-user (tiny frame: |distinct values|)
+      val lvl = approx.groupBy(col(m)).agg(min(col(s)).as("smin"), max(col(s)).as("smax"))
+      val mono = lvl.as("x").join(lvl.as("y"),
+          if (asc) col(s"x.$m") < col(s"y.$m") else col(s"x.$m") > col(s"y.$m"))
+        .filter(col("x.smax") > col("y.smin"))
+        .agg(count(lit(1)).as("n_monotone_violations"))
+      drift.crossJoin(mono).select(lit(s).as("score_dim"),
+        col("n_users"), col("n_drift_violations"), col("n_monotone_violations"))
+    }.reduce(_ unionAll _).orderBy("score_dim")
+  }
+
+  /** Oracle for [[scalableEquivalenceReport]]: purchasing-user count
+    * exactly (NULL user group included, as GROUP BY keeps it), zero
+    * violations per dimension. */
+  val scalableEquivalenceSql: String = SilverEvents.oracleCte + """
+      |, u AS (SELECT count(*) AS n_users
+      |        FROM (SELECT DISTINCT user_id FROM silver WHERE event_type = 'purchase'))
+      |SELECT m.score_dim, u.n_users,
+      |  CAST(0 AS BIGINT) AS n_drift_violations,
+      |  CAST(0 AS BIGINT) AS n_monotone_violations
+      |FROM u, (VALUES ('f_score'), ('m_score'), ('r_score')) AS m(score_dim)
+      |ORDER BY score_dim""".stripMargin
+
   val oracleSql: String = SilverEvents.oracleCte +
     s"""
       |, per_user AS (

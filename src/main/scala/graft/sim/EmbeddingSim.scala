@@ -180,4 +180,37 @@ object EmbeddingSim {
 
   def nearDupPairsQuery(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.embeddings(s, dir))
+
+  /** Driver-gated recall report for the three ANN paths against the
+    * oracle-checked brute-force baseline ([[bruteForceTopKQuery]]):
+    * per method, whether measured recall@k over the shared probe set
+    * clears a conservative floor. The ANN result sets themselves are
+    * not DuckDB-portable (xxhash64 band keys, k-means centroids,
+    * trained quantizer bounds), but this pass/fail surface IS
+    * deterministic for fixed data + seeds, so the oracle pins
+    * (method, floor, true) and a recall regression turns the row red
+    * in CORRECTNESS. Tighter empirical bounds live in DedupSimSpec. */
+  def recallReport(s: SparkSession, dir: String): DataFrame = {
+    val brute = bruteForceTopKQuery(s, dir)
+      .select("probe_id", "vec_id").localCheckpoint()
+    val n = brute.count().toDouble
+    def recallOf(df: DataFrame): Double =
+      if (n == 0) 1.0
+      else df.select("probe_id", "vec_id")
+        .join(brute, Seq("probe_id", "vec_id"), "left_semi").count() / n
+    import s.implicits._
+    Seq(("ivf", 0.40, recallOf(IvfAnn.ivfTopKQuery(s, dir))),
+        ("lsh", 0.30, recallOf(lshTopKQuery(s, dir))),
+        ("sq8", 0.85, recallOf(ScalarQuantAnn.sq8TopKQuery(s, dir))))
+      .map { case (m, floor, r) => (m, floor, r >= floor) }
+      .toDF("method", "recall_floor", "meets_floor")
+      .orderBy("method")
+  }
+
+  val recallReportSql: String =
+    """SELECT * FROM (VALUES
+      |  ('ivf', CAST(0.40 AS DOUBLE), true),
+      |  ('lsh', CAST(0.30 AS DOUBLE), true),
+      |  ('sq8', CAST(0.85 AS DOUBLE), true)) AS t(method, recall_floor, meets_floor)
+      |ORDER BY method""".stripMargin
 }

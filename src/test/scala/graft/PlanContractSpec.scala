@@ -37,7 +37,12 @@ class PlanContractSpec extends AnyFunSuite {
     // (a bare "Window" match would false-positive on the cached silver
     // relation's partitioned dedup window printed inside
     // InMemoryRelation — the actual scale property is the exchange)
-    assert(!plan("gold_user_rfm_segments_scalable").contains("SinglePartition"))
+    // pin the BUILDERS directly — the driver entry for the scalable
+    // path is now an equivalence report over checkpointed frames, so
+    // its own plan would vacuously pass
+    val silver = SparkEntry.queries("silver_events")(spark, sf)
+    assert(!analyzedPlan(graft.marts.RfmSegments.buildAtScale(silver))
+      .contains("SinglePartition"))
     assert(!plan("gold_user_rfm_segments").contains("SinglePartition"))
   }
 
