@@ -121,6 +121,7 @@ object SparkEntry {
     "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),
     "mm_modality_stats" -> (graft.multimodal.Multimodal.modalityStatsQuery _),
     "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
+    "incremental_rebuild_diff" -> (graft.ops.IncrementalRebuild.diffQuery _),
     // report/snapshot queries run over the shared silver cache (they
     // rebuild several marts internally — same amortization the marts get)
     "quality_silver_report" -> ((s, dir) =>
@@ -224,6 +225,7 @@ object SparkEntry {
     "mm_video_frames" -> graft.multimodal.Multimodal.framesSql,
     "mm_modality_stats" -> graft.multimodal.Multimodal.modalityStatsSql,
     "stream_hourly_agg" -> graft.streaming.StreamingEvents.hourlyAggSql,
+    "incremental_rebuild_diff" -> graft.ops.IncrementalRebuild.diffSql,
     "quality_silver_report" -> graft.quality.DataChecks.silverReportSql,
     "quality_gold_report" -> graft.quality.DataChecks.goldReportSql,
     "meta_snapshots" -> graft.sources.Snapshots.snapshotsSql,

@@ -59,11 +59,20 @@ object SilverEvents {
       .orderBy(col("event_id"))
   }
 
+  /** Inner silver SELECT with an extra raw-side predicate appended to
+    * the WHERE — lets the incremental-rebuild oracle build silver over
+    * event batches with the exact same transform text. Empty predicate
+    * reproduces [[oracleCte]]'s body verbatim. */
+  def silverSelectSql(extraWhere: String): String =
+    silverSelectPrefix + extraWhere + silverSelectSuffix
+
   /** DuckDB CTE equivalent (`silver` CTE over raw `events`), used as the
     * shared prefix of every gold-mart oracle. DuckDB shims: dayofweek is
     * 0=Sunday there (SURVEY §7.6 #7) and strftime replaces date_format. */
-  val oracleCte: String =
-    """WITH silver AS (
+  val oracleCte: String = "WITH silver AS (" + silverSelectSql("") + "\n)"
+
+  private def silverSelectPrefix: String =
+    """
       |  SELECT * EXCLUDE (rn) FROM (
       |    SELECT
       |      md5(concat_ws('|', CAST(event_id AS VARCHAR),
@@ -97,9 +106,10 @@ object SilverEvents {
       |            strftime(ts, '%Y-%m-%d %H:%M:%S')))
       |        ORDER BY ts DESC, event_id ASC) AS rn
       |    FROM events
-      |    WHERE user_id IS NOT NULL
-      |  ) WHERE rn = 1
-      |)""".stripMargin
+      |    WHERE user_id IS NOT NULL""".stripMargin
+
+  private def silverSelectSuffix: String = """
+      |  ) WHERE rn = 1""".stripMargin
 
   /** Standalone oracle for the silver table itself. */
   val oracleSql: String =

@@ -237,6 +237,26 @@ class PlatformSpec extends AnyFunSuite {
     assert(target.count() + appended.count() === ev.count())
   }
 
+  test("incremental rebuild diff: no spurious rows, late drops are exactly the held-back slice") {
+    import graft.ops.IncrementalRebuild
+    val diff = SparkEntry.queries("incremental_rebuild_diff")(spark, sf).cache()
+    // idempotence: the re-delivered 3-day overlap never double-appends
+    assert(diff.filter(col("diff_kind") === "spurious").count() === 0)
+    // the wart is exactly the late slice: event_id % 20 == 0, before the split
+    val late = diff.filter(col("diff_kind") === "late_dropped")
+    assert(late.count() > 0)
+    assert(late.filter(pmod(col("event_id"), lit(20)) =!= 0).count() === 0)
+    assert(late.filter(col("event_time_str") >= IncrementalRebuild.SplitTs).count() === 0)
+    // and nothing else from that slice survives into the incremental table
+    val inc = IncrementalRebuild.incrementalSilver(Tables.events(spark, sf))
+    val silverLate = graft.marts.SilverEvents.build(Tables.events(spark, sf))
+      .filter(pmod(col("event_id"), lit(20)) === 0 &&
+        col("event_time_str") < IncrementalRebuild.SplitTs)
+    assert(late.count() === silverLate.count())
+    assert(inc.join(late.select("event_unique_id"), Seq("event_unique_id"), "left_semi")
+      .count() === 0)
+  }
+
   test("z-order layout keeps per-file ranges tight on BOTH columns") {
     val tmp = Files.createTempDirectory("graft_z_").toString
     val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
