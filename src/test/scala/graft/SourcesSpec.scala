@@ -33,6 +33,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(loaded.select("event_id", "value").except(orig).count() === 0)
   }
 
+  test("object-store listing: discover, preflight, skip bad files, ingest good ones") {
+    import graft.sources.ObjectStoreListing
+    val tmp = Files.createTempDirectory("graft_list_").toString
+    val req = Seq("event_id", "ts", "user_id", "event_type", "value")
+    // two valid deliveries under nested prefixes
+    val ev = Tables.events(spark, sf).limit(200)
+      .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")).cache()
+    def dump(df: org.apache.spark.sql.DataFrame, sub: String): Unit = {
+      val stage = Files.createTempDirectory("graft_stage_").toString
+      df.coalesce(1).write.option("header", "true").mode("overwrite").csv(stage)
+      val part = new java.io.File(stage).listFiles().find(_.getName.endsWith(".csv")).get
+      val dest = new java.io.File(s"$tmp/$sub")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+    }
+    val (d1, d2) = (ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 === 1))
+    dump(d1, "day=01/events_a.csv")
+    dump(d2, "day=02/events_b.csv")
+    // a bad delivery: wrong columns entirely
+    dump(Seq((1, "x")).toDF("a", "b"), "day=02/broken_c.csv")
+    // a non-matching object the suffix filter must ignore
+    Files.writeString(java.nio.file.Path.of(s"$tmp/readme.txt"), "not data")
+
+    val listed = ObjectStoreListing.listFiles(spark, tmp)
+    assert(listed.map(_.name) === Seq("broken_c.csv", "events_a.csv", "events_b.csv"))
+
+    val t0 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val (df, reports) = ObjectStoreListing.ingestListing(spark, tmp, req, t0)
+    assert(reports.size === 3)
+    val byName = reports.map(r => r.file -> r).toMap
+    assert(!byName("broken_c.csv").ok && byName("broken_c.csv").error.contains("event_id"))
+    assert(byName("events_a.csv").ok && byName("events_a.csv").rows === d1.count())
+    assert(byName("events_b.csv").ok && byName("events_b.csv").rows === d2.count())
+    // good files land in ONE scan, bad file contributes nothing
+    assert(df.count() === ev.count())
+    assert(df.select("_source_file").distinct().count() === 2)
+    assert(ObjectStoreListing.reportFrame(spark, reports).count() === 3)
+    // empty listing is fatal (reference: "No CSV files found")
+    val e = intercept[IllegalArgumentException] {
+      ObjectStoreListing.ingestListing(spark,
+        Files.createTempDirectory("graft_empty_").toString, req, t0)
+    }
+    assert(e.getMessage.contains("no '.csv' objects"))
+  }
+
   test("csv preflight rejects missing required columns") {
     val tmp = Files.createTempDirectory("graft_csv_bad_").toString
     Seq((1, "x")).toDF("a", "b").write.option("header", "true").csv(s"$tmp/in")
