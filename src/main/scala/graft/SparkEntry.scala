@@ -25,8 +25,32 @@ object SparkEntry {
   private val silverCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def silver(s: SparkSession, dir: String): DataFrame =
-    silverCache.computeIfAbsent((s, dir),
-      _ => SilverEvents.build(Tables.events(s, dir)).cache())
+    silverCache.computeIfAbsent((s, dir), { _ =>
+      // bound the cache's lifetime to the session: a long-lived driver
+      // cycling sessions would otherwise accumulate dead entries
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evictSilver(s)
+      })
+      SilverEvents.build(Tables.events(s, dir)).cache()
+    })
+
+  private[graft] def silverCacheSize: Int = silverCache.size
+
+  /** Evict (and unpersist) every cached silver frame of `s` — wired to
+    * the session's application-end event above, and callable directly
+    * by long-lived drivers between workloads. */
+  def evictSilver(s: SparkSession): Unit = {
+    val it = silverCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.unpersist(blocking = false) catch { case _: Throwable => }
+        it.remove()
+      }
+    }
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

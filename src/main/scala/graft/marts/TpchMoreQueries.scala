@@ -106,18 +106,35 @@ object TpchMoreQueries {
   /** Trailing-7-day revenue per day — a RANGE frame over a numeric
     * date ordinal (the only frame family the reference never uses;
     * SURVEY §2.5 "no explicit frame specs"). RANGE (not ROWS) so gaps
-    * in the date spine are handled correctly. */
+    * in the date spine are handled correctly.
+    *
+    * The window is partitioned by YEAR with a 6-day boundary pad:
+    * a -6..0 day frame for any row only ever needs rows from its own
+    * year plus the final 6 days of the previous one, so those pad rows
+    * are duplicated into the next year's partition (and dropped after
+    * the window). Identical output to the global OVER (ORDER BY …),
+    * but the plan never funnels all days through one partition — the
+    * per-partition frame is bounded at ~371 rows regardless of how
+    * many years the corpus spans. */
   def trailingRevenue(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("sale_date"))
       .agg(moneySum(col("value")).as("day_revenue"))
       .withColumn("day_ord", datediff(col("sale_date"), lit("1970-01-01").cast("date")))
+    val base = daily
+      .withColumn("part_year", year(col("sale_date")))
+      .withColumn("is_pad", lit(false))
+    val pad = daily
+      .filter(year(date_add(col("sale_date"), 6)) > year(col("sale_date")))
+      .withColumn("part_year", year(col("sale_date")) + 1)
+      .withColumn("is_pad", lit(true))
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("day_ord")).rangeBetween(-6, 0)
-    daily
+      .partitionBy(col("part_year")).orderBy(col("day_ord")).rangeBetween(-6, 0)
+    base.unionByName(pad)
       .withColumn("trailing_7d_revenue",
         round(sum(col("day_revenue").cast(DecimalType(18, 2))).over(w), 2).cast("double"))
+      .filter(!col("is_pad"))
       .select(date_format(col("sale_date"), "yyyy-MM-dd").as("sale_date"),
         col("day_revenue"), col("trailing_7d_revenue"))
       .orderBy(col("sale_date"))

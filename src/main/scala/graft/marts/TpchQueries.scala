@@ -161,16 +161,23 @@ object TpchQueries {
       |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin
 
-  /** Pct-of-total window (SURVEY §2.5 W4, reference
-    * bronze_ingestion.py:230-238): order share by priority. The
-    * OVER () total runs on the already-aggregated (tiny) frame. */
+  /** Pct-of-total (SURVEY §2.5 W4, reference
+    * bronze_ingestion.py:230-238): order share by priority. The SQL
+    * form is `sum(..) OVER ()`; here the global total is a broadcast
+    * 1-row cross join instead — identical values, but no
+    * unpartitioned WindowExec in the plan (OVER () funnels its whole
+    * input through one partition and warns on every run; the
+    * broadcast-total shape is what you'd write at 100 TB, where the
+    * pre-aggregated frame may not be tiny). */
   def orderPriorityShare(s: SparkSession, dir: String): DataFrame = {
     val agg = Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("order_count"))
-    agg.withColumn("pct_of_total",
-        ConditionalAgg.roundPortable(
-          lit(100.0) * col("order_count") / sum(col("order_count")).over(Window.partitionBy()), 2))
+    val total = agg.agg(sum(col("order_count")).as("__total"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("pct_of_total",
+        ConditionalAgg.roundPortable(lit(100.0) * col("order_count") / col("__total"), 2))
+      .drop("__total")
       .orderBy(col("o_orderpriority"))
   }
 

@@ -59,4 +59,12 @@ class ArchitectureSpec extends AnyFunSuite {
     assert(offenders(".first()", Map.empty).isEmpty)
     assert(offenders(".head()", Map("ServingSink.scala" -> 1)).isEmpty)
   }
+
+  test("silver cache is evictable per session (no unbounded growth)") {
+    import TestSession._
+    SparkEntry.queries("silver_events")(spark, sf)
+    assert(SparkEntry.silverCacheSize >= 1)
+    SparkEntry.evictSilver(spark)
+    assert(SparkEntry.silverCacheSize === 0)
+  }
 }

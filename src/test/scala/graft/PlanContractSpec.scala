@@ -46,6 +46,19 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan("gold_user_rfm_segments").contains("SinglePartition"))
   }
 
+  test("no query plans an unpartitioned window") {
+    // q_trailing_revenue: year-partitioned + boundary pad;
+    // q_order_priority_share: broadcast-total instead of OVER ().
+    // (A 1-row global .agg() still plans Exchange SinglePartition —
+    // benign; the scale hazard is a WINDOW over one partition.)
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_trailing_revenue", "q_order_priority_share")) {
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val bad = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty, s"$q plans an unpartitioned window")
+    }
+  }
+
   test("parquet scans prune columns: lineitem reads only what q1 needs") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
