@@ -77,4 +77,23 @@ object Pipeline {
       summaries.toDF("mart", "rows_served").orderBy(col("mart"))
     } finally silver.unpersist()
   }
+
+  /** Oracle for the serving-sink summary: each mart's served row count
+    * must equal the row count of that mart's OWN oracle SQL — the
+    * definitions cannot drift apart because there is only one source
+    * of truth per mart. (A wrong write mode, a lost partition, or a
+    * dropped mart all change a count and turn the row red.) */
+  val servingSummarySql: String = Seq(
+    ("category_performance", CategoryPerformance.oracleSql),
+    ("conversion_funnel_daily", ConversionFunnelDaily.oracleSql),
+    ("daily_sales", DailySales.oracleSql),
+    ("hourly_traffic", HourlyTraffic.oracleSql),
+    ("item_performance", ItemPerformance.oracleSql),
+    ("user_journey_funnel", UserJourneyFunnel.oracleSql),
+    ("user_rfm_segments", RfmSegments.oracleSql))
+    .map { case (name, sql) =>
+      s"""SELECT '$name' AS mart, (SELECT count(*) FROM (
+         |$sql
+         |)) AS rows_served""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY mart")
 }

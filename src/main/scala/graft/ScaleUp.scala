@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deterministic 10× scale-up of the driver testdata, used ONLY for
+  * the scale-curve benchmark (never for oracle checks — correctness
+  * always runs on the driver's own parquet).
+  *
+  * Each replica i remaps keys by fixed strides (event/user/doc ids),
+  * so per-key cardinalities scale with the data: 10× users, 10× docs,
+  * same 30-day time range at 10× density — the way TPC-H scale
+  * factors grow.
+  *
+  * Document text goes through a per-replica letter rotation
+  * (`translate` over [[Alphabet]]): intra-replica duplicate structure
+  * is preserved EXACTLY (identical docs stay identical, near-dups stay
+  * near-dups), while cross-replica shingles become disjoint — naive
+  * 10-copy replication would instead inflate every duplicate group
+  * 10-fold and make the exact-dedup path quadratically heavier than a
+  * genuine sf1 corpus.
+  */
+object ScaleUp {
+
+  /** Letters rotated per replica; 10 distinct rotations for factor 10. */
+  val Alphabet = "aeiourstln"
+
+  private def rotated(i: Int): String = {
+    val k = i % Alphabet.length
+    Alphabet.drop(k) + Alphabet.take(k)
+  }
+
+  private def perReplicaTranslate(text: Column, replica: Column, factor: Int): Column =
+    (1 until factor).foldLeft(when(replica === 0, text)) { (acc, i) =>
+      acc.when(replica === i, translate(text, Alphabet, rotated(i)))
+    }
+
+  /** Generate (once) the scaled `events` + `documents` tables under
+    * `destDir`; subsequent calls see the marker and return
+    * immediately. Only the tables the heavy-query subset reads are
+    * scaled. */
+  def ensure(spark: SparkSession, srcDir: String, destDir: String,
+             factor: Int = 10): String = {
+    val marker = new java.io.File(destDir, "_GRAFT_SCALED")
+    if (marker.exists()) return destDir
+    new java.io.File(destDir).mkdirs()
+
+    def replicas(df: DataFrame): DataFrame =
+      df.select(col("*"),
+        explode(typedLit((0 until factor).toArray)).as("__r"))
+
+    replicas(Tables.events(spark, srcDir))
+      .select(
+        (col("event_id") + col("__r") * lit(1000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__r") * lit(10000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$destDir/events.parquet")
+
+    replicas(Tables.documents(spark, srcDir))
+      .select(
+        (col("doc_id") + col("__r") * lit(100000L)).as("doc_id"),
+        perReplicaTranslate(col("text"), col("__r"), factor).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
+
+    marker.createNewFile()
+    destDir
+  }
+}

@@ -134,6 +134,7 @@ object SparkEntry {
         graft.sources.Tables.documents(s, dir)))),
     "dedup_simhash" -> (graft.dedup.NearDup.simhashPairsQuery _),
     "dedup_fuzzy_parts" -> ((s, dir) => graft.dedup.FuzzyMatch.fuzzyPartPairs(s, dir)),
+    "dedup_gate_report" -> (graft.dedup.NearDup.gateReport _),
     "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
     "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
     "sim_embed_topk_ivf" -> (graft.sim.IvfAnn.ivfTopKQuery _),
@@ -239,6 +240,7 @@ object SparkEntry {
     // the star-contraction CC must produce byte-identical components
     "dedup_clusters_star" -> graft.dedup.NearDup.clustersSql,
     "dedup_fuzzy_parts" -> graft.dedup.FuzzyMatch.fuzzyPartPairsSql,
+    "dedup_gate_report" -> graft.dedup.NearDup.gateReportSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_topk_lsh /
     // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are
@@ -254,5 +256,6 @@ object SparkEntry {
     "quality_gold_report" -> graft.quality.DataChecks.goldReportSql,
     "meta_snapshots" -> graft.sources.Snapshots.snapshotsSql,
     "maintenance_compaction" -> graft.sink.Compaction.compactionSql,
+    "pipeline_serving_sink" -> Pipeline.servingSummarySql,
   )
 }

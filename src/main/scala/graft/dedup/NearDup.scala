@@ -394,4 +394,39 @@ object NearDup {
 
   def simhashPairsQuery(s: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(s, dir))
+
+  /** Driver-gated contract report for the two sketch-based dedup paths
+    * (whose pair sets are not DuckDB-portable — xxhash64 signatures):
+    * boolean invariants the oracle CAN pin. `lsh_subset_of_exact`
+    * holds by construction (LSH candidates are re-verified with exact
+    * Jaccard); `lsh_recall_ge_0.90` is the banding guarantee on this
+    * corpus (measured 1.0 at sf0.01, 0.992 at sf0.1); the simhash
+    * rows pin the hamming bound and pair canonicalization. Any
+    * banding/verification regression turns a row red in CORRECTNESS
+    * instead of hiding in a rows-only entry. */
+  def gateReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exact = jaccardPairs(docs).select("doc_a", "doc_b").localCheckpoint()
+    val lsh = minhashPairs(docs).select("doc_a", "doc_b").localCheckpoint()
+    val sim = simhashPairs(docs).localCheckpoint()
+    val nExact = exact.count()
+    val recovered = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi").count()
+    val checks = Seq(
+      ("lsh_recall_ge_0.90", nExact == 0 || recovered.toDouble / nExact >= 0.90),
+      ("lsh_subset_of_exact",
+        lsh.join(exact, Seq("doc_a", "doc_b"), "left_anti").isEmpty),
+      ("simhash_hamming_le_3",
+        sim.filter(col("hamming") > 3 || col("hamming") < 0).isEmpty),
+      ("simhash_pairs_canonical", sim.filter(col("doc_a") >= col("doc_b")).isEmpty))
+    import s.implicits._
+    checks.toDF("check_name", "passes").orderBy("check_name")
+  }
+
+  val gateReportSql: String =
+    """SELECT * FROM (VALUES
+      |  ('lsh_recall_ge_0.90', true),
+      |  ('lsh_subset_of_exact', true),
+      |  ('simhash_hamming_le_3', true),
+      |  ('simhash_pairs_canonical', true)) AS t(check_name, passes)
+      |ORDER BY check_name""".stripMargin
 }

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.NearDup
+import graft.sources.Tables
+
+/** The 10× scale-curve generator must scale cardinalities, not just
+  * row counts — and must NOT inflate duplicate groups across replicas
+  * (that would make the dedup benchmarks quadratically heavier than a
+  * genuine 10× corpus). */
+class ScaleUpSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val dest: String = ScaleUp.ensure(spark, sf,
+    Files.createTempDirectory("graft_sf10_").toString, factor = 10)
+
+  test("events: 10x rows and 10x key cardinalities, same time range") {
+    val base = Tables.events(spark, sf).cache()
+    val big = Tables.events(spark, dest).cache()
+    assert(big.count() === 10 * base.count())
+    assert(big.select("event_id").distinct().count() ===
+      10 * base.select("event_id").distinct().count())
+    assert(big.select("user_id").distinct().count() ===
+      10 * base.select("user_id").distinct().count())
+    val Array(b, g) = Array(base, big).map(
+      _.agg(min("ts"), max("ts")).head())
+    assert(b === g, "time range must stay fixed (density scaling)")
+  }
+
+  test("documents: replica 0 verbatim, duplicate structure scales linearly") {
+    val base = Tables.documents(spark, sf).cache()
+    val big = Tables.documents(spark, dest).cache()
+    assert(big.count() === 10 * base.count())
+    // replica 0 is the original corpus byte-for-byte
+    assert(big.filter(col("doc_id") < 100000L).select("doc_id", "text")
+      .exceptAll(base.select("doc_id", "text")).isEmpty)
+    // exact-dup groups replicate per-replica, never merge across
+    assert(NearDup.exactGroups(big).count() === 10 * NearDup.exactGroups(base).count())
+    // near-dup pairs scale linearly too (cross-replica shingles disjoint)
+    assert(NearDup.jaccardPairs(big).count() === 10 * NearDup.jaccardPairs(base).count())
+  }
+}
