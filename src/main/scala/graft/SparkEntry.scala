@@ -135,6 +135,8 @@ object SparkEntry {
     "dedup_simhash" -> (graft.dedup.NearDup.simhashPairsQuery _),
     "dedup_fuzzy_parts" -> ((s, dir) => graft.dedup.FuzzyMatch.fuzzyPartPairs(s, dir)),
     "dedup_gate_report" -> (graft.dedup.NearDup.gateReport _),
+    "dedup_apply_keeplist" -> (graft.dedup.NearDup.dedupedCorpusQuery _),
+    "text_split_assign" -> (graft.text.QualityFilters.splitAssignQuery _),
     "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
     "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
     "sim_embed_topk_ivf" -> (graft.sim.IvfAnn.ivfTopKQuery _),
@@ -241,6 +243,8 @@ object SparkEntry {
     "dedup_clusters_star" -> graft.dedup.NearDup.clustersSql,
     "dedup_fuzzy_parts" -> graft.dedup.FuzzyMatch.fuzzyPartPairsSql,
     "dedup_gate_report" -> graft.dedup.NearDup.gateReportSql,
+    "dedup_apply_keeplist" -> graft.dedup.NearDup.dedupedCorpusSql,
+    "text_split_assign" -> graft.text.QualityFilters.splitAssignSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_topk_lsh /
     // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are

@@ -100,7 +100,12 @@ object NearDup {
     val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("shingle"))
-    val rare = sh.join(keep, "shingle")
+    // materialize the surviving occurrences before self-joining: a
+    // self-join evaluates its child TWICE, which would double every
+    // stage beneath (explode, df agg, the sets aggregation) — the
+    // rare frame is only the df>=2 occurrence slice, far smaller than
+    // the corpus
+    val rare = sh.join(keep, "shingle").localCheckpoint()
     rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -132,7 +137,11 @@ object NearDup {
     * the full sets, so every reported pair's Jaccard is exact. */
   def jaccardPairs(documents: DataFrame, threshold: Double = 0.8,
                    maxShingleDf: Long = 1000): DataFrame = {
-    val sets = shingleSets(documents)
+    // ONE shingling pass: the set frame feeds candidate generation AND
+    // both verification joins — materialize it (per-doc rows, the
+    // standard staged-signatures shape of large-scale dedup) instead
+    // of betting on exchange reuse across five consumers
+    val sets = shingleSets(documents).localCheckpoint()
     verifiedJaccard(candidatePairs(sets, maxShingleDf), sets, threshold)
   }
 
@@ -244,6 +253,40 @@ object NearDup {
        |  s = min(l) AS is_kept
        |FROM reach GROUP BY s
        |ORDER BY doc_id""".stripMargin
+
+  /** Apply the duplicate keep-list — the step that actually SHRINKS
+    * the corpus: cluster members drop unless they are their cluster's
+    * representative; docs in no cluster pass through. Completes the
+    * dedup story (pairs → clusters → filtered corpus). One hash join
+    * on doc_id; the cluster frame is |docs-in-some-cluster|-sized
+    * (usually a small fraction of the corpus, broadcastable). */
+  def applyKeepList(documents: DataFrame, clusters: DataFrame): DataFrame =
+    documents
+      .join(clusters.select(col("doc_id"), col("cluster_rep"), col("is_kept")),
+        Seq("doc_id"), "left")
+      .filter(col("is_kept").isNull || col("is_kept"))
+      .select(col("doc_id"),
+        when(col("is_kept").isNull, lit("unique")).otherwise(lit("cluster_rep"))
+          .as("keep_reason"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+        col("source"))
+      .orderBy(col("doc_id"))
+
+  /** The deduplicated corpus over the exact-Jaccard clusters. */
+  def dedupedCorpusQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    applyKeepList(docs, duplicateClusters(jaccardPairs(docs)))
+  }
+
+  val dedupedCorpusSql: String =
+    s"""WITH comp AS (SELECT * FROM (${clustersSql.replace("\n", "\n  ")}))
+       |SELECT d.doc_id,
+       |  CASE WHEN c.doc_id IS NULL THEN 'unique' ELSE 'cluster_rep' END AS keep_reason,
+       |  coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
+       |  d.source
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |WHERE c.is_kept IS NULL OR c.is_kept
+       |ORDER BY d.doc_id""".stripMargin
 
   // ----------------------------------------------------- MinHash LSH
 

@@ -130,6 +130,50 @@ object QualityFilters {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** 1-based position of a lowercase hex digit in the hex alphabet —
+    * the engine-portable digit value (DuckDB `strpos` twin). */
+  private def hexPos(c: org.apache.spark.sql.Column) =
+    array_position(typedLit("0123456789abcdef".map(_.toString)), c)
+
+  /** Deterministic train/val/test split assignment — the standard
+    * hash-split a training pipeline uses so membership is a pure
+    * function of the EXAMPLE, stable across reruns, machines and
+    * engines (never `rand()`: nondeterministic under retries, and a
+    * re-shard reshuffles the holdout). Bucket = first two hex digits
+    * of md5(doc_id) → 0..255; cut at 205/230 ≈ 80/10/10. Narrow
+    * per-row expressions only — no shuffle, no UDF; the md5 bucketing
+    * replays exactly in DuckDB. */
+  def splitAssign(documents: DataFrame,
+                  trainCut: Int = 205, valCut: Int = 230): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val bucket = ((hexPos(substring(h, 1, 1)) - 1) * 16 +
+      (hexPos(substring(h, 2, 1)) - 1)).cast("int")
+    documents
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainCut, "train")
+          .when(col("bucket") < valCut, "val")
+          .otherwise("test"))
+      .select("doc_id", "source", "bucket", "split")
+      .orderBy(col("doc_id"))
+  }
+
+  def splitAssignQuery(s: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.documents(s, dir))
+
+  val splitAssignSql: String =
+    """SELECT doc_id, source, bucket,
+      |  CASE WHEN bucket < 205 THEN 'train'
+      |       WHEN bucket < 230 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INT) AS bucket
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
   /** Corpus vocabulary: global top-k tokens by frequency with doc
     * frequency — the tokenizer-training / stopword-discovery stat.
     * Explode → two grouped aggs; partial aggregation absorbs the
