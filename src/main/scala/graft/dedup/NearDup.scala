@@ -93,24 +93,59 @@ object NearDup {
     * boilerplate family, which is [[minhashPairs]]'s job (its
     * `bucketCap` salt-split keeps those families connected). The
     * DuckDB oracle in [[jaccardPairsSql]] mirrors the cap. */
-  private[graft] def candidatePairs(sets: DataFrame, maxDf: Long): DataFrame = {
+  /** Candidate pairs surviving a LOSSLESS Jaccard upper-bound prune.
+    *
+    * The shared-shingle self-join yields ~1M raw candidates per 5k
+    * docs; hauling both docs' shingle arrays to every candidate for
+    * exact scoring is the dominant dedup cost. Instead the join rows
+    * aggregate to a per-pair CAPPED intersection count `i_capped`
+    * (narrow rows, map-side combined), and each doc carries a profile
+    * (set size, hot-shingle count). Since the true intersection obeys
+    * `i_capped ≤ I ≤ i_capped + min(hot_a, hot_b)` and Jaccard is
+    * increasing in I, `J ≤ jaccard(i_max)` — and rounding is monotone,
+    * so dropping pairs with `round(jaccard(i_max)) < threshold` can
+    * never drop a reported pair. Exact array scoring then runs on the
+    * survivors only (hundreds, not millions). The DuckDB oracle needs
+    * no mirror of the prune — it is semantically a no-op. */
+  private[graft] def prunedCandidates(sets: DataFrame, maxDf: Long,
+                                      threshold: Double): DataFrame = {
     val sh = sets.select(col("doc_id"), explode(col("sh_set")).as("shingle"))
-    // df filter and the pair join below both shuffle on `shingle`, so
-    // the exchanges co-locate; the df agg is map-side combined
-    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("shingle"))
-    // materialize the surviving occurrences before self-joining: a
-    // self-join evaluates its child TWICE, which would double every
-    // stage beneath (explode, df agg, the sets aggregation) — the
-    // rare frame is only the df>=2 occurrence slice, far smaller than
-    // the corpus
-    val rare = sh.join(keep, "shingle").localCheckpoint()
-    rare.as("a").join(rare.as("b"),
+    // df frame feeds both the rare slice and the hot profile; the rare
+    // occurrence slice is materialized because the self-join below
+    // evaluates its child twice
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val rare = sh
+      .join(dfreq.filter(col("df") >= 2 && col("df") <= maxDf).select("shingle"), "shingle")
+      .localCheckpoint()
+    val counted = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i_capped"))
+    val hot = sh
+      .join(dfreq.filter(col("df") > maxDf).select("shingle"), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+    val prof = sets.select(col("doc_id"), size(col("sh_set")).cast("long").as("set_size"))
+      .join(hot, Seq("doc_id"), "left")
+      .withColumn("n_hot", coalesce(col("n_hot"), lit(0L)))
+    // prof is |docs|-sized: no broadcast hint — locally AQE broadcasts
+    // it from stats, at cluster scale it hash-joins on the pair keys
+    counted
+      .join(prof.select(col("doc_id").as("doc_a"),
+        col("set_size").as("sa"), col("n_hot").as("ha")), "doc_a")
+      .join(prof.select(col("doc_id").as("doc_b"),
+        col("set_size").as("sb"), col("n_hot").as("hb")), "doc_b")
+      .withColumn("i_max", col("i_capped") + least(col("ha"), col("hb")))
+      .filter(graft.ops.ConditionalAgg.roundPortable(col("i_max").cast("double") /
+        (col("sa") + col("sb") - col("i_max")).cast("double"), 4) >= threshold)
+      .select("doc_a", "doc_b")
   }
+
+  /** All df-capped shared-shingle candidate pairs (no threshold
+    * prune) — the raw candidate surface, property-tested against
+    * stop-phrase corpora. */
+  private[graft] def candidatePairs(sets: DataFrame, maxDf: Long): DataFrame =
+    prunedCandidates(sets, maxDf, threshold = 0.0)
 
   /** Exact-Jaccard verification of candidate pairs: join each pair to
     * its two (sorted, distinct) shingle-set arrays and score with
@@ -142,7 +177,7 @@ object NearDup {
     // standard staged-signatures shape of large-scale dedup) instead
     // of betting on exchange reuse across five consumers
     val sets = shingleSets(documents).localCheckpoint()
-    verifiedJaccard(candidatePairs(sets, maxShingleDf), sets, threshold)
+    verifiedJaccard(prunedCandidates(sets, maxShingleDf, threshold), sets, threshold)
   }
 
   def jaccardPairsQuery(s: SparkSession, dir: String): DataFrame =
