@@ -5,9 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val (Array(sfDir, outDir), rest) = args.splitAt(2)
+    val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query-name filter (local dev loop)
-    val only: Option[Set[String]] = rest.headOption.map(_.split(",").toSet)
+    val only: Option[Set[String]] = args.drop(2).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
