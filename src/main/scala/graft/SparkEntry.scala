@@ -97,6 +97,7 @@ object SparkEntry {
     "q_pivot_daily_types" -> (CoverageQueries.pivotDailyTypes _),
     "q_purchase_ranks" -> (CoverageQueries.purchaseRanks _),
     "q_json_props" -> (CoverageQueries.jsonProps _),
+    "q_variant_props" -> (CoverageQueries.variantProps _),
     "q_sql_weekly_revenue" -> (CoverageQueries.sqlWeeklyRevenue _),
     "q_shipping_priority" -> (TpchMoreQueries.shippingPriority _),
     "q_returned_items" -> (TpchMoreQueries.returnedItems _),
@@ -208,6 +209,7 @@ object SparkEntry {
     "q_pivot_daily_types" -> CoverageQueries.pivotDailyTypesSql,
     "q_purchase_ranks" -> CoverageQueries.purchaseRanksSql,
     "q_json_props" -> CoverageQueries.jsonPropsSql,
+    "q_variant_props" -> CoverageQueries.variantPropsSql,
     "q_sql_weekly_revenue" -> CoverageQueries.sqlWeeklyRevenueSql,
     "q_shipping_priority" -> TpchMoreQueries.shippingPrioritySql,
     "q_returned_items" -> TpchMoreQueries.returnedItemsSql,

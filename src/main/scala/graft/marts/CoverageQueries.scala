@@ -244,6 +244,35 @@ object CoverageQueries {
       |GROUP BY 1
       |ORDER BY k_value""".stripMargin
 
+  /** Semi-structured props via Spark 4's VariantType — the native
+    * binary-JSON path (`parse_json` → `variant_get`), which at scale
+    * beats per-access string re-parsing: the variant decodes once per
+    * row into a typed binary that every extraction shares.
+    * `try_variant_get` on an absent path must yield NULL (pinned by
+    * `n_missing == event_count` in the oracle). */
+  def variantProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(parse_json(col("props")).as("v"))
+      .select(
+        variant_get(col("v"), "$.k", "int").as("k_value"),
+        try_variant_get(col("v"), "$.missing", "int").as("missing_value"))
+      .groupBy(pmod(col("k_value"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("event_count"),
+        graft.ops.ConditionalAgg.countIf(col("missing_value").isNull).as("n_missing"),
+        min(col("k_value")).as("min_k"),
+        max(col("k_value")).as("max_k"))
+      .orderBy(col("k_mod"))
+
+  val variantPropsSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+      |  count(*) AS event_count,
+      |  count(*) AS n_missing,
+      |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k_mod""".stripMargin
+
   /** Cohort retention matrix — the classic product-analytics query the
     * reference's dashboards stop short of: users cohorted by first
     * purchase month, counted per month offset they remained active.

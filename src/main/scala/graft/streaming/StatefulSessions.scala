@@ -30,7 +30,7 @@ object StatefulSessions {
   case class SessionOut(user_id: Long, session_start_sec: Long, session_end_sec: Long,
                         session_events: Int, session_revenue: Double, closed_by: String)
 
-  private def fold(state: Option[SessionState], events: Seq[EventIn]):
+  private[streaming] def fold(state: Option[SessionState], events: Seq[EventIn]):
       (Seq[SessionOut], Option[SessionState], Long) = {
     var cur = state
     val out = scala.collection.mutable.ArrayBuffer[SessionOut]()

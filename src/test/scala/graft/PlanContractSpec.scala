@@ -59,6 +59,34 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("big shuffle joins get a runtime bloom filter on the probe side") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    // emulate the at-scale shape: both sides too big to broadcast, the
+    // build side selectively filtered — the optimizer must inject a
+    // bloom-filter semi-join so the probe scan skips non-matching rows
+    // before the shuffle
+    val c = spark.conf
+    val savedBroadcast = c.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val orders = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, sf)
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("bloomfilter") || plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(joined.collect().nonEmpty)
+    } finally {
+      c.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    }
+  }
+
   test("parquet scans prune columns: lineitem reads only what q1 needs") {
     val p = plan("q1_pricing_summary")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
