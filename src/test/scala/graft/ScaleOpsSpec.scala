@@ -57,4 +57,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(j.filter(col("row_count") =!= col("rc2")).count() === 0)
     assert(j.filter(abs(col("value_sum") - col("vs2")) > 1e-6).count() === 0)
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // 100k-row left side where one key owns 90% of the rows — the
+    // classic hot-key join AQE must repair by splitting the skewed
+    // partition into subpartitions (thresholds lowered to trigger at
+    // test scale; at 100 TB the defaults fire on real skew)
+    val left = spark.range(1000000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val right = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("attr"))
+    val c = spark.conf
+    val savedB = c.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val joined = left.join(right, "k").agg(count(lit(1)))
+      // collect() (not head(): head wraps a NEW limit-query whose
+      // execution never touches this plan) so AQE finalizes the plan
+      val n = joined.collect()(0).getLong(0)
+      // 900k hot-key rows match k=7; of the 100k spread rows (k = id,
+      // multiples of 10) only those < 2000 match: 200
+      assert(n === 900000L + 200L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally {
+      c.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+      c.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      c.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      c.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      c.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
 }
