@@ -125,7 +125,9 @@ object Bench {
     "pipeline_serving_sink", "quality_gold_report",
     "q1_pricing_summary", "q_returned_items",
     "dedup_exact", "dedup_minhash_lsh", "sim_embed_topk_brute",
-    "sim_embed_topk_ivf", "text_doc_stats", "stream_hourly_agg")
+    "sim_embed_topk_ivf", "text_doc_stats", "stream_hourly_agg",
+    "dedup_ngram_jaccard", "dedup_clusters", "incremental_rebuild_diff",
+    "dedup_gate_report")
 
   /** ONE JSON line for the driver. The driver captures only the last
     * ~2000 chars of stdout (and sbt appends a `[success]` line after

@@ -150,6 +150,7 @@ object SparkEntry {
     "mm_modality_stats" -> (graft.multimodal.Multimodal.modalityStatsQuery _),
     "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
     "incremental_rebuild_diff" -> (graft.ops.IncrementalRebuild.diffQuery _),
+    "q_merge_restatement" -> (graft.ops.MergeUpsert.restatedDailySales _),
     // report/snapshot queries run over the shared silver cache (they
     // rebuild several marts internally — same amortization the marts get)
     "quality_silver_report" -> ((s, dir) =>
@@ -258,6 +259,7 @@ object SparkEntry {
     "mm_modality_stats" -> graft.multimodal.Multimodal.modalityStatsSql,
     "stream_hourly_agg" -> graft.streaming.StreamingEvents.hourlyAggSql,
     "incremental_rebuild_diff" -> graft.ops.IncrementalRebuild.diffSql,
+    "q_merge_restatement" -> graft.ops.MergeUpsert.restatedDailySalesSql,
     "quality_silver_report" -> graft.quality.DataChecks.silverReportSql,
     "quality_gold_report" -> graft.quality.DataChecks.goldReportSql,
     "meta_snapshots" -> graft.sources.Snapshots.snapshotsSql,

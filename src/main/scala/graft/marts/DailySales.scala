@@ -141,9 +141,11 @@ object DailySales {
       |)
       |ORDER BY event_date, metric""".stripMargin
 
-  val oracleSql: String = SilverEvents.oracleCte +
-    """
-      |SELECT
+  /** The daily aggregate's SQL body over a named relation — reused by
+    * the MERGE-restatement oracle, which runs it over two different
+    * silver CTEs. */
+  def aggSqlOver(from: String): String =
+    """SELECT
       |  event_date,
       |  count(*) AS total_events,
       |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
@@ -171,7 +173,9 @@ object DailySales {
       |                      ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
       |        / nullif(CAST(count(DISTINCT user_id) AS DOUBLE), 0)
       |      AS DECIMAL(28,10)), 2) AS DOUBLE) AS revenue_per_user
-      |FROM silver
-      |GROUP BY event_date
-      |ORDER BY event_date""".stripMargin
+      |FROM """.stripMargin + from + """
+      |GROUP BY event_date""".stripMargin
+
+  val oracleSql: String =
+    SilverEvents.oracleCte + "\n" + aggSqlOver("silver") + "\nORDER BY event_date"
 }

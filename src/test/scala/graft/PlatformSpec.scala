@@ -257,6 +257,24 @@ class PlatformSpec extends AnyFunSuite {
       .count() === 0)
   }
 
+  test("merge upsert: update, insert, passthrough, and source-NULL-wins semantics") {
+    import spark.implicits._
+    import graft.ops.MergeUpsert
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val source = Seq((2L, "B2", 99.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v")
+    val merged = MergeUpsert.upsert(target, source, Seq("k"))
+      .orderBy("k").collect()
+    assert(merged.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a", 10.0), (2L, "B2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    // UPDATE SET * semantics: a NULL in a matched source row overwrites
+    val srcNull = Seq((1L, null.asInstanceOf[String], 11.0)).toDF("k", "name", "v")
+    val m2 = MergeUpsert.upsert(target, srcNull, Seq("k")).orderBy("k").collect()
+    assert(m2(0).isNullAt(1) && m2(0).getDouble(2) === 11.0)
+    assert(m2.length === 3)
+  }
+
   test("z-order layout keeps per-file ranges tight on BOTH columns") {
     val tmp = Files.createTempDirectory("graft_z_").toString
     val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
