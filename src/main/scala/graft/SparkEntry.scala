@@ -138,6 +138,8 @@ object SparkEntry {
     "dedup_gate_report" -> (graft.dedup.NearDup.gateReport _),
     "dedup_apply_keeplist" -> (graft.dedup.NearDup.dedupedCorpusQuery _),
     "text_split_assign" -> (graft.text.QualityFilters.splitAssignQuery _),
+    "text_lm_scores" -> (graft.text.QualityFilters.lmScoresQuery _),
+    "text_decontamination" -> (graft.dedup.NearDup.decontaminationQuery _),
     "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
     "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
     "sim_embed_topk_ivf" -> (graft.sim.IvfAnn.ivfTopKQuery _),
@@ -248,6 +250,8 @@ object SparkEntry {
     "dedup_gate_report" -> graft.dedup.NearDup.gateReportSql,
     "dedup_apply_keeplist" -> graft.dedup.NearDup.dedupedCorpusSql,
     "text_split_assign" -> graft.text.QualityFilters.splitAssignSql,
+    "text_lm_scores" -> graft.text.QualityFilters.lmScoresSql,
+    "text_decontamination" -> graft.dedup.NearDup.decontaminationSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_topk_lsh /
     // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are

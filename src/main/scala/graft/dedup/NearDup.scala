@@ -289,6 +289,51 @@ object NearDup {
        |FROM reach GROUP BY s
        |ORDER BY doc_id""".stripMargin
 
+  /** Eval-set decontamination — the training-data curation pass that
+    * finds training documents leaking n-grams from a held-out eval
+    * set (the standard pre-training hygiene step: if eval text
+    * appears verbatim in training data, benchmark scores are
+    * meaningless). Train docs are flagged with how many distinct
+    * 5-grams they share with the eval slice and how many eval docs
+    * are implicated.
+    *
+    * Scale shape: the eval set is tiny relative to training (here the
+    * `doc_id % evalMod == 0` slice); its shingle frame broadcasts, so
+    * the contamination check is a broadcast semi-join over the
+    * training shingle stream — no shuffle of the training corpus. */
+  def decontamination(documents: DataFrame, k: Int = 5, evalMod: Long = 50): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    val evalSh = shingles(documents.filter(isEval), k)
+      .select(col("shingle"), col("doc_id").as("eval_doc"))
+    val trainSh = shingles(documents.filter(!isEval), k)
+    trainSh.join(evalSh, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("shingle")).as("n_shared_5grams"),
+           count_distinct(col("eval_doc")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminationQuery(s: SparkSession, dir: String): DataFrame =
+    decontamination(Tables.documents(s, dir))
+
+  val decontaminationSql: String =
+    """WITH sh5 AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |      generate_series(1, len(toks) - 4),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS shingle
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 5
+      |),
+      |ev AS (SELECT doc_id AS eval_doc, shingle FROM sh5 WHERE doc_id % 50 = 0),
+      |tr AS (SELECT doc_id, shingle FROM sh5 WHERE doc_id % 50 <> 0)
+      |SELECT tr.doc_id,
+      |  count(DISTINCT tr.shingle) AS n_shared_5grams,
+      |  count(DISTINCT ev.eval_doc) AS n_eval_docs
+      |FROM tr JOIN ev ON tr.shingle = ev.shingle
+      |GROUP BY tr.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Apply the duplicate keep-list — the step that actually SHRINKS
     * the corpus: cluster members drop unless they are their cluster's
     * representative; docs in no cluster pass through. Completes the

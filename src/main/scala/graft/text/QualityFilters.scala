@@ -130,6 +130,52 @@ object QualityFilters {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-doc unigram language-model score (the CCNet-style quality
+    * signal: docs far from the corpus distribution — gibberish or
+    * boilerplate — score high): avg −ln p(token) under the corpus
+    * unigram model. Two grouped aggs + one token-frequency join; the
+    * per-row NLL is summed as DECIMAL(28,12) so the per-doc score is
+    * independent of partition/add order (a raw double sum would drift
+    * run to run at 100 TB). A real pipeline swaps the unigram model
+    * for KenLM scores — the Spark shape (broadcast model join or
+    * mapPartitions batch scoring) is identical. */
+  def lmScores(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"),
+      explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+    val freqs = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = freqs.agg(sum(col("tf")).as("n_total"))
+    tok.join(freqs, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("nll",
+        (-log(col("tf").cast("double") / col("n_total").cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll")).as("nll_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        ConditionalAgg.roundPortable(
+          col("nll_sum").cast("double") / col("n_tokens").cast("double"), 4).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  def lmScoresQuery(s: SparkSession, dir: String): DataFrame =
+    lmScores(Tables.documents(s, dir))
+
+  val lmScoresSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |  FROM documents
+      |),
+      |freqs AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+      |tot AS (SELECT sum(tf) AS n_total FROM freqs)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(round(CAST(
+      |    CAST(sum(CAST(-ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE)
+      |    AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_nll
+      |FROM tok JOIN freqs USING (token), tot
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** 1-based position of a lowercase hex digit in the hex alphabet —
     * the engine-portable digit value (DuckDB `strpos` twin). */
   private def hexPos(c: org.apache.spark.sql.Column) =
