@@ -36,6 +36,16 @@ object SparkEntry {
       SilverEvents.build(Tables.events(s, dir)).cache()
     })
 
+  /** The exact-Jaccard duplicate pairs feed FIVE driver queries
+    * (pairs, two clusterings, keep-list, gate report) — materialize
+    * them once per (session, dir), like silver. A production dedup
+    * pipeline stages its pair table for exactly this reason. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def dupPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent((s, dir), _ =>
+      graft.dedup.NearDup.jaccardPairs(Tables.documents(s, dir)).localCheckpoint())
+
   private[graft] def silverCacheSize: Int = silverCache.size
 
   /** Evict (and unpersist) every cached silver frame of `s` — wired to
@@ -50,6 +60,7 @@ object SparkEntry {
         it.remove()
       }
     }
+    pairsCache.keySet.removeIf(_._1 eq s)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -127,16 +138,22 @@ object SparkEntry {
     "text_tfidf_top_terms" -> ((s, dir) => graft.text.QualityFilters.tfidfTopTerms(s, dir)),
     "text_rolling_fingerprints" -> (graft.text.TextAnalysis.rollingFingerprintsQuery _),
     "dedup_exact" -> (graft.dedup.NearDup.exactGroupsQuery _),
-    "dedup_ngram_jaccard" -> (graft.dedup.NearDup.jaccardPairsQuery _),
+    // the five pair consumers share the staged dupPairs frame
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      dupPairs(s, dir).orderBy(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))),
     "dedup_minhash_lsh" -> (graft.dedup.NearDup.minhashPairsQuery _),
-    "dedup_clusters" -> (graft.dedup.NearDup.clustersQuery _),
+    "dedup_clusters" -> ((s, dir) =>
+      graft.dedup.NearDup.duplicateClusters(dupPairs(s, dir))),
     "dedup_clusters_star" -> ((s, dir) => graft.dedup.ConnectedComponents
-      .duplicateClustersStar(graft.dedup.NearDup.jaccardPairs(
-        graft.sources.Tables.documents(s, dir)))),
+      .duplicateClustersStar(dupPairs(s, dir))),
     "dedup_simhash" -> (graft.dedup.NearDup.simhashPairsQuery _),
     "dedup_fuzzy_parts" -> ((s, dir) => graft.dedup.FuzzyMatch.fuzzyPartPairs(s, dir)),
-    "dedup_gate_report" -> (graft.dedup.NearDup.gateReport _),
-    "dedup_apply_keeplist" -> (graft.dedup.NearDup.dedupedCorpusQuery _),
+    "dedup_gate_report" -> ((s, dir) =>
+      graft.dedup.NearDup.gateReportWith(s, dir, dupPairs(s, dir))),
+    "dedup_apply_keeplist" -> ((s, dir) => graft.dedup.NearDup.applyKeepList(
+      Tables.documents(s, dir),
+      graft.dedup.NearDup.duplicateClusters(dupPairs(s, dir)))),
     "text_split_assign" -> (graft.text.QualityFilters.splitAssignQuery _),
     "text_lm_scores" -> (graft.text.QualityFilters.lmScoresQuery _),
     "text_decontamination" -> (graft.dedup.NearDup.decontaminationQuery _),

@@ -527,9 +527,14 @@ object NearDup {
     * rows pin the hamming bound and pair canonicalization. Any
     * banding/verification regression turns a row red in CORRECTNESS
     * instead of hiding in a rows-only entry. */
-  def gateReport(s: SparkSession, dir: String): DataFrame = {
+  def gateReport(s: SparkSession, dir: String): DataFrame =
+    gateReportWith(s, dir, jaccardPairs(Tables.documents(s, dir)))
+
+  /** [[gateReport]] over a pre-staged exact-pair frame (the driver
+    * shares one pair materialization across all five consumers). */
+  def gateReportWith(s: SparkSession, dir: String, exactPairs: DataFrame): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val exact = jaccardPairs(docs).select("doc_a", "doc_b").localCheckpoint()
+    val exact = exactPairs.select("doc_a", "doc_b").localCheckpoint()
     val lsh = minhashPairs(docs).select("doc_a", "doc_b").localCheckpoint()
     val sim = simhashPairs(docs).localCheckpoint()
     val nExact = exact.count()
