@@ -157,6 +157,8 @@ object SparkEntry {
     "text_split_assign" -> (graft.text.QualityFilters.splitAssignQuery _),
     "text_lm_scores" -> (graft.text.QualityFilters.lmScoresQuery _),
     "text_decontamination" -> (graft.dedup.NearDup.decontaminationQuery _),
+    "text_curation_verdicts" -> ((s, dir) => graft.text.Curation.verdicts(
+      Tables.documents(s, dir), dupPairs(s, dir))),
     "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
     "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
     "sim_embed_topk_ivf" -> (graft.sim.IvfAnn.ivfTopKQuery _),
@@ -269,6 +271,7 @@ object SparkEntry {
     "text_split_assign" -> graft.text.QualityFilters.splitAssignSql,
     "text_lm_scores" -> graft.text.QualityFilters.lmScoresSql,
     "text_decontamination" -> graft.dedup.NearDup.decontaminationSql,
+    "text_curation_verdicts" -> graft.text.Curation.verdictsSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_topk_lsh /
     // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are
