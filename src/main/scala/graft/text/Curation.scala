@@ -24,10 +24,15 @@ import graft.sources.Tables
   */
 object Curation {
 
-  def verdicts(documents: DataFrame, pairs: DataFrame): DataFrame = {
+  def verdicts(documents: DataFrame, pairs: DataFrame): DataFrame =
+    verdictsWith(documents, NearDup.duplicateClusters(pairs))
+
+  /** [[verdicts]] over a pre-staged cluster frame (the driver shares
+    * one clustering across its three consumers). */
+  def verdictsWith(documents: DataFrame, clusters: DataFrame): DataFrame = {
     val flags = QualityFilters.filterFlags(documents)
       .select(col("doc_id"), col("pass_all"))
-    val comp = NearDup.duplicateClusters(pairs)
+    val comp = clusters
       .select(col("doc_id"), col("is_kept"))
     val contam = NearDup.decontamination(documents)
       .select(col("doc_id")).withColumn("is_contam", lit(true))
