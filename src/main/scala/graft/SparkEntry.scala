@@ -54,6 +54,15 @@ object SparkEntry {
     clustersCache.computeIfAbsent((s, dir), _ =>
       graft.dedup.NearDup.duplicateClusters(dupPairs(s, dir)).localCheckpoint())
 
+  /** And the curation verdicts (consumed by the verdict listing, the
+    * clean-corpus application, and the per-source dashboard). */
+  private val verdictsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def curationVerdicts(s: SparkSession, dir: String): DataFrame =
+    verdictsCache.computeIfAbsent((s, dir), _ =>
+      graft.text.Curation.verdictsWith(Tables.documents(s, dir), dupClusters(s, dir))
+        .localCheckpoint())
+
   private[graft] def silverCacheSize: Int = silverCache.size
 
   /** Evict (and unpersist) every cached silver frame of `s` — wired to
@@ -70,6 +79,7 @@ object SparkEntry {
     }
     pairsCache.keySet.removeIf(_._1 eq s)
     clustersCache.keySet.removeIf(_._1 eq s)
+    verdictsCache.keySet.removeIf(_._1 eq s)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -165,8 +175,14 @@ object SparkEntry {
     "text_split_assign" -> (graft.text.QualityFilters.splitAssignQuery _),
     "text_lm_scores" -> (graft.text.QualityFilters.lmScoresQuery _),
     "text_decontamination" -> (graft.dedup.NearDup.decontaminationQuery _),
-    "text_curation_verdicts" -> ((s, dir) => graft.text.Curation.verdictsWith(
-      Tables.documents(s, dir), dupClusters(s, dir))),
+    "text_curation_verdicts" -> ((s, dir) => curationVerdicts(s, dir)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
+    "text_apply_curation" -> ((s, dir) => graft.text.CurationOps.applyCuration(
+      Tables.documents(s, dir), curationVerdicts(s, dir))),
+    "text_source_dashboard" -> ((s, dir) => graft.text.CurationOps.sourceDashboard(
+      Tables.documents(s, dir), curationVerdicts(s, dir))),
+    "text_sample_mixture" -> (graft.text.CurationOps.sampleMixtureQuery _),
+    "text_pack_sequences" -> (graft.text.CurationOps.packSequencesQuery _),
     "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
     "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
     "sim_embed_topk_ivf" -> (graft.sim.IvfAnn.ivfTopKQuery _),
@@ -280,6 +296,10 @@ object SparkEntry {
     "text_lm_scores" -> graft.text.QualityFilters.lmScoresSql,
     "text_decontamination" -> graft.dedup.NearDup.decontaminationSql,
     "text_curation_verdicts" -> graft.text.Curation.verdictsSql,
+    "text_apply_curation" -> graft.text.CurationOps.applyCurationSql,
+    "text_source_dashboard" -> graft.text.CurationOps.sourceDashboardSql,
+    "text_sample_mixture" -> graft.text.CurationOps.sampleMixtureSql,
+    "text_pack_sequences" -> graft.text.CurationOps.packSequencesSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_topk_lsh /
     // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are

@@ -1,0 +1,214 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ops.ConditionalAgg
+import graft.sources.Tables
+
+/** The post-verdict half of the curation pipeline: actually APPLY the
+  * verdicts (emit the clean corpus), report the result per source (the
+  * mixing dashboard a data-curation team watches), re-weight sources
+  * into a training mixture (with upsampling), and pack the surviving
+  * docs into fixed-token-budget training sequences.
+  *
+  * All four are verdict/stat compositions — narrow joins on doc_id,
+  * grouped aggregates, and per-source windows. Nothing here introduces
+  * a global window or a driver loop: mixture weights and packing are
+  * per-source parallel, which is exactly how a 100 TB corpus shards.
+  */
+object CurationOps {
+
+  // ---------------------------------------------------------------- apply
+
+  /** Emit the cleaned corpus: documents whose curation verdict is
+    * `kept` ([[Curation.verdictsWith]]), fingerprinted rather than
+    * re-materialized (the driver output stays narrow; a real pipeline
+    * writes the full rows with the same join). One hash join on
+    * doc_id against the verdict frame. */
+  def applyCuration(documents: DataFrame, verdicts: DataFrame): DataFrame =
+    documents
+      .join(verdicts.filter(col("verdict") === "kept").select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokensCol(col("text"))).as("n_tokens"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+
+  private def indent(sql: String) = sql.replace("\n", "\n  ")
+
+  val applyCurationSql: String =
+    s"""WITH v AS (
+       |  ${indent(Curation.verdictsSql)}
+       |)
+       |SELECT d.doc_id, d.source,
+       |  CAST(len(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS INT) AS n_tokens,
+       |  md5(d.text) AS text_md5
+       |FROM documents d JOIN v ON d.doc_id = v.doc_id AND v.verdict = 'kept'
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------ dashboard
+
+  /** Per-source curation dashboard: doc counts by verdict, kept rate,
+    * token totals before/after curation, mean quality score. The
+    * numbers a curation team tracks per crawl/source to decide mixture
+    * weights. Quality scores sum as exact decimals so the per-source
+    * mean is partition-order independent. */
+  def sourceDashboard(documents: DataFrame, verdicts: DataFrame): DataFrame = {
+    val stats = TextAnalysis.docStats(documents)
+      .select("doc_id", "token_count", "quality_score")
+    verdicts.join(stats, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        ConditionalAgg.countIf(col("verdict") === "kept").as("n_kept"),
+        ConditionalAgg.countIf(col("verdict") === "duplicate").as("n_duplicate"),
+        ConditionalAgg.countIf(col("verdict") === "contaminated").as("n_contaminated"),
+        ConditionalAgg.countIf(col("verdict") === "quality_reject").as("n_quality_reject"),
+        ConditionalAgg.countIf(col("verdict") === "eval_holdout").as("n_eval_holdout"),
+        sum(col("token_count").cast("long")).as("total_tokens"),
+        ConditionalAgg.sumIf(col("verdict") === "kept", col("token_count").cast("long"))
+          .as("kept_tokens"),
+        sum(col("quality_score").cast(DecimalType(18, 6))).as("__qsum"))
+      .withColumn("kept_pct", ConditionalAgg.pct(col("n_kept"), col("n_docs"), 2))
+      .withColumn("avg_quality", ConditionalAgg.roundPortable(
+        col("__qsum").cast("double") / col("n_docs").cast("double"), 4))
+      .drop("__qsum")
+      .orderBy(col("source"))
+  }
+
+  val sourceDashboardSql: String =
+    s"""WITH stats AS (
+       |  ${indent(TextAnalysis.docStatsSql)}
+       |), v AS (
+       |  ${indent(Curation.verdictsSql)}
+       |)
+       |SELECT v.source,
+       |  count(*) AS n_docs,
+       |  count(CASE WHEN verdict = 'kept' THEN 1 END) AS n_kept,
+       |  count(CASE WHEN verdict = 'duplicate' THEN 1 END) AS n_duplicate,
+       |  count(CASE WHEN verdict = 'contaminated' THEN 1 END) AS n_contaminated,
+       |  count(CASE WHEN verdict = 'quality_reject' THEN 1 END) AS n_quality_reject,
+       |  count(CASE WHEN verdict = 'eval_holdout' THEN 1 END) AS n_eval_holdout,
+       |  CAST(sum(token_count) AS BIGINT) AS total_tokens,
+       |  CAST(sum(CASE WHEN verdict = 'kept' THEN token_count ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |  ${ConditionalAgg.roundPortableSql(
+            "100.0 * CAST(count(CASE WHEN verdict = 'kept' THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 2)} AS kept_pct,
+       |  ${ConditionalAgg.roundPortableSql(
+            "CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS avg_quality
+       |FROM v JOIN stats ON v.doc_id = stats.doc_id
+       |GROUP BY v.source
+       |ORDER BY v.source""".stripMargin
+
+  // -------------------------------------------------------------- mixture
+
+  /** Domain-mixture sampling with upsampling: each source gets a
+    * deterministic weight (here a function of the source id standing in
+    * for a tuned mixture table); weight < 1 downsamples by hashed
+    * doc_id, weight > 1 REPLICATES docs (`copy_idx` distinguishes
+    * epochs of the same doc in the training stream — the standard way
+    * high-quality domains are over-represented).
+    *
+    * Membership is a pure function of (doc_id, source) — md5-bucket
+    * thresholding, never `rand()` — so the mixture is reproducible
+    * across reruns, shards, and engines. Per-row expressions + one
+    * explode; no shuffle at all. */
+  def sampleMixture(documents: DataFrame): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val weight = (pmod(srcNum, lit(7)) + 1).cast("double") * 0.25 // 0.25 .. 1.75
+    val baseCopies = floor(col("weight")).cast("int")
+    // fractional part as a /256 threshold: frac(weight)*256 ∈ {0,64,128,192}
+    val frac256 = pmod(pmod(srcNum, lit(7)) + 1, lit(4)) * 64
+    val nCopies = (baseCopies +
+      when(QualityFilters.md5Bucket(col("doc_id")) < frac256, 1).otherwise(0)).cast("int")
+    documents.select(col("doc_id"), col("source"))
+      .withColumn("weight", weight)
+      .withColumn("n_copies", nCopies)
+      .withColumn("copy_idx",
+        explode(when(col("n_copies") >= 1, sequence(lit(1), col("n_copies")))
+          .otherwise(typedLit(Seq.empty[Int]))))
+      .withColumn("copy_idx", col("copy_idx").cast("int"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
+  val sampleMixtureSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 7 + 1 AS m,
+      |    CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INT) AS bucket
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source,
+      |    CAST(m * 0.25 AS DOUBLE) AS weight,
+      |    CAST(m // 4 + CASE WHEN bucket < (m % 4) * 64 THEN 1 ELSE 0 END AS INT) AS n_copies
+      |  FROM base
+      |)
+      |SELECT doc_id, source, weight, n_copies,
+      |  CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy_idx
+      |FROM c
+      |WHERE n_copies >= 1
+      |ORDER BY doc_id, copy_idx""".stripMargin
+
+  // -------------------------------------------------------------- packing
+
+  /** Pack documents into fixed-token-budget training sequences:
+    * contiguous greedy fill in deterministic doc_id order WITHIN each
+    * source — a doc starts in the sequence where its running offset
+    * falls, so the last doc of a sequence may overflow the budget
+    * (overflow-tolerant packing; `fill_pct` > 100 marks those).
+    *
+    * The window partitions by source, so packing is embarrassingly
+    * parallel across sources; a 100 TB corpus adds a shard key to the
+    * partition spec (source, shard) and packs each shard the same
+    * way — no global cumulative sum anywhere. */
+  def packSequences(documents: DataFrame, capacity: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        QualityFilters.bpeEstimateCol(col("text")).as("doc_tokens"))
+      .withColumn("cum", sum(col("doc_tokens")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("doc_tokens")).cast("double") / capacity).cast("int"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_pct", ConditionalAgg.pct(col("seq_tokens"), lit(capacity), 2))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH perdoc AS (
+       |  SELECT doc_id, source,
+       |    CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |      t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT) AS doc_tokens
+       |  FROM documents
+       |), cum AS (
+       |  SELECT doc_id, source, doc_tokens,
+       |    sum(doc_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM perdoc
+       |)
+       |SELECT source,
+       |  CAST(floor(CAST(cum - doc_tokens AS DOUBLE) / 512) AS INT) AS seq_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(doc_tokens) AS BIGINT) AS seq_tokens,
+       |  min(doc_id) AS first_doc,
+       |  max(doc_id) AS last_doc,
+       |  ${ConditionalAgg.roundPortableSql(
+            "100.0 * CAST(sum(doc_tokens) AS DOUBLE) / 512.0", 2)} AS fill_pct
+       |FROM cum
+       |GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin
+
+  // ------------------------------------------------------- query wrappers
+
+  def sampleMixtureQuery(s: SparkSession, dir: String): DataFrame =
+    sampleMixture(Tables.documents(s, dir))
+
+  def packSequencesQuery(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir))
+}

@@ -106,13 +106,18 @@ object QualityFilters {
     * floored by the word count; plus the chars/4 global estimate for
     * comparison. Pure higher-order array math — no tokenizer library,
     * no UDF, linear scan. */
+  /** Per-text BPE-unit estimate (the ~4-chars-per-token heuristic),
+    * shared by [[tokenEstimates]] and [[CurationOps.packSequences]]. */
+  private[text] def bpeEstimateCol(text: org.apache.spark.sql.Column) =
+    aggregate(transform(TextAnalysis.tokensCol(text),
+        t => ceil(length(t).cast("double") / 4.0).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   def tokenEstimates(documents: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokensCol(col("text"))
     documents
       .withColumn("word_tokens", size(toks))
-      .withColumn("bpe_estimate",
-        aggregate(transform(toks, t => ceil(length(t).cast("double") / 4.0).cast("long")),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("bpe_estimate", bpeEstimateCol(col("text")))
       .withColumn("char_estimate", ceil(length(col("text")).cast("double") / 4.0).cast("long"))
       .select("doc_id", "word_tokens", "bpe_estimate", "char_estimate")
       .orderBy(col("doc_id"))
@@ -178,8 +183,16 @@ object QualityFilters {
 
   /** 1-based position of a lowercase hex digit in the hex alphabet —
     * the engine-portable digit value (DuckDB `strpos` twin). */
-  private def hexPos(c: org.apache.spark.sql.Column) =
+  private[text] def hexPos(c: org.apache.spark.sql.Column) =
     array_position(typedLit("0123456789abcdef".map(_.toString)), c)
+
+  /** First-two-hex-digits md5 bucket of a key → 0..255; the shared
+    * deterministic-hash primitive behind [[splitAssign]] and
+    * [[CurationOps.sampleMixture]]. */
+  private[text] def md5Bucket(key: org.apache.spark.sql.Column) = {
+    val h = md5(key.cast("string"))
+    ((hexPos(substring(h, 1, 1)) - 1) * 16 + (hexPos(substring(h, 2, 1)) - 1)).cast("int")
+  }
 
   /** Deterministic train/val/test split assignment — the standard
     * hash-split a training pipeline uses so membership is a pure
@@ -191,11 +204,8 @@ object QualityFilters {
     * replays exactly in DuckDB. */
   def splitAssign(documents: DataFrame,
                   trainCut: Int = 205, valCut: Int = 230): DataFrame = {
-    val h = md5(col("doc_id").cast("string"))
-    val bucket = ((hexPos(substring(h, 1, 1)) - 1) * 16 +
-      (hexPos(substring(h, 2, 1)) - 1)).cast("int")
     documents
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", md5Bucket(col("doc_id")))
       .withColumn("split",
         when(col("bucket") < trainCut, "train")
           .when(col("bucket") < valCut, "val")

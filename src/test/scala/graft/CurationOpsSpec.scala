@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.NearDup
+import graft.sources.Tables
+import graft.text.{Curation, CurationOps}
+
+class CurationOpsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val verdicts =
+    Curation.verdicts(docs, NearDup.jaccardPairs(docs)).cache()
+
+  test("apply_curation keeps exactly the kept verdicts") {
+    val clean = CurationOps.applyCuration(docs, verdicts)
+    val kept = verdicts.filter(col("verdict") === "kept").count()
+    assert(clean.count() === kept)
+    // every cleaned doc must carry a kept verdict
+    assert(clean.join(verdicts.filter(col("verdict") =!= "kept"), "doc_id").count() === 0)
+  }
+
+  test("dashboard verdict counts partition n_docs; token totals conserve") {
+    val dash = CurationOps.sourceDashboard(docs, verdicts).cache()
+    val bad = dash.filter(
+      col("n_kept") + col("n_duplicate") + col("n_contaminated") +
+        col("n_quality_reject") + col("n_eval_holdout") =!= col("n_docs"))
+    assert(bad.count() === 0)
+    assert(dash.filter(col("kept_tokens") > col("total_tokens")).count() === 0)
+    assert(dash.agg(sum("n_docs")).first().getLong(0) === docs.count())
+  }
+
+  test("mixture: copies-per-doc equals n_copies and stays within weight bounds") {
+    val mix = CurationOps.sampleMixture(docs).cache()
+    val perDoc = mix.groupBy("doc_id", "weight", "n_copies")
+      .agg(count(lit(1)).as("rows"), max("copy_idx").as("max_idx"))
+    assert(perDoc.filter(col("rows") =!= col("n_copies")).count() === 0)
+    assert(perDoc.filter(col("max_idx") =!= col("n_copies")).count() === 0)
+    assert(mix.filter(col("n_copies") < floor(col("weight")) ||
+      col("n_copies") > ceil(col("weight"))).count() === 0)
+    // integral weights sample deterministically: weight 1.0 → exactly 1 copy
+    assert(mix.filter(col("weight") === 1.0 && col("n_copies") =!= 1).count() === 0)
+  }
+
+  test("mixture downsample rate tracks the fractional weight (md5 bucket ~ uniform)") {
+    val mix = CurationOps.sampleMixture(docs)
+    val rates = mix.groupBy("source", "weight")
+      .agg(count(lit(1)).cast("double").as("copies"))
+      .join(docs.groupBy("source").agg(count(lit(1)).cast("double").as("n")), "source")
+      .withColumn("rate", col("copies") / col("n"))
+      .collect()
+    // loose tolerance: sf0.001 sources are small (binomial noise)
+    rates.foreach { r =>
+      val (w, rate) = (r.getAs[Double]("weight"), r.getAs[Double]("rate"))
+      assert(math.abs(rate - w) <= 0.45, s"source=${r.getAs[String]("source")} w=$w rate=$rate")
+    }
+  }
+
+  test("packing conserves tokens, seq_ids contiguous, budget crossed before advancing") {
+    val cap = 512
+    val packed = CurationOps.packSequences(docs, cap).cache()
+    val perDocTotal = graft.text.QualityFilters.tokenEstimates(docs)
+      .agg(sum("bpe_estimate")).first().getLong(0)
+    assert(packed.agg(sum("seq_tokens")).first().getLong(0) === perDocTotal)
+    // seq ids are 0..n-1 per source
+    val seqAgg = packed.groupBy("source")
+      .agg(min("seq_id").as("lo"), max("seq_id").as("hi"), count(lit(1)).as("n"))
+    assert(seqAgg.filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1).count() === 0)
+    // cumulative tokens through every non-final sequence cross its budget
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("seq_id")
+    val cum = packed
+      .withColumn("cum", sum(col("seq_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("is_last", col("seq_id") === max("seq_id").over(
+        Window.partitionBy("source")))
+    assert(cum.filter(!col("is_last") && col("cum") < (col("seq_id") + 1) * cap).count() === 0)
+  }
+}
