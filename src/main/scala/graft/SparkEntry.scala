@@ -174,6 +174,9 @@ object SparkEntry {
       Tables.documents(s, dir), dupClusters(s, dir))),
     "text_split_assign" -> (graft.text.QualityFilters.splitAssignQuery _),
     "text_lm_scores" -> (graft.text.QualityFilters.lmScoresQuery _),
+    "text_lm_scores_batch" -> (graft.text.LmBatchScorer.lmScoresBatchQuery _),
+    "text_pii_redaction" -> (graft.text.PiiRedaction.redactionQuery _),
+    "text_dsir_weights" -> (graft.text.DsirWeights.dsirWeightsQuery _),
     "text_decontamination" -> (graft.dedup.NearDup.decontaminationQuery _),
     "text_curation_verdicts" -> ((s, dir) => curationVerdicts(s, dir)
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
@@ -294,6 +297,10 @@ object SparkEntry {
     "dedup_apply_keeplist" -> graft.dedup.NearDup.dedupedCorpusSql,
     "text_split_assign" -> graft.text.QualityFilters.splitAssignSql,
     "text_lm_scores" -> graft.text.QualityFilters.lmScoresSql,
+    // the batch scorer reproduces the relational LM bit-for-bit → same oracle
+    "text_lm_scores_batch" -> graft.text.QualityFilters.lmScoresSql,
+    "text_pii_redaction" -> graft.text.PiiRedaction.redactionSql,
+    "text_dsir_weights" -> graft.text.DsirWeights.dsirWeightsSql,
     "text_decontamination" -> graft.dedup.NearDup.decontaminationSql,
     "text_curation_verdicts" -> graft.text.Curation.verdictsSql,
     "text_apply_curation" -> graft.text.CurationOps.applyCurationSql,

@@ -31,8 +31,10 @@ class ArchitectureSpec extends AnyFunSuite {
     // GlobalRank: <= numPartitions (pid, count) longs — the zipWithIndex offset map
     // ConnectedComponents: one 3-long convergence fingerprint per round
     // ScalarQuantAnn: 64 per-dimension (min, max) training bounds
+    // LmBatchScorer: the fitted model (vocabulary-sized artifact, broadcast back out)
     val allow = Map("GlobalRank.scala" -> 1,
-      "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1)
+      "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
+      "LmBatchScorer.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))
   }
@@ -46,8 +48,10 @@ class ArchitectureSpec extends AnyFunSuite {
     // AsOfJoinExec: custom SparkPlan must produce RDD[InternalRow]
     // Multimodal: partition-batched decode is the documented mapPartitions use
     // ServingSink: JDBC writer iterates partitions for connection batching
+    // LmBatchScorer: broadcast-model batch inference (the KenLM shape)
     val allow = Map("AsOfJoinExec.scala" -> 3,
-      "Multimodal.scala" -> 2, "ServingSink.scala" -> 2)
+      "Multimodal.scala" -> 2, "ServingSink.scala" -> 2,
+      "LmBatchScorer.scala" -> 1)
     val hits = offenders("mapPartitions", allow) ++
       offenders(".toRdd", Map("Bench.scala" -> 1))
     assert(hits.isEmpty, hits.mkString("; "))
