@@ -95,6 +95,9 @@ object SparkEntry {
     "q_scd2_user_stages" -> (Scd2.userStageHistory _),
     "q_customer_ltv_deciles" -> (LtvDeciles.build _),
     "gold_hourly_traffic" -> ((s, dir) => HourlyTraffic.build(silver(s, dir))),
+    "q_typed_hourly_traffic" -> ((s, dir) =>
+      TypedTraffic.build(TypedTraffic.asSilver(silver(s, dir)))),
+    "q_stats_moments" -> (StatsMoments.momentsQuery _),
     "gold_item_performance" -> ((s, dir) => ItemPerformance.build(silver(s, dir))),
     "gold_user_journey_funnel" -> ((s, dir) => UserJourneyFunnel.build(silver(s, dir))),
     "gold_conversion_funnel_daily" -> ((s, dir) => ConversionFunnelDaily.build(silver(s, dir))),
@@ -228,6 +231,9 @@ object SparkEntry {
     "q_scd2_user_stages" -> Scd2.userStageHistorySql,
     "q_customer_ltv_deciles" -> LtvDeciles.oracleSql,
     "gold_hourly_traffic" -> HourlyTraffic.oracleSql,
+    // the typed Dataset[T] mart must reproduce the relational mart exactly
+    "q_typed_hourly_traffic" -> HourlyTraffic.oracleSql,
+    "q_stats_moments" -> StatsMoments.momentsSql,
     "gold_item_performance" -> ItemPerformance.oracleSql,
     "gold_user_journey_funnel" -> UserJourneyFunnel.oracleSql,
     "gold_conversion_funnel_daily" -> ConversionFunnelDaily.oracleSql,
