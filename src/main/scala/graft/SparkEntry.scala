@@ -36,32 +36,40 @@ object SparkEntry {
       SilverEvents.build(Tables.events(s, dir)).cache()
     })
 
-  /** The exact-Jaccard duplicate pairs feed FIVE driver queries
-    * (pairs, two clusterings, keep-list, gate report) — materialize
-    * them once per (session, dir), like silver. A production dedup
-    * pipeline stages its pair table for exactly this reason. */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Staged intermediate frames shared by several driver queries —
+    * the production pattern of materializing a pair/signature/result
+    * table once and fanning consumers out from it. Each entry is
+    * localCheckpoint'd (small frames: pairs, top-k lists, verdicts),
+    * keyed (session, dir, stage), evicted with the silver cache.
+    *
+    * Current stages: exact-Jaccard pairs (5 consumers), duplicate
+    * clusters (3), curation verdicts (3), MinHash + SimHash pair sets
+    * (2 each: their listing query + the gate report), and the four
+    * ANN top-k frames (2 each: their listing query + the recall
+    * report). */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def staged(s: SparkSession, dir: String, stage: String)(f: => DataFrame): DataFrame =
+    stagedCache.computeIfAbsent((s, dir, stage), _ => f.localCheckpoint())
+
   private def dupPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent((s, dir), _ =>
-      graft.dedup.NearDup.jaccardPairs(Tables.documents(s, dir)).localCheckpoint())
-
-  /** Likewise the label-propagation clusters (consumed by the cluster
-    * listing, the keep-list application, and the curation verdict). */
-  private val clustersCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    staged(s, dir, "pairs")(graft.dedup.NearDup.jaccardPairs(Tables.documents(s, dir)))
   private def dupClusters(s: SparkSession, dir: String): DataFrame =
-    clustersCache.computeIfAbsent((s, dir), _ =>
-      graft.dedup.NearDup.duplicateClusters(dupPairs(s, dir)).localCheckpoint())
-
-  /** And the curation verdicts (consumed by the verdict listing, the
-    * clean-corpus application, and the per-source dashboard). */
-  private val verdictsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    staged(s, dir, "clusters")(graft.dedup.NearDup.duplicateClusters(dupPairs(s, dir)))
   private def curationVerdicts(s: SparkSession, dir: String): DataFrame =
-    verdictsCache.computeIfAbsent((s, dir), _ =>
-      graft.text.Curation.verdictsWith(Tables.documents(s, dir), dupClusters(s, dir))
-        .localCheckpoint())
+    staged(s, dir, "verdicts")(
+      graft.text.Curation.verdictsWith(Tables.documents(s, dir), dupClusters(s, dir)))
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "minhash")(graft.dedup.NearDup.minhashPairsQuery(s, dir))
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "simhash")(graft.dedup.NearDup.simhashPairsQuery(s, dir))
+  private def annTopK(s: SparkSession, dir: String, method: String): DataFrame =
+    staged(s, dir, s"ann_$method")(method match {
+      case "brute" => graft.sim.EmbeddingSim.bruteForceTopKQuery(s, dir)
+      case "lsh" => graft.sim.EmbeddingSim.lshTopKQuery(s, dir)
+      case "ivf" => graft.sim.IvfAnn.ivfTopKQuery(s, dir)
+      case "sq8" => graft.sim.ScalarQuantAnn.sq8TopKQuery(s, dir)
+    })
 
   private[graft] def silverCacheSize: Int = silverCache.size
 
@@ -77,9 +85,7 @@ object SparkEntry {
         it.remove()
       }
     }
-    pairsCache.keySet.removeIf(_._1 eq s)
-    clustersCache.keySet.removeIf(_._1 eq s)
-    verdictsCache.keySet.removeIf(_._1 eq s)
+    stagedCache.keySet.removeIf(_._1 eq s)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -164,15 +170,19 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       dupPairs(s, dir).orderBy(org.apache.spark.sql.functions.col("doc_a"),
         org.apache.spark.sql.functions.col("doc_b"))),
-    "dedup_minhash_lsh" -> (graft.dedup.NearDup.minhashPairsQuery _),
+    "dedup_minhash_lsh" -> ((s, dir) => minhashPairs(s, dir)
+      .orderBy(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))),
     "dedup_clusters" -> ((s, dir) => dupClusters(s, dir)
       .orderBy(org.apache.spark.sql.functions.col("doc_id"))),
     "dedup_clusters_star" -> ((s, dir) => graft.dedup.ConnectedComponents
       .duplicateClustersStar(dupPairs(s, dir))),
-    "dedup_simhash" -> (graft.dedup.NearDup.simhashPairsQuery _),
+    "dedup_simhash" -> ((s, dir) => simhashPairs(s, dir)
+      .orderBy(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))),
     "dedup_fuzzy_parts" -> ((s, dir) => graft.dedup.FuzzyMatch.fuzzyPartPairs(s, dir)),
-    "dedup_gate_report" -> ((s, dir) =>
-      graft.dedup.NearDup.gateReportWith(s, dir, dupPairs(s, dir))),
+    "dedup_gate_report" -> ((s, dir) => graft.dedup.NearDup.gateReportWith(
+      s, dupPairs(s, dir), minhashPairs(s, dir), simhashPairs(s, dir))),
     "dedup_apply_keeplist" -> ((s, dir) => graft.dedup.NearDup.applyKeepList(
       Tables.documents(s, dir), dupClusters(s, dir))),
     "text_split_assign" -> (graft.text.QualityFilters.splitAssignQuery _),
@@ -189,12 +199,22 @@ object SparkEntry {
       Tables.documents(s, dir), curationVerdicts(s, dir))),
     "text_sample_mixture" -> (graft.text.CurationOps.sampleMixtureQuery _),
     "text_pack_sequences" -> (graft.text.CurationOps.packSequencesQuery _),
-    "sim_embed_topk_brute" -> (graft.sim.EmbeddingSim.bruteForceTopKQuery _),
-    "sim_embed_topk_lsh" -> (graft.sim.EmbeddingSim.lshTopKQuery _),
-    "sim_embed_topk_ivf" -> (graft.sim.IvfAnn.ivfTopKQuery _),
-    "sim_embed_topk_sq8" -> (graft.sim.ScalarQuantAnn.sq8TopKQuery _),
+    "sim_embed_topk_brute" -> ((s, dir) => annTopK(s, dir, "brute")
+      .orderBy(org.apache.spark.sql.functions.col("probe_id"),
+        org.apache.spark.sql.functions.col("rank"))),
+    "sim_embed_topk_lsh" -> ((s, dir) => annTopK(s, dir, "lsh")
+      .orderBy(org.apache.spark.sql.functions.col("probe_id"),
+        org.apache.spark.sql.functions.col("rank"))),
+    "sim_embed_topk_ivf" -> ((s, dir) => annTopK(s, dir, "ivf")
+      .orderBy(org.apache.spark.sql.functions.col("probe_id"),
+        org.apache.spark.sql.functions.col("rank"))),
+    "sim_embed_topk_sq8" -> ((s, dir) => annTopK(s, dir, "sq8")
+      .orderBy(org.apache.spark.sql.functions.col("probe_id"),
+        org.apache.spark.sql.functions.col("rank"))),
     "sim_embed_neardup" -> (graft.sim.EmbeddingSim.nearDupPairsQuery _),
-    "sim_recall_report" -> (graft.sim.EmbeddingSim.recallReport _),
+    "sim_recall_report" -> ((s, dir) => graft.sim.EmbeddingSim.recallReportWith(
+      s, annTopK(s, dir, "brute"), annTopK(s, dir, "ivf"),
+      annTopK(s, dir, "lsh"), annTopK(s, dir, "sq8"))),
     "mm_media_meta" -> (graft.multimodal.Multimodal.mediaMetaQuery _),
     "mm_media_features" -> (graft.multimodal.Multimodal.featuresQuery _),
     "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),

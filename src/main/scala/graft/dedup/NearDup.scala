@@ -527,16 +527,18 @@ object NearDup {
     * rows pin the hamming bound and pair canonicalization. Any
     * banding/verification regression turns a row red in CORRECTNESS
     * instead of hiding in a rows-only entry. */
-  def gateReport(s: SparkSession, dir: String): DataFrame =
-    gateReportWith(s, dir, jaccardPairs(Tables.documents(s, dir)))
-
-  /** [[gateReport]] over a pre-staged exact-pair frame (the driver
-    * shares one pair materialization across all five consumers). */
-  def gateReportWith(s: SparkSession, dir: String, exactPairs: DataFrame): DataFrame = {
+  def gateReport(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    gateReportWith(s, jaccardPairs(docs), minhashPairs(docs), simhashPairs(docs))
+  }
+
+  /** [[gateReport]] over pre-staged pair frames (the driver shares
+    * one materialization of each pair set across its consumers). */
+  def gateReportWith(s: SparkSession, exactPairs: DataFrame,
+                     lshPairs: DataFrame, simPairs: DataFrame): DataFrame = {
     val exact = exactPairs.select("doc_a", "doc_b").localCheckpoint()
-    val lsh = minhashPairs(docs).select("doc_a", "doc_b").localCheckpoint()
-    val sim = simhashPairs(docs).localCheckpoint()
+    val lsh = lshPairs.select("doc_a", "doc_b").localCheckpoint()
+    val sim = simPairs.localCheckpoint()
     val nExact = exact.count()
     val recovered = lsh.join(exact, Seq("doc_a", "doc_b"), "left_semi").count()
     val checks = Seq(

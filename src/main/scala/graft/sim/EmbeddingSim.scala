@@ -190,18 +190,24 @@ object EmbeddingSim {
     * deterministic for fixed data + seeds, so the oracle pins
     * (method, floor, true) and a recall regression turns the row red
     * in CORRECTNESS. Tighter empirical bounds live in DedupSimSpec. */
-  def recallReport(s: SparkSession, dir: String): DataFrame = {
-    val brute = bruteForceTopKQuery(s, dir)
-      .select("probe_id", "vec_id").localCheckpoint()
+  def recallReport(s: SparkSession, dir: String): DataFrame =
+    recallReportWith(s, bruteForceTopKQuery(s, dir), IvfAnn.ivfTopKQuery(s, dir),
+      lshTopKQuery(s, dir), ScalarQuantAnn.sq8TopKQuery(s, dir))
+
+  /** [[recallReport]] over pre-staged top-k frames (the driver shares
+    * each ANN result between its listing query and this report). */
+  def recallReportWith(s: SparkSession, bruteTopK: DataFrame, ivfTopK: DataFrame,
+                       lshTopK: DataFrame, sq8TopK: DataFrame): DataFrame = {
+    val brute = bruteTopK.select("probe_id", "vec_id").localCheckpoint()
     val n = brute.count().toDouble
     def recallOf(df: DataFrame): Double =
       if (n == 0) 1.0
       else df.select("probe_id", "vec_id")
         .join(brute, Seq("probe_id", "vec_id"), "left_semi").count() / n
     import s.implicits._
-    Seq(("ivf", 0.40, recallOf(IvfAnn.ivfTopKQuery(s, dir))),
-        ("lsh", 0.30, recallOf(lshTopKQuery(s, dir))),
-        ("sq8", 0.85, recallOf(ScalarQuantAnn.sq8TopKQuery(s, dir))))
+    Seq(("ivf", 0.40, recallOf(ivfTopK)),
+        ("lsh", 0.30, recallOf(lshTopK)),
+        ("sq8", 0.85, recallOf(sq8TopK)))
       .map { case (m, floor, r) => (m, floor, r >= floor) }
       .toDF("method", "recall_floor", "meets_floor")
       .orderBy("method")
