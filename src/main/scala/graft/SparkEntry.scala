@@ -199,6 +199,8 @@ object SparkEntry {
       Tables.documents(s, dir), curationVerdicts(s, dir))),
     "text_sample_mixture" -> (graft.text.CurationOps.sampleMixtureQuery _),
     "text_pack_sequences" -> (graft.text.CurationOps.packSequencesQuery _),
+    "text_passage_dedup" -> (graft.text.CurationOps.passageDedupQuery _),
+    "text_shuffle_shards" -> (graft.text.CurationOps.shuffleShardsQuery _),
     "sim_embed_topk_brute" -> ((s, dir) => annTopK(s, dir, "brute")
       .orderBy(org.apache.spark.sql.functions.col("probe_id"),
         org.apache.spark.sql.functions.col("rank"))),
@@ -333,6 +335,8 @@ object SparkEntry {
     "text_source_dashboard" -> graft.text.CurationOps.sourceDashboardSql,
     "text_sample_mixture" -> graft.text.CurationOps.sampleMixtureSql,
     "text_pack_sequences" -> graft.text.CurationOps.packSequencesSql,
+    "text_passage_dedup" -> graft.text.CurationOps.passageDedupSql,
+    "text_shuffle_shards" -> graft.text.CurationOps.shuffleShardsSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_topk_lsh /
     // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are

@@ -204,7 +204,106 @@ object CurationOps {
        |GROUP BY source, seq_id
        |ORDER BY source, seq_id""".stripMargin
 
+  // ------------------------------------------------------- passage dedup
+
+  /** C4-style passage-level global dedup: chunk every document into
+    * consecutive `stride`-token passages, drop every passage that
+    * already occurred earlier in the corpus (first occurrence by
+    * (doc_id, passage_idx) keeps), report the per-doc damage. Catches
+    * boilerplate shared across documents that document-level dedup
+    * misses.
+    *
+    * Shape: one explode (linear), one hash shuffle keyed by passage
+    * text for the first-occurrence window — each passage group is tiny
+    * (its duplicate count), so no skew risk beyond a df-cap which
+    * [[graft.dedup.NearDup.candidatePairs]]-style hardening could add
+    * if a pathological boilerplate line dominated. */
+  def passageDedup(documents: DataFrame, stride: Int = 10): DataFrame = {
+    val nChunks = ceil(size(col("__toks")).cast("double") / stride).cast("int")
+    val passages = documents
+      .withColumn("__toks", TextAnalysis.tokensCol(col("text")))
+      .filter(size(col("__toks")) >= 1)
+      .withColumn("passage", explode(transform(sequence(lit(0), nChunks - 1),
+        c => concat_ws(" ", slice(col("__toks"), c * stride + 1, lit(stride))))))
+      .select(col("doc_id"), col("passage"))
+    // first occurrence by doc order keeps; within a doc the tie order
+    // among identical passages doesn't change the per-doc counts
+    val w = Window.partitionBy(col("passage")).orderBy(col("doc_id"))
+    passages
+      .withColumn("occ", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        ConditionalAgg.countIf(col("occ") > 1).as("n_dropped"))
+      .withColumn("drop_pct", ConditionalAgg.pct(col("n_dropped"), col("n_passages"), 2))
+      .orderBy(col("doc_id"))
+  }
+
+  val passageDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents
+       |), passages AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1),
+       |      c -> array_to_string(t[c * 10 + 1 : c * 10 + 10], ' '))) AS passage
+       |  FROM toks WHERE len(t) >= 1
+       |), occ AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY passage ORDER BY doc_id) AS occ
+       |  FROM passages
+       |)
+       |SELECT doc_id, count(*) AS n_passages,
+       |  count(CASE WHEN occ > 1 THEN 1 END) AS n_dropped,
+       |  ${ConditionalAgg.roundPortableSql(
+            "100.0 * CAST(count(CASE WHEN occ > 1 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 2)} AS drop_pct
+       |FROM occ
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ shuffle shards
+
+  /** Deterministic global training shuffle: every doc lands in one of
+    * `nShards` output shards by hashed doc_id, ordered inside the
+    * shard by a second hash — a reproducible corpus-wide permutation
+    * (identical across reruns and engines, unlike `rand()` or
+    * `repartition`'s round-robin) that breaks source/temporal
+    * clustering before sequence packing.
+    *
+    * Shape: per-row hash expressions + one row_number window
+    * PARTITIONED BY shard — parallel across shards; at 100 TB raise
+    * nShards so each shard's window sort fits an executor (the same
+    * contract as any per-shard operation). */
+  def shuffleShards(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    val shard = pmod(QualityFilters.md5Bucket(col("doc_id")), lit(nShards)).cast("int")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(concat(lit("pos|"), col("doc_id").cast("string"))), col("doc_id"))
+    documents
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val shuffleShardsSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8 AS INT) AS shard
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard
+      |    ORDER BY md5('pos|' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pos
+      |FROM b
+      |ORDER BY shard, pos""".stripMargin
+
   // ------------------------------------------------------- query wrappers
+
+  def passageDedupQuery(s: SparkSession, dir: String): DataFrame =
+    passageDedup(Tables.documents(s, dir))
+
+  def shuffleShardsQuery(s: SparkSession, dir: String): DataFrame =
+    shuffleShards(Tables.documents(s, dir))
 
   def sampleMixtureQuery(s: SparkSession, dir: String): DataFrame =
     sampleMixture(Tables.documents(s, dir))

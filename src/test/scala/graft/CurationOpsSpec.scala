@@ -57,6 +57,35 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("passage dedup: copied boilerplate is dropped, originals keep") {
+    import spark.implicits._
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ") // 4 clean passages
+    val df = Seq(
+      (1L, body),                                  // original: keeps all
+      (2L, body),                                  // full copy: drops all
+      (3L, body.split(" ").take(10).mkString(" ") + " unique tail of nine words here now"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val out = CurationOps.passageDedup(df).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_passages"), r.getAs[Long]("n_dropped"))))
+      .toMap
+    assert(out(1L) === ((4L, 0L)))
+    assert(out(2L) === ((4L, 4L)))
+    // doc 3: first passage duplicates doc 1's opening chunk, second is unique
+    assert(out(3L) === ((2L, 1L)))
+  }
+
+  test("shuffle shards: a permutation — every doc once, dense positions per shard") {
+    val sh = CurationOps.shuffleShards(docs).cache()
+    assert(sh.count() === docs.count())
+    assert(sh.select("doc_id").distinct().count() === docs.count())
+    assert(sh.filter(col("shard") < 0 || col("shard") > 7).count() === 0)
+    val dense = sh.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+    assert(dense.filter(col("lo") =!= 1 || col("hi") =!= col("n")).count() === 0)
+  }
+
   test("packing conserves tokens, seq_ids contiguous, budget crossed before advancing") {
     val cap = 512
     val packed = CurationOps.packSequences(docs, cap).cache()
