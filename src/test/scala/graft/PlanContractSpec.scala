@@ -104,4 +104,25 @@ class PlanContractSpec extends AnyFunSuite {
   test("native as-of join exec is actually planned for the native query") {
     assert(plan("q_asof_last_signup_native").contains("AsOfJoin"))
   }
+
+  test("mixture sampling is shuffle-free (pure per-row hashing + explode)") {
+    import graft.sources.Tables
+    import graft.text.CurationOps
+    // the sampled-corpus construction itself must not exchange — only
+    // the presentation sort may (strip the top-level orderBy to check)
+    val mix = CurationOps.sampleMixture(Tables.documents(spark, sf))
+    val core = mix.queryExecution.sparkPlan.children.headOption
+      .map(_.toString).getOrElse("")
+    assert(!core.contains("Exchange hashpartitioning"),
+      s"mixture sampling shuffles:\n$core")
+  }
+
+  test("curation windows stay partitioned: packing, passage dedup, shuffle shards") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("text_pack_sequences", "text_passage_dedup", "text_shuffle_shards")) {
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val bad = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty, s"$q plans an unpartitioned window")
+    }
+  }
 }
