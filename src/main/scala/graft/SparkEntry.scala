@@ -63,6 +63,9 @@ object SparkEntry {
     staged(s, dir, "minhash")(graft.dedup.NearDup.minhashPairsQuery(s, dir))
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "simhash")(graft.dedup.NearDup.simhashPairsQuery(s, dir))
+  private def semDedupPairs(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "semdedup")(
+      graft.sim.SemDedup.candidatePairs(Tables.embeddings(s, dir)))
   private def annTopK(s: SparkSession, dir: String, method: String): DataFrame =
     staged(s, dir, s"ann_$method")(method match {
       case "brute" => graft.sim.EmbeddingSim.bruteForceTopKQuery(s, dir)
@@ -160,6 +163,8 @@ object SparkEntry {
     "text_lang_id" -> (graft.text.TextAnalysis.langIdQuery _),
     "text_source_quality" -> (graft.text.TextAnalysis.sourceQualityQuery _),
     "text_filter_flags" -> (graft.text.QualityFilters.filterFlagsQuery _),
+    "text_repetition_profile" -> (graft.text.QualityFilters.repetitionProfileQuery _),
+    "text_vocab_coverage" -> (graft.text.QualityFilters.vocabCoverageQuery _),
     "text_vocabulary" -> (graft.text.QualityFilters.vocabularyQuery _),
     "text_token_estimates" -> (graft.text.QualityFilters.tokenEstimatesQuery _),
     "text_topk_tokens_sketch" -> (graft.text.QualityFilters.topTokensSketch _),
@@ -214,6 +219,11 @@ object SparkEntry {
       .orderBy(org.apache.spark.sql.functions.col("probe_id"),
         org.apache.spark.sql.functions.col("rank"))),
     "sim_embed_neardup" -> (graft.sim.EmbeddingSim.nearDupPairsQuery _),
+    // the two semdedup consumers share the staged within-cluster pairs
+    "sim_semdedup" -> ((s, dir) =>
+      graft.sim.SemDedup.dropsFromPairs(semDedupPairs(s, dir))),
+    "sim_semdedup_report" -> ((s, dir) => graft.sim.SemDedup.semDedupReportWith(
+      s, Tables.embeddings(s, dir), semDedupPairs(s, dir))),
     "sim_recall_report" -> ((s, dir) => graft.sim.EmbeddingSim.recallReportWith(
       s, annTopK(s, dir, "brute"), annTopK(s, dir, "ivf"),
       annTopK(s, dir, "lsh"), annTopK(s, dir, "sq8"))),
@@ -234,6 +244,8 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("check_name"))),
     "meta_snapshots" -> ((s, dir) =>
       graft.sources.Snapshots.snapshotsOver(s, DailySales.build(silver(s, dir)))),
+    "meta_cdc_diff" -> ((s, dir) =>
+      graft.sources.Snapshots.cdcDiffOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_compaction" -> (graft.sink.Compaction.compactionQuery _),
     "pipeline_serving_sink" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_serving_").toString
@@ -249,6 +261,7 @@ object SparkEntry {
     "gold_daily_sales_approx" -> DailySales.approxErrorReportSql,
     "gold_user_rfm_segments_scalable" -> RfmSegments.scalableEquivalenceSql,
     "sim_recall_report" -> graft.sim.EmbeddingSim.recallReportSql,
+    "sim_semdedup_report" -> graft.sim.SemDedup.semDedupReportSql,
     "q_unpivot_daily_metrics" -> DailySales.unpivotMetricsSql,
     "q_scd2_user_stages" -> Scd2.userStageHistorySql,
     "q_customer_ltv_deciles" -> LtvDeciles.oracleSql,
@@ -310,6 +323,8 @@ object SparkEntry {
     "text_lang_id" -> graft.text.TextAnalysis.langIdSql,
     "text_source_quality" -> graft.text.TextAnalysis.sourceQualitySql,
     "text_filter_flags" -> graft.text.QualityFilters.filterFlagsSql,
+    "text_repetition_profile" -> graft.text.QualityFilters.repetitionProfileSql,
+    "text_vocab_coverage" -> graft.text.QualityFilters.vocabCoverageSql,
     "text_vocabulary" -> graft.text.QualityFilters.vocabularySql,
     "text_token_estimates" -> graft.text.QualityFilters.tokenEstimatesSql,
     "text_topk_tokens_sketch" -> graft.text.QualityFilters.topTokensSketchSql,
@@ -352,6 +367,7 @@ object SparkEntry {
     "quality_silver_report" -> graft.quality.DataChecks.silverReportSql,
     "quality_gold_report" -> graft.quality.DataChecks.goldReportSql,
     "meta_snapshots" -> graft.sources.Snapshots.snapshotsSql,
+    "meta_cdc_diff" -> graft.sources.Snapshots.cdcDiffSql,
     "maintenance_compaction" -> graft.sink.Compaction.compactionSql,
     "pipeline_serving_sink" -> Pipeline.servingSummarySql,
   )

@@ -28,8 +28,9 @@ import graft.sources.Tables
   * claimed: the query is rows-only checked, recall-verified in sbt.) */
 object IvfAnn {
 
-  /** Assign every vector to its max-cosine centroid. */
-  private def assign(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+  /** Assign every vector to its max-cosine centroid (shared with
+    * [[SemDedup]], which reuses the same coarse quantizer). */
+  private[sim] def assign(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     val scored = embeddings.crossJoin(broadcast(cents))
       .withColumn("sim", cosineSim(col("embedding"), col("centroid")))
     TopK.perGroup(scored, groupKeys = Seq("vec_id"),

@@ -1,0 +1,137 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.CosineSimilarity.cosineSim
+import graft.ops.{ConditionalAgg, TopK}
+import graft.sources.Tables
+
+/** SemDeDup — semantic deduplication in embedding space (Abbas et al.
+  * 2023, public method): k-means-cluster the corpus with the SAME
+  * coarse quantizer IVF uses ([[IvfAnn.centroids]]), generate
+  * duplicate-candidate pairs ONLY within a cluster, and for each
+  * high-cosine pair drop the member closer to its centroid (the
+  * paper's keep-low-centroid-similarity rule: the atypical example
+  * carries more training signal), deterministic tie-break on vec_id.
+  *
+  * Scale shape: the all-pairs O(n²) cosine scan is replaced by
+  * within-cluster joins — quadratic only in cluster size, and clusters
+  * above `clusterCap` are salt-split into bounded sub-buckets (doc-hash
+  * salt, the same degenerate-corpus guard as NearDup's LSH `bucketCap`;
+  * cross-salt pairs are forfeited recall, the standard trade). With
+  * nClusters ∝ √n the candidate volume is ~n·(n/k) per cluster — the
+  * paper runs exactly this shape at 100 TB-class corpus sizes.
+  *
+  * Correctness surface: cluster assignments hinge on k-means float
+  * means, so the drop list itself is rows-only; [[semDedupReport]] is
+  * the oracle-gated surface — semantic-pair recall against the EXACT
+  * all-pairs τ-threshold baseline (audit-scale only, like the ANN
+  * recall report's brute-force baseline), pinned pass/fail rows.
+  */
+object SemDedup {
+
+  /** Within-cluster duplicate-candidate pairs with exact cosine ≥ τ:
+    * (centroid_id, vec_a, vec_b, cosine, cent_sim_a, cent_sim_b). */
+  def candidatePairs(embeddings: DataFrame, nClusters: Int = 16,
+                     tau: Double = 0.4, clusterCap: Int = 2000): DataFrame = {
+    val cents = IvfAnn.centroids(embeddings, nClusters)
+    val assigned = IvfAnn.assign(embeddings, cents)
+      .join(broadcast(cents), "centroid_id")
+      .withColumn("cent_sim",
+        ConditionalAgg.roundPortable(cosineSim(col("embedding"), col("centroid")), 6))
+      .select("centroid_id", "vec_id", "embedding", "cent_sim")
+    // salt-split oversized clusters so one degenerate cluster cannot go
+    // quadratic: nsplit = ceil(|cluster|/cap), salt = hash(vec_id) mod nsplit
+    val sizes = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__csize"))
+      .withColumn("__nsplit",
+        ceil(col("__csize").cast("double") / clusterCap).cast("int"))
+      .select("centroid_id", "__nsplit")
+    val salted = assigned.join(broadcast(sizes), "centroid_id")
+      .withColumn("salt", pmod(xxhash64(col("vec_id")), col("__nsplit").cast("long")))
+    salted.as("x").join(salted.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+        col("x.salt") === col("y.salt") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cosine",
+        ConditionalAgg.roundPortable(cosineSim(col("x.embedding"), col("y.embedding")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("x.centroid_id").as("centroid_id"),
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("cosine"),
+        col("x.cent_sim").as("cent_sim_a"), col("y.cent_sim").as("cent_sim_b"))
+  }
+
+  /** The drop list: per dropped vector, its strongest surviving
+    * witness. Greedy per-pair rule — drop the member with the HIGHER
+    * centroid similarity (ties: higher vec_id), keep the other. */
+  def drops(embeddings: DataFrame, nClusters: Int = 16,
+            tau: Double = 0.4, clusterCap: Int = 2000): DataFrame =
+    dropsFromPairs(candidatePairs(embeddings, nClusters, tau, clusterCap))
+
+  /** [[drops]] over a pre-staged candidate-pair frame. */
+  def dropsFromPairs(pairs: DataFrame): DataFrame = {
+    val aDropped = struct(col("cent_sim_a"), col("vec_a")) >
+      struct(col("cent_sim_b"), col("vec_b"))
+    val perPair = pairs.select(
+      col("centroid_id"),
+      when(aDropped, col("vec_a")).otherwise(col("vec_b")).as("vec_id"),
+      when(aDropped, col("vec_b")).otherwise(col("vec_a")).as("kept_vec"),
+      col("cosine"))
+    TopK.perGroup(perPair, groupKeys = Seq("vec_id"),
+        order = Seq(col("cosine").desc, col("kept_vec").asc), k = 1)
+      .select("vec_id", "kept_vec", "centroid_id", "cosine")
+      .orderBy(col("vec_id"))
+  }
+
+  def dropsQuery(s: SparkSession, dir: String): DataFrame =
+    drops(Tables.embeddings(s, dir))
+
+  /** Exact all-pairs τ-baseline (audit-only quadratic scan — the
+    * recall denominator, same role as the ANN brute-force baseline). */
+  private def exactPairs(embeddings: DataFrame, tau: Double): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("embedding"))
+    v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cosine",
+        ConditionalAgg.roundPortable(cosineSim(col("x.embedding"), col("y.embedding")), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+  }
+
+  /** Oracle-gated report: candidate pairs are a subset of the exact
+    * τ-pairs by construction (exact cosine inside the cluster join), so
+    * pair recall = |candidates| / |exact|; the floors are conservative
+    * for the fixed testdata + seeds, and a clustering regression turns
+    * the row red in CORRECTNESS. */
+  def semDedupReport(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    semDedupReportWith(s, emb, candidatePairs(emb))
+  }
+
+  /** [[semDedupReport]] over a pre-staged candidate-pair frame (the
+    * driver shares the pairs between the drop-list query and this
+    * gate). */
+  def semDedupReportWith(s: SparkSession, embeddings: DataFrame,
+                         pairs: DataFrame, tau: Double = 0.4): DataFrame = {
+    val cand = pairs.select("vec_a", "vec_b")
+    val exact = exactPairs(embeddings, tau).localCheckpoint()
+    val nExact = exact.count().toDouble
+    val recall = if (nExact == 0) 1.0
+      else cand.join(exact, Seq("vec_a", "vec_b"), "left_semi").count() / nExact
+    val nDrops = dropsFromPairs(pairs).count()
+    import s.implicits._
+    Seq(("semdedup_drops_nonempty", 1.0, nDrops >= 1),
+        ("semdedup_pair_recall", 0.15, recall >= 0.15),
+        ("semdedup_pairs_subset_exact", 1.0,
+          cand.join(exact, Seq("vec_a", "vec_b"), "left_anti").count() == 0))
+      .toDF("metric", "floor", "pass")
+      .orderBy("metric")
+  }
+
+  val semDedupReportSql: String =
+    """SELECT * FROM (VALUES
+      |  ('semdedup_drops_nonempty', CAST(1.0 AS DOUBLE), true),
+      |  ('semdedup_pair_recall', CAST(0.15 AS DOUBLE), true),
+      |  ('semdedup_pairs_subset_exact', CAST(1.0 AS DOUBLE), true)) AS t(metric, floor, pass)
+      |ORDER BY metric""".stripMargin
+}

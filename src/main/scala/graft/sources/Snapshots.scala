@@ -156,6 +156,42 @@ object Snapshots {
     snapshots(s, table)
   }
 
+  /** Driver query: CDC changelog between two deterministic versions of
+    * the daily-sales mart — v1 is the full mart, v2 restates one date
+    * (metric bump on 2024-01-05) and drops the dates after 2024-01-25 —
+    * so [[diff]] must surface exactly one UPDATE plus one DELETE per
+    * dropped date and, crucially, NO false UPDATEs for the untouched
+    * dates (the md5-row-hash equality over two independent writes is
+    * what this row pins). Every output row is recomputable from silver,
+    * so the changelog surface itself is DuckDB-oracle-checkable. */
+  def cdcDiffQuery(s: SparkSession, dir: String): DataFrame =
+    cdcDiffOver(s, graft.marts.DailySales.build(
+      graft.marts.SilverEvents.build(Tables.events(s, dir))))
+
+  /** Same, over an already-built daily mart (reuses a cached silver). */
+  def cdcDiffOver(s: SparkSession, daily: DataFrame): DataFrame = {
+    val table = Files.createTempDirectory("graft_cdc_").toString + "/daily_sales"
+    writeSnapshot(daily, table)
+    val restated = daily
+      .filter(col("event_date") <= lit("2024-01-25"))
+      .withColumn("total_events",
+        when(col("event_date") === lit("2024-01-05"), col("total_events") + 1)
+          .otherwise(col("total_events")))
+    writeSnapshot(restated, table, operation = "restate")
+    diff(s, table, 1L, 2L, Seq("event_date"))
+  }
+
+  /** DuckDB oracle for [[cdcDiffQuery]]: the restatement replayed as
+    * date predicates over the same mart's date domain. */
+  val cdcDiffSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date FROM silver GROUP BY event_date)
+    |SELECT event_date, 'UPDATE' AS change_type FROM daily
+    |WHERE event_date = DATE '2024-01-05'
+    |UNION ALL
+    |SELECT event_date, 'DELETE' AS change_type FROM daily
+    |WHERE event_date > DATE '2024-01-25'
+    |ORDER BY event_date, change_type""".stripMargin
+
   /** DuckDB oracle: the version history replayed as counts over the
     * same mart definition. */
   val snapshotsSql: String = graft.marts.SilverEvents.oracleCte + """

@@ -100,6 +100,126 @@ object QualityFilters {
       |FROM stats s LEFT JOIN rep USING (doc_id)
       |ORDER BY s.doc_id""".stripMargin
 
+  /** Full Gopher-family repetition profile (Rae et al. 2021, public
+    * filtering rules): per doc, type-token ratio, most-common-word
+    * share, duplicate-2-gram occurrence fraction, and top-3-gram share.
+    * The corpus texts are single-line, so the line/paragraph variants
+    * of the rules collapse to their n-gram forms — these four are the
+    * informative family members here.
+    *
+    * Shape: ONE explode of a unioned (n, gram) array per doc — the
+    * unigram/2-gram/3-gram fan-outs ride the same shuffle — then two
+    * grouped aggs keyed on doc_id(+n), a pivot-by-n via max(when), all
+    * linear in total token count. No UDFs, no windows. */
+  def repetitionProfile(documents: DataFrame): DataFrame = {
+    def ngrams(n: Int) = when(size(col("__toks")) >= n,
+      transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("__toks"), i + j)): _*)))
+      .otherwise(typedLit(Seq.empty[String]))
+    val grams = documents
+      .withColumn("__toks", TextAnalysis.tokensCol(col("text")))
+      .select(col("doc_id"), explode(concat(
+        transform(col("__toks"), t => struct(lit(1).as("n"), t.as("gram"))),
+        transform(ngrams(2), g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(ngrams(3), g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val per = counts.groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("total"), max(col("c")).as("top"),
+        count(lit(1)).as("distinct_grams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_occ"))
+    def of(n: Int, c: String) = max(when(col("n") === n, col(c)))
+    per.groupBy(col("doc_id"))
+      .agg(
+        of(1, "total").cast("long").as("token_count"),
+        ConditionalAgg.ratio(of(1, "distinct_grams"), of(1, "total"), 4).as("type_token_ratio"),
+        ConditionalAgg.ratio(of(1, "top"), of(1, "total"), 4).as("top_word_share"),
+        ConditionalAgg.ratio(of(2, "dup_occ"), of(2, "total"), 4).as("dup_2gram_frac"),
+        ConditionalAgg.ratio(of(3, "top"), of(3, "total"), 4).as("top_3gram_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  def repetitionProfileQuery(s: SparkSession, dir: String): DataFrame =
+    repetitionProfile(Tables.documents(s, dir))
+
+  val repetitionProfileSql: String = {
+    import graft.ops.ConditionalAgg.roundPortableSql
+    def ratio(num: String, den: String) =
+      roundPortableSql(s"CAST($num AS DOUBLE) / nullif(CAST($den AS DOUBLE), 0)", 4)
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tokens
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, 1 AS n, unnest(tokens) AS gram FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, 2, unnest(list_transform(generate_series(1, len(tokens) - 1),
+      |    i -> concat_ws(' ', tokens[i], tokens[i+1])))
+      |  FROM toks WHERE len(tokens) >= 2
+      |  UNION ALL
+      |  SELECT doc_id, 3, unnest(list_transform(generate_series(1, len(tokens) - 2),
+      |    i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))
+      |  FROM toks WHERE len(tokens) >= 3
+      |), counts AS (
+      |  SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+      |), per AS (
+      |  SELECT doc_id, n, sum(c) AS total, max(c) AS top,
+      |    count(*) AS distinct_grams,
+      |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ
+      |  FROM counts GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |  CAST(max(CASE WHEN n = 1 THEN total END) AS BIGINT) AS token_count,
+      |  ${ratio("max(CASE WHEN n = 1 THEN distinct_grams END)", "max(CASE WHEN n = 1 THEN total END)")} AS type_token_ratio,
+      |  ${ratio("max(CASE WHEN n = 1 THEN top END)", "max(CASE WHEN n = 1 THEN total END)")} AS top_word_share,
+      |  ${ratio("max(CASE WHEN n = 2 THEN dup_occ END)", "max(CASE WHEN n = 2 THEN total END)")} AS dup_2gram_frac,
+      |  ${ratio("max(CASE WHEN n = 3 THEN top END)", "max(CASE WHEN n = 3 THEN total END)")} AS top_3gram_share
+      |FROM per GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Tokenizer-vocabulary coverage: per doc, how many tokens fall
+    * outside the corpus top-K vocabulary (the OOV-rate check run before
+    * committing to a tokenizer/vocab size). The vocab is the SAME
+    * deterministic top-K as [[vocabulary]] (term_freq DESC, token ASC —
+    * the total order makes the K-boundary engine-portable) and is
+    * BROADCAST to the token stream: one explode, one broadcast join,
+    * one per-doc agg — linear, no windows. */
+  def vocabCoverage(documents: DataFrame, topK: Int = 20): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+    val vocab = vocabulary(documents, topK)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        ConditionalAgg.countIf(col("__in_vocab").isNull).as("n_oov"))
+      .withColumn("oov_rate", ConditionalAgg.ratio(col("n_oov"), col("n_tokens"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  def vocabCoverageQuery(s: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(s, dir))
+
+  val vocabCoverageSql: String = {
+    import graft.ops.ConditionalAgg.roundPortableSql
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT token, 1 AS in_vocab FROM (
+      |    SELECT token, count(*) AS term_freq FROM tok GROUP BY token
+      |    ORDER BY term_freq DESC, token ASC LIMIT 20)
+      |)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  ${roundPortableSql(
+           "CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0)", 4)} AS oov_rate
+      |FROM tok LEFT JOIN vocab USING (token)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** BPE-ish token-count estimation (prompt/training-cost budgeting
     * without running a tokenizer): whitespace words contribute
     * ceil(len/4) subword units (the ~4-chars-per-BPE-token heuristic),

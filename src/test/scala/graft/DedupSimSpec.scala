@@ -186,4 +186,45 @@ class DedupSimSpec extends AnyFunSuite {
     val cosines = p.map(_.getAs[Double]("cosine"))
     assert(cosines.sameElements(cosines.sortBy(-_)))
   }
+
+  test("semdedup: exact-duplicate vectors are dropped, one survivor each") {
+    import spark.implicits._
+    import graft.sim.SemDedup
+    // two identical pairs ((1,2) and (3,4)) plus orthogonal singletons;
+    // identical vectors always co-cluster (same argmax centroid, same
+    // tie-break), so both pairs MUST be caught regardless of k-means
+    val vecs = Seq(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(1f, 0f, 0f, 0f),
+      3L -> Seq(0f, 1f, 0f, 0f), 4L -> Seq(0f, 1f, 0f, 0f),
+      5L -> Seq(0f, 0f, 1f, 0f), 6L -> Seq(0f, 0f, 0f, 1f),
+      7L -> Seq(0.7f, 0.7f, 0.1f, 0f))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val drops = SemDedup.drops(vecs, nClusters = 4, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // drop rule: equal centroid similarity -> the HIGHER vec_id goes
+    assert(drops.keySet === Set(2L, 4L))
+    assert(drops(2L) === 1L && drops(4L) === 3L)
+  }
+
+  test("semdedup: candidate pairs subset of exact tau-pairs; recall floor on testdata") {
+    import graft.sim.SemDedup
+    val rep = SemDedup.semDedupReportWith(spark, embs, SemDedup.candidatePairs(embs))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(rep === Map(
+      "semdedup_drops_nonempty" -> true,
+      "semdedup_pair_recall" -> true,
+      "semdedup_pairs_subset_exact" -> true))
+  }
+
+  test("semdedup: oversized clusters are salt-split (bounded pair generation)") {
+    import spark.implicits._
+    import graft.sim.SemDedup
+    // 60 near-identical vectors in ONE cluster with clusterCap=10:
+    // uncapped would give C(60,2)=1770 pairs; split into ceil(60/10)=6
+    // salt buckets the count is bounded by 6 * C(~10,2) ≈ 330
+    val vecs = (1L to 60L).map(i => i -> Seq(1f, 0.001f * i, 0f, 0f))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val n = SemDedup.candidatePairs(vecs, nClusters = 2, tau = 0.9, clusterCap = 10).count()
+    assert(n > 0 && n <= 400, s"expected salt-bounded pair count, got $n")
+  }
 }

@@ -81,4 +81,61 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L) === "kept")
     assert(got.size === 6)
   }
+
+  test("repetition_profile: known corpus, exact Gopher-family metrics") {
+    import spark.implicits._
+    import graft.text.QualityFilters
+    // doc 1: "spam spam spam spam" — 4 tokens, 1 type, every 2-gram is
+    // "spam spam" (3 occurrences, all duplicated), 3-gram top = 2/2
+    // doc 2: "a b c d" — all distinct, zero repetition
+    val docs = Seq((1L, "spam spam spam spam"), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = QualityFilters.repetitionProfile(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // columns: token_count, type_token_ratio, top_word_share, dup_2gram_frac, top_3gram_share
+    assert(got(1L) === ((4L, 0.25, 1.0, 1.0, 1.0)))
+    assert(got(2L) === ((4L, 1.0, 0.25, 0.0, 0.5)))
+  }
+
+  test("repetition_profile: short docs produce null n-gram stats, not errors") {
+    import spark.implicits._
+    import graft.text.QualityFilters
+    val docs = Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text")
+    val rows = QualityFilters.repetitionProfile(docs).collect()
+    val one = rows.find(_.getLong(0) == 1L).get
+    assert(one.getLong(1) === 1L)      // token_count
+    assert(one.isNullAt(4) && one.isNullAt(5)) // no 2-grams, no 3-grams
+    val two = rows.find(_.getLong(0) == 2L).get
+    assert(two.getDouble(4) === 0.0)   // one distinct 2-gram, not duplicated
+    assert(two.isNullAt(5))            // no 3-grams
+  }
+
+  test("vocab_coverage: OOV counted against the deterministic top-K vocab") {
+    import spark.implicits._
+    import graft.text.QualityFilters
+    // "the" appears 4×, "of" 3× -> top-2 vocab = {the, of};
+    // doc 3 then has 2 OOV tokens of 4
+    val docs = Seq(
+      (1L, "the the of rare1"), (2L, "the of of unique2"),
+      (3L, "the the of strange3 odd4")).toDF("doc_id", "text")
+    val got = QualityFilters.vocabCoverage(docs, topK = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) === ((4L, 1L, 0.25)))
+    assert(got(2L) === ((4L, 1L, 0.25)))
+    assert(got(3L) === ((5L, 2L, 0.4)))
+  }
+
+  test("cdc diff query: one restated UPDATE, tail DELETEs, no false changes") {
+    val daily = graft.marts.DailySales.build(
+      graft.marts.SilverEvents.build(Tables.events(spark, sf)))
+    val changes = graft.sources.Snapshots.cdcDiffOver(spark, daily)
+      .collect().map(r => r.get(0).toString -> r.getString(1))
+    assert(changes.count(_._2 == "UPDATE") === 1)
+    assert(changes.filter(_._2 == "UPDATE").head._1 === "2024-01-05")
+    assert(changes.filter(_._2 == "DELETE").forall(_._1 > "2024-01-25"))
+    assert(!changes.exists(_._2 == "INSERT"))
+  }
 }
