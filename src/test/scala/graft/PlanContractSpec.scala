@@ -125,4 +125,35 @@ class PlanContractSpec extends AnyFunSuite {
       assert(bad.isEmpty, s"$q plans an unpartitioned window")
     }
   }
+
+  test("vocab coverage broadcasts the vocab; repetition profile stays window-free") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(plan("text_vocab_coverage").contains("BroadcastHashJoin"),
+      "top-K vocab join lost its broadcast")
+    for (q <- Seq("text_vocab_coverage", "text_repetition_profile")) {
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val bad = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty, s"$q plans an unpartitioned window")
+    }
+  }
+
+  test("semdedup pair generation is an equi-join on (centroid, salt), never all-pairs") {
+    import graft.sources.Tables
+    val p = analyzedPlan(
+      graft.sim.SemDedup.candidatePairs(Tables.embeddings(spark, sf)))
+    // the deliberate nested-loop joins are the tiny broadcast centroid
+    // scans inside assignment; the corpus-vs-corpus pair join must be
+    // keyed, so no CartesianProduct may appear anywhere
+    assert(!p.contains("CartesianProduct"), s"semdedup pair join went all-pairs:\n$p")
+  }
+
+  test("cdc diff plans a keyed join between versions, never a cartesian") {
+    import graft.sources.Snapshots
+    import org.apache.spark.sql.functions._
+    val daily = graft.marts.DailySales.build(
+      SparkEntry.queries("silver_events")(spark, sf))
+    val p = analyzedPlan(Snapshots.cdcDiffOver(spark, daily))
+    assert(p.contains("FullOuter"), "cdc diff lost its full-outer key join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
