@@ -246,6 +246,9 @@ object SparkEntry {
       graft.sources.Snapshots.snapshotsOver(s, DailySales.build(silver(s, dir)))),
     "meta_cdc_diff" -> ((s, dir) =>
       graft.sources.Snapshots.cdcDiffOver(s, DailySales.build(silver(s, dir)))),
+    "meta_column_stats" -> (graft.quality.ColumnStats.lineitemStatsQuery _),
+    "maintenance_vacuum" -> ((s, dir) =>
+      graft.sources.Snapshots.vacuumOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_compaction" -> (graft.sink.Compaction.compactionQuery _),
     "pipeline_serving_sink" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_serving_").toString
@@ -368,6 +371,8 @@ object SparkEntry {
     "quality_gold_report" -> graft.quality.DataChecks.goldReportSql,
     "meta_snapshots" -> graft.sources.Snapshots.snapshotsSql,
     "meta_cdc_diff" -> graft.sources.Snapshots.cdcDiffSql,
+    "meta_column_stats" -> graft.quality.ColumnStats.lineitemStatsSql,
+    "maintenance_vacuum" -> graft.sources.Snapshots.vacuumSql,
     "maintenance_compaction" -> graft.sink.Compaction.compactionSql,
     "pipeline_serving_sink" -> Pipeline.servingSummarySql,
   )

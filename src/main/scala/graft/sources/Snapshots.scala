@@ -145,16 +145,79 @@ object Snapshots {
     snapshotsOver(s, graft.marts.DailySales.build(
       graft.marts.SilverEvents.build(Tables.events(s, dir))))
 
-  /** Same, over an already-built daily mart (lets callers reuse a
-    * cached silver). */
-  def snapshotsOver(s: SparkSession, daily: DataFrame): DataFrame = {
-    val table = Files.createTempDirectory("graft_snap_").toString + "/daily_sales"
+  /** The shared deterministic 3-version daily-sales history
+    * (progressively wider date range; v2 adds a column) used by the
+    * snapshot-listing and vacuum driver queries. Returns the table
+    * path. */
+  private def writeDailyHistory(daily: DataFrame, prefix: String): String = {
+    val table = Files.createTempDirectory(prefix).toString + "/daily_sales"
     writeSnapshot(daily.filter(col("event_date") <= lit("2024-01-10")), table)
     writeSnapshot(daily.filter(col("event_date") <= lit("2024-01-20"))
       .withColumn("is_backfill", lit(true)), table)
     writeSnapshot(daily, table)
-    snapshots(s, table)
+    table
   }
+
+  /** Same, over an already-built daily mart (lets callers reuse a
+    * cached silver). */
+  def snapshotsOver(s: SparkSession, daily: DataFrame): DataFrame =
+    snapshots(s, writeDailyHistory(daily, "graft_snap_"))
+
+  /** Snapshot retention — the Delta VACUUM / Iceberg expire_snapshots
+    * analog for the versioned-parquet layout: delete every version but
+    * the newest `keepLast` (data directory + manifest), returning the
+    * per-version action report. Metadata-plane operation: the driver
+    * touches only version DIRECTORIES and KB-sized manifests, never
+    * rows — at 100 TB the deletes are object-store prefix removals, and
+    * readers of retained versions are unaffected (immutable dirs).
+    * Time travel to an expired version correctly fails afterwards. */
+  def expireSnapshots(s: SparkSession, table: String, keepLast: Int): DataFrame = {
+    require(keepLast >= 1, "must retain at least the current version")
+    val before = snapshots(s, table)
+      .select("version", "row_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val cut = before.length - keepLast
+    val expired = before.take(math.max(cut, 0)).map(_._1).toSet
+    expired.foreach { v =>
+      val dir = Paths.get(table, s"v=$v")
+      if (Files.isDirectory(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      Files.deleteIfExists(metaDir(table).resolve(s"$v.json"))
+    }
+    import s.implicits._
+    before.toSeq
+      .map { case (v, rows) =>
+        (v, rows, if (expired.contains(v)) "expired" else "kept") }
+      .toDF("version", "row_count", "status")
+      .orderBy(col("version"))
+  }
+
+  /** Driver query: retention over the same deterministic 3-version
+    * history the snapshots listing uses, keeping the last 2 — v1 must
+    * expire, v2/v3 survive, and every reported row count is
+    * recomputable from silver. */
+  def vacuumQuery(s: SparkSession, dir: String): DataFrame =
+    vacuumOver(s, graft.marts.DailySales.build(
+      graft.marts.SilverEvents.build(Tables.events(s, dir))))
+
+  /** Same, over an already-built daily mart. */
+  def vacuumOver(s: SparkSession, daily: DataFrame): DataFrame =
+    expireSnapshots(s, writeDailyHistory(daily, "graft_vac_"), keepLast = 2)
+
+  /** DuckDB oracle: the retention decision replayed as counts. */
+  val vacuumSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT CAST(1 AS BIGINT) AS version,
+    |    (SELECT count(*) FROM daily WHERE event_date <= DATE '2024-01-10') AS row_count,
+    |    'expired' AS status
+    |  UNION ALL SELECT 2,
+    |    (SELECT count(*) FROM daily WHERE event_date <= DATE '2024-01-20'), 'kept'
+    |  UNION ALL SELECT 3, (SELECT count(*) FROM daily), 'kept'
+    |)
+    |ORDER BY version""".stripMargin
 
   /** Driver query: CDC changelog between two deterministic versions of
     * the daily-sales mart — v1 is the full mart, v2 restates one date

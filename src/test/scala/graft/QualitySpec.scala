@@ -52,4 +52,39 @@ class QualitySpec extends AnyFunSuite {
     assert(DataChecks.acceptedRange(df.withColumn("x", col("k") * 10),
       "x", min = Some(15.0), max = None).violations.count() === 2)
   }
+
+  test("column stats: nulls, exact ndv, and portable min/max rendering") {
+    import spark.implicits._
+    import graft.quality.ColumnStats
+    val df = Seq(
+      (Option(1.0), Option("a")), (None: Option[Double], Option("b")),
+      (Option(2.5), None: Option[String]), (Option(2.5), Option("a")))
+      .toDF("x", "s")
+    val st = ColumnStats.columnStats(df, Seq("x", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    // doubles render through DECIMAL(18,2): "1.00"/"2.50", not Java repr
+    assert(st("x") === ((4L, 1L, 2L, "1.00", "2.50")))
+    assert(st("s") === ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("expireSnapshots: old versions deleted, survivors intact, report exact") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val table = java.nio.file.Files.createTempDirectory("graft_vacspec_")
+      .toString + "/t"
+    Snapshots.writeSnapshot(Seq(1, 2).toDF("v"), table)
+    Snapshots.writeSnapshot(Seq(1, 2, 3).toDF("v"), table)
+    Snapshots.writeSnapshot(Seq(1, 2, 3, 4).toDF("v"), table)
+    val rep = Snapshots.expireSnapshots(spark, table, keepLast = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rep === Map(1L -> ((2L, "expired")), 2L -> ((3L, "kept")), 3L -> ((4L, "kept"))))
+    assert(Snapshots.versions(table) === Seq(2L, 3L))
+    assert(Snapshots.readLatest(spark, table).count() === 4)
+    assert(Snapshots.readAsOf(spark, table, 2L).count() === 3)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, table, 1L)
+    }
+  }
 }
