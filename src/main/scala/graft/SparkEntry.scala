@@ -205,6 +205,8 @@ object SparkEntry {
     "text_sample_mixture" -> (graft.text.CurationOps.sampleMixtureQuery _),
     "text_pack_sequences" -> (graft.text.CurationOps.packSequencesQuery _),
     "text_passage_dedup" -> (graft.text.CurationOps.passageDedupQuery _),
+    "text_chunk_windows" -> (graft.text.CurationOps.chunkWindowsQuery _),
+    "dedup_incremental" -> (graft.dedup.NearDup.incrementalDedupQuery _),
     "text_shuffle_shards" -> (graft.text.CurationOps.shuffleShardsQuery _),
     "sim_embed_topk_brute" -> ((s, dir) => annTopK(s, dir, "brute")
       .orderBy(org.apache.spark.sql.functions.col("probe_id"),
@@ -354,6 +356,8 @@ object SparkEntry {
     "text_sample_mixture" -> graft.text.CurationOps.sampleMixtureSql,
     "text_pack_sequences" -> graft.text.CurationOps.packSequencesSql,
     "text_passage_dedup" -> graft.text.CurationOps.passageDedupSql,
+    "text_chunk_windows" -> graft.text.CurationOps.chunkWindowsSql,
+    "dedup_incremental" -> graft.dedup.NearDup.incrementalDedupSql,
     "text_shuffle_shards" -> graft.text.CurationOps.shuffleShardsSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
     // dedup_minhash_lsh / dedup_simhash / sim_embed_topk_lsh /

@@ -47,6 +47,51 @@ object NearDup {
       |GROUP BY fingerprint
       |ORDER BY rep_doc_id""".stripMargin
 
+  /** Incremental exact dedup — dedupe an arriving batch against the
+    * already-ingested corpus WITHOUT rescanning corpus text: the
+    * history side reduces to its distinct fingerprint set (the running
+    * dedup INDEX a 100 TB pipeline maintains between deliveries — or a
+    * bloom pre-filter in front of it), the batch first dedupes within
+    * itself (min doc_id per fingerprint, counting suppressed copies),
+    * then anti-joins the index. Two hash aggregations + one anti join,
+    * all keyed on the 32-char fingerprint — text never moves twice. */
+  def incrementalDedup(history: DataFrame, newBatch: DataFrame): DataFrame = {
+    def fp(df: DataFrame) = df.withColumn("fingerprint",
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+    val seen = fp(history).select("fingerprint").distinct()
+    fp(newBatch)
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"))
+      .join(seen, Seq("fingerprint"), "left_anti")
+      .select("doc_id", "fingerprint", "batch_copies")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver query: the corpus split into an 80% "already ingested"
+    * history and a 20% arriving batch by doc_id mod 5 (deterministic,
+    * engine-portable). */
+  def incrementalDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    incrementalDedup(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+  }
+
+  val incrementalDedupSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      |  FROM documents
+      |), hist AS (
+      |  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0
+      |), batch AS (
+      |  SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS batch_copies
+      |  FROM fp WHERE doc_id % 5 = 0 GROUP BY fingerprint
+      |)
+      |SELECT doc_id, fingerprint, batch_copies FROM batch
+      |WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- shingling
 
   /** Distinct word k-shingles per document: (doc_id, shingle).

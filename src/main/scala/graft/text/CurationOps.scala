@@ -260,6 +260,54 @@ object CurationOps {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Overlapping token-window chunking — the RAG / long-context
+    * training chunker (complement of [[passageDedup]]'s non-overlapping
+    * stride): a fixed `window` of tokens advancing by `stride`
+    * (stride < window ⇒ overlap), emitting per-chunk token spans and
+    * the reconstructed chunk text. Chunks per doc =
+    * ceil(max(n−window,0)/stride)+1 — every token is covered; the last
+    * chunk may be short.
+    *
+    * Shape: pure per-row array expressions + ONE explode — no shuffle
+    * at all before the presentation sort; the fan-out is rows
+    * ×(n/stride), the unavoidable chunking volume. */
+  def chunkWindows(documents: DataFrame, window: Int = 32, stride: Int = 24): DataFrame = {
+    val n = size(col("__toks"))
+    val nChunks =
+      ceil(greatest(n - window, lit(0)).cast("double") / stride).cast("int") + 1
+    documents
+      .withColumn("__toks", TextAnalysis.tokensCol(col("text")))
+      .filter(size(col("__toks")) >= 1)
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("start_token", col("chunk_idx") * stride + 1)
+      .withColumn("n_tokens",
+        least(lit(window), n - col("start_token") + 1).cast("int"))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__toks"), col("start_token"), lit(window))))
+      .select("doc_id", "chunk_idx", "start_token", "n_tokens", "chunk_text")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def chunkWindowsQuery(s: SparkSession, dir: String): DataFrame =
+    chunkWindows(Tables.documents(s, dir))
+
+  val chunkWindowsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, t,
+      |    unnest(generate_series(0,
+      |      CAST(ceil(CAST(greatest(len(t) - 32, 0) AS DOUBLE) / 24.0) AS INT))) AS chunk_idx
+      |  FROM toks WHERE len(t) >= 1
+      |)
+      |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+      |  CAST(chunk_idx * 24 + 1 AS INT) AS start_token,
+      |  CAST(least(32, len(t) - (chunk_idx * 24 + 1) + 1) AS INT) AS n_tokens,
+      |  array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ') AS chunk_text
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ------------------------------------------------------ shuffle shards
 
   /** Deterministic global training shuffle: every doc lands in one of

@@ -106,4 +106,20 @@ class CurationOpsSpec extends AnyFunSuite {
         Window.partitionBy("source")))
     assert(cum.filter(!col("is_last") && col("cum") < (col("seq_id") + 1) * cap).count() === 0)
   }
+
+  test("chunk windows: spans tile the doc with the configured overlap") {
+    import spark.implicits._
+    import graft.text.CurationOps
+    // 50 tokens, window 32, stride 24 -> chunk 0 = [1,32], chunk 1 = [25,50]
+    val text50 = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text50), (2L, "only four tiny tokens")).toDF("doc_id", "text")
+    val got = CurationOps.chunkWindows(docs, window = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq === Seq((1L, 0, 1, 32), (1L, 1, 25, 26), (2L, 0, 1, 4)))
+    // chunk text reconstructs the exact token slice
+    val texts = CurationOps.chunkWindows(docs, window = 32, stride = 24)
+      .filter(col("doc_id") === 1L).collect().map(_.getString(4))
+    assert(texts(0) === (1 to 32).map(i => s"w$i").mkString(" "))
+    assert(texts(1) === (25 to 50).map(i => s"w$i").mkString(" "))
+  }
 }

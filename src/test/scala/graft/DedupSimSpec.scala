@@ -187,6 +187,20 @@ class DedupSimSpec extends AnyFunSuite {
     assert(cosines.sameElements(cosines.sortBy(-_)))
   }
 
+  test("incremental dedup: batch dedupes within itself then against history") {
+    import spark.implicits._
+    val hist = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha  beta"),   // dup of history (whitespace-normalized)
+      (11L, "epsilon zeta"),  // new
+      (12L, "epsilon zeta"),  // in-batch dup of 11
+      (13L, "eta theta"))     // new
+      .toDF("doc_id", "text")
+    val out = NearDup.incrementalDedup(hist, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(11L -> 2L, 13L -> 1L))
+  }
+
   test("semdedup: exact-duplicate vectors are dropped, one survivor each") {
     import spark.implicits._
     import graft.sim.SemDedup
