@@ -87,10 +87,12 @@ object Bench {
   }
 
   /** Queries whose 100 TB behavior the scale curve tracks — the
-    * heaviest of the round-3 board. */
+    * heaviest of the board, plus the round-4 curation additions
+    * (semantic dedup, repetition profile, incremental dedup). */
   private[graft] val scaleCurveQueries: Seq[String] = Seq(
     "dedup_clusters", "dedup_clusters_star", "pipeline_serving_sink",
-    "quality_gold_report", "maintenance_compaction")
+    "quality_gold_report", "maintenance_compaction",
+    "sim_semdedup", "text_repetition_profile", "dedup_incremental")
 
   /** Time the heavy subset at 10× (generated once under target/scale/
     * sf1 from the bench SF dir) and report (name, seconds, ratio vs

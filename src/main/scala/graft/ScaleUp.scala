@@ -42,7 +42,8 @@ object ScaleUp {
     * scaled. */
   def ensure(spark: SparkSession, srcDir: String, destDir: String,
              factor: Int = 10): String = {
-    val marker = new java.io.File(destDir, "_GRAFT_SCALED")
+    // v2: embeddings added to the scaled set (older sf1 dirs regenerate)
+    val marker = new java.io.File(destDir, "_GRAFT_SCALED_V2")
     if (marker.exists()) return destDir
     new java.io.File(destDir).mkdirs()
 
@@ -64,6 +65,21 @@ object ScaleUp {
         perReplicaTranslate(col("text"), col("__r"), factor).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
+
+    // embeddings: replicas are dimension-ROTATED (norm-preserving, so
+    // per-replica cluster structure survives) rather than copied —
+    // verbatim copies would make every cross-replica pair an exact
+    // duplicate and blow the near-dup pair volume quadratically in
+    // `factor`; rotation keeps cross-replica cosines unstructured and
+    // the pair volume ~linear, which is the honest 10× corpus model
+    replicas(Tables.embeddings(spark, srcDir))
+      .select(
+        (col("vec_id") + col("__r") * lit(1000000L)).as("vec_id"),
+        when(col("__r") === 0, col("embedding")).otherwise(concat(
+          slice(col("embedding"), col("__r") + 1, size(col("embedding")) - col("__r")),
+          slice(col("embedding"), lit(1), col("__r")))).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
 
     marker.createNewFile()
     destDir

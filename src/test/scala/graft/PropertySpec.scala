@@ -111,4 +111,27 @@ class PropertySpec extends AnyFunSuite {
     val f = SparkEntry.queries("gold_user_journey_funnel")(spark, sf)
     assert(f.filter(col("total_purchases") > col("total_events")).count() === 0)
   }
+
+  test("chunk windows cover every token exactly, for random (n, window, stride)") {
+    val cases = samples(Gen.zip(
+      Gen.chooseNum(1, 90), Gen.chooseNum(2, 40), Gen.chooseNum(1, 40)), 12)
+    cases.foreach { case (n, window, stride0) =>
+      val stride = math.min(stride0, window) // overlap needs stride <= window
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val chunks = graft.text.CurationOps.chunkWindows(
+          Seq((1L, text)).toDF("doc_id", "text"), window, stride)
+        .collect().map(r => (r.getInt(2), r.getInt(3)))
+      // spans: inside the doc, first starts at 1, consecutive starts
+      // advance by stride, the union covers 1..n with no gap
+      assert(chunks.head._1 === 1)
+      assert(chunks.forall { case (s0, len) => len >= 1 && s0 + len - 1 <= n })
+      assert(chunks.sliding(2).forall {
+        case Array((a, _), (b, _)) => b - a === stride
+        case _ => true
+      })
+      val covered = chunks.flatMap { case (s0, len) => s0 until (s0 + len) }.toSet
+      assert(covered === (1 to n).toSet,
+        s"n=$n window=$window stride=$stride left gaps")
+    }
+  }
 }

@@ -41,4 +41,19 @@ class ScaleUpSpec extends AnyFunSuite {
     // near-dup pairs scale linearly too (cross-replica shingles disjoint)
     assert(NearDup.jaccardPairs(big).count() === 10 * NearDup.jaccardPairs(base).count())
   }
+
+  test("embeddings: 10x rows, norms preserved, replica 0 verbatim") {
+    val base = Tables.embeddings(spark, sf).cache()
+    val big = Tables.embeddings(spark, dest).cache()
+    assert(big.count() === 10 * base.count())
+    assert(big.filter(col("vec_id") < 1000000L)
+      .exceptAll(base).isEmpty, "replica 0 must be the original vectors")
+    // rotation preserves the norm: per-vector sum of squares unchanged
+    def norms(df: org.apache.spark.sql.DataFrame) = df.select(
+      pmod(col("vec_id"), lit(1000000L)).as("base_id"),
+      round(aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double")), 3).as("n2"))
+    assert(norms(big).distinct().count() === norms(base).distinct().count(),
+      "rotated replicas must preserve each base vector's norm")
+  }
 }
