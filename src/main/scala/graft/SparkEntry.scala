@@ -190,6 +190,8 @@ object SparkEntry {
       s, dupPairs(s, dir), minhashPairs(s, dir), simhashPairs(s, dir))),
     "dedup_apply_keeplist" -> ((s, dir) => graft.dedup.NearDup.applyKeepList(
       Tables.documents(s, dir), dupClusters(s, dir))),
+    "dedup_crossmodal" -> ((s, dir) => graft.sim.SemDedup.crossModalAgreement(
+      dupPairs(s, dir), Tables.embeddings(s, dir))),
     "text_split_assign" -> (graft.text.QualityFilters.splitAssignQuery _),
     "text_lm_scores" -> (graft.text.QualityFilters.lmScoresQuery _),
     "text_lm_scores_batch" -> (graft.text.LmBatchScorer.lmScoresBatchQuery _),
@@ -343,6 +345,7 @@ object SparkEntry {
     "dedup_fuzzy_parts" -> graft.dedup.FuzzyMatch.fuzzyPartPairsSql,
     "dedup_gate_report" -> graft.dedup.NearDup.gateReportSql,
     "dedup_apply_keeplist" -> graft.dedup.NearDup.dedupedCorpusSql,
+    "dedup_crossmodal" -> graft.sim.SemDedup.crossModalAgreementSql,
     "text_split_assign" -> graft.text.QualityFilters.splitAssignSql,
     "text_lm_scores" -> graft.text.QualityFilters.lmScoresSql,
     // the batch scorer reproduces the relational LM bit-for-bit → same oracle

@@ -128,6 +128,61 @@ object SemDedup {
       .orderBy("metric")
   }
 
+  /** Cross-modal dedup agreement: for every TEXT near-duplicate pair
+    * (the oracle-checked exact-Jaccard set), the embedding-space cosine
+    * of the same pair and whether the two modalities agree at τ — the
+    * audit a curation pipeline runs before trusting either signal alone
+    * (lexical dup but low embedding similarity ⇒ template/boilerplate;
+    * the reverse ⇒ paraphrase the text pass missed).
+    *
+    * Shape: the pair list is tiny relative to the corpus (it IS the
+    * dedup output), so two broadcast joins against the embeddings
+    * table attach both endpoints — linear, no new pair generation.
+    * Pairs whose endpoints lack an embedding row drop out (inner
+    * join, same semantics in the oracle). Fully DuckDB-portable:
+    * Jaccard pairs and the cosine fold both replay bit-for-bit. */
+  def crossModalAgreement(pairs: DataFrame, embeddings: DataFrame,
+                          tau: Double = 0.4): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    pairs.select("doc_a", "doc_b", "jaccard")
+      .join(broadcast(emb.select(col("vec_id").as("doc_a"),
+        col("embedding").as("__ea"))), Seq("doc_a"))
+      .join(broadcast(emb.select(col("vec_id").as("doc_b"),
+        col("embedding").as("__eb"))), Seq("doc_b"))
+      .withColumn("cosine",
+        ConditionalAgg.roundPortable(cosineSim(col("__ea"), col("__eb")), 6))
+      .withColumn("modalities_agree", col("cosine") >= tau)
+      .select("doc_a", "doc_b", "jaccard", "cosine", "modalities_agree")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val crossModalAgreementSql: String =
+    s"""WITH pairs AS (
+      |${graft.dedup.NearDup.jaccardPairsSql
+           .replace("ORDER BY doc_a, doc_b", "")}
+      |), e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |), joined AS (
+      |  SELECT p.doc_a, p.doc_b, p.jaccard,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(a.emb) + 1),
+      |      i -> a.emb[i] * b.emb[i])), (x, y) -> x + y) AS dot,
+      |    list_reduce(list_prepend(0.0, list_transform(a.emb, x -> x * x)),
+      |      (x, y) -> x + y) AS na,
+      |    list_reduce(list_prepend(0.0, list_transform(b.emb, x -> x * x)),
+      |      (x, y) -> x + y) AS nb
+      |  FROM pairs p
+      |  JOIN e a ON a.vec_id = p.doc_a
+      |  JOIN e b ON b.vec_id = p.doc_b
+      |)
+      |SELECT doc_a, doc_b, jaccard,
+      |  ${ConditionalAgg.roundPortableSql(
+           "CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END", 6)} AS cosine,
+      |  ${ConditionalAgg.roundPortableSql(
+           "CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END", 6)} >= 0.4 AS modalities_agree
+      |FROM joined
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val semDedupReportSql: String =
     """SELECT * FROM (VALUES
       |  ('semdedup_drops_nonempty', CAST(1.0 AS DOUBLE), true),

@@ -187,6 +187,17 @@ class DedupSimSpec extends AnyFunSuite {
     assert(cosines.sameElements(cosines.sortBy(-_)))
   }
 
+  test("crossmodal agreement: one row per text pair with embeddings, flag matches tau") {
+    import graft.sim.SemDedup
+    val pairs = NearDup.jaccardPairs(docs).cache()
+    val n = embs.count()
+    val expected = pairs.filter(col("doc_a") < n && col("doc_b") < n).count()
+    val rep = SemDedup.crossModalAgreement(pairs, embs).cache()
+    assert(rep.count() === expected)
+    assert(rep.filter(col("cosine") < -1 || col("cosine") > 1).count() === 0)
+    assert(rep.filter(col("modalities_agree") =!= (col("cosine") >= 0.4)).count() === 0)
+  }
+
   test("incremental dedup: batch dedupes within itself then against history") {
     import spark.implicits._
     val hist = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
