@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming incremental exact dedup — `NearDup.incrementalDedup` run
+  * as a corpus-delivery file stream: each micro-batch hashes its docs,
+  * dedupes within the batch (min doc_id per fingerprint, copies
+  * counted), anti-joins the fingerprint INDEX accumulated by all
+  * previous batches, then appends the survivors to the output AND
+  * their fingerprints to the index. `Trigger.AvailableNow` +
+  * checkpointing make reruns resume after the last processed delivery
+  * — the reference's incremental-DAG semantics with the dedup index as
+  * the carried state.
+  *
+  * Scale: the index is a parquet table of 32-char fingerprints — the
+  * only state, O(|unique docs|), bloom-prefilterable; each batch does
+  * two hash aggs + one anti join, identical to the batch operator
+  * (batch-parity is spec-asserted, the same guarantee the silver
+  * incremental path carries). The survivors frame is localCheckpoint'd
+  * BEFORE the index append so the out/index writes see one consistent
+  * result. */
+object StreamingDedup {
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema).parquet(dir)
+
+  private def fingerprinted(df: DataFrame): DataFrame =
+    df.withColumn("fingerprint",
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+
+  /** The index-so-far, empty on the very first delivery. */
+  private def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    if (new java.io.File(indexDir).exists())
+      spark.read.parquet(indexDir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("fingerprint", StringType))))
+
+  def incrementalDedupWriter(stream: DataFrame, indexDir: String,
+                             outDir: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchUnique = fingerprinted(batch)
+          .groupBy(col("fingerprint"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("batch_copies"))
+        val survivors = batchUnique
+          .join(readIndex(spark, indexDir), Seq("fingerprint"), "left_anti")
+          .select(col("doc_id"), col("fingerprint"), col("batch_copies"),
+            lit(batchId).as("batch_id"))
+          .localCheckpoint()
+        survivors.write.mode("append").parquet(outDir)
+        survivors.select("fingerprint").write.mode("append").parquet(indexDir)
+      }
+}

@@ -90,6 +90,41 @@ class PlatformSpec extends AnyFunSuite {
       col("e.unique_users") * 0.05 + 3).count() === 0)
   }
 
+  test("streaming incremental dedup: two deliveries, batch-parity with the index op") {
+    import graft.streaming.StreamingDedup
+    import graft.dedup.NearDup
+    val tmp = Files.createTempDirectory("graft_sdd_").toString
+    val docs = Tables.documents(spark, sf)
+    val d1 = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val d2 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    d1.write.mode("overwrite").parquet(s"$tmp/in")
+    val w1 = StreamingDedup.incrementalDedupWriter(
+        StreamingDedup.readDocumentsStream(spark, s"$tmp/in"),
+        s"$tmp/index", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    w1.awaitTermination(120000)
+    d2.write.mode("append").parquet(s"$tmp/in")
+    val w2 = StreamingDedup.incrementalDedupWriter(
+        StreamingDedup.readDocumentsStream(spark, s"$tmp/in"),
+        s"$tmp/index", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    w2.awaitTermination(120000)
+    val out = spark.read.parquet(s"$tmp/out").cache()
+    // delivery 1 ran against an empty index: one survivor per distinct fingerprint
+    val b0 = out.filter(col("batch_id") === 0)
+    assert(b0.count() === NearDup.exactGroups(d1).count())
+    // delivery 2's survivors equal the BATCH incremental-dedup operator
+    val b1 = out.filter(col("batch_id") > 0)
+      .select("doc_id", "fingerprint", "batch_copies")
+    val expected = NearDup.incrementalDedup(d1, d2)
+    assert(b1.count() === expected.count())
+    assert(b1.except(expected).count() === 0)
+    // the index holds exactly every emitted fingerprint, once
+    val idx = spark.read.parquet(s"$tmp/index")
+    assert(idx.count() === idx.distinct().count())
+    assert(idx.count() === out.count())
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replayed duplicates") {
     val tmp = Files.createTempDirectory("graft_ddw_").toString
     val ev = Tables.events(spark, sf)
