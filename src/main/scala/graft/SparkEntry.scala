@@ -66,6 +66,9 @@ object SparkEntry {
   private def semDedupPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "semdedup")(
       graft.sim.SemDedup.candidatePairs(Tables.embeddings(s, dir)))
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "neardup")(
+      graft.sim.EmbeddingSim.nearDupPairsQuery(s, dir))
   private def annTopK(s: SparkSession, dir: String, method: String): DataFrame =
     staged(s, dir, s"ann_$method")(method match {
       case "brute" => graft.sim.EmbeddingSim.bruteForceTopKQuery(s, dir)
@@ -222,12 +225,16 @@ object SparkEntry {
     "sim_embed_topk_sq8" -> ((s, dir) => annTopK(s, dir, "sq8")
       .orderBy(org.apache.spark.sql.functions.col("probe_id"),
         org.apache.spark.sql.functions.col("rank"))),
-    "sim_embed_neardup" -> (graft.sim.EmbeddingSim.nearDupPairsQuery _),
-    // the two semdedup consumers share the staged within-cluster pairs
+    "sim_embed_neardup" -> ((s, dir) => nearDupPairs(s, dir)
+      .orderBy(org.apache.spark.sql.functions.col("cosine").desc,
+        org.apache.spark.sql.functions.col("vec_a"),
+        org.apache.spark.sql.functions.col("vec_b"))),
+    // the semdedup consumers share the staged within-cluster pairs; the
+    // report also gates the staged LSH near-dup list vs the exact top
     "sim_semdedup" -> ((s, dir) =>
       graft.sim.SemDedup.dropsFromPairs(semDedupPairs(s, dir))),
     "sim_semdedup_report" -> ((s, dir) => graft.sim.SemDedup.semDedupReportWith(
-      s, Tables.embeddings(s, dir), semDedupPairs(s, dir))),
+      s, Tables.embeddings(s, dir), semDedupPairs(s, dir), nearDupPairs(s, dir))),
     "sim_recall_report" -> ((s, dir) => graft.sim.EmbeddingSim.recallReportWith(
       s, annTopK(s, dir, "brute"), annTopK(s, dir, "ivf"),
       annTopK(s, dir, "lsh"), annTopK(s, dir, "sq8"))),

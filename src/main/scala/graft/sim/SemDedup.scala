@@ -88,14 +88,16 @@ object SemDedup {
     drops(Tables.embeddings(s, dir))
 
   /** Exact all-pairs τ-baseline (audit-only quadratic scan — the
-    * recall denominator, same role as the ANN brute-force baseline). */
+    * recall denominator, same role as the ANN brute-force baseline).
+    * Keeps the cosine so the same pass also yields the exact global
+    * top-pair ranking. */
   private def exactPairs(embeddings: DataFrame, tau: Double): DataFrame = {
     val v = embeddings.select(col("vec_id"), col("embedding"))
     v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
       .withColumn("cosine",
         ConditionalAgg.roundPortable(cosineSim(col("x.embedding"), col("y.embedding")), 6))
       .filter(col("cosine") >= tau)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cosine"))
   }
 
   /** Oracle-gated report: candidate pairs are a subset of the exact
@@ -105,25 +107,38 @@ object SemDedup {
     * the row red in CORRECTNESS. */
   def semDedupReport(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    semDedupReportWith(s, emb, candidatePairs(emb))
+    semDedupReportWith(s, emb, candidatePairs(emb), EmbeddingSim.nearDupPairs(emb))
   }
 
-  /** [[semDedupReport]] over a pre-staged candidate-pair frame (the
-    * driver shares the pairs between the drop-list query and this
-    * gate). */
+  /** [[semDedupReport]] over pre-staged frames (the driver shares the
+    * candidate pairs with the drop-list query and the LSH near-dup
+    * pairs with their listing query). Also gates `sim_embed_neardup`:
+    * the LSH top-pair list must recover a floor fraction of the EXACT
+    * global top pairs (the same τ-pass supplies the baseline), closing
+    * the one candidate-set query no other report covered. */
   def semDedupReportWith(s: SparkSession, embeddings: DataFrame,
-                         pairs: DataFrame, tau: Double = 0.4): DataFrame = {
+                         pairs: DataFrame, lshNearDup: DataFrame,
+                         tau: Double = 0.4): DataFrame = {
     val cand = pairs.select("vec_a", "vec_b")
     val exact = exactPairs(embeddings, tau).localCheckpoint()
     val nExact = exact.count().toDouble
     val recall = if (nExact == 0) 1.0
-      else cand.join(exact, Seq("vec_a", "vec_b"), "left_semi").count() / nExact
+      else cand.join(exact.select("vec_a", "vec_b"),
+        Seq("vec_a", "vec_b"), "left_semi").count() / nExact
     val nDrops = dropsFromPairs(pairs).count()
+    val k = lshNearDup.count().toInt
+    val exactTop = TopK.global(exact,
+      order = Seq(col("cosine").desc, col("vec_a").asc, col("vec_b").asc), k = k)
+    val topRecall = if (k == 0) 1.0
+      else lshNearDup.select("vec_a", "vec_b")
+        .join(exactTop, Seq("vec_a", "vec_b"), "left_semi").count().toDouble / k
     import s.implicits._
-    Seq(("semdedup_drops_nonempty", 1.0, nDrops >= 1),
+    Seq(("lsh_neardup_top_recall", 0.5, topRecall >= 0.5),
+        ("semdedup_drops_nonempty", 1.0, nDrops >= 1),
         ("semdedup_pair_recall", 0.15, recall >= 0.15),
         ("semdedup_pairs_subset_exact", 1.0,
-          cand.join(exact, Seq("vec_a", "vec_b"), "left_anti").count() == 0))
+          cand.join(exact.select("vec_a", "vec_b"),
+            Seq("vec_a", "vec_b"), "left_anti").count() == 0))
       .toDF("metric", "floor", "pass")
       .orderBy("metric")
   }
@@ -185,6 +200,7 @@ object SemDedup {
 
   val semDedupReportSql: String =
     """SELECT * FROM (VALUES
+      |  ('lsh_neardup_top_recall', CAST(0.5 AS DOUBLE), true),
       |  ('semdedup_drops_nonempty', CAST(1.0 AS DOUBLE), true),
       |  ('semdedup_pair_recall', CAST(0.15 AS DOUBLE), true),
       |  ('semdedup_pairs_subset_exact', CAST(1.0 AS DOUBLE), true)) AS t(metric, floor, pass)

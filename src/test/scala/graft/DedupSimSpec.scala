@@ -231,11 +231,13 @@ class DedupSimSpec extends AnyFunSuite {
     assert(drops(2L) === 1L && drops(4L) === 3L)
   }
 
-  test("semdedup: candidate pairs subset of exact tau-pairs; recall floor on testdata") {
+  test("semdedup: candidate pairs subset of exact tau-pairs; recall floors on testdata") {
     import graft.sim.SemDedup
-    val rep = SemDedup.semDedupReportWith(spark, embs, SemDedup.candidatePairs(embs))
+    val rep = SemDedup.semDedupReportWith(spark, embs,
+        SemDedup.candidatePairs(embs), EmbeddingSim.nearDupPairs(embs))
       .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
     assert(rep === Map(
+      "lsh_neardup_top_recall" -> true,
       "semdedup_drops_nonempty" -> true,
       "semdedup_pair_recall" -> true,
       "semdedup_pairs_subset_exact" -> true))
