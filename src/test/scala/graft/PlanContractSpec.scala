@@ -147,6 +147,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"semdedup pair join went all-pairs:\n$p")
   }
 
+  test("crossmodal agreement broadcasts both embedding endpoints") {
+    import graft.sources.Tables
+    val p = analyzedPlan(graft.sim.SemDedup.crossModalAgreement(
+      graft.dedup.NearDup.jaccardPairs(Tables.documents(spark, sf)),
+      Tables.embeddings(spark, sf)))
+    assert(p.contains("BroadcastHashJoin"), "endpoint join lost its broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("cdc diff plans a keyed join between versions, never a cartesian") {
     import graft.sources.Snapshots
     import org.apache.spark.sql.functions._
