@@ -208,6 +208,7 @@ object SparkEntry {
     "text_source_dashboard" -> ((s, dir) => graft.text.CurationOps.sourceDashboard(
       Tables.documents(s, dir), curationVerdicts(s, dir))),
     "text_sample_mixture" -> (graft.text.CurationOps.sampleMixtureQuery _),
+    "text_sample_per_source" -> (graft.text.QualityFilters.samplePerSourceQuery _),
     "text_pack_sequences" -> (graft.text.CurationOps.packSequencesQuery _),
     "text_passage_dedup" -> (graft.text.CurationOps.passageDedupQuery _),
     "text_chunk_windows" -> (graft.text.CurationOps.chunkWindowsQuery _),
@@ -364,6 +365,7 @@ object SparkEntry {
     "text_apply_curation" -> graft.text.CurationOps.applyCurationSql,
     "text_source_dashboard" -> graft.text.CurationOps.sourceDashboardSql,
     "text_sample_mixture" -> graft.text.CurationOps.sampleMixtureSql,
+    "text_sample_per_source" -> graft.text.QualityFilters.samplePerSourceSql,
     "text_pack_sequences" -> graft.text.CurationOps.packSequencesSql,
     "text_passage_dedup" -> graft.text.CurationOps.passageDedupSql,
     "text_chunk_windows" -> graft.text.CurationOps.chunkWindowsSql,

@@ -350,6 +350,36 @@ object QualityFilters {
       |)
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic uniform k-sample per source — the eval-set /
+    * inspection-sample builder: rank docs inside each source by
+    * md5(doc_id) (a uniform, engine-portable pseudo-order — the
+    * distributed equivalent of per-stratum reservoir sampling, but
+    * reproducible across reruns and engines) and keep the k smallest.
+    * One WindowGroupLimit-pushed rank per source — linear, no global
+    * sort, no rand(). */
+  def samplePerSource(documents: DataFrame, k: Int = 10): DataFrame =
+    graft.ops.TopK.perGroup(
+        documents.select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("sample_key")),
+        groupKeys = Seq("source"),
+        order = Seq(col("sample_key").asc, col("doc_id").asc), k = k)
+      .select("source", "rank", "doc_id", "sample_key")
+      .orderBy(col("source"), col("rank"))
+
+  def samplePerSourceQuery(s: SparkSession, dir: String): DataFrame =
+    samplePerSource(Tables.documents(s, dir))
+
+  val samplePerSourceSql: String =
+    """SELECT source, rank, doc_id, sample_key FROM (
+      |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT) AS rank
+      |  FROM documents
+      |)
+      |WHERE rank <= 10
+      |ORDER BY source, rank""".stripMargin
+
   /** Corpus vocabulary: global top-k tokens by frequency with doc
     * frequency — the tokenizer-training / stopword-discovery stat.
     * Explode → two grouped aggs; partial aggregation absorbs the

@@ -128,6 +128,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L) === ((5L, 2L, 0.4)))
   }
 
+  test("per-source sample: exactly k per source, deterministic across calls") {
+    import graft.text.QualityFilters
+    val docs = Tables.documents(spark, sf)
+    val s1 = QualityFilters.samplePerSource(docs, k = 7).collect()
+    val s2 = QualityFilters.samplePerSource(docs, k = 7).collect()
+    assert(s1.toSeq === s2.toSeq, "hash-rank sampling must be reproducible")
+    val perSource = s1.groupBy(_.getString(0)).map { case (_, rows) => rows.length }
+    assert(perSource.forall(_ === 7))
+    // sample membership is a pure function of doc_id: disjoint k prefixes nest
+    val s3 = QualityFilters.samplePerSource(docs, k = 3)
+      .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s7 = s1.map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(s3.subsetOf(s7), "smaller samples must nest inside larger ones")
+  }
+
   test("cdc diff query: one restated UPDATE, tail DELETEs, no false changes") {
     val daily = graft.marts.DailySales.build(
       graft.marts.SilverEvents.build(Tables.events(spark, sf)))
