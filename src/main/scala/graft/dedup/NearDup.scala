@@ -23,13 +23,20 @@ object NearDup {
 
   // ---------------------------------------------------------------- exact
 
+  /** THE normalized-text fingerprint — the single definition every
+    * exact-dedup surface shares (exactGroups, incrementalDedup, the
+    * streaming index, TextAnalysis.docStats): batch/streaming parity
+    * and the DuckDB oracles all assume this expression stays
+    * byte-identical across call sites. */
+  private[graft] def fingerprintCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
   /** Exact dedup over normalized-text fingerprints: one row per
     * distinct fingerprint with the min-doc_id representative (the
     * deterministic survivor rule). */
   def exactGroups(documents: DataFrame): DataFrame =
     documents
-      .withColumn("fingerprint",
-        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .withColumn("fingerprint", fingerprintCol(col("text")))
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("rep_doc_id"),
            count(lit(1)).as("doc_count"))
@@ -56,8 +63,7 @@ object NearDup {
     * then anti-joins the index. Two hash aggregations + one anti join,
     * all keyed on the 32-char fingerprint — text never moves twice. */
   def incrementalDedup(history: DataFrame, newBatch: DataFrame): DataFrame = {
-    def fp(df: DataFrame) = df.withColumn("fingerprint",
-      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+    def fp(df: DataFrame) = df.withColumn("fingerprint", fingerprintCol(col("text")))
     val seen = fp(history).select("fingerprint").distinct()
     fp(newBatch)
       .groupBy(col("fingerprint"))
@@ -88,8 +94,8 @@ object NearDup {
       |  SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS batch_copies
       |  FROM fp WHERE doc_id % 5 = 0 GROUP BY fingerprint
       |)
-      |SELECT doc_id, fingerprint, batch_copies FROM batch
-      |WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
+      |SELECT doc_id, fingerprint, batch_copies FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fingerprint = b.fingerprint)
       |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------- shingling

@@ -35,11 +35,19 @@ object SemDedup {
   def candidatePairs(embeddings: DataFrame, nClusters: Int = 16,
                      tau: Double = 0.4, clusterCap: Int = 2000): DataFrame = {
     val cents = IvfAnn.centroids(embeddings, nClusters)
+    // materialize the assignment ONCE: the sizes aggregate and both
+    // self-join sides read it (3 evaluations), and the k-means means
+    // are float-order-sensitive — without a checkpoint the x/y sides
+    // could disagree on a borderline vector's centroid and the
+    // equi-join key would silently mismatch (same contract as
+    // NearDup.prunedCandidates); this also runs the clustering once
+    // instead of three times
     val assigned = IvfAnn.assign(embeddings, cents)
       .join(broadcast(cents), "centroid_id")
       .withColumn("cent_sim",
         ConditionalAgg.roundPortable(cosineSim(col("embedding"), col("centroid")), 6))
       .select("centroid_id", "vec_id", "embedding", "cent_sim")
+      .localCheckpoint()
     // salt-split oversized clusters so one degenerate cluster cannot go
     // quadratic: nsplit = ceil(|cluster|/cap), salt = hash(vec_id) mod nsplit
     val sizes = assigned.groupBy(col("centroid_id"))
@@ -151,19 +159,19 @@ object SemDedup {
     * the reverse ⇒ paraphrase the text pass missed).
     *
     * Shape: the pair list is tiny relative to the corpus (it IS the
-    * dedup output), so two broadcast joins against the embeddings
-    * table attach both endpoints — linear, no new pair generation.
-    * Pairs whose endpoints lack an embedding row drop out (inner
-    * join, same semantics in the oracle). Fully DuckDB-portable:
-    * Jaccard pairs and the cosine fold both replay bit-for-bit. */
+    * dedup output), so the PAIRS side is broadcast and the corpus-
+    * sized embeddings table streams through two hash joins — linear,
+    * no new pair generation, no corpus-sized broadcast. Pairs whose
+    * endpoints lack an embedding row drop out (inner join, same
+    * semantics in the oracle). Fully DuckDB-portable: Jaccard pairs
+    * and the cosine fold both replay bit-for-bit. */
   def crossModalAgreement(pairs: DataFrame, embeddings: DataFrame,
                           tau: Double = 0.4): DataFrame = {
     val emb = embeddings.select(col("vec_id"), col("embedding"))
-    pairs.select("doc_a", "doc_b", "jaccard")
-      .join(broadcast(emb.select(col("vec_id").as("doc_a"),
-        col("embedding").as("__ea"))), Seq("doc_a"))
-      .join(broadcast(emb.select(col("vec_id").as("doc_b"),
-        col("embedding").as("__eb"))), Seq("doc_b"))
+    val withA = emb.select(col("vec_id").as("doc_a"), col("embedding").as("__ea"))
+      .join(broadcast(pairs.select("doc_a", "doc_b", "jaccard")), Seq("doc_a"))
+    emb.select(col("vec_id").as("doc_b"), col("embedding").as("__eb"))
+      .join(broadcast(withA), Seq("doc_b"))
       .withColumn("cosine",
         ConditionalAgg.roundPortable(cosineSim(col("__ea"), col("__eb")), 6))
       .withColumn("modalities_agree", col("cosine") >= tau)

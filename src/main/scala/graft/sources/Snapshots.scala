@@ -181,8 +181,11 @@ object Snapshots {
     expired.foreach { v =>
       val dir = Paths.get(table, s"v=$v")
       if (Files.isDirectory(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => Files.deleteIfExists(p))
+        // Files.walk holds directory handles — close the stream
+        scala.util.Using.resource(Files.walk(dir)) { walk =>
+          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        }
       }
       Files.deleteIfExists(metaDir(table).resolve(s"$v.json"))
     }

@@ -32,18 +32,29 @@ object StreamingDedup {
   def readDocumentsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(documentsSchema).parquet(dir)
 
+  /** The shared batch-op fingerprint ([[graft.dedup.NearDup.fingerprintCol]])
+    * — ONE definition, so streaming/batch parity can't drift. */
   private def fingerprinted(df: DataFrame): DataFrame =
-    df.withColumn("fingerprint",
-      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+    df.withColumn("fingerprint", graft.dedup.NearDup.fingerprintCol(col("text")))
 
-  /** The index-so-far, empty on the very first delivery. */
-  private def readIndex(spark: SparkSession, indexDir: String): DataFrame =
-    if (new java.io.File(indexDir).exists())
+  /** The index-so-far, empty on the very first delivery. Probed via
+    * the Hadoop FileSystem API so hdfs://s3a:// index locations work,
+    * not only the local filesystem. */
+  private def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
       spark.read.parquet(indexDir)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("fingerprint", StringType))))
+  }
 
+  /** Both writes are per-batch-partition dynamic OVERWRITES, not blind
+    * appends: foreachBatch is at-least-once, so a batch replayed after
+    * a partial failure rewrites its own `batch_id=` partition instead
+    * of duplicating rows — the idempotent-sink contract Structured
+    * Streaming asks of foreachBatch. */
   def incrementalDedupWriter(stream: DataFrame, indexDir: String,
                              outDir: String): DataStreamWriter[Row] =
     stream.writeStream
@@ -60,7 +71,13 @@ object StreamingDedup {
           .select(col("doc_id"), col("fingerprint"), col("batch_copies"),
             lit(batchId).as("batch_id"))
           .localCheckpoint()
-        survivors.write.mode("append").parquet(outDir)
-        survivors.select("fingerprint").write.mode("append").parquet(indexDir)
+        def overwriteOwnPartition(df: DataFrame, dir: String): Unit =
+          df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dir)
+        overwriteOwnPartition(survivors, outDir)
+        overwriteOwnPartition(
+          survivors.select(col("fingerprint"), col("batch_id")), indexDir)
       }
 }

@@ -272,6 +272,10 @@ object CurationOps {
     * at all before the presentation sort; the fan-out is rows
     * ×(n/stride), the unavoidable chunking volume. */
   def chunkWindows(documents: DataFrame, window: Int = 32, stride: Int = 24): DataFrame = {
+    // stride > window would silently leave token gaps between chunks,
+    // violating the every-token-covered contract
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window]: stride=$stride window=$window")
     val n = size(col("__toks"))
     val nChunks =
       ceil(greatest(n - window, lit(0)).cast("double") / stride).cast("int") + 1

@@ -72,8 +72,7 @@ object TextAnalysis {
       .withColumn("type_token_ratio",
         graft.ops.ConditionalAgg.ratio(col("unique_token_count"), col("token_count"), 4))
       .withColumn("quality_score", expr(QualityScoreSql))
-      .withColumn("fingerprint",
-        md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .withColumn("fingerprint", graft.dedup.NearDup.fingerprintCol(col("text")))
       .select("doc_id", "lang", "source", "n_chars", "char_len", "token_count",
         "unique_token_count", "alpha_chars", "stopword_count", "avg_token_len",
         "stopword_ratio", "type_token_ratio", "quality_score", "fingerprint")
