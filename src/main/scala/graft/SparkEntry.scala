@@ -197,6 +197,7 @@ object SparkEntry {
       dupPairs(s, dir), Tables.embeddings(s, dir))),
     "text_split_assign" -> (graft.text.QualityFilters.splitAssignQuery _),
     "text_lm_scores" -> (graft.text.QualityFilters.lmScoresQuery _),
+    "text_lm_bigram_scores" -> (graft.text.QualityFilters.bigramLmScoresQuery _),
     "text_lm_scores_batch" -> (graft.text.LmBatchScorer.lmScoresBatchQuery _),
     "text_pii_redaction" -> (graft.text.PiiRedaction.redactionQuery _),
     "text_dsir_weights" -> (graft.text.DsirWeights.dsirWeightsQuery _),
@@ -259,6 +260,7 @@ object SparkEntry {
     "meta_cdc_diff" -> ((s, dir) =>
       graft.sources.Snapshots.cdcDiffOver(s, DailySales.build(silver(s, dir)))),
     "meta_column_stats" -> (graft.quality.ColumnStats.lineitemStatsQuery _),
+    "meta_skew_report" -> (graft.quality.ColumnStats.skewReportQuery _),
     "maintenance_vacuum" -> ((s, dir) =>
       graft.sources.Snapshots.vacuumOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_compaction" -> (graft.sink.Compaction.compactionQuery _),
@@ -356,6 +358,7 @@ object SparkEntry {
     "dedup_crossmodal" -> graft.sim.SemDedup.crossModalAgreementSql,
     "text_split_assign" -> graft.text.QualityFilters.splitAssignSql,
     "text_lm_scores" -> graft.text.QualityFilters.lmScoresSql,
+    "text_lm_bigram_scores" -> graft.text.QualityFilters.bigramLmScoresSql,
     // the batch scorer reproduces the relational LM bit-for-bit → same oracle
     "text_lm_scores_batch" -> graft.text.QualityFilters.lmScoresSql,
     "text_pii_redaction" -> graft.text.PiiRedaction.redactionSql,
@@ -388,6 +391,7 @@ object SparkEntry {
     "meta_snapshots" -> graft.sources.Snapshots.snapshotsSql,
     "meta_cdc_diff" -> graft.sources.Snapshots.cdcDiffSql,
     "meta_column_stats" -> graft.quality.ColumnStats.lineitemStatsSql,
+    "meta_skew_report" -> graft.quality.ColumnStats.skewReportSql,
     "maintenance_vacuum" -> graft.sources.Snapshots.vacuumSql,
     "maintenance_compaction" -> graft.sink.Compaction.compactionSql,
     "pipeline_serving_sink" -> Pipeline.servingSummarySql,

@@ -53,6 +53,51 @@ object ColumnStats {
     columnStats(Tables.lineitem(s, dir),
       Seq("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"))
 
+  /** Join/aggregation-key skew diagnosis — the profiling pass behind
+    * every salting / AQE-skew decision in SCALE.md: the k hottest
+    * values of a key column with their share of the table. One grouped
+    * count + a broadcast 1-row total + a TakeOrderedAndProject top-k —
+    * no full sort, linear in the table. */
+  def keySkew(df: DataFrame, tableName: String, keyCol: String,
+              topK: Int = 10): DataFrame = {
+    import graft.ops.ConditionalAgg
+    val counts = df.groupBy(col(keyCol).cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    graft.ops.TopK.global(
+        counts.crossJoin(broadcast(total))
+          .select(lit(tableName).as("table_name"), lit(keyCol).as("key_column"),
+            col("key_value"), col("n_rows"),
+            ConditionalAgg.pct(col("n_rows"), col("__total"), 4).as("pct_of_total")),
+        order = Seq(col("n_rows").desc, col("key_value").asc), k = topK)
+  }
+
+  /** Driver query: skew profiles of the two fact-table keys every
+    * heavy join/agg in the repo shuffles on. */
+  def skewReportQuery(s: SparkSession, dir: String): DataFrame =
+    keySkew(Tables.lineitem(s, dir), "lineitem", "l_orderkey")
+      .unionByName(keySkew(Tables.events(s, dir), "events", "user_id"))
+      .orderBy(col("table_name"), col("n_rows").desc, col("key_value"))
+
+  val skewReportSql: String = {
+    import graft.ops.ConditionalAgg.roundPortableSql
+    def one(table: String, key: String) =
+      s"""SELECT 'REPLACE_TABLE' AS table_name, 'REPLACE_KEY' AS key_column,
+         |  CAST($key AS VARCHAR) AS key_value, count(*) AS n_rows,
+         |  ${roundPortableSql(
+              s"100.0 * CAST(count(*) AS DOUBLE) / nullif(CAST((SELECT count(*) FROM $table) AS DOUBLE), 0)", 4)} AS pct_of_total
+         |FROM $table GROUP BY $key
+         |ORDER BY n_rows DESC, key_value ASC LIMIT 10"""
+        .stripMargin
+        .replace("REPLACE_TABLE", table).replace("REPLACE_KEY", key)
+    s"""SELECT * FROM (
+       |(${one("lineitem", "l_orderkey")})
+       |UNION ALL
+       |(${one("events", "user_id")})
+       |)
+       |ORDER BY table_name, n_rows DESC, key_value""".stripMargin
+  }
+
   val lineitemStatsSql: String = {
     def row(c: String, minmax: String => String) =
       s"""SELECT '$c' AS column_name, count(*) AS n_rows,

@@ -301,6 +301,78 @@ object QualityFilters {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM quality score — one step closer to the CCNet/KenLM
+    * n-gram signal than [[lmScores]]'s unigram: per doc, avg
+    * −ln p(wᵢ | wᵢ₋₁) under the corpus bigram model with add-α
+    * smoothing, p = (c₂(prev,cur)+α) / (c₁(prev)+α·V). Boilerplate and
+    * templated text score LOW (their transitions are corpus-frequent);
+    * shuffled/gibberish text scores HIGH even when its unigrams are
+    * common — exactly the case the unigram model cannot see.
+    *
+    * Shape: one bigram explode (linear), two grouped counts, two key
+    * joins + a broadcast 1-row vocabulary size; per-row NLL summed as
+    * DECIMAL(28,12) so the per-doc score is partition-order-invariant
+    * (same determinism contract as [[lmScores]]). Docs with <2 tokens
+    * have no bigrams and drop out, in both engines. */
+  def bigramLmScores(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val toksArr = TextAnalysis.tokensCol(col("text"))
+    val bigrams = documents
+      .withColumn("__toks", toksArr)
+      .select(col("doc_id"), explode(when(size(col("__toks")) >= 2,
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct(element_at(col("__toks"), i).as("prev"),
+            element_at(col("__toks"), i + 1).as("cur"))))
+        .otherwise(array().cast("array<struct<prev:string,cur:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val c2 = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+    val vocab = documents
+      .select(explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+      .agg(count_distinct(col("token")).as("v_size"))
+    bigrams.join(c2, Seq("prev", "cur")).join(c1, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        (-log((col("c2").cast("double") + lit(alpha)) /
+          (col("c1").cast("double") + lit(alpha) * col("v_size").cast("double"))))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nll_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ConditionalAgg.roundPortable(
+          col("nll_sum").cast("double") / col("n_bigrams").cast("double"), 4).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bigramLmScoresQuery(s: SparkSession, dir: String): DataFrame =
+    bigramLmScores(Tables.documents(s, dir))
+
+  val bigramLmScoresSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents
+      |), bigrams AS (
+      |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+      |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 2
+      |), c2 AS (
+      |  SELECT prev, cur, count(*) AS c2 FROM bigrams GROUP BY prev, cur
+      |), c1 AS (
+      |  SELECT prev, count(*) AS c1 FROM bigrams GROUP BY prev
+      |), voc AS (
+      |  SELECT count(DISTINCT token) AS v_size FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |    FROM documents)
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(round(CAST(
+      |    CAST(sum(CAST(-ln((CAST(c2 AS DOUBLE) + 0.5) /
+      |      (CAST(c1 AS DOUBLE) + 0.5 * CAST(v_size AS DOUBLE))) AS DECIMAL(28,12))) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE)
+      |    AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_nll
+      |FROM bigrams JOIN c2 USING (prev, cur) JOIN c1 USING (prev), voc
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** 1-based position of a lowercase hex digit in the hex alphabet —
     * the engine-portable digit value (DuckDB `strpos` twin). */
   private[text] def hexPos(c: org.apache.spark.sql.Column) =

@@ -143,6 +143,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(s3.subsetOf(s7), "smaller samples must nest inside larger ones")
   }
 
+  test("bigram LM: repeated transitions score lower than unique ones") {
+    import spark.implicits._
+    import graft.text.QualityFilters
+    val docs = Seq(
+      (1L, "a b a b a b a b"),   // one dominant transition
+      (2L, "c d e f g h"),       // all transitions unique
+      (3L, "solo"))              // <2 tokens -> no bigrams, no row
+      .toDF("doc_id", "text")
+    val got = QualityFilters.bigramLmScores(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._1 === 7L && got(2L)._1 === 5L) // n_bigrams = tokens - 1
+    assert(got(1L)._2 < got(2L)._2,
+      s"repetitive doc must be more predictable: ${got(1L)._2} vs ${got(2L)._2}")
+    assert(got.values.forall(_._2 > 0))
+  }
+
+  test("skew report: k rows per table, shares bounded and ranked") {
+    val rep = SparkEntry.queries("meta_skew_report")(spark, sf).collect()
+    val byTable = rep.groupBy(_.getString(0))
+    assert(byTable.keySet === Set("lineitem", "events"))
+    assert(byTable.values.forall(_.length === 10))
+    assert(rep.forall(r => r.getDouble(4) > 0 && r.getDouble(4) <= 100))
+    byTable.values.foreach { rows =>
+      val counts = rows.map(_.getLong(3))
+      assert(counts.sameElements(counts.sortBy(-_)), "must rank by count desc")
+    }
+  }
+
   test("cdc diff query: one restated UPDATE, tail DELETEs, no false changes") {
     val daily = graft.marts.DailySales.build(
       graft.marts.SilverEvents.build(Tables.events(spark, sf)))
