@@ -144,6 +144,7 @@ object SparkEntry {
     "q_json_props" -> (CoverageQueries.jsonProps _),
     "q_variant_props" -> (CoverageQueries.variantProps _),
     "q_sql_weekly_revenue" -> (CoverageQueries.sqlWeeklyRevenue _),
+    "q_event_patterns" -> ((s, dir) => CoverageQueries.eventPatternsOver(silver(s, dir))),
     "q_shipping_priority" -> (TpchMoreQueries.shippingPriority _),
     "q_returned_items" -> (TpchMoreQueries.returnedItems _),
     "q_order_price_tiers" -> (TpchMoreQueries.orderPriceTiers _),
@@ -198,6 +199,7 @@ object SparkEntry {
     "text_split_assign" -> (graft.text.QualityFilters.splitAssignQuery _),
     "text_lm_scores" -> (graft.text.QualityFilters.lmScoresQuery _),
     "text_lm_bigram_scores" -> (graft.text.QualityFilters.bigramLmScoresQuery _),
+    "text_char_entropy" -> (graft.text.QualityFilters.charEntropyQuery _),
     "text_lm_scores_batch" -> (graft.text.LmBatchScorer.lmScoresBatchQuery _),
     "text_pii_redaction" -> (graft.text.PiiRedaction.redactionQuery _),
     "text_dsir_weights" -> (graft.text.DsirWeights.dsirWeightsQuery _),
@@ -318,6 +320,7 @@ object SparkEntry {
     "q_json_props" -> CoverageQueries.jsonPropsSql,
     "q_variant_props" -> CoverageQueries.variantPropsSql,
     "q_sql_weekly_revenue" -> CoverageQueries.sqlWeeklyRevenueSql,
+    "q_event_patterns" -> CoverageQueries.eventPatternsSql,
     "q_shipping_priority" -> TpchMoreQueries.shippingPrioritySql,
     "q_returned_items" -> TpchMoreQueries.returnedItemsSql,
     "q_order_price_tiers" -> TpchMoreQueries.orderPriceTiersSql,
@@ -359,6 +362,7 @@ object SparkEntry {
     "text_split_assign" -> graft.text.QualityFilters.splitAssignSql,
     "text_lm_scores" -> graft.text.QualityFilters.lmScoresSql,
     "text_lm_bigram_scores" -> graft.text.QualityFilters.bigramLmScoresSql,
+    "text_char_entropy" -> graft.text.QualityFilters.charEntropySql,
     // the batch scorer reproduces the relational LM bit-for-bit → same oracle
     "text_lm_scores_batch" -> graft.text.QualityFilters.lmScoresSql,
     "text_pii_redaction" -> graft.text.PiiRedaction.redactionSql,

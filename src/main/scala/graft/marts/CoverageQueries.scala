@@ -405,4 +405,59 @@ object CoverageQueries {
       |  cume_dist() OVER (PARTITION BY price_bucket ORDER BY revenue ASC, item_key ASC) AS cume
       |FROM per_item
       |ORDER BY price_bucket, item_key""".stripMargin
+
+  /** Event-sequence pattern matching — the MATCH_RECOGNIZE /
+    * funnel-with-ordering analog Spark SQL lacks as a native operator:
+    * each user's journey is folded to an ordered event-initial string
+    * (one per-user agg; deterministic (time, event_id) ordering via
+    * array_sort over structs), then a broadcast pattern table counts
+    * matching users per regex. Regexes are kept in the Java∩RE2
+    * common dialect so the DuckDB oracle replays them verbatim.
+    *
+    * Scale: one hash agg on user_id (the journey fold is map-side
+    * combinable collect_list — per-user event counts are bounded),
+    * then |users|×|patterns| broadcast rows — the pattern side is
+    * constant-sized. No windows. */
+  def eventPatterns(s: SparkSession, dir: String): DataFrame =
+    eventPatternsOver(SilverEvents.build(Tables.events(s, dir)))
+
+  def eventPatternsOver(silver: DataFrame): DataFrame = {
+    val s = silver.sparkSession
+    import s.implicits._
+    val journeys = silver
+      .groupBy(col("user_id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(
+          col("event_time_str").as("t"), col("event_id").as("i"),
+          substring(col("event_type"), 1, 1).as("c")))),
+        x => x.getField("c"))).as("journey"))
+    val patterns = Seq(
+      ("browse_then_buy", "v.*p"),
+      ("click_then_buy", "c.*p"),
+      ("buyer_without_errors", "^[^e]*p[^e]*$"),
+      ("signup_first", "^s")).toDF("pattern", "pattern_regex")
+    journeys.crossJoin(broadcast(patterns))
+      .groupBy(col("pattern"), col("pattern_regex"))
+      .agg(graft.ops.ConditionalAgg.countIf(
+        regexp_like(col("journey"), col("pattern_regex"))).as("users_matched"))
+      .orderBy(col("pattern"))
+  }
+
+  val eventPatternsSql: String = SilverEvents.oracleCte + """
+    |, journeys AS (
+    |  SELECT user_id,
+    |    string_agg(substr(event_type, 1, 1), '' ORDER BY event_time_str, event_id) AS journey
+    |  FROM silver GROUP BY user_id
+    |), patterns AS (
+    |  SELECT * FROM (VALUES
+    |    ('browse_then_buy', 'v.*p'),
+    |    ('click_then_buy', 'c.*p'),
+    |    ('buyer_without_errors', '^[^e]*p[^e]*$'),
+    |    ('signup_first', '^s')) AS t(pattern, pattern_regex)
+    |)
+    |SELECT p.pattern, p.pattern_regex,
+    |  count(CASE WHEN regexp_matches(j.journey, p.pattern_regex) THEN 1 END) AS users_matched
+    |FROM patterns p CROSS JOIN journeys j
+    |GROUP BY p.pattern, p.pattern_regex
+    |ORDER BY p.pattern""".stripMargin
 }

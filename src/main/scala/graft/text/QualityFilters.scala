@@ -373,6 +373,53 @@ object QualityFilters {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-doc character-entropy quality signal — the compression-ratio
+    * proxy (low entropy ⇒ repetitive/templated or degenerate text;
+    * natural prose sits in a narrow band): Shannon entropy in nats
+    * over the doc's character distribution. One char explode + two
+    * grouped counts; the per-character −p·ln p terms are summed as
+    * DECIMAL(28,12), so the score is partition-order-invariant (same
+    * determinism contract as the LM scores). */
+  def charEntropy(documents: DataFrame): DataFrame = {
+    val chars = documents.select(col("doc_id"),
+      explode(split(col("text"), "")).as("ch"))
+    val counts = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    counts.join(totals, "doc_id")
+      .withColumn("term",
+        (-(col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") / col("n").cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        ConditionalAgg.roundPortable(sum(col("term")).cast("double"), 4).as("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  def charEntropyQuery(s: SparkSession, dir: String): DataFrame =
+    charEntropy(Tables.documents(s, dir))
+
+  val charEntropySql: String = {
+    import graft.ops.ConditionalAgg.roundPortableSql
+    s"""WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+      |), counts AS (
+      |  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+      |), totals AS (
+      |  SELECT doc_id, sum(c) AS n FROM counts GROUP BY doc_id
+      |)
+      |SELECT doc_id,
+      |  CAST(max(n) AS BIGINT) AS n_chars,
+      |  count(*) AS distinct_chars,
+      |  ${roundPortableSql(
+           "CAST(sum(CAST(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE)", 4)} AS entropy_nats
+      |FROM counts JOIN totals USING (doc_id)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** 1-based position of a lowercase hex digit in the hex alphabet —
     * the engine-portable digit value (DuckDB `strpos` twin). */
   private[text] def hexPos(c: org.apache.spark.sql.Column) =

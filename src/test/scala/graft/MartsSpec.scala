@@ -64,4 +64,35 @@ class MartsSpec extends AnyFunSuite {
     assert(segs.subsetOf(Set("CHAMPION", "LOYAL", "NEW_CUSTOMER", "AT_RISK", "HIBERNATING", "REGULAR")))
     assert(df.filter(col("clv_estimate") < col("monetary")).count() === 0)
   }
+
+  test("event patterns: constructed journeys match the expected regexes") {
+    import spark.implicits._
+    // user 1: view -> click -> purchase; user 2: signup -> view -> error -> purchase
+    val silverish = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-01 10:01:00", 2L, "click"),
+      (1L, "2024-01-01 10:02:00", 3L, "purchase"),
+      (2L, "2024-01-01 11:00:00", 4L, "signup"),
+      (2L, "2024-01-01 11:01:00", 5L, "view"),
+      (2L, "2024-01-01 11:02:00", 6L, "error"),
+      (2L, "2024-01-01 11:03:00", 7L, "purchase"))
+      .toDF("user_id", "event_time_str", "event_id", "event_type")
+    val got = graft.marts.CoverageQueries.eventPatternsOver(silverish)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map(
+      "browse_then_buy" -> 2L, "click_then_buy" -> 1L,
+      "buyer_without_errors" -> 1L, "signup_first" -> 1L))
+  }
+
+  test("char entropy: constant text has zero entropy, uniform pairs ln 2") {
+    import spark.implicits._
+    import graft.text.QualityFilters
+    val docs = Seq((1L, "aaaa"), (2L, "abab")).toDF("doc_id", "text")
+    val got = QualityFilters.charEntropy(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(1L) === ((4L, 1L, 0.0)))
+    assert(got(2L)._1 === 4L && got(2L)._2 === 2L)
+    assert(math.abs(got(2L)._3 - math.log(2)) < 0.0001)
+  }
 }
