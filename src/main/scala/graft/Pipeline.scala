@@ -35,7 +35,15 @@ object Pipeline {
     * a single sorted layout on their key. */
   def runAll(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     val silver = SilverEvents.build(Tables.events(spark, sfDir)).cache()
-    try {
+    try runAllWith(spark, silver, outDir)
+    finally silver.unpersist()
+  }
+
+  /** [[runAll]] over a silver frame the CALLER owns (already cached or
+    * not — no second `.cache()` here: caching the same plan twice only
+    * earns a CacheManager "already cached" warning and a redundant
+    * cache lookup; SparkEntry's shared silver cache enters here). */
+  def runAllWith(spark: SparkSession, silver: DataFrame, outDir: String): DataFrame = {
       // event_time_str is yyyy-MM-dd HH:mm:ss → lexicographic == chronological
       // The silver write goes first and alone: it materializes the
       // shared cache exactly once (concurrent first-touch would build
@@ -75,7 +83,6 @@ object Pipeline {
         finally pool.shutdown()
       import spark.implicits._
       summaries.toDF("mart", "rows_served").orderBy(col("mart"))
-    } finally silver.unpersist()
   }
 
   /** Oracle for the serving-sink summary: each mart's served row count

@@ -72,12 +72,15 @@ object ScaleUp {
     // duplicate and blow the near-dup pair volume quadratically in
     // `factor`; rotation keeps cross-replica cosines unstructured and
     // the pair volume ~linear, which is the honest 10× corpus model
+    // rotation amount wraps at the embedding dim (pmod) so factor > dim
+    // stays a valid rotation instead of a negative-length slice crash
     replicas(Tables.embeddings(spark, srcDir))
+      .withColumn("__rot", pmod(col("__r"), size(col("embedding"))).cast("int"))
       .select(
         (col("vec_id") + col("__r") * lit(1000000L)).as("vec_id"),
-        when(col("__r") === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), col("__r") + 1, size(col("embedding")) - col("__r")),
-          slice(col("embedding"), lit(1), col("__r")))).as("embedding"),
+        when(col("__rot") === 0, col("embedding")).otherwise(concat(
+          slice(col("embedding"), col("__rot") + 1, size(col("embedding")) - col("__rot")),
+          slice(col("embedding"), lit(1), col("__rot")))).as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
 

@@ -115,7 +115,12 @@ object SparkEntry {
     "gold_conversion_funnel_daily" -> ((s, dir) => ConversionFunnelDaily.build(silver(s, dir))),
     "gold_category_performance" -> ((s, dir) => CategoryPerformance.build(silver(s, dir))),
     "gold_user_rfm_segments" -> ((s, dir) => RfmSegments.build(silver(s, dir))),
+    // _scalable is the approx PATH alone (its true board cost — exact
+    // DuckDB oracle, see RfmSegments.scalableSql); _scalable_gate keeps
+    // the exact-vs-approx equivalence audit as its own row
     "gold_user_rfm_segments_scalable" -> ((s, dir) =>
+      RfmSegments.buildAtScale(silver(s, dir))),
+    "gold_user_rfm_segments_scalable_gate" -> ((s, dir) =>
       RfmSegments.scalableEquivalenceReport(silver(s, dir))),
     "q1_pricing_summary" -> ((s, dir) => PricingSummary.build(Tables.lineitem(s, dir))),
     "q_revenue_by_nation" -> (TpchQueries.revenueByNation _),
@@ -268,7 +273,8 @@ object SparkEntry {
     "maintenance_compaction" -> (graft.sink.Compaction.compactionQuery _),
     "pipeline_serving_sink" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_serving_").toString
-      Pipeline.runAll(s, dir, out)
+      // reuse the shared silver cache — runAll would re-cache the same plan
+      Pipeline.runAllWith(s, silver(s, dir), out)
     }),
   )
 
@@ -278,7 +284,8 @@ object SparkEntry {
     "silver_events" -> SilverEvents.oracleSql,
     "gold_daily_sales" -> DailySales.oracleSql,
     "gold_daily_sales_approx" -> DailySales.approxErrorReportSql,
-    "gold_user_rfm_segments_scalable" -> RfmSegments.scalableEquivalenceSql,
+    "gold_user_rfm_segments_scalable" -> RfmSegments.scalableSql,
+    "gold_user_rfm_segments_scalable_gate" -> RfmSegments.scalableEquivalenceSql,
     "sim_recall_report" -> graft.sim.EmbeddingSim.recallReportSql,
     "sim_semdedup_report" -> graft.sim.SemDedup.semDedupReportSql,
     "q_unpivot_daily_metrics" -> DailySales.unpivotMetricsSql,

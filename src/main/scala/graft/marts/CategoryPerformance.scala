@@ -47,19 +47,26 @@ object CategoryPerformance {
       .groupBy(col("event_date"), col("category_level_1"), col("category_level_2"), col("item_key"))
       .agg(moneySumIf(isPurchase, col("price")).as("item_revenue"))
 
+    // Both sides derive from the same `cat` lineage, so join keys are
+    // renamed on the top-item side (top_event_date, ...) before the join:
+    // with shared-lineage attribute ids, `catDaily("k") === topItem("k")`
+    // is the ambiguous-self-join trap (Spark resolves both sides to the
+    // same attribute and warns "trivially true equals predicate").
     val topItem = TopK.perGroup(itemDaily,
         Seq("event_date", "category_level_1", "category_level_2"),
         order = Seq(col("item_revenue").desc, col("item_key").asc), k = 1)
-      .select(col("event_date"), col("category_level_1"), col("category_level_2"),
+      .select(col("event_date").as("top_event_date"),
+        col("category_level_1").as("top_category_level_1"),
+        col("category_level_2").as("top_category_level_2"),
         col("item_key").as("top_item_key"), col("item_revenue").as("top_item_revenue"))
 
     catDaily
       .join(broadcast(topItem),
-        catDaily("event_date") === topItem("event_date") &&
-          catDaily("category_level_1") === topItem("category_level_1") &&
-          catDaily("category_level_2") === topItem("category_level_2"),
+        col("event_date") === col("top_event_date") &&
+          col("category_level_1") === col("top_category_level_1") &&
+          col("category_level_2") === col("top_category_level_2"),
         "left")
-      .select(catDaily("event_date"), catDaily("category_level_1"), catDaily("category_level_2"),
+      .select(col("event_date"), col("category_level_1"), col("category_level_2"),
         col("total_events"), col("purchase_count"), col("unique_buyers"),
         col("category_revenue"), col("top_item_key"), col("top_item_revenue"))
       .orderBy(col("event_date"), col("category_level_1"), col("category_level_2"))

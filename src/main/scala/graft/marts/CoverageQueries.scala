@@ -409,27 +409,40 @@ object CoverageQueries {
   /** Event-sequence pattern matching — the MATCH_RECOGNIZE /
     * funnel-with-ordering analog Spark SQL lacks as a native operator:
     * each user's journey is folded to an ordered event-initial string
-    * (one per-user agg; deterministic (time, event_id) ordering via
-    * array_sort over structs), then a broadcast pattern table counts
-    * matching users per regex. Regexes are kept in the Java∩RE2
-    * common dialect so the DuckDB oracle replays them verbatim.
+    * (deterministic (time, event_id) ordering), then a broadcast
+    * pattern table counts matching users per regex. Regexes are kept
+    * in the Java∩RE2 common dialect so the DuckDB oracle replays them
+    * verbatim.
     *
-    * Scale: one hash agg on user_id (the journey fold is map-side
-    * combinable collect_list — per-user event counts are bounded),
-    * then |users|×|patterns| broadcast rows — the pattern side is
-    * constant-sized. No windows. */
+    * Scale: journeys are CAPPED at [[JourneyCap]] events per user —
+    * the pre-agg `row_number() <= cap` filter compiles to a map-side
+    * `WindowGroupLimit` (plan-pinned in PlanContractSpec), so one bot
+    * user with millions of events contributes at most cap rows per
+    * mapper before the shuffle and exactly cap rows after it; the agg
+    * state per user is then bounded at cap chars. The DuckDB oracle
+    * mirrors the cap as `substr(journey, 1, cap)` — identical because
+    * each event contributes exactly one character in the same order.
+    * After the agg: |users|×|patterns| broadcast rows — the pattern
+    * side is constant-sized. */
+  val JourneyCap = 512
+
   def eventPatterns(s: SparkSession, dir: String): DataFrame =
     eventPatternsOver(SilverEvents.build(Tables.events(s, dir)))
 
   def eventPatternsOver(silver: DataFrame): DataFrame = {
     val s = silver.sparkSession
     import s.implicits._
-    val journeys = silver
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_time_str"), col("event_id"))
+    val limited = silver
+      .select(col("user_id"), col("event_time_str"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") <= JourneyCap)
+    val journeys = limited
       .groupBy(col("user_id"))
       .agg(concat_ws("", transform(
-        array_sort(collect_list(struct(
-          col("event_time_str").as("t"), col("event_id").as("i"),
-          substring(col("event_type"), 1, 1).as("c")))),
+        array_sort(collect_list(struct(col("__rn").as("r"), col("c")))),
         x => x.getField("c"))).as("journey"))
     val patterns = Seq(
       ("browse_then_buy", "v.*p"),
@@ -443,16 +456,16 @@ object CoverageQueries {
       .orderBy(col("pattern"))
   }
 
-  val eventPatternsSql: String = SilverEvents.oracleCte + """
+  val eventPatternsSql: String = SilverEvents.oracleCte + s"""
     |, journeys AS (
     |  SELECT user_id,
-    |    string_agg(substr(event_type, 1, 1), '' ORDER BY event_time_str, event_id) AS journey
+    |    substr(string_agg(substr(event_type, 1, 1), '' ORDER BY event_time_str, event_id), 1, $JourneyCap) AS journey
     |  FROM silver GROUP BY user_id
     |), patterns AS (
     |  SELECT * FROM (VALUES
     |    ('browse_then_buy', 'v.*p'),
     |    ('click_then_buy', 'c.*p'),
-    |    ('buyer_without_errors', '^[^e]*p[^e]*$'),
+    |    ('buyer_without_errors', '^[^e]*p[^e]*$$'),
     |    ('signup_first', '^s')) AS t(pattern, pattern_regex)
     |)
     |SELECT p.pattern, p.pattern_regex,

@@ -152,6 +152,76 @@ object RfmSegments {
     }.reduce(_ unionAll _).orderBy("score_dim")
   }
 
+  /** One cutoff for [[scalableSql]]: the value at ascending rank
+    * ceil(p·n) — exactly what [[buildAtScale]]'s approxQuantile
+    * returns at relErr = 0 (QuantileSummaries keeps every sample at
+    * eps = 0 and `query` targets rank ceil(p·count); DuckDB's own
+    * quantile_disc uses a floor(p·(n−1))+1 convention that disagrees
+    * whenever an integer falls in (p·n−p, p·n), so the oracle computes
+    * Spark's convention directly instead of calling it). */
+  private def cutSql(metric: String, p: Double): String =
+    s"""(SELECT v FROM
+       |   (SELECT $metric AS v, row_number() OVER (ORDER BY $metric) AS rn FROM base) rk,
+       |   (SELECT count(*) AS n FROM base) nn
+       | WHERE rk.rn = CAST(ceil($p * nn.n) AS BIGINT))""".stripMargin
+
+  /** Exact DuckDB oracle for the sketch-scored segments ([[buildAtScale]]
+    * at the relErr = 0 default): same per-user CTE as the exact mart,
+    * cutoffs per [[cutSql]], then the shared comparison-chain scoring
+    * and segment/CLV derivation. */
+  val scalableSql: String = {
+    val probs = Seq(0.2, 0.4, 0.6, 0.8)
+    def cuts(metric: String, pfx: String): String =
+      probs.zipWithIndex.map { case (p, i) =>
+        s"${cutSql(metric, p)} AS ${pfx}${i + 1}" }.mkString(",\n  ")
+    def above(metric: String, pfx: String): String =
+      probs.indices.map(i =>
+        s"CASE WHEN $metric > ${pfx}${i + 1} THEN 1 ELSE 0 END").mkString(" + ")
+    def below(metric: String, pfx: String): String =
+      probs.indices.map(i =>
+        s"CASE WHEN $metric < ${pfx}${i + 1} THEN 1 ELSE 0 END").mkString(" + ")
+    SilverEvents.oracleCte +
+    s"""
+      |, per_user AS (
+      |  SELECT
+      |    user_id,
+      |    max(event_date) AS last_purchase_date,
+      |    count(*) AS frequency,
+      |    round(sum(CAST(coalesce(price, 0) AS DECIMAL(18,2))), 2) AS monetary_dec
+      |  FROM silver
+      |  WHERE event_type = 'purchase'
+      |  GROUP BY user_id
+      |), base AS (
+      |  SELECT *,
+      |    CAST(date_diff('day', last_purchase_date, DATE '${Params.AsOfDate}') AS INT) AS recency_days,
+      |    CAST(monetary_dec AS DOUBLE) AS monetary_dbl
+      |  FROM per_user
+      |), cuts AS (SELECT
+      |  ${cuts("recency_days", "r")},
+      |  ${cuts("frequency", "f")},
+      |  ${cuts("monetary_dbl", "m")}
+      |), scored AS (
+      |  SELECT base.*,
+      |    CAST((${below("recency_days", "r")}) + 1 AS INT) AS r_score,
+      |    CAST((${above("frequency", "f")}) + 1 AS INT) AS f_score,
+      |    CAST((${above("monetary_dbl", "m")}) + 1 AS INT) AS m_score
+      |  FROM base, cuts
+      |)
+      |SELECT
+      |  user_id, last_purchase_date, recency_days, frequency,
+      |  monetary_dbl AS monetary,
+      |  r_score, f_score, m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'CHAMPION'
+      |       WHEN r_score >= 3 AND f_score >= 3 THEN 'LOYAL'
+      |       WHEN r_score >= 4 AND f_score <= 2 THEN 'NEW_CUSTOMER'
+      |       WHEN r_score <= 2 AND f_score >= 3 THEN 'AT_RISK'
+      |       WHEN r_score <= 2 AND f_score <= 2 THEN 'HIBERNATING'
+      |       ELSE 'REGULAR' END AS rfm_segment,
+      |  CAST(round(monetary_dec * CAST(1.5 AS DECIMAL(2,1)), 2) AS DOUBLE) AS clv_estimate
+      |FROM scored
+      |ORDER BY user_id""".stripMargin
+  }
+
   /** Oracle for [[scalableEquivalenceReport]]: purchasing-user count
     * exactly (NULL user group included, as GROUP BY keeps it), zero
     * violations per dimension. */

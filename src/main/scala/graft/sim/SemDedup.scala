@@ -70,9 +70,13 @@ object SemDedup {
         col("x.cent_sim").as("cent_sim_a"), col("y.cent_sim").as("cent_sim_b"))
   }
 
-  /** The drop list: per dropped vector, its strongest surviving
-    * witness. Greedy per-pair rule — drop the member with the HIGHER
-    * centroid similarity (ties: higher vec_id), keep the other. */
+  /** The drop list: per dropped vector, its strongest witness — the
+    * kept side of its highest-cosine pair. Greedy per-pair rule — drop
+    * the member with the HIGHER centroid similarity (ties: higher
+    * vec_id), keep the other. Note the witness may ITSELF be dropped by
+    * another pair (chain A–B, B–C can drop both B and C while C's
+    * kept_vec is B); the drop SET is what the gate audits — witnesses
+    * are per-pair provenance, not guaranteed survivors. */
   def drops(embeddings: DataFrame, nClusters: Int = 16,
             tau: Double = 0.4, clusterCap: Int = 2000): DataFrame =
     dropsFromPairs(candidatePairs(embeddings, nClusters, tau, clusterCap))

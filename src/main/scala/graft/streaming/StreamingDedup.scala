@@ -37,17 +37,25 @@ object StreamingDedup {
   private def fingerprinted(df: DataFrame): DataFrame =
     df.withColumn("fingerprint", graft.dedup.NearDup.fingerprintCol(col("text")))
 
+  private val indexSchema =
+    StructType(Seq(StructField("fingerprint", StringType)))
+
   /** The index-so-far, empty on the very first delivery. Probed via
     * the Hadoop FileSystem API so hdfs://s3a:// index locations work,
-    * not only the local filesystem. */
+    * not only the local filesystem. The read carries an EXPLICIT
+    * schema: inference would throw on an index directory that exists
+    * but holds no parquet yet (crash between mkdir and file commit),
+    * turning every later batch into a crash loop; with the schema
+    * declared an empty directory just reads as zero rows. (batch_id is
+    * a partition column on disk; omitting it from the schema prunes it
+    * at read — the anti-join only needs the fingerprint.) */
   private def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))
-      spark.read.parquet(indexDir)
+      spark.read.schema(indexSchema).parquet(indexDir)
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("fingerprint", StringType))))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], indexSchema)
   }
 
   /** Both writes are per-batch-partition dynamic OVERWRITES, not blind

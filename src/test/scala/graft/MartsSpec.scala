@@ -84,6 +84,40 @@ class MartsSpec extends AnyFunSuite {
       "buyer_without_errors" -> 1L, "signup_first" -> 1L))
   }
 
+  test("event patterns: one bot user's journey is capped and the limit is map-side") {
+    import spark.implicits._
+    import graft.marts.CoverageQueries
+    // One bot user with 100k events (a stand-in for the millions-of-events
+    // skew case) plus one normal user. The journey must be bounded at
+    // JourneyCap — and bounded BEFORE the shuffle: the rn<=cap filter must
+    // compile to WindowGroupLimit so each mapper emits at most cap rows for
+    // the bot, not all 100k.
+    val bot = spark.range(100000).select(
+      lit(9L).as("user_id"),
+      concat(lit("2024-01-01 "), lpad((col("id") % 86400).cast("string"), 5, "0")).as("event_time_str"),
+      col("id").as("event_id"),
+      lit("error").as("event_type"))
+    val normal = Seq((1L, "2024-01-01 10:00:00", 200001L, "view"),
+      (1L, "2024-01-01 10:01:00", 200002L, "purchase"))
+      .toDF("user_id", "event_time_str", "event_id", "event_type")
+    val silverish = bot.unionByName(normal).repartition(8)
+    val out = CoverageQueries.eventPatternsOver(silverish)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    // Recompute the capped journeys directly to check the bound holds.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_time_str"), col("event_id"))
+    val maxLen = silverish
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= CoverageQueries.JourneyCap)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(maxLen === CoverageQueries.JourneyCap.toLong)
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("browse_then_buy") === 1L)      // only the normal user
+    assert(got("buyer_without_errors") === 1L) // bot is all-errors, excluded
+  }
+
   test("char entropy: constant text has zero entropy, uniform pairs ln 2") {
     import spark.implicits._
     import graft.text.QualityFilters
