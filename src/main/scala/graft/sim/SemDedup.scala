@@ -30,6 +30,23 @@ import graft.sources.Tables
   */
 object SemDedup {
 
+  /** Floor for `semdedup_pair_recall` in [[semDedupReport]] —
+    * measured-minus-margin, the same calibration pattern as the LSH
+    * gate (floor 0.90 vs measured 0.992). Measured pair recall of the
+    * within-cluster candidates vs the exact all-pairs τ=0.4 baseline on
+    * the driver testdata (k-means seed fixed, 16 clusters):
+    * sf0.01 = 0.3051, sf0.1 = 0.2511, sf1 (10×, hash-sampled audit) =
+    * 0.2197 (stderr `[semdedup]` line is the calibration trail).
+    * The ceiling here is SemDeDup's own design —
+    * τ-pairs whose endpoints land in different k-means clusters are
+    * unreachable by construction (the paper's trade), so recall ~0.25-
+    * 0.31 at 16 clusters on 2k vectors is the method's value, not a
+    * defect. Floor = 0.20 ≈ sf0.1-measured − 20 % margin: tight enough
+    * that a clustering/salting regression (which the old 0.15 floor
+    * could miss) turns the row red, loose enough for seed-level
+    * wobble. */
+  val PairRecallFloor = 0.20
+
   /** Within-cluster duplicate-candidate pairs with exact cosine ≥ τ:
     * (centroid_id, vec_a, vec_b, cosine, cent_sim_a, cent_sim_b). */
   def candidatePairs(embeddings: DataFrame, nClusters: Int = 16,
@@ -128,26 +145,54 @@ object SemDedup {
     * the LSH top-pair list must recover a floor fraction of the EXACT
     * global top pairs (the same τ-pass supplies the baseline), closing
     * the one candidate-set query no other report covered. */
+  /** Max corpus size the audit's exact all-pairs baseline runs on.
+    * Above it, a deterministic hash-sample of the vectors (same
+    * xxhash64 predicate on BOTH the corpus and the pair endpoints, so
+    * no join is needed to align them) bounds the baseline at
+    * ~cap²/2 cosine evaluations — the audit-on-a-sample shape a 100 TB
+    * run needs, since the exact baseline is quadratic BY DESIGN. The
+    * driver testdata (500 / 2 000 vectors at sf0.01 / sf0.1) sits
+    * under the cap, so the oracle gate always audits the full corpus;
+    * only the 10×+ scale-curve runs sample. */
+  val AuditSampleCap = 4000L
+
   def semDedupReportWith(s: SparkSession, embeddings: DataFrame,
                          pairs: DataFrame, lshNearDup: DataFrame,
                          tau: Double = 0.4): DataFrame = {
-    val cand = pairs.select("vec_a", "vec_b")
-    val exact = exactPairs(embeddings, tau).localCheckpoint()
+    val nVec = embeddings.count()
+    // keep a vector iff pmod(xxhash64(vec_id), 1e6) < thr — the same
+    // predicate filters pair endpoints, keeping both sides consistent
+    val thr = if (nVec <= AuditSampleCap) 1000000L
+      else 1000000L * AuditSampleCap / nVec
+    def inSample(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(1000000L)) < lit(thr)
+    val auditEmb = embeddings.filter(inSample(col("vec_id")))
+    val cand = pairs.filter(inSample(col("vec_a")) && inSample(col("vec_b")))
+      .select("vec_a", "vec_b")
+    val exact = exactPairs(auditEmb, tau).localCheckpoint()
     val nExact = exact.count().toDouble
     val recall = if (nExact == 0) 1.0
       else cand.join(exact.select("vec_a", "vec_b"),
         Seq("vec_a", "vec_b"), "left_semi").count() / nExact
     val nDrops = dropsFromPairs(pairs).count()
-    val k = lshNearDup.count().toInt
+    val lshSampled = lshNearDup
+      .filter(inSample(col("vec_a")) && inSample(col("vec_b")))
+      .localCheckpoint()
+    val k = lshSampled.count().toInt
     val exactTop = TopK.global(exact,
       order = Seq(col("cosine").desc, col("vec_a").asc, col("vec_b").asc), k = k)
     val topRecall = if (k == 0) 1.0
-      else lshNearDup.select("vec_a", "vec_b")
+      else lshSampled.select("vec_a", "vec_b")
         .join(exactTop, Seq("vec_a", "vec_b"), "left_semi").count().toDouble / k
     import s.implicits._
+    // measured values to stderr — the floor-calibration trail (floors
+    // below are measured-minus-margin; see PairRecallFloor scaladoc)
+    System.err.println(
+      f"[semdedup] pair_recall=$recall%.4f lsh_top_recall=$topRecall%.4f " +
+      f"n_exact=${nExact.toLong} n_drops=$nDrops")
     Seq(("lsh_neardup_top_recall", 0.5, topRecall >= 0.5),
         ("semdedup_drops_nonempty", 1.0, nDrops >= 1),
-        ("semdedup_pair_recall", 0.15, recall >= 0.15),
+        ("semdedup_pair_recall", PairRecallFloor, recall >= PairRecallFloor),
         ("semdedup_pairs_subset_exact", 1.0,
           cand.join(exact.select("vec_a", "vec_b"),
             Seq("vec_a", "vec_b"), "left_anti").count() == 0))
@@ -211,10 +256,10 @@ object SemDedup {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val semDedupReportSql: String =
-    """SELECT * FROM (VALUES
+    s"""SELECT * FROM (VALUES
       |  ('lsh_neardup_top_recall', CAST(0.5 AS DOUBLE), true),
       |  ('semdedup_drops_nonempty', CAST(1.0 AS DOUBLE), true),
-      |  ('semdedup_pair_recall', CAST(0.15 AS DOUBLE), true),
+      |  ('semdedup_pair_recall', CAST($PairRecallFloor AS DOUBLE), true),
       |  ('semdedup_pairs_subset_exact', CAST(1.0 AS DOUBLE), true)) AS t(metric, floor, pass)
       |ORDER BY metric""".stripMargin
 }
