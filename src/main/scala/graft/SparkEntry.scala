@@ -271,6 +271,7 @@ object SparkEntry {
     "maintenance_vacuum" -> ((s, dir) =>
       graft.sources.Snapshots.vacuumOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_compaction" -> (graft.sink.Compaction.compactionQuery _),
+    "maintenance_zorder" -> (graft.sink.ZOrder.zorderQuery _),
     "pipeline_serving_sink" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_serving_").toString
       // reuse the shared silver cache — runAll would re-cache the same plan
@@ -405,6 +406,7 @@ object SparkEntry {
     "meta_skew_report" -> graft.quality.ColumnStats.skewReportSql,
     "maintenance_vacuum" -> graft.sources.Snapshots.vacuumSql,
     "maintenance_compaction" -> graft.sink.Compaction.compactionSql,
+    "maintenance_zorder" -> graft.sink.ZOrder.zorderSql,
     "pipeline_serving_sink" -> Pipeline.servingSummarySql,
   )
 }
