@@ -135,11 +135,18 @@ object Bench {
         sfDir, new java.io.File("target/scale/sf1").getAbsolutePath)
       // warm the sf1 silver + pair caches like the base run's warmup
       // block — the first consumer must not be billed for the
-      // one-time build (ratios then compare query work, not staging)
+      // one-time build (ratios then compare query work, not staging).
+      // The ANN top-k and embedding near-dup frames are included: in
+      // the base run the alphabetically-earlier sim_embed_* queries
+      // stage them before the audit reports run, so the reports' sf1
+      // ratios would otherwise compare query+staging to query-only.
       try {
         materialize(SparkEntry.queries("silver_events")(spark, dest))
         materialize(SparkEntry.queries("dedup_ngram_jaccard")(spark, dest))
         materialize(SparkEntry.queries("dedup_clusters")(spark, dest))
+        materialize(SparkEntry.queries("sim_embed_neardup")(spark, dest))
+        Seq("brute", "lsh", "ivf", "sq8").foreach(m =>
+          materialize(SparkEntry.queries(s"sim_embed_topk_$m")(spark, dest)))
       } catch { case _: Throwable => }
       scaleCurveQueries.flatMap { name =>
         try {

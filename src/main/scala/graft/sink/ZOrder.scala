@@ -28,11 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Bits per dimension (256 rank buckets) — a 2-D grid of 65 536
+  /** Bits per dimension (64 rank buckets) — a 2-D grid of 4 096
     * cells; file counts are orders of magnitude smaller, so per-file
     * rectangles stay well-resolved while the CASE chain that assigns
-    * buckets stays at 255 comparisons (log-tree-foldable). */
-  val BitsPerDim = 8
+    * buckets stays at 63 comparisons — small enough for whole-stage
+    * codegen (a 255-branch variant measurably fell out of codegen). */
+  val BitsPerDim = 6
 
   /** Bucket index (0..2^bits-1) of `c` among the given ascending
     * cutoffs: count of cutoffs strictly below the value. NULLs land in
@@ -56,21 +57,33 @@ object ZOrder {
     terms.reduce(_ bitwiseOR _).cast("long")
   }
 
-  /** The z-value column for `df` over numeric/date/timestamp columns
-    * `zcols` (dates/timestamps are clustered on their epoch value).
-    * One `approxQuantile` pass computes every dimension's cutoffs. */
-  def zValue(df: DataFrame, zcols: Seq[String]): Column = {
+  /** `df` plus a `_z` Morton-code column over numeric/date/timestamp
+    * columns `zcols` (dates/timestamps cluster on their epoch value).
+    * One `approxQuantile` pass computes every dimension's cutoffs.
+    *
+    * The bucket of each dimension is STAGED as its own column before
+    * the interleave: `interleave` references every bucket 8 times, and
+    * inlining the 255-branch CASE sum into each bit term would blow
+    * the expression tree to ~4 000 branches per row (observed 40×
+    * slowdown via codegen bailout). As staged columns each bucket is
+    * evaluated once; CollapseProject keeps the projection split
+    * because re-inlining a non-cheap expression referenced 8× would
+    * duplicate it. */
+  def withZValue(df: DataFrame, zcols: Seq[String]): DataFrame = {
     val nBuckets = 1 << BitsPerDim
     val asDouble = zcols.map(c => s"__zd_$c" -> col(c).cast("double"))
-    val staged = asDouble.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }
+    val typed = asDouble.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val cuts = staged.stat.approxQuantile(asDouble.map(_._1).toArray, probs, 0.001)
-    val buckets = asDouble.zip(cuts).map { case ((_, e), cut) =>
-      // distinct cutoffs only: heavy skew repeats a cutoff value, which
-      // would otherwise multi-count one boundary
-      bucketOf(e, cut.distinct.sorted)
+    val cuts = typed.stat.approxQuantile(asDouble.map(_._1).toArray, probs, 0.001)
+    val staged = asDouble.zip(cuts).zipWithIndex.foldLeft(typed) {
+      case (d, (((n, _), cut), i)) =>
+        // distinct cutoffs only: heavy skew repeats a cutoff value,
+        // which would otherwise multi-count one boundary
+        d.withColumn(s"__zb_$i", bucketOf(col(n), cut.distinct.sorted))
     }
-    interleave(buckets)
+    staged
+      .withColumn("_z", interleave(zcols.indices.map(i => col(s"__zb_$i"))))
+      .drop(asDouble.map(_._1) ++ zcols.indices.map(i => s"__zb_$i"): _*)
   }
 
   /** Rewrite `df` into a Z-ordered parquet layout at `path`:
@@ -79,8 +92,16 @@ object ZOrder {
     * helper column before writing. Row content is untouched — the
     * driver query's oracle pins that. */
   def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String],
-                    maxRecordsPerFile: Long = 5000000L): Unit =
-    df.withColumn("_z", zValue(df, zcols))
+                    maxRecordsPerFile: Long = 5000000L): Unit = {
+    // round-robin repartition BEFORE evaluating _z: the range exchange
+    // computes the z-value on the child's partitioning, and a source
+    // that arrives as a handful of parquet files would evaluate the
+    // bucket CASE chains near-serially (measured 30 s vs sub-second on
+    // the same rows). One extra rotation of the data buys full-width
+    // parallel z evaluation; the z-range shuffle follows regardless.
+    val spark = df.sparkSession
+    val width = spark.sessionState.conf.numShufflePartitions
+    withZValue(df.repartition(width), zcols)
       .repartitionByRange(col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
@@ -88,6 +109,7 @@ object ZOrder {
       .option("compression", "snappy")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+  }
 
   /** Per-file [min,max] envelopes of the clustered columns — the stats
     * a reader's file-skipping consults (parquet keeps the same stats
