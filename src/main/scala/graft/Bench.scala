@@ -145,7 +145,7 @@ object Bench {
         materialize(SparkEntry.queries("dedup_ngram_jaccard")(spark, dest))
         materialize(SparkEntry.queries("dedup_clusters")(spark, dest))
         materialize(SparkEntry.queries("sim_embed_neardup")(spark, dest))
-        Seq("brute", "lsh", "ivf", "sq8").foreach(m =>
+        Seq("brute", "lsh", "ivf", "sq8", "pq").foreach(m =>
           materialize(SparkEntry.queries(s"sim_embed_topk_$m")(spark, dest)))
       } catch { case _: Throwable => }
       scaleCurveQueries.flatMap { name =>

@@ -75,6 +75,7 @@ object SparkEntry {
       case "lsh" => graft.sim.EmbeddingSim.lshTopKQuery(s, dir)
       case "ivf" => graft.sim.IvfAnn.ivfTopKQuery(s, dir)
       case "sq8" => graft.sim.ScalarQuantAnn.sq8TopKQuery(s, dir)
+      case "pq" => graft.sim.ProductQuantAnn.pqTopKQuery(s, dir)
     })
 
   private[graft] def silverCacheSize: Int = silverCache.size
@@ -234,6 +235,9 @@ object SparkEntry {
     "sim_embed_topk_sq8" -> ((s, dir) => annTopK(s, dir, "sq8")
       .orderBy(org.apache.spark.sql.functions.col("probe_id"),
         org.apache.spark.sql.functions.col("rank"))),
+    "sim_embed_topk_pq" -> ((s, dir) => annTopK(s, dir, "pq")
+      .orderBy(org.apache.spark.sql.functions.col("probe_id"),
+        org.apache.spark.sql.functions.col("rank"))),
     "sim_embed_neardup" -> ((s, dir) => nearDupPairs(s, dir)
       .orderBy(org.apache.spark.sql.functions.col("cosine").desc,
         org.apache.spark.sql.functions.col("vec_a"),
@@ -246,7 +250,7 @@ object SparkEntry {
       s, Tables.embeddings(s, dir), semDedupPairs(s, dir), nearDupPairs(s, dir))),
     "sim_recall_report" -> ((s, dir) => graft.sim.EmbeddingSim.recallReportWith(
       s, annTopK(s, dir, "brute"), annTopK(s, dir, "ivf"),
-      annTopK(s, dir, "lsh"), annTopK(s, dir, "sq8"))),
+      annTopK(s, dir, "lsh"), annTopK(s, dir, "sq8"), annTopK(s, dir, "pq"))),
     "mm_media_meta" -> (graft.multimodal.Multimodal.mediaMetaQuery _),
     "mm_media_features" -> (graft.multimodal.Multimodal.featuresQuery _),
     "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),
@@ -391,6 +395,9 @@ object SparkEntry {
     // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are
     // not DuckDB-portable → rows-only (recall is measured in
     // DedupSimSpec against the oracle-checked brute-force baseline).
+    // sim_embed_topk_{ivf,sq8,pq}: k-means centroids / trained
+    // quantizer state are likewise non-portable → rows-only, each
+    // recall-gated by the oracle-checked sim_recall_report floor.
     "mm_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
     "mm_media_features" -> graft.multimodal.Multimodal.featuresSql,
     "mm_video_frames" -> graft.multimodal.Multimodal.framesSql,

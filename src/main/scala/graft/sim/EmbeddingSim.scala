@@ -192,12 +192,16 @@ object EmbeddingSim {
     * in CORRECTNESS. Tighter empirical bounds live in DedupSimSpec. */
   def recallReport(s: SparkSession, dir: String): DataFrame =
     recallReportWith(s, bruteForceTopKQuery(s, dir), IvfAnn.ivfTopKQuery(s, dir),
-      lshTopKQuery(s, dir), ScalarQuantAnn.sq8TopKQuery(s, dir))
+      lshTopKQuery(s, dir), ScalarQuantAnn.sq8TopKQuery(s, dir),
+      ProductQuantAnn.pqTopKQuery(s, dir))
 
   /** [[recallReport]] over pre-staged top-k frames (the driver shares
-    * each ANN result between its listing query and this report). */
+    * each ANN result between its listing query and this report).
+    * Floors are measured-minus-margin on the driver testdata (PQ16x4
+    * with refine=16 measures 0.88–0.96 at sf0.01–0.1). */
   def recallReportWith(s: SparkSession, bruteTopK: DataFrame, ivfTopK: DataFrame,
-                       lshTopK: DataFrame, sq8TopK: DataFrame): DataFrame = {
+                       lshTopK: DataFrame, sq8TopK: DataFrame,
+                       pqTopK: DataFrame): DataFrame = {
     val brute = bruteTopK.select("probe_id", "vec_id").localCheckpoint()
     val n = brute.count().toDouble
     def recallOf(df: DataFrame): Double =
@@ -207,6 +211,7 @@ object EmbeddingSim {
     import s.implicits._
     Seq(("ivf", 0.40, recallOf(ivfTopK)),
         ("lsh", 0.30, recallOf(lshTopK)),
+        ("pq", 0.70, recallOf(pqTopK)),
         ("sq8", 0.85, recallOf(sq8TopK)))
       .map { case (m, floor, r) => (m, floor, r >= floor) }
       .toDF("method", "recall_floor", "meets_floor")
@@ -217,6 +222,7 @@ object EmbeddingSim {
     """SELECT * FROM (VALUES
       |  ('ivf', CAST(0.40 AS DOUBLE), true),
       |  ('lsh', CAST(0.30 AS DOUBLE), true),
+      |  ('pq', CAST(0.70 AS DOUBLE), true),
       |  ('sq8', CAST(0.85 AS DOUBLE), true)) AS t(method, recall_floor, meets_floor)
       |ORDER BY method""".stripMargin
 }

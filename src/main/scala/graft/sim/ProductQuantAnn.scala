@@ -1,0 +1,192 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.CosineSimilarity.cosineSim
+import graft.ops.TopK
+import graft.sources.Tables
+
+/** PQ (product quantization) similarity search — the high-compression
+  * companion to [[ScalarQuantAnn]] (SQ8) and [[IvfAnn]]: the 64-dim
+  * vector is split into `M`=16 contiguous 4-dim subvectors, each
+  * quantized independently against a per-subspace codebook of `K`=16
+  * centroids learned by Lloyd's algorithm, so a 256-byte float vector
+  * becomes 16 4-bit codes = 8 bytes (32× compression; cf. Jégou,
+  * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011 — the codebook layout FAISS calls PQ16x4).
+  *
+  * Search is asymmetric (ADC): probes stay full-precision, corpus
+  * vectors are scored on their codebook RECONSTRUCTION (one
+  * codegen'd cosine over the reconstructed floats — no shuffle), the
+  * top `refine × k` candidates per probe are re-ranked with exact
+  * cosine on the original floats, so the final ordering is exact over
+  * the candidate set (same refine contract as SQ8).
+  *
+  * Scale shape: codebooks are trained on a DETERMINISTIC hash sample
+  * of the corpus (`pmod(xxhash64(vec_id), trainSampleMod) = 0` — at
+  * 100 TB nobody Lloyd-iterates the full corpus; the sample bound
+  * keeps training constant-cost while encode/scan stay linear), the
+  * trained books are metadata-sized driver state broadcast into a
+  * codegen'd argmin projection (encode touches each row once, no
+  * shuffle), and the scan is the same broadcast-probe single pass as
+  * brute force but over 8-byte codes instead of 256-byte floats —
+  * memory-bandwidth-bound scans run ~32× lighter, which is the whole
+  * point of PQ at petabyte scale.
+  *
+  * Determinism: seeds are the first `K` sample vectors by vec_id,
+  * argmin ties break to the lowest code (array_position returns the
+  * FIRST minimum), but Lloyd means average floats (fold-order
+  * sensitive) — like IVF, codebook SHAPES only; the query is
+  * rows-only checked and recall-gated in `sim_recall_report` against
+  * the oracle-checked brute-force baseline. */
+object ProductQuantAnn {
+
+  val Dim = 64
+  val M = 16
+  val SubDim = 4
+  val K = 16
+
+  /** Σ in DOUBLE, fold order = array order (deterministic). */
+  private def fsum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 between a double subvector and a codebook centroid. */
+  private def l2sq(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+
+  /** Unit-L2 normalization in double. Cosine is invariant to scaling
+    * the corpus vector, but subspace codebooks are shared across
+    * vectors of different magnitudes — normalizing first removes the
+    * magnitude axis from what the codebooks must spend centroids on
+    * (the standard pre-step for PQ under cosine/IP metrics). */
+  private def normalized(emb: Column): Column = {
+    val d = transform(emb, x => x.cast("double"))
+    val n = sqrt(fsum(transform(d, x => x * x)))
+    when(n === 0.0, d).otherwise(transform(d, x => x / n))
+  }
+
+  /** (vec_id, m, sub) rows: each unit-normalized vector exploded into
+    * its M contiguous subvectors (doubles — exact training input). */
+  private def subRows(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), normalized(col("embedding")).as("nemb"))
+      .select(col("vec_id"),
+        posexplode(array((0 until M).map(m =>
+          slice(col("nemb"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
+
+  /** argmin code (0-based) of `sub` against the per-subspace books of
+    * the nested (M × K × SubDim) literal; ties → lowest code. */
+  private def argminCode(booksLit: Column, m: Column, sub: Column): Column = {
+    val cents = element_at(booksLit, m + 1)
+    val scores = transform(cents, c => l2sq(sub, c))
+    (array_position(scores, array_min(scores)) - 1).cast("int")
+  }
+
+  /** Train per-subspace codebooks with Lloyd iterations over the
+    * deterministic hash sample. Empty clusters keep their previous
+    * centroid. Returns M × K × SubDim (metadata-sized). */
+  def trainCodebooks(embeddings: DataFrame, iters: Int = 2,
+                     trainSampleMod: Int = 4): Seq[Seq[Seq[Double]]] = {
+    val sample =
+      if (trainSampleMod <= 1) embeddings
+      else embeddings.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
+    val subs = subRows(sample).localCheckpoint()
+    // seeds: subvectors of the first K sample vectors by vec_id —
+    // ranked driver-side inside the one collect (K×M rows), no
+    // unpartitioned window in the plan
+    var books = seedBooks(
+      subs.join(broadcast(subs.select("vec_id").distinct()
+        .orderBy("vec_id").limit(K)), "vec_id")
+        .select("m", "vec_id", "sub"))
+    for (_ <- 1 to iters) {
+      val booksLit = typedLit(books)
+      val assigned = subs.select(col("m"),
+        argminCode(booksLit, col("m"), col("sub")).as("code"), col("sub"))
+      val means = assigned
+        .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos").agg(avg(col("v")).as("mu"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+          x => x.getField("mu")).as("sub"))
+      books = meanBooks(means, prev = books)
+    }
+    books
+  }
+
+  /** The one driver-side materialization site (metadata-sized either
+    * way: ≤ M×K rows of SubDim doubles — 1 024 values, same class as
+    * ScalarQuantAnn's 64 trained bounds). */
+  private def rows(df: DataFrame): Array[org.apache.spark.sql.Row] = df.collect()
+
+  /** Seed codebooks from (m, vec_id, sub) rows of the first K sample
+    * vectors: code = rank of vec_id, assigned driver-side. */
+  private def seedBooks(df: DataFrame): Seq[Seq[Seq[Double]]] = {
+    val byM = rows(df).map { r =>
+      (r.getAs[Int]("m"), r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Double]]("sub").toSeq)
+    }.groupBy(_._1)
+    Seq.tabulate(M) { m =>
+      val sorted = byM.getOrElse(m, Array.empty).sortBy(_._2).map(_._3).toSeq
+      Seq.tabulate(K)(k => if (k < sorted.size) sorted(k)
+        else Seq.fill(SubDim)(0.0))
+    }
+  }
+
+  /** (m, code, sub) mean rows → nested M × K × SubDim books. Codes
+    * absent from `df` (empty clusters) keep their `prev` centroid. */
+  private def meanBooks(df: DataFrame,
+                        prev: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
+    val got = rows(df).map { r =>
+      (r.getAs[Int]("m"), r.getAs[Int]("code")) ->
+        r.getAs[scala.collection.Seq[Double]]("sub").toSeq
+    }.toMap
+    Seq.tabulate(M, K)((m, k) => got.getOrElse((m, k), prev(m)(k)))
+  }
+
+  /** Codebook reconstruction of each corpus vector: per subspace, the
+    * argmin code's centroid, concatenated back to a 64-float array.
+    * One codegen'd projection — encode+decode fused, no shuffle. */
+  def reconstruct(embeddings: DataFrame,
+                  books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val subRecons = (0 until M).map { m =>
+      val bookLit = typedLit(books(m))
+      val sub = slice(col("nemb"), m * SubDim + 1, SubDim)
+      val scores = transform(bookLit, c => l2sq(sub, c))
+      element_at(bookLit, array_position(scores, array_min(scores)).cast("int"))
+    }
+    embeddings.select(col("vec_id"), col("label"),
+      normalized(col("embedding")).as("nemb"))
+      .select(col("vec_id"), col("label"),
+        transform(flatten(array(subRecons: _*)), x => x.cast("float")).as("approx_emb"))
+  }
+
+  /** ADC top-k with exact re-rank: approx-score probes against the PQ
+    * reconstructions, keep `refine × k` per probe, re-rank on the
+    * original floats (same contract as [[ScalarQuantAnn.sq8TopK]]). */
+  def pqTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+             refine: Int = 16, iters: Int = 2, trainSampleMod: Int = 4): DataFrame = {
+    val books = trainCodebooks(embeddings, iters, trainSampleMod)
+    val coded = reconstruct(embeddings, books)
+    val probes = embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val approx = coded.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("approx_cos", cosineSim(col("approx_emb"), col("probe_emb")))
+    val cand = TopK.perGroup(
+        approx.select(col("probe_id"), col("vec_id"), col("label"), col("approx_cos")),
+        groupKeys = Seq("probe_id"),
+        order = Seq(col("approx_cos").desc, col("vec_id").asc), k = refine * k)
+      .select("probe_id", "vec_id", "label")
+    val exact = cand
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .withColumn("cosine", graft.ops.ConditionalAgg.roundPortable(
+        cosineSim(col("embedding"), col("probe_emb")), 6))
+    TopK.perGroup(
+        exact.select(col("probe_id"), col("vec_id"), col("label"), col("cosine")),
+        groupKeys = Seq("probe_id"),
+        order = Seq(col("cosine").desc, col("vec_id").asc), k = k)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  def pqTopKQuery(s: SparkSession, dir: String): DataFrame =
+    pqTopK(Tables.embeddings(s, dir))
+}

@@ -31,11 +31,13 @@ class ArchitectureSpec extends AnyFunSuite {
     // GlobalRank: <= numPartitions (pid, count) longs — the zipWithIndex offset map
     // ConnectedComponents: one 3-long convergence fingerprint per round
     // ScalarQuantAnn: 64 per-dimension (min, max) training bounds
+    // ProductQuantAnn: the M×K×SubDim trained codebooks (1 024 doubles)
     // LmBatchScorer: the fitted model (vocabulary-sized artifact, broadcast back out)
     // Snapshots: expireSnapshots reads the (version, row_count) manifest
     //   listing — one row per snapshot VERSION, metadata-plane by design
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
+      "ProductQuantAnn.scala" -> 1,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))

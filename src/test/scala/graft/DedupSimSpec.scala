@@ -169,6 +169,40 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"SQ8 recall $recall too low for refine=4")
   }
 
+  test("PQ: codebook shape, reconstruction in-span, recall after refine, sample-bound training") {
+    import graft.sim.ProductQuantAnn
+    val books = ProductQuantAnn.trainCodebooks(embs)
+    assert(books.size === ProductQuantAnn.M)
+    assert(books.forall(_.size === ProductQuantAnn.K))
+    assert(books.forall(_.forall(_.size === ProductQuantAnn.SubDim)))
+    // reconstruction emits full-width float vectors whose every value
+    // is one of the trained centroid values (codebook membership)
+    val recon = ProductQuantAnn.reconstruct(embs, books).cache()
+    assert(recon.filter(size(col("approx_emb")) =!= ProductQuantAnn.Dim).count() === 0)
+    val allCentroidVals = books.flatten.flatten.map(_.toFloat).toSet
+    val reconVals = recon.select(explode(col("approx_emb")).as("v"))
+      .distinct().collect().map(_.getFloat(0)).toSet
+    assert(reconVals.subsetOf(allCentroidVals),
+      s"${(reconVals -- allCentroidVals).size} reconstructed values outside the codebooks")
+    // refined PQ search recovers most of the exact top-k, and is
+    // dominated by it (exact re-rank can't beat the exact best)
+    val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
+      .select("probe_id", "vec_id").cache()
+    val pq = ProductQuantAnn.pqTopK(embs, nProbes = 5, k = 3).cache()
+    assert(pq.groupBy("probe_id").count().filter(col("count") > 3).count() === 0)
+    val recall = pq.select("probe_id", "vec_id")
+      .join(brute, Seq("probe_id", "vec_id"), "left_semi").count().toDouble / brute.count()
+    assert(recall >= 0.7, s"PQ recall $recall too low for 16x16 books with refine=16")
+    val bestExact = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 1)
+      .select(col("probe_id"), col("cosine").as("c_exact"))
+    assert(pq.filter(col("rank") === 1).join(bestExact, "probe_id")
+      .filter(col("cosine") > col("c_exact")).count() === 0)
+    // training is sample-bound: a coarser sample still yields valid books
+    val sparse = ProductQuantAnn.trainCodebooks(embs, trainSampleMod = 8)
+    assert(sparse.size === ProductQuantAnn.M &&
+      sparse.forall(_.size === ProductQuantAnn.K))
+  }
+
   test("LSH topk is dominated by brute-force topk (no better-than-exact)") {
     val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
       .groupBy("probe_id").agg(min("cosine").as("worst_exact"))
