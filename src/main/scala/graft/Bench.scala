@@ -18,16 +18,16 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
-  /** queries-map of the newest BENCH_r*.json, if any (regex-parsed —
-    * flat {"name":seconds} pairs only). */
+  /** Previous-board queries map for the outlier re-run guard. Source
+    * order: `SPARK_GRAFT_PREV` (explicit baseline file), else the
+    * repo's last `BENCH_FULL.json` (the complete committed board),
+    * else the newest `BENCH_r*.json` (which the driver may wrap in a
+    * JSON "tail" capture — often truncated, hence last resort). */
   private def previousBench(): (String, Map[String, Double]) = {
-    val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-    files.lastOption.map { f =>
+    def parse(f: java.io.File): (String, Map[String, Double]) = {
       val text = scala.io.Source.fromFile(f)
       val s = try text.mkString finally text.close()
-      // the driver may wrap the bench line inside a JSON "tail" string
-      // (quotes escaped) — tolerate both raw and escaped forms
+      // tolerate both raw and tail-escaped forms
       val qStart = s.indexOf("queries")
       if (qStart < 0) (f.getName, Map.empty[String, Double])
       else {
@@ -36,7 +36,15 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         (f.getName, pairs)
       }
-    }.getOrElse(("", Map.empty))
+    }
+    val explicit = sys.env.get("SPARK_GRAFT_PREV").map(new java.io.File(_))
+      .filter(_.isFile).map(parse)
+    def full = Some(new java.io.File("BENCH_FULL.json")).filter(_.isFile)
+      .map(parse).filter(_._2.size >= 20)
+    def tail = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      .lastOption.map(parse)
+    explicit.orElse(full).orElse(tail).getOrElse(("", Map.empty))
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,6 +139,14 @@ object Bench {
                          base: Map[String, Double]): Seq[(String, Double, Double)] =
     if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") Seq.empty
     else try {
+      // The base board is recorded — release the base-SF silver cache
+      // and staged checkpoint frames before the 10× phase, and nudge
+      // GC so the ContextCleaner returns their blocks: the sf1 curve
+      // must measure query scaling, not base-run heap pressure (the
+      // r5 lesson: two back-to-back solo runs disagreed 5× on the
+      // heaviest audit report purely from carried-over cache blocks).
+      SparkEntry.evictSilver(spark)
+      System.gc()
       val dest = ScaleUp.ensure(spark,
         sfDir, new java.io.File("target/scale/sf1").getAbsolutePath)
       // warm the sf1 silver + pair caches like the base run's warmup
@@ -145,7 +161,7 @@ object Bench {
         materialize(SparkEntry.queries("dedup_ngram_jaccard")(spark, dest))
         materialize(SparkEntry.queries("dedup_clusters")(spark, dest))
         materialize(SparkEntry.queries("sim_embed_neardup")(spark, dest))
-        Seq("brute", "lsh", "ivf", "sq8", "pq").foreach(m =>
+        Seq("brute", "lsh", "ivf", "sq8", "pq", "ivfpq").foreach(m =>
           materialize(SparkEntry.queries(s"sim_embed_topk_$m")(spark, dest)))
       } catch { case _: Throwable => }
       scaleCurveQueries.flatMap { name =>

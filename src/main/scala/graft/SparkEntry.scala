@@ -49,8 +49,23 @@ object SparkEntry {
     * report). */
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-  private def staged(s: SparkSession, dir: String, stage: String)(f: => DataFrame): DataFrame =
-    stagedCache.computeIfAbsent((s, dir, stage), _ => f.localCheckpoint())
+  /** NOT computeIfAbsent: stages depend on other stages (verdicts →
+    * clusters → pairs), and a nested computeIfAbsent on the same map
+    * throws "Recursive update" — which entry hits first is query-map
+    * iteration order, so the crash is latent until an unrelated query
+    * addition reshuffles the map. Get-then-putIfAbsent tolerates the
+    * recursion; a concurrent duplicate build is benign (both frames
+    * are valid, one wins the cache). */
+  private def staged(s: SparkSession, dir: String, stage: String)(f: => DataFrame): DataFrame = {
+    val key = (s, dir, stage)
+    val existing = stagedCache.get(key)
+    if (existing != null) existing
+    else {
+      val v = f.localCheckpoint()
+      val prev = stagedCache.putIfAbsent(key, v)
+      if (prev != null) prev else v
+    }
+  }
 
   private def dupPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "pairs")(graft.dedup.NearDup.jaccardPairs(Tables.documents(s, dir)))
@@ -76,6 +91,7 @@ object SparkEntry {
       case "ivf" => graft.sim.IvfAnn.ivfTopKQuery(s, dir)
       case "sq8" => graft.sim.ScalarQuantAnn.sq8TopKQuery(s, dir)
       case "pq" => graft.sim.ProductQuantAnn.pqTopKQuery(s, dir)
+      case "ivfpq" => graft.sim.IvfPqAnn.ivfPqTopKQuery(s, dir)
     })
 
   private[graft] def silverCacheSize: Int = silverCache.size
@@ -92,7 +108,16 @@ object SparkEntry {
         it.remove()
       }
     }
-    stagedCache.keySet.removeIf(_._1 eq s)
+    val st = stagedCache.entrySet().iterator()
+    while (st.hasNext) {
+      val e = st.next()
+      if (e.getKey._1 eq s) {
+        // localCheckpoint blocks are freed by the ContextCleaner once
+        // the RDD is unreachable — unpersist what it can, drop the ref
+        try e.getValue.unpersist(blocking = false) catch { case _: Throwable => }
+        st.remove()
+      }
+    }
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -238,6 +263,9 @@ object SparkEntry {
     "sim_embed_topk_pq" -> ((s, dir) => annTopK(s, dir, "pq")
       .orderBy(org.apache.spark.sql.functions.col("probe_id"),
         org.apache.spark.sql.functions.col("rank"))),
+    "sim_embed_topk_ivfpq" -> ((s, dir) => annTopK(s, dir, "ivfpq")
+      .orderBy(org.apache.spark.sql.functions.col("probe_id"),
+        org.apache.spark.sql.functions.col("rank"))),
     "sim_embed_neardup" -> ((s, dir) => nearDupPairs(s, dir)
       .orderBy(org.apache.spark.sql.functions.col("cosine").desc,
         org.apache.spark.sql.functions.col("vec_a"),
@@ -249,8 +277,9 @@ object SparkEntry {
     "sim_semdedup_report" -> ((s, dir) => graft.sim.SemDedup.semDedupReportWith(
       s, Tables.embeddings(s, dir), semDedupPairs(s, dir), nearDupPairs(s, dir))),
     "sim_recall_report" -> ((s, dir) => graft.sim.EmbeddingSim.recallReportWith(
-      s, annTopK(s, dir, "brute"), annTopK(s, dir, "ivf"),
-      annTopK(s, dir, "lsh"), annTopK(s, dir, "sq8"), annTopK(s, dir, "pq"))),
+      s, annTopK(s, dir, "brute"),
+      graft.sim.EmbeddingSim.annFloors.map { case (m, _) =>
+        m -> annTopK(s, dir, m) }.toMap)),
     "mm_media_meta" -> (graft.multimodal.Multimodal.mediaMetaQuery _),
     "mm_media_features" -> (graft.multimodal.Multimodal.featuresQuery _),
     "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),
@@ -395,7 +424,7 @@ object SparkEntry {
     // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are
     // not DuckDB-portable → rows-only (recall is measured in
     // DedupSimSpec against the oracle-checked brute-force baseline).
-    // sim_embed_topk_{ivf,sq8,pq}: k-means centroids / trained
+    // sim_embed_topk_{ivf,sq8,pq,ivfpq}: k-means centroids / trained
     // quantizer state are likewise non-portable → rows-only, each
     // recall-gated by the oracle-checked sim_recall_report floor.
     "mm_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,

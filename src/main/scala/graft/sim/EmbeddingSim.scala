@@ -190,18 +190,26 @@ object EmbeddingSim {
     * deterministic for fixed data + seeds, so the oracle pins
     * (method, floor, true) and a recall regression turns the row red
     * in CORRECTNESS. Tighter empirical bounds live in DedupSimSpec. */
+  /** The ANN family and its recall floors — measured-minus-margin on
+    * the driver testdata (near-random unit vectors, the hardest
+    * quantizer regime): PQ16x4/refine=16 measures 0.80–1.00 and
+    * IVF-PQ 0.92–0.96 at sf0.01–0.1 (its exact re-rank recovers
+    * everything the nprobe=4/16 list prune keeps). */
+  val annFloors: Seq[(String, Double)] = Seq(
+    "ivf" -> 0.40, "ivfpq" -> 0.70, "lsh" -> 0.30, "pq" -> 0.70, "sq8" -> 0.85)
+
   def recallReport(s: SparkSession, dir: String): DataFrame =
-    recallReportWith(s, bruteForceTopKQuery(s, dir), IvfAnn.ivfTopKQuery(s, dir),
-      lshTopKQuery(s, dir), ScalarQuantAnn.sq8TopKQuery(s, dir),
-      ProductQuantAnn.pqTopKQuery(s, dir))
+    recallReportWith(s, bruteForceTopKQuery(s, dir), Map(
+      "ivf" -> IvfAnn.ivfTopKQuery(s, dir),
+      "ivfpq" -> IvfPqAnn.ivfPqTopKQuery(s, dir),
+      "lsh" -> lshTopKQuery(s, dir),
+      "pq" -> ProductQuantAnn.pqTopKQuery(s, dir),
+      "sq8" -> ScalarQuantAnn.sq8TopKQuery(s, dir)))
 
   /** [[recallReport]] over pre-staged top-k frames (the driver shares
-    * each ANN result between its listing query and this report).
-    * Floors are measured-minus-margin on the driver testdata (PQ16x4
-    * with refine=16 measures 0.88–0.96 at sf0.01–0.1). */
-  def recallReportWith(s: SparkSession, bruteTopK: DataFrame, ivfTopK: DataFrame,
-                       lshTopK: DataFrame, sq8TopK: DataFrame,
-                       pqTopK: DataFrame): DataFrame = {
+    * each ANN result between its listing query and this report). */
+  def recallReportWith(s: SparkSession, bruteTopK: DataFrame,
+                       ann: Map[String, DataFrame]): DataFrame = {
     val brute = bruteTopK.select("probe_id", "vec_id").localCheckpoint()
     val n = brute.count().toDouble
     def recallOf(df: DataFrame): Double =
@@ -209,20 +217,17 @@ object EmbeddingSim {
       else df.select("probe_id", "vec_id")
         .join(brute, Seq("probe_id", "vec_id"), "left_semi").count() / n
     import s.implicits._
-    Seq(("ivf", 0.40, recallOf(ivfTopK)),
-        ("lsh", 0.30, recallOf(lshTopK)),
-        ("pq", 0.70, recallOf(pqTopK)),
-        ("sq8", 0.85, recallOf(sq8TopK)))
-      .map { case (m, floor, r) => (m, floor, r >= floor) }
+    annFloors
+      .map { case (m, floor) => (m, floor, recallOf(ann(m)) >= floor) }
       .toDF("method", "recall_floor", "meets_floor")
       .orderBy("method")
   }
 
-  val recallReportSql: String =
-    """SELECT * FROM (VALUES
-      |  ('ivf', CAST(0.40 AS DOUBLE), true),
-      |  ('lsh', CAST(0.30 AS DOUBLE), true),
-      |  ('pq', CAST(0.70 AS DOUBLE), true),
-      |  ('sq8', CAST(0.85 AS DOUBLE), true)) AS t(method, recall_floor, meets_floor)
-      |ORDER BY method""".stripMargin
+  val recallReportSql: String = {
+    val rows = annFloors.map { case (m, f) =>
+      f"  ('$m', CAST($f%.2f AS DOUBLE), true)" }.mkString(",\n")
+    s"""SELECT * FROM (VALUES
+       |$rows) AS t(method, recall_floor, meets_floor)
+       |ORDER BY method""".stripMargin
+  }
 }

@@ -29,8 +29,9 @@ import graft.sources.Tables
 object IvfAnn {
 
   /** Assign every vector to its max-cosine centroid (shared with
-    * [[SemDedup]], which reuses the same coarse quantizer). */
-  private[sim] def assign(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+    * [[SemDedup]] and [[IvfPqAnn]], which reuse the same coarse
+    * quantizer; public — list assignment is part of the IVF API). */
+  def assign(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     val scored = embeddings.crossJoin(broadcast(cents))
       .withColumn("sim", cosineSim(col("embedding"), col("centroid")))
     TopK.perGroup(scored, groupKeys = Seq("vec_id"),

@@ -59,19 +59,19 @@ object ProductQuantAnn {
     * vectors of different magnitudes — normalizing first removes the
     * magnitude axis from what the codebooks must spend centroids on
     * (the standard pre-step for PQ under cosine/IP metrics). */
-  private def normalized(emb: Column): Column = {
+  private[sim] def normalized(emb: Column): Column = {
     val d = transform(emb, x => x.cast("double"))
     val n = sqrt(fsum(transform(d, x => x * x)))
     when(n === 0.0, d).otherwise(transform(d, x => x / n))
   }
 
-  /** (vec_id, m, sub) rows: each unit-normalized vector exploded into
-    * its M contiguous subvectors (doubles — exact training input). */
-  private def subRows(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), normalized(col("embedding")).as("nemb"))
+  /** (vec_id, m, sub) rows: the given double-array vector column
+    * exploded into its M contiguous subvectors. */
+  private def subRowsOf(df: DataFrame, vec: Column): DataFrame =
+    df.select(col("vec_id"), vec.as("__v"))
       .select(col("vec_id"),
         posexplode(array((0 until M).map(m =>
-          slice(col("nemb"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
+          slice(col("__v"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
 
   /** argmin code (0-based) of `sub` against the per-subspace books of
     * the nested (M × K × SubDim) literal; ties → lowest code. */
@@ -81,15 +81,23 @@ object ProductQuantAnn {
     (array_position(scores, array_min(scores)) - 1).cast("int")
   }
 
-  /** Train per-subspace codebooks with Lloyd iterations over the
-    * deterministic hash sample. Empty clusters keep their previous
-    * centroid. Returns M × K × SubDim (metadata-sized). */
+  /** Train per-subspace codebooks over the unit-normalized embedding
+    * column (the cosine-metric default). */
   def trainCodebooks(embeddings: DataFrame, iters: Int = 2,
-                     trainSampleMod: Int = 4): Seq[Seq[Seq[Double]]] = {
+                     trainSampleMod: Int = 4): Seq[Seq[Seq[Double]]] =
+    trainCodebooksOn(embeddings, normalized(col("embedding")), iters, trainSampleMod)
+
+  /** Train per-subspace codebooks with Lloyd iterations over the
+    * deterministic hash sample of any double-array vector column
+    * (IVF-PQ trains on RESIDUALS — no normalization there). Empty
+    * clusters keep their previous centroid. Returns M × K × SubDim
+    * (metadata-sized). */
+  def trainCodebooksOn(df: DataFrame, vec: Column, iters: Int = 2,
+                       trainSampleMod: Int = 4): Seq[Seq[Seq[Double]]] = {
     val sample =
-      if (trainSampleMod <= 1) embeddings
-      else embeddings.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
-    val subs = subRows(sample).localCheckpoint()
+      if (trainSampleMod <= 1) df
+      else df.filter(pmod(xxhash64(col("vec_id")), lit(trainSampleMod)) === 0)
+    val subs = subRowsOf(sample, vec).localCheckpoint()
     // seeds: subvectors of the first K sample vectors by vec_id —
     // ranked driver-side inside the one collect (K×M rows), no
     // unpartitioned window in the plan
@@ -145,19 +153,24 @@ object ProductQuantAnn {
   /** Codebook reconstruction of each corpus vector: per subspace, the
     * argmin code's centroid, concatenated back to a 64-float array.
     * One codegen'd projection — encode+decode fused, no shuffle. */
-  def reconstruct(embeddings: DataFrame,
-                  books: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val subRecons = (0 until M).map { m =>
+  /** Reconstruction of any double-array vector column under trained
+    * books: per subspace, the argmin code's centroid, concatenated —
+    * one fused encode+decode projection (doubles out). */
+  def reconstructionOf(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    flatten(array((0 until M).map { m =>
       val bookLit = typedLit(books(m))
-      val sub = slice(col("nemb"), m * SubDim + 1, SubDim)
+      val sub = slice(vec, m * SubDim + 1, SubDim)
       val scores = transform(bookLit, c => l2sq(sub, c))
       element_at(bookLit, array_position(scores, array_min(scores)).cast("int"))
-    }
+    }: _*))
+
+  def reconstruct(embeddings: DataFrame,
+                  books: Seq[Seq[Seq[Double]]]): DataFrame =
     embeddings.select(col("vec_id"), col("label"),
       normalized(col("embedding")).as("nemb"))
       .select(col("vec_id"), col("label"),
-        transform(flatten(array(subRecons: _*)), x => x.cast("float")).as("approx_emb"))
-  }
+        transform(reconstructionOf(col("nemb"), books),
+          x => x.cast("float")).as("approx_emb"))
 
   /** ADC top-k with exact re-rank: approx-score probes against the PQ
     * reconstructions, keep `refine × k` per probe, re-rank on the

@@ -203,6 +203,41 @@ class DedupSimSpec extends AnyFunSuite {
       sparse.forall(_.size === ProductQuantAnn.K))
   }
 
+  test("IVF-PQ: k rows per probe, dominated by exact, candidates only from probed lists") {
+    import graft.sim.{IvfAnn, IvfPqAnn}
+    val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
+      .select("probe_id", "vec_id").cache()
+    val cents = IvfAnn.centroids(embs, 16).localCheckpoint()
+    val ivfpq = IvfPqAnn.ivfPqTopK(embs, nProbes = 5, k = 3,
+      centsOpt = Some(cents)).cache()
+    assert(ivfpq.groupBy("probe_id").count().filter(col("count") > 3).count() === 0)
+    // recall floor: list-prune ceiling is IVF's; re-rank is exact
+    val recall = ivfpq.select("probe_id", "vec_id")
+      .join(brute, Seq("probe_id", "vec_id"), "left_semi").count().toDouble / brute.count()
+    assert(recall >= 0.3, s"IVF-PQ recall $recall below the nprobe=4/16 floor")
+    // exact domination: rank-1 can't beat the exact best
+    val bestExact = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 1)
+      .select(col("probe_id"), col("cosine").as("c_exact"))
+    assert(ivfpq.filter(col("rank") === 1).join(bestExact, "probe_id")
+      .filter(col("cosine") > col("c_exact")).count() === 0)
+    // the IVF prune is real: every returned candidate sits in one of
+    // its probe's nprobe=4 nearest inverted lists (same pinned cents)
+    val lists = graft.ops.TopK.perGroup(
+        embs.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+          .crossJoin(broadcast(cents))
+          .withColumn("sim", org.apache.spark.sql.graftext.CosineSimilarity
+            .cosineSim(col("probe_emb"), col("centroid"))),
+        groupKeys = Seq("probe_id"),
+        order = Seq(col("sim").desc, col("centroid_id").asc), k = 4)
+      .select(col("probe_id"), col("centroid_id"))
+    val assigned = IvfAnn.assign(embs, cents).select("centroid_id", "vec_id")
+    val offList = ivfpq.select("probe_id", "vec_id")
+      .join(assigned, "vec_id")
+      .join(lists, Seq("probe_id", "centroid_id"), "left_anti")
+    assert(offList.count() === 0, "IVF-PQ returned a vector outside its probed lists")
+  }
+
   test("LSH topk is dominated by brute-force topk (no better-than-exact)") {
     val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
       .groupBy("probe_id").agg(min("cosine").as("worst_exact"))
