@@ -187,6 +187,8 @@ object SparkEntry {
     "q_sole_late_supplier" -> (TpchHeavyQueries.soleLateSupplier _),
     "q_large_quantity_orders" -> (TpchHeavyQueries.largeQuantityOrders _),
     "q_order_value_percentiles" -> (TpchHeavyQueries.orderValuePercentiles _),
+    "q_order_value_percentiles_approx" -> ((s, dir) =>
+      TpchHeavyQueries.orderValuePercentilesApproxGate(s, dir)),
     "q_idle_wealthy_customers" -> (TpchHeavyQueries.idleWealthyCustomers _),
     "q_major_suppliers" -> ((s, dir) => TpchHeavyQueries.majorSuppliers(s, dir)),
     "q_volume_shipping" -> (TpchTradeQueries.volumeShippingQuery _),
@@ -373,6 +375,8 @@ object SparkEntry {
     "q_sole_late_supplier" -> TpchHeavyQueries.soleLateSupplierSql,
     "q_large_quantity_orders" -> TpchHeavyQueries.largeQuantityOrdersSql,
     "q_order_value_percentiles" -> TpchHeavyQueries.orderValuePercentilesSql,
+    "q_order_value_percentiles_approx" ->
+      TpchHeavyQueries.orderValuePercentilesApproxGateSql,
     "q_idle_wealthy_customers" -> TpchHeavyQueries.idleWealthyCustomersSql,
     "q_major_suppliers" -> TpchHeavyQueries.majorSuppliersSql,
     "q_volume_shipping" -> TpchTradeQueries.volumeShippingSql,

@@ -246,4 +246,57 @@ object TpchHeavyQueries {
       |FROM orders
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** The 100 TB percentile swap, error-gated (the §7.4 approx-rewrite
+    * pattern, percentile edition): `percentile_approx` replaces the
+    * exact per-group value sort with a mergeable single-pass summary,
+    * exactly as the HLL sketch replaces distinct-count. The raw
+    * sketch output is not partitioning-portable (partial merge order
+    * shifts estimates within their bound), so — like
+    * `gold_daily_sales_approx` — only this GATE row carries the
+    * oracle. The gate checks the sketch's OWN contract, in RANK
+    * space: Greenwald–Khanna guarantees the returned value's rank is
+    * within `n/gateAccuracy` of `p·n` — a value-space envelope would
+    * be wrong for small groups, where adjacent order statistics gap
+    * wider than any fixed relative bound. Per priority: the exact
+    * order count and how many of the three approx percentiles sit
+    * outside their rank window. DuckDB recomputes the counts exactly
+    * and pins zero violations; a sketch regression turns the row red.
+    * `gateAccuracy` defaults to the sketch accuracy; the spec's
+    * negative control gates a deliberately coarse sketch against a
+    * tight window to prove the gate fires. */
+  def orderValuePercentilesApproxGate(s: SparkSession, dir: String,
+                                      accuracy: Int = 10000,
+                                      gateAccuracy: Int = 0): DataFrame = {
+    val eps = 1.0 / (if (gateAccuracy > 0) gateAccuracy else accuracy)
+    val ps = Seq(0.5, 0.9, 0.99)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val approxLong = orders.groupBy(col("o_orderpriority"))
+      .agg(expr(s"percentile_approx(o_totalprice, array(${ps.mkString("D, ")}D), $accuracy)")
+        .as("ap"))
+      .select(col("o_orderpriority"), posexplode(col("ap")).as(Seq("pi", "a")))
+      .withColumn("p", element_at(typedLit(ps), col("pi") + 1))
+    val ranks = orders.join(broadcast(approxLong), "o_orderpriority")
+      .groupBy(col("o_orderpriority"), col("p"), col("a"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.ConditionalAgg.countIf(col("o_totalprice") < col("a")).as("below"),
+        graft.ops.ConditionalAgg.countIf(col("o_totalprice") <= col("a")).as("at_or_below"))
+    // the value's rank span [below+1, at_or_below] must intersect the
+    // window p·n ± eps·n (one rank of slack for the interpolation gap)
+    val viol = when(
+      col("at_or_below") + 1 < col("n") * (col("p") - lit(eps)) ||
+        col("below") > col("n") * (col("p") + lit(eps)), 1).otherwise(0)
+    ranks.groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("orders"),
+        sum(viol).cast("long").as("n_out_of_bound"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orderValuePercentilesApproxGateSql: String =
+    """SELECT o_orderpriority, count(*) AS orders,
+      |  CAST(0 AS BIGINT) AS n_out_of_bound
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

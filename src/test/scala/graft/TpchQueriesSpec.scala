@@ -22,6 +22,20 @@ class TpchQueriesSpec extends AnyFunSuite {
     assert(revs.sameElements(revs.sortBy(-_)))
   }
 
+  test("percentile sketch gate: zero violations at default accuracy; coarse sketch is caught") {
+    import graft.marts.TpchHeavyQueries
+    val gate = TpchHeavyQueries.orderValuePercentilesApproxGate(spark, sf).cache()
+    assert(gate.count() > 0)
+    assert(gate.filter(col("n_out_of_bound") =!= 0).count() === 0,
+      "default-accuracy percentile sketch left its rank window")
+    // negative control: a deliberately coarse sketch gated against a
+    // tight rank window must trip — proves the gate can actually fire
+    val coarse = TpchHeavyQueries.orderValuePercentilesApproxGate(
+      spark, sf, accuracy = 4, gateAccuracy = 100000)
+    assert(coarse.agg(sum("n_out_of_bound")).first().getLong(0) > 0,
+      "gate failed to flag an accuracy=4 sketch at a 1e-5 rank window")
+  }
+
   test("union_counts: one row per table, counts positive") {
     val df = TpchQueries.unionCounts(spark, sf)
     assert(df.count() === 10)
