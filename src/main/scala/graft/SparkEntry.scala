@@ -179,6 +179,7 @@ object SparkEntry {
     "q_shipping_priority" -> (TpchMoreQueries.shippingPriority _),
     "q_returned_items" -> (TpchMoreQueries.returnedItems _),
     "q_order_price_tiers" -> (TpchMoreQueries.orderPriceTiers _),
+    "q_gapfill_nation_revenue" -> (TpchMoreQueries.gapfillNationRevenue _),
     "q_above_avg_orders" -> (TpchMoreQueries.aboveAvgOrders _),
     "q_urgent_customers" -> (TpchMoreQueries.urgentCustomers _),
     "q_customer_distribution" -> (TpchMoreQueries.customerDistribution _),
@@ -367,6 +368,7 @@ object SparkEntry {
     "q_shipping_priority" -> TpchMoreQueries.shippingPrioritySql,
     "q_returned_items" -> TpchMoreQueries.returnedItemsSql,
     "q_order_price_tiers" -> TpchMoreQueries.orderPriceTiersSql,
+    "q_gapfill_nation_revenue" -> TpchMoreQueries.gapfillNationRevenueSql,
     "q_above_avg_orders" -> TpchMoreQueries.aboveAvgOrdersSql,
     "q_urgent_customers" -> TpchMoreQueries.urgentCustomersSql,
     "q_customer_distribution" -> TpchMoreQueries.customerDistributionSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.ops.ConditionalAgg._
-import graft.ops.{RangeJoin, TopK}
+import graft.ops.{GapFill, RangeJoin, TopK}
 import graft.sources.Tables
 
 /** Additional TPC-H-shaped workloads widening the join/filter
@@ -237,4 +237,62 @@ object TpchMoreQueries {
       |  ON o_totalprice >= lo AND o_totalprice < hi
       |GROUP BY tier
       |ORDER BY tier""".stripMargin
+
+  /** Gap-filled daily revenue panel per nation ([[graft.ops.GapFill]]):
+    * the sparse (nation, order-day) aggregate densified onto the full
+    * global date spine — revenue zero-filled (additive), the average
+    * order value carried forward (LOCF, null before a nation's first
+    * order). Nations come from the DIM table, so a nation with no
+    * orders at all still gets its spine. Decimal-path money and the
+    * portable ratio keep every value repartition-invariant. */
+  def gapfillNationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val daily = o
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(moneySum(col("o_totalprice")).as("day_revenue"),
+        ratio(sum(col("o_totalprice").cast(DecimalType(18, 2))),
+          count(lit(1)), 6).as("day_avg"))
+    val bounds = o.agg(to_date(min(col("o_orderdate"))).as("lo"),
+      to_date(max(col("o_orderdate"))).as("hi"))
+    GapFill.fill(Tables.nation(s, dir).select("n_name"), daily, "day", bounds,
+        zeroFills = Map("day_revenue" -> lit(0.0)),
+        locfCols = Seq("day_avg"))
+      .select(col("n_name"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("day_revenue"),
+        col("day_avg").as("last_known_avg"))
+      .orderBy(col("n_name"), col("day"))
+  }
+
+  val gapfillNationRevenueSql: String = {
+    val avgExpr = roundPortableSql(
+      "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)", 6)
+    s"""WITH b AS (
+       |  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+       |         CAST(max(o_orderdate) AS DATE) AS hi FROM orders
+       |), d AS (
+       |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM b
+       |), daily AS (
+       |  SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+       |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS day_revenue,
+       |    $avgExpr AS day_avg
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation   ON c_nationkey = n_nationkey
+       |  GROUP BY n_name, CAST(o_orderdate AS DATE)
+       |)
+       |SELECT n.n_name, strftime(d.day, '%Y-%m-%d') AS day,
+       |  coalesce(daily.day_revenue, 0.0) AS day_revenue,
+       |  last_value(daily.day_avg IGNORE NULLS) OVER (
+       |    PARTITION BY n.n_name ORDER BY d.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_known_avg
+       |FROM nation n CROSS JOIN d
+       |LEFT JOIN daily ON daily.n_name = n.n_name AND daily.day = d.day
+       |ORDER BY n.n_name, day""".stripMargin
+  }
 }

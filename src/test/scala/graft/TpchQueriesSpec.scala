@@ -36,6 +36,30 @@ class TpchQueriesSpec extends AnyFunSuite {
       "gate failed to flag an accuracy=4 sketch at a 1e-5 rank window")
   }
 
+  test("gapfill: complete spine, revenue conserved, LOCF non-null after first observation") {
+    import graft.marts.TpchMoreQueries
+    val df = TpchMoreQueries.gapfillNationRevenue(spark, sf).cache()
+    val nations = Tables.nation(spark, sf).count()
+    val days = df.select("day").distinct().count()
+    // dense panel: every (nation, day) cell exists exactly once
+    assert(df.count() === nations * days)
+    assert(df.groupBy("n_name", "day").count().filter(col("count") > 1).count() === 0)
+    // zero-fill is additive-safe: panel total == raw total revenue
+    val panelTotal = df.agg(sum(col("day_revenue").cast("decimal(18,2)")))
+      .first().getDecimal(0)
+    val rawTotal = Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))).first().getDecimal(0)
+    assert(panelTotal.compareTo(rawTotal) === 0)
+    // LOCF: null only before a nation's first order, never after one
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val seen = df.withColumn("had_rev",
+      max(when(col("day_revenue") > 0, 1).otherwise(0)).over(w))
+    assert(seen.filter(col("had_rev") === 1 && col("last_known_avg").isNull).count() === 0)
+    assert(seen.filter(col("had_rev") === 0 && col("last_known_avg").isNotNull).count() === 0)
+  }
+
   test("union_counts: one row per table, counts positive") {
     val df = TpchQueries.unionCounts(spark, sf)
     assert(df.count() === 10)
