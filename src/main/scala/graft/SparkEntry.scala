@@ -78,9 +78,17 @@ object SparkEntry {
     staged(s, dir, "minhash")(graft.dedup.NearDup.minhashPairsQuery(s, dir))
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "simhash")(graft.dedup.NearDup.simhashPairsQuery(s, dir))
+  /** The shared coarse quantizer: ONE k-means over the corpus serves
+    * IVF, IVF-PQ and SemDeDup (the production shape — you train one
+    * centroid table per corpus, not one per consumer; also the only
+    * way their cluster views agree). */
+  private def ivfCents(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "ivf_cents")(
+      graft.sim.IvfAnn.centroids(Tables.embeddings(s, dir)))
   private def semDedupPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "semdedup")(
-      graft.sim.SemDedup.candidatePairs(Tables.embeddings(s, dir)))
+      graft.sim.SemDedup.candidatePairs(Tables.embeddings(s, dir),
+        centsOpt = Some(ivfCents(s, dir))))
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "neardup")(
       graft.sim.EmbeddingSim.nearDupPairsQuery(s, dir))
@@ -88,10 +96,12 @@ object SparkEntry {
     staged(s, dir, s"ann_$method")(method match {
       case "brute" => graft.sim.EmbeddingSim.bruteForceTopKQuery(s, dir)
       case "lsh" => graft.sim.EmbeddingSim.lshTopKQuery(s, dir)
-      case "ivf" => graft.sim.IvfAnn.ivfTopKQuery(s, dir)
+      case "ivf" => graft.sim.IvfAnn.ivfTopK(Tables.embeddings(s, dir),
+        centsOpt = Some(ivfCents(s, dir)))
       case "sq8" => graft.sim.ScalarQuantAnn.sq8TopKQuery(s, dir)
       case "pq" => graft.sim.ProductQuantAnn.pqTopKQuery(s, dir)
-      case "ivfpq" => graft.sim.IvfPqAnn.ivfPqTopKQuery(s, dir)
+      case "ivfpq" => graft.sim.IvfPqAnn.ivfPqTopK(Tables.embeddings(s, dir),
+        centsOpt = Some(ivfCents(s, dir)))
     })
 
   private[graft] def silverCacheSize: Int = silverCache.size

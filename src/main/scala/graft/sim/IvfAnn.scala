@@ -62,8 +62,9 @@ object IvfAnn {
   /** IVF top-k: each probe scores only the inverted lists of its
     * `nprobe` nearest centroids. */
   def ivfTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
-              nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = centroids(embeddings, nClusters)
+              nClusters: Int = 16, nprobe: Int = 4,
+              centsOpt: Option[DataFrame] = None): DataFrame = {
+    val cents = centsOpt.getOrElse(centroids(embeddings, nClusters))
     val inverted = assign(embeddings, cents)
     val probes = embeddings.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))

@@ -50,8 +50,9 @@ object SemDedup {
   /** Within-cluster duplicate-candidate pairs with exact cosine ≥ τ:
     * (centroid_id, vec_a, vec_b, cosine, cent_sim_a, cent_sim_b). */
   def candidatePairs(embeddings: DataFrame, nClusters: Int = 16,
-                     tau: Double = 0.4, clusterCap: Int = 2000): DataFrame = {
-    val cents = IvfAnn.centroids(embeddings, nClusters)
+                     tau: Double = 0.4, clusterCap: Int = 2000,
+                     centsOpt: Option[DataFrame] = None): DataFrame = {
+    val cents = centsOpt.getOrElse(IvfAnn.centroids(embeddings, nClusters))
     // materialize the assignment ONCE: the sizes aggregate and both
     // self-join sides read it (3 evaluations), and the k-means means
     // are float-order-sensitive — without a checkpoint the x/y sides
