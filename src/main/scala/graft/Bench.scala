@@ -37,13 +37,16 @@ object Bench {
         (f.getName, pairs)
       }
     }
+    // a source that exists but parses to nothing must NOT win the
+    // chain — an unparseable explicit file would otherwise silently
+    // disable the outlier guard instead of falling through
     val explicit = sys.env.get("SPARK_GRAFT_PREV").map(new java.io.File(_))
-      .filter(_.isFile).map(parse)
+      .filter(_.isFile).map(parse).filter(_._2.nonEmpty)
     def full = Some(new java.io.File("BENCH_FULL.json")).filter(_.isFile)
       .map(parse).filter(_._2.size >= 20)
     def tail = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-      .lastOption.map(parse)
+      .lastOption.map(parse).filter(_._2.nonEmpty)
     explicit.orElse(full).orElse(tail).getOrElse(("", Map.empty))
   }
 

@@ -44,9 +44,10 @@ object SparkEntry {
     *
     * Current stages: exact-Jaccard pairs (5 consumers), duplicate
     * clusters (3), curation verdicts (3), MinHash + SimHash pair sets
-    * (2 each: their listing query + the gate report), and the four
-    * ANN top-k frames (2 each: their listing query + the recall
-    * report). */
+    * (2 each: their listing query + the gate report), the six ANN
+    * top-k frames (2 each: their listing query + the recall report),
+    * the SemDeDup candidate pairs, and the shared IVF coarse
+    * quantizer (`ivf_cents`: IVF + IVF-PQ + SemDeDup). */
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   /** NOT computeIfAbsent: stages depend on other stages (verdicts →
@@ -63,7 +64,12 @@ object SparkEntry {
     else {
       val v = f.localCheckpoint()
       val prev = stagedCache.putIfAbsent(key, v)
-      if (prev != null) prev else v
+      if (prev != null) {
+        // lost the race: drop the duplicate's blocks now rather than
+        // waiting for GC (the carried-over-cache heap-pressure lesson)
+        try v.unpersist(blocking = false) catch { case _: Throwable => }
+        prev
+      } else v
     }
   }
 

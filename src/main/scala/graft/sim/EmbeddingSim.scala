@@ -181,20 +181,20 @@ object EmbeddingSim {
   def nearDupPairsQuery(s: SparkSession, dir: String): DataFrame =
     nearDupPairs(Tables.embeddings(s, dir))
 
-  /** Driver-gated recall report for the three ANN paths against the
-    * oracle-checked brute-force baseline ([[bruteForceTopKQuery]]):
+  /** The ANN family and its recall floors, driving the driver-gated
+    * recall report against the oracle-checked brute-force baseline:
     * per method, whether measured recall@k over the shared probe set
-    * clears a conservative floor. The ANN result sets themselves are
-    * not DuckDB-portable (xxhash64 band keys, k-means centroids,
-    * trained quantizer bounds), but this pass/fail surface IS
-    * deterministic for fixed data + seeds, so the oracle pins
-    * (method, floor, true) and a recall regression turns the row red
-    * in CORRECTNESS. Tighter empirical bounds live in DedupSimSpec. */
-  /** The ANN family and its recall floors — measured-minus-margin on
-    * the driver testdata (near-random unit vectors, the hardest
-    * quantizer regime): PQ16x4/refine=16 measures 0.80–1.00 and
-    * IVF-PQ 0.92–0.96 at sf0.01–0.1 (its exact re-rank recovers
-    * everything the nprobe=4/16 list prune keeps). */
+    * clears its floor. The ANN result sets themselves are not
+    * DuckDB-portable (xxhash64 band keys, k-means centroids, trained
+    * quantizer state), but this pass/fail surface IS deterministic
+    * for fixed data + seeds, so the oracle pins (method, floor, true)
+    * and a recall regression turns the row red in CORRECTNESS.
+    * Floors are measured-minus-margin on the driver testdata
+    * (near-random unit vectors, the hardest quantizer regime):
+    * PQ16x4/refine=16 measures 0.80–1.00 and IVF-PQ 0.92–0.96 at
+    * sf0.01–0.1 (its exact re-rank recovers everything the
+    * nprobe=4/16 list prune keeps). Tighter empirical bounds live in
+    * DedupSimSpec. */
   val annFloors: Seq[(String, Double)] = Seq(
     "ivf" -> 0.40, "ivfpq" -> 0.70, "lsh" -> 0.30, "pq" -> 0.70, "sq8" -> 0.85)
 

@@ -64,7 +64,12 @@ object IvfAnn {
   def ivfTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
               nClusters: Int = 16, nprobe: Int = 4,
               centsOpt: Option[DataFrame] = None): DataFrame = {
-    val cents = centsOpt.getOrElse(centroids(embeddings, nClusters))
+    // pin the fallback: k-means is float-fold sensitive and the cents
+    // feed BOTH the inverted-list and probe-list branches — without a
+    // checkpoint the two evaluations could disagree on a borderline
+    // vector's list (the SemDedup.candidatePairs contract)
+    val cents = centsOpt.getOrElse(
+      centroids(embeddings, nClusters).localCheckpoint())
     val inverted = assign(embeddings, cents)
     val probes = embeddings.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))

@@ -36,14 +36,15 @@ import graft.sources.Tables
 object IvfPqAnn {
 
   /** Corpus assignment with residuals: (centroid_id, vec_id, label,
-    * embedding, residual) — residual in exact double arithmetic. */
+    * embedding, centroid, residual) — residual in exact double
+    * arithmetic; the centroid column stays so the ADC reconstruction
+    * doesn't re-join the centroid table it just left. */
   private[sim] def assignedWithResiduals(embeddings: DataFrame,
                                          cents: DataFrame): DataFrame =
     IvfAnn.assign(embeddings, cents)
       .join(broadcast(cents), "centroid_id")
       .withColumn("residual", zip_with(col("embedding"), col("centroid"),
         (x, c) => x.cast("double") - c.cast("double")))
-      .drop("centroid")
 
   /** `centsOpt` lets a caller pin a pre-materialized centroid frame
     * (k-means is float-fold sensitive, so recomputation is not
@@ -60,7 +61,6 @@ object IvfPqAnn {
       assigned, col("residual"), iters, trainSampleMod)
     // ADC representation: centroid + reconstructed residual, per row
     val coded = assigned
-      .join(broadcast(cents), "centroid_id")
       .select(col("centroid_id"), col("vec_id"), col("label"),
         transform(zip_with(
           ProductQuantAnn.reconstructionOf(col("residual"), books),

@@ -73,13 +73,19 @@ object ProductQuantAnn {
         posexplode(array((0 until M).map(m =>
           slice(col("__v"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
 
-  /** argmin code (0-based) of `sub` against the per-subspace books of
-    * the nested (M × K × SubDim) literal; ties → lowest code. */
-  private def argminCode(booksLit: Column, m: Column, sub: Column): Column = {
-    val cents = element_at(booksLit, m + 1)
-    val scores = transform(cents, c => l2sq(sub, c))
+  /** argmin code (0-based) of `sub` against ONE subspace codebook
+    * literal; ties → lowest code (array_position = first minimum).
+    * The single source of encode truth — training assignment and scan
+    * reconstruction must agree on borderline codes. */
+  private def argminCodeIn(bookLit: Column, sub: Column): Column = {
+    val scores = transform(bookLit, c => l2sq(sub, c))
     (array_position(scores, array_min(scores)) - 1).cast("int")
   }
+
+  /** [[argminCodeIn]] over the nested (M × K × SubDim) literal with a
+    * runtime subspace index `m` (the exploded-training-rows shape). */
+  private def argminCode(booksLit: Column, m: Column, sub: Column): Column =
+    argminCodeIn(element_at(booksLit, m + 1), sub)
 
   /** Train per-subspace codebooks over the unit-normalized embedding
     * column (the cosine-metric default). */
@@ -150,18 +156,14 @@ object ProductQuantAnn {
     Seq.tabulate(M, K)((m, k) => got.getOrElse((m, k), prev(m)(k)))
   }
 
-  /** Codebook reconstruction of each corpus vector: per subspace, the
-    * argmin code's centroid, concatenated back to a 64-float array.
-    * One codegen'd projection — encode+decode fused, no shuffle. */
   /** Reconstruction of any double-array vector column under trained
     * books: per subspace, the argmin code's centroid, concatenated —
-    * one fused encode+decode projection (doubles out). */
+    * one fused encode+decode projection (doubles out), no shuffle. */
   def reconstructionOf(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
     flatten(array((0 until M).map { m =>
       val bookLit = typedLit(books(m))
       val sub = slice(vec, m * SubDim + 1, SubDim)
-      val scores = transform(bookLit, c => l2sq(sub, c))
-      element_at(bookLit, array_position(scores, array_min(scores)).cast("int"))
+      element_at(bookLit, argminCodeIn(bookLit, sub) + 1)
     }: _*))
 
   def reconstruct(embeddings: DataFrame,
