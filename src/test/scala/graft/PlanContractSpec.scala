@@ -51,8 +51,10 @@ class PlanContractSpec extends AnyFunSuite {
     // q_order_priority_share: broadcast-total instead of OVER ().
     // (A 1-row global .agg() still plans Exchange SinglePartition —
     // benign; the scale hazard is a WINDOW over one partition.)
+    // q_gapfill_nation_revenue: LOCF window must stay per-entity
     import org.apache.spark.sql.execution.window.WindowExec
-    for (q <- Seq("q_trailing_revenue", "q_order_priority_share")) {
+    for (q <- Seq("q_trailing_revenue", "q_order_priority_share",
+        "q_gapfill_nation_revenue")) {
       val exec = SparkEntry.queries(q)(spark, sf).queryExecution.sparkPlan
       val bad = exec.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       assert(bad.isEmpty, s"$q plans an unpartitioned window")
