@@ -238,6 +238,17 @@ class DedupSimSpec extends AnyFunSuite {
     assert(offList.count() === 0, "IVF-PQ returned a vector outside its probed lists")
   }
 
+  test("recall report: every ANN method clears its floor at spec scale (the oracle surface)") {
+    // the driver's oracle pins (method, floor, true) — prove the same
+    // pass/fail surface holds here so a floor regression fails in sbt
+    // before it turns the CORRECTNESS row red
+    val report = EmbeddingSim.recallReport(spark, sf).cache()
+    assert(report.count() === EmbeddingSim.annFloors.size)
+    val failing = report.filter(!col("meets_floor")).collect()
+    assert(failing.isEmpty,
+      s"methods below floor: ${failing.map(_.getString(0)).mkString(",")}")
+  }
+
   test("LSH topk is dominated by brute-force topk (no better-than-exact)") {
     val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
       .groupBy("probe_id").agg(min("cosine").as("worst_exact"))
