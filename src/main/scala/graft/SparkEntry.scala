@@ -143,6 +143,8 @@ object SparkEntry {
     // approx marts surface as their error-bound reports: the report
     // internally builds BOTH the approx and exact variants and emits a
     // DuckDB-pinnable pass/fail surface (green hash row, not rows-only)
+    "q_ewma_daily_revenue" -> ((s, dir) =>
+      DailySales.ewmaDailyRevenue(silver(s, dir))),
     "gold_daily_sales_approx" -> ((s, dir) => DailySales.approxErrorReport(silver(s, dir))),
     "q_unpivot_daily_metrics" -> ((s, dir) =>
       DailySales.unpivotMetrics(DailySales.build(silver(s, dir)))),
@@ -337,6 +339,7 @@ object SparkEntry {
     "silver_events" -> SilverEvents.oracleSql,
     "gold_daily_sales" -> DailySales.oracleSql,
     "gold_daily_sales_approx" -> DailySales.approxErrorReportSql,
+    "q_ewma_daily_revenue" -> DailySales.ewmaDailyRevenueSql,
     "gold_user_rfm_segments_scalable" -> RfmSegments.scalableSql,
     "gold_user_rfm_segments_scalable_gate" -> RfmSegments.scalableEquivalenceSql,
     "sim_recall_report" -> graft.sim.EmbeddingSim.recallReportSql,

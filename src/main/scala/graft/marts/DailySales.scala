@@ -178,4 +178,54 @@ object DailySales {
 
   val oracleSql: String =
     SilverEvents.oracleCte + "\n" + aggSqlOver("silver") + "\nORDER BY event_date"
+
+  /** EWMA-smoothed daily revenue (α = 0.3, EWMA₁ = x₁): the classic
+    * time-series smoother, computed as an explicit sequential fold
+    * over each day's ordered revenue history so Spark's
+    * `aggregate(slice(hist, 2, …), hist[1], …)` and DuckDB's
+    * `list_reduce(hist, …)` run the IDENTICAL recurrence in the
+    * identical order — bit-for-bit doubles, then one portable round.
+    *
+    * Scale: the EWMA input is the POST-aggregation daily series
+    * (≤ |days| rows at any SF — the aggregation shuffle happened in
+    * [[build]]'s shape), so the unpartitioned ordered window holding
+    * the running history is the benign aggregated-frame class
+    * (SCALE.md); the recurrence itself forbids partitioning. The
+    * running collect_list is O(|days|²) values — fine for a panel,
+    * switch to a partitioned closed-form (powers of 1−α) if |days|
+    * ever needs millions. */
+  def ewmaDailyRevenue(silver: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    val daily = silver.groupBy(col("event_date"))
+      .agg(moneySumIf(isPurchase, col("price")).as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_date"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily
+      .withColumn("hist", collect_list(col("revenue")).over(w))
+      .withColumn("ewma_revenue", roundPortable(
+        aggregate(slice(col("hist"), lit(2), size(col("hist"))),
+          element_at(col("hist"), 1),
+          (acc, x) => lit(alpha) * x + lit(1 - alpha) * acc), 4))
+      .select(col("event_date"), col("revenue"), col("ewma_revenue"))
+      .orderBy(col("event_date"))
+  }
+
+  val ewmaDailyRevenueSql: String = SilverEvents.oracleCte + s"""
+    |, daily AS (
+    |  SELECT event_date,
+    |    CAST(round(sum(CASE WHEN event_type = 'purchase'
+    |                        THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
+    |                        ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS revenue
+    |  FROM silver GROUP BY event_date
+    |), hist AS (
+    |  SELECT event_date, revenue,
+    |    list(revenue) OVER (ORDER BY event_date
+    |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+    |  FROM daily
+    |)
+    |SELECT event_date, revenue,
+    |  ${graft.ops.ConditionalAgg.roundPortableSql(
+          "list_reduce(h, (acc, x) -> 0.3 * x + 0.7 * acc)", 4)} AS ewma_revenue
+    |FROM hist
+    |ORDER BY event_date""".stripMargin
 }

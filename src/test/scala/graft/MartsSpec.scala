@@ -11,6 +11,26 @@ class MartsSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("ewma: first day passes through, smoothed value inside running [min,max], responds to alpha") {
+    val df = q("q_ewma_daily_revenue").orderBy("event_date").cache()
+    val rows = df.collect()
+    assert(rows.length > 1)
+    // EWMA_1 = x_1 (the fold's seed)
+    assert(math.abs(rows.head.getAs[Double]("ewma_revenue") -
+      rows.head.getAs[Double]("revenue")) < 1e-9)
+    // a convex recurrence stays inside the running envelope
+    var lo = Double.MaxValue; var hi = Double.MinValue
+    rows.foreach { r =>
+      val x = r.getAs[Double]("revenue"); lo = math.min(lo, x); hi = math.max(hi, x)
+      val e = r.getAs[Double]("ewma_revenue")
+      assert(e >= lo - 1e-6 && e <= hi + 1e-6, s"EWMA $e outside [$lo,$hi]")
+    }
+    // alpha=1 degenerates to the raw series
+    val silver = SparkEntry.queries("silver_events")(spark, sf)
+    val raw = graft.marts.DailySales.ewmaDailyRevenue(silver, alpha = 1.0)
+    assert(raw.filter(abs(col("ewma_revenue") - col("revenue")) > 1e-6).count() === 0)
+  }
+
   test("hourly_traffic: key unique, events_per_user >= 1") {
     val df = q("gold_hourly_traffic").cache()
     assert(df.count() > 0)
