@@ -76,29 +76,43 @@ object Bench {
     // Dirty-run self-flagging (round-4 lesson: a concurrent JVM inflated
     // ~12 queries 3-10x in the closing artifact): stamp the OS load
     // average into the JSON line, and give any query that comes in >1.3x
-    // its previous-board time ONE quiet re-run — its own first pass has
-    // already warmed the caches it uses, so the re-run measures steady-
-    // state query cost; a real regression reproduces, transient machine
-    // noise does not. The board takes the min; both timings go to stderr.
+    // its previous-board time ONE quiet re-run — a real regression
+    // reproduces, transient machine noise does not. The board takes the
+    // min; both timings go to stderr.
+    //
+    // Re-run fidelity (round-5 lesson): a re-run of a STAGE-CREATING
+    // query used to time a localCheckpoint cache hit (board showed
+    // sim_embed_topk_pq at 0.047s vs a 3.99s first pass — an 85x
+    // understatement that would mask a real ANN regression). Fix: the
+    // first pass records which stages each query CREATED, and the
+    // re-run evicts exactly those stages first, so both timings are
+    // full-work measurements and their min is honest.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
+    val createdStages = scala.collection.mutable.Map.empty[String, Set[String]]
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val before = SparkEntry.stageNames(spark, sfDir)
       val t0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      createdStages(name) = SparkEntry.stageNames(spark, sfDir) -- before
+      name -> sec
     }
     val (prevName, prev) = previousBench()
     var reruns = 0
     val results = firstPass.map { case (name, sec) =>
       val p = prev.getOrElse(name, 0.0)
       if (p > 0.05 && sec > p * 1.3 && sec > 0.3) {
+        val evicted = createdStages.getOrElse(name, Set.empty)
+        SparkEntry.evictStages(spark, sfDir, evicted)
         val t0 = System.nanoTime()
         try { materialize(SparkEntry.queries(name)(spark, sfDir)) }
         catch { case _: Throwable => }
         val sec2 = (System.nanoTime() - t0) / 1e9
         reruns += 1
+        val tag = if (evicted.nonEmpty) s" (evicted ${evicted.mkString(",")})" else ""
         System.err.println(
-          f"[bench] outlier re-run $name%-36s $sec%8.2f -> $sec2%8.2f (board: min)")
+          f"[bench] outlier re-run $name%-36s $sec%8.2f -> $sec2%8.2f (board: min)$tag")
         name -> math.min(sec, sec2)
       } else name -> sec
     }
@@ -117,14 +131,14 @@ object Bench {
       }
     }
     val total = results.map(_._2).sum
-    // sf1 ratios divide by the FIRST-pass base timing, not the board's
-    // min: an outlier re-run of a staged query measures a cache hit
-    // (~0.1 s), and dividing the sf1 time by that near-zero base
-    // printed a x38 "superlinear" ratio for a query whose absolute
-    // scaling is flat. First pass includes staging at base SF exactly
-    // as the sf1 timing includes staging at 10x — work over work.
+    // sf1 ratios divide by the BOARD base timing. Pre-r6 this was the
+    // raw first pass because an outlier re-run of a staged query
+    // measured a cache hit; now the re-run evicts the stages the query
+    // created, so every board number is a full-work measurement and
+    // board-over-board is the consistent ratio (staging included at
+    // both scales — work over work).
     println(benchJson(results, total, sfDir,
-      sf1 = scaleCurve(spark, sfDir, firstPass.toMap),
+      sf1 = scaleCurve(spark, sfDir, results.toMap),
       stamp = f""","load_avg":[$loadStart%.1f,$loadEnd%.1f],"outlier_reruns":$reruns"""))
     spark.stop()
   }
@@ -173,11 +187,34 @@ object Bench {
         Seq("brute", "lsh", "ivf", "sq8", "pq", "ivfpq").foreach(m =>
           materialize(SparkEntry.queries(s"sim_embed_topk_$m")(spark, dest)))
       } catch { case _: Throwable => }
+      // Repeat discipline (round-5 lesson: sf1 ratios moved up to 1.7x
+      // between two clean stamped solo runs — at that noise level a
+      // real 1.5x regression on the curve is invisible): measure each
+      // entry TWICE, evicting between repeats the stages the query
+      // itself created (so both repeats are full-work, not cache
+      // hits); if the two disagree >1.3x, arbitrate with a third run
+      // and take the median, else take the min (noise is one-sided —
+      // GC, compaction, page-cache misses only ever inflate).
       scaleCurveQueries.flatMap { name =>
         try {
-          val t0 = System.nanoTime()
-          materialize(SparkEntry.queries(name)(spark, dest))
-          val sec = (System.nanoTime() - t0) / 1e9
+          def timedRun(): (Double, Set[String]) = {
+            val before = SparkEntry.stageNames(spark, dest)
+            val t0 = System.nanoTime()
+            materialize(SparkEntry.queries(name)(spark, dest))
+            val sec = (System.nanoTime() - t0) / 1e9
+            (sec, SparkEntry.stageNames(spark, dest) -- before)
+          }
+          val (s1, created) = timedRun()
+          SparkEntry.evictStages(spark, dest, created)
+          val (s2, _) = timedRun()
+          val sec =
+            if (math.max(s1, s2) <= math.min(s1, s2) * 1.3) math.min(s1, s2)
+            else {
+              SparkEntry.evictStages(spark, dest, created)
+              val (s3, _) = timedRun()
+              Seq(s1, s2, s3).sorted.apply(1)
+            }
+          System.err.println(f"[bench] sf1 $name%-36s runs $s1%7.2f/$s2%7.2f -> $sec%7.2f")
           val ratio = base.get(name).filter(_ > 0).map(sec / _).getOrElse(0.0)
           Seq((name, sec, ratio))
         } catch { case _: Throwable => Seq.empty }

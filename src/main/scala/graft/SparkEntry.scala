@@ -112,6 +112,40 @@ object SparkEntry {
 
   private[graft] def silverCacheSize: Int = silverCache.size
 
+  /** Stage names currently cached for (s, dir) — Bench snapshots this
+    * around each timed query to learn which stages the query CREATED
+    * (vs merely consumed). A re-run of a stage-creating query is only
+    * a valid measurement if those stages are evicted first; otherwise
+    * it times a localCheckpoint cache hit (the r5 board defect: an
+    * 85× understatement on `sim_embed_topk_pq`). */
+  private[graft] def stageNames(s: SparkSession, dir: String): Set[String] = {
+    val it = stagedCache.keySet().iterator()
+    var out = Set.empty[String]
+    while (it.hasNext) {
+      val k = it.next()
+      if ((k._1 eq s) && k._2 == dir) out += k._3
+    }
+    out
+  }
+
+  /** Evict the named stages for (s, dir) so the next consumer rebuilds
+    * them — Bench's re-run fidelity hook (see [[stageNames]]). Safe
+    * mid-run: stages are localCheckpoint'd (no lineage into evicted
+    * frames) and later consumers transparently rebuild via [[staged]]. */
+  private[graft] def evictStages(s: SparkSession, dir: String, stages: Set[String]): Unit = {
+    if (stages.nonEmpty) {
+      val it = stagedCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey
+        if ((k._1 eq s) && k._2 == dir && stages(k._3)) {
+          try e.getValue.unpersist(blocking = false) catch { case _: Throwable => }
+          it.remove()
+        }
+      }
+    }
+  }
+
   /** Evict (and unpersist) every cached silver frame of `s` — wired to
     * the session's application-end event above, and callable directly
     * by long-lived drivers between workloads. */
@@ -429,8 +463,8 @@ object SparkEntry {
     "text_lm_scores" -> graft.text.QualityFilters.lmScoresSql,
     "text_lm_bigram_scores" -> graft.text.QualityFilters.bigramLmScoresSql,
     "text_char_entropy" -> graft.text.QualityFilters.charEntropySql,
-    // the batch scorer reproduces the relational LM bit-for-bit → same oracle
-    "text_lm_scores_batch" -> graft.text.QualityFilters.lmScoresSql,
+    // the batch scorer's capped-vocab + OOV-floor model has its own twin
+    "text_lm_scores_batch" -> graft.text.LmBatchScorer.lmScoresBatchSql,
     "text_pii_redaction" -> graft.text.PiiRedaction.redactionSql,
     "text_dsir_weights" -> graft.text.DsirWeights.dsirWeightsSql,
     "text_decontamination" -> graft.dedup.NearDup.decontaminationSql,
