@@ -12,14 +12,23 @@ import graft.sources.Tables
   * `mapPartitions` so per-partition setup (model lookup structures,
   * JNI handles for a real KenLM) is paid once per task, not per row.
   *
-  * The model here is the same corpus unigram LM the expression-based
-  * [[QualityFilters.lmScores]] computes relationally — deliberately,
-  * so this scorer is verified EXACTLY (same DuckDB oracle, green hash
-  * row): the driver-side `collect()` is vocabulary-sized (the model
-  * artifact, not the data), and per-token NLL contributions replicate
-  * Spark's double→DECIMAL(28,12) cast via the shortest-string
-  * `BigDecimal.valueOf` so the decimal sum is bit-identical and
-  * partition-order independent.
+  * The fitted vocabulary is CAPPED at the top-`vocabCap` tokens by
+  * corpus frequency (ties broken by token, so the fit is
+  * deterministic); everything else scores at an out-of-vocabulary
+  * floor probability of 0.5/n_total — strictly below the rarest kept
+  * token's 1/n_total. That bound is what makes the broadcast safe at
+  * scale: a 100 TB web corpus has 10⁸⁺ distinct tokens, and an
+  * uncapped fit would be a driver OOM, while the capped model is
+  * ≤ vocabCap entries no matter the corpus (exactly how real LMs ship
+  * — a fixed vocabulary plus an UNK bucket). The driver-side
+  * `collect()` is bounded by `vocabCap` rows, not the data.
+  *
+  * Scoring is verified EXACTLY (DuckDB oracle, green hash row): the
+  * driver query passes a cap that BINDS on the test corpus so both
+  * the in-vocabulary and the OOV floor paths are hash-checked, and
+  * per-token NLL contributions replicate Spark's double→DECIMAL(28,12)
+  * cast via the shortest-string `BigDecimal.valueOf` so the decimal
+  * sum is bit-identical and partition-order independent.
   *
   * A real KenLM swap-in changes only `scoreTokens` (model lookup →
   * FFI call); the fit/broadcast/mapPartitions plumbing is the
@@ -34,14 +43,21 @@ object LmBatchScorer {
   private[text] def tokenize(text: String): Seq[String] =
     TokenRe.findAllIn(text.toLowerCase(java.util.Locale.ROOT)).toSeq
 
-  def lmScoresBatch(documents: DataFrame): DataFrame = {
+  /** Driver-query cap: binds on the 31-token synthetic corpus so the
+    * OOV floor path is exercised and oracle-verified at every SF. */
+  private[graft] val TestVocabCap = 24
+
+  def lmScoresBatch(documents: DataFrame, vocabCap: Int = 1 << 20): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
 
-    // ---- fit: the unigram model (vocabulary-sized driver artifact)
+    // ---- fit: top-vocabCap unigram model (bounded driver artifact;
+    // ordering (tf DESC, token ASC) is a total order → deterministic)
     val freqs = documents
       .select(explode(TextAnalysis.tokensCol(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(vocabCap)
     val model: Map[String, Long] =
       freqs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nTotal: Long = model.valuesIterator.sum
@@ -56,7 +72,13 @@ object LmBatchScorer {
           val toks = tokenize(text)
           var acc = JBigDecimal.ZERO
           toks.foreach { t =>
-            val nll = -math.log(m(t).toDouble / n.toDouble)
+            // OOV floor 0.5/n: below every kept token's 1/n, and the
+            // same double path (divide, then log) the oracle computes
+            val p = m.get(t) match {
+              case Some(tf) => tf.toDouble / n.toDouble
+              case None     => 0.5 / n.toDouble
+            }
+            val nll = -math.log(p)
             // Spark's double→DECIMAL(28,12) cast rounds the double's
             // SHORTEST decimal string (BigDecimal.valueOf), not its
             // exact binary expansion — mirror it or hashes drift.
@@ -74,5 +96,30 @@ object LmBatchScorer {
   }
 
   def lmScoresBatchQuery(s: SparkSession, dir: String): DataFrame =
-    lmScoresBatch(Tables.documents(s, dir))
+    lmScoresBatch(Tables.documents(s, dir), vocabCap = TestVocabCap)
+
+  /** DuckDB twin of [[lmScoresBatchQuery]]: same top-K fit (tf DESC,
+    * token ASC), same capped-vocabulary total, same 0.5/n_total OOV
+    * floor, same DECIMAL(28,12) per-token rounding. */
+  val lmScoresBatchSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents
+       |),
+       |vocab AS (
+       |  SELECT token, count(*) AS tf FROM tok GROUP BY token
+       |  ORDER BY tf DESC, token LIMIT $TestVocabCap
+       |),
+       |tot AS (SELECT sum(tf) AS n_total FROM vocab)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(round(CAST(
+       |    CAST(sum(CAST(-ln(CASE WHEN tf IS NULL
+       |        THEN 0.5 / CAST(n_total AS DOUBLE)
+       |        ELSE CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE) END)
+       |      AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE)
+       |    AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_nll
+       |FROM tok LEFT JOIN vocab USING (token), tot
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

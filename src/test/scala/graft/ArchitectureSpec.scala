@@ -32,7 +32,8 @@ class ArchitectureSpec extends AnyFunSuite {
     // ConnectedComponents: one 3-long convergence fingerprint per round
     // ScalarQuantAnn: 64 per-dimension (min, max) training bounds
     // ProductQuantAnn: the M×K×SubDim trained codebooks (1 024 doubles)
-    // LmBatchScorer: the fitted model (vocabulary-sized artifact, broadcast back out)
+    // LmBatchScorer: the fitted model, ≤ vocabCap rows by the top-K
+    //   fit (bounded regardless of corpus size — NOT vocabulary-sized)
     // Snapshots: expireSnapshots reads the (version, row_count) manifest
     //   listing — one row per snapshot VERSION, metadata-plane by design
     val allow = Map("GlobalRank.scala" -> 1,

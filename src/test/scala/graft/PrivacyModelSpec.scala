@@ -59,4 +59,17 @@ class PrivacyModelSpec extends AnyFunSuite {
     assert(rel.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(rel).count() === 0)
   }
+
+  test("capped-vocab batch scorer: fit is deterministic and the OOV floor binds") {
+    def run() = LmBatchScorer.lmScoresBatch(
+      Tables.documents(spark, sf), vocabCap = LmBatchScorer.TestVocabCap)
+    val a = run()
+    val b = run()
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "top-K fit with (tf DESC, token ASC) tie-break must be deterministic")
+    val uncapped = LmBatchScorer.lmScoresBatch(Tables.documents(spark, sf))
+    assert(a.count() === uncapped.count(), "cap must not drop documents")
+    assert(a.exceptAll(uncapped).count() > 0,
+      s"${LmBatchScorer.TestVocabCap}-token cap must bind on the 31-token corpus")
+  }
 }
