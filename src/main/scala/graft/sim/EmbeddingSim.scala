@@ -190,13 +190,20 @@ object EmbeddingSim {
     * for fixed data + seeds, so the oracle pins (method, floor, true)
     * and a recall regression turns the row red in CORRECTNESS.
     * Floors are measured-minus-margin on the driver testdata
-    * (near-random unit vectors, the hardest quantizer regime):
-    * PQ16x4/refine=16 measures 0.80–1.00 and IVF-PQ 0.92–0.96 at
-    * sf0.01–0.1 (its exact re-rank recovers everything the
-    * nprobe=4/16 list prune keeps). Tighter empirical bounds live in
+    * (near-random unit vectors, the hardest quantizer regime); the
+    * `[ann-recall]` stderr lines are the calibration trail. Measured
+    * at sf0.001/0.01/0.1: ivf 0.88/0.92/1.00, ivfpq 0.88/0.92/0.96,
+    * pq 0.88/1.00/0.80, sq8 1.00 everywhere, lsh 0.40/0.56/0.34.
+    * ivf/ivfpq/pq get floor 0.70 (~20 % under their 0.88 min — a
+    * centroid/codebook regression trips them, seed wobble doesn't);
+    * sq8 0.85 (refine re-rank is near-exact); lsh keeps 0.30 — its
+    * sf0.1 measurement is already 0.34, so 0.30 IS measured-minus-
+    * margin for LSH (random hyperplanes on near-random vectors are the
+    * scheme's worst case; the floor only catches a banding bug, which
+    * drops recall to ~0). Tighter empirical bounds live in
     * DedupSimSpec. */
   val annFloors: Seq[(String, Double)] = Seq(
-    "ivf" -> 0.40, "ivfpq" -> 0.70, "lsh" -> 0.30, "pq" -> 0.70, "sq8" -> 0.85)
+    "ivf" -> 0.70, "ivfpq" -> 0.70, "lsh" -> 0.30, "pq" -> 0.70, "sq8" -> 0.85)
 
   def recallReport(s: SparkSession, dir: String): DataFrame =
     recallReportWith(s, bruteForceTopKQuery(s, dir), Map(
@@ -218,14 +225,25 @@ object EmbeddingSim {
         .join(brute, Seq("probe_id", "vec_id"), "left_semi").count() / n
     import s.implicits._
     annFloors
-      .map { case (m, floor) => (m, floor, recallOf(ann(m)) >= floor) }
+      .map { case (m, floor) =>
+        val r = recallOf(ann(m))
+        // measured values to stderr — the floor-calibration trail
+        // (floors are measured-minus-margin; see annFloors scaladoc)
+        System.err.println(f"[ann-recall] $m%-6s measured=$r%.4f floor=$floor%.2f")
+        (m, floor, r >= floor)
+      }
       .toDF("method", "recall_floor", "meets_floor")
       .orderBy("method")
   }
 
   val recallReportSql: String = {
+    // floor literals via BigDecimal, NOT the f interpolator — "%.2f" is
+    // locale-sensitive and a comma-decimal default locale would emit
+    // '0,40' into the generated DuckDB SQL, turning every row red
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val rows = annFloors.map { case (m, f) =>
-      f"  ('$m', CAST($f%.2f AS DOUBLE), true)" }.mkString(",\n")
+      s"  ('$m', CAST(${fmt(f)} AS DOUBLE), true)" }.mkString(",\n")
     s"""SELECT * FROM (VALUES
        |$rows) AS t(method, recall_floor, meets_floor)
        |ORDER BY method""".stripMargin

@@ -124,7 +124,7 @@ class DedupSimSpec extends AnyFunSuite {
     val recovered = ivf.select("probe_id", "vec_id")
       .join(brute, Seq("probe_id", "vec_id"), "left_semi").count()
     val recall = recovered.toDouble / brute.count()
-    assert(recall >= 0.4, s"IVF recall $recall too low for nprobe=4/16")
+    assert(recall >= 0.7, s"IVF recall $recall too low for nprobe=4/16 (measured 0.88+)")
     // no candidate may beat the exact baseline's best
     val bestExact = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 1)
       .select(col("probe_id"), col("cosine").as("c_exact"))
@@ -214,7 +214,7 @@ class DedupSimSpec extends AnyFunSuite {
     // recall floor: list-prune ceiling is IVF's; re-rank is exact
     val recall = ivfpq.select("probe_id", "vec_id")
       .join(brute, Seq("probe_id", "vec_id"), "left_semi").count().toDouble / brute.count()
-    assert(recall >= 0.3, s"IVF-PQ recall $recall below the nprobe=4/16 floor")
+    assert(recall >= 0.7, s"IVF-PQ recall $recall below the nprobe=4/16 floor (measured 0.88+)")
     // exact domination: rank-1 can't beat the exact best
     val bestExact = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 1)
       .select(col("probe_id"), col("cosine").as("c_exact"))
