@@ -94,9 +94,10 @@ object SqlDdl {
       else if (upper.startsWith("CREATE TABLE")) createTable(text)
       else if (upper.startsWith("ALTER TABLE")) alterAddColumn(text)
       else if (upper.startsWith("DESCRIBE")) describe(text)
+      else if (upper.startsWith("INSERT INTO")) insertValues(text)
       else throw new IllegalArgumentException(
         s"unsupported DDL (supported: CREATE NAMESPACE / CREATE TABLE / " +
-        s"ALTER TABLE ADD COLUMN / DESCRIBE): ${text.take(60)}")
+        s"ALTER TABLE ADD COLUMN / INSERT INTO … VALUES / DESCRIBE): ${text.take(60)}")
     }
 
     /** Append rows through the table's declared partition layout —
@@ -192,6 +193,55 @@ object SqlDdl {
           saveSpec(updated)
           DdlResult(s"ALTER TABLE $name ADD COLUMN $colName", None)
       }
+    }
+
+    /** `INSERT INTO t [(c1, …)] VALUES (v1, …), …` — the reference
+      * demo's insert leg, completing the SQL-text schema-evolution
+      * cycle (create → ALTER ADD COLUMN → insert WITH the new column →
+      * DESCRIBE → old-rows-NULL verify). Literals: '…' strings ('' =
+      * escaped quote), numeric/boolean tokens, NULL; every value is
+      * aligned to the declared schema and cast through [[append]], so
+      * inserted rows take the table's partition layout. Columns left
+      * out of an explicit column list land as NULL — the mirror image
+      * of pre-evolution files lacking a later-added column. VALUES
+      * lists are demo/bootstrap-sized by nature (the reference inserts
+      * 5 rows); bulk data goes through [[append]] with a DataFrame. */
+    private def insertValues(text: String): DdlResult = {
+      val m = "(?is)^INSERT\\s+INTO\\s+(?:TABLE\\s+)?([\\w.]+)\\s*".r
+        .findFirstMatchIn(text)
+        .getOrElse(throw new IllegalArgumentException(s"bad INSERT: $text"))
+      val name = m.group(1)
+      val spec = specOf(name)
+      var rest = text.substring(m.end)
+      val columnsListed: Option[Seq[String]] =
+        if (rest.trim.startsWith("(")) {
+          val (block, after) = balancedParen(rest, rest.indexOf('('))
+          rest = after
+          Some(splitTopLevel(block).map(_.trim))
+        } else None
+      val vm = "(?is)^\\s*VALUES\\b".r.findFirstMatchIn(rest)
+        .getOrElse(throw new IllegalArgumentException(s"bad INSERT (VALUES expected): $text"))
+      val rows = splitTopLevel(rest.substring(vm.end)).map { rt =>
+        val t = rt.trim
+        require(t.startsWith("(") && t.endsWith(")"), s"bad VALUES row: $t")
+        splitTopLevel(balancedParen(t, 0)._1).map(parseLiteral)
+      }
+      val target = columnsListed.getOrElse(spec.columns.map(_.name))
+      target.foreach(c => require(spec.columns.exists(_.name == c),
+        s"INSERT references unknown column $c"))
+      rows.foreach(r => require(r.length == target.length,
+        s"VALUES row arity ${r.length} != column count ${target.length}"))
+      val pos = target.zipWithIndex.toMap
+      // all-string staging rows; append() casts to the declared types
+      val aligned: Seq[org.apache.spark.sql.Row] = rows.map { r =>
+        org.apache.spark.sql.Row.fromSeq(
+          spec.columns.map(c => pos.get(c.name).flatMap(r(_)).orNull))
+      }
+      val strSchema = StructType(spec.columns.map(c =>
+        StructField(c.name, org.apache.spark.sql.types.StringType, nullable = true)))
+      import scala.jdk.CollectionConverters._
+      append(name, spark.createDataFrame(aligned.asJava, strSchema))
+      DdlResult(s"INSERT INTO $name (${rows.length} rows)", None)
     }
 
     private def describe(text: String): DdlResult = {
@@ -295,6 +345,16 @@ object SqlDdl {
     }
     out += cur.toString
     out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** One VALUES literal → Option[String] (None = SQL NULL): quoted
+    * strings lose their quotes ('' unescapes), bare tokens (numbers,
+    * booleans, dates) pass through for the schema-directed cast. */
+  private[sink] def parseLiteral(s: String): Option[String] = s.trim match {
+    case t if t.equalsIgnoreCase("NULL") => None
+    case t if t.length >= 2 && t.startsWith("'") && t.endsWith("'") =>
+      Some(t.substring(1, t.length - 1).replace("''", "'"))
+    case t => Some(t)
   }
 
   private[sink] def parseColumnDef(s: String): ColumnDef = {

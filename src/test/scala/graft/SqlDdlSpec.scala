@@ -92,6 +92,68 @@ class SqlDdlSpec extends AnyFunSuite {
     assert(desc("payment_method") === "string")
   }
 
+  test("full schema-evolution demo cycle runs end-to-end from SQL text") {
+    // the reference's whole demo (bronze_ingestion.py create →
+    // schema_add_column.py ALTER → schema_insert_data.py insert rows
+    // carrying the new column → schema_verify.py old-rows-NULL check)
+    // as literal SQL statements against one catalog
+    val cat = newCatalog()
+    cat.sql("CREATE NAMESPACE IF NOT EXISTS iceberg.bronze")
+    cat.sql(createEventsDdl)
+    cat.sql("""
+        INSERT INTO iceberg.bronze.ecommerce_events VALUES
+          ('2024-01-01 10:00:00', 'view', 1, 9.5, 9.50, '2024-01-01'),
+          ('2024-01-02 11:00:00', 'purchase', 2, 19.5, 19.50, '2024-01-02')
+    """)
+    cat.sql("""
+        ALTER TABLE iceberg.bronze.ecommerce_events
+        ADD COLUMN payment_method STRING
+        COMMENT 'Payment method: credit_card, debit_card, paypal, cash_on_delivery'
+    """)
+    // post-evolution insert carries the new column; NULL literal and
+    // the '' escape must both land ('O''Brien' → O'Brien)
+    cat.sql("""
+        INSERT INTO iceberg.bronze.ecommerce_events VALUES
+          ('2024-12-01 10:00:00', 'purchase', 3, 599.99, 599.99, '2024-12-01', 'credit_card'),
+          ('2024-12-01 10:05:00', 'purchase', 4, 129.99, 129.99, '2024-12-01', 'O''Brien pay'),
+          ('2024-12-01 10:15:00', 'view', 5, 999.99, 999.99, '2024-12-01', NULL)
+    """)
+    val t = cat.read("iceberg.bronze.ecommerce_events")
+    assert(t.count() === 5)
+    // schema_verify.py's check: pre-evolution rows read NULL for the
+    // added column; post-evolution non-null values survive the cast path
+    assert(t.filter(col("_processing_date") < "2024-02-01")
+      .filter(col("payment_method").isNull).count() === 2)
+    assert(t.filter(col("payment_method") === "credit_card").count() === 1)
+    assert(t.filter(col("payment_method") === "O'Brien pay").count() === 1)
+    // declared types survive the all-string staging: DECIMAL + DATE real
+    assert(t.schema("amount").dataType.simpleString === "decimal(18,2)")
+    assert(t.filter(col("amount") === new java.math.BigDecimal("599.99")).count() === 1)
+    // partition layout took the inserted rows (days() transform)
+    val dirs = new java.io.File(cat.tablePath("iceberg.bronze.ecommerce_events"))
+      .listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.contains("_pt_day=2024-12-01"))
+    val desc = cat.sql("DESCRIBE iceberg.bronze.ecommerce_events").result.get
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("payment_method") === "string")
+  }
+
+  test("INSERT INTO with explicit column list fills unlisted columns as NULL") {
+    val cat = newCatalog()
+    cat.sql("CREATE TABLE s (id BIGINT, name STRING, score DOUBLE)")
+    cat.sql("INSERT INTO s (id, name) VALUES (1, 'a'), (2, 'b')")
+    val read = cat.read("s")
+    assert(read.count() === 2)
+    assert(read.filter(col("score").isNull).count() === 2)
+    // unknown columns and arity mismatches fail loudly
+    intercept[IllegalArgumentException] {
+      cat.sql("INSERT INTO s (id, nope) VALUES (1, 'x')")
+    }
+    intercept[IllegalArgumentException] {
+      cat.sql("INSERT INTO s (id, name) VALUES (1)")
+    }
+  }
+
   test("catalog reattaches to tables from the spec file on disk") {
     val cat = newCatalog()
     cat.sql(createEventsDdl)
