@@ -190,10 +190,16 @@ object DailySales {
     * (≤ |days| rows at any SF — the aggregation shuffle happened in
     * [[build]]'s shape), so the unpartitioned ordered window holding
     * the running history is the benign aggregated-frame class
-    * (SCALE.md); the recurrence itself forbids partitioning. The
-    * running collect_list is O(|days|²) values — fine for a panel,
-    * switch to a partitioned closed-form (powers of 1−α) if |days|
-    * ever needs millions. */
+    * (SCALE.md); the recurrence itself forbids partitioning.
+    *
+    * GRAIN CONTRACT: the running collect_list is O(|series|²) values
+    * through one task, bounded by the CALENDAR at daily grain (10
+    * years = 3 653 rows ≈ 6.7 M doubles peak — proven by the 10-year
+    * spine test in MartsSpec). Do NOT reuse this operator at
+    * hour/minute grain or per-entity without first aggregating to a
+    * calendar-bounded series per window partition; for an unbounded
+    * series, switch to the two-pass closed form (prefix sums of
+    * x_i/(1−α)^i) partitioned by entity. */
   def ewmaDailyRevenue(silver: DataFrame, alpha: Double = 0.3): DataFrame = {
     val isPurchase = col("event_type") === "purchase"
     val daily = silver.groupBy(col("event_date"))

@@ -23,12 +23,45 @@ class MartsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val x = r.getAs[Double]("revenue"); lo = math.min(lo, x); hi = math.max(hi, x)
       val e = r.getAs[Double]("ewma_revenue")
-      assert(e >= lo - 1e-6 && e <= hi + 1e-6, s"EWMA $e outside [$lo,$hi]")
+      // tolerance covers the roundPortable(…, 4) quantum (5e-5): a
+      // value within half an ulp-of-round of the running min/max may
+      // round just outside the envelope
+      assert(e >= lo - 1e-4 && e <= hi + 1e-4, s"EWMA $e outside [$lo,$hi]")
     }
     // alpha=1 degenerates to the raw series
     val silver = SparkEntry.queries("silver_events")(spark, sf)
     val raw = graft.marts.DailySales.ewmaDailyRevenue(silver, alpha = 1.0)
     assert(raw.filter(abs(col("ewma_revenue") - col("revenue")) > 1e-6).count() === 0)
+  }
+
+  test("ewma: 10-year daily spine runs within the calendar-bounded contract, exact vs driver fold") {
+    // the operator's documented grain bound: the running collect_list
+    // window is O(|days|^2) values through one task, safe BECAUSE the
+    // input is the post-aggregation daily series. 3 653 days (10 years)
+    // is the upper end of any daily panel — prove it completes and
+    // matches the sequential recurrence bit-for-bit after the same
+    // DECIMAL(28,10)->round(4) portable-rounding path.
+    import spark.implicits._
+    val days = 3653
+    val syn = spark.range(days)
+      .select(date_add(lit(java.sql.Date.valueOf("2015-01-01")), col("id").cast("int")).as("event_date"),
+        lit("purchase").as("event_type"),
+        (pmod(col("id") * 37 + 11, lit(997)) / 10.0 + 1.0).as("price"))
+      .select(col("event_date"), col("event_type"), col("price").cast("decimal(18,2)").cast("double").as("price"))
+    val out = graft.marts.DailySales.ewmaDailyRevenue(syn).orderBy("event_date").collect()
+    assert(out.length === days)
+    var acc = 0.0
+    val alpha = 0.3
+    out.zipWithIndex.foreach { case (r, i) =>
+      val x = r.getAs[Double]("revenue")
+      // same Scala expressions the operator builds its literals from
+      acc = if (i == 0) x else alpha * x + (1 - alpha) * acc
+      val expected = new java.math.BigDecimal(java.math.BigDecimal.valueOf(acc)
+          .setScale(10, java.math.RoundingMode.HALF_UP).toString)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r.getAs[Double]("ewma_revenue") === expected,
+        s"day $i: fold ${r.getAs[Double]("ewma_revenue")} != recurrence $expected")
+    }
   }
 
   test("hourly_traffic: key unique, events_per_user >= 1") {
