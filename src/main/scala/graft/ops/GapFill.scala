@@ -26,7 +26,13 @@ object GapFill {
     * @param daily     sparse per-(entity, day) aggregates
     * @param dayCol    date column name in `daily`
     * @param bounds    ONE row with `lo`/`hi` DateType columns (from an
-    *                  aggregate — broadcast, never `.first()`)
+    *                  aggregate — broadcast, never `.first()`).
+    *                  CONTRACT: rows of `daily` whose day falls outside
+    *                  [lo, hi] are EXCLUDED from the output (the spine
+    *                  left-join keeps spine days only) — pass bounds
+    *                  derived from the data itself (min/max aggregate)
+    *                  unless clipping is intended; narrower bounds
+    *                  silently drop measure mass
     * @param zeroFills measure → fill value for days with no row
     * @param locfCols  measures to carry forward (null until an
     *                  entity's first observation) */
