@@ -179,6 +179,9 @@ object SparkEntry {
     // DuckDB-pinnable pass/fail surface (green hash row, not rows-only)
     "q_ewma_daily_revenue" -> ((s, dir) =>
       DailySales.ewmaDailyRevenue(silver(s, dir))),
+    // the distributed (calendar-chunked affine-scan) EWMA, gated on
+    // agreement with the sequential fold — the unbounded-series path
+    "q_ewma_scan_report" -> (graft.ops.EwmaScan.ewmaScanReport _),
     "gold_daily_sales_approx" -> ((s, dir) => DailySales.approxErrorReport(silver(s, dir))),
     "q_unpivot_daily_metrics" -> ((s, dir) =>
       DailySales.unpivotMetrics(DailySales.build(silver(s, dir)))),
@@ -374,6 +377,7 @@ object SparkEntry {
     "gold_daily_sales" -> DailySales.oracleSql,
     "gold_daily_sales_approx" -> DailySales.approxErrorReportSql,
     "q_ewma_daily_revenue" -> DailySales.ewmaDailyRevenueSql,
+    "q_ewma_scan_report" -> graft.ops.EwmaScan.ewmaScanReportSql,
     "gold_user_rfm_segments_scalable" -> RfmSegments.scalableSql,
     "gold_user_rfm_segments_scalable_gate" -> RfmSegments.scalableEquivalenceSql,
     "sim_recall_report" -> graft.sim.EmbeddingSim.recallReportSql,

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Distributed EWMA for unbounded / per-entity series — the scale
+  * path [[graft.marts.DailySales.ewmaDailyRevenue]]'s grain contract
+  * points to when a series outgrows the single-task sequential fold.
+  *
+  * The recurrence e_t = α·x_t + (1−α)·e_{t−1} is affine in the carry,
+  * so any contiguous chunk of the series composes to one affine map
+  * e_out = C + D·e_in with C = the zero-carry fold of the chunk and
+  * D = (1−α)^len — the classic parallel-prefix-over-affine-maps
+  * decomposition (Blelloch scan). We chunk BY CALENDAR PERIOD
+  * (default: year), giving three bounded stages:
+  *
+  *   1. within (entity, chunk): running zero-carry fold c_i and decay
+  *      d_i = (1−α)^i via an ordered window — ≤ 366 rows per task at
+  *      daily grain, whatever the series length;
+  *   2. per entity: compose the ≤ |years| chunk summaries (C, D) in
+  *      chunk order — decades of rows, metadata-sized;
+  *   3. join the carry back and finish e_i = c_i + d_i·carry_in.
+  *
+  * Every window is partitioned (entity, or entity×chunk); nothing is
+  * O(series²) and no single task sees more than one chunk. The seed
+  * e_1 = x_1 is folded in uniformly: carry_in of an entity's FIRST
+  * chunk is x_first, because e_1 = x_1 solves α·x_1 + (1−α)·e_0 = x_1
+  * with e_0 = x_1 — no special-casing inside the fold.
+  *
+  * Numerics: the affine composition reassociates the float ops, so
+  * results agree with the sequential fold to ~1e-12 relative (not
+  * bit-for-bit) — the correctness surface is therefore a GATE report
+  * ([[ewmaScanReport]]) pinning chunked-vs-sequential agreement, the
+  * same pattern as the ANN recall and SemDeDup gates, plus exactness
+  * specs in OpsSpec. Per-period alternatives (quarter, month) only
+  * change the chunk key; agreement across chunkings is part of the
+  * gate.
+  */
+object EwmaScan {
+
+  /** Chunked EWMA of `valueCol` ordered by `orderCol` (a DateType
+    * column) within each entity. Output: entity cols + orderCol +
+    * valueCol + `ewma` (un-rounded double — callers round).
+    *
+    * @param chunkExpr calendar chunk of the order column (default
+    *                  year(orderCol)); chunks must be contiguous,
+    *                  non-overlapping ranges of the order column. */
+  def ewma(df: DataFrame, entityCols: Seq[String], orderCol: String,
+           valueCol: String, alpha: Double = 0.3,
+           chunkExpr: Column => Column = year(_)): DataFrame = {
+    val beta = 1 - alpha
+    val ent = entityCols.map(col)
+    val chunked = df.withColumn("__chunk", chunkExpr(col(orderCol)))
+
+    // stage 1: within-(entity, chunk) running zero-carry fold.
+    // hist is bounded by the chunk (≤ 366 rows at daily grain), so the
+    // O(len²) history window is the benign calendar-bounded class.
+    val wChunk = Window.partitionBy(ent :+ col("__chunk"): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = chunked
+      .withColumn("__hist", collect_list(col(valueCol)).over(wChunk))
+      .withColumn("__pos", size(col("__hist")))
+      .withColumn("__c", aggregate(col("__hist"), lit(0.0),
+        (acc, x) => lit(alpha) * x + lit(beta) * acc))
+      .withColumn("__d", pow(lit(beta), col("__pos")))
+      .drop("__hist")
+
+    // stage 2: per-entity carry scan over chunk summaries (the affine
+    // composition): carry_in(k) = fold of (C_j, D_j) for j < k seeded
+    // with the entity's first value. ≤ |chunks| rows per entity.
+    val wEntChunk = Window.partitionBy(ent: _*).orderBy(col("__chunk"))
+    val summaries = folded
+      .groupBy(ent :+ col("__chunk"): _*)
+      .agg(max_by(struct(col("__c"), col("__d")), col(orderCol)).as("__cd"),
+        min_by(col(valueCol), col(orderCol)).as("__x_first"))
+      .withColumn("__seed", first(col("__x_first")).over(
+        Window.partitionBy(ent: _*).orderBy(col("__chunk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prior", collect_list(col("__cd")).over(
+        wEntChunk.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__carry_in", aggregate(col("__prior"), col("__seed"),
+        (acc, cd) => cd.getField("__c") + cd.getField("__d") * acc))
+      .select(ent ++ Seq(col("__chunk"), col("__carry_in")): _*)
+
+    // stage 3: finish each row from its chunk's carry
+    folded.join(summaries, entityCols :+ "__chunk")
+      .withColumn("ewma", col("__c") + col("__d") * col("__carry_in"))
+      .drop("__chunk", "__pos", "__c", "__d", "__carry_in")
+  }
+
+  /** Single-task sequential fold (the [[graft.marts.DailySales]]
+    * recurrence, optionally per entity) — the agreement baseline. */
+  private def sequential(df: DataFrame, entityCols: Seq[String],
+                         orderCol: String, valueCol: String,
+                         alpha: Double): DataFrame = {
+    val w = Window.partitionBy(entityCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__hist", collect_list(col(valueCol)).over(w))
+      .withColumn("ewma_seq", aggregate(
+        slice(col("__hist"), lit(2), size(col("__hist"))),
+        element_at(col("__hist"), 1),
+        (acc, x) => lit(alpha) * x + lit(1 - alpha) * acc))
+      .drop("__hist")
+  }
+
+  /** Relative-agreement tolerance for the gate: the affine composition
+    * reassociates ~|chunks| float ops, so observed disagreement is
+    * ~1e-14 relative; 1e-9 flags a real recurrence bug, not rounding. */
+  val AgreementTol = 1e-9
+
+  /** Oracle-gated agreement report (the ANN-recall/SemDeDup gate
+    * pattern for float-order-sensitive paths): chunked EWMA must match
+    * the sequential fold on a global AND a per-entity daily series,
+    * and be invariant to the chunking (year vs quarter), all within
+    * [[AgreementTol] relative. Measured maxima go to stderr as the
+    * calibration trail. */
+  def ewmaScanReport(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderdate"))
+      .agg(ConditionalAgg.moneySum(col("o_totalprice")).as("revenue"))
+    val global = daily.groupBy(col("o_orderdate"))
+      .agg(sum(col("revenue")).as("revenue"))
+
+    def maxRelDiff(chunkedDf: DataFrame, seqDf: DataFrame,
+                   keys: Seq[String], as: String): DataFrame =
+      chunkedDf.select((keys.map(col) :+ col("ewma")): _*)
+        .join(seqDf.select((keys.map(col) :+ col("ewma_seq")): _*), keys)
+        .agg(max(abs(col("ewma") - col("ewma_seq")) /
+          greatest(abs(col("ewma_seq")), lit(1.0))).as(as))
+
+    val byQuarter = ewma(global, Seq.empty, "o_orderdate", "revenue",
+      chunkExpr = c => year(c) * 4 + quarter(c))
+      .withColumnRenamed("ewma", "ewma_seq")
+    // ONE 1-row crossJoin of the three audit maxima — a metadata-sized
+    // collect (ArchitectureSpec-allowlisted), giving the calibration
+    // trail in a single job
+    val maxima = maxRelDiff(
+        ewma(global, Seq.empty, "o_orderdate", "revenue"),
+        sequential(global, Seq.empty, "o_orderdate", "revenue", 0.3),
+        Seq("o_orderdate"), "g")
+      .crossJoin(maxRelDiff(
+        ewma(daily, Seq("o_orderpriority"), "o_orderdate", "revenue"),
+        sequential(daily, Seq("o_orderpriority"), "o_orderdate", "revenue", 0.3),
+        Seq("o_orderpriority", "o_orderdate"), "e"))
+      .crossJoin(maxRelDiff(
+        ewma(global, Seq.empty, "o_orderdate", "revenue"),
+        byQuarter, Seq("o_orderdate"), "q"))
+      .collect()(0)
+    val (globalDiff, entityDiff, chunkingDiff) =
+      (maxima.getDouble(0), maxima.getDouble(1), maxima.getDouble(2))
+
+    System.err.println(
+      f"[ewma-scan] global=$globalDiff%.3e entity=$entityDiff%.3e " +
+      f"chunking=$chunkingDiff%.3e tol=$AgreementTol%.1e")
+    import s.implicits._
+    Seq(("ewma_scan_chunk_invariance_year_vs_quarter", AgreementTol, chunkingDiff <= AgreementTol),
+        ("ewma_scan_global_matches_sequential", AgreementTol, globalDiff <= AgreementTol),
+        ("ewma_scan_per_entity_matches_sequential", AgreementTol, entityDiff <= AgreementTol))
+      .toDF("metric", "tolerance", "pass")
+      .orderBy("metric")
+  }
+
+  val ewmaScanReportSql: String =
+    """SELECT * FROM (VALUES
+      |  ('ewma_scan_chunk_invariance_year_vs_quarter', CAST(1e-9 AS DOUBLE), true),
+      |  ('ewma_scan_global_matches_sequential', CAST(1e-9 AS DOUBLE), true),
+      |  ('ewma_scan_per_entity_matches_sequential', CAST(1e-9 AS DOUBLE), true)) AS t(metric, tolerance, pass)
+      |ORDER BY metric""".stripMargin
+}

@@ -36,9 +36,11 @@ class ArchitectureSpec extends AnyFunSuite {
     //   fit (bounded regardless of corpus size — NOT vocabulary-sized)
     // Snapshots: expireSnapshots reads the (version, row_count) manifest
     //   listing — one row per snapshot VERSION, metadata-plane by design
+    // EwmaScan: ONE 1-row crossJoin of the gate report's three audit
+    //   maxima — fixed-size scalars regardless of series length
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
-      "ProductQuantAnn.scala" -> 1,
+      "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 1,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))
