@@ -9,7 +9,7 @@ import graft.text.{Curation, CurationOps}
 class CurationOpsSpec extends AnyFunSuite {
   import TestSession._
 
-  private lazy val docs = Tables.documents(spark, sf).cache()
+  // docs comes cached from TestSession (shared across suites)
   private lazy val verdicts =
     Curation.verdicts(docs, NearDup.jaccardPairs(docs)).cache()
 

@@ -9,8 +9,11 @@ import graft.sources.Tables
 class DedupSimSpec extends AnyFunSuite {
   import TestSession._
 
-  lazy val docs = Tables.documents(spark, sf).cache()
-  lazy val embs = Tables.embeddings(spark, sf).cache()
+  // docs/embs come cached from TestSession (shared across suites)
+
+  private lazy val jacPairs = NearDup.jaccardPairs(docs).cache()
+  private lazy val bruteSel = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
+    .select("probe_id", "vec_id").cache()
 
   test("exact groups partition the corpus") {
     val g = NearDup.exactGroups(docs)
@@ -18,7 +21,7 @@ class DedupSimSpec extends AnyFunSuite {
   }
 
   test("jaccard pairs are symmetric-canonical and above threshold") {
-    val p = NearDup.jaccardPairs(docs).cache()
+    val p = jacPairs
     assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
     assert(p.filter(col("jaccard") < 0.8 || col("jaccard") > 1.0).count() === 0)
     assert(p.filter(col("intersection") > col("size_a") ||
@@ -117,8 +120,7 @@ class DedupSimSpec extends AnyFunSuite {
 
   test("IVF topk: recall vs brute force, k rows per probe, dominated by exact") {
     import graft.sim.IvfAnn
-    val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
-      .select("probe_id", "vec_id").cache()
+    val brute = bruteSel
     val ivf = IvfAnn.ivfTopK(embs, nProbes = 5, k = 3).cache()
     assert(ivf.groupBy("probe_id").count().filter(col("count") > 3).count() === 0)
     val recovered = ivf.select("probe_id", "vec_id")
@@ -160,8 +162,7 @@ class DedupSimSpec extends AnyFunSuite {
     val maxStep = lo.zip(hi).map { case (l, h) => (h - l) / 255.0 }.max
     assert(err <= maxStep / 2 + 1e-6, s"reconstruction error $err > half-step")
     // refined SQ8 search recovers nearly all of the exact top-k
-    val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
-      .select("probe_id", "vec_id").cache()
+    val brute = bruteSel
     val sq8 = ScalarQuantAnn.sq8TopK(embs, nProbes = 5, k = 3)
     val recovered = sq8.select("probe_id", "vec_id")
       .join(brute, Seq("probe_id", "vec_id"), "left_semi").count()
@@ -186,8 +187,7 @@ class DedupSimSpec extends AnyFunSuite {
       s"${(reconVals -- allCentroidVals).size} reconstructed values outside the codebooks")
     // refined PQ search recovers most of the exact top-k, and is
     // dominated by it (exact re-rank can't beat the exact best)
-    val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
-      .select("probe_id", "vec_id").cache()
+    val brute = bruteSel
     val pq = ProductQuantAnn.pqTopK(embs, nProbes = 5, k = 3).cache()
     assert(pq.groupBy("probe_id").count().filter(col("count") > 3).count() === 0)
     val recall = pq.select("probe_id", "vec_id")
@@ -205,8 +205,7 @@ class DedupSimSpec extends AnyFunSuite {
 
   test("IVF-PQ: k rows per probe, dominated by exact, candidates only from probed lists") {
     import graft.sim.{IvfAnn, IvfPqAnn}
-    val brute = EmbeddingSim.bruteForceTopK(embs, nProbes = 5, k = 3)
-      .select("probe_id", "vec_id").cache()
+    val brute = bruteSel
     val cents = IvfAnn.centroids(embs, 16).localCheckpoint()
     val ivfpq = IvfPqAnn.ivfPqTopK(embs, nProbes = 5, k = 3,
       centsOpt = Some(cents)).cache()
@@ -269,7 +268,7 @@ class DedupSimSpec extends AnyFunSuite {
 
   test("crossmodal agreement: one row per text pair with embeddings, flag matches tau") {
     import graft.sim.SemDedup
-    val pairs = NearDup.jaccardPairs(docs).cache()
+    val pairs = jacPairs
     val n = embs.count()
     val expected = pairs.filter(col("doc_a") < n && col("doc_b") < n).count()
     val rep = SemDedup.crossModalAgreement(pairs, embs).cache()

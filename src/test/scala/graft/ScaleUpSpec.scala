@@ -30,7 +30,7 @@ class ScaleUpSpec extends AnyFunSuite {
   }
 
   test("documents: replica 0 verbatim, duplicate structure scales linearly") {
-    val base = Tables.documents(spark, sf).cache()
+    val base = docs  // cached by TestSession
     val big = Tables.documents(spark, dest).cache()
     assert(big.count() === 10 * base.count())
     // replica 0 is the original corpus byte-for-byte
@@ -43,7 +43,7 @@ class ScaleUpSpec extends AnyFunSuite {
   }
 
   test("embeddings: 10x rows, norms preserved, replica 0 verbatim") {
-    val base = Tables.embeddings(spark, sf).cache()
+    val base = embs  // cached by TestSession
     val big = Tables.embeddings(spark, dest).cache()
     assert(big.count() === 10 * base.count())
     assert(big.filter(col("vec_id") < 1000000L)

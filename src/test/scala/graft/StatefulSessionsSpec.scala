@@ -75,7 +75,7 @@ class StatefulSessionsSpec extends AnyFunSuite {
     // identical gap-closed sessions as the v1 operator; timeout-closed
     // sessions may differ only at the watermark boundary, so compare
     // the full tuple on the gap-closed set and membership on the rest
-    val v1 = spark.table("sessions_out").cache()
+    val v1 = spark.table("sessions_out")  // cached by the v1 test above
     def keyed(df: org.apache.spark.sql.DataFrame, by: String) = df
       .filter(col("closed_by") === by)
       .select("user_id", "session_start_sec", "session_end_sec",

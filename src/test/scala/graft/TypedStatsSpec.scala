@@ -9,7 +9,8 @@ class TypedStatsSpec extends AnyFunSuite {
   import TestSession._
 
   test("typed Dataset mart reproduces the relational mart byte-for-byte") {
-    val silver = SilverEvents.build(Tables.events(spark, sf)).cache()
+    // SparkEntry's shared silver is this same plan, already cached
+    val silver = SparkEntry.queries("silver_events")(spark, sf)
     val rel = HourlyTraffic.build(silver)
     val typed = TypedTraffic.build(TypedTraffic.asSilver(silver))
     assert(typed.schema.fields.map(f => f.name -> f.dataType).toMap ===
