@@ -102,17 +102,22 @@ object Bench {
     var reruns = 0
     val results = firstPass.map { case (name, sec) =>
       val p = prev.getOrElse(name, 0.0)
-      if (p > 0.05 && sec > p * 1.3 && sec > 0.3) {
+      val outlier = p > 0.05 && sec > p * 1.3 && sec > 0.3
+      // scale-curve entries ALWAYS get a second measurement: their
+      // board numbers are the sf1 ratio denominators, and a single
+      // noisy first pass there moves the whole curve (r5: ratios
+      // drifted up to 1.7x between two clean solo runs)
+      if (outlier || scaleCurveQueries.contains(name)) {
         val evicted = createdStages.getOrElse(name, Set.empty)
         SparkEntry.evictStages(spark, sfDir, evicted)
         val t0 = System.nanoTime()
         try { materialize(SparkEntry.queries(name)(spark, sfDir)) }
         catch { case _: Throwable => }
         val sec2 = (System.nanoTime() - t0) / 1e9
-        reruns += 1
+        if (outlier) reruns += 1
         val tag = if (evicted.nonEmpty) s" (evicted ${evicted.mkString(",")})" else ""
         System.err.println(
-          f"[bench] outlier re-run $name%-36s $sec%8.2f -> $sec2%8.2f (board: min)$tag")
+          f"[bench] re-run $name%-36s $sec%8.2f -> $sec2%8.2f (board: min)$tag")
         name -> math.min(sec, sec2)
       } else name -> sec
     }
