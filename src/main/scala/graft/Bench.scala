@@ -18,6 +18,21 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
+  /** Settle outstanding page-cache writeback before a timed run: the
+    * write-heavy queries (serving sink, compaction, z-order) leave GBs
+    * of dirty pages behind, and the kernel bills the flush to whoever
+    * writes NEXT — r6 observed the same sf1 query at 9.96s then 18.18s
+    * back-to-back purely from accumulated writeback debt. A sync
+    * outside the timing window makes measurements start from the same
+    * clean-disk state. Best effort: if the binary is missing the
+    * timings are simply noisier, as before. */
+  private def settleDisk(): Unit =
+    try {
+      val p = new ProcessBuilder("sync").start()
+      p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    } catch { case _: Throwable => }
+
   /** Previous-board queries map for the outlier re-run guard. Source
     * order: `SPARK_GRAFT_PREV` (explicit baseline file), else the
     * repo's last `BENCH_FULL.json` (the complete committed board),
@@ -92,6 +107,7 @@ object Bench {
     val createdStages = scala.collection.mutable.Map.empty[String, Set[String]]
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val before = SparkEntry.stageNames(spark, sfDir)
+      settleDisk()
       val t0 = System.nanoTime()
       try { materialize(fn(spark, sfDir)) } catch { case _: Throwable => }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -110,6 +126,7 @@ object Bench {
       if (outlier || scaleCurveQueries.contains(name)) {
         val evicted = createdStages.getOrElse(name, Set.empty)
         SparkEntry.evictStages(spark, sfDir, evicted)
+        settleDisk()
         val t0 = System.nanoTime()
         try { materialize(SparkEntry.queries(name)(spark, sfDir)) }
         catch { case _: Throwable => }
@@ -204,6 +221,7 @@ object Bench {
         try {
           def timedRun(): (Double, Set[String]) = {
             val before = SparkEntry.stageNames(spark, dest)
+            settleDisk()
             val t0 = System.nanoTime()
             materialize(SparkEntry.queries(name)(spark, dest))
             val sec = (System.nanoTime() - t0) / 1e9
