@@ -125,17 +125,25 @@ object Bench {
       // drifted up to 1.7x between two clean solo runs)
       if (outlier || scaleCurveQueries.contains(name)) {
         val evicted = createdStages.getOrElse(name, Set.empty)
-        SparkEntry.evictStages(spark, sfDir, evicted)
-        settleDisk()
-        val t0 = System.nanoTime()
-        try { materialize(SparkEntry.queries(name)(spark, sfDir)) }
-        catch { case _: Throwable => }
-        val sec2 = (System.nanoTime() - t0) / 1e9
+        def once(): Double = {
+          SparkEntry.evictStages(spark, sfDir, evicted)
+          settleDisk()
+          val t0 = System.nanoTime()
+          try { materialize(SparkEntry.queries(name)(spark, sfDir)) }
+          catch { case _: Throwable => }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sec2 = once()
+        // sub-second entries are dominated by scheduling granularity —
+        // one more sample, min-of-3 (that noise is one-sided)
+        val best = if (math.min(sec, sec2) < 1.0) {
+          math.min(math.min(sec, sec2), once())
+        } else math.min(sec, sec2)
         if (outlier) reruns += 1
         val tag = if (evicted.nonEmpty) s" (evicted ${evicted.mkString(",")})" else ""
         System.err.println(
-          f"[bench] re-run $name%-36s $sec%8.2f -> $sec2%8.2f (board: min)$tag")
-        name -> math.min(sec, sec2)
+          f"[bench] re-run $name%-36s $sec%8.2f -> $sec2%8.2f (board: $best%.2f)$tag")
+        name -> best
       } else name -> sec
     }
     val loadEnd = osBean.getSystemLoadAverage
@@ -230,8 +238,16 @@ object Bench {
           val (s1, created) = timedRun()
           SparkEntry.evictStages(spark, dest, created)
           val (s2, _) = timedRun()
+          // agreement → min; disagreement → median-of-3 arbiter;
+          // sub-second → min-of-3 (scheduling-granularity noise is
+          // one-sided, and a median of three ~0.1s samples is still
+          // granularity, not signal)
           val sec =
-            if (math.max(s1, s2) <= math.min(s1, s2) * 1.3) math.min(s1, s2)
+            if (math.min(s1, s2) < 1.0) {
+              SparkEntry.evictStages(spark, dest, created)
+              val (s3, _) = timedRun()
+              Seq(s1, s2, s3).min
+            } else if (math.max(s1, s2) <= math.min(s1, s2) * 1.3) math.min(s1, s2)
             else {
               SparkEntry.evictStages(spark, dest, created)
               val (s3, _) = timedRun()
