@@ -118,11 +118,16 @@ object EwmaScan {
     * [[AgreementTol] relative. Measured maxima go to stderr as the
     * calibration trail. */
   def ewmaScanReport(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the tiny aggregated panels (|priorities|×|dates| and
+    // |dates| rows): five audit frames read them, and without the
+    // checkpoint each one re-scans and re-aggregates the orders table
     val daily = Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"), col("o_orderdate"))
       .agg(ConditionalAgg.moneySum(col("o_totalprice")).as("revenue"))
+      .localCheckpoint()
     val global = daily.groupBy(col("o_orderdate"))
       .agg(sum(col("revenue")).as("revenue"))
+      .localCheckpoint()
 
     def maxRelDiff(chunkedDf: DataFrame, seqDf: DataFrame,
                    keys: Seq[String], as: String): DataFrame =
@@ -134,11 +139,14 @@ object EwmaScan {
     val byQuarter = ewma(global, Seq.empty, "o_orderdate", "revenue",
       chunkExpr = c => year(c) * 4 + quarter(c))
       .withColumnRenamed("ewma", "ewma_seq")
+    // the year-chunked global frame feeds BOTH comparisons — build once
+    val chunkedGlobal = ewma(global, Seq.empty, "o_orderdate", "revenue")
+      .localCheckpoint()
     // ONE 1-row crossJoin of the three audit maxima — a metadata-sized
     // collect (ArchitectureSpec-allowlisted), giving the calibration
     // trail in a single job
     val maxima = maxRelDiff(
-        ewma(global, Seq.empty, "o_orderdate", "revenue"),
+        chunkedGlobal,
         sequential(global, Seq.empty, "o_orderdate", "revenue", 0.3),
         Seq("o_orderdate"), "g")
       .crossJoin(maxRelDiff(
@@ -146,7 +154,7 @@ object EwmaScan {
         sequential(daily, Seq("o_orderpriority"), "o_orderdate", "revenue", 0.3),
         Seq("o_orderpriority", "o_orderdate"), "e"))
       .crossJoin(maxRelDiff(
-        ewma(global, Seq.empty, "o_orderdate", "revenue"),
+        chunkedGlobal,
         byQuarter, Seq("o_orderdate"), "q"))
       .collect()(0)
     val (globalDiff, entityDiff, chunkingDiff) =
