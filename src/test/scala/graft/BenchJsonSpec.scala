@@ -42,4 +42,27 @@ class BenchJsonSpec extends AnyFunSuite {
     val line = Bench.benchJson(worst, 9999.999, "/root/testdata/sf0.1", tmpFull)
     assert(line.length + 100 <= 2000, s"line was ${line.length} chars")
   }
+
+  // The robust sampling policy is shared by the base board's
+  // scale-curve entries and the sf1 curve — the sf1 ratio's numerator
+  // and denominator must carry the same noise discipline (r6: two
+  // clean boards agreed on sf1 absolute times yet disagreed on ratios
+  // because only the denominators drifted).
+  test("robustSec: small entries always take a third sample, min-of-3") {
+    var calls = 0
+    val sec = Bench.robustSec(1.8, 1.5, () => { calls += 1; 1.2 })
+    assert(calls == 1 && sec == 1.2)
+  }
+
+  test("robustSec: agreeing samples >=2s take the min, no third run") {
+    var calls = 0
+    val sec = Bench.robustSec(5.0, 4.2, () => { calls += 1; 0.0 })
+    assert(calls == 0 && sec == 4.2)
+  }
+
+  test("robustSec: disagreeing samples >=2s arbitrate with median-of-3") {
+    var calls = 0
+    val sec = Bench.robustSec(9.0, 4.0, () => { calls += 1; 4.3 })
+    assert(calls == 1 && sec == 4.3)
+  }
 }
