@@ -248,6 +248,7 @@ object SparkEntry {
     "q_idle_wealthy_customers" -> (TpchHeavyQueries.idleWealthyCustomers _),
     "q_major_suppliers" -> ((s, dir) => TpchHeavyQueries.majorSuppliers(s, dir)),
     "q_volume_shipping" -> (TpchTradeQueries.volumeShippingQuery _),
+    "q_bloom_prune_revenue" -> (graft.ops.BloomJoin.bloomPruneRevenue _),
     "q_order_line_arrays" -> (ArrayFunQueries.orderLineArrays _),
     "q_market_share" -> (TpchTradeQueries.marketShareQuery _),
     "q_promo_revenue" -> (TpchTradeQueries.promoRevenue _),
@@ -439,6 +440,7 @@ object SparkEntry {
     "q_idle_wealthy_customers" -> TpchHeavyQueries.idleWealthyCustomersSql,
     "q_major_suppliers" -> TpchHeavyQueries.majorSuppliersSql,
     "q_volume_shipping" -> TpchTradeQueries.volumeShippingSql,
+    "q_bloom_prune_revenue" -> graft.ops.BloomJoin.bloomPruneRevenueSql,
     "q_order_line_arrays" -> ArrayFunQueries.orderLineArraysSql,
     "q_market_share" -> TpchTradeQueries.marketShareSql,
     "q_promo_revenue" -> TpchTradeQueries.promoRevenueSql,

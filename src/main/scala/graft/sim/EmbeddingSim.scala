@@ -190,20 +190,25 @@ object EmbeddingSim {
     * for fixed data + seeds, so the oracle pins (method, floor, true)
     * and a recall regression turns the row red in CORRECTNESS.
     * Floors are measured-minus-margin on the driver testdata
-    * (near-random unit vectors, the hardest quantizer regime); the
+    * (near-random unit vectors, the hardest quantizer regime), and
+    * must survive DATA-SEED wobble — the driver regenerates the corpus
+    * each round, and round 6 caught PQ at 0.66 on one seed where the
+    * calibration seed gave 0.80 (same code, same SF). The
     * `[ann-recall]` stderr lines are the calibration trail. Measured
-    * at sf0.001/0.01/0.1: ivf 0.88/0.92/1.00, ivfpq 0.88/0.92/0.96,
-    * pq 0.88/1.00/0.80, sq8 1.00 everywhere, lsh 0.40/0.56/0.34.
-    * ivf/ivfpq/pq get floor 0.70 (~20 % under their 0.88 min — a
-    * centroid/codebook regression trips them, seed wobble doesn't);
-    * sq8 0.85 (refine re-rank is near-exact); lsh keeps 0.30 — its
-    * sf0.1 measurement is already 0.34, so 0.30 IS measured-minus-
-    * margin for LSH (random hyperplanes on near-random vectors are the
-    * scheme's worst case; the floor only catches a banding bug, which
-    * drops recall to ~0). Tighter empirical bounds live in
-    * DedupSimSpec. */
+    * at sf0.001/0.01/0.1 after the round-7 retune (pq refine 16→48,
+    * iters 2→4; ivfpq refine 16→32): ivf 0.88/0.92/1.00,
+    * ivfpq 0.88/0.92/1.00, pq 1.00/1.00/0.98, sq8 1.00 everywhere,
+    * lsh 0.40/0.56/0.34 (seed-dependent, 0.56 on the r6 seed).
+    * ivf/ivfpq keep floor 0.70 (~20 % under their 0.88 min); pq gets
+    * 0.75 (≥23 % under its 0.98 min — the retune tripled the re-rank
+    * candidate pool precisely so one bad data seed cannot reach the
+    * floor); sq8 0.85 (refine re-rank is near-exact); lsh keeps 0.30 —
+    * random hyperplanes on near-random vectors are the scheme's worst
+    * case and its measured range brushes 0.34, so the floor only
+    * catches a banding bug, which drops recall to ~0. Tighter
+    * empirical bounds live in DedupSimSpec. */
   val annFloors: Seq[(String, Double)] = Seq(
-    "ivf" -> 0.70, "ivfpq" -> 0.70, "lsh" -> 0.30, "pq" -> 0.70, "sq8" -> 0.85)
+    "ivf" -> 0.70, "ivfpq" -> 0.70, "lsh" -> 0.30, "pq" -> 0.75, "sq8" -> 0.85)
 
   def recallReport(s: SparkSession, dir: String): DataFrame =
     recallReportWith(s, bruteForceTopKQuery(s, dir), Map(

@@ -51,7 +51,7 @@ object IvfPqAnn {
     * guaranteed bit-identical — the spec's list-membership audit
     * passes the same frame it checks against). */
   def ivfPqTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
-                nClusters: Int = 16, nprobe: Int = 4, refine: Int = 16,
+                nClusters: Int = 16, nprobe: Int = 4, refine: Int = 32,
                 iters: Int = 2, trainSampleMod: Int = 4,
                 centsOpt: Option[DataFrame] = None): DataFrame = {
     val cents = centsOpt.getOrElse(

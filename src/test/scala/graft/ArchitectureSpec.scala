@@ -67,8 +67,11 @@ class ArchitectureSpec extends AnyFunSuite {
   test("no driver-side row loops: first()/head() absent from the data plane") {
     // Incremental reads its watermark via a broadcast 1-row join, not first()
     // ServingSink: one 4-double min/max stats row for the z-order key bounds
+    // BloomJoin: the serialized Bloom sketch (optimalNumBits/8 bytes —
+    //   broadcast state, same class as trained ANN codebooks)
     assert(offenders(".first()", Map.empty).isEmpty)
-    assert(offenders(".head()", Map("ServingSink.scala" -> 1)).isEmpty)
+    assert(offenders(".head()",
+      Map("ServingSink.scala" -> 1, "BloomJoin.scala" -> 1)).isEmpty)
   }
 
   test("silver cache is evictable per session (no unbounded growth)") {

@@ -139,6 +139,17 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition profile is map-only: no aggregation or join exchange") {
+    // every stat is per-document, so the only Exchange the plan may
+    // contain is the range exchange of the final presentation ORDER BY
+    // — a hash-partitioned exchange means a groupBy/join crept back in
+    val p = plan("text_repetition_profile")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"repetition profile shuffles the gram stream again:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"repetition profile re-grew a grouped aggregation:\n$p")
+  }
+
   test("semdedup pair generation is an equi-join on (centroid, salt), never all-pairs") {
     import graft.sources.Tables
     val p = analyzedPlan(
