@@ -25,15 +25,24 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `events` with `ts` restored to TimestampType (µs). Floor-division
-    * ns→µs matches DuckDB's parquet ns→µs truncation, so oracle
-    * comparisons stay exact. */
+  /** `events` with `ts` normalized to TimestampType (µs) whatever the
+    * file carries. TIMESTAMP(NANOS) files arrive as long via the conf
+    * above — floor-division ns→µs matches DuckDB's parquet ns→µs
+    * truncation, so oracle comparisons stay exact. TIMESTAMP(MICROS)
+    * files (the regenerated driver testdata) arrive as TIMESTAMP_NTZ —
+    * cast to TimestampType under the UTC session (same instants),
+    * because the whole query surface was built against TimestampType
+    * and NTZ forbids the epoch casts (`cast(ts AS bigint)`,
+    * `unix_micros`) the sessionize/as-of family relies on. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -150,6 +150,18 @@ class PlanContractSpec extends AnyFunSuite {
       s"repetition profile re-grew a grouped aggregation:\n$p")
   }
 
+  test("bloom prune runs scan-side: membership probe below the join, no false-negative path") {
+    // the might_contain pre-filter must sit in the lineitem scan's
+    // Filter (pruning BEFORE the exchange/join), not above the join
+    val p = plan("q_bloom_prune_revenue")
+    assert(p.contains("might_contain"),
+      s"bloom membership probe missing from the physical plan:\n$p")
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "bloom probe did not plan below the join (formatted plans list children after parents)")
+  }
+
   test("semdedup pair generation is an equi-join on (centroid, salt), never all-pairs") {
     import graft.sources.Tables
     val p = analyzedPlan(

@@ -124,6 +124,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(good.agg(sum(col("value"))).head().getDouble(0) === 29.5)
   }
 
+  test("events.ts is always TimestampType, whatever the file carries") {
+    // The driver's testdata has shipped ts as TIMESTAMP(NANOS) (read
+    // as long, converted) and as TIMESTAMP(MICROS) (read as
+    // TIMESTAMP_NTZ, cast) — the query surface is built against
+    // TimestampType epoch casts, so Tables.events must normalize both
+    // regimes. Round-7 regression: the micros regen broke
+    // q_sessionize/q_asof_nearest_signup with DATATYPE_MISMATCH.
+    val ts = graft.sources.Tables.events(spark, sf).schema("ts").dataType
+    assert(ts === org.apache.spark.sql.types.TimestampType,
+      s"events.ts surfaced as $ts")
+  }
+
   test("local-rows source (S4): literal rows become a typed DataFrame") {
     val df = Seq((1L, "view", 9.5), (2L, "purchase", 20.0))
       .toDF("event_id", "event_type", "value")
