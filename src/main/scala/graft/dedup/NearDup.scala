@@ -57,18 +57,38 @@ object NearDup {
   /** Incremental exact dedup — dedupe an arriving batch against the
     * already-ingested corpus WITHOUT rescanning corpus text: the
     * history side reduces to its distinct fingerprint set (the running
-    * dedup INDEX a 100 TB pipeline maintains between deliveries — or a
-    * bloom pre-filter in front of it), the batch first dedupes within
-    * itself (min doc_id per fingerprint, counting suppressed copies),
-    * then anti-joins the index. Two hash aggregations + one anti join,
-    * all keyed on the 32-char fingerprint — text never moves twice. */
-  def incrementalDedup(history: DataFrame, newBatch: DataFrame): DataFrame = {
+    * dedup INDEX a 100 TB pipeline maintains between deliveries), the
+    * batch first dedupes within itself (min doc_id per fingerprint,
+    * counting suppressed copies), then anti-joins the index. Two hash
+    * aggregations + one anti join, all keyed on the 32-char
+    * fingerprint — text never moves twice.
+    *
+    * With `bloomFpp` set (the default), the index scan is additionally
+    * pruned by a Bloom filter of the BATCH keys before the
+    * distinct/anti-join shuffles — the "bloom pre-filter in front of
+    * the index" a 100 TB pipeline runs, since the index is
+    * corpus-sized while a delivery is not. The result stays EXACT for
+    * any fpp: a false positive only retains an index row that then
+    * matches nothing, and false negatives are impossible, so no true
+    * duplicate can slip through ([[graft.ops.BloomJoin]]; parity with
+    * the unpruned form is spec-asserted). */
+  def incrementalDedup(history: DataFrame, newBatch: DataFrame,
+                       bloomFpp: Option[Double] = Some(0.01)): DataFrame = {
     def fp(df: DataFrame) = df.withColumn("fingerprint", fingerprintCol(col("text")))
-    val seen = fp(history).select("fingerprint").distinct()
-    fp(newBatch)
+    val batch0 = fp(newBatch)
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"))
-      .join(seen, Seq("fingerprint"), "left_anti")
+    val index = fp(history).select("fingerprint")
+    val (batch, seen) = bloomFpp match {
+      case Some(fpp) =>
+        // materialize the (small) batch aggregate once: the bloom
+        // build sizes + sketches it, then the anti-join probes it
+        val b = batch0.localCheckpoint()
+        (b, graft.ops.BloomJoin.prune(
+          index, col("fingerprint"), b, col("fingerprint"), fpp).distinct())
+      case None => (batch0, index.distinct())
+    }
+    batch.join(seen, Seq("fingerprint"), "left_anti")
       .select("doc_id", "fingerprint", "batch_copies")
       .orderBy(col("doc_id"))
   }

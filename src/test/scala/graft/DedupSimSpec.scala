@@ -291,6 +291,19 @@ class DedupSimSpec extends AnyFunSuite {
     assert(out === Map(11L -> 2L, 13L -> 1L))
   }
 
+  test("incremental dedup: bloom-pruned index path is exactly the unpruned path") {
+    // the bloom pre-filter may keep extra index rows (fp) but never
+    // drop a matching one, so the anti-join output must be identical —
+    // asserted on the real corpus split, not a toy
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val pruned = NearDup.incrementalDedup(hist, batch)
+    val plain = NearDup.incrementalDedup(hist, batch, bloomFpp = None)
+    assert(pruned.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(pruned).count() === 0)
+  }
+
   test("semdedup: exact-duplicate vectors are dropped, one survivor each") {
     import spark.implicits._
     import graft.sim.SemDedup
