@@ -108,65 +108,36 @@ object QualityFilters {
     * informative family members here.
     *
     * Shape: MAP-ONLY — every stat is per-document, so nothing needs a
-    * shuffle. Per row each n-gram array is sorted and one `aggregate`
-    * fold over the sorted array computes the run-length stats (distinct
-    * grams, top-gram count, duplicate-gram occurrences) in a single
-    * pass; totals come from `size(tokens)`. The sorted array is
-    * referenced exactly once (the fold IS the single consumer), so no
-    * expensive subtree is duplicated in the projection. This replaces
-    * the former explode + two grouped aggs, which shuffled the whole
-    * gram stream twice — at corpus scale the profile is embarrassingly
-    * parallel and this plan keeps it that way: the only Exchange left
-    * is the final presentation ORDER BY (no hash exchange, no grouped
-    * aggregation — spec-pinned in PlanContractSpec). No UDFs, no
-    * windows. */
+    * shuffle — and the per-row kernel is ONE native codegen'd
+    * expression ([[org.apache.spark.sql.graftext.NgramStats]]): a
+    * single hash-count pass per document computes (distinct, top, dup)
+    * for n ∈ {1,2,3} in O(total grams), no sort, no per-gram
+    * allocation beyond the gram keys; totals derive from
+    * `size(tokens)`. This replaces the former explode + two grouped
+    * aggs, which shuffled the whole gram stream twice — at corpus
+    * scale the profile is embarrassingly parallel and this plan keeps
+    * it that way: the only Exchange left is the final presentation
+    * ORDER BY (no hash exchange, no grouped aggregation — spec-pinned
+    * in PlanContractSpec). No UDFs, no windows. */
   def repetitionProfile(documents: DataFrame): DataFrame = {
-    def ngrams(n: Int) = when(size(col("__toks")) >= n,
-      transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(col("__toks"), i + j)): _*)))
-      .otherwise(typedLit(Seq.empty[String]))
-    // One pass over a SORTED gram array: equal grams are adjacent, so
-    // run lengths are gram counts. State: (prev gram, open-run length,
-    // closed-run count, best closed run, dup occurrences). Runs close
-    // when the gram changes; the finish lambda closes the last run.
-    def runStats(sorted: Column): Column = {
-      val zero = struct(
-        lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("distinct"), lit(0L).as("top"), lit(0L).as("dup"))
-      def closed(acc: Column, f: (Column, Column) => Column): Column =
-        f(greatest(acc.getField("top"), acc.getField("run")),
-          acc.getField("dup") + when(acc.getField("run") >= 2,
-            acc.getField("run")).otherwise(lit(0L)))
-      aggregate(sorted, zero,
-        (acc, x) => when(acc.getField("prev") === x,
-            struct(x.as("prev"), (acc.getField("run") + 1).as("run"),
-              acc.getField("distinct").as("distinct"),
-              acc.getField("top").as("top"), acc.getField("dup").as("dup")))
-          .otherwise(closed(acc, (top, dup) =>
-            struct(x.as("prev"), lit(1L).as("run"),
-              (acc.getField("distinct") + 1).as("distinct"),
-              top.as("top"), dup.as("dup")))),
-        acc => closed(acc, (top, dup) =>
-          struct(acc.getField("distinct").as("distinct"),
-            top.as("top"), dup.as("dup"))))
-    }
+    import org.apache.spark.sql.graftext.NgramStats.ngramStats
+    def stat(n: Int, field: String) =
+      element_at(col("__ns"), n).getField(field)
     documents
       .withColumn("__toks", TextAnalysis.tokensCol(col("text")))
       // the previous explode-based plan dropped zero-token docs (explode
       // of an empty array emits no rows), as does the oracle — keep that
       .filter(size(col("__toks")) > 0)
-      .withColumn("__s1", runStats(array_sort(col("__toks"))))
-      .withColumn("__s2", runStats(array_sort(ngrams(2))))
-      .withColumn("__s3", runStats(array_sort(ngrams(3))))
+      .withColumn("__ns", ngramStats(col("__toks"), 3))
       .withColumn("__t1", size(col("__toks")).cast("long"))
       .withColumn("__t2", greatest(size(col("__toks")) - 1, lit(0)).cast("long"))
       .withColumn("__t3", greatest(size(col("__toks")) - 2, lit(0)).cast("long"))
       .select(col("doc_id"),
         col("__t1").as("token_count"),
-        ConditionalAgg.ratio(col("__s1.distinct"), col("__t1"), 4).as("type_token_ratio"),
-        ConditionalAgg.ratio(col("__s1.top"), col("__t1"), 4).as("top_word_share"),
-        ConditionalAgg.ratio(col("__s2.dup"), col("__t2"), 4).as("dup_2gram_frac"),
-        ConditionalAgg.ratio(col("__s3.top"), col("__t3"), 4).as("top_3gram_share"))
+        ConditionalAgg.ratio(stat(1, "distinct"), col("__t1"), 4).as("type_token_ratio"),
+        ConditionalAgg.ratio(stat(1, "top"), col("__t1"), 4).as("top_word_share"),
+        ConditionalAgg.ratio(stat(2, "dup"), col("__t2"), 4).as("dup_2gram_frac"),
+        ConditionalAgg.ratio(stat(3, "top"), col("__t3"), 4).as("top_3gram_share"))
       .orderBy(col("doc_id"))
   }
 

@@ -22,6 +22,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cmp.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("native ngram_stats: hash-count pass matches hand-computed gram stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftext.NgramStats.ngramStats
+    // "a b a b a": unigrams a×3 b×2 → distinct 2, top 3, dup 5;
+    // 2-grams "a b"×2 "b a"×2 → distinct 2, top 2, dup 4;
+    // 3-grams "a b a"×2 "b a b"×1 → distinct 2, top 2, dup 2
+    val rows = Seq(
+      Seq("a", "b", "a", "b", "a"),
+      Seq("x"),           // single token: no 2/3-grams → zeros
+      Seq.empty[String])  // empty: all zeros
+      .toDF("toks")
+      .select(ngramStats(col("toks"), 3).as("ns"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    assert(rows(0) === Seq((2L, 3L, 5L), (2L, 2L, 4L), (2L, 2L, 2L)))
+    assert(rows(1) === Seq((1L, 1L, 0L), (0L, 0L, 0L), (0L, 0L, 0L)))
+    assert(rows(2) === Seq((0L, 0L, 0L), (0L, 0L, 0L), (0L, 0L, 0L)))
+  }
+
+  test("native ngram_stats matches the declarative explode+groupBy formulation on the corpus") {
+    import org.apache.spark.sql.graftext.NgramStats.ngramStats
+    // ≥ 2 tokens so the explode side emits a row for every doc (a
+    // 1-token doc has zero 2-grams and would be absent from the
+    // grouped side but present, zero-valued, on the native side)
+    val docs = Tables.documents(spark, sf).limit(200)
+      .withColumn("__toks", graft.text.TextAnalysis.tokensCol(col("text")))
+      .filter(size(col("__toks")) > 1)
+    val native = docs.select(col("doc_id"),
+      element_at(ngramStats(col("__toks"), 2), 2).as("s2"))
+      .select(col("doc_id"), col("s2.distinct").as("d"),
+        col("s2.top").as("t"), col("s2.dup").as("u"))
+    val grams = docs.select(col("doc_id"), explode(
+        when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat_ws(" ", element_at(col("__toks"), i),
+              element_at(col("__toks"), i + 1))))
+          .otherwise(typedLit(Seq.empty[String]))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("d"), max(col("c")).as("t"),
+        sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("u"))
+    assert(native.exceptAll(grams).count() === 0)
+    assert(grams.exceptAll(native).count() === 0)
+  }
+
   test("native cosine_sim: self-similarity 1.0, zero-vector guard") {
     import spark.implicits._
     val v = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
