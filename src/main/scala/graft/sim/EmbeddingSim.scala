@@ -197,12 +197,15 @@ object EmbeddingSim {
     * `[ann-recall]` stderr lines are the calibration trail. Measured
     * at sf0.001/0.01/0.1 after the round-7 retune (pq refine 16→48,
     * iters 2→4; ivfpq refine 16→32): ivf 0.88/0.92/1.00,
-    * ivfpq 0.88/0.92/1.00, pq 1.00/1.00/0.98, sq8 1.00 everywhere,
-    * lsh 0.40/0.56/0.34 (seed-dependent, 0.56 on the r6 seed).
-    * ivf/ivfpq keep floor 0.70 (~20 % under their 0.88 min); pq gets
-    * 0.75 (≥23 % under its 0.98 min — the retune tripled the re-rank
-    * candidate pool precisely so one bad data seed cannot reach the
-    * floor); sq8 0.85 (refine re-rank is near-exact); lsh keeps 0.30 —
+    * ivfpq 0.88/0.92/1.00, pq 1.00/1.00/0.88–0.98 (the spread at one
+    * SF is Lloyd float-fold wobble — codebooks differ slightly across
+    * input partitionings, the documented shapes-only caveat), sq8
+    * 1.00 everywhere, lsh 0.40/0.56/0.34 (seed-dependent, 0.56 on the
+    * r6 seed). ivf/ivfpq keep floor 0.70 (~20 % under their 0.88
+    * min); pq gets 0.75 (~15 % under its 0.88 min across seeds AND
+    * fold orders — the retune tripled the re-rank candidate pool
+    * precisely so one bad seed cannot reach the floor);
+    * sq8 0.85 (refine re-rank is near-exact); lsh keeps 0.30 —
     * random hyperplanes on near-random vectors are the scheme's worst
     * case and its measured range brushes 0.34, so the floor only
     * catches a banding bug, which drops recall to ~0. Tighter
