@@ -280,6 +280,7 @@ object SparkEntry {
       .orderBy(org.apache.spark.sql.functions.col("doc_a"),
         org.apache.spark.sql.functions.col("doc_b"))),
     "dedup_fuzzy_parts" -> ((s, dir) => graft.dedup.FuzzyMatch.fuzzyPartPairs(s, dir)),
+    "dedup_fuzzy_parts_jw" -> ((s, dir) => graft.dedup.FuzzyMatch.jwPartPairs(s, dir)),
     "dedup_gate_report" -> ((s, dir) => graft.dedup.NearDup.gateReportWith(
       s, dupPairs(s, dir), minhashPairs(s, dir), simhashPairs(s, dir))),
     "dedup_apply_keeplist" -> ((s, dir) => graft.dedup.NearDup.applyKeepList(
@@ -462,6 +463,7 @@ object SparkEntry {
     // the star-contraction CC must produce byte-identical components
     "dedup_clusters_star" -> graft.dedup.NearDup.clustersSql,
     "dedup_fuzzy_parts" -> graft.dedup.FuzzyMatch.fuzzyPartPairsSql,
+    "dedup_fuzzy_parts_jw" -> graft.dedup.FuzzyMatch.jwPartPairsSql,
     "dedup_gate_report" -> graft.dedup.NearDup.gateReportSql,
     "dedup_apply_keeplist" -> graft.dedup.NearDup.dedupedCorpusSql,
     "dedup_crossmodal" -> graft.sim.SemDedup.crossModalAgreementSql,

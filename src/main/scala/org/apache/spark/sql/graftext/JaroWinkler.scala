@@ -1,0 +1,103 @@
+package org.apache.spark.sql.graftext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Jaro-Winkler similarity — the canonical record-linkage /
+  * entity-resolution scorer (Winkler 1990, public method), as a
+  * codegen'd Catalyst expression: Spark ships `levenshtein` but no
+  * Jaro-Winkler, while the comparison oracle (DuckDB
+  * `jaro_winkler_similarity`, RapidFuzz-derived) does — this
+  * implementation matches it bit-for-bit on the standard parameters
+  * (prefix weight 0.1, boost threshold 0.7, prefix cap 4; verified
+  * pairwise on the corpus, see FuzzyMatchSpec/JW oracle query).
+  *
+  * Semantics: Jaro similarity from the classic matching-window pass
+  * (window = max(|a|,|b|)/2 − 1), transpositions = half the
+  * out-of-order matches; the Winkler prefix boost applies only when
+  * jaro > 0.7. Comparison is per UTF-16 code unit on the decoded
+  * strings (ASCII part names in the corpus — identical under any
+  * unit). O(|a|·|b|) worst case per pair, designed to run INSIDE a
+  * blocked self-join ([[graft.dedup.FuzzyMatch]]), never all-pairs. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.similarity(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graftext.JaroWinkler.similarity($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+
+  val PrefixWeight = 0.1
+  val BoostThreshold = 0.7
+  val PrefixCap = 4
+
+  /** Static kernel shared by eval and generated code. */
+  def similarity(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val ma = new Array[Boolean](la)
+    val mb = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+          ma(i) = true; mb(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t) / md) / 3.0
+    if (jaro > BoostThreshold) {
+      var l = 0
+      val cap = math.min(PrefixCap, math.min(la, lb))
+      while (l < cap && a.charAt(l) == b.charAt(l)) l += 1
+      jaro + l * PrefixWeight * (1.0 - jaro)
+    } else jaro
+  }
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaroWinkler(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

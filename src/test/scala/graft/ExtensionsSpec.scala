@@ -67,6 +67,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(grams.exceptAll(native).count() === 0)
   }
 
+  test("native jaro_winkler: published reference pairs, symmetry, identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftext.JaroWinkler.jaroWinkler
+    // Winkler's classic examples (published reference values)
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611), ("DWAYNE", "DUANE", 0.8400),
+      ("DIXON", "DICKSONX", 0.8133), ("same", "same", 1.0),
+      ("", "", 1.0), ("abc", "", 0.0), ("abc", "xyz", 0.0))
+    val got = cases.toDF("a", "b", "want")
+      .select(col("want"), round(jaroWinkler(col("a"), col("b")), 4).as("got"),
+        round(jaroWinkler(col("b"), col("a")), 4).as("rev"))
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(0)) < 1e-9, r.toString)
+      assert(r.getDouble(1) === r.getDouble(2), s"asymmetric: $r")
+    }
+  }
+
   test("native cosine_sim: self-similarity 1.0, zero-vector guard") {
     import spark.implicits._
     val v = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),

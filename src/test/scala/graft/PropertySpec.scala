@@ -27,6 +27,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngram_stats agrees with a naive Scala reference on random token arrays") {
+    import org.apache.spark.sql.graftext.NgramStats.ngramStats
+    // small alphabet forces heavy gram collisions — the interesting regime
+    val tokGen = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "ab"))
+    val cases = samples(tokGen, 25) :+ List.empty[String] :+ List("solo")
+    def ref(toks: Seq[String], n: Int): (Long, Long, Long) = {
+      val counts = toks.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq.groupBy(identity).map(_._2.size.toLong)
+      (counts.size.toLong,
+        if (counts.isEmpty) 0L else counts.max,
+        counts.filter(_ >= 2).sum)
+    }
+    val got = cases.toDF("toks")
+      .select(ngramStats(col("toks"), 3).as("ns"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    cases.zip(got).foreach { case (toks, stats) =>
+      (1 to 3).foreach { n =>
+        assert(stats(n - 1) === ref(toks, n),
+          s"n=$n mismatch for ${toks.take(10)}...")
+      }
+    }
+  }
+
   test("time-of-day bucketing is total over all 24 hours") {
     val df = (0 to 23).toDF("h").withColumn("tod", graft.ops.Bucketize.timeOfDay(col("h")))
     assert(df.filter(col("tod").isNull).count() === 0)
