@@ -372,11 +372,27 @@ object NearDup {
     * `doc_id % evalMod == 0` slice); its shingle frame broadcasts, so
     * the contamination check is a broadcast semi-join over the
     * training shingle stream — no shuffle of the training corpus. */
-  def decontamination(documents: DataFrame, k: Int = 5, evalMod: Long = 50): DataFrame = {
+  def decontamination(documents: DataFrame, k: Int = 5, evalMod: Long = 50,
+                      bloomFpp: Option[Double] = Some(0.01)): DataFrame = {
     val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
     val evalSh = shingles(documents.filter(isEval), k)
       .select(col("shingle"), col("doc_id").as("eval_doc"))
-    val trainSh = shingles(documents.filter(!isEval), k)
+    val trainSh0 = shingles(documents.filter(!isEval), k)
+    // The train side is the CORPUS-sized shingle stream; the eval
+    // benchmark is tiny by construction — so prune the train stream
+    // with a Bloom filter of the eval shingles BEFORE the join
+    // shuffle (the canonical 100 TB decontamination shape: nobody
+    // shuffles the whole corpus's 5-grams against a benchmark set).
+    // Exact for any fpp: surviving non-matches are removed by the
+    // equi-join, and false negatives are impossible. On local[N] the
+    // avoided exchange is in-memory and the prune measures neutral;
+    // the payoff is CLUSTER shuffle bytes (~corpus shingles → ~matches
+    // + fpp), which single-JVM wall time cannot show.
+    val trainSh = bloomFpp match {
+      case Some(fpp) => graft.ops.BloomJoin.prune(
+        trainSh0, col("shingle"), evalSh, col("shingle"), fpp)
+      case None => trainSh0
+    }
     trainSh.join(evalSh, "shingle")
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("shingle")).as("n_shared_5grams"),

@@ -291,6 +291,14 @@ class DedupSimSpec extends AnyFunSuite {
     assert(out === Map(11L -> 2L, 13L -> 1L))
   }
 
+  test("decontamination: bloom-pruned train stream is exactly the unpruned join") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val pruned = NearDup.decontamination(docs)
+    val plain = NearDup.decontamination(docs, bloomFpp = None)
+    assert(pruned.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(pruned).count() === 0)
+  }
+
   test("incremental dedup: bloom-pruned index path is exactly the unpruned path") {
     // the bloom pre-filter may keep extra index rows (fp) but never
     // drop a matching one, so the anti-join output must be identical —
