@@ -90,6 +90,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same instant regime as Verify/oracle: the TIMESTAMP_NTZ→
+      // TimestampType normalization in Tables.events is session-tz-
+      // dependent, so an unpinned Bench on a non-UTC host would time
+      // the events family under shifted instants
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -230,6 +230,13 @@ object SparkEntry {
     "q_json_props" -> (CoverageQueries.jsonProps _),
     "q_variant_props" -> (CoverageQueries.variantProps _),
     "q_sql_weekly_revenue" -> (CoverageQueries.sqlWeeklyRevenue _),
+    // E2: the reference's dbt model text run through spark.sql over the
+    // shared silver view — hash-gated against the same oracle as the
+    // DataFrame marts (SqlParity scaladoc has the adaptation contract)
+    "q_sql_gold_daily_sales" -> ((s, dir) =>
+      SqlParity.sqlGoldDailySales(s, silver(s, dir))),
+    "q_sql_gold_hourly_traffic" -> ((s, dir) =>
+      SqlParity.sqlGoldHourlyTraffic(s, silver(s, dir))),
     "q_event_patterns" -> ((s, dir) => CoverageQueries.eventPatternsOver(silver(s, dir))),
     "q_shipping_priority" -> (TpchMoreQueries.shippingPriority _),
     "q_returned_items" -> (TpchMoreQueries.returnedItems _),
@@ -372,6 +379,10 @@ object SparkEntry {
     }),
   )
 
+  private def annGate(method: String): String =
+    graft.sim.EmbeddingSim.annGateSql(method,
+      graft.sim.EmbeddingSim.annFloors.toMap.apply(method))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -384,6 +395,13 @@ object SparkEntry {
     "gold_user_rfm_segments_scalable_gate" -> RfmSegments.scalableEquivalenceSql,
     "sim_recall_report" -> graft.sim.EmbeddingSim.recallReportSql,
     "sim_semdedup_report" -> graft.sim.SemDedup.semDedupReportSql,
+    // one gate per approximate top-k method, floor shared with
+    // sim_recall_report via annFloors (single calibration source)
+    "sim_embed_topk_lsh" -> annGate("lsh"),
+    "sim_embed_topk_ivf" -> annGate("ivf"),
+    "sim_embed_topk_sq8" -> annGate("sq8"),
+    "sim_embed_topk_pq" -> annGate("pq"),
+    "sim_embed_topk_ivfpq" -> annGate("ivfpq"),
     "q_unpivot_daily_metrics" -> DailySales.unpivotMetricsSql,
     "q_scd2_user_stages" -> Scd2.userStageHistorySql,
     "q_customer_ltv_deciles" -> LtvDeciles.oracleSql,
@@ -423,6 +441,9 @@ object SparkEntry {
     "q_json_props" -> CoverageQueries.jsonPropsSql,
     "q_variant_props" -> CoverageQueries.variantPropsSql,
     "q_sql_weekly_revenue" -> CoverageQueries.sqlWeeklyRevenueSql,
+    // SQL-text parity marts share the DataFrame marts' oracles
+    "q_sql_gold_daily_sales" -> DailySales.oracleSql,
+    "q_sql_gold_hourly_traffic" -> HourlyTraffic.oracleSql,
     "q_event_patterns" -> CoverageQueries.eventPatternsSql,
     "q_shipping_priority" -> TpchMoreQueries.shippingPrioritySql,
     "q_returned_items" -> TpchMoreQueries.returnedItemsSql,
@@ -487,13 +508,21 @@ object SparkEntry {
     "dedup_incremental" -> graft.dedup.NearDup.incrementalDedupSql,
     "text_shuffle_shards" -> graft.text.CurationOps.shuffleShardsSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
-    // dedup_minhash_lsh / dedup_simhash / sim_embed_topk_lsh /
-    // sim_embed_neardup: xxhash64 signatures & hyperplane band keys are
-    // not DuckDB-portable → rows-only (recall is measured in
-    // DedupSimSpec against the oracle-checked brute-force baseline).
-    // sim_embed_topk_{ivf,sq8,pq,ivfpq}: k-means centroids / trained
-    // quantizer state are likewise non-portable → rows-only, each
-    // recall-gated by the oracle-checked sim_recall_report floor.
+    // dedup_minhash_lsh / dedup_simhash: FULL-parity oracles — the
+    // portable h60 hash lets DuckDB recompute the entire sketch
+    // pipeline independently (signatures, banding, salting, exact
+    // verification), so the hash compare certifies the implementation.
+    "dedup_minhash_lsh" -> graft.dedup.NearDup.minhashPairsSql,
+    "dedup_simhash" -> graft.dedup.NearDup.simhashPairsSql,
+    // The five approximate top-k methods + the LSH near-dup list + the
+    // SemDeDup drop list: trained float state (k-means centroids,
+    // quantizer codebooks, hyperplanes) is not DuckDB-portable, but the
+    // CLAIMS are — each gate SQL reads the Spark result back ({OUT} is
+    // substituted by Verify), recomputes every claimed score exactly
+    // from the base tables, and gates recall at the calibrated floor;
+    // failure emits a sentinel row so the compare goes red.
+    "sim_embed_neardup" -> graft.sim.EmbeddingSim.nearDupGateSql,
+    "sim_semdedup" -> graft.sim.SemDedup.semDedupGateSql(),
     "mm_media_meta" -> graft.multimodal.Multimodal.mediaMetaSql,
     "mm_media_features" -> graft.multimodal.Multimodal.featuresSql,
     "mm_video_frames" -> graft.multimodal.Multimodal.framesSql,

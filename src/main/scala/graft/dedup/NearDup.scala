@@ -375,8 +375,12 @@ object NearDup {
   def decontamination(documents: DataFrame, k: Int = 5, evalMod: Long = 50,
                       bloomFpp: Option[Double] = Some(0.01)): DataFrame = {
     val isEval = pmod(col("doc_id"), lit(evalMod)) === 0
+    // materialize the (tiny) eval shingle frame once: without this the
+    // tokenize+explode plan runs three times — the bloom sizing count,
+    // the bloom aggregate, and the contamination join each re-evaluate
     val evalSh = shingles(documents.filter(isEval), k)
       .select(col("shingle"), col("doc_id").as("eval_doc"))
+      .localCheckpoint()
     val trainSh0 = shingles(documents.filter(!isEval), k)
     // The train side is the CORPUS-sized shingle stream; the eval
     // benchmark is tiny by construction — so prune the train stream
@@ -457,10 +461,27 @@ object NearDup {
 
   // ----------------------------------------------------- MinHash LSH
 
+  /** ENGINE-PORTABLE 60-bit string hash: the first 15 hex chars of
+    * md5, parsed base-16. Value < 2^60 (never negative, no 64-bit
+    * overflow in downstream arithmetic), and DuckDB reproduces it
+    * bit-for-bit as `('0x' || substr(md5(x), 1, 15))::BIGINT` — which
+    * is what lets the MinHash and SimHash ORACLES recompute the whole
+    * sketch pipeline independently instead of settling for rows-only
+    * (xxhash64, the previous hash, has no DuckDB twin). md5 is ~3×
+    * xxhash64's cost per call, but both sketches hash each distinct
+    * token/shingle exactly once — noise against the candidate joins. */
+  private[graft] def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** [[h60]]'s DuckDB twin over a SQL expression string. */
+  private[graft] def h60Sql(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
   /** Deterministic affine hash family over a 31-bit fold of
-    * xxhash64(shingle): h_i(x) = (a_i * x + b_i) mod p with Mersenne
+    * h60(shingle): h_i(x) = (a_i * x + b_i) mod p with Mersenne
     * prime p = 2^31 - 1 and a,b < p, so every product stays < 2^62 —
-    * no long overflow under Spark 4's default ANSI mode. */
+    * no long overflow under Spark 4's default ANSI mode (and none in
+    * DuckDB, which ERRORS on BIGINT overflow rather than wrapping). */
   private val MinhashP = (1L << 31) - 1
   private def hashParams(k: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
@@ -469,11 +490,11 @@ object NearDup {
   }
 
   /** sig_i column derived NARROWLY from a shingle-set array column:
-    * `array_min(transform(set, s → (xxhash64(s)·a + b) mod p))` — no
+    * `array_min(transform(set, s → (h60(s)·a + b) mod p))` — no
     * shuffle (min over distinct set == min over exploded occurrences). */
   private def sigFromSet(set: Column, a: Long, b: Long): Column =
     array_min(transform(set, s =>
-      pmod(pmod(xxhash64(s), lit(MinhashP)) * lit(a) + lit(b), lit(MinhashP))))
+      pmod(pmod(h60(s), lit(MinhashP)) * lit(a) + lit(b), lit(MinhashP))))
 
   /** Per-doc sorted shingle sets — ONE grouped shuffle; signatures and
     * the exact-Jaccard verification both derive from it. */
@@ -524,10 +545,14 @@ object NearDup {
       }
       val sig = sets.select(col("doc_id") +: sigCols: _*)
 
+      // band key = the band's raw signature tuple rendered as a string
+      // (not a hash of it): joins on it identically, and the DuckDB
+      // oracle rebuilds the same key with string_agg — engine-portable
+      // where the previous xxhash64(band sigs) was not
       val rows = k / bands
       val bandCols = (0 until bands).map { b =>
         struct(lit(b).as("band_id"),
-          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*).as("band_hash"))
+          concat_ws(",", (b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*).as("band_hash"))
       }
       val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
         .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
@@ -540,7 +565,7 @@ object NearDup {
       val salted = banded.join(sizes, Seq("band_id", "band_hash"))
         .withColumn("n_salts",
           ceil(col("bucket_n").cast("double") / bucketCap).cast("int"))
-        .withColumn("salt", pmod(xxhash64(col("doc_id")), col("n_salts")).cast("int"))
+        .withColumn("salt", pmod(h60(col("doc_id").cast("string")), col("n_salts").cast("long")).cast("int"))
         .select(col("doc_id"), col("band_id"), col("band_hash"), col("salt"))
 
       val cand = salted.as("x").join(salted.as("y"),
@@ -558,45 +583,107 @@ object NearDup {
   def minhashPairsQuery(s: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(s, dir))
 
+  /** FULL-PARITY DuckDB oracle for [[minhashPairs]]: recomputes the
+    * entire sketch pipeline independently — h60 shingle hashes, the
+    * k=16 affine signature mins (same (a,b) params, emitted from the
+    * same [[hashParams]] call), 4-row band keys, bucket sizing +
+    * salt-split, candidate join, exact-Jaccard verification — so the
+    * hash compare certifies the IMPLEMENTATION, not just invariants.
+    * Every integer op is in h60's overflow-safe range in both engines. */
+  val minhashPairsSql: String = {
+    val params = hashParams(16).zipWithIndex.map { case ((a, b), i) =>
+      s"  ($i, CAST($a AS BIGINT), CAST($b AS BIGINT))" }.mkString(",\n")
+    val jacc = graft.ops.ConditionalAgg.roundPortableSql(
+      """CAST(CAST(intersection AS DOUBLE)
+        |        / CAST(size_a + size_b - intersection AS DOUBLE) AS DOUBLE)""".stripMargin, 4)
+    s"""WITH $shinglesCte,
+       |sets AS (SELECT doc_id, list(shingle) AS sh_set FROM sh GROUP BY doc_id),
+       |params(pi, pa, pb) AS (VALUES
+       |$params),
+       |hs AS (SELECT doc_id, ${h60Sql("shingle")} % 2147483647 AS hm FROM sh),
+       |sig AS (
+       |  SELECT doc_id, pi, min((hm * pa + pb) % 2147483647) AS sigv
+       |  FROM hs CROSS JOIN params GROUP BY doc_id, pi
+       |),
+       |band AS (
+       |  SELECT doc_id, pi // 4 AS band_id,
+       |    string_agg(CAST(sigv AS VARCHAR), ',' ORDER BY pi) AS band_hash
+       |  FROM sig GROUP BY doc_id, band_id
+       |),
+       |sizes AS (SELECT band_id, band_hash, count(*) AS bucket_n
+       |          FROM band GROUP BY band_id, band_hash),
+       |salted AS (
+       |  SELECT b.doc_id, b.band_id, b.band_hash,
+       |    CAST(${h60Sql("CAST(b.doc_id AS VARCHAR)")}
+       |      % CAST(ceil(s.bucket_n / 1000.0) AS BIGINT) AS INT) AS salt
+       |  FROM band b JOIN sizes s
+       |    ON b.band_id = s.band_id AND b.band_hash = s.band_hash
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM salted x JOIN salted y
+       |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       |   AND x.salt = y.salt AND x.doc_id < y.doc_id
+       |),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS BIGINT) AS intersection,
+       |    CAST(len(sa.sh_set) AS BIGINT) AS size_a,
+       |    CAST(len(sb.sh_set) AS BIGINT) AS size_b
+       |  FROM cand
+       |  JOIN sets sa ON cand.doc_a = sa.doc_id
+       |  JOIN sets sb ON cand.doc_b = sb.doc_id
+       |)
+       |SELECT doc_a, doc_b, intersection, size_a, size_b, $jacc AS jaccard
+       |FROM scored
+       |WHERE $jacc >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per doc: per-token xxhash64, each bit votes
-    * +1/-1 weighted by term frequency; sign → bit. Assembled as a
-    * single grouped aggregate with 64 conditional sums (wide but
-    * map-side combined; shuffle is |docs| rows). */
+  /** 60-bit SimHash per doc: per-token [[h60]], each bit votes +1/-1
+    * weighted by term frequency; sign → bit. Assembled as a single
+    * grouped aggregate with 60 conditional sums (wide but map-side
+    * combined; shuffle is |docs| rows). 60 bits rather than 64 so the
+    * signature lives in h60's engine-portable range — which is what
+    * lets [[simhashPairsSql]] recompute the whole pipeline in DuckDB
+    * (hamming sensitivity at 60 vs 64 bits is equivalent for near-dup
+    * thresholds of ≤3). */
+  private val SimhashBits = 60
   def simhash(documents: DataFrame): DataFrame = {
     val tok = documents
       .select(col("doc_id"), explode(TextAnalysis.tokensCol(col("text"))).as("token"))
-      .withColumn("th", xxhash64(col("token")))
-    val bitAggs = (0 until 64).map { b =>
+      .withColumn("th", h60(col("token")))
+    val bitAggs = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$b")
     }
     val votes = tok.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val sig = (0 until 64).map { b =>
+    val sig = (0 until SimhashBits).map { b =>
       when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_ + _)  // bits are disjoint powers of two → sum == OR
-    votes.select(col("doc_id"), sig.as("simhash64"))
+    votes.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit signature into four
-    * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal),
+  /** SimHash near-dup pairs: band the 60-bit signature into four
+    * 15-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal),
     * join on chunk equality, verify hamming distance via bit_count. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhash(documents)
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("chunk_id"),
-        shiftright(col("simhash64"), c * 16).bitwiseAND(0xFFFFL).as("chunk_val"))
+        shiftright(col("simhash"), c * 15).bitwiseAND(0x7FFFL).as("chunk_val"))
     }
-    val banded = sig.select(col("doc_id"), col("simhash64"),
+    val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array(chunks: _*)).as("ch"))
-      .select(col("doc_id"), col("simhash64"), col("ch.chunk_id"), col("ch.chunk_val"))
+      .select(col("doc_id"), col("simhash"), col("ch.chunk_id"), col("ch.chunk_val"))
 
     banded.as("x").join(banded.as("y"),
         col("x.chunk_id") === col("y.chunk_id") &&
         col("x.chunk_val") === col("y.chunk_val") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash64").bitwiseXOR(col("y.simhash64"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -604,6 +691,46 @@ object NearDup {
 
   def simhashPairsQuery(s: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(s, dir))
+
+  /** FULL-PARITY DuckDB oracle for [[simhashPairs]]: recomputes token
+    * h60 hashes, the 60 per-bit TF votes, signature assembly, 15-bit
+    * chunk banding and the hamming verification — implementation-level
+    * parity, same contract as [[minhashPairsSql]]. */
+  val simhashPairsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents
+       |),
+       |th AS (SELECT doc_id, ${h60Sql("token")} AS h FROM tok),
+       |bits(b) AS (SELECT unnest(generate_series(0, ${SimhashBits - 1}))),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN bits GROUP BY doc_id, b
+       |),
+       |sig AS (
+       |  -- sum(BIGINT) widens to HUGEINT in DuckDB; fold back to BIGINT
+       |  -- (value < 2^60 by construction) so the bit ops below match Spark
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+       |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |),
+       |chunks(c) AS (SELECT unnest(generate_series(0, 3))),
+       |banded AS (
+       |  SELECT doc_id, simhash, c AS chunk_id, (simhash >> (c * 15)) & 32767 AS chunk_val
+       |  FROM sig CROSS JOIN chunks
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.chunk_id = y.chunk_id AND x.chunk_val = y.chunk_val
+       |   AND x.doc_id < y.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Driver-gated contract report for the two sketch-based dedup paths
     * (whose pair sets are not DuckDB-portable — xxhash64 signatures):

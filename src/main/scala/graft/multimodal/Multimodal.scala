@@ -9,13 +9,17 @@ import graft.sources.Tables
   * decode / feature-extract / frame-sample as partition-batched
   * Dataset transforms.
   *
-  * The actual codec step is STUBBED (no image/audio libs in this
-  * environment — see [[MediaCodec.decodeReal]]); everything around it
-  * is real: the schema, the binary column handling, the
-  * mapPartitions batch shape (records stream through an iterator one
-  * partition at a time — the same contract a JNI/FFI decoder or a
-  * `mapInPandas`-style batch UDF needs), and the deterministic fake
-  * decode used to test the plumbing end-to-end.
+  * The IMAGE codec leg is REAL: image-mime rows carry an actual PNG
+  * payload (16×16 grayscale, pixels = the doc's text bytes cycled to
+  * 256 — built with `javax.imageio`, JDK built-in), and
+  * [[MediaCodec.decodeReal]] parses the PNG container back to
+  * dimensions + pixels. PNG is lossless, so the decoded samples equal
+  * the source bytes — which is what makes the decode DuckDB-oracle-
+  * checkable without a SQL codec. Audio/video decode still falls back
+  * to the deterministic fake (no ffmpeg in this environment — wiring
+  * documented at [[MediaCodec.decodeReal]]); the batch shape
+  * (mapPartitions iterator — the contract a JNI/FFI decoder needs) is
+  * identical for all three.
   *
   * Scale: media rows are wide (MBs per row at production sizes) —
   * the feature extraction is a per-partition map with NO shuffle, and
@@ -32,26 +36,86 @@ object Multimodal {
       media_id: Long, uri: String, mime: String, byte_len: Int,
       content_sha: String, width: Int, height: Int, histogram: Array[Double])
 
+  /** Fixed raster geometry of the synthesized PNG payloads. */
+  val ImgW = 16
+  val ImgH = 16
+
+  /** The image payload's pixel bytes: the doc text's UTF-8 bytes
+    * cycled to exactly ImgW×ImgH samples (empty text → one space, so
+    * the cycle is well-defined). The DuckDB twin is
+    * `substr(repeat(text, ceil(256/len)), 1, 256)` — ASCII corpus, so
+    * chars == bytes. */
+  private[multimodal] def pixelBytes(text: String): Array[Byte] = {
+    val src = if (text == null || text.isEmpty) " " else text
+    val b = src.getBytes("UTF-8")
+    Array.tabulate(ImgW * ImgH)(i => b(i % b.length))
+  }
+
   /** Deterministic media table derived from `documents` (the driver
-    * testdata ships no binary columns — FIXTURES §4): payload = UTF-8
-    * bytes of the text, mime assigned round-robin. */
-  def mediaTable(documents: DataFrame): DataFrame =
-    documents.select(
+    * testdata ships no binary columns — FIXTURES §4): image-mime rows
+    * carry a REAL PNG (encoded per-partition with `javax.imageio`);
+    * audio/video rows carry the raw UTF-8 text bytes. Mime assigned
+    * round-robin on doc_id. */
+  def mediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val mime = element_at(typedLit(Seq("image/png", "audio/wav", "video/mp4")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val base = documents.select(
       col("doc_id").as("media_id"),
       concat(lit("mem://doc/"), col("doc_id")).as("uri"),
-      element_at(typedLit(Seq("image/png", "audio/wav", "video/mp4")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
-      encode(col("text"), "UTF-8").cast("binary").as("data"))
+      mime.as("mime"),
+      col("text"))
+    val av = base.filter(col("mime") =!= "image/png")
+      .select(col("media_id"), col("uri"), col("mime"),
+        encode(col("text"), "UTF-8").cast("binary").as("data"))
+    // real PNG encode, partition-batched (one encoder context per
+    // partition — same lifecycle as a native codec handle)
+    val img = base.filter(col("mime") === "image/png")
+      .as[(Long, String, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, uri, mime, text) =>
+          (id, uri, mime, MediaCodec.encodePng(pixelBytes(text)))
+        }
+      }
+      .toDF("media_id", "uri", "mime", "data")
+    av.unionByName(img)
+  }
 
   object MediaCodec {
-    /** REAL decoder entry point — requires platform codec libraries
-      * that are absent here. Wire libjpeg/ffmpeg/etc. bindings in at
-      * deployment; the pipeline shape does not change.
+
+    /** Encode a gray sample array as a real PNG via `javax.imageio`
+      * (JDK built-in, no external jars). Direct raster sample writes —
+      * no color management — so the encode/decode round trip is
+      * byte-exact. */
+    def encodePng(pixels: Array[Byte], w: Int = ImgW, h: Int = ImgH): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < w * h) {
+        raster.setSample(i % w, i / w, 0, pixels(i) & 0xFF)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** REAL decoder entry point. The image leg IS real: `javax.imageio`
+      * parses the PNG container (signature, IHDR, zlib-inflated IDAT)
+      * and the features come from the decoded raster — dimensions from
+      * the header, content identity + histogram from the pixel samples
+      * (content-addressing by DECODED content, so a re-encoded
+      * container dedups to the same sha — the property a multimodal
+      * dedup pipeline actually wants).
       *
-      * Deployment wiring (three public options, in preference order):
-      *  1. JVM-native: TwelveMonkeys ImageIO (images) / JAVE or a
-      *     bundled ffmpeg binary driven per-partition (audio/video).
-      *     Drop the implementation straight into this method — the
+      * Audio/video fall back to the deterministic fake — no ffmpeg in
+      * this environment. Deployment wiring for those (public options,
+      * in preference order):
+      *  1. JVM-native: TwelveMonkeys ImageIO (more image formats) /
+      *     JAVE or a bundled ffmpeg binary driven per-partition. Drop
+      *     the implementation into the match arms below — the
       *     `mapPartitions` callers batch records through one codec
       *     instance per partition, which is exactly the lifecycle a
       *     native-library context wants (init once, stream records,
@@ -67,8 +131,28 @@ object Multimodal {
       * In every case column pruning still drops `data` before any
       * stage that only needs metadata — keep feature extraction and
       * metadata queries in separate projections as done here. */
-    def decodeReal(record: MediaRecord): MediaFeatures =
-      ??? // stub: no codec libs in this environment (see scaladoc)
+    def decodeReal(r: MediaRecord): MediaFeatures = r.mime match {
+      case "image/png" =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+        require(img != null, s"undecodable PNG payload for media_id=${r.media_id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        val px = new Array[Byte](w * h)
+        var i = 0
+        while (i < w * h) {
+          px(i) = raster.getSample(i % w, i / w, 0).toByte
+          i += 1
+        }
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(px).map("%02x".format(_)).mkString
+        val hist = new Array[Double](16)
+        px.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+        val n = math.max(1, w * h)
+        MediaFeatures(r.media_id, r.uri, r.mime, w * h, sha, w, h,
+          hist.map(v => math.floor(v / n * 10000) / 10000))
+      case _ => decodeFake(r) // audio/video: see wiring options above
+    }
 
     /** Modulus keeping the byte folds inside non-overflowing BIGINT
       * range in ANY engine (acc < 2³⁰ ⇒ acc*31+255 < 2³⁵): the folds
@@ -107,8 +191,10 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { records =>
-      // per-partition decoder setup would go here (real codec handles)
-      records.map(MediaCodec.decodeFake)
+      // per-partition decoder setup would go here (real codec handles);
+      // decodeReal dispatches per mime: PNG rows run the real
+      // javax.imageio decode, audio/video fall back to the fake
+      records.map(MediaCodec.decodeReal)
     }
   }
 
@@ -139,16 +225,28 @@ object Multimodal {
   def mediaMetaQuery(s: SparkSession, dir: String): DataFrame =
     mediaMeta(Tables.documents(s, dir))
 
-  /** DuckDB oracle for the scalar metadata: sha256/byte length are
-    * recomputable from the source text (ASCII, so chars == bytes);
-    * width/height replicate the deterministic byte fold. */
+  /** The image rows' decoded pixel string as a DuckDB expression:
+    * text bytes cycled to ImgW×ImgH chars (PNG round trip is lossless,
+    * so decoded samples == this construction). */
+  private val padTextSql: String = {
+    val n = ImgW * ImgH
+    s"""substr(repeat(CASE WHEN strlen(text) = 0 THEN ' ' ELSE text END,
+       |      CAST(ceil($n.0 / greatest(strlen(text), 1)) AS INT)), 1, $n)""".stripMargin
+  }
+
+  /** DuckDB oracle for the scalar metadata. Image rows are identified
+    * by their DECODED content (sha over the pixel samples — which the
+    * lossless PNG round trip makes recomputable from text); audio/
+    * video rows by their raw payload (ASCII, so chars == bytes). */
   val mediaMetaSql: String =
-    """SELECT
+    s"""SELECT
       |  doc_id AS media_id,
       |  concat('mem://doc/', CAST(doc_id AS VARCHAR)) AS uri,
       |  ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
-      |  CAST(strlen(text) AS INT) AS byte_len,
-      |  sha256(text) AS content_sha
+      |  CASE WHEN doc_id % 3 = 0 THEN ${ImgW * ImgH}
+      |       ELSE CAST(strlen(text) AS INT) END AS byte_len,
+      |  CASE WHEN doc_id % 3 = 0 THEN sha256($padTextSql)
+      |       ELSE sha256(text) END AS content_sha
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
@@ -165,23 +263,32 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  /** DuckDB oracle for the full feature extraction: the fake decode is
-    * deterministic byte math over ASCII text, so every output —
-    * byte fold dimensions, sha, floor-quantized histogram bins — is
-    * recomputable in SQL (list_reduce = the sequential byte fold). */
+  /** DuckDB oracle for the full feature extraction. Image rows (the
+    * REAL `javax.imageio` decode leg) are recomputed from the pixel
+    * construction the lossless PNG round trip preserves: fixed
+    * ImgW×ImgH dimensions, sha + 16-bin histogram over the decoded
+    * samples. Audio/video rows replay the deterministic fake decode
+    * (byte-fold dimensions, raw-payload sha) — identical byte math
+    * (list_reduce = the sequential byte fold). */
   val featuresSql: String = {
+    val n = ImgW * ImgH
     val histCols = (0 until 16).map(i =>
-      s"  floor(CAST(len(list_filter(bytes, b -> b // 16 = $i)) AS DOUBLE) / n * 10000) / 10000 AS hist_${"%02d".format(i)}")
+      s"""  CASE WHEN mime = 'image/png'
+         |    THEN floor(CAST(len(list_filter(pbytes, b -> b // 16 = $i)) AS DOUBLE) / $n * 10000) / 10000
+         |    ELSE floor(CAST(len(list_filter(bytes, b -> b // 16 = $i)) AS DOUBLE) / nb * 10000) / 10000
+         |  END AS hist_${"%02d".format(i)}""".stripMargin)
       .mkString(",\n")
     s"""WITH base AS (
       |  SELECT
       |    doc_id AS media_id,
       |    concat('mem://doc/', CAST(doc_id AS VARCHAR)) AS uri,
       |    ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
-      |    CAST(strlen(text) AS INT) AS byte_len,
-      |    sha256(text) AS content_sha,
+      |    CAST(strlen(text) AS INT) AS text_len,
+      |    sha256(text) AS text_sha,
+      |    sha256($padTextSql) AS px_sha,
       |    list_transform(string_split(text, ''), c -> ord(c)) AS bytes,
-      |    greatest(strlen(text), 1) AS n
+      |    list_transform(string_split($padTextSql, ''), c -> ord(c)) AS pbytes,
+      |    greatest(strlen(text), 1) AS nb
       |  FROM documents
       |), folded AS (
       |  SELECT *,
@@ -189,9 +296,13 @@ object Multimodal {
       |                (a, b) -> (a * 31 + b) % 1000000007) AS fold
       |  FROM base
       |)
-      |SELECT media_id, uri, mime, byte_len, content_sha,
-      |  CAST(fold % 1280 + 1 AS INT) AS width,
-      |  CAST((fold // 65536) % 720 + 1 AS INT) AS height,
+      |SELECT media_id, uri, mime,
+      |  CASE WHEN mime = 'image/png' THEN $n ELSE text_len END AS byte_len,
+      |  CASE WHEN mime = 'image/png' THEN px_sha ELSE text_sha END AS content_sha,
+      |  CASE WHEN mime = 'image/png' THEN $ImgW
+      |       ELSE CAST(fold % 1280 + 1 AS INT) END AS width,
+      |  CASE WHEN mime = 'image/png' THEN $ImgH
+      |       ELSE CAST((fold // 65536) % 720 + 1 AS INT) END AS height,
       |$histCols
       |FROM folded
       |ORDER BY media_id""".stripMargin
@@ -219,7 +330,17 @@ object Multimodal {
         def q4(v: Double): Double = math.floor(v * 10000) / 10000
         val (imgMean, audioRms, audioZc, vidFrames, vidMeanLen) = r.mime match {
           case "image/png" =>
-            val mean = bytes.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / n / 255.0
+            // real decode: mean intensity over the PNG's decoded samples
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            var s = 0L
+            var i = 0
+            while (i < w * h) {
+              s += raster.getSample(i % w, i / w, 0)
+              i += 1
+            }
+            val mean = s.toDouble / math.max(1, w * h) / 255.0
             (Some(q4(mean)), None, None, None, None)
           case "audio/wav" =>
             val sq = bytes.foldLeft(0L)((a, b) =>
@@ -246,18 +367,19 @@ object Multimodal {
     * byte list (identical IEEE division/sqrt; floor quantization is
     * bit-portable). */
   val modalityStatsSql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT doc_id AS media_id,
       |    ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
       |    list_transform(string_split(text, ''), c -> ord(c)) AS bytes,
+      |    list_transform(string_split($padTextSql, ''), c -> ord(c)) AS pbytes,
       |    greatest(strlen(text), 1) AS n,
       |    CAST(strlen(text) AS INT) AS len
       |  FROM documents
       |)
       |SELECT media_id, mime,
       |  CASE WHEN mime = 'image/png' THEN
-      |    floor(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bytes), (a,b) -> a + b) AS DOUBLE)
-      |      / n / 255.0 * 10000) / 10000 END AS img_mean_intensity,
+      |    floor(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), pbytes), (a,b) -> a + b) AS DOUBLE)
+      |      / ${ImgW * ImgH} / 255.0 * 10000) / 10000 END AS img_mean_intensity,
       |  CASE WHEN mime = 'audio/wav' THEN
       |    floor(sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
       |        list_transform(bytes, b -> (b - 128) * (b - 128))), (a,b) -> a + b) AS DOUBLE)

@@ -52,11 +52,18 @@ object BloomJoin {
     probe.filter(BloomPrune.mightContain(keyFilter(build, buildKey, fpp), probeKey))
 
   /** Bloom-pruned exact inner equi-join: prune, then join. Exact —
-    * the join removes the fpp leakage. */
+    * the join removes the fpp leakage. The build side is materialized
+    * once (it is the SMALL side by contract) so the sizing count, the
+    * bloom aggregate and the join all read one computation instead of
+    * re-running the build plan three times; join keys are resolved
+    * against their own DataFrames, so probeKey == buildKey (the common
+    * equi-join spelling) is not ambiguous. */
   def prunedEquiJoin(probe: DataFrame, probeKey: String, build: DataFrame,
-                     buildKey: String, fpp: Double = 0.01): DataFrame =
-    prune(probe, col(probeKey), build, col(buildKey), fpp)
-      .join(build, col(probeKey) === col(buildKey))
+                     buildKey: String, fpp: Double = 0.01): DataFrame = {
+    val b = build.localCheckpoint()
+    val pruned = prune(probe, col(probeKey), b, b(buildKey), fpp)
+    pruned.join(b, pruned(probeKey) === b(buildKey))
+  }
 
   /** Exact-decimal discounted revenue (the PricingSummary contract —
     * per-row double rounding would diverge from the oracle). */

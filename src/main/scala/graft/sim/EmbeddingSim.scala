@@ -72,13 +72,15 @@ object EmbeddingSim {
   def bruteForceTopKQuery(s: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.embeddings(s, dir))
 
-  /** DuckDB oracle for the exact brute-force top-k: replicates the
-    * native [[cosineSim]] fold bit-for-bit — float elements widened to
-    * double, sequential sums in array order, zero-norm guard on the
-    * SQUARED sums, `dot/(sqrt(nx)*sqrt(ny))` — then the same portable
-    * DECIMAL(28,10) rounding and (cosine DESC, vec_id) ranking. */
-  val bruteForceTopKSql: String =
-    s"""WITH e AS (
+  /** Shared CTE prefix (e → p → scored → rounded → ranked): the exact
+    * DuckDB recomputation of every probe-corpus cosine, replicating
+    * the native [[cosineSim]] fold bit-for-bit — float elements
+    * widened to double, sequential sums in array order, zero-norm
+    * guard on the SQUARED sums, `dot/(sqrt(nx)*sqrt(ny))` — then the
+    * same portable DECIMAL(28,10) rounding and (cosine DESC, vec_id)
+    * ranking. Feeds [[bruteForceTopKSql]] AND every [[annGateSql]]. */
+  private val exactProbeCtes: String =
+    s"""e AS (
       |  SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       |  FROM embeddings
@@ -103,10 +105,119 @@ object EmbeddingSim {
       |  SELECT *, CAST(row_number() OVER (
       |    PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
       |  FROM rounded
-      |)
+      |)""".stripMargin
+
+  /** DuckDB oracle for the exact brute-force top-k (see
+    * [[exactProbeCtes]] for the replication contract). */
+  val bruteForceTopKSql: String =
+    s"""WITH $exactProbeCtes
       |SELECT probe_id, vec_id, label, cosine, rank FROM ranked
       |WHERE rank <= 5
       |ORDER BY probe_id, rank""".stripMargin
+
+  /** ORACLE-SIDE gate for an approximate top-k query: DuckDB reads the
+    * Spark result back (`{OUT}` is substituted with the Verify output
+    * dir at dump time), independently recomputes every probe-corpus
+    * cosine from the base table, and passes the result through three
+    * gates — (1) every returned (probe, vec, label, cosine) row must
+    * carry the EXACT recomputed score, (2) ranks must be consistent
+    * with (cosine DESC, vec_id) within the returned set, (3) recall@k
+    * against DuckDB's own exact top-k must clear the method's
+    * calibrated floor ([[annFloors]]). On success the oracle echoes
+    * the verified rows (hash match); on any gate failure it emits a
+    * single sentinel row no real result can contain, so the driver
+    * compare goes red even if Spark returned nothing at all. This
+    * closes the rows-only gap for trained-state methods whose
+    * signatures/centroids are not themselves portable: the CLAIMS
+    * (scores, ranking, recall) are verified engine-independently. */
+  def annGateSql(method: String, floor: Double): String = {
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    s"""WITH $exactProbeCtes,
+      |got AS (
+      |  SELECT * FROM read_parquet('{OUT}/sim_embed_topk_$method/*.parquet')
+      |), gates AS (
+      |  SELECT
+      |    (SELECT count(*) FROM got g LEFT JOIN rounded r
+      |       ON g.probe_id = r.probe_id AND g.vec_id = r.vec_id
+      |     WHERE r.probe_id IS NULL OR abs(g.cosine - r.cosine) > 1e-9
+      |        OR g.label <> r.label) = 0 AS scores_exact,
+      |    (SELECT count(*) FROM (
+      |       SELECT rank, row_number() OVER (
+      |         PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rn
+      |       FROM got) WHERE rank <> rn) = 0 AS ranks_consistent,
+      |    (SELECT CAST(count(*) AS DOUBLE) FROM got g
+      |       JOIN ranked x ON g.probe_id = x.probe_id AND g.vec_id = x.vec_id
+      |      WHERE x.rank <= 5)
+      |      / (SELECT count(*) FROM ranked WHERE rank <= 5)
+      |      >= CAST(${fmt(floor)} AS DOUBLE) AS recall_ok
+      |)
+      |SELECT g.* FROM got g
+      |WHERE (SELECT scores_exact AND ranks_consistent AND recall_ok FROM gates)
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT) AS probe_id, CAST(-1 AS BIGINT) AS vec_id,
+      |  CAST(-1 AS INT) AS label, CAST(-1.0 AS DOUBLE) AS cosine,
+      |  CAST(-1 AS INT) AS rank
+      |WHERE NOT (SELECT scores_exact AND ranks_consistent AND recall_ok FROM gates)""".stripMargin
+  }
+
+  /** All-pairs rounded-cosine CTE over the full corpus (`rap`):
+    * canonical vec_a < vec_b orientation — the exact baseline for the
+    * pair-level gates ([[nearDupGateSql]], [[SemDedup.semDedupGateSql]]).
+    * Quadratic BY DESIGN: it runs only in the sf0.01 oracle, the same
+    * audit-scale role as the brute-force top-k baseline. */
+  private[sim] val exactPairCtes: String =
+    s"""e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |), ap AS (
+      |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, len(x.emb) + 1),
+      |      i -> x.emb[i] * y.emb[i])), (a, b) -> a + b) AS dot,
+      |    list_reduce(list_prepend(0.0, list_transform(x.emb, v -> v * v)),
+      |      (a, b) -> a + b) AS nx,
+      |    list_reduce(list_prepend(0.0, list_transform(y.emb, v -> v * v)),
+      |      (a, b) -> a + b) AS ny
+      |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+      |), rap AS (
+      |  SELECT vec_a, vec_b,
+      |    ${ConditionalAgg.roundPortableSql(
+             "CASE WHEN nx = 0 OR ny = 0 THEN 0.0 ELSE dot / (sqrt(nx) * sqrt(ny)) END", 6)} AS cosine
+      |  FROM ap
+      |)""".stripMargin
+
+  /** Oracle-side gate for the LSH near-dup top-pair list (same contract
+    * as [[annGateSql]]): every returned pair's cosine is recomputed
+    * exactly (which also enforces the canonical vec_a < vec_b
+    * orientation — a flipped pair matches nothing), and the list must
+    * recover ≥ the [[SemDedup.semDedupReportWith]] floor (0.5) of
+    * DuckDB's own exact global top-|got| pairs. */
+  val nearDupGateSql: String =
+    s"""WITH $exactPairCtes,
+      |got AS (
+      |  SELECT * FROM read_parquet('{OUT}/sim_embed_neardup/*.parquet')
+      |), exact_top AS (
+      |  SELECT vec_a, vec_b FROM (
+      |    SELECT vec_a, vec_b, row_number() OVER (
+      |      ORDER BY cosine DESC, vec_a ASC, vec_b ASC) AS rn FROM rap)
+      |  WHERE rn <= (SELECT count(*) FROM got)
+      |), gates AS (
+      |  SELECT
+      |    (SELECT count(*) FROM got g LEFT JOIN rap r
+      |       ON g.vec_a = r.vec_a AND g.vec_b = r.vec_b
+      |     WHERE r.vec_a IS NULL OR abs(g.cosine - r.cosine) > 1e-9) = 0 AS scores_exact,
+      |    (SELECT count(*) FROM got) >= 1 AS nonempty,
+      |    (SELECT CAST(count(*) AS DOUBLE) FROM got g
+      |       JOIN exact_top x ON g.vec_a = x.vec_a AND g.vec_b = x.vec_b)
+      |      / (SELECT count(*) FROM exact_top)
+      |      >= CAST(0.5 AS DOUBLE) AS recall_ok
+      |)
+      |SELECT g.* FROM got g
+      |WHERE (SELECT scores_exact AND nonempty AND recall_ok FROM gates)
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT) AS vec_a, CAST(-1 AS BIGINT) AS vec_b,
+      |  CAST(-1.0 AS DOUBLE) AS cosine
+      |WHERE NOT (SELECT scores_exact AND nonempty AND recall_ok FROM gates)""".stripMargin
 
   /** 4-bit sign chunks over 16 hyperplanes → (band_id, band_val) keys
     * per vector. */

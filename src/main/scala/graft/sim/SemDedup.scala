@@ -279,6 +279,36 @@ object SemDedup {
       |FROM joined
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Oracle-side gate for the drop list itself (same contract as
+    * [[EmbeddingSim.annGateSql]]): DuckDB recomputes the exact cosine
+    * of every (vec_id, kept_vec) claim from the base table — each drop
+    * must be justified by a genuinely-τ-similar witness at the exact
+    * claimed score — and pins the drop-list shape (one row per dropped
+    * vec, no self-drops, nonempty). centroid_id is k-means provenance
+    * and passes through unverified (the clustering is float-trained
+    * state; its recall contract is [[semDedupReportWith]]'s floor). */
+  def semDedupGateSql(tau: Double = 0.4): String =
+    s"""WITH ${EmbeddingSim.exactPairCtes},
+      |got AS (
+      |  SELECT * FROM read_parquet('{OUT}/sim_semdedup/*.parquet')
+      |), gates AS (
+      |  SELECT
+      |    (SELECT count(*) FROM got g LEFT JOIN rap r
+      |       ON least(g.vec_id, g.kept_vec) = r.vec_a
+      |      AND greatest(g.vec_id, g.kept_vec) = r.vec_b
+      |     WHERE r.vec_a IS NULL OR abs(g.cosine - r.cosine) > 1e-9) = 0 AS scores_exact,
+      |    (SELECT count(*) FROM got WHERE cosine < CAST($tau AS DOUBLE)
+      |        OR vec_id = kept_vec) = 0 AS drops_justified,
+      |    (SELECT count(*) - count(DISTINCT vec_id) FROM got) = 0 AS one_row_per_drop,
+      |    (SELECT count(*) FROM got) >= 1 AS nonempty
+      |)
+      |SELECT g.* FROM got g
+      |WHERE (SELECT scores_exact AND drops_justified AND one_row_per_drop AND nonempty FROM gates)
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT) AS vec_id, CAST(-1 AS BIGINT) AS kept_vec,
+      |  CAST(-1 AS INT) AS centroid_id, CAST(-1.0 AS DOUBLE) AS cosine
+      |WHERE NOT (SELECT scores_exact AND drops_justified AND one_row_per_drop AND nonempty FROM gates)""".stripMargin
+
   val semDedupReportSql: String =
     s"""SELECT * FROM (VALUES
       |  ('lsh_neardup_top_recall', CAST(0.5 AS DOUBLE), true),

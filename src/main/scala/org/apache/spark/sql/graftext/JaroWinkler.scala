@@ -19,10 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics: Jaro similarity from the classic matching-window pass
   * (window = max(|a|,|b|)/2 − 1), transpositions = half the
   * out-of-order matches; the Winkler prefix boost applies only when
-  * jaro > 0.7. Comparison is per UTF-16 code unit on the decoded
-  * strings (ASCII part names in the corpus — identical under any
-  * unit). O(|a|·|b|) worst case per pair, designed to run INSIDE a
-  * blocked self-join ([[graft.dedup.FuzzyMatch]]), never all-pairs. */
+  * jaro > 0.7. Comparison is per Unicode CODE POINT (strings decoded
+  * to code-point arrays up front), matching the RapidFuzz-derived
+  * oracle semantics on any input — a UTF-16 code-unit walk would
+  * silently diverge on non-BMP characters (surrogate pairs change
+  * both lengths and window geometry; pinned in FuzzyMatchSpec).
+  * O(|a|·|b|) worst case per pair, designed to run INSIDE a blocked
+  * self-join ([[graft.dedup.FuzzyMatch]]), never all-pairs. */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -50,8 +53,8 @@ object JaroWinkler {
 
   /** Static kernel shared by eval and generated code. */
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val la = a.length
     val lb = b.length
     if (la == 0 && lb == 0) return 1.0
@@ -67,7 +70,7 @@ object JaroWinkler {
       var j = lo
       var done = false
       while (j <= hi && !done) {
-        if (!mb(j) && a.charAt(i) == b.charAt(j)) {
+        if (!mb(j) && a(i) == b(j)) {
           ma(i) = true; mb(j) = true; m += 1; done = true
         }
         j += 1
@@ -81,7 +84,7 @@ object JaroWinkler {
     while (i < la) {
       if (ma(i)) {
         while (!mb(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -92,7 +95,7 @@ object JaroWinkler {
     if (jaro > BoostThreshold) {
       var l = 0
       val cap = math.min(PrefixCap, math.min(la, lb))
-      while (l < cap && a.charAt(l) == b.charAt(l)) l += 1
+      while (l < cap && a(l) == b(l)) l += 1
       jaro + l * PrefixWeight * (1.0 - jaro)
     } else jaro
   }

@@ -57,12 +57,23 @@ object NgramStats {
   /** One hash-count pass per n. Gram keys for n > 1 are the
     * space-joined token strings — identical keys to the declarative
     * `concat_ws(" ", tokens...)` formulation, so results match the
-    * existing DuckDB oracles bit-for-bit. */
+    * existing DuckDB oracles bit-for-bit.
+    *
+    * Null elements (the input type admits them even though tokensCol
+    * never produces one) are DROPPED before windowing — without this,
+    * n=1 would count a null hash key and n>1 gram keys would collapse
+    * to null via UTF8String.concat, silently diverging from any
+    * declarative formulation. Windowing over the compacted array is
+    * the documented contract (pinned in NativeExprSpec). */
   def compute(tokens: ArrayData, maxN: Int): GenericArrayData = {
-    val len = tokens.numElements()
-    val toks = new Array[UTF8String](len)
+    val raw = tokens.numElements()
+    val toks = new Array[UTF8String](raw)
+    var len = 0
     var i = 0
-    while (i < len) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    while (i < raw) {
+      if (!tokens.isNullAt(i)) { toks(len) = tokens.getUTF8String(i); len += 1 }
+      i += 1
+    }
     val out = new Array[Any](maxN)
     val space = UTF8String.fromString(" ")
     var n = 1

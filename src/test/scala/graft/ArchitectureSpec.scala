@@ -53,11 +53,12 @@ class ArchitectureSpec extends AnyFunSuite {
 
   test("RDD drops only in the whole-operator exec and partition-batched codec") {
     // AsOfJoinExec: custom SparkPlan must produce RDD[InternalRow]
-    // Multimodal: partition-batched decode is the documented mapPartitions use
+    // Multimodal: partition-batched codec boundaries — PNG encode in
+    //   mediaTable, decode in extractFeatures, modality dispatch (3)
     // ServingSink: JDBC writer iterates partitions for connection batching
     // LmBatchScorer: broadcast-model batch inference (the KenLM shape)
     val allow = Map("AsOfJoinExec.scala" -> 3,
-      "Multimodal.scala" -> 2, "ServingSink.scala" -> 2,
+      "Multimodal.scala" -> 3, "ServingSink.scala" -> 2,
       "LmBatchScorer.scala" -> 1)
     val hits = offenders("mapPartitions", allow) ++
       offenders(".toRdd", Map("Bench.scala" -> 1))

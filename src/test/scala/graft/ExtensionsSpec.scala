@@ -85,6 +85,39 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native jaro_winkler walks code points, not UTF-16 code units") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftext.JaroWinkler.jaroWinkler
+    // 😀 is a surrogate PAIR in UTF-16: a code-unit walk sees lengths
+    // 6/6 with window 2 (jaro 0.7778); the code-point walk sees 4/4
+    // with window 1 — one match, one half-transposition → exactly
+    // (1/4 + 1/4 + 1/1) / 3 = 0.5. Pins the RapidFuzz/DuckDB-aligned
+    // code-point semantics on non-BMP input.
+    val got = Seq(("😀😀ab", "ab😀😀"))
+      .toDF("a", "b")
+      .select(jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().head.getDouble(0)
+    assert(got === 0.5, s"expected code-point JW 0.5, got $got")
+    // non-BMP identity stays exact
+    val self = Seq(("😀x😀", "😀x😀"))
+      .toDF("a", "b").select(jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().head.getDouble(0)
+    assert(self === 1.0)
+  }
+
+  test("native ngram_stats drops null token elements before windowing") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftext.NgramStats.ngramStats
+    // (a, null, a, b): nulls compact out → tokens (a, a, b):
+    // unigrams a×2 b×1 → (2, 2, 2); 2-grams "a a", "a b" → (2, 1, 0)
+    val got = Seq(Seq[String]("a", null, "a", "b"))
+      .toDF("toks")
+      .select(ngramStats(col("toks"), 2).as("ns"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Seq((2L, 2L, 2L), (2L, 1L, 0L)))
+  }
+
   test("native cosine_sim: self-similarity 1.0, zero-vector guard") {
     import spark.implicits._
     val v = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
