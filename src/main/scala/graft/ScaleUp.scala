@@ -42,10 +42,16 @@ object ScaleUp {
     * scaled. */
   def ensure(spark: SparkSession, srcDir: String, destDir: String,
              factor: Int = 10): String = {
-    // v2: embeddings added to the scaled set (older sf1 dirs regenerate)
-    val marker = new java.io.File(destDir, "_GRAFT_SCALED_V2")
+    // v3: multi-file layout (older sf1 dirs regenerate). The driver's
+    // base parquet is one small file, so a 10× table written as ONE
+    // file caps every pre-shuffle map segment at ONE task — the r8
+    // probe measured the sampled all-pairs audit at 122 s purely from
+    // a 1-partition scan fanning out through 1-partition joins. A real
+    // 10× corpus is many files; 32 matches the session's parallelism.
+    val marker = new java.io.File(destDir, "_GRAFT_SCALED_V3")
     if (marker.exists()) return destDir
     new java.io.File(destDir).mkdirs()
+    val files = 32
 
     def replicas(df: DataFrame): DataFrame =
       df.select(col("*"),
@@ -57,6 +63,7 @@ object ScaleUp {
         col("ts"),
         (col("user_id") + col("__r") * lit(10000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
+      .repartition(files)
       .write.mode("overwrite").parquet(s"$destDir/events.parquet")
 
     replicas(Tables.documents(spark, srcDir))
@@ -64,6 +71,7 @@ object ScaleUp {
         (col("doc_id") + col("__r") * lit(100000L)).as("doc_id"),
         perReplicaTranslate(col("text"), col("__r"), factor).as("text"),
         col("lang"), col("source"), col("n_chars"))
+      .repartition(files)
       .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
 
     // embeddings: replicas are dimension-ROTATED (norm-preserving, so
@@ -82,6 +90,7 @@ object ScaleUp {
           slice(col("embedding"), col("__rot") + 1, size(col("embedding")) - col("__rot")),
           slice(col("embedding"), lit(1), col("__rot")))).as("embedding"),
         col("label"))
+      .repartition(files)
       .write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
 
     marker.createNewFile()

@@ -250,13 +250,16 @@ object EmbeddingSim {
     // (probe_id, vec_id, label, cosine) — not two 64-float arrays per
     // row. Duplicate collisions score identically, so the dedup pick
     // is deterministic. CPU ≤4× cosine vs ~30× narrower shuffle rows
-    // is the right trade at any scale.
+    // is the right trade at any scale. Only the RAW double crosses the
+    // dedup; the Decimal-routed portable rounding runs on the deduped
+    // rows (identical raw → identical round, so the result is
+    // byte-equal to rounding first at ≤¼ the Decimal conversions).
     val cand = corpusBands.join(broadcast(probeBands), Seq("band_id", "band_val"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cosine",
-        ConditionalAgg.roundPortable(cosineSim(col("embedding"), col("probe_emb")), 6))
-      .select("probe_id", "vec_id", "label", "cosine")
+      .withColumn("__raw", cosineSim(col("embedding"), col("probe_emb")))
+      .select("probe_id", "vec_id", "label", "__raw")
       .dropDuplicates("probe_id", "vec_id")
+      .withColumn("cosine", ConditionalAgg.roundPortable(col("__raw"), 6))
     TopK.perGroup(
         cand.select(col("probe_id"), col("vec_id"), col("label"), col("cosine")),
         groupKeys = Seq("probe_id"),
@@ -277,14 +280,16 @@ object EmbeddingSim {
     // — the (vec_a, vec_b) dedup shuffle carries one double instead of
     // two 64-float arrays (the round-2 plan shuffled ~1.6 GB of
     // embedding payload at sf0.1 for this; narrow rows are ~30× less).
+    // Portable rounding runs after the dedup (see lshTopK).
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_val") === col("y.band_val") &&
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        ConditionalAgg.roundPortable(
-          cosineSim(col("x.embedding"), col("y.embedding")), 6).as("cosine"))
+        cosineSim(col("x.embedding"), col("y.embedding")).as("__raw"))
       .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cosine", ConditionalAgg.roundPortable(col("__raw"), 6))
+      .select("vec_a", "vec_b", "cosine")
     TopK.global(cand,
       order = Seq(col("cosine").desc, col("vec_a").asc, col("vec_b").asc), k = topPairs)
   }

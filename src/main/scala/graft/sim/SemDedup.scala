@@ -97,18 +97,55 @@ object SemDedup {
       .select("centroid_id", "__nsplit")
     val salted = assigned.join(broadcast(sizes), "centroid_id")
       .withColumn("salt", pmod(xxhash64(col("vec_id")), col("__nsplit").cast("long")))
-    salted.as("x").join(salted.as("y"),
+    // Within each (cluster, salt) bucket, pair generation fans out by
+    // the LOSSLESS triangular group trick: every vector gets one of
+    // `PairGroups` sub-group ids, the left side is replicated to each
+    // partner group ≥ its own, and the join becomes EQUI on the
+    // partner id — k·g distinct join keys instead of k, so a 16-
+    // cluster corpus runs ~g× more pair tasks. Unlike the salt split
+    // (which forfeits cross-salt pairs to bound volume), the group
+    // expansion covers every in-bucket pair exactly once:
+    //   gi < gj   → emitted by the (gi→gj) replica against group gj;
+    //   gi == gj  → vec_id < vec_id inside the group.
+    // The pair SET is byte-identical to the plain in-bucket self-join
+    // at every scale — only the task layout changes. Replication cost:
+    // left rows × (g − grp) ≈ g/2 ≈ 2× of a corpus-linear frame.
+    val g = PairGroups
+    val grouped = salted
+      .withColumn("grp", pmod(xxhash64(col("vec_id"), lit(7L)), lit(g.toLong)).cast("int"))
+    val xSide = grouped
+      .withColumn("partner", explode(sequence(col("grp"), lit(g - 1))))
+    xSide.as("x").join(grouped.as("y"),
         col("x.centroid_id") === col("y.centroid_id") &&
         col("x.salt") === col("y.salt") &&
-        col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cosine",
-        ConditionalAgg.roundPortable(cosineSim(col("x.embedding"), col("y.embedding")), 6))
+        col("x.partner") === col("y.grp") &&
+        (col("x.grp") < col("y.grp") ||
+          (col("x.grp") === col("y.grp") && col("x.vec_id") < col("y.vec_id"))))
+      // two-stage τ filter: the cheap raw-double compare prunes the
+      // in-bucket pair stream (millions) BEFORE the Decimal-routed
+      // portable rounding runs (thousands) — round6(x) ≥ τ implies
+      // x ≥ τ − 5·10⁻⁷, so the prefilter is a strict superset and the
+      // exact rounded filter after it keeps the pair set byte-identical
+      .withColumn("__raw", cosineSim(col("x.embedding"), col("y.embedding")))
+      .filter(col("__raw") >= tau - 1e-6)
+      .withColumn("cosine", ConditionalAgg.roundPortable(col("__raw"), 6))
       .filter(col("cosine") >= tau)
+      // cross-group rows arrive group-ordered, not id-ordered —
+      // restore the canonical vec_a < vec_b orientation (the audit
+      // joins and the oracle gate match on it)
       .select(col("x.centroid_id").as("centroid_id"),
-        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"),
         col("cosine"),
-        col("x.cent_sim").as("cent_sim_a"), col("y.cent_sim").as("cent_sim_b"))
+        when(col("x.vec_id") < col("y.vec_id"), col("x.cent_sim"))
+          .otherwise(col("y.cent_sim")).as("cent_sim_a"),
+        when(col("x.vec_id") < col("y.vec_id"), col("y.cent_sim"))
+          .otherwise(col("x.cent_sim")).as("cent_sim_b"))
   }
+
+  /** Sub-group fan-out of the in-bucket pair join (see above): join-key
+    * cardinality scales k → k·g without dropping any pair. */
+  val PairGroups = 4
 
   /** The drop list: per dropped vector, its strongest witness — the
     * kept side of its highest-cosine pair. Greedy per-pair rule — drop
@@ -144,10 +181,20 @@ object SemDedup {
     * Keeps the cosine so the same pass also yields the exact global
     * top-pair ranking. */
   private def exactPairs(embeddings: DataFrame, tau: Double): DataFrame = {
+    // the inequality-only join plans as BroadcastNestedLoopJoin, whose
+    // parallelism (and the partition count of EVERYTHING downstream —
+    // the checkpointed pair frame, the recall joins, the top-k sort)
+    // is the LEFT side's partition count; a single-file corpus scan
+    // would serialize the whole audit (r8 probe: 122 s single-task vs
+    // <1 s spread)
     val v = embeddings.select(col("vec_id"), col("embedding"))
+      .repartition(col("vec_id"))
     v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cosine",
-        ConditionalAgg.roundPortable(cosineSim(col("x.embedding"), col("y.embedding")), 6))
+      // same two-stage τ filter as candidatePairs: raw-double prune
+      // over the quadratic stream, Decimal rounding only on survivors
+      .withColumn("__raw", cosineSim(col("x.embedding"), col("y.embedding")))
+      .filter(col("__raw") >= tau - 1e-6)
+      .withColumn("cosine", ConditionalAgg.roundPortable(col("__raw"), 6))
       .filter(col("cosine") >= tau)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"), col("cosine"))
   }
