@@ -9,17 +9,20 @@ import graft.sources.Tables
   * decode / feature-extract / frame-sample as partition-batched
   * Dataset transforms.
   *
-  * The IMAGE codec leg is REAL: image-mime rows carry an actual PNG
-  * payload (16×16 grayscale, pixels = the doc's text bytes cycled to
-  * 256 — built with `javax.imageio`, JDK built-in), and
-  * [[MediaCodec.decodeReal]] parses the PNG container back to
-  * dimensions + pixels. PNG is lossless, so the decoded samples equal
-  * the source bytes — which is what makes the decode DuckDB-oracle-
-  * checkable without a SQL codec. Audio/video decode still falls back
-  * to the deterministic fake (no ffmpeg in this environment — wiring
-  * documented at [[MediaCodec.decodeReal]]); the batch shape
-  * (mapPartitions iterator — the contract a JNI/FFI decoder needs) is
-  * identical for all three.
+  * The IMAGE and AUDIO codec legs are REAL: image-mime rows carry an
+  * actual PNG payload (16×16 grayscale, pixels = the doc's text bytes
+  * cycled to 256 — built with `javax.imageio`, JDK built-in) and
+  * audio-mime rows an actual WAV (8 kHz mono unsigned 8-bit PCM, same
+  * sample construction — `javax.sound.sampled`, JDK built-in);
+  * [[MediaCodec.decodeReal]] parses both containers back to
+  * dimensions/format + samples. Both codecs are lossless at these
+  * settings, so the decoded samples equal the source bytes — which is
+  * what makes the decode DuckDB-oracle-checkable without a SQL codec.
+  * Video decode still falls back to the deterministic fake (no ffmpeg
+  * in this environment — wiring documented at
+  * [[MediaCodec.decodeReal]]); the batch shape (mapPartitions
+  * iterator — the contract a JNI/FFI decoder needs) is identical for
+  * all three.
   *
   * Scale: media rows are wide (MBs per row at production sizes) —
   * the feature extraction is a per-partition map with NO shuffle, and
@@ -45,7 +48,7 @@ object Multimodal {
     * the cycle is well-defined). The DuckDB twin is
     * `substr(repeat(text, ceil(256/len)), 1, 256)` — ASCII corpus, so
     * chars == bytes. */
-  private[multimodal] def pixelBytes(text: String): Array[Byte] = {
+  def pixelBytes(text: String): Array[Byte] = {
     val src = if (text == null || text.isEmpty) " " else text
     val b = src.getBytes("UTF-8")
     Array.tabulate(ImgW * ImgH)(i => b(i % b.length))
@@ -66,20 +69,23 @@ object Multimodal {
       concat(lit("mem://doc/"), col("doc_id")).as("uri"),
       mime.as("mime"),
       col("text"))
-    val av = base.filter(col("mime") =!= "image/png")
+    val video = base.filter(col("mime") === "video/mp4")
       .select(col("media_id"), col("uri"), col("mime"),
         encode(col("text"), "UTF-8").cast("binary").as("data"))
-    // real PNG encode, partition-batched (one encoder context per
-    // partition — same lifecycle as a native codec handle)
-    val img = base.filter(col("mime") === "image/png")
+    // real PNG / WAV encode, partition-batched (one encoder context
+    // per partition — same lifecycle as a native codec handle)
+    val coded = base.filter(col("mime") =!= "video/mp4")
       .as[(Long, String, String, String)]
       .mapPartitions { rows =>
         rows.map { case (id, uri, mime, text) =>
-          (id, uri, mime, MediaCodec.encodePng(pixelBytes(text)))
+          val payload =
+            if (mime == "image/png") MediaCodec.encodePng(pixelBytes(text))
+            else MediaCodec.encodeWav(pixelBytes(text))
+          (id, uri, mime, payload)
         }
       }
       .toDF("media_id", "uri", "mime", "data")
-    av.unionByName(img)
+    video.unionByName(coded)
   }
 
   object MediaCodec {
@@ -100,6 +106,39 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
+    }
+
+    /** The synthesized WAV payload's audio format: 8 kHz mono unsigned
+      * 8-bit PCM — one byte per sample, so the decoded sample stream
+      * equals the input byte array exactly (the audio counterpart of
+      * the PNG losslessness contract). */
+    private def wavFormat = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+
+    /** Encode a sample array as a real WAV via `javax.sound.sampled`
+      * (JDK built-in): RIFF/fmt/data chunks written by the platform's
+      * actual audio file writer, not a hand-rolled header. */
+    def encodeWav(samples: Array[Byte]): Array[Byte] = {
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), wavFormat, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Parse a WAV container back to its PCM sample bytes + format —
+      * the real audio decode leg (`AudioSystem.getAudioInputStream`
+      * validates the RIFF structure and locates the data chunk). */
+    def decodeWav(data: Array[Byte]): (Array[Byte], javax.sound.sampled.AudioFormat) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      (out.toByteArray, in.getFormat)
     }
 
     /** REAL decoder entry point. The image leg IS real: `javax.imageio`
@@ -151,7 +190,20 @@ object Multimodal {
         val n = math.max(1, w * h)
         MediaFeatures(r.media_id, r.uri, r.mime, w * h, sha, w, h,
           hist.map(v => math.floor(v / n * 10000) / 10000))
-      case _ => decodeFake(r) // audio/video: see wiring options above
+      case "audio/wav" =>
+        // real WAV parse: sample count + channel count from the
+        // decoded stream, identity + histogram over the PCM samples
+        // (unsigned 8-bit ⇒ samples == the source byte construction)
+        val (samples, fmt) = decodeWav(r.data)
+        val n = math.max(1, samples.length)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(samples).map("%02x".format(_)).mkString
+        val hist = new Array[Double](16)
+        samples.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+        MediaFeatures(r.media_id, r.uri, r.mime, samples.length, sha,
+          width = samples.length, height = fmt.getChannels,
+          histogram = hist.map(v => math.floor(v / n * 10000) / 10000))
+      case _ => decodeFake(r) // video: see ffmpeg wiring options above
     }
 
     /** Modulus keeping the byte folds inside non-overflowing BIGINT
@@ -234,19 +286,20 @@ object Multimodal {
        |      CAST(ceil($n.0 / greatest(strlen(text), 1)) AS INT)), 1, $n)""".stripMargin
   }
 
-  /** DuckDB oracle for the scalar metadata. Image rows are identified
-    * by their DECODED content (sha over the pixel samples — which the
-    * lossless PNG round trip makes recomputable from text); audio/
-    * video rows by their raw payload (ASCII, so chars == bytes). */
+  /** DuckDB oracle for the scalar metadata. Image and audio rows are
+    * identified by their DECODED content (sha over the pixel / PCM
+    * samples — which the lossless PNG/WAV round trips make
+    * recomputable from text); video rows by their raw payload (ASCII,
+    * so chars == bytes). */
   val mediaMetaSql: String =
     s"""SELECT
       |  doc_id AS media_id,
       |  concat('mem://doc/', CAST(doc_id AS VARCHAR)) AS uri,
       |  ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
-      |  CASE WHEN doc_id % 3 = 0 THEN ${ImgW * ImgH}
-      |       ELSE CAST(strlen(text) AS INT) END AS byte_len,
-      |  CASE WHEN doc_id % 3 = 0 THEN sha256($padTextSql)
-      |       ELSE sha256(text) END AS content_sha
+      |  CASE WHEN doc_id % 3 = 2 THEN CAST(strlen(text) AS INT)
+      |       ELSE ${ImgW * ImgH} END AS byte_len,
+      |  CASE WHEN doc_id % 3 = 2 THEN sha256(text)
+      |       ELSE sha256($padTextSql) END AS content_sha
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
@@ -263,19 +316,20 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  /** DuckDB oracle for the full feature extraction. Image rows (the
-    * REAL `javax.imageio` decode leg) are recomputed from the pixel
-    * construction the lossless PNG round trip preserves: fixed
-    * ImgW×ImgH dimensions, sha + 16-bin histogram over the decoded
-    * samples. Audio/video rows replay the deterministic fake decode
-    * (byte-fold dimensions, raw-payload sha) — identical byte math
-    * (list_reduce = the sequential byte fold). */
+  /** DuckDB oracle for the full feature extraction. Image and audio
+    * rows (the REAL `javax.imageio` / `javax.sound.sampled` decode
+    * legs) are recomputed from the sample construction the lossless
+    * PNG/WAV round trips preserve: sha + 16-bin histogram over the
+    * decoded samples, image dimensions ImgW×ImgH, audio dimensions
+    * (frames, channels=1). Video rows replay the deterministic fake
+    * decode (byte-fold dimensions, raw-payload sha) — identical byte
+    * math (list_reduce = the sequential byte fold). */
   val featuresSql: String = {
     val n = ImgW * ImgH
     val histCols = (0 until 16).map(i =>
-      s"""  CASE WHEN mime = 'image/png'
-         |    THEN floor(CAST(len(list_filter(pbytes, b -> b // 16 = $i)) AS DOUBLE) / $n * 10000) / 10000
-         |    ELSE floor(CAST(len(list_filter(bytes, b -> b // 16 = $i)) AS DOUBLE) / nb * 10000) / 10000
+      s"""  CASE WHEN mime = 'video/mp4'
+         |    THEN floor(CAST(len(list_filter(bytes, b -> b // 16 = $i)) AS DOUBLE) / nb * 10000) / 10000
+         |    ELSE floor(CAST(len(list_filter(pbytes, b -> b // 16 = $i)) AS DOUBLE) / $n * 10000) / 10000
          |  END AS hist_${"%02d".format(i)}""".stripMargin)
       .mkString(",\n")
     s"""WITH base AS (
@@ -297,11 +351,13 @@ object Multimodal {
       |  FROM base
       |)
       |SELECT media_id, uri, mime,
-      |  CASE WHEN mime = 'image/png' THEN $n ELSE text_len END AS byte_len,
-      |  CASE WHEN mime = 'image/png' THEN px_sha ELSE text_sha END AS content_sha,
+      |  CASE WHEN mime = 'video/mp4' THEN text_len ELSE $n END AS byte_len,
+      |  CASE WHEN mime = 'video/mp4' THEN text_sha ELSE px_sha END AS content_sha,
       |  CASE WHEN mime = 'image/png' THEN $ImgW
+      |       WHEN mime = 'audio/wav' THEN $n
       |       ELSE CAST(fold % 1280 + 1 AS INT) END AS width,
       |  CASE WHEN mime = 'image/png' THEN $ImgH
+      |       WHEN mime = 'audio/wav' THEN 1
       |       ELSE CAST((fold // 65536) % 720 + 1 AS INT) END AS height,
       |$histCols
       |FROM folded
@@ -343,11 +399,15 @@ object Multimodal {
             val mean = s.toDouble / math.max(1, w * h) / 255.0
             (Some(q4(mean)), None, None, None, None)
           case "audio/wav" =>
-            val sq = bytes.foldLeft(0L)((a, b) =>
+            // real decode: RMS + zero crossings over the WAV's PCM
+            // samples, not the container bytes
+            val (samples, _) = MediaCodec.decodeWav(r.data)
+            val ns = math.max(1, samples.length)
+            val sq = samples.foldLeft(0L)((a, b) =>
               a + (((b & 0xFF) - 128).toLong * ((b & 0xFF) - 128)))
-            val zc = bytes.sliding(2).count(p =>
+            val zc = samples.sliding(2).count(p =>
               p.length == 2 && ((p(0) & 0xFF) < 128) != ((p(1) & 0xFF) < 128))
-            (None, Some(q4(math.sqrt(sq.toDouble / n))), Some(zc), None, None)
+            (None, Some(q4(math.sqrt(sq.toDouble / ns))), Some(zc), None, None)
           case _ =>
             val frames = (bytes.length + 63) / 64
             (None, None, None, Some(frames),
@@ -382,11 +442,11 @@ object Multimodal {
       |      / ${ImgW * ImgH} / 255.0 * 10000) / 10000 END AS img_mean_intensity,
       |  CASE WHEN mime = 'audio/wav' THEN
       |    floor(sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |        list_transform(bytes, b -> (b - 128) * (b - 128))), (a,b) -> a + b) AS DOUBLE)
-      |      / n) * 10000) / 10000 END AS audio_rms,
+      |        list_transform(pbytes, b -> (b - 128) * (b - 128))), (a,b) -> a + b) AS DOUBLE)
+      |      / ${ImgW * ImgH}) * 10000) / 10000 END AS audio_rms,
       |  CASE WHEN mime = 'audio/wav' THEN
-      |    CAST(len(list_filter(range(len - 1),
-      |      i -> (bytes[i + 1] < 128) <> (bytes[i + 2] < 128))) AS INT)
+      |    CAST(len(list_filter(range(${ImgW * ImgH} - 1),
+      |      i -> (pbytes[i + 1] < 128) <> (pbytes[i + 2] < 128))) AS INT)
       |  END AS audio_zero_crossings,
       |  CASE WHEN mime = 'video/mp4' THEN CAST((len + 63) // 64 AS INT) END AS video_frames,
       |  CASE WHEN mime = 'video/mp4' THEN

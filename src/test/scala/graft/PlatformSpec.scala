@@ -29,6 +29,31 @@ class PlatformSpec extends AnyFunSuite {
       .except(again.toDF().select("media_id", "content_sha")).count() === 0)
   }
 
+  test("multimodal: PNG and WAV round trips are lossless — decoded samples == source construction") {
+    import graft.multimodal.Multimodal.MediaCodec
+    val text = "the quick brown fox jumps over the lazy dog 0123456789"
+    val px = Multimodal.pixelBytes(text)
+    // PNG: javax.imageio parse recovers dimensions and exact samples
+    val png = MediaCodec.encodePng(px)
+    assert(new String(png.slice(1, 4), "US-ASCII") === "PNG") // real container
+    val imgFeat = MediaCodec.decodeReal(
+      Multimodal.MediaRecord(1L, "u", "image/png", png))
+    assert(imgFeat.width === Multimodal.ImgW && imgFeat.height === Multimodal.ImgH)
+    val pxSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(px).map("%02x".format(_)).mkString
+    assert(imgFeat.content_sha === pxSha)
+    // WAV: javax.sound.sampled parse recovers format and exact samples
+    val wav = MediaCodec.encodeWav(px)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF") // real container
+    val (samples, fmt) = MediaCodec.decodeWav(wav)
+    assert(samples.toSeq === px.toSeq)
+    assert(fmt.getChannels === 1 && fmt.getSampleSizeInBits === 8)
+    val audFeat = MediaCodec.decodeReal(
+      Multimodal.MediaRecord(2L, "u", "audio/wav", wav))
+    assert(audFeat.content_sha === pxSha) // same decoded-content identity
+    assert(audFeat.byte_len === px.length)
+  }
+
   test("multimodal: frame sampling only from video mime, strided") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media).cache()
