@@ -43,16 +43,22 @@ object Snapshots {
   }
 
   /** Write `df` as the next version of `table`; returns the new
-    * version number (1-based). */
-  def writeSnapshot(df: DataFrame, table: String, operation: String = "overwrite"): Long = {
+    * version number (1-based). `commitTsMs` is the commit timestamp
+    * recorded in the manifest (epoch millis) — pass it explicitly for
+    * deterministic histories (the SURVEY §7.6 asOfTimestamp contract:
+    * wall clock is pipeline state, so reproducible runs inject it);
+    * defaults to the wall clock like Iceberg's own commit time. */
+  def writeSnapshot(df: DataFrame, table: String, operation: String = "overwrite",
+                    commitTsMs: Option[Long] = None): Long = {
     val v = versions(table).lastOption.getOrElse(0L) + 1
     df.write.mode("errorifexists").option("compression", "snappy")
       .parquet(s"$table/v=$v")
     val rows = df.sparkSession.read.parquet(s"$table/v=$v").count()
     val cols = df.schema.fieldNames
       .map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    val ts = commitTsMs.getOrElse(System.currentTimeMillis())
     val manifest =
-      s"""{"version":$v,"operation":"$operation","row_count":$rows,"columns":$cols}"""
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols}"""
     Files.createDirectories(metaDir(table))
     Files.write(metaDir(table).resolve(s"$v.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
@@ -63,6 +69,42 @@ object Snapshots {
   def readAsOf(spark: SparkSession, table: String, v: Long): DataFrame = {
     require(versions(table).contains(v), s"no snapshot $v of $table")
     spark.read.parquet(s"$table/v=$v")
+  }
+
+  /** Commit timestamp of each version (manifests written before the
+    * field existed order by version number at epoch 0 — monotone, so
+    * timestamp resolution still picks the right neighbor). */
+  private def commitTimes(table: String): Seq[(Long, Long)] =
+    versions(table).map { v =>
+      val text = new String(
+        Files.readAllBytes(metaDir(table).resolve(s"$v.json")), StandardCharsets.UTF_8)
+      val ts = "\"committed_at_ms\":(\\d+)".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong).getOrElse(v)
+      (v, ts)
+    }
+
+  /** Time travel by TIMESTAMP (Iceberg `TIMESTAMP AS OF` / Delta
+    * `timestampAsOf` analog): the newest version committed at or
+    * before `tsMs`. Errors if the table has no snapshot that old —
+    * same contract as the engines it emulates. */
+  def readAsOfTimestamp(spark: SparkSession, table: String, tsMs: Long): DataFrame = {
+    val eligible = commitTimes(table).filter(_._2 <= tsMs)
+    require(eligible.nonEmpty,
+      s"no snapshot of $table committed at or before $tsMs")
+    readAsOf(spark, table, eligible.maxBy(t => (t._2, t._1))._1)
+  }
+
+  /** The `.history` metadata frame (Iceberg-shaped): one row per
+    * version with its commit time and a current-flag. Timestamps are
+    * whatever the writer recorded — deterministic iff injected via
+    * `writeSnapshot(commitTsMs = ...)`. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val vs = commitTimes(table)
+    val last = vs.map(_._1).maxOption.getOrElse(0L)
+    vs.map { case (v, ts) => (ts, v, v == last) }
+      .toDF("made_current_at_ms", "snapshot_id", "is_current")
+      .orderBy(col("snapshot_id"))
   }
 
   /** The current (highest-version) table state. */

@@ -87,4 +87,28 @@ class QualitySpec extends AnyFunSuite {
       Snapshots.readAsOf(spark, table, 1L)
     }
   }
+
+  test("timestamp time travel: TIMESTAMP AS OF resolves the newest eligible commit") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val table = java.nio.file.Files.createTempDirectory("graft_ttspec_")
+      .toString + "/t"
+    Snapshots.writeSnapshot(Seq(1).toDF("v"), table, commitTsMs = Some(1000L))
+    Snapshots.writeSnapshot(Seq(1, 2).toDF("v"), table, commitTsMs = Some(2000L))
+    Snapshots.writeSnapshot(Seq(1, 2, 3).toDF("v"), table, commitTsMs = Some(3000L))
+    // between commits → the newest at-or-before wins
+    assert(Snapshots.readAsOfTimestamp(spark, table, 2500L).count() === 2)
+    // exactly at a commit → that commit
+    assert(Snapshots.readAsOfTimestamp(spark, table, 2000L).count() === 2)
+    // after everything → latest
+    assert(Snapshots.readAsOfTimestamp(spark, table, 9999L).count() === 3)
+    // before history began → error, like the engines this emulates
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOfTimestamp(spark, table, 999L)
+    }
+    // the .history frame carries injected commit times and a current flag
+    val h = Snapshots.history(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(h === Array((1000L, 1L, false), (2000L, 2L, false), (3000L, 3L, true)))
+  }
 }

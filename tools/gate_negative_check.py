@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Negative test for the oracle-side gate SQL (NOT part of the library):
+proves the {OUT}-substituted gates actually turn red when the Spark
+result is wrong, rather than echoing it vacuously.
+
+Copies a completed Verify dump, corrupts four results in four distinct
+ways — a perturbed score (score-parity gate), a phantom neighbor
+(membership gate), an emptied result (sentinel row), and a halved
+top-k (recall-floor gate) — rewrites the oracle SQL to point at the
+copy, and asserts oracle_check reports exactly those four FAILs.
+
+Usage: python3 tools/gate_negative_check.py /root/testdata/sf0.01 /tmp/verify_out
+(second arg = an existing dump produced by `runMain graft.Verify`).
+"""
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EXPect_FAIL = ["sim_embed_topk_lsh", "sim_embed_topk_ivf",
+               "sim_embed_topk_sq8", "sim_semdedup"]
+
+
+def main(sf_dir, src_dir):
+    dst = src_dir.rstrip("/") + "_negative"
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(src_dir, dst)
+
+    j = json.load(open(os.path.join(dst, "oracle_sql.json")))
+    j = {k: v.replace(os.path.abspath(src_dir), os.path.abspath(dst))
+         for k, v in j.items()}
+    json.dump(j, open(os.path.join(dst, "oracle_sql.json"), "w"))
+
+    def table(name):
+        return glob.glob(os.path.join(dst, name, "*.parquet"))[0]
+
+    # 1. score parity: one cosine off by 1e-3
+    f = table("sim_embed_topk_lsh")
+    t = pq.read_table(f).to_pandas()
+    t.loc[0, "cosine"] += 0.001
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
+    # 2. membership: a neighbor id that exists in no exact pair
+    f = table("sim_embed_topk_ivf")
+    t = pq.read_table(f).to_pandas()
+    t.loc[0, "vec_id"] = 999999
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
+    # 3. empty result: the sentinel row must force a row-count mismatch
+    f = table("sim_semdedup")
+    pq.write_table(pq.read_table(f).slice(0, 0), f)
+    # 4. recall floor: drop half the probes (0.5 < every ANN floor)
+    f = table("sim_embed_topk_sq8")
+    t = pq.read_table(f).to_pandas()
+    t = t[t.probe_id < 5]
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "oracle_check.py"),
+         sf_dir, dst],
+        capture_output=True, text=True).stdout
+    failed = sorted(l.split()[1].rstrip(":") for l in out.splitlines()
+                    if l.startswith("FAIL"))
+    want = sorted(EXPect_FAIL)
+    if failed == want:
+        print(f"NEGATIVE-TEST PASS: exactly {want} went red")
+        return 0
+    print(f"NEGATIVE-TEST FAIL: expected {want}, got {failed}\n{out}")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
