@@ -314,6 +314,7 @@ object SparkEntry {
     "text_passage_dedup" -> (graft.text.CurationOps.passageDedupQuery _),
     "text_chunk_windows" -> (graft.text.CurationOps.chunkWindowsQuery _),
     "dedup_incremental" -> (graft.dedup.NearDup.incrementalDedupQuery _),
+    "dedup_incremental_minhash" -> (graft.dedup.NearDup.incrementalMinhashQuery _),
     "text_shuffle_shards" -> (graft.text.CurationOps.shuffleShardsQuery _),
     "sim_embed_topk_brute" -> ((s, dir) => annTopK(s, dir, "brute")
       .orderBy(org.apache.spark.sql.functions.col("probe_id"),
@@ -506,6 +507,7 @@ object SparkEntry {
     "text_passage_dedup" -> graft.text.CurationOps.passageDedupSql,
     "text_chunk_windows" -> graft.text.CurationOps.chunkWindowsSql,
     "dedup_incremental" -> graft.dedup.NearDup.incrementalDedupSql,
+    "dedup_incremental_minhash" -> graft.dedup.NearDup.incrementalMinhashSql,
     "text_shuffle_shards" -> graft.text.CurationOps.shuffleShardsSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
     // dedup_minhash_lsh / dedup_simhash: FULL-parity oracles — the

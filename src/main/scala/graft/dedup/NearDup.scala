@@ -502,6 +502,27 @@ object NearDup {
     shingles(documents).groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("shingle"))).as("sh_set"))
 
+  /** (doc_id, band_id, band_hash) rows from a shingle-set frame — the
+    * shared banding construction of [[minhashPairs]] and
+    * [[incrementalMinhashDedup]]. Band key = the band's raw signature
+    * tuple rendered as a string (not a hash of it): joins on it
+    * identically, and the DuckDB oracles rebuild the same key with
+    * string_agg — engine-portable where an xxhash64 of the sigs would
+    * not be. */
+  private def bandedSignatures(sets: DataFrame, k: Int, bands: Int): DataFrame = {
+    val sigCols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      sigFromSet(col("sh_set"), a, b).as(s"sig_$i")
+    }
+    val sig = sets.select(col("doc_id") +: sigCols: _*)
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws(",", (b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+  }
+
   /** Per-doc MinHash signature columns (sig_0 … sig_{k-1}): one
     * grouped shuffle collects the shingle set, then all k mins are
     * higher-order array expressions over it (narrow, codegen'd) —
@@ -540,22 +561,7 @@ object NearDup {
     // shuffle volume and lets Catalyst reuse the one exchange.
     locally {
       val sets = shingleSets(documents)
-      val sigCols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
-        sigFromSet(col("sh_set"), a, b).as(s"sig_$i")
-      }
-      val sig = sets.select(col("doc_id") +: sigCols: _*)
-
-      // band key = the band's raw signature tuple rendered as a string
-      // (not a hash of it): joins on it identically, and the DuckDB
-      // oracle rebuilds the same key with string_agg — engine-portable
-      // where the previous xxhash64(band sigs) was not
-      val rows = k / bands
-      val bandCols = (0 until bands).map { b =>
-        struct(lit(b).as("band_id"),
-          concat_ws(",", (b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*).as("band_hash"))
-      }
-      val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+      val banded = bandedSignatures(sets, k, bands)
 
       // size each band bucket and salt-split the oversized ones; the
       // sizes join shuffles on the same keys as the pair join below,
@@ -638,6 +644,142 @@ object NearDup {
        |FROM scored
        |WHERE $jacc >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Incremental NEAR-dup dedup — flag arriving-batch docs that are
+    * MinHash-near-duplicates of the already-ingested corpus, or of
+    * other docs in the same batch, WITHOUT an all-corpus pair join.
+    * The corpus contributes its banded signature INDEX (the state a
+    * production pipeline persists between deliveries — |corpus|×bands
+    * narrow rows) and set retrieval only for the few band-collision
+    * candidates; corpus text is never re-shingled against itself.
+    * This is the near-dup counterpart of [[incrementalDedup]] (whose
+    * fingerprint index only catches EXACT duplicates — a crawler
+    * delivering lightly-mutated boilerplate walks straight past it).
+    *
+    * Hot-bucket guard: index buckets with more than `maxBucket`
+    * members are dropped from candidate generation (they are
+    * boilerplate families whose members the BATCH-side full
+    * [[minhashPairs]] pass already clusters; the documented recall
+    * trade mirrors `bucketCap`). Candidate volume is then
+    * ≤ |batch|·bands·maxBucket regardless of corpus skew — the bound
+    * that keeps a delivery-sized join against a 100 TB index linear.
+    *
+    * Output, one row per verified duplication: `doc_id` (batch doc),
+    * `dup_of` (the corpus doc, or the OTHER batch doc with the
+    * smaller id), `src` ∈ {corpus, batch}, exact `jaccard`. Fully
+    * DuckDB-oracle-checked end-to-end ([[incrementalMinhashSql]]) —
+    * the h60 hash family makes the whole sketch pipeline portable. */
+  def incrementalMinhashDedup(history: DataFrame, newBatch: DataFrame,
+                              k: Int = 16, bands: Int = 4,
+                              threshold: Double = 0.8,
+                              maxBucket: Long = 1000): DataFrame = {
+    // sets are the verification state; materialized once each (the
+    // banding AND the candidate verification read them)
+    val histSets = shingleSets(history).localCheckpoint()
+    val batchSets = shingleSets(newBatch).localCheckpoint()
+    val histBands = bandedSignatures(histSets, k, bands)
+    val batchBands = bandedSignatures(batchSets, k, bands)
+    val histOk = histBands.join(
+      histBands.groupBy(col("band_id"), col("band_hash"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)
+        .select("band_id", "band_hash"),
+      Seq("band_id", "band_hash"))
+    val corpusCand = batchBands.as("b").join(histOk.as("h"),
+        col("b.band_id") === col("h.band_id") &&
+        col("b.band_hash") === col("h.band_hash"))
+      .select(col("b.doc_id").as("doc_id"), col("h.doc_id").as("dup_of"))
+      .distinct()
+    // within-batch: the arriving doc dups the EARLIER (smaller-id) one
+    val batchCand = batchBands.as("x").join(batchBands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("dup_of"))
+      .distinct()
+    def verified(cand: DataFrame, partnerSets: DataFrame, src: String): DataFrame =
+      cand
+        .join(batchSets.select(col("doc_id"), col("sh_set").as("__sa")), "doc_id")
+        .join(partnerSets.select(col("doc_id").as("dup_of"), col("sh_set").as("__sb")), "dup_of")
+        .withColumn("__i", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+        .withColumn("jaccard", graft.ops.ConditionalAgg.roundPortable(
+          col("__i").cast("double") /
+            (size(col("__sa")).cast("long") + size(col("__sb")).cast("long") - col("__i")).cast("double"), 4))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_id"), col("dup_of"), lit(src).as("src"), col("jaccard"))
+    verified(corpusCand, histSets, "corpus")
+      .unionByName(verified(batchCand, batchSets, "batch"))
+      .orderBy(col("doc_id"), col("src"), col("dup_of"))
+  }
+
+  /** Driver query: same 80/20 split as [[incrementalDedupQuery]]. */
+  def incrementalMinhashQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    incrementalMinhashDedup(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+  }
+
+  /** FULL-PARITY DuckDB oracle for [[incrementalMinhashQuery]]: the
+    * h60 signature pipeline, the 80/20 split, the hot-bucket guard on
+    * the index side, both candidate joins and the exact-Jaccard
+    * verification, replayed end-to-end. */
+  val incrementalMinhashSql: String = {
+    val params = hashParams(16).zipWithIndex.map { case ((a, b), i) =>
+      s"  ($i, CAST($a AS BIGINT), CAST($b AS BIGINT))" }.mkString(",\n")
+    val jacc = graft.ops.ConditionalAgg.roundPortableSql(
+      """CAST(CAST(i AS DOUBLE)
+        |        / CAST(sa + sb - i AS DOUBLE) AS DOUBLE)""".stripMargin, 4)
+    s"""WITH $shinglesCte,
+       |sets AS (SELECT doc_id, list(shingle) AS sh_set FROM sh GROUP BY doc_id),
+       |params(pi, pa, pb) AS (VALUES
+       |$params),
+       |hs AS (SELECT doc_id, ${h60Sql("shingle")} % 2147483647 AS hm FROM sh),
+       |sig AS (
+       |  SELECT doc_id, pi, min((hm * pa + pb) % 2147483647) AS sigv
+       |  FROM hs CROSS JOIN params GROUP BY doc_id, pi
+       |),
+       |band AS (
+       |  SELECT doc_id, pi // 4 AS band_id,
+       |    string_agg(CAST(sigv AS VARCHAR), ',' ORDER BY pi) AS band_hash
+       |  FROM sig GROUP BY doc_id, band_id
+       |),
+       |hist_band AS (SELECT * FROM band WHERE doc_id % 5 <> 0),
+       |batch_band AS (SELECT * FROM band WHERE doc_id % 5 = 0),
+       |hist_ok AS (
+       |  SELECT h.* FROM hist_band h JOIN (
+       |    SELECT band_id, band_hash FROM hist_band
+       |    GROUP BY band_id, band_hash HAVING count(*) <= 1000
+       |  ) ok ON h.band_id = ok.band_id AND h.band_hash = ok.band_hash
+       |),
+       |corpus_cand AS (
+       |  SELECT DISTINCT b.doc_id, h.doc_id AS dup_of
+       |  FROM batch_band b JOIN hist_ok h
+       |    ON b.band_id = h.band_id AND b.band_hash = h.band_hash
+       |),
+       |batch_cand AS (
+       |  SELECT DISTINCT x.doc_id, y.doc_id AS dup_of
+       |  FROM batch_band x JOIN batch_band y
+       |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       |   AND x.doc_id > y.doc_id
+       |),
+       |scored AS (
+       |  SELECT c.doc_id, c.dup_of, c.src,
+       |    CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS BIGINT) AS i,
+       |    CAST(len(sa.sh_set) AS BIGINT) AS sa,
+       |    CAST(len(sb.sh_set) AS BIGINT) AS sb
+       |  FROM (
+       |    SELECT doc_id, dup_of, 'corpus' AS src FROM corpus_cand
+       |    UNION ALL
+       |    SELECT doc_id, dup_of, 'batch' AS src FROM batch_cand
+       |  ) c
+       |  JOIN sets sa ON c.doc_id = sa.doc_id
+       |  JOIN sets sb ON c.dup_of = sb.doc_id
+       |)
+       |SELECT doc_id, dup_of, src, $jacc AS jaccard
+       |FROM scored
+       |WHERE $jacc >= 0.8
+       |ORDER BY doc_id, src, dup_of""".stripMargin
   }
 
   // ------------------------------------------------------- SimHash

@@ -40,6 +40,28 @@ class DedupSimSpec extends AnyFunSuite {
       s"recall $recovered/$nExact")
   }
 
+  test("incremental minhash dedup: batch-only flags, correct orientation, exact scores") {
+    val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val inc = NearDup.incrementalMinhashDedup(hist, batch).cache()
+    // only batch docs are ever flagged
+    assert(inc.join(batch.select("doc_id"), Seq("doc_id"), "left_anti").count() === 0)
+    // corpus rows point at history docs; batch rows at EARLIER batch docs
+    assert(inc.filter(col("src") === "corpus")
+      .join(hist.select(col("doc_id").as("dup_of")), Seq("dup_of"), "left_anti")
+      .count() === 0)
+    assert(inc.filter(col("src") === "batch" && col("dup_of") >= col("doc_id"))
+      .count() === 0)
+    // every claimed score is a real >= threshold Jaccard
+    assert(inc.filter(col("jaccard") < 0.8 || col("jaccard") > 1.0).count() === 0)
+    // parity with the full-corpus pass: every within-batch incremental
+    // pair appears in minhashPairs over the batch alone
+    val full = NearDup.minhashPairs(batch).select(
+      col("doc_b").as("doc_id"), col("doc_a").as("dup_of"))
+    assert(inc.filter(col("src") === "batch").select("doc_id", "dup_of")
+      .join(full, Seq("doc_id", "dup_of"), "left_anti").count() === 0)
+  }
+
   test("duplicate clustering: min-label components across chained pairs") {
     import spark.implicits._
     // chain 1-2-3-4-5-6 (diameter 5) + isolated pair 10-11
