@@ -509,7 +509,7 @@ object NearDup {
     * identically, and the DuckDB oracles rebuild the same key with
     * string_agg — engine-portable where an xxhash64 of the sigs would
     * not be. */
-  private def bandedSignatures(sets: DataFrame, k: Int, bands: Int): DataFrame = {
+  private[graft] def bandedSignatures(sets: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val sigCols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
       sigFromSet(col("sh_set"), a, b).as(s"sig_$i")
     }
@@ -678,8 +678,18 @@ object NearDup {
     // banding AND the candidate verification read them)
     val histSets = shingleSets(history).localCheckpoint()
     val batchSets = shingleSets(newBatch).localCheckpoint()
-    val histBands = bandedSignatures(histSets, k, bands)
-    val batchBands = bandedSignatures(batchSets, k, bands)
+    incrementalMinhashCore(histSets, bandedSignatures(histSets, k, bands),
+      batchSets, bandedSignatures(batchSets, k, bands), threshold, maxBucket)
+  }
+
+  /** [[incrementalMinhashDedup]] over PRE-BUILT index frames — the
+    * entry point for callers that persist the signature index between
+    * deliveries (the streaming writer), where history sets/bands load
+    * from the state store instead of being recomputed from text. */
+  private[graft] def incrementalMinhashCore(
+      histSets: DataFrame, histBands: DataFrame,
+      batchSets: DataFrame, batchBands: DataFrame,
+      threshold: Double = 0.8, maxBucket: Long = 1000): DataFrame = {
     val histOk = histBands.join(
       histBands.groupBy(col("band_id"), col("band_hash"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucket)

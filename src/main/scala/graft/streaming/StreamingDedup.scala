@@ -58,6 +58,64 @@ object StreamingDedup {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], indexSchema)
   }
 
+  /** Streaming NEAR-dup dedup — [[graft.dedup.NearDup
+    * .incrementalMinhashDedup]] as a corpus-delivery stream: the
+    * carried state is the banded MinHash signature index PLUS the
+    * shingle-set index of every surviving doc (what a production
+    * pipeline persists between deliveries; ~|survivors|×bands narrow
+    * rows + one set array per survivor). Each micro-batch shingles
+    * only ITS OWN docs, flags near-dups of the accumulated corpus and
+    * of earlier docs in the same batch via the shared
+    * `incrementalMinhashCore`, then appends the SURVIVORS' sets/bands
+    * to the state — flagged dups never enter the index, so the corpus
+    * state stays deduplicated (the same survivors-only contract as
+    * the exact-fingerprint writer below). Batch-parity with the batch
+    * operator is spec-asserted (PlatformSpec). */
+  def minhashDedupWriter(stream: DataFrame, setsDir: String,
+                         bandsDir: String, outDir: String): DataStreamWriter[Row] = {
+    val setsSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sh_set", ArrayType(StringType, containsNull = false))))
+    val bandsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("band_id", IntegerType),
+      StructField("band_hash", StringType)))
+    def readState(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+    stream.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import graft.dedup.NearDup
+        val batchSets = NearDup.shingleSets(batch).localCheckpoint()
+        val batchBands = NearDup.bandedSignatures(batchSets)
+        val flags = NearDup.incrementalMinhashCore(
+            readState(spark, setsDir, setsSchema),
+            readState(spark, bandsDir, bandsSchema),
+            batchSets, batchBands)
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint()
+        val survivors = batchSets
+          .join(flags.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        def overwriteOwnPartition(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dir)
+        overwriteOwnPartition(flags.drop("batch_id"), outDir)
+        overwriteOwnPartition(survivors, setsDir)
+        overwriteOwnPartition(
+          batchBands.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"),
+          bandsDir)
+      }
+  }
+
   /** Both writes are per-batch-partition dynamic OVERWRITES, not blind
     * appends: foreachBatch is at-least-once, so a batch replayed after
     * a partial failure rewrites its own `batch_id=` partition instead

@@ -150,6 +150,47 @@ class PlatformSpec extends AnyFunSuite {
     assert(idx.count() === out.count())
   }
 
+  test("streaming minhash near-dup dedup: two deliveries, batch-parity, dedup'd index") {
+    import graft.streaming.StreamingDedup
+    import graft.dedup.NearDup
+    val tmp = Files.createTempDirectory("graft_smh_").toString
+    val docs = Tables.documents(spark, sf)
+    val d1 = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val d2 = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    def run(): Unit = {
+      val w = StreamingDedup.minhashDedupWriter(
+          StreamingDedup.readDocumentsStream(spark, s"$tmp/in"),
+          s"$tmp/sets", s"$tmp/bands", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      w.awaitTermination(180000)
+    }
+    d1.write.mode("overwrite").parquet(s"$tmp/in")
+    run()
+    d2.write.mode("append").parquet(s"$tmp/in")
+    run()
+    val out = spark.read.parquet(s"$tmp/out").cache()
+    // delivery 1 ran against an empty index: its flags are exactly the
+    // batch-oriented minhash pairs WITHIN d1
+    val b0 = out.filter(col("batch_id") === 0)
+      .select("doc_id", "dup_of", "src", "jaccard")
+    val d1Expected = NearDup.incrementalMinhashDedup(d1.limit(0), d1)
+    assert(b0.count() === d1Expected.count())
+    assert(b0.except(d1Expected).count() === 0)
+    // delivery 2's flags equal the batch operator against d1's
+    // SURVIVOR corpus (the index never admitted d1's dups)
+    val d1Survivors = d1.join(
+      d1Expected.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val b1 = out.filter(col("batch_id") > 0)
+      .select("doc_id", "dup_of", "src", "jaccard")
+    val d2Expected = NearDup.incrementalMinhashDedup(d1Survivors, d2)
+    assert(b1.count() === d2Expected.count())
+    assert(b1.except(d2Expected).count() === 0)
+    // the state holds each surviving doc once, bands ≍ sets × 4
+    val sets = spark.read.parquet(s"$tmp/sets")
+    assert(sets.select("doc_id").distinct().count() === sets.count())
+    assert(spark.read.parquet(s"$tmp/bands").count() === sets.count() * 4)
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replayed duplicates") {
     val tmp = Files.createTempDirectory("graft_ddw_").toString
     val ev = Tables.events(spark, sf)
