@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal DAG runner with the orchestration semantics the reference
+  * delegates to Airflow (dags/01–07: `retries`, `retry_delay`,
+  * `execution_timeout`, dependency edges, downstream skip on upstream
+  * failure) — as a LIBRARY facility, so an engine user gets the same
+  * delivery contract in-process:
+  *
+  *  - tasks declare upstream dependencies; execution is topological,
+  *    independent tasks run concurrently on a bounded pool;
+  *  - a failing task retries up to `retries` times with linear
+  *    backoff; a task exceeding `timeout` is failed (its attempt
+  *    thread is interrupted — Spark jobs respond to interrupts at
+  *    stage boundaries);
+  *  - a task whose upstream failed is SKIPPED with status
+  *    `upstream_failed` (Airflow's default trigger rule), never run;
+  *  - the run report is a DataFrame: (task, status, attempts,
+  *    duration_ms) — the audit surface a scheduler UI would show.
+  *
+  * Scale note: orchestration is driver-side CONTROL FLOW over
+  * metadata-sized state (one row per task); all data movement stays
+  * inside the tasks' own Spark jobs. Cycles fail fast with the cycle
+  * members named.
+  */
+object Dag {
+
+  /** One node: `run` is the side-effecting task body (typically a
+    * mart build + serving write). */
+  final case class Task(
+      name: String,
+      deps: Seq[String] = Seq.empty,
+      retries: Int = 2,
+      retryDelayMs: Long = 1000L,
+      timeoutMs: Long = 600000L)(val run: () => Unit)
+
+  final case class TaskResult(task: String, status: String,
+                              attempts: Int, durationMs: Long)
+
+  /** Execute the DAG; returns the run report. `failFast=false`
+    * (default, the Airflow shape): independent branches keep running
+    * after a failure, only downstream of the failure skips. */
+  def run(spark: SparkSession, tasks: Seq[Task],
+          maxParallelism: Int = 4): DataFrame = {
+    val byName = tasks.map(t => t.name -> t).toMap
+    require(byName.size == tasks.size, "duplicate task names")
+    tasks.foreach(t => t.deps.foreach(d =>
+      require(byName.contains(d), s"task ${t.name}: unknown dependency $d")))
+    detectCycle(tasks)
+
+    val results = new java.util.concurrent.ConcurrentHashMap[String, TaskResult]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(maxParallelism)
+    val done = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val lock = new Object
+
+    def ready(t: Task): Boolean =
+      !done.containsKey(t.name) && t.deps.forall(done.containsKey)
+
+    def runOne(t: Task): TaskResult = {
+      if (t.deps.exists(d => results.get(d).status != "success"))
+        return TaskResult(t.name, "upstream_failed", 0, 0L)
+      val t0 = System.nanoTime()
+      var attempt = 0
+      var lastErr: Throwable = null
+      while (attempt <= t.retries) {
+        attempt += 1
+        val body = new java.util.concurrent.FutureTask[Unit](() => t.run())
+        val runner = new Thread(body, s"dag-${t.name}")
+        runner.setDaemon(true)
+        runner.start()
+        try {
+          body.get(t.timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+          return TaskResult(t.name, "success", attempt, (System.nanoTime() - t0) / 1000000L)
+        } catch {
+          case e: java.util.concurrent.TimeoutException =>
+            runner.interrupt()
+            lastErr = e
+          case e: java.util.concurrent.ExecutionException =>
+            lastErr = e.getCause
+        }
+        if (attempt <= t.retries) Thread.sleep(t.retryDelayMs * attempt)
+      }
+      System.err.println(s"[dag] ${t.name} failed after $attempt attempts: $lastErr")
+      TaskResult(t.name, "failed", attempt, (System.nanoTime() - t0) / 1000000L)
+    }
+
+    // level-wise scheduler: submit every ready task, await the level,
+    // repeat — O(tasks²) scans of a metadata-sized list
+    val submitted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      while (done.size < tasks.size) {
+        val runnable = lock.synchronized {
+          tasks.filter(t => ready(t) && !submitted.contains(t.name))
+        }
+        val futures = runnable.map { t =>
+          submitted.add(t.name)
+          scala.concurrent.Future {
+            val r = runOne(t)
+            results.put(t.name, r)
+            done.put(t.name, true)
+          }(ec)
+        }
+        if (futures.nonEmpty)
+          futures.foreach(f => scala.concurrent.Await.ready(
+            f, scala.concurrent.duration.Duration.Inf))
+      }
+    } finally pool.shutdown()
+
+    import spark.implicits._
+    tasks.map(t => results.get(t.name))
+      .map(r => (r.task, r.status, r.attempts, r.durationMs))
+      .toDF("task", "status", "attempts", "duration_ms")
+  }
+
+  private def detectCycle(tasks: Seq[Task]): Unit = {
+    val deps = tasks.map(t => t.name -> t.deps).toMap
+    val state = scala.collection.mutable.Map.empty[String, Int] // 1=visiting 2=done
+    def visit(n: String, path: List[String]): Unit = state.getOrElse(n, 0) match {
+      case 2 =>
+      case 1 => throw new IllegalArgumentException(
+        s"dependency cycle: ${(n :: path.takeWhile(_ != n)).reverse.mkString(" -> ")} -> $n")
+      case _ =>
+        state(n) = 1
+        deps(n).foreach(visit(_, n :: path))
+        state(n) = 2
+    }
+    tasks.foreach(t => visit(t.name, Nil))
+  }
+
+  /** The reference's DAG 02–05/07 chain as library tasks: silver →
+    * seven gold marts (parallel) → serving maintenance, each a
+    * retryable node. The serving writes themselves reuse
+    * [[graft.Pipeline.runAllWith]]'s machinery per mart. */
+  def pipelineDag(spark: SparkSession, silver: DataFrame, outDir: String): Seq[Task] = {
+    val silverTask = Task("silver_events")(() =>
+      graft.sink.ServingSink.writeSorted(silver, s"$outDir/silver_events",
+        Seq("event_date"),
+        Seq(org.apache.spark.sql.functions.col("event_time_str").asc)))
+    val marts = graft.Pipeline.goldMarts(silver).map { case (name, df, dateCol) =>
+      Task(name, deps = Seq("silver_events"))(() =>
+        if (dateCol.nonEmpty)
+          graft.sink.ServingSink.writeDateMart(df, s"$outDir/$name", dateCol)
+        else
+          df.write.mode("overwrite").parquet(s"$outDir/$name"))
+    }
+    val maintenance = Task("maintenance_report",
+      deps = marts.map(_.name))(() => {
+      spark.read.parquet(s"$outDir/daily_sales").count(); ()
+    })
+    silverTask +: marts :+ maintenance
+  }
+}
