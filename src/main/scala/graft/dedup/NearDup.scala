@@ -722,12 +722,18 @@ object NearDup {
       .orderBy(col("doc_id"), col("src"), col("dup_of"))
   }
 
-  /** Driver query: same 80/20 split as [[incrementalDedupQuery]]. */
+  /** Driver query: same 80/20 split as [[incrementalDedupQuery]].
+    * Shingles the corpus ONCE and filters the set frame per side —
+    * sets derive per-doc, so `shingleSets(all).filter(side)` is
+    * byte-identical to shingling each side separately at half the
+    * aggregation cost (the production pipeline reads both sides from
+    * a persisted set index anyway — see the streaming writer). */
   def incrementalMinhashQuery(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    incrementalMinhashDedup(
-      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
-      docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    val sets = shingleSets(Tables.documents(s, dir)).localCheckpoint()
+    val hist = sets.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = sets.filter(pmod(col("doc_id"), lit(5)) === 0)
+    incrementalMinhashCore(hist, bandedSignatures(hist),
+      batch, bandedSignatures(batch))
   }
 
   /** FULL-PARITY DuckDB oracle for [[incrementalMinhashQuery]]: the
