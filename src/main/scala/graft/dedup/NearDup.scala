@@ -489,12 +489,20 @@ object NearDup {
                  math.abs(rnd.nextLong()) % MinhashP)
   }
 
-  /** sig_i column derived NARROWLY from a shingle-set array column:
-    * `array_min(transform(set, s → (h60(s)·a + b) mod p))` — no
-    * shuffle (min over distinct set == min over exploded occurrences). */
-  private def sigFromSet(set: Column, a: Long, b: Long): Column =
-    array_min(transform(set, s =>
-      pmod(pmod(h60(s), lit(MinhashP)) * lit(a) + lit(b), lit(MinhashP))))
+  /** Per-shingle h60 folds as an array column — computed ONCE per
+    * element and shared by every affine signature (md5 costs ~16× the
+    * affine transform and Catalyst does not CSE across the k
+    * independent lambda trees; hashing inside each sig column made
+    * the md5 pass the dominant signature cost). */
+  private def h60Folds(set: Column): Column =
+    transform(set, s => pmod(h60(s), lit(MinhashP)))
+
+  /** sig_i column derived NARROWLY from the pre-hashed fold array:
+    * `array_min(transform(hashes, h → (h·a + b) mod p))` — no shuffle
+    * (min over distinct set == min over exploded occurrences). */
+  private def sigFromHashes(hashes: Column, a: Long, b: Long): Column =
+    array_min(transform(hashes, h =>
+      pmod(h * lit(a) + lit(b), lit(MinhashP))))
 
   /** Per-doc sorted shingle sets — ONE grouped shuffle; signatures and
     * the exact-Jaccard verification both derive from it. */
@@ -511,9 +519,10 @@ object NearDup {
     * not be. */
   private[graft] def bandedSignatures(sets: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val sigCols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
-      sigFromSet(col("sh_set"), a, b).as(s"sig_$i")
+      sigFromHashes(col("__h60"), a, b).as(s"sig_$i")
     }
-    val sig = sets.select(col("doc_id") +: sigCols: _*)
+    val sig = sets.withColumn("__h60", h60Folds(col("sh_set")))
+      .select(col("doc_id") +: sigCols: _*)
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
@@ -530,9 +539,10 @@ object NearDup {
     * min aggregates. */
   def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame = {
     val cols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
-      sigFromSet(col("sh_set"), a, b).as(s"sig_$i")
+      sigFromHashes(col("__h60"), a, b).as(s"sig_$i")
     }
-    shingleSets(documents).select(col("doc_id") +: cols: _*)
+    shingleSets(documents).withColumn("__h60", h60Folds(col("sh_set")))
+      .select(col("doc_id") +: cols: _*)
   }
 
   /** MinHash-LSH candidate pairs, verified with exact Jaccard — but
