@@ -537,11 +537,16 @@ object NearDup {
     * higher-order array expressions over it (narrow, codegen'd) —
     * round 1 shuffled the exploded shingles a second time for the
     * min aggregates. */
-  def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame = {
+  def minhashSignatures(documents: DataFrame, k: Int = 16): DataFrame =
+    signaturesFromSets(shingleSets(documents), k)
+
+  /** Signature columns over a pre-built (doc_id, sh_set) frame — the
+    * sets-level entry the permutation-invariance property pins. */
+  private[graft] def signaturesFromSets(sets: DataFrame, k: Int = 16): DataFrame = {
     val cols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
       sigFromHashes(col("__h60"), a, b).as(s"sig_$i")
     }
-    shingleSets(documents).withColumn("__h60", h60Folds(col("sh_set")))
+    sets.withColumn("__h60", h60Folds(col("sh_set")))
       .select(col("doc_id") +: cols: _*)
   }
 

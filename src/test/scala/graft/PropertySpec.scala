@@ -27,6 +27,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("h60 portable hash: range-bounded, deterministic, matches a pure-JVM md5 reference") {
+    val strs = samples(Gen.listOfN(40,
+      Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr, Gen.const(""))), 5).flatten
+    def jvmH60(s: String): Long = {
+      // the reference construction: first 15 hex chars of md5, base-16
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val got = strs.toDF("s")
+      .select(col("s"), graft.dedup.NearDup.h60(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach { s =>
+      assert(got(s) >= 0L && got(s) < (1L << 60), s"out of range for '$s'")
+      assert(got(s) === jvmH60(s), s"mismatch vs JVM md5 reference for '$s'")
+    }
+  }
+
+  test("minhash signatures are invariant under shingle-set permutation") {
+    // array_min over the hashed folds must not care about set order —
+    // the guarantee that lets sorted/unsorted set sources agree
+    val sets = samples(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)), 8)
+      .map(_.distinct).filter(_.nonEmpty)
+    val base = sets.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val perm = sets.zipWithIndex.map { case (s, i) => (i.toLong, s.reverse) }
+    def sigs(rows: Seq[(Long, Seq[String])]) = {
+      val df = rows.toDF("doc_id", "sh_set")
+      graft.dedup.NearDup.signaturesFromSets(df)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    }
+    assert(sigs(base) === sigs(perm))
+  }
+
   test("ngram_stats agrees with a naive Scala reference on random token arrays") {
     import org.apache.spark.sql.graftext.NgramStats.ngramStats
     // small alphabet forces heavy gram collisions — the interesting regime
