@@ -101,6 +101,7 @@ object Bench {
     // Warm the JVM/codegen/file-listing paths AND the shared silver
     // cache; run queries in name order so per-query numbers are
     // comparable across rounds.
+    val warmupT0 = System.nanoTime()
     try {
       graft.sources.Tables.lineitem(spark, sfDir).count()
       materialize(SparkEntry.queries("silver_events")(spark, sfDir))
@@ -120,6 +121,10 @@ object Bench {
       materialize(SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir))
       materialize(SparkEntry.queries("dedup_simhash")(spark, sfDir))
     } catch { case _: Throwable => }
+    // transparency: the warmup pool (silver + pair/cluster/sketch
+    // staging) is amortized OUT of per-query numbers by policy — its
+    // cost is real, so it is reported here rather than hidden
+    System.err.println(f"[bench] warmup staging took ${(System.nanoTime() - warmupT0) / 1e9}%.2f s (amortized, not billed to queries)")
     // Dirty-run self-flagging (round-4 lesson: a concurrent JVM inflated
     // ~12 queries 3-10x in the closing artifact): stamp the OS load
     // average into the JSON line, and give any query that comes in >1.3x
@@ -267,7 +272,7 @@ object Bench {
         // query work, not staging-included to staging-free
         materialize(SparkEntry.queries("dedup_minhash_lsh")(spark, dest))
         materialize(SparkEntry.queries("dedup_simhash")(spark, dest))
-        Seq("brute", "lsh", "ivf", "sq8", "pq", "ivfpq").foreach(m =>
+        Seq("brute", "lsh", "ivf", "sq8", "bq", "pq", "ivfpq").foreach(m =>
           materialize(SparkEntry.queries(s"sim_embed_topk_$m")(spark, dest)))
       } catch { case _: Throwable => }
       // Repeat discipline (round-5 lesson: sf1 ratios moved up to 1.7x

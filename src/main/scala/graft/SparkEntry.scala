@@ -105,6 +105,7 @@ object SparkEntry {
       case "ivf" => graft.sim.IvfAnn.ivfTopK(Tables.embeddings(s, dir),
         centsOpt = Some(ivfCents(s, dir)))
       case "sq8" => graft.sim.ScalarQuantAnn.sq8TopKQuery(s, dir)
+      case "bq" => graft.sim.BinaryQuantAnn.bqTopKQuery(s, dir)
       case "pq" => graft.sim.ProductQuantAnn.pqTopKQuery(s, dir)
       case "ivfpq" => graft.sim.IvfPqAnn.ivfPqTopK(Tables.embeddings(s, dir),
         centsOpt = Some(ivfCents(s, dir)))
@@ -328,6 +329,9 @@ object SparkEntry {
     "sim_embed_topk_sq8" -> ((s, dir) => annTopK(s, dir, "sq8")
       .orderBy(org.apache.spark.sql.functions.col("probe_id"),
         org.apache.spark.sql.functions.col("rank"))),
+    "sim_embed_topk_bq" -> ((s, dir) => annTopK(s, dir, "bq")
+      .orderBy(org.apache.spark.sql.functions.col("probe_id"),
+        org.apache.spark.sql.functions.col("rank"))),
     "sim_embed_topk_pq" -> ((s, dir) => annTopK(s, dir, "pq")
       .orderBy(org.apache.spark.sql.functions.col("probe_id"),
         org.apache.spark.sql.functions.col("rank"))),
@@ -401,6 +405,7 @@ object SparkEntry {
     "sim_embed_topk_lsh" -> annGate("lsh"),
     "sim_embed_topk_ivf" -> annGate("ivf"),
     "sim_embed_topk_sq8" -> annGate("sq8"),
+    "sim_embed_topk_bq" -> annGate("bq"),
     "sim_embed_topk_pq" -> annGate("pq"),
     "sim_embed_topk_ivfpq" -> annGate("ivfpq"),
     "q_unpivot_daily_metrics" -> DailySales.unpivotMetricsSql,

@@ -324,13 +324,19 @@ object EmbeddingSim {
     * sq8 0.85 (refine re-rank is near-exact); lsh keeps 0.30 —
     * random hyperplanes on near-random vectors are the scheme's worst
     * case and its measured range brushes 0.34, so the floor only
-    * catches a banding bug, which drops recall to ~0. Tighter
+    * catches a banding bug, which drops recall to ~0. bq (1-bit sign
+    * codes, round-8): measured 1.00/1.00/0.84 at sf0.001/0.01/0.1 —
+    * the deep refine pool (48·k) carries recall across the 64-bit
+    * hamming tie plateaus; floor 0.60 is ~29 % under the worst
+    * measurement, mean-threshold fold wobble included. Tighter
     * empirical bounds live in DedupSimSpec. */
   val annFloors: Seq[(String, Double)] = Seq(
-    "ivf" -> 0.70, "ivfpq" -> 0.70, "lsh" -> 0.30, "pq" -> 0.75, "sq8" -> 0.85)
+    "bq" -> 0.60, "ivf" -> 0.70, "ivfpq" -> 0.70, "lsh" -> 0.30,
+    "pq" -> 0.75, "sq8" -> 0.85)
 
   def recallReport(s: SparkSession, dir: String): DataFrame =
     recallReportWith(s, bruteForceTopKQuery(s, dir), Map(
+      "bq" -> BinaryQuantAnn.bqTopKQuery(s, dir),
       "ivf" -> IvfAnn.ivfTopKQuery(s, dir),
       "ivfpq" -> IvfPqAnn.ivfPqTopKQuery(s, dir),
       "lsh" -> lshTopKQuery(s, dir),

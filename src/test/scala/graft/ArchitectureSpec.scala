@@ -38,10 +38,12 @@ class ArchitectureSpec extends AnyFunSuite {
     //   listing — one row per snapshot VERSION, metadata-plane by design
     // EwmaScan: ONE 1-row crossJoin of the gate report's three audit
     //   maxima — fixed-size scalars regardless of series length
+    // BinaryQuantAnn: 64 per-dimension mean thresholds (packed-code training)
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 1,
-      "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1)
+      "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
+      "BinaryQuantAnn.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))
   }
