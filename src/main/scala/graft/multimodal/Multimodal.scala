@@ -9,20 +9,22 @@ import graft.sources.Tables
   * decode / feature-extract / frame-sample as partition-batched
   * Dataset transforms.
   *
-  * The IMAGE and AUDIO codec legs are REAL: image-mime rows carry an
-  * actual PNG payload (16×16 grayscale, pixels = the doc's text bytes
-  * cycled to 256 — built with `javax.imageio`, JDK built-in) and
+  * ALL THREE codec legs are REAL JDK container codecs: image-mime
+  * rows carry an actual PNG payload (16×16 grayscale, pixels = the
+  * doc's text bytes cycled to 256 — built with `javax.imageio`),
   * audio-mime rows an actual WAV (8 kHz mono unsigned 8-bit PCM, same
-  * sample construction — `javax.sound.sampled`, JDK built-in);
-  * [[MediaCodec.decodeReal]] parses both containers back to
-  * dimensions/format + samples. Both codecs are lossless at these
-  * settings, so the decoded samples equal the source bytes — which is
-  * what makes the decode DuckDB-oracle-checkable without a SQL codec.
-  * Video decode still falls back to the deterministic fake (no ffmpeg
-  * in this environment — wiring documented at
-  * [[MediaCodec.decodeReal]]); the batch shape (mapPartitions
-  * iterator — the contract a JNI/FFI decoder needs) is identical for
-  * all three.
+  * sample construction — `javax.sound.sampled`), and video-mime rows
+  * an actual multi-frame ANIMATED GIF (16×16 frames on an 8-bit
+  * indexed gray palette, one frame per 256-byte chunk of the text,
+  * last chunk space-padded — `javax.imageio`'s GIF sequence writer).
+  * [[MediaCodec.decodeReal]] parses each container back to
+  * dimensions/format + samples. All three codecs are lossless at
+  * these settings (PNG by definition, 8-bit PCM WAV by definition,
+  * GIF because a 256-entry gray palette covers every 8-bit sample
+  * exactly), so the decoded samples equal the source construction —
+  * which is what makes the decode DuckDB-oracle-checkable without a
+  * SQL codec. The batch shape (mapPartitions iterator — the contract
+  * a JNI/FFI decoder needs) is identical for all three.
   *
   * Scale: media rows are wide (MBs per row at production sizes) —
   * the feature extraction is a per-partition map with NO shuffle, and
@@ -54,38 +56,56 @@ object Multimodal {
     Array.tabulate(ImgW * ImgH)(i => b(i % b.length))
   }
 
+  /** Samples-per-frame of the synthesized video payloads (one full
+    * ImgW×ImgH raster per frame). */
+  val FrameLen: Int = ImgW * ImgH
+
+  /** The video payload's frame rasters: consecutive 256-byte chunks
+    * of the text's UTF-8 bytes, the last chunk right-padded with
+    * spaces (empty text → one all-space frame). The DuckDB twin pads
+    * with `rpad(text, 256*nframes, ' ')` and slices — ASCII corpus,
+    * so chars == bytes. */
+  def videoFrameRasters(text: String): Seq[Array[Byte]] = {
+    val src = if (text == null || text.isEmpty) " " else text
+    val b = src.getBytes("UTF-8")
+    val nframes = (b.length + FrameLen - 1) / FrameLen
+    (0 until nframes).map { f =>
+      Array.tabulate(FrameLen) { i =>
+        val idx = f * FrameLen + i
+        if (idx < b.length) b(idx) else ' '.toByte
+      }
+    }
+  }
+
   /** Deterministic media table derived from `documents` (the driver
-    * testdata ships no binary columns — FIXTURES §4): image-mime rows
-    * carry a REAL PNG (encoded per-partition with `javax.imageio`);
-    * audio/video rows carry the raw UTF-8 text bytes. Mime assigned
-    * round-robin on doc_id. */
+    * testdata ships no binary columns — FIXTURES §4): every row
+    * carries a REAL container — PNG for image mime, WAV for audio,
+    * multi-frame animated GIF for video — encoded per-partition with
+    * JDK codecs. Mime assigned round-robin on doc_id. */
   def mediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val mime = element_at(typedLit(Seq("image/png", "audio/wav", "video/mp4")),
       (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
-    val base = documents.select(
-      col("doc_id").as("media_id"),
-      concat(lit("mem://doc/"), col("doc_id")).as("uri"),
-      mime.as("mime"),
-      col("text"))
-    val video = base.filter(col("mime") === "video/mp4")
-      .select(col("media_id"), col("uri"), col("mime"),
-        encode(col("text"), "UTF-8").cast("binary").as("data"))
-    // real PNG / WAV encode, partition-batched (one encoder context
-    // per partition — same lifecycle as a native codec handle)
-    val coded = base.filter(col("mime") =!= "video/mp4")
+    // real PNG / WAV / GIF encode, partition-batched (one encoder
+    // context per partition — same lifecycle as a native codec handle)
+    documents.select(
+        col("doc_id").as("media_id"),
+        concat(lit("mem://doc/"), col("doc_id")).as("uri"),
+        mime.as("mime"),
+        col("text"))
       .as[(Long, String, String, String)]
       .mapPartitions { rows =>
         rows.map { case (id, uri, mime, text) =>
-          val payload =
-            if (mime == "image/png") MediaCodec.encodePng(pixelBytes(text))
-            else MediaCodec.encodeWav(pixelBytes(text))
+          val payload = mime match {
+            case "image/png" => MediaCodec.encodePng(pixelBytes(text))
+            case "audio/wav" => MediaCodec.encodeWav(pixelBytes(text))
+            case _           => MediaCodec.encodeGif(videoFrameRasters(text))
+          }
           (id, uri, mime, payload)
         }
       }
       .toDF("media_id", "uri", "mime", "data")
-    video.unionByName(coded)
   }
 
   object MediaCodec {
@@ -128,6 +148,71 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** 256-entry gray palette: every 8-bit sample maps to its own
+      * palette slot, which is what makes the GIF leg lossless. */
+    private lazy val grayPalette: java.awt.image.IndexColorModel = {
+      val g = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** Encode frame rasters as a real multi-frame animated GIF via
+      * `javax.imageio`'s sequence writer (JDK built-in): GIF89a
+      * header, logical screen descriptor and per-frame image blocks
+      * written by the platform codec, not hand-rolled. Indexed 8-bit
+      * gray frames ⇒ the LZW round trip is byte-exact. */
+    def encodeGif(frames: Seq[Array[Byte]], w: Int = ImgW, h: Int = ImgH): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { px =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var i = 0
+        while (i < w * h) {
+          raster.setSample(i % w, i / w, 0, px(i) & 0xFF)
+          i += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      bos.toByteArray
+    }
+
+    /** Parse a GIF container back to (width, height, frame rasters) —
+      * the real video decode leg: the platform reader walks the block
+      * structure and LZW-decompresses every frame; samples come from
+      * the decoded palette lookups (gray palette ⇒ low byte of the
+      * RGB is the original sample). */
+    def decodeGif(data: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(data))
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      require(n > 0, "undecodable GIF payload: no frames")
+      var (w, h) = (0, 0)
+      val frames = Array.tabulate(n) { f =>
+        val img = reader.read(f)
+        w = img.getWidth
+        h = img.getHeight
+        val px = new Array[Byte](w * h)
+        var i = 0
+        while (i < w * h) {
+          px(i) = (img.getRGB(i % w, i / w) & 0xFF).toByte
+          i += 1
+        }
+        px
+      }
+      reader.dispose()
+      iis.close()
+      (w, h, frames)
+    }
+
     /** Parse a WAV container back to its PCM sample bytes + format —
       * the real audio decode leg (`AudioSystem.getAudioInputStream`
       * validates the RIFF structure and locates the data chunk). */
@@ -141,17 +226,19 @@ object Multimodal {
       (out.toByteArray, in.getFormat)
     }
 
-    /** REAL decoder entry point. The image leg IS real: `javax.imageio`
-      * parses the PNG container (signature, IHDR, zlib-inflated IDAT)
-      * and the features come from the decoded raster — dimensions from
-      * the header, content identity + histogram from the pixel samples
-      * (content-addressing by DECODED content, so a re-encoded
-      * container dedups to the same sha — the property a multimodal
-      * dedup pipeline actually wants).
+    /** REAL decoder entry point — all three mime legs parse their
+      * actual container: `javax.imageio` for PNG (signature, IHDR,
+      * zlib-inflated IDAT) and animated GIF (block walk +
+      * per-frame LZW), `javax.sound.sampled` for WAV (RIFF chunks).
+      * Features come from the decoded samples — dimensions from the
+      * container header, content identity + histogram from the
+      * decoded pixels/PCM (content-addressing by DECODED content, so
+      * a re-encoded container dedups to the same sha — the property a
+      * multimodal dedup pipeline actually wants).
       *
-      * Audio/video fall back to the deterministic fake — no ffmpeg in
-      * this environment. Deployment wiring for those (public options,
-      * in preference order):
+      * Production formats beyond the JDK codecs (JPEG is in ImageIO
+      * too; MP3/MP4/H.264 are not) wire in the same way (public
+      * options, in preference order):
       *  1. JVM-native: TwelveMonkeys ImageIO (more image formats) /
       *     JAVE or a bundled ffmpeg binary driven per-partition. Drop
       *     the implementation into the match arms below — the
@@ -203,7 +290,21 @@ object Multimodal {
         MediaFeatures(r.media_id, r.uri, r.mime, samples.length, sha,
           width = samples.length, height = fmt.getChannels,
           histogram = hist.map(v => math.floor(v / n * 10000) / 10000))
-      case _ => decodeFake(r) // video: see ffmpeg wiring options above
+      case "video/mp4" =>
+        // real GIF parse: dimensions from the decoded frames, identity
+        // + histogram over the concatenation of every frame's samples
+        // (lossless palette ⇒ samples == the padded-chunk source
+        // construction)
+        val (w, h, frames) = decodeGif(r.data)
+        val all = frames.flatten
+        val n = math.max(1, all.length)
+        val sha = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(all).map("%02x".format(_)).mkString
+        val hist = new Array[Double](16)
+        all.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+        MediaFeatures(r.media_id, r.uri, r.mime, all.length, sha, w, h,
+          hist.map(v => math.floor(v / n * 10000) / 10000))
+      case _ => decodeFake(r) // unknown mime: deterministic fallback
     }
 
     /** Modulus keeping the byte folds inside non-overflowing BIGINT
@@ -250,19 +351,23 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video payloads: every `stride`-th 64-byte
-    * chunk becomes a "frame" row (real impl: keyframe extraction).
-    * Demonstrates the explode-to-frames shape that keeps frames
-    * co-partitioned with their parent video. */
+  /** Frame sampling for video payloads: decode the GIF container and
+    * emit every `stride`-th REAL frame's raster as a row (real impl:
+    * keyframe extraction — same decode-then-stride shape).
+    * Demonstrates the explode-to-frames pattern that keeps frames
+    * co-partitioned with their parent video; the digest is over the
+    * DECODED samples, so a re-encoded container yields identical
+    * frame rows. */
   def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(col("mime") === "video/mp4").as[MediaRecord]
       .flatMap { r =>
-        r.data.grouped(64).zipWithIndex
+        val (_, _, frames) = MediaCodec.decodeGif(r.data)
+        frames.iterator.zipWithIndex
           .filter { case (_, i) => i % stride == 0 }
-          .map { case (chunk, i) => (r.media_id, i, chunk.length,
-            MediaCodec.foldBytes(chunk, 0L)) }
+          .map { case (px, i) => (r.media_id, i, px.length,
+            MediaCodec.foldBytes(px, 0L)) }
       }
       .toDF("media_id", "frame_index", "frame_bytes", "frame_digest")
   }
@@ -286,19 +391,26 @@ object Multimodal {
        |      CAST(ceil($n.0 / greatest(strlen(text), 1)) AS INT)), 1, $n)""".stripMargin
   }
 
-  /** DuckDB oracle for the scalar metadata. Image and audio rows are
-    * identified by their DECODED content (sha over the pixel / PCM
-    * samples — which the lossless PNG/WAV round trips make
-    * recomputable from text); video rows by their raw payload (ASCII,
-    * so chars == bytes). */
+  /** The video rows' decoded sample string as a DuckDB expression:
+    * text space-padded to a whole number of $FrameLen-sample frames
+    * (the GIF round trip is lossless, so the concatenation of every
+    * decoded frame's samples == this construction). */
+  private val padVidSql: String =
+    s"""rpad(CASE WHEN strlen(text) = 0 THEN ' ' ELSE text END,
+       |     CAST($FrameLen * ceil(greatest(strlen(text), 1) / $FrameLen.0) AS INT), ' ')""".stripMargin
+
+  /** DuckDB oracle for the scalar metadata. EVERY row is identified
+    * by its DECODED content (sha over the pixel / PCM / frame
+    * samples — which the lossless PNG/WAV/GIF round trips make
+    * recomputable from text; ASCII corpus, so chars == bytes). */
   val mediaMetaSql: String =
     s"""SELECT
       |  doc_id AS media_id,
       |  concat('mem://doc/', CAST(doc_id AS VARCHAR)) AS uri,
       |  ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
-      |  CASE WHEN doc_id % 3 = 2 THEN CAST(strlen(text) AS INT)
+      |  CASE WHEN doc_id % 3 = 2 THEN CAST(strlen($padVidSql) AS INT)
       |       ELSE ${ImgW * ImgH} END AS byte_len,
-      |  CASE WHEN doc_id % 3 = 2 THEN sha256(text)
+      |  CASE WHEN doc_id % 3 = 2 THEN sha256($padVidSql)
       |       ELSE sha256($padTextSql) END AS content_sha
       |FROM documents
       |ORDER BY media_id""".stripMargin
@@ -316,19 +428,17 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  /** DuckDB oracle for the full feature extraction. Image and audio
-    * rows (the REAL `javax.imageio` / `javax.sound.sampled` decode
-    * legs) are recomputed from the sample construction the lossless
-    * PNG/WAV round trips preserve: sha + 16-bin histogram over the
-    * decoded samples, image dimensions ImgW×ImgH, audio dimensions
-    * (frames, channels=1). Video rows replay the deterministic fake
-    * decode (byte-fold dimensions, raw-payload sha) — identical byte
-    * math (list_reduce = the sequential byte fold). */
+  /** DuckDB oracle for the full feature extraction. Every row (all
+    * three REAL decode legs) is recomputed from the sample
+    * construction the lossless PNG/WAV/GIF round trips preserve:
+    * sha + 16-bin histogram over the decoded samples; dimensions
+    * ImgW×ImgH for image and video frames, (frames, channels=1) for
+    * audio; video byte_len = frames × $FrameLen (space-padded). */
   val featuresSql: String = {
     val n = ImgW * ImgH
     val histCols = (0 until 16).map(i =>
       s"""  CASE WHEN mime = 'video/mp4'
-         |    THEN floor(CAST(len(list_filter(bytes, b -> b // 16 = $i)) AS DOUBLE) / nb * 10000) / 10000
+         |    THEN floor(CAST(len(list_filter(vbytes, b -> b // 16 = $i)) AS DOUBLE) / len(vbytes) * 10000) / 10000
          |    ELSE floor(CAST(len(list_filter(pbytes, b -> b // 16 = $i)) AS DOUBLE) / $n * 10000) / 10000
          |  END AS hist_${"%02d".format(i)}""".stripMargin)
       .mkString(",\n")
@@ -337,30 +447,19 @@ object Multimodal {
       |    doc_id AS media_id,
       |    concat('mem://doc/', CAST(doc_id AS VARCHAR)) AS uri,
       |    ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
-      |    CAST(strlen(text) AS INT) AS text_len,
-      |    sha256(text) AS text_sha,
       |    sha256($padTextSql) AS px_sha,
-      |    list_transform(string_split(text, ''), c -> ord(c)) AS bytes,
+      |    sha256($padVidSql) AS vid_sha,
       |    list_transform(string_split($padTextSql, ''), c -> ord(c)) AS pbytes,
-      |    greatest(strlen(text), 1) AS nb
+      |    list_transform(string_split($padVidSql, ''), c -> ord(c)) AS vbytes
       |  FROM documents
-      |), folded AS (
-      |  SELECT *,
-      |    list_reduce(list_prepend(CAST(17 AS BIGINT), bytes),
-      |                (a, b) -> (a * 31 + b) % 1000000007) AS fold
-      |  FROM base
       |)
       |SELECT media_id, uri, mime,
-      |  CASE WHEN mime = 'video/mp4' THEN text_len ELSE $n END AS byte_len,
-      |  CASE WHEN mime = 'video/mp4' THEN text_sha ELSE px_sha END AS content_sha,
-      |  CASE WHEN mime = 'image/png' THEN $ImgW
-      |       WHEN mime = 'audio/wav' THEN $n
-      |       ELSE CAST(fold % 1280 + 1 AS INT) END AS width,
-      |  CASE WHEN mime = 'image/png' THEN $ImgH
-      |       WHEN mime = 'audio/wav' THEN 1
-      |       ELSE CAST((fold // 65536) % 720 + 1 AS INT) END AS height,
+      |  CASE WHEN mime = 'video/mp4' THEN CAST(len(vbytes) AS INT) ELSE $n END AS byte_len,
+      |  CASE WHEN mime = 'video/mp4' THEN vid_sha ELSE px_sha END AS content_sha,
+      |  CASE WHEN mime = 'audio/wav' THEN $n ELSE $ImgW END AS width,
+      |  CASE WHEN mime = 'audio/wav' THEN 1 ELSE $ImgH END AS height,
       |$histCols
-      |FROM folded
+      |FROM base
       |ORDER BY media_id""".stripMargin
   }
 
@@ -369,22 +468,21 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame_index"))
 
   /** Per-modality typed stats — the mime-dispatched decode shape (a
-    * real pipeline runs a different codec per modality; here each
-    * branch is deterministic byte math on the payload, so the whole
-    * dispatch is oracle-checkable). Columns are NULL off-modality:
-    *  - image: mean intensity (mean byte / 255, floor-quantized 4 dp)
+    * real pipeline runs a different codec per modality; every branch
+    * here parses its actual container and computes over the DECODED
+    * samples, which the lossless codecs make oracle-checkable).
+    * Columns are NULL off-modality:
+    *  - image: mean intensity (mean sample / 255, floor-quantized 4 dp)
     *  - audio: RMS of the 128-centered samples + zero-crossing count
-    *  - video: 64-byte frame count + mean frame length
+    *  - video: decoded frame count + mean decoded intensity
     * Same partition-batched single pass as [[extractFeatures]]. */
   def modalityStats(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { records =>
       records.map { r =>
-        val bytes = r.data
-        val n = math.max(1, bytes.length)
         def q4(v: Double): Double = math.floor(v * 10000) / 10000
-        val (imgMean, audioRms, audioZc, vidFrames, vidMeanLen) = r.mime match {
+        val (imgMean, audioRms, audioZc, vidFrames, vidMeanInt) = r.mime match {
           case "image/png" =>
             // real decode: mean intensity over the PNG's decoded samples
             val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
@@ -409,31 +507,33 @@ object Multimodal {
               p.length == 2 && ((p(0) & 0xFF) < 128) != ((p(1) & 0xFF) < 128))
             (None, Some(q4(math.sqrt(sq.toDouble / ns))), Some(zc), None, None)
           case _ =>
-            val frames = (bytes.length + 63) / 64
-            (None, None, None, Some(frames),
-              Some(q4(bytes.length.toDouble / math.max(1, frames))))
+            // real decode: frame count from the GIF block walk, mean
+            // intensity over every decoded frame's samples
+            val (_, _, frames) = MediaCodec.decodeGif(r.data)
+            val all = frames.flatten
+            val s = all.foldLeft(0L)((a, b) => a + (b & 0xFF))
+            val mean = s.toDouble / math.max(1, all.length) / 255.0
+            (None, None, None, Some(frames.length), Some(q4(mean)))
         }
-        (r.media_id, r.mime, imgMean, audioRms, audioZc, vidFrames, vidMeanLen)
+        (r.media_id, r.mime, imgMean, audioRms, audioZc, vidFrames, vidMeanInt)
       }
     }.toDF("media_id", "mime", "img_mean_intensity", "audio_rms",
-      "audio_zero_crossings", "video_frames", "video_mean_frame_len")
+      "audio_zero_crossings", "video_frames", "video_mean_intensity")
   }
 
   def modalityStatsQuery(s: SparkSession, dir: String): DataFrame =
     modalityStats(mediaTable(Tables.documents(s, dir)))
       .orderBy(col("media_id"))
 
-  /** DuckDB oracle: every branch replayed over the ASCII payload's
-    * byte list (identical IEEE division/sqrt; floor quantization is
-    * bit-portable). */
+  /** DuckDB oracle: every branch replayed over the decoded-sample
+    * construction its lossless codec preserves (identical IEEE
+    * division/sqrt; floor quantization is bit-portable). */
   val modalityStatsSql: String =
     s"""WITH base AS (
       |  SELECT doc_id AS media_id,
       |    ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
-      |    list_transform(string_split(text, ''), c -> ord(c)) AS bytes,
       |    list_transform(string_split($padTextSql, ''), c -> ord(c)) AS pbytes,
-      |    greatest(strlen(text), 1) AS n,
-      |    CAST(strlen(text) AS INT) AS len
+      |    list_transform(string_split($padVidSql, ''), c -> ord(c)) AS vbytes
       |  FROM documents
       |)
       |SELECT media_id, mime,
@@ -448,24 +548,26 @@ object Multimodal {
       |    CAST(len(list_filter(range(${ImgW * ImgH} - 1),
       |      i -> (pbytes[i + 1] < 128) <> (pbytes[i + 2] < 128))) AS INT)
       |  END AS audio_zero_crossings,
-      |  CASE WHEN mime = 'video/mp4' THEN CAST((len + 63) // 64 AS INT) END AS video_frames,
+      |  CASE WHEN mime = 'video/mp4' THEN CAST(len(vbytes) // $FrameLen AS INT) END AS video_frames,
       |  CASE WHEN mime = 'video/mp4' THEN
-      |    floor(CAST(len AS DOUBLE) / greatest((len + 63) // 64, 1) * 10000) / 10000
-      |  END AS video_mean_frame_len
+      |    floor(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), vbytes), (a,b) -> a + b) AS DOUBLE)
+      |      / len(vbytes) / 255.0 * 10000) / 10000
+      |  END AS video_mean_intensity
       |FROM base
       |ORDER BY media_id""".stripMargin
 
-  /** DuckDB oracle for strided frame sampling: 64-char chunks of the
-    * video-mime docs, every 4th chunk, digest = the same mod-prime
-    * byte fold. */
+  /** DuckDB oracle for strided frame sampling: $FrameLen-char chunks
+    * of the space-padded video-mime docs (== the decoded GIF frame
+    * rasters, by losslessness), every 4th chunk, digest = the same
+    * mod-prime byte fold over the chunk's samples. */
   val framesSql: String =
-    """WITH media AS (
-      |  SELECT doc_id AS media_id, text
+    s"""WITH media AS (
+      |  SELECT doc_id AS media_id, $padVidSql AS padded
       |  FROM documents WHERE doc_id % 3 = 2
       |), frames AS (
       |  SELECT media_id, CAST(i AS INT) AS frame_index,
-      |    substr(text, CAST(i * 64 + 1 AS INT), 64) AS chunk
-      |  FROM media, unnest(range((strlen(text) + 63) // 64)) AS t(i)
+      |    substr(padded, CAST(i * $FrameLen + 1 AS INT), $FrameLen) AS chunk
+      |  FROM media, unnest(range(strlen(padded) // $FrameLen)) AS t(i)
       |  WHERE i % 4 = 0
       |)
       |SELECT media_id, frame_index,

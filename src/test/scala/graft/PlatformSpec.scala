@@ -54,6 +54,28 @@ class PlatformSpec extends AnyFunSuite {
     assert(audFeat.byte_len === px.length)
   }
 
+  test("multimodal: GIF round trip is lossless — decoded frames == padded chunk construction") {
+    import graft.multimodal.Multimodal.MediaCodec
+    val text = "x" * 300 + "the quick brown fox"
+    val rasters = Multimodal.videoFrameRasters(text)
+    assert(rasters.length === 2)
+    assert(rasters.last.drop(text.length - Multimodal.FrameLen).forall(_ == ' '.toByte))
+    val gif = MediaCodec.encodeGif(rasters)
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8")) // real container
+    val (w, h, frames) = MediaCodec.decodeGif(gif)
+    assert(w === Multimodal.ImgW && h === Multimodal.ImgH)
+    assert(frames.length === rasters.length)
+    frames.zip(rasters).foreach { case (f, r) => assert(f.toSeq === r.toSeq) }
+    // decodeReal video leg: identity over the concatenated DECODED samples
+    val feat = MediaCodec.decodeReal(Multimodal.MediaRecord(3L, "u", "video/mp4", gif))
+    val all = rasters.flatten.toArray
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(all).map("%02x".format(_)).mkString
+    assert(feat.content_sha === sha)
+    assert(feat.byte_len === 2 * Multimodal.FrameLen)
+    assert(feat.width === Multimodal.ImgW && feat.height === Multimodal.ImgH)
+  }
+
   test("multimodal: frame sampling only from video mime, strided") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media).cache()
