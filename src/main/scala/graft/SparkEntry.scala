@@ -104,6 +104,10 @@ object SparkEntry {
       case "lsh" => graft.sim.EmbeddingSim.lshTopKQuery(s, dir)
       case "ivf" => graft.sim.IvfAnn.ivfTopK(Tables.embeddings(s, dir),
         centsOpt = Some(ivfCents(s, dir)))
+      // ivf_upsert trains its OWN quantizer on the pre-arrival corpus
+      // slice — sharing ivfCents (trained on the full table) would
+      // leak post-arrival state into the "persisted" index
+      case "ivf_upsert" => graft.sim.IvfAnn.ivfUpsertTopKQuery(s, dir)
       case "sq8" => graft.sim.ScalarQuantAnn.sq8TopKQuery(s, dir)
       case "bq" => graft.sim.BinaryQuantAnn.bqTopKQuery(s, dir)
       case "pq" => graft.sim.ProductQuantAnn.pqTopKQuery(s, dir)
@@ -326,6 +330,9 @@ object SparkEntry {
     "sim_embed_topk_ivf" -> ((s, dir) => annTopK(s, dir, "ivf")
       .orderBy(org.apache.spark.sql.functions.col("probe_id"),
         org.apache.spark.sql.functions.col("rank"))),
+    "sim_embed_topk_ivf_upsert" -> ((s, dir) => annTopK(s, dir, "ivf_upsert")
+      .orderBy(org.apache.spark.sql.functions.col("probe_id"),
+        org.apache.spark.sql.functions.col("rank"))),
     "sim_embed_topk_sq8" -> ((s, dir) => annTopK(s, dir, "sq8")
       .orderBy(org.apache.spark.sql.functions.col("probe_id"),
         org.apache.spark.sql.functions.col("rank"))),
@@ -404,6 +411,7 @@ object SparkEntry {
     // sim_recall_report via annFloors (single calibration source)
     "sim_embed_topk_lsh" -> annGate("lsh"),
     "sim_embed_topk_ivf" -> annGate("ivf"),
+    "sim_embed_topk_ivf_upsert" -> annGate("ivf_upsert"),
     "sim_embed_topk_sq8" -> annGate("sq8"),
     "sim_embed_topk_bq" -> annGate("bq"),
     "sim_embed_topk_pq" -> annGate("pq"),

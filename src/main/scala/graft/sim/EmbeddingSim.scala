@@ -328,16 +328,23 @@ object EmbeddingSim {
     * codes, round-8): measured 1.00/1.00/0.84 at sf0.001/0.01/0.1 —
     * the deep refine pool (48·k) carries recall across the 64-bit
     * hamming tie plateaus; floor 0.60 is ~29 % under the worst
-    * measurement, mean-threshold fold wobble included. Tighter
-    * empirical bounds live in DedupSimSpec. */
+    * measurement, mean-threshold fold wobble included. ivf_upsert
+    * (incremental index maintenance, round-8): same search tail as
+    * ivf but the quantizer is trained on the 90 % pre-arrival corpus
+    * slice — measured 0.92/0.88/0.92 at sf0.001/0.01/0.1, tracking
+    * ivf minus a small train-coverage haircut; floor 0.60 (~32 %
+    * under the worst measurement) leaves margin for both Lloyd fold
+    * wobble AND the slice's seed wobble. Tighter empirical bounds live in
+    * DedupSimSpec. */
   val annFloors: Seq[(String, Double)] = Seq(
-    "bq" -> 0.60, "ivf" -> 0.70, "ivfpq" -> 0.70, "lsh" -> 0.30,
-    "pq" -> 0.75, "sq8" -> 0.85)
+    "bq" -> 0.60, "ivf" -> 0.70, "ivf_upsert" -> 0.60, "ivfpq" -> 0.70,
+    "lsh" -> 0.30, "pq" -> 0.75, "sq8" -> 0.85)
 
   def recallReport(s: SparkSession, dir: String): DataFrame =
     recallReportWith(s, bruteForceTopKQuery(s, dir), Map(
       "bq" -> BinaryQuantAnn.bqTopKQuery(s, dir),
       "ivf" -> IvfAnn.ivfTopKQuery(s, dir),
+      "ivf_upsert" -> IvfAnn.ivfUpsertTopKQuery(s, dir),
       "ivfpq" -> IvfPqAnn.ivfPqTopKQuery(s, dir),
       "lsh" -> lshTopKQuery(s, dir),
       "pq" -> ProductQuantAnn.pqTopKQuery(s, dir),

@@ -59,19 +59,13 @@ object IvfAnn {
     cents
   }
 
-  /** IVF top-k: each probe scores only the inverted lists of its
-    * `nprobe` nearest centroids. */
-  def ivfTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
-              nClusters: Int = 16, nprobe: Int = 4,
-              centsOpt: Option[DataFrame] = None): DataFrame = {
-    // pin the fallback: k-means is float-fold sensitive and the cents
-    // feed BOTH the inverted-list and probe-list branches — without a
-    // checkpoint the two evaluations could disagree on a borderline
-    // vector's list (the SemDedup.candidatePairs contract)
-    val cents = centsOpt.getOrElse(
-      centroids(embeddings, nClusters).localCheckpoint())
-    val inverted = assign(embeddings, cents)
-    val probes = embeddings.filter(col("vec_id") < nProbes)
+  /** Probe the inverted lists: each probe scores only the lists of
+    * its `nprobe` nearest centroids — the IVF search tail, shared by
+    * the train-and-search path ([[ivfTopK]]) and the index-maintenance
+    * path ([[ivfUpsertTopK]]). */
+  def searchLists(inverted: DataFrame, probeSource: DataFrame, cents: DataFrame,
+                  nProbes: Int, k: Int, nprobe: Int): DataFrame = {
+    val probes = probeSource.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
     val probeLists = TopK.perGroup(
         probes.crossJoin(broadcast(cents))
@@ -90,6 +84,50 @@ object IvfAnn {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** IVF top-k: each probe scores only the inverted lists of its
+    * `nprobe` nearest centroids. */
+  def ivfTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+              nClusters: Int = 16, nprobe: Int = 4,
+              centsOpt: Option[DataFrame] = None): DataFrame = {
+    // pin the fallback: k-means is float-fold sensitive and the cents
+    // feed BOTH the inverted-list and probe-list branches — without a
+    // checkpoint the two evaluations could disagree on a borderline
+    // vector's list (the SemDedup.candidatePairs contract)
+    val cents = centsOpt.getOrElse(
+      centroids(embeddings, nClusters).localCheckpoint())
+    searchLists(assign(embeddings, cents), embeddings, cents, nProbes, k, nprobe)
+  }
+
   def ivfTopKQuery(s: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(s, dir))
+
+  /** INCREMENTAL index maintenance — the ANN counterpart of
+    * `NearDup.incrementalMinhashDedup`: the persisted index state
+    * (centroids + inverted lists, trained BEFORE the arrivals) absorbs
+    * a new embedding batch by assigning ONLY the batch against the
+    * broadcast centroid table and appending to the lists. No retrain,
+    * and the corpus-sized side is never rescanned — at 100 TB the
+    * update cost is linear in the BATCH (×·k centroid scores), which
+    * is what makes nightly index refresh affordable; periodic full
+    * retrain (drifted centroids) is a separate offline job, exactly
+    * as in production IVF serving stacks.
+    *
+    * The arriving batch is the deterministic vec_id % 10 == 7 slice;
+    * the index is trained on the remaining 90 %. Because the search
+    * tail is [[searchLists]] over the appended lists, the query result
+    * is IDENTICAL to rebuilding the whole index with the same
+    * quantizer (spec-pinned in DedupSimSpec) — assignment is
+    * per-vector, so append ≡ rebuild given fixed centroids. */
+  def ivfUpsertTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 5,
+                    nClusters: Int = 16, nprobe: Int = 4): DataFrame = {
+    val corpus = embeddings.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val batch = embeddings.filter(pmod(col("vec_id"), lit(10)) === 7)
+    // persisted pre-arrival state: quantizer trained on the corpus only
+    val cents = centroids(corpus, nClusters).localCheckpoint()
+    val updated = assign(corpus, cents).unionByName(assign(batch, cents))
+    searchLists(updated, embeddings, cents, nProbes, k, nprobe)
+  }
+
+  def ivfUpsertTopKQuery(s: SparkSession, dir: String): DataFrame =
+    ivfUpsertTopK(Tables.embeddings(s, dir))
 }

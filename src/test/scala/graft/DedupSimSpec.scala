@@ -164,6 +164,30 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recallAt(8) >= recallAt(2), "recall must be monotone in nprobe")
   }
 
+  test("IVF upsert: incremental append ≡ full rebuild under the same quantizer") {
+    import graft.sim.IvfAnn
+    // the maintenance path: quantizer trained on the pre-arrival corpus,
+    // batch assigned incrementally and appended to the lists
+    val upsert = IvfAnn.ivfUpsertTopK(embs, nProbes = 5, k = 3).cache()
+    // rebuild path: same (corpus-trained) centroids, whole table re-assigned
+    val corpus = embs.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val cents = IvfAnn.centroids(corpus, 16).localCheckpoint()
+    val rebuild = IvfAnn.ivfTopK(embs, nProbes = 5, k = 3, centsOpt = Some(cents))
+    // assignment is per-vector given fixed centroids, so append ≡ rebuild
+    assert(upsert.except(rebuild).count() === 0)
+    assert(rebuild.except(upsert).count() === 0)
+    // the updated index actually serves arrivals: batch rows are indexed
+    val batchListed = IvfAnn.assign(
+      embs.filter(pmod(col("vec_id"), lit(10)) === 7), cents)
+    assert(batchListed.count() ===
+      embs.filter(pmod(col("vec_id"), lit(10)) === 7).count())
+    // recall vs exact stays useful with a 90%-trained quantizer
+    val recovered = upsert.select("probe_id", "vec_id")
+      .join(bruteSel, Seq("probe_id", "vec_id"), "left_semi").count()
+    val recall = recovered.toDouble / bruteSel.count()
+    assert(recall >= 0.6, s"IVF-upsert recall $recall below floor 0.60")
+  }
+
   test("SQ8: codes bounded, round-trip error bounded, high recall after refine") {
     import graft.sim.ScalarQuantAnn
     val (lo, hi) = ScalarQuantAnn.trainBounds(embs)
