@@ -363,6 +363,7 @@ object SparkEntry {
     "mm_media_features" -> (graft.multimodal.Multimodal.featuresQuery _),
     "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),
     "mm_modality_stats" -> (graft.multimodal.Multimodal.modalityStatsQuery _),
+    "q_sketch_rolling_distinct" -> (graft.ops.SketchRollup.rollingDistinctUsersQuery _),
     "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
     "incremental_rebuild_diff" -> (graft.ops.IncrementalRebuild.diffQuery _),
     "q_merge_restatement" -> (graft.ops.MergeUpsert.restatedDailySales _),
@@ -412,6 +413,7 @@ object SparkEntry {
     "sim_embed_topk_lsh" -> annGate("lsh"),
     "sim_embed_topk_ivf" -> annGate("ivf"),
     "sim_embed_topk_ivf_upsert" -> annGate("ivf_upsert"),
+    "q_sketch_rolling_distinct" -> graft.ops.SketchRollup.rollingDistinctUsersSql,
     "sim_embed_topk_sq8" -> annGate("sq8"),
     "sim_embed_topk_bq" -> annGate("bq"),
     "sim_embed_topk_pq" -> annGate("pq"),

@@ -21,6 +21,40 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch rollup: partials merge exactly, estimates track exact counts") {
+    import graft.ops.SketchRollup
+    val ev = Tables.events(spark, sf)
+    // THE mergeability contract: sketching two disjoint halves and
+    // union-merging equals sketching everything at once — estimate
+    // EQUALITY (register max-merge is exact), not mere closeness
+    val base = ev.filter(col("user_id").isNotNull)
+    val whole = base.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(SketchRollup.LgK)))
+        .as("est"))
+      .head().getLong(0)
+    val halves = base
+      .withColumn("half", pmod(col("event_id"), lit(2)))
+      .groupBy(col("half"))
+      .agg(hll_sketch_agg(col("user_id"), lit(SketchRollup.LgK)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("est"))
+      .head().getLong(0)
+    assert(halves === whole, "split-merge must equal direct sketch exactly")
+    // rolling estimates: one row per active day, windows nested,
+    // and within the lgK=14 envelope of the exact rolling distincts
+    val rolling = SketchRollup.rollingDistinctUsers(ev).cache()
+    val days = base.select(to_date(col("ts"))).distinct().count()
+    assert(rolling.count() === days)
+    assert(rolling.filter(col("users_7d") > col("users_28d")).count() === 0)
+    val exact7 = base.select(to_date(col("ts")).as("d"), col("user_id"))
+      .as("a").join(base.select(to_date(col("ts")).as("d2"), col("user_id").as("u2")).as("b"),
+        datediff(col("d"), col("d2")).between(0, 6))
+      .groupBy(col("d").as("event_date"))
+      .agg(countDistinct(col("u2")).as("ex7"))
+    val bad = rolling.join(exact7, "event_date")
+      .filter(abs(col("users_7d") - col("ex7")) > col("ex7") * 0.05 + 3)
+    assert(bad.count() === 0, "7d estimates outside the 5% + 3 envelope")
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     dropTable("b_lineitem"); dropTable("b_orders")
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity", "l_extendedprice")
