@@ -272,8 +272,9 @@ object Bench {
         // query work, not staging-included to staging-free
         materialize(SparkEntry.queries("dedup_minhash_lsh")(spark, dest))
         materialize(SparkEntry.queries("dedup_simhash")(spark, dest))
-        Seq("brute", "lsh", "ivf", "sq8", "bq", "pq", "ivfpq").foreach(m =>
-          materialize(SparkEntry.queries(s"sim_embed_topk_$m")(spark, dest)))
+        Seq("brute", "lsh", "ivf", "ivf_upsert", "sq8", "bq", "pq", "ivfpq")
+          .foreach(m =>
+            materialize(SparkEntry.queries(s"sim_embed_topk_$m")(spark, dest)))
       } catch { case _: Throwable => }
       // Repeat discipline (round-5 lesson: sf1 ratios moved up to 1.7x
       // between two clean stamped solo runs — at that noise level a

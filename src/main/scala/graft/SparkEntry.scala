@@ -321,6 +321,7 @@ object SparkEntry {
     "dedup_incremental" -> (graft.dedup.NearDup.incrementalDedupQuery _),
     "dedup_incremental_minhash" -> (graft.dedup.NearDup.incrementalMinhashQuery _),
     "text_shuffle_shards" -> (graft.text.CurationOps.shuffleShardsQuery _),
+    "text_shard_manifest" -> (graft.text.CurationOps.shardManifestQuery _),
     "sim_embed_topk_brute" -> ((s, dir) => annTopK(s, dir, "brute")
       .orderBy(org.apache.spark.sql.functions.col("probe_id"),
         org.apache.spark.sql.functions.col("rank"))),
@@ -524,6 +525,7 @@ object SparkEntry {
     "dedup_incremental" -> graft.dedup.NearDup.incrementalDedupSql,
     "dedup_incremental_minhash" -> graft.dedup.NearDup.incrementalMinhashSql,
     "text_shuffle_shards" -> graft.text.CurationOps.shuffleShardsSql,
+    "text_shard_manifest" -> graft.text.CurationOps.shardManifestSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,
     // dedup_minhash_lsh / dedup_simhash: FULL-parity oracles — the
     // portable h60 hash lets DuckDB recompute the entire sketch

@@ -349,6 +349,60 @@ object CurationOps {
       |FROM b
       |ORDER BY shard, pos""".stripMargin
 
+  // ------------------------------------------------------ shard manifest
+
+  /** Per-(shard, source) PROVENANCE manifest for the shuffled corpus —
+    * the reproducibility artifact a training-data release ships next
+    * to its shards: document counts, id ranges, char volumes, and an
+    * order-independent content fingerprint (XOR of each doc's portable
+    * 60-bit hash over `doc_id|text` — id-salted so byte-identical
+    * twin docs cannot cancel out). Same corpus + same pipeline config
+    * ⇒ byte-identical manifest; ANY dropped, duplicated or mutated
+    * document flips its (shard, source) fingerprint.
+    *
+    * Scale: one hash-aggregate over the corpus (map-side combinable —
+    * XOR and sums are associative/commutative), output = shards ×
+    * sources metadata rows. Lineage audits diff manifests, never
+    * corpora. */
+  def shardManifest(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    val shard = pmod(QualityFilters.md5Bucket(col("doc_id")), lit(nShards)).cast("int")
+    val contentHash = graft.dedup.NearDup.h60(
+      concat(col("doc_id").cast("string"), lit("|"), col("text")))
+    documents
+      .withColumn("shard", shard)
+      .withColumn("h", contentHash)
+      .groupBy(col("shard"), col("source"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        expr("bit_xor(h)").as("content_xor"))
+      .orderBy(col("shard"), col("source"))
+  }
+
+  /** DuckDB twin: identical md5-bucket shard key, identical id-salted
+    * h60 fold, BIGINT-cast sums (DuckDB widens SUM(BIGINT) to
+    * HUGEINT). */
+  val shardManifestSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8 AS INT) AS shard,
+      |    CAST(strlen(text) AS BIGINT) AS chars,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT) AS h
+      |  FROM documents
+      |)
+      |SELECT shard, source,
+      |  count(*) AS doc_count,
+      |  min(doc_id) AS min_doc_id,
+      |  max(doc_id) AS max_doc_id,
+      |  CAST(sum(chars) AS BIGINT) AS total_chars,
+      |  bit_xor(h) AS content_xor
+      |FROM m
+      |GROUP BY shard, source
+      |ORDER BY shard, source""".stripMargin
+
   // ------------------------------------------------------- query wrappers
 
   def passageDedupQuery(s: SparkSession, dir: String): DataFrame =
@@ -356,6 +410,9 @@ object CurationOps {
 
   def shuffleShardsQuery(s: SparkSession, dir: String): DataFrame =
     shuffleShards(Tables.documents(s, dir))
+
+  def shardManifestQuery(s: SparkSession, dir: String): DataFrame =
+    shardManifest(Tables.documents(s, dir))
 
   def sampleMixtureQuery(s: SparkSession, dir: String): DataFrame =
     sampleMixture(Tables.documents(s, dir))

@@ -107,6 +107,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(cum.filter(!col("is_last") && col("cum") < (col("seq_id") + 1) * cap).count() === 0)
   }
 
+  test("shard manifest: reproducible, and any corpus mutation flips its fingerprint") {
+    import graft.text.CurationOps
+    val docs = Tables.documents(spark, sf)
+    val m1 = CurationOps.shardManifest(docs).cache()
+    // reproducibility: a second build is byte-identical
+    assert(m1.except(CurationOps.shardManifest(docs)).count() === 0)
+    // partition-count invariance: XOR/sum/min/max are order-independent
+    assert(m1.except(CurationOps.shardManifest(docs.repartition(3))).count() === 0)
+    // a single mutated document flips exactly its (shard, source) row
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 0L, concat(col("text"), lit("x")))
+        .otherwise(col("text")))
+    val m2 = CurationOps.shardManifest(mutated)
+    val changed = m1.select("shard", "source", "content_xor")
+      .except(m2.select("shard", "source", "content_xor"))
+    assert(changed.count() === 1, "one doc changed => exactly one manifest row flips")
+    // a dropped document changes the count AND the fingerprint
+    val dropped = CurationOps.shardManifest(docs.filter(col("doc_id") =!= 0L))
+    assert(m1.except(dropped).count() >= 1)
+  }
+
   test("chunk windows: spans tile the doc with the configured overlap") {
     import spark.implicits._
     import graft.text.CurationOps
