@@ -365,6 +365,9 @@ object SparkEntry {
     "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),
     "mm_modality_stats" -> (graft.multimodal.Multimodal.modalityStatsQuery _),
     "q_sketch_rolling_distinct" -> (graft.ops.SketchRollup.rollingDistinctUsersQuery _),
+    "q_sketch_audience_overlap" -> (graft.ops.SketchRollup.audienceOverlapQuery _),
+    "text_jsonl_manifest" -> (graft.sources.JsonlShards.roundTripManifestQuery _),
+    "q_sketch_rolling_quantiles" -> (graft.ops.SketchRollup.rollingOrderValueQuantilesQuery _),
     "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
     "incremental_rebuild_diff" -> (graft.ops.IncrementalRebuild.diffQuery _),
     "q_merge_restatement" -> (graft.ops.MergeUpsert.restatedDailySales _),
@@ -415,6 +418,9 @@ object SparkEntry {
     "sim_embed_topk_ivf" -> annGate("ivf"),
     "sim_embed_topk_ivf_upsert" -> annGate("ivf_upsert"),
     "q_sketch_rolling_distinct" -> graft.ops.SketchRollup.rollingDistinctUsersSql,
+    "q_sketch_audience_overlap" -> graft.ops.SketchRollup.audienceOverlapSql,
+    "text_jsonl_manifest" -> graft.sources.JsonlShards.roundTripManifestSql,
+    "q_sketch_rolling_quantiles" -> graft.ops.SketchRollup.rollingOrderValueQuantilesSql,
     "sim_embed_topk_sq8" -> annGate("sq8"),
     "sim_embed_topk_bq" -> annGate("bq"),
     "sim_embed_topk_pq" -> annGate("pq"),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.{KllQuantiles, ThetaSketch}
 import graft.sources.Tables
 
 /** Mergeable-sketch rollups: distinct-count partials that FOLD — the
@@ -67,6 +68,170 @@ object SketchRollup {
 
   def rollingDistinctUsersQuery(s: SparkSession, dir: String): DataFrame =
     rollingDistinctUsers(Tables.events(s, dir))
+
+  // ------------------------------------------------- theta set algebra
+
+  /** Audience-overlap matrix from THETA partials — the set-algebra
+    * face HLL cannot serve: for every unordered event-type pair,
+    * distinct users doing BOTH (∩), EITHER (∪) and ONLY the first
+    * (\), all composed from ONE sketch per type. The event scan
+    * happens once (|types| theta partials ≅ KBs); the pair frame is a
+    * broadcast nested-loop over a handful of metadata rows — at
+    * 100 TB the segment count grows, the event volume doesn't touch
+    * this join. lgK=12 ⇒ exact below 4096 users/segment, 1.6 % RSE
+    * above; the oracle gate budgets 5 % + 3 per cell. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val perType = events.filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(ThetaSketch.thetaSketchAgg(col("user_id").cast("string")).as("sk"))
+    val a = perType.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = perType.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(
+        col("type_a"), col("type_b"),
+        round(ThetaSketch.thetaEstimate(
+          ThetaSketch.thetaIntersect(col("sk_a"), col("sk_b"))))
+          .cast("long").as("users_both"),
+        round(ThetaSketch.thetaEstimate(
+          ThetaSketch.thetaUnionPair(col("sk_a"), col("sk_b"))))
+          .cast("long").as("users_either"),
+        round(ThetaSketch.thetaEstimate(
+          ThetaSketch.thetaANotB(col("sk_a"), col("sk_b"))))
+          .cast("long").as("users_only_a"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  def audienceOverlapQuery(s: SparkSession, dir: String): DataFrame =
+    audienceOverlap(Tables.events(s, dir))
+
+  /** Oracle-side gate: DuckDB computes the EXACT per-pair overlap /
+    * union / difference from events and requires every estimate
+    * within 5 % + 3; on success it echoes the verified rows, on
+    * failure a sentinel row. */
+  val audienceOverlapSql: String =
+    """WITH base AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |  WHERE user_id IS NOT NULL
+      |), sizes AS (
+      |  SELECT event_type, count(*) AS n FROM base GROUP BY 1
+      |), bothx AS (
+      |  SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n_both
+      |  FROM base x JOIN base y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2
+      |), exact AS (
+      |  SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+      |    coalesce(b.n_both, 0) AS ex_both,
+      |    sa.n + sb.n - coalesce(b.n_both, 0) AS ex_either,
+      |    sa.n - coalesce(b.n_both, 0) AS ex_only_a
+      |  FROM sizes sa JOIN sizes sb ON sa.event_type < sb.event_type
+      |  LEFT JOIN bothx b ON b.ta = sa.event_type AND b.tb = sb.event_type
+      |), got AS (
+      |  SELECT * FROM read_parquet('{OUT}/q_sketch_audience_overlap/*.parquet')
+      |), gates AS (
+      |  SELECT
+      |    (SELECT count(*) FROM got) = (SELECT count(*) FROM exact)
+      |      AND (SELECT count(*) FROM got g LEFT JOIN exact e
+      |             ON g.type_a = e.type_a AND g.type_b = e.type_b
+      |           WHERE e.type_a IS NULL) = 0 AS rows_ok,
+      |    (SELECT count(*) FROM got g JOIN exact e
+      |       ON g.type_a = e.type_a AND g.type_b = e.type_b
+      |     WHERE abs(g.users_both - e.ex_both) > e.ex_both * 0.05 + 3
+      |        OR abs(g.users_either - e.ex_either) > e.ex_either * 0.05 + 3
+      |        OR abs(g.users_only_a - e.ex_only_a) > e.ex_only_a * 0.05 + 3) = 0
+      |      AS err_ok
+      |)
+      |SELECT g.* FROM got g WHERE (SELECT rows_ok AND err_ok FROM gates)
+      |UNION ALL
+      |SELECT 'GATE' AS type_a, 'FAILED' AS type_b,
+      |  CAST(-1 AS BIGINT) AS users_both, CAST(-1 AS BIGINT) AS users_either,
+      |  CAST(-1 AS BIGINT) AS users_only_a
+      |WHERE NOT (SELECT rows_ok AND err_ok FROM gates)""".stripMargin
+
+  // ------------------------------------------------ kll quantile rollup
+
+  /** Rolling 7-day order-value percentiles from KLL partials: orders
+    * are scanned ONCE into per-day quantile sketches; p50/p90/p99
+    * over every trailing window come from a metadata-sized spine join
+    * + partial merge — the quantile analog of the distinct-users
+    * rollup above (any additional window size reuses the same
+    * persisted partials). */
+  def rollingOrderValueQuantiles(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(KllQuantiles.kllDoublesAgg(col("o_totalprice").cast("double"))
+        .as("value_sketch"))
+    val spine = daily.select(col("order_date").as("d"))
+    spine.join(broadcast(daily),
+        datediff(col("d"), col("order_date")).between(0, 6))
+      .groupBy(col("d").as("order_date"))
+      .agg(KllQuantiles.kllMergeAgg(col("value_sketch")).as("sk"))
+      .select(
+        col("order_date"),
+        KllQuantiles.kllQuantile(col("sk"), lit(0.5)).as("p50"),
+        KllQuantiles.kllQuantile(col("sk"), lit(0.9)).as("p90"),
+        KllQuantiles.kllQuantile(col("sk"), lit(0.99)).as("p99"))
+      .orderBy(col("order_date"))
+  }
+
+  def rollingOrderValueQuantilesQuery(s: SparkSession, dir: String): DataFrame =
+    rollingOrderValueQuantiles(Tables.orders(s, dir))
+
+  /** Oracle-side RANK gate (the right check for a randomized sketch):
+    * DuckDB computes, for each estimated percentile q, BOTH exact
+    * normalized ranks within the day's trailing-7-day value set —
+    * inclusive r(q) = |{v ≤ q}|/n and strict s(q) = |{v < q}|/n — and
+    * requires r(q) ≥ target − ε and s(q) ≤ target + ε (ε = 5 %,
+    * ≈3× KLL k=200's 1.65 % bound). An exact INCLUSIVE quantile
+    * satisfies s(q) < target ≤ r(q), so the two-sided check absorbs
+    * small-window discreteness WITHOUT an n-dependent slack. Because
+    * KLL retains actual input values (it samples, never interpolates),
+    * every estimate must additionally be a MEMBER of its window's
+    * value set — that membership check catches fabricated values the
+    * rank envelope alone cannot pin at the extremes (a p99 past the
+    * window max still has s ≈ 1 ≤ 0.99 + ε; membership goes red even
+    * on a 2-row window — negative-tested in
+    * tools/gate_negative_check.py). Echo rows on success, sentinel on
+    * failure. */
+  val rollingOrderValueQuantilesSql: String =
+    """WITH vals AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      |), dates AS (SELECT DISTINCT d FROM vals),
+      |win AS (
+      |  SELECT a.d, b.v FROM dates a JOIN vals b ON b.d BETWEEN a.d - 6 AND a.d
+      |), got AS (
+      |  SELECT * FROM read_parquet('{OUT}/q_sketch_rolling_quantiles/*.parquet')
+      |), ranks AS (
+      |  SELECT g.order_date,
+      |    sum(CASE WHEN w.v <= g.p50 THEN 1 ELSE 0 END) * 1.0 / count(*) AS r50,
+      |    sum(CASE WHEN w.v <  g.p50 THEN 1 ELSE 0 END) * 1.0 / count(*) AS s50,
+      |    sum(CASE WHEN w.v <= g.p90 THEN 1 ELSE 0 END) * 1.0 / count(*) AS r90,
+      |    sum(CASE WHEN w.v <  g.p90 THEN 1 ELSE 0 END) * 1.0 / count(*) AS s90,
+      |    sum(CASE WHEN w.v <= g.p99 THEN 1 ELSE 0 END) * 1.0 / count(*) AS r99,
+      |    sum(CASE WHEN w.v <  g.p99 THEN 1 ELSE 0 END) * 1.0 / count(*) AS s99,
+      |    max(CASE WHEN w.v = g.p50 THEN 1 ELSE 0 END) AS m50,
+      |    max(CASE WHEN w.v = g.p90 THEN 1 ELSE 0 END) AS m90,
+      |    max(CASE WHEN w.v = g.p99 THEN 1 ELSE 0 END) AS m99
+      |  FROM got g JOIN win w ON w.d = g.order_date
+      |  GROUP BY 1
+      |), gates AS (
+      |  SELECT
+      |    (SELECT count(*) FROM got) = (SELECT count(*) FROM dates)
+      |      AND (SELECT count(*) FROM got) = (SELECT count(*) FROM ranks)
+      |      AS rows_ok,
+      |    (SELECT count(*) FROM ranks
+      |     WHERE m50 = 0 OR m90 = 0 OR m99 = 0
+      |        OR r50 < 0.45 OR s50 > 0.55
+      |        OR r90 < 0.85 OR s90 > 0.95
+      |        OR r99 < 0.94) = 0 AS err_ok
+      |)
+      |SELECT g.* FROM got g WHERE (SELECT rows_ok AND err_ok FROM gates)
+      |UNION ALL
+      |SELECT CAST('1900-01-01' AS DATE) AS order_date,
+      |  CAST(-1 AS DOUBLE) AS p50, CAST(-1 AS DOUBLE) AS p90,
+      |  CAST(-1 AS DOUBLE) AS p99
+      |WHERE NOT (SELECT rows_ok AND err_ok FROM gates)""".stripMargin
 
   /** Oracle-side gate: DuckDB reads the Spark estimates back
     * (`{OUT}` substituted at dump time), recomputes the EXACT rolling

@@ -429,7 +429,7 @@ object QualityFilters {
   /** First-two-hex-digits md5 bucket of a key → 0..255; the shared
     * deterministic-hash primitive behind [[splitAssign]] and
     * [[CurationOps.sampleMixture]]. */
-  private[text] def md5Bucket(key: org.apache.spark.sql.Column) = {
+  private[graft] def md5Bucket(key: org.apache.spark.sql.Column) = {
     val h = md5(key.cast("string"))
     ((hexPos(substring(h, 1, 1)) - 1) * 16 + (hexPos(substring(h, 2, 1)) - 1)).cast("int")
   }

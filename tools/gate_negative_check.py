@@ -23,7 +23,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 EXPect_FAIL = ["sim_embed_topk_lsh", "sim_embed_topk_ivf",
-               "sim_embed_topk_sq8", "sim_semdedup"]
+               "sim_embed_topk_sq8", "sim_semdedup",
+               "q_sketch_rolling_quantiles", "q_sketch_audience_overlap"]
 
 
 def main(sf_dir, src_dir):
@@ -57,6 +58,16 @@ def main(sf_dir, src_dir):
     f = table("sim_embed_topk_sq8")
     t = pq.read_table(f).to_pandas()
     t = t[t.probe_id < 5]
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
+    # 5. quantile rank envelope: shove one p50 far past its window max
+    f = table("q_sketch_rolling_quantiles")
+    t = pq.read_table(f).to_pandas()
+    t.loc[0, "p50"] = t["p99"].max() * 10 + 1e9
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
+    # 6. set-algebra envelope: inflate one intersection estimate
+    f = table("q_sketch_audience_overlap")
+    t = pq.read_table(f).to_pandas()
+    t.loc[0, "users_both"] = int(t["users_either"].max()) * 10 + 1000
     pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
 
     out = subprocess.run(
