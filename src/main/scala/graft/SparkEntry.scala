@@ -367,6 +367,7 @@ object SparkEntry {
     "q_sketch_rolling_distinct" -> (graft.ops.SketchRollup.rollingDistinctUsersQuery _),
     "q_sketch_audience_overlap" -> (graft.ops.SketchRollup.audienceOverlapQuery _),
     "text_jsonl_manifest" -> (graft.sources.JsonlShards.roundTripManifestQuery _),
+    "text_length_drift" -> (graft.ops.SketchRollup.sourceLengthDriftQuery _),
     "q_sketch_rolling_quantiles" -> (graft.ops.SketchRollup.rollingOrderValueQuantilesQuery _),
     "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
     "incremental_rebuild_diff" -> (graft.ops.IncrementalRebuild.diffQuery _),
@@ -420,6 +421,7 @@ object SparkEntry {
     "q_sketch_rolling_distinct" -> graft.ops.SketchRollup.rollingDistinctUsersSql,
     "q_sketch_audience_overlap" -> graft.ops.SketchRollup.audienceOverlapSql,
     "text_jsonl_manifest" -> graft.sources.JsonlShards.roundTripManifestSql,
+    "text_length_drift" -> graft.ops.SketchRollup.sourceLengthDriftSql,
     "q_sketch_rolling_quantiles" -> graft.ops.SketchRollup.rollingOrderValueQuantilesSql,
     "sim_embed_topk_sq8" -> annGate("sq8"),
     "sim_embed_topk_bq" -> annGate("bq"),

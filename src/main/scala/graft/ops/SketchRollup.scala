@@ -233,6 +233,90 @@ object SketchRollup {
       |  CAST(-1 AS DOUBLE) AS p99
       |WHERE NOT (SELECT rows_ok AND err_ok FROM gates)""".stripMargin
 
+  // ----------------------------------------------- kll drift detection
+
+  /** Per-source length-distribution DRIFT matrix from the same KLL
+    * partial family: one documents scan folds each source slice into
+    * a quantile sketch, then every source pair gets a two-sample
+    * Kolmogorov–Smirnov statistic computed sketch-to-sketch
+    * (`kll_ks_delta` — evaluated at the sketches' retained split
+    * points, error ≤ summed rank errors ≈ 3.3 % at k=200). This is
+    * the corpus-monitoring shape at 100 TB: drift between slices
+    * (or between yesterday's and today's partials) is answered from
+    * KB-sized persisted state, never by rebuilding a full pairwise
+    * CDF over raw values. */
+  def sourceLengthDrift(documents: DataFrame): DataFrame = {
+    val perSource = documents.groupBy(col("source"))
+      .agg(
+        KllQuantiles.kllDoublesAgg(length(col("text")).cast("double")).as("sk"),
+        count(lit(1)).as("n"))
+    val a = perSource.select(
+      col("source").as("source_a"), col("sk").as("sk_a"), col("n").as("n_a"))
+    val b = perSource.select(
+      col("source").as("source_b"), col("sk").as("sk_b"), col("n").as("n_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(
+        col("source_a"), col("source_b"),
+        KllQuantiles.kllKsDelta(col("sk_a"), col("sk_b")).as("ks_delta"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def sourceLengthDriftQuery(s: SparkSession, dir: String): DataFrame =
+    sourceLengthDrift(Tables.documents(s, dir))
+
+  /** Oracle-side gate: DuckDB builds the EXACT per-source length CDFs
+    * (group → window cumsum over the shared value grid), takes the
+    * exact pairwise KS sup-distance, and requires every sketch
+    * estimate within 0.05 (≳ the 3.3 % two-sketch rank-error budget);
+    * per-source doc counts must match exactly. Echo on success,
+    * sentinel on failure. */
+  val sourceLengthDriftSql: String =
+    """WITH vals AS (
+      |  SELECT source, CAST(strlen(text) AS DOUBLE) AS v FROM documents
+      |), counts AS (
+      |  SELECT source, v, count(*) AS c FROM vals GROUP BY 1, 2
+      |), srcs AS (
+      |  SELECT source, count(*) AS n FROM vals GROUP BY 1
+      |), grid AS (SELECT DISTINCT v FROM vals),
+      |dense AS (
+      |  SELECT s.source, g.v, coalesce(c.c, 0) AS c
+      |  FROM srcs s CROSS JOIN grid g
+      |  LEFT JOIN counts c ON c.source = s.source AND c.v = g.v
+      |), cdf AS (
+      |  SELECT source, v,
+      |    sum(c) OVER (PARTITION BY source ORDER BY v) * 1.0 /
+      |    sum(c) OVER (PARTITION BY source) AS F
+      |  FROM dense
+      |), exact AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    max(abs(a.F - b.F)) AS ks
+      |  FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source
+      |  GROUP BY 1, 2
+      |), got AS (
+      |  SELECT * FROM read_parquet('{OUT}/text_length_drift/*.parquet')
+      |), gates AS (
+      |  SELECT
+      |    (SELECT count(*) FROM got) = (SELECT count(*) FROM exact)
+      |      AND (SELECT count(*) FROM got g LEFT JOIN exact e
+      |             ON g.source_a = e.source_a AND g.source_b = e.source_b
+      |           WHERE e.source_a IS NULL) = 0 AS rows_ok,
+      |    (SELECT count(*) FROM got g JOIN exact e
+      |       ON g.source_a = e.source_a AND g.source_b = e.source_b
+      |     WHERE abs(g.ks_delta - e.ks) > 0.05) = 0 AS err_ok,
+      |    (SELECT count(*) FROM got g
+      |       JOIN srcs sa ON sa.source = g.source_a
+      |       JOIN srcs sb ON sb.source = g.source_b
+      |     WHERE g.n_a <> sa.n OR g.n_b <> sb.n) = 0 AS n_ok
+      |)
+      |SELECT g.* FROM got g
+      |WHERE (SELECT rows_ok AND err_ok AND n_ok FROM gates)
+      |UNION ALL
+      |SELECT 'GATE' AS source_a, 'FAILED' AS source_b,
+      |  CAST(-1 AS DOUBLE) AS ks_delta,
+      |  CAST(-1 AS BIGINT) AS n_a, CAST(-1 AS BIGINT) AS n_b
+      |WHERE NOT (SELECT rows_ok AND err_ok AND n_ok FROM gates)""".stripMargin
+
   /** Oracle-side gate: DuckDB reads the Spark estimates back
     * (`{OUT}` substituted at dump time), recomputes the EXACT rolling
     * distincts from events, and requires (1) one output row per

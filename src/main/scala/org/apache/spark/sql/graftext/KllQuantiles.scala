@@ -137,6 +137,31 @@ case class KllQuantile(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** kll_ks_delta(sketch_a, sketch_b): the two-sample Kolmogorov–
+  * Smirnov statistic sup|F_a − F_b| estimated from two KLL partials
+  * (Datasketches `KolmogorovSmirnov.computeKSDelta` — evaluated at
+  * every retained split point of both sorted views). Error is bounded
+  * by the two sketches' summed rank errors (2 × 1.65 % at k=200), so
+  * distribution DRIFT between corpus slices is detectable from the
+  * same persisted per-slice partials that serve the percentile
+  * queries — no raw re-scan, no all-values pairwise CDF build. */
+case class KllKsDelta(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "kll_ks_delta"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = KllDoublesSketch.heapify(Memory.wrap(a.asInstanceOf[Array[Byte]]))
+    val sb = KllDoublesSketch.heapify(Memory.wrap(b.asInstanceOf[Array[Byte]]))
+    org.apache.datasketches.quantilescommon.KolmogorovSmirnov.computeKSDelta(sa, sb)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object KllQuantiles {
   /** k=200: ~1.65 % normalized rank error at 99 % confidence, sketch
     * ≤ a few KB — a decade of daily partials stays broadcast-sized. */
@@ -153,4 +178,8 @@ object KllQuantiles {
   def kllQuantile(c: Column, rank: Column): Column =
     ExpressionUtils.column(
       KllQuantile(ExpressionUtils.expression(c), ExpressionUtils.expression(rank)))
+
+  def kllKsDelta(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      KllKsDelta(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

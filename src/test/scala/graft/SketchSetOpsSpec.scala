@@ -92,6 +92,37 @@ class SketchSetOpsSpec extends AnyFunSuite {
     assert(got.filter(col("p50") > col("p90") or col("p90") > col("p99")).count() === 0)
   }
 
+  test("kll: KS delta separates disjoint distributions, vanishes on identical ones") {
+    import spark.implicits._
+    // two halves of the SAME distribution → KS ≈ 0 (within rank error);
+    // disjoint supports → KS = 1 exactly
+    val vals = (1 to 4000).map(_.toDouble).toDF("v")
+    val sketches = vals
+      .withColumn("grp", pmod(col("v").cast("long"), lit(2)))
+      .groupBy(col("grp"))
+      .agg(KllQuantiles.kllDoublesAgg(col("v")).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val same = vals.limit(1).select(
+      KllQuantiles.kllKsDelta(
+        lit(sketches(0L)), lit(sketches(1L))).as("ks")).head().getDouble(0)
+    assert(same <= 0.05, s"identical distributions drifted: $same")
+    val shifted = (1 to 4000).map(_ + 1e6).toDF("v")
+      .agg(KllQuantiles.kllDoublesAgg(col("v")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val far = vals.limit(1).select(
+      KllQuantiles.kllKsDelta(lit(sketches(0L)), lit(shifted)).as("ks"))
+      .head().getDouble(0)
+    // inclusive-CDF split-point evaluation leaves a 1/n sliver at the
+    // boundary, so disjoint supports read 1 − 1/n rather than exactly 1
+    assert(far >= 0.99, s"disjoint supports must give KS ≈ 1, got $far")
+    // the drift query surface: C(|sources|, 2) rows, deltas in [0, 1]
+    val drift = SketchRollup.sourceLengthDrift(
+      Tables.documents(spark, sf)).cache()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(drift.count() === nSrc * (nSrc - 1) / 2)
+    assert(drift.filter(col("ks_delta") < 0 or col("ks_delta") > 1).count() === 0)
+  }
+
   test("kll: split-merge estimate stays within bound of the exact quantile") {
     val orders = Tables.orders(spark, sf)
     val n = orders.count()
