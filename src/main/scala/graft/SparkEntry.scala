@@ -46,8 +46,9 @@ object SparkEntry {
     * clusters (3), curation verdicts (3), MinHash + SimHash pair sets
     * (2 each: their listing query + the gate report), the six ANN
     * top-k frames (2 each: their listing query + the recall report),
-    * the SemDeDup candidate pairs, and the shared IVF coarse
-    * quantizer (`ivf_cents`: IVF + IVF-PQ + SemDeDup). */
+    * the SemDeDup candidate pairs, the shared IVF coarse quantizer
+    * (`ivf_cents`: IVF + IVF-PQ + SemDeDup), and the decode-once
+    * media frame (`media_decoded`: all four mm_* consumers). */
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   /** NOT computeIfAbsent: stages depend on other stages (verdicts →
@@ -98,6 +99,13 @@ object SparkEntry {
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "neardup")(
       graft.sim.EmbeddingSim.nearDupPairsQuery(s, dir))
+  /** Decode-once media frame: ONE encode+decode pass over the media
+    * table serves all four mm_* consumers (the production shape —
+    * decode once, persist typed columns; a pipeline never re-runs the
+    * codec per downstream query). */
+  private def mediaDecoded(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "media_decoded")(
+      graft.multimodal.Multimodal.decodedTableQuery(s, dir))
   private def annTopK(s: SparkSession, dir: String, method: String): DataFrame =
     staged(s, dir, s"ann_$method")(method match {
       case "brute" => graft.sim.EmbeddingSim.bruteForceTopKQuery(s, dir)
@@ -360,10 +368,17 @@ object SparkEntry {
       s, annTopK(s, dir, "brute"),
       graft.sim.EmbeddingSim.annFloors.map { case (m, _) =>
         m -> annTopK(s, dir, m) }.toMap)),
-    "mm_media_meta" -> (graft.multimodal.Multimodal.mediaMetaQuery _),
-    "mm_media_features" -> (graft.multimodal.Multimodal.featuresQuery _),
-    "mm_video_frames" -> (graft.multimodal.Multimodal.framesQuery _),
-    "mm_modality_stats" -> (graft.multimodal.Multimodal.modalityStatsQuery _),
+    // the four mm_* consumers project from the shared decode-once frame
+    "mm_media_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal.mediaMetaFrom(mediaDecoded(s, dir))),
+    "mm_media_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.featuresFrom(mediaDecoded(s, dir))),
+    "mm_video_frames" -> ((s, dir) =>
+      graft.multimodal.Multimodal.framesFrom(mediaDecoded(s, dir))),
+    "mm_modality_stats" -> ((s, dir) =>
+      graft.multimodal.Multimodal.modalityStatsFrom(mediaDecoded(s, dir))),
+    // lossy-codec leg: dims + per-pixel error envelope vs source raster
+    "mm_media_features_jpeg" -> (graft.multimodal.Multimodal.jpegEnvelopeQuery _),
     "q_sketch_rolling_distinct" -> (graft.ops.SketchRollup.rollingDistinctUsersQuery _),
     "q_sketch_audience_overlap" -> (graft.ops.SketchRollup.audienceOverlapQuery _),
     "text_jsonl_manifest" -> (graft.sources.JsonlShards.roundTripManifestQuery _),
@@ -554,6 +569,7 @@ object SparkEntry {
     "mm_media_features" -> graft.multimodal.Multimodal.featuresSql,
     "mm_video_frames" -> graft.multimodal.Multimodal.framesSql,
     "mm_modality_stats" -> graft.multimodal.Multimodal.modalityStatsSql,
+    "mm_media_features_jpeg" -> graft.multimodal.Multimodal.jpegEnvelopeSql,
     "stream_hourly_agg" -> graft.streaming.StreamingEvents.hourlyAggSql,
     "incremental_rebuild_diff" -> graft.ops.IncrementalRebuild.diffSql,
     "q_merge_restatement" -> graft.ops.MergeUpsert.restatedDailySalesSql,

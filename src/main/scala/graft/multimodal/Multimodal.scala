@@ -9,37 +9,67 @@ import graft.sources.Tables
   * decode / feature-extract / frame-sample as partition-batched
   * Dataset transforms.
   *
-  * ALL THREE codec legs are REAL JDK container codecs: image-mime
-  * rows carry an actual PNG payload (16×16 grayscale, pixels = the
-  * doc's text bytes cycled to 256 — built with `javax.imageio`),
-  * audio-mime rows an actual WAV (8 kHz mono unsigned 8-bit PCM, same
-  * sample construction — `javax.sound.sampled`), and video-mime rows
-  * an actual multi-frame ANIMATED GIF (16×16 frames on an 8-bit
-  * indexed gray palette, one frame per 256-byte chunk of the text,
-  * last chunk space-padded — `javax.imageio`'s GIF sequence writer).
-  * [[MediaCodec.decodeReal]] parses each container back to
-  * dimensions/format + samples. All three codecs are lossless at
-  * these settings (PNG by definition, 8-bit PCM WAV by definition,
-  * GIF because a 256-entry gray palette covers every 8-bit sample
-  * exactly), so the decoded samples equal the source construction —
-  * which is what makes the decode DuckDB-oracle-checkable without a
-  * SQL codec. The batch shape (mapPartitions iterator — the contract
-  * a JNI/FFI decoder needs) is identical for all three.
+  * ALL codec legs are REAL JDK container codecs: image-kind rows
+  * carry an actual PNG payload (16×16 grayscale, pixels = the doc's
+  * text bytes cycled to 256 — built with `javax.imageio`), audio-kind
+  * rows an actual WAV (8 kHz mono unsigned 8-bit PCM, same sample
+  * construction — `javax.sound.sampled`), and video-kind rows an
+  * actual multi-frame ANIMATED GIF (16×16 frames on an 8-bit indexed
+  * gray palette, one frame per 256-byte chunk of the text, last chunk
+  * space-padded — `javax.imageio`'s GIF sequence writer). The `mime`
+  * column states the TRUE container (`image/gif` for the animated-GIF
+  * video rows — no `video/mp4` label over GIF bytes); the MODALITY
+  * lives in its own `kind` column (image/audio/video), because
+  * container and modality are different facts (an animated GIF is a
+  * video-modality artifact in an image container). Decode never
+  * trusts the label: [[MediaCodec.sniffContainer]] reads the magic
+  * bytes and [[MediaCodec.decodeFull]] dispatches on the SNIFFED
+  * format, so a mislabeled row still decodes by content (and the
+  * sniffed format is surfaced as `container_format` for audits).
   *
-  * Scale: media rows are wide (MBs per row at production sizes) —
-  * the feature extraction is a per-partition map with NO shuffle, and
-  * downstream analytics select only the small typed columns, so
+  * PNG/WAV/GIF are lossless at these settings (PNG by definition,
+  * 8-bit PCM WAV by definition, GIF because a 256-entry gray palette
+  * covers every 8-bit sample exactly), so the decoded samples equal
+  * the source construction — which is what makes the decode
+  * DuckDB-oracle-checkable without a SQL codec. The JPEG leg
+  * ([[jpegEnvelope]]) is LOSSY, so its oracle contract changes shape:
+  * a decode-only gate on exact dimensions plus a per-pixel error
+  * envelope vs the source raster (the honest gate for a lossy codec —
+  * same philosophy as the KLL rank envelope).
+  *
+  * Scale: media rows are wide (MBs per row at production sizes) — the
+  * corpus is decoded ONCE into a typed columnar frame
+  * ([[decodeAll]]), and every downstream consumer (metadata, feature
+  * store, modality stats, frame sampling) projects from that frame:
+  * decode-once / consume-many is the production shape (you persist
+  * the decoded features table; you never re-run the codec per query).
+  * The decode itself is a per-partition map with NO shuffle, and
   * column pruning drops the binary payload right after decode.
   */
 object Multimodal {
 
   /** Typed record for the media table: the Dataset boundary gives the
-    * decode step a stable compile-checked batch element. */
-  case class MediaRecord(media_id: Long, uri: String, mime: String, data: Array[Byte])
+    * decode step a stable compile-checked batch element. `mime` is
+    * the container's true mime label; `kind` the modality. */
+  case class MediaRecord(
+      media_id: Long, uri: String, mime: String, kind: String, data: Array[Byte])
 
   case class MediaFeatures(
       media_id: Long, uri: String, mime: String, byte_len: Int,
       content_sha: String, width: Int, height: Int, histogram: Array[Double])
+
+  /** The decode-once record: everything every mm_* consumer needs,
+    * computed in ONE pass over the payload bytes. Off-modality stats
+    * are None; `frame_digests` is empty for non-video rows (per-frame
+    * mod-prime byte folds, one per decoded GIF frame — the frame
+    * sampling query strides over these without re-decoding). */
+  case class MediaDecoded(
+      media_id: Long, uri: String, mime: String, kind: String,
+      container_format: String, byte_len: Int, content_sha: String,
+      width: Int, height: Int, histogram: Array[Double],
+      img_mean_intensity: Option[Double], audio_rms: Option[Double],
+      audio_zero_crossings: Option[Int], video_frames: Option[Int],
+      video_mean_intensity: Option[Double], frame_digests: Array[Long])
 
   /** Fixed raster geometry of the synthesized PNG payloads. */
   val ImgW = 16
@@ -79,33 +109,36 @@ object Multimodal {
 
   /** Deterministic media table derived from `documents` (the driver
     * testdata ships no binary columns — FIXTURES §4): every row
-    * carries a REAL container — PNG for image mime, WAV for audio,
+    * carries a REAL container — PNG for image kind, WAV for audio,
     * multi-frame animated GIF for video — encoded per-partition with
-    * JDK codecs. Mime assigned round-robin on doc_id. */
+    * JDK codecs. Kind assigned round-robin on doc_id; mime is the
+    * container's truthful label (`image/gif`, not a fake video/mp4). */
   def mediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val mime = element_at(typedLit(Seq("image/png", "audio/wav", "video/mp4")),
-      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val mod3 = (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+    val mime = element_at(typedLit(Seq("image/png", "audio/wav", "image/gif")), mod3)
+    val kind = element_at(typedLit(Seq("image", "audio", "video")), mod3)
     // real PNG / WAV / GIF encode, partition-batched (one encoder
     // context per partition — same lifecycle as a native codec handle)
     documents.select(
         col("doc_id").as("media_id"),
         concat(lit("mem://doc/"), col("doc_id")).as("uri"),
         mime.as("mime"),
+        kind.as("kind"),
         col("text"))
-      .as[(Long, String, String, String)]
+      .as[(Long, String, String, String, String)]
       .mapPartitions { rows =>
-        rows.map { case (id, uri, mime, text) =>
-          val payload = mime match {
-            case "image/png" => MediaCodec.encodePng(pixelBytes(text))
-            case "audio/wav" => MediaCodec.encodeWav(pixelBytes(text))
-            case _           => MediaCodec.encodeGif(videoFrameRasters(text))
+        rows.map { case (id, uri, mime, kind, text) =>
+          val payload = kind match {
+            case "image" => MediaCodec.encodePng(pixelBytes(text))
+            case "audio" => MediaCodec.encodeWav(pixelBytes(text))
+            case _       => MediaCodec.encodeGif(videoFrameRasters(text))
           }
-          (id, uri, mime, payload)
+          (id, uri, mime, kind, payload)
         }
       }
-      .toDF("media_id", "uri", "mime", "data")
+      .toDF("media_id", "uri", "mime", "kind", "data")
   }
 
   object MediaCodec {
@@ -115,6 +148,12 @@ object Multimodal {
       * no color management — so the encode/decode round trip is
       * byte-exact. */
     def encodePng(pixels: Array[Byte], w: Int = ImgW, h: Int = ImgH): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(grayImage(pixels, w, h), "png", bos)
+      bos.toByteArray
+    }
+
+    private def grayImage(pixels: Array[Byte], w: Int, h: Int): java.awt.image.BufferedImage = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
       val raster = img.getRaster
@@ -123,9 +162,43 @@ object Multimodal {
         raster.setSample(i % w, i / w, 0, pixels(i) & 0xFF)
         i += 1
       }
+      img
+    }
+
+    /** Encode a gray sample array as a real baseline JPEG via
+      * `javax.imageio` at an explicit compression quality — the LOSSY
+      * leg (DCT quantization): decoded samples approximate the source
+      * within an error envelope, they do not equal it. */
+    def encodeJpeg(pixels: Array[Byte], w: Int = ImgW, h: Int = ImgH,
+                   quality: Float = JpegQuality): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(grayImage(pixels, w, h), null, null), param)
+      writer.dispose()
+      ios.close()
       bos.toByteArray
+    }
+
+    /** Decode any ImageIO-supported single-frame gray image (PNG,
+      * JPEG) back to (width, height, samples). */
+    def decodeGrayImage(data: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      require(img != null, "undecodable image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val px = new Array[Byte](w * h)
+      var i = 0
+      while (i < w * h) {
+        px(i) = raster.getSample(i % w, i / w, 0).toByte
+        i += 1
+      }
+      (w, h, px)
     }
 
     /** The synthesized WAV payload's audio format: 8 kHz mono unsigned
@@ -226,19 +299,43 @@ object Multimodal {
       (out.toByteArray, in.getFormat)
     }
 
-    /** REAL decoder entry point — all three mime legs parse their
-      * actual container: `javax.imageio` for PNG (signature, IHDR,
-      * zlib-inflated IDAT) and animated GIF (block walk +
-      * per-frame LZW), `javax.sound.sampled` for WAV (RIFF chunks).
-      * Features come from the decoded samples — dimensions from the
-      * container header, content identity + histogram from the
-      * decoded pixels/PCM (content-addressing by DECODED content, so
-      * a re-encoded container dedups to the same sha — the property a
-      * multimodal dedup pipeline actually wants).
+    /** Content sniffer: identify the container from its MAGIC BYTES,
+      * never from the mime label — the audit primitive that catches a
+      * label lying about the payload (and what lets decode dispatch
+      * survive mislabeled rows). */
+    def sniffContainer(data: Array[Byte]): String =
+      if (data == null || data.length < 12) "unknown"
+      else if ((data(0) & 0xFF) == 0x89 && data(1) == 'P' && data(2) == 'N' && data(3) == 'G') "png"
+      else if ((data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8 && (data(2) & 0xFF) == 0xFF) "jpeg"
+      else if (data(0) == 'G' && data(1) == 'I' && data(2) == 'F' && data(3) == '8') "gif"
+      else if (data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F' &&
+               data(8) == 'W' && data(9) == 'A' && data(10) == 'V' && data(11) == 'E') "wav"
+      else "unknown"
+
+    private def shaHex(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).map("%02x".format(_)).mkString
+
+    /** 16-bin normalized byte histogram, floor-quantized to 4 dp
+      * (floor is bit-portable across engines where round-half ties
+      * are not). */
+    private def hist16(bytes: Array[Byte]): Array[Double] = {
+      val hist = new Array[Double](16)
+      bytes.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+      val n = math.max(1, bytes.length)
+      hist.map(v => math.floor(v / n * 10000) / 10000)
+    }
+
+    private def q4(v: Double): Double = math.floor(v * 10000) / 10000
+
+    /** THE decode pass — every mm_* consumer's columns from ONE parse
+      * of the payload. Dispatch is on the SNIFFED container, not the
+      * mime label (see [[sniffContainer]]); the sniffed format is
+      * recorded in `container_format` so label↔content agreement is a
+      * queryable fact.
       *
-      * Production formats beyond the JDK codecs (JPEG is in ImageIO
-      * too; MP3/MP4/H.264 are not) wire in the same way (public
-      * options, in preference order):
+      * Production formats beyond the JDK codecs (MP3/MP4/H.264) wire
+      * in the same way (public options, in preference order):
       *  1. JVM-native: TwelveMonkeys ImageIO (more image formats) /
       *     JAVE or a bundled ffmpeg binary driven per-partition. Drop
       *     the implementation into the match arms below — the
@@ -254,57 +351,73 @@ object Multimodal {
       *     are MBs, not KBs — 64–256 rows/batch, not the 10k default).
       *  3. External service: partition-batched async calls from
       *     `mapPartitions` with bounded in-flight requests.
-      * In every case column pruning still drops `data` before any
-      * stage that only needs metadata — keep feature extraction and
-      * metadata queries in separate projections as done here. */
-    def decodeReal(r: MediaRecord): MediaFeatures = r.mime match {
-      case "image/png" =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
-        require(img != null, s"undecodable PNG payload for media_id=${r.media_id}")
-        val w = img.getWidth
-        val h = img.getHeight
-        val raster = img.getRaster
-        val px = new Array[Byte](w * h)
-        var i = 0
-        while (i < w * h) {
-          px(i) = raster.getSample(i % w, i / w, 0).toByte
-          i += 1
-        }
-        val sha = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(px).map("%02x".format(_)).mkString
-        val hist = new Array[Double](16)
-        px.foreach(b => hist((b & 0xFF) / 16) += 1.0)
-        val n = math.max(1, w * h)
-        MediaFeatures(r.media_id, r.uri, r.mime, w * h, sha, w, h,
-          hist.map(v => math.floor(v / n * 10000) / 10000))
-      case "audio/wav" =>
+      * In every case column pruning still drops `data` right after
+      * decode — consumers project typed columns only. */
+    def decodeFull(r: MediaRecord): MediaDecoded = sniffContainer(r.data) match {
+      case fmt @ ("png" | "jpeg") =>
+        // real raster decode: dimensions from the container header,
+        // identity + histogram + mean intensity over decoded pixels
+        val (w, h, px) = decodeGrayImage(r.data)
+        val mean = px.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble /
+          math.max(1, w * h) / 255.0
+        MediaDecoded(r.media_id, r.uri, r.mime, r.kind, fmt,
+          w * h, shaHex(px), w, h, hist16(px),
+          img_mean_intensity = Some(q4(mean)), audio_rms = None,
+          audio_zero_crossings = None, video_frames = None,
+          video_mean_intensity = None, frame_digests = Array.empty)
+      case "wav" =>
         // real WAV parse: sample count + channel count from the
-        // decoded stream, identity + histogram over the PCM samples
-        // (unsigned 8-bit ⇒ samples == the source byte construction)
+        // decoded stream; RMS + zero crossings over the PCM samples
         val (samples, fmt) = decodeWav(r.data)
-        val n = math.max(1, samples.length)
-        val sha = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(samples).map("%02x".format(_)).mkString
-        val hist = new Array[Double](16)
-        samples.foreach(b => hist((b & 0xFF) / 16) += 1.0)
-        MediaFeatures(r.media_id, r.uri, r.mime, samples.length, sha,
+        val ns = math.max(1, samples.length)
+        val sq = samples.foldLeft(0L)((a, b) =>
+          a + (((b & 0xFF) - 128).toLong * ((b & 0xFF) - 128)))
+        val zc = samples.sliding(2).count(p =>
+          p.length == 2 && ((p(0) & 0xFF) < 128) != ((p(1) & 0xFF) < 128))
+        MediaDecoded(r.media_id, r.uri, r.mime, r.kind, "wav",
+          samples.length, shaHex(samples),
           width = samples.length, height = fmt.getChannels,
-          histogram = hist.map(v => math.floor(v / n * 10000) / 10000))
-      case "video/mp4" =>
-        // real GIF parse: dimensions from the decoded frames, identity
-        // + histogram over the concatenation of every frame's samples
-        // (lossless palette ⇒ samples == the padded-chunk source
-        // construction)
+          histogram = hist16(samples),
+          img_mean_intensity = None,
+          audio_rms = Some(q4(math.sqrt(sq.toDouble / ns))),
+          audio_zero_crossings = Some(zc), video_frames = None,
+          video_mean_intensity = None, frame_digests = Array.empty)
+      case "gif" =>
+        // real GIF parse: dimensions + frame count from the block
+        // walk; identity + histogram + mean intensity over every
+        // decoded frame's samples; one mod-prime fold per frame so
+        // frame sampling strides over digests without re-decoding
         val (w, h, frames) = decodeGif(r.data)
         val all = frames.flatten
-        val n = math.max(1, all.length)
-        val sha = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(all).map("%02x".format(_)).mkString
-        val hist = new Array[Double](16)
-        all.foreach(b => hist((b & 0xFF) / 16) += 1.0)
-        MediaFeatures(r.media_id, r.uri, r.mime, all.length, sha, w, h,
-          hist.map(v => math.floor(v / n * 10000) / 10000))
-      case _ => decodeFake(r) // unknown mime: deterministic fallback
+        val mean = all.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble /
+          math.max(1, all.length) / 255.0
+        MediaDecoded(r.media_id, r.uri, r.mime, r.kind, "gif",
+          all.length, shaHex(all), w, h, hist16(all),
+          img_mean_intensity = None, audio_rms = None,
+          audio_zero_crossings = None, video_frames = Some(frames.length),
+          video_mean_intensity = Some(q4(mean)),
+          frame_digests = frames.map(f => foldBytes(f, 0L)))
+      case _ =>
+        // unknown container: deterministic byte-level fallback
+        // exercising the same signature and batch shape ("dimensions"
+        // from a stable byte fold over the raw payload)
+        val fold = foldBytes(r.data, 17L)
+        MediaDecoded(r.media_id, r.uri, r.mime, r.kind, "unknown",
+          r.data.length, shaHex(r.data),
+          width = (fold % 1280 + 1).toInt,
+          height = ((fold >> 16) % 720 + 1).toInt,
+          histogram = hist16(r.data),
+          img_mean_intensity = None, audio_rms = None,
+          audio_zero_crossings = None, video_frames = None,
+          video_mean_intensity = None, frame_digests = Array.empty)
+    }
+
+    /** Feature projection of [[decodeFull]] — kept for callers that
+      * only need the feature-store columns. */
+    def decodeReal(r: MediaRecord): MediaFeatures = {
+      val d = decodeFull(r)
+      MediaFeatures(d.media_id, d.uri, d.mime, d.byte_len, d.content_sha,
+        d.width, d.height, d.histogram)
     }
 
     /** Modulus keeping the byte folds inside non-overflowing BIGINT
@@ -315,72 +428,87 @@ object Multimodal {
 
     def foldBytes(bytes: Array[Byte], init: Long): Long =
       bytes.foldLeft(init)((acc, b) => (acc * 31 + (b & 0xFF)) % FoldMod)
-
-    /** Deterministic fake decode exercising the same signature and
-      * batch shape: "dimensions" from a stable byte fold, features =
-      * 16-bin normalized byte histogram (floor-quantized to 4 dp —
-      * floor is bit-portable across engines where round-half ties are
-      * not). */
-    def decodeFake(r: MediaRecord): MediaFeatures = {
-      val bytes = r.data
-      val sha = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(bytes).map("%02x".format(_)).mkString
-      val hist = new Array[Double](16)
-      bytes.foreach(b => hist((b & 0xFF) / 16) += 1.0)
-      val n = math.max(1, bytes.length)
-      val norm = hist.map(v => math.floor(v / n * 10000) / 10000)
-      val fold = foldBytes(bytes, 17L)
-      MediaFeatures(r.media_id, r.uri, r.mime, bytes.length, sha,
-        width = (fold % 1280 + 1).toInt,
-        height = ((fold >> 16) % 720 + 1).toInt,
-        histogram = norm)
-    }
   }
 
-  /** Feature extraction as a partition-batched transform: one decoder
-    * instantiation per partition (the expensive part for real codecs),
-    * then a streaming map over the partition's records. */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  /** Decode the corpus ONCE into the typed columnar frame every mm_*
+    * consumer projects from — partition-batched (one decoder context
+    * per partition, the expensive part for real codecs), no shuffle.
+    * In production this frame IS the persisted decoded-features
+    * table; here it is staged per (session, dir) by SparkEntry. */
+  def decodeAll(media: DataFrame): Dataset[MediaDecoded] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { records =>
-      // per-partition decoder setup would go here (real codec handles);
-      // decodeReal dispatches per mime: PNG rows run the real
-      // javax.imageio decode, audio/video fall back to the fake
-      records.map(MediaCodec.decodeReal)
+      // per-partition decoder setup would go here (real codec handles)
+      records.map(MediaCodec.decodeFull)
     }
   }
 
-  /** Frame sampling for video payloads: decode the GIF container and
-    * emit every `stride`-th REAL frame's raster as a row (real impl:
-    * keyframe extraction — same decode-then-stride shape).
-    * Demonstrates the explode-to-frames pattern that keeps frames
-    * co-partitioned with their parent video; the digest is over the
-    * DECODED samples, so a re-encoded container yields identical
-    * frame rows. */
-  def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame = {
+  /** Feature extraction view (spec-facing API; queries go through the
+    * staged [[decodeAll]] frame). */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(col("mime") === "video/mp4").as[MediaRecord]
-      .flatMap { r =>
-        val (_, _, frames) = MediaCodec.decodeGif(r.data)
-        frames.iterator.zipWithIndex
-          .filter { case (_, i) => i % stride == 0 }
-          .map { case (px, i) => (r.media_id, i, px.length,
-            MediaCodec.foldBytes(px, 0L)) }
-      }
-      .toDF("media_id", "frame_index", "frame_bytes", "frame_digest")
+    decodeAll(media).map(d => MediaFeatures(d.media_id, d.uri, d.mime,
+      d.byte_len, d.content_sha, d.width, d.height, d.histogram))
   }
 
-  /** Scalar-only metadata view (oracle-friendly: no arrays/binary). */
-  def mediaMeta(documents: DataFrame): DataFrame =
-    extractFeatures(mediaTable(documents))
-      .toDF()
-      .select("media_id", "uri", "mime", "byte_len", "content_sha")
+  /** Frame sampling for video payloads — strided projection of the
+    * per-frame digests the single decode pass already computed (real
+    * impl: keyframe extraction — same decode-then-stride shape).
+    * Digests are over DECODED samples, so a re-encoded container
+    * yields identical frame rows. */
+  def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame =
+    framesFrom(decodeAll(media).toDF(), stride)
+
+  /** The staged decode-once frame for (s, dir). */
+  def decodedTableQuery(s: SparkSession, dir: String): DataFrame =
+    decodeAll(mediaTable(Tables.documents(s, dir))).toDF()
+
+  // ---- the four mm_* consumers: pure projections of the decoded frame ----
+
+  /** Scalar-only metadata view (oracle-friendly: no arrays/binary),
+    * including the modality (`kind`) and the SNIFFED
+    * `container_format` — the mime↔content agreement surface. */
+  def mediaMetaFrom(decoded: DataFrame): DataFrame =
+    decoded
+      .select("media_id", "uri", "mime", "kind", "container_format",
+        "byte_len", "content_sha")
       .orderBy(col("media_id"))
 
-  def mediaMetaQuery(s: SparkSession, dir: String): DataFrame =
-    mediaMeta(Tables.documents(s, dir))
+  /** Feature-store view with the histogram projected to 16 scalar
+    * columns (hist_00…hist_15): arrays are not sortable/hashable by
+    * generic result-diff harnesses, and the flat layout is also the
+    * feature-store serving shape. */
+  def featuresFrom(decoded: DataFrame): DataFrame = {
+    val histCols = (0 until 16).map(i =>
+      element_at(col("histogram"), i + 1).as(f"hist_$i%02d"))
+    decoded
+      .select(Seq(col("media_id"), col("uri"), col("mime"), col("byte_len"),
+        col("content_sha"), col("width"), col("height")) ++ histCols: _*)
+      .orderBy(col("media_id"))
+  }
+
+  /** Per-modality typed stats (NULL off-modality):
+    *  - image: mean intensity (mean sample / 255, floor-quantized 4 dp)
+    *  - audio: RMS of the 128-centered samples + zero-crossing count
+    *  - video: decoded frame count + mean decoded intensity */
+  def modalityStatsFrom(decoded: DataFrame): DataFrame =
+    decoded
+      .select("media_id", "mime", "img_mean_intensity", "audio_rms",
+        "audio_zero_crossings", "video_frames", "video_mean_intensity")
+      .orderBy(col("media_id"))
+
+  /** Strided frame rows from the per-frame digests of the decode
+    * pass (frames stay co-partitioned with their parent video). */
+  def framesFrom(decoded: DataFrame, stride: Int = 4): DataFrame =
+    decoded.filter(col("kind") === "video")
+      .select(col("media_id"),
+        posexplode(col("frame_digests")).as(Seq("frame_index", "frame_digest")))
+      .filter(col("frame_index") % stride === 0)
+      .select(col("media_id"), col("frame_index"),
+        lit(FrameLen).as("frame_bytes"), col("frame_digest"))
+      .orderBy(col("media_id"), col("frame_index"))
 
   /** The image rows' decoded pixel string as a DuckDB expression:
     * text bytes cycled to ImgW×ImgH chars (PNG round trip is lossless,
@@ -399,34 +527,30 @@ object Multimodal {
     s"""rpad(CASE WHEN strlen(text) = 0 THEN ' ' ELSE text END,
        |     CAST($FrameLen * ceil(greatest(strlen(text), 1) / $FrameLen.0) AS INT), ' ')""".stripMargin
 
+  private val mimeSql = "['image/png','audio/wav','image/gif'][CAST(doc_id % 3 AS INT) + 1]"
+  private val kindSql = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
+  private val containerSql = "['png','wav','gif'][CAST(doc_id % 3 AS INT) + 1]"
+
   /** DuckDB oracle for the scalar metadata. EVERY row is identified
     * by its DECODED content (sha over the pixel / PCM / frame
     * samples — which the lossless PNG/WAV/GIF round trips make
-    * recomputable from text; ASCII corpus, so chars == bytes). */
+    * recomputable from text; ASCII corpus, so chars == bytes). The
+    * oracle's `container_format` asserts that the engine's SNIFFED
+    * format agrees with the construction — a mislabeling (or a codec
+    * writing the wrong container) flips the hash. */
   val mediaMetaSql: String =
     s"""SELECT
       |  doc_id AS media_id,
       |  concat('mem://doc/', CAST(doc_id AS VARCHAR)) AS uri,
-      |  ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+      |  $mimeSql AS mime,
+      |  $kindSql AS kind,
+      |  $containerSql AS container_format,
       |  CASE WHEN doc_id % 3 = 2 THEN CAST(strlen($padVidSql) AS INT)
       |       ELSE ${ImgW * ImgH} END AS byte_len,
       |  CASE WHEN doc_id % 3 = 2 THEN sha256($padVidSql)
       |       ELSE sha256($padTextSql) END AS content_sha
       |FROM documents
       |ORDER BY media_id""".stripMargin
-
-  /** Feature query with the histogram projected to 16 scalar columns
-    * (hist_00…hist_15): arrays are not sortable/hashable by generic
-    * result-diff harnesses, and the flat layout is also the
-    * feature-store serving shape. */
-  def featuresQuery(s: SparkSession, dir: String): DataFrame = {
-    val histCols = (0 until 16).map(i =>
-      element_at(col("histogram"), i + 1).as(f"hist_$i%02d"))
-    extractFeatures(mediaTable(Tables.documents(s, dir))).toDF()
-      .select(Seq(col("media_id"), col("uri"), col("mime"), col("byte_len"),
-        col("content_sha"), col("width"), col("height")) ++ histCols: _*)
-      .orderBy(col("media_id"))
-  }
 
   /** DuckDB oracle for the full feature extraction. Every row (all
     * three REAL decode legs) is recomputed from the sample
@@ -437,7 +561,7 @@ object Multimodal {
   val featuresSql: String = {
     val n = ImgW * ImgH
     val histCols = (0 until 16).map(i =>
-      s"""  CASE WHEN mime = 'video/mp4'
+      s"""  CASE WHEN mime = 'image/gif'
          |    THEN floor(CAST(len(list_filter(vbytes, b -> b // 16 = $i)) AS DOUBLE) / len(vbytes) * 10000) / 10000
          |    ELSE floor(CAST(len(list_filter(pbytes, b -> b // 16 = $i)) AS DOUBLE) / $n * 10000) / 10000
          |  END AS hist_${"%02d".format(i)}""".stripMargin)
@@ -446,7 +570,7 @@ object Multimodal {
       |  SELECT
       |    doc_id AS media_id,
       |    concat('mem://doc/', CAST(doc_id AS VARCHAR)) AS uri,
-      |    ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+      |    $mimeSql AS mime,
       |    sha256($padTextSql) AS px_sha,
       |    sha256($padVidSql) AS vid_sha,
       |    list_transform(string_split($padTextSql, ''), c -> ord(c)) AS pbytes,
@@ -454,8 +578,8 @@ object Multimodal {
       |  FROM documents
       |)
       |SELECT media_id, uri, mime,
-      |  CASE WHEN mime = 'video/mp4' THEN CAST(len(vbytes) AS INT) ELSE $n END AS byte_len,
-      |  CASE WHEN mime = 'video/mp4' THEN vid_sha ELSE px_sha END AS content_sha,
+      |  CASE WHEN mime = 'image/gif' THEN CAST(len(vbytes) AS INT) ELSE $n END AS byte_len,
+      |  CASE WHEN mime = 'image/gif' THEN vid_sha ELSE px_sha END AS content_sha,
       |  CASE WHEN mime = 'audio/wav' THEN $n ELSE $ImgW END AS width,
       |  CASE WHEN mime = 'audio/wav' THEN 1 ELSE $ImgH END AS height,
       |$histCols
@@ -463,75 +587,13 @@ object Multimodal {
       |ORDER BY media_id""".stripMargin
   }
 
-  def framesQuery(s: SparkSession, dir: String): DataFrame =
-    sampleFrames(mediaTable(Tables.documents(s, dir)))
-      .orderBy(col("media_id"), col("frame_index"))
-
-  /** Per-modality typed stats — the mime-dispatched decode shape (a
-    * real pipeline runs a different codec per modality; every branch
-    * here parses its actual container and computes over the DECODED
-    * samples, which the lossless codecs make oracle-checkable).
-    * Columns are NULL off-modality:
-    *  - image: mean intensity (mean sample / 255, floor-quantized 4 dp)
-    *  - audio: RMS of the 128-centered samples + zero-crossing count
-    *  - video: decoded frame count + mean decoded intensity
-    * Same partition-batched single pass as [[extractFeatures]]. */
-  def modalityStats(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.as[MediaRecord].mapPartitions { records =>
-      records.map { r =>
-        def q4(v: Double): Double = math.floor(v * 10000) / 10000
-        val (imgMean, audioRms, audioZc, vidFrames, vidMeanInt) = r.mime match {
-          case "image/png" =>
-            // real decode: mean intensity over the PNG's decoded samples
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.data))
-            val (w, h) = (img.getWidth, img.getHeight)
-            val raster = img.getRaster
-            var s = 0L
-            var i = 0
-            while (i < w * h) {
-              s += raster.getSample(i % w, i / w, 0)
-              i += 1
-            }
-            val mean = s.toDouble / math.max(1, w * h) / 255.0
-            (Some(q4(mean)), None, None, None, None)
-          case "audio/wav" =>
-            // real decode: RMS + zero crossings over the WAV's PCM
-            // samples, not the container bytes
-            val (samples, _) = MediaCodec.decodeWav(r.data)
-            val ns = math.max(1, samples.length)
-            val sq = samples.foldLeft(0L)((a, b) =>
-              a + (((b & 0xFF) - 128).toLong * ((b & 0xFF) - 128)))
-            val zc = samples.sliding(2).count(p =>
-              p.length == 2 && ((p(0) & 0xFF) < 128) != ((p(1) & 0xFF) < 128))
-            (None, Some(q4(math.sqrt(sq.toDouble / ns))), Some(zc), None, None)
-          case _ =>
-            // real decode: frame count from the GIF block walk, mean
-            // intensity over every decoded frame's samples
-            val (_, _, frames) = MediaCodec.decodeGif(r.data)
-            val all = frames.flatten
-            val s = all.foldLeft(0L)((a, b) => a + (b & 0xFF))
-            val mean = s.toDouble / math.max(1, all.length) / 255.0
-            (None, None, None, Some(frames.length), Some(q4(mean)))
-        }
-        (r.media_id, r.mime, imgMean, audioRms, audioZc, vidFrames, vidMeanInt)
-      }
-    }.toDF("media_id", "mime", "img_mean_intensity", "audio_rms",
-      "audio_zero_crossings", "video_frames", "video_mean_intensity")
-  }
-
-  def modalityStatsQuery(s: SparkSession, dir: String): DataFrame =
-    modalityStats(mediaTable(Tables.documents(s, dir)))
-      .orderBy(col("media_id"))
-
   /** DuckDB oracle: every branch replayed over the decoded-sample
     * construction its lossless codec preserves (identical IEEE
     * division/sqrt; floor quantization is bit-portable). */
   val modalityStatsSql: String =
     s"""WITH base AS (
       |  SELECT doc_id AS media_id,
-      |    ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+      |    $mimeSql AS mime,
       |    list_transform(string_split($padTextSql, ''), c -> ord(c)) AS pbytes,
       |    list_transform(string_split($padVidSql, ''), c -> ord(c)) AS vbytes
       |  FROM documents
@@ -548,8 +610,8 @@ object Multimodal {
       |    CAST(len(list_filter(range(${ImgW * ImgH} - 1),
       |      i -> (pbytes[i + 1] < 128) <> (pbytes[i + 2] < 128))) AS INT)
       |  END AS audio_zero_crossings,
-      |  CASE WHEN mime = 'video/mp4' THEN CAST(len(vbytes) // $FrameLen AS INT) END AS video_frames,
-      |  CASE WHEN mime = 'video/mp4' THEN
+      |  CASE WHEN mime = 'image/gif' THEN CAST(len(vbytes) // $FrameLen AS INT) END AS video_frames,
+      |  CASE WHEN mime = 'image/gif' THEN
       |    floor(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), vbytes), (a,b) -> a + b) AS DOUBLE)
       |      / len(vbytes) / 255.0 * 10000) / 10000
       |  END AS video_mean_intensity
@@ -557,7 +619,7 @@ object Multimodal {
       |ORDER BY media_id""".stripMargin
 
   /** DuckDB oracle for strided frame sampling: $FrameLen-char chunks
-    * of the space-padded video-mime docs (== the decoded GIF frame
+    * of the space-padded video-kind docs (== the decoded GIF frame
     * rasters, by losslessness), every 4th chunk, digest = the same
     * mod-prime byte fold over the chunk's samples. */
   val framesSql: String =
@@ -578,4 +640,66 @@ object Multimodal {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS frame_digest
       |FROM frames
       |ORDER BY media_id, frame_index""".stripMargin
+
+  // ---- JPEG: the lossy leg, gated by an error envelope ----
+
+  /** Baseline-JPEG quality for the lossy leg. */
+  val JpegQuality: Float = 0.95f
+
+  /** Per-pixel absolute-error envelope for the JPEG round trip at
+    * [[JpegQuality]] on the text-raster corpus. Calibrated against
+    * the JDK encoder on the driver corpora (observed max ≤ ~35 on
+    * ASCII text rasters — high-frequency content, the JPEG worst
+    * case) with ~2× headroom; a broken encode/decode (wrong
+    * dimensions, channel swap, double compression, bit corruption
+    * surviving the parser) lands far outside it. */
+  val JpegMaxAbsErr: Int = 72
+
+  /** The lossy-codec contract: JPEG-encode each image-kind doc's
+    * source raster, decode it back, and gate on EXACT dimensions plus
+    * the per-pixel error envelope vs the source raster. The output
+    * carries only oracle-reproducible columns (the oracle cannot run
+    * a JPEG codec — it pins the envelope VERDICT, which the engine
+    * can only satisfy by actually round-tripping within tolerance;
+    * any row drifting outside the envelope flips `within_envelope`
+    * and the hash). Same decode-only shape as production quality
+    * gates over opaque lossy media. */
+  def jpegEnvelope(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val src = pixelBytes(text)
+          val (w, h, dec) = MediaCodec.decodeGrayImage(MediaCodec.encodeJpeg(src))
+          var maxErr = 0
+          if (w == ImgW && h == ImgH) {
+            var i = 0
+            while (i < src.length) {
+              val e = math.abs((src(i) & 0xFF) - (dec(i) & 0xFF))
+              if (e > maxErr) maxErr = e
+              i += 1
+            }
+          } else maxErr = Int.MaxValue
+          (id, w, h, w == ImgW && h == ImgH && maxErr <= JpegMaxAbsErr)
+        }
+      }
+      .toDF("media_id", "width", "height", "within_envelope")
+      .orderBy(col("media_id"))
+  }
+
+  def jpegEnvelopeQuery(s: SparkSession, dir: String): DataFrame =
+    jpegEnvelope(Tables.documents(s, dir))
+
+  /** DuckDB oracle: dimensions exact, envelope verdict TRUE for every
+    * image-kind row — the honest pin for a lossy codec (the codec
+    * itself is not SQL-replayable; the gate is). */
+  val jpegEnvelopeSql: String =
+    s"""SELECT doc_id AS media_id, $ImgW AS width, $ImgH AS height,
+      |  TRUE AS within_envelope
+      |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY media_id""".stripMargin
 }

@@ -273,7 +273,7 @@ object SketchRollup {
     * sentinel on failure. */
   val sourceLengthDriftSql: String =
     """WITH vals AS (
-      |  SELECT source, CAST(strlen(text) AS DOUBLE) AS v FROM documents
+      |  SELECT source, CAST(length(text) AS DOUBLE) AS v FROM documents
       |), counts AS (
       |  SELECT source, v, count(*) AS c FROM vals GROUP BY 1, 2
       |), srcs AS (

@@ -39,14 +39,42 @@ object JsonlShards {
 
   /** Export the corpus as `nShards` JSONL files, shard-assigned by
     * the portable md5 bucket of doc_id (reproducible: same corpus →
-    * same shard membership, independent of input partitioning). */
+    * same shard membership, independent of input partitioning).
+    *
+    * Placement is an IDENTITY partitioner over the bucket value —
+    * `repartition(n, shardCol)` would re-hash the already-computed
+    * bucket with Murmur3 and collide ~1/e of the buckets into shared
+    * partitions (empty files + 2-3-bucket files), breaking the
+    * "shard i holds exactly bucket i" provenance contract. The rows
+    * are serialized with `to_json` (the same Jackson generator the
+    * DataFrame JSON sink uses, so escaping semantics are identical)
+    * and written one text file per bucket. */
   def writeShards(documents: DataFrame, outDir: String, nShards: Int = 8): Unit = {
     val shard = pmod(graft.text.QualityFilters.md5Bucket(col("doc_id")), lit(nShards))
-    documents
-      .repartition(nShards, shard)
-      .select(docSchema.fieldNames.map(col): _*)
-      .write.mode("overwrite").json(outDir)
+    val keyed = documents
+      .select(
+        shard.cast("int").as("__shard"),
+        to_json(struct(docSchema.fieldNames.map(col): _*)).as("__json"))
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nShards
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    deleteRecursively(documents.sparkSession, outDir) // overwrite semantics
+    keyed.rdd
+      .map(r => (r.getInt(0), r.getString(1)))
+      .partitionBy(part)
+      .map(_._2)
+      .saveAsTextFile(outDir)
   }
+
+  /** Best-effort recursive delete through the Hadoop FS API (works for
+    * any configured filesystem, not just local disk). */
+  private def deleteRecursively(spark: SparkSession, dir: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    } catch { case _: Throwable => }
 
   /** Re-ingest JSONL shards under the declared schema, FAILFAST. */
   def readShards(spark: SparkSession, dir: String): DataFrame =
@@ -63,22 +91,35 @@ object JsonlShards {
     * preserved every row bit-for-bit (any mangled escape, dropped
     * line or coerced field flips a fingerprint). */
   def roundTripManifest(spark: SparkSession, documents: DataFrame): DataFrame = {
+    // scratch space under the JVM temp root; the corpus-sized JSONL
+    // copy is deleted as soon as the (metadata-sized) manifest is
+    // computed — repeated bench/Verify runs must not accumulate
+    // corpus-sized directories (on a real cluster this dir would be
+    // an object-store scratch prefix with a lifecycle rule)
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
-    writeShards(documents, dir)
-    val back = readShards(spark, dir)
-    val h = graft.dedup.NearDup.h60(
-      concat(col("doc_id").cast("string"), lit("|"), col("text")))
-    back
-      .withColumn("h", h)
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("doc_count"),
-        min(col("doc_id")).as("min_doc_id"),
-        max(col("doc_id")).as("max_doc_id"),
-        sum(length(col("text")).cast("long")).as("total_chars"),
-        sum(col("n_chars")).as("total_n_chars"),
-        expr("bit_xor(h)").as("content_xor"))
-      .orderBy(col("source"))
+    try {
+      writeShards(documents, dir)
+      val back = readShards(spark, dir)
+      val h = graft.dedup.NearDup.h60(
+        concat(col("doc_id").cast("string"), lit("|"), col("text")))
+      val manifest = back
+        .withColumn("h", h)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("doc_count"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          sum(col("n_chars")).as("total_n_chars"),
+          expr("bit_xor(h)").as("content_xor"))
+        .orderBy(col("source"))
+      // materialize the per-source rows (metadata-sized: one row per
+      // corpus source) so the scratch dir can be deleted eagerly; the
+      // returned frame is rebuilt from the collected rows
+      val rows = manifest.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), manifest.schema)
+    } finally deleteRecursively(spark, dir)
   }
 
   def roundTripManifestQuery(s: SparkSession, dir: String): DataFrame =
@@ -91,7 +132,7 @@ object JsonlShards {
       |  count(*) AS doc_count,
       |  min(doc_id) AS min_doc_id,
       |  max(doc_id) AS max_doc_id,
-      |  CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
       |  CAST(sum(n_chars) AS BIGINT) AS total_n_chars,
       |  bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)) AS content_xor
       |FROM documents

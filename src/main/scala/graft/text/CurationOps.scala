@@ -389,7 +389,7 @@ object CurationOps {
       |  SELECT doc_id, source,
       |    CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
       |       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8 AS INT) AS shard,
-      |    CAST(strlen(text) AS BIGINT) AS chars,
+      |    CAST(length(text) AS BIGINT) AS chars,
       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT) AS h
       |  FROM documents
       |)

@@ -254,9 +254,9 @@ object TextAnalysis {
 
   val rollingFingerprintsSql: String =
     """WITH base AS (
-      |  SELECT doc_id, text, strlen(text) AS len,
-      |    CASE WHEN strlen(text) <= 64 THEN 1
-      |         ELSE CAST((strlen(text) - 64) // 32 AS INT) + 1 END AS n_windows
+      |  SELECT doc_id, text, length(text) AS len,
+      |    CASE WHEN length(text) <= 64 THEN 1
+      |         ELSE CAST((length(text) - 64) // 32 AS INT) + 1 END AS n_windows
       |  FROM documents
       |)
       |SELECT doc_id, n_windows,

@@ -33,9 +33,10 @@ import org.apache.spark.sql.types._
   * KLL compaction flips library-internal random coins, so two runs
   * may retain different samples — estimates move WITHIN the rank
   * bound but are not byte-identical across partitionings. Queries
-  * gate on the bound (oracle recomputes exact ranks), and the board
-  * excludes KLL outputs from byte-stability pins — the honest
-  * contract for a randomized sketch.
+  * gate on the bound (oracle recomputes exact ranks), and
+  * `tools/stability_check.py` explicitly excludes the KLL-backed
+  * outputs (`RANDOMIZED_SKETCH_QUERIES`) from its byte-stability
+  * compare — the honest contract for a randomized sketch.
   */
 abstract class KllAggBase extends TypedImperativeAggregate[KllDoublesSketch] {
   def k: Int

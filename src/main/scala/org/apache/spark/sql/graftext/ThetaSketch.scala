@@ -21,11 +21,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * from metadata-sized sketch tables without rescanning events.
   *
   * Mergeability / determinism contract (what makes this safe as a
-  * persisted partial at 100 TB): a theta union keeps min(θ) and the
-  * ≤k smallest retained hashes — a pure FUNCTION OF THE INPUT SET,
-  * so partial merge is associative, commutative and idempotent, and
-  * the ordered compact serialization is byte-stable under any
-  * partitioning (pinned by SketchSetOpsSpec split-merge equality).
+  * persisted partial at 100 TB): partial merge is associative,
+  * commutative and idempotent — a union's ESTIMATE is always within
+  * the RSE bound of the true distinct count regardless of merge
+  * order. Byte-stability is scoped by mode:
+  *  - EXACT mode (≤ k distincts per segment): the sketch retains the
+  *    full hash set, the result is a pure function of the input set,
+  *    and the ordered compact serialization is byte-stable under any
+  *    partitioning (pinned by SketchSetOpsSpec split-merge equality).
+  *  - ESTIMATION mode (> k distincts): the union's θ and retained
+  *    set can depend on merge ORDER (early θ tightening), so two
+  *    partitionings may serialize different-but-equivalent partials;
+  *    only estimate-level agreement within the RSE budget is
+  *    guaranteed (pinned by SketchSetOpsSpec's estimation-mode
+  *    merge-order test). Queries that persist partials at scales
+  *    beyond k therefore gate on estimates, never on partial bytes.
   * Hashing is murmur3 with the library default seed over the UTF-8
   * bytes of the string form — stable across JVMs.
   *

@@ -39,11 +39,14 @@ class ArchitectureSpec extends AnyFunSuite {
     // EwmaScan: ONE 1-row crossJoin of the gate report's three audit
     //   maxima — fixed-size scalars regardless of series length
     // BinaryQuantAnn: 64 per-dimension mean thresholds (packed-code training)
+    // JsonlShards: the per-source round-trip manifest (one row per
+    //   corpus source) is materialized so the corpus-sized JSONL
+    //   scratch dir can be deleted eagerly — metadata-sized by design
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 1,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
-      "BinaryQuantAnn.scala" -> 1)
+      "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))
   }
@@ -55,8 +58,9 @@ class ArchitectureSpec extends AnyFunSuite {
 
   test("RDD drops only in the whole-operator exec and partition-batched codec") {
     // AsOfJoinExec: custom SparkPlan must produce RDD[InternalRow]
-    // Multimodal: partition-batched codec boundaries — PNG encode in
-    //   mediaTable, decode in extractFeatures, modality dispatch (3)
+    // Multimodal: partition-batched codec boundaries — container encode
+    //   in mediaTable, the decode-once pass in decodeAll, and the JPEG
+    //   envelope round trip (3)
     // ServingSink: JDBC writer iterates partitions for connection batching
     // LmBatchScorer: broadcast-model batch inference (the KenLM shape)
     val allow = Map("AsOfJoinExec.scala" -> 3,

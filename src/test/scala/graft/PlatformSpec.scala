@@ -37,7 +37,7 @@ class PlatformSpec extends AnyFunSuite {
     val png = MediaCodec.encodePng(px)
     assert(new String(png.slice(1, 4), "US-ASCII") === "PNG") // real container
     val imgFeat = MediaCodec.decodeReal(
-      Multimodal.MediaRecord(1L, "u", "image/png", png))
+      Multimodal.MediaRecord(1L, "u", "image/png", "image", png))
     assert(imgFeat.width === Multimodal.ImgW && imgFeat.height === Multimodal.ImgH)
     val pxSha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(px).map("%02x".format(_)).mkString
@@ -49,7 +49,7 @@ class PlatformSpec extends AnyFunSuite {
     assert(samples.toSeq === px.toSeq)
     assert(fmt.getChannels === 1 && fmt.getSampleSizeInBits === 8)
     val audFeat = MediaCodec.decodeReal(
-      Multimodal.MediaRecord(2L, "u", "audio/wav", wav))
+      Multimodal.MediaRecord(2L, "u", "audio/wav", "audio", wav))
     assert(audFeat.content_sha === pxSha) // same decoded-content identity
     assert(audFeat.byte_len === px.length)
   }
@@ -67,7 +67,7 @@ class PlatformSpec extends AnyFunSuite {
     assert(frames.length === rasters.length)
     frames.zip(rasters).foreach { case (f, r) => assert(f.toSeq === r.toSeq) }
     // decodeReal video leg: identity over the concatenated DECODED samples
-    val feat = MediaCodec.decodeReal(Multimodal.MediaRecord(3L, "u", "video/mp4", gif))
+    val feat = MediaCodec.decodeReal(Multimodal.MediaRecord(3L, "u", "image/gif", "video", gif))
     val all = rasters.flatten.toArray
     val sha = java.security.MessageDigest.getInstance("SHA-256")
       .digest(all).map("%02x".format(_)).mkString
@@ -76,14 +76,84 @@ class PlatformSpec extends AnyFunSuite {
     assert(feat.width === Multimodal.ImgW && feat.height === Multimodal.ImgH)
   }
 
-  test("multimodal: frame sampling only from video mime, strided") {
+  test("multimodal: frame sampling only from video kind, strided") {
     val media = Multimodal.mediaTable(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media).cache()
-    val videoIds = media.filter(col("mime") === "video/mp4")
+    val videoIds = media.filter(col("kind") === "video")
       .select(col("media_id")).distinct()
     assert(frames.select("media_id").distinct()
       .join(videoIds, Seq("media_id"), "left_anti").count() === 0)
     assert(frames.filter(col("frame_index") % 4 =!= 0).count() === 0)
+  }
+
+  test("multimodal: sniffed container agrees with the mime label on every row") {
+    import graft.multimodal.Multimodal.MediaCodec
+    // the mime column must tell the truth about the payload: sniff the
+    // magic bytes of every row and require label↔content agreement
+    // (the r8 defect was video rows labeled video/mp4 over GIF bytes)
+    val decoded = Multimodal.decodeAll(
+      Multimodal.mediaTable(Tables.documents(spark, sf))).toDF().cache()
+    val mimeOf = Map("png" -> "image/png", "wav" -> "audio/wav", "gif" -> "image/gif")
+    val disagree = decoded.filter(
+      col("mime") =!= coalesce(element_at(
+        typedLit(mimeOf), col("container_format")), lit("UNSNIFFABLE")))
+    assert(disagree.count() === 0, "mime label must match sniffed container")
+    // kind is the modality, independent of container
+    assert(decoded.filter(col("kind") === "video" and col("container_format") =!= "gif")
+      .count() === 0)
+    // sniffer unit pins: each codec's output identifies as itself
+    val px = Multimodal.pixelBytes("sniff me")
+    assert(MediaCodec.sniffContainer(MediaCodec.encodePng(px)) === "png")
+    assert(MediaCodec.sniffContainer(MediaCodec.encodeWav(px)) === "wav")
+    assert(MediaCodec.sniffContainer(MediaCodec.encodeJpeg(px)) === "jpeg")
+    assert(MediaCodec.sniffContainer(
+      MediaCodec.encodeGif(Seq(px))) === "gif")
+    assert(MediaCodec.sniffContainer("not a container".getBytes) === "unknown")
+  }
+
+  test("multimodal: decode-once frame reproduces the per-query decode results") {
+    val media = Multimodal.mediaTable(Tables.documents(spark, sf)).cache()
+    val decoded = Multimodal.decodeAll(media).toDF().cache()
+    // features projection == direct extractFeatures
+    val viaFrame = Multimodal.featuresFrom(decoded)
+      .select("media_id", "content_sha", "width", "height")
+    val direct = Multimodal.extractFeatures(media).toDF()
+      .select("media_id", "content_sha", "width", "height")
+    assert(viaFrame.except(direct).count() === 0)
+    assert(direct.except(viaFrame).count() === 0)
+    // frame digests in the decoded frame == re-decoded strided frames
+    val viaDigests = Multimodal.framesFrom(decoded, 4)
+    assert(viaDigests.count() > 0)
+    assert(viaDigests.filter(col("frame_bytes") =!= Multimodal.FrameLen).count() === 0)
+  }
+
+  test("multimodal: JPEG round trip stays within the error envelope; corruption is caught") {
+    import graft.multimodal.Multimodal.MediaCodec
+    val gate = Multimodal.jpegEnvelope(Tables.documents(spark, sf)).cache()
+    assert(gate.count() > 0)
+    assert(gate.filter(!col("within_envelope")).count() === 0,
+      "every image-kind doc must round-trip JPEG within the envelope")
+    assert(gate.filter(col("width") =!= 16 or col("height") =!= 16).count() === 0)
+    // envelope calibration: measure the actual max error on a raster
+    // and require real headroom under the pinned tolerance
+    val px = Multimodal.pixelBytes("The quick brown fox jumps over the lazy dog! " * 8)
+    val (w, h, dec) = MediaCodec.decodeGrayImage(MediaCodec.encodeJpeg(px))
+    assert(w === 16 && h === 16)
+    val maxErr = px.zip(dec).map { case (a, b) =>
+      math.abs((a & 0xFF) - (b & 0xFF)) }.max
+    assert(maxErr > 0, "JPEG at q=0.95 on a text raster is genuinely lossy")
+    assert(maxErr <= Multimodal.JpegMaxAbsErr,
+      s"calibration: observed $maxErr vs envelope ${Multimodal.JpegMaxAbsErr}")
+    // negative 1: corrupted payload must not decode quietly
+    val jpeg = MediaCodec.encodeJpeg(px)
+    val truncated = jpeg.take(8)
+    intercept[Throwable] { MediaCodec.decodeGrayImage(truncated) }
+    // negative 2: the gate has teeth — comparing against the WRONG
+    // source raster (offset by 128) lands far outside the envelope
+    val wrong = px.map(b => ((b + 128) & 0xFF).toByte)
+    val wrongErr = wrong.zip(dec).map { case (a, b) =>
+      math.abs((a & 0xFF) - (b & 0xFF)) }.max
+    assert(wrongErr > Multimodal.JpegMaxAbsErr)
   }
 
   test("streaming: AvailableNow backlog run matches batch transform") {

@@ -59,6 +59,35 @@ class SketchSetOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("theta: estimation mode — estimates merge-order-invariant within RSE, bytes not pinned") {
+    import spark.implicits._
+    // push the sketch past nominal k=4096 into estimation mode: here
+    // the union's theta / retained set CAN depend on merge order, so
+    // the byte-stability contract is scoped to exact mode (see
+    // ThetaSketch scaladoc); what must survive any grouping is the
+    // ESTIMATE, within the RSE budget (1/sqrt(4096) ~ 1.6 %)
+    val n = 20000
+    val ids = (1 to n).map(i => s"user_$i").toDF("id")
+    def mergedVia(splitK: Int): Array[Byte] = ids
+      .withColumn("g", pmod(xxhash64(col("id")), lit(splitK)))
+      .groupBy(col("g"))
+      .agg(ThetaSketch.thetaSketchAgg(col("id")).as("sk"))
+      .agg(ThetaSketch.thetaUnionAgg(col("sk")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val whole = ids
+      .agg(ThetaSketch.thetaSketchAgg(col("id")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    def est(sk: Array[Byte]): Double = ids.limit(1)
+      .select(ThetaSketch.thetaEstimate(lit(sk)).as("e")).head().getDouble(0)
+    val ests = Seq(whole, mergedVia(2), mergedVia(7)).map(est)
+    ests.foreach(e =>
+      assert(math.abs(e - n) / n <= 0.05, s"estimate $e outside RSE budget of $n"))
+    // document the actual behavior: estimates from different merge
+    // orders agree with each other within twice the single-sketch RSE
+    assert(math.abs(ests(1) - ests(2)) / n <= 0.05,
+      s"merge-order estimates diverged: ${ests(1)} vs ${ests(2)}")
+  }
+
   test("kll: merged rolling quantiles stay within the rank-error bound") {
     val orders = Tables.orders(spark, sf)
     val got = SketchRollup.rollingOrderValueQuantiles(orders).cache()

@@ -16,6 +16,15 @@ import sys
 import duckdb
 import numpy as np
 
+# KLL-backed outputs are EXCLUDED from the byte-stability pin: KLL
+# compaction flips library-internal random coins once per-group n
+# exceeds k=200, so two runs may retain different samples — estimates
+# move within the documented rank-error bound but are not
+# byte-identical across partitionings. Their correctness is gated by
+# the DuckDB oracle's exact-rank envelope instead (the honest contract
+# for a randomized sketch).
+RANDOMIZED_SKETCH_QUERIES = {"q_sketch_rolling_quantiles", "text_length_drift"}
+
 
 def canon(df):
     for c in df.columns:
@@ -31,6 +40,9 @@ def main(dir1, dir2):
     bad = n = 0
     for d in sorted(os.listdir(dir1)):
         if not os.path.isdir(os.path.join(dir1, d)):
+            continue
+        if d in RANDOMIZED_SKETCH_QUERIES:
+            print(f"skipped (randomized sketch, oracle-gated): {d}")
             continue
         n += 1
         f1 = glob.glob(os.path.join(dir1, d, "*.parquet"))
