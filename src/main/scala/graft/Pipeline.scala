@@ -29,6 +29,14 @@ object Pipeline {
     ("category_performance", CategoryPerformance.build(silver), "event_date"),
     ("user_rfm_segments", RfmSegments.build(silver), ""))
 
+  /** Serving-table names only — for consumers that must not trigger
+    * the mart builds (some marts run real jobs at frame-construction
+    * time, e.g. the RFM global ranks). */
+  val goldMartNames: Seq[String] = Seq(
+    "daily_sales", "hourly_traffic", "item_performance",
+    "user_journey_funnel", "conversion_funnel_daily",
+    "category_performance", "user_rfm_segments")
+
   /** Build everything and write the serving layout; returns a summary
     * (mart, rows) frame. Date-keyed marts get monthly partitions +
     * date-sorted files (the MergeTree analog); entity-keyed marts get
@@ -39,50 +47,44 @@ object Pipeline {
     finally silver.unpersist()
   }
 
+  /** Entity-keyed serving write (|users|-sized at production scale):
+    * range-partition on the key so every writer task gets a
+    * contiguous sorted slice — globally ordered files without a
+    * single-task bottleneck (coalesce(1) would serialize the whole
+    * mart through one writer at 100×). */
+  def writeEntityMart(df: DataFrame, path: String): Unit = {
+    val key = df.schema.fieldNames.head
+    df.repartitionByRange(col(key)).sortWithinPartitions(col(key))
+      .write.mode("overwrite").option("compression", "snappy")
+      .option("maxRecordsPerFile", 5000000)
+      .parquet(path)
+  }
+
   /** [[runAll]] over a silver frame the CALLER owns (already cached or
     * not — no second `.cache()` here: caching the same plan twice only
     * earns a CacheManager "already cached" warning and a redundant
-    * cache lookup; SparkEntry's shared silver cache enters here). */
+    * cache lookup; SparkEntry's shared silver cache enters here).
+    *
+    * Execution goes through the [[graft.ops.Dag]] runner — the same
+    * delivery contract the reference gets from Airflow (retries,
+    * timeouts, downstream skip): silver writes first and alone (it
+    * materializes the shared cache exactly once), the seven mart
+    * writes are independent DAG nodes run concurrently (pool of 4 —
+    * one mart's write barrier doesn't idle the rest of the cluster),
+    * and a failed node fails the pipeline loudly after its retries
+    * rather than silently serving a partial layout. On the happy path
+    * the DAG wrapper costs nothing — the work is the same Spark jobs
+    * in the same order. */
   def runAllWith(spark: SparkSession, silver: DataFrame, outDir: String): DataFrame = {
-      // event_time_str is yyyy-MM-dd HH:mm:ss → lexicographic == chronological
-      // The silver write goes first and alone: it materializes the
-      // shared cache exactly once (concurrent first-touch would build
-      // silver several times in parallel).
-      ServingSink.writeSorted(silver, s"$outDir/silver_events",
-        Seq("event_date"), Seq(col("event_time_str").asc))
-      // The seven mart writes are independent jobs — submit them
-      // concurrently so one mart's write barrier doesn't idle the rest
-      // of the cluster (a single serving write rarely fills every
-      // executor; overlapping them roughly halves pipeline wall time).
-      // Results are byte-identical to the sequential order.
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration._
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-      val summaries =
-        try Await.result(Future.sequence(goldMarts(silver).map { case (name, df, dateCol) =>
-          Future {
-            if (dateCol.nonEmpty)
-              ServingSink.writeDateMart(df, s"$outDir/$name", dateCol)
-            else {
-              // Entity-keyed marts (|users|-sized at production scale):
-              // range-partition on the key so every writer task gets a
-              // contiguous sorted slice — globally ordered files without a
-              // single-task bottleneck (coalesce(1) would serialize the
-              // whole mart through one writer at 100×).
-              val key = df.schema.fieldNames.head
-              df.repartitionByRange(col(key)).sortWithinPartitions(col(key))
-                .write.mode("overwrite").option("compression", "snappy")
-                .option("maxRecordsPerFile", 5000000)
-                .parquet(s"$outDir/$name")
-            }
-            val rows = spark.read.parquet(s"$outDir/$name").count()
-            (name, rows)
-          }
-        }), 30.minutes)
-        finally pool.shutdown()
-      import spark.implicits._
-      summaries.toDF("mart", "rows_served").orderBy(col("mart"))
+    val report = graft.ops.Dag.run(spark,
+      graft.ops.Dag.pipelineDag(spark, silver, outDir))
+    val failed = report.filter(col("status") =!= "success")
+    require(failed.isEmpty,
+      s"pipeline DAG had non-success tasks: ${failed.count()}")
+    import spark.implicits._
+    goldMartNames.map { name =>
+      (name, spark.read.parquet(s"$outDir/$name").count())
+    }.toDF("mart", "rows_served").orderBy(col("mart"))
   }
 
   /** Oracle for the serving-sink summary: each mart's served row count

@@ -143,7 +143,7 @@ object Dag {
         if (dateCol.nonEmpty)
           graft.sink.ServingSink.writeDateMart(df, s"$outDir/$name", dateCol)
         else
-          df.write.mode("overwrite").parquet(s"$outDir/$name"))
+          graft.Pipeline.writeEntityMart(df, s"$outDir/$name"))
     }
     val maintenance = Task("maintenance_report",
       deps = marts.map(_.name))(() => {

@@ -43,6 +43,17 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.length + 100 <= 2000, s"line was ${line.length} chars")
   }
 
+  test("adjudication verdicts ride the full line; the fallback carries the summary") {
+    val adj = Map("q_a" -> "noise", "q_b" -> "regressed", "q_c" -> "explained:real codecs")
+    val small = Bench.benchJson(fakeResults(10), 1.0, "/tmp/sf", tmpFull, adj = adj)
+    assert(small.contains(""""adjudication":{"q_a":"noise","q_b":"regressed","q_c":"explained:real codecs"}"""))
+    val big = Bench.benchJson(fakeResults(150), 99.9, "/tmp/sf", tmpFull, adj = adj)
+    assert(big.length <= 1700)
+    assert(big.contains(""""adjudication_summary":{"noise":1,"explained":1,"regressed":1,"regressed_names":["q_b"]}"""))
+    // no adjudication → no field (the common clean-board case)
+    assert(!Bench.benchJson(fakeResults(10), 1.0, "/tmp/sf", tmpFull).contains("adjudication"))
+  }
+
   // The robust sampling policy is shared by the base board's
   // scale-curve entries and the sf1 curve — the sf1 ratio's numerator
   // and denominator must carry the same noise discipline (r6: two
