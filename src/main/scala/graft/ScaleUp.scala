@@ -97,3 +97,26 @@ object ScaleUp {
     destDir
   }
 }
+
+/** Standalone generator for the scaled tables (the bench calls
+  * [[ScaleUp.ensure]] itself; this main exists so the sf1
+  * spot-oracle tool can materialize the corpus without a full bench
+  * run): `runMain graft.ScaleUpMain [srcDir] [destDir]`. */
+object ScaleUpMain {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val destDir = args.drop(1).headOption
+      .getOrElse(new java.io.File("target/scale/sf1").getAbsolutePath)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"[scaleup] ensured: ${ScaleUp.ensure(spark, srcDir, destDir)}")
+    spark.stop()
+  }
+}
