@@ -272,7 +272,8 @@ object Bench {
     "dedup_clusters", "dedup_clusters_star", "pipeline_serving_sink",
     "quality_gold_report", "maintenance_compaction",
     "sim_semdedup", "text_repetition_profile", "dedup_incremental",
-    "dedup_gate_report", "sim_semdedup_report", "sim_recall_report")
+    "dedup_gate_report", "sim_semdedup_report", "sim_recall_report",
+    "mm_media_features")
 
   /** Time the heavy subset at 10× (generated once under target/scale/
     * sf1 from the bench SF dir) and report (name, seconds, ratio vs
@@ -309,6 +310,11 @@ object Bench {
         // query work, not staging-included to staging-free
         materialize(SparkEntry.queries("dedup_minhash_lsh")(spark, dest))
         materialize(SparkEntry.queries("dedup_simhash")(spark, dest))
+        // mirror the base warmup's decode-once media staging so
+        // mm_media_features' sf1 ratio compares projection work to
+        // projection work (the 10x codec cost lives in the staging,
+        // at both scales)
+        materialize(SparkEntry.queries("mm_media_meta")(spark, dest))
         Seq("brute", "lsh", "ivf", "ivf_upsert", "sq8", "bq", "pq", "ivfpq")
           .foreach(m =>
             materialize(SparkEntry.queries(s"sim_embed_topk_$m")(spark, dest)))

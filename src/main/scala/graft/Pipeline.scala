@@ -76,15 +76,25 @@ object Pipeline {
     * the DAG wrapper costs nothing — the work is the same Spark jobs
     * in the same order. */
   def runAllWith(spark: SparkSession, silver: DataFrame, outDir: String): DataFrame = {
-    val report = graft.ops.Dag.run(spark,
+    val results = graft.ops.Dag.runTasks(
       graft.ops.Dag.pipelineDag(spark, silver, outDir))
-    val failed = report.filter(col("status") =!= "success")
-    require(failed.isEmpty,
-      s"pipeline DAG had non-success tasks: ${failed.count()}")
+    // task state is driver-side metadata — gate on it without a job
+    val bad = results.filter(_.status != "success")
+    require(bad.isEmpty, "pipeline DAG had non-success tasks: " +
+      bad.map(r => s"${r.task}=${r.status}").mkString(", "))
+    // summary counts are independent footer-read jobs — overlap them
+    // (a sequential loop would serialize 7 small scheduling rounds)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val summaries =
+      try Await.result(Future.sequence(goldMartNames.map { name =>
+        Future((name, spark.read.parquet(s"$outDir/$name").count()))
+      }), 10.minutes)
+      finally pool.shutdown()
     import spark.implicits._
-    goldMartNames.map { name =>
-      (name, spark.read.parquet(s"$outDir/$name").count())
-    }.toDF("mart", "rows_served").orderBy(col("mart"))
+    summaries.toDF("mart", "rows_served").orderBy(col("mart"))
   }
 
   /** Oracle for the serving-sink summary: each mart's served row count

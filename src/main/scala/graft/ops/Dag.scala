@@ -38,11 +38,22 @@ object Dag {
   final case class TaskResult(task: String, status: String,
                               attempts: Int, durationMs: Long)
 
-  /** Execute the DAG; returns the run report. `failFast=false`
-    * (default, the Airflow shape): independent branches keep running
-    * after a failure, only downstream of the failure skips. */
+  /** Execute the DAG; returns the run report as a DataFrame (the
+    * scheduler-UI audit surface). */
   def run(spark: SparkSession, tasks: Seq[Task],
           maxParallelism: Int = 4): DataFrame = {
+    import spark.implicits._
+    runTasks(tasks, maxParallelism)
+      .map(r => (r.task, r.status, r.attempts, r.durationMs))
+      .toDF("task", "status", "attempts", "duration_ms")
+  }
+
+  /** Execute the DAG; returns the per-task results driver-side (task
+    * state is metadata — one row per task — so callers can gate on
+    * statuses without spending a Spark job). `failFast=false`
+    * (the Airflow shape): independent branches keep running after a
+    * failure, only downstream of the failure skips. */
+  def runTasks(tasks: Seq[Task], maxParallelism: Int = 4): Seq[TaskResult] = {
     val byName = tasks.map(t => t.name -> t).toMap
     require(byName.size == tasks.size, "duplicate task names")
     tasks.foreach(t => t.deps.foreach(d =>
@@ -108,10 +119,7 @@ object Dag {
       }
     } finally pool.shutdown()
 
-    import spark.implicits._
     tasks.map(t => results.get(t.name))
-      .map(r => (r.task, r.status, r.attempts, r.durationMs))
-      .toDF("task", "status", "attempts", "duration_ms")
   }
 
   private def detectCycle(tasks: Seq[Task]): Unit = {
