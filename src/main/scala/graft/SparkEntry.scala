@@ -379,6 +379,10 @@ object SparkEntry {
       graft.multimodal.Multimodal.modalityStatsFrom(mediaDecoded(s, dir))),
     // lossy-codec leg: dims + per-pixel error envelope vs source raster
     "mm_media_features_jpeg" -> (graft.multimodal.Multimodal.jpegEnvelopeQuery _),
+    // resize leg: 4x4 box-mean thumbnail / 16-window audio envelope,
+    // computed in the same single decode pass
+    "mm_media_downsample" -> ((s, dir) =>
+      graft.multimodal.Multimodal.downsampleFrom(mediaDecoded(s, dir))),
     "q_sketch_rolling_distinct" -> (graft.ops.SketchRollup.rollingDistinctUsersQuery _),
     "q_sketch_audience_overlap" -> (graft.ops.SketchRollup.audienceOverlapQuery _),
     "text_jsonl_manifest" -> (graft.sources.JsonlShards.roundTripManifestQuery _),
@@ -570,6 +574,7 @@ object SparkEntry {
     "mm_video_frames" -> graft.multimodal.Multimodal.framesSql,
     "mm_modality_stats" -> graft.multimodal.Multimodal.modalityStatsSql,
     "mm_media_features_jpeg" -> graft.multimodal.Multimodal.jpegEnvelopeSql,
+    "mm_media_downsample" -> graft.multimodal.Multimodal.downsampleSql,
     "stream_hourly_agg" -> graft.streaming.StreamingEvents.hourlyAggSql,
     "incremental_rebuild_diff" -> graft.ops.IncrementalRebuild.diffSql,
     "q_merge_restatement" -> graft.ops.MergeUpsert.restatedDailySalesSql,

@@ -69,7 +69,8 @@ object Multimodal {
       width: Int, height: Int, histogram: Array[Double],
       img_mean_intensity: Option[Double], audio_rms: Option[Double],
       audio_zero_crossings: Option[Int], video_frames: Option[Int],
-      video_mean_intensity: Option[Double], frame_digests: Array[Long])
+      video_mean_intensity: Option[Double], frame_digests: Array[Long],
+      downsample16: Array[Double])
 
   /** Fixed raster geometry of the synthesized PNG payloads. */
   val ImgW = 16
@@ -328,6 +329,40 @@ object Multimodal {
 
     private def q4(v: Double): Double = math.floor(v * 10000) / 10000
 
+    /** The RESIZE leg, image flavor: 4×4 box-average thumbnail of a
+      * 16×16 raster (each output cell is the mean of its 4×4 pixel
+      * block, normalized to [0,1], floor-quantized 4 dp) — the
+      * downsample-for-training shape (a real pipeline resizes to a
+      * model's input resolution; box averaging IS the antialiased
+      * downsample kernel). Exact integer block membership keeps it
+      * SQL-replayable. */
+    private[graft] def blockMeans4x4(px: Array[Byte], w: Int, h: Int): Array[Double] = {
+      if (w != ImgW || h != ImgH) return Array.empty
+      val sums = new Array[Double](16)
+      var i = 0
+      while (i < px.length) {
+        val block = (i / w / 4) * 4 + (i % w) / 4
+        sums(block) += (px(i) & 0xFF)
+        i += 1
+      }
+      sums.map(s => q4(s / 16.0 / 255.0))
+    }
+
+    /** The RESIZE leg, audio flavor: 16-window mean-amplitude
+      * envelope (256 samples → 16 windows of 16, mean sample / 255,
+      * floor-quantized 4 dp) — the waveform-downsample a feature
+      * pipeline stores instead of raw PCM. */
+    private[graft] def envelope16(samples: Array[Byte]): Array[Double] = {
+      if (samples.length != ImgW * ImgH) return Array.empty
+      val sums = new Array[Double](16)
+      var i = 0
+      while (i < samples.length) {
+        sums(i / 16) += (samples(i) & 0xFF)
+        i += 1
+      }
+      sums.map(s => q4(s / 16.0 / 255.0))
+    }
+
     /** THE decode pass — every mm_* consumer's columns from ONE parse
       * of the payload. Dispatch is on the SNIFFED container, not the
       * mime label (see [[sniffContainer]]); the sniffed format is
@@ -364,7 +399,8 @@ object Multimodal {
           w * h, shaHex(px), w, h, hist16(px),
           img_mean_intensity = Some(q4(mean)), audio_rms = None,
           audio_zero_crossings = None, video_frames = None,
-          video_mean_intensity = None, frame_digests = Array.empty)
+          video_mean_intensity = None, frame_digests = Array.empty,
+          downsample16 = blockMeans4x4(px, w, h))
       case "wav" =>
         // real WAV parse: sample count + channel count from the
         // decoded stream; RMS + zero crossings over the PCM samples
@@ -381,7 +417,8 @@ object Multimodal {
           img_mean_intensity = None,
           audio_rms = Some(q4(math.sqrt(sq.toDouble / ns))),
           audio_zero_crossings = Some(zc), video_frames = None,
-          video_mean_intensity = None, frame_digests = Array.empty)
+          video_mean_intensity = None, frame_digests = Array.empty,
+          downsample16 = envelope16(samples))
       case "gif" =>
         // real GIF parse: dimensions + frame count from the block
         // walk; identity + histogram + mean intensity over every
@@ -396,7 +433,8 @@ object Multimodal {
           img_mean_intensity = None, audio_rms = None,
           audio_zero_crossings = None, video_frames = Some(frames.length),
           video_mean_intensity = Some(q4(mean)),
-          frame_digests = frames.map(f => foldBytes(f, 0L)))
+          frame_digests = frames.map(f => foldBytes(f, 0L)),
+          downsample16 = Array.empty)
       case _ =>
         // unknown container: deterministic byte-level fallback
         // exercising the same signature and batch shape ("dimensions"
@@ -409,7 +447,8 @@ object Multimodal {
           histogram = hist16(r.data),
           img_mean_intensity = None, audio_rms = None,
           audio_zero_crossings = None, video_frames = None,
-          video_mean_intensity = None, frame_digests = Array.empty)
+          video_mean_intensity = None, frame_digests = Array.empty,
+          downsample16 = Array.empty)
     }
 
     /** Feature projection of [[decodeFull]] — kept for callers that
@@ -498,6 +537,45 @@ object Multimodal {
       .select("media_id", "mime", "img_mean_intensity", "audio_rms",
         "audio_zero_crossings", "video_frames", "video_mean_intensity")
       .orderBy(col("media_id"))
+
+  /** The resize/downsample serving view — one row per image/audio
+    * medium, the 16-cell downsample (4×4 box-mean thumbnail for
+    * images, 16-window amplitude envelope for audio, both computed in
+    * the single decode pass) projected to scalar columns d_00…d_15
+    * (the feature-store layout, like [[featuresFrom]]'s histogram). */
+  def downsampleFrom(decoded: DataFrame): DataFrame = {
+    val cells = (0 until 16).map(i =>
+      element_at(col("downsample16"), i + 1).as(f"d_$i%02d"))
+    decoded.filter(col("kind").isin("image", "audio"))
+      .select(Seq(col("media_id"), col("kind")) ++ cells: _*)
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB oracle for the downsample: both flavors replayed exactly
+    * over the decoded-sample construction — image cell b = mean of
+    * the 4×4 pixel block b of the 16×16 raster, audio cell b = mean
+    * of the b-th 16-sample window; /255, floor-quantized 4 dp (IEEE
+    * division + floor are bit-portable). */
+  // lazy: references padTextSql/kindSql, declared later in this object
+  lazy val downsampleSql: String = {
+    val cellCols = (0 until 16).map { b =>
+      s"""  CASE WHEN kind = 'image'
+         |    THEN floor(list_avg(list_transform(list_filter(range(256), i -> (i // 16 // 4) * 4 + (i % 16) // 4 = $b), i -> pbytes[i + 1])) / 255.0 * 10000) / 10000
+         |    ELSE floor(list_avg(list_transform(list_filter(range(256), i -> i // 16 = $b), i -> pbytes[i + 1])) / 255.0 * 10000) / 10000
+         |  END AS d_${"%02d".format(b)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+      |  SELECT doc_id AS media_id,
+      |    $kindSql AS kind,
+      |    list_transform(string_split($padTextSql, ''), c -> ord(c)) AS pbytes
+      |  FROM documents
+      |  WHERE doc_id % 3 IN (0, 1)
+      |)
+      |SELECT media_id, kind,
+      |$cellCols
+      |FROM base
+      |ORDER BY media_id""".stripMargin
+  }
 
   /** Strided frame rows from the per-frame digests of the decode
     * pass (frames stay co-partitioned with their parent video). */

@@ -137,26 +137,35 @@ object Dag {
     tasks.foreach(t => visit(t.name, Nil))
   }
 
-  /** The reference's DAG 02–05/07 chain as library tasks: silver →
-    * seven gold marts (parallel) → serving maintenance, each a
-    * retryable node. The serving writes themselves reuse
-    * [[graft.Pipeline.runAllWith]]'s machinery per mart. */
+  /** The reference's DAG 02–05/07 chain as library tasks:
+    * silver-cache materialization → { silver serving write ∥ seven
+    * gold marts } → serving maintenance, each a retryable node. The
+    * gate every downstream task depends on is the CACHE
+    * materialization, not the silver serving WRITE — once the shared
+    * frame is materialized exactly once, the silver write and the
+    * mart writes are all independent read-from-cache jobs and can
+    * overlap (the write barrier of one never idles the others; a
+    * dependency on the write itself would serialize the most
+    * expensive sort behind the whole fan-out). */
   def pipelineDag(spark: SparkSession, silver: DataFrame, outDir: String): Seq[Task] = {
-    val silverTask = Task("silver_events")(() =>
+    // one task owns first-touch: concurrent first consumers would
+    // each build silver in parallel before the cache exchange dedups
+    val cacheTask = Task("silver_cache")(() => { silver.count(); () })
+    val silverWrite = Task("silver_events", deps = Seq("silver_cache"))(() =>
       graft.sink.ServingSink.writeSorted(silver, s"$outDir/silver_events",
         Seq("event_date"),
         Seq(org.apache.spark.sql.functions.col("event_time_str").asc)))
     val marts = graft.Pipeline.goldMarts(silver).map { case (name, df, dateCol) =>
-      Task(name, deps = Seq("silver_events"))(() =>
+      Task(name, deps = Seq("silver_cache"))(() =>
         if (dateCol.nonEmpty)
           graft.sink.ServingSink.writeDateMart(df, s"$outDir/$name", dateCol)
         else
           graft.Pipeline.writeEntityMart(df, s"$outDir/$name"))
     }
     val maintenance = Task("maintenance_report",
-      deps = marts.map(_.name))(() => {
+      deps = silverWrite.name +: marts.map(_.name))(() => {
       spark.read.parquet(s"$outDir/daily_sales").count(); ()
     })
-    silverTask +: marts :+ maintenance
+    Seq(cacheTask, silverWrite) ++ marts :+ maintenance
   }
 }

@@ -127,6 +127,32 @@ class PlatformSpec extends AnyFunSuite {
     assert(viaDigests.filter(col("frame_bytes") =!= Multimodal.FrameLen).count() === 0)
   }
 
+  test("multimodal: downsample — image block means and audio envelope replay the construction") {
+    val decoded = Multimodal.decodeAll(
+      Multimodal.mediaTable(Tables.documents(spark, sf))).toDF().cache()
+    val ds = Multimodal.downsampleFrom(decoded).cache()
+    // one row per image/audio medium, every cell in [0,1]
+    assert(ds.count() === decoded.filter(col("kind").isin("image", "audio")).count())
+    val cells = (0 until 16).map(i => f"d_$i%02d")
+    cells.foreach(c =>
+      assert(ds.filter(col(c) < 0 or col(c) > 1).count() === 0, c))
+    // hand-pinned: a constant raster downsamples to the constant
+    val constPx = Array.fill(256)('A'.toByte) // 65
+    val thumb = Multimodal.MediaCodec.blockMeans4x4(constPx, 16, 16)
+    val expect = math.floor(65.0 / 255.0 * 10000) / 10000
+    assert(thumb.length === 16 && thumb.forall(_ === expect))
+    // block membership: pixel (row, col) lands in block (row/4)*4+col/4
+    val px = Array.tabulate(256)(i => if (i < 4 && i / 16 == 0) 100.toByte else 0.toByte)
+    val t2 = Multimodal.MediaCodec.blockMeans4x4(px, 16, 16)
+    assert(t2(0) > 0 && t2.drop(1).forall(_ === 0.0))
+    // envelope windows are consecutive 16-sample runs
+    val env = Multimodal.MediaCodec.envelope16(
+      Array.tabulate(256)(i => if (i < 16) 100.toByte else 0.toByte))
+    assert(env(0) > 0 && env.drop(1).forall(_ === 0.0))
+    // non-canonical geometry degrades to empty, not garbage
+    assert(Multimodal.MediaCodec.blockMeans4x4(Array.fill(64)(0.toByte), 8, 8).isEmpty)
+  }
+
   test("multimodal: JPEG round trip stays within the error envelope; corruption is caught") {
     import graft.multimodal.Multimodal.MediaCodec
     val gate = Multimodal.jpegEnvelope(Tables.documents(spark, sf)).cache()
