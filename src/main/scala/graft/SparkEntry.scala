@@ -388,6 +388,7 @@ object SparkEntry {
     "text_jsonl_manifest" -> (graft.sources.JsonlShards.roundTripManifestQuery _),
     "text_length_drift" -> (graft.ops.SketchRollup.sourceLengthDriftQuery _),
     "q_sketch_rolling_quantiles" -> (graft.ops.SketchRollup.rollingOrderValueQuantilesQuery _),
+    "q_sketch_rolling_topk" -> (graft.ops.SketchRollup.rollingTopProductsQuery _),
     "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
     "incremental_rebuild_diff" -> (graft.ops.IncrementalRebuild.diffQuery _),
     "q_merge_restatement" -> (graft.ops.MergeUpsert.restatedDailySales _),
@@ -442,6 +443,7 @@ object SparkEntry {
     "text_jsonl_manifest" -> graft.sources.JsonlShards.roundTripManifestSql,
     "text_length_drift" -> graft.ops.SketchRollup.sourceLengthDriftSql,
     "q_sketch_rolling_quantiles" -> graft.ops.SketchRollup.rollingOrderValueQuantilesSql,
+    "q_sketch_rolling_topk" -> graft.ops.SketchRollup.rollingTopProductsSql,
     "sim_embed_topk_sq8" -> annGate("sq8"),
     "sim_embed_topk_bq" -> annGate("bq"),
     "sim_embed_topk_pq" -> annGate("pq"),

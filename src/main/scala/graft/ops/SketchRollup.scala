@@ -69,6 +69,82 @@ object SketchRollup {
   def rollingDistinctUsersQuery(s: SparkSession, dir: String): DataFrame =
     rollingDistinctUsers(Tables.events(s, dir))
 
+  // ------------------------------------------------- rolling top-k
+
+  /** SpaceSaving capacity for the product partials: covers the
+    * driver corpus's product cardinality (~100) with headroom, so the
+    * tested regime is EXACT (count_err = 0 — the full-parity oracle
+    * pins it); at production cardinalities ≫ capacity the same query
+    * degrades gracefully to the documented SpaceSaving
+    * over-estimation bound with O(capacity) state per day. */
+  val TopKCapacity = 256
+
+  /** Rolling 7-day top-5 products from per-day SpaceSaving partials —
+    * the heavy-hitter face of the partial-table pattern
+    * ([[dailyUserSketches]] is the distinct-count face, KLL the
+    * quantile face): events fold ONCE into |days| KB-sized BINARY
+    * partials, then every trailing window is a spine join + partial
+    * merge, never an event rescan. An exact rolling top-k would
+    * re-aggregate the full (day × product) frame per window AND keep
+    * product-cardinality state; the sketch keeps O(capacity) rows per
+    * day regardless of catalog size. */
+  def rollingTopProducts(events: DataFrame, k: Int = 5, window: Int = 7): DataFrame = {
+    val items = events.select(
+      to_date(col("ts")).as("event_date"),
+      get_json_object(col("props"), "$.k").as("item"))
+      .filter(col("item").isNotNull)
+    val daily = items.groupBy(col("event_date"))
+      .agg(org.apache.spark.sql.graftext.ApproxTopK
+        .approxTopKPartial(col("item"), TopKCapacity).as("sk"))
+    val spine = daily.select(col("event_date").as("d"))
+    spine.join(broadcast(daily),
+        datediff(col("d"), col("event_date")).between(0, window - 1))
+      .groupBy(col("d"))
+      .agg(org.apache.spark.sql.graftext.ApproxTopK
+        .approxTopKMerge(col("sk"), k, TopKCapacity).as("top"))
+      .select(col("d").as("event_date"),
+        posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        col("event_date"),
+        (col("pos") + 1).as("rank"),
+        col("entry.item").as("item"),
+        col("entry.count_est").as("count_est"),
+        col("entry.count_err").as("count_err"))
+      .orderBy(col("event_date"), col("rank"))
+  }
+
+  def rollingTopProductsQuery(s: SparkSession, dir: String): DataFrame =
+    rollingTopProducts(Tables.events(s, dir))
+
+  /** Full-parity oracle: in the exact regime (distinct products ≤
+    * capacity) the SpaceSaving merge must reproduce the true rolling
+    * top-k bit-for-bit — counts exact, count_err 0, ties broken
+    * (count desc, item asc) like the sketch's deterministic
+    * ordering. */
+  val rollingTopProductsSql: String =
+    """WITH items AS (
+      |  SELECT CAST(ts AS DATE) AS d,
+      |    json_extract_string(props, '$.k') AS item
+      |  FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |), days AS (
+      |  SELECT DISTINCT d FROM items
+      |), win AS (
+      |  SELECT days.d AS event_date, i.item, count(*) AS n
+      |  FROM days JOIN items i
+      |    ON i.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT event_date, item, n,
+      |    row_number() OVER (PARTITION BY event_date
+      |                       ORDER BY n DESC, item) AS rk
+      |  FROM win
+      |)
+      |SELECT event_date, CAST(rk AS INT) AS rank, item,
+      |  n AS count_est, CAST(0 AS BIGINT) AS count_err
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY event_date, rank""".stripMargin
+
   // ------------------------------------------------- theta set algebra
 
   /** Audience-overlap matrix from THETA partials — the set-algebra
