@@ -51,7 +51,12 @@ object SketchRollup {
     * self-join over the (broadcast, metadata-sized) sketch table,
     * then one register-merge per (day, window). */
   def rollingDistinctUsers(events: DataFrame): DataFrame = {
-    val daily = dailyUserSketches(events)
+    // materialize the partial table: in production the daily partials
+    // ARE a persisted table, and the spine + merge both read THAT
+    // (|days| KB rows) — deriving both sides from the raw events
+    // would scan the events twice (pinned by PlanContractSpec's
+    // one-scan contract)
+    val daily = dailyUserSketches(events).localCheckpoint()
     val spine = daily.select(col("event_date").as("d"))
     spine.join(broadcast(daily),
         datediff(col("d"), col("event_date")).between(0, 27))
@@ -93,9 +98,12 @@ object SketchRollup {
       to_date(col("ts")).as("event_date"),
       get_json_object(col("props"), "$.k").as("item"))
       .filter(col("item").isNotNull)
+    // materialized partial table (see rollingDistinctUsers): one
+    // event scan; spine + merge read the |days|-row partials
     val daily = items.groupBy(col("event_date"))
       .agg(org.apache.spark.sql.graftext.ApproxTopK
         .approxTopKPartial(col("item"), TopKCapacity).as("sk"))
+      .localCheckpoint()
     val spine = daily.select(col("event_date").as("d"))
     spine.join(broadcast(daily),
         datediff(col("d"), col("event_date")).between(0, window - 1))
@@ -157,9 +165,12 @@ object SketchRollup {
     * this join. lgK=12 ⇒ exact below 4096 users/segment, 1.6 % RSE
     * above; the oracle gate budgets 5 % + 3 per cell. */
   def audienceOverlap(events: DataFrame): DataFrame = {
+    // materialized sketch table: both pair endpoints read the
+    // |types|-row partials, not the events twice
     val perType = events.filter(col("user_id").isNotNull)
       .groupBy(col("event_type"))
       .agg(ThetaSketch.thetaSketchAgg(col("user_id").cast("string")).as("sk"))
+      .localCheckpoint()
     val a = perType.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
     val b = perType.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
     a.join(broadcast(b), col("type_a") < col("type_b"))
@@ -233,10 +244,13 @@ object SketchRollup {
     * rollup above (any additional window size reuses the same
     * persisted partials). */
   def rollingOrderValueQuantiles(orders: DataFrame): DataFrame = {
+    // materialized partial table (see rollingDistinctUsers): one
+    // orders scan; spine + merge read the |days|-row partials
     val daily = orders
       .groupBy(to_date(col("o_orderdate")).as("order_date"))
       .agg(KllQuantiles.kllDoublesAgg(col("o_totalprice").cast("double"))
         .as("value_sketch"))
+      .localCheckpoint()
     val spine = daily.select(col("order_date").as("d"))
     spine.join(broadcast(daily),
         datediff(col("d"), col("order_date")).between(0, 6))
@@ -322,10 +336,13 @@ object SketchRollup {
     * KB-sized persisted state, never by rebuilding a full pairwise
     * CDF over raw values. */
   def sourceLengthDrift(documents: DataFrame): DataFrame = {
+    // materialized sketch table: both pair endpoints read the
+    // |sources|-row partials, not the documents twice
     val perSource = documents.groupBy(col("source"))
       .agg(
         KllQuantiles.kllDoublesAgg(length(col("text")).cast("double")).as("sk"),
         count(lit(1)).as("n"))
+      .localCheckpoint()
     val a = perSource.select(
       col("source").as("source_a"), col("sk").as("sk_a"), col("n").as("n_a"))
     val b = perSource.select(

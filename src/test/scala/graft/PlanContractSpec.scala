@@ -46,6 +46,21 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!plan("gold_user_rfm_segments").contains("SinglePartition"))
   }
 
+  test("sketch rollups join partials broadcast, never cartesian or event-rescan") {
+    for (q <- Seq("q_sketch_rolling_distinct", "q_sketch_rolling_topk",
+        "q_sketch_rolling_quantiles", "q_sketch_audience_overlap",
+        "text_length_drift")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q lost the broadcast spine join")
+      // ONE scan of the base table: the rolling windows must come from
+      // partial merges, not per-window rescans of the raw rows
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans <= 1, s"$q scans the base table $scans times")
+    }
+  }
+
   test("no query plans an unpartitioned window") {
     // q_trailing_revenue: year-partitioned + boundary pad;
     // q_order_priority_share: broadcast-total instead of OVER ().
