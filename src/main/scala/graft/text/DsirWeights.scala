@@ -34,20 +34,26 @@ object DsirWeights {
       .withColumn("is_target", pmod(srcNum, lit(5)) === 0)
       .select(col("doc_id"), col("source"), col("is_target"),
         explode(TextAnalysis.tokensCol(col("text"))).as("token"))
-    val rawTf = tok.groupBy(col("token")).agg(count(lit(1)).as("tf_raw"))
-    val tgtTf = tok.filter(col("is_target"))
-      .groupBy(col("token")).agg(count(lit(1)).as("tf_tgt"))
-    val totals = rawTf.join(tgtTf, Seq("token"), "left")
+    // model build: ONE pass folds raw and target term frequencies
+    // together (a conditional sum instead of a second tokenize +
+    // aggregate); the vocab-sized tf table is materialized as the
+    // importance model — the corpus is then tokenized exactly once
+    // more to score against it (build-model / score-corpus, two total
+    // scans — the pre-round-9 shape re-tokenized the corpus 5×)
+    val tf = tok.groupBy(col("token")).agg(
+        count(lit(1)).as("tf_raw"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tf_tgt"))
+      .localCheckpoint()
+    val totals = tf
       .agg(sum(col("tf_raw")).as("n_raw"),
-        sum(coalesce(col("tf_tgt"), lit(0L))).as("n_tgt"),
+        sum(col("tf_tgt")).as("n_tgt"),
         count(lit(1)).as("vocab"))
     val ratio =
-      ((coalesce(col("tf_tgt"), lit(0L)) + 1).cast("double") *
+      ((col("tf_tgt") + 1).cast("double") *
         (col("n_raw") + col("vocab")).cast("double")) /
         ((col("n_tgt") + col("vocab")).cast("double") *
           (col("tf_raw") + 1).cast("double"))
-    tok.join(rawTf, "token")
-      .join(tgtTf, Seq("token"), "left")
+    tok.join(tf, "token")
       .crossJoin(broadcast(totals))
       .withColumn("lr", log(ratio).cast(DecimalType(28, 12)))
       .groupBy(col("doc_id"), col("source"), col("is_target"))

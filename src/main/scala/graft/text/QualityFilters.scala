@@ -325,8 +325,15 @@ object QualityFilters {
             element_at(col("__toks"), i + 1).as("cur"))))
         .otherwise(array().cast("array<struct<prev:string,cur:string>>"))).as("b"))
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    // the bigram count table is the LM — materialize it once and
+    // derive the context marginals from it (c1(prev) ≡ Σ_cur
+    // c2(prev, cur)) instead of a second bigram pass; the corpus is
+    // then re-tokenized exactly once more for scoring (pre-round-9:
+    // four corpus tokenizations; now three — bigram build, vocab,
+    // scoring)
     val c2 = bigrams.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
-    val c1 = bigrams.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
     val vocab = documents
       .select(explode(TextAnalysis.tokensCol(col("text"))).as("token"))
       .agg(count_distinct(col("token")).as("v_size"))
@@ -570,11 +577,16 @@ object QualityFilters {
   def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import graft.ops.ConditionalAgg.roundPortable
     val docs = Tables.documents(s, dir)
+    // the (doc, term) frequency table is the inverted-index build —
+    // materialize it so document frequency and the per-source rollup
+    // read IT instead of each re-tokenizing the corpus (pre-round-9:
+    // three corpus tokenizations; now one)
     val tf = docs
       .select(col("doc_id"), col("source"),
         explode(TextAnalysis.tokensCol(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("source"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfreq"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val agg = tf.groupBy(col("source"), col("term"))

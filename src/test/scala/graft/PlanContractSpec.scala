@@ -61,6 +61,18 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("text model queries tokenize the corpus a bounded number of times") {
+    // build-model / score-corpus: the term/bigram tables are
+    // materialized model state, so the expensive corpus tokenization
+    // happens once to build and once to score — never once per
+    // downstream aggregate (pre-round-9: dsir re-tokenized 5×)
+    def scans(q: String): Int =
+      "documents\\.parquet".r.findAllIn(plan(q)).length
+    assert(scans("text_dsir_weights") <= 2, "dsir re-tokenizes the corpus")
+    assert(scans("text_tfidf_top_terms") <= 2, "tfidf re-tokenizes the corpus")
+    assert(scans("text_lm_bigram_scores") <= 3, "bigram LM re-tokenizes the corpus")
+  }
+
   test("no query plans an unpartitioned window") {
     // q_trailing_revenue: year-partitioned + boundary pad;
     // q_order_priority_share: broadcast-total instead of OVER ().
