@@ -268,7 +268,11 @@ object QualityFilters {
   def lmScores(documents: DataFrame): DataFrame = {
     val tok = documents.select(col("doc_id"),
       explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+    // the vocab-sized frequency table is the model — materialize it so
+    // the total and the scoring join read it rather than each
+    // re-tokenizing the corpus (build-model / score-corpus, two scans)
     val freqs = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val total = freqs.agg(sum(col("tf")).as("n_total"))
     tok.join(freqs, "token")
       .crossJoin(broadcast(total))

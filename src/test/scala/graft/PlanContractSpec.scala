@@ -69,6 +69,7 @@ class PlanContractSpec extends AnyFunSuite {
     def scans(q: String): Int =
       "documents\\.parquet".r.findAllIn(plan(q)).length
     assert(scans("text_dsir_weights") <= 2, "dsir re-tokenizes the corpus")
+    assert(scans("text_lm_scores") <= 2, "unigram LM re-tokenizes the corpus")
     assert(scans("text_tfidf_top_terms") <= 2, "tfidf re-tokenizes the corpus")
     assert(scans("text_lm_bigram_scores") <= 3, "bigram LM re-tokenizes the corpus")
   }
