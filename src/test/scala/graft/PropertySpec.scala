@@ -128,6 +128,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SpaceSaving invariants on random streams: never underestimates, error bounded, exact below capacity") {
+    // SpaceSaving guarantees (Metwally et al.): for every reported
+    // item, true_count <= count_est <= true_count + count_err, and in
+    // exact mode (distincts <= capacity) count_err == 0 with counts
+    // exact. Random zipf-ish streams through the REAL aggregate, split
+    // across partitions (so partial merge is exercised too).
+    val itemGen = Gen.frequency(
+      (5, Gen.const("hot")), (3, Gen.oneOf("warm1", "warm2", "warm3")),
+      (2, Gen.chooseNum(1, 200).map(i => s"cold_$i")))
+    for (cap <- Seq(8, 64, 512)) {
+      val stream = samples(itemGen, 2000)
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rows = stream.toDF("v").repartition(7)
+      val got = rows.agg(org.apache.spark.sql.graftext.ApproxTopK
+          .approxTopK(col("v"), 5, cap).as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(col("e.item"), col("e.count_est"), col("e.count_err"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      got.foreach { case (item, est, err) =>
+        val t = truth.getOrElse(item, 0L)
+        assert(est >= t, s"cap=$cap $item underestimated: $est < $t")
+        assert(est - err <= t, s"cap=$cap $item error bound broken: $est-$err > $t")
+      }
+      if (truth.size <= cap) {
+        // exact regime: top-5 must equal the true top-5 with zero error
+        val exact = truth.toSeq.sortBy { case (i, c) => (-c, i) }.take(5)
+        assert(got.map(g => (g._1, g._2)).toSeq === exact)
+        assert(got.forall(_._3 == 0L))
+      }
+    }
+  }
+
   test("foldBytes stays within [0, p) and is order-sensitive") {
     import graft.multimodal.Multimodal.MediaCodec
     val cases = samples(Gen.listOfN(64, Gen.chooseNum(-128, 127)), 30)
