@@ -92,6 +92,27 @@ object DataChecks {
           (col("violation_count") === 0).as("passed"))
     }.reduce(_ union _)
 
+  /** Check-gated write — the write-path face of the dbt test suite
+    * (dbt's `--fail-fast` + Iceberg's write-audit-publish pattern):
+    * the checks run FIRST, and the write only commits if every check
+    * passes — a bad batch never reaches the serving layout, it fails
+    * loudly with the failing checks named. Returns the audit report
+    * frame on success. */
+  def gatedWrite(checks: Seq[Check])(write: => Unit): DataFrame = {
+    val rep = report(checks)
+    // one row per FAILING check — metadata-sized by construction
+    val failing = rep.filter(!col("passed"))
+      .select(col("check_name"), col("violation_count"))
+      .collect()
+    if (failing.nonEmpty)
+      throw new IllegalStateException(
+        "write aborted, checks failed: " + failing
+          .map(r => s"${r.getString(0)} (${r.getLong(1)} violations)")
+          .mkString(", "))
+    write
+    rep
+  }
+
   /** The reference's silver-layer test suite over our silver events. */
   def silverSuite(silver: DataFrame): Seq[Check] = Seq(
     unique(silver, Seq("event_unique_id")),

@@ -71,6 +71,15 @@ object Snapshots {
     spark.read.parquet(s"$table/v=$v")
   }
 
+  /** Rollback: restore the table's CURRENT state to what version `v`
+    * held, as a NEW version (Iceberg's `rollback_to_snapshot`
+    * semantics: history is append-only — a bad write is undone by
+    * committing its predecessor's state forward, never by deleting
+    * versions, so audits and time travel over the bad interval keep
+    * working). Returns the new version number. */
+  def rollback(spark: SparkSession, table: String, v: Long): Long =
+    writeSnapshot(readAsOf(spark, table, v), table, operation = s"rollback_to_$v")
+
   /** Commit timestamp of each version (manifests written before the
     * field existed order by version number at epoch 0 — monotone, so
     * timestamp resolution still picks the right neighbor). */

@@ -42,11 +42,14 @@ class ArchitectureSpec extends AnyFunSuite {
     // JsonlShards: the per-source round-trip manifest (one row per
     //   corpus source) is materialized so the corpus-sized JSONL
     //   scratch dir can be deleted eagerly — metadata-sized by design
+    // DataChecks: gatedWrite reads one row per FAILING check to name
+    //   them in the abort error — |checks|-bounded metadata
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 1,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
-      "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1)
+      "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
+      "DataChecks.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))
   }

@@ -88,6 +88,47 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("rollback: restores an earlier version's state as a new append-only commit") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val table = java.nio.file.Files.createTempDirectory("graft_rbspec_")
+      .toString + "/t"
+    Snapshots.writeSnapshot(Seq(1, 2).toDF("v"), table)
+    Snapshots.writeSnapshot(Seq(1, 2, 99).toDF("v"), table) // the bad write
+    val nv = Snapshots.rollback(spark, table, 1L)
+    assert(nv === 3L)
+    // current state == v1; history keeps all three versions (the bad
+    // interval stays auditable)
+    assert(Snapshots.readLatest(spark, table).as[Int].collect().sorted === Array(1, 2))
+    assert(Snapshots.versions(table) === Seq(1L, 2L, 3L))
+    assert(Snapshots.readAsOf(spark, table, 2L).count() === 3)
+    val hist = Snapshots.snapshots(spark, table)
+      .select("version", "operation").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist(3L) === "rollback_to_1")
+    intercept[IllegalArgumentException] { Snapshots.rollback(spark, table, 7L) }
+  }
+
+  test("gatedWrite: failing checks abort the write and name themselves; clean suite commits") {
+    import spark.implicits._
+    import graft.quality.DataChecks
+    val out = java.nio.file.Files.createTempDirectory("graft_gwspec_").toString
+    val df = Seq(("a", 1), ("a", 2), (null, 3)).toDF("k", "v")
+    // failing suite: a not-null violation and a uniqueness violation
+    val bad = intercept[IllegalStateException] {
+      DataChecks.gatedWrite(Seq(
+        DataChecks.notNull(df, "k"), DataChecks.unique(df, Seq("k"))))(
+        df.write.mode("overwrite").parquet(s"$out/t"))
+    }
+    assert(bad.getMessage.contains("not_null(k)") && bad.getMessage.contains("unique(k)"))
+    assert(!new java.io.File(s"$out/t").exists(), "aborted write must not commit")
+    // clean suite: write commits, report returned all-passed
+    val rep = DataChecks.gatedWrite(Seq(DataChecks.notNull(df, "v")))(
+      df.write.mode("overwrite").parquet(s"$out/t"))
+    assert(new java.io.File(s"$out/t").exists())
+    assert(rep.filter(!org.apache.spark.sql.functions.col("passed")).count() === 0)
+  }
+
   test("timestamp time travel: TIMESTAMP AS OF resolves the newest eligible commit") {
     import spark.implicits._
     import graft.sources.Snapshots
