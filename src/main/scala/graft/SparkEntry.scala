@@ -106,6 +106,10 @@ object SparkEntry {
   private def mediaDecoded(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "media_decoded")(
       graft.multimodal.Multimodal.decodedTableQuery(s, dir))
+  /** Checkpointed silver for the SQL-text parity views (see the
+    * q_sql_* comment in [[queries]]). */
+  private def silverSqlFrame(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "silver_sqlview")(silver(s, dir))
   private def annTopK(s: SparkSession, dir: String, method: String): DataFrame =
     staged(s, dir, s"ann_$method")(method match {
       case "brute" => graft.sim.EmbeddingSim.bruteForceTopKQuery(s, dir)
@@ -245,11 +249,22 @@ object SparkEntry {
     "q_sql_weekly_revenue" -> (CoverageQueries.sqlWeeklyRevenue _),
     // E2: the reference's dbt model text run through spark.sql over the
     // shared silver view — hash-gated against the same oracle as the
-    // DataFrame marts (SqlParity scaladoc has the adaptation contract)
+    // DataFrame marts (SqlParity scaladoc has the adaptation contract).
+    // The view is registered over a staged checkpoint of silver rather
+    // than the cached frame: a CTE that references the view twice
+    // (the category model's self-join) trips a Spark
+    // InMemoryRelation.withOutput canonicalization bug ("key not
+    // found" on a pruned attribute) when the view wraps a cached
+    // plan; the checkpointed frame is also the production shape —
+    // dbt models read a TABLE, not another session's cache.
     "q_sql_gold_daily_sales" -> ((s, dir) =>
-      SqlParity.sqlGoldDailySales(s, silver(s, dir))),
+      SqlParity.sqlGoldDailySales(s, silverSqlFrame(s, dir))),
     "q_sql_gold_hourly_traffic" -> ((s, dir) =>
-      SqlParity.sqlGoldHourlyTraffic(s, silver(s, dir))),
+      SqlParity.sqlGoldHourlyTraffic(s, silverSqlFrame(s, dir))),
+    "q_sql_gold_user_journey_funnel" -> ((s, dir) =>
+      SqlParity.sqlGoldUserJourneyFunnel(s, silverSqlFrame(s, dir))),
+    "q_sql_gold_category_performance" -> ((s, dir) =>
+      SqlParity.sqlGoldCategoryPerformance(s, silverSqlFrame(s, dir))),
     "q_event_patterns" -> ((s, dir) => CoverageQueries.eventPatternsOver(silver(s, dir))),
     "q_shipping_priority" -> (TpchMoreQueries.shippingPriority _),
     "q_returned_items" -> (TpchMoreQueries.returnedItems _),
@@ -490,6 +505,8 @@ object SparkEntry {
     // SQL-text parity marts share the DataFrame marts' oracles
     "q_sql_gold_daily_sales" -> DailySales.oracleSql,
     "q_sql_gold_hourly_traffic" -> HourlyTraffic.oracleSql,
+    "q_sql_gold_user_journey_funnel" -> UserJourneyFunnel.oracleSql,
+    "q_sql_gold_category_performance" -> CategoryPerformance.oracleSql,
     "q_event_patterns" -> CoverageQueries.eventPatternsSql,
     "q_shipping_priority" -> TpchMoreQueries.shippingPrioritySql,
     "q_returned_items" -> TpchMoreQueries.returnedItemsSql,

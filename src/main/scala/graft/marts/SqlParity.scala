@@ -108,4 +108,114 @@ object SqlParity {
          |FROM hourly
          |ORDER BY event_date, event_hour""".stripMargin)
   }
+
+  /** gold_user_journey_funnel.sql:15-60 as executed SQL text — the
+    * reference's CTE shape (per-user stage flags from MAX(CASE),
+    * first-touch dates from MIN(CASE), DATEDIFF journey metric, a
+    * CASE-ladder funnel stage) under the same adaptations as the
+    * other parity models: view/cart/purchase retail stages map onto
+    * this dataset's signup/view/click/purchase domain,
+    * `CURRENT_TIMESTAMP() AS _updated_at` dropped, money through the
+    * portable decimal idiom. Shares [[UserJourneyFunnel]]'s oracle. */
+  def sqlGoldUserJourneyFunnel(s: SparkSession, silver: DataFrame): DataFrame = {
+    withSilverView(s, silver)
+    s.sql(
+      s"""WITH user_events AS (
+         |    SELECT
+         |        user_id,
+         |        count(*) AS total_events,
+         |
+         |        -- Stage flags (reference: has_viewed/has_added_to_cart/has_purchased)
+         |        max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+         |        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_viewed,
+         |        max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_clicked,
+         |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchased,
+         |
+         |        -- First-touch dates (reference: first_view/cart/purchase_date)
+         |        min(CASE WHEN event_type = 'view' THEN event_date END) AS first_view_date,
+         |        min(CASE WHEN event_type = 'purchase' THEN event_date END) AS first_purchase_date,
+         |
+         |        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS total_purchases,
+         |        $moneyRevenue AS total_spend
+         |    FROM $SilverView
+         |    GROUP BY user_id
+         |)
+         |SELECT
+         |    user_id, total_events, has_signup, has_viewed, has_clicked,
+         |    has_purchased, first_view_date, first_purchase_date,
+         |    total_purchases, total_spend,
+         |
+         |    -- Time analysis (reference: DATEDIFF(first_purchase, first_view))
+         |    CAST(datediff(first_purchase_date, first_view_date) AS INT)
+         |      AS days_view_to_purchase,
+         |
+         |    -- Funnel stage CASE ladder (reference:
+         |    -- repeat_buyer/purchaser/cart_abandoner/browser ladder)
+         |    CASE WHEN has_purchased = 1 THEN 'PURCHASED'
+         |         WHEN has_clicked = 1 THEN 'CLICKED'
+         |         WHEN has_viewed = 1 THEN 'VIEWED'
+         |         WHEN has_signup = 1 THEN 'SIGNED_UP'
+         |         ELSE 'OTHER' END AS current_funnel_stage
+         |FROM user_events
+         |ORDER BY user_id""".stripMargin)
+  }
+
+  /** gold_category_performance.sql:10-88 as executed SQL text — the
+    * reference's JOIN-shaped model (category daily metrics ⟕ top-1
+    * item per group via ROW_NUMBER, 3-key SQL-equality LEFT JOIN with
+    * the NULLable category_level_2 never matching — the J1 NULL-key
+    * semantics) under the standard adaptations. Shares
+    * [[CategoryPerformance]]'s oracle, so the SQL path must agree
+    * with the DataFrame path bit-for-bit. */
+  def sqlGoldCategoryPerformance(s: SparkSession, silver: DataFrame): DataFrame = {
+    withSilverView(s, silver)
+    s.sql(
+      s"""WITH cat AS (
+         |    SELECT event_date, event_type, user_id, item_key, price,
+         |        concat('cat_', CAST(item_key % 10 AS STRING)) AS category_level_1,
+         |        CASE WHEN item_key % 7 = 0 THEN CAST(NULL AS STRING)
+         |             ELSE concat('sub_', CAST(item_key % 3 AS STRING))
+         |        END AS category_level_2
+         |    FROM $SilverView
+         |),
+         |cat_daily AS (
+         |    SELECT event_date, category_level_1, category_level_2,
+         |        count(*) AS total_events,
+         |        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+         |        count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS unique_buyers,
+         |        $moneyRevenue AS category_revenue
+         |    FROM cat
+         |    WHERE category_level_1 IS NOT NULL
+         |    GROUP BY event_date, category_level_1, category_level_2
+         |),
+         |item_daily AS (
+         |    SELECT event_date, category_level_1, category_level_2, item_key,
+         |        $moneyRevenue AS item_revenue
+         |    FROM cat
+         |    WHERE event_type = 'purchase' AND item_key IS NOT NULL
+         |    GROUP BY event_date, category_level_1, category_level_2, item_key
+         |),
+         |top_item AS (
+         |    SELECT event_date AS top_event_date,
+         |        category_level_1 AS top_category_level_1,
+         |        category_level_2 AS top_category_level_2,
+         |        item_key AS top_item_key, item_revenue AS top_item_revenue
+         |    FROM (
+         |        SELECT *,
+         |            row_number() OVER (
+         |                PARTITION BY event_date, category_level_1, category_level_2
+         |                ORDER BY item_revenue DESC, item_key ASC) AS rn
+         |        FROM item_daily)
+         |    WHERE rn = 1
+         |)
+         |SELECT d.event_date, d.category_level_1, d.category_level_2,
+         |    d.total_events, d.purchase_count, d.unique_buyers,
+         |    d.category_revenue, t.top_item_key, t.top_item_revenue
+         |FROM cat_daily d
+         |LEFT JOIN top_item t
+         |    ON d.event_date = t.top_event_date
+         |   AND d.category_level_1 = t.top_category_level_1
+         |   AND d.category_level_2 = t.top_category_level_2
+         |ORDER BY d.event_date, d.category_level_1, d.category_level_2""".stripMargin)
+  }
 }
