@@ -265,6 +265,10 @@ object SparkEntry {
       SqlParity.sqlGoldUserJourneyFunnel(s, silverSqlFrame(s, dir))),
     "q_sql_gold_category_performance" -> ((s, dir) =>
       SqlParity.sqlGoldCategoryPerformance(s, silverSqlFrame(s, dir))),
+    "q_sql_gold_conversion_funnel_daily" -> ((s, dir) =>
+      SqlParity.sqlGoldConversionFunnelDaily(s, silverSqlFrame(s, dir))),
+    "q_sql_gold_item_performance" -> ((s, dir) =>
+      SqlParity.sqlGoldItemPerformance(s, silverSqlFrame(s, dir))),
     "q_event_patterns" -> ((s, dir) => CoverageQueries.eventPatternsOver(silver(s, dir))),
     "q_shipping_priority" -> (TpchMoreQueries.shippingPriority _),
     "q_returned_items" -> (TpchMoreQueries.returnedItems _),
@@ -507,6 +511,8 @@ object SparkEntry {
     "q_sql_gold_hourly_traffic" -> HourlyTraffic.oracleSql,
     "q_sql_gold_user_journey_funnel" -> UserJourneyFunnel.oracleSql,
     "q_sql_gold_category_performance" -> CategoryPerformance.oracleSql,
+    "q_sql_gold_conversion_funnel_daily" -> ConversionFunnelDaily.oracleSql,
+    "q_sql_gold_item_performance" -> ItemPerformance.oracleSql,
     "q_event_patterns" -> CoverageQueries.eventPatternsSql,
     "q_shipping_priority" -> TpchMoreQueries.shippingPrioritySql,
     "q_returned_items" -> TpchMoreQueries.returnedItemsSql,

@@ -218,4 +218,66 @@ object SqlParity {
          |   AND d.category_level_2 = t.top_category_level_2
          |ORDER BY d.event_date, d.category_level_1, d.category_level_2""".stripMargin)
   }
+
+  /** gold_conversion_funnel_daily.sql as executed SQL text — the
+    * reference's per-day-and-segment DISTINCT-user funnel (stage
+    * users from COUNT(DISTINCT CASE), HAVING-style stage-1 guard,
+    * NULLIF-guarded stage-to-stage rates) under the standard
+    * adaptations. Shares [[ConversionFunnelDaily]]'s oracle. */
+  def sqlGoldConversionFunnelDaily(s: SparkSession, silver: DataFrame): DataFrame = {
+    withSilverView(s, silver)
+    def rate(num: String, den: String) = portableRound(
+      s"100.0 * CAST($num AS DOUBLE) / NULLIF(CAST($den AS DOUBLE), 0)")
+    s.sql(
+      s"""SELECT * FROM (
+         |    SELECT
+         |        event_date, day_of_week_num, is_weekend, time_of_day, price_bucket,
+         |        count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS stage_1_view_users,
+         |        count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS stage_2_click_users,
+         |        count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS stage_3_purchase_users,
+         |        count(*) AS total_events,
+         |        $moneyRevenue AS funnel_revenue,
+         |        ${rate("count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)",
+                        "count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)")} AS view_to_click_rate,
+         |        ${rate("count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)",
+                        "count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)")} AS click_to_purchase_rate,
+         |        ${rate("count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)",
+                        "count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)")} AS overall_conversion_rate
+         |    FROM $SilverView
+         |    GROUP BY event_date, day_of_week_num, is_weekend, time_of_day, price_bucket
+         |)
+         |WHERE stage_1_view_users > 0
+         |ORDER BY event_date, time_of_day, price_bucket""".stripMargin)
+  }
+
+  /** gold_product_performance.sql as executed SQL text — per-item
+    * lifetime metrics with the reference's `CURRENT_DATE` recency
+    * replaced by the explicit `Params.AsOfDate` (SURVEY §7.6 #1).
+    * Shares [[ItemPerformance]]'s oracle. */
+  def sqlGoldItemPerformance(s: SparkSession, silver: DataFrame): DataFrame = {
+    withSilverView(s, silver)
+    val purchases = "count(CASE WHEN event_type = 'purchase' THEN 1 END)"
+    s.sql(
+      s"""SELECT
+         |    item_key,
+         |    count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+         |    count(CASE WHEN event_type = 'click' THEN 1 END) AS click_count,
+         |    $purchases AS purchase_count,
+         |    count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS unique_viewers,
+         |    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS unique_buyers,
+         |    $moneyRevenue AS total_revenue,
+         |    min(CASE WHEN event_type = 'purchase' THEN event_date END) AS first_purchase_date,
+         |    max(CASE WHEN event_type = 'purchase' THEN event_date END) AS last_purchase_date,
+         |    ${portableRound(
+              s"CAST($moneyRevenue AS DOUBLE) / NULLIF(CAST($purchases AS DOUBLE), 0)")} AS avg_purchase_value,
+         |    ${portableRound(
+              s"100.0 * CAST($purchases AS DOUBLE) / NULLIF(CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE), 0)")} AS view_to_purchase_rate,
+         |    CAST(datediff(DATE '${Params.AsOfDate}',
+         |         max(CASE WHEN event_type = 'purchase' THEN event_date END)) AS INT)
+         |      AS days_since_last_purchase
+         |FROM $SilverView
+         |WHERE item_key IS NOT NULL
+         |GROUP BY item_key
+         |ORDER BY item_key""".stripMargin)
+  }
 }
