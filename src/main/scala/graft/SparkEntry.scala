@@ -269,6 +269,8 @@ object SparkEntry {
       SqlParity.sqlGoldConversionFunnelDaily(s, silverSqlFrame(s, dir))),
     "q_sql_gold_item_performance" -> ((s, dir) =>
       SqlParity.sqlGoldItemPerformance(s, silverSqlFrame(s, dir))),
+    "q_sql_silver_events" -> ((s, dir) =>
+      SqlParity.sqlSilverEvents(s, Tables.events(s, dir))),
     "q_event_patterns" -> ((s, dir) => CoverageQueries.eventPatternsOver(silver(s, dir))),
     "q_shipping_priority" -> (TpchMoreQueries.shippingPriority _),
     "q_returned_items" -> (TpchMoreQueries.returnedItems _),
@@ -513,6 +515,7 @@ object SparkEntry {
     "q_sql_gold_category_performance" -> CategoryPerformance.oracleSql,
     "q_sql_gold_conversion_funnel_daily" -> ConversionFunnelDaily.oracleSql,
     "q_sql_gold_item_performance" -> ItemPerformance.oracleSql,
+    "q_sql_silver_events" -> SilverEvents.oracleSql,
     "q_event_patterns" -> CoverageQueries.eventPatternsSql,
     "q_shipping_priority" -> TpchMoreQueries.shippingPrioritySql,
     "q_returned_items" -> TpchMoreQueries.returnedItemsSql,

@@ -280,4 +280,58 @@ object SqlParity {
          |GROUP BY item_key
          |ORDER BY item_key""".stripMargin)
   }
+
+  /** The FOUNDATIONAL dbt model — silver_ecommerce_events.sql:24-123 —
+    * as executed SQL text over the RAW events table: md5 surrogate
+    * key over coalesced natural columns, lower/trim normalization,
+    * timestamp→date/hour/dow derivations, price guard + bucket CASE
+    * ladder, NULL-user filter, and the W1 ROW_NUMBER dedup (with the
+    * deterministic tie-breaker of SURVEY §7.6 #2). Shares
+    * [[SilverEvents]]'s oracle, so the SQL text must reproduce the
+    * DataFrame silver bit-for-bit. Note Spark `dayofweek` is
+    * 1=Sunday; weekend = {1,7} (the oracle shims DuckDB's 0=Sunday). */
+  def sqlSilverEvents(s: SparkSession, rawEvents: DataFrame): DataFrame = {
+    rawEvents.createOrReplaceTempView("graft_raw_events")
+    s.sql(
+      s"""SELECT event_unique_id, event_id, event_time_str, event_date,
+         |       event_hour, day_of_week_num, is_weekend, time_of_day,
+         |       event_type, user_id, item_key, price, price_bucket
+         |FROM (
+         |    SELECT *,
+         |        row_number() OVER (PARTITION BY event_unique_id
+         |                           ORDER BY ts DESC, event_id ASC) AS rn
+         |    FROM (
+         |        SELECT
+         |            md5(concat_ws('|', CAST(event_id AS STRING),
+         |                coalesce(CAST(user_id AS STRING), 'NULL'),
+         |                lower(trim(event_type)),
+         |                date_format(ts, 'yyyy-MM-dd HH:mm:ss'))) AS event_unique_id,
+         |            event_id,
+         |            date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS event_time_str,
+         |            to_date(ts) AS event_date,
+         |            CAST(hour(ts) AS INT) AS event_hour,
+         |            CAST(dayofweek(ts) AS INT) AS day_of_week_num,
+         |            dayofweek(ts) IN (1, 7) AS is_weekend,
+         |            CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 'MORNING'
+         |                 WHEN hour(ts) BETWEEN 12 AND 17 THEN 'AFTERNOON'
+         |                 WHEN hour(ts) BETWEEN 18 AND 21 THEN 'EVENING'
+         |                 ELSE 'NIGHT' END AS time_of_day,
+         |            lower(trim(event_type)) AS event_type,
+         |            user_id,
+         |            CAST(nullif(regexp_extract(props, '([0-9]+)', 1), '') AS INT) AS item_key,
+         |            CASE WHEN value >= 0 THEN round(value, 2) END AS price,
+         |            CASE WHEN value IS NULL OR value < 0 THEN 'UNKNOWN'
+         |                 WHEN round(value, 2) < 50 THEN '0-50'
+         |                 WHEN round(value, 2) < 100 THEN '50-100'
+         |                 WHEN round(value, 2) < 200 THEN '100-200'
+         |                 WHEN round(value, 2) < 500 THEN '200-500'
+         |                 ELSE '500+' END AS price_bucket,
+         |            ts
+         |        FROM graft_raw_events
+         |        WHERE user_id IS NOT NULL
+         |    )
+         |)
+         |WHERE rn = 1
+         |ORDER BY event_id""".stripMargin)
+  }
 }
