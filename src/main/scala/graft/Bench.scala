@@ -367,7 +367,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "sim_embed_topk_brute",
     "sim_embed_topk_ivf", "text_doc_stats", "stream_hourly_agg",
     "dedup_ngram_jaccard", "dedup_clusters", "incremental_rebuild_diff",
-    "dedup_gate_report")
+    "dedup_gate_report", "q_sql_silver_events", "mm_media_features")
 
   /** ONE JSON line for the driver. The driver captures only the last
     * ~2000 chars of stdout (and sbt appends a `[success]` line after
