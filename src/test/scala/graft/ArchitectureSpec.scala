@@ -36,8 +36,12 @@ class ArchitectureSpec extends AnyFunSuite {
     //   fit (bounded regardless of corpus size — NOT vocabulary-sized)
     // Snapshots: expireSnapshots reads the (version, row_count) manifest
     //   listing — one row per snapshot VERSION, metadata-plane by design
-    // EwmaScan: ONE 1-row crossJoin of the gate report's three audit
-    //   maxima — fixed-size scalars regardless of series length
+    // EwmaScan: (a) ONE 1-row crossJoin of the gate report's three
+    //   audit maxima — fixed-size scalars regardless of series length;
+    //   (b) the daily audit panel re-planted as a local relation —
+    //   |priorities|×|dates| rows, calendar-bounded at any corpus
+    //   scale, and the re-plant is what caps the raw-table scan at
+    //   ONE across the report's ten audit branches
     // BinaryQuantAnn: 64 per-dimension mean thresholds (packed-code training)
     // JsonlShards: the per-source round-trip manifest (one row per
     //   corpus source) is materialized so the corpus-sized JSONL
@@ -46,7 +50,7 @@ class ArchitectureSpec extends AnyFunSuite {
     //   them in the abort error — |checks|-bounded metadata
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
-      "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 1,
+      "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 2,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
       "DataChecks.scala" -> 1)
@@ -70,7 +74,10 @@ class ArchitectureSpec extends AnyFunSuite {
       "Multimodal.scala" -> 3, "ServingSink.scala" -> 2,
       "LmBatchScorer.scala" -> 1)
     val hits = offenders("mapPartitions", allow) ++
-      offenders(".toRdd", Map("Bench.scala" -> 1))
+      offenders(".toRdd",
+        // Bench + TimeQueries: full-InternalRow materialization for
+        // honest timing (a bare count() lets pruning skip the output)
+        Map("Bench.scala" -> 1, "TimeQueries.scala" -> 1))
     assert(hits.isEmpty, hits.mkString("; "))
   }
 

@@ -54,6 +54,24 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!Bench.benchJson(fakeResults(10), 1.0, "/tmp/sf", tmpFull).contains("adjudication"))
   }
 
+  test("warmup staging seconds ride the full line but never the compact fallback") {
+    val wu = Seq("silver_events" -> 1.5, "media_decoded" -> 0.8)
+    val small = Bench.benchJson(fakeResults(10), 1.0, "/tmp/sf", tmpFull, warmup = wu)
+    assert(small.contains(""""warmup":{"silver_events":1.500,"media_decoded":0.800}"""))
+    val f2 = tmpFull
+    val big = Bench.benchJson(fakeResults(150), 99.9, "/tmp/sf", f2, warmup = wu)
+    assert(!big.contains("warmup"), "compact line must stay in the capture budget")
+    val fullText = scala.io.Source.fromFile(f2).mkString
+    assert(fullText.contains(""""warmup":{"silver_events":1.500"""),
+      "BENCH_FULL.json must carry the warmup object")
+  }
+
+  test("board lines stamp git_head so the next adjudicator can diff") {
+    val line = Bench.benchJson(fakeResults(5), 1.0, "/tmp/sf", tmpFull)
+    assert(line.contains(""""git_head":""") ===
+      new java.io.File(".git").exists, "sha present exactly when git is")
+  }
+
   // The robust sampling policy is shared by the base board's
   // scale-curve entries and the sf1 curve — the sf1 ratio's numerator
   // and denominator must carry the same noise discipline (r6: two

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The adjudicator's code-attribution signal (r9 verdict: "regressed"
+  * must mean code-attributable — 13 of 14 labels were machine-epoch
+  * drift on untouched code paths). */
+class QueryAttributionSpec extends AnyFunSuite {
+
+  test("entry parsing: identifiers per query, queries+oracleSql unioned") {
+    val src =
+      """  def queries = Map(
+        |    "q_alpha" -> ((s, dir) => DailySales.build(silver(s, dir))),
+        |    "q_beta" -> (TpchQueries.revenueByNation _))
+        |  def oracleSql = Map(
+        |    "q_alpha" -> AlphaOracle.sql,
+        |    "q_beta" -> "SELECT 1")
+        |""".stripMargin
+    val ids = QueryAttribution.entryIdentifiers(src)
+    assert(ids("q_alpha").contains("DailySales"))
+    assert(ids("q_alpha").contains("AlphaOracle"), "oracleSql ids must union in")
+    // the lowercase silver() helper resolves to the module code it delegates to
+    assert(ids("q_alpha").contains("SilverEvents"))
+    assert(ids("q_beta").contains("TpchQueries"))
+  }
+
+  test("definedNames finds top-level objects, classes, traits") {
+    val names = QueryAttribution.definedNames(
+      """object Foo { class Inner }
+        |private[graft] case class Bar(x: Int)
+        |trait Baz""".stripMargin)
+    assert(Set("Foo", "Bar", "Baz").subsetOf(names))
+  }
+
+  test("real repo mapping: queries resolve to their implementing files") {
+    val qf = QueryAttribution.queryFiles()
+    assert(qf.nonEmpty, "mapping must build from the real sources")
+    assert(qf("q_ewma_scan_report").exists(_.endsWith("ops/EwmaScan.scala")))
+    assert(qf("gold_daily_sales").exists(_.endsWith("marts/DailySales.scala")))
+    // transitive through the silver() delegation
+    assert(qf("gold_daily_sales").exists(_.endsWith("marts/SilverEvents.scala")))
+    // SparkEntry itself is excluded — registry growth each round must
+    // not mark every query touched every round
+    assert(!qf.values.flatten.exists(_.endsWith("SparkEntry.scala")))
+  }
+
+  test("mayBeCodeCaused: unknown stays eligible, untouched means drift") {
+    val qf = Map("q_x" -> Set("src/main/scala/graft/ops/X.scala"))
+    // no attribution window → everything eligible (never launder)
+    assert(QueryAttribution.mayBeCodeCaused("q_x", qf, None))
+    // untouched call closure → drift, not regressed
+    assert(!QueryAttribution.mayBeCodeCaused("q_x", qf,
+      Some(Set("src/main/scala/graft/ops/Y.scala"))))
+    // touched → eligible
+    assert(QueryAttribution.mayBeCodeCaused("q_x", qf,
+      Some(Set("src/main/scala/graft/ops/X.scala"))))
+    // build config changes can move anything
+    assert(QueryAttribution.mayBeCodeCaused("q_x", qf, Some(Set("build.sbt"))))
+    // unregistered query → conservative
+    assert(QueryAttribution.mayBeCodeCaused("q_new", qf, Some(Set.empty)))
+  }
+
+  test("changedSince: empty sha yields None; a real ancestor sha parses") {
+    assert(QueryAttribution.changedSince("").isEmpty)
+    // HEAD..HEAD diff = only working-tree changes; must not throw
+    val head = {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+      p.waitFor(); out
+    }
+    val ch = QueryAttribution.changedSince(head)
+    assert(ch.isDefined)
+    assert(!ch.get.exists(_.endsWith("graft/SparkEntry.scala")),
+      "SparkEntry must be filtered from the changed set")
+  }
+}
