@@ -269,6 +269,12 @@ object SparkEntry {
       SqlParity.sqlGoldConversionFunnelDaily(s, silverSqlFrame(s, dir))),
     "q_sql_gold_item_performance" -> ((s, dir) =>
       SqlParity.sqlGoldItemPerformance(s, silverSqlFrame(s, dir))),
+    // the previously-EXCLUDED 7th model: the reference's literal
+    // NTILE-over-everything runs as text (the single-partition wart,
+    // demonstrated), sharing the GlobalRank mart's oracle bit-for-bit;
+    // RfmSegments.build stays the engine path
+    "q_sql_gold_user_rfm_segments" -> ((s, dir) =>
+      SqlParity.sqlGoldUserRfmSegments(s, silverSqlFrame(s, dir))),
     "q_sql_silver_events" -> ((s, dir) =>
       SqlParity.sqlSilverEvents(s, Tables.events(s, dir))),
     "q_event_patterns" -> ((s, dir) => CoverageQueries.eventPatternsOver(silver(s, dir))),
@@ -515,6 +521,7 @@ object SparkEntry {
     "q_sql_gold_category_performance" -> CategoryPerformance.oracleSql,
     "q_sql_gold_conversion_funnel_daily" -> ConversionFunnelDaily.oracleSql,
     "q_sql_gold_item_performance" -> ItemPerformance.oracleSql,
+    "q_sql_gold_user_rfm_segments" -> RfmSegments.oracleSql,
     "q_sql_silver_events" -> SilverEvents.oracleSql,
     "q_event_patterns" -> CoverageQueries.eventPatternsSql,
     "q_shipping_priority" -> TpchMoreQueries.shippingPrioritySql,

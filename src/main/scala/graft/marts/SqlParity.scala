@@ -334,4 +334,136 @@ object SqlParity {
          |WHERE rn = 1
          |ORDER BY event_id""".stripMargin)
   }
+
+  /** gold_user_rfm_segments.sql:7-99 as executed SQL text — the one
+    * model every earlier round EXCLUDED from the parity surface
+    * (MIGRATION.md documents why). Running it closes the exclusion
+    * honestly: the reference's literal CTE chain (per-user purchase
+    * aggregates with `WHERE user_id IS NOT NULL` + `HAVING` purchase
+    * guard → `NTILE(5) OVER (ORDER BY …)` ×3 → CASE segment ladder)
+    * executes as text, DEMONSTRATING the wart the exclusion was about:
+    * each partition-less NTILE funnels the |users|-sized frame through
+    * a single-partition window — fine at this SF, a scale-killer at
+    * 100 TB. [[RfmSegments.build]] (distributed-exact GlobalRank)
+    * stays the engine path; this is the parity wart exhibit.
+    *
+    * Adaptations beyond the standard set (view name, `_updated_at`
+    * dropped, money through DECIMAL(18,2)), each forced:
+    *  - `CURRENT_DATE()` → the repo-wide pinned as-of date
+    *    ([[Params.AsOfDate]]) — wall-clock recency is
+    *    nondeterministic and the harness hashes values;
+    *  - NTILE tie-break `, user_id` appended (SURVEY §7.6 #2 — the
+    *    reference's bare ORDER BY metric is nondeterministic under
+    *    ties) and score orientation flipped to the mart's documented
+    *    5=best convention, mirrored in the shared oracle;
+    *  - segment vocabulary + CASE thresholds are the mart's serving
+    *    contract (same domain mapping every parity model documents);
+    *  - `first_purchase_date` / `avg_order_value` are computed in the
+    *    CTEs (literal text) but not projected — the mart's serving
+    *    schema, which the shared oracle pins; `COUNT(DISTINCT
+    *    user_session)` is dropped outright — the events table has no
+    *    session column (sessions are synthesized by gap in
+    *    q_sessionize, a different surface);
+    *  - final `ORDER BY monetary_value DESC` → `ORDER BY user_id`
+    *    (deterministic total order; monetary ties make the
+    *    reference's order hash-unstable).
+    *
+    * Shares [[RfmSegments]]'s oracle — the SQL text must reproduce
+    * the GlobalRank path bit-for-bit or the row goes red. */
+  def sqlGoldUserRfmSegments(s: SparkSession, silver: DataFrame): DataFrame = {
+    withSilverView(s, silver)
+    s.sql(
+      s"""WITH user_purchase_history AS (
+         |    SELECT
+         |        user_id,
+         |
+         |        MIN(CASE WHEN event_type = 'purchase' THEN event_date END) AS first_purchase_date,
+         |        MAX(CASE WHEN event_type = 'purchase' THEN event_date END) AS last_purchase_date,
+         |
+         |        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS frequency,
+         |        round(SUM(CASE WHEN event_type = 'purchase'
+         |                       THEN CAST(coalesce(price, 0) AS DECIMAL(18,2))
+         |                       ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS monetary_value,
+         |
+         |        -- (reference also counts DISTINCT user_session here;
+         |        --  this dataset has no session column — see scaladoc)
+         |
+         |        -- Recency (days since last purchase; pinned as-of date)
+         |        DATEDIFF(
+         |            DATE '${Params.AsOfDate}',
+         |            MAX(CASE WHEN event_type = 'purchase' THEN event_date END)
+         |        ) AS recency_days
+         |
+         |    FROM $SilverView
+         |    WHERE user_id IS NOT NULL
+         |    GROUP BY user_id
+         |    HAVING COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+         |),
+         |
+         |rfm_base AS (
+         |    SELECT
+         |        *,
+         |        ${portableRound(
+                   "CAST(monetary_value AS DOUBLE) / NULLIF(CAST(frequency AS DOUBLE), 0)")} AS avg_order_value
+         |    FROM user_purchase_history
+         |),
+         |
+         |rfm_scores AS (
+         |    SELECT
+         |        *,
+         |
+         |        -- Quantile-based RFM scores (1–5; 5 = best, tie-broken)
+         |        NTILE(5) OVER (ORDER BY recency_days DESC, user_id ASC)   AS rfm_recency_score,
+         |        NTILE(5) OVER (ORDER BY frequency ASC, user_id ASC)       AS rfm_frequency_score,
+         |        NTILE(5) OVER (ORDER BY monetary_value ASC, user_id ASC)  AS rfm_monetary_score
+         |
+         |    FROM rfm_base
+         |),
+         |
+         |with_segments AS (
+         |    SELECT
+         |        *,
+         |
+         |        CASE
+         |            WHEN rfm_recency_score >= 4
+         |             AND rfm_frequency_score >= 4
+         |             AND rfm_monetary_score >= 4
+         |                THEN 'CHAMPION'
+         |
+         |            WHEN rfm_recency_score >= 3
+         |             AND rfm_frequency_score >= 3
+         |                THEN 'LOYAL'
+         |
+         |            WHEN rfm_recency_score >= 4
+         |             AND rfm_frequency_score <= 2
+         |                THEN 'NEW_CUSTOMER'
+         |
+         |            WHEN rfm_recency_score <= 2
+         |             AND rfm_frequency_score >= 3
+         |                THEN 'AT_RISK'
+         |
+         |            WHEN rfm_recency_score <= 2
+         |             AND rfm_frequency_score <= 2
+         |                THEN 'HIBERNATING'
+         |
+         |            ELSE 'REGULAR'
+         |        END AS rfm_segment,
+         |
+         |        -- Approximate CLV
+         |        CAST(round(monetary_value * CAST(1.5 AS DECIMAL(2,1)), 2) AS DOUBLE) AS customer_lifetime_value
+         |
+         |    FROM rfm_scores
+         |)
+         |
+         |SELECT
+         |    user_id, last_purchase_date, recency_days, frequency,
+         |    CAST(monetary_value AS DOUBLE) AS monetary,
+         |    rfm_recency_score AS r_score,
+         |    rfm_frequency_score AS f_score,
+         |    rfm_monetary_score AS m_score,
+         |    rfm_segment,
+         |    customer_lifetime_value AS clv_estimate
+         |FROM with_segments
+         |ORDER BY user_id""".stripMargin)
+  }
 }
