@@ -301,7 +301,12 @@ object Bench {
     "quality_gold_report", "maintenance_compaction",
     "sim_semdedup", "text_repetition_profile", "dedup_incremental",
     "dedup_gate_report", "sim_semdedup_report", "sim_recall_report",
-    "mm_media_features")
+    "mm_media_features",
+    // r10: every round-9 family gets a measured 10x ratio — sketch
+    // top-k partials, the decode-once downsample leg, the SQL-text
+    // silver path, and the re-arbitrated EWMA audit
+    "q_sketch_rolling_topk", "mm_media_downsample",
+    "q_sql_silver_events", "q_ewma_scan_report")
 
   /** Time the heavy subset at 10× (generated once under target/scale/
     * sf1 from the bench SF dir) and report (name, seconds, ratio vs

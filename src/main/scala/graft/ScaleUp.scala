@@ -48,7 +48,8 @@ object ScaleUp {
     // probe measured the sampled all-pairs audit at 122 s purely from
     // a 1-partition scan fanning out through 1-partition joins. A real
     // 10× corpus is many files; 32 matches the session's parallelism.
-    val marker = new java.io.File(destDir, "_GRAFT_SCALED_V3")
+    // v4: + orders (the EWMA agreement gate joined the 10× subset).
+    val marker = new java.io.File(destDir, "_GRAFT_SCALED_V4")
     if (marker.exists()) return destDir
     new java.io.File(destDir).mkdirs()
     val files = 32
@@ -65,6 +66,18 @@ object ScaleUp {
         col("event_type"), col("value"), col("props"))
       .repartition(files)
       .write.mode("overwrite").parquet(s"$destDir/events.parquet")
+
+    // orders: strided keys, same date range at 10× density (the
+    // calendar-bounded EWMA panels keep their size; only the rows
+    // feeding them multiply — the TPC-H growth model)
+    replicas(Tables.orders(spark, srcDir))
+      .select(
+        (col("o_orderkey") + col("__r") * lit(1000000L)).as("o_orderkey"),
+        (col("o_custkey") + col("__r") * lit(100000L)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(files)
+      .write.mode("overwrite").parquet(s"$destDir/orders.parquet")
 
     replicas(Tables.documents(spark, srcDir))
       .select(

@@ -311,6 +311,14 @@ object Multimodal {
       else if (data(0) == 'G' && data(1) == 'I' && data(2) == 'F' && data(3) == '8') "gif"
       else if (data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F' &&
                data(8) == 'W' && data(9) == 'A' && data(10) == 'V' && data(11) == 'E') "wav"
+      // formats the sniffer names but the JDK cannot decode — they
+      // surface truthfully in container_format and route through
+      // whatever decoder the CodecRegistry has for them (none by
+      // default → byte-level fallback). ISO-BMFF: 'ftyp' box at
+      // offset 4; MP3: ID3v2 tag or a bare MPEG frame sync.
+      else if (data(4) == 'f' && data(5) == 't' && data(6) == 'y' && data(7) == 'p') "mp4"
+      else if ((data(0) == 'I' && data(1) == 'D' && data(2) == '3') ||
+               ((data(0) & 0xFF) == 0xFF && (data(1) & 0xE0) == 0xE0)) "mp3"
       else "unknown"
 
     private def shaHex(bytes: Array[Byte]): String =
@@ -370,14 +378,16 @@ object Multimodal {
       * queryable fact.
       *
       * Production formats beyond the JDK codecs (MP3/MP4/H.264) wire
-      * in the same way (public options, in preference order):
+      * in through [[CodecRegistry.register]] — ONE function per
+      * format, no dispatch edits (public options, in preference
+      * order):
       *  1. JVM-native: TwelveMonkeys ImageIO (more image formats) /
-      *     JAVE or a bundled ffmpeg binary driven per-partition. Drop
-      *     the implementation into the match arms below — the
-      *     `mapPartitions` callers batch records through one codec
-      *     instance per partition, which is exactly the lifecycle a
-      *     native-library context wants (init once, stream records,
-      *     close on iterator exhaustion).
+      *     JAVE or a bundled ffmpeg binary driven per-partition —
+      *     `register("mp4", r => …)`; the `mapPartitions` callers
+      *     batch records through one codec instance per partition,
+      *     which is exactly the lifecycle a native-library context
+      *     wants (init once, stream records, close on iterator
+      *     exhaustion).
       *  2. `mapInPandas` + Pillow/torchaudio/decord on a PySpark
       *     driver: same schema contract (binary `data` in, struct of
       *     width/height/duration/histogram out), with
@@ -388,67 +398,79 @@ object Multimodal {
       *     `mapPartitions` with bounded in-flight requests.
       * In every case column pruning still drops `data` right after
       * decode — consumers project typed columns only. */
-    def decodeFull(r: MediaRecord): MediaDecoded = sniffContainer(r.data) match {
-      case fmt @ ("png" | "jpeg") =>
-        // real raster decode: dimensions from the container header,
-        // identity + histogram + mean intensity over decoded pixels
-        val (w, h, px) = decodeGrayImage(r.data)
-        val mean = px.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble /
-          math.max(1, w * h) / 255.0
-        MediaDecoded(r.media_id, r.uri, r.mime, r.kind, fmt,
-          w * h, shaHex(px), w, h, hist16(px),
-          img_mean_intensity = Some(q4(mean)), audio_rms = None,
-          audio_zero_crossings = None, video_frames = None,
-          video_mean_intensity = None, frame_digests = Array.empty,
-          downsample16 = blockMeans4x4(px, w, h))
-      case "wav" =>
-        // real WAV parse: sample count + channel count from the
-        // decoded stream; RMS + zero crossings over the PCM samples
-        val (samples, fmt) = decodeWav(r.data)
-        val ns = math.max(1, samples.length)
-        val sq = samples.foldLeft(0L)((a, b) =>
-          a + (((b & 0xFF) - 128).toLong * ((b & 0xFF) - 128)))
-        val zc = samples.sliding(2).count(p =>
-          p.length == 2 && ((p(0) & 0xFF) < 128) != ((p(1) & 0xFF) < 128))
-        MediaDecoded(r.media_id, r.uri, r.mime, r.kind, "wav",
-          samples.length, shaHex(samples),
-          width = samples.length, height = fmt.getChannels,
-          histogram = hist16(samples),
-          img_mean_intensity = None,
-          audio_rms = Some(q4(math.sqrt(sq.toDouble / ns))),
-          audio_zero_crossings = Some(zc), video_frames = None,
-          video_mean_intensity = None, frame_digests = Array.empty,
-          downsample16 = envelope16(samples))
-      case "gif" =>
-        // real GIF parse: dimensions + frame count from the block
-        // walk; identity + histogram + mean intensity over every
-        // decoded frame's samples; one mod-prime fold per frame so
-        // frame sampling strides over digests without re-decoding
-        val (w, h, frames) = decodeGif(r.data)
-        val all = frames.flatten
-        val mean = all.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble /
-          math.max(1, all.length) / 255.0
-        MediaDecoded(r.media_id, r.uri, r.mime, r.kind, "gif",
-          all.length, shaHex(all), w, h, hist16(all),
-          img_mean_intensity = None, audio_rms = None,
-          audio_zero_crossings = None, video_frames = Some(frames.length),
-          video_mean_intensity = Some(q4(mean)),
-          frame_digests = frames.map(f => foldBytes(f, 0L)),
-          downsample16 = Array.empty)
-      case _ =>
-        // unknown container: deterministic byte-level fallback
-        // exercising the same signature and batch shape ("dimensions"
-        // from a stable byte fold over the raw payload)
-        val fold = foldBytes(r.data, 17L)
-        MediaDecoded(r.media_id, r.uri, r.mime, r.kind, "unknown",
-          r.data.length, shaHex(r.data),
-          width = (fold % 1280 + 1).toInt,
-          height = ((fold >> 16) % 720 + 1).toInt,
-          histogram = hist16(r.data),
-          img_mean_intensity = None, audio_rms = None,
-          audio_zero_crossings = None, video_frames = None,
-          video_mean_intensity = None, frame_digests = Array.empty,
-          downsample16 = Array.empty)
+    def decodeFull(r: MediaRecord): MediaDecoded =
+      CodecRegistry.snapshot.decode(r)
+
+    /** Real raster decode (png/jpeg): dimensions from the container
+      * header, identity + histogram + mean intensity over decoded
+      * pixels. */
+    private[multimodal] def rasterDecoder(fmt: String): CodecRegistry.Decoder = r => {
+      val (w, h, px) = decodeGrayImage(r.data)
+      val mean = px.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble /
+        math.max(1, w * h) / 255.0
+      MediaDecoded(r.media_id, r.uri, r.mime, r.kind, fmt,
+        w * h, shaHex(px), w, h, hist16(px),
+        img_mean_intensity = Some(q4(mean)), audio_rms = None,
+        audio_zero_crossings = None, video_frames = None,
+        video_mean_intensity = None, frame_digests = Array.empty,
+        downsample16 = blockMeans4x4(px, w, h))
+    }
+
+    /** Real WAV parse: sample count + channel count from the decoded
+      * stream; RMS + zero crossings over the PCM samples. */
+    private[multimodal] val wavDecoder: CodecRegistry.Decoder = r => {
+      val (samples, fmt) = decodeWav(r.data)
+      val ns = math.max(1, samples.length)
+      val sq = samples.foldLeft(0L)((a, b) =>
+        a + (((b & 0xFF) - 128).toLong * ((b & 0xFF) - 128)))
+      val zc = samples.sliding(2).count(p =>
+        p.length == 2 && ((p(0) & 0xFF) < 128) != ((p(1) & 0xFF) < 128))
+      MediaDecoded(r.media_id, r.uri, r.mime, r.kind, "wav",
+        samples.length, shaHex(samples),
+        width = samples.length, height = fmt.getChannels,
+        histogram = hist16(samples),
+        img_mean_intensity = None,
+        audio_rms = Some(q4(math.sqrt(sq.toDouble / ns))),
+        audio_zero_crossings = Some(zc), video_frames = None,
+        video_mean_intensity = None, frame_digests = Array.empty,
+        downsample16 = envelope16(samples))
+    }
+
+    /** Real GIF parse: dimensions + frame count from the block walk;
+      * identity + histogram + mean intensity over every decoded
+      * frame's samples; one mod-prime fold per frame so frame
+      * sampling strides over digests without re-decoding. */
+    private[multimodal] val gifDecoder: CodecRegistry.Decoder = r => {
+      val (w, h, frames) = decodeGif(r.data)
+      val all = frames.flatten
+      val mean = all.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble /
+        math.max(1, all.length) / 255.0
+      MediaDecoded(r.media_id, r.uri, r.mime, r.kind, "gif",
+        all.length, shaHex(all), w, h, hist16(all),
+        img_mean_intensity = None, audio_rms = None,
+        audio_zero_crossings = None, video_frames = Some(frames.length),
+        video_mean_intensity = Some(q4(mean)),
+        frame_digests = frames.map(f => foldBytes(f, 0L)),
+        downsample16 = Array.empty)
+    }
+
+    /** No registered decoder for the (truthfully sniffed) container:
+      * deterministic byte-level fallback exercising the same signature
+      * and batch shape ("dimensions" from a stable byte fold over the
+      * raw payload). `container_format` keeps the sniffed name — a
+      * sniffable-but-undecodable mp4 row reads "mp4", not "unknown",
+      * so coverage gaps are a queryable fact. */
+    private[multimodal] def fallbackDecoder(fmt: String): CodecRegistry.Decoder = r => {
+      val fold = foldBytes(r.data, 17L)
+      MediaDecoded(r.media_id, r.uri, r.mime, r.kind, fmt,
+        r.data.length, shaHex(r.data),
+        width = (fold % 1280 + 1).toInt,
+        height = ((fold >> 16) % 720 + 1).toInt,
+        histogram = hist16(r.data),
+        img_mean_intensity = None, audio_rms = None,
+        audio_zero_crossings = None, video_frames = None,
+        video_mean_intensity = None, frame_digests = Array.empty,
+        downsample16 = Array.empty)
     }
 
     /** Feature projection of [[decodeFull]] — kept for callers that
@@ -477,9 +499,13 @@ object Multimodal {
   def decodeAll(media: DataFrame): Dataset[MediaDecoded] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // snapshot BEFORE the mapPartitions closure: driver-side
+    // CodecRegistry registrations serialize into the job (an executor
+    // JVM would otherwise see only the built-ins — see CodecRegistry)
+    val codecs = CodecRegistry.snapshot
     media.as[MediaRecord].mapPartitions { records =>
       // per-partition decoder setup would go here (real codec handles)
-      records.map(MediaCodec.decodeFull)
+      records.map(codecs.decode)
     }
   }
 
