@@ -244,6 +244,16 @@ object Bench {
     val changed = QueryAttribution.changedSince(prevSha)
     changed.foreach(ch => System.err.println(
       s"[bench] attribution window $prevSha..HEAD: ${ch.size} changed files"))
+    // attribution status rides in the board (r10 verdict #3: the r10
+    // board's 5 "regressed" labels were UNattributed — no prev sha —
+    // but the JSON never said so, leaving a reader no way to weigh
+    // them): "window:<sha>..HEAD" when the diff resolved, else the
+    // reason attribution could not fire.
+    val attribution = changed match {
+      case Some(_) => s"window:$prevSha..HEAD"
+      case None if prevSha.isEmpty => "unavailable:no-prev-sha"
+      case None => "unavailable:git-failure"
+    }
     val adjudication: Map[String, String] = results.flatMap { case (name, sec) =>
       prev.get(name).filter(_ > 0.05).flatMap { p =>
         if (sec > p * 1.3 && sec > 0.3) {
@@ -267,13 +277,34 @@ object Bench {
     // created, so every board number is a full-work measurement and
     // board-over-board is the consistent ratio (staging included at
     // both scales — work over work).
+    // round-over-round common-query delta (r10 verdict #8: the -15%
+    // r9→r10 gain was computable only by hand from two files): the sum
+    // of this board's times over queries BOTH boards have, next to the
+    // previous board's sum over the same set — the trend is then one
+    // division in the artifact itself.
+    val commonNames = results.map(_._1).filter(prev.contains).toSet
+    val commonTotals =
+      if (commonNames.isEmpty) None
+      else Some((prev.filter(kv => commonNames(kv._1)).values.sum,
+        results.filter(kv => commonNames(kv._1)).map(_._2).sum))
     println(benchJson(results, total, sfDir,
       sf1 = scaleCurve(spark, sfDir, results.toMap),
       stamp = f""","load_avg":[$loadStart%.1f,$loadEnd%.1f],"outlier_reruns":$reruns""",
       adj = adjudication,
-      warmup = warmup.toSeq))
+      warmup = warmup.toSeq,
+      warmupSf1 = warmupSf1.toSeq,
+      attribution = attribution,
+      commonTotals = commonTotals))
     spark.stop()
   }
+
+  /** Per-stage sf1 warmup seconds of the LAST scaleCurve run — filled
+    * by the per-stage warmSf1 wrapper so the board JSON can carry a
+    * "warmup_sf1" object next to the base "warmup" (r10 verdict #2:
+    * amortized sf1 staging with no artifact trail made the
+    * sim_semdedup ratio an unauditable billing artifact). */
+  private val warmupSf1 =
+    scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
   /** Queries whose cost this round's code INTENTIONALLY changed, with
     * the reason — consulted by the drift adjudicator so a known cost
@@ -306,7 +337,11 @@ object Bench {
     // top-k partials, the decode-once downsample leg, the SQL-text
     // silver path, and the re-arbitrated EWMA audit
     "q_sketch_rolling_topk", "mm_media_downsample",
-    "q_sql_silver_events", "q_ewma_scan_report")
+    "q_sql_silver_events", "q_ewma_scan_report",
+    // r11: the only reference JOIN mart (W2+J1) and the most expensive
+    // board query (z-order layout) get measured 10x ratios — the two
+    // named gaps in the r10 verdict's curve coverage
+    "gold_category_performance", "maintenance_zorder")
 
   /** Time the heavy subset at 10× (generated once under target/scale/
     * sf1 from the bench SF dir) and report (name, seconds, ratio vs
@@ -333,25 +368,43 @@ object Bench {
       // the base run the alphabetically-earlier sim_embed_* queries
       // stage them before the audit reports run, so the reports' sf1
       // ratios would otherwise compare query+staging to query-only.
-      try {
-        materialize(SparkEntry.queries("silver_events")(spark, dest))
-        materialize(SparkEntry.queries("dedup_ngram_jaccard")(spark, dest))
-        materialize(SparkEntry.queries("dedup_clusters")(spark, dest))
-        materialize(SparkEntry.queries("sim_embed_neardup")(spark, dest))
-        // mirror the base warmup's signature staging (see above) so
-        // the gate report's sf1/base ratio compares query work to
-        // query work, not staging-included to staging-free
-        materialize(SparkEntry.queries("dedup_minhash_lsh")(spark, dest))
-        materialize(SparkEntry.queries("dedup_simhash")(spark, dest))
-        // mirror the base warmup's decode-once media staging so
-        // mm_media_features' sf1 ratio compares projection work to
-        // projection work (the 10x codec cost lives in the staging,
-        // at both scales)
-        materialize(SparkEntry.queries("mm_media_meta")(spark, dest))
-        Seq("brute", "lsh", "ivf", "ivf_upsert", "sq8", "bq", "pq", "ivfpq")
-          .foreach(m =>
-            materialize(SparkEntry.queries(s"sim_embed_topk_$m")(spark, dest)))
-      } catch { case _: Throwable => }
+      //
+      // PER-STAGE, not one silent block (r10 verdict #2: one try
+      // around all stages meant a single failure silently skipped
+      // everything after it, and the first consumer — alphabetically
+      // sim_semdedup — got billed 10x-scale quantizer training on
+      // BOTH repeats, inflating its board ratio to 11.76x when the
+      // true warm ratio is ~6.6x). Each stage times into warmupSf1
+      // (ride in the board as "warmup_sf1"), and a failure is LOGGED
+      // and skipped without aborting the stages after it.
+      warmupSf1.clear()
+      def warmSf1(name: String): Unit = {
+        val t0 = System.nanoTime()
+        try {
+          materialize(SparkEntry.queries(name)(spark, dest))
+          warmupSf1(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          warmupSf1(name) = (System.nanoTime() - t0) / 1e9
+          System.err.println(s"[bench] sf1 warmup stage $name FAILED: ${e.getMessage}")
+        }
+      }
+      warmSf1("silver_events")
+      warmSf1("dedup_ngram_jaccard")
+      warmSf1("dedup_clusters")
+      warmSf1("sim_embed_neardup")
+      // mirror the base warmup's signature staging (see above) so
+      // the gate report's sf1/base ratio compares query work to
+      // query work, not staging-included to staging-free
+      warmSf1("dedup_minhash_lsh")
+      warmSf1("dedup_simhash")
+      // mirror the base warmup's decode-once media staging so
+      // mm_media_features' sf1 ratio compares projection work to
+      // projection work (the 10x codec cost lives in the staging,
+      // at both scales)
+      warmSf1("mm_media_meta")
+      Seq("brute", "lsh", "ivf", "ivf_upsert", "sq8", "bq", "pq", "ivfpq")
+        .foreach(m => warmSf1(s"sim_embed_topk_$m"))
+      System.err.println(f"[bench] sf1 warmup staging took ${warmupSf1.values.sum}%.2f s over ${warmupSf1.size} stages")
       // Repeat discipline (round-5 lesson: sf1 ratios moved up to 1.7x
       // between two clean stamped solo runs — at that noise level a
       // real 1.5x regression on the curve is invisible): measure each
@@ -415,7 +468,10 @@ object Bench {
       sf1: Seq[(String, Double, Double)] = Seq.empty,
       stamp: String = "",
       adj: Map[String, String] = Map.empty,
-      warmup: Seq[(String, Double)] = Seq.empty): String = {
+      warmup: Seq[(String, Double)] = Seq.empty,
+      warmupSf1: Seq[(String, Double)] = Seq.empty,
+      attribution: String = "",
+      commonTotals: Option[(Double, Double)] = None): String = {
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // HEAD sha: the NEXT board's adjudicator diffs prevSha..HEAD to
@@ -433,6 +489,23 @@ object Bench {
       if (warmup.isEmpty) ""
       else warmup.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString(""","warmup":{""", ",", "}")
+    // the sf1 curve's amortized staging, same auditability contract as
+    // the base warmup (full file only — the compact line stays in the
+    // driver's capture budget)
+    val warmupSf1Extra =
+      if (warmupSf1.isEmpty) ""
+      else warmupSf1.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString(""","warmup_sf1":{""", ",", "}")
+    // attribution status: lets a reader weigh every "regressed" label
+    // (window resolved => code-attributed; unavailable => conservative
+    // eligibility, labels may be drift)
+    val attributionExtra =
+      if (attribution.isEmpty) "" else s""","attribution":"$attribution""""
+    // round-over-round trend over the query intersection of the two
+    // boards — auditable without a second file
+    val commonExtra = commonTotals.map { case (prevT, curT) =>
+      s""","prev_common_total":${fmt(prevT)},"common_total":${fmt(curT)}"""
+    }.getOrElse("")
     // per-query drift verdicts (noise / explained:<why> / regressed);
     // the compact fallback line carries the counts plus the regressed
     // names (the actionable part), capped so the line stays in budget
@@ -465,9 +538,9 @@ object Bench {
              warmupPart: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra$sf1Extra$adjPart$warmupPart$gitHead$stamp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra$sf1Extra$adjPart$warmupPart$attributionExtra$commonExtra$gitHead$stamp,"sf":"$sfDir"}"""
     }
-    val full = line(results, "", adjFull, warmupExtra)
+    val full = line(results, "", adjFull, warmupExtra + warmupSf1Extra)
     try {
       val w = new java.io.PrintWriter(fullFile)
       try w.println(full) finally w.close()

@@ -18,16 +18,25 @@ import graft.sources.Tables
   */
 object Pipeline {
 
-  /** The seven gold marts keyed by serving-table name, with their
-    * serving sort/partition key. */
-  def goldMarts(silver: DataFrame): Seq[(String, DataFrame, String)] = Seq(
-    ("daily_sales", DailySales.build(silver), "event_date"),
-    ("hourly_traffic", HourlyTraffic.build(silver), "event_date"),
-    ("item_performance", ItemPerformance.build(silver), ""),
-    ("user_journey_funnel", UserJourneyFunnel.build(silver), ""),
-    ("conversion_funnel_daily", ConversionFunnelDaily.build(silver), "event_date"),
-    ("category_performance", CategoryPerformance.build(silver), "event_date"),
-    ("user_rfm_segments", RfmSegments.build(silver), ""))
+  /** The seven gold marts as DEFERRED builders keyed by serving-table
+    * name, with their serving sort/partition key. Deferred because
+    * frame construction is not free for every mart (RFM runs real
+    * global-rank jobs at plan-construction time) — a DAG consumer
+    * must be able to run construction INSIDE its task closure so the
+    * retry/timeout contract covers it (r9 advice, closed r11). */
+  def goldMartBuilders: Seq[(String, DataFrame => DataFrame, String)] = Seq(
+    ("daily_sales", DailySales.build _, "event_date"),
+    ("hourly_traffic", HourlyTraffic.build _, "event_date"),
+    ("item_performance", ItemPerformance.build _, ""),
+    ("user_journey_funnel", UserJourneyFunnel.build _, ""),
+    ("conversion_funnel_daily", ConversionFunnelDaily.build _, "event_date"),
+    ("category_performance", CategoryPerformance.build _, "event_date"),
+    ("user_rfm_segments", RfmSegments.build _, ""))
+
+  /** Eagerly-built form of [[goldMartBuilders]]. */
+  def goldMarts(silver: DataFrame): Seq[(String, DataFrame, String)] =
+    goldMartBuilders.map { case (name, build, dateCol) =>
+      (name, build(silver), dateCol) }
 
   /** Serving-table names only — for consumers that must not trigger
     * the mart builds (some marts run real jobs at frame-construction

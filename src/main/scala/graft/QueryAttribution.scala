@@ -116,7 +116,15 @@ object QueryAttribution {
 
   /** Changed files since `prevSha` (committed diff + working tree),
     * repo-relative. None when git is unavailable or the sha is unknown
-    * — callers must then keep every query eligible for `regressed`. */
+    * — callers must then keep every query eligible for `regressed`.
+    *
+    * The working-tree set comes from `git diff --name-only HEAD` plus
+    * untracked `git ls-files --others` — NOT from porcelain parsing
+    * (r10 ADVICE: porcelain rename entries are "old -> new" composite
+    * strings, and quoted paths keep their quotes, so a renamed-but-
+    * modified file became invisible to attribution and its regression
+    * would be laundered to "epoch-drift"). Both commands emit one
+    * plain path per line with no rename arrows to mis-split. */
   def changedSince(prevSha: String): Option[Set[String]] =
     if (prevSha == null || prevSha.isEmpty) None
     else try {
@@ -127,8 +135,10 @@ object QueryAttribution {
       }
       for {
         committed <- run("git", "diff", "--name-only", s"$prevSha..HEAD")
-        dirty <- run("git", "status", "--porcelain")
-      } yield (committed ++ dirty.map(_.drop(3).trim)).toSet
+        dirty <- run("git", "diff", "--name-only", "HEAD")
+        untracked <- run("git", "ls-files", "--others", "--exclude-standard")
+      } yield (committed ++ dirty ++ untracked).toSet
+        .map((s: String) => s.stripPrefix("\"").stripSuffix("\""))
         .filter(_.nonEmpty)
         .filterNot(_.endsWith("graft/SparkEntry.scala"))
     } catch { case _: Throwable => None }
@@ -150,7 +160,14 @@ object QueryAttribution {
               // a non-source change that can move timings (build
               // config, testdata regeneration) keeps everything
               // eligible
-              ch.exists(c => c == "build.sbt" || c.startsWith("project/"))
+              ch.exists(c => c == "build.sbt" || c.startsWith("project/")) ||
+              // a changed source path that resolves to NO current file
+              // (moved/renamed inside the window: the diff reports the
+              // old path, the closure only knows the new one) keeps
+              // everything eligible — the conservative direction (r10
+              // ADVICE: the old-path/new-path split would otherwise
+              // launder a regression in the renamed file)
+              chScala.exists(c => !new File(c).isFile)
         }
     }
 }

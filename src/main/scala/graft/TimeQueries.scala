@@ -28,13 +28,36 @@ object TimeQueries {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // mirror Bench's warmup pool so first-consumer staging isn't billed
-    try {
-      graft.sources.Tables.lineitem(spark, sfDir).count()
-      Seq("silver_events", "dedup_ngram_jaccard", "dedup_clusters",
-          "dedup_minhash_lsh", "dedup_simhash", "mm_media_meta")
-        .foreach(q => materialize(SparkEntry.queries(q)(spark, sfDir)))
-    } catch { case _: Throwable => }
+    // Mirror Bench's warmup pool so first-consumer staging isn't
+    // billed — PER STAGE (r10 verdict #5): one try whose first
+    // statement read lineitem silently aborted the WHOLE pool at dirs
+    // without TPC tables (target/scale/sf1, exactly where targeted
+    // timing is most needed). A stage whose input table the dir lacks
+    // is skipped by probe; any other failure is logged; the warmed and
+    // skipped sets are printed so "mirrors Bench" is checkable.
+    def hasTable(t: String): Boolean =
+      new java.io.File(s"$sfDir/$t.parquet").exists()
+    val warmed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    def warm(stage: String, needs: Seq[String])(body: => Unit): Unit =
+      if (!needs.forall(hasTable)) skipped += stage
+      else try { body; warmed += stage }
+      catch { case e: Throwable =>
+        skipped += stage
+        println(s"[time] warmup stage $stage FAILED: ${e.getMessage}")
+      }
+    warm("lineitem_listing", Seq("lineitem")) {
+      graft.sources.Tables.lineitem(spark, sfDir).count(); () }
+    warm("silver_events", Seq("events")) {
+      materialize(SparkEntry.queries("silver_events")(spark, sfDir)) }
+    Seq("dedup_ngram_jaccard", "dedup_clusters",
+        "dedup_minhash_lsh", "dedup_simhash").foreach(q =>
+      warm(q, Seq("documents")) {
+        materialize(SparkEntry.queries(q)(spark, sfDir)) })
+    warm("mm_media_meta", Seq("documents")) {
+      materialize(SparkEntry.queries("mm_media_meta")(spark, sfDir)) }
+    println(s"[time] warmed: ${warmed.mkString(", ")}" +
+      (if (skipped.nonEmpty) s"; skipped (missing inputs): ${skipped.mkString(", ")}" else ""))
     names.foreach { name =>
       (1 to reps).foreach { i =>
         val before = SparkEntry.stageNames(spark, sfDir)

@@ -18,6 +18,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Loud failure contract (r10 verdict #1: a per-query exception
+    // swallowed to stderr at rc 0 let a raced sf1 run record "error"
+    // indistinguishably from "flaky"): every failure is collected into
+    // outDir/_VERIFY_ERRORS.json (query -> message, ALWAYS written, {}
+    // when clean) so orchestrators can tell a failed dump from a
+    // missing one, and SPARK_GRAFT_VERIFY_STRICT=1 additionally turns
+    // any failure into a non-zero exit.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,6 +33,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +56,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", outAbs))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_VERIFY_ERRORS.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
+    if (errors.nonEmpty && sys.env.get("SPARK_GRAFT_VERIFY_STRICT").contains("1"))
+      sys.exit(2)
   }
 }

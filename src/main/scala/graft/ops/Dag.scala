@@ -148,6 +148,16 @@ object Dag {
     * dependency on the write itself would serialize the most
     * expensive sort behind the whole fan-out). */
   def pipelineDag(spark: SparkSession, silver: DataFrame, outDir: String): Seq[Task] = {
+    // The gate is only real when the frame IS cache-backed: with an
+    // uncached silver the materialization task would run one throwaway
+    // pass and every downstream task would rebuild silver from the raw
+    // scan anyway — the fan-out the gate exists to prevent. Caller
+    // contract, enforced loudly at DAG construction (r9 advice,
+    // closed r11).
+    require(silver.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "pipelineDag requires a cache()d silver frame: the silver_cache gate " +
+        "materializes the shared cache exactly once; an uncached frame would " +
+        "be rebuilt by every downstream task")
     // one task owns first-touch: concurrent first consumers would
     // each build silver in parallel before the cache exchange dedups
     val cacheTask = Task("silver_cache")(() => { silver.count(); () })
@@ -155,12 +165,18 @@ object Dag {
       graft.sink.ServingSink.writeSorted(silver, s"$outDir/silver_events",
         Seq("event_date"),
         Seq(org.apache.spark.sql.functions.col("event_time_str").asc)))
-    val marts = graft.Pipeline.goldMarts(silver).map { case (name, df, dateCol) =>
-      Task(name, deps = Seq("silver_cache"))(() =>
+    // mart FRAME CONSTRUCTION runs inside each task closure, not at
+    // DAG build time — construction is not free for every mart (RFM
+    // runs real global-rank jobs while planning), and work done here
+    // would sit outside the retry/timeout coverage the DAG promises
+    val marts = graft.Pipeline.goldMartBuilders.map { case (name, build, dateCol) =>
+      Task(name, deps = Seq("silver_cache"))(() => {
+        val df = build(silver)
         if (dateCol.nonEmpty)
           graft.sink.ServingSink.writeDateMart(df, s"$outDir/$name", dateCol)
         else
-          graft.Pipeline.writeEntityMart(df, s"$outDir/$name"))
+          graft.Pipeline.writeEntityMart(df, s"$outDir/$name")
+      })
     }
     val maintenance = Task("maintenance_report",
       deps = silverWrite.name +: marts.map(_.name))(() => {

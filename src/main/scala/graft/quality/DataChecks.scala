@@ -94,23 +94,39 @@ object DataChecks {
 
   /** Check-gated write — the write-path face of the dbt test suite
     * (dbt's `--fail-fast` + Iceberg's write-audit-publish pattern):
-    * the checks run FIRST, and the write only commits if every check
-    * passes — a bad batch never reaches the serving layout, it fails
-    * loudly with the failing checks named. Returns the audit report
-    * frame on success. */
-  def gatedWrite(checks: Seq[Check])(write: => Unit): DataFrame = {
-    val rep = report(checks)
-    // one row per FAILING check — metadata-sized by construction
-    val failing = rep.filter(!col("passed"))
-      .select(col("check_name"), col("violation_count"))
-      .collect()
-    if (failing.nonEmpty)
-      throw new IllegalStateException(
-        "write aborted, checks failed: " + failing
-          .map(r => s"${r.getString(0)} (${r.getLong(1)} violations)")
-          .mkString(", "))
-    write
-    rep
+    * the frame is STAGED (persisted and materialized) first, the
+    * checks run over that staged materialization, and only if every
+    * check passes does the write commit — receiving the SAME staged
+    * frame the audit saw. A bad batch never reaches the serving
+    * layout; it fails loudly with the failing checks named.
+    *
+    * The staging step is the point (r9 advice, closed r11): auditing
+    * the logical plan and then re-executing it for the write audits a
+    * RECOMPUTATION — under a nondeterministic source (arrival-order
+    * ids, re-listed files, now()-derived columns) the artifact that
+    * lands can differ from the one that passed. Persist-materialize
+    * pins one result set for both. Returns the audit report as a
+    * LOCAL frame (one row per check — it stays valid after the staged
+    * frame is unpersisted). */
+  def gatedWrite(df: DataFrame, checksFor: DataFrame => Seq[Check])
+                (write: DataFrame => Unit): DataFrame = {
+    val spark = df.sparkSession
+    val staged = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      staged.foreach(_ => ()) // one materialization, audited AND written
+      val rep = report(checksFor(staged))
+      // one row per check — |checks|-bounded metadata
+      val repRows = rep.collect()
+      val failing = repRows.filter(!_.getBoolean(2))
+      if (failing.nonEmpty)
+        throw new IllegalStateException(
+          "write aborted, checks failed: " + failing
+            .map(r => s"${r.getString(0)} (${r.getLong(1)} violations)")
+            .mkString(", "))
+      write(staged)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(repRows.toIndexedSeq, 1), rep.schema)
+    } finally { staged.unpersist(); () }
   }
 
   /** The reference's silver-layer test suite over our silver events. */

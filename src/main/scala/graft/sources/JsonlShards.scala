@@ -68,13 +68,16 @@ object JsonlShards {
   }
 
   /** Best-effort recursive delete through the Hadoop FS API (works for
-    * any configured filesystem, not just local disk). */
+    * any configured filesystem, not just local disk). Best-effort
+    * means FS errors only — fatal JVM failures (OOM, interrupts)
+    * propagate (r9 advice, closed r11: catch-Throwable here would
+    * swallow an OutOfMemoryError into a silent non-delete). */
   private def deleteRecursively(spark: SparkSession, dir: String): Unit =
     try {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) { fs.delete(p, true); () }
-    } catch { case _: Throwable => }
+    } catch { case scala.util.control.NonFatal(_) => }
 
   /** Re-ingest JSONL shards under the declared schema, FAILFAST. */
   def readShards(spark: SparkSession, dir: String): DataFrame =

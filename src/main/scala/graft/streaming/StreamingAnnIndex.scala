@@ -37,12 +37,20 @@ object StreamingAnnIndex {
     StructField("label", IntegerType)))
 
   /** Inverted-list rows as persisted: (centroid_id, vec_id, label,
-    * embedding) — what [[graft.sim.IvfAnn.searchLists]] consumes. */
+    * embedding) plus the `batch_id` DELIVERY PARTITION column the
+    * writer lays the lists out by. batch_id must be IN this schema
+    * (r9 advice, closed r11): the populated-directory read discovers
+    * it as a partition column and appends it, so an empty-directory
+    * read without it returned a 4-column frame while the first
+    * delivery silently widened consumers to 5 — a `select *` schema
+    * that depended on index state. Declared last, matching where
+    * partition discovery places it. */
   val listsSchema: StructType = StructType(Seq(
     StructField("centroid_id", IntegerType),
     StructField("vec_id", LongType),
     StructField("label", IntegerType),
-    StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    StructField("embedding", ArrayType(FloatType, containsNull = false)),
+    StructField("batch_id", LongType)))
 
   def readEmbeddingsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(embeddingsSchema).parquet(dir)

@@ -46,8 +46,9 @@ class ArchitectureSpec extends AnyFunSuite {
     // JsonlShards: the per-source round-trip manifest (one row per
     //   corpus source) is materialized so the corpus-sized JSONL
     //   scratch dir can be deleted eagerly — metadata-sized by design
-    // DataChecks: gatedWrite reads one row per FAILING check to name
-    //   them in the abort error — |checks|-bounded metadata
+    // DataChecks: gatedWrite reads the report — one row per check —
+    //   to gate the write and re-plant the report as a local frame
+    //   that survives the staging unpersist — |checks|-bounded metadata
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 2,

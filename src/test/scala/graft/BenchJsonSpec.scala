@@ -66,6 +66,46 @@ class BenchJsonSpec extends AnyFunSuite {
       "BENCH_FULL.json must carry the warmup object")
   }
 
+  test("sf1 warmup staging rides the full line as warmup_sf1, never the compact fallback") {
+    val wu1 = Seq("silver_events" -> 1.5)
+    val wuSf1 = Seq("silver_events" -> 9.75, "sim_embed_neardup" -> 3.25)
+    val small = Bench.benchJson(fakeResults(10), 1.0, "/tmp/sf", tmpFull,
+      warmup = wu1, warmupSf1 = wuSf1)
+    assert(small.contains(""""warmup_sf1":{"silver_events":9.750,"sim_embed_neardup":3.250}"""))
+    val f2 = tmpFull
+    val big = Bench.benchJson(fakeResults(150), 99.9, "/tmp/sf", f2,
+      warmup = wu1, warmupSf1 = wuSf1)
+    assert(!big.contains("warmup_sf1"), "compact line must stay in the capture budget")
+    val fullText = scala.io.Source.fromFile(f2).mkString
+    assert(fullText.contains(""""warmup_sf1":{"silver_events":9.750"""),
+      "BENCH_FULL.json must carry the sf1 warmup object")
+  }
+
+  test("attribution status rides both the full line and the compact fallback") {
+    val small = Bench.benchJson(fakeResults(10), 1.0, "/tmp/sf", tmpFull,
+      attribution = "window:abc1234..HEAD")
+    assert(small.contains(""""attribution":"window:abc1234..HEAD""""))
+    val big = Bench.benchJson(fakeResults(150), 99.9, "/tmp/sf", tmpFull,
+      attribution = "unavailable:no-prev-sha")
+    assert(big.length <= 1700)
+    assert(big.contains(""""attribution":"unavailable:no-prev-sha""""),
+      "a reader of the compact line must still be able to weigh regressed labels")
+    assert(!Bench.benchJson(fakeResults(10), 1.0, "/tmp/sf", tmpFull)
+      .contains("attribution"))
+  }
+
+  test("round-over-round common-query totals ride both line shapes") {
+    val small = Bench.benchJson(fakeResults(10), 1.0, "/tmp/sf", tmpFull,
+      commonTotals = Some((165.55, 140.901)))
+    assert(small.contains(""""prev_common_total":165.550,"common_total":140.901"""))
+    val big = Bench.benchJson(fakeResults(150), 99.9, "/tmp/sf", tmpFull,
+      commonTotals = Some((165.55, 140.901)))
+    assert(big.length <= 1700)
+    assert(big.contains(""""prev_common_total":165.550"""))
+    assert(!Bench.benchJson(fakeResults(10), 1.0, "/tmp/sf", tmpFull)
+      .contains("common_total"), "no previous board -> no trend fields")
+  }
+
   test("board lines stamp git_head so the next adjudicator can diff") {
     val line = Bench.benchJson(fakeResults(5), 1.0, "/tmp/sf", tmpFull)
     assert(line.contains(""""git_head":""") ===

@@ -106,4 +106,34 @@ class CodecRegistrySpec extends AnyFunSuite {
       CodecRegistry.register("png", r => null)
     }
   }
+
+  test("mp3 probe: decoder absence is environment-bounded and the registry stays truthful") {
+    // the probe itself must run everywhere (enumerate, not guess)
+    val readers = CodecRegistry.audioSpiReaders
+    assert(readers.nonEmpty, "the JDK always ships at least the stock readers")
+    val bins = CodecRegistry.decoderBinariesOnPath
+    assert(bins.keySet === Set("ffmpeg", "ffprobe", "lame", "mpg123", "sox"))
+    info(s"audio SPI readers: ${readers.mkString(", ")}")
+    info(s"decoder binaries on PATH: $bins")
+    // does ANY SPI reader claim an MP3 payload? (stock JDK: no)
+    val mp3SpiAvailable =
+      try {
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(mp3Bytes ++ Array.fill(512)(0xAA.toByte)))
+        true
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => false
+      }
+    // truthfulness contract: no decoder may be CLAIMED beyond what the
+    // environment can actually decode — when no MP3 SPI exists, the
+    // snapshot has no "mp3" entry and the payload falls through to the
+    // fallback with its sniffed name kept (queryable coverage gap)
+    if (!mp3SpiAvailable) {
+      assert(!CodecRegistry.snapshot.decoders.contains("mp3"),
+        "no environment decoder => the registry must not claim mp3")
+      val d = MediaCodec.decodeFull(
+        MediaRecord(99L, "x.mp3", "audio/mpeg", "audio", mp3Bytes))
+      assert(d.container_format === "mp3" && d.audio_rms.isEmpty)
+    }
+  }
 }

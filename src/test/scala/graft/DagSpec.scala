@@ -63,6 +63,20 @@ class DagSpec extends AnyFunSuite {
     }
   }
 
+  test("pipelineDag refuses an uncached silver frame — the cache gate must be real") {
+    // NOT the real silver plan: storageLevel resolves through the
+    // CacheManager by plan equality, so an "uncached" rebuild of
+    // silver reads as cached whenever any other suite has the
+    // equivalent plan pinned in the shared session — a frame no suite
+    // caches makes the fixture order-independent
+    import spark.implicits._
+    val uncached = Seq(("dag_gate_fixture", 1)).toDF("event_unique_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Dag.pipelineDag(spark, uncached, "/tmp/graft_dag_never_used")
+    }
+    assert(e.getMessage.contains("cache"))
+  }
+
   test("pipelineDag runs the reference chain end-to-end with a serving layout") {
     val out = java.nio.file.Files.createTempDirectory("graft_dag_").toString
     val silver = graft.marts.SilverEvents.build(

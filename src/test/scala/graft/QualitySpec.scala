@@ -116,17 +116,28 @@ class QualitySpec extends AnyFunSuite {
     val df = Seq(("a", 1), ("a", 2), (null, 3)).toDF("k", "v")
     // failing suite: a not-null violation and a uniqueness violation
     val bad = intercept[IllegalStateException] {
-      DataChecks.gatedWrite(Seq(
-        DataChecks.notNull(df, "k"), DataChecks.unique(df, Seq("k"))))(
-        df.write.mode("overwrite").parquet(s"$out/t"))
+      DataChecks.gatedWrite(df, d => Seq(
+        DataChecks.notNull(d, "k"), DataChecks.unique(d, Seq("k"))))(
+        _.write.mode("overwrite").parquet(s"$out/t"))
     }
     assert(bad.getMessage.contains("not_null(k)") && bad.getMessage.contains("unique(k)"))
     assert(!new java.io.File(s"$out/t").exists(), "aborted write must not commit")
-    // clean suite: write commits, report returned all-passed
-    val rep = DataChecks.gatedWrite(Seq(DataChecks.notNull(df, "v")))(
-      df.write.mode("overwrite").parquet(s"$out/t"))
+    // clean suite: write commits, report returned all-passed — and the
+    // frame handed to the write is the STAGED materialization the
+    // checks audited (r9 advice: a recomputation is not WAP), and the
+    // staging is released once the gate returns
+    var audited: org.apache.spark.sql.DataFrame = null
+    val rep = DataChecks.gatedWrite(df, d => { audited = d; Seq(DataChecks.notNull(d, "v")) })(
+      w => {
+        assert(w eq audited, "write must receive the exact frame the checks audited")
+        assert(w.storageLevel !== org.apache.spark.storage.StorageLevel.NONE,
+          "the audited frame must be a pinned materialization, not a recomputation")
+        w.write.mode("overwrite").parquet(s"$out/t")
+      })
     assert(new java.io.File(s"$out/t").exists())
     assert(rep.filter(!org.apache.spark.sql.functions.col("passed")).count() === 0)
+    // the local report survives unpersist without recomputing checks
+    assert(rep.count() === 1)
   }
 
   test("timestamp time travel: TIMESTAMP AS OF resolves the newest eligible commit") {

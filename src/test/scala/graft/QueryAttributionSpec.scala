@@ -45,19 +45,30 @@ class QueryAttributionSpec extends AnyFunSuite {
   }
 
   test("mayBeCodeCaused: unknown stays eligible, untouched means drift") {
-    val qf = Map("q_x" -> Set("src/main/scala/graft/ops/X.scala"))
+    // fixtures must be REAL files: a changed path absent from the
+    // current tree (rename/move inside the window) globalizes
+    // eligibility by design, so a fictitious path can't stand in for
+    // "some other untouched file" any more
+    val fileX = "src/main/scala/graft/ops/TopK.scala"
+    val fileY = "src/main/scala/graft/ops/Bucketize.scala"
+    assert(new java.io.File(fileX).isFile && new java.io.File(fileY).isFile)
+    val qf = Map("q_x" -> Set(fileX))
     // no attribution window → everything eligible (never launder)
     assert(QueryAttribution.mayBeCodeCaused("q_x", qf, None))
     // untouched call closure → drift, not regressed
-    assert(!QueryAttribution.mayBeCodeCaused("q_x", qf,
-      Some(Set("src/main/scala/graft/ops/Y.scala"))))
+    assert(!QueryAttribution.mayBeCodeCaused("q_x", qf, Some(Set(fileY))))
     // touched → eligible
-    assert(QueryAttribution.mayBeCodeCaused("q_x", qf,
-      Some(Set("src/main/scala/graft/ops/X.scala"))))
+    assert(QueryAttribution.mayBeCodeCaused("q_x", qf, Some(Set(fileX))))
     // build config changes can move anything
     assert(QueryAttribution.mayBeCodeCaused("q_x", qf, Some(Set("build.sbt"))))
     // unregistered query → conservative
     assert(QueryAttribution.mayBeCodeCaused("q_new", qf, Some(Set.empty)))
+    // a changed source path that no longer exists (moved/renamed in
+    // the window: diff reports the old path, the closure knows only
+    // the new one) keeps EVERY query eligible — unknown never
+    // launders a regression (r10 ADVICE)
+    assert(QueryAttribution.mayBeCodeCaused("q_x", qf,
+      Some(Set("src/main/scala/graft/ops/NoSuchFileEver.scala"))))
   }
 
   test("changedSince: empty sha yields None; a real ancestor sha parses") {

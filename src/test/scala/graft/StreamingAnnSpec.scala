@@ -41,7 +41,18 @@ class StreamingAnnSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$tmp/ckpt").start()
     w2.awaitTermination(120000)
 
+    // schema stability (r9 advice, closed r11): an empty or absent
+    // lists directory must read with EXACTLY the schema a populated
+    // one produces — a `select *` consumer's shape cannot depend on
+    // whether the first delivery has landed yet
+    val emptyRead = StreamingAnnIndex.readLists(spark, s"$tmp/lists_never_written")
+    assert(emptyRead.schema === StreamingAnnIndex.listsSchema)
+    assert(emptyRead.count() === 0)
+
     val streamed = StreamingAnnIndex.readLists(spark, s"$tmp/lists")
+    assert(streamed.schema.fieldNames.toSeq ===
+      StreamingAnnIndex.listsSchema.fieldNames.toSeq,
+      "populated read must agree with the empty-read schema, batch_id included")
     // the streamed lists hold every arrival exactly once, in the same
     // list the batch assignment puts it in
     val direct = IvfAnn.assign(arrivals, cents)
