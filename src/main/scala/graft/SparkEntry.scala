@@ -410,6 +410,10 @@ object SparkEntry {
     // computed in the same single decode pass
     "mm_media_downsample" -> ((s, dir) =>
       graft.multimodal.Multimodal.downsampleFrom(mediaDecoded(s, dir))),
+    // decoder-free container-structure leg: MP3 frame walk + ISO-BMFF
+    // box walk recover duration/bitrate/track metadata by parsing
+    // bytes; oracle recomputes from construction arithmetic
+    "mm_container_probe" -> (graft.multimodal.ContainerProbe.probeQuery _),
     "q_sketch_rolling_distinct" -> (graft.ops.SketchRollup.rollingDistinctUsersQuery _),
     "q_sketch_audience_overlap" -> (graft.ops.SketchRollup.audienceOverlapQuery _),
     "text_jsonl_manifest" -> (graft.sources.JsonlShards.roundTripManifestQuery _),
@@ -610,6 +614,7 @@ object SparkEntry {
     "mm_modality_stats" -> graft.multimodal.Multimodal.modalityStatsSql,
     "mm_media_features_jpeg" -> graft.multimodal.Multimodal.jpegEnvelopeSql,
     "mm_media_downsample" -> graft.multimodal.Multimodal.downsampleSql,
+    "mm_container_probe" -> graft.multimodal.ContainerProbe.oracleSql,
     "stream_hourly_agg" -> graft.streaming.StreamingEvents.hourlyAggSql,
     "incremental_rebuild_diff" -> graft.ops.IncrementalRebuild.diffSql,
     "q_merge_restatement" -> graft.ops.MergeUpsert.restatedDailySalesSql,

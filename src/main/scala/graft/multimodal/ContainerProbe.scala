@@ -1,0 +1,345 @@
+package graft.multimodal
+
+/** Structural (container-level) parsers for the two compressed formats
+  * the sandbox has no decoder for — MP3 (ISO/IEC 11172-3 frame
+  * headers) and MP4 (ISO/IEC 14496-12 ISO-BMFF boxes). Both formats'
+  * container layer is plain public bit-layout, decodable with zero
+  * codec dependencies, and carries exactly the metadata a 100 TB
+  * media-curation pipeline filters and budgets on BEFORE any decode:
+  * duration, bitrate, sample rate, track inventory. (You do not
+  * decode 100 TB of video to count minutes of footage.)
+  *
+  * Part of the SURVEY §7.5 multimodal EXTENSION surface (beyond the
+  * reference's own operators). It narrows the standing
+  * environment-bounded decoder gap (sandbox has no ffmpeg/MP3 SPI —
+  * probe committed in
+  * [[CodecRegistry.audioSpiReaders]]): the SAMPLE-decode legs stay
+  * behind the registry seam, but the metadata legs are now real —
+  * `mp3Meta`/`mp4Meta` work on any BINARY column of genuine files.
+  *
+  * Scope is explicit and honest: MP3 = MPEG-1 Layer III (the format
+  * of the name); anything else returns None rather than guessed
+  * numbers. MP4 = top-level box walk + moov/mvhd + trak/mdia/hdlr;
+  * malformed structure (truncated box, overrun size) returns None.
+  *
+  * Deterministic test-payload ENCODERS live here too — the lossy-leg
+  * gating pattern (same as the JPEG envelope oracle): payloads built
+  * from known parameters, parsed back, and the DuckDB oracle
+  * recomputes the expected metadata from the construction arithmetic
+  * alone, never touching bytes — a bug in either encode or parse
+  * flips the gate.
+  */
+object ContainerProbe {
+
+  // ---------------------------------------------------------------- MP3
+
+  /** MPEG-1 Layer III bitrate table, kbps, index 1-14 (0 = free
+    * format, 15 = invalid — both rejected). ISO/IEC 11172-3 tab. B.2. */
+  val Mp3BitrateKbps: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample rates, Hz, index 0-2 (3 = reserved). */
+  val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** Samples per MPEG-1 Layer III frame. */
+  val Mp3SamplesPerFrame = 1152
+
+  final case class Mp3Meta(
+      sampleRate: Int, bitrateKbps: Int, frames: Int,
+      durationMs: Long, id3Bytes: Int)
+
+  /** Layer III frame byte length: floor(144 × bitrate / sampleRate)
+    * + padding (144 = 1152 samples / 8 bits). */
+  def mp3FrameBytes(bitrateIdx: Int, srIdx: Int, padding: Int): Int =
+    144 * (Mp3BitrateKbps(bitrateIdx) * 1000) / Mp3SampleRates(srIdx) + padding
+
+  /** ID3v2 tag length (0 when absent): "ID3" + version(2) + flags(1)
+    * + 4 SYNCSAFE size bytes (7 bits each) at offsets 6-9, total
+    * 10 + size. */
+  private def id3v2Length(d: Array[Byte]): Int =
+    if (d.length >= 10 && d(0) == 'I' && d(1) == 'D' && d(2) == '3') {
+      val size = ((d(6) & 0x7F) << 21) | ((d(7) & 0x7F) << 14) |
+        ((d(8) & 0x7F) << 7) | (d(9) & 0x7F)
+      10 + size
+    } else 0
+
+  /** Parse an MP3 payload's frame structure: skip any ID3v2 tag, then
+    * walk MPEG-1 Layer III frames, each sized by ITS OWN header (so
+    * variable-bitrate streams count correctly); reported bitrate and
+    * sample rate are the first frame's. Only COMPLETE frames count —
+    * a truncated trailing frame is ignored, not guessed at. Returns
+    * None for anything that is not MPEG-1 Layer III at the first
+    * sync (free-format, reserved, MPEG-2, other layers). */
+  def parseMp3(data: Array[Byte]): Option[Mp3Meta] = {
+    if (data == null) return None
+    val id3 = id3v2Length(data)
+    var off = id3
+    if (off + 4 > data.length) return None
+    def header(o: Int): Option[(Int, Int, Int)] = {
+      // sync 11 bits; version bits 4-3 of byte1 == 11 (MPEG-1);
+      // layer bits 2-1 == 01 (Layer III)
+      if ((data(o) & 0xFF) != 0xFF || (data(o + 1) & 0xE0) != 0xE0) None
+      else if ((data(o + 1) & 0x18) != 0x18 || (data(o + 1) & 0x06) != 0x02) None
+      else {
+        val bIdx = (data(o + 2) & 0xF0) >>> 4
+        val sIdx = (data(o + 2) & 0x0C) >>> 2
+        val pad = (data(o + 2) & 0x02) >>> 1
+        if (bIdx == 0 || bIdx == 15 || sIdx == 3) None
+        else Some((bIdx, sIdx, pad))
+      }
+    }
+    val first = header(off).getOrElse(return None)
+    val sampleRate = Mp3SampleRates(first._2)
+    var frames = 0
+    var cont = true
+    while (cont && off + 4 <= data.length) {
+      header(off) match {
+        case Some((b, s, p)) =>
+          val len = mp3FrameBytes(b, s, p)
+          if (off + len <= data.length) { frames += 1; off += len }
+          else cont = false
+        case None => cont = false
+      }
+    }
+    if (frames == 0) None
+    else Some(Mp3Meta(sampleRate, Mp3BitrateKbps(first._1), frames,
+      frames.toLong * Mp3SamplesPerFrame * 1000L / sampleRate, id3))
+  }
+
+  /** Deterministic MPEG-1 Layer III test payload: an ID3v2.3 tag of
+    * `id3Pad` content bytes followed by `nFrames` no-CRC frames at
+    * the given table indices (padding bit 0). Filler bytes are a
+    * fixed byte fold of the position — fully reproducible. */
+  def encodeMp3(nFrames: Int, bitrateIdx: Int, srIdx: Int, id3Pad: Int): Array[Byte] = {
+    require(nFrames > 0 && bitrateIdx >= 1 && bitrateIdx <= 14 &&
+      srIdx >= 0 && srIdx <= 2 && id3Pad >= 0 && id3Pad < (1 << 28))
+    val frameLen = mp3FrameBytes(bitrateIdx, srIdx, padding = 0)
+    val out = new Array[Byte](10 + id3Pad + nFrames * frameLen)
+    out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 3 // v2.3.0
+    out(6) = ((id3Pad >> 21) & 0x7F).toByte
+    out(7) = ((id3Pad >> 14) & 0x7F).toByte
+    out(8) = ((id3Pad >> 7) & 0x7F).toByte
+    out(9) = (id3Pad & 0x7F).toByte
+    var i = 10
+    while (i < 10 + id3Pad) { out(i) = (i * 31 % 251).toByte; i += 1 }
+    var f = 0
+    while (f < nFrames) {
+      val o = 10 + id3Pad + f * frameLen
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xFB.toByte // MPEG-1, Layer III, no CRC
+      out(o + 2) = ((bitrateIdx << 4) | (srIdx << 2)).toByte
+      out(o + 3) = 0xC4.toByte // mono, no emphasis (parser-ignored)
+      var j = o + 4
+      while (j < o + frameLen) { out(j) = (j * 17 % 249).toByte; j += 1 }
+      f += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- MP4
+
+  final case class Mp4Meta(
+      majorBrand: String, timescale: Int, durationTicks: Long,
+      durationMs: Long, tracks: Int, handlers: Seq[String])
+
+  private def be32(d: Array[Byte], o: Int): Long =
+    ((d(o) & 0xFFL) << 24) | ((d(o + 1) & 0xFFL) << 16) |
+      ((d(o + 2) & 0xFFL) << 8) | (d(o + 3) & 0xFFL)
+
+  private def be64(d: Array[Byte], o: Int): Long =
+    (be32(d, o) << 32) | be32(d, o + 4)
+
+  private def fourcc(d: Array[Byte], o: Int): String =
+    new String(d, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk the boxes of `d[from, until)`: yields (type, payloadStart,
+    * payloadEnd) or None on structural damage (box shorter than its
+    * header, size overrunning the region). size==1 reads a 64-bit
+    * largesize; size==0 extends to the region end. */
+  private def walkBoxes(d: Array[Byte], from: Int, until: Int):
+      Option[Seq[(String, Int, Int)]] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var off = from
+    while (off < until) {
+      if (off + 8 > until) return None
+      val size32 = be32(d, off)
+      val typ = fourcc(d, off + 4)
+      val (payloadStart, end) =
+        if (size32 == 1) {
+          if (off + 16 > until) return None
+          val large = be64(d, off + 8)
+          if (large < 16 || off + large > until) return None
+          (off + 16, off + large.toInt)
+        } else if (size32 == 0) (off + 8, until)
+        else {
+          if (size32 < 8 || off + size32 > until) return None
+          (off + 8, off + size32.toInt)
+        }
+      acc += ((typ, payloadStart, end))
+      off = end
+    }
+    Some(acc.toSeq)
+  }
+
+  /** Parse an ISO-BMFF payload's structure: ftyp major brand, mvhd
+    * timescale/duration (versions 0 and 1), trak count, and each
+    * track's mdia/hdlr handler 4cc (in file order). None when the
+    * box tree is structurally damaged or ftyp/moov/mvhd is absent. */
+  def parseMp4(data: Array[Byte]): Option[Mp4Meta] = {
+    if (data == null || data.length < 8) return None
+    for {
+      top <- walkBoxes(data, 0, data.length)
+      ftyp <- top.find(_._1 == "ftyp").filter(b => b._3 - b._2 >= 8)
+      moov <- top.find(_._1 == "moov")
+      inMoov <- walkBoxes(data, moov._2, moov._3)
+      mvhd <- inMoov.find(_._1 == "mvhd").filter(b => b._3 - b._2 >= 4)
+      tsDur <- {
+        val o = mvhd._2
+        val version = data(o) & 0xFF
+        if (version == 0 && mvhd._3 - o >= 4 + 16)
+          Some((be32(data, o + 12).toInt, be32(data, o + 16)))
+        else if (version == 1 && mvhd._3 - o >= 4 + 28)
+          Some((be32(data, o + 20).toInt, be64(data, o + 24)))
+        else None
+      }
+      if tsDur._1 > 0
+      handlers <- {
+        val traks = inMoov.filter(_._1 == "trak")
+        val hs = traks.map { t =>
+          for {
+            inTrak <- walkBoxes(data, t._2, t._3)
+            mdia <- inTrak.find(_._1 == "mdia")
+            inMdia <- walkBoxes(data, mdia._2, mdia._3)
+            hdlr <- inMdia.find(_._1 == "hdlr").filter(b => b._3 - b._2 >= 12)
+          } yield fourcc(data, hdlr._2 + 8) // verflags(4) + pre_defined(4)
+        }
+        if (hs.exists(_.isEmpty)) None else Some(hs.map(_.get))
+      }
+    } yield Mp4Meta(fourcc(data, ftyp._2), tsDur._1, tsDur._2,
+      tsDur._2 * 1000L / tsDur._1, handlers.size, handlers)
+  }
+
+  // -------------------------------------------------- oracle-gated query
+
+  /** mm_container_probe: every document synthesizes one MP3 and one
+    * MP4 payload with parameters derived from its text length, and
+    * the engine recovers the metadata by PARSING THE BYTES — the
+    * DuckDB oracle recomputes every expected field from `strlen`
+    * arithmetic alone, so any disagreement between the construction,
+    * the bit-layout emitted, and the parser flips the gate. byte_len
+    * comes from `length(payload)`, pinning the encoder's size
+    * arithmetic independently of the parser. Map-only (one codegen'd
+    * projection over the documents scan), linear at any corpus size. */
+  def probeQuery(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftext.ContainerMeta
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        ContainerMeta.mp3TestPayload(col("text")).as("p3"),
+        ContainerMeta.mp4TestPayload(col("text")).as("p4"))
+      .select(col("doc_id"),
+        ContainerMeta.mp3Meta(col("p3")).as("m3"),
+        length(col("p3")).as("mp3_byte_len"),
+        ContainerMeta.mp4Meta(col("p4")).as("m4"))
+      .select(col("doc_id"),
+        col("m3.sample_rate").as("mp3_sample_rate"),
+        col("m3.bitrate_kbps").as("mp3_bitrate_kbps"),
+        col("m3.frames").as("mp3_frames"),
+        col("m3.duration_ms").as("mp3_duration_ms"),
+        col("m3.id3_bytes").as("mp3_id3_bytes"),
+        col("mp3_byte_len"),
+        col("m4.major_brand").as("mp4_major_brand"),
+        col("m4.timescale").as("mp4_timescale"),
+        col("m4.duration_ticks").as("mp4_duration_ticks"),
+        col("m4.duration_ms").as("mp4_duration_ms"),
+        col("m4.tracks").as("mp4_tracks"),
+        col("m4.handlers").as("mp4_handlers"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The construction arithmetic in DuckDB — no byte parsing: the
+    * oracle is an INDEPENDENT statement of what the parsed metadata
+    * must be. Integer division floors on both engines (all operands
+    * non-negative). ASCII corpus ⇒ strlen == numChars (the same
+    * convention every mm_* oracle relies on). */
+  val oracleSql: String =
+    s"""WITH p AS (
+      |  SELECT doc_id, strlen(text) AS L FROM documents
+      |), d AS (
+      |  SELECT doc_id, L,
+      |    [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(L % 14 AS INT) + 1] AS br,
+      |    [44100,48000,32000][CAST(L % 3 AS INT) + 1] AS sr,
+      |    L % 7 + 2 AS fr,
+      |    600 * (L % 4 + 1) AS ts,
+      |    (L + 7) * 125 AS dt,
+      |    L % 3 + 1 AS tracks
+      |  FROM p
+      |)
+      |SELECT doc_id,
+      |  CAST(sr AS INT) AS mp3_sample_rate,
+      |  CAST(br AS INT) AS mp3_bitrate_kbps,
+      |  CAST(fr AS INT) AS mp3_frames,
+      |  CAST(fr * $Mp3SamplesPerFrame * 1000 // sr AS BIGINT) AS mp3_duration_ms,
+      |  CAST(10 + L % 33 AS INT) AS mp3_id3_bytes,
+      |  CAST(10 + L % 33 + fr * (144 * br * 1000 // sr) AS INT) AS mp3_byte_len,
+      |  'isom' AS mp4_major_brand,
+      |  CAST(ts AS INT) AS mp4_timescale,
+      |  CAST(dt AS BIGINT) AS mp4_duration_ticks,
+      |  CAST(dt * 1000 // ts AS BIGINT) AS mp4_duration_ms,
+      |  CAST(tracks AS INT) AS mp4_tracks,
+      |  CASE tracks WHEN 1 THEN 'vide' WHEN 2 THEN 'vide,soun'
+      |       ELSE 'vide,soun,vide' END AS mp4_handlers
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
+  private def putBe32(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    b.write(((v >> 24) & 0xFF).toInt); b.write(((v >> 16) & 0xFF).toInt)
+    b.write(((v >> 8) & 0xFF).toInt); b.write((v & 0xFF).toInt)
+  }
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    putBe32(b, 8L + payload.length)
+    b.write(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    b.write(payload)
+    b.toByteArray
+  }
+
+  /** Deterministic ISO-BMFF test payload: ftyp(majorBrand, isom) +
+    * moov{ mvhd v0(timescale, duration) + trak{mdia{hdlr(h)}}* }. */
+  def encodeMp4(majorBrand: String, timescale: Int, durationTicks: Long,
+                handlers: Seq[String]): Array[Byte] = {
+    require(majorBrand.length == 4 && timescale > 0 && durationTicks >= 0 &&
+      durationTicks <= 0xFFFFFFFFL && handlers.forall(_.length == 4))
+    val ftypP = new java.io.ByteArrayOutputStream()
+    ftypP.write(majorBrand.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    putBe32(ftypP, 0L) // minor_version
+    ftypP.write("isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val mvhdP = new java.io.ByteArrayOutputStream()
+    putBe32(mvhdP, 0L)            // version 0 + flags
+    putBe32(mvhdP, 0L)            // creation_time
+    putBe32(mvhdP, 0L)            // modification_time
+    putBe32(mvhdP, timescale.toLong)
+    putBe32(mvhdP, durationTicks)
+    putBe32(mvhdP, 0x00010000L)   // rate 1.0
+    // volume(2) + reserved(2) + reserved(8) + matrix(36) +
+    // pre_defined(24) + next_track_ID(4) — zeros suffice structurally
+    mvhdP.write(new Array[Byte](2 + 2 + 8 + 36 + 24 + 4))
+    val traks = handlers.map { h =>
+      val hdlrP = new java.io.ByteArrayOutputStream()
+      putBe32(hdlrP, 0L) // version + flags
+      putBe32(hdlrP, 0L) // pre_defined
+      hdlrP.write(h.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      hdlrP.write(new Array[Byte](12)) // reserved[3]
+      hdlrP.write(0) // empty name, NUL
+      box("trak", box("mdia", box("hdlr", hdlrP.toByteArray)))
+    }
+    val moovP = new java.io.ByteArrayOutputStream()
+    moovP.write(box("mvhd", mvhdP.toByteArray))
+    traks.foreach(moovP.write)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(box("ftyp", ftypP.toByteArray))
+    out.write(box("moov", moovP.toByteArray))
+    out.toByteArray
+  }
+}
