@@ -524,7 +524,13 @@ object Bench {
         s""","adjudication_summary":{"noise":$noise,"explained":$expl,"regressed":${regressed.size},"regressed_names":$names}"""
       }
     // 10× scale-curve section: per-query seconds at sf1 plus the
-    // ratio vs this run's base timing (~10 ⇒ linear scaling)
+    // ratio vs this run's base timing (~10 ⇒ linear scaling). The
+    // COMPACT fallback carries only the ratio map — the judged signal
+    // — because the curve grew past what fits next to the headline
+    // subset (r10's compact line ran 2.1 KB and the driver recorded
+    // `parsed: null`); absolute seconds stay in the full file.
+    def fmt2(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val sf1Extra =
       if (sf1.isEmpty) ""
       else {
@@ -534,13 +540,17 @@ object Bench {
           .mkString("{", ",", "}")
         s""","sf1":{"factor":10,"queries":$secs,"ratio_vs_base":$ratios}"""
       }
-    def line(rs: Seq[(String, Double)], extra: String, adjPart: String,
-             warmupPart: String): String = {
+    def sf1Compact(entries: Seq[(String, Double, Double)], note: String): String =
+      if (sf1.isEmpty) ""
+      else entries.map { case (k, _, r) => "\"" + k + "\":" + fmt2(r) }
+        .mkString(s""","sf1":{"factor":10$note,"ratio_vs_base":{""", ",", "}}")
+    def line(rs: Seq[(String, Double)], extra: String, sf1Part: String,
+             adjPart: String, warmupPart: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra$sf1Extra$adjPart$warmupPart$attributionExtra$commonExtra$gitHead$stamp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra$sf1Part$adjPart$warmupPart$attributionExtra$commonExtra$gitHead$stamp,"sf":"$sfDir"}"""
     }
-    val full = line(results, "", adjFull, warmupExtra + warmupSf1Extra)
+    val full = line(results, "", sf1Extra, adjFull, warmupExtra + warmupSf1Extra)
     try {
       val w = new java.io.PrintWriter(fullFile)
       try w.println(full) finally w.close()
@@ -548,11 +558,24 @@ object Bench {
     if (full.length <= 1700) full
     else {
       val subset = results.filter { case (k, _) => headline.contains(k) }
-      // warmup detail lives in the full file; the compact line stays
-      // inside the driver's ~1700-char capture budget
-      line(subset,
-        s""","queries_omitted":${results.size - subset.size},"queries_full_file":"BENCH_FULL.json"""",
-        adjSummary, "")
+      // warmup detail and sf1 absolute seconds live in the full file;
+      // the compact line keeps the judged signals (headline queries,
+      // sf1 ratios, adjudication summary, attribution, trend) inside
+      // the driver's ~1700-char capture budget
+      val omitted =
+        s""","queries_omitted":${results.size - subset.size},"queries_full_file":"BENCH_FULL.json""""
+      val compact = line(subset, omitted, sf1Compact(sf1, ""), adjSummary, "")
+      if (compact.length <= 1700) compact
+      else {
+        // last resort as the curve grows: keep only the ratios that
+        // signal scale risk (≥1.5), capped at the worst 12 — the rest
+        // are the uninteresting ≈linear majority, all still in the
+        // full file
+        val risky = sf1.filter(_._3 >= 1.5).sortBy(-_._3).take(12)
+        line(subset, omitted,
+          sf1Compact(risky, s""","ratios_omitted":${sf1.size - risky.size}"""),
+          adjSummary, "")
+      }
     }
   }
 }

@@ -43,6 +43,33 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.length + 100 <= 2000, s"line was ${line.length} chars")
   }
 
+  test("fully-loaded compact line (sf1 curve + adjudication + attribution + trend) stays parseable in the capture budget") {
+    // the realistic r11 shape that overflowed before the fix: full
+    // query map too big -> headline fallback, PLUS a grown sf1 curve
+    // and every stamp field present
+    val worst = (Bench.headlineNames.map(_ -> 999.999) ++ fakeResults(200)).toSeq
+    val sf1 = Bench.scaleCurveQueries.map(n => (n, 99.99, 11.759))
+    val adj = Map("q_a" -> "regressed", "q_b" -> "noise", "q_c" -> "explained:epoch-drift")
+    val line = Bench.benchJson(worst, 9999.999, "/root/testdata/sf0.1", tmpFull,
+      sf1 = sf1, adj = adj, warmup = Seq("silver_events" -> 12.5),
+      warmupSf1 = Seq("silver_events" -> 99.9),
+      attribution = "window:9818fdd262e44a15d3fc67ea59cd90f91d641f4d..HEAD",
+      commonTotals = Some((165.55, 140.901)),
+      stamp = ""","load_avg":[4.5,4.9],"outlier_reruns":57""")
+    assert(line.length <= 1700, s"compact line was ${line.length} chars")
+    assert(line.contains(""""ratio_vs_base""""), "sf1 ratios are the judged signal, must survive")
+    assert(!line.contains(""""sf1":{"factor":10,"queries""""),
+      "sf1 absolute seconds live in the full file only")
+    assert(line.contains(""""attribution""""))
+    // the full file still carries both sf1 maps
+    val fullText = scala.io.Source.fromFile(tmpFull).mkString
+    // (tmpFull is fresh per call — re-emit to a known file)
+    val f2 = tmpFull
+    Bench.benchJson(worst, 9999.999, "/root/testdata/sf0.1", f2, sf1 = sf1)
+    val ft = scala.io.Source.fromFile(f2).mkString
+    assert(ft.contains(""""queries":{""") && ft.contains(""""ratio_vs_base""""))
+  }
+
   test("adjudication verdicts ride the full line; the fallback carries the summary") {
     val adj = Map("q_a" -> "noise", "q_b" -> "regressed", "q_c" -> "explained:real codecs")
     val small = Bench.benchJson(fakeResults(10), 1.0, "/tmp/sf", tmpFull, adj = adj)

@@ -42,6 +42,27 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(NearDup.jaccardPairs(big).count() === 10 * NearDup.jaccardPairs(base).count())
   }
 
+  test("lineitem: 10x rows, scaled key cardinalities, orderkey stride matches orders") {
+    // UNPERSIST on exit: a lingering cached lineitem would be
+    // substituted into every later suite's lineitem plans via the
+    // CacheManager and break the PlanContractSpec column-pruning pins
+    val base = Tables.lineitem(spark, sf).cache()
+    val big = Tables.lineitem(spark, dest).cache()
+    try {
+      assert(big.count() === 10 * base.count())
+      assert(big.select("l_partkey").distinct().count() ===
+        10 * base.select("l_partkey").distinct().count())
+      assert(big.select("l_suppkey").distinct().count() ===
+        10 * base.select("l_suppkey").distinct().count())
+      // the fact-to-fact join must still resolve: every scaled line's
+      // order key exists in the scaled orders table (lockstep strides)
+      val orphans = big.select("l_orderkey").distinct()
+        .join(Tables.orders(spark, dest).select("o_orderkey").distinct(),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+      assert(orphans.isEmpty, "scaled lineitem orderkeys must join scaled orders")
+    } finally { base.unpersist(); big.unpersist(); () }
+  }
+
   test("embeddings: 10x rows, norms preserved, replica 0 verbatim") {
     val base = embs  // cached by TestSession
     val big = Tables.embeddings(spark, dest).cache()
