@@ -6,7 +6,7 @@ import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -120,8 +120,12 @@ case class KllMergeAgg(
 /** kll_quantile(sketch_bin, rank): INCLUSIVE-criteria quantile at
   * normalized rank ∈ [0,1]; NULL for an empty sketch. Runs on
   * metadata-sized merged frames — CodegenFallback costs nothing. */
+// ImplicitCastInputTypes (not bare ExpectsInputTypes): a SQL-first
+// caller writes `kll_quantile(sk, 0.5)` and the 0.5 parses as
+// DECIMAL(1,1) — without implicit coercion the GraftExtensions SQL
+// registration rejects the most natural call shape
 case class KllQuantile(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DoubleType)
   override def dataType: DataType = DoubleType

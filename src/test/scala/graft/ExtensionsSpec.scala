@@ -162,6 +162,48 @@ class ExtensionsSpec extends AnyFunSuite {
       val approx = agg.first().getLong(0)
       assert(approx > 30 && approx < 45)  // 5% rsd around 37
       s2.conf.set("spark.graft.approxDistinct", "false")
+
+      // the FULL native surface is SQL-callable (reference users are
+      // SQL-first): string similarity, gram stats, container metadata,
+      // and the mergeable sketch families in their agg+merge+query
+      // composition — a two-level rollup exactly like the Column path
+      assert(math.abs(s2.sql(
+        "SELECT jaro_winkler('martha', 'marhta') AS j").first().getDouble(0)
+        - 0.9611111111111111) < 1e-12)
+      val ng = s2.sql(
+        "SELECT ngram_stats(array('a','b','a','b','a'), 2) AS g").first()
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(ng.head.getLong(0) === 2L && ng.head.getLong(1) === 3L)
+      // mp3_test_payload is Column-API-only (test construction) — use
+      // the Column bridge for the payload, SQL for the probe
+      val payload = org.apache.spark.sql.graftext.ContainerMeta
+        .mp3Payload(org.apache.spark.unsafe.types.UTF8String.fromString("hello"))
+      s2.createDataset(Seq(payload))(org.apache.spark.sql.Encoders.BINARY)
+        .toDF("p").createOrReplaceTempView("mp3v")
+      val meta = s2.sql(
+        "SELECT mp3_meta(p).frames AS f, mp3_meta(p).sample_rate AS sr FROM mp3v").first()
+      assert(meta.getInt(0) === 5 % 7 + 2)
+      assert(meta.getInt(1) === graft.multimodal.ContainerProbe.Mp3SampleRates(5 % 3))
+      val kll = s2.sql(
+        """WITH parts AS (
+          |  SELECT id % 4 AS shard, kll_sketch_agg(CAST(id AS DOUBLE), 200) AS sk
+          |  FROM range(0, 10000) GROUP BY id % 4
+          |)
+          |SELECT kll_quantile(kll_merge_agg(sk, 200), 0.5) AS med FROM parts""".stripMargin)
+        .first().getDouble(0)
+      assert(kll > 4000 && kll < 6000, s"median of 0..9999 ~ 5000, got $kll")
+      val theta = s2.sql(
+        """WITH a AS (SELECT theta_sketch_agg(CAST(id AS STRING), 12) AS sk
+          |           FROM range(0, 1000)),
+          |     b AS (SELECT theta_sketch_agg(CAST(id AS STRING), 12) AS sk
+          |           FROM range(500, 1500))
+          |SELECT theta_estimate(theta_intersect(a.sk, b.sk)) AS inter,
+          |       theta_estimate(theta_union_pair(a.sk, b.sk, 12)) AS uni,
+          |       theta_estimate(theta_a_not_b(a.sk, b.sk)) AS anb
+          |FROM a, b""".stripMargin).first()
+      assert(theta.getDouble(0) === 500.0, "exact below nominal capacity")
+      assert(theta.getDouble(1) === 1500.0)
+      assert(theta.getDouble(2) === 500.0)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
