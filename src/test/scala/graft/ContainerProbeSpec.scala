@@ -126,6 +126,41 @@ class ContainerProbeSpec extends AnyFunSuite {
     assert(ContainerProbe.parseMp4(null).isEmpty)
   }
 
+  test("fuzz: parsers never throw — random bytes and mutated valid payloads give None or truthful prefixes") {
+    // deterministic fuzz (fixed seed): parser code walking attacker-
+    // shaped bytes must be total — any exception here would become a
+    // task failure on row N of a 100 TB scan
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 300).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      ContainerProbe.parseMp3(junk) // must not throw
+      ContainerProbe.parseMp4(junk)
+    }
+    val validMp3 = ContainerProbe.encodeMp3(4, 9, 1, 12)
+    val validMp4 = ContainerProbe.encodeMp4("isom", 1000, 4000L, Seq("vide", "soun"))
+    (1 to 300).foreach { _ =>
+      def mutate(src: Array[Byte]): Array[Byte] = {
+        val b = src.clone()
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+        if (rnd.nextBoolean()) b.take(rnd.nextInt(b.length + 1)) else b
+      }
+      val m3 = ContainerProbe.parseMp3(mutate(validMp3))
+      // when a mutated stream still parses, the values must stay
+      // inside the format's own domain — never fabricated indices
+      m3.foreach { m =>
+        assert(ContainerProbe.Mp3SampleRates.contains(m.sampleRate))
+        assert(ContainerProbe.Mp3BitrateKbps.contains(m.bitrateKbps))
+        assert(m.frames > 0 && m.durationMs >= 0)
+      }
+      val m4 = ContainerProbe.parseMp4(mutate(validMp4))
+      m4.foreach { m =>
+        assert(m.timescale > 0 && m.durationMs >= 0 && m.tracks >= 0)
+        assert(m.handlers.size === m.tracks)
+      }
+    }
+  }
+
   // ----------------------------------------------------------- query
 
   test("mm_container_probe parses what the payload expressions emit; nulls only on damage") {
