@@ -355,6 +355,10 @@ object SparkEntry {
     "text_chunk_windows" -> (graft.text.CurationOps.chunkWindowsQuery _),
     "dedup_incremental" -> (graft.dedup.NearDup.incrementalDedupQuery _),
     "dedup_incremental_minhash" -> (graft.dedup.NearDup.incrementalMinhashQuery _),
+    // semantic leg of the incremental-dedup family: batch vs the
+    // persisted IVF member index (same state the streaming ANN index
+    // maintains), oracle-gated claims + cluster-free recall floor
+    "dedup_incremental_semantic" -> (graft.sim.SemDedup.incrementalSemDedupQuery _),
     "text_shuffle_shards" -> (graft.text.CurationOps.shuffleShardsQuery _),
     "text_shard_manifest" -> (graft.text.CurationOps.shardManifestQuery _),
     "sim_embed_topk_brute" -> ((s, dir) => annTopK(s, dir, "brute")
@@ -590,6 +594,7 @@ object SparkEntry {
     "text_chunk_windows" -> graft.text.CurationOps.chunkWindowsSql,
     "dedup_incremental" -> graft.dedup.NearDup.incrementalDedupSql,
     "dedup_incremental_minhash" -> graft.dedup.NearDup.incrementalMinhashSql,
+    "dedup_incremental_semantic" -> graft.sim.SemDedup.incrementalSemGateSql(),
     "text_shuffle_shards" -> graft.text.CurationOps.shuffleShardsSql,
     "text_shard_manifest" -> graft.text.CurationOps.shardManifestSql,
     "sim_embed_topk_brute" -> graft.sim.EmbeddingSim.bruteForceTopKSql,

@@ -363,4 +363,149 @@ object SemDedup {
       |  ('semdedup_pair_recall', CAST($PairRecallFloor AS DOUBLE), true),
       |  ('semdedup_pairs_subset_exact', CAST(1.0 AS DOUBLE), true)) AS t(metric, floor, pass)
       |ORDER BY metric""".stripMargin
+
+  // ------------------------------------------------- incremental dedup
+
+  /** Incremental SEMANTIC dedup — flag arriving-batch vectors that are
+    * τ-near (cosine) duplicates of the already-ingested corpus, or of
+    * earlier vectors in the same batch, WITHOUT re-clustering or
+    * re-pairing the corpus. The corpus contributes its IVF-assigned
+    * member INDEX (centroid + embedding per kept vector — the same
+    * frame shape [[graft.streaming.StreamingAnnIndex]] maintains as a
+    * file stream, which the spec feeds in directly: the streaming ANN
+    * index IS valid semantic-dedup state) and the persisted coarse
+    * quantizer; a delivery only ever scores against the members of its
+    * own clusters. This completes the incremental-dedup family:
+    * [[graft.dedup.NearDup.incrementalDedup]] (exact fingerprints),
+    * [[graft.dedup.NearDup.incrementalMinhashDedup]] (lexical
+    * near-dup), and this (semantic near-dup) share the one output
+    * contract: one row per verified duplication, `(vec_id, dup_of,
+    * src ∈ {corpus, batch}, cosine)`, batch-side ids only, exact
+    * portable-rounded scores.
+    *
+    * Hot-cluster guard (the `maxBucket` analog): index clusters with
+    * more than `maxCluster` members are dropped from candidate
+    * generation — they are degenerate near-clique families whose
+    * members the corpus-side full [[candidatePairs]] pass already
+    * clusters; candidate volume is then ≤ |batch|·maxCluster
+    * regardless of corpus skew. The within-batch self-join is
+    * delivery-sized (the same containment argument as the minhash
+    * batch side). Recall is cluster-bounded by construction — a τ-pair
+    * split across two clusters is not generated; the oracle gate holds
+    * the recovered fraction of the cluster-free exact truth above the
+    * calibrated [[PairRecallFloor]], so quantizer drift that starts
+    * splitting duplicate neighborhoods turns the gate red. */
+  def incrementalSemDedup(histEmb: DataFrame, batchEmb: DataFrame,
+                          nClusters: Int = 16, tau: Double = 0.4,
+                          maxCluster: Long = 2000,
+                          centsOpt: Option[DataFrame] = None): DataFrame = {
+    // quantizer + index pinned once: k-means means are float-order-
+    // sensitive, and both assigns (index + batch) must see the SAME
+    // centroid table (the candidatePairs checkpoint contract)
+    val cents = centsOpt.getOrElse(IvfAnn.centroids(histEmb, nClusters))
+      .localCheckpoint()
+    val index = IvfAnn.assign(histEmb, cents).localCheckpoint()
+    incrementalSemDedupCore(cents, index, batchEmb, tau, maxCluster)
+  }
+
+  /** [[incrementalSemDedup]] over PRE-BUILT state — the entry point
+    * for callers that persist the quantizer + member lists between
+    * deliveries (e.g. [[graft.streaming.StreamingAnnIndex.readLists]]).
+    * `index` needs (centroid_id, vec_id, embedding). */
+  def incrementalSemDedupCore(cents: DataFrame, index: DataFrame,
+                              batchEmb: DataFrame, tau: Double = 0.4,
+                              maxCluster: Long = 2000): DataFrame = {
+    val idxOk = index.join(
+      index.groupBy(col("centroid_id")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxCluster).select("centroid_id"),
+      Seq("centroid_id"))
+    // one assignment pass, pinned: the corpus join and BOTH sides of
+    // the within-batch self-join read it
+    val batchAssigned = IvfAnn.assign(batchEmb, cents)
+      .select("centroid_id", "vec_id", "embedding").localCheckpoint()
+    // two-stage τ filter, same as candidatePairs: cheap raw-double
+    // prune on the candidate stream, Decimal-routed portable rounding
+    // only on survivors
+    def scored(cand: DataFrame, src: String): DataFrame = cand
+      .withColumn("__raw", cosineSim(col("__ea"), col("__eb")))
+      .filter(col("__raw") >= tau - 1e-6)
+      .withColumn("cosine", ConditionalAgg.roundPortable(col("__raw"), 6))
+      .filter(col("cosine") >= tau)
+      .select(col("vec_id"), col("dup_of"), lit(src).as("src"), col("cosine"))
+    val corpus = scored(
+      batchAssigned.as("b").join(idxOk.as("h"),
+          col("b.centroid_id") === col("h.centroid_id"))
+        .select(col("b.vec_id").as("vec_id"), col("h.vec_id").as("dup_of"),
+          col("b.embedding").as("__ea"), col("h.embedding").as("__eb")),
+      "corpus")
+    // within-batch: the arriving vector dups the EARLIER (smaller-id)
+    // one — the incrementalMinhashDedup orientation
+    val batch = scored(
+      batchAssigned.as("x").join(batchAssigned.as("y"),
+          col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.vec_id") > col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("dup_of"),
+          col("x.embedding").as("__ea"), col("y.embedding").as("__eb")),
+      "batch")
+    corpus.unionByName(batch).orderBy(col("vec_id"), col("src"), col("dup_of"))
+  }
+
+  /** Driver query: the 80/20 split every incremental-dedup query uses
+    * (history = vec_id%5 != 0, batch = vec_id%5 == 0). */
+  def incrementalSemDedupQuery(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    incrementalSemDedup(
+      emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0))
+  }
+
+  /** Oracle gate ([[graft.sim.EmbeddingSim.nearDupGateSql]] contract):
+    * DuckDB recomputes every claimed pair's cosine EXACTLY from the
+    * base embeddings (which also pins τ, the batch-side-only id rule,
+    * the corpus/batch partner split, and the smaller-id orientation),
+    * and holds the dump's recovered fraction of the cluster-free
+    * exact τ-pair truth at or above the calibrated recall floor.
+    * All-gates-or-sentinel, so any violation flips the row hash. */
+  def incrementalSemGateSql(tau: Double = 0.4): String =
+    s"""WITH ${EmbeddingSim.exactPairCtes},
+      |got AS (
+      |  SELECT * FROM read_parquet('{OUT}/dedup_incremental_semantic/*.parquet')
+      |), exact_truth AS (
+      |  SELECT
+      |    CASE WHEN vec_a % 5 = 0 AND vec_b % 5 = 0 THEN greatest(vec_a, vec_b)
+      |         WHEN vec_a % 5 = 0 THEN vec_a ELSE vec_b END AS bvec,
+      |    CASE WHEN vec_a % 5 = 0 AND vec_b % 5 = 0 THEN least(vec_a, vec_b)
+      |         WHEN vec_a % 5 = 0 THEN vec_b ELSE vec_a END AS partner
+      |  FROM rap
+      |  WHERE cosine >= CAST($tau AS DOUBLE)
+      |    AND (vec_a % 5 = 0 OR vec_b % 5 = 0)
+      |), gates AS (
+      |  SELECT
+      |    (SELECT count(*) FROM got g LEFT JOIN rap r
+      |       ON least(g.vec_id, g.dup_of) = r.vec_a
+      |      AND greatest(g.vec_id, g.dup_of) = r.vec_b
+      |     WHERE r.vec_a IS NULL OR abs(g.cosine - r.cosine) > 1e-9) = 0 AS scores_exact,
+      |    (SELECT count(*) FROM got WHERE cosine < CAST($tau AS DOUBLE)) = 0 AS tau_ok,
+      |    (SELECT count(*) FROM got WHERE vec_id % 5 <> 0) = 0 AS batch_side_ok,
+      |    (SELECT count(*) FROM got
+      |      WHERE (src = 'corpus' AND dup_of % 5 = 0)
+      |         OR (src = 'batch' AND (dup_of % 5 <> 0 OR dup_of >= vec_id))
+      |         OR src NOT IN ('corpus', 'batch')) = 0 AS partner_ok,
+      |    (SELECT count(*) - count(DISTINCT
+      |        CAST(vec_id AS VARCHAR) || '|' || CAST(dup_of AS VARCHAR) || '|' || src)
+      |     FROM got) = 0 AS one_row_per_claim,
+      |    (SELECT count(*) FROM got) >= 1 AS nonempty,
+      |    (SELECT CAST(count(*) AS DOUBLE) FROM exact_truth e
+      |       JOIN got g ON g.vec_id = e.bvec AND g.dup_of = e.partner)
+      |      / greatest((SELECT count(*) FROM exact_truth), 1)
+      |      >= CAST($PairRecallFloor AS DOUBLE) AS recall_ok
+      |)
+      |SELECT g.* FROM got g
+      |WHERE (SELECT scores_exact AND tau_ok AND batch_side_ok AND partner_ok
+      |         AND one_row_per_claim AND nonempty AND recall_ok FROM gates)
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT) AS vec_id, CAST(-1 AS BIGINT) AS dup_of,
+      |  'gate_failed' AS src, CAST(-1.0 AS DOUBLE) AS cosine
+      |WHERE NOT (SELECT scores_exact AND tau_ok AND batch_side_ok AND partner_ok
+      |             AND one_row_per_claim AND nonempty AND recall_ok FROM gates)""".stripMargin
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.{IvfAnn, SemDedup}
+import graft.sources.Tables
+
+/** The semantic leg of the incremental-dedup family: delivery-sized
+  * batches flagged against the persisted IVF member index — including
+  * the index a [[graft.streaming.StreamingAnnIndex]] stream wrote. */
+class IncrementalSemDedupSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def split(df: org.apache.spark.sql.DataFrame, batch: Boolean) =
+    df.filter(if (batch) pmod(col("vec_id"), lit(5)) === 0
+              else pmod(col("vec_id"), lit(5)) =!= 0)
+
+  test("matches the direct cluster-restricted reference pair-for-pair") {
+    val emb = Tables.embeddings(spark, sf)
+    val hist = split(emb, batch = false)
+    val batch = split(emb, batch = true)
+    val cents = IvfAnn.centroids(hist).localCheckpoint()
+    val got = SemDedup.incrementalSemDedupCore(
+      cents, IvfAnn.assign(hist, cents).localCheckpoint(),
+      batch).localCheckpoint()
+
+    // reference: assign both sides under the same pinned quantizer,
+    // join on the cluster, exact portable-rounded cosine >= tau
+    val tau = 0.4
+    val ha = IvfAnn.assign(hist, cents).localCheckpoint()
+    val ba = IvfAnn.assign(batch, cents).localCheckpoint()
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.ops.ConditionalAgg.roundPortable(
+        org.apache.spark.sql.graftext.CosineSimilarity.cosineSim(a, b), 6)
+    val refCorpus = ba.as("b").join(ha.as("h"),
+        col("b.centroid_id") === col("h.centroid_id"))
+      .select(col("b.vec_id").as("vec_id"), col("h.vec_id").as("dup_of"),
+        lit("corpus").as("src"),
+        cos(col("b.embedding"), col("h.embedding")).as("cosine"))
+      .filter(col("cosine") >= tau)
+    val refBatch = ba.as("x").join(ba.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+        col("x.vec_id") > col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("dup_of"),
+        lit("batch").as("src"),
+        cos(col("x.embedding"), col("y.embedding")).as("cosine"))
+      .filter(col("cosine") >= tau)
+    val ref = refCorpus.unionByName(refBatch)
+    assert(got.count() > 0, "the test corpus has cross-delivery tau-duplicates")
+    assert(got.except(ref).count() === 0)
+    assert(ref.except(got).count() === 0)
+  }
+
+  test("hot-cluster guard: oversized index clusters drop from candidate generation") {
+    val emb = Tables.embeddings(spark, sf)
+    val hist = split(emb, batch = false)
+    val batch = split(emb, batch = true)
+    val cents = IvfAnn.centroids(hist).localCheckpoint()
+    val index = IvfAnn.assign(hist, cents).localCheckpoint()
+    // cap below the LARGEST cluster's size: its members must vanish
+    // from corpus-side candidates while other clusters keep flowing
+    val sizes = index.groupBy("centroid_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val largest = sizes.maxBy(_._2)
+    val cap = largest._2 - 1
+    assume(sizes.values.exists(_ <= cap), "needs a second, smaller cluster")
+    val gotCapped = SemDedup.incrementalSemDedupCore(cents, index, batch,
+      maxCluster = cap).filter(col("src") === "corpus").localCheckpoint()
+    val hotMembers = index.filter(col("centroid_id") === largest._1)
+      .select(col("vec_id").as("dup_of"))
+    assert(gotCapped.join(hotMembers, "dup_of").count() === 0,
+      "no corpus claim may cite a member of the over-cap cluster")
+    val gotFull = SemDedup.incrementalSemDedupCore(cents, index, batch)
+      .filter(col("src") === "corpus")
+    assert(gotFull.count() > gotCapped.count(),
+      "the cap must actually have removed candidates in this corpus")
+    // within-batch claims are unaffected by the index-side guard
+    assert(SemDedup.incrementalSemDedupCore(cents, index, batch, maxCluster = cap)
+      .filter(col("src") === "batch").count() ===
+      SemDedup.incrementalSemDedupCore(cents, index, batch)
+        .filter(col("src") === "batch").count())
+  }
+
+  test("the streaming ANN index is valid semantic-dedup state") {
+    import graft.streaming.StreamingAnnIndex
+    val tmp = java.nio.file.Files.createTempDirectory("graft_isd_").toString
+    val emb = Tables.embeddings(spark, sf)
+    val hist = split(emb, batch = false)
+    val batch = split(emb, batch = true)
+    val cents = IvfAnn.centroids(hist).localCheckpoint()
+    cents.write.mode("overwrite").parquet(s"$tmp/cents")
+    // the corpus arrives as a checkpointed file stream; the membership
+    // index accumulates exactly as in StreamingAnnSpec
+    hist.write.mode("overwrite").parquet(s"$tmp/in")
+    StreamingAnnIndex.ivfUpsertWriter(
+        StreamingAnnIndex.readEmbeddingsStream(spark, s"$tmp/in"),
+        s"$tmp/cents", s"$tmp/lists")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+      .awaitTermination(120000)
+    val streamedIndex = StreamingAnnIndex.readLists(spark, s"$tmp/lists")
+      .select("centroid_id", "vec_id", "embedding")
+    val persistedCents = spark.read.parquet(s"$tmp/cents")
+    val viaStream = SemDedup.incrementalSemDedupCore(
+      persistedCents, streamedIndex, batch)
+    val viaBatch = SemDedup.incrementalSemDedupCore(
+      persistedCents, IvfAnn.assign(hist, persistedCents).localCheckpoint(), batch)
+    assert(viaStream.count() === viaBatch.count())
+    assert(viaStream.except(viaBatch).count() === 0)
+    assert(viaBatch.except(viaStream).count() === 0)
+  }
+}

@@ -24,7 +24,8 @@ import pyarrow.parquet as pq
 
 EXPect_FAIL = ["sim_embed_topk_lsh", "sim_embed_topk_ivf",
                "sim_embed_topk_sq8", "sim_semdedup",
-               "q_sketch_rolling_quantiles", "q_sketch_audience_overlap"]
+               "q_sketch_rolling_quantiles", "q_sketch_audience_overlap",
+               "dedup_incremental_semantic"]
 
 
 def main(sf_dir, src_dir):
@@ -68,6 +69,14 @@ def main(sf_dir, src_dir):
     f = table("q_sketch_audience_overlap")
     t = pq.read_table(f).to_pandas()
     t.loc[0, "users_both"] = int(t["users_either"].max()) * 10 + 1000
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
+    # 7. partner-split rule: relabel one corpus claim as a batch claim
+    #    (its dup_of is a history id, so the batch-partner gate flips)
+    f = table("dedup_incremental_semantic")
+    t = pq.read_table(f).to_pandas()
+    corp = t.index[t["src"] == "corpus"]
+    assert len(corp) > 0, "dump has no corpus claims to corrupt"
+    t.loc[corp[0], "src"] = "batch"
     pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
 
     out = subprocess.run(
