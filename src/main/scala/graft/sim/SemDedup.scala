@@ -414,15 +414,25 @@ object SemDedup {
     * `index` needs (centroid_id, vec_id, embedding). */
   def incrementalSemDedupCore(cents: DataFrame, index: DataFrame,
                               batchEmb: DataFrame, tau: Double = 0.4,
-                              maxCluster: Long = 2000): DataFrame = {
+                              maxCluster: Long = 2000): DataFrame =
+    // one assignment pass, pinned: the corpus join and BOTH sides of
+    // the within-batch self-join read it
+    incrementalSemDedupFromAssigned(index,
+      IvfAnn.assign(batchEmb, cents).localCheckpoint(), tau, maxCluster)
+
+  /** [[incrementalSemDedupCore]] over an ALREADY-ASSIGNED batch — for
+    * callers (the streaming writer) that also persist the batch's
+    * list rows and must store the SAME borderline-vector assignments
+    * the flags were computed under (k-means float means make
+    * re-assignment order-sensitive). `batchAssigned` must be pinned
+    * (localCheckpoint) by the caller. */
+  private[graft] def incrementalSemDedupFromAssigned(
+      index: DataFrame, batchAssigned: DataFrame,
+      tau: Double = 0.4, maxCluster: Long = 2000): DataFrame = {
     val idxOk = index.join(
       index.groupBy(col("centroid_id")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= maxCluster).select("centroid_id"),
       Seq("centroid_id"))
-    // one assignment pass, pinned: the corpus join and BOTH sides of
-    // the within-batch self-join read it
-    val batchAssigned = IvfAnn.assign(batchEmb, cents)
-      .select("centroid_id", "vec_id", "embedding").localCheckpoint()
     // two-stage τ filter, same as candidatePairs: cheap raw-double
     // prune on the candidate stream, Decimal-routed portable rounding
     // only on survivors

@@ -146,4 +146,51 @@ object StreamingDedup {
         overwriteOwnPartition(
           survivors.select(col("fingerprint"), col("batch_id")), indexDir)
       }
+
+  /** Streaming SEMANTIC dedup — [[graft.sim.SemDedup
+    * .incrementalSemDedupCore]] as an embedding-delivery stream,
+    * completing the streaming column of the dedup lifecycle matrix
+    * (exact fingerprints above, lexical MinHash above, semantic
+    * here). Carried state = the FIXED coarse quantizer at `centsDir`
+    * (trained offline — the [[StreamingAnnIndex]] contract) plus the
+    * IVF member lists of every SURVIVING vector at `listsDir`, laid
+    * out exactly as [[StreamingAnnIndex.ivfUpsertWriter]] lays its
+    * lists out — the dedup state and the ANN serving index are the
+    * SAME table. Each micro-batch assigns only its own vectors ONCE
+    * (the pinned assignment is reused for both the flags and the
+    * survivors' stored list rows — re-assigning could flip a
+    * borderline vector's cluster between the two), flags τ-dups of
+    * the accumulated corpus and of earlier same-batch vectors, then
+    * appends survivors only — flagged dups never enter the index.
+    * Both writes are per-batch-partition dynamic overwrites (replay
+    * rewrites, never duplicates). */
+  def semanticDedupWriter(stream: DataFrame, centsDir: String,
+                          listsDir: String, outDir: String,
+                          tau: Double = 0.4,
+                          maxCluster: Long = 2000): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val cents = spark.read.parquet(centsDir)
+        val index = StreamingAnnIndex.readLists(spark, listsDir)
+          .select("centroid_id", "vec_id", "embedding")
+        val batchAssigned = graft.sim.IvfAnn.assign(batch, cents)
+          .localCheckpoint()
+        val flags = graft.sim.SemDedup.incrementalSemDedupFromAssigned(
+            index, batchAssigned, tau, maxCluster)
+          .localCheckpoint()
+        val survivors = batchAssigned
+          .join(flags.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        def overwriteOwnPartition(df: DataFrame, dir: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(dir)
+        overwriteOwnPartition(flags, outDir)
+        overwriteOwnPartition(survivors, listsDir)
+      }
 }

@@ -81,6 +81,70 @@ class IncrementalSemDedupSpec extends AnyFunSuite {
         .filter(col("src") === "batch").count())
   }
 
+  test("streaming semantic dedup: checkpointed deliveries == sequential batch application; state stays deduplicated") {
+    import graft.streaming.{StreamingAnnIndex, StreamingDedup}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssd_").toString
+    val emb = Tables.embeddings(spark, sf)
+    val d1 = split(emb, batch = false)
+    val d2 = split(emb, batch = true)
+    // quantizer trained offline on the first corpus, persisted (the
+    // StreamingAnnIndex lifecycle: retrain is a separate offline job)
+    IvfAnn.centroids(d1).write.mode("overwrite").parquet(s"$tmp/cents")
+    val pc = spark.read.parquet(s"$tmp/cents").localCheckpoint()
+
+    d1.select("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    def deliver(): Unit =
+      StreamingDedup.semanticDedupWriter(
+          StreamingAnnIndex.readEmbeddingsStream(spark, s"$tmp/in"),
+          s"$tmp/cents", s"$tmp/lists", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+        .awaitTermination(120000)
+    deliver()
+    d2.select("vec_id", "embedding", "label")
+      .write.mode("append").parquet(s"$tmp/in")
+    deliver()
+
+    // sequential reference via the batch operator under the same
+    // persisted quantizer (assignment is per-row max with a fixed
+    // tie-break, so it cannot differ between the two paths)
+    val emptyIdx = StreamingAnnIndex.readLists(spark, s"$tmp/never")
+      .select("centroid_id", "vec_id", "embedding")
+    val a1 = IvfAnn.assign(d1, pc).localCheckpoint()
+    val f1 = SemDedup.incrementalSemDedupFromAssigned(emptyIdx, a1)
+      .localCheckpoint()
+    val s1 = a1.join(f1.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val a2 = IvfAnn.assign(d2, pc).localCheckpoint()
+    val f2 = SemDedup.incrementalSemDedupFromAssigned(
+        s1.select("centroid_id", "vec_id", "embedding"), a2)
+      .localCheckpoint()
+    val expected = f1.unionByName(f2)
+    val streamedFlags = spark.read.parquet(s"$tmp/out")
+      .select("vec_id", "dup_of", "src", "cosine")
+    assert(streamedFlags.count() === expected.count())
+    assert(streamedFlags.except(expected).count() === 0)
+    assert(expected.except(streamedFlags).count() === 0)
+
+    // survivors-only state: no flagged vector's id is in the lists,
+    // and the lists are exactly the sequential survivors
+    val lists = StreamingAnnIndex.readLists(spark, s"$tmp/lists")
+    assert(lists.join(streamedFlags.select("vec_id").distinct(),
+      Seq("vec_id")).count() === 0)
+    val expectedState = s1.select("vec_id")
+      .unionByName(a2.join(f2.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+        .select("vec_id"))
+    assert(lists.select("vec_id").except(expectedState).count() === 0)
+    assert(expectedState.except(lists.select("vec_id")).count() === 0)
+
+    // the dedup state doubles as the serving index: the same lists
+    // answer an IVF search
+    val got = IvfAnn.searchLists(
+      lists.select("centroid_id", "vec_id", "label", "embedding"),
+      emb, pc, nProbes = 5, k = 3, nprobe = 4)
+    assert(got.count() > 0)
+  }
+
   test("the streaming ANN index is valid semantic-dedup state") {
     import graft.streaming.StreamingAnnIndex
     val tmp = java.nio.file.Files.createTempDirectory("graft_isd_").toString
