@@ -340,8 +340,10 @@ object Bench {
     "q_sql_silver_events", "q_ewma_scan_report",
     // r11: the only reference JOIN mart (W2+J1) and the most expensive
     // board query (z-order layout) get measured 10x ratios — the two
-    // named gaps in the r10 verdict's curve coverage
-    "gold_category_performance", "maintenance_zorder")
+    // named gaps in the r10 verdict's curve coverage — plus the new
+    // semantic leg of the incremental-dedup family
+    "gold_category_performance", "maintenance_zorder",
+    "dedup_incremental_semantic")
 
   /** Time the heavy subset at 10× (generated once under target/scale/
     * sf1 from the bench SF dir) and report (name, seconds, ratio vs
