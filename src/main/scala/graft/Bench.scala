@@ -109,9 +109,13 @@ object Bench {
     // JSON as a "warmup" object — amortized staging cost is real work
     // and must be auditable next to the per-query rows, not stderr-only
     val warmup = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // NonFatal only: an OOM/interrupt during warmup must abort the run
+    // loudly — swallowing it would time every query in a corrupted JVM
+    // and ship a plausible-looking garbage board
     def warm(stage: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => }
+      try body catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup stage $stage FAILED: ${e.getMessage}") }
       warmup(stage) = (System.nanoTime() - t0) / 1e9
     }
     warm("lineitem_listing") {
@@ -287,24 +291,21 @@ object Bench {
       if (commonNames.isEmpty) None
       else Some((prev.filter(kv => commonNames(kv._1)).values.sum,
         results.filter(kv => commonNames(kv._1)).map(_._2).sum))
+    // scaleCurve RETURNS its per-stage warmup timings — threading them
+    // through a var here (rather than object state read in the same
+    // argument list) keeps the board correct under any reordering of
+    // the benchJson arguments
+    val (sf1Curve, sf1Warmup) = scaleCurve(spark, sfDir, results.toMap)
     println(benchJson(results, total, sfDir,
-      sf1 = scaleCurve(spark, sfDir, results.toMap),
+      sf1 = sf1Curve,
       stamp = f""","load_avg":[$loadStart%.1f,$loadEnd%.1f],"outlier_reruns":$reruns""",
       adj = adjudication,
       warmup = warmup.toSeq,
-      warmupSf1 = warmupSf1.toSeq,
+      warmupSf1 = sf1Warmup,
       attribution = attribution,
       commonTotals = commonTotals))
     spark.stop()
   }
-
-  /** Per-stage sf1 warmup seconds of the LAST scaleCurve run — filled
-    * by the per-stage warmSf1 wrapper so the board JSON can carry a
-    * "warmup_sf1" object next to the base "warmup" (r10 verdict #2:
-    * amortized sf1 staging with no artifact trail made the
-    * sim_semdedup ratio an unauditable billing artifact). */
-  private val warmupSf1 =
-    scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
   /** Queries whose cost this round's code INTENTIONALLY changed, with
     * the reason — consulted by the drift adjudicator so a known cost
@@ -346,11 +347,17 @@ object Bench {
     "dedup_incremental_semantic")
 
   /** Time the heavy subset at 10× (generated once under target/scale/
-    * sf1 from the bench SF dir) and report (name, seconds, ratio vs
-    * this run's base timing). Disable with SPARK_GRAFT_SF1=0. Failures
-    * degrade to an empty section — the bench line must always print. */
+    * sf1 from the bench SF dir): returns the curve (name, seconds,
+    * ratio vs this run's base timing) AND the per-stage warmup
+    * seconds (r10 verdict #2: amortized sf1 staging with no artifact
+    * trail made the sim_semdedup ratio an unauditable billing
+    * artifact). Disable with SPARK_GRAFT_SF1=0. Failures degrade to
+    * an empty section — the bench line must always print. */
   private def scaleCurve(spark: SparkSession, sfDir: String,
-                         base: Map[String, Double]): Seq[(String, Double, Double)] =
+                         base: Map[String, Double]):
+      (Seq[(String, Double, Double)], Seq[(String, Double)]) = {
+    val warmupSf1 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def curve(): Seq[(String, Double, Double)] =
     if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") Seq.empty
     else try {
       // The base board is recorded — release the base-SF silver cache
@@ -379,13 +386,13 @@ object Bench {
       // true warm ratio is ~6.6x). Each stage times into warmupSf1
       // (ride in the board as "warmup_sf1"), and a failure is LOGGED
       // and skipped without aborting the stages after it.
-      warmupSf1.clear()
+      // NonFatal only — same rationale as the base warm() wrapper
       def warmSf1(name: String): Unit = {
         val t0 = System.nanoTime()
         try {
           materialize(SparkEntry.queries(name)(spark, dest))
           warmupSf1(name) = (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
           warmupSf1(name) = (System.nanoTime() - t0) / 1e9
           System.err.println(s"[bench] sf1 warmup stage $name FAILED: ${e.getMessage}")
         }
@@ -435,9 +442,11 @@ object Bench {
           System.err.println(f"[bench] sf1 $name%-36s runs $s1%7.2f/$s2%7.2f -> $sec%7.2f")
           val ratio = base.get(name).filter(_ > 0).map(sec / _).getOrElse(0.0)
           Seq((name, sec, ratio))
-        } catch { case _: Throwable => Seq.empty }
+        } catch { case scala.util.control.NonFatal(_) => Seq.empty }
       }
-    } catch { case _: Throwable => Seq.empty }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    (curve(), warmupSf1.toSeq)
+  }
 
   /** Queries the judge's BASELINE.md targets map onto, plus the
     * flagship LLM-data-pipeline ops — the fallback subset when the

@@ -33,11 +33,6 @@ object Pipeline {
     ("category_performance", CategoryPerformance.build _, "event_date"),
     ("user_rfm_segments", RfmSegments.build _, ""))
 
-  /** Eagerly-built form of [[goldMartBuilders]]. */
-  def goldMarts(silver: DataFrame): Seq[(String, DataFrame, String)] =
-    goldMartBuilders.map { case (name, build, dateCol) =>
-      (name, build(silver), dateCol) }
-
   /** Serving-table names only — for consumers that must not trigger
     * the mart builds (some marts run real jobs at frame-construction
     * time, e.g. the RFM global ranks). */

@@ -42,7 +42,7 @@ object TimeQueries {
     def warm(stage: String, needs: Seq[String])(body: => Unit): Unit =
       if (!needs.forall(hasTable)) skipped += stage
       else try { body; warmed += stage }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         skipped += stage
         println(s"[time] warmup stage $stage FAILED: ${e.getMessage}")
       }

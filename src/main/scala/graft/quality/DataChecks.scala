@@ -111,22 +111,27 @@ object DataChecks {
   def gatedWrite(df: DataFrame, checksFor: DataFrame => Seq[Check])
                 (write: DataFrame => Unit): DataFrame = {
     val spark = df.sparkSession
-    val staged = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      staged.foreach(_ => ()) // one materialization, audited AND written
-      val rep = report(checksFor(staged))
-      // one row per check — |checks|-bounded metadata
-      val repRows = rep.collect()
-      val failing = repRows.filter(!_.getBoolean(2))
-      if (failing.nonEmpty)
-        throw new IllegalStateException(
-          "write aborted, checks failed: " + failing
-            .map(r => s"${r.getString(0)} (${r.getLong(1)} violations)")
-            .mkString(", "))
-      write(staged)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(repRows.toIndexedSeq, 1), rep.schema)
-    } finally { staged.unpersist(); () }
+    // localCheckpoint, not persist: a persisted frame whose cached
+    // blocks are lost (executor death, eviction) silently RECOMPUTES
+    // from the source plan, so under a nondeterministic source the
+    // write could still land a result set the checks never audited. A
+    // local checkpoint truncates the lineage — lost blocks fail the
+    // job loudly instead of recomputing, the honest WAP behavior
+    // (the repo's standard pinning idiom; the ContextCleaner reclaims
+    // the blocks once the frame is unreferenced).
+    val staged = df.localCheckpoint()
+    val rep = report(checksFor(staged))
+    // one row per check — |checks|-bounded metadata
+    val repRows = rep.collect()
+    val failing = repRows.filter(!_.getBoolean(2))
+    if (failing.nonEmpty)
+      throw new IllegalStateException(
+        "write aborted, checks failed: " + failing
+          .map(r => s"${r.getString(0)} (${r.getLong(1)} violations)")
+          .mkString(", "))
+    write(staged)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(repRows.toIndexedSeq, 1), rep.schema)
   }
 
   /** The reference's silver-layer test suite over our silver events. */

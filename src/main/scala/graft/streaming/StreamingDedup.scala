@@ -40,23 +40,42 @@ object StreamingDedup {
   private val indexSchema =
     StructType(Seq(StructField("fingerprint", StringType)))
 
-  /** The index-so-far, empty on the very first delivery. Probed via
-    * the Hadoop FileSystem API so hdfs://s3a:// index locations work,
-    * not only the local filesystem. The read carries an EXPLICIT
-    * schema: inference would throw on an index directory that exists
-    * but holds no parquet yet (crash between mkdir and file commit),
+  /** State-so-far reader shared by every writer: EXPLICIT schema
+    * (inference would throw on an index directory that exists but
+    * holds no parquet yet — crash between mkdir and file commit —
     * turning every later batch into a crash loop; with the schema
-    * declared an empty directory just reads as zero rows. (batch_id is
-    * a partition column on disk; omitting it from the schema prunes it
-    * at read — the anti-join only needs the fingerprint.) */
-  private def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexDir)
+    * declared an empty directory just reads as zero rows), Hadoop
+    * FileSystem probe so hdfs://s3a:// locations work, and CRITICALLY
+    * restricted to `batch_id < thisBatch`: foreachBatch is
+    * at-least-once, so a replayed batch re-reads state that already
+    * contains ITS OWN previous (possibly partial) writes — without the
+    * exclusion the batch's survivors match themselves in the index
+    * (self-duplicate flags at identity similarity / empty survivor
+    * sets) and the "replay rewrites, never duplicates" contract
+    * breaks. batch_id is the partition column, so the filter is
+    * partition PRUNING, not a data scan. */
+  private def readState(spark: SparkSession, dir: String,
+                        schema: StructType, thisBatch: Long): DataFrame = {
+    val withBatch = StructType(schema.fields :+ StructField("batch_id", LongType))
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      spark.read.schema(indexSchema).parquet(indexDir)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], indexSchema)
+    val all =
+      if (fs.exists(p)) spark.read.schema(withBatch).parquet(dir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withBatch)
+    all.filter(col("batch_id") < thisBatch)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
+
+  /** Per-batch-partition dynamic overwrite — the idempotent-sink shape
+    * every writer shares (a replayed batch rewrites its own
+    * `batch_id=` partition instead of duplicating rows). */
+  private def overwriteOwnPartition(df: DataFrame, dir: String,
+                                    batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(dir)
 
   /** Streaming NEAR-dup dedup — [[graft.dedup.NearDup
     * .incrementalMinhashDedup]] as a corpus-delivery stream: the
@@ -79,12 +98,6 @@ object StreamingDedup {
     val bandsSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("band_id", IntegerType),
       StructField("band_hash", StringType)))
-    def readState(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    }
     stream.writeStream
       .outputMode("update")
       .trigger(Trigger.AvailableNow())
@@ -94,25 +107,18 @@ object StreamingDedup {
         val batchSets = NearDup.shingleSets(batch).localCheckpoint()
         val batchBands = NearDup.bandedSignatures(batchSets)
         val flags = NearDup.incrementalMinhashCore(
-            readState(spark, setsDir, setsSchema),
-            readState(spark, bandsDir, bandsSchema),
+            readState(spark, setsDir, setsSchema, batchId),
+            readState(spark, bandsDir, bandsSchema, batchId),
             batchSets, batchBands)
-          .withColumn("batch_id", lit(batchId))
           .localCheckpoint()
         val survivors = batchSets
           .join(flags.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
           .localCheckpoint()
-        def overwriteOwnPartition(df: DataFrame, dir: String): Unit =
-          df.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(dir)
-        overwriteOwnPartition(flags.drop("batch_id"), outDir)
-        overwriteOwnPartition(survivors, setsDir)
+        overwriteOwnPartition(flags, outDir, batchId)
+        overwriteOwnPartition(survivors, setsDir, batchId)
         overwriteOwnPartition(
           batchBands.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"),
-          bandsDir)
+          bandsDir, batchId)
       }
   }
 
@@ -133,18 +139,13 @@ object StreamingDedup {
           .agg(min(col("doc_id")).as("doc_id"),
             count(lit(1)).as("batch_copies"))
         val survivors = batchUnique
-          .join(readIndex(spark, indexDir), Seq("fingerprint"), "left_anti")
-          .select(col("doc_id"), col("fingerprint"), col("batch_copies"),
-            lit(batchId).as("batch_id"))
+          .join(readState(spark, indexDir, indexSchema, batchId),
+            Seq("fingerprint"), "left_anti")
+          .select(col("doc_id"), col("fingerprint"), col("batch_copies"))
           .localCheckpoint()
-        def overwriteOwnPartition(df: DataFrame, dir: String): Unit =
-          df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(dir)
-        overwriteOwnPartition(survivors, outDir)
-        overwriteOwnPartition(
-          survivors.select(col("fingerprint"), col("batch_id")), indexDir)
+        overwriteOwnPartition(survivors, outDir, batchId)
+        overwriteOwnPartition(survivors.select(col("fingerprint")),
+          indexDir, batchId)
       }
 
   /** Streaming SEMANTIC dedup — [[graft.sim.SemDedup
@@ -174,7 +175,12 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val cents = spark.read.parquet(centsDir)
+        // batch_id < batchId: on an at-least-once replay the lists
+        // already hold this batch's own survivors — without the
+        // exclusion every one of them would match itself at cosine
+        // 1.0 and be flagged as its own duplicate (see readState)
         val index = StreamingAnnIndex.readLists(spark, listsDir)
+          .filter(col("batch_id") < batchId)
           .select("centroid_id", "vec_id", "embedding")
         val batchAssigned = graft.sim.IvfAnn.assign(batch, cents)
           .localCheckpoint()
@@ -184,13 +190,7 @@ object StreamingDedup {
         val survivors = batchAssigned
           .join(flags.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
           .localCheckpoint()
-        def overwriteOwnPartition(df: DataFrame, dir: String): Unit =
-          df.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(dir)
-        overwriteOwnPartition(flags, outDir)
-        overwriteOwnPartition(survivors, listsDir)
+        overwriteOwnPartition(flags, outDir, batchId)
+        overwriteOwnPartition(survivors, listsDir, batchId)
       }
 }

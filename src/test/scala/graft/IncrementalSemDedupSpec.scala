@@ -94,16 +94,55 @@ class IncrementalSemDedupSpec extends AnyFunSuite {
 
     d1.select("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$tmp/in")
-    def deliver(): Unit =
-      StreamingDedup.semanticDedupWriter(
+    def deliver(ckpt: String = s"$tmp/ckpt"): Unit = {
+      val q = StreamingDedup.semanticDedupWriter(
           StreamingAnnIndex.readEmbeddingsStream(spark, s"$tmp/in"),
           s"$tmp/cents", s"$tmp/lists", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt").start()
-        .awaitTermination(120000)
+        .option("checkpointLocation", ckpt).start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
     deliver()
     d2.select("vec_id", "embedding", "label")
       .write.mode("append").parquet(s"$tmp/in")
     deliver()
+
+    // at-least-once REPLAY: restart from a checkpoint whose LAST
+    // commit marker is missing (the crash-after-write-before-commit
+    // state), so the stream reprocesses delivery 2 against sinks that
+    // already contain its own survivors — the batch_id exclusion in
+    // the writer must keep every assertion below true (without it,
+    // each survivor matches itself at cosine 1.0 and the flags
+    // partition is overwritten with self-duplicates). The checkpoint
+    // is CLONED first: Spark 4 caches commit-log state per path
+    // JVM-globally, so an in-place marker deletion is (correctly)
+    // rejected as concurrent checkpoint use.
+    val src = java.nio.file.Paths.get(s"$tmp/ckpt")
+    val dst = java.nio.file.Paths.get(s"$tmp/ckpt_replay")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+      ()
+    }
+    // delete a checkpoint file AND its Hadoop ChecksumFileSystem
+    // sidecar — a leftover .name.crc makes the re-created file's
+    // rename collide and read as "concurrent checkpoint use"
+    def deleteWithCrc(f: java.io.File): Unit = {
+      f.delete()
+      new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+      ()
+    }
+    val commits = new java.io.File(s"$tmp/ckpt_replay/commits")
+      .listFiles().filter(_.getName.matches("\\d+"))
+    assert(commits.nonEmpty)
+    commits.sortBy(_.getName.toInt).lastOption.foreach(deleteWithCrc)
+    // the clone keeps the original run's query id, and Spark's
+    // JVM-global commit-log cache is keyed by it — give the replay a
+    // fresh identity (the offset/commit logs drive the replay either
+    // way)
+    deleteWithCrc(new java.io.File(s"$tmp/ckpt_replay/metadata"))
+    deliver(ckpt = s"$tmp/ckpt_replay")
 
     // sequential reference via the batch operator under the same
     // persisted quantizer (assignment is per-row max with a fixed

@@ -130,8 +130,11 @@ class QualitySpec extends AnyFunSuite {
     val rep = DataChecks.gatedWrite(df, d => { audited = d; Seq(DataChecks.notNull(d, "v")) })(
       w => {
         assert(w eq audited, "write must receive the exact frame the checks audited")
-        assert(w.storageLevel !== org.apache.spark.storage.StorageLevel.NONE,
-          "the audited frame must be a pinned materialization, not a recomputation")
+        assert(w.queryExecution.analyzed.collectLeaves()
+          .forall(_.getClass.getSimpleName == "LogicalRDD"),
+          "the audited frame must be a lineage-truncated materialization " +
+            "(localCheckpoint) — a persisted plan would silently recompute " +
+            "on block loss")
         w.write.mode("overwrite").parquet(s"$out/t")
       })
     assert(new java.io.File(s"$out/t").exists())

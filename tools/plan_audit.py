@@ -22,17 +22,21 @@ import re
 import sys
 
 # plans whose single-partition stage is deliberate:
-# name -> (max exhibit exchanges, reason). The CAP is load-bearing
-# (r10 ADVICE): an open-ended exemption would wave through a future
-# unrelated single-partition exchange added to the same query — only
-# the documented wart count passes, residuals beyond it fail.
+# name -> (max exhibit exchanges, operator SIGNATURE, reason). Both
+# the cap AND the signature are load-bearing (r10/r11 ADVICE): an
+# open-ended exemption would wave through a future unrelated
+# single-partition exchange in the same query, and a purely
+# positional cap could transfer the blessing to a NEW exchange if the
+# documented wart moved — the exemption only applies when the
+# signature appears in the 12 lines after the exchange (the
+# documented wart's own operator), so anything else stays a residual.
 EXEMPT = {
-    "q_sql_gold_user_rfm_segments": (1,
+    "q_sql_gold_user_rfm_segments": (1, "ntile(5)",
         "the E2 parity WART EXHIBIT: the reference RFM model's literal "
         "partition-less NTILE runs as text to demonstrate the "
         "single-partition window MIGRATION.md documents; the engine "
         "path (gold_user_rfm_segments via GlobalRank) has none"),
-    "q_ewma_daily_revenue": (1,
+    "q_ewma_daily_revenue": (1, "collect_list(revenue",
         "single-task sequential EWMA fold over the GLOBAL daily-revenue "
         "panel — one row per calendar date after the upstream aggregate "
         "(calendar-bounded at any corpus scale); the scaladoc's grain "
@@ -69,12 +73,13 @@ def audit(path):
         for i, ln in enumerate(lines):
             if "Arguments: SinglePartition" not in ln:
                 continue
-            if name in EXEMPT and seen_exempt < EXEMPT[name][0]:
+            after = lines[i:i + 12]
+            if (name in EXEMPT and seen_exempt < EXEMPT[name][0]
+                    and any(EXEMPT[name][1] in a for a in after)):
                 seen_exempt += 1
                 exhibits += 1
                 continue
             window = lines[max(0, i - 12):i]
-            after = lines[i:i + 12]
             is_global_agg_final = (
                 any("Keys: []" in w for w in window)
                 and any("Keys: []" in a for a in after))
@@ -90,8 +95,8 @@ def audit(path):
     print(f"  global-agg-final (whitelisted by rule): {whitelisted}")
     print(f"  documented exhibits ({len(EXEMPT)} plans):"
           f"          {exhibits}")
-    for q, (cap, reason) in sorted(EXEMPT.items()):
-        print(f"    - {q} (max {cap}): {reason}")
+    for q, (cap, sig, reason) in sorted(EXEMPT.items()):
+        print(f"    - {q} (max {cap}, signature {sig!r}): {reason}")
     print(f"  RESIDUAL (scale-killers):               {len(residual)}")
     for name, i, ln in residual:
         print(f"    ! {name} @section-line {i}: {ln}")
