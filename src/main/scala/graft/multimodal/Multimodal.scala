@@ -319,6 +319,15 @@ object Multimodal {
       else if (data(4) == 'f' && data(5) == 't' && data(6) == 'y' && data(7) == 'p') "mp4"
       else if ((data(0) == 'I' && data(1) == 'D' && data(2) == '3') ||
                ((data(0) & 0xFF) == 0xFF && (data(1) & 0xE0) == 0xE0)) "mp3"
+      // remaining major media magics, named truthfully so their
+      // decoder gaps stay queryable facts: FLAC ('fLaC'), Ogg
+      // ('OggS'), EBML (0x1A45DFA3 — WebM/Matroska share it; the
+      // container level cannot distinguish them without a DocType
+      // walk, so the honest name is the envelope's)
+      else if (data(0) == 'f' && data(1) == 'L' && data(2) == 'a' && data(3) == 'C') "flac"
+      else if (data(0) == 'O' && data(1) == 'g' && data(2) == 'g' && data(3) == 'S') "ogg"
+      else if ((data(0) & 0xFF) == 0x1A && (data(1) & 0xFF) == 0x45 &&
+               (data(2) & 0xFF) == 0xDF && (data(3) & 0xFF) == 0xA3) "ebml"
       else "unknown"
 
     private def shaHex(bytes: Array[Byte]): String =

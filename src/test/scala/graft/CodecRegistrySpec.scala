@@ -30,6 +30,14 @@ class CodecRegistrySpec extends AnyFunSuite {
   test("sniffer names mp4/mp3 truthfully; without a decoder they fall back, container kept") {
     assert(MediaCodec.sniffContainer(mp4Bytes(1)) === "mp4")
     assert(MediaCodec.sniffContainer(mp3Bytes) === "mp3")
+    // the remaining major media magics are named, not "unknown" —
+    // a coverage gap must be a queryable fact
+    def magic(bs: Int*): Array[Byte] =
+      (bs.map(_.toByte) ++ Seq.fill(16)(0.toByte)).toArray
+    assert(MediaCodec.sniffContainer(magic('f', 'L', 'a', 'C')) === "flac")
+    assert(MediaCodec.sniffContainer(magic('O', 'g', 'g', 'S')) === "ogg")
+    assert(MediaCodec.sniffContainer(magic(0x1A, 0x45, 0xDF, 0xA3)) === "ebml")
+    assert(MediaCodec.sniffContainer(magic(0, 1, 2, 3)) === "unknown")
     val d = MediaCodec.decodeFull(
       MediaRecord(1L, "u", "video/mp4", "video", mp4Bytes(1)))
     assert(d.container_format === "mp4",
