@@ -1,13 +1,14 @@
 package graft.multimodal
 
-/** Structural (container-level) parsers for the two compressed formats
+/** Structural (container-level) parsers for the compressed formats
   * the sandbox has no decoder for — MP3 (ISO/IEC 11172-3 frame
-  * headers) and MP4 (ISO/IEC 14496-12 ISO-BMFF boxes). Both formats'
-  * container layer is plain public bit-layout, decodable with zero
-  * codec dependencies, and carries exactly the metadata a 100 TB
+  * headers), MP4 (ISO/IEC 14496-12 ISO-BMFF boxes), and EBML
+  * (RFC 8794 / Matroska — WebM's envelope). Each format's container
+  * layer is plain public bit-layout, decodable with zero codec
+  * dependencies, and carries exactly the metadata a 100 TB
   * media-curation pipeline filters and budgets on BEFORE any decode:
-  * duration, bitrate, sample rate, track inventory. (You do not
-  * decode 100 TB of video to count minutes of footage.)
+  * duration, bitrate, sample rate, track/codec inventory. (You do
+  * not decode 100 TB of video to count minutes of footage.)
   *
   * Part of the SURVEY §7.5 multimodal EXTENSION surface (beyond the
   * reference's own operators). It narrows the standing
@@ -219,6 +220,161 @@ object ContainerProbe {
       tsDur._2 * 1000L / tsDur._1, handlers.size, handlers)
   }
 
+  // ---------------------------------------------------------------- EBML
+
+  final case class EbmlMeta(
+      docType: String, timestampScale: Int, durationMs: Long,
+      tracks: Int, codecs: Seq[String])
+
+  // Element IDs (IETF RFC 8794 / Matroska spec, public): the EBML
+  // header + the Segment subset a metadata probe needs.
+  private val IdEbml = 0x1A45DFA3L
+  private val IdDocType = 0x4282L
+  private val IdSegment = 0x18538067L
+  private val IdInfo = 0x1549A966L
+  private val IdTimestampScale = 0x2AD7B1L
+  private val IdDuration = 0x4489L
+  private val IdTracks = 0x1654AE6BL
+  private val IdTrackEntry = 0xAEL
+  private val IdCodecId = 0x86L
+
+  /** EBML VINT at `o`: (value, byteLen) — `keepMarker` for element
+    * IDs (IDs are compared with the length-marker bit kept), masked
+    * for sizes. None on malformed/truncated. */
+  private def vint(d: Array[Byte], o: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+    if (o >= d.length) return None
+    val first = d(o) & 0xFF
+    if (first == 0) return None
+    val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (len > 8 || o + len > d.length) return None
+    var v = if (keepMarker) first.toLong else (first & (0xFF >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (d(o + i) & 0xFF); i += 1 }
+    Some((v, len))
+  }
+
+  /** Walk EBML elements of `d[from, until)`: (id, payloadStart,
+    * payloadEnd) per element, None on structural damage. */
+  private def ebmlChildren(d: Array[Byte], from: Int, until: Int):
+      Option[Seq[(Long, Int, Int)]] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    var off = from
+    while (off < until) {
+      val (id, idLen) = vint(d, off, keepMarker = true).getOrElse(return None)
+      val (size, szLen) = vint(d, off + idLen, keepMarker = false).getOrElse(return None)
+      val start = off + idLen + szLen
+      if (size < 0 || start + size > until) return None
+      acc += ((id, start, start + size.toInt))
+      off = start + size.toInt
+    }
+    Some(acc.toSeq)
+  }
+
+  private def beUint(d: Array[Byte], from: Int, until: Int): Long = {
+    var v = 0L
+    var i = from
+    while (i < until) { v = (v << 8) | (d(i) & 0xFF); i += 1 }
+    v
+  }
+
+  /** Parse an EBML (WebM/Matroska) payload's structure: header
+    * DocType, Segment/Info TimestampScale (default 1 000 000 ns) and
+    * float Duration, Tracks/TrackEntry CodecID inventory.
+    * durationMs = duration × timestampScale / 10⁶ (exact for the
+    * integral constructions the gate uses). None on structural
+    * damage or when Duration/DocType are absent. */
+  def parseEbml(data: Array[Byte]): Option[EbmlMeta] = {
+    if (data == null || data.length < 4) return None
+    for {
+      top <- ebmlChildren(data, 0, data.length)
+      header <- top.find(_._1 == IdEbml)
+      inHeader <- ebmlChildren(data, header._2, header._3)
+      docTypeEl <- inHeader.find(_._1 == IdDocType)
+      segment <- top.find(_._1 == IdSegment)
+      inSeg <- ebmlChildren(data, segment._2, segment._3)
+      info <- inSeg.find(_._1 == IdInfo)
+      inInfo <- ebmlChildren(data, info._2, info._3)
+      durEl <- inInfo.find(_._1 == IdDuration)
+        .filter(e => e._3 - e._2 == 8 || e._3 - e._2 == 4)
+      codecs <- {
+        val tracks = inSeg.find(_._1 == IdTracks)
+        tracks match {
+          case None => Some(Seq.empty[String])
+          case Some(t) => ebmlChildren(data, t._2, t._3).flatMap { entries =>
+            val cs = entries.filter(_._1 == IdTrackEntry).map { te =>
+              ebmlChildren(data, te._2, te._3)
+                .flatMap(_.find(_._1 == IdCodecId))
+                .map(c => new String(data, c._2, c._3 - c._2,
+                  java.nio.charset.StandardCharsets.US_ASCII))
+            }
+            if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
+          }
+        }
+      }
+      ts = inInfo.find(_._1 == IdTimestampScale)
+        .map(e => beUint(data, e._2, e._3)).getOrElse(1000000L)
+      if ts > 0 && ts <= Int.MaxValue
+    } yield {
+      val duration =
+        if (durEl._3 - durEl._2 == 8)
+          java.lang.Double.longBitsToDouble(beUint(data, durEl._2, durEl._3))
+        else java.lang.Float.intBitsToFloat(beUint(data, durEl._2, durEl._3).toInt).toDouble
+      EbmlMeta(
+        new String(data, docTypeEl._2, docTypeEl._3 - docTypeEl._2,
+          java.nio.charset.StandardCharsets.US_ASCII),
+        ts.toInt, (duration * ts / 1e6).toLong,
+        codecs.size, codecs)
+    }
+  }
+
+  private def ebmlId(b: java.io.ByteArrayOutputStream, id: Long): Unit = {
+    val len = if (id <= 0xFFL) 1 else if (id <= 0xFFFFL) 2
+      else if (id <= 0xFFFFFFL) 3 else 4
+    var i = len - 1
+    while (i >= 0) { b.write(((id >> (8 * i)) & 0xFF).toInt); i -= 1 }
+  }
+
+  /** Size as a minimal-length VINT (marker bit in the first byte). */
+  private def ebmlSize(b: java.io.ByteArrayOutputStream, size: Long): Unit = {
+    var len = 1
+    while (len < 8 && size >= (1L << (7 * len)) - 1) len += 1
+    var i = len - 1
+    val v = size | (1L << (7 * len))
+    while (i >= 0) { b.write(((v >> (8 * i)) & 0xFF).toInt); i -= 1 }
+  }
+
+  private def ebmlEl(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    ebmlId(b, id); ebmlSize(b, payload.length.toLong); b.write(payload)
+    b.toByteArray
+  }
+
+  /** Deterministic EBML test payload: header{DocType} +
+    * Segment{ Info{TimestampScale, Duration(float64)} +
+    * Tracks{TrackEntry{CodecID}*} }. */
+  def encodeEbml(docType: String, timestampScale: Int, duration: Double,
+                 codecs: Seq[String]): Array[Byte] = {
+    require(timestampScale > 0 && duration >= 0)
+    def uintBytes(v: Long): Array[Byte] = {
+      var len = 1
+      while (len < 8 && v >= (1L << (8 * len))) len += 1
+      Array.tabulate(len)(i => ((v >> (8 * (len - 1 - i))) & 0xFF).toByte)
+    }
+    val durBits = java.lang.Double.doubleToLongBits(duration)
+    val durBytes = Array.tabulate(8)(i => ((durBits >> (8 * (7 - i))) & 0xFF).toByte)
+    val header = ebmlEl(IdEbml,
+      ebmlEl(IdDocType, docType.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    val info = ebmlEl(IdInfo,
+      ebmlEl(IdTimestampScale, uintBytes(timestampScale.toLong)) ++
+        ebmlEl(IdDuration, durBytes))
+    val tracks =
+      if (codecs.isEmpty) Array.empty[Byte]
+      else ebmlEl(IdTracks, codecs.flatMap(c =>
+        ebmlEl(IdTrackEntry, ebmlEl(IdCodecId,
+          c.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))).toArray)
+    header ++ ebmlEl(IdSegment, info ++ tracks)
+  }
+
   // -------------------------------------------------- oracle-gated query
 
   /** mm_container_probe: every document synthesizes one MP3 and one
@@ -236,11 +392,13 @@ object ContainerProbe {
     graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"),
         ContainerMeta.mp3TestPayload(col("text")).as("p3"),
-        ContainerMeta.mp4TestPayload(col("text")).as("p4"))
+        ContainerMeta.mp4TestPayload(col("text")).as("p4"),
+        ContainerMeta.ebmlTestPayload(col("text")).as("pw"))
       .select(col("doc_id"),
         ContainerMeta.mp3Meta(col("p3")).as("m3"),
         length(col("p3")).as("mp3_byte_len"),
-        ContainerMeta.mp4Meta(col("p4")).as("m4"))
+        ContainerMeta.mp4Meta(col("p4")).as("m4"),
+        ContainerMeta.ebmlMeta(col("pw")).as("mw"))
       .select(col("doc_id"),
         col("m3.sample_rate").as("mp3_sample_rate"),
         col("m3.bitrate_kbps").as("mp3_bitrate_kbps"),
@@ -253,7 +411,12 @@ object ContainerProbe {
         col("m4.duration_ticks").as("mp4_duration_ticks"),
         col("m4.duration_ms").as("mp4_duration_ms"),
         col("m4.tracks").as("mp4_tracks"),
-        col("m4.handlers").as("mp4_handlers"))
+        col("m4.handlers").as("mp4_handlers"),
+        col("mw.doc_type").as("webm_doctype"),
+        col("mw.timestamp_scale").as("webm_timescale"),
+        col("mw.duration_ms").as("webm_duration_ms"),
+        col("mw.tracks").as("webm_tracks"),
+        col("mw.codecs").as("webm_codecs"))
       .orderBy(col("doc_id"))
   }
 
@@ -288,7 +451,13 @@ object ContainerProbe {
       |  CAST(dt * 1000 // ts AS BIGINT) AS mp4_duration_ms,
       |  CAST(tracks AS INT) AS mp4_tracks,
       |  CASE tracks WHEN 1 THEN 'vide' WHEN 2 THEN 'vide,soun'
-      |       ELSE 'vide,soun,vide' END AS mp4_handlers
+      |       ELSE 'vide,soun,vide' END AS mp4_handlers,
+      |  CASE WHEN L % 2 = 0 THEN 'webm' ELSE 'matroska' END AS webm_doctype,
+      |  CAST(500000 * (L % 3 + 1) AS INT) AS webm_timescale,
+      |  CAST(125 * (L + 3) * (L % 3 + 1) AS BIGINT) AS webm_duration_ms,
+      |  CAST(L % 4 AS INT) AS webm_tracks,
+      |  ['','V_VP9','V_VP9,A_OPUS','V_VP9,A_OPUS,V_VP9'][CAST(L % 4 AS INT) + 1]
+      |    AS webm_codecs
       |FROM d
       |ORDER BY doc_id""".stripMargin
 

@@ -47,6 +47,30 @@ object ContainerMeta {
     StructField("tracks", IntegerType, nullable = false),
     StructField("handlers", StringType, nullable = false)))
 
+  val ebmlType: StructType = StructType(Seq(
+    StructField("doc_type", StringType, nullable = false),
+    StructField("timestamp_scale", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("tracks", IntegerType, nullable = false),
+    StructField("codecs", StringType, nullable = false)))
+
+  def ebmlRow(data: Array[Byte]): InternalRow =
+    ContainerProbe.parseEbml(data) match {
+      case Some(m) => new GenericInternalRow(Array[Any](
+        UTF8String.fromString(m.docType), m.timestampScale, m.durationMs,
+        m.tracks, UTF8String.fromString(m.codecs.mkString(","))))
+      case None => null
+    }
+
+  def ebmlPayload(text: UTF8String): Array[Byte] = {
+    val L = text.numChars()
+    ContainerProbe.encodeEbml(
+      docType = if (L % 2 == 0) "webm" else "matroska",
+      timestampScale = 500000 * (L % 3 + 1),
+      duration = ((L + 3) * 250).toDouble,
+      codecs = (0 until L % 4).map(i => if (i % 2 == 0) "V_VP9" else "A_OPUS"))
+  }
+
   /** Static kernel: parse or NULL (shared by eval and codegen). */
   def mp3Row(data: Array[Byte]): InternalRow =
     ContainerProbe.parseMp3(data) match {
@@ -139,6 +163,39 @@ object ContainerMeta {
     override protected def withNewChildInternal(newChild: Expression): Mp4TestPayload =
       copy(child = newChild)
   }
+
+  case class EbmlMeta(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    override def dataType: DataType = ebmlType
+    override def nullable: Boolean = true
+    override def prettyName: String = "ebml_meta"
+    override def nullSafeEval(input: Any): Any =
+      ebmlRow(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, structExpr(ev, "ebmlRow"))
+    override protected def withNewChildInternal(newChild: Expression): EbmlMeta =
+      copy(child = newChild)
+  }
+
+  case class EbmlTestPayload(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "ebml_test_payload"
+    override def nullSafeEval(input: Any): Any =
+      ebmlPayload(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.sql.graftext.ContainerMeta.ebmlPayload($a);")
+    override protected def withNewChildInternal(newChild: Expression): EbmlTestPayload =
+      copy(child = newChild)
+  }
+
+  def ebmlMeta(data: Column): Column =
+    ExpressionUtils.column(EbmlMeta(ExpressionUtils.expression(data)))
+  def ebmlTestPayload(text: Column): Column =
+    ExpressionUtils.column(EbmlTestPayload(ExpressionUtils.expression(text)))
 
   def mp3Meta(data: Column): Column =
     ExpressionUtils.column(Mp3Meta(ExpressionUtils.expression(data)))

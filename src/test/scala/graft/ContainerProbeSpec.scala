@@ -126,6 +126,52 @@ class ContainerProbeSpec extends AnyFunSuite {
     assert(ContainerProbe.parseMp4(null).isEmpty)
   }
 
+  // ------------------------------------------------------------ EBML
+
+  test("ebml encode/parse round trip recovers doctype, timing, and codec inventory") {
+    val bytes = ContainerProbe.encodeEbml("webm", timestampScale = 1000000,
+      duration = 12345.0, codecs = Seq("V_VP9", "A_OPUS"))
+    val m = ContainerProbe.parseEbml(bytes).get
+    assert(m.docType === "webm")
+    assert(m.timestampScale === 1000000)
+    assert(m.durationMs === 12345L) // scale 1e6 ns => ticks are ms
+    assert(m.tracks === 2 && m.codecs === Seq("V_VP9", "A_OPUS"))
+    // zero tracks: the Tracks element is simply absent
+    val none = ContainerProbe.parseEbml(
+      ContainerProbe.encodeEbml("matroska", 500000, 100.0, Seq.empty)).get
+    assert(none.tracks === 0 && none.codecs.isEmpty)
+    assert(none.durationMs === 50L) // 100 ticks x 0.5ms/tick
+  }
+
+  test("ebml: missing TimestampScale defaults to 1e6 ns per the Matroska spec, not our encoder") {
+    // hand-build header + Segment{Info{Duration only}} — the default
+    // comes from the SPEC, so this fixture must omit the element
+    val dur = java.lang.Double.doubleToLongBits(750.0)
+    val durBytes = Array.tabulate(8)(i => ((dur >> (8 * (7 - i))) & 0xFF).toByte)
+    def el(id: Seq[Int], payload: Array[Byte]): Array[Byte] =
+      (id.map(_.toByte) ++ Seq((0x80 | payload.length).toByte)).toArray ++ payload
+    val bytes =
+      el(Seq(0x1A, 0x45, 0xDF, 0xA3), el(Seq(0x42, 0x82), "webm".getBytes)) ++
+      el(Seq(0x18, 0x53, 0x80, 0x67),
+        el(Seq(0x15, 0x49, 0xA9, 0x66), el(Seq(0x44, 0x89), durBytes)))
+    val m = ContainerProbe.parseEbml(bytes).get
+    assert(m.timestampScale === 1000000 && m.durationMs === 750L)
+  }
+
+  test("ebml structural damage is None: bad vint, size overrun, missing duration") {
+    val good = ContainerProbe.encodeEbml("webm", 1000000, 10.0, Seq("V_VP9"))
+    val zeroVint = good.clone(); zeroVint(0) = 0 // 0x00 is not a valid VINT
+    assert(ContainerProbe.parseEbml(zeroVint).isEmpty)
+    assert(ContainerProbe.parseEbml(good.dropRight(1)).isEmpty,
+      "a truncated last element overruns its declared size")
+    assert(ContainerProbe.parseEbml(
+      ContainerProbe.encodeEbml("webm", 1000000, 10.0, Seq.empty)
+        .patch(0, Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA4.toByte), 4)).isEmpty,
+      "wrong header id")
+    assert(ContainerProbe.parseEbml(null).isEmpty)
+    assert(ContainerProbe.parseEbml(Array[Byte](1, 2)).isEmpty)
+  }
+
   test("fuzz: parsers never throw — random bytes and mutated valid payloads give None or truthful prefixes") {
     // deterministic fuzz (fixed seed): parser code walking attacker-
     // shaped bytes must be total — any exception here would become a
@@ -135,6 +181,7 @@ class ContainerProbeSpec extends AnyFunSuite {
       val junk = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
       ContainerProbe.parseMp3(junk) // must not throw
       ContainerProbe.parseMp4(junk)
+      ContainerProbe.parseEbml(junk)
     }
     val validMp3 = ContainerProbe.encodeMp3(4, 9, 1, 12)
     val validMp4 = ContainerProbe.encodeMp4("isom", 1000, 4000L, Seq("vide", "soun"))
@@ -158,6 +205,18 @@ class ContainerProbeSpec extends AnyFunSuite {
         assert(m.timescale > 0 && m.durationMs >= 0 && m.tracks >= 0)
         assert(m.handlers.size === m.tracks)
       }
+    }
+    val validEbml = ContainerProbe.encodeEbml("webm", 1000000, 500.0, Seq("V_VP9"))
+    (1 to 300).foreach { _ =>
+      val b = validEbml.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+      ContainerProbe.parseEbml(
+        if (rnd.nextBoolean()) b.take(rnd.nextInt(b.length + 1)) else b)
+        .foreach { m =>
+          assert(m.timestampScale > 0 && m.tracks >= 0)
+          assert(m.codecs.size === m.tracks)
+        }
     }
   }
 
