@@ -51,13 +51,23 @@ object Bench {
     else if (math.max(s1, s2) <= math.min(s1, s2) * 1.3) math.min(s1, s2)
     else Seq(s1, s2, once()).sorted.apply(1)
 
-  /** Previous-board queries map for the outlier re-run guard. Source
-    * order: `SPARK_GRAFT_PREV` (explicit baseline file), else the
-    * repo's last `BENCH_FULL.json` (the complete committed board),
-    * else the newest `BENCH_r*.json` (which the driver may wrap in a
-    * JSON "tail" capture — often truncated, hence last resort). */
-  private def previousBench(): (String, Map[String, Double], String) = {
-    def parse(f: java.io.File): (String, Map[String, Double], String) = {
+  /** Previous board: base per-query seconds (outlier re-run guard +
+    * drift adjudication), git sha (attribution window), and sf1
+    * per-query seconds (the r12 sf1-curve adjudication — the r11
+    * verdict's #1: the driver board shipped 25.9× sf1 ratios that were
+    * pure session noise with no in-board arbitration). */
+  private[graft] final case class PrevBoard(
+      name: String, queries: Map[String, Double], sha: String,
+      sf1Queries: Map[String, Double])
+
+  /** Source order: `SPARK_GRAFT_PREV` (explicit baseline file), else
+    * the repo's last `BENCH_FULL.json` (the complete committed board —
+    * the only shape guaranteed to carry sf1 absolute seconds), else
+    * the newest `BENCH_r*.json` (which the driver may wrap in a JSON
+    * "tail" capture — often truncated and sf1-ratio-only, hence last
+    * resort). */
+  private def previousBench(): PrevBoard = {
+    def parse(f: java.io.File): PrevBoard = {
       val text = scala.io.Source.fromFile(f)
       val s = try text.mkString finally text.close()
       // the previous board's git sha — the adjudicator's attribution
@@ -65,26 +75,34 @@ object Bench {
       val sha = "\\\\?\"git_head\\\\?\":\\\\?\"([0-9a-f]{7,40})\\\\?\""
         .r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
       // tolerate both raw and tail-escaped forms
-      val qStart = s.indexOf("queries")
-      if (qStart < 0) (f.getName, Map.empty[String, Double], sha)
-      else {
-        val body = s.substring(qStart, s.indexOf('}', qStart) max qStart)
-        val pairs = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":([-0-9.eE+]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        (f.getName, pairs, sha)
-      }
+      def pairsAfter(start: Int): Map[String, Double] =
+        if (start < 0) Map.empty
+        else {
+          val body = s.substring(start, s.indexOf('}', start) max start)
+          "\\\\?\"([A-Za-z0-9_]+)\\\\?\":([-0-9.eE+]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      val base = pairsAfter(s.indexOf("queries"))
+      // the sf1 section's absolute seconds: `"sf1":{...,"queries":{...}`
+      // (the compact line carries only ratios — no "queries" after
+      // "sf1" there, so this parses empty and sf1 adjudication is
+      // simply unavailable from a tail-capture baseline)
+      val sf1Idx = s.indexOf("sf1")
+      val sf1 = if (sf1Idx < 0) Map.empty[String, Double]
+        else pairsAfter(s.indexOf("queries", sf1Idx))
+      PrevBoard(f.getName, base, sha, sf1)
     }
     // a source that exists but parses to nothing must NOT win the
     // chain — an unparseable explicit file would otherwise silently
     // disable the outlier guard instead of falling through
     val explicit = sys.env.get("SPARK_GRAFT_PREV").map(new java.io.File(_))
-      .filter(_.isFile).map(parse).filter(_._2.nonEmpty)
+      .filter(_.isFile).map(parse).filter(_.queries.nonEmpty)
     def full = Some(new java.io.File("BENCH_FULL.json")).filter(_.isFile)
-      .map(parse).filter(_._2.size >= 20)
+      .map(parse).filter(_.queries.size >= 20)
     def tail = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-      .lastOption.map(parse).filter(_._2.nonEmpty)
-    explicit.orElse(full).orElse(tail).getOrElse(("", Map.empty, ""))
+      .lastOption.map(parse).filter(_.queries.nonEmpty)
+    explicit.orElse(full).orElse(tail).getOrElse(PrevBoard("", Map.empty, "", Map.empty))
   }
 
   def main(args: Array[String]): Unit = {
@@ -114,9 +132,14 @@ object Bench {
     // and ship a plausible-looking garbage board
     def warm(stage: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try body catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] warmup stage $stage FAILED: ${e.getMessage}") }
-      warmup(stage) = (System.nanoTime() - t0) / 1e9
+      val ok = try { body; true } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup stage $stage FAILED: ${e.getMessage}")
+        false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // a FAILED stage records its elapsed NEGATED — the artifact
+      // alone must distinguish completed staging from aborted staging
+      // (r11 ADVICE: failure was stderr-only, invisible in the JSON)
+      warmup(stage) = if (ok) sec else -sec
     }
     warm("lineitem_listing") {
       graft.sources.Tables.lineitem(spark, sfDir).count() }
@@ -174,7 +197,8 @@ object Bench {
       createdStages(name) = SparkEntry.stageNames(spark, sfDir) -- before
       name -> sec
     }
-    val (prevName, prev, prevSha) = previousBench()
+    val prevBoard = previousBench()
+    val (prevName, prev, prevSha) = (prevBoard.name, prevBoard.queries, prevBoard.sha)
     var reruns = 0
     val outliers = scala.collection.mutable.Set.empty[String]
     val results = firstPass.map { case (name, sec) =>
@@ -258,19 +282,10 @@ object Bench {
       case None if prevSha.isEmpty => "unavailable:no-prev-sha"
       case None => "unavailable:git-failure"
     }
+    val firstMap = firstPass.toMap
     val adjudication: Map[String, String] = results.flatMap { case (name, sec) =>
-      prev.get(name).filter(_ > 0.05).flatMap { p =>
-        if (sec > p * 1.3 && sec > 0.3) {
-          val verdict = explainedRegressions.get(name).map("explained:" + _)
-            .getOrElse(
-              if (QueryAttribution.mayBeCodeCaused(name, qFiles, changed))
-                "regressed"
-              else "explained:epoch-drift")
-          Some(name -> verdict)
-        }
-        else if (outliers(name)) Some(name -> "noise")
-        else None
-      }
+      adjudicateOne(name, sec, prev.get(name),
+        Seq(firstMap.getOrElse(name, sec)), qFiles, changed)
     }.toMap
     if (adjudication.nonEmpty)
       adjudication.toSeq.sortBy(_._1).foreach { case (n, v) =>
@@ -295,7 +310,20 @@ object Bench {
     // through a var here (rather than object state read in the same
     // argument list) keeps the board correct under any reordering of
     // the benchJson arguments
-    val (sf1Curve, sf1Warmup) = scaleCurve(spark, sfDir, results.toMap)
+    val (sf1Curve, sf1Warmup, sf1Runs) = scaleCurve(spark, sfDir, results.toMap)
+    // sf1-curve drift adjudication (r11 verdict #1 — the board's last
+    // unarbitrated surface): same policy as the base board, against
+    // the previous board's sf1 ABSOLUTE seconds (a ratio comparison
+    // would conflate numerator and denominator drift). The raw repeat
+    // times ride in the full file so disagreement between repeats is
+    // itself visible.
+    val sf1Adj: Map[String, String] = sf1Curve.flatMap { case (name, sec, _) =>
+      adjudicateOne(name, sec, prevBoard.sf1Queries.get(name),
+        sf1Runs.getOrElse(name, Seq(sec)), qFiles, changed)
+    }.toMap
+    if (sf1Adj.nonEmpty)
+      sf1Adj.toSeq.sortBy(_._1).foreach { case (n, v) =>
+        System.err.println(f"[bench] sf1 adjudication $n%-36s $v") }
     println(benchJson(results, total, sfDir,
       sf1 = sf1Curve,
       stamp = f""","load_avg":[$loadStart%.1f,$loadEnd%.1f],"outlier_reruns":$reruns""",
@@ -303,9 +331,40 @@ object Bench {
       warmup = warmup.toSeq,
       warmupSf1 = sf1Warmup,
       attribution = attribution,
-      commonTotals = commonTotals))
+      commonTotals = commonTotals,
+      sf1Runs = sf1Runs,
+      sf1Prev = prevBoard.sf1Queries,
+      sf1Adj = sf1Adj))
     spark.stop()
   }
+
+  /** One drift verdict, shared by the base board and the sf1 curve so
+    * both surfaces carry the same arbitration (r11 verdict #1):
+    *   - board sec >1.3× prev (and >0.3s): a known intentional cost
+    *     change reads `explained:<reason>`; a slowdown whose static
+    *     call closure intersects the attribution window's changed
+    *     files reads `regressed`; an untouched slowdown reads
+    *     `explained:epoch-drift` (the contended-session signature —
+    *     inflation on code no commit touched).
+    *   - any RAW sample exceeded the threshold but the robust board
+    *     number does not: `noise` (the re-sampling already arbitrated
+    *     it; the label records that arbitration happened).
+    *   - otherwise no verdict. */
+  private[graft] def adjudicateOne(
+      name: String, sec: Double, prevSec: Option[Double],
+      rawRuns: Seq[Double], qFiles: Map[String, Set[String]],
+      changed: Option[Set[String]]): Option[(String, String)] =
+    prevSec.filter(_ > 0.05).flatMap { p =>
+      if (sec > p * 1.3 && sec > 0.3)
+        Some(name -> explainedRegressions.get(name).map("explained:" + _)
+          .getOrElse(
+            if (QueryAttribution.mayBeCodeCaused(name, qFiles, changed))
+              "regressed"
+            else "explained:epoch-drift"))
+      else if (rawRuns.exists(r => r > p * 1.3 && r > 0.3) && sec <= p * 1.3)
+        Some(name -> "noise")
+      else None
+    }
 
   /** Queries whose cost this round's code INTENTIONALLY changed, with
     * the reason — consulted by the drift adjudicator so a known cost
@@ -355,8 +414,13 @@ object Bench {
     * an empty section — the bench line must always print. */
   private def scaleCurve(spark: SparkSession, sfDir: String,
                          base: Map[String, Double]):
-      (Seq[(String, Double, Double)], Seq[(String, Double)]) = {
+      (Seq[(String, Double, Double)], Seq[(String, Double)], Map[String, Seq[Double]]) = {
     val warmupSf1 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // every raw repeat per entry (s1, s2, and the arbiter when taken):
+    // rides in the full board so repeat disagreement — the in-session
+    // noise signature — is visible to a reader, and feeds the sf1
+    // adjudicator's "noise" verdict
+    val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def curve(): Seq[(String, Double, Double)] =
     if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") Seq.empty
     else try {
@@ -393,7 +457,10 @@ object Bench {
           materialize(SparkEntry.queries(name)(spark, dest))
           warmupSf1(name) = (System.nanoTime() - t0) / 1e9
         } catch { case scala.util.control.NonFatal(e) =>
-          warmupSf1(name) = (System.nanoTime() - t0) / 1e9
+          // NEGATED elapsed = this stage FAILED after that many
+          // seconds — the board JSON alone distinguishes failed from
+          // successful staging (r11 ADVICE: failure was stderr-only)
+          warmupSf1(name) = -((System.nanoTime() - t0) / 1e9)
           System.err.println(s"[bench] sf1 warmup stage $name FAILED: ${e.getMessage}")
         }
       }
@@ -435,17 +502,21 @@ object Bench {
           val (s1, created) = timedRun()
           SparkEntry.evictStages(spark, dest, created)
           val (s2, _) = timedRun()
+          val arbiters = scala.collection.mutable.ArrayBuffer.empty[Double]
           val sec = robustSec(s1, s2, () => {
             SparkEntry.evictStages(spark, dest, created)
-            timedRun()._1
+            val t = timedRun()._1
+            arbiters += t
+            t
           })
+          rawRuns(name) = Seq(s1, s2) ++ arbiters.toSeq
           System.err.println(f"[bench] sf1 $name%-36s runs $s1%7.2f/$s2%7.2f -> $sec%7.2f")
           val ratio = base.get(name).filter(_ > 0).map(sec / _).getOrElse(0.0)
           Seq((name, sec, ratio))
         } catch { case scala.util.control.NonFatal(_) => Seq.empty }
       }
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
-    (curve(), warmupSf1.toSeq)
+    (curve(), warmupSf1.toSeq, rawRuns.toMap)
   }
 
   /** Queries the judge's BASELINE.md targets map onto, plus the
@@ -482,7 +553,10 @@ object Bench {
       warmup: Seq[(String, Double)] = Seq.empty,
       warmupSf1: Seq[(String, Double)] = Seq.empty,
       attribution: String = "",
-      commonTotals: Option[(Double, Double)] = None): String = {
+      commonTotals: Option[(Double, Double)] = None,
+      sf1Runs: Map[String, Seq[Double]] = Map.empty,
+      sf1Prev: Map[String, Double] = Map.empty,
+      sf1Adj: Map[String, String] = Map.empty): String = {
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // HEAD sha: the NEXT board's adjudicator diffs prevSha..HEAD to
@@ -513,33 +587,42 @@ object Bench {
     val attributionExtra =
       if (attribution.isEmpty) "" else s""","attribution":"$attribution""""
     // round-over-round trend over the query intersection of the two
-    // boards — auditable without a second file
+    // boards — auditable without a second file. common_total_min pins
+    // a drift-robust headline: two back-to-back boards on identical
+    // code can disagree ±15% in session warmth (r11 verdict #6), but
+    // noise only ever inflates, so the min of the two common-set
+    // totals converges round-over-round where the raw total swings.
     val commonExtra = commonTotals.map { case (prevT, curT) =>
-      s""","prev_common_total":${fmt(prevT)},"common_total":${fmt(curT)}"""
+      s""","prev_common_total":${fmt(prevT)},"common_total":${fmt(curT)}""" +
+        s""","common_total_min":${fmt(math.min(prevT, curT))}"""
     }.getOrElse("")
     // per-query drift verdicts (noise / explained:<why> / regressed);
     // the compact fallback line carries the counts plus the regressed
     // names (the actionable part), capped so the line stays in budget
-    val adjFull =
-      if (adj.isEmpty) ""
-      else adj.toSeq.sortBy(_._1)
+    def adjObj(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-        .mkString(""","adjudication":{""", ",", "}")
-    val adjSummary =
-      if (adj.isEmpty) ""
-      else {
-        val noise = adj.count(_._2 == "noise")
-        val expl = adj.count(_._2.startsWith("explained"))
-        val regressed = adj.filter(_._2 == "regressed").keys.toSeq.sorted
-        val names = regressed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
-        s""","adjudication_summary":{"noise":$noise,"explained":$expl,"regressed":${regressed.size},"regressed_names":$names}"""
-      }
-    // 10× scale-curve section: per-query seconds at sf1 plus the
-    // ratio vs this run's base timing (~10 ⇒ linear scaling). The
-    // COMPACT fallback carries only the ratio map — the judged signal
-    // — because the curve grew past what fits next to the headline
-    // subset (r10's compact line ran 2.1 KB and the driver recorded
-    // `parsed: null`); absolute seconds stay in the full file.
+        .mkString(""""adjudication":{""", ",", "}")
+    def adjSummaryObj(m: Map[String, String]): String = {
+      val noise = m.count(_._2 == "noise")
+      val expl = m.count(_._2.startsWith("explained"))
+      val regressed = m.filter(_._2 == "regressed").keys.toSeq.sorted
+      val names = regressed.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""""adjudication_summary":{"noise":$noise,"explained":$expl,"regressed":${regressed.size},"regressed_names":$names}"""
+    }
+    val adjFull = if (adj.isEmpty) "" else "," + adjObj(adj)
+    val adjSummary = if (adj.isEmpty) "" else "," + adjSummaryObj(adj)
+    // 10× scale-curve section: per-query seconds at sf1, the ratio vs
+    // this run's base timing (~10 ⇒ linear scaling), the RAW repeat
+    // times behind each board number (repeat disagreement = visible
+    // in-session noise), the previous board's sf1 seconds, and the
+    // curve's own drift adjudication (r11 verdict #1: 25.9× session-
+    // noise ratios shipped with no in-board arbitration). The COMPACT
+    // fallback carries the ratio map + the adjudication summary — the
+    // judged signals — because the curve grew past what fits next to
+    // the headline subset (r10's compact line ran 2.1 KB and the
+    // driver recorded `parsed: null`); everything else stays in the
+    // full file.
     def fmt2(v: Double): String = BigDecimal(v)
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val sf1Extra =
@@ -549,19 +632,37 @@ object Bench {
           .mkString("{", ",", "}")
         val ratios = sf1.map { case (k, _, r) => "\"" + k + "\":" + fmt(r) }
           .mkString("{", ",", "}")
-        s""","sf1":{"factor":10,"queries":$secs,"ratio_vs_base":$ratios}"""
+        val runsPart =
+          if (sf1Runs.isEmpty) ""
+          else sf1.flatMap { case (k, _, _) => sf1Runs.get(k).map(rs =>
+            "\"" + k + "\":" + rs.map(fmt2).mkString("[", ",", "]")) }
+            .mkString(""","runs":{""", ",", "}")
+        val prevPart = {
+          val known = sf1.flatMap { case (k, _, _) =>
+            sf1Prev.get(k).map(p => "\"" + k + "\":" + fmt(p)) }
+          if (known.isEmpty) "" else known.mkString(""","prev_queries":{""", ",", "}")
+        }
+        val adjPart = if (sf1Adj.isEmpty) "" else "," + adjObj(sf1Adj)
+        s""","sf1":{"factor":10,"queries":$secs,"ratio_vs_base":$ratios$runsPart$prevPart$adjPart}"""
       }
-    def sf1Compact(entries: Seq[(String, Double, Double)], note: String): String =
+    def sf1Compact(entries: Seq[(String, Double, Double)], note: String,
+                   adjPart: String): String =
       if (sf1.isEmpty) ""
       else entries.map { case (k, _, r) => "\"" + k + "\":" + fmt2(r) }
-        .mkString(s""","sf1":{"factor":10$note,"ratio_vs_base":{""", ",", "}}")
+        .mkString(s""","sf1":{"factor":10$note,"ratio_vs_base":{""", ",", "}" + adjPart + "}")
+    // the compact sf1 arbitration: counts (+capped regressed names) so
+    // a reader of the captured line can weigh an inflated ratio
+    // without the full file
+    val sf1AdjSummary = if (sf1Adj.isEmpty) "" else "," + adjSummaryObj(sf1Adj)
     def line(rs: Seq[(String, Double)], extra: String, sf1Part: String,
-             adjPart: String, warmupPart: String): String = {
+             adjPart: String, warmupPart: String, tail: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra$sf1Part$adjPart$warmupPart$attributionExtra$commonExtra$gitHead$stamp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$extra$sf1Part$adjPart$warmupPart$tail,"sf":"$sfDir"}"""
     }
-    val full = line(results, "", sf1Extra, adjFull, warmupExtra + warmupSf1Extra)
+    val fullTail = attributionExtra + commonExtra + gitHead + stamp
+    val full = line(results, "", sf1Extra, adjFull,
+      warmupExtra + warmupSf1Extra, fullTail)
     try {
       val w = new java.io.PrintWriter(fullFile)
       try w.println(full) finally w.close()
@@ -569,23 +670,40 @@ object Bench {
     if (full.length <= 1700) full
     else {
       val subset = results.filter { case (k, _) => headline.contains(k) }
-      // warmup detail and sf1 absolute seconds live in the full file;
-      // the compact line keeps the judged signals (headline queries,
-      // sf1 ratios, adjudication summary, attribution, trend) inside
-      // the driver's ~1700-char capture budget
+      // warmup detail, sf1 absolute seconds / raw runs / prevs live in
+      // the full file; the compact line keeps the judged signals
+      // (headline queries, sf1 ratios + adjudication summary, base
+      // adjudication summary, attribution, trend) inside the driver's
+      // ~1700-char capture budget
       val omitted =
         s""","queries_omitted":${results.size - subset.size},"queries_full_file":"BENCH_FULL.json""""
-      val compact = line(subset, omitted, sf1Compact(sf1, ""), adjSummary, "")
+      val compact = line(subset, omitted, sf1Compact(sf1, "", sf1AdjSummary),
+        adjSummary, "", fullTail)
       if (compact.length <= 1700) compact
       else {
-        // last resort as the curve grows: keep only the ratios that
-        // signal scale risk (≥1.5), capped at the worst 12 — the rest
-        // are the uninteresting ≈linear majority, all still in the
-        // full file
+        // as the curve grows: keep only the ratios that signal scale
+        // risk (≥1.5), capped at the worst 12, WITH their per-name
+        // adjudication (exactly the entries a reader needs arbitrated)
+        // — the rest are the uninteresting ≈linear majority, all still
+        // in the full file
         val risky = sf1.filter(_._3 >= 1.5).sortBy(-_._3).take(12)
-        line(subset, omitted,
-          sf1Compact(risky, s""","ratios_omitted":${sf1.size - risky.size}"""),
-          adjSummary, "")
+        val riskyNames = risky.map(_._1).toSet
+        val riskyAdj = sf1Adj.filter { case (k, _) => riskyNames(k) }
+        val riskyAdjPart = if (riskyAdj.isEmpty) "" else "," + adjObj(riskyAdj)
+        val riskyLine = line(subset, omitted,
+          sf1Compact(risky, s""","ratios_omitted":${sf1.size - risky.size}""",
+            riskyAdjPart),
+          adjSummary, "", fullTail)
+        if (riskyLine.length <= 1700) riskyLine
+        else
+          // guaranteed-fit floor (r11 ADVICE: the risky-capped line
+          // had no further degradation path and could still overflow):
+          // headline queries + attribution only — the headline subset
+          // is a fixed-size set, so this line is bounded by
+          // construction; every dropped field is in the full file
+          line(subset,
+            omitted + s""","detail_dropped":"capture-budget"""",
+            "", "", "", attributionExtra + gitHead)
       }
     }
   }

@@ -44,7 +44,9 @@ object TimeQueries {
       else try { body; warmed += stage }
       catch { case scala.util.control.NonFatal(e) =>
         skipped += stage
-        println(s"[time] warmup stage $stage FAILED: ${e.getMessage}")
+        // stderr like Bench's warmup failures — stdout stays the
+        // parseable timing stream (r11 ADVICE)
+        System.err.println(s"[time] warmup stage $stage FAILED: ${e.getMessage}")
       }
     warm("lineitem_listing", Seq("lineitem")) {
       graft.sources.Tables.lineitem(spark, sfDir).count(); () }
@@ -56,7 +58,7 @@ object TimeQueries {
         materialize(SparkEntry.queries(q)(spark, sfDir)) })
     warm("mm_media_meta", Seq("documents")) {
       materialize(SparkEntry.queries("mm_media_meta")(spark, sfDir)) }
-    println(s"[time] warmed: ${warmed.mkString(", ")}" +
+    System.err.println(s"[time] warmed: ${warmed.mkString(", ")}" +
       (if (skipped.nonEmpty) s"; skipped (missing inputs): ${skipped.mkString(", ")}" else ""))
     names.foreach { name =>
       (1 to reps).foreach { i =>

@@ -121,10 +121,85 @@ class BenchJsonSpec extends AnyFunSuite {
       .contains("attribution"))
   }
 
+  test("sf1 curve self-adjudicates: runs/prev/adjudication in the full file, summary on the compact line") {
+    val sf1 = Seq(("q_sketch_rolling_topk", 20.76, 25.9), ("dedup_incremental", 6.29, 15.3),
+      ("sim_semdedup", 2.1, 2.6))
+    val runs = Map(
+      "q_sketch_rolling_topk" -> Seq(20.9, 20.76),
+      "dedup_incremental" -> Seq(9.4, 6.29, 6.5),
+      "sim_semdedup" -> Seq(2.3, 2.1))
+    val prevSf1 = Map("q_sketch_rolling_topk" -> 0.59, "dedup_incremental" -> 0.53,
+      "sim_semdedup" -> 2.0)
+    val sf1Adj = Map(
+      "q_sketch_rolling_topk" -> "explained:epoch-drift",
+      "dedup_incremental" -> "explained:epoch-drift")
+    val small = Bench.benchJson(fakeResults(5), 1.0, "/tmp/sf", tmpFull,
+      sf1 = sf1, sf1Runs = runs, sf1Prev = prevSf1, sf1Adj = sf1Adj)
+    // full line: raw repeats, previous board's seconds, per-name verdicts
+    assert(small.contains(""""runs":{"q_sketch_rolling_topk":[20.90,20.76]"""))
+    assert(small.contains(""""dedup_incremental":[9.40,6.29,6.50]"""))
+    assert(small.contains(""""prev_queries":{"q_sketch_rolling_topk":0.590"""))
+    assert(small.contains(""""q_sketch_rolling_topk":"explained:epoch-drift""""))
+    // compact fallback: the adjudication summary rides INSIDE the sf1
+    // object so a reader of the captured line can weigh inflated ratios
+    val big = Bench.benchJson(fakeResults(150), 99.9, "/tmp/sf", tmpFull,
+      sf1 = sf1, sf1Runs = runs, sf1Prev = prevSf1, sf1Adj = sf1Adj)
+    assert(big.length <= 1700)
+    assert(big.contains(""""adjudication_summary":{"noise":0,"explained":2,"regressed":0"""))
+    assert(!big.contains(""""runs":"""), "raw repeats live in the full file only")
+  }
+
+  test("adjudicateOne: shared verdict policy for base board and sf1 curve") {
+    val qf = Map("q_x" -> Set("src/main/scala/graft/ops/TopK.scala"))
+    val untouched = Some(Set("src/main/scala/graft/ops/Bucketize.scala"))
+    val touched = Some(Set("src/main/scala/graft/ops/TopK.scala"))
+    // inflated board number, untouched closure -> epoch drift
+    assert(Bench.adjudicateOne("q_x", 20.76, Some(0.59), Seq(20.9, 20.76), qf, untouched)
+      === Some("q_x" -> "explained:epoch-drift"))
+    // inflated board number, touched closure -> regressed
+    assert(Bench.adjudicateOne("q_x", 20.76, Some(0.59), Seq(20.9, 20.76), qf, touched)
+      === Some("q_x" -> "regressed"))
+    // a raw repeat spiked but the robust number did not -> noise
+    assert(Bench.adjudicateOne("q_x", 0.6, Some(0.55), Seq(9.4, 0.6), qf, untouched)
+      === Some("q_x" -> "noise"))
+    // clean entry -> no verdict
+    assert(Bench.adjudicateOne("q_x", 0.6, Some(0.55), Seq(0.62, 0.6), qf, untouched).isEmpty)
+    // no previous sf1 seconds (tail-capture baseline) -> no verdict
+    assert(Bench.adjudicateOne("q_x", 20.76, None, Seq(20.9), qf, untouched).isEmpty)
+    // attribution unavailable -> conservative: regressed stays possible
+    assert(Bench.adjudicateOne("q_x", 20.76, Some(0.59), Seq(20.9), qf, None)
+      === Some("q_x" -> "regressed"))
+  }
+
+  test("failed warmup stages ride NEGATED so the artifact distinguishes them") {
+    val wu = Seq("silver_events" -> 1.5, "dedup_clusters" -> -3.25)
+    val small = Bench.benchJson(fakeResults(5), 1.0, "/tmp/sf", tmpFull, warmup = wu,
+      warmupSf1 = Seq("mm_media_meta" -> -9.5))
+    assert(small.contains(""""dedup_clusters":-3.250"""))
+    assert(small.contains(""""warmup_sf1":{"mm_media_meta":-9.500}"""))
+  }
+
+  test("overflow floor: a pathological line degrades to headline+attribution and always fits") {
+    // force every fallback to overflow: huge sf1 curve with long names
+    // and adjudication entries on all of them
+    val worst = (Bench.headlineNames.map(_ -> 999.999) ++ fakeResults(200)).toSeq
+    val sf1 = (1 to 60).map(i => (f"q_very_long_scale_curve_entry_name_$i%03d", 99.99, 25.9))
+    val sf1Adj = sf1.map(e => e._1 -> "explained:epoch-drift").toMap
+    val adj = fakeResults(80).map(_._1 -> "regressed").toMap
+    val line = Bench.benchJson(worst, 9999.999, "/root/testdata/sf0.1", tmpFull,
+      sf1 = sf1, adj = adj, sf1Adj = sf1Adj,
+      attribution = "window:9818fdd262e44a15d3fc67ea59cd90f91d641f4d..HEAD",
+      commonTotals = Some((165.55, 140.901)),
+      stamp = ""","load_avg":[4.5,4.9],"outlier_reruns":57""")
+    assert(line.length <= 1700, s"floor line was ${line.length} chars")
+    assert(line.contains(""""silver_events":999.999"""))
+  }
+
   test("round-over-round common-query totals ride both line shapes") {
     val small = Bench.benchJson(fakeResults(10), 1.0, "/tmp/sf", tmpFull,
       commonTotals = Some((165.55, 140.901)))
-    assert(small.contains(""""prev_common_total":165.550,"common_total":140.901"""))
+    assert(small.contains(
+      """"prev_common_total":165.550,"common_total":140.901,"common_total_min":140.901"""))
     val big = Bench.benchJson(fakeResults(150), 99.9, "/tmp/sf", tmpFull,
       commonTotals = Some((165.55, 140.901)))
     assert(big.length <= 1700)

@@ -81,7 +81,56 @@ class QueryAttributionSpec extends AnyFunSuite {
     }
     val ch = QueryAttribution.changedSince(head)
     assert(ch.isDefined)
-    assert(!ch.get.exists(_.endsWith("graft/SparkEntry.scala")),
-      "SparkEntry must be filtered from the changed set")
+  }
+
+  // r11 verdict #3: a staging-layer edit must keep SparkEntry in the
+  // changed set (its regression would otherwise be laundered to
+  // epoch-drift); only registry-literal edits are excluded.
+  test("nonRegistryText: adding a registry row changes nothing; editing staged() changes it") {
+    val base =
+      """object SparkEntry {
+        |  private def staged(s: S, dir: String)(f: => DataFrame): DataFrame = {
+        |    val v = f.localCheckpoint()
+        |    v
+        |  }
+        |  def queries: Map[String, Fn] = Map(
+        |    "q_alpha" -> ((s, dir) => DailySales.build(silver(s, dir))))
+        |  def oracleSql: Map[String, String] = Map(
+        |    "q_alpha" -> AlphaOracle.sql)
+        |}""".stripMargin
+    val rowAdded = base
+      .replace(
+        "\"q_alpha\" -> ((s, dir) => DailySales.build(silver(s, dir))))",
+        "\"q_alpha\" -> ((s, dir) => DailySales.build(silver(s, dir))),\n" +
+          "    \"q_beta\" -> (TpchQueries.revenueByNation _))")
+      .replace(
+        "\"q_alpha\" -> AlphaOracle.sql)",
+        "\"q_alpha\" -> AlphaOracle.sql,\n    \"q_beta\" -> BetaOracle.sql)")
+    val stagedEdited = base.replace("f.localCheckpoint()", "f.cache()")
+    assert(rowAdded != base && stagedEdited != base)
+    assert(QueryAttribution.nonRegistryText(base) ==
+      QueryAttribution.nonRegistryText(rowAdded),
+      "a registry-only edit must not mark the file changed")
+    assert(QueryAttribution.nonRegistryText(base) !=
+      QueryAttribution.nonRegistryText(stagedEdited),
+      "a staging-layer edit must mark the file changed")
+  }
+
+  test("nonRegistryText on the real SparkEntry keeps the staging layer, drops the registry rows") {
+    val text = scala.io.Source.fromFile("src/main/scala/graft/SparkEntry.scala", "UTF-8").mkString
+    val stripped = QueryAttribution.nonRegistryText(text)
+    assert(stripped.contains("def staged"), "the staging layer must survive the strip")
+    assert(stripped.contains("def evictStages"))
+    assert(!stripped.contains("\"silver_events\""),
+      "registry rows must be stripped — their churn is round-normal")
+    assert(!stripped.contains("\"gold_daily_sales\""))
+  }
+
+  test("mayBeCodeCaused: a surviving SparkEntry change globalizes eligibility") {
+    val fileX = "src/main/scala/graft/ops/TopK.scala"
+    val qf = Map("q_x" -> Set(fileX))
+    assert(QueryAttribution.mayBeCodeCaused("q_x", qf,
+      Some(Set("src/main/scala/graft/SparkEntry.scala"))),
+      "a staging-layer edit touches every query's runtime path")
   }
 }
