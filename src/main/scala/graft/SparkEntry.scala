@@ -418,6 +418,8 @@ object SparkEntry {
     // box walk recover duration/bitrate/track metadata by parsing
     // bytes; oracle recomputes from construction arithmetic
     "mm_container_probe" -> (graft.multimodal.ContainerProbe.probeQuery _),
+    // FLAC STREAMINFO + Ogg page-walk legs of the container family
+    "mm_container_probe_audio" -> (graft.multimodal.ContainerProbe.audioProbeQuery _),
     "q_sketch_rolling_distinct" -> (graft.ops.SketchRollup.rollingDistinctUsersQuery _),
     "q_sketch_audience_overlap" -> (graft.ops.SketchRollup.audienceOverlapQuery _),
     "text_jsonl_manifest" -> (graft.sources.JsonlShards.roundTripManifestQuery _),
@@ -620,6 +622,7 @@ object SparkEntry {
     "mm_media_features_jpeg" -> graft.multimodal.Multimodal.jpegEnvelopeSql,
     "mm_media_downsample" -> graft.multimodal.Multimodal.downsampleSql,
     "mm_container_probe" -> graft.multimodal.ContainerProbe.oracleSql,
+    "mm_container_probe_audio" -> graft.multimodal.ContainerProbe.audioOracleSql,
     "stream_hourly_agg" -> graft.streaming.StreamingEvents.hourlyAggSql,
     "incremental_rebuild_diff" -> graft.ops.IncrementalRebuild.diffSql,
     "q_merge_restatement" -> graft.ops.MergeUpsert.restatedDailySalesSql,

@@ -2,8 +2,10 @@ package graft.multimodal
 
 /** Structural (container-level) parsers for the compressed formats
   * the sandbox has no decoder for — MP3 (ISO/IEC 11172-3 frame
-  * headers), MP4 (ISO/IEC 14496-12 ISO-BMFF boxes), and EBML
-  * (RFC 8794 / Matroska — WebM's envelope). Each format's container
+  * headers), MP4 (ISO/IEC 14496-12 ISO-BMFF boxes), EBML
+  * (RFC 8794 / Matroska — WebM's envelope), FLAC (RFC 9639
+  * STREAMINFO + metadata-block walk), and Ogg (RFC 3533 page walk).
+  * Each format's container
   * layer is plain public bit-layout, decodable with zero codec
   * dependencies, and carries exactly the metadata a 100 TB
   * media-curation pipeline filters and budgets on BEFORE any decode:
@@ -254,7 +256,11 @@ object ContainerProbe {
   }
 
   /** Walk EBML elements of `d[from, until)`: (id, payloadStart,
-    * payloadEnd) per element, None on structural damage. */
+    * payloadEnd) per element, None on structural damage. A size VINT
+    * whose VINT_DATA is all ones is "unknown size" (RFC 8794 §6.2 —
+    * legal, and common for the Segment of live-muxed Matroska/WebM):
+    * the element extends to the end of its enclosing region, and by
+    * construction nothing can follow it at this level. */
   private def ebmlChildren(d: Array[Byte], from: Int, until: Int):
       Option[Seq[(Long, Int, Int)]] = {
     val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
@@ -263,6 +269,10 @@ object ContainerProbe {
       val (id, idLen) = vint(d, off, keepMarker = true).getOrElse(return None)
       val (size, szLen) = vint(d, off + idLen, keepMarker = false).getOrElse(return None)
       val start = off + idLen + szLen
+      if (size == (1L << (7 * szLen)) - 1) { // all-ones VINT_DATA
+        acc += ((id, start, until))
+        return Some(acc.toSeq)
+      }
       if (size < 0 || start + size > until) return None
       acc += ((id, start, start + size.toInt))
       off = start + size.toInt
@@ -375,6 +385,193 @@ object ContainerProbe {
     header ++ ebmlEl(IdSegment, info ++ tracks)
   }
 
+  // ---------------------------------------------------------------- FLAC
+
+  final case class FlacMeta(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, durationMs: Long, metaBlocks: Int)
+
+  /** Parse a FLAC payload's metadata section (RFC 9639 / xiph spec):
+    * "fLaC" magic, then the METADATA_BLOCK chain — STREAMINFO
+    * (mandatory first block, 34 bytes) carries sample rate (20 bits),
+    * channels−1 (3), bits-per-sample−1 (5) and total samples (36);
+    * duration = totalSamples / sampleRate. The remaining blocks are
+    * walked structurally (counted, bounds-checked) up to the
+    * last-block flag. None on structural damage: missing magic,
+    * STREAMINFO not first or mis-sized, a block overrunning the
+    * buffer, duplicate STREAMINFO, reserved block type 127, or
+    * sample rate 0. Audio frames after the metadata chain are out of
+    * scope (that is the decode seam) and ignored. */
+  def parseFlac(data: Array[Byte]): Option[FlacMeta] = {
+    if (data == null || data.length < 4 + 4 + 34) return None
+    if (!(data(0) == 'f' && data(1) == 'L' && data(2) == 'a' && data(3) == 'C'))
+      return None
+    var off = 4
+    var blocks = 0
+    var info: Option[(Int, Int, Int, Long)] = None
+    var last = false
+    while (!last) {
+      if (off + 4 > data.length) return None
+      val hdr = data(off) & 0xFF
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7F
+      val len = ((data(off + 1) & 0xFF) << 16) | ((data(off + 2) & 0xFF) << 8) |
+        (data(off + 3) & 0xFF)
+      val p = off + 4
+      if (p + len > data.length) return None
+      if (blocks == 0) {
+        if (btype != 0 || len != 34) return None // STREAMINFO must lead
+        // packed 64 bits at STREAMINFO offset 10: sr(20) ch-1(3)
+        // bps-1(5) totalSamples(36)
+        val sr = ((data(p + 10) & 0xFF) << 12) | ((data(p + 11) & 0xFF) << 4) |
+          ((data(p + 12) & 0xF0) >>> 4)
+        val ch = ((data(p + 12) & 0x0E) >>> 1) + 1
+        val bps = (((data(p + 12) & 0x01) << 4) | ((data(p + 13) & 0xF0) >>> 4)) + 1
+        val ts = ((data(p + 13) & 0x0FL) << 32) | ((data(p + 14) & 0xFFL) << 24) |
+          ((data(p + 15) & 0xFFL) << 16) | ((data(p + 16) & 0xFFL) << 8) |
+          (data(p + 17) & 0xFFL)
+        if (sr == 0) return None
+        info = Some((sr, ch, bps, ts))
+      } else if (btype == 0 || btype == 127) return None
+      blocks += 1
+      off = p + len
+    }
+    info.map { case (sr, ch, bps, ts) =>
+      FlacMeta(sr, ch, bps, ts, ts * 1000L / sr, blocks) }
+  }
+
+  /** Deterministic FLAC test payload: magic + STREAMINFO + a PADDING
+    * block of `padLen` zero bytes (so the block WALK is exercised,
+    * not just the first block). Blocksize/framesize/MD5 fields are
+    * zeroed — structurally legal, ignored by the probe. Total length
+    * = 4 + 38 + 4 + padLen. */
+  def encodeFlac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                 totalSamples: Long, padLen: Int): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20) &&
+      channels >= 1 && channels <= 8 &&
+      bitsPerSample >= 1 && bitsPerSample <= 32 &&
+      totalSamples >= 0 && totalSamples < (1L << 36) && padLen >= 0)
+    val out = new Array[Byte](4 + 4 + 34 + 4 + padLen)
+    out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+    // STREAMINFO header: not-last, type 0, length 34
+    out(5) = 0; out(6) = 0; out(7) = 34
+    val p = 8
+    out(p + 10) = ((sampleRate >> 12) & 0xFF).toByte
+    out(p + 11) = ((sampleRate >> 4) & 0xFF).toByte
+    out(p + 12) = (((sampleRate & 0x0F) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >> 4)).toByte
+    out(p + 13) = ((((bitsPerSample - 1) & 0x0F) << 4) |
+      ((totalSamples >> 32) & 0x0F)).toInt.toByte
+    out(p + 14) = ((totalSamples >> 24) & 0xFF).toByte
+    out(p + 15) = ((totalSamples >> 16) & 0xFF).toByte
+    out(p + 16) = ((totalSamples >> 8) & 0xFF).toByte
+    out(p + 17) = (totalSamples & 0xFF).toByte
+    // PADDING header: LAST block, type 1, length padLen (zero body)
+    val q = p + 34
+    out(q) = (0x80 | 1).toByte
+    out(q + 1) = ((padLen >> 16) & 0xFF).toByte
+    out(q + 2) = ((padLen >> 8) & 0xFF).toByte
+    out(q + 3) = (padLen & 0xFF).toByte
+    out
+  }
+
+  // ----------------------------------------------------------------- Ogg
+
+  final case class OggMeta(
+      pages: Int, streams: Int, bosPages: Int, eosPages: Int,
+      lastGranule: Long, payloadBytes: Long)
+
+  private def le32(d: Array[Byte], o: Int): Long =
+    (d(o) & 0xFFL) | ((d(o + 1) & 0xFFL) << 8) |
+      ((d(o + 2) & 0xFFL) << 16) | ((d(o + 3) & 0xFFL) << 24)
+
+  private def le64(d: Array[Byte], o: Int): Long =
+    le32(d, o) | (le32(d, o + 4) << 32)
+
+  /** Walk an Ogg payload's page structure (RFC 3533): every page is
+    * "OggS" + version 0 + header_type + granule(LE64) + serial(LE32)
+    * + seq + crc + segment count + lacing table + payload. Yields the
+    * page count, the distinct-serial stream inventory, BOS/EOS flag
+    * counts, the final page's granule position (codec-units —
+    * codec-agnostic by design, so no ms conversion is fabricated)
+    * and total payload bytes. The CRC is NOT verified — this is a
+    * structural walk, valid on genuine files whose CRCs a decode
+    * step would check. None on structural damage: bad capture
+    * pattern, non-zero version, page overrunning the buffer. */
+  def parseOgg(data: Array[Byte]): Option[OggMeta] = {
+    if (data == null || data.length < 27) return None
+    var off = 0
+    var pages = 0
+    var bos = 0
+    var eos = 0
+    var payload = 0L
+    var lastGranule = 0L
+    val serials = scala.collection.mutable.Set.empty[Long]
+    while (off < data.length) {
+      if (off + 27 > data.length) return None
+      if (!(data(off) == 'O' && data(off + 1) == 'g' &&
+            data(off + 2) == 'g' && data(off + 3) == 'S')) return None
+      if (data(off + 4) != 0) return None // stream_structure_version
+      val htype = data(off + 5) & 0xFF
+      val granule = le64(data, off + 6)
+      val serial = le32(data, off + 14)
+      val nsegs = data(off + 26) & 0xFF
+      if (off + 27 + nsegs > data.length) return None
+      var plen = 0
+      var i = 0
+      while (i < nsegs) { plen += data(off + 27 + i) & 0xFF; i += 1 }
+      val end = off + 27 + nsegs + plen
+      if (end > data.length) return None
+      pages += 1
+      if ((htype & 0x02) != 0) bos += 1
+      if ((htype & 0x04) != 0) eos += 1
+      serials += serial
+      lastGranule = granule
+      payload += plen
+      off = end
+    }
+    if (pages == 0) None
+    else Some(OggMeta(pages, serials.size, bos, eos, lastGranule, payload))
+  }
+
+  /** Deterministic Ogg test payload: `streams` logical streams
+    * (serials 1001..), written sequentially, each of `pagesPerStream`
+    * pages (first BOS, last EOS — so ≥2 required) of one
+    * `payloadPerPage`-byte lacing segment each; granule of page k
+    * (1-based) = k × granuleStep. CRC fields are zero (the probe is
+    * structural; see [[parseOgg]]). Page length = 28 + payloadPerPage. */
+  def encodeOgg(streams: Int, pagesPerStream: Int, payloadPerPage: Int,
+                granuleStep: Long): Array[Byte] = {
+    require(streams >= 1 && pagesPerStream >= 2 &&
+      payloadPerPage >= 0 && payloadPerPage <= 254 && granuleStep >= 0)
+    val out = new java.io.ByteArrayOutputStream()
+    var s = 0
+    while (s < streams) {
+      val serial = 1001L + s
+      var k = 0
+      while (k < pagesPerStream) {
+        out.write('O'); out.write('g'); out.write('g'); out.write('S')
+        out.write(0) // version
+        out.write(if (k == 0) 0x02 else if (k == pagesPerStream - 1) 0x04 else 0x00)
+        val granule = (k + 1) * granuleStep
+        var i = 0
+        while (i < 8) { out.write(((granule >> (8 * i)) & 0xFF).toInt); i += 1 }
+        i = 0
+        while (i < 4) { out.write(((serial >> (8 * i)) & 0xFF).toInt); i += 1 }
+        i = 0
+        while (i < 4) { out.write((k >> (8 * i)) & 0xFF); i += 1 } // page seq
+        out.write(0); out.write(0); out.write(0); out.write(0) // crc (unverified)
+        out.write(1) // one lacing segment
+        out.write(payloadPerPage)
+        var j = 0
+        while (j < payloadPerPage) { out.write((j * 23 + k) % 253); j += 1 }
+        k += 1
+      }
+      s += 1
+    }
+    out.toByteArray
+  }
+
   // -------------------------------------------------- oracle-gated query
 
   /** mm_container_probe: every document synthesizes one MP3 and one
@@ -384,8 +581,12 @@ object ContainerProbe {
     * arithmetic alone, so any disagreement between the construction,
     * the bit-layout emitted, and the parser flips the gate. byte_len
     * comes from `length(payload)`, pinning the encoder's size
-    * arithmetic independently of the parser. Map-only (one codegen'd
-    * projection over the documents scan), linear at any corpus size. */
+    * arithmetic independently of the parser. The probe WORK is one
+    * codegen'd map-only projection over the documents scan (zero
+    * shuffle, linear at any corpus size); the trailing
+    * `orderBy(doc_id)` exists only so the dumped rows line up with
+    * the oracle's ORDER BY for the hash compare — a production
+    * curation pass would not sort. */
   def probeQuery(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftext.ContainerMeta
@@ -511,4 +712,80 @@ object ContainerProbe {
     out.write(box("moov", moovP.toByteArray))
     out.toByteArray
   }
+
+  /** mm_container_probe_audio: the FLAC + Ogg legs of the family,
+    * same gating pattern as [[probeQuery]] — payload parameters
+    * derive from the text's char length, the engine parses the bytes
+    * back, and the DuckDB oracle recomputes every field from strlen
+    * arithmetic. Work shape identical: one codegen'd map-only
+    * projection; the trailing sort exists only for the oracle's
+    * row-order compare. */
+  def audioProbeQuery(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftext.ContainerMeta
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        ContainerMeta.flacTestPayload(col("text")).as("pf"),
+        ContainerMeta.oggTestPayload(col("text")).as("po"))
+      .select(col("doc_id"),
+        ContainerMeta.flacMeta(col("pf")).as("mf"),
+        length(col("pf")).as("flac_byte_len"),
+        ContainerMeta.oggMeta(col("po")).as("mo"),
+        length(col("po")).as("ogg_byte_len"))
+      .select(col("doc_id"),
+        col("mf.sample_rate").as("flac_sample_rate"),
+        col("mf.channels").as("flac_channels"),
+        col("mf.bits_per_sample").as("flac_bits_per_sample"),
+        col("mf.total_samples").as("flac_total_samples"),
+        col("mf.duration_ms").as("flac_duration_ms"),
+        col("mf.meta_blocks").as("flac_meta_blocks"),
+        col("flac_byte_len"),
+        col("mo.pages").as("ogg_pages"),
+        col("mo.streams").as("ogg_streams"),
+        col("mo.bos_pages").as("ogg_bos_pages"),
+        col("mo.eos_pages").as("ogg_eos_pages"),
+        col("mo.last_granule").as("ogg_last_granule"),
+        col("mo.payload_bytes").as("ogg_payload_bytes"),
+        col("ogg_byte_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The FLAC/Ogg construction arithmetic in DuckDB — the independent
+    * statement of what the parsed metadata must be (see [[oracleSql]]
+    * for the convention). Byte lengths pin the encoders' size
+    * arithmetic: FLAC = magic(4) + STREAMINFO(38) + PADDING(4+pad);
+    * Ogg = pages × (27-byte header + 1 lacing byte + payload). */
+  val audioOracleSql: String =
+    s"""WITH p AS (
+      |  SELECT doc_id, strlen(text) AS L FROM documents
+      |), d AS (
+      |  SELECT doc_id, L,
+      |    [44100,48000,32000,22050][CAST(L % 4 AS INT) + 1] AS sr,
+      |    L % 8 + 1 AS ch,
+      |    [8,16,24][CAST(L % 3 AS INT) + 1] AS bps,
+      |    (L + 41) * 1000 AS ts,
+      |    L % 19 AS pad,
+      |    L % 2 + 1 AS streams,
+      |    L % 5 + 2 AS pps,
+      |    L % 17 + 1 AS ppp,
+      |    (L % 9 + 1) * 960 AS step
+      |  FROM p
+      |)
+      |SELECT doc_id,
+      |  CAST(sr AS INT) AS flac_sample_rate,
+      |  CAST(ch AS INT) AS flac_channels,
+      |  CAST(bps AS INT) AS flac_bits_per_sample,
+      |  CAST(ts AS BIGINT) AS flac_total_samples,
+      |  CAST(ts * 1000 // sr AS BIGINT) AS flac_duration_ms,
+      |  CAST(2 AS INT) AS flac_meta_blocks,
+      |  CAST(46 + pad AS INT) AS flac_byte_len,
+      |  CAST(streams * pps AS INT) AS ogg_pages,
+      |  CAST(streams AS INT) AS ogg_streams,
+      |  CAST(streams AS INT) AS ogg_bos_pages,
+      |  CAST(streams AS INT) AS ogg_eos_pages,
+      |  CAST(pps * step AS BIGINT) AS ogg_last_granule,
+      |  CAST(streams * pps * ppp AS BIGINT) AS ogg_payload_bytes,
+      |  CAST(streams * pps * (28 + ppp) AS INT) AS ogg_byte_len
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
 }

@@ -54,6 +54,57 @@ object ContainerMeta {
     StructField("tracks", IntegerType, nullable = false),
     StructField("codecs", StringType, nullable = false)))
 
+  val flacType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("total_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("meta_blocks", IntegerType, nullable = false)))
+
+  val oggType: StructType = StructType(Seq(
+    StructField("pages", IntegerType, nullable = false),
+    StructField("streams", IntegerType, nullable = false),
+    StructField("bos_pages", IntegerType, nullable = false),
+    StructField("eos_pages", IntegerType, nullable = false),
+    StructField("last_granule", LongType, nullable = false),
+    StructField("payload_bytes", LongType, nullable = false)))
+
+  def flacRow(data: Array[Byte]): InternalRow =
+    ContainerProbe.parseFlac(data) match {
+      case Some(m) => new GenericInternalRow(Array[Any](
+        m.sampleRate, m.channels, m.bitsPerSample, m.totalSamples,
+        m.durationMs, m.metaBlocks))
+      case None => null
+    }
+
+  def oggRow(data: Array[Byte]): InternalRow =
+    ContainerProbe.parseOgg(data) match {
+      case Some(m) => new GenericInternalRow(Array[Any](
+        m.pages, m.streams, m.bosPages, m.eosPages, m.lastGranule,
+        m.payloadBytes))
+      case None => null
+    }
+
+  def flacPayload(text: UTF8String): Array[Byte] = {
+    val L = text.numChars()
+    ContainerProbe.encodeFlac(
+      sampleRate = Array(44100, 48000, 32000, 22050)(L % 4),
+      channels = L % 8 + 1,
+      bitsPerSample = Array(8, 16, 24)(L % 3),
+      totalSamples = (L + 41L) * 1000L,
+      padLen = L % 19)
+  }
+
+  def oggPayload(text: UTF8String): Array[Byte] = {
+    val L = text.numChars()
+    ContainerProbe.encodeOgg(
+      streams = L % 2 + 1,
+      pagesPerStream = L % 5 + 2,
+      payloadPerPage = L % 17 + 1,
+      granuleStep = (L % 9 + 1) * 960L)
+  }
+
   def ebmlRow(data: Array[Byte]): InternalRow =
     ContainerProbe.parseEbml(data) match {
       case Some(m) => new GenericInternalRow(Array[Any](
@@ -192,10 +243,75 @@ object ContainerMeta {
       copy(child = newChild)
   }
 
+  case class FlacMeta(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    override def dataType: DataType = flacType
+    override def nullable: Boolean = true
+    override def prettyName: String = "flac_meta"
+    override def nullSafeEval(input: Any): Any =
+      flacRow(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, structExpr(ev, "flacRow"))
+    override protected def withNewChildInternal(newChild: Expression): FlacMeta =
+      copy(child = newChild)
+  }
+
+  case class OggMeta(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    override def dataType: DataType = oggType
+    override def nullable: Boolean = true
+    override def prettyName: String = "ogg_meta"
+    override def nullSafeEval(input: Any): Any =
+      oggRow(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, structExpr(ev, "oggRow"))
+    override protected def withNewChildInternal(newChild: Expression): OggMeta =
+      copy(child = newChild)
+  }
+
+  case class FlacTestPayload(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "flac_test_payload"
+    override def nullSafeEval(input: Any): Any =
+      flacPayload(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.sql.graftext.ContainerMeta.flacPayload($a);")
+    override protected def withNewChildInternal(newChild: Expression): FlacTestPayload =
+      copy(child = newChild)
+  }
+
+  case class OggTestPayload(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "ogg_test_payload"
+    override def nullSafeEval(input: Any): Any =
+      oggPayload(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = org.apache.spark.sql.graftext.ContainerMeta.oggPayload($a);")
+    override protected def withNewChildInternal(newChild: Expression): OggTestPayload =
+      copy(child = newChild)
+  }
+
   def ebmlMeta(data: Column): Column =
     ExpressionUtils.column(EbmlMeta(ExpressionUtils.expression(data)))
   def ebmlTestPayload(text: Column): Column =
     ExpressionUtils.column(EbmlTestPayload(ExpressionUtils.expression(text)))
+
+  def flacMeta(data: Column): Column =
+    ExpressionUtils.column(FlacMeta(ExpressionUtils.expression(data)))
+  def flacTestPayload(text: Column): Column =
+    ExpressionUtils.column(FlacTestPayload(ExpressionUtils.expression(text)))
+  def oggMeta(data: Column): Column =
+    ExpressionUtils.column(OggMeta(ExpressionUtils.expression(data)))
+  def oggTestPayload(text: Column): Column =
+    ExpressionUtils.column(OggTestPayload(ExpressionUtils.expression(text)))
 
   def mp3Meta(data: Column): Column =
     ExpressionUtils.column(Mp3Meta(ExpressionUtils.expression(data)))

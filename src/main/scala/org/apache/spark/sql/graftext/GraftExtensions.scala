@@ -70,6 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("mp3_meta", classOf[ContainerMeta.Mp3Meta])(x => ContainerMeta.Mp3Meta(x(0)))
     fn("mp4_meta", classOf[ContainerMeta.Mp4Meta])(x => ContainerMeta.Mp4Meta(x(0)))
     fn("ebml_meta", classOf[ContainerMeta.EbmlMeta])(x => ContainerMeta.EbmlMeta(x(0)))
+    fn("flac_meta", classOf[ContainerMeta.FlacMeta])(x => ContainerMeta.FlacMeta(x(0)))
+    fn("ogg_meta", classOf[ContainerMeta.OggMeta])(x => ContainerMeta.OggMeta(x(0)))
     fn("kll_sketch_agg", classOf[KllDoublesAgg])(x =>
       KllDoublesAgg(x(0), k = litInt(x(1), "k")).toAggregateExpression())
     fn("kll_merge_agg", classOf[KllMergeAgg])(x =>

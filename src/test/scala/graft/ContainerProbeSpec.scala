@@ -172,6 +172,142 @@ class ContainerProbeSpec extends AnyFunSuite {
     assert(ContainerProbe.parseEbml(Array[Byte](1, 2)).isEmpty)
   }
 
+  test("ebml: an unknown-size Segment (all-ones size VINT) extends to region end — RFC 8794 layout, not our encoder") {
+    // live-muxed WebM writes the Segment with size 0x01FFFFFFFFFFFFFF
+    // (8-byte all-ones VINT) because the final size is unknowable at
+    // mux time; the element then runs to EOF. Hand-build: take a good
+    // payload and replace the Segment's minimal-length size VINT with
+    // the all-ones 8-byte form (same payload, size now "unknown").
+    val good = ContainerProbe.encodeEbml("webm", 1000000, 250.0, Seq("V_VP9"))
+    // locate the Segment: id 0x18538067 (4 bytes), then its size VINT
+    val segIdx = good.indices.find(i => i + 4 <= good.length &&
+      (good(i) & 0xFF) == 0x18 && (good(i + 1) & 0xFF) == 0x53 &&
+      (good(i + 2) & 0xFF) == 0x80 && (good(i + 3) & 0xFF) == 0x67).get
+    val szFirst = good(segIdx + 4) & 0xFF
+    val szLen = Integer.numberOfLeadingZeros(szFirst) - 24 + 1
+    val unknown = good.take(segIdx + 4) ++
+      (Array(0x01.toByte) ++ Array.fill(7)(0xFF.toByte)) ++
+      good.drop(segIdx + 4 + szLen)
+    val m = ContainerProbe.parseEbml(unknown).get
+    assert(m.docType === "webm" && m.durationMs === 250L &&
+      m.codecs === Seq("V_VP9"),
+      "unknown-size Segment must parse identically to the sized form")
+    // the 1-byte all-ones form (0xFF) means unknown too
+    val oneByte = good.take(segIdx + 4) ++ Array(0xFF.toByte) ++
+      good.drop(segIdx + 4 + szLen)
+    assert(ContainerProbe.parseEbml(oneByte).exists(_.docType == "webm"))
+  }
+
+  // ------------------------------------------------------------ FLAC
+
+  test("flac encode/parse round trip recovers every STREAMINFO field") {
+    for (sr <- Seq(44100, 48000, 22050); ch <- Seq(1, 2, 8);
+         bps <- Seq(8, 16, 24); pad <- Seq(0, 18)) {
+      val ts = 441000L
+      val bytes = ContainerProbe.encodeFlac(sr, ch, bps, ts, pad)
+      val m = ContainerProbe.parseFlac(bytes).get
+      assert(m.sampleRate === sr && m.channels === ch &&
+        m.bitsPerSample === bps && m.totalSamples === ts)
+      assert(m.durationMs === ts * 1000L / sr)
+      assert(m.metaBlocks === 2, "STREAMINFO + PADDING")
+      assert(bytes.length === 46 + pad)
+    }
+    // a 36-bit total-samples value survives the packed split
+    val big = ContainerProbe.parseFlac(
+      ContainerProbe.encodeFlac(44100, 2, 16, (1L << 36) - 1, 0)).get
+    assert(big.totalSamples === (1L << 36) - 1)
+  }
+
+  test("flac hand-built fixture: published STREAMINFO bit layout, not our encoder's") {
+    // CD audio: 44100 Hz, stereo, 16-bit, 1 000 000 samples.
+    // sr=44100=0x0AC44 (20 bits); ch-1=1 (3 bits); bps-1=15 (5 bits);
+    // ts=1000000=0x0F4240 (36 bits). Packed bytes 10..17:
+    //   b10 = sr>>12        = 0x0A
+    //   b11 = (sr>>4)&0xFF  = 0xC4
+    //   b12 = (sr&0xF)<<4 | (ch-1)<<1 | (bps-1)>>4 = 0x40|0x02|0x00 = 0x42
+    //   b13 = ((bps-1)&0xF)<<4 | ts>>32 = 0xF0
+    //   b14..b17 = 0x00 0x0F 0x42 0x40
+    val b = new Array[Byte](4 + 4 + 34)
+    b(0) = 'f'; b(1) = 'L'; b(2) = 'a'; b(3) = 'C'
+    b(4) = 0x80.toByte; b(5) = 0; b(6) = 0; b(7) = 34 // last, type 0, len 34
+    b(8 + 10) = 0x0A; b(8 + 11) = 0xC4.toByte; b(8 + 12) = 0x42
+    b(8 + 13) = 0xF0.toByte; b(8 + 14) = 0x00; b(8 + 15) = 0x0F
+    b(8 + 16) = 0x42; b(8 + 17) = 0x40
+    val m = ContainerProbe.parseFlac(b).get
+    assert(m.sampleRate === 44100 && m.channels === 2 && m.bitsPerSample === 16)
+    assert(m.totalSamples === 1000000L)
+    assert(m.durationMs === 22675L) // floor(1e6 * 1000 / 44100)
+    assert(m.metaBlocks === 1)
+  }
+
+  test("flac structural damage is None: bad magic, STREAMINFO not first, overrun, zero rate") {
+    val good = ContainerProbe.encodeFlac(48000, 2, 16, 48000L, 7)
+    val badMagic = good.clone(); badMagic(0) = 'g'
+    assert(ContainerProbe.parseFlac(badMagic).isEmpty)
+    // PADDING promoted to first block (type swap) -> STREAMINFO not first
+    val swapped = good.clone(); swapped(4) = 1 // type 1, not last
+    assert(ContainerProbe.parseFlac(swapped).isEmpty)
+    // padding length inflated past the buffer
+    val overrun = good.clone(); overrun(4 + 4 + 34 + 2) = 0x7F
+    assert(ContainerProbe.parseFlac(overrun).isEmpty)
+    // sample rate 0 is invalid per spec (and would divide by zero)
+    val zeroRate = ContainerProbe.encodeFlac(1, 1, 8, 0L, 0)
+    zeroRate(8 + 10) = 0; zeroRate(8 + 11) = 0; zeroRate(8 + 12) = 0
+    assert(ContainerProbe.parseFlac(zeroRate).isEmpty)
+    assert(ContainerProbe.parseFlac(good.dropRight(1)).isEmpty,
+      "a truncated metadata chain overruns its declared length")
+    assert(ContainerProbe.parseFlac(null).isEmpty)
+    assert(ContainerProbe.parseFlac(Array[Byte]('f', 'L', 'a', 'C')).isEmpty)
+  }
+
+  // ------------------------------------------------------------- Ogg
+
+  test("ogg encode/parse round trip: pages, streams, flags, granule, payload") {
+    for (streams <- Seq(1, 2); pps <- Seq(2, 5); ppp <- Seq(0, 17, 254)) {
+      val step = 960L
+      val bytes = ContainerProbe.encodeOgg(streams, pps, ppp, step)
+      val m = ContainerProbe.parseOgg(bytes).get
+      assert(m.pages === streams * pps)
+      assert(m.streams === streams)
+      assert(m.bosPages === streams && m.eosPages === streams)
+      assert(m.lastGranule === pps * step)
+      assert(m.payloadBytes === streams.toLong * pps * ppp)
+      assert(bytes.length === streams * pps * (28 + ppp))
+    }
+  }
+
+  test("ogg hand-built fixture: RFC 3533 field offsets, not our encoder's") {
+    // one page: granule 0x1234 LE at offset 6, serial 0xCAFE LE at 14,
+    // two lacing segments (3 + 2 bytes of payload)
+    val b = new Array[Byte](27 + 2 + 5)
+    b(0) = 'O'; b(1) = 'g'; b(2) = 'g'; b(3) = 'S'
+    b(4) = 0    // version
+    b(5) = 0x06 // BOS|EOS
+    b(6) = 0x34; b(7) = 0x12 // granule LE
+    b(14) = 0xFE.toByte; b(15) = 0xCA.toByte // serial LE
+    b(26) = 2   // two lacing values
+    b(27) = 3; b(28) = 2
+    val m = ContainerProbe.parseOgg(b).get
+    assert(m.pages === 1 && m.streams === 1)
+    assert(m.bosPages === 1 && m.eosPages === 1)
+    assert(m.lastGranule === 0x1234L)
+    assert(m.payloadBytes === 5L)
+  }
+
+  test("ogg structural damage is None: bad capture, bad version, overrun lacing") {
+    val good = ContainerProbe.encodeOgg(1, 2, 10, 100L)
+    val badCap = good.clone(); badCap(0) = 'X'
+    assert(ContainerProbe.parseOgg(badCap).isEmpty)
+    val badVer = good.clone(); badVer(4) = 1
+    assert(ContainerProbe.parseOgg(badVer).isEmpty)
+    // lacing value inflated past the buffer
+    val overrun = good.clone(); overrun(27) = 0xFF.toByte
+    assert(ContainerProbe.parseOgg(overrun).isEmpty)
+    assert(ContainerProbe.parseOgg(good.dropRight(1)).isEmpty)
+    assert(ContainerProbe.parseOgg(null).isEmpty)
+    assert(ContainerProbe.parseOgg(Array[Byte]('O', 'g', 'g', 'S')).isEmpty)
+  }
+
   test("fuzz: parsers never throw — random bytes and mutated valid payloads give None or truthful prefixes") {
     // deterministic fuzz (fixed seed): parser code walking attacker-
     // shaped bytes must be total — any exception here would become a
@@ -182,6 +318,8 @@ class ContainerProbeSpec extends AnyFunSuite {
       ContainerProbe.parseMp3(junk) // must not throw
       ContainerProbe.parseMp4(junk)
       ContainerProbe.parseEbml(junk)
+      ContainerProbe.parseFlac(junk)
+      ContainerProbe.parseOgg(junk)
     }
     val validMp3 = ContainerProbe.encodeMp3(4, 9, 1, 12)
     val validMp4 = ContainerProbe.encodeMp4("isom", 1000, 4000L, Seq("vide", "soun"))
@@ -218,6 +356,23 @@ class ContainerProbeSpec extends AnyFunSuite {
           assert(m.codecs.size === m.tracks)
         }
     }
+    val validFlac = ContainerProbe.encodeFlac(44100, 2, 16, 441000L, 9)
+    val validOgg = ContainerProbe.encodeOgg(2, 3, 11, 960L)
+    (1 to 300).foreach { _ =>
+      def mutate(src: Array[Byte]): Array[Byte] = {
+        val b = src.clone()
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+        if (rnd.nextBoolean()) b.take(rnd.nextInt(b.length + 1)) else b
+      }
+      ContainerProbe.parseFlac(mutate(validFlac)).foreach { m =>
+        assert(m.sampleRate > 0 && m.durationMs >= 0 && m.metaBlocks >= 1)
+      }
+      ContainerProbe.parseOgg(mutate(validOgg)).foreach { m =>
+        assert(m.pages >= 1 && m.streams >= 1 && m.payloadBytes >= 0)
+        assert(m.bosPages <= m.pages && m.eosPages <= m.pages)
+      }
+    }
   }
 
   // ----------------------------------------------------------- query
@@ -243,6 +398,33 @@ class ContainerProbeSpec extends AnyFunSuite {
     val damaged = Seq(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)).toDF("data")
       .select(ContainerMeta.mp3Meta(col("data")).as("m3"),
         ContainerMeta.mp4Meta(col("data")).as("m4"))
+      .head()
+    assert(damaged.isNullAt(0) && damaged.isNullAt(1))
+  }
+
+  test("mm_container_probe_audio parses what the payload expressions emit; nulls only on damage") {
+    val df = ContainerProbe.audioProbeQuery(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.anyNull), "every synthesized payload must parse")
+    import spark.implicits._
+    val one = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("L"))
+      .orderBy(col("doc_id")).head()
+    val (id, l) = (one.getLong(0), one.getInt(1))
+    val r = rows.find(_.getLong(0) == id).get
+    assert(r.getAs[Int]("flac_sample_rate") ===
+      Array(44100, 48000, 32000, 22050)(l % 4))
+    assert(r.getAs[Int]("flac_channels") === l % 8 + 1)
+    assert(r.getAs[Long]("flac_total_samples") === (l + 41L) * 1000L)
+    assert(r.getAs[Int]("flac_byte_len") === 46 + l % 19)
+    assert(r.getAs[Int]("ogg_pages") === (l % 2 + 1) * (l % 5 + 2))
+    assert(r.getAs[Long]("ogg_last_granule") === (l % 5 + 2).toLong * (l % 9 + 1) * 960L)
+    assert(r.getAs[Int]("ogg_byte_len") ===
+      (l % 2 + 1) * (l % 5 + 2) * (28 + l % 17 + 1))
+    val damaged = Seq(Array[Byte](9, 9, 9, 9, 9)).toDF("data")
+      .select(ContainerMeta.flacMeta(col("data")).as("mf"),
+        ContainerMeta.oggMeta(col("data")).as("mo"))
       .head()
     assert(damaged.isNullAt(0) && damaged.isNullAt(1))
   }

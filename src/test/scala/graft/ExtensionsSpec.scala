@@ -184,6 +184,23 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT mp3_meta(p).frames AS f, mp3_meta(p).sample_rate AS sr FROM mp3v").first()
       assert(meta.getInt(0) === 5 % 7 + 2)
       assert(meta.getInt(1) === graft.multimodal.ContainerProbe.Mp3SampleRates(5 % 3))
+      // the r12 FLAC/Ogg legs are SQL-callable like the other three
+      val flacP = org.apache.spark.sql.graftext.ContainerMeta
+        .flacPayload(org.apache.spark.unsafe.types.UTF8String.fromString("hello"))
+      val oggP = org.apache.spark.sql.graftext.ContainerMeta
+        .oggPayload(org.apache.spark.unsafe.types.UTF8String.fromString("hello"))
+      s2.createDataset(Seq((flacP, oggP)))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.BINARY, org.apache.spark.sql.Encoders.BINARY))
+        .toDF("pf", "po").createOrReplaceTempView("audiov")
+      val audio = s2.sql(
+        """SELECT flac_meta(pf).sample_rate AS sr, flac_meta(pf).channels AS ch,
+          |       ogg_meta(po).pages AS pg, ogg_meta(po).streams AS st
+          |FROM audiov""".stripMargin).first()
+      assert(audio.getInt(0) === Array(44100, 48000, 32000, 22050)(5 % 4))
+      assert(audio.getInt(1) === 5 % 8 + 1)
+      assert(audio.getInt(2) === (5 % 2 + 1) * (5 % 5 + 2))
+      assert(audio.getInt(3) === 5 % 2 + 1)
       val kll = s2.sql(
         """WITH parts AS (
           |  SELECT id % 4 AS shard, kll_sketch_agg(CAST(id AS DOUBLE), 200) AS sk
