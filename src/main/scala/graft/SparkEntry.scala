@@ -427,6 +427,9 @@ object SparkEntry {
     "q_sketch_rolling_quantiles" -> (graft.ops.SketchRollup.rollingOrderValueQuantilesQuery _),
     "q_sketch_rolling_topk" -> (graft.ops.SketchRollup.rollingTopProductsQuery _),
     "stream_hourly_agg" -> (graft.streaming.StreamingEvents.hourlyAggQuery _),
+    // streaming semantic dedup replayed from a crash-shaped checkpoint
+    // vs sequential batch application — at the dir's data scale
+    "stream_semdedup_replay_audit" -> (graft.streaming.ReplayAudit.semReplayAuditQuery _),
     "incremental_rebuild_diff" -> (graft.ops.IncrementalRebuild.diffQuery _),
     "q_merge_restatement" -> (graft.ops.MergeUpsert.restatedDailySales _),
     // report/snapshot queries run over the shared silver cache (they
@@ -624,6 +627,7 @@ object SparkEntry {
     "mm_container_probe" -> graft.multimodal.ContainerProbe.oracleSql,
     "mm_container_probe_audio" -> graft.multimodal.ContainerProbe.audioOracleSql,
     "stream_hourly_agg" -> graft.streaming.StreamingEvents.hourlyAggSql,
+    "stream_semdedup_replay_audit" -> graft.streaming.ReplayAudit.semReplayAuditSql,
     "incremental_rebuild_diff" -> graft.ops.IncrementalRebuild.diffSql,
     "q_merge_restatement" -> graft.ops.MergeUpsert.restatedDailySalesSql,
     "quality_silver_report" -> graft.quality.DataChecks.silverReportSql,

@@ -184,6 +184,18 @@ class IncrementalSemDedupSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("stream_semdedup_replay_audit reports an all-green row: forced replay == sequential batch") {
+    // the driver-facing audit query (the sf1 spot-oracle entry) must
+    // assemble the same machinery this suite exercises and claim true
+    // on every gate column
+    val row = graft.streaming.ReplayAudit.semReplayAuditQuery(spark, sf).head()
+    assert(row.getAs[Int]("deliveries") === 2)
+    assert(row.getAs[Boolean]("replay_forced"), "the last commit marker must have existed")
+    assert(row.getAs[Boolean]("flags_match_sequential"))
+    assert(row.getAs[Boolean]("state_match_sequential"))
+    assert(row.getAs[Long]("state_rows") > 0)
+  }
+
   test("the streaming ANN index is valid semantic-dedup state") {
     import graft.streaming.StreamingAnnIndex
     val tmp = java.nio.file.Files.createTempDirectory("graft_isd_").toString

@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 EXPect_FAIL = ["sim_embed_topk_lsh", "sim_embed_topk_ivf",
                "sim_embed_topk_sq8", "sim_semdedup",
                "q_sketch_rolling_quantiles", "q_sketch_audience_overlap",
-               "dedup_incremental_semantic"]
+               "dedup_incremental_semantic", "stream_semdedup_replay_audit"]
 
 
 def main(sf_dir, src_dir):
@@ -77,6 +77,12 @@ def main(sf_dir, src_dir):
     corp = t.index[t["src"] == "corpus"]
     assert len(corp) > 0, "dump has no corpus claims to corrupt"
     t.loc[corp[0], "src"] = "batch"
+    pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
+    # 8. replay-idempotence claim: flip the streamed-vs-sequential
+    #    flags verdict — the gate's WHERE must empty the result
+    f = table("stream_semdedup_replay_audit")
+    t = pq.read_table(f).to_pandas()
+    t.loc[0, "flags_match_sequential"] = False
     pq.write_table(pa.Table.from_pandas(t, preserve_index=False), f)
 
     out = subprocess.run(
