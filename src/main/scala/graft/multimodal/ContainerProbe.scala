@@ -479,7 +479,22 @@ object ContainerProbe {
 
   final case class OggMeta(
       pages: Int, streams: Int, bosPages: Int, eosPages: Int,
-      lastGranule: Long, payloadBytes: Long)
+      lastGranule: Long, payloadBytes: Long, codecs: Seq[String])
+
+  /** Codec of one BOS page's payload, from the mapping magics each
+    * codec's Ogg embedding spec publishes: "OpusHead" (RFC 7845
+    * §5.1), 0x01"vorbis" (Vorbis I spec §4.2.2), 0x7F"FLAC"
+    * (Ogg-FLAC mapping §2), 0x80"theora" (Theora spec §6.2). Anything
+    * else is truthfully "unknown" — never a guessed name. */
+  private def bosCodec(d: Array[Byte], off: Int, len: Int): String = {
+    def is(prefix: Array[Byte]): Boolean =
+      len >= prefix.length && prefix.indices.forall(i => d(off + i) == prefix(i))
+    if (is("OpusHead".getBytes(java.nio.charset.StandardCharsets.US_ASCII))) "opus"
+    else if (is(0x01.toByte +: "vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII))) "vorbis"
+    else if (is(0x7F.toByte +: "FLAC".getBytes(java.nio.charset.StandardCharsets.US_ASCII))) "flac"
+    else if (is(0x80.toByte +: "theora".getBytes(java.nio.charset.StandardCharsets.US_ASCII))) "theora"
+    else "unknown"
+  }
 
   private def le32(d: Array[Byte], o: Int): Long =
     (d(o) & 0xFFL) | ((d(o + 1) & 0xFFL) << 8) |
@@ -493,8 +508,11 @@ object ContainerProbe {
     * + seq + crc + segment count + lacing table + payload. Yields the
     * page count, the distinct-serial stream inventory, BOS/EOS flag
     * counts, the final page's granule position (codec-units —
-    * codec-agnostic by design, so no ms conversion is fabricated)
-    * and total payload bytes. The CRC is NOT verified — this is a
+    * codec-agnostic by design, so no ms conversion is fabricated),
+    * total payload bytes, and the per-stream codec inventory sniffed
+    * from each BOS page's mapping magic ([[bosCodec]]: opus / vorbis
+    * / flac / theora / unknown, in file order — the Ogg analogue of
+    * the EBML CodecID walk). The CRC is NOT verified — this is a
     * structural walk, valid on genuine files whose CRCs a decode
     * step would check. None on structural damage: bad capture
     * pattern, non-zero version, page overrunning the buffer. */
@@ -507,6 +525,7 @@ object ContainerProbe {
     var payload = 0L
     var lastGranule = 0L
     val serials = scala.collection.mutable.Set.empty[Long]
+    val codecs = scala.collection.mutable.ArrayBuffer.empty[String]
     while (off < data.length) {
       if (off + 27 > data.length) return None
       if (!(data(off) == 'O' && data(off + 1) == 'g' &&
@@ -523,7 +542,10 @@ object ContainerProbe {
       val end = off + 27 + nsegs + plen
       if (end > data.length) return None
       pages += 1
-      if ((htype & 0x02) != 0) bos += 1
+      if ((htype & 0x02) != 0) {
+        bos += 1
+        codecs += bosCodec(data, off + 27 + nsegs, plen)
+      }
       if ((htype & 0x04) != 0) eos += 1
       serials += serial
       lastGranule = granule
@@ -531,17 +553,66 @@ object ContainerProbe {
       off = end
     }
     if (pages == 0) None
-    else Some(OggMeta(pages, serials.size, bos, eos, lastGranule, payload))
+    else Some(OggMeta(pages, serials.size, bos, eos, lastGranule, payload,
+      codecs.toSeq))
+  }
+
+  /** Length of every codec identification header [[encodeOgg]] puts
+    * in a BOS page when a codec is named: the real id header (19-byte
+    * OpusHead / 30-byte Vorbis id / 9-byte Ogg-FLAC mapping prefix)
+    * zero-padded to one fixed lacing value, so the oracle's byte
+    * arithmetic is codec-independent. */
+  val OggIdHeaderBytes = 47
+
+  /** One codec identification header, real field layouts: OpusHead
+    * v1 (RFC 7845 §5.1: magic, version, channels, pre-skip LE16,
+    * input rate LE32, gain, mapping family 0), Vorbis id (spec
+    * §4.2.2: 0x01"vorbis", version 0, channels, rate LE32, 3
+    * bitrates, blocksizes, framing 1), Ogg-FLAC mapping prefix
+    * (0x7F"FLAC", major 1, minor 0, header count, native "fLaC").
+    * Zero-padded to [[OggIdHeaderBytes]]. */
+  private def codecIdHeader(codec: String, channels: Int, rate: Long): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit =
+      b.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le16(v: Long): Unit = { b.write((v & 0xFF).toInt); b.write(((v >> 8) & 0xFF).toInt) }
+    def le32(v: Long): Unit = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
+    codec match {
+      case "opus" =>
+        ascii("OpusHead"); b.write(1); b.write(channels)
+        le16(312) // pre-skip
+        le32(rate); le16(0) // output gain
+        b.write(0) // channel mapping family
+      case "vorbis" =>
+        b.write(0x01); ascii("vorbis")
+        le32(0) // vorbis_version
+        b.write(channels); le32(rate)
+        le32(0); le32(0); le32(0) // max/nominal/min bitrate
+        b.write(0xB8) // blocksizes 2^8/2^11
+        b.write(1)    // framing bit
+      case "flac" =>
+        b.write(0x7F); ascii("FLAC"); b.write(1); b.write(0)
+        b.write(0); b.write(0) // number of header packets (unknown)
+        ascii("fLaC")
+      case other => throw new IllegalArgumentException(s"no id header for $other")
+    }
+    val head = b.toByteArray
+    require(head.length <= OggIdHeaderBytes)
+    head ++ new Array[Byte](OggIdHeaderBytes - head.length)
   }
 
   /** Deterministic Ogg test payload: `streams` logical streams
     * (serials 1001..), written sequentially, each of `pagesPerStream`
     * pages (first BOS, last EOS — so ≥2 required) of one
     * `payloadPerPage`-byte lacing segment each; granule of page k
-    * (1-based) = k × granuleStep. CRC fields are zero (the probe is
-    * structural; see [[parseOgg]]). Page length = 28 + payloadPerPage. */
+    * (1-based) = k × granuleStep. When `codecs` names stream s's
+    * codec, its BOS page instead carries that codec's real id header
+    * padded to [[OggIdHeaderBytes]] (so BOS page length =
+    * 28 + OggIdHeaderBytes). CRC fields are zero (the probe is
+    * structural; see [[parseOgg]]). Non-BOS page length =
+    * 28 + payloadPerPage. */
   def encodeOgg(streams: Int, pagesPerStream: Int, payloadPerPage: Int,
-                granuleStep: Long): Array[Byte] = {
+                granuleStep: Long, codecs: Seq[String] = Seq.empty): Array[Byte] = {
     require(streams >= 1 && pagesPerStream >= 2 &&
       payloadPerPage >= 0 && payloadPerPage <= 254 && granuleStep >= 0)
     val out = new java.io.ByteArrayOutputStream()
@@ -550,6 +621,9 @@ object ContainerProbe {
       val serial = 1001L + s
       var k = 0
       while (k < pagesPerStream) {
+        val bosHeader: Option[Array[Byte]] =
+          if (k == 0) codecs.lift(s).map(c => codecIdHeader(c, s % 2 + 1, 48000L))
+          else None
         out.write('O'); out.write('g'); out.write('g'); out.write('S')
         out.write(0) // version
         out.write(if (k == 0) 0x02 else if (k == pagesPerStream - 1) 0x04 else 0x00)
@@ -562,9 +636,15 @@ object ContainerProbe {
         while (i < 4) { out.write((k >> (8 * i)) & 0xFF); i += 1 } // page seq
         out.write(0); out.write(0); out.write(0); out.write(0) // crc (unverified)
         out.write(1) // one lacing segment
-        out.write(payloadPerPage)
-        var j = 0
-        while (j < payloadPerPage) { out.write((j * 23 + k) % 253); j += 1 }
+        bosHeader match {
+          case Some(h) =>
+            out.write(h.length)
+            out.write(h)
+          case None =>
+            out.write(payloadPerPage)
+            var j = 0
+            while (j < payloadPerPage) { out.write((j * 23 + k) % 253); j += 1 }
+        }
         k += 1
       }
       s += 1
@@ -746,6 +826,7 @@ object ContainerProbe {
         col("mo.eos_pages").as("ogg_eos_pages"),
         col("mo.last_granule").as("ogg_last_granule"),
         col("mo.payload_bytes").as("ogg_payload_bytes"),
+        col("mo.codecs").as("ogg_codecs"),
         col("ogg_byte_len"))
       .orderBy(col("doc_id"))
   }
@@ -754,7 +835,10 @@ object ContainerProbe {
     * statement of what the parsed metadata must be (see [[oracleSql]]
     * for the convention). Byte lengths pin the encoders' size
     * arithmetic: FLAC = magic(4) + STREAMINFO(38) + PADDING(4+pad);
-    * Ogg = pages × (27-byte header + 1 lacing byte + payload). */
+    * Ogg = per stream, one BOS page of 28+$OggIdHeaderBytes bytes (the
+    * padded codec id header) + (pps−1) pages of 28+payload bytes. The
+    * codec list mirrors the (L+s)%3 derivation in
+    * `ContainerMeta.oggPayload`. */
   val audioOracleSql: String =
     s"""WITH p AS (
       |  SELECT doc_id, strlen(text) AS L FROM documents
@@ -768,7 +852,9 @@ object ContainerProbe {
       |    L % 2 + 1 AS streams,
       |    L % 5 + 2 AS pps,
       |    L % 17 + 1 AS ppp,
-      |    (L % 9 + 1) * 960 AS step
+      |    (L % 9 + 1) * 960 AS step,
+      |    ['opus','vorbis','flac'][CAST(L % 3 AS INT) + 1] AS c0,
+      |    ['opus','vorbis','flac'][CAST((L + 1) % 3 AS INT) + 1] AS c1
       |  FROM p
       |)
       |SELECT doc_id,
@@ -784,8 +870,11 @@ object ContainerProbe {
       |  CAST(streams AS INT) AS ogg_bos_pages,
       |  CAST(streams AS INT) AS ogg_eos_pages,
       |  CAST(pps * step AS BIGINT) AS ogg_last_granule,
-      |  CAST(streams * pps * ppp AS BIGINT) AS ogg_payload_bytes,
-      |  CAST(streams * pps * (28 + ppp) AS INT) AS ogg_byte_len
+      |  CAST(streams * ($OggIdHeaderBytes + (pps - 1) * ppp) AS BIGINT)
+      |    AS ogg_payload_bytes,
+      |  CASE WHEN streams = 1 THEN c0 ELSE c0 || ',' || c1 END AS ogg_codecs,
+      |  CAST(streams * (28 + $OggIdHeaderBytes + (pps - 1) * (28 + ppp)) AS INT)
+      |    AS ogg_byte_len
       |FROM d
       |ORDER BY doc_id""".stripMargin
 }

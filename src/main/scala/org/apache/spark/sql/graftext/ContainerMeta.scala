@@ -68,7 +68,8 @@ object ContainerMeta {
     StructField("bos_pages", IntegerType, nullable = false),
     StructField("eos_pages", IntegerType, nullable = false),
     StructField("last_granule", LongType, nullable = false),
-    StructField("payload_bytes", LongType, nullable = false)))
+    StructField("payload_bytes", LongType, nullable = false),
+    StructField("codecs", StringType, nullable = false)))
 
   def flacRow(data: Array[Byte]): InternalRow =
     ContainerProbe.parseFlac(data) match {
@@ -82,7 +83,7 @@ object ContainerMeta {
     ContainerProbe.parseOgg(data) match {
       case Some(m) => new GenericInternalRow(Array[Any](
         m.pages, m.streams, m.bosPages, m.eosPages, m.lastGranule,
-        m.payloadBytes))
+        m.payloadBytes, UTF8String.fromString(m.codecs.mkString(","))))
       case None => null
     }
 
@@ -102,7 +103,9 @@ object ContainerMeta {
       streams = L % 2 + 1,
       pagesPerStream = L % 5 + 2,
       payloadPerPage = L % 17 + 1,
-      granuleStep = (L % 9 + 1) * 960L)
+      granuleStep = (L % 9 + 1) * 960L,
+      codecs = (0 until L % 2 + 1).map(s =>
+        Seq("opus", "vorbis", "flac")((L + s) % 3)))
   }
 
   def ebmlRow(data: Array[Byte]): InternalRow =

@@ -273,7 +273,37 @@ class ContainerProbeSpec extends AnyFunSuite {
       assert(m.lastGranule === pps * step)
       assert(m.payloadBytes === streams.toLong * pps * ppp)
       assert(bytes.length === streams * pps * (28 + ppp))
+      // filler BOS payloads carry no mapping magic: truthfully unknown
+      assert(m.codecs === Seq.fill(streams)("unknown"))
     }
+  }
+
+  test("ogg codec inventory: id-header BOS pages sniff to opus/vorbis/flac in file order") {
+    val bytes = ContainerProbe.encodeOgg(3, 2, 10, 960L,
+      codecs = Seq("opus", "vorbis", "flac"))
+    val m = ContainerProbe.parseOgg(bytes).get
+    assert(m.codecs === Seq("opus", "vorbis", "flac"))
+    assert(m.streams === 3 && m.bosPages === 3)
+    // BOS pages carry the padded id header, the rest the filler payload
+    assert(bytes.length === 3 * (28 + ContainerProbe.OggIdHeaderBytes + (28 + 10)))
+    assert(m.payloadBytes === 3L * (ContainerProbe.OggIdHeaderBytes + 10))
+  }
+
+  test("ogg codec sniff: hand-built OpusHead BOS page per RFC 7845 offsets, not our encoder's") {
+    // one BOS page whose payload is a literal 19-byte OpusHead: magic,
+    // version 1, channels 2, pre-skip LE16, rate 48000 LE32, gain,
+    // mapping family 0
+    val head = "OpusHead".getBytes ++ Array[Byte](1, 2) ++
+      Array[Byte](0x38, 0x01) ++ // pre-skip 312 LE
+      Array[Byte](0x80.toByte, 0xBB.toByte, 0, 0) ++ // 48000 LE
+      Array[Byte](0, 0, 0)
+    assert(head.length === 19)
+    val b = new java.io.ByteArrayOutputStream()
+    b.write("OggS".getBytes); b.write(0); b.write(0x06) // BOS|EOS
+    (0 until 8 + 4 + 4 + 4).foreach(_ => b.write(0))
+    b.write(1); b.write(head.length); b.write(head)
+    val m = ContainerProbe.parseOgg(b.toByteArray).get
+    assert(m.codecs === Seq("opus"))
   }
 
   test("ogg hand-built fixture: RFC 3533 field offsets, not our encoder's") {
@@ -420,8 +450,11 @@ class ContainerProbeSpec extends AnyFunSuite {
     assert(r.getAs[Int]("flac_byte_len") === 46 + l % 19)
     assert(r.getAs[Int]("ogg_pages") === (l % 2 + 1) * (l % 5 + 2))
     assert(r.getAs[Long]("ogg_last_granule") === (l % 5 + 2).toLong * (l % 9 + 1) * 960L)
-    assert(r.getAs[Int]("ogg_byte_len") ===
-      (l % 2 + 1) * (l % 5 + 2) * (28 + l % 17 + 1))
+    assert(r.getAs[Int]("ogg_byte_len") === (l % 2 + 1) *
+      (28 + ContainerProbe.OggIdHeaderBytes + (l % 5 + 1) * (28 + l % 17 + 1)))
+    assert(r.getAs[String]("ogg_codecs") ===
+      (0 until l % 2 + 1).map(s => Seq("opus", "vorbis", "flac")((l + s) % 3))
+        .mkString(","))
     val damaged = Seq(Array[Byte](9, 9, 9, 9, 9)).toDF("data")
       .select(ContainerMeta.flacMeta(col("data")).as("mf"),
         ContainerMeta.oggMeta(col("data")).as("mo"))
