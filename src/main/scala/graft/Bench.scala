@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  private def materialize(df: DataFrame): Unit =
+  private[graft] def materialize(df: DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
   /** Settle outstanding page-cache writeback before a timed run: the
@@ -26,7 +26,7 @@ object Bench {
     * outside the timing window makes measurements start from the same
     * clean-disk state. Best effort: if the binary is missing the
     * timings are simply noisier, as before. */
-  private def settleDisk(): Unit =
+  private[graft] def settleDisk(): Unit =
     try {
       val p = new ProcessBuilder("sync").start()
       p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
@@ -403,7 +403,12 @@ object Bench {
     // named gaps in the r10 verdict's curve coverage — plus the new
     // semantic leg of the incremental-dedup family
     "gold_category_performance", "maintenance_zorder",
-    "dedup_incremental_semantic")
+    "dedup_incremental_semantic",
+    // r12: the decoder-free container-metadata family (MP3/MP4/EBML +
+    // the new FLAC/Ogg legs) gets measured 10x ratios — both are
+    // codegen'd map-only projections, so the curve should read ~10x
+    // (linear in bytes) with zero shuffle growth
+    "mm_container_probe", "mm_container_probe_audio")
 
   /** Time the heavy subset at 10× (generated once under target/scale/
     * sf1 from the bench SF dir): returns the curve (name, seconds,

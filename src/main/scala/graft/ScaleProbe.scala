@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Two-decade scale probe: times an operator-spanning query subset at
+  * base (the bench SF dir), 10× (`target/scale/sf1`) and 100×
+  * (`target/scale/sf10`, generated once via [[ScaleUp]] factor=100),
+  * all in ONE session — so the decade slopes are measured under
+  * identical session warmth and JIT state, immune to the
+  * board-to-board epoch drift that makes cross-file ratio reads
+  * arguable (boards on identical code have run 1.3–1.7× apart since
+  * r7).
+  *
+  * `slope10` = sf1/base and `slope100` = sf10/sf1; ~10 per decade is
+  * linear-in-bytes. The probe exists to answer the 100 TB question
+  * with a measurement instead of an extrapolation: a plan that is
+  * secretly super-linear (a shuffle whose pair volume grows
+  * quadratically, a broadcast that stops fitting, a single-partition
+  * fold) shows a second-decade slope well above the first.
+  *
+  * Measurement discipline mirrors the bench sf1 curve exactly: per
+  * scale, a staging pass first runs every probe query once (staged
+  * frames — silver, codebooks, banded indexes — are built outside the
+  * timing window at every scale, so slopes compare query work to
+  * query work); then each query is timed twice full-work (the stages
+  * it created are evicted between repeats) with [[Bench.robustSec]]
+  * arbitration. Caches are dropped between scales so a smaller
+  * scale's blocks never pressure a larger scale's heap.
+  *
+  * Output: one JSON line on stdout
+  * `{"metric":"scale100","queries":{name:{"base":s,"sf1":s,"sf10":s,
+  * "slope10":r,"slope100":r}},...}` — mirrored to
+  * `docs/SCALE100.json` when writable.
+  */
+object ScaleProbe {
+
+  /** Chosen to span the operator space, one per family: scan + window
+    * dedup + derive (silver), the reference join mart, hash-groupBy
+    * dedup, MinHash band join, IVF ANN (trained quantizer + bucket
+    * join), mergeable-sketch rolling agg, codegen'd map-only container
+    * probe, and the heaviest text-stats pass. All read only the five
+    * ScaleUp-scaled tables. */
+  private[graft] val probeQueries: Seq[String] = Seq(
+    "silver_events", "gold_category_performance", "dedup_exact",
+    "dedup_minhash_lsh", "sim_embed_topk_ivf", "q_sketch_rolling_topk",
+    "mm_container_probe_audio", "text_repetition_profile")
+
+  private def timeAt(spark: SparkSession, dir: String,
+                     label: String): Map[String, Double] = {
+    // staging pass: build every staged frame this subset consumes at
+    // this scale outside the timing window (the bench warmup contract)
+    probeQueries.foreach { name =>
+      val t0 = System.nanoTime()
+      try {
+        Bench.materialize(SparkEntry.queries(name)(spark, dir))
+        System.err.println(
+          f"[probe] $label staging $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[probe] $label staging $name FAILED: ${e.getMessage}")
+      }
+    }
+    probeQueries.flatMap { name =>
+      try {
+        def timedRun(): (Double, Set[String]) = {
+          val before = SparkEntry.stageNames(spark, dir)
+          Bench.settleDisk()
+          val t0 = System.nanoTime()
+          Bench.materialize(SparkEntry.queries(name)(spark, dir))
+          val sec = (System.nanoTime() - t0) / 1e9
+          (sec, SparkEntry.stageNames(spark, dir) -- before)
+        }
+        val (s1, created) = timedRun()
+        SparkEntry.evictStages(spark, dir, created)
+        val (s2, _) = timedRun()
+        val sec = Bench.robustSec(s1, s2, () => {
+          SparkEntry.evictStages(spark, dir, created)
+          timedRun()._1
+        })
+        System.err.println(f"[probe] $label $name%-28s runs $s1%7.2f/$s2%7.2f -> $sec%7.2f")
+        Seq(name -> sec)
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[probe] $label $name FAILED: ${e.getMessage}")
+        Seq.empty
+      }
+    }.toMap
+  }
+
+  private def dropScaleState(spark: SparkSession): Unit = {
+    SparkEntry.evictSilver(spark)
+    System.gc()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf1Dir = ScaleUp.ensure(spark, sfDir,
+      new java.io.File("target/scale/sf1").getAbsolutePath)
+    val sf10Dir = ScaleUp.ensure(spark, sfDir,
+      new java.io.File("target/scale/sf10").getAbsolutePath, factor = 100)
+
+    val base = timeAt(spark, sfDir, "base")
+    dropScaleState(spark)
+    val sf1 = timeAt(spark, sf1Dir, "sf1 ")
+    dropScaleState(spark)
+    val sf10 = timeAt(spark, sf10Dir, "sf10")
+
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val rows = probeQueries.filter(q =>
+      base.contains(q) && sf1.contains(q) && sf10.contains(q))
+    val body = rows.map { q =>
+      val (b, s1, s10) = (base(q), sf1(q), sf10(q))
+      val slope10 = if (b > 0) s1 / b else 0.0
+      val slope100 = if (s1 > 0) s10 / s1 else 0.0
+      s""""$q":{"base":${fmt(b)},"sf1":${fmt(s1)},"sf10":${fmt(s10)},""" +
+        s""""slope10":${fmt(slope10)},"slope100":${fmt(slope100)}}"""
+    }.mkString(",")
+    val json =
+      s"""{"metric":"scale100","unit":"sec","sf":"$sfDir","queries":{$body}}"""
+    println(json)
+    try {
+      val w = new java.io.PrintWriter("docs/SCALE100.json")
+      try w.println(json) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => }
+    spark.stop()
+  }
+}

@@ -63,6 +63,45 @@ class ScaleUpSpec extends AnyFunSuite {
     } finally { base.unpersist(); big.unpersist(); () }
   }
 
+  test("factor 100: all replica transforms distinct, dup structure and norms hold") {
+    // the 100× probe corpus (ScaleProbe): the two disjoint alphabet
+    // rotations compose to 100 distinct text transforms, so exact-dup
+    // groups must scale exactly 100× (any cross-replica collision
+    // would merge groups and show up as a smaller count); embedding
+    // rotation × sign-flip must stay norm-preserving past the dim-64
+    // rotation period
+    val d100 = ScaleUp.ensure(spark, sf,
+      Files.createTempDirectory("graft_sf100_").toString, factor = 100)
+    val base = docs
+    val big = Tables.documents(spark, d100).cache()
+    try {
+      assert(big.count() === 100 * base.count())
+      assert(big.filter(col("doc_id") < 100000L).select("doc_id", "text")
+        .exceptAll(base.select("doc_id", "text")).isEmpty)
+      assert(NearDup.exactGroups(big).count() === 100 * NearDup.exactGroups(base).count())
+      val bigEmb = Tables.embeddings(spark, d100)
+      assert(bigEmb.count() === 100 * embs.count())
+      // norm preservation across ALL 100 replicas, incl. the flipped ones
+      def norms(df: org.apache.spark.sql.DataFrame) = df.select(
+        pmod(col("vec_id"), lit(1000000L)).as("base_id"),
+        round(aggregate(col("embedding"), lit(0.0d),
+          (a, x) => a + x.cast("double") * x.cast("double")), 3).as("n2"))
+      assert(norms(bigEmb).distinct().count() === norms(embs).distinct().count())
+      // replicas beyond the rotation period must NOT be verbatim copies
+      // of their rotation-colliding partner (the sign flip separates
+      // replica i from i+64)
+      val dim = 64
+      val collide = bigEmb
+        .withColumn("__r", (col("vec_id") / lit(1000000L)).cast("int"))
+        .withColumn("base_id", pmod(col("vec_id"), lit(1000000L)))
+        .filter(col("__r") === 0 || col("__r") === dim)
+        .groupBy("base_id")
+        .agg(countDistinct(col("embedding").cast("string")).as("n"))
+        .filter(col("n") < 2)
+      assert(collide.isEmpty, "replica 64 must differ from replica 0")
+    } finally { big.unpersist(); () }
+  }
+
   test("embeddings: 10x rows, norms preserved, replica 0 verbatim") {
     val base = embs  // cached by TestSession
     val big = Tables.embeddings(spark, dest).cache()
