@@ -29,8 +29,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Output: one JSON line on stdout
   * `{"metric":"scale100","queries":{name:{"base":s,"sf1":s,"sf10":s,
-  * "slope10":r,"slope100":r}},...}` — mirrored to
-  * `docs/SCALE100.json` when writable.
+  * "slope10":r,"slope100":r,"cold":{...,"slope100":r}}},...}` —
+  * mirrored to `docs/SCALE100.json` when writable. `cold` is the
+  * staging pass (full work incl. stage builds), so index-heavy
+  * queries carry their build slope next to the warm one.
   */
 object ScaleProbe {
 
@@ -45,21 +47,33 @@ object ScaleProbe {
     "dedup_minhash_lsh", "sim_embed_topk_ivf", "q_sketch_rolling_topk",
     "mm_container_probe_audio", "text_repetition_profile")
 
+  /** Per-query (staging seconds, warm seconds) at one scale. Staging
+    * runs each query once COLD (stage-build + query, full work) — its
+    * slope answers "does the end-to-end cost stay linear"; the warm
+    * repeats then measure post-staging query work under the bench
+    * contract. Both ride the JSON so a staged-frame-heavy query (e.g.
+    * the MinHash bucket join over its banded index) cannot read as
+    * misleadingly flat: the index-build slope is right next to it.
+    * Caveat carried into the artifact: the base staging pass is also
+    * the session's first exercise of each plan, so base staging
+    * absorbs one-time JIT — staging slope10 is conservative (reads
+    * low); staging slope100 compares two warm-JIT scales and is the
+    * trustworthy decade. */
   private def timeAt(spark: SparkSession, dir: String,
-                     label: String): Map[String, Double] = {
-    // staging pass: build every staged frame this subset consumes at
-    // this scale outside the timing window (the bench warmup contract)
-    probeQueries.foreach { name =>
+                     label: String): (Map[String, Double], Map[String, Double]) = {
+    val staging = probeQueries.flatMap { name =>
       val t0 = System.nanoTime()
       try {
         Bench.materialize(SparkEntry.queries(name)(spark, dir))
-        System.err.println(
-          f"[probe] $label staging $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[probe] $label staging $name%-28s $sec%7.2f s")
+        Seq(name -> sec)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[probe] $label staging $name FAILED: ${e.getMessage}")
+        Seq.empty
       }
-    }
-    probeQueries.flatMap { name =>
+    }.toMap
+    val warm = probeQueries.flatMap { name =>
       try {
         def timedRun(): (Double, Set[String]) = {
           val before = SparkEntry.stageNames(spark, dir)
@@ -83,11 +97,42 @@ object ScaleProbe {
         Seq.empty
       }
     }.toMap
+    (warm, staging)
   }
 
   private def dropScaleState(spark: SparkSession): Unit = {
     SparkEntry.evictSilver(spark)
     System.gc()
+  }
+
+  /** Pure renderer for the probe's one-line JSON (spec-pinned like
+    * Bench.benchJson): a query joins the output only when ALL six
+    * measurements exist, so a failed scale never ships a partial
+    * slope. */
+  private[graft] def renderJson(sfDir: String,
+                                base: Map[String, Double], sf1: Map[String, Double],
+                                sf10: Map[String, Double], baseStg: Map[String, Double],
+                                sf1Stg: Map[String, Double], sf10Stg: Map[String, Double],
+                                names: Seq[String] = probeQueries): String = {
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val rows = names.filter(q =>
+      base.contains(q) && sf1.contains(q) && sf10.contains(q) &&
+        baseStg.contains(q) && sf1Stg.contains(q) && sf10Stg.contains(q))
+    val body = rows.map { q =>
+      val (b, s1, s10) = (base(q), sf1(q), sf10(q))
+      val (cb, c1, c10) = (baseStg(q), sf1Stg(q), sf10Stg(q))
+      val slope10 = if (b > 0) s1 / b else 0.0
+      val slope100 = if (s1 > 0) s10 / s1 else 0.0
+      val coldSlope100 = if (c1 > 0) c10 / c1 else 0.0
+      s""""$q":{"base":${fmt(b)},"sf1":${fmt(s1)},"sf10":${fmt(s10)},""" +
+        s""""slope10":${fmt(slope10)},"slope100":${fmt(slope100)},""" +
+        s""""cold":{"base":${fmt(cb)},"sf1":${fmt(c1)},"sf10":${fmt(c10)},""" +
+        s""""slope100":${fmt(coldSlope100)}}}"""
+    }.mkString(",")
+    s"""{"metric":"scale100","unit":"sec","sf":"$sfDir",""" +
+      s""""note":"cold = staging pass (stage-build + query, full work); base cold absorbs first-plan JIT so cold slope100 (two warm-JIT scales) is the trustworthy decade",""" +
+      s""""queries":{$body}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -108,25 +153,13 @@ object ScaleProbe {
     val sf10Dir = ScaleUp.ensure(spark, sfDir,
       new java.io.File("target/scale/sf10").getAbsolutePath, factor = 100)
 
-    val base = timeAt(spark, sfDir, "base")
+    val (base, baseStg) = timeAt(spark, sfDir, "base")
     dropScaleState(spark)
-    val sf1 = timeAt(spark, sf1Dir, "sf1 ")
+    val (sf1, sf1Stg) = timeAt(spark, sf1Dir, "sf1 ")
     dropScaleState(spark)
-    val sf10 = timeAt(spark, sf10Dir, "sf10")
+    val (sf10, sf10Stg) = timeAt(spark, sf10Dir, "sf10")
 
-    def fmt(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val rows = probeQueries.filter(q =>
-      base.contains(q) && sf1.contains(q) && sf10.contains(q))
-    val body = rows.map { q =>
-      val (b, s1, s10) = (base(q), sf1(q), sf10(q))
-      val slope10 = if (b > 0) s1 / b else 0.0
-      val slope100 = if (s1 > 0) s10 / s1 else 0.0
-      s""""$q":{"base":${fmt(b)},"sf1":${fmt(s1)},"sf10":${fmt(s10)},""" +
-        s""""slope10":${fmt(slope10)},"slope100":${fmt(slope100)}}"""
-    }.mkString(",")
-    val json =
-      s"""{"metric":"scale100","unit":"sec","sf":"$sfDir","queries":{$body}}"""
+    val json = renderJson(sfDir, base, sf1, sf10, baseStg, sf1Stg, sf10Stg)
     println(json)
     try {
       val w = new java.io.PrintWriter("docs/SCALE100.json")
