@@ -40,12 +40,18 @@ object ScaleProbe {
     * dedup + derive (silver), the reference join mart, hash-groupBy
     * dedup, MinHash band join, IVF ANN (trained quantizer + bucket
     * join), mergeable-sketch rolling agg, codegen'd map-only container
-    * probe, and the heaviest text-stats pass. All read only the five
-    * ScaleUp-scaled tables. */
+    * probe, the heaviest text-stats pass, the distributed NTILE path
+    * (range-repartition + offset ranks), and the stateful 2-delivery
+    * incremental replay. All read only the five ScaleUp-scaled tables.
+    * Deliberately absent: maintenance_zorder and pipeline_serving_sink
+    * — both write-bandwidth-bound full-table rewrites (adjudicated in
+    * docs/SCALE.md), measured at 10× on the bench sf1 curve; a 100×
+    * rewrite would spend ~15 min re-measuring disk, not plans. */
   private[graft] val probeQueries: Seq[String] = Seq(
     "silver_events", "gold_category_performance", "dedup_exact",
     "dedup_minhash_lsh", "sim_embed_topk_ivf", "q_sketch_rolling_topk",
-    "mm_container_probe_audio", "text_repetition_profile")
+    "mm_container_probe_audio", "text_repetition_profile",
+    "gold_user_rfm_segments", "incremental_rebuild_diff")
 
   /** Per-query (staging seconds, warm seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its
