@@ -51,6 +51,37 @@ object Bench {
     else if (math.max(s1, s2) <= math.min(s1, s2) * 1.3) math.min(s1, s2)
     else Seq(s1, s2, once()).sorted.apply(1)
 
+  /** ONE robust full-work measurement of `name` at `dir`: snapshot the
+    * staged frames, settle the disk, materialize, evict only the
+    * stages the query itself CREATED (so every repeat is full work,
+    * not a localCheckpoint cache hit — the r5 85× understatement),
+    * repeat, arbitrate with [[robustSec]]. Returns (seconds, every raw
+    * repeat incl. arbiters). The single shared implementation behind
+    * BOTH the bench sf1 curve and [[ScaleProbe]] — a measurement-
+    * discipline fix here lands on both curves at once. */
+  private[graft] def robustQueryTime(spark: SparkSession, dir: String,
+                                     name: String): (Double, Seq[Double]) = {
+    def timedRun(): (Double, Set[String]) = {
+      val before = SparkEntry.stageNames(spark, dir)
+      settleDisk()
+      val t0 = System.nanoTime()
+      materialize(SparkEntry.queries(name)(spark, dir))
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, SparkEntry.stageNames(spark, dir) -- before)
+    }
+    val (s1, created) = timedRun()
+    SparkEntry.evictStages(spark, dir, created)
+    val (s2, _) = timedRun()
+    val arbiters = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sec = robustSec(s1, s2, () => {
+      SparkEntry.evictStages(spark, dir, created)
+      val t = timedRun()._1
+      arbiters += t
+      t
+    })
+    (sec, Seq(s1, s2) ++ arbiters.toSeq)
+  }
+
   /** Previous board: base per-query seconds (outlier re-run guard +
     * drift adjudication), git sha (attribution window), and sf1
     * per-query seconds (the r12 sf1-curve adjudication — the r11
@@ -170,7 +201,10 @@ object Bench {
     // encode+decode a production pipeline persists as a table
     warm("media_decoded") {
       materialize(SparkEntry.queries("mm_media_meta")(spark, sfDir)) }
-    System.err.println(f"[bench] warmup staging took ${warmup.values.sum}%.2f s (amortized, not billed to queries)")
+    // abs: failed stages record NEGATED elapsed (the artifact
+    // convention) — they still SPENT the time, so the stderr total
+    // must add it, not subtract it
+    System.err.println(f"[bench] warmup staging took ${warmup.values.map(math.abs).sum}%.2f s (amortized, not billed to queries)")
     // Dirty-run self-flagging (round-4 lesson: a concurrent JVM inflated
     // ~12 queries 3-10x in the closing artifact): stamp the OS load
     // average into the JSON line, and give any query that comes in >1.3x
@@ -485,7 +519,9 @@ object Bench {
       warmSf1("mm_media_meta")
       Seq("brute", "lsh", "ivf", "ivf_upsert", "sq8", "bq", "pq", "ivfpq")
         .foreach(m => warmSf1(s"sim_embed_topk_$m"))
-      System.err.println(f"[bench] sf1 warmup staging took ${warmupSf1.values.sum}%.2f s over ${warmupSf1.size} stages")
+      // abs: failed stages record NEGATED elapsed — see the base
+      // warmup total above
+      System.err.println(f"[bench] sf1 warmup staging took ${warmupSf1.values.map(math.abs).sum}%.2f s over ${warmupSf1.size} stages")
       // Repeat discipline (round-5 lesson: sf1 ratios moved up to 1.7x
       // between two clean stamped solo runs — at that noise level a
       // real 1.5x regression on the curve is invisible): measure each
@@ -496,26 +532,9 @@ object Bench {
       // GC, compaction, page-cache misses only ever inflate).
       scaleCurveQueries.flatMap { name =>
         try {
-          def timedRun(): (Double, Set[String]) = {
-            val before = SparkEntry.stageNames(spark, dest)
-            settleDisk()
-            val t0 = System.nanoTime()
-            materialize(SparkEntry.queries(name)(spark, dest))
-            val sec = (System.nanoTime() - t0) / 1e9
-            (sec, SparkEntry.stageNames(spark, dest) -- before)
-          }
-          val (s1, created) = timedRun()
-          SparkEntry.evictStages(spark, dest, created)
-          val (s2, _) = timedRun()
-          val arbiters = scala.collection.mutable.ArrayBuffer.empty[Double]
-          val sec = robustSec(s1, s2, () => {
-            SparkEntry.evictStages(spark, dest, created)
-            val t = timedRun()._1
-            arbiters += t
-            t
-          })
-          rawRuns(name) = Seq(s1, s2) ++ arbiters.toSeq
-          System.err.println(f"[bench] sf1 $name%-36s runs $s1%7.2f/$s2%7.2f -> $sec%7.2f")
+          val (sec, runs) = robustQueryTime(spark, dest, name)
+          rawRuns(name) = runs
+          System.err.println(f"[bench] sf1 $name%-36s runs ${runs.head}%7.2f/${runs(1)}%7.2f -> $sec%7.2f")
           val ratio = base.get(name).filter(_ > 0).map(sec / _).getOrElse(0.0)
           Seq((name, sec, ratio))
         } catch { case scala.util.control.NonFatal(_) => Seq.empty }

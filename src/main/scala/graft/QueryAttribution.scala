@@ -128,8 +128,49 @@ object QueryAttribution {
     * must KEEP the file in the attribution changed set. Adding or
     * editing a registry row leaves this text unchanged; touching
     * `staged()`, `silver()`, or the eviction plumbing changes it. */
+  /** Index just past a double-quoted string literal opening at `i`
+    * (`"` or `"""`), honoring backslash escapes in the single-quoted
+    * form; triple-quoted bodies have no escapes. Unterminated →
+    * end-of-text. */
+  private def skipStringFrom(t: String, i: Int): Int =
+    if (t.startsWith("\"\"\"", i)) {
+      val close = t.indexOf("\"\"\"", i + 3)
+      if (close < 0) t.length else close + 3
+    } else {
+      var j = i + 1
+      while (j < t.length) {
+        t.charAt(j) match {
+          case '\\' => j += 2
+          case '"'  => return j + 1
+          case _    => j += 1
+        }
+      }
+      t.length
+    }
+
+  /** Strip `//`-to-EOL comments EXCEPT inside string literals — a
+    * registry SQL string may legitimately contain `//` (a URL, an
+    * integer-division `a//b` in some dialect), and the old regex strip
+    * would truncate it, corrupting the balance scan downstream. */
+  private[graft] def stripLineComments(t: String): String = {
+    val sb = new StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      if (t.charAt(i) == '"') {
+        val j = skipStringFrom(t, i)
+        // substring, not append(t, i, j): the 3-arg form auto-tuples
+        // into StringBuilder.append(Any) and stringifies the WHOLE
+        // text per call
+        sb.append(t.substring(i, j)); i = j
+      } else if (t.startsWith("//", i)) {
+        while (i < t.length && t.charAt(i) != '\n') i += 1
+      } else { sb.append(t.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   private[graft] def nonRegistryText(text: String): String = {
-    val noComments = text.replaceAll("(?m)//.*$", "")
+    val noComments = stripLineComments(text)
     def stripMapBody(t: String, defName: String): String = {
       val defIdx = t.indexOf(s"def $defName")
       if (defIdx < 0) return t
@@ -140,6 +181,18 @@ object QueryAttribution {
       var end = -1
       while (i < t.length && end < 0) {
         t.charAt(i) match {
+          // a paren inside a string literal is registry DATA, not
+          // structure: an unbalanced '(' in a future row's SQL would
+          // otherwise extend the stripped region past the Map literal
+          // and launder a staging-layer edit to epoch-drift — the
+          // exact failure this function exists to prevent. (Parens
+          // inside s"${...}" interpolations are balanced by the
+          // compiler, so skipping whole strings preserves balance.)
+          case '"' => i = skipStringFrom(t, i) - 1
+          // char literal: '(' / ')' / '\x' must not move the depth
+          case '\'' if i + 2 < t.length &&
+            (t.charAt(i + 2) == '\'' || t.charAt(i + 1) == '\\') =>
+            i += (if (t.charAt(i + 1) == '\\') 3 else 2)
           case '(' => depth += 1
           case ')' => depth -= 1; if (depth == 0) end = i
           case _ =>

@@ -53,7 +53,7 @@ object ScaleProbe {
     "mm_container_probe_audio", "text_repetition_profile",
     "gold_user_rfm_segments", "incremental_rebuild_diff")
 
-  /** Per-query (staging seconds, warm seconds) at one scale. Staging
+  /** Per-query (warm seconds, staging seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its
     * slope answers "does the end-to-end cost stay linear"; the warm
     * repeats then measure post-staging query work under the bench
@@ -81,22 +81,12 @@ object ScaleProbe {
     }.toMap
     val warm = probeQueries.flatMap { name =>
       try {
-        def timedRun(): (Double, Set[String]) = {
-          val before = SparkEntry.stageNames(spark, dir)
-          Bench.settleDisk()
-          val t0 = System.nanoTime()
-          Bench.materialize(SparkEntry.queries(name)(spark, dir))
-          val sec = (System.nanoTime() - t0) / 1e9
-          (sec, SparkEntry.stageNames(spark, dir) -- before)
-        }
-        val (s1, created) = timedRun()
-        SparkEntry.evictStages(spark, dir, created)
-        val (s2, _) = timedRun()
-        val sec = Bench.robustSec(s1, s2, () => {
-          SparkEntry.evictStages(spark, dir, created)
-          timedRun()._1
-        })
-        System.err.println(f"[probe] $label $name%-28s runs $s1%7.2f/$s2%7.2f -> $sec%7.2f")
+        // the ONE shared measurement block (Bench.robustQueryTime) —
+        // the sf1 curve and this probe must stay in measurement
+        // lockstep or their numbers are not comparable
+        val (sec, runs) = Bench.robustQueryTime(spark, dir, name)
+        System.err.println(
+          f"[probe] $label $name%-28s runs ${runs.head}%7.2f/${runs(1)}%7.2f -> $sec%7.2f")
         Seq(name -> sec)
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[probe] $label $name FAILED: ${e.getMessage}")
@@ -107,6 +97,10 @@ object ScaleProbe {
   }
 
   private def dropScaleState(spark: SparkSession): Unit = {
+    // evictSilver drops BOTH the silver cache and every stagedCache
+    // entry of the session (all dirs — see SparkEntry.evictSilver's
+    // second loop), so a smaller scale's banded indexes / codebooks /
+    // checkpoint blocks cannot pressure a larger scale's heap
     SparkEntry.evictSilver(spark)
     System.gc()
   }

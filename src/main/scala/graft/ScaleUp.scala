@@ -29,8 +29,16 @@ object ScaleUp {
   /** Second, disjoint letter set for factors beyond [[Alphabet]]'s 10
     * rotations: replica i composes rotation i%10 of [[Alphabet]] with
     * rotation i/10 of this set — 100 distinct text transforms for the
-    * 100× probe, with the same invariants (intra-replica duplicate
-    * structure preserved exactly, cross-replica shingles disjoint). */
+    * 100× probe, with intra-replica duplicate structure preserved
+    * exactly. Cross-replica shingle disjointness is QUANTITATIVE, not
+    * absolute: replicas sharing i%10 differ only on these letters, so
+    * a shingle containing none of them is identical across those 10
+    * replicas (no letter map can avoid this — a pure-digit span is
+    * invariant under every letter map). ScaleUpSpec pins the bound:
+    * worst per-doc second-alphabet-free shingle fraction 0.31 on the
+    * sf0.1 corpus → cross-replica Jaccard ≤ 0.19, far below the 0.8
+    * near-dup verification threshold, so no spurious pair survives
+    * and LSH candidate volume stays linear-honest. */
   val Alphabet2 = "bcdfghmpvw"
 
   private def rotated(s: String, i: Int): String = {

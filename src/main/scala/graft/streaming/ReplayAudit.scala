@@ -56,8 +56,27 @@ object ReplayAudit {
     ()
   }
 
+  /** Recursive delete of the audit scratch dir — the query writes two
+    * full corpus copies plus two checkpoints per invocation and runs
+    * in every bench first-pass and sf1 spot-oracle, so leaking it
+    * accumulates gigabytes across rounds. */
+  private def deleteRecursively(root: java.io.File): Unit = {
+    Option(root.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    root.delete()
+    ()
+  }
+
   def semReplayAuditQuery(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_replay_audit_").toString
+    try semReplayAuditIn(spark, dir, tmp)
+    finally deleteRecursively(new java.io.File(tmp))
+  }
+
+  /** Body of [[semReplayAuditQuery]]; every frame that outlives `tmp`
+    * is localCheckpoint'ed and the returned report is a LocalRelation
+    * of already-computed counts, so the caller can delete `tmp` the
+    * moment this returns. */
+  private def semReplayAuditIn(spark: SparkSession, dir: String, tmp: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val d1 = split(emb, batch = false).select("vec_id", "embedding", "label")
     val d2 = split(emb, batch = true).select("vec_id", "embedding", "label")
@@ -86,12 +105,13 @@ object ReplayAudit {
     // (fresh query identity; offsets/commits drive the replay).
     val src = java.nio.file.Paths.get(s"$tmp/ckpt")
     val dst = java.nio.file.Paths.get(s"$tmp/ckpt_replay")
-    java.nio.file.Files.walk(src).forEach { p =>
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
       val t = dst.resolve(src.relativize(p))
       if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
       else java.nio.file.Files.copy(p, t)
       ()
-    }
+    } finally walk.close()
     val commits = Option(new java.io.File(s"$tmp/ckpt_replay/commits").listFiles())
       .getOrElse(Array.empty[java.io.File]).filter(_.getName.matches("\\d+"))
     val replayForced = commits.nonEmpty

@@ -116,6 +116,39 @@ class QueryAttributionSpec extends AnyFunSuite {
       "a staging-layer edit must mark the file changed")
   }
 
+  test("nonRegistryText: parens and // inside registry strings cannot derail the strip") {
+    // an unmatched '(' inside a registry-row STRING must not extend
+    // the stripped region past the Map literal (which would hide the
+    // staging layer from the changed-set comparison and launder a
+    // staging regression to epoch-drift); a "//" inside a SQL string
+    // must not truncate it like a line comment
+    val base =
+      """object SparkEntry {
+        |  private def staged(s: S, dir: String)(f: => DataFrame): DataFrame = {
+        |    val v = f.localCheckpoint()
+        |    v
+        |  }
+        |  def queries: Map[String, Fn] = Map(
+        |    "q_alpha" -> ((s, dir) => s.sql("SELECT count( FROM t -- oops")))
+        |  def oracleSql: Map[String, String] = Map(
+        |    "q_alpha" -> "SELECT 'a//b' AS frag, count(*) FROM t")
+        |}""".stripMargin
+    val stripped = QueryAttribution.nonRegistryText(base)
+    assert(stripped.contains("def staged") && stripped.contains("localCheckpoint"),
+      "the staging layer must survive an unbalanced '(' inside a registry string")
+    val stagedEdited = base.replace("f.localCheckpoint()", "f.cache()")
+    assert(QueryAttribution.nonRegistryText(base) !=
+      QueryAttribution.nonRegistryText(stagedEdited),
+      "a staging edit must still mark the file changed under hostile registry strings")
+    // a char literal ')' in CODE position inside the Map body must not
+    // close the depth early (which would leave registry rows behind)
+    val charParen = base.replace("s.sql(", "s.sql(sep(')') + ")
+    val strippedCp = QueryAttribution.nonRegistryText(charParen)
+    assert(strippedCp.contains("def staged"))
+    assert(!strippedCp.contains("oops"),
+      "registry rows after a code char-literal ')' must still be stripped")
+  }
+
   test("nonRegistryText on the real SparkEntry keeps the staging layer, drops the registry rows") {
     val text = scala.io.Source.fromFile("src/main/scala/graft/SparkEntry.scala", "UTF-8").mkString
     val stripped = QueryAttribution.nonRegistryText(text)

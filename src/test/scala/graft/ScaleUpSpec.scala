@@ -102,6 +102,30 @@ class ScaleUpSpec extends AnyFunSuite {
     } finally { big.unpersist(); () }
   }
 
+  test("factor 100: cross-replica shingle leakage stays far below the dedup threshold") {
+    // Replicas sharing i%10 differ only on Alphabet2 letters, so a
+    // word-3-shingle containing NONE of them is byte-identical across
+    // those 10 replicas (a letter-map transform cannot avoid this —
+    // a pure-digit span is invariant under EVERY letter map). The
+    // honest-corpus claim is therefore quantitative: the worst
+    // per-doc fraction f of second-alphabet-free shingles bounds the
+    // cross-replica Jaccard at f/(2-f), which must sit far below the
+    // 0.8 near-dup verification threshold — then no spurious
+    // cross-replica pair survives verification and LSH band-collision
+    // probability stays negligible, keeping the 100x probe's
+    // candidate volume corpus-honest. (Measured on the full sf0.1
+    // corpus: worst f = 0.31 -> J <= 0.19.)
+    val sh = NearDup.shingles(docs)
+      .withColumn("bfree", !col("shingle").rlike(s"[${ScaleUp.Alphabet2}]"))
+    val per = sh.groupBy("doc_id")
+      .agg((sum(when(col("bfree"), 1).otherwise(0)).cast("double") / count(lit(1)))
+        .as("f"))
+    val worst = per.agg(max(col("f"))).head().getDouble(0)
+    val jBound = worst / (2.0 - worst)
+    assert(jBound < 0.4,
+      f"worst cross-replica Jaccard bound $jBound%.3f crept into near-dup range")
+  }
+
   test("embeddings: 10x rows, norms preserved, replica 0 verbatim") {
     val base = embs  // cached by TestSession
     val big = Tables.embeddings(spark, dest).cache()
