@@ -444,6 +444,8 @@ object SparkEntry {
       graft.sources.Snapshots.snapshotsOver(s, DailySales.build(silver(s, dir)))),
     "meta_cdc_diff" -> ((s, dir) =>
       graft.sources.Snapshots.cdcDiffOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_time_travel" -> ((s, dir) =>
+      graft.sources.GraftCatalog.timeTravelOver(s, DailySales.build(silver(s, dir)))),
     "meta_column_stats" -> (graft.quality.ColumnStats.lineitemStatsQuery _),
     "meta_skew_report" -> (graft.quality.ColumnStats.skewReportQuery _),
     "maintenance_vacuum" -> ((s, dir) =>
@@ -634,6 +636,7 @@ object SparkEntry {
     "quality_gold_report" -> graft.quality.DataChecks.goldReportSql,
     "meta_snapshots" -> graft.sources.Snapshots.snapshotsSql,
     "meta_cdc_diff" -> graft.sources.Snapshots.cdcDiffSql,
+    "meta_catalog_time_travel" -> graft.sources.GraftCatalog.timeTravelSql,
     "meta_column_stats" -> graft.quality.ColumnStats.lineitemStatsSql,
     "meta_skew_report" -> graft.quality.ColumnStats.skewReportSql,
     "maintenance_vacuum" -> graft.sources.Snapshots.vacuumSql,

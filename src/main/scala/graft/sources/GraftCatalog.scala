@@ -1,0 +1,385 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 catalog over the [[Snapshots]] versioned-parquet
+  * store — the Iceberg-shaped SQL surface the reference drives its
+  * lakehouse through (`/root/reference/spark/spark-defaults.conf:16-22`
+  * registers an Iceberg REST catalog; `schema_verify.py:42-47` reads
+  * AS OF), re-expressed as Spark's own public catalog plugin API
+  * instead of a path-helper library. Register with
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/to/warehouse")
+  * }}}
+  * and the reference's SQL runs verbatim:
+  * {{{
+  *   CREATE NAMESPACE graft.marts;
+  *   CREATE TABLE graft.marts.daily AS SELECT ...;          -- CTAS → snapshot v1
+  *   INSERT INTO graft.marts.daily SELECT ...;              -- fast-append → O(delta) snapshot v2
+  *   INSERT OVERWRITE graft.marts.daily SELECT ...;         -- full-state snapshot v3
+  *   SELECT * FROM graft.marts.daily VERSION AS OF 1;       -- time travel
+  *   SELECT * FROM graft.marts.daily TIMESTAMP AS OF '...';
+  *   SHOW TABLES IN graft.marts; DESCRIBE graft.marts.daily; DROP TABLE ...
+  * }}}
+  *
+  * Scale: reads plan through Spark's own `ParquetTable` over the
+  * version's [[Snapshots.readSet]] directories — vectorized scan,
+  * predicate pushdown, column pruning and partition coalescing are
+  * the stock parquet path, not a reimplementation. Appends write only
+  * the delta directory plus a KB manifest (metadata arithmetic for
+  * the running total — no rescan), so `INSERT INTO` stays O(delta) at
+  * 100 TB exactly like Iceberg's fast append. Catalog operations
+  * touch only directory names and manifests — driver-side metadata,
+  * never data.
+  *
+  * Deliberately unsupported (documented, loud): partition transforms
+  * in CREATE TABLE (the store manages layout; partitioned serving
+  * goes through [[graft.sink.ServingSink]]) and ALTER TABLE (schema
+  * evolution is a full-state write; see
+  * [[graft.sources.SchemaEvolution]]).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Paths.get(Option(options.get("warehouse")).getOrElse(
+      sys.props("java.io.tmpdir") + "/graft_warehouse"))
+    Files.createDirectories(warehouse)
+    ()
+  }
+
+  override def name(): String = catalogName
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)(_.resolve(_))
+
+  private def tableDir(ident: Identifier): Path =
+    nsDir(ident.namespace()).resolve(ident.name())
+
+  /** A directory is a table iff it carries snapshot manifests or a
+    * created-empty schema marker; anything else under the warehouse
+    * is a namespace. */
+  private def isTable(dir: Path): Boolean =
+    Files.isDirectory(dir.resolve("_meta")) || Files.isRegularFile(dir.resolve("_schema.json"))
+
+  // ---- namespaces -------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsDir(namespace)
+    if (namespace.nonEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    if (!Files.isDirectory(dir)) Array.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = nsDir(namespace)
+    Files.isDirectory(dir) && !isTable(dir)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(nsDir(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val dir = nsDir(namespace)
+    if (!cascade) {
+      val empty = !Files.list(dir).iterator().hasNext
+      require(empty, s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    }
+    deleteRecursively(dir)
+    true
+  }
+
+  // ---- tables -----------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Files.list(nsDir(namespace)).iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTable(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table =
+    loadPinned(ident, pinned = None)
+
+  /** `VERSION AS OF n` / `FOR SYSTEM_VERSION AS OF n`. Resolution
+    * failures surface as IllegalArgumentException, not
+    * NoSuchTableException — the analyzer rewrites the latter into a
+    * generic TABLE_OR_VIEW_NOT_FOUND that hides WHICH snapshot was
+    * missing. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"${ident.name()} VERSION AS OF $version: snapshot versions are integers")
+    }
+    loadPinned(ident, pinned = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands the instant as epoch MICROS;
+    * resolution picks the newest snapshot committed at or before it
+    * (the [[Snapshots.readAsOfTimestamp]] contract). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val table = tableDir(ident).toString
+    val tsMs = timestampMicros / 1000L
+    val eligible = Snapshots.commitTimes(table).filter(_._2 <= tsMs)
+    require(eligible.nonEmpty,
+      s"$ident: no snapshot committed at or before epoch-ms $tsMs")
+    loadPinned(ident, pinned = Some(eligible.maxBy(t => (t._2, t._1))._1))
+  }
+
+  private def loadPinned(ident: Identifier, pinned: Option[Long]): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    pinned.foreach { v =>
+      require(Snapshots.versions(dir.toString).contains(v),
+        s"$ident: no snapshot $v (history: ${Snapshots.versions(dir.toString).mkString(",")})")
+    }
+    new GraftSnapshotTable(
+      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+      dir.toString, pinned)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft catalog tables manage their own layout; partitioned serving copies go through ServingSink")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val dir = tableDir(ident)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("_schema.json"),
+      schema.json.getBytes(StandardCharsets.UTF_8))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "schema evolution is a full-state snapshot write — see graft.sources.SchemaEvolution")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) return false
+    deleteRecursively(dir)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.move(tableDir(oldIdent), tableDir(newIdent))
+    ()
+  }
+
+  private def deleteRecursively(root: Path): Unit = {
+    scala.util.Using.resource(Files.walk(root)) { walk =>
+      walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+}
+
+object GraftCatalog {
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Per-JVM warehouse root for the driver queries and specs — a
+    * fresh temp directory, so repeated Verify/Bench runs in separate
+    * JVMs never collide and a single JVM's repeats share one catalog
+    * instance (Spark caches the plugin per session after first use,
+    * so the warehouse option must be JVM-stable). */
+  private lazy val warehouseDir: String =
+    Files.createTempDirectory("graft_warehouse_").toString
+
+  /** Idempotently register this catalog as `graft` on the session.
+    * Must run before the first `graft.`-qualified statement; calling
+    * it again is a no-op (same values). */
+  def ensureRegistered(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", warehouseDir)
+  }
+
+  /** Driver query: the reference's whole catalog lifecycle as literal
+    * SQL — CTAS (snapshot v1), `INSERT INTO` (fast-append v2, only
+    * the delta directory written), `INSERT OVERWRITE` (full-state
+    * v3), then one `VERSION AS OF` read per snapshot — over the same
+    * deterministic daily-sales history the `.snapshots` listing pins,
+    * so every surfaced count and date is recomputable from silver by
+    * the DuckDB oracle. A fresh table name per invocation keeps bench
+    * repeats honest (each repeat replays the full DDL+write+read
+    * lifecycle, never a cached table). */
+  def timeTravelOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_tt_$n"
+    val v = s"__graft_tt_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v WHERE event_date <= DATE '2024-01-10'")
+    s.sql(s"INSERT INTO $t SELECT * FROM $v WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-20'")
+    s.sql(s"INSERT OVERWRITE $t SELECT * FROM $v")
+    s.sql(s"""
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version, count(*) AS row_count,
+      |         CAST(max(event_date) AS STRING) AS last_date
+      |  FROM $t VERSION AS OF 1
+      |  UNION ALL
+      |  SELECT 2, count(*), CAST(max(event_date) AS STRING)
+      |  FROM $t VERSION AS OF 2
+      |  UNION ALL
+      |  SELECT 3, count(*), CAST(max(event_date) AS STRING)
+      |  FROM $t VERSION AS OF 3
+      |)
+      |ORDER BY version""".stripMargin)
+  }
+
+  /** DuckDB oracle: the three snapshots' counts and frontier dates
+    * replayed as date predicates over the same mart's date domain
+    * (v2 = v1 ∪ the appended (01-10, 01-20] delta). */
+  val timeTravelSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT CAST(1 AS BIGINT) AS version,
+    |    (SELECT count(*) FROM daily WHERE event_date <= DATE '2024-01-10') AS row_count,
+    |    (SELECT CAST(max(event_date) AS VARCHAR) FROM daily WHERE event_date <= DATE '2024-01-10') AS last_date
+    |  UNION ALL SELECT 2,
+    |    (SELECT count(*) FROM daily WHERE event_date <= DATE '2024-01-20'),
+    |    (SELECT CAST(max(event_date) AS VARCHAR) FROM daily WHERE event_date <= DATE '2024-01-20')
+    |  UNION ALL SELECT 3,
+    |    (SELECT count(*) FROM daily),
+    |    (SELECT CAST(max(event_date) AS VARCHAR) FROM daily)
+    |)
+    |ORDER BY version""".stripMargin
+}
+
+/** One snapshot-pinned view of a versioned table. Reads delegate to
+  * Spark's own `ParquetTable` over the pinned version's read set
+  * (full pushdown/vectorization — `.explain` shows the stock
+  * `BatchScan parquet` with `PushedFilters`); writes commit through
+  * the V1 fallback seam ([[InsertableRelation]]) so `INSERT INTO`
+  * lands as a fast-append snapshot and `INSERT OVERWRITE` / CTAS as a
+  * full-state snapshot, both with manifests — the same commit path
+  * the library API uses, so SQL writes and API writes share one
+  * history. */
+private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: String,
+                                          pinned: Option[Long])
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def resolvedVersion: Option[Long] =
+    pinned.orElse(Snapshots.versions(tablePath).lastOption)
+
+  private def declaredSchema: Option[StructType] = {
+    val marker = Paths.get(tablePath, "_schema.json")
+    if (!Files.isRegularFile(marker)) None
+    else Some(StructType.fromDDL(
+      // StructType.json round-trip without private parsers:
+      org.apache.spark.sql.types.DataType.fromJson(new String(
+        Files.readAllBytes(marker), StandardCharsets.UTF_8))
+        .asInstanceOf[StructType].toDDL))
+  }
+
+  private def parquetTable(v: Long): ParquetTable =
+    ParquetTable(qualifiedName, spark, CaseInsensitiveStringMap.empty(),
+      Snapshots.readSet(tablePath, v), userSpecifiedSchema = None,
+      fallbackFileFormat = classOf[ParquetFileFormat])
+
+  override def name(): String = qualifiedName
+
+  override def schema(): StructType = resolvedVersion match {
+    case Some(v) => parquetTable(v).schema
+    case None    => declaredSchema.getOrElse(new StructType())
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    resolvedVersion match {
+      case Some(v) => parquetTable(v).newScanBuilder(options)
+      case None    => new GraftEmptyScanBuilder(schema())
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                legacyOverwrite: Boolean): Unit = {
+              val fullState = overwrite || legacyOverwrite ||
+                Snapshots.versions(tablePath).isEmpty
+              if (fullState) Snapshots.writeSnapshot(data, tablePath)
+              else Snapshots.appendSnapshot(data, tablePath)
+              ()
+            }
+          }
+      }
+    }
+}
+
+/** Scan of a created-but-never-written table: the declared schema,
+  * zero partitions. */
+private class GraftEmptyScanBuilder(schema: StructType) extends ScanBuilder {
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = schema
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = Array.empty
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+          throw new IllegalStateException("empty table planned no partitions")
+      }
+  }
+}

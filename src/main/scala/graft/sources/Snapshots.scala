@@ -65,11 +65,69 @@ object Snapshots {
     v
   }
 
-  /** Time travel: the table exactly as of version `v`. */
-  def readAsOf(spark: SparkSession, table: String, v: Long): DataFrame = {
-    require(versions(table).contains(v), s"no snapshot $v of $table")
-    spark.read.parquet(s"$table/v=$v")
+  /** Operation recorded in version `v`'s manifest ("" if absent). */
+  private[sources] def operationOf(table: String, v: Long): String = {
+    val text = new String(
+      Files.readAllBytes(metaDir(table).resolve(s"$v.json")), StandardCharsets.UTF_8)
+    "\"operation\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
   }
+
+  /** Data directories that make up the table state AS OF version `v`:
+    * the most recent full-state version ≤ v (any operation but
+    * `append`) plus every `append` delta after it. Full-state
+    * versions (the only kind before the fast-append op existed) keep
+    * their one-directory read set, so pre-existing tables are
+    * unaffected. */
+  private[sources] def readSet(table: String, v: Long): Seq[String] = {
+    val upTo = versions(table).filter(_ <= v)
+    require(upTo.contains(v), s"no snapshot $v of $table")
+    val ops = upTo.map(x => (x, operationOf(table, x)))
+    val lastFull = ops.reverse.find(_._2 != "append").map(_._1).getOrElse(upTo.head)
+    ops.collect { case (x, _) if x >= lastFull => s"$table/v=$x" }
+  }
+
+  /** Fast append (Iceberg `append` snapshot semantics): version N+1's
+    * data directory holds ONLY the new rows — O(delta) write, never a
+    * table rewrite — and the manifest chains it onto the current
+    * state. `row_count` stays the TOTAL as-of row count (computed
+    * from the prior manifest + the delta count: metadata arithmetic,
+    * no rescan of existing data). Readers of version N+1 assemble the
+    * last full-state directory plus the appended deltas in one
+    * multi-path scan. Schemas must match the current state exactly —
+    * evolution goes through a full-state write. */
+  def appendSnapshot(df: DataFrame, table: String,
+                     commitTsMs: Option[Long] = None): Long = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"cannot append to $table: no current snapshot")
+    val current = readLatest(df.sparkSession, table)
+    require(current.columns.sorted.sameElements(df.columns.sorted),
+      s"append schema mismatch: ${current.columns.mkString(",")} vs ${df.columns.mkString(",")}")
+    val v = vs.last + 1
+    df.write.mode("errorifexists").option("compression", "snappy")
+      .parquet(s"$table/v=$v")
+    val delta = df.sparkSession.read.parquet(s"$table/v=$v").count()
+    val priorTotal = rowCountOf(table, vs.last)
+    val cols = df.schema.fieldNames
+      .map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    val ts = commitTsMs.getOrElse(System.currentTimeMillis())
+    val manifest =
+      s"""{"version":$v,"operation":"append","committed_at_ms":$ts,"row_count":${priorTotal + delta},"added_rows":$delta,"columns":$cols}"""
+    Files.write(metaDir(table).resolve(s"$v.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  private def rowCountOf(table: String, v: Long): Long = {
+    val text = new String(
+      Files.readAllBytes(metaDir(table).resolve(s"$v.json")), StandardCharsets.UTF_8)
+    "\"row_count\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
+  }
+
+  /** Time travel: the table exactly as of version `v` (one multi-path
+    * scan over the version's [[readSet]] — a single directory unless
+    * `v` sits on a fast-append chain). */
+  def readAsOf(spark: SparkSession, table: String, v: Long): DataFrame =
+    spark.read.parquet(readSet(table, v): _*)
 
   /** Rollback: restore the table's CURRENT state to what version `v`
     * held, as a NEW version (Iceberg's `rollback_to_snapshot`
@@ -83,7 +141,7 @@ object Snapshots {
   /** Commit timestamp of each version (manifests written before the
     * field existed order by version number at epoch 0 — monotone, so
     * timestamp resolution still picks the right neighbor). */
-  private def commitTimes(table: String): Seq[(Long, Long)] =
+  private[sources] def commitTimes(table: String): Seq[(Long, Long)] =
     versions(table).map { v =>
       val text = new String(
         Files.readAllBytes(metaDir(table).resolve(s"$v.json")), StandardCharsets.UTF_8)
@@ -228,7 +286,16 @@ object Snapshots {
       .select("version", "row_count").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     val cut = before.length - keepLast
-    val expired = before.take(math.max(cut, 0)).map(_._1).toSet
+    val retained = before.drop(math.max(cut, 0)).map(_._1)
+    // a retained fast-append version still READS its predecessors'
+    // directories (its readSet) — expiring those would corrupt it, so
+    // they stay on disk even when their manifests fall out of the
+    // keepLast window (Iceberg's expire_snapshots makes the same
+    // distinction between expiring a snapshot and deleting its files)
+    val pinnedDirs = retained
+      .flatMap(v => readSet(table, v))
+      .map(p => p.substring(p.lastIndexOf("v=") + 2).toLong).toSet
+    val expired = before.take(math.max(cut, 0)).map(_._1).toSet -- pinnedDirs
     expired.foreach { v =>
       val dir = Paths.get(table, s"v=$v")
       if (Files.isDirectory(dir)) {

@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GraftCatalog, Snapshots}
+
+/** The DSv2 catalog over the versioned-parquet store: the reference's
+  * Iceberg catalog surface (spark-defaults.conf:16-22 registers the
+  * catalog; schema_verify.py:42-47 reads AS OF) as literal SQL
+  * against Spark's public catalog-plugin API — CTAS, fast-append
+  * INSERT, INSERT OVERWRITE, VERSION/TIMESTAMP AS OF, SHOW/DESCRIBE/
+  * DROP — plus the store-level fast-append invariants (O(delta)
+  * write, retention chain guard). */
+class GraftCatalogSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  // An isolated catalog instance per suite run (the shared `graft`
+  // catalog keeps its per-JVM warehouse for the driver query).
+  private lazy val wh = Files.createTempDirectory("graft_cat_spec_").toString
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.gcs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcs.warehouse", wh)
+    "gcs"
+  }
+
+  test("full SQL lifecycle: CTAS, fast-append INSERT, INSERT OVERWRITE, VERSION AS OF, SHOW, DESCRIBE, DROP") {
+    spark.sql(s"CREATE NAMESPACE $cat.life")
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+      .createOrReplaceTempView("__cat_life_src")
+    spark.sql(s"CREATE TABLE $cat.life.t AS SELECT * FROM __cat_life_src WHERE id < 4")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.life.t").head().getLong(0) == 4)
+
+    // INSERT INTO = fast append: version 2's data dir holds ONLY the delta
+    spark.sql(s"INSERT INTO $cat.life.t SELECT * FROM __cat_life_src WHERE id >= 4 AND id < 7")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.life.t").head().getLong(0) == 7)
+    val v2Rows = spark.read.parquet(s"$wh/life/t/v=2").count()
+    assert(v2Rows == 3, s"fast append must write only the delta, wrote $v2Rows rows")
+
+    spark.sql(s"INSERT OVERWRITE $cat.life.t SELECT * FROM __cat_life_src")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.life.t").head().getLong(0) == 10)
+
+    // time travel across all three snapshots, incl. the append chain
+    assert(spark.sql(s"SELECT count(*) FROM $cat.life.t VERSION AS OF 1").head().getLong(0) == 4)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.life.t VERSION AS OF 2").head().getLong(0) == (0 until 7).map(_ * 2).sum)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.life.t VERSION AS OF 3").head().getLong(0) == 10)
+
+    assert(spark.sql(s"SHOW TABLES IN $cat.life").collect().map(_.getString(1)).contains("t"))
+    val described = spark.sql(s"DESCRIBE TABLE $cat.life.t").collect().map(_.getString(0))
+    assert(described.contains("id") && described.contains("v"))
+
+    spark.sql(s"DROP TABLE $cat.life.t")
+    assert(spark.sql(s"SHOW TABLES IN $cat.life").isEmpty)
+  }
+
+  test("TIMESTAMP AS OF resolves against injected commit times") {
+    spark.sql(s"CREATE NAMESPACE $cat.tt")
+    val table = s"$wh/tt/t"
+    Snapshots.writeSnapshot(spark.range(0, 5).toDF("id"), table,
+      commitTsMs = Some(1000000L))
+    Snapshots.writeSnapshot(spark.range(0, 9).toDF("id"), table,
+      commitTsMs = Some(2000000L))
+    def countAsOf(ts: String): Long =
+      spark.sql(s"SELECT count(*) FROM $cat.tt.t TIMESTAMP AS OF '$ts'").head().getLong(0)
+    // 1970-01-01 00:30 UTC = 1800s = between the two commits
+    assert(countAsOf("1970-01-01 00:30:00") == 5)
+    assert(countAsOf("1970-01-01 01:00:00") == 9)
+    val tooEarly = intercept[Exception] { countAsOf("1970-01-01 00:00:30") }
+    assert(tooEarly.getMessage.contains("no snapshot committed at or before"))
+  }
+
+  test("created-but-empty table: declared schema, zero rows; missing version errors") {
+    spark.sql(s"CREATE NAMESPACE $cat.empty")
+    spark.sql(s"CREATE TABLE $cat.empty.t (id BIGINT, name STRING)")
+    val df = spark.sql(s"SELECT * FROM $cat.empty.t")
+    assert(df.columns.toSeq == Seq("id", "name") && df.isEmpty)
+    // first INSERT INTO an empty table is the initial full state
+    spark.sql(s"INSERT INTO $cat.empty.t VALUES (1, 'a')")
+    assert(spark.sql(s"SELECT name FROM $cat.empty.t").head().getString(0) == "a")
+    val noV = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.empty.t VERSION AS OF 9").collect()
+    }
+    assert(noV.getMessage.contains("no snapshot 9"))
+  }
+
+  test("reads plan through the stock parquet scan with pushdown") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.plan")
+    spark.range(0, 100).selectExpr("id", "id % 7 AS k", "CAST(id AS STRING) AS unused")
+      .createOrReplaceTempView("__cat_plan_src")
+    spark.sql(s"CREATE TABLE $cat.plan.t AS SELECT * FROM __cat_plan_src")
+    val plan = spark.sql(s"SELECT id FROM $cat.plan.t WHERE k = 3")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,3)]"),
+      s"predicate must reach the parquet scan:\n$plan")
+    // projection pruned to the referenced columns: `unused` never read
+    assert(plan.contains("ReadSchema: struct<id:bigint,k:bigint>"),
+      s"projection must prune the unreferenced column:\n$plan")
+  }
+
+  test("store-level: expire cannot break a retained append chain") {
+    val table = Files.createTempDirectory("graft_chain_").toString + "/t"
+    Snapshots.writeSnapshot(spark.range(0, 4).toDF("id"), table)          // v1 full
+    Snapshots.appendSnapshot(spark.range(4, 6).toDF("id"), table)          // v2 delta
+    Snapshots.appendSnapshot(spark.range(6, 7).toDF("id"), table)          // v3 delta
+    assert(Snapshots.readAsOf(spark, table, 3).count() == 7)
+    assert(Snapshots.readAsOf(spark, table, 2).count() == 6)
+    // keepLast=1 retains v3, whose read set spans v1..v3: nothing may expire
+    val report = Snapshots.expireSnapshots(spark, table, keepLast = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(report == Map(1L -> "kept", 2L -> "kept", 3L -> "kept"))
+    assert(Snapshots.readAsOf(spark, table, 3).count() == 7,
+      "the retained snapshot must still read after retention")
+    // a full-state write seals the chain; now history before it can go
+    Snapshots.writeSnapshot(Snapshots.readLatest(spark, table), table)     // v4 full
+    val report2 = Snapshots.expireSnapshots(spark, table, keepLast = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(report2 == Map(1L -> "expired", 2L -> "expired", 3L -> "expired", 4L -> "kept"))
+    assert(Snapshots.readLatest(spark, table).count() == 7)
+  }
+
+  test("append manifest records metadata-arithmetic totals; snapshots listing sees them") {
+    val table = Files.createTempDirectory("graft_total_").toString + "/t"
+    Snapshots.writeSnapshot(spark.range(0, 4).toDF("id"), table)
+    Snapshots.appendSnapshot(spark.range(4, 9).toDF("id"), table)
+    val listed = Snapshots.snapshots(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(listed.toSeq == Seq((1L, "overwrite", 4L), (2L, "append", 9L)))
+    // schema mismatch on append fails loudly, never corrupts the chain
+    val bad = intercept[IllegalArgumentException] {
+      Snapshots.appendSnapshot(spark.range(0, 1).selectExpr("id AS other"), table)
+    }
+    assert(bad.getMessage.contains("append schema mismatch"))
+    assert(Snapshots.versions(table) == Seq(1L, 2L))
+  }
+
+  test("driver query matches its oracle shape and the DDL surface stays unsupported-loud") {
+    val daily = graft.marts.DailySales.build(
+      graft.marts.SilverEvents.build(graft.sources.Tables.events(spark, TestSession.sf)))
+    val out = GraftCatalog.timeTravelOver(spark, daily).collect()
+    assert(out.length == 3 && out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // monotone history: each snapshot extends the date frontier
+    val dates = out.map(_.getString(2))
+    assert(dates(0) <= dates(1) && dates(1) <= dates(2))
+    assert(out(0).getLong(1) <= out(1).getLong(1) && out(1).getLong(1) <= out(2).getLong(1))
+    val alter = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.plan.t ADD COLUMN extra INT")
+    }
+    assert(alter.getMessage.contains("SchemaEvolution"))
+  }
+}
