@@ -200,9 +200,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution is a full-state snapshot write — see graft.sources.SchemaEvolution")
+  /** `ALTER TABLE … ADD COLUMN` (the reference's
+    * schema_add_column.py:24-28, K6): metadata-only evolution — the
+    * merged schema lands in `_schema.json`, existing data directories
+    * are untouched, and current-state reads surface the new column as
+    * NULL on pre-evolution rows (Iceberg's add-column contract).
+    * Time travel keeps per-snapshot schemas: a pinned read infers
+    * from the snapshot's own files. Only nullable, top-level,
+    * position-free, default-free adds are supported — anything else
+    * is a full-state rewrite and stays loud. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val base = new GraftSnapshotTable(ident.toString, dir.toString, pinned = None).schema()
+    val evolved = changes.foldLeft(base) {
+      case (schema, add: TableChange.AddColumn)
+        if add.fieldNames().length == 1 && add.isNullable &&
+          add.position() == null && add.defaultValue() == null =>
+        require(!schema.fieldNames.contains(add.fieldNames()(0)),
+          s"column ${add.fieldNames()(0)} already exists")
+        val field = org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType(), nullable = true)
+        schema.add(Option(add.comment()).map(field.withComment).getOrElse(field))
+      case _ => throw new UnsupportedOperationException(
+        "only nullable top-level ADD COLUMN is metadata-only; everything else " +
+          "is a full-state snapshot write — see graft.sources.SchemaEvolution")
+    }
+    Files.write(dir.resolve("_schema.json"),
+      evolved.json.getBytes(StandardCharsets.UTF_8))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -327,15 +354,28 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         .asInstanceOf[StructType].toDDL))
   }
 
-  private def parquetTable(v: Long): ParquetTable =
-    ParquetTable(qualifiedName, spark, CaseInsensitiveStringMap.empty(),
-      Snapshots.readSet(tablePath, v), userSpecifiedSchema = None,
+  private def parquetTable(v: Long, userSchema: Option[StructType]): ParquetTable =
+    ParquetTable(qualifiedName, spark,
+      // mergeSchema: an append chain written across a schema evolution
+      // holds directories of different widths — inference must union
+      // them (the snapshot's own schema), not pick one file's
+      new CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("mergeSchema", "true")),
+      Snapshots.readSet(tablePath, v), userSpecifiedSchema = userSchema,
       fallbackFileFormat = classOf[ParquetFileFormat])
+
+  /** Current-state reads honor the declared (possibly evolved)
+    * schema, so a just-added column reads NULL on pre-evolution rows
+    * (metadata-only evolution); pinned time-travel reads infer the
+    * snapshot's OWN schema from its files — Iceberg's per-snapshot
+    * schema contract. */
+  private def readerSchema: Option[StructType] =
+    if (pinned.isEmpty) declaredSchema else None
 
   override def name(): String = qualifiedName
 
   override def schema(): StructType = resolvedVersion match {
-    case Some(v) => parquetTable(v).schema
+    case Some(v) => readerSchema.getOrElse(parquetTable(v, None).schema)
     case None    => declaredSchema.getOrElse(new StructType())
   }
 
@@ -345,7 +385,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     resolvedVersion match {
-      case Some(v) => parquetTable(v).newScanBuilder(options)
+      case Some(v) => parquetTable(v, readerSchema).newScanBuilder(options)
       case None    => new GraftEmptyScanBuilder(schema())
     }
 
@@ -361,7 +401,11 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
               val fullState = overwrite || legacyOverwrite ||
                 Snapshots.versions(tablePath).isEmpty
               if (fullState) Snapshots.writeSnapshot(data, tablePath)
-              else Snapshots.appendSnapshot(data, tablePath)
+              else Snapshots.appendSnapshot(data, tablePath,
+                // post-evolution appends carry the declared (wider)
+                // schema; older directories stay narrow and the
+                // mergeSchema read path unions them
+                expectedColumns = declaredSchema.map(_.fieldNames.toSeq))
               ()
             }
           }

@@ -96,12 +96,17 @@ object Snapshots {
     * multi-path scan. Schemas must match the current state exactly —
     * evolution goes through a full-state write. */
   def appendSnapshot(df: DataFrame, table: String,
-                     commitTsMs: Option[Long] = None): Long = {
+                     commitTsMs: Option[Long] = None,
+                     expectedColumns: Option[Seq[String]] = None): Long = {
     val vs = versions(table)
     require(vs.nonEmpty, s"cannot append to $table: no current snapshot")
-    val current = readLatest(df.sparkSession, table)
-    require(current.columns.sorted.sameElements(df.columns.sorted),
-      s"append schema mismatch: ${current.columns.mkString(",")} vs ${df.columns.mkString(",")}")
+    // the append must match the table's EFFECTIVE schema: the caller's
+    // declared one when the table has evolved (catalog path), else the
+    // current physical state
+    val expect = expectedColumns.getOrElse(
+      readLatest(df.sparkSession, table).columns.toSeq)
+    require(expect.sorted == df.columns.toSeq.sorted,
+      s"append schema mismatch: ${expect.mkString(",")} vs ${df.columns.mkString(",")}")
     val v = vs.last + 1
     df.write.mode("errorifexists").option("compression", "snappy")
       .parquet(s"$table/v=$v")

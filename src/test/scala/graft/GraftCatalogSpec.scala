@@ -133,6 +133,48 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(Snapshots.versions(table) == Seq(1L, 2L))
   }
 
+  test("ALTER TABLE ADD COLUMN: the reference's metadata-only evolution, verbatim DDL") {
+    // reference flow (schema_add_column.py:19-32): DESCRIBE-based
+    // idempotence check, then ALTER TABLE ... ADD COLUMN payment_method
+    // STRING COMMENT '...', then DESCRIBE + snapshot listing
+    spark.sql(s"CREATE NAMESPACE $cat.evo")
+    spark.range(0, 5).selectExpr("id", "CAST(id AS STRING) AS name")
+      .createOrReplaceTempView("__cat_evo_src")
+    spark.sql(s"CREATE TABLE $cat.evo.t AS SELECT * FROM __cat_evo_src")
+    spark.sql(s"""
+        ALTER TABLE $cat.evo.t
+        ADD COLUMN payment_method STRING
+        COMMENT 'Payment method: credit_card, debit_card, paypal, cash_on_delivery'
+    """)
+    // metadata-only: visible immediately, pre-evolution rows read NULL
+    val cols = spark.sql(s"DESCRIBE $cat.evo.t").collect()
+      .map(_.getString(0)).filter(c => c.nonEmpty && !c.startsWith("#"))
+    assert(cols.toSeq == Seq("id", "name", "payment_method"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.evo.t WHERE payment_method IS NULL")
+      .head().getLong(0) == 5)
+    // post-evolution fast append carries the wider schema; the mixed
+    // chain reads as one table (old rows NULL, new row populated)
+    spark.sql(s"INSERT INTO $cat.evo.t VALUES (99, 'z', 'paypal')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.evo.t").head().getLong(0) == 6)
+    assert(spark.sql(s"SELECT payment_method FROM $cat.evo.t WHERE id = 99")
+      .head().getString(0) == "paypal")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.evo.t WHERE payment_method IS NULL")
+      .head().getLong(0) == 5)
+    // time travel keeps the per-snapshot schema: v1 has no payment_method
+    assert(!spark.sql(s"SELECT * FROM $cat.evo.t VERSION AS OF 1")
+      .columns.contains("payment_method"))
+    // non-metadata-only changes stay loud
+    val drop = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evo.t DROP COLUMN name")
+    }
+    assert(drop.getMessage.contains("SchemaEvolution"))
+    // idempotence guard: adding an existing column errors clearly
+    val dup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evo.t ADD COLUMN payment_method STRING")
+    }
+    assert(dup.getMessage.contains("already exists"))
+  }
+
   test("driver query matches its oracle shape and the DDL surface stays unsupported-loud") {
     val daily = graft.marts.DailySales.build(
       graft.marts.SilverEvents.build(graft.sources.Tables.events(spark, TestSession.sf)))
@@ -143,8 +185,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(dates(0) <= dates(1) && dates(1) <= dates(2))
     assert(out(0).getLong(1) <= out(1).getLong(1) && out(1).getLong(1) <= out(2).getLong(1))
     val alter = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.plan.t ADD COLUMN extra INT")
+      spark.sql(s"ALTER TABLE $cat.plan.t ALTER COLUMN k TYPE STRING")
     }
-    assert(alter.getMessage.contains("SchemaEvolution"))
+    assert(alter.getMessage.contains("SchemaEvolution"),
+      "type changes are full-state rewrites, not metadata-only")
   }
 }
