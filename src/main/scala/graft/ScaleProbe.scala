@@ -41,8 +41,9 @@ object ScaleProbe {
     * dedup, MinHash band join, IVF ANN (trained quantizer + bucket
     * join), mergeable-sketch rolling agg, codegen'd map-only container
     * probe, the heaviest text-stats pass, the distributed NTILE path
-    * (range-repartition + offset ranks), and the stateful 2-delivery
-    * incremental replay. All read only the five ScaleUp-scaled tables.
+    * (range-repartition + offset ranks), the stateful 2-delivery
+    * incremental replay, and the catalog DDL lifecycle (fast-append
+    * slope). All read only the five ScaleUp-scaled tables.
     * Deliberately absent: maintenance_zorder and pipeline_serving_sink
     * — both write-bandwidth-bound full-table rewrites (adjudicated in
     * docs/SCALE.md), measured at 10× on the bench sf1 curve; a 100×
@@ -51,7 +52,11 @@ object ScaleProbe {
     "silver_events", "gold_category_performance", "dedup_exact",
     "dedup_minhash_lsh", "sim_embed_topk_ivf", "q_sketch_rolling_topk",
     "mm_container_probe_audio", "text_repetition_profile",
-    "gold_user_rfm_segments", "incremental_rebuild_diff")
+    "gold_user_rfm_segments", "incremental_rebuild_diff",
+    // r12: the catalog lifecycle (CTAS + fast-append INSERT +
+    // overwrite + 3 VERSION AS OF reads) — the O(delta) fast-append
+    // claim as a measured slope, not an adjudication
+    "meta_catalog_time_travel")
 
   /** Per-query (warm seconds, staging seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its
