@@ -446,6 +446,8 @@ object SparkEntry {
       graft.sources.Snapshots.cdcDiffOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_time_travel" -> ((s, dir) =>
       graft.sources.GraftCatalog.timeTravelOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_merge" -> ((s, dir) =>
+      graft.sources.GraftCatalog.mergeOver(s, DailySales.build(silver(s, dir)))),
     "meta_column_stats" -> (graft.quality.ColumnStats.lineitemStatsQuery _),
     "meta_skew_report" -> (graft.quality.ColumnStats.skewReportQuery _),
     "maintenance_vacuum" -> ((s, dir) =>
@@ -637,6 +639,7 @@ object SparkEntry {
     "meta_snapshots" -> graft.sources.Snapshots.snapshotsSql,
     "meta_cdc_diff" -> graft.sources.Snapshots.cdcDiffSql,
     "meta_catalog_time_travel" -> graft.sources.GraftCatalog.timeTravelSql,
+    "meta_catalog_merge" -> graft.sources.GraftCatalog.mergeSql,
     "meta_column_stats" -> graft.quality.ColumnStats.lineitemStatsSql,
     "meta_skew_report" -> graft.quality.ColumnStats.skewReportSql,
     "maintenance_vacuum" -> graft.sources.Snapshots.vacuumSql,

@@ -34,6 +34,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   CREATE TABLE graft.marts.daily AS SELECT ...;          -- CTAS → snapshot v1
   *   INSERT INTO graft.marts.daily SELECT ...;              -- fast-append → O(delta) snapshot v2
   *   INSERT OVERWRITE graft.marts.daily SELECT ...;         -- full-state snapshot v3
+  *   ALTER TABLE graft.marts.daily ADD COLUMN note STRING;  -- metadata-only evolution
+  *   UPDATE graft.marts.daily SET ... WHERE ...;            -- group-based CoW row-level op
+  *   MERGE INTO graft.marts.daily t USING src s ON ...      -- idem (update/insert/delete clauses)
+  *     WHEN MATCHED THEN UPDATE SET ...
+  *     WHEN NOT MATCHED THEN INSERT ...;
+  *   DELETE FROM graft.marts.daily WHERE ...;               -- CoW delete snapshot
   *   SELECT * FROM graft.marts.daily VERSION AS OF 1;       -- time travel
   *   SELECT * FROM graft.marts.daily TIMESTAMP AS OF '...';
   *   SHOW TABLES IN graft.marts; DESCRIBE graft.marts.daily; DROP TABLE ...
@@ -51,9 +57,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Deliberately unsupported (documented, loud): partition transforms
   * in CREATE TABLE (the store manages layout; partitioned serving
-  * goes through [[graft.sink.ServingSink]]) and ALTER TABLE (schema
-  * evolution is a full-state write; see
-  * [[graft.sources.SchemaEvolution]]).
+  * goes through [[graft.sink.ServingSink]]) and non-metadata-only
+  * ALTER TABLE changes — type changes, drops, renames — which are
+  * full-state writes (see [[graft.sources.SchemaEvolution]]).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -307,6 +313,62 @@ object GraftCatalog {
       |ORDER BY version""".stripMargin)
   }
 
+  /** Driver query: `MERGE INTO` as literal SQL through the row-level
+    * operation path — target = the daily mart truncated at
+    * 2024-01-20 (CTAS v1), source = the full mart with the 01-05
+    * metric restated (+1); the MERGE updates the restated date and
+    * inserts every date past the truncation, committing ONE `merge`
+    * snapshot (v2). Both snapshots' row counts and `total_events`
+    * sums surface, so the oracle replays the whole verb from silver:
+    * v2's sum = full-mart sum + 1 iff the matched-update hit exactly
+    * the restated row and every unmatched row inserted. */
+  def mergeOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_mg_$n"
+    val tgt = s"__graft_mg_tgt_$n"
+    val src = s"__graft_mg_src_$n"
+    daily.createOrReplaceTempView(tgt)
+    daily.withColumn("total_events",
+        when(col("event_date") === lit("2024-01-05"), col("total_events") + 1)
+          .otherwise(col("total_events")))
+      .createOrReplaceTempView(src)
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $tgt WHERE event_date <= DATE '2024-01-20'")
+    s.sql(s"""
+      |MERGE INTO $t t
+      |USING $src s
+      |ON t.event_date = s.event_date
+      |WHEN MATCHED AND t.total_events <> s.total_events THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"""
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version, count(*) AS row_count,
+      |         CAST(sum(total_events) AS BIGINT) AS total_events_sum
+      |  FROM $t VERSION AS OF 1
+      |  UNION ALL
+      |  SELECT 2, count(*), CAST(sum(total_events) AS BIGINT)
+      |  FROM $t VERSION AS OF 2
+      |)
+      |ORDER BY version""".stripMargin)
+  }
+
+  /** DuckDB oracle for [[mergeOver]]: both snapshots replayed as
+    * aggregates over the silver-derived daily panel. */
+  val mergeSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events
+    |            FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT CAST(1 AS BIGINT) AS version,
+    |    (SELECT count(*) FROM daily WHERE event_date <= DATE '2024-01-20') AS row_count,
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily WHERE event_date <= DATE '2024-01-20') AS total_events_sum
+    |  UNION ALL SELECT 2,
+    |    (SELECT count(*) FROM daily),
+    |    (SELECT CAST(sum(total_events) + 1 AS BIGINT) FROM daily)
+    |)
+    |ORDER BY version""".stripMargin
+
   /** DuckDB oracle: the three snapshots' counts and frontier dates
     * replayed as date predicates over the same mart's date domain
     * (v2 = v1 ∪ the appended (01-10, 01-20] delta). */
@@ -337,7 +399,21 @@ object GraftCatalog {
   * history. */
 private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: String,
                                           pinned: Option[Long])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** One constant metadata column: the whole table is a single
+    * copy-on-write group. Spark's group-based ReplaceData machinery
+    * only takes the projecting write path (strip the __row_operation
+    * tag, hand the writer clean data rows) when the operation
+    * requires at least one metadata attribute — with none it streams
+    * the tagged rows into the writer raw. The constant column exists
+    * to pin that contract; the default DataWriter.write(meta, row)
+    * discards it on the way out. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftGroupColumn)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -389,6 +465,112 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       case None    => new GraftEmptyScanBuilder(schema())
     }
 
+  /** Current table state as a DataFrame (declared schema honored for
+    * evolved tables) — the input to the copy-on-write DML ops. */
+  private def currentDf: org.apache.spark.sql.DataFrame = {
+    val vs = Snapshots.versions(tablePath)
+    require(vs.nonEmpty, s"$qualifiedName has no current snapshot")
+    val reader = spark.read.option("mergeSchema", "true")
+    declaredSchema.fold(reader)(reader.schema)
+      .parquet(Snapshots.readSet(tablePath, vs.last): _*)
+  }
+
+  /** `DELETE FROM … WHERE …` — copy-on-write: ONE new full-state
+    * snapshot holding the surviving rows (operation `delete`), the
+    * Iceberg copy-on-write row-level delete shape without the
+    * file-pruning optimization. History stays append-only: time
+    * travel to the pre-delete snapshot keeps working. Spark only
+    * routes here when every predicate translated to a source filter
+    * ([[GraftSourceFilters]]); anything else fails loudly in the
+    * analyzer rather than deleting the wrong rows. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(GraftSourceFilters.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(pinned.isEmpty, s"cannot DELETE from a time-travel view of $qualifiedName")
+    import org.apache.spark.sql.functions.{lit, not}
+    val cond = filters.toSeq.flatMap(GraftSourceFilters.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Snapshots.writeSnapshot(
+      currentDf.filter(not(cond)), tablePath, operation = "delete")
+    ()
+  }
+
+  /** `TRUNCATE TABLE` — an empty full-state snapshot; history (and
+    * time travel to pre-truncate versions) is preserved. */
+  override def truncateTable(): Boolean = {
+    require(pinned.isEmpty, s"cannot TRUNCATE a time-travel view of $qualifiedName")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+    Snapshots.writeSnapshot(empty, tablePath, operation = "truncate")
+    true
+  }
+
+  /** `MERGE INTO` / `UPDATE` (and analyzer-chosen complex DELETEs):
+    * group-based copy-on-write row-level operations. With no row-ID
+    * or metadata columns the replacement group is the whole table —
+    * Spark's rewrite rules plan the surviving∪modified row set and
+    * stream it through the stock parquet batch writer into the NEXT
+    * version directory; the manifest commits only after the file
+    * commit protocol finishes, so a failed MERGE leaves no visible
+    * snapshot (the orphan directory is removed on abort). Iceberg's
+    * copy-on-write MERGE shape, minus file-level group pruning. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GraftRowLevelOperation(info.command(), GraftSnapshotTable.this)
+    }
+
+  private[sources] def latestScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(pinned.isEmpty, s"row-level DML cannot target a time-travel view of $qualifiedName")
+    new GraftGroupScanBuilder(newScanBuilder(options))
+  }
+
+  private[sources] def replaceDataWrite(
+      info: LogicalWriteInfo, operation: String): Write = {
+    val v = Snapshots.versions(tablePath).lastOption.getOrElse(0L) + 1
+    val dir = s"$tablePath/v=$v"
+    val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
+      Seq(dir), "parquet", supportsDataType, info)
+    val sparkRef = spark
+    new Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new org.apache.spark.sql.connector.write.BatchWrite {
+          private val delegate = inner.toBatch
+          override def createBatchWriterFactory(
+              p: org.apache.spark.sql.connector.write.PhysicalWriteInfo) =
+            delegate.createBatchWriterFactory(p)
+          override def useCommitCoordinator: Boolean = delegate.useCommitCoordinator
+          override def onDataWriterCommit(
+              m: org.apache.spark.sql.connector.write.WriterCommitMessage): Unit =
+            delegate.onDataWriterCommit(m)
+          override def commit(
+              messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+            delegate.commit(messages)
+            Snapshots.commitFullState(sparkRef, tablePath, v, operation)
+          }
+          override def abort(
+              messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+            delegate.abort(messages)
+            // no manifest was committed; remove the orphan directory
+            // so the version number stays free for the next writer
+            val orphan = Paths.get(dir)
+            if (Files.isDirectory(orphan)) {
+              scala.util.Using.resource(Files.walk(orphan)) { walk =>
+                walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .forEach(p => Files.deleteIfExists(p))
+              }
+            }
+          }
+        }
+    }
+  }
+
+  private def supportsDataType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    resolvedVersion.map(parquetTable(_, None)).forall(_.supportsDataType(dt))
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
@@ -411,6 +593,151 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
           }
       }
     }
+}
+
+/** The group-based row-level operation behind MERGE/UPDATE SQL: scan
+  * = the table's current state, write = the full replacement row set
+  * into the next snapshot version (operation tag = the SQL command).
+  * Stateless beyond the table handle — Spark's rewrite rules own the
+  * plan; this class only routes their scan and write to the store. */
+private[sources] class GraftRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    table: GraftSnapshotTable)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    table.latestScanBuilder(options)
+
+  /** Requiring the constant group column is what routes the write
+    * through Spark's PROJECTING task (DataAndMetadataWritingSparkTask)
+    * — without any metadata attribute, ReplaceDataExec hands the
+    * writer the raw __row_operation-tagged rows, which no plain
+    * parquet writer can take. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftGroupColumn.name()))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        table.replaceDataWrite(info, cmd.toString.toLowerCase(java.util.Locale.ROOT))
+    }
+}
+
+/** Scan builder for the row-level DML path: delegates data columns
+  * (and their pruning) to the stock parquet builder and appends the
+  * constant [[GraftGroupColumn]] when the plan asks for it. Filter
+  * pushdown is deliberately not forwarded — the row-level scan reads
+  * the whole copy-on-write group by definition, and the wrapper
+  * keeping the interface surface minimal means Spark simply keeps
+  * the filters above the scan. */
+private[sources] class GraftGroupScanBuilder(delegate: ScanBuilder)
+  extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var includeGroup = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    includeGroup = requiredSchema.fieldNames.contains(GraftGroupColumn.name())
+    val dataFields = requiredSchema.fields.filterNot(_.name == GraftGroupColumn.name())
+    delegate match {
+      case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+        p.pruneColumns(StructType(dataFields))
+      case _ =>
+    }
+  }
+
+  override def build(): Scan = new GraftGroupScan(delegate.build(), includeGroup)
+}
+
+/** Appends the constant group value to every row when requested; a
+  * pure pass-through otherwise. Row-based reads only — the DML scan
+  * trades the vectorized path for the metadata column, like other
+  * group-based CoW readers. */
+private[sources] class GraftGroupScan(inner: Scan, includeGroup: Boolean)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    if (includeGroup)
+      inner.readSchema().add(GraftGroupColumn.name(),
+        org.apache.spark.sql.types.StringType, nullable = false)
+    else inner.readSchema()
+
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-group(${inner.description()})"
+
+  private lazy val innerBatch: Batch = inner.toBatch
+
+  override def planInputPartitions(): Array[InputPartition] =
+    innerBatch.planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    if (!includeGroup) innerBatch.createReaderFactory()
+    else new GraftGroupReaderFactory(innerBatch.createReaderFactory())
+}
+
+private[sources] class GraftGroupReaderFactory(inner: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    new PartitionReader[InternalRow] {
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      private val group = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("all")))
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = joined(r.get(), group)
+      override def close(): Unit = r.close()
+    }
+  }
+}
+
+/** The single constant metadata column backing group-based row-level
+  * ops: every row belongs to group "all" — one copy-on-write group,
+  * the whole table. */
+private[sources] object GraftGroupColumn
+  extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = "_graft_group"
+  override def dataType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "constant copy-on-write group id (whole-table granularity)"
+}
+
+/** DSv1 source-filter → Column translation for the copy-on-write
+  * DELETE path. Partial by design: `canDeleteWhere` admits only
+  * predicates this covers, so Spark rejects untranslatable DELETEs in
+  * the analyzer instead of this code guessing. */
+private[sources] object GraftSourceFilters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r)  => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c)    => toColumn(c).map(!_)
+    case _         => None
+  }
 }
 
 /** Scan of a created-but-never-written table: the declared schema,

@@ -122,6 +122,28 @@ object Snapshots {
     v
   }
 
+  /** Commit the manifest for a full-state version directory whose
+    * DATA was already written by someone else — the DSv2 ReplaceData
+    * path (MERGE/UPDATE through [[GraftCatalog]]) streams rows through
+    * Spark's own parquet batch writer into `v=N`, then lands here for
+    * the metadata commit. Row count is a footer-statistics read, not
+    * a data scan. */
+  private[sources] def commitFullState(spark: SparkSession, table: String, v: Long,
+                                       operation: String,
+                                       commitTsMs: Option[Long] = None): Unit = {
+    val df = spark.read.parquet(s"$table/v=$v")
+    val rows = df.count()
+    val cols = df.schema.fieldNames
+      .map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    val ts = commitTsMs.getOrElse(System.currentTimeMillis())
+    val manifest =
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols}"""
+    Files.createDirectories(metaDir(table))
+    Files.write(metaDir(table).resolve(s"$v.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
   private def rowCountOf(table: String, v: Long): Long = {
     val text = new String(
       Files.readAllBytes(metaDir(table).resolve(s"$v.json")), StandardCharsets.UTF_8)

@@ -175,6 +175,71 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("already exists"))
   }
 
+  test("DELETE FROM and TRUNCATE: copy-on-write snapshots, history preserved") {
+    spark.sql(s"CREATE NAMESPACE $cat.dml")
+    spark.range(0, 10).selectExpr("id", "CAST(id % 3 AS INT) AS bucket")
+      .createOrReplaceTempView("__cat_dml_src")
+    spark.sql(s"CREATE TABLE $cat.dml.t AS SELECT * FROM __cat_dml_src")
+    spark.sql(s"DELETE FROM $cat.dml.t WHERE bucket = 1 OR id >= 8")
+    // survivors: id in 0..7 with bucket != 1 -> 0,2,3,5,6
+    assert(spark.sql(s"SELECT id FROM $cat.dml.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 2L, 3L, 5L, 6L))
+    // append-only history: the pre-delete snapshot still reads
+    assert(spark.sql(s"SELECT count(*) FROM $cat.dml.t VERSION AS OF 1").head().getLong(0) == 10)
+    val listed = Snapshots.snapshots(spark, s"$wh/dml/t").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(listed.toSeq == Seq((1L, "overwrite"), (2L, "delete")))
+    spark.sql(s"TRUNCATE TABLE $cat.dml.t")
+    assert(spark.sql(s"SELECT * FROM $cat.dml.t").isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.dml.t VERSION AS OF 2").head().getLong(0) == 5)
+    // time travel INTO the truncate snapshot: the empty full-state
+    // version must still carry a readable schema (Spark writes one
+    // schema-bearing empty file for 0-partition jobs)
+    assert(spark.sql(s"SELECT * FROM $cat.dml.t VERSION AS OF 3").isEmpty)
+    // post-truncate INSERT starts a fresh state on the same history
+    spark.sql(s"INSERT INTO $cat.dml.t VALUES (42, 0)")
+    assert(spark.sql(s"SELECT id FROM $cat.dml.t").head().getLong(0) == 42L)
+  }
+
+  test("MERGE INTO and UPDATE: group-based copy-on-write row-level SQL") {
+    spark.sql(s"CREATE NAMESPACE $cat.rlo")
+    spark.range(0, 6).selectExpr("id", "CAST(id * 10 AS LONG) AS amount")
+      .createOrReplaceTempView("__cat_rlo_tgt")
+    spark.sql(s"CREATE TABLE $cat.rlo.t AS SELECT * FROM __cat_rlo_tgt")
+    // UPDATE: full SQL, arbitrary expressions
+    spark.sql(s"UPDATE $cat.rlo.t SET amount = amount + 1 WHERE id % 2 = 0")
+    assert(spark.sql(s"SELECT sum(amount) FROM $cat.rlo.t").head().getLong(0)
+      == (0 until 6).map(i => i * 10L + (if (i % 2 == 0) 1 else 0)).sum)
+    // MERGE: matched update + not-matched insert, Iceberg's flagship verb
+    spark.range(4, 8).selectExpr("id", "CAST(999 AS LONG) AS amount")
+      .createOrReplaceTempView("__cat_rlo_src")
+    spark.sql(s"""
+      MERGE INTO $cat.rlo.t t
+      USING __cat_rlo_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.amount = s.amount
+      WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (s.id, s.amount)
+    """)
+    val rows = spark.sql(s"SELECT id, amount FROM $cat.rlo.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq(0L -> 1L, 1L -> 10L, 2L -> 21L, 3L -> 30L,
+      4L -> 999L, 5L -> 999L, 6L -> 999L, 7L -> 999L))
+    // every DML verb is its own snapshot; history replays
+    val ops = Snapshots.snapshots(spark, s"$wh/rlo/t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(ops == Seq((1L, "overwrite", 6L), (2L, "update", 6L), (3L, "merge", 8L)))
+    assert(spark.sql(s"SELECT sum(amount) FROM $cat.rlo.t VERSION AS OF 1")
+      .head().getLong(0) == (0 until 6).map(_ * 10L).sum)
+    // MERGE with a delete clause
+    spark.sql(s"""
+      MERGE INTO $cat.rlo.t t
+      USING __cat_rlo_src s
+      ON t.id = s.id
+      WHEN MATCHED AND s.id >= 6 THEN DELETE
+    """)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.rlo.t").head().getLong(0) == 6)
+  }
+
   test("driver query matches its oracle shape and the DDL surface stays unsupported-loud") {
     val daily = graft.marts.DailySales.build(
       graft.marts.SilverEvents.build(graft.sources.Tables.events(spark, TestSession.sf)))
