@@ -448,6 +448,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.timeTravelOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_merge" -> ((s, dir) =>
       graft.sources.GraftCatalog.mergeOver(s, DailySales.build(silver(s, dir)))),
+    "stream_catalog_table" -> ((s, dir) =>
+      graft.sources.SnapshotStream.catalogStreamOver(s, DailySales.build(silver(s, dir)))),
     "meta_column_stats" -> (graft.quality.ColumnStats.lineitemStatsQuery _),
     "meta_skew_report" -> (graft.quality.ColumnStats.skewReportQuery _),
     "maintenance_vacuum" -> ((s, dir) =>
@@ -640,6 +642,7 @@ object SparkEntry {
     "meta_cdc_diff" -> graft.sources.Snapshots.cdcDiffSql,
     "meta_catalog_time_travel" -> graft.sources.GraftCatalog.timeTravelSql,
     "meta_catalog_merge" -> graft.sources.GraftCatalog.mergeSql,
+    "stream_catalog_table" -> graft.sources.SnapshotStream.catalogStreamSql,
     "meta_column_stats" -> graft.quality.ColumnStats.lineitemStatsSql,
     "meta_skew_report" -> graft.quality.ColumnStats.skewReportSql,
     "maintenance_vacuum" -> graft.sources.Snapshots.vacuumSql,

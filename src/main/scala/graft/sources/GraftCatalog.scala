@@ -457,10 +457,17 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     resolvedVersion match {
+      // current-state reads are also streamable (readStream.table):
+      // the wrapper delegates every pushdown surface, so batch plans
+      // are unchanged; pinned (time-travel) reads stay raw
+      case Some(v) if pinned.isEmpty =>
+        new GraftStreamableScanBuilder(
+          parquetTable(v, readerSchema).newScanBuilder(options), tablePath, schema())
       case Some(v) => parquetTable(v, readerSchema).newScanBuilder(options)
       case None    => new GraftEmptyScanBuilder(schema())
     }

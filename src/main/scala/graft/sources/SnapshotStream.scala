@@ -1,0 +1,241 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, SupportsReportStatistics, VariantExtraction}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Streaming reads of [[GraftCatalog]] tables —
+  * `spark.readStream.table("graft.ns.t")` — the Delta/Iceberg
+  * table-as-stream pattern over the versioned-parquet store's
+  * append-only history:
+  *
+  *  - the FIRST batch loads the table's current state (the latest
+  *    snapshot's read set), exactly like Delta's initial snapshot;
+  *  - every subsequent batch reads ONLY the fast-append delta
+  *    directories committed since the last processed version —
+  *    O(delta) per micro-batch, the metadata (version numbers) is the
+  *    offset;
+  *  - a non-append snapshot (overwrite / delete / merge / truncate)
+  *    inside the unprocessed range fails the stream loudly — the same
+  *    contract Delta enforces without `ignoreChanges`: a stream
+  *    cannot replay a rewrite as a delta.
+  *
+  * Offsets are snapshot version numbers (`{"version":N}`), so a
+  * restarted stream resumes from its checkpoint with no source-side
+  * state. Batches plan through Spark's own `ParquetTable` over the
+  * delta directories — stock vectorized scan, column pruning honored
+  * (the pruned schema negotiated at scan build is re-applied per
+  * batch).
+  */
+private[graft] case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+object SnapshotStream {
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Driver query: the table-as-stream contract as a deterministic
+    * gate row. Builds a catalog table over the daily mart (CTAS ≤
+    * 01-10, fast-append (01-10, 01-20]), drains one AvailableNow run
+    * (must deliver the FULL current state), appends the remaining
+    * dates while the stream is down, drains again from the same
+    * checkpoint (must deliver ONLY the delta) — both counts surface,
+    * so the DuckDB oracle replays the offset arithmetic from silver.
+    * Fresh table + checkpoint per invocation keeps bench repeats
+    * honest. */
+  def catalogStreamOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    GraftCatalog.ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_st_$n"
+    val v = s"__graft_st_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT * FROM $v WHERE event_date <= DATE '2024-01-10'")
+    s.sql(s"INSERT INTO $t SELECT * FROM $v WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-20'")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_catstream_").toString
+    def drain(): Long = {
+      val cnt = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream.table(t).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          cnt.addAndGet(df.count()); () }
+        .option("checkpointLocation", s"$ckpt/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      cnt.get()
+    }
+    try {
+      val initial = drain()
+      s.sql(s"INSERT INTO $t SELECT * FROM $v WHERE event_date > DATE '2024-01-20'")
+      val delta = drain()
+      import s.implicits._
+      Seq(("delta", delta), ("initial", initial))
+        .toDF("phase", "row_count")
+        .orderBy(org.apache.spark.sql.functions.col("phase"))
+    } finally {
+      val root = new java.io.File(ckpt)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
+  /** DuckDB oracle: both drains replayed as date predicates. */
+  val catalogStreamSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT 'delta' AS phase,
+    |    (SELECT count(*) FROM daily WHERE event_date > DATE '2024-01-20') AS row_count
+    |  UNION ALL SELECT 'initial',
+    |    (SELECT count(*) FROM daily WHERE event_date <= DATE '2024-01-20')
+    |)
+    |ORDER BY phase""".stripMargin
+}
+
+private[graft] class SnapshotMicroBatchStream(tablePath: String,
+                                                fullSchema: StructType,
+                                                prunedSchema: StructType)
+  extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialOffset(): Offset = VersionOffset(0L)
+
+  override def latestOffset(): Offset =
+    VersionOffset(Snapshots.versions(tablePath).lastOption.getOrElse(0L))
+
+  // Trigger.AvailableNow: pin the catch-up target when the query
+  // starts so late-arriving snapshots don't extend the run
+  @volatile private var availableNowTarget: Option[Offset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset())
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+                            limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    availableNowTarget.getOrElse(latestOffset())
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset("\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset json: $json")))
+
+  /** Directories for the (start, end] version range: the full current
+    * read set on the initial batch, append deltas only afterwards. */
+  private def batchDirs(start: Long, end: Long): Seq[String] =
+    if (end <= start) Seq.empty
+    else if (start == 0L) Snapshots.readSet(tablePath, end)
+    else {
+      val vs = Snapshots.versions(tablePath).filter(v => v > start && v <= end)
+      val nonAppend = vs.filter(v => Snapshots.operationOf(tablePath, v) != "append")
+      require(nonAppend.isEmpty,
+        s"streaming read of $tablePath found non-append snapshot(s) " +
+          s"${nonAppend.map(v => s"$v(${Snapshots.operationOf(tablePath, v)})").mkString(", ")} " +
+          "in the unprocessed range — a rewrite cannot replay as a delta; restart the stream")
+      vs.map(v => s"$tablePath/v=$v")
+    }
+
+  // set by planInputPartitions, read by createReaderFactory — the
+  // exec always plans the batch before asking for its reader factory
+  @volatile private var currentBatch: Option[Batch] = None
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val dirs = batchDirs(start.asInstanceOf[VersionOffset].version,
+      end.asInstanceOf[VersionOffset].version)
+    if (dirs.isEmpty) { currentBatch = None; Array.empty }
+    else {
+      val builder = ParquetTable(s"graft-stream($tablePath)", spark,
+        new CaseInsensitiveStringMap(
+          java.util.Collections.singletonMap("mergeSchema", "true")),
+        dirs, userSpecifiedSchema = Some(fullSchema),
+        fallbackFileFormat = classOf[ParquetFileFormat])
+        .newScanBuilder(CaseInsensitiveStringMap.empty())
+      builder.pruneColumns(prunedSchema)
+      val batch = builder.build().toBatch
+      currentBatch = Some(batch)
+      batch.planInputPartitions()
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    currentBatch.map(_.createReaderFactory()).getOrElse(
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+          throw new IllegalStateException("empty micro-batch planned no partitions")
+      })
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Fully-delegating wrapper around the stock parquet scan builder
+  * whose built scan additionally answers `toMicroBatchStream` —
+  * every pushdown surface (columns, catalyst filters, aggregates,
+  * variant extractions) forwards to the delegate so batch plans are
+  * bit-identical to the unwrapped path. */
+private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
+                                                  tablePath: String,
+                                                  fullSchema: StructType)
+  extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with SupportsPushDownAggregates
+    with SupportsPushDownVariantExtractions {
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    delegate.pushFilters(filters)
+  override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    delegate.pushAggregation(aggregation)
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    delegate.supportCompletePushDown(aggregation)
+  override def pushVariantExtractions(extractions: Array[VariantExtraction]): Array[Boolean] =
+    delegate.pushVariantExtractions(extractions)
+
+  override def build(): Scan =
+    new GraftStreamableScan(delegate.build(), tablePath, fullSchema)
+}
+
+private[sources] class GraftStreamableScan(inner: Scan, tablePath: String,
+                                           fullSchema: StructType)
+  extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.internal.connector.SupportsMetadata {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = inner.toBatch
+  override def description(): String = inner.description()
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
+
+  override def getMetaData(): Map[String, String] = inner match {
+    case m: org.apache.spark.sql.internal.connector.SupportsMetadata => m.getMetaData()
+    case _ => Map.empty
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SnapshotMicroBatchStream(tablePath, fullSchema, inner.readSchema())
+}
