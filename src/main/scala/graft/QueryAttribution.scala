@@ -156,7 +156,14 @@ object QueryAttribution {
     val sb = new StringBuilder(t.length)
     var i = 0
     while (i < t.length) {
-      if (t.charAt(i) == '"') {
+      // char literal first ('x' or '\x'): the double quote inside '"'
+      // must not open a string region — mispairing would scan to the
+      // next unrelated quote and misclassify every later edit
+      if (t.charAt(i) == '\'' && i + 2 < t.length &&
+          (t.charAt(i + 2) == '\'' || t.charAt(i + 1) == '\\')) {
+        val j = math.min(i + (if (t.charAt(i + 1) == '\\') 4 else 3), t.length)
+        sb.append(t.substring(i, j)); i = j
+      } else if (t.charAt(i) == '"') {
         val j = skipStringFrom(t, i)
         // substring, not append(t, i, j): the 3-arg form auto-tuples
         // into StringBuilder.append(Any) and stringifies the WHOLE

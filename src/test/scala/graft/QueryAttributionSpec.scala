@@ -159,6 +159,25 @@ class QueryAttributionSpec extends AnyFunSuite {
     assert(!stripped.contains("\"gold_daily_sales\""))
   }
 
+  test("stripLineComments: a char literal '\"' does not open a string region") {
+    // the double quote inside a Scala char literal must not be taken
+    // as a string opener — skipStringFrom would scan to the next
+    // unrelated quote, mispairing every later string/comment region
+    // and silently skewing drift attribution
+    val t = "val quote = '\"'\n" +
+      "// gone1\n" +
+      "val s = \"kept // not a comment\" // gone2\n" +
+      "val esc = '\\''\n" +
+      "// gone3\n"
+    val out = QueryAttribution.stripLineComments(t)
+    assert(out.contains("'\"'"), "the char literal itself must survive")
+    assert(out.contains("'\\''"), "escaped char literals must survive")
+    assert(!out.contains("gone1") && !out.contains("gone2") && !out.contains("gone3"),
+      s"comments after char literals must still strip:\n$out")
+    assert(out.contains("kept // not a comment"),
+      "a // inside a real string must not be treated as a comment")
+  }
+
   test("mayBeCodeCaused: a surviving SparkEntry change globalizes eligibility") {
     val fileX = "src/main/scala/graft/ops/TopK.scala"
     val qf = Map("q_x" -> Set(fileX))
