@@ -448,6 +448,12 @@ object SparkEntry {
       graft.sources.GraftCatalog.timeTravelOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_merge" -> ((s, dir) =>
       graft.sources.GraftCatalog.mergeOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_file_skip" -> ((s, dir) =>
+      graft.sources.GraftCatalog.fileSkipOver(s, DailySales.build(silver(s, dir)))),
+    "maintenance_rewrite_files" -> ((s, dir) =>
+      graft.sources.GraftCatalog.rewriteFilesOver(s, DailySales.build(silver(s, dir)))),
+    "stream_catalog_append" -> ((s, dir) =>
+      graft.sources.GraftCatalog.streamAppendOver(s, DailySales.build(silver(s, dir)))),
     "stream_catalog_table" -> ((s, dir) =>
       graft.sources.SnapshotStream.catalogStreamOver(s, DailySales.build(silver(s, dir)))),
     "meta_column_stats" -> (graft.quality.ColumnStats.lineitemStatsQuery _),
@@ -642,6 +648,9 @@ object SparkEntry {
     "meta_cdc_diff" -> graft.sources.Snapshots.cdcDiffSql,
     "meta_catalog_time_travel" -> graft.sources.GraftCatalog.timeTravelSql,
     "meta_catalog_merge" -> graft.sources.GraftCatalog.mergeSql,
+    "meta_catalog_file_skip" -> graft.sources.GraftCatalog.fileSkipSql,
+    "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,
+    "stream_catalog_append" -> graft.sources.GraftCatalog.streamAppendSql,
     "stream_catalog_table" -> graft.sources.SnapshotStream.catalogStreamSql,
     "meta_column_stats" -> graft.quality.ColumnStats.lineitemStatsSql,
     "meta_skew_report" -> graft.quality.ColumnStats.skewReportSql,

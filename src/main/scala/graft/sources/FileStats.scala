@@ -1,0 +1,329 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-data-file column statistics carried in the snapshot manifest —
+  * the Iceberg manifest-stats idea (format spec "Manifests": per-file
+  * `lower_bounds`/`upper_bounds`) re-expressed over the versioned-
+  * parquet store. Collected DRIVER-SIDE from parquet FOOTERS at commit
+  * time (KB-sized tail reads — never a data scan), evaluated at scan
+  * PLANNING time against pushed filters so a selective predicate
+  * prunes whole files before the `ParquetTable` is even constructed:
+  * at 100 TB that is the difference between launching tasks for every
+  * file of the read set and launching them only for files whose
+  * [min,max] can match.
+  *
+  * Conservative by construction: any file without a usable stat for a
+  * referenced column, any predicate shape we don't model, and any
+  * manifest written before this field existed keeps the file (or the
+  * whole directory). Row-group-level skipping inside surviving files
+  * still happens in the parquet reader as before — this layer removes
+  * the per-file task/listing cost, not the row-group logic.
+  */
+object FileStats {
+
+  /** One column's merged min/max over a file. `tag` pins the semantic
+    * comparison class; a filter is only evaluated when the attribute's
+    * catalyst type maps to the SAME tag (type confusion keeps the
+    * file). Bounds are stored JSON-native: integer-like as longs,
+    * floating as doubles, strings as (escaped) strings. */
+  final case class ColStat(tag: String, minL: Long, maxL: Long,
+                           minD: Double, maxD: Double,
+                           minS: String, maxS: String)
+
+  /** One data file: path RELATIVE to its version directory, exact row
+    * count, and per-top-level-column stats. */
+  final case class FileStat(name: String, rows: Long, stats: Map[String, ColStat])
+
+  // ---- collection (commit time) -----------------------------------
+
+  /** Footer-walk every `*.parquet` under `dir` (recursive — flat for
+    * our writers, but cheap to be general). Returns None if anything
+    * goes wrong: the manifest then simply carries no file list and
+    * readers keep the whole-directory read set. */
+  def collect(dir: Path): Option[Seq[FileStat]] =
+    try {
+      val files = scala.util.Using.resource(Files.walk(dir)) { w =>
+        w.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          .toVector.sortBy(_.toString)
+      }
+      val conf = new org.apache.hadoop.conf.Configuration()
+      Some(files.map { f =>
+        val reader = ParquetFileReader.open(
+          conf, new org.apache.hadoop.fs.Path(f.toUri))
+        try {
+          val footer = reader.getFooter
+          val blocks = footer.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          FileStat(dir.relativize(f).toString, rows, mergeBlocks(blocks))
+        } finally reader.close()
+      })
+    } catch { case NonFatal(_) => None }
+
+  private def tagOf(pt: PrimitiveType): Option[String] = {
+    val logical = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT64 => logical match {
+        case null => Some("i64")
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS => Some("tsu")
+            // NANOS reads as LongType in this engine (nanosAsLong)
+            case LogicalTypeAnnotation.TimeUnit.NANOS => Some("i64")
+            case _ => None
+          }
+        case t: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+          if t.getBitWidth == 64 && t.isSigned => Some("i64")
+        case _ => None
+      }
+      case PrimitiveTypeName.INT32 => logical match {
+        case null => Some("i32")
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some("date")
+        case t: LogicalTypeAnnotation.IntLogicalTypeAnnotation if t.isSigned =>
+          t.getBitWidth match {
+            case 32 => Some("i32"); case 16 => Some("i16"); case 8 => Some("i8")
+            case _ => None
+          }
+        case _ => None
+      }
+      case PrimitiveTypeName.DOUBLE => Some("f64")
+      case PrimitiveTypeName.FLOAT  => Some("f32")
+      case PrimitiveTypeName.BINARY => logical match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => Some("str")
+        case _ => None
+      }
+      case _ => None // BOOLEAN, INT96, FIXED_LEN (decimals): not modeled
+    }
+  }
+
+  private val longTags = Set("i64", "i32", "i16", "i8", "date", "tsu")
+
+  /** Merge per-block stats into per-file bounds; a column survives only
+    * if EVERY block has a usable non-null-value stat for it. */
+  private def mergeBlocks(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData])
+      : Map[String, ColStat] = {
+    if (blocks.isEmpty) return Map.empty
+    val perBlock: Seq[Map[String, ColStat]] = blocks.map { b =>
+      b.getColumns.asScala.flatMap { c =>
+        val path = c.getPath.toArray
+        val st = c.getStatistics
+        if (path.length != 1 || st == null || st.isEmpty || !st.hasNonNullValue) None
+        else tagOf(c.getPrimitiveType).flatMap { tag =>
+          val mn: AnyRef = st.genericGetMin.asInstanceOf[AnyRef]
+          val mx: AnyRef = st.genericGetMax.asInstanceOf[AnyRef]
+          tag match {
+            case t if longTags(t) =>
+              val (a, z) = (asLong(mn), asLong(mx))
+              Some(path(0) -> ColStat(t, a, z, 0, 0, null, null))
+            case "f64" | "f32" =>
+              val (a, z) = (asDouble(mn), asDouble(mx))
+              if (a.isNaN || z.isNaN || a.isInfinite || z.isInfinite) None
+              // parquet ±0 normalization: widen so 0.0-vs-negative-zero
+              // ordering can never skip a file that holds the other zero
+              else Some(path(0) -> ColStat(tag,
+                0, 0, if (a == 0.0d) -0.0d else a, if (z == -0.0d) 0.0d else z,
+                null, null))
+            case "str" =>
+              val (a, z) = (mn.asInstanceOf[Binary], mx.asInstanceOf[Binary])
+              if (a.length > 96 || z.length > 96) None // truncation unsafe
+              else Some(path(0) -> ColStat(tag, 0, 0, 0, 0,
+                a.toStringUsingUTF8, z.toStringUsingUTF8))
+            case _ => None
+          }
+        }
+      }.toMap
+    }
+    // intersect columns; merge bounds
+    perBlock.reduce { (x, y) =>
+      x.keySet.intersect(y.keySet).iterator.flatMap { k =>
+        val (a, b) = (x(k), y(k))
+        if (a.tag != b.tag) None
+        else Some(k -> (a.tag match {
+          case t if longTags(t) =>
+            a.copy(minL = math.min(a.minL, b.minL), maxL = math.max(a.maxL, b.maxL))
+          case "f64" | "f32" =>
+            a.copy(minD = math.min(a.minD, b.minD), maxD = math.max(a.maxD, b.maxD))
+          case _ =>
+            a.copy(
+              minS = if (utf8Cmp(a.minS, b.minS) <= 0) a.minS else b.minS,
+              maxS = if (utf8Cmp(a.maxS, b.maxS) >= 0) a.maxS else b.maxS)
+        }))
+      }.toMap
+    }
+  }
+
+  private def asLong(v: AnyRef): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case o => o.toString.toLong
+  }
+  private def asDouble(v: AnyRef): Double = v match {
+    case d: java.lang.Double => d.doubleValue()
+    case f: java.lang.Float => f.doubleValue()
+    case o => o.toString.toDouble
+  }
+  // parquet string stats order = unsigned byte order = UTF8String order
+  private def utf8Cmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  // ---- manifest (de)serialization ----------------------------------
+
+  private val mapper = new ObjectMapper()
+
+  /** The `"files":[...]` manifest fragment (valid JSON array text). */
+  def toJson(files: Seq[FileStat]): String = {
+    val arr = mapper.createArrayNode()
+    files.foreach { f =>
+      val o = arr.addObject()
+      o.put("n", f.name); o.put("r", f.rows)
+      val s = o.putObject("s")
+      f.stats.foreach { case (col, cs) =>
+        val c = s.putObject(col)
+        c.put("t", cs.tag)
+        cs.tag match {
+          case t if longTags(t) => c.put("mn", cs.minL); c.put("mx", cs.maxL)
+          case "f64" | "f32"    => c.put("mn", cs.minD); c.put("mx", cs.maxD)
+          case _                => c.put("mn", cs.minS); c.put("mx", cs.maxS)
+        }
+      }
+    }
+    mapper.writeValueAsString(arr)
+  }
+
+  /** File list from a manifest, None when the manifest predates stats
+    * (readers then keep the whole directory). */
+  def fromManifest(manifestText: String): Option[Seq[FileStat]] =
+    try {
+      val root = mapper.readTree(manifestText)
+      Option(root.get("files")).collect { case arr: ArrayNode =>
+        arr.elements().asScala.map { e =>
+          val stats = Option(e.get("s")).collect { case o: ObjectNode =>
+            o.properties().asScala.flatMap { ent =>
+              val v = ent.getValue
+              val tag = v.get("t").asText()
+              val cs =
+                if (longTags(tag))
+                  ColStat(tag, v.get("mn").asLong(), v.get("mx").asLong(), 0, 0, null, null)
+                else if (tag == "f64" || tag == "f32")
+                  ColStat(tag, 0, 0, v.get("mn").asDouble(), v.get("mx").asDouble(), null, null)
+                else
+                  ColStat(tag, 0, 0, 0, 0, v.get("mn").asText(), v.get("mx").asText())
+              Some(ent.getKey -> cs)
+            }.toMap
+          }.getOrElse(Map.empty[String, ColStat])
+          FileStat(e.get("n").asText(), e.get("r").asLong(), stats)
+        }.toSeq
+      }
+    } catch { case NonFatal(_) => None }
+
+  // ---- planning-time evaluation ------------------------------------
+
+  /** Expected tag for an attribute's catalyst type — evaluation only
+    * proceeds on an exact match (anything else keeps the file). */
+  private def expectedTag(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some("i64"); case IntegerType => Some("i32")
+      case ShortType => Some("i16"); case ByteType => Some("i8")
+      case DateType => Some("date")
+      case TimestampType | TimestampNTZType => Some("tsu")
+      case DoubleType => Some("f64"); case FloatType => Some("f32")
+      case StringType => Some("str")
+      case _ => None
+    }
+  }
+
+  private def litLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l); case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+  private def litDouble(v: Any): Option[Double] = v match {
+    case d: Double => Some(d); case f: Float => Some(f.toDouble)
+    case _ => None
+  }
+
+  /** true = the file MAY contain matching rows (keep); false = provably
+    * no row of the file satisfies `expr` (skip). Every unmodeled shape
+    * answers true. */
+  def mayMatch(file: FileStat, filters: Seq[Expression]): Boolean =
+    filters.forall(e => eval(file.stats, e))
+
+  private def eval(stats: Map[String, ColStat], e: Expression): Boolean = e match {
+    case And(l, r) => eval(stats, l) && eval(stats, r)
+    case Or(l, r)  => eval(stats, l) || eval(stats, r)
+    case EqualTo(a: AttributeReference, Literal(v, _)) => cmp(stats, a, v, "eq")
+    case EqualTo(Literal(v, _), a: AttributeReference) => cmp(stats, a, v, "eq")
+    case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null => cmp(stats, a, v, "eq")
+    case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null => cmp(stats, a, v, "eq")
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => cmp(stats, a, v, "gt")
+    case GreaterThan(Literal(v, _), a: AttributeReference) => cmp(stats, a, v, "lt")
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => cmp(stats, a, v, "ge")
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => cmp(stats, a, v, "le")
+    case LessThan(a: AttributeReference, Literal(v, _)) => cmp(stats, a, v, "lt")
+    case LessThan(Literal(v, _), a: AttributeReference) => cmp(stats, a, v, "gt")
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => cmp(stats, a, v, "le")
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => cmp(stats, a, v, "ge")
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => cmp(stats, a, v, "eq") }
+    case InSet(a: AttributeReference, hset) =>
+      hset.exists(v => cmp(stats, a, v, "eq"))
+    case _ => true // IsNull / IsNotNull / StartsWith / functions / ...
+  }
+
+  /** Range test of `v` against the column's [min,max]; `op` is the
+    * predicate direction on the ATTRIBUTE side. Missing stat, null
+    * literal, or tag mismatch → true (keep). */
+  private def cmp(stats: Map[String, ColStat], a: AttributeReference,
+                  v: Any, op: String): Boolean = {
+    if (v == null) return true
+    val cs = stats.getOrElse(a.name,
+      return true) // evolved/missing column: rows may be NULL — never skip here
+    expectedTag(a.dataType) match {
+      case Some(tag) if tag == cs.tag =>
+        // signum of (value - bound) for the tag's comparison class
+        def test(cmpMin: Int, cmpMax: Int): Boolean = op match {
+          case "eq" => cmpMin >= 0 && cmpMax <= 0 // min <= v <= max
+          case "gt" => cmpMax < 0                 // some row > v  ⇔ max > v
+          case "ge" => cmpMax <= 0
+          case "lt" => cmpMin > 0                 // some row < v  ⇔ min < v
+          case "le" => cmpMin >= 0
+          case _ => true
+        }
+        tag match {
+          case t if longTags(t) =>
+            litLong(v).forall(l => test(java.lang.Long.compare(l, cs.minL),
+              java.lang.Long.compare(l, cs.maxL)))
+          case "f64" | "f32" =>
+            litDouble(v).forall { d =>
+              if (d.isNaN) true // NaN ordering not modeled in bounds
+              else test(java.lang.Double.compare(d, cs.minD),
+                java.lang.Double.compare(d, cs.maxD))
+            }
+          case _ =>
+            val u = v match {
+              case s: UTF8String => s
+              case s: String => UTF8String.fromString(s)
+              case _ => return true
+            }
+            test(u.compareTo(UTF8String.fromString(cs.minS)),
+              u.compareTo(UTF8String.fromString(cs.maxS)))
+        }
+      case _ => true
+    }
+  }
+}

@@ -98,10 +98,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (namespace.nonEmpty && !namespaceExists(namespace))
       throw new NoSuchNamespaceException(namespace)
     if (!Files.isDirectory(dir)) Array.empty
-    else Files.list(dir).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTable(p))
-      .map(p => namespace :+ p.getFileName.toString)
-      .toArray
+    // Close the directory stream — unclosed Files.list leaks an fd per call.
+    else scala.util.Using.resource(Files.list(dir)) { ls =>
+      ls.iterator().asScala
+        .filter(p => Files.isDirectory(p) && !isTable(p))
+        .map(p => namespace :+ p.getFileName.toString)
+        .toArray
+    }
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
@@ -131,7 +134,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!namespaceExists(namespace)) return false
     val dir = nsDir(namespace)
     if (!cascade) {
-      val empty = !Files.list(dir).iterator().hasNext
+      val empty =
+        scala.util.Using.resource(Files.list(dir))(ls => !ls.iterator().hasNext)
       require(empty, s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
     }
     deleteRecursively(dir)
@@ -142,10 +146,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    Files.list(nsDir(namespace)).iterator().asScala
-      .filter(p => Files.isDirectory(p) && isTable(p))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
-      .toArray
+    scala.util.Using.resource(Files.list(nsDir(namespace))) { ls =>
+      ls.iterator().asScala
+        .filter(p => Files.isDirectory(p) && isTable(p))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+    }
   }
 
   override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
@@ -386,6 +392,175 @@ object GraftCatalog {
     |    (SELECT CAST(max(event_date) AS VARCHAR) FROM daily)
     |)
     |ORDER BY version""".stripMargin
+
+  /** Distinct data files the finished plan actually scanned (AQE-final
+    * plan walk; a fully-pruned scan reports 0). Driver-side plan
+    * metadata only. */
+  private def collectAndCountFiles(df: org.apache.spark.sql.DataFrame)
+      : (Array[org.apache.spark.sql.Row], Long) = {
+    val rows = df.collect()
+    // AQE leaves are QueryStageExec wrappers around already-executed
+    // subtrees — recurse through them (and nested adaptive plans) or
+    // an aggregate's scan is invisible to the walk
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectLeaves().flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.executedPlan)
+        case l => Seq(l)
+      }
+    val files = leaves(df.queryExecution.executedPlan).flatMap {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.flatMap {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(_.filePath.toString).toSeq
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }.distinct.size
+    (rows, files.toLong)
+  }
+
+  /** Driver query: manifest-stats file skipping observed END TO END —
+    * three single-file commits (CTAS + two fast appends, one date band
+    * each), then three probes whose scanned-file counts are structural
+    * constants of the layout: the unfiltered read touches all 3 files,
+    * the mid-band predicate exactly 1 (the other two bands' [min,max]
+    * exclude it), the impossible date 0 (fully-pruned empty scan). Row
+    * counts and date frontiers stay data-derived so the oracle checks
+    * the pruned scans return exactly the right ROWS, not just fewer
+    * files. */
+  def fileSkipOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_fk_$n"
+    val v = s"__graft_fk_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date <= DATE '2024-01-10'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-20'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-20'")
+    def probe(label: String, where: String): (String, Long, Long, String) = {
+      val (rows, files) = collectAndCountFiles(s.sql(
+        s"SELECT count(*) AS c, CAST(max(event_date) AS STRING) AS d FROM $t $where"))
+      (label, files, rows(0).getLong(0),
+        if (rows(0).isNullAt(1)) "none" else rows(0).getString(1))
+    }
+    import s.implicits._
+    Seq(
+      probe("full", ""),
+      probe("mid_band",
+        "WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'"),
+      probe("impossible", "WHERE event_date > DATE '2030-01-01'"))
+      .toDF("probe", "files_scanned", "row_count", "last_date")
+      .orderBy("probe")
+  }
+
+  /** DuckDB oracle for [[fileSkipOver]]: scanned-file counts are the
+    * layout's structural constants; row counts and frontiers replay
+    * from silver. */
+  val fileSkipSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT 'full' AS probe, CAST(3 AS BIGINT) AS files_scanned,
+    |    (SELECT count(*) FROM daily) AS row_count,
+    |    (SELECT CAST(max(event_date) AS VARCHAR) FROM daily) AS last_date
+    |  UNION ALL SELECT 'impossible', 0, 0, 'none'
+    |  UNION ALL SELECT 'mid_band', 1,
+    |    (SELECT count(*) FROM daily WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'),
+    |    (SELECT CAST(max(event_date) AS VARCHAR) FROM daily WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18')
+    |)
+    |ORDER BY probe""".stripMargin
+
+  /** Driver query: snapshot-chain compaction (Iceberg
+    * `rewrite_data_files`) + its retention synergy — a 4-commit chain
+    * of single-file bands is compacted into one full-state snapshot
+    * (v5, 1 file), time travel INTO the pre-compact chain still
+    * answers, and because the compact snapshot seals the chain,
+    * `expireSnapshots(keepLast=1)` afterwards reaps all four small-file
+    * versions. Every surfaced number is either a structural constant
+    * of the lifecycle or replayable from silver. */
+  def rewriteFilesOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_rw_$n"
+    val v = s"__graft_rw_src_$n"
+    val tablePath = s"$warehouseDir/marts/daily_rw_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date <= DATE '2024-01-05'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-05' AND event_date <= DATE '2024-01-10'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-20'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-20'")
+    val (cv, before, after) = Snapshots.compact(s, tablePath, targetFileBytes = 1L << 40)
+    val asOfV2 = Snapshots.readAsOf(s, tablePath, 2).count()
+    val expired = Snapshots.expireSnapshots(s, tablePath, keepLast = 1)
+      .collect().count(_.getString(2) == "expired")
+    val current = Snapshots.readLatest(s, tablePath).count()
+    import s.implicits._
+    Seq(
+      ("compact_version" -> cv), ("files_before" -> before.toLong),
+      ("files_after" -> after.toLong), ("rows_asof_v2" -> asOfV2),
+      ("versions_expired" -> expired.toLong), ("rows_current" -> current))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[rewriteFilesOver]]. */
+  val rewriteFilesSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT 'compact_version' AS metric, CAST(5 AS BIGINT) AS value
+    |  UNION ALL SELECT 'files_after', 1
+    |  UNION ALL SELECT 'files_before', 4
+    |  UNION ALL SELECT 'rows_asof_v2',
+    |    (SELECT count(*) FROM daily WHERE event_date <= DATE '2024-01-10')
+    |  UNION ALL SELECT 'rows_current', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'versions_expired', 4
+    |)
+    |ORDER BY metric""".stripMargin
+
+  /** Driver query: the exactly-once streaming append sink under
+    * at-least-once redelivery — batches 0/1/2 (one date band each)
+    * committed through [[Snapshots.idempotentAppendWriter]], with
+    * batch 1 REDELIVERED mid-stream (foreachBatch's crash-after-write
+    * contract) and batch 0 redelivered after the stream advanced. Both
+    * replays must hit the manifest ledger and skip; the surfaced
+    * row count equals the full mart iff no batch double-appended, and
+    * the version count pins one snapshot per DISTINCT batch. */
+  def streamAppendOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    val tablePath = s"$warehouseDir/marts/daily_sa_$n"
+    import org.apache.spark.sql.functions.{col, lit}
+    val write = Snapshots.idempotentAppendWriter(tablePath, "graft_demo_stream")
+    val b0 = daily.filter(col("event_date") <= lit("2024-01-10").cast("date"))
+    val b1 = daily.filter(col("event_date") > lit("2024-01-10").cast("date") &&
+      col("event_date") <= lit("2024-01-20").cast("date"))
+    val b2 = daily.filter(col("event_date") > lit("2024-01-20").cast("date"))
+    write(b0, 0L); write(b1, 1L)
+    write(b1, 1L) // at-least-once: crash after write, marker lost, redelivered
+    write(b2, 2L)
+    write(b0, 0L) // stale replay long after the stream advanced
+    import s.implicits._
+    Seq(
+      "rows_total" -> Snapshots.readLatest(s, tablePath).count(),
+      "versions" -> Snapshots.versions(tablePath).size.toLong,
+      "appends" -> Snapshots.versions(tablePath)
+        .count(v => Snapshots.operationOf(tablePath, v) == "append").toLong)
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[streamAppendOver]]: rows_total from silver
+    * (double-append would inflate it), structure as literals. */
+  val streamAppendSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT 'appends' AS metric, CAST(2 AS BIGINT) AS value
+    |  UNION ALL SELECT 'rows_total', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'versions', 3
+    |)
+    |ORDER BY metric""".stripMargin
 }
 
 /** One snapshot-pinned view of a versioned table. Reads delegate to
@@ -431,13 +606,17 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
   }
 
   private def parquetTable(v: Long, userSchema: Option[StructType]): ParquetTable =
+    parquetTableOver(Snapshots.readSet(tablePath, v), userSchema)
+
+  private def parquetTableOver(paths: Seq[String],
+                               userSchema: Option[StructType]): ParquetTable =
     ParquetTable(qualifiedName, spark,
       // mergeSchema: an append chain written across a schema evolution
       // holds directories of different widths — inference must union
       // them (the snapshot's own schema), not pick one file's
       new CaseInsensitiveStringMap(
         java.util.Collections.singletonMap("mergeSchema", "true")),
-      Snapshots.readSet(tablePath, v), userSpecifiedSchema = userSchema,
+      paths, userSpecifiedSchema = userSchema,
       fallbackFileFormat = classOf[ParquetFileFormat])
 
   /** Current-state reads honor the declared (possibly evolved)
@@ -466,10 +645,22 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       // the wrapper delegates every pushdown surface, so batch plans
       // are unchanged; pinned (time-travel) reads stay raw
       case Some(v) if pinned.isEmpty =>
+        val rs = readerSchema
         new GraftStreamableScanBuilder(
-          parquetTable(v, readerSchema).newScanBuilder(options), tablePath, schema())
+          parquetTable(v, rs).newScanBuilder(options), tablePath, schema(),
+          // manifest-stats file skipping: at build() time the pushed
+          // filters prune the read set to only files whose [min,max]
+          // may match, and the scan is rebuilt over that file list
+          pruneRebuild = Some(new GraftPruneRebuild {
+            override def prunedFiles(
+                filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+              Snapshots.pruneReadSet(tablePath, v, filters)
+            override def builderOver(files: Seq[String]) =
+              parquetTableOver(files, rs).newScanBuilder(options)
+                .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
+          }))
       case Some(v) => parquetTable(v, readerSchema).newScanBuilder(options)
-      case None    => new GraftEmptyScanBuilder(schema())
+      case None    => new GraftEmptyScanBuilder(schema(), tablePath)
     }
 
   /** Current table state as a DataFrame (declared schema honored for
@@ -594,7 +785,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
                 // post-evolution appends carry the declared (wider)
                 // schema; older directories stay narrow and the
                 // mergeSchema read path unions them
-                expectedColumns = declaredSchema.map(_.fieldNames.toSeq))
+                expectedSchema = declaredSchema)
               ()
             }
           }
@@ -749,7 +940,8 @@ private[sources] object GraftSourceFilters {
 
 /** Scan of a created-but-never-written table: the declared schema,
   * zero partitions. */
-private class GraftEmptyScanBuilder(schema: StructType) extends ScanBuilder {
+private class GraftEmptyScanBuilder(schema: StructType, tablePath: String)
+  extends ScanBuilder {
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = schema
     override def toBatch: Batch = this
@@ -759,5 +951,14 @@ private class GraftEmptyScanBuilder(schema: StructType) extends ScanBuilder {
         override def createReader(p: InputPartition): PartitionReader[InternalRow] =
           throw new IllegalStateException("empty table planned no partitions")
       }
+    // capabilities() advertises MICRO_BATCH_READ for every table, so a
+    // readStream.table over a created-but-never-written table must not
+    // fall through to Scan's default UnsupportedOperationException:
+    // stream an empty source that picks up the first snapshot — the
+    // micro-batch stream re-resolves versions() per trigger, so the
+    // initial batch after the first write is the full v1 read set.
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      new SnapshotMicroBatchStream(tablePath, schema, schema)
   }
 }

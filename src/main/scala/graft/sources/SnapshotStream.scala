@@ -68,7 +68,15 @@ object SnapshotStream {
         .option("checkpointLocation", s"$ckpt/ck")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      // awaitTermination(timeout) returns false when the query is STILL
+      // RUNNING — proceeding then would read a partial count and leave a
+      // live query sharing the checkpoint with the next drain (a
+      // misleading data mismatch instead of a clear timeout).
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"AvailableNow drain of $t did not finish within 120s")
+      }
       cnt.get()
     }
     try {
@@ -182,35 +190,96 @@ private[graft] class SnapshotMicroBatchStream(tablePath: String,
   override def stop(): Unit = ()
 }
 
+/** The scan-rebuild seam for manifest-stats file skipping: answers
+  * which files of the read set survive the pushed filters, and hands
+  * out a fresh builder over exactly those files. */
+private[sources] trait GraftPruneRebuild {
+  def prunedFiles(filters: Seq[Expression]): Option[Seq[String]]
+  def builderOver(files: Seq[String]): ParquetScanBuilder
+}
+
 /** Fully-delegating wrapper around the stock parquet scan builder
   * whose built scan additionally answers `toMicroBatchStream` —
   * every pushdown surface (columns, catalyst filters, aggregates,
   * variant extractions) forwards to the delegate so batch plans are
-  * bit-identical to the unwrapped path. */
+  * bit-identical to the unwrapped path.
+  *
+  * With a [[GraftPruneRebuild]] attached, `build()` first asks the
+  * manifest stats whether the pushed filters prune any data files
+  * ([[Snapshots.pruneReadSet]]). If they do, the scan is REBUILT over
+  * the surviving file list by replaying the journaled pushdown calls
+  * (same order, same arguments) onto a fresh builder — every replayed
+  * answer must match the one Spark already consumed, else the pruned
+  * plan could disagree with the negotiated contract and we fall back
+  * to the unpruned delegate. Zero files surviving yields an empty
+  * batch with the negotiated read schema. Streaming is untouched:
+  * `toMicroBatchStream` reads version directories itself. */
 private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
                                                   tablePath: String,
-                                                  fullSchema: StructType)
+                                                  fullSchema: StructType,
+                                                  pruneRebuild: Option[GraftPruneRebuild] = None)
   extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with SupportsPushDownAggregates
     with SupportsPushDownVariantExtractions {
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  // journaled pushdown calls; each replay closure answers "did the
+  // fresh builder give the same answer the delegate gave Spark?"
+  private val journal = scala.collection.mutable.Buffer.empty[ParquetScanBuilder => Boolean]
+  private val filterExprs = scala.collection.mutable.Buffer.empty[Expression]
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     delegate.pruneColumns(requiredSchema)
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    delegate.pushFilters(filters)
+    journal += { b => b.pruneColumns(requiredSchema); true }
+  }
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val leftover = delegate.pushFilters(filters)
+    filterExprs ++= filters
+    journal += { b => b.pushFilters(filters) == leftover }
+    leftover
+  }
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
-  override def pushAggregation(aggregation: Aggregation): Boolean =
-    delegate.pushAggregation(aggregation)
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val accepted = delegate.pushAggregation(aggregation)
+    journal += { b => b.pushAggregation(aggregation) == accepted }
+    accepted
+  }
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     delegate.supportCompletePushDown(aggregation)
-  override def pushVariantExtractions(extractions: Array[VariantExtraction]): Array[Boolean] =
-    delegate.pushVariantExtractions(extractions)
+  override def pushVariantExtractions(extractions: Array[VariantExtraction]): Array[Boolean] = {
+    val answers = delegate.pushVariantExtractions(extractions)
+    journal += { b => b.pushVariantExtractions(extractions).sameElements(answers) }
+    answers
+  }
 
-  override def build(): Scan =
-    new GraftStreamableScan(delegate.build(), tablePath, fullSchema)
+  override def build(): Scan = {
+    val pruned: Option[Scan] = pruneRebuild.flatMap { r =>
+      r.prunedFiles(filterExprs.toSeq).flatMap { files =>
+        if (files.isEmpty) Some(emptyScanLike(delegate.build().readSchema()))
+        else {
+          val b = r.builderOver(files)
+          if (journal.forall(_(b))) Some(b.build()) else None
+        }
+      }
+    }
+    new GraftStreamableScan(pruned.getOrElse(delegate.build()), tablePath, fullSchema)
+  }
+
+  /** All files of the read set provably excluded by the filters: an
+    * empty batch carrying the negotiated pruned read schema. */
+  private def emptyScanLike(rs: StructType): Scan = new Scan with Batch {
+    override def readSchema(): StructType = rs
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = Array.empty
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition)
+            : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+          throw new IllegalStateException("fully-pruned scan planned no partitions")
+      }
+  }
 }
 
 private[sources] class GraftStreamableScan(inner: Scan, tablePath: String,

@@ -36,10 +36,15 @@ object Snapshots {
   def versions(table: String): Seq[Long] = {
     val dir = metaDir(table)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.endsWith(".json") => s.stripSuffix(".json").toLong }
-      .toSeq.sorted
+    // Files.list holds a directory fd until closed; versions() sits on
+    // hot paths (per catalog read / DML commit / streaming trigger), so
+    // an unclosed stream leaks one fd per call for the process lifetime.
+    else scala.util.Using.resource(Files.list(dir)) { ls =>
+      ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.endsWith(".json") => s.stripSuffix(".json").toLong }
+        .toSeq.sorted
+    }
   }
 
   /** Write `df` as the next version of `table`; returns the new
@@ -49,20 +54,69 @@ object Snapshots {
     * wall clock is pipeline state, so reproducible runs inject it);
     * defaults to the wall clock like Iceberg's own commit time. */
   def writeSnapshot(df: DataFrame, table: String, operation: String = "overwrite",
-                    commitTsMs: Option[Long] = None): Long = {
+                    commitTsMs: Option[Long] = None,
+                    streamTag: Option[(String, Long)] = None): Long = {
     val v = versions(table).lastOption.getOrElse(0L) + 1
+    // Iceberg-parity timestamp encoding (its spec mandates micros, not
+    // INT96): INT96 carries no usable parquet statistics, so writing it
+    // would silently exclude timestamp columns from file skipping
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     df.write.mode("errorifexists").option("compression", "snappy")
       .parquet(s"$table/v=$v")
-    val rows = df.sparkSession.read.parquet(s"$table/v=$v").count()
+    // footer walk: exact row count + per-file min/max column bounds
+    // for planning-time file skipping — KB tail reads, no Spark job
+    val stats = FileStats.collect(Paths.get(s"$table/v=$v"))
+    val rows = stats.map(_.map(_.rows).sum).getOrElse(
+      df.sparkSession.read.parquet(s"$table/v=$v").count())
     val cols = df.schema.fieldNames
       .map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
+    val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
     val manifest =
-      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols}"""
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols${streamTagFrag(streamTag)}$filesFrag}"""
     Files.createDirectories(metaDir(table))
     Files.write(metaDir(table).resolve(s"$v.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
     v
+  }
+
+  /** Manifest fragment identifying the streaming (stream, batch) that
+    * committed a version — the idempotence ledger for
+    * [[idempotentAppendWriter]]. */
+  private def streamTagFrag(tag: Option[(String, Long)]): String =
+    tag.fold("") { case (sid, b) =>
+      require(sid.matches("[A-Za-z0-9_.-]+"),
+        s"stream id must be filename-safe ([A-Za-z0-9_.-]+): $sid")
+      s""","stream_id":"$sid","stream_batch":$b"""
+    }
+
+  /** Highest batch id `streamId` has committed to `table` (None if it
+    * never wrote). Reads only KB manifests — per-trigger metadata. */
+  private[sources] def committedStreamBatch(table: String, streamId: String): Option[Long] =
+    versions(table).flatMap { v =>
+      val text = new String(
+        Files.readAllBytes(metaDir(table).resolve(s"$v.json")), StandardCharsets.UTF_8)
+      "\"stream_id\":\"([^\"]*)\",\"stream_batch\":(\\d+)".r.findFirstMatchIn(text)
+        .filter(_.group(1) == streamId).map(_.group(2).toLong)
+    }.maxOption
+
+  /** Exactly-once `foreachBatch` sink onto a versioned table: each
+    * micro-batch commits as ONE snapshot carrying its (streamId,
+    * batchId) in the manifest, and a batch id at or below the ledger's
+    * high-water mark is SKIPPED — so foreachBatch's at-least-once
+    * redelivery (crash after write, before the checkpoint commit
+    * marker) cannot double-append. The first batch of an empty table
+    * commits as the initial full-state snapshot; later batches are
+    * fast appends (O(delta) write). This is the supported streaming
+    * write path onto catalog tables — the Delta-style
+    * `foreachBatch + txn-version` idempotence pattern, with the
+    * manifest as the transaction log. */
+  def idempotentAppendWriter(table: String, streamId: String)
+      : (DataFrame, Long) => Unit = (df, batchId) => {
+    if (committedStreamBatch(table, streamId).exists(_ >= batchId)) ()
+    else if (versions(table).isEmpty)
+      { writeSnapshot(df, table, streamTag = Some((streamId, batchId))); () }
+    else { appendSnapshot(df, table, streamTag = Some((streamId, batchId))); () }
   }
 
   /** Operation recorded in version `v`'s manifest ("" if absent). */
@@ -86,6 +140,37 @@ object Snapshots {
     ops.collect { case (x, _) if x >= lastFull => s"$table/v=$x" }
   }
 
+  /** [[readSet]] with manifest-stats file skipping applied: each
+    * version directory whose manifest carries per-file min/max bounds
+    * is expanded to only the files whose bounds MAY satisfy `filters`
+    * ([[FileStats.mayMatch]]); statless manifests keep their whole
+    * directory. Returns None when pruning cannot help (no filters, no
+    * stats anywhere, or nothing was actually removed) — callers then
+    * use the plain directory read set unchanged. */
+  private[sources] def pruneReadSet(
+      table: String, v: Long,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[Seq[String]] = {
+    if (filters.isEmpty) return None
+    var statsSeen = false
+    var removed = 0
+    val out = Seq.newBuilder[String]
+    readSet(table, v).foreach { d =>
+      val ver = d.substring(d.lastIndexOf('=') + 1).toLong
+      val text = new String(
+        Files.readAllBytes(metaDir(table).resolve(s"$ver.json")), StandardCharsets.UTF_8)
+      FileStats.fromManifest(text) match {
+        case Some(fs) =>
+          statsSeen = true
+          val kept = fs.filter(f => FileStats.mayMatch(f, filters))
+          removed += fs.size - kept.size
+          kept.foreach(f => out += s"$d/${f.name}")
+        case None => out += d
+      }
+    }
+    if (!statsSeen || removed == 0) None else Some(out.result())
+  }
+
   /** Fast append (Iceberg `append` snapshot semantics): version N+1's
     * data directory holds ONLY the new rows — O(delta) write, never a
     * table rewrite — and the manifest chains it onto the current
@@ -97,26 +182,36 @@ object Snapshots {
     * evolution goes through a full-state write. */
   def appendSnapshot(df: DataFrame, table: String,
                      commitTsMs: Option[Long] = None,
-                     expectedColumns: Option[Seq[String]] = None): Long = {
+                     expectedSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                     streamTag: Option[(String, Long)] = None): Long = {
     val vs = versions(table)
     require(vs.nonEmpty, s"cannot append to $table: no current snapshot")
-    // the append must match the table's EFFECTIVE schema: the caller's
+    // the append must match the table's EFFECTIVE schema — the caller's
     // declared one when the table has evolved (catalog path), else the
-    // current physical state
-    val expect = expectedColumns.getOrElse(
-      readLatest(df.sparkSession, table).columns.toSeq)
-    require(expect.sorted == df.columns.toSeq.sorted,
-      s"append schema mismatch: ${expect.mkString(",")} vs ${df.columns.mkString(",")}")
+    // current physical state — by NAME AND TYPE (order-insensitive,
+    // nullability-insensitive: parquet round-trips relax nullability).
+    // A type mismatch committed here would corrupt the whole chain:
+    // every later mergeSchema read fails or silently widens.
+    val expect = expectedSchema.getOrElse(readLatest(df.sparkSession, table).schema)
+    def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      s.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq
+    require(shape(expect) == shape(df.schema),
+      s"append schema mismatch: expected ${shape(expect).map { case (n, t) => s"$n:$t" }.mkString(",")} " +
+        s"vs ${shape(df.schema).map { case (n, t) => s"$n:$t" }.mkString(",")}")
     val v = vs.last + 1
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     df.write.mode("errorifexists").option("compression", "snappy")
       .parquet(s"$table/v=$v")
-    val delta = df.sparkSession.read.parquet(s"$table/v=$v").count()
+    val stats = FileStats.collect(Paths.get(s"$table/v=$v"))
+    val delta = stats.map(_.map(_.rows).sum).getOrElse(
+      df.sparkSession.read.parquet(s"$table/v=$v").count())
     val priorTotal = rowCountOf(table, vs.last)
     val cols = df.schema.fieldNames
       .map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
+    val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
     val manifest =
-      s"""{"version":$v,"operation":"append","committed_at_ms":$ts,"row_count":${priorTotal + delta},"added_rows":$delta,"columns":$cols}"""
+      s"""{"version":$v,"operation":"append","committed_at_ms":$ts,"row_count":${priorTotal + delta},"added_rows":$delta,"columns":$cols${streamTagFrag(streamTag)}$filesFrag}"""
     Files.write(metaDir(table).resolve(s"$v.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
     v
@@ -132,12 +227,14 @@ object Snapshots {
                                        operation: String,
                                        commitTsMs: Option[Long] = None): Unit = {
     val df = spark.read.parquet(s"$table/v=$v")
-    val rows = df.count()
+    val stats = FileStats.collect(Paths.get(s"$table/v=$v"))
+    val rows = stats.map(_.map(_.rows).sum).getOrElse(df.count())
     val cols = df.schema.fieldNames
       .map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
+    val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
     val manifest =
-      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols}"""
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag}"""
     Files.createDirectories(metaDir(table))
     Files.write(metaDir(table).resolve(s"$v.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
@@ -155,6 +252,43 @@ object Snapshots {
     * `v` sits on a fast-append chain). */
   def readAsOf(spark: SparkSession, table: String, v: Long): DataFrame =
     spark.read.parquet(readSet(table, v): _*)
+
+  /** Small-file compaction (Iceberg `rewrite_data_files` shape): the
+    * current state rewritten as ONE new full-state snapshot whose file
+    * count targets `targetFileBytes` per file — the maintenance answer
+    * to a long fast-append chain of KB-sized deltas. History stays
+    * append-only (time travel to every pre-compact version keeps
+    * working), and because the compact snapshot is full-state it SEALS
+    * the chain: [[expireSnapshots]] can afterwards reap the small
+    * files the chain pinned. Returns (newVersion, filesBefore,
+    * filesAfter).
+    *
+    * Scale: one distributed round-robin shuffle of the live rows into
+    * the target file count — write-bandwidth-bound by construction,
+    * the same adjudication as the z-order rewrite; at production scale
+    * run it per partition slice. File sizes come from the filesystem
+    * (driver-side metadata, no data read). */
+  def compact(spark: SparkSession, table: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Long, Int, Int) = {
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no snapshots of $table")
+    val dataFiles = readSet(table, vs.last).flatMap { d =>
+      scala.util.Using.resource(Files.walk(Paths.get(d))) { w =>
+        w.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          .map(p => Files.size(p)).toVector
+      }
+    }
+    val totalBytes = dataFiles.sum
+    val numOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val v = writeSnapshot(
+      readLatest(spark, table).repartition(numOut), table, operation = "compact")
+    val filesAfter = scala.util.Using.resource(Files.walk(Paths.get(s"$table/v=$v"))) { w =>
+      w.iterator().asScala.count(p =>
+        Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+    }
+    (v, dataFiles.size, filesAfter)
+  }
 
   /** Rollback: restore the table's CURRENT state to what version `v`
     * held, as a NEW version (Iceberg's `rollback_to_snapshot`

@@ -49,12 +49,16 @@ class ArchitectureSpec extends AnyFunSuite {
     // DataChecks: gatedWrite reads the report — one row per check —
     //   to gate the write and re-plant the report as a local frame
     //   that survives the staging unpersist — |checks|-bounded metadata
+    // GraftCatalog: (a) collectAndCountFiles collects a 1-row aggregate
+    //   before walking the AQE-final plan for scanned-file counts;
+    //   (b) rewriteFilesOver reads the expire report — one row per
+    //   snapshot version — both metadata-plane by design
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 2,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1)
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 2)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))
   }

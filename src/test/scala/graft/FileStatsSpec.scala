@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.FileStats
+import graft.sources.FileStats.{ColStat, FileStat}
+
+/** The manifest-stats bounds algebra: a predicate may only skip a file
+  * when NO row of the file can satisfy it — every direction of every
+  * comparison is pinned here against hand-computed truth, and the
+  * footer collection is checked against a Spark-written file. */
+class FileStatsSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private def longFile(min: Long, max: Long): FileStat =
+    FileStat("f", 1, Map("id" -> ColStat("i64", min, max, 0, 0, null, null)))
+  private def strFile(min: String, max: String): FileStat =
+    FileStat("f", 1, Map("s" -> ColStat("str", 0, 0, 0, 0, min, max)))
+
+  private val idAttr = AttributeReference("id", LongType)()
+  private val sAttr = AttributeReference("s", StringType)()
+  private def L(v: Long) = Literal(v, LongType)
+  private def S(v: String) = Literal(UTF8String.fromString(v), StringType)
+
+  private def keeps(f: FileStat, e: Expression): Boolean = FileStats.mayMatch(f, Seq(e))
+
+  test("long bounds: every comparison direction") {
+    val f = longFile(10, 20)
+    // EqualTo inside/at-edges/outside
+    assert(!keeps(f, EqualTo(idAttr, L(5))))
+    assert(keeps(f, EqualTo(idAttr, L(10))) && keeps(f, EqualTo(idAttr, L(20))))
+    assert(keeps(f, EqualTo(idAttr, L(15))) && !keeps(f, EqualTo(idAttr, L(25))))
+    assert(keeps(f, EqualTo(L(15), idAttr)) && !keeps(f, EqualTo(L(25), idAttr)))
+    // a > v  ⇔ max > v
+    assert(keeps(f, GreaterThan(idAttr, L(19))) && !keeps(f, GreaterThan(idAttr, L(20))))
+    // a >= v ⇔ max >= v
+    assert(keeps(f, GreaterThanOrEqual(idAttr, L(20))) &&
+      !keeps(f, GreaterThanOrEqual(idAttr, L(21))))
+    // a < v  ⇔ min < v
+    assert(!keeps(f, LessThan(idAttr, L(10))) && keeps(f, LessThan(idAttr, L(11))))
+    // a <= v ⇔ min <= v
+    assert(keeps(f, LessThanOrEqual(idAttr, L(10))) &&
+      !keeps(f, LessThanOrEqual(idAttr, L(9))))
+    // literal-on-left mirrors: 25 > a ⇔ a < 25 ; 5 > a ⇔ a < 5
+    assert(keeps(f, GreaterThan(L(25), idAttr)) && !keeps(f, GreaterThan(L(10), idAttr)))
+    assert(!keeps(f, LessThan(L(20), idAttr)) && keeps(f, LessThan(L(19), idAttr)))
+    // In / InSet: any member in range keeps
+    assert(keeps(f, In(idAttr, Seq(L(1), L(15)))) && !keeps(f, In(idAttr, Seq(L(1), L(2)))))
+    assert(keeps(f, InSet(idAttr, Set[Any](1L, 15L))) &&
+      !keeps(f, InSet(idAttr, Set[Any](1L, 2L))))
+    // boolean structure
+    assert(!keeps(f, And(EqualTo(idAttr, L(15)), EqualTo(idAttr, L(25)))))
+    assert(keeps(f, Or(EqualTo(idAttr, L(25)), EqualTo(idAttr, L(15)))))
+    assert(!keeps(f, Or(EqualTo(idAttr, L(25)), EqualTo(idAttr, L(26)))))
+    // unmodeled shapes always keep
+    assert(keeps(f, IsNotNull(idAttr)) && keeps(f, IsNull(idAttr)))
+    assert(keeps(f, Not(EqualTo(idAttr, L(15)))))
+  }
+
+  test("type confusion and missing columns keep the file") {
+    val f = longFile(10, 20)
+    val intAttr = AttributeReference("id", IntegerType)()
+    assert(keeps(f, EqualTo(intAttr, Literal(5, IntegerType))),
+      "attribute type not matching the stat tag must keep")
+    val other = AttributeReference("nope", LongType)()
+    assert(keeps(f, EqualTo(other, L(5))),
+      "a column with no stats (e.g. added by evolution) must keep")
+  }
+
+  test("string bounds compare in UTF-8 byte order") {
+    val f = strFile("bb", "dd")
+    assert(!keeps(f, EqualTo(sAttr, S("aa"))) && keeps(f, EqualTo(sAttr, S("cc"))))
+    assert(!keeps(f, EqualTo(sAttr, S("dda"))) && keeps(f, EqualTo(sAttr, S("dd"))))
+    assert(keeps(f, GreaterThan(sAttr, S("dc"))) && !keeps(f, GreaterThan(sAttr, S("dd"))))
+    // multi-byte: "é" (0xC3A9) sorts AFTER "z" (0x7A) in byte order
+    val g = strFile("é", "é")
+    assert(keeps(g, GreaterThan(sAttr, S("z"))),
+      "UTF-8 byte order must place multi-byte chars after ASCII")
+    assert(!keeps(g, LessThan(sAttr, S("z"))))
+  }
+
+  test("manifest json round-trips stats incl. hostile string bounds") {
+    val fs = Seq(
+      FileStat("part-0.parquet", 7, Map(
+        "id" -> ColStat("i64", -5, 9, 0, 0, null, null),
+        "d" -> ColStat("f64", 0, 0, -1.5, 2.5, null, null),
+        "s" -> ColStat("str", 0, 0, 0, 0, "a\"b\\c\n", "zé"))),
+      FileStat("part-1.parquet", 0, Map.empty))
+    val json = s"""{"version":3,"operation":"append","files":${FileStats.toJson(fs)}}"""
+    val back = FileStats.fromManifest(json)
+    assert(back.contains(fs), s"round-trip mismatch: $back")
+    assert(FileStats.fromManifest("""{"version":3,"operation":"append"}""").isEmpty,
+      "manifests without a files key must answer None (whole-dir fallback)")
+  }
+
+  test("collect reads footer bounds from a Spark-written file") {
+    val dir = Files.createTempDirectory("graft_fstats_").resolve("d")
+    // micros, not INT96 — the encoding the snapshot writers pin
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.range(0, 100)
+      .selectExpr("id", "CAST(id AS DOUBLE) / 4 AS x",
+        "CAST(id % 10 AS STRING) AS s",
+        "DATE_ADD(DATE '2024-01-01', CAST(id AS INT)) AS dt",
+        "TIMESTAMP '2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts")
+      .coalesce(1)
+      .write.parquet(dir.toString)
+    val got = FileStats.collect(dir).get
+    assert(got.size == 1 && got.head.rows == 100)
+    val st = got.head.stats
+    assert(st("id") == ColStat("i64", 0, 99, 0, 0, null, null))
+    assert(st("x").tag == "f64" && st("x").minD == 0.0 && st("x").maxD == 24.75)
+    assert(st("s") == ColStat("str", 0, 0, 0, 0, "0", "9"))
+    assert(st("dt").tag == "date" &&
+      st("dt").minL == java.time.LocalDate.of(2024, 1, 1).toEpochDay &&
+      st("dt").maxL == java.time.LocalDate.of(2024, 4, 9).toEpochDay)
+    assert(st("ts").tag == "tsu" &&
+      st("ts").maxL - st("ts").minL == 99L * 1000000L)
+  }
+}

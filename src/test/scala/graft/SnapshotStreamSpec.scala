@@ -59,6 +59,22 @@ class SnapshotStreamSpec extends AnyFunSuite {
       s"restart must read ONLY the two appended deltas, got ${delta.mkString(",")}")
   }
 
+  test("streaming a created-but-never-written table: empty now, picks up the first snapshot") {
+    // capabilities() advertises MICRO_BATCH_READ unconditionally, so a
+    // readStream.table over a snapshot-less table must stream an empty
+    // source (not throw Scan's default UnsupportedOperationException)
+    // and deliver the first snapshot on the next run
+    spark.sql(s"CREATE NAMESPACE $cat.fresh")
+    spark.sql(s"CREATE TABLE $cat.fresh.t (id BIGINT)")
+    val ckpt = Files.createTempDirectory("graft_fresh_ckpt_").toString
+    val empty = runAvailableNow(s"$cat.fresh.t", ckpt)
+    assert(empty.isEmpty, s"a snapshot-less table must stream zero rows, got $empty")
+    spark.sql(s"INSERT INTO $cat.fresh.t VALUES (7), (8)")
+    val first = runAvailableNow(s"$cat.fresh.t", ckpt)
+    assert(first == Seq(7L, 8L),
+      s"the restarted stream must deliver the first snapshot, got $first")
+  }
+
   test("column pruning survives the streamable wrapper on batch reads") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.p")
     spark.range(0, 10).selectExpr("id", "id*2 AS v", "CAST(id AS STRING) AS unused")
@@ -83,6 +99,61 @@ class SnapshotStreamSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(err).exists(_.contains("cannot replay as a delta")),
       s"wanted the non-append failure, got: ${messages(err).mkString(" | ")}")
+  }
+
+  test("idempotentAppendWriter: crash-shaped checkpoint replay cannot double-append") {
+    val tmp = Files.createTempDirectory("graft_appsink_").toString
+    val table = s"$tmp/t"
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val w = Snapshots.idempotentAppendWriter(table, "spec_stream")
+    def deliver(ckpt: String): Unit = {
+      val q = spark.readStream.schema("id LONG").parquet(s"$tmp/in")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, b: Long) =>
+          calls.incrementAndGet(); w(df, b)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "drain must finish")
+      ()
+    }
+    spark.range(0, 50).toDF("id").write.parquet(s"$tmp/in")
+    deliver(s"$tmp/ckpt") // batch 0 → v1 (initial full state, tagged)
+    spark.range(100, 130).toDF("id").write.mode("append").parquet(s"$tmp/in")
+    deliver(s"$tmp/ckpt") // batch 1 → v2 (fast append, tagged)
+    assert(Snapshots.readLatest(spark, table).count() == 80)
+    assert(Snapshots.versions(table) == Seq(1L, 2L))
+
+    // at-least-once replay: clone the checkpoint (Spark 4 caches
+    // commit-log state per path), drop the LAST commit marker
+    // (crash-after-write-before-commit) and the metadata file, then
+    // restart — Spark re-runs batch 1 with the SAME batch id and the
+    // manifest ledger must skip it
+    val src = java.nio.file.Paths.get(s"$tmp/ckpt")
+    val dst = java.nio.file.Paths.get(s"$tmp/ckpt_replay")
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+      ()
+    } finally walk.close()
+    def dropWithCrc(f: java.io.File): Unit = {
+      f.delete(); new java.io.File(f.getParentFile, s".${f.getName}.crc").delete(); ()
+    }
+    val commits = Option(new java.io.File(s"$tmp/ckpt_replay/commits").listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.getName.matches("\\d+"))
+    assert(commits.nonEmpty, "the crash shape needs a commit marker to drop")
+    commits.sortBy(_.getName.toInt).lastOption.foreach(dropWithCrc)
+    dropWithCrc(new java.io.File(s"$tmp/ckpt_replay/metadata"))
+    val callsBefore = calls.get()
+    deliver(s"$tmp/ckpt_replay")
+    assert(calls.get() > callsBefore, "the replay must actually re-invoke the writer")
+    assert(Snapshots.readLatest(spark, table).count() == 80,
+      "the redelivered batch must not double-append")
+    assert(Snapshots.versions(table) == Seq(1L, 2L),
+      "no new snapshot may commit for a replayed batch id")
   }
 
   test("offsets round-trip through json") {
