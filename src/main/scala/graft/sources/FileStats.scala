@@ -247,6 +247,70 @@ object FileStats {
     }
   }
 
+  /** Can runtime filters on a column of this type be evaluated by the
+    * bounds algebra? (Advertised via `filterAttributes`.) */
+  def runtimeFilterable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    expectedTag(dt).isDefined
+
+  /** Translate a connector-level runtime `Predicate` (what Spark's
+    * dynamic pruning feeds `SupportsRuntimeV2Filtering.filter`) into
+    * the catalyst shape [[mayMatch]] evaluates. Unmodeled shapes →
+    * None (no extra pruning — never wrong, just less skipped). */
+  def fromV2Predicate(p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+                      schema: org.apache.spark.sql.types.StructType): Option[Expression] = {
+    import org.apache.spark.sql.connector.{expressions => v2}
+    def attrOf(e: v2.Expression): Option[AttributeReference] = e match {
+      case f: v2.NamedReference if f.fieldNames.length == 1 =>
+        schema.fields.find(_.name == f.fieldNames()(0))
+          .map(fd => AttributeReference(fd.name, fd.dataType)())
+      case _ => None
+    }
+    def litOf(e: v2.Expression): Option[Literal] = e match {
+      case l: v2.Literal[_] => Some(Literal(l.value, l.dataType))
+      case _ => None
+    }
+    def binary(mk: (Expression, Expression) => Expression): Option[Expression] = {
+      val kids = p.children()
+      if (kids.length != 2) None
+      else (attrOf(kids(0)), litOf(kids(1)), litOf(kids(0)), attrOf(kids(1))) match {
+        case (Some(a), Some(l), _, _) => Some(mk(a, l))
+        case (_, _, Some(l), Some(a)) => Some(mk(l, a))
+        case _ => None
+      }
+    }
+    p.name() match {
+      case "IN" =>
+        val kids = p.children()
+        if (kids.length < 2) None
+        else attrOf(kids(0)).flatMap { a =>
+          val lits = kids.drop(1).flatMap(litOf)
+          if (lits.length == kids.length - 1) Some(In(a, lits.toSeq)) else None
+        }
+      case "="  => binary(EqualTo(_, _))
+      case ">"  => binary(GreaterThan(_, _))
+      case ">=" => binary(GreaterThanOrEqual(_, _))
+      case "<"  => binary(LessThan(_, _))
+      case "<=" => binary(LessThanOrEqual(_, _))
+      case "AND" => p match {
+        case a: org.apache.spark.sql.connector.expressions.filter.And =>
+          (fromV2Predicate(a.left(), schema), fromV2Predicate(a.right(), schema)) match {
+            case (Some(l), Some(r)) => Some(And(l, r))
+            case (one, other) => one.orElse(other) // AND: either side alone is sound
+          }
+        case _ => None
+      }
+      case "OR" => p match {
+        case o: org.apache.spark.sql.connector.expressions.filter.Or =>
+          for {
+            l <- fromV2Predicate(o.left(), schema)
+            r <- fromV2Predicate(o.right(), schema)
+          } yield Or(l, r) // OR needs BOTH sides modeled to stay sound
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   private def litLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l); case i: Int => Some(i.toLong)
     case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)

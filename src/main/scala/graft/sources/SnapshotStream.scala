@@ -255,16 +255,21 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
   }
 
   override def build(): Scan = {
-    val pruned: Option[Scan] = pruneRebuild.flatMap { r =>
-      r.prunedFiles(filterExprs.toSeq).flatMap { files =>
-        if (files.isEmpty) Some(emptyScanLike(delegate.build().readSchema()))
-        else {
-          val b = r.builderOver(files)
-          if (journal.forall(_(b))) Some(b.build()) else None
+    // rebuild the scan over the files surviving (static ∪ runtime)
+    // filters; None = pruning can't help / replay answers diverged
+    val rebuildFn: Option[Seq[Expression] => Option[Scan]] = pruneRebuild.map { r =>
+      (extra: Seq[Expression]) =>
+        r.prunedFiles(filterExprs.toSeq ++ extra).flatMap { files =>
+          if (files.isEmpty) Some(emptyScanLike(delegate.build().readSchema()))
+          else {
+            val b = r.builderOver(files)
+            if (journal.forall(_(b))) Some(b.build()) else None
+          }
         }
-      }
     }
-    new GraftStreamableScan(pruned.getOrElse(delegate.build()), tablePath, fullSchema)
+    val statiPruned = rebuildFn.flatMap(f => f(Seq.empty))
+    new GraftStreamableScan(statiPruned.getOrElse(delegate.build()),
+      tablePath, fullSchema, rebuildFn)
   }
 
   /** All files of the read set provably excluded by the filters: an
@@ -282,10 +287,41 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
   }
 }
 
-private[sources] class GraftStreamableScan(inner: Scan, tablePath: String,
-                                           fullSchema: StructType)
+private[graft] class GraftStreamableScan(initialInner: Scan, tablePath: String,
+                                           fullSchema: StructType,
+                                           rebuild: Option[Seq[Expression] => Option[Scan]] = None)
   extends Scan with SupportsReportStatistics
-    with org.apache.spark.sql.internal.connector.SupportsMetadata {
+    with org.apache.spark.sql.internal.connector.SupportsMetadata
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  // swapped by filter() when runtime predicates prune further —
+  // BatchScanExec applies runtime filters before (re)planning input
+  // partitions, so the exec always reads the post-filter scan
+  @volatile private var inner: Scan = initialInner
+
+  /** Runtime filtering (the Iceberg `SupportsRuntimeV2Filtering`
+    * behavior): Spark's dynamic-pruning machinery feeds the join's
+    * build-side key set back as IN/EQ predicates; files whose manifest
+    * bounds exclude every key drop out before tasks launch. Only
+    * columns the bounds algebra can evaluate are advertised. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (rebuild.isEmpty) Array.empty
+    else fullSchema.fields.filter(f => FileStats.runtimeFilterable(f.dataType))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val exprs = predicates.toSeq.flatMap(FileStats.fromV2Predicate(_, fullSchema))
+    if (exprs.nonEmpty)
+      rebuild.foreach { f => f(exprs).foreach { s => inner = s } }
+  }
+
+  /** Files the CURRENT inner scan reads (post static+runtime pruning);
+    * empty for a fully-pruned scan. Test/observability seam. */
+  private[graft] def scannedFileList: Seq[String] = inner match {
+    case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+      fs.fileIndex.inputFiles.toSeq
+    case _ => Seq.empty
+  }
 
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = inner.toBatch

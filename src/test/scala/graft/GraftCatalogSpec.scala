@@ -227,6 +227,82 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"a delta-only match must scan only the delta file, got $pointFiles")
     assert(point.collect().map(_.getString(0)).toSeq == Seq("x"))
 
+    // runtime filtering (the Iceberg SupportsRuntimeV2Filtering seam):
+    // dynamic pruning feeds the join build side's key set back as an
+    // IN predicate — files whose bounds exclude every key must drop
+    // out when the exec replans, WITHOUT rebuilding the scan object
+    {
+      import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, TableCatalog}
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.expressions.filter.Predicate
+      import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+      import org.apache.spark.sql.util.CaseInsensitiveStringMap
+      val tbl = spark.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[TableCatalog]
+        .loadTable(Identifier.of(Array("skipns"), "t"))
+      def planned(scan: org.apache.spark.sql.connector.read.Scan): Int =
+        scan.toBatch.planInputPartitions().flatMap {
+          case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+          case _ => Seq.empty
+        }.distinct.length
+      val scan = tbl.asInstanceOf[SupportsRead]
+        .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      val rf = scan.asInstanceOf[SupportsRuntimeV2Filtering]
+      assert(rf.filterAttributes().map(_.describe()).toSet == Set("id", "tag"),
+        "both stats-modeled columns must be advertised for runtime filtering")
+      val before = planned(scan)
+      assert(before == 5, s"pre-filter plan must cover all files, got $before")
+      rf.filter(Array(new Predicate("IN", Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("id"),
+        Expressions.literal(java.lang.Long.valueOf(1500L)),
+        Expressions.literal(java.lang.Long.valueOf(999999L))))))
+      val after = planned(scan)
+      assert(after == 2 && after < before,
+        s"runtime IN over two bands must prune to 2 files, got $after")
+    }
+
+    // end-to-end: a broadcast fact⋈dim join with a selective dim
+    // filter — Spark's dynamic pruning should feed the dim keys back
+    // into the fact scan as runtime filters; results must be exact
+    // regardless, and if the optimizer injected the subquery the scan
+    // must show it
+    {
+      // the dim must be OPAQUE (a real table): a derived CASE dim lets
+      // the optimizer infer the key statically and DPP never fires
+      spark.range(0, 4000).selectExpr("id AS d_id",
+        "CASE WHEN id = 1234 THEN 'pick' ELSE 'skip' END AS d_tag")
+        .write.mode("overwrite").parquet(s"$wh/skipns_dim")
+      spark.read.parquet(s"$wh/skipns_dim").createOrReplaceTempView("__skip_dim")
+      val j = spark.sql(
+        s"""SELECT /*+ BROADCAST(d) */ f.id, f.tag FROM $cat.skipns.t f
+           |JOIN __skip_dim d ON f.id = d.d_id
+           |WHERE d.d_tag = 'pick'""".stripMargin)
+      val got = j.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1234L, (1234 % 7).toString)),
+        s"join under runtime filtering must return exactly the picked row, got $got")
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(planStr.contains("dynamicpruningexpression"),
+        s"dynamic pruning must engage on an opaque broadcast dim:\n${planStr.take(2000)}")
+      // BatchScanExec.inputPartitions is the PRE-runtime-filter list;
+      // the scan's own live file list is what the exec actually read
+      def leaves2(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collectLeaves().flatMap {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves2(q.plan)
+          case a: AdaptiveSparkPlanExec => leaves2(a.executedPlan)
+          case l => Seq(l)
+        }
+      val joinFiles = leaves2(j.queryExecution.executedPlan).flatMap {
+        case b: BatchScanExec => b.scan match {
+          case g: graft.sources.GraftStreamableScan => g.scannedFileList
+          case _ => Seq.empty
+        }
+        case _ => Seq.empty
+      }.distinct
+      assert(joinFiles.nonEmpty && joinFiles.size <= 2 && joinFiles.size < full.size,
+        s"the runtime IN must prune fact files before tasks launch, scanned $joinFiles")
+    }
+
     // row-level DML on a stats-bearing table must never lose rows: the
     // group-based rewrite reads the WHOLE table (no filters are pushed
     // into the replacement scan), so pruning must not engage there
