@@ -450,6 +450,10 @@ object SparkEntry {
       graft.sources.GraftCatalog.mergeOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_file_skip" -> ((s, dir) =>
       graft.sources.GraftCatalog.fileSkipOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_cow_dml" -> ((s, dir) =>
+      graft.sources.GraftCatalog.cowDmlOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_merge_prune" -> ((s, dir) =>
+      graft.sources.GraftCatalog.mergePruneOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_rewrite_files" -> ((s, dir) =>
       graft.sources.GraftCatalog.rewriteFilesOver(s, DailySales.build(silver(s, dir)))),
     "stream_catalog_append" -> ((s, dir) =>
@@ -649,6 +653,8 @@ object SparkEntry {
     "meta_catalog_time_travel" -> graft.sources.GraftCatalog.timeTravelSql,
     "meta_catalog_merge" -> graft.sources.GraftCatalog.mergeSql,
     "meta_catalog_file_skip" -> graft.sources.GraftCatalog.fileSkipSql,
+    "meta_catalog_cow_dml" -> graft.sources.GraftCatalog.cowDmlSql,
+    "meta_catalog_merge_prune" -> graft.sources.GraftCatalog.mergePruneSql,
     "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,
     "stream_catalog_append" -> graft.sources.GraftCatalog.streamAppendSql,
     "stream_catalog_table" -> graft.sources.SnapshotStream.catalogStreamSql,

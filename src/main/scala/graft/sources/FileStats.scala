@@ -38,10 +38,15 @@ object FileStats {
     * comparison class; a filter is only evaluated when the attribute's
     * catalyst type maps to the SAME tag (type confusion keeps the
     * file). Bounds are stored JSON-native: integer-like as longs,
-    * floating as doubles, strings as (escaped) strings. */
+    * floating as doubles, strings as (escaped) strings. `nulls` is the
+    * file's null count for the column, -1 when any block didn't record
+    * one — [[mustMatch]] (the all-rows prover behind metadata-only
+    * deletes) needs it, because a NULL row never satisfies a
+    * comparison and must survive the delete. */
   final case class ColStat(tag: String, minL: Long, maxL: Long,
                            minD: Double, maxD: Double,
-                           minS: String, maxS: String)
+                           minS: String, maxS: String,
+                           nulls: Long = -1L)
 
   /** One data file: path RELATIVE to its version directory, exact row
     * count, and per-top-level-column stats. */
@@ -125,10 +130,11 @@ object FileStats {
         else tagOf(c.getPrimitiveType).flatMap { tag =>
           val mn: AnyRef = st.genericGetMin.asInstanceOf[AnyRef]
           val mx: AnyRef = st.genericGetMax.asInstanceOf[AnyRef]
+          val nl = if (st.isNumNullsSet) st.getNumNulls else -1L
           tag match {
             case t if longTags(t) =>
               val (a, z) = (asLong(mn), asLong(mx))
-              Some(path(0) -> ColStat(t, a, z, 0, 0, null, null))
+              Some(path(0) -> ColStat(t, a, z, 0, 0, null, null, nl))
             case "f64" | "f32" =>
               val (a, z) = (asDouble(mn), asDouble(mx))
               if (a.isNaN || z.isNaN || a.isInfinite || z.isInfinite) None
@@ -136,31 +142,35 @@ object FileStats {
               // ordering can never skip a file that holds the other zero
               else Some(path(0) -> ColStat(tag,
                 0, 0, if (a == 0.0d) -0.0d else a, if (z == -0.0d) 0.0d else z,
-                null, null))
+                null, null, nl))
             case "str" =>
               val (a, z) = (mn.asInstanceOf[Binary], mx.asInstanceOf[Binary])
               if (a.length > 96 || z.length > 96) None // truncation unsafe
               else Some(path(0) -> ColStat(tag, 0, 0, 0, 0,
-                a.toStringUsingUTF8, z.toStringUsingUTF8))
+                a.toStringUsingUTF8, z.toStringUsingUTF8, nl))
             case _ => None
           }
         }
       }.toMap
     }
-    // intersect columns; merge bounds
+    // intersect columns; merge bounds; null counts sum (unknown taints)
     perBlock.reduce { (x, y) =>
       x.keySet.intersect(y.keySet).iterator.flatMap { k =>
         val (a, b) = (x(k), y(k))
+        val nl = if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls
         if (a.tag != b.tag) None
         else Some(k -> (a.tag match {
           case t if longTags(t) =>
-            a.copy(minL = math.min(a.minL, b.minL), maxL = math.max(a.maxL, b.maxL))
+            a.copy(minL = math.min(a.minL, b.minL), maxL = math.max(a.maxL, b.maxL),
+              nulls = nl)
           case "f64" | "f32" =>
-            a.copy(minD = math.min(a.minD, b.minD), maxD = math.max(a.maxD, b.maxD))
+            a.copy(minD = math.min(a.minD, b.minD), maxD = math.max(a.maxD, b.maxD),
+              nulls = nl)
           case _ =>
             a.copy(
               minS = if (utf8Cmp(a.minS, b.minS) <= 0) a.minS else b.minS,
-              maxS = if (utf8Cmp(a.maxS, b.maxS) >= 0) a.maxS else b.maxS)
+              maxS = if (utf8Cmp(a.maxS, b.maxS) >= 0) a.maxS else b.maxS,
+              nulls = nl)
         }))
       }.toMap
     }
@@ -199,6 +209,7 @@ object FileStats {
           case "f64" | "f32"    => c.put("mn", cs.minD); c.put("mx", cs.maxD)
           case _                => c.put("mn", cs.minS); c.put("mx", cs.maxS)
         }
+        if (cs.nulls >= 0) { c.put("nl", cs.nulls); () }
       }
     }
     mapper.writeValueAsString(arr)
@@ -207,21 +218,31 @@ object FileStats {
   /** File list from a manifest, None when the manifest predates stats
     * (readers then keep the whole directory). */
   def fromManifest(manifestText: String): Option[Seq[FileStat]] =
+    fromManifestField(manifestText, "files")
+
+  /** Carried-forward file references of a copy-on-write manifest
+    * (names are TABLE-ROOT-relative, e.g. `v=3/part-x.parquet`).
+    * Empty for full-state / append manifests. */
+  def carriedFromManifest(manifestText: String): Seq[FileStat] =
+    fromManifestField(manifestText, "carried").getOrElse(Seq.empty)
+
+  private def fromManifestField(manifestText: String, field: String): Option[Seq[FileStat]] =
     try {
       val root = mapper.readTree(manifestText)
-      Option(root.get("files")).collect { case arr: ArrayNode =>
+      Option(root.get(field)).collect { case arr: ArrayNode =>
         arr.elements().asScala.map { e =>
           val stats = Option(e.get("s")).collect { case o: ObjectNode =>
             o.properties().asScala.flatMap { ent =>
               val v = ent.getValue
               val tag = v.get("t").asText()
+              val nl = Option(v.get("nl")).map(_.asLong()).getOrElse(-1L)
               val cs =
                 if (longTags(tag))
-                  ColStat(tag, v.get("mn").asLong(), v.get("mx").asLong(), 0, 0, null, null)
+                  ColStat(tag, v.get("mn").asLong(), v.get("mx").asLong(), 0, 0, null, null, nl)
                 else if (tag == "f64" || tag == "f32")
-                  ColStat(tag, 0, 0, v.get("mn").asDouble(), v.get("mx").asDouble(), null, null)
+                  ColStat(tag, 0, 0, v.get("mn").asDouble(), v.get("mx").asDouble(), null, null, nl)
                 else
-                  ColStat(tag, 0, 0, 0, 0, v.get("mn").asText(), v.get("mx").asText())
+                  ColStat(tag, 0, 0, 0, 0, v.get("mn").asText(), v.get("mx").asText(), nl)
               Some(ent.getKey -> cs)
             }.toMap
           }.getOrElse(Map.empty[String, ColStat])
@@ -346,7 +367,119 @@ object FileStats {
       vs.exists { case Literal(v, _) => cmp(stats, a, v, "eq") }
     case InSet(a: AttributeReference, hset) =>
       hset.exists(v => cmp(stats, a, v, "eq"))
-    case _ => true // IsNull / IsNotNull / StartsWith / functions / ...
+    // a recorded ColStat implies ≥1 non-null value (hasNonNullValue
+    // gates collection); a KNOWN-zero null count proves no row is NULL
+    case IsNull(a: AttributeReference) =>
+      stats.get(a.name).forall(_.nulls != 0)
+    case _ => true // IsNotNull / StartsWith / functions / ...
+  }
+
+  /** true = PROVABLY every row of the file satisfies all `filters` —
+    * the prover behind metadata-only deletes (a file whose rows ALL
+    * match a DELETE predicate is dropped from the next snapshot
+    * without ever being read). Sound under NULLs: comparison proofs
+    * additionally require a KNOWN-ZERO null count for the column,
+    * because a NULL row never satisfies a comparison and must survive
+    * the delete. Every unmodeled shape answers false — the file is
+    * then rewritten instead of dropped (never wrong, just less
+    * skipped). */
+  def mustMatch(file: FileStat, filters: Seq[Expression]): Boolean =
+    filters.forall(e => evalMust(file.stats, e))
+
+  private def evalMust(stats: Map[String, ColStat], e: Expression): Boolean = e match {
+    case And(l, r) => evalMust(stats, l) && evalMust(stats, r)
+    // all rows match one side ⇒ all rows match the disjunction
+    case Or(l, r)  => evalMust(stats, l) || evalMust(stats, r)
+    case EqualTo(a: AttributeReference, Literal(v, _)) => cmpMust(stats, a, v, "eq")
+    case EqualTo(Literal(v, _), a: AttributeReference) => cmpMust(stats, a, v, "eq")
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => cmpMust(stats, a, v, "gt")
+    case GreaterThan(Literal(v, _), a: AttributeReference) => cmpMust(stats, a, v, "lt")
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => cmpMust(stats, a, v, "ge")
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => cmpMust(stats, a, v, "le")
+    case LessThan(a: AttributeReference, Literal(v, _)) => cmpMust(stats, a, v, "lt")
+    case LessThan(Literal(v, _), a: AttributeReference) => cmpMust(stats, a, v, "gt")
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => cmpMust(stats, a, v, "le")
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => cmpMust(stats, a, v, "ge")
+    // min == max == v covers every row, and that value is in the set
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => cmpMust(stats, a, v, "eq") }
+    case IsNotNull(a: AttributeReference) =>
+      stats.get(a.name).exists(_.nulls == 0)
+    case _ => false // IsNull (all-null files record no stat) / Not / ...
+  }
+
+  /** All-rows variant of [[cmp]]: every row of the file provably
+    * relates to `v` per `op`. Requires a recorded stat with a
+    * known-zero null count; anything else answers false. */
+  private def cmpMust(stats: Map[String, ColStat], a: AttributeReference,
+                      v: Any, op: String): Boolean = {
+    if (v == null) return false
+    val cs = stats.getOrElse(a.name, return false)
+    if (cs.nulls != 0) return false
+    expectedTag(a.dataType) match {
+      case Some(tag) if tag == cs.tag =>
+        // signum of (value - bound), same convention as cmp
+        def test(cmpMin: Int, cmpMax: Int): Boolean = op match {
+          case "eq" => cmpMin == 0 && cmpMax == 0 // min == v == max
+          case "gt" => cmpMin < 0                 // all rows > v ⇔ min > v
+          case "ge" => cmpMin <= 0
+          case "lt" => cmpMax > 0                 // all rows < v ⇔ max < v
+          case "le" => cmpMax >= 0
+          case _ => false
+        }
+        tag match {
+          case t if longTags(t) =>
+            litLong(v).exists(l => test(java.lang.Long.compare(l, cs.minL),
+              java.lang.Long.compare(l, cs.maxL)))
+          case "f64" | "f32" =>
+            litDouble(v).exists { d =>
+              if (d.isNaN) false // NaN ordering not modeled in bounds
+              else test(java.lang.Double.compare(d, cs.minD),
+                java.lang.Double.compare(d, cs.maxD))
+            }
+          case _ =>
+            val u = v match {
+              case s: UTF8String => s
+              case s: String => UTF8String.fromString(s)
+              case _ => return false
+            }
+            test(u.compareTo(UTF8String.fromString(cs.minS)),
+              u.compareTo(UTF8String.fromString(cs.maxS)))
+        }
+      case _ => false
+    }
+  }
+
+  /** DSv1 source-filter → catalyst translation for the
+    * [[mayMatch]]/[[mustMatch]] algebra (the `SupportsDelete` path
+    * hands filters in v1 shape). Literal values arrive as EXTERNAL
+    * types (java.sql.Date, String, …) — `Literal.apply` converts to
+    * the internal representation the bounds comparison expects.
+    * Unmodeled shapes → None (the caller then rewrites the file —
+    * never wrong, just less skipped). */
+  def fromV1Filter(f: org.apache.spark.sql.sources.Filter,
+                   schema: org.apache.spark.sql.types.StructType): Option[Expression] = {
+    import org.apache.spark.sql.{sources => v1}
+    def attr(name: String): Option[AttributeReference] =
+      schema.fields.find(_.name == name)
+        .map(fd => AttributeReference(fd.name, fd.dataType)())
+    f match {
+      case v1.EqualTo(a, v)                      => attr(a).map(EqualTo(_, Literal(v)))
+      case v1.EqualNullSafe(a, v) if v != null   => attr(a).map(EqualNullSafe(_, Literal(v)))
+      case v1.GreaterThan(a, v)                  => attr(a).map(GreaterThan(_, Literal(v)))
+      case v1.GreaterThanOrEqual(a, v)           => attr(a).map(GreaterThanOrEqual(_, Literal(v)))
+      case v1.LessThan(a, v)                     => attr(a).map(LessThan(_, Literal(v)))
+      case v1.LessThanOrEqual(a, v)              => attr(a).map(LessThanOrEqual(_, Literal(v)))
+      case v1.In(a, vs) if vs.forall(_ != null)  =>
+        attr(a).map(x => In(x, vs.toIndexedSeq.map(Literal(_))))
+      case v1.IsNull(a)                          => attr(a).map(IsNull(_))
+      case v1.IsNotNull(a)                       => attr(a).map(IsNotNull(_))
+      case v1.And(l, r) =>
+        for { lc <- fromV1Filter(l, schema); rc <- fromV1Filter(r, schema) } yield And(lc, rc)
+      case v1.Or(l, r) =>
+        for { lc <- fromV1Filter(l, schema); rc <- fromV1Filter(r, schema) } yield Or(lc, rc)
+      case _ => None // Not / StringStartsWith / AlwaysTrue / ...
+    }
   }
 
   /** Range test of `v` against the column's [min,max]; `op` is the

@@ -561,6 +561,132 @@ object GraftCatalog {
     |  UNION ALL SELECT 'versions', 3
     |)
     |ORDER BY metric""".stripMargin
+
+  /** Rewritten/carried file counts of version `v`'s manifest. */
+  private def cowCounts(tablePath: String, v: Long): (Long, Long) = {
+    val m = new String(Files.readAllBytes(
+      Paths.get(s"$tablePath/_meta/$v.json")), StandardCharsets.UTF_8)
+    (FileStats.fromManifest(m).map(_.size.toLong).getOrElse(-1L),
+      FileStats.carriedFromManifest(m).size.toLong)
+  }
+
+  /** Driver query: the FILE-PRUNED copy-on-write DML lifecycle over a
+    * 3-band layout — a mid-band UPDATE rewrites exactly one file and
+    * carries two by reference; a band-aligned DELETE is METADATA-ONLY
+    * (the all-matching file drops unread, nothing is rewritten); a
+    * straddling DELETE rewrites only the straddled band. File counts
+    * are structural constants of the layout; every row/sum is
+    * replayable from silver, so the oracle proves the pruned rewrites
+    * also produced exactly the right DATA — including time travel
+    * back across all three DML snapshots. */
+  def cowDmlOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_cow_$n"
+    val tablePath = s"$warehouseDir/marts/daily_cow_$n"
+    val v = s"__graft_cow_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date <= DATE '2024-01-10'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-20'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-20'")
+    s.sql(s"UPDATE $t SET total_events = total_events + 1 WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'")
+    val (updOwn, updCarried) = cowCounts(tablePath, 4)
+    s.sql(s"DELETE FROM $t WHERE event_date > DATE '2024-01-20'")
+    val (delMetaOwn, delMetaCarried) = cowCounts(tablePath, 5)
+    s.sql(s"DELETE FROM $t WHERE event_date <= DATE '2024-01-05'")
+    val (delPartOwn, delPartCarried) = cowCounts(tablePath, 6)
+    val cur = s.sql(s"SELECT count(*) AS c, sum(total_events) AS se FROM $t").collect()(0)
+    val pre = s.sql(s"SELECT count(*) AS c, sum(total_events) AS se FROM $t VERSION AS OF 3").collect()(0)
+    import s.implicits._
+    Seq(
+      "del_meta_files_carried" -> delMetaCarried,
+      "del_meta_files_rewritten" -> delMetaOwn,
+      "del_part_files_carried" -> delPartCarried,
+      "del_part_files_rewritten" -> delPartOwn,
+      "rows_asof_v3" -> pre.getLong(0),
+      "rows_current" -> cur.getLong(0),
+      "sum_events_asof_v3" -> pre.getLong(1),
+      "sum_events_current" -> cur.getLong(1),
+      "upd_files_carried" -> updCarried,
+      "upd_files_rewritten" -> updOwn)
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[cowDmlOver]]: file counts as structural
+    * constants, rows/sums replayed from silver (the +1 bump applies
+    * only to the updated window, and only rows in (01-05, 01-20]
+    * survive both deletes). */
+  val cowDmlSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT 'del_meta_files_carried' AS metric, CAST(2 AS BIGINT) AS value
+    |  UNION ALL SELECT 'del_meta_files_rewritten', 0
+    |  UNION ALL SELECT 'del_part_files_carried', 1
+    |  UNION ALL SELECT 'del_part_files_rewritten', 1
+    |  UNION ALL SELECT 'rows_asof_v3', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'rows_current',
+    |    (SELECT count(*) FROM daily WHERE event_date > DATE '2024-01-05' AND event_date <= DATE '2024-01-20')
+    |  UNION ALL SELECT 'sum_events_asof_v3', (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |  UNION ALL SELECT 'sum_events_current',
+    |    (SELECT CAST(sum(total_events) AS BIGINT)
+    |       + (SELECT count(*) FROM daily WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18')
+    |     FROM daily WHERE event_date > DATE '2024-01-05' AND event_date <= DATE '2024-01-20')
+    |  UNION ALL SELECT 'upd_files_carried', 2
+    |  UNION ALL SELECT 'upd_files_rewritten', 1
+    |)
+    |ORDER BY metric""".stripMargin
+
+  /** Driver query: MERGE runtime group filtering observed end to end —
+    * the source rows touch only the middle band, NOTHING in the MERGE
+    * text says so statically, and the commit's manifest proves Spark's
+    * runtime group filter confined the rewrite to that one file (the
+    * matched keys' file refs flow back through the
+    * `_graft_file`-advertising row-level scan before partitions are
+    * planned). Values are replayed from silver so the pruned MERGE is
+    * also proven row-exact. */
+  def mergePruneOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_mp_$n"
+    val tablePath = s"$warehouseDir/marts/daily_mp_$n"
+    val v = s"__graft_mp_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date <= DATE '2024-01-10'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-20'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-20'")
+    s.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT event_date, total_events + 100 AS bumped FROM $v
+             WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18') s
+      ON t.event_date = s.event_date
+      WHEN MATCHED THEN UPDATE SET t.total_events = s.bumped
+    """)
+    val (own, carried) = cowCounts(tablePath, 4)
+    val cur = s.sql(s"SELECT count(*) AS c, sum(total_events) AS se FROM $t").collect()(0)
+    import s.implicits._
+    Seq(
+      "merge_files_carried" -> carried,
+      "merge_files_rewritten" -> own,
+      "rows_total" -> cur.getLong(0),
+      "sum_events_total" -> cur.getLong(1))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[mergePruneOver]]. */
+  val mergePruneSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT 'merge_files_carried' AS metric, CAST(2 AS BIGINT) AS value
+    |  UNION ALL SELECT 'merge_files_rewritten', 1
+    |  UNION ALL SELECT 'rows_total', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'sum_events_total',
+    |    (SELECT CAST(sum(total_events) AS BIGINT)
+    |       + 100 * (SELECT count(*) FROM daily WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18')
+    |     FROM daily)
+    |)
+    |ORDER BY metric""".stripMargin
 }
 
 /** One snapshot-pinned view of a versioned table. Reads delegate to
@@ -673,14 +799,21 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       .parquet(Snapshots.readSet(tablePath, vs.last): _*)
   }
 
-  /** `DELETE FROM … WHERE …` — copy-on-write: ONE new full-state
-    * snapshot holding the surviving rows (operation `delete`), the
-    * Iceberg copy-on-write row-level delete shape without the
-    * file-pruning optimization. History stays append-only: time
-    * travel to the pre-delete snapshot keeps working. Spark only
-    * routes here when every predicate translated to a source filter
-    * ([[GraftSourceFilters]]); anything else fails loudly in the
-    * analyzer rather than deleting the wrong rows. */
+  /** `DELETE FROM … WHERE …` — FILE-PRUNED copy-on-write (the Iceberg
+    * CoW delete shape, pruning included). Each file of the current
+    * state goes one of three ways against the manifest bounds:
+    * provably ALL rows match ([[FileStats.mustMatch]], needs a
+    * known-zero null count) → DROPPED from the next snapshot without
+    * being read; provably NO row matches (¬[[FileStats.mayMatch]]) →
+    * carried forward by reference, never read; anything else →
+    * rewritten with the predicate filtered out. A delete whose
+    * rewrite set is empty is METADATA-ONLY — no Spark job at all
+    * (e.g. `DELETE WHERE event_date < retention_cutoff` over a
+    * date-banded layout at 100 TB touches only the manifest). History
+    * stays append-only: time travel to the pre-delete snapshot keeps
+    * working. Spark only routes here when every predicate translated
+    * to a source filter ([[GraftSourceFilters]]); anything else fails
+    * loudly in the analyzer rather than deleting the wrong rows. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(GraftSourceFilters.toColumn(_).isDefined)
 
@@ -689,10 +822,62 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
     import org.apache.spark.sql.functions.{lit, not}
     val cond = filters.toSeq.flatMap(GraftSourceFilters.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    Snapshots.writeSnapshot(
-      currentDf.filter(not(cond)), tablePath, operation = "delete")
+    val vs = Snapshots.versions(tablePath)
+    require(vs.nonEmpty, s"$qualifiedName has no current snapshot")
+    // pruning with the TRANSLATED SUBSET of conjuncts is sound for the
+    // carry test (a file failing any conjunct fails the conjunction);
+    // the drop test additionally needs EVERY conjunct modeled — an
+    // unmodeled one could exempt rows the bounds claim as deleted
+    val translated = filters.toSeq.flatMap(f => FileStats.fromV1Filter(f, schema()).toSeq)
+    val allTranslated = translated.size == filters.length
+    val comps = Snapshots.stateComponents(tablePath, vs.last)
+    val statlessFiles = comps.collect { case Left(d) => d }.flatMap(listParquet)
+    val stated = comps.collect { case Right(x) => x }
+    val carried = stated.collect {
+      case (p, st) if translated.nonEmpty && !FileStats.mayMatch(st, translated) =>
+        st.copy(name = Snapshots.rootRel(tablePath, p))
+    }
+    val dropped = stated.collect {
+      case (p, st) if allTranslated && filters.nonEmpty && FileStats.mustMatch(st, translated) => p
+    }.toSet
+    val rewrite = statlessFiles ++ stated.collect {
+      case (p, st) if !dropped.contains(p) &&
+        (translated.isEmpty || FileStats.mayMatch(st, translated)) => p
+    }
+    val v = vs.last + 1
+    if (rewrite.isEmpty && carried.isEmpty) {
+      // everything provably matched: the empty-table snapshot
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+      Snapshots.writeSnapshot(empty, tablePath, operation = "delete")
+    } else if (rewrite.isEmpty) {
+      // metadata-only delete: no file read, no Spark job
+      Snapshots.commitCow(spark, tablePath, v, "delete", carried)
+    } else {
+      val reader = spark.read.option("mergeSchema", "true")
+      val df = declaredSchema.fold(reader)(reader.schema)
+        .parquet(rewrite: _*).filter(not(cond))
+      if (carried.isEmpty)
+        // nothing prunable: the plain full-state commit (schema from
+        // the input frame, so an all-rows delete lands as the empty
+        // snapshot, like TRUNCATE)
+        Snapshots.writeSnapshot(df, tablePath, operation = "delete")
+      else {
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        df.write.mode("errorifexists").option("compression", "snappy")
+          .parquet(s"$tablePath/v=$v")
+        Snapshots.commitCow(spark, tablePath, v, "delete", carried)
+      }
+    }
     ()
   }
+
+  private def listParquet(dir: String): Seq[String] =
+    scala.util.Using.resource(Files.walk(Paths.get(dir))) { w =>
+      w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toVector.sorted
+    }
 
   /** `TRUNCATE TABLE` — an empty full-state snapshot; history (and
     * time travel to pre-truncate versions) is preserved. */
@@ -705,14 +890,20 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
   }
 
   /** `MERGE INTO` / `UPDATE` (and analyzer-chosen complex DELETEs):
-    * group-based copy-on-write row-level operations. With no row-ID
-    * or metadata columns the replacement group is the whole table —
-    * Spark's rewrite rules plan the surviving∪modified row set and
-    * stream it through the stock parquet batch writer into the NEXT
-    * version directory; the manifest commits only after the file
-    * commit protocol finishes, so a failed MERGE leaves no visible
-    * snapshot (the orphan directory is removed on abort). Iceberg's
-    * copy-on-write MERGE shape, minus file-level group pruning. */
+    * group-based copy-on-write row-level operations with FILE-LEVEL
+    * group pruning — the Iceberg CoW MERGE shape, pruning included.
+    * The groups are the table's data files: the operation's scan
+    * selects only files whose manifest bounds MAY hold matching rows
+    * (statically from the pushed condition, dynamically from Spark's
+    * runtime group filtering feeding the MERGE source's key set back
+    * at execution time); Spark's rewrite rules plan the
+    * surviving∪modified row set of THOSE FILES ONLY and stream it
+    * through the stock parquet batch writer into the NEXT version
+    * directory, while every untouched file is carried forward by
+    * manifest reference — never read, never copied. The manifest
+    * commits only after the file commit protocol finishes, so a
+    * failed MERGE leaves no visible snapshot (the orphan directory is
+    * removed on abort). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
@@ -721,13 +912,30 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         new GraftRowLevelOperation(info.command(), GraftSnapshotTable.this)
     }
 
-  private[sources] def latestScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+  /** Group-selection state for one row-level operation, pinned to the
+    * current version; None for a never-written table. */
+  private[sources] def newCowState(): Option[GraftCowState] =
+    Snapshots.versions(tablePath).lastOption
+      .map(v => new GraftCowState(tablePath, v))
+
+  private[sources] def latestScanBuilder(options: CaseInsensitiveStringMap,
+                                         state: Option[GraftCowState]): ScanBuilder = {
     require(pinned.isEmpty, s"row-level DML cannot target a time-travel view of $qualifiedName")
-    new GraftGroupScanBuilder(newScanBuilder(options))
+    state match {
+      case Some(s) => new GraftCowScanBuilder(this, s, options)
+      case None    => new GraftGroupScanBuilder(newScanBuilder(options))
+    }
   }
 
+  /** Stock parquet scan builder over an explicit file list (the CoW
+    * group scan path). */
+  private[sources] def builderOverFiles(files: Seq[String],
+                                        options: CaseInsensitiveStringMap): ScanBuilder =
+    parquetTableOver(files, readerSchema).newScanBuilder(options)
+
   private[sources] def replaceDataWrite(
-      info: LogicalWriteInfo, operation: String): Write = {
+      info: LogicalWriteInfo, operation: String,
+      state: Option[GraftCowState]): Write = {
     val v = Snapshots.versions(tablePath).lastOption.getOrElse(0L) + 1
     val dir = s"$tablePath/v=$v"
     val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
@@ -747,7 +955,11 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
           override def commit(
               messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
             delegate.commit(messages)
-            Snapshots.commitFullState(sparkRef, tablePath, v, operation)
+            // carried is read AT COMMIT TIME: runtime group filtering
+            // may have narrowed the scanned group (and widened the
+            // carry set) long after this Write was built
+            Snapshots.commitCow(sparkRef, tablePath, v, operation,
+              state.map(_.carried).getOrElse(Seq.empty))
           }
           override def abort(
               messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -794,19 +1006,23 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
 }
 
 /** The group-based row-level operation behind MERGE/UPDATE SQL: scan
-  * = the table's current state, write = the full replacement row set
-  * into the next snapshot version (operation tag = the SQL command).
-  * Stateless beyond the table handle — Spark's rewrite rules own the
-  * plan; this class only routes their scan and write to the store. */
+  * = the PRUNED rewrite group of the table's current state, write =
+  * the replacement row set of those files into the next snapshot
+  * version plus carried references for every untouched file
+  * (operation tag = the SQL command). The [[GraftCowState]] is the
+  * one piece of shared state: the scan narrows the group, the write
+  * commits the complement. */
 private[sources] class GraftRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     table: GraftSnapshotTable)
   extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
+  private val cowState: Option[GraftCowState] = table.newCowState()
+
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    table.latestScanBuilder(options)
+    table.latestScanBuilder(options, cowState)
 
   /** Requiring the constant group column is what routes the write
     * through Spark's PROJECTING task (DataAndMetadataWritingSparkTask)
@@ -820,8 +1036,229 @@ private[sources] class GraftRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        table.replaceDataWrite(info, cmd.toString.toLowerCase(java.util.Locale.ROOT))
+        table.replaceDataWrite(info,
+          cmd.toString.toLowerCase(java.util.Locale.ROOT), cowState)
     }
+}
+
+/** Shared group-selection state of ONE row-level operation over the
+  * versioned store: the GROUPS are the current state's data files.
+  * The scan side narrows the rewrite group — statically from the
+  * pushed operation condition, dynamically from runtime group
+  * filtering — and the write side commits
+  * `carried = (state files) − (rewrite group)` as manifest
+  * references. Statless components (directories whose manifests
+  * predate per-file stats) expand to their files and stay in the
+  * group unconditionally: with no bounds there is no proof of
+  * non-match, and only proven non-matching files may be carried. */
+private[sources] class GraftCowState(table: String, baseVersion: Long) {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private val comps = Snapshots.stateComponents(table, baseVersion)
+  private val statless: Seq[String] = comps.collect { case Left(d) => d }.flatMap { d =>
+    scala.util.Using.resource(Files.walk(Paths.get(d))) { w =>
+      w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toVector.sorted
+    }
+  }
+  private val stated: Seq[(String, FileStats.FileStat)] = comps.collect { case Right(x) => x }
+
+  @volatile private var staticFilters: Seq[Expression] = Seq.empty
+  @volatile private var runtimeFilters: Seq[Expression] = Seq.empty
+  // runtime FILE-REF narrowing (the [[GraftGroupColumn]] feedback
+  // loop): only files whose root-relative ref is in the set may hold
+  // matching rows
+  @volatile private var refFilter: Option[Set[String]] = None
+
+  def hasStats: Boolean = stated.nonEmpty
+
+  /** The pushed operation condition (scan-build time). */
+  def select(filters: Seq[Expression]): Unit = staticFilters = filters
+
+  /** Runtime group filters on data columns (execution time, before
+    * partition planning) — cumulative, ANDed onto the static set. */
+  def narrow(extra: Seq[Expression]): Unit = runtimeFilters = runtimeFilters ++ extra
+
+  /** Runtime group filter on the file-ref metadata column itself —
+    * exact group selection, no bounds algebra needed. Cumulative
+    * (intersected). */
+  def narrowRefs(refs: Set[String]): Unit =
+    refFilter = Some(refFilter.fold(refs)(_.intersect(refs)))
+
+  private def all: Seq[Expression] = staticFilters ++ runtimeFilters
+
+  private def inGroup(p: String, st: FileStats.FileStat): Boolean =
+    FileStats.mayMatch(st, all) &&
+      refFilter.forall(_.contains(Snapshots.rootRel(table, p)))
+
+  /** Files the rewrite must read and write back. Statless files stay
+    * unconditionally: carrying needs manifest rows+bounds, which they
+    * lack. */
+  def groupFiles: Seq[String] =
+    statless ++ stated.collect { case (p, st) if inGroup(p, st) => p }
+
+  /** Untouched files carried forward by reference (root-relative
+    * names, stats preserved for future pruning over the new version). */
+  def carried: Seq[FileStats.FileStat] =
+    stated.collect { case (p, st) if !inGroup(p, st) =>
+      st.copy(name = Snapshots.rootRel(table, p))
+    }
+}
+
+/** Scan builder for the file-pruned row-level DML path. Filters
+  * select FILES to rewrite, never rows: every pushed filter returns
+  * as post-scan (Spark keeps the condition in the rewrite plan), and
+  * none are forwarded to the inner parquet scan — parquet row-group
+  * pruning inside a kept file would DROP that file's unchanged rows
+  * from the rewrite (data loss). Column pruning delegates; the
+  * constant [[GraftGroupColumn]] is appended when the plan asks. */
+private[sources] class GraftCowScanBuilder(table: GraftSnapshotTable,
+                                           state: GraftCowState,
+                                           options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private var includeGroup = false
+  private var prunedData: Option[StructType] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    includeGroup = requiredSchema.fieldNames.contains(GraftGroupColumn.name())
+    prunedData = Some(StructType(
+      requiredSchema.fields.filterNot(_.name == GraftGroupColumn.name())))
+  }
+
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    state.select(filters)
+    filters // ALL post-scan: used for group selection only
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
+  override def build(): Scan =
+    new GraftCowScan(table, state, prunedData, includeGroup, options)
+}
+
+/** The file-pruned row-level scan: reads exactly the rewrite group,
+  * re-planned after every runtime narrowing
+  * (`SupportsRuntimeV2Filtering` — Spark's runtime group filtering
+  * feeds the MERGE source's matched key set back before input
+  * partitions are planned, the fact-side half of Iceberg's CoW MERGE
+  * pruning). */
+private[sources] class GraftCowScan(table: GraftSnapshotTable,
+                                    state: GraftCowState,
+                                    prunedData: Option[StructType],
+                                    includeGroup: Boolean,
+                                    options: CaseInsensitiveStringMap)
+  extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Inner parquet scan over the CURRENT group; None = empty group
+    * (every file provably unaffected — the rewrite writes nothing and
+    * the commit carries everything). */
+  private def buildInner(): Option[Scan] = {
+    val files = state.groupFiles
+    if (files.isEmpty) None
+    else {
+      val b = table.builderOverFiles(files, options)
+      prunedData.foreach { s =>
+        b match {
+          case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+            p.pruneColumns(s)
+          case _ =>
+        }
+      }
+      Some(b.build())
+    }
+  }
+
+  @volatile private var inner: Option[Scan] = buildInner()
+
+  /** ONE attribute — the file-ref metadata column. Spark's runtime
+    * group filtering projects ALL advertised attributes as a single
+    * (struct-valued, if >1) IN-subquery, and `DataSourceV2Strategy`
+    * can only translate the single-column shape back into a connector
+    * predicate — multi-attribute advertising silently disables the
+    * whole mechanism. The file ref is also strictly stronger than any
+    * data-column bound: it identifies the touched groups exactly. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // the column must be in the scan's OUTPUT (PartitionPruning
+    // resolves against it), i.e. the plan requested the metadata column
+    if (state.hasStats && includeGroup)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(GraftGroupColumn.name()))
+    else Array.empty
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val refs = predicates.toSeq.flatMap(refValuesOf)
+    refs.foreach(state.narrowRefs)
+    // data-column predicates (if any other machinery feeds them)
+    // still narrow via the bounds algebra
+    val exprs = predicates.toSeq
+      .filter(refValuesOf(_).isEmpty)
+      .flatMap(FileStats.fromV2Predicate(_, table.schema()))
+    if (exprs.nonEmpty) state.narrow(exprs)
+    if (refs.nonEmpty || exprs.nonEmpty) inner = buildInner()
+  }
+
+  /** `_graft_file IN (...)` / `= ...` → the ref value set; None for
+    * anything else. */
+  private def refValuesOf(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Set[String]] = {
+    import org.apache.spark.sql.connector.{expressions => v2}
+    def isFileRef(e: v2.Expression): Boolean = e match {
+      case f: v2.NamedReference =>
+        f.fieldNames.length == 1 && f.fieldNames()(0) == GraftGroupColumn.name()
+      case _ => false
+    }
+    def strOf(e: v2.Expression): Option[String] = e match {
+      case l: v2.Literal[_] if l.dataType == org.apache.spark.sql.types.StringType =>
+        Option(l.value).map(_.toString)
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && isFileRef(p.children()(0)) =>
+        val vals = p.children().drop(1).flatMap(strOf)
+        if (vals.length == p.children().length - 1) Some(vals.toSet) else None
+      case "=" if p.children().length == 2 && isFileRef(p.children()(0)) =>
+        strOf(p.children()(1)).map(Set(_))
+      case "=" if p.children().length == 2 && isFileRef(p.children()(1)) =>
+        strOf(p.children()(0)).map(Set(_))
+      case _ => None
+    }
+  }
+
+  private def dataSchema: StructType =
+    inner.map(_.readSchema()).orElse(prunedData).getOrElse(table.schema())
+
+  override def readSchema(): StructType =
+    if (includeGroup)
+      dataSchema.add(GraftGroupColumn.name(),
+        org.apache.spark.sql.types.StringType, nullable = false)
+    else dataSchema
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-cow(${inner.map(_.description()).getOrElse("empty-group")})"
+
+  /** The batch actually executed: per-file partitions with the
+    * file-ref column appended when the plan asked for it. */
+  private def effectiveBatch: Option[Batch] = inner.map { s =>
+    if (includeGroup) GraftFileTag.tag(s.toBatch) else s.toBatch
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    effectiveBatch.map(_.planInputPartitions()).getOrElse(Array.empty)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    effectiveBatch.map(_.createReaderFactory()).getOrElse(
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+          throw new IllegalStateException("empty rewrite group planned no partitions")
+      })
 }
 
 /** Scan builder for the row-level DML path: delegates data columns
@@ -894,17 +1331,87 @@ private[sources] class GraftGroupReaderFactory(inner: PartitionReaderFactory)
   }
 }
 
-/** The single constant metadata column backing group-based row-level
-  * ops: every row belongs to group "all" — one copy-on-write group,
-  * the whole table. */
+/** The metadata column backing group-based row-level ops: each row's
+  * DATA FILE (table-root-relative, `v=N/part-x.parquet`) — the
+  * copy-on-write group id, the Iceberg `_file` idea. Spark's runtime
+  * group filtering projects this column from the rows matching a
+  * MERGE condition and feeds the value set back into the row-level
+  * scan, which narrows the rewrite group to exactly the touched
+  * files. Also readable on plain scans (`SELECT _graft_file FROM t`)
+  * for provenance. */
 private[sources] object GraftGroupColumn
   extends org.apache.spark.sql.connector.catalog.MetadataColumn {
-  override def name(): String = "_graft_group"
+  override def name(): String = "_graft_file"
   override def dataType(): org.apache.spark.sql.types.DataType =
     org.apache.spark.sql.types.StringType
   override def isNullable: Boolean = false
   override def comment(): String =
-    "constant copy-on-write group id (whole-table granularity)"
+    "row's data file, table-root-relative (the copy-on-write group id)"
+}
+
+/** Per-file row tagging: splits a file-based batch into one input
+  * partition PER FILE and appends each partition's table-root-relative
+  * file ref as a trailing string column — the machinery behind
+  * [[GraftGroupColumn]]. Row-based reads only (like every file-path
+  * metadata reader); plans one task per file, which is exactly the
+  * granularity the copy-on-write commit reasons in. */
+private[sources] object GraftFileTag {
+
+  /** Table-root-relative ref of an absolute/URI file path (everything
+    * from the LAST `v=N` segment on — data files live flat in their
+    * version directory). */
+  def ref(path: String): String = {
+    val i = path.lastIndexOf("/v=")
+    require(i >= 0, s"not a versioned data file path: $path")
+    path.substring(i + 1)
+  }
+
+  final case class TaggedPartition(
+      inner: org.apache.spark.sql.execution.datasources.FilePartition,
+      fileRef: String) extends InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  def tag(innerBatch: Batch): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val out = Array.newBuilder[InputPartition]
+      var idx = 0
+      innerBatch.planInputPartitions().foreach {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.foreach { f =>
+            out += TaggedPartition(
+              org.apache.spark.sql.execution.datasources.FilePartition(idx, Array(f)),
+              ref(f.filePath.toString))
+            idx += 1
+          }
+        case other =>
+          throw new IllegalStateException(
+            s"file tagging needs file partitions, got ${other.getClass.getName}")
+      }
+      out.result()
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val inner = innerBatch.createReaderFactory()
+      new PartitionReaderFactory {
+        override def supportColumnarReads(p: InputPartition): Boolean = false
+        override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+          case TaggedPartition(fp, fileRef) =>
+            val r = inner.createReader(fp)
+            new PartitionReader[InternalRow] {
+              private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+              private val tag = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(fileRef)))
+              override def next(): Boolean = r.next()
+              override def get(): InternalRow = joined(r.get(), tag)
+              override def close(): Unit = r.close()
+            }
+          case other => throw new IllegalStateException(
+            s"tagged factory got untagged partition ${other.getClass.getName}")
+        }
+      }
+    }
+  }
 }
 
 /** DSv1 source-filter → Column translation for the copy-on-write

@@ -228,10 +228,16 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
   // fresh builder give the same answer the delegate gave Spark?"
   private val journal = scala.collection.mutable.Buffer.empty[ParquetScanBuilder => Boolean]
   private val filterExprs = scala.collection.mutable.Buffer.empty[Expression]
+  // the file-ref metadata column is served by this wrapper (per-file
+  // partitions + appended ref), never by the parquet delegate
+  private var includeFileRef = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    delegate.pruneColumns(requiredSchema)
-    journal += { b => b.pruneColumns(requiredSchema); true }
+    includeFileRef = requiredSchema.fieldNames.contains(GraftGroupColumn.name())
+    val dataOnly = StructType(
+      requiredSchema.fields.filterNot(_.name == GraftGroupColumn.name()))
+    delegate.pruneColumns(dataOnly)
+    journal += { b => b.pruneColumns(dataOnly); true }
   }
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val leftover = delegate.pushFilters(filters)
@@ -269,7 +275,7 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
     }
     val statiPruned = rebuildFn.flatMap(f => f(Seq.empty))
     new GraftStreamableScan(statiPruned.getOrElse(delegate.build()),
-      tablePath, fullSchema, rebuildFn)
+      tablePath, fullSchema, rebuildFn, includeFileRef)
   }
 
   /** All files of the read set provably excluded by the filters: an
@@ -289,7 +295,8 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
 
 private[graft] class GraftStreamableScan(initialInner: Scan, tablePath: String,
                                            fullSchema: StructType,
-                                           rebuild: Option[Seq[Expression] => Option[Scan]] = None)
+                                           rebuild: Option[Seq[Expression] => Option[Scan]] = None,
+                                           includeFileRef: Boolean = false)
   extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.internal.connector.SupportsMetadata
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -303,11 +310,18 @@ private[graft] class GraftStreamableScan(initialInner: Scan, tablePath: String,
     * behavior): Spark's dynamic-pruning machinery feeds the join's
     * build-side key set back as IN/EQ predicates; files whose manifest
     * bounds exclude every key drop out before tasks launch. Only
-    * columns the bounds algebra can evaluate are advertised. */
+    * columns the bounds algebra can evaluate AND that survived column
+    * pruning are advertised — `PartitionPruning.getFilterableTableScan`
+    * resolves these against the relation OUTPUT and throws (rather
+    * than skipping) on a column the scan no longer reads. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (rebuild.isEmpty) Array.empty
-    else fullSchema.fields.filter(f => FileStats.runtimeFilterable(f.dataType))
-      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+    else {
+      val visible = inner.readSchema().fieldNames.toSet
+      fullSchema.fields
+        .filter(f => visible.contains(f.name) && FileStats.runtimeFilterable(f.dataType))
+        .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+    }
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val exprs = predicates.toSeq.flatMap(FileStats.fromV2Predicate(_, fullSchema))
@@ -323,8 +337,13 @@ private[graft] class GraftStreamableScan(initialInner: Scan, tablePath: String,
     case _ => Seq.empty
   }
 
-  override def readSchema(): StructType = inner.readSchema()
-  override def toBatch: Batch = inner.toBatch
+  override def readSchema(): StructType =
+    if (includeFileRef)
+      inner.readSchema().add(GraftGroupColumn.name(),
+        org.apache.spark.sql.types.StringType, nullable = false)
+    else inner.readSchema()
+  override def toBatch: Batch =
+    if (includeFileRef) GraftFileTag.tag(inner.toBatch) else inner.toBatch
   override def description(): String = inner.description()
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =

@@ -119,32 +119,73 @@ object Snapshots {
     else { appendSnapshot(df, table, streamTag = Some((streamId, batchId))); () }
   }
 
-  /** Operation recorded in version `v`'s manifest ("" if absent). */
-  private[sources] def operationOf(table: String, v: Long): String = {
-    val text = new String(
-      Files.readAllBytes(metaDir(table).resolve(s"$v.json")), StandardCharsets.UTF_8)
-    "\"operation\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
-  }
+  private def manifestText(table: String, v: Long): String = new String(
+    Files.readAllBytes(metaDir(table).resolve(s"$v.json")), StandardCharsets.UTF_8)
 
-  /** Data directories that make up the table state AS OF version `v`:
-    * the most recent full-state version ≤ v (any operation but
-    * `append`) plus every `append` delta after it. Full-state
-    * versions (the only kind before the fast-append op existed) keep
-    * their one-directory read set, so pre-existing tables are
-    * unaffected. */
+  /** Operation recorded in version `v`'s manifest ("" if absent). */
+  private[sources] def operationOf(table: String, v: Long): String =
+    "\"operation\":\"([^\"]*)\"".r.findFirstMatchIn(manifestText(table, v))
+      .map(_.group(1)).getOrElse("")
+
+  /** Carried-forward file refs of version `v`'s manifest (TABLE-ROOT-
+    * relative names) — nonempty only for file-pruned copy-on-write
+    * commits. */
+  private[sources] def carriedOf(table: String, v: Long): Seq[FileStats.FileStat] =
+    FileStats.carriedFromManifest(manifestText(table, v))
+
+  /** Data paths that make up the table state AS OF version `v`: the
+    * most recent full-state version ≤ v (any operation but `append`)
+    * plus every `append` delta after it. A file-pruned copy-on-write
+    * base additionally contributes its carried file references
+    * (individual parquet FILES living in older version directories).
+    * Full-state versions (the only kind before the fast-append and
+    * pruned-CoW ops existed) keep their one-directory read set, so
+    * pre-existing tables are unaffected. */
   private[sources] def readSet(table: String, v: Long): Seq[String] = {
     val upTo = versions(table).filter(_ <= v)
     require(upTo.contains(v), s"no snapshot $v of $table")
     val ops = upTo.map(x => (x, operationOf(table, x)))
     val lastFull = ops.reverse.find(_._2 != "append").map(_._1).getOrElse(upTo.head)
-    ops.collect { case (x, _) if x >= lastFull => s"$table/v=$x" }
+    carriedOf(table, lastFull).map(f => s"$table/${f.name}") ++
+      ops.collect { case (x, _) if x >= lastFull => s"$table/v=$x" }
+  }
+
+  /** The state AS OF `v` broken into prunable components:
+    * `Right((path, stat))` — an individual data file with manifest
+    * bounds; `Left(dir)` — a whole version directory whose manifest
+    * predates per-file stats (kept wholesale by every pruning
+    * decision). File stats keep their manifest-local names; [[rootRel]]
+    * rebases them for re-carry. */
+  private[sources] def stateComponents(table: String, v: Long)
+      : Seq[Either[String, (String, FileStats.FileStat)]] = {
+    val upTo = versions(table).filter(_ <= v)
+    require(upTo.contains(v), s"no snapshot $v of $table")
+    val ops = upTo.map(x => (x, operationOf(table, x)))
+    val lastFull = ops.reverse.find(_._2 != "append").map(_._1).getOrElse(upTo.head)
+    val carried = carriedOf(table, lastFull)
+      .map(f => Right((s"$table/${f.name}", f)))
+    carried ++ ops.collect { case (x, _) if x >= lastFull => x }.flatMap { x =>
+      val d = s"$table/v=$x"
+      FileStats.fromManifest(manifestText(table, x)) match {
+        case Some(fs) => fs.map(f => Right((s"$d/${f.name}", f)))
+        case None     => Seq(Left(d))
+      }
+    }
+  }
+
+  /** The component's file name rebased to TABLE-ROOT-relative (the
+    * carried-manifest encoding): `v=N/part-x.parquet`. Idempotent for
+    * already-carried refs (their names already contain the version
+    * segment). */
+  private[sources] def rootRel(table: String, path: String): String = {
+    require(path.startsWith(table + "/"), s"$path not under $table")
+    path.stripPrefix(table + "/")
   }
 
   /** [[readSet]] with manifest-stats file skipping applied: each
-    * version directory whose manifest carries per-file min/max bounds
-    * is expanded to only the files whose bounds MAY satisfy `filters`
-    * ([[FileStats.mayMatch]]); statless manifests keep their whole
-    * directory. Returns None when pruning cannot help (no filters, no
+    * stats-bearing component survives only if its bounds MAY satisfy
+    * `filters` ([[FileStats.mayMatch]]); statless directories are kept
+    * whole. Returns None when pruning cannot help (no filters, no
     * stats anywhere, or nothing was actually removed) — callers then
     * use the plain directory read set unchanged. */
   private[sources] def pruneReadSet(
@@ -155,18 +196,11 @@ object Snapshots {
     var statsSeen = false
     var removed = 0
     val out = Seq.newBuilder[String]
-    readSet(table, v).foreach { d =>
-      val ver = d.substring(d.lastIndexOf('=') + 1).toLong
-      val text = new String(
-        Files.readAllBytes(metaDir(table).resolve(s"$ver.json")), StandardCharsets.UTF_8)
-      FileStats.fromManifest(text) match {
-        case Some(fs) =>
-          statsSeen = true
-          val kept = fs.filter(f => FileStats.mayMatch(f, filters))
-          removed += fs.size - kept.size
-          kept.foreach(f => out += s"$d/${f.name}")
-        case None => out += d
-      }
+    stateComponents(table, v).foreach {
+      case Left(dir) => out += dir
+      case Right((path, stat)) =>
+        statsSeen = true
+        if (FileStats.mayMatch(stat, filters)) out += path else removed += 1
     }
     if (!statsSeen || removed == 0) None else Some(out.result())
   }
@@ -240,6 +274,61 @@ object Snapshots {
       manifest.getBytes(StandardCharsets.UTF_8))
     ()
   }
+
+  /** Commit a FILE-PRUNED copy-on-write version: `v=N` holds only the
+    * rewritten group's rows (already written by Spark's parquet batch
+    * writer via the ReplaceData path, or by [[GraftCatalog]]'s pruned
+    * DELETE), and `carried` references every untouched file of the
+    * prior state by TABLE-ROOT-relative path — those files are never
+    * read, never copied, and stay pinned in their original version
+    * directories (the Iceberg copy-on-write commit shape: delete the
+    * affected files from the snapshot, add the rewritten ones, carry
+    * the rest by reference). Row count is manifest arithmetic: carried
+    * rows ride in the refs, rewritten rows come from the new files'
+    * footers. At 100 TB this is the difference between a one-row
+    * UPDATE rewriting one file and rewriting the table. */
+  private[sources] def commitCow(spark: SparkSession, table: String, v: Long,
+                                 operation: String,
+                                 carried: Seq[FileStats.FileStat],
+                                 commitTsMs: Option[Long] = None): Unit = {
+    if (carried.isEmpty) { commitFullState(spark, table, v, operation, commitTsMs); return }
+    val dir = Paths.get(s"$table/v=$v")
+    // a fully-carried commit (metadata-only delete / runtime-pruned
+    // group that matched nothing) may have written no files — the
+    // empty directory keeps the version's read-set shape uniform
+    Files.createDirectories(dir)
+    val stats = FileStats.collect(dir)
+    val ownRows = stats.map(_.map(_.rows).sum).getOrElse(
+      if (scala.util.Using.resource(Files.list(dir))(
+        _.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))))
+        spark.read.parquet(s"$table/v=$v").count()
+      else 0L)
+    val rows = ownRows + carried.map(_.rows).sum
+    val schema = carriedSchemaOf(spark, table, v, stats.exists(_.nonEmpty))
+    val cols = schema.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    val ts = commitTsMs.getOrElse(System.currentTimeMillis())
+    val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
+    val manifest =
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}}"""
+    Files.createDirectories(metaDir(table))
+    Files.write(metaDir(table).resolve(s"$v.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Column names for a CoW manifest: the new files' schema when any
+    * were written, else the prior version's recorded columns (a
+    * fully-carried commit changes no schema). */
+  private def carriedSchemaOf(spark: SparkSession, table: String, v: Long,
+                              hasOwnFiles: Boolean): Seq[String] =
+    if (hasOwnFiles) spark.read.parquet(s"$table/v=$v").schema.fieldNames.toSeq
+    else {
+      val prior = versions(table).filter(_ < v).lastOption
+        .getOrElse(throw new IllegalStateException(s"CoW commit $v of $table has no prior version"))
+      "\"columns\":\\[([^\\]]*)\\]".r.findFirstMatchIn(manifestText(table, prior))
+        .map(_.group(1).split(",").toSeq.filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")))
+        .getOrElse(Seq.empty)
+    }
 
   private def rowCountOf(table: String, v: Long): Long = {
     val text = new String(
@@ -449,13 +538,16 @@ object Snapshots {
     val cut = before.length - keepLast
     val retained = before.drop(math.max(cut, 0)).map(_._1)
     // a retained fast-append version still READS its predecessors'
-    // directories (its readSet) — expiring those would corrupt it, so
-    // they stay on disk even when their manifests fall out of the
-    // keepLast window (Iceberg's expire_snapshots makes the same
-    // distinction between expiring a snapshot and deleting its files)
+    // directories, and a retained copy-on-write version still reads
+    // the directories its carried file refs live in (its readSet) —
+    // expiring those would corrupt it, so they stay on disk even when
+    // their manifests fall out of the keepLast window (Iceberg's
+    // expire_snapshots makes the same distinction between expiring a
+    // snapshot and deleting its files)
+    val verSeg = "(?:^|/)v=(\\d+)(?:/|$)".r
     val pinnedDirs = retained
       .flatMap(v => readSet(table, v))
-      .map(p => p.substring(p.lastIndexOf("v=") + 2).toLong).toSet
+      .flatMap(p => verSeg.findAllMatchIn(p).map(_.group(1).toLong)).toSet
     val expired = before.take(math.max(cut, 0)).map(_._1).toSet -- pinnedDirs
     expired.foreach { v =>
       val dir = Paths.get(table, s"v=$v")

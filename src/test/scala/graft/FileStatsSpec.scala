@@ -112,9 +112,12 @@ class FileStatsSpec extends AnyFunSuite {
     val got = FileStats.collect(dir).get
     assert(got.size == 1 && got.head.rows == 100)
     val st = got.head.stats
-    assert(st("id") == ColStat("i64", 0, 99, 0, 0, null, null))
+    // parquet records per-column null counts; the writer's columns
+    // here are all non-null, so the collected stat must carry a
+    // KNOWN-zero count (what the metadata-delete prover requires)
+    assert(st("id") == ColStat("i64", 0, 99, 0, 0, null, null, 0))
     assert(st("x").tag == "f64" && st("x").minD == 0.0 && st("x").maxD == 24.75)
-    assert(st("s") == ColStat("str", 0, 0, 0, 0, "0", "9"))
+    assert(st("s") == ColStat("str", 0, 0, 0, 0, "0", "9", 0))
     assert(st("dt").tag == "date" &&
       st("dt").minL == java.time.LocalDate.of(2024, 1, 1).toEpochDay &&
       st("dt").maxL == java.time.LocalDate.of(2024, 4, 9).toEpochDay)

@@ -168,29 +168,31 @@ class GraftCatalogSpec extends AnyFunSuite {
       "the rejected appends must leave the committed chain readable")
   }
 
-  test("manifest min/max stats prune data files at scan planning time") {
-    import org.apache.spark.sql.DataFrame
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.datasources.FilePartition
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-
-    def scannedFiles(df: DataFrame): Seq[String] = {
-      df.collect()
-      def leaves(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] =
-        p.collectLeaves().flatMap {
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
-          case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
-          case l => Seq(l)
-        }
-      leaves(df.queryExecution.executedPlan).flatMap {
-        case b: BatchScanExec => b.inputPartitions.flatMap {
-          case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
-          case _ => Seq.empty
-        }
+    df.collect()
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectLeaves().flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case l => Seq(l)
+      }
+    leaves(df.queryExecution.executedPlan).flatMap {
+      case b: BatchScanExec => b.inputPartitions.flatMap {
+        case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
         case _ => Seq.empty
-      }.distinct
-    }
+      }
+      case _ => Seq.empty
+    }.distinct
+  }
+
+  test("manifest min/max stats prune data files at scan planning time") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 
     spark.sql(s"CREATE NAMESPACE $cat.skipns")
     val tdir = s"$wh/skipns/t"
@@ -303,15 +305,25 @@ class GraftCatalogSpec extends AnyFunSuite {
         s"the runtime IN must prune fact files before tasks launch, scanned $joinFiles")
     }
 
-    // row-level DML on a stats-bearing table must never lose rows: the
-    // group-based rewrite reads the WHOLE table (no filters are pushed
-    // into the replacement scan), so pruning must not engage there
+    // row-level DML on a stats-bearing table must never lose rows:
+    // pushed filters select FILES to rewrite (never rows — they are
+    // not forwarded to the inner parquet scan, where row-group
+    // pruning would drop a kept file's unchanged rows), and every
+    // file outside the rewrite group is carried by reference
     spark.sql(s"UPDATE $cat.skipns.t SET tag = 'upd' WHERE id = 1500")
     val after = spark.sql(
       s"SELECT count(*) AS c, sum(CASE WHEN tag='upd' THEN 1 ELSE 0 END) AS u FROM $cat.skipns.t")
       .collect()(0)
     assert(after.getLong(0) == 4001 && after.getLong(1) == 1,
       s"UPDATE over a pruned-capable table must preserve all rows, got $after")
+    // the point UPDATE must have rewritten ONE band and carried the rest
+    val mf = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(s"$wh/skipns/t/_meta/3.json")), java.nio.charset.StandardCharsets.UTF_8)
+    val carriedUpd = graft.sources.FileStats.carriedFromManifest(mf)
+    val ownUpd = graft.sources.FileStats.fromManifest(mf).getOrElse(Seq.empty)
+    assert(ownUpd.size == 1 && carriedUpd.size == 4,
+      s"UPDATE id=1500 over 5 files must rewrite 1 and carry 4, " +
+        s"got own=${ownUpd.size} carried=${carriedUpd.size}")
   }
 
   test("versions() and catalog listings close their directory streams (no fd leak)") {
@@ -444,6 +456,104 @@ class GraftCatalogSpec extends AnyFunSuite {
       WHEN MATCHED AND s.id >= 6 THEN DELETE
     """)
     assert(spark.sql(s"SELECT count(*) FROM $cat.rlo.t").head().getLong(0) == 6)
+  }
+
+  // shared banded fixture: 3 single-file commits with disjoint id bands
+  private def bandedTable(ns: String): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+    spark.range(0, 3000).selectExpr("id", "CAST(id % 5 AS STRING) AS tag")
+      .createOrReplaceTempView(s"__${ns}_src")
+    spark.sql(s"CREATE TABLE $cat.$ns.t AS SELECT /*+ COALESCE(1) */ * FROM __${ns}_src WHERE id < 1000")
+    spark.sql(s"INSERT INTO $cat.$ns.t SELECT /*+ COALESCE(1) */ * FROM __${ns}_src WHERE id >= 1000 AND id < 2000")
+    spark.sql(s"INSERT INTO $cat.$ns.t SELECT /*+ COALESCE(1) */ * FROM __${ns}_src WHERE id >= 2000")
+    s"$wh/$ns/t"
+  }
+
+  private def manifestParts(tp: String, v: Long): (Seq[graft.sources.FileStats.FileStat], Seq[graft.sources.FileStats.FileStat]) = {
+    val m = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(s"$tp/_meta/$v.json")), java.nio.charset.StandardCharsets.UTF_8)
+    (graft.sources.FileStats.fromManifest(m).getOrElse(Seq.empty),
+      graft.sources.FileStats.carriedFromManifest(m))
+  }
+
+  test("file-pruned CoW UPDATE: one band rewritten, two carried by reference, history intact") {
+    val tp = bandedTable("cowu")
+    spark.sql(s"UPDATE $cat.cowu.t SET tag = 'upd' WHERE id BETWEEN 1200 AND 1300")
+    val (own, carried) = manifestParts(tp, 4)
+    assert(own.size == 1 && carried.size == 2,
+      s"mid-band UPDATE must rewrite 1 file and carry 2, got own=${own.size} carried=${carried.size}")
+    assert(carried.forall(f => f.name.matches("v=\\d+/.*\\.parquet")),
+      s"carried refs must be table-root-relative: ${carried.map(_.name)}")
+    // correctness: every row survives, exactly the band is updated
+    val r = spark.sql(s"SELECT count(*) AS c, sum(CASE WHEN tag='upd' THEN 1 ELSE 0 END) AS u FROM $cat.cowu.t").head()
+    assert(r.getLong(0) == 3000 && r.getLong(1) == 101, s"got $r")
+    // manifest row count is carried+own arithmetic
+    assert(Snapshots.snapshots(spark, tp).collect().map(x => (x.getLong(0), x.getLong(2))).toMap.apply(4L) == 3000L)
+    // time travel to the pre-update snapshot is untouched
+    assert(spark.sql(s"SELECT count(*) FROM $cat.cowu.t VERSION AS OF 3 WHERE tag = 'upd'").head().getLong(0) == 0)
+    // static file skipping still engages OVER the CoW version (carried
+    // stats were copied into the new manifest)
+    val probe = spark.sql(s"SELECT count(*) FROM $cat.cowu.t WHERE id BETWEEN 100 AND 200")
+    assert(scannedFiles(probe).size == 1,
+      s"carried-ref pruning must scan 1 file, got ${scannedFiles(probe)}")
+    // fast append chains on top of the CoW base
+    spark.sql(s"INSERT INTO $cat.cowu.t VALUES (99999, 'z')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.cowu.t").head().getLong(0) == 3001)
+    // retention: the CoW version's carried refs pin their home dirs —
+    // only the fully-rewritten band's dir may expire
+    val expired = Snapshots.expireSnapshots(spark, tp, keepLast = 2).collect()
+      .filter(_.getString(2) == "expired").map(_.getLong(0)).toSeq
+    assert(expired == Seq(2L),
+      s"only the rewritten band's dir is reapable (v1/v3 are carried-pinned), got $expired")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.cowu.t").head().getLong(0) == 3001,
+      "current state must survive retention")
+  }
+
+  test("metadata-only DELETE: all-matching file dropped unread, non-matching carried, partial rewritten") {
+    val tp = bandedTable("cowd")
+    // band 3 provably ALL-matches (min 2000, zero nulls) → dropped;
+    // bands 1-2 provably none-match → carried; NO file is read: the
+    // commit is pure manifest arithmetic
+    spark.sql(s"DELETE FROM $cat.cowd.t WHERE id >= 2000")
+    val (own4, carried4) = manifestParts(tp, 4)
+    assert(own4.isEmpty && carried4.size == 2,
+      s"retention-style DELETE must be metadata-only, got own=${own4.size} carried=${carried4.size}")
+    assert(scala.util.Using.resource(java.nio.file.Files.list(Paths.get(s"$tp/v=4"))) { ls =>
+      !scala.jdk.CollectionConverters.IteratorHasAsScala(ls.iterator()).asScala
+        .exists(_.getFileName.toString.endsWith(".parquet"))
+    }, "metadata-only delete must write no data files")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.cowd.t").head().getLong(0) == 2000)
+    // partial-band DELETE: band 1 rewritten (straddled), band 2 carried
+    spark.sql(s"DELETE FROM $cat.cowd.t WHERE id < 200")
+    val (own5, carried5) = manifestParts(tp, 5)
+    assert(own5.size == 1 && carried5.size == 1,
+      s"partial delete must rewrite the straddled band only, got own=${own5.size} carried=${carried5.size}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.cowd.t").head().getLong(0) == 1800)
+    assert(spark.sql(s"SELECT min(id) FROM $cat.cowd.t").head().getLong(0) == 200)
+    // history: both deletes are snapshots; pre-delete state replays
+    assert(spark.sql(s"SELECT count(*) FROM $cat.cowd.t VERSION AS OF 3").head().getLong(0) == 3000)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.cowd.t VERSION AS OF 4").head().getLong(0) == 2000)
+  }
+
+  test("MERGE runtime group filtering: the source's key range narrows the rewrite group at execution time") {
+    val tp = bandedTable("cowm")
+    // source touches ONLY band 2 — no static predicate reveals that;
+    // Spark's runtime group filtering must feed the matched key set
+    // back into the row-level scan before partitions are planned
+    spark.range(1500, 1510).selectExpr("id", "CAST('merged' AS STRING) AS tag")
+      .createOrReplaceTempView("__cowm_src")
+    spark.sql(s"""
+      MERGE INTO $cat.cowm.t t
+      USING __cowm_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.tag = s.tag
+    """)
+    val r = spark.sql(s"SELECT count(*) AS c, sum(CASE WHEN tag='merged' THEN 1 ELSE 0 END) AS u FROM $cat.cowm.t").head()
+    assert(r.getLong(0) == 3000 && r.getLong(1) == 10, s"got $r")
+    val (own, carried) = manifestParts(tp, 4)
+    assert(own.size == 1 && carried.size == 2,
+      s"runtime group filtering must confine the MERGE rewrite to band 2, " +
+        s"got own=${own.size} carried=${carried.size}")
   }
 
   test("driver query matches its oracle shape and the DDL surface stays unsupported-loud") {
