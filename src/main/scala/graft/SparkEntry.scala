@@ -454,6 +454,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.cowDmlOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_merge_prune" -> ((s, dir) =>
       graft.sources.GraftCatalog.mergePruneOver(s, DailySales.build(silver(s, dir)))),
+    "q_catalog_colocated_join" -> ((s, dir) =>
+      graft.sources.GraftCatalog.colocatedJoinOver(s, silver(s, dir))),
     "maintenance_rewrite_files" -> ((s, dir) =>
       graft.sources.GraftCatalog.rewriteFilesOver(s, DailySales.build(silver(s, dir)))),
     "stream_catalog_append" -> ((s, dir) =>
@@ -655,6 +657,7 @@ object SparkEntry {
     "meta_catalog_file_skip" -> graft.sources.GraftCatalog.fileSkipSql,
     "meta_catalog_cow_dml" -> graft.sources.GraftCatalog.cowDmlSql,
     "meta_catalog_merge_prune" -> graft.sources.GraftCatalog.mergePruneSql,
+    "q_catalog_colocated_join" -> graft.sources.GraftCatalog.colocatedJoinSql,
     "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,
     "stream_catalog_append" -> graft.sources.GraftCatalog.streamAppendSql,
     "stream_catalog_table" -> graft.sources.SnapshotStream.catalogStreamSql,

@@ -61,7 +61,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ALTER TABLE changes — type changes, drops, renames — which are
   * full-state writes (see [[graft.sources.SchemaEvolution]]).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -197,11 +198,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       dir.toString, pinned)
   }
 
+  /** CREATE TABLE. One partition transform is supported —
+    * `bucket(n, col)` — which declares the storage-partitioned
+    * layout: every write lays files out per bucket
+    * (`pmod(xxhash64(col), n)`, [[GraftBucketFunction]]) and scans
+    * report `KeyGroupedPartitioning`, so joins between same-bucketed
+    * tables on the bucket key plan with NO exchange on either side
+    * (the Iceberg storage-partitioned-join design). Every other
+    * transform stays unsupported-loud: the store manages its own
+    * layout; partitioned serving copies go through ServingSink. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft catalog tables manage their own layout; partitioned serving copies go through ServingSink")
+    val layout: Option[(Int, String)] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.dataType == org.apache.spark.sql.types.IntegerType =>
+            l.value.asInstanceOf[Int]
+        }
+        val refs = t.references()
+        require(n.exists(_ > 0) && refs.length == 1 && refs(0).fieldNames().length == 1,
+          s"bucket transform must be bucket(<n>, <top-level column>), got $t")
+        val col = refs(0).fieldNames()(0)
+        require(schema.fieldNames.contains(col),
+          s"bucket column $col not in schema ${schema.fieldNames.mkString(",")}")
+        Some((n.get, col))
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog supports only bucket(n, col) partitioning, got ${other.mkString(", ")}; " +
+          "partitioned serving copies go through ServingSink")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
@@ -209,8 +236,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Files.createDirectories(dir)
     Files.write(dir.resolve("_schema.json"),
       schema.json.getBytes(StandardCharsets.UTF_8))
+    layout.foreach { case (n, c) =>
+      Files.write(dir.resolve("_layout.json"),
+        s"""{"bucket_n":$n,"bucket_col":"$c"}""".getBytes(StandardCharsets.UTF_8))
+    }
     loadTable(ident)
   }
+
+  // ---- functions (the SPJ resolution surface) ----------------------
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  /** Spark's `V2ExpressionUtils` resolves a reported
+    * `KeyGroupedPartitioning`'s transforms through here — matching
+    * canonical functions on both join sides is what lets
+    * `EnsureRequirements` elide the exchanges. */
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   /** `ALTER TABLE … ADD COLUMN` (the reference's
     * schema_add_column.py:24-28, K6): metadata-only evolution — the
@@ -283,6 +327,9 @@ object GraftCatalog {
   def ensureRegistered(s: SparkSession): Unit = {
     s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.graft.warehouse", warehouseDir)
+    // storage-partitioned joins: honor reported KeyGroupedPartitioning
+    // (off by default; a no-op for every unbucketed scan)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
   }
 
   /** Driver query: the reference's whole catalog lifecycle as literal
@@ -674,6 +721,91 @@ object GraftCatalog {
       .toDF("metric", "value").orderBy("metric")
   }
 
+  /** SortMergeJoin shape of the AQE-final plan: (number of SMJ nodes,
+    * total shuffle exchanges strictly BELOW them). A storage-
+    * partitioned join reads (1, 0): the sort-merge is real and
+    * neither side shuffled. Driver-side plan metadata only. */
+  private def smjShuffleStats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => expand(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        expand(a.executedPlan)
+      case other => Seq(other)
+    }
+    def shufflesIn(p: SparkPlan): Long =
+      expand(p).map { n =>
+        (n match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1L
+          case _ => 0L
+        }) + n.children.map(shufflesIn).sum
+      }.sum
+    def smjs(p: SparkPlan): Seq[SparkPlan] =
+      expand(p).flatMap {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => Seq(j)
+        case n => n.children.flatMap(smjs)
+      }
+    val joins = smjs(df.queryExecution.executedPlan)
+    (joins.size.toLong, joins.map(j => j.children.map(shufflesIn).sum).sum)
+  }
+
+  /** Driver query: the STORAGE-PARTITIONED JOIN observed end to end —
+    * two per-user marts are persisted as same-bucketed catalog tables
+    * (`PARTITIONED BY (bucket(16, user_id))`), joined with a pinned
+    * sort-merge join, and the AQE-final plan must show ZERO shuffle
+    * exchanges below the join: both sides' `KeyGroupedPartitioning`
+    * reports (resolved through the catalog's bucket function) made
+    * `EnsureRequirements` elide them. The join aggregates are
+    * replayed from silver, so the exchange-free plan is also proven
+    * row-exact — at 100 TB the elided shuffles ARE the join's cost. */
+  def colocatedJoinOver(s: SparkSession, silver: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    silver.groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("purchases"))
+      .createOrReplaceTempView(s"__graft_spj_l_$n")
+    silver.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("total_events"))
+      .createOrReplaceTempView(s"__graft_spj_r_$n")
+    s.sql(s"CREATE TABLE graft.marts.spj_l_$n PARTITIONED BY (bucket(16, user_id)) AS SELECT * FROM __graft_spj_l_$n")
+    s.sql(s"CREATE TABLE graft.marts.spj_r_$n PARTITIONED BY (bucket(16, user_id)) AS SELECT * FROM __graft_spj_r_$n")
+    val q = s.sql(s"""
+      SELECT /*+ MERGE(r) */ count(*) AS join_rows,
+             sum(l.purchases) AS sum_purchases,
+             sum(r.total_events) AS sum_events
+      FROM graft.marts.spj_l_$n l JOIN graft.marts.spj_r_$n r ON l.user_id = r.user_id""")
+    val row = q.collect()(0)
+    val (smjCount, shufflesBelow) = smjShuffleStats(q)
+    import s.implicits._
+    Seq(
+      "join_rows" -> row.getLong(0),
+      "smj_count" -> smjCount,
+      "smj_shuffles_below" -> shufflesBelow,
+      "sum_events" -> row.getLong(2),
+      "sum_purchases" -> row.getLong(1))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[colocatedJoinOver]]: the plan shape (one
+    * sort-merge join, zero shuffles under it) as structural
+    * constants; every aggregate replayed from silver through the same
+    * per-user join. */
+  val colocatedJoinSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, l AS (SELECT user_id, count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+    |        FROM silver GROUP BY user_id)
+    |, r AS (SELECT user_id, count(*) AS total_events FROM silver GROUP BY user_id)
+    |, j AS (SELECT l.purchases, r.total_events FROM l JOIN r ON l.user_id = r.user_id)
+    |SELECT * FROM (
+    |  SELECT 'join_rows' AS metric, (SELECT count(*) FROM j) AS value
+    |  UNION ALL SELECT 'smj_count', 1
+    |  UNION ALL SELECT 'smj_shuffles_below', 0
+    |  UNION ALL SELECT 'sum_events', (SELECT CAST(sum(total_events) AS BIGINT) FROM j)
+    |  UNION ALL SELECT 'sum_purchases', (SELECT CAST(sum(purchases) AS BIGINT) FROM j)
+    |)
+    |ORDER BY metric""".stripMargin
+
   /** DuckDB oracle for [[mergePruneOver]]. */
   val mergePruneSql: String = graft.marts.SilverEvents.oracleCte + """
     |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
@@ -731,8 +863,38 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         .asInstanceOf[StructType].toDDL))
   }
 
+  /** Declared storage-partitioning layout: (numBuckets, bucketColumn),
+    * None for unbucketed tables. */
+  private[sources] def layout: Option[(Int, String)] = {
+    val marker = Paths.get(tablePath, "_layout.json")
+    if (!Files.isRegularFile(marker)) None
+    else {
+      val text = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+      for {
+        n <- "\"bucket_n\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
+        c <- "\"bucket_col\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
+      } yield (n, c)
+    }
+  }
+
+  override def partitioning(): Array[Transform] =
+    layout.map { case (n, c) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c) }.toArray
+
+  /** Read paths of version `v`: directories for plain tables, but
+    * EXPLICIT FILE LISTS for bucketed tables — their version dirs
+    * contain `__graft_bucket=N/` layout subdirectories, and a
+    * directory read would partition-discover the derived bucket id
+    * into the schema. */
+  private def dataPaths(v: Long): Seq[String] =
+    if (layout.isEmpty) Snapshots.readSet(tablePath, v)
+    else Snapshots.stateComponents(tablePath, v).flatMap {
+      case Right((p, _)) => Seq(p)
+      case Left(d)       => listParquet(d)
+    }
+
   private def parquetTable(v: Long, userSchema: Option[StructType]): ParquetTable =
-    parquetTableOver(Snapshots.readSet(tablePath, v), userSchema)
+    parquetTableOver(dataPaths(v), userSchema)
 
   private def parquetTableOver(paths: Seq[String],
                                userSchema: Option[StructType]): ParquetTable =
@@ -784,7 +946,8 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
             override def builderOver(files: Seq[String]) =
               parquetTableOver(files, rs).newScanBuilder(options)
                 .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
-          }))
+          }),
+          bucketLayout = layout)
       case Some(v) => parquetTable(v, readerSchema).newScanBuilder(options)
       case None    => new GraftEmptyScanBuilder(schema(), tablePath)
     }
@@ -796,7 +959,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
     require(vs.nonEmpty, s"$qualifiedName has no current snapshot")
     val reader = spark.read.option("mergeSchema", "true")
     declaredSchema.fold(reader)(reader.schema)
-      .parquet(Snapshots.readSet(tablePath, vs.last): _*)
+      .parquet(dataPaths(vs.last): _*)
   }
 
   /** `DELETE FROM … WHERE …` — FILE-PRUNED copy-on-write (the Iceberg
@@ -990,19 +1153,109 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 legacyOverwrite: Boolean): Unit = {
+              // bucketed layout: derive the bucket id with the SAME
+              // expression GraftBucketFunction evaluates, cluster one
+              // shuffle on it (≈1 file per bucket instead of
+              // tasks×buckets), and lay files out per bucket — the
+              // one-time write cost that co-located joins amortize
+              val (toWrite, pcols) = layout match {
+                case Some((n, c)) =>
+                  import org.apache.spark.sql.functions.{col, expr}
+                  (data.withColumn(GraftSnapshotTable.BucketCol,
+                    expr(s"CAST(pmod(xxhash64(`$c`), ${n}L) AS INT)"))
+                    .repartition(n, col(GraftSnapshotTable.BucketCol)),
+                    Seq(GraftSnapshotTable.BucketCol))
+                case None => (data, Nil)
+              }
               val fullState = overwrite || legacyOverwrite ||
                 Snapshots.versions(tablePath).isEmpty
-              if (fullState) Snapshots.writeSnapshot(data, tablePath)
-              else Snapshots.appendSnapshot(data, tablePath,
+              if (fullState) Snapshots.writeSnapshot(toWrite, tablePath,
+                partitionColumns = pcols)
+              else Snapshots.appendSnapshot(toWrite, tablePath,
                 // post-evolution appends carry the declared (wider)
                 // schema; older directories stay narrow and the
                 // mergeSchema read path unions them
-                expectedSchema = declaredSchema)
+                expectedSchema = declaredSchema,
+                partitionColumns = pcols)
               ()
             }
           }
       }
     }
+}
+
+private[sources] object GraftSnapshotTable {
+  /** The derived layout column bucketed writes partition directories
+    * by — `pmod(xxhash64(key), n)`. Directory structure only: it is
+    * excluded from manifests/schema and readers never see it (bucketed
+    * tables read explicit file lists, not directories). */
+  val BucketCol = "__graft_bucket"
+}
+
+/** Bucket-grouped batch planning — the read half of the
+  * storage-partitioned join: every data file of a bucketed table
+  * lives under a `__graft_bucket=N/` layout directory, and this
+  * regroups a file-based batch into EXACTLY ONE input partition per
+  * bucket id (0..n-1, empty buckets included so both join sides
+  * always expose identical partition-value sets), each reporting its
+  * bucket through `HasPartitionKey`. Spark groups same-key partitions
+  * across the join and elides the exchanges. */
+private[sources] object GraftBucketed {
+
+  def bucketOf(path: String): Option[Int] =
+    (GraftSnapshotTable.BucketCol + "=(\\d+)/").r
+      .findFirstMatchIn(path).map(_.group(1).toInt)
+
+  final case class BucketPartition(
+      bucketId: Int,
+      inner: org.apache.spark.sql.execution.datasources.FilePartition)
+    extends InputPartition
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bucketId))
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  /** Regroup `innerBatch`'s file partitions per bucket; None if any
+    * partition isn't file-based or any file lacks a bucket segment
+    * (callers then keep the plain batch and report no partitioning). */
+  def group(innerBatch: Batch, n: Int): Option[Batch] = {
+    val parts = innerBatch.planInputPartitions()
+    val files = Array.newBuilder[org.apache.spark.sql.execution.datasources.PartitionedFile]
+    parts.foreach {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        files ++= fp.files
+      case _ => return None
+    }
+    val withBuckets = files.result().map(f => (bucketOf(f.filePath.toString), f))
+    if (withBuckets.exists(_._1.isEmpty)) return None
+    val byBucket = withBuckets.groupBy(_._1.get)
+    Some(new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        (0 until n).map { b =>
+          BucketPartition(b, org.apache.spark.sql.execution.datasources.FilePartition(
+            b, byBucket.getOrElse(b, Array.empty).map(_._2)))
+        }.toArray
+      override def createReaderFactory(): PartitionReaderFactory = {
+        val inner = innerBatch.createReaderFactory()
+        new PartitionReaderFactory {
+          private def unwrap(p: InputPartition) = p match {
+            case BucketPartition(_, fp) => fp
+            case other => throw new IllegalStateException(
+              s"bucket-grouped factory got ungrouped partition ${other.getClass.getName}")
+          }
+          override def supportColumnarReads(p: InputPartition): Boolean =
+            inner.supportColumnarReads(unwrap(p))
+          override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+            inner.createReader(unwrap(p))
+          override def createColumnarReader(p: InputPartition)
+              : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+            inner.createColumnarReader(unwrap(p))
+        }
+      }
+    })
+  }
 }
 
 /** The group-based row-level operation behind MERGE/UPDATE SQL: scan

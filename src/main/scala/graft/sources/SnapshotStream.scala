@@ -217,7 +217,8 @@ private[sources] trait GraftPruneRebuild {
 private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
                                                   tablePath: String,
                                                   fullSchema: StructType,
-                                                  pruneRebuild: Option[GraftPruneRebuild] = None)
+                                                  pruneRebuild: Option[GraftPruneRebuild] = None,
+                                                  bucketLayout: Option[(Int, String)] = None)
   extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -275,7 +276,7 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
     }
     val statiPruned = rebuildFn.flatMap(f => f(Seq.empty))
     new GraftStreamableScan(statiPruned.getOrElse(delegate.build()),
-      tablePath, fullSchema, rebuildFn, includeFileRef)
+      tablePath, fullSchema, rebuildFn, includeFileRef, bucketLayout)
   }
 
   /** All files of the read set provably excluded by the filters: an
@@ -296,10 +297,12 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
 private[graft] class GraftStreamableScan(initialInner: Scan, tablePath: String,
                                            fullSchema: StructType,
                                            rebuild: Option[Seq[Expression] => Option[Scan]] = None,
-                                           includeFileRef: Boolean = false)
+                                           includeFileRef: Boolean = false,
+                                           bucketLayout: Option[(Int, String)] = None)
   extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.internal.connector.SupportsMetadata
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // swapped by filter() when runtime predicates prune further —
   // BatchScanExec applies runtime filters before (re)planning input
@@ -342,8 +345,42 @@ private[graft] class GraftStreamableScan(initialInner: Scan, tablePath: String,
       inner.readSchema().add(GraftGroupColumn.name(),
         org.apache.spark.sql.types.StringType, nullable = false)
     else inner.readSchema()
-  override def toBatch: Batch =
-    if (includeFileRef) GraftFileTag.tag(inner.toBatch) else inner.toBatch
+
+  /** The bucketed-layout report, pinned at first consultation (the
+    * planner reads `outputPartitioning` once; `toBatch` must honor
+    * the SAME decision even after a runtime-filter swap — a narrowed
+    * file set is a subset of an aligned one, so regrouping stays
+    * valid). Only a fully bucket-aligned, non-empty, file-backed scan
+    * reports; a CoW rewrite that broke alignment (or the file-ref
+    * metadata column, which needs per-file partitions of its own)
+    * degrades to unknown partitioning — never to a wrong plan. */
+  private lazy val alignedBuckets: Option[Int] = bucketLayout.flatMap { case (n, _) =>
+    if (includeFileRef) None
+    else {
+      val fs = scannedFileList
+      if (fs.nonEmpty && fs.forall(f => GraftBucketed.bucketOf(f).isDefined)) Some(n)
+      else None
+    }
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    alignedBuckets match {
+      case Some(n) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+            n, bucketLayout.get._2)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  override def toBatch: Batch = {
+    val base = inner.toBatch
+    alignedBuckets match {
+      case Some(n) => GraftBucketed.group(base, n).getOrElse(base)
+      case None    => if (includeFileRef) GraftFileTag.tag(base) else base
+    }
+  }
+
   override def description(): String = inner.description()
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =

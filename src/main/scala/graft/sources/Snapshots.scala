@@ -55,20 +55,24 @@ object Snapshots {
     * defaults to the wall clock like Iceberg's own commit time. */
   def writeSnapshot(df: DataFrame, table: String, operation: String = "overwrite",
                     commitTsMs: Option[Long] = None,
-                    streamTag: Option[(String, Long)] = None): Long = {
+                    streamTag: Option[(String, Long)] = None,
+                    partitionColumns: Seq[String] = Nil): Long = {
     val v = versions(table).lastOption.getOrElse(0L) + 1
     // Iceberg-parity timestamp encoding (its spec mandates micros, not
     // INT96): INT96 carries no usable parquet statistics, so writing it
     // would silently exclude timestamp columns from file skipping
     df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    df.write.mode("errorifexists").option("compression", "snappy")
+    val writer = df.write.mode("errorifexists").option("compression", "snappy")
+    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(s"$table/v=$v")
     // footer walk: exact row count + per-file min/max column bounds
     // for planning-time file skipping — KB tail reads, no Spark job
     val stats = FileStats.collect(Paths.get(s"$table/v=$v"))
     val rows = stats.map(_.map(_.rows).sum).getOrElse(
       df.sparkSession.read.parquet(s"$table/v=$v").count())
-    val cols = df.schema.fieldNames
+    // layout-only partition columns (e.g. the derived bucket id) are
+    // directory structure, not table schema
+    val cols = df.schema.fieldNames.filterNot(partitionColumns.contains)
       .map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
     val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
@@ -217,7 +221,8 @@ object Snapshots {
   def appendSnapshot(df: DataFrame, table: String,
                      commitTsMs: Option[Long] = None,
                      expectedSchema: Option[org.apache.spark.sql.types.StructType] = None,
-                     streamTag: Option[(String, Long)] = None): Long = {
+                     streamTag: Option[(String, Long)] = None,
+                     partitionColumns: Seq[String] = Nil): Long = {
     val vs = versions(table)
     require(vs.nonEmpty, s"cannot append to $table: no current snapshot")
     // the append must match the table's EFFECTIVE schema — the caller's
@@ -225,22 +230,26 @@ object Snapshots {
     // current physical state — by NAME AND TYPE (order-insensitive,
     // nullability-insensitive: parquet round-trips relax nullability).
     // A type mismatch committed here would corrupt the whole chain:
-    // every later mergeSchema read fails or silently widens.
+    // every later mergeSchema read fails or silently widens. Derived
+    // layout columns (partitionColumns) are directory structure, not
+    // schema, and are excluded from the comparison.
     val expect = expectedSchema.getOrElse(readLatest(df.sparkSession, table).schema)
     def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
-      s.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq
+      s.fields.filterNot(f => partitionColumns.contains(f.name))
+        .map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq
     require(shape(expect) == shape(df.schema),
       s"append schema mismatch: expected ${shape(expect).map { case (n, t) => s"$n:$t" }.mkString(",")} " +
         s"vs ${shape(df.schema).map { case (n, t) => s"$n:$t" }.mkString(",")}")
     val v = vs.last + 1
     df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    df.write.mode("errorifexists").option("compression", "snappy")
+    val writer = df.write.mode("errorifexists").option("compression", "snappy")
+    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(s"$table/v=$v")
     val stats = FileStats.collect(Paths.get(s"$table/v=$v"))
     val delta = stats.map(_.map(_.rows).sum).getOrElse(
       df.sparkSession.read.parquet(s"$table/v=$v").count())
     val priorTotal = rowCountOf(table, vs.last)
-    val cols = df.schema.fieldNames
+    val cols = df.schema.fieldNames.filterNot(partitionColumns.contains)
       .map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
     val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")

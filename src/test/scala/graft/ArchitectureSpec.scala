@@ -53,14 +53,16 @@ class ArchitectureSpec extends AnyFunSuite {
     //   before walking the AQE-final plan for scanned-file counts;
     //   (b) rewriteFilesOver reads the expire report — one row per
     //   snapshot version; (c) cowDmlOver collects two 1-row
-    //   count/sum aggregates (current + AS OF) and (d) mergePruneOver
-    //   one — all metadata-plane by design
+    //   count/sum aggregates (current + AS OF), (d) mergePruneOver
+    //   one, and (e) colocatedJoinOver one (the join's 1-row
+    //   aggregate, collected before the plan walk) — all
+    //   metadata-plane by design
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 2,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 5)
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 6)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))
   }

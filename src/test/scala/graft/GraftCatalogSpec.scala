@@ -556,6 +556,82 @@ class GraftCatalogSpec extends AnyFunSuite {
         s"got own=${own.size} carried=${carried.size}")
   }
 
+  test("storage-partitioned join: same-bucketed tables join with zero exchanges") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql(s"CREATE NAMESPACE $cat.spj")
+    spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS a")
+      .createOrReplaceTempView("__spj_left")
+    spark.range(0, 5000).selectExpr("id AS k", "CAST(id % 11 AS LONG) AS b")
+      .createOrReplaceTempView("__spj_right")
+    spark.sql(s"CREATE TABLE $cat.spj.l PARTITIONED BY (bucket(8, k)) AS SELECT * FROM __spj_left")
+    spark.sql(s"CREATE TABLE $cat.spj.r PARTITIONED BY (bucket(8, k)) AS SELECT * FROM __spj_right")
+
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      var c = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => c += 1
+          case _ =>
+        }
+        p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case other => other.children.foreach(walk)
+        }
+      }
+      walk(df.queryExecution.executedPlan)
+      c
+    }
+
+    // the co-located join: correct rows AND no shuffle on either side
+    // (MERGE hint pins a sort-merge join so the zero can't come from a
+    // broadcast — the exchanges elided are the storage partitioning's)
+    val j = spark.sql(
+      s"SELECT /*+ MERGE(r) */ l.k, l.a, r.b FROM $cat.spj.l l JOIN $cat.spj.r r ON l.k = r.k WHERE r.b = 7")
+    val got = j.collect()
+    assert(got.length == 5000 / 11 + (if (7 < 5000 % 11) 1 else 0) ||
+      got.length == spark.sql("SELECT count(*) FROM __spj_right WHERE k % 11 = 7").head().getLong(0).toInt)
+    assert(got.forall(r => r.getLong(1) == r.getLong(0) * 3 && r.getLong(2) == 7))
+    assert(exchanges(j) == 0,
+      s"same-bucketed join must plan with NO exchange:\n${j.queryExecution.executedPlan.toString.take(1500)}")
+
+    // a baseline join against an unbucketed side still shuffles — the
+    // zero above is the layout's doing, not a trivial plan artifact
+    val plain = spark.sql(
+      s"SELECT /*+ MERGE(r) */ l.k FROM $cat.spj.l l JOIN __spj_right r ON l.k = r.k WHERE r.b = 7")
+    assert(exchanges(plain) > 0, "control join must still shuffle")
+
+    // appends keep the layout: the join stays exchange-free and exact
+    spark.sql(s"INSERT INTO $cat.spj.l VALUES (99990, 5), (99991, 6)")
+    spark.sql(s"INSERT INTO $cat.spj.r VALUES (99990, 7)")
+    val j2 = spark.sql(
+      s"SELECT /*+ MERGE(r) */ l.k, r.b FROM $cat.spj.l l JOIN $cat.spj.r r ON l.k = r.k WHERE l.k >= 99990")
+    assert(j2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((99990L, 7L)))
+    assert(exchanges(j2) == 0, "append-extended bucketed join must stay exchange-free")
+
+    // an unaligned rewrite (CoW UPDATE writes plain files) degrades to
+    // normal planning — correct rows, partitioning just not reported
+    spark.sql(s"UPDATE $cat.spj.r SET b = 99 WHERE k = 12")
+    val j3 = spark.sql(
+      s"SELECT r.b FROM $cat.spj.l l JOIN $cat.spj.r r ON l.k = r.k WHERE l.k = 12")
+    assert(j3.collect().map(_.getLong(0)).toSeq == Seq(99L),
+      "post-DML reads must stay correct even though alignment is gone")
+
+    // the table reports its declared transform
+    val tbl = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("spj"), "l"))
+    assert(tbl.partitioning().map(_.toString).toSeq == Seq("bucket(8, k)"),
+      s"partitioning must surface the layout, got ${tbl.partitioning().mkString(",")}")
+
+    // unsupported transforms stay loud
+    val bad = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.spj.bad (k BIGINT, d DATE) PARTITIONED BY (days(d))")
+    }
+    assert(bad.getMessage.contains("bucket"), bad.getMessage)
+  }
+
   test("driver query matches its oracle shape and the DDL surface stays unsupported-loud") {
     val daily = graft.marts.DailySales.build(
       graft.marts.SilverEvents.build(graft.sources.Tables.events(spark, TestSession.sf)))
