@@ -273,6 +273,11 @@ object FileStats {
   def runtimeFilterable(dt: org.apache.spark.sql.types.DataType): Boolean =
     expectedTag(dt).isDefined
 
+  /** The comparison-class tag a catalyst type maps to (the
+    * [[ManifestAgg]] seam). */
+  private[sources] def expectedTagOf(dt: org.apache.spark.sql.types.DataType): Option[String] =
+    expectedTag(dt)
+
   /** Translate a connector-level runtime `Predicate` (what Spark's
     * dynamic pruning feeds `SupportsRuntimeV2Filtering.filter`) into
     * the catalyst shape [[mayMatch]] evaluates. Unmodeled shapes →

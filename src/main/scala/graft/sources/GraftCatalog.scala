@@ -489,8 +489,12 @@ object GraftCatalog {
     s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-20'")
     s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-20'")
     def probe(label: String, where: String): (String, Long, Long, String) = {
+      // the SUM keeps every probe a REAL data scan: a bare
+      // count(*)/max() with no WHERE is manifest-answered (zero files
+      // — meta_catalog_agg_pushdown pins that path) and would turn
+      // the 'full' baseline into a trivial 0
       val (rows, files) = collectAndCountFiles(s.sql(
-        s"SELECT count(*) AS c, CAST(max(event_date) AS STRING) AS d FROM $t $where"))
+        s"SELECT count(*) AS c, CAST(max(event_date) AS STRING) AS d, sum(total_events) AS se FROM $t $where"))
       (label, files, rows(0).getLong(0),
         if (rows(0).isNullAt(1)) "none" else rows(0).getString(1))
     }
@@ -721,6 +725,56 @@ object GraftCatalog {
       .toDF("metric", "value").orderBy("metric")
   }
 
+  /** Driver query: manifest-complete aggregate pushdown observed end
+    * to end — a mixed chain (3 band commits, then a metadata-only CoW
+    * DELETE leaving carried refs) is aggregated with
+    * `count(*)/count(col)/min/max` and the executed plan must scan
+    * ZERO files: every value came from manifest arithmetic (exact row
+    * and null counts, min/max bounds — incl. across the carried
+    * references). All six values are replayed from silver, so the
+    * no-scan plan is also proven value-exact. At 100 TB this is
+    * `SELECT count(*)` as a KB metadata read. */
+  def aggPushdownOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_ap_$n"
+    val v = s"__graft_ap_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date <= DATE '2024-01-10'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-20'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-20'")
+    // metadata-only delete: the surviving state is two CARRIED refs —
+    // the aggregate must fold their manifest stats too
+    s.sql(s"DELETE FROM $t WHERE event_date > DATE '2024-01-20'")
+    val (rows, files) = collectAndCountFiles(s.sql(s"""
+      SELECT count(*) AS rows_total, count(total_events) AS rows_nonnull,
+             CAST(min(event_date) AS STRING) AS min_date,
+             CAST(max(event_date) AS STRING) AS max_date,
+             min(total_events) AS min_events, max(total_events) AS max_events
+      FROM $t"""))
+    val r = rows(0)
+    import s.implicits._
+    Seq((files, r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+      r.getLong(4), r.getLong(5)))
+      .toDF("files_scanned", "rows_total", "rows_nonnull",
+        "min_date", "max_date", "min_events", "max_events")
+  }
+
+  /** DuckDB oracle for [[aggPushdownOver]]: zero files as the
+    * structural constant, all six aggregates replayed from silver
+    * over the surviving window. */
+  val aggPushdownSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, w AS (SELECT * FROM daily WHERE event_date <= DATE '2024-01-20')
+    |SELECT CAST(0 AS BIGINT) AS files_scanned,
+    |  (SELECT count(*) FROM w) AS rows_total,
+    |  (SELECT count(total_events) FROM w) AS rows_nonnull,
+    |  (SELECT CAST(min(event_date) AS VARCHAR) FROM w) AS min_date,
+    |  (SELECT CAST(max(event_date) AS VARCHAR) FROM w) AS max_date,
+    |  (SELECT CAST(min(total_events) AS BIGINT) FROM w) AS min_events,
+    |  (SELECT CAST(max(total_events) AS BIGINT) FROM w) AS max_events""".stripMargin
+
   /** SortMergeJoin shape of the AQE-final plan: (number of SMJ nodes,
     * total shuffle exchanges strictly BELOW them). A storage-
     * partitioned join reads (1, 0): the sort-merge is real and
@@ -947,7 +1001,8 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
               parquetTableOver(files, rs).newScanBuilder(options)
                 .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
           }),
-          bucketLayout = layout)
+          bucketLayout = layout,
+          manifestAggVersion = Some(v))
       case Some(v) => parquetTable(v, readerSchema).newScanBuilder(options)
       case None    => new GraftEmptyScanBuilder(schema(), tablePath)
     }

@@ -198,6 +198,34 @@ private[sources] trait GraftPruneRebuild {
   def builderOver(files: Seq[String]): ParquetScanBuilder
 }
 
+/** The scan behind a manifest-answered aggregation: one constant row
+  * already holding the FINAL aggregate values — no data files, no
+  * tasks over data, the whole answer was KB manifest arithmetic. */
+private[sources] class GraftManifestAggScan(schema: StructType, values: Array[Any])
+  extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = "graft-manifest-aggregate"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftSingletonPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftConstRowFactory(values)
+}
+
+private[sources] case object GraftSingletonPartition extends InputPartition
+
+private[sources] final case class GraftConstRowFactory(values: Array[Any])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values.clone())
+      override def close(): Unit = ()
+    }
+}
+
 /** Fully-delegating wrapper around the stock parquet scan builder
   * whose built scan additionally answers `toMicroBatchStream` —
   * every pushdown surface (columns, catalyst filters, aggregates,
@@ -218,7 +246,8 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
                                                   tablePath: String,
                                                   fullSchema: StructType,
                                                   pruneRebuild: Option[GraftPruneRebuild] = None,
-                                                  bucketLayout: Option[(Int, String)] = None)
+                                                  bucketLayout: Option[(Int, String)] = None,
+                                                  manifestAggVersion: Option[Long] = None)
   extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -248,13 +277,34 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
   }
   override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
-  override def pushAggregation(aggregation: Aggregation): Boolean = {
-    val accepted = delegate.pushAggregation(aggregation)
-    journal += { b => b.pushAggregation(aggregation) == accepted }
-    accepted
+
+  // manifest-complete aggregation: memoized per Aggregation instance
+  // (supportCompletePushDown and pushAggregation both consult it)
+  private var aggAnswer: Option[(StructType, Array[Any])] = None
+  private var aggAnswerFor: Aggregation = _
+  private def manifestAnswer(aggregation: Aggregation): Option[(StructType, Array[Any])] = {
+    if (!(aggregation eq aggAnswerFor)) {
+      aggAnswerFor = aggregation
+      // only a FILTERLESS aggregation is manifest-answerable: bounds
+      // cannot split rows, and the delegate saw no filters either way
+      aggAnswer =
+        if (filterExprs.nonEmpty) None
+        else manifestAggVersion.flatMap(v =>
+          ManifestAgg.answer(tablePath, v, aggregation, fullSchema))
+    }
+    aggAnswer
   }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    if (manifestAnswer(aggregation).isDefined) true
+    else {
+      val accepted = delegate.pushAggregation(aggregation)
+      journal += { b => b.pushAggregation(aggregation) == accepted }
+      accepted
+    }
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    delegate.supportCompletePushDown(aggregation)
+    manifestAnswer(aggregation).isDefined ||
+      delegate.supportCompletePushDown(aggregation)
   override def pushVariantExtractions(extractions: Array[VariantExtraction]): Array[Boolean] = {
     val answers = delegate.pushVariantExtractions(extractions)
     journal += { b => b.pushVariantExtractions(extractions).sameElements(answers) }
@@ -262,6 +312,12 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
   }
 
   override def build(): Scan = {
+    // a manifest-answered aggregate needs no data scan at all: one
+    // constant row, zero input files, zero tasks over data
+    aggAnswer match {
+      case Some((schema, values)) => return new GraftManifestAggScan(schema, values)
+      case None =>
+    }
     // rebuild the scan over the files surviving (static ∪ runtime)
     // filters; None = pruning can't help / replay answers diverged
     val rebuildFn: Option[Seq[Expression] => Option[Scan]] = pruneRebuild.map { r =>
@@ -383,14 +439,44 @@ private[graft] class GraftStreamableScan(initialInner: Scan, tablePath: String,
 
   override def description(): String = inner.description()
 
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    inner match {
-      case s: SupportsReportStatistics => s.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes() = java.util.OptionalLong.empty()
-        override def numRows() = java.util.OptionalLong.empty()
+  /** Size from the delegate (file bytes), row count from the
+    * manifests when the scan is unpruned — an EXACT cardinality
+    * (vs parquet's size-only guess) that Catalyst's join sizing and
+    * AQE read for free. Pruned scans keep the delegate's estimate:
+    * the manifest total would overcount. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val base = inner match {
+      case s: SupportsReportStatistics => Some(s.estimateStatistics())
+      case _ => None
+    }
+    val manifestRows: Option[Long] =
+      if (rebuild.isEmpty) None // builder without a prune seam: no version pin
+      else scala.util.Try {
+        val vs = Snapshots.versions(tablePath)
+        if (vs.isEmpty) None
+        else {
+          val comps = Snapshots.stateComponents(tablePath, vs.last)
+          val stated = comps.collect { case Right(x) => x }
+          // exact only when every component has stats AND the scan
+          // reads exactly that file set (root-relative comparison —
+          // a pruned or staler scan keeps the delegate's estimate)
+          val scanRefs = scannedFileList.map(GraftFileTag.ref).toSet
+          if (stated.size == comps.size &&
+            stated.map(p => Snapshots.rootRel(tablePath, p._1)).toSet == scanRefs)
+            Some(stated.map(_._2.rows).sum)
+          else None
+        }
+      }.toOption.flatten
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() =
+        base.map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
+      override def numRows() = manifestRows match {
+        case Some(r) => java.util.OptionalLong.of(r)
+        case None =>
+          base.map(_.numRows()).getOrElse(java.util.OptionalLong.empty())
       }
     }
+  }
 
   override def getMetaData(): Map[String, String] = inner match {
     case m: org.apache.spark.sql.internal.connector.SupportsMetadata => m.getMetaData()

@@ -632,6 +632,55 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("bucket"), bad.getMessage)
   }
 
+  test("manifest-complete aggregate pushdown: count/min/max scan zero files, unsound shapes bail") {
+    spark.sql(s"CREATE NAMESPACE $cat.agg")
+    spark.range(0, 3000)
+      .selectExpr("id", "CAST(id % 7 AS DOUBLE) AS x",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id * 2 END AS v")
+      .createOrReplaceTempView("__agg_src")
+    spark.sql(s"CREATE TABLE $cat.agg.t AS SELECT /*+ COALESCE(1) */ * FROM __agg_src WHERE id < 1000")
+    spark.sql(s"INSERT INTO $cat.agg.t SELECT /*+ COALESCE(1) */ * FROM __agg_src WHERE id >= 1000")
+
+    // the manifest-answered shapes: exact values, ZERO files scanned
+    val q = spark.sql(
+      s"SELECT count(*) AS c, count(v) AS cv, min(id) AS mn, max(id) AS mx FROM $cat.agg.t")
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3000L, 2700L, 0L, 2999L)), s"got $r")
+    assert(scannedFiles(q).isEmpty,
+      s"count/min/max must be manifest arithmetic, scanned ${scannedFiles(q)}")
+
+    // bail 1: a WHERE clause — bounds cannot split rows
+    val filtered = spark.sql(s"SELECT count(*) FROM $cat.agg.t WHERE id >= 1000")
+    assert(filtered.head().getLong(0) == 2000 && scannedFiles(filtered).nonEmpty)
+
+    // bail 2: float min/max — parquet bounds exclude NaN, Spark's
+    // ordering puts NaN largest; the bounds would silently lie
+    val fl = spark.sql(s"SELECT min(x), max(x) FROM $cat.agg.t")
+    assert(fl.head().getDouble(0) == 0.0 && fl.head().getDouble(1) == 6.0)
+    assert(scannedFiles(fl).nonEmpty, "float min/max must scan")
+
+    // bail 3: SUM is not bounds-answerable
+    val sm = spark.sql(s"SELECT sum(id) FROM $cat.agg.t")
+    assert(sm.head().getLong(0) == (0L until 3000L).sum && scannedFiles(sm).nonEmpty)
+
+    // the CoW-carried state folds in: metadata DELETE then aggregate
+    spark.sql(s"DELETE FROM $cat.agg.t WHERE id >= 1000")
+    val q2 = spark.sql(s"SELECT count(*) AS c, max(id) AS mx FROM $cat.agg.t")
+    assert((q2.head().getLong(0), q2.head().getLong(1)) == ((1000L, 999L)))
+    assert(scannedFiles(q2).isEmpty, "carried refs carry their stats")
+
+    // the plain scan reports the EXACT manifest row count to Catalyst
+    // (join sizing / AQE reads it for free)
+    val full = spark.sql(s"SELECT * FROM $cat.agg.t")
+    val stats = full.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.computeStats()
+    }.get
+    assert(stats.rowCount.contains(BigInt(1000)),
+      s"scan must report the exact manifest row count, got ${stats.rowCount}")
+  }
+
   test("driver query matches its oracle shape and the DDL surface stays unsupported-loud") {
     val daily = graft.marts.DailySales.build(
       graft.marts.SilverEvents.build(graft.sources.Tables.events(spark, TestSession.sf)))
