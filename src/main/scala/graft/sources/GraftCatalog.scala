@@ -919,36 +919,16 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
 
   /** Declared storage-partitioning layout: (numBuckets, bucketColumn),
     * None for unbucketed tables. */
-  private[sources] def layout: Option[(Int, String)] = {
-    val marker = Paths.get(tablePath, "_layout.json")
-    if (!Files.isRegularFile(marker)) None
-    else {
-      val text = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
-      for {
-        n <- "\"bucket_n\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
-        c <- "\"bucket_col\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
-      } yield (n, c)
-    }
-  }
+  private[sources] def layout: Option[(Int, String)] = Snapshots.layoutOf(tablePath)
 
   override def partitioning(): Array[Transform] =
     layout.map { case (n, c) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c) }.toArray
 
-  /** Read paths of version `v`: directories for plain tables, but
-    * EXPLICIT FILE LISTS for bucketed tables — their version dirs
-    * contain `__graft_bucket=N/` layout subdirectories, and a
-    * directory read would partition-discover the derived bucket id
-    * into the schema. */
-  private def dataPaths(v: Long): Seq[String] =
-    if (layout.isEmpty) Snapshots.readSet(tablePath, v)
-    else Snapshots.stateComponents(tablePath, v).flatMap {
-      case Right((p, _)) => Seq(p)
-      case Left(d)       => listParquet(d)
-    }
-
   private def parquetTable(v: Long, userSchema: Option[StructType]): ParquetTable =
-    parquetTableOver(dataPaths(v), userSchema)
+    // readSet expands bucketed tables to explicit file lists itself —
+    // their layout subdirectories must never be partition-discovered
+    parquetTableOver(Snapshots.readSet(tablePath, v), userSchema)
 
   private def parquetTableOver(paths: Seq[String],
                                userSchema: Option[StructType]): ParquetTable =
@@ -1014,7 +994,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
     require(vs.nonEmpty, s"$qualifiedName has no current snapshot")
     val reader = spark.read.option("mergeSchema", "true")
     declaredSchema.fold(reader)(reader.schema)
-      .parquet(dataPaths(vs.last): _*)
+      .parquet(Snapshots.readSet(tablePath, vs.last): _*)
   }
 
   /** `DELETE FROM … WHERE …` — FILE-PRUNED copy-on-write (the Iceberg

@@ -142,8 +142,10 @@ private[graft] class SnapshotMicroBatchStream(tablePath: String,
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad offset json: $json")))
 
-  /** Directories for the (start, end] version range: the full current
-    * read set on the initial batch, append deltas only afterwards. */
+  /** Paths for the (start, end] version range: the full current read
+    * set on the initial batch, append deltas only afterwards. Bucketed
+    * tables expand deltas to explicit files (their version dirs hold
+    * layout subdirectories the stream must not partition-discover). */
   private def batchDirs(start: Long, end: Long): Seq[String] =
     if (end <= start) Seq.empty
     else if (start == 0L) Snapshots.readSet(tablePath, end)
@@ -154,7 +156,9 @@ private[graft] class SnapshotMicroBatchStream(tablePath: String,
         s"streaming read of $tablePath found non-append snapshot(s) " +
           s"${nonAppend.map(v => s"$v(${Snapshots.operationOf(tablePath, v)})").mkString(", ")} " +
           "in the unprocessed range — a rewrite cannot replay as a delta; restart the stream")
-      vs.map(v => s"$tablePath/v=$v")
+      val dirs = vs.map(v => s"$tablePath/v=$v")
+      if (Snapshots.layoutOf(tablePath).isEmpty) dirs
+      else dirs.flatMap(Snapshots.expandParquet)
     }
 
   // set by planInputPartitions, read by createReaderFactory — the

@@ -137,6 +137,29 @@ object Snapshots {
   private[sources] def carriedOf(table: String, v: Long): Seq[FileStats.FileStat] =
     FileStats.carriedFromManifest(manifestText(table, v))
 
+  /** Declared storage-partitioning layout marker ((numBuckets,
+    * bucketColumn)) — written by the catalog's CREATE TABLE; None for
+    * plain tables. */
+  private[sources] def layoutOf(table: String): Option[(Int, String)] = {
+    val marker = Paths.get(table, "_layout.json")
+    if (!Files.isRegularFile(marker)) None
+    else {
+      val text = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+      for {
+        n <- "\"bucket_n\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
+        c <- "\"bucket_col\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
+      } yield (n, c)
+    }
+  }
+
+  /** All parquet files under `dir` (recursive, sorted). */
+  private[sources] def expandParquet(dir: String): Seq[String] =
+    scala.util.Using.resource(Files.walk(Paths.get(dir))) { w =>
+      w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toVector.sorted
+    }
+
   /** Data paths that make up the table state AS OF version `v`: the
     * most recent full-state version ≤ v (any operation but `append`)
     * plus every `append` delta after it. A file-pruned copy-on-write
@@ -144,14 +167,21 @@ object Snapshots {
     * (individual parquet FILES living in older version directories).
     * Full-state versions (the only kind before the fast-append and
     * pruned-CoW ops existed) keep their one-directory read set, so
-    * pre-existing tables are unaffected. */
+    * pre-existing tables are unaffected. BUCKETED tables always
+    * expand to explicit file lists: their version directories contain
+    * `__graft_bucket=N/` layout subdirectories, and a directory read
+    * would partition-discover the derived bucket id into the schema
+    * (worse, a maintenance rewrite would then persist it as a data
+    * column). */
   private[sources] def readSet(table: String, v: Long): Seq[String] = {
     val upTo = versions(table).filter(_ <= v)
     require(upTo.contains(v), s"no snapshot $v of $table")
     val ops = upTo.map(x => (x, operationOf(table, x)))
     val lastFull = ops.reverse.find(_._2 != "append").map(_._1).getOrElse(upTo.head)
-    carriedOf(table, lastFull).map(f => s"$table/${f.name}") ++
+    val base = carriedOf(table, lastFull).map(f => s"$table/${f.name}") ++
       ops.collect { case (x, _) if x >= lastFull => s"$table/v=$x" }
+    if (layoutOf(table).isEmpty) base
+    else base.flatMap(p => if (p.endsWith(".parquet")) Seq(p) else expandParquet(p))
   }
 
   /** The state AS OF `v` broken into prunable components:
@@ -379,8 +409,22 @@ object Snapshots {
     }
     val totalBytes = dataFiles.sum
     val numOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val v = writeSnapshot(
-      readLatest(spark, table).repartition(numOut), table, operation = "compact")
+    // a bucketed table compacts PER BUCKET (file count = bucket count,
+    // not the byte target) so the compacted snapshot keeps the layout
+    // and co-located joins stay exchange-free across maintenance
+    val v = layoutOf(table) match {
+      case Some((n, c)) =>
+        import org.apache.spark.sql.functions.{col, expr}
+        val bc = GraftSnapshotTable.BucketCol
+        writeSnapshot(
+          readLatest(spark, table)
+            .withColumn(bc, expr(s"CAST(pmod(xxhash64(`$c`), ${n}L) AS INT)"))
+            .repartition(n, col(bc)),
+          table, operation = "compact", partitionColumns = Seq(bc))
+      case None =>
+        writeSnapshot(
+          readLatest(spark, table).repartition(numOut), table, operation = "compact")
+    }
     val filesAfter = scala.util.Using.resource(Files.walk(Paths.get(s"$table/v=$v"))) { w =>
       w.iterator().asScala.count(p =>
         Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))

@@ -610,6 +610,48 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(j2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((99990L, 7L)))
     assert(exchanges(j2) == 0, "append-extended bucketed join must stay exchange-free")
 
+    // the layout column must never leak into ANY read surface: the
+    // Snapshots-level APIs (time travel, history arithmetic) see the
+    // declared schema only
+    val asOf1 = Snapshots.readAsOf(spark, s"$wh/spj/l", 1)
+    assert(asOf1.columns.sorted.toSeq == Seq("a", "k"),
+      s"layout subdirs must not partition-discover: ${asOf1.columns.mkString(",")}")
+
+    // compaction preserves the layout (per-bucket rewrite): the chain
+    // seals AND the join stays exchange-free afterwards
+    val (cv, _, filesAfter) = Snapshots.compact(spark, s"$wh/spj/l")
+    assert(filesAfter <= 8, s"bucketed compact writes ≤1 file per bucket, got $filesAfter")
+    assert(Snapshots.readLatest(spark, s"$wh/spj/l").count() == 5002,
+      "compacted bucketed state must keep every row")
+    val j4 = spark.sql(
+      s"SELECT /*+ MERGE(r) */ l.k, r.b FROM $cat.spj.l l JOIN $cat.spj.r r ON l.k = r.k")
+    assert(j4.collect().length == 5001) // 5000 base + 99990; 99991 unmatched
+    assert(exchanges(j4) == 0,
+      s"post-compact bucketed join must stay exchange-free (compact v$cv)")
+
+    // streaming reads of a bucketed table: initial state + delta, both
+    // with the declared schema (no layout column), counts exact
+    val ckpt = Files.createTempDirectory("graft_spj_stream_").toString
+    def drain(): (Long, Seq[String]) = {
+      val cnt = new java.util.concurrent.atomic.AtomicLong(0L)
+      @volatile var cols: Seq[String] = Seq.empty
+      val q = spark.readStream.table(s"$cat.spj.r").writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          cols = df.columns.toSeq.sorted; cnt.addAndGet(df.count()); () }
+        .option("checkpointLocation", s"$ckpt/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "drain timed out")
+      (cnt.get(), cols)
+    }
+    val (initial, cols1) = drain()
+    assert(initial == 5001 && cols1 == Seq("b", "k"),
+      s"initial bucketed stream batch: $initial rows, cols $cols1")
+    spark.sql(s"INSERT INTO $cat.spj.r VALUES (77777, 3)")
+    val (delta, cols2) = drain()
+    assert(delta == 1 && cols2 == Seq("b", "k"),
+      s"bucketed delta batch: $delta rows, cols $cols2")
+
     // an unaligned rewrite (CoW UPDATE writes plain files) degrades to
     // normal planning — correct rows, partitioning just not reported
     spark.sql(s"UPDATE $cat.spj.r SET b = 99 WHERE k = 12")
