@@ -442,7 +442,15 @@ object Bench {
     // the new FLAC/Ogg legs) gets measured 10x ratios — both are
     // codegen'd map-only projections, so the curve should read ~10x
     // (linear in bytes) with zero shuffle growth
-    "mm_container_probe", "mm_container_probe_audio")
+    "mm_container_probe", "mm_container_probe_audio",
+    // r13: the three new catalog families get measured 10x ratios —
+    // file-pruned CoW DML (the rewrite scales with the TOUCHED band,
+    // not the table), the storage-partitioned join (rows grow 10x but
+    // zero shuffles move), and the manifest-complete aggregate (pure
+    // manifest arithmetic — the curve should read ~1x: same KB of
+    // metadata regardless of data volume)
+    "meta_catalog_cow_dml", "q_catalog_colocated_join",
+    "meta_catalog_agg_pushdown")
 
   /** Time the heavy subset at 10× (generated once under target/scale/
     * sf1 from the bench SF dir): returns the curve (name, seconds,

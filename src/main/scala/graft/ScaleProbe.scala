@@ -56,7 +56,12 @@ object ScaleProbe {
     // r12: the catalog lifecycle (CTAS + fast-append INSERT +
     // overwrite + 3 VERSION AS OF reads) — the O(delta) fast-append
     // claim as a measured slope, not an adjudication
-    "meta_catalog_time_travel")
+    "meta_catalog_time_travel",
+    // r13: the file-pruned CoW DML lifecycle (UPDATE/metadata-DELETE/
+    // partial-DELETE — the rewrite cost must track the TOUCHED band)
+    // and the storage-partitioned join (per-user marts grow with the
+    // corpus; rows scale but ZERO shuffles move) as measured slopes
+    "meta_catalog_cow_dml", "q_catalog_colocated_join")
 
   /** Per-query (warm seconds, staging seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its
