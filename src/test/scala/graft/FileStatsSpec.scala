@@ -98,6 +98,71 @@ class FileStatsSpec extends AnyFunSuite {
       "manifests without a files key must answer None (whole-dir fallback)")
   }
 
+  test("mustMatch proves all-rows-match only with known-zero nulls; every direction pinned") {
+    // the metadata-delete prover: a true answer DROPS the file unread,
+    // so every leg here is a data-loss gate
+    def nn(min: Long, max: Long, nulls: Long): FileStat =
+      FileStat("f", 10, Map("id" -> ColStat("i64", min, max, 0, 0, null, null, nulls)))
+    def drops(f: FileStat, e: Expression): Boolean = FileStats.mustMatch(f, Seq(e))
+
+    val f = nn(10, 20, 0)
+    // directions, attribute on the left
+    assert(drops(f, GreaterThan(idAttr, L(9))) && !drops(f, GreaterThan(idAttr, L(10))))
+    assert(drops(f, GreaterThanOrEqual(idAttr, L(10))) && !drops(f, GreaterThanOrEqual(idAttr, L(11))))
+    assert(drops(f, LessThan(idAttr, L(21))) && !drops(f, LessThan(idAttr, L(20))))
+    assert(drops(f, LessThanOrEqual(idAttr, L(20))) && !drops(f, LessThanOrEqual(idAttr, L(19))))
+    assert(!drops(f, EqualTo(idAttr, L(10))), "eq needs min == max")
+    assert(drops(nn(7, 7, 0), EqualTo(idAttr, L(7))))
+    // literal-on-left mirrors
+    assert(drops(f, GreaterThan(L(21), idAttr)) && !drops(f, GreaterThan(L(20), idAttr)))
+    assert(drops(f, LessThan(L(9), idAttr)) && !drops(f, LessThan(L(10), idAttr)))
+    // NULL rows never satisfy a comparison: unknown or nonzero null
+    // counts must refuse the proof
+    assert(!drops(nn(10, 20, -1), GreaterThan(idAttr, L(0))), "unknown nulls must refuse")
+    assert(!drops(nn(10, 20, 3), GreaterThan(idAttr, L(0))), "present nulls must refuse")
+    // composition: And needs both, Or needs either
+    assert(drops(f, And(GreaterThan(idAttr, L(5)), LessThan(idAttr, L(25)))))
+    assert(!drops(f, And(GreaterThan(idAttr, L(5)), LessThan(idAttr, L(15)))))
+    assert(drops(f, Or(LessThan(idAttr, L(0)), GreaterThan(idAttr, L(5)))))
+    assert(!drops(f, Or(LessThan(idAttr, L(0)), GreaterThan(idAttr, L(15)))))
+    // In: only the single-value bound proves membership for all rows
+    assert(drops(nn(7, 7, 0), In(idAttr, Seq(L(5), L(7)))))
+    assert(!drops(f, In(idAttr, (5L to 25L).map(L))))
+    // IsNotNull: exactly the known-zero-nulls claim
+    assert(drops(f, IsNotNull(idAttr)) && !drops(nn(10, 20, -1), IsNotNull(idAttr)))
+    // unmodeled shapes refuse (rewrite, never drop)
+    assert(!drops(f, IsNull(idAttr)))
+    assert(!drops(f, Not(EqualTo(idAttr, L(99)))))
+    // mustMatch implies mayMatch: a dropped file can never be one the
+    // carry test would also exclude (the trichotomy stays disjoint)
+    for (v <- Seq(9L, 10L, 15L, 20L, 21L); e <- Seq[Expression](
+      GreaterThan(idAttr, L(v)), LessThan(idAttr, L(v)), EqualTo(idAttr, L(v))))
+      assert(!FileStats.mustMatch(f, Seq(e)) || FileStats.mayMatch(f, Seq(e)),
+        s"must⇒may violated for $e")
+  }
+
+  test("fromV1Filter translates the DELETE surface; unmodeled shapes answer None") {
+    import org.apache.spark.sql.{sources => v1}
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("d", DateType)))
+    def tr(f: v1.Filter) = FileStats.fromV1Filter(f, schema)
+    assert(tr(v1.GreaterThan("id", 5L)).exists(_.isInstanceOf[GreaterThan]))
+    assert(tr(v1.In("id", Array(1L, 2L))).exists(_.isInstanceOf[In]))
+    assert(tr(v1.IsNull("s")).exists(_.isInstanceOf[IsNull]))
+    // external date literal converts to the internal days encoding the
+    // bounds algebra compares against
+    val d = tr(v1.EqualTo("d", java.sql.Date.valueOf("2024-01-05"))).get
+    val Literal(days, DateType) = (d: @unchecked) match { case EqualTo(_, l: Literal) => l }
+    assert(days == java.time.LocalDate.of(2024, 1, 5).toEpochDay.toInt)
+    // conjunction translates only when both sides do
+    assert(tr(v1.And(v1.GreaterThan("id", 1L), v1.LessThan("id", 9L))).isDefined)
+    assert(tr(v1.And(v1.GreaterThan("id", 1L), v1.StringStartsWith("s", "x"))).isEmpty)
+    // unmodeled: Not / unknown column
+    assert(tr(v1.Not(v1.EqualTo("id", 1L))).isEmpty)
+    assert(tr(v1.EqualTo("zzz", 1L)).isEmpty)
+  }
+
   test("collect reads footer bounds from a Spark-written file") {
     val dir = Files.createTempDirectory("graft_fstats_").resolve("d")
     // micros, not INT96 — the encoding the snapshot writers pin
