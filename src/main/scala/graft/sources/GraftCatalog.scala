@@ -754,11 +754,16 @@ object GraftCatalog {
              min(total_events) AS min_events, max(total_events) AS max_events
       FROM $t"""))
     val r = rows(0)
+    // limit-aware file planning: an unfiltered LIMIT reads only the
+    // covering file prefix (1 of the 2 carried bands here)
+    val (limRows, limFiles) = collectAndCountFiles(
+      s.sql(s"SELECT * FROM $t LIMIT 7"))
     import s.implicits._
     Seq((files, r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
-      r.getLong(4), r.getLong(5)))
+      r.getLong(4), r.getLong(5), limFiles, limRows.length.toLong))
       .toDF("files_scanned", "rows_total", "rows_nonnull",
-        "min_date", "max_date", "min_events", "max_events")
+        "min_date", "max_date", "min_events", "max_events",
+        "limit_files_scanned", "rows_limited")
   }
 
   /** DuckDB oracle for [[aggPushdownOver]]: zero files as the
@@ -773,7 +778,9 @@ object GraftCatalog {
     |  (SELECT CAST(min(event_date) AS VARCHAR) FROM w) AS min_date,
     |  (SELECT CAST(max(event_date) AS VARCHAR) FROM w) AS max_date,
     |  (SELECT CAST(min(total_events) AS BIGINT) FROM w) AS min_events,
-    |  (SELECT CAST(max(total_events) AS BIGINT) FROM w) AS max_events""".stripMargin
+    |  (SELECT CAST(max(total_events) AS BIGINT) FROM w) AS max_events,
+    |  CAST(1 AS BIGINT) AS limit_files_scanned,
+    |  (SELECT least(7, count(*)) FROM w) AS rows_limited""".stripMargin
 
   /** SortMergeJoin shape of the AQE-final plan: (number of SMJ nodes,
     * total shuffle exchanges strictly BELOW them). A storage-

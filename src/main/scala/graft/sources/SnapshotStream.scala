@@ -256,6 +256,7 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
     with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with SupportsPushDownVariantExtractions {
 
   // journaled pushdown calls; each replay closure answers "did the
@@ -299,6 +300,31 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
     aggAnswer
   }
 
+  /** Limit-aware FILE planning: an unfiltered `LIMIT n` needs only
+    * the shortest file prefix whose manifest row counts cover n —
+    * `LIMIT 10` over a 100 TB table reads one file instead of
+    * planning every file. Always returns false (whole files come
+    * back, Spark keeps its own Limit on top); sound only with no
+    * pushed filters — a predicate could make a covering prefix come
+    * up short. */
+  private var limitFiles: Option[Seq[String]] = None
+  override def pushLimit(limit: Int): Boolean = {
+    if (filterExprs.isEmpty && limit >= 0)
+      limitFiles = manifestAggVersion.flatMap { v =>
+        val comps = Snapshots.stateComponents(tablePath, v)
+        if (comps.exists(_.isLeft)) None // statless component: rows unknown
+        else {
+          val stated = comps.collect { case Right(x) => x }
+          val cum = stated.map(_._2.rows).scanLeft(0L)(_ + _).tail
+          val k = cum.indexWhere(_ >= limit) // shortest covering prefix
+          // only worth a rebuild if files actually drop
+          if (k >= 0 && k + 1 < stated.size) Some(stated.take(k + 1).map(_._1))
+          else None
+        }
+      }
+    false
+  }
+
   override def pushAggregation(aggregation: Aggregation): Boolean =
     if (manifestAnswer(aggregation).isDefined) true
     else {
@@ -334,7 +360,15 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
           }
         }
     }
-    val statiPruned = rebuildFn.flatMap(f => f(Seq.empty))
+    // unfiltered LIMIT: rebuild over the covering file prefix (same
+    // journal-replay contract as the bounds prune)
+    val limited: Option[Scan] = limitFiles.flatMap { files =>
+      pruneRebuild.flatMap { r =>
+        val b = r.builderOver(files)
+        if (journal.forall(_(b))) Some(b.build()) else None
+      }
+    }
+    val statiPruned = limited.orElse(rebuildFn.flatMap(f => f(Seq.empty)))
     new GraftStreamableScan(statiPruned.getOrElse(delegate.build()),
       tablePath, fullSchema, rebuildFn, includeFileRef, bucketLayout)
   }

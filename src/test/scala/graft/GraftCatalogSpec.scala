@@ -706,6 +706,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     val sm = spark.sql(s"SELECT sum(id) FROM $cat.agg.t")
     assert(sm.head().getLong(0) == (0L until 3000L).sum && scannedFiles(sm).nonEmpty)
 
+    // unfiltered LIMIT plans only the covering file prefix (the limit
+    // itself stays Spark-side — whole files come back)
+    val lim = spark.sql(s"SELECT id FROM $cat.agg.t LIMIT 7")
+    assert(lim.collect().length == 7)
+    assert(scannedFiles(lim).size == 1,
+      s"LIMIT 7 over a 1000-row + 2000-row file must plan 1, got ${scannedFiles(lim)}")
+    // ...and a filtered LIMIT must NOT be prefix-planned: the covering
+    // prefix could come up short of MATCHING rows
+    val limF = spark.sql(s"SELECT id FROM $cat.agg.t WHERE id >= 1000 LIMIT 7")
+    assert(limF.collect().length == 7 &&
+      limF.collect().forall(_.getLong(0) >= 1000))
+
     // the CoW-carried state folds in: metadata DELETE then aggregate
     spark.sql(s"DELETE FROM $cat.agg.t WHERE id >= 1000")
     val q2 = spark.sql(s"SELECT count(*) AS c, max(id) AS mx FROM $cat.agg.t")
