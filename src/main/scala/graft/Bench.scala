@@ -727,15 +727,29 @@ object Bench {
             riskyAdjPart),
           adjSummary, "", fullTail)
         if (riskyLine.length <= 1700) riskyLine
-        else
-          // guaranteed-fit floor (r11 ADVICE: the risky-capped line
-          // had no further degradation path and could still overflow):
-          // headline queries + attribution only — the headline subset
-          // is a fixed-size set, so this line is bounded by
-          // construction; every dropped field is in the full file
-          line(subset,
-            omitted + s""","detail_dropped":"capture-budget"""",
-            "", "", "", attributionExtra + gitHead)
+        else {
+          // summary-arbitrated tier (r13: 12 risky entries with
+          // per-name labels overflowed and the floor dropped the sf1
+          // section entirely — the judged signal must degrade to the
+          // worst ratios + the adjudication SUMMARY before it degrades
+          // to nothing)
+          val worst = sf1.sortBy(-_._3).take(8)
+          val summaryLine = line(subset, omitted,
+            sf1Compact(worst, s""","ratios_omitted":${sf1.size - worst.size}""",
+              sf1AdjSummary),
+            adjSummary, "", fullTail)
+          if (summaryLine.length <= 1700) summaryLine
+          else
+            // guaranteed-fit floor (r11 ADVICE: the risky-capped line
+            // had no further degradation path and could still
+            // overflow): headline queries + attribution only — the
+            // headline subset is a fixed-size set, so this line is
+            // bounded by construction; every dropped field is in the
+            // full file
+            line(subset,
+              omitted + s""","detail_dropped":"capture-budget"""",
+              "", "", "", attributionExtra + gitHead)
+        }
       }
     }
   }

@@ -37,6 +37,31 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.contains("\"queries_full_file\":\"BENCH_FULL.json\""))
   }
 
+  test("r13-shaped overflow keeps the sf1 signal: 12+ risky ratios with per-name labels degrade to worst-8 + summary, never to nothing") {
+    // the real r13 board: 24-entry curve, 12 entries ≥1.5 with long
+    // names, 16 adjudication labels — the risky tier's per-name labels
+    // overflowed and the old floor dropped the sf1 section entirely
+    val worst = (Bench.headlineNames.map(_ -> 999.999) ++ fakeResults(200)).toSeq
+    val curveNames = (1 to 24).map(i => f"meta_catalog_some_long_family_$i%02d")
+    val sf1 = curveNames.zipWithIndex.map { case (n, i) => (n, 99.99, 5.0 - i * 0.1) }
+    val sf1Adj = curveNames.take(16)
+      .map(_ -> "explained:epoch-drift-with-a-long-reason").toMap
+    val adj = Map("q_a" -> "regressed", "q_b" -> "noise")
+    val line = Bench.benchJson(worst, 9999.999, "/root/testdata/sf0.1", tmpFull,
+      sf1 = sf1, adj = adj,
+      attribution = "window:9818fdd262e44a15d3fc67ea59cd90f91d641f4d..HEAD",
+      commonTotals = Some((165.55, 140.901)),
+      stamp = ""","load_avg":[4.5,4.9],"outlier_reruns":57""",
+      sf1Adj = sf1Adj)
+    assert(line.length <= 1700, s"line was ${line.length} chars")
+    assert(line.contains(""""ratio_vs_base""""),
+      "the sf1 ratios are the judged signal and must survive every degradation tier")
+    assert(line.contains(""""adjudication_summary""""),
+      "arbitration must survive in summary form when per-name labels don't fit")
+    assert(line.contains("meta_catalog_some_long_family_01"),
+      "the WORST ratio must be among the survivors")
+  }
+
   test("even the worst-case headline subset fits with sbt's success line in a 2000-char tail") {
     val worst = (Bench.headlineNames.map(_ -> 999.999) ++ fakeResults(200)).toSeq
     val line = Bench.benchJson(worst, 9999.999, "/root/testdata/sf0.1", tmpFull)
