@@ -1060,8 +1060,13 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       Snapshots.commitCow(spark, tablePath, v, "delete", carried)
     } else {
       val reader = spark.read.option("mergeSchema", "true")
+      // SQL DELETE removes rows where the condition is TRUE — rows
+      // where it evaluates NULL (e.g. a NULL column compared with =)
+      // must SURVIVE. `not(cond)` alone would drop them: not(NULL) is
+      // NULL and filter discards NULL, silently deleting every
+      // NULL-valued row the predicate touches.
       val df = declaredSchema.fold(reader)(reader.schema)
-        .parquet(rewrite: _*).filter(not(cond))
+        .parquet(rewrite: _*).filter(not(cond <=> lit(true)))
       if (carried.isEmpty)
         // nothing prunable: the plain full-state commit (schema from
         // the input frame, so an all-rows delete lands as the empty

@@ -735,6 +735,43 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"scan must report the exact manifest row count, got ${stats.rowCount}")
   }
 
+  test("file-pruned DML composes with metadata-only schema evolution") {
+    // pre-evolution files lack the added column entirely: their
+    // manifest stats cannot speak for it, so predicates on it must
+    // keep (rewrite) those files, and carried refs must keep reading
+    // NULL for old rows after any CoW commit
+    spark.sql(s"CREATE NAMESPACE $cat.evodml")
+    spark.range(0, 2000).selectExpr("id", "CAST(id % 3 AS STRING) AS tag")
+      .createOrReplaceTempView("__evodml_src")
+    spark.sql(s"CREATE TABLE $cat.evodml.t AS SELECT /*+ COALESCE(1) */ * FROM __evodml_src WHERE id < 1000")
+    spark.sql(s"INSERT INTO $cat.evodml.t SELECT /*+ COALESCE(1) */ * FROM __evodml_src WHERE id >= 1000")
+    spark.sql(s"ALTER TABLE $cat.evodml.t ADD COLUMN note STRING")
+    // post-evolution append carries the wider schema
+    spark.sql(s"INSERT INTO $cat.evodml.t VALUES (5000, 'x', 'tagged')")
+
+    // UPDATE keyed on the PRE-evolution column: prunes to one band,
+    // carried refs re-read correctly, the evolved column survives
+    spark.sql(s"UPDATE $cat.evodml.t SET note = 'upd' WHERE id BETWEEN 1100 AND 1200")
+    val (own, carried) = manifestParts(s"$wh/evodml/t", 4)
+    assert(own.size == 1 && carried.size == 2,
+      s"evolved-table UPDATE must still prune: own=${own.size} carried=${carried.size}")
+    val r = spark.sql(s"""SELECT count(*) AS c,
+      sum(CASE WHEN note = 'upd' THEN 1 ELSE 0 END) AS u,
+      sum(CASE WHEN note IS NULL THEN 1 ELSE 0 END) AS n FROM $cat.evodml.t""").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2001L, 101L, 1899L)), s"got $r")
+
+    // DELETE keyed on the ADDED column: pre-evolution files have no
+    // stat for it — mayMatch keeps them (rewrite), mustMatch refuses
+    // (no unread drop), and NULL rows survive the comparison
+    spark.sql(s"DELETE FROM $cat.evodml.t WHERE note = 'upd'")
+    val after = spark.sql(s"""SELECT count(*) AS c,
+      sum(CASE WHEN note IS NULL THEN 1 ELSE 0 END) AS n FROM $cat.evodml.t""").head()
+    assert((after.getLong(0), after.getLong(1)) == ((1900L, 1899L)), s"got $after")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.evodml.t WHERE note = 'tagged'").head().getLong(0) == 1)
+    // pre-delete history still replays
+    assert(spark.sql(s"SELECT count(*) FROM $cat.evodml.t VERSION AS OF 4").head().getLong(0) == 2001)
+  }
+
   test("driver query matches its oracle shape and the DDL surface stays unsupported-loud") {
     val daily = graft.marts.DailySales.build(
       graft.marts.SilverEvents.build(graft.sources.Tables.events(spark, TestSession.sf)))
