@@ -672,6 +672,16 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE $cat.spj.bad (k BIGINT, d DATE) PARTITIONED BY (days(d))")
     }
     assert(bad.getMessage.contains("bucket"), bad.getMessage)
+
+    // the bucket function is SQL-callable through the FunctionCatalog
+    // and agrees with the write-side layout expression — users can
+    // pre-compute a row's bucket (e.g. to co-locate external data)
+    val viaFn = spark.sql(s"SELECT $cat.system.bucket(8, CAST(1234 AS BIGINT)) AS b")
+      .head().getInt(0)
+    val viaExpr = spark.sql(
+      "SELECT CAST(pmod(xxhash64(CAST(1234 AS BIGINT)), 8L) AS INT)").head().getInt(0)
+    assert(viaFn == viaExpr,
+      s"SQL-callable bucket ($viaFn) must agree with the layout expression ($viaExpr)")
   }
 
   test("manifest-complete aggregate pushdown: count/min/max scan zero files, unsound shapes bail") {
