@@ -52,6 +52,10 @@ private[sources] object GraftBucketFunction extends UnboundFunction {
   /** pmod(xxhash64(value), n) on an INTERNAL value — the single
     * definition both the write layout and the planner function use. */
   def bucketOf(value: Any, dataType: DataType, n: Int): Int = {
+    // createTable validates its layout's numBuckets, but this function
+    // is also SQL-callable (SELECT graft.system.bucket(0, x)) — fail
+    // with a message instead of a raw division ArithmeticException
+    require(n > 0, s"bucket(n, col) requires n > 0, got $n")
     val h =
       if (value == null) 42L // xxhash64 of a NULL child leaves the seed
       else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(

@@ -224,11 +224,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val col = refs(0).fieldNames()(0)
         require(schema.fieldNames.contains(col),
           s"bucket column $col not in schema ${schema.fieldNames.mkString(",")}")
+        // the name lands verbatim in the _layout.json marker and is
+        // later interpolated into generated SQL (backtick-quoted) —
+        // quotes/backslashes/backticks would corrupt the marker or the
+        // expression on every subsequent write, so gate the identifier
+        // at DDL time instead of escaping in N places
+        require(col.matches("[A-Za-z0-9_]+"),
+          s"bucket column name must match [A-Za-z0-9_]+ (it is persisted in the " +
+            s"layout marker and interpolated into layout expressions): '$col'")
         Some((n.get, col))
       case other => throw new UnsupportedOperationException(
         s"graft catalog supports only bucket(n, col) partitioning, got ${other.mkString(", ")}; " +
           "partitioned serving copies go through ServingSink")
     }
+    // __graft_bucket is the derived layout column bucketed writes
+    // partition directories by — a DATA column of that name would be
+    // silently overwritten by the derived id on every bucketed write
+    // (withColumn replaces it, partitionBy strips it), losing the
+    // user's values. Reserve it for all catalog tables so the
+    // collision fails loudly at DDL time.
+    require(!schema.fieldNames.contains(GraftSnapshotTable.BucketCol),
+      s"column name ${GraftSnapshotTable.BucketCol} is reserved for the bucketed layout")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
@@ -275,6 +291,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           add.position() == null && add.defaultValue() == null =>
         require(!schema.fieldNames.contains(add.fieldNames()(0)),
           s"column ${add.fieldNames()(0)} already exists")
+        require(add.fieldNames()(0) != GraftSnapshotTable.BucketCol,
+          s"column name ${GraftSnapshotTable.BucketCol} is reserved for the bucketed layout")
         val field = org.apache.spark.sql.types.StructField(
           add.fieldNames()(0), add.dataType(), nullable = true)
         schema.add(Option(add.comment()).map(field.withComment).getOrElse(field))

@@ -797,4 +797,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(alter.getMessage.contains("SchemaEvolution"),
       "type changes are full-state rewrites, not metadata-only")
   }
+
+  test("DDL input validation: hostile bucket column names, reserved layout column, bucket(0, ...)") {
+    spark.sql(s"CREATE NAMESPACE $cat.val")
+    // a backtick in the bucket column name would corrupt _layout.json /
+    // the generated layout expression on every later write — DDL rejects
+    val hostile = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.val.h (`a``b` BIGINT, v BIGINT) PARTITIONED BY (bucket(4, `a``b`))""")
+    }
+    assert(hostile.getMessage.contains("[A-Za-z0-9_]+"), hostile.getMessage)
+    // a DATA column named like the derived layout column would be
+    // silently replaced by the derived bucket id on writes — DDL rejects
+    val reserved = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.val.r (__graft_bucket INT, v BIGINT)")
+    }
+    assert(reserved.getMessage.contains("reserved"), reserved.getMessage)
+    val reservedAdd = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.val.ra (v BIGINT)")
+      spark.sql(s"ALTER TABLE $cat.val.ra ADD COLUMN __graft_bucket INT")
+    }
+    assert(reservedAdd.getMessage.contains("reserved"), reservedAdd.getMessage)
+    // the SQL-callable bucket function fails descriptively on n <= 0
+    // instead of a raw ArithmeticException
+    val zero = intercept[Exception] {
+      spark.sql(s"SELECT $cat.system.bucket(0, 7L)").collect()
+    }
+    assert(zero.getMessage.contains("n > 0"), zero.getMessage)
+  }
 }
