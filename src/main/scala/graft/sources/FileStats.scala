@@ -54,28 +54,100 @@ object FileStats {
 
   // ---- collection (commit time) -----------------------------------
 
-  /** Footer-walk every `*.parquet` under `dir` (recursive — flat for
-    * our writers, but cheap to be general). Returns None if anything
-    * goes wrong: the manifest then simply carries no file list and
-    * readers keep the whole-directory read set. */
+  /** Files the DRIVER footer-read serially, one `ParquetFileReader
+    * .open` at a time. The distributed path never touches it — the
+    * counter is the observable behind the "a large commit performs
+    * O(1) driver footer opens" contract (at 100 TB a compaction's
+    * ~200k files footer-read serially on the driver is hours of
+    * commit-plane time; footer-read in a Spark job it is one short
+    * stage). Monotone; tests and the driver query read deltas. */
+  val driverFooterOpens = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** A commit whose version directory holds at most this many files
+    * footer-walks on the driver (cheaper than a job round-trip for
+    * O(delta) fast appends); anything larger collects its stats in a
+    * distributed Spark job over the file list — the Iceberg stance
+    * that per-file stats are produced where the files are written,
+    * never by a post-hoc driver scan. Override per session with
+    * `spark.graft.stats.driverFooterMax`. */
+  private val DefaultDriverFooterMax = 8
+
+  private def driverFooterMax(spark: org.apache.spark.sql.SparkSession): Int =
+    try spark.conf.get("spark.graft.stats.driverFooterMax", DefaultDriverFooterMax.toString).toInt
+    catch { case NonFatal(_) => DefaultDriverFooterMax }
+
+  /** One file's footer → FileStat (KB tail read, never a data scan).
+    * Shared by the serial and distributed collection paths, so both
+    * produce bit-identical manifests. */
+  private def statOf(conf: org.apache.hadoop.conf.Configuration,
+                     uri: java.net.URI, name: String): FileStat = {
+    val reader = ParquetFileReader.open(conf, new org.apache.hadoop.fs.Path(uri))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      FileStat(name, blocks.map(_.getRowCount).sum, mergeBlocks(blocks))
+    } finally reader.close()
+  }
+
+  /** True when a path SEGMENT is hidden under Spark's own listing
+    * convention (`InMemoryFileIndex`): `_`/`.` prefixed, EXCEPT
+    * `key=value` partition segments (`__graft_bucket=N/` is data
+    * layout, `_deletes/` is a metadata sidecar). */
+  private[sources] def hiddenSegment(seg: String): Boolean =
+    (seg.startsWith("_") || seg.startsWith(".")) && !seg.contains("=")
+
+  /** Data files under `dir` (recursive, sorted), as (uri,
+    * dir-relative-name) pairs. Hidden segments (relative to `dir`)
+    * are skipped — mirroring Spark's listing — so metadata sidecars
+    * (e.g. merge-on-read `_deletes/`) never masquerade as data. */
+  private def dataFiles(dir: Path): Vector[(java.net.URI, String)] =
+    scala.util.Using.resource(Files.walk(dir)) { w =>
+      w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => (p.toUri, dir.relativize(p).toString))
+        .filterNot { case (_, rel) => rel.split('/').exists(hiddenSegment) }
+        .toVector.sortBy(_._2)
+    }
+
+  /** Footer-walk every `*.parquet` under `dir` SERIALLY ON THE DRIVER
+    * (recursive — flat for our writers, but cheap to be general).
+    * Returns None if anything goes wrong: the manifest then simply
+    * carries no file list and readers keep the whole-directory read
+    * set. Correct at any size but O(files) driver time — commit paths
+    * go through [[collectFor]], which routes large file sets to the
+    * distributed job and reserves this walk for O(delta) appends. */
   def collect(dir: Path): Option[Seq[FileStat]] =
     try {
-      val files = scala.util.Using.resource(Files.walk(dir)) { w =>
-        w.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-          .toVector.sortBy(_.toString)
-      }
       val conf = new org.apache.hadoop.conf.Configuration()
-      Some(files.map { f =>
-        val reader = ParquetFileReader.open(
-          conf, new org.apache.hadoop.fs.Path(f.toUri))
-        try {
-          val footer = reader.getFooter
-          val blocks = footer.getBlocks.asScala.toSeq
-          val rows = blocks.map(_.getRowCount).sum
-          FileStat(dir.relativize(f).toString, rows, mergeBlocks(blocks))
-        } finally reader.close()
+      Some(dataFiles(dir).map { case (uri, name) =>
+        driverFooterOpens.incrementAndGet()
+        statOf(conf, uri, name)
       })
+    } catch { case NonFatal(_) => None }
+
+  /** Commit-time collection: the serial driver walk for small file
+    * sets (≤ `spark.graft.stats.driverFooterMax`, default 8 — the
+    * fast-append shape), a distributed footer-read job for everything
+    * larger (the CTAS / INSERT OVERWRITE / compact / z-order / large
+    * CoW shape: at 100 TB those write O(table) files and a serial
+    * driver walk would append hours to the job). The job ships only
+    * (uri, name) pairs out and KB-sized [[FileStat]]s back — listing
+    * stays a single driver-side directory walk either way. Both paths
+    * share [[statOf]], so manifests are bit-identical regardless of
+    * route. Returns None on any failure (manifest then carries no
+    * file list — readers keep the whole-directory read set). */
+  def collectFor(spark: org.apache.spark.sql.SparkSession, dir: Path): Option[Seq[FileStat]] =
+    try {
+      val files = dataFiles(dir)
+      if (files.size <= driverFooterMax(spark)) collect(dir)
+      else {
+        val slices = math.min(files.size, spark.sparkContext.defaultParallelism).max(1)
+        Some(spark.sparkContext.parallelize(files, slices)
+          .mapPartitions { it =>
+            val conf = new org.apache.hadoop.conf.Configuration()
+            it.map { case (uri, name) => statOf(conf, uri, name) }
+          }
+          .collect().toVector.sortBy(_.name))
+      }
     } catch { case NonFatal(_) => None }
 
   private def tagOf(pt: PrimitiveType): Option[String] = {

@@ -885,6 +885,59 @@ object GraftCatalog {
     |)
     |ORDER BY metric""".stripMargin
 
+  /** Driver query: the commit-plane stats story observed end to end —
+    * a 12-file CTAS (above the driver-walk threshold) must collect its
+    * manifest stats in the DISTRIBUTED footer-read job (zero serial
+    * driver footer opens — at 100 TB a compaction's ~200k serial opens
+    * would be hours of driver time), a 1-file fast append stays on the
+    * cheap driver walk (exactly one open, no job round-trip), and the
+    * distributed-collected stats are proven REAL: an impossible-date
+    * probe scans zero of the 12 files, and the unfiltered count is
+    * manifest arithmetic that must replay from silver. */
+  def statsPlaneOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_sp_$n"
+    val tablePath = s"$warehouseDir/marts/daily_sp_$n"
+    val v = s"__graft_sp_src_$n"
+    daily.createOrReplaceTempView(v)
+    val d0 = FileStats.driverFooterOpens.get()
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ REPARTITION(12) */ * FROM $v WHERE event_date <= DATE '2024-01-20'")
+    val ctasOpens = FileStats.driverFooterOpens.get() - d0
+    val (ctasFiles, _) = cowCounts(tablePath, 1)
+    val d1 = FileStats.driverFooterOpens.get()
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-20'")
+    val appendOpens = FileStats.driverFooterOpens.get() - d1
+    val (rows, files) = collectAndCountFiles(s.sql(
+      s"SELECT count(*) AS c, sum(total_events) AS se FROM $t WHERE event_date > DATE '2030-01-01'"))
+    val total = s.sql(s"SELECT count(*) AS c FROM $t").collect()(0).getLong(0)
+    import s.implicits._
+    Seq(
+      "append_driver_opens" -> appendOpens,
+      "ctas_driver_opens" -> ctasOpens,
+      "ctas_files" -> ctasFiles,
+      "impossible_files_scanned" -> files,
+      "impossible_rows" -> rows(0).getLong(0),
+      "rows_total" -> total)
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[statsPlaneOver]]: commit-plane structure as
+    * constants, the total replayed from silver (a wrong distributed
+    * stat would surface as a wrong manifest-answered count). */
+  val statsPlaneSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT 'append_driver_opens' AS metric, CAST(1 AS BIGINT) AS value
+    |  UNION ALL SELECT 'ctas_driver_opens', 0
+    |  UNION ALL SELECT 'ctas_files', 12
+    |  UNION ALL SELECT 'impossible_files_scanned', 0
+    |  UNION ALL SELECT 'impossible_rows', 0
+    |  UNION ALL SELECT 'rows_total', (SELECT count(*) FROM daily)
+    |)
+    |ORDER BY metric""".stripMargin
+
   /** DuckDB oracle for [[mergePruneOver]]. */
   val mergePruneSql: String = graft.marts.SilverEvents.oracleCte + """
     |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)

@@ -65,9 +65,11 @@ object Snapshots {
     val writer = df.write.mode("errorifexists").option("compression", "snappy")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(s"$table/v=$v")
-    // footer walk: exact row count + per-file min/max column bounds
-    // for planning-time file skipping — KB tail reads, no Spark job
-    val stats = FileStats.collect(Paths.get(s"$table/v=$v"))
+    // exact row count + per-file min/max column bounds for
+    // planning-time file skipping — KB footer tail reads; small
+    // versions walk on the driver, large ones (CTAS/OVERWRITE at
+    // scale) collect in a distributed footer-read job
+    val stats = FileStats.collectFor(df.sparkSession, Paths.get(s"$table/v=$v"))
     val rows = stats.map(_.map(_.rows).sum).getOrElse(
       df.sparkSession.read.parquet(s"$table/v=$v").count())
     // layout-only partition columns (e.g. the derived bucket id) are
@@ -275,7 +277,7 @@ object Snapshots {
     val writer = df.write.mode("errorifexists").option("compression", "snappy")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(s"$table/v=$v")
-    val stats = FileStats.collect(Paths.get(s"$table/v=$v"))
+    val stats = FileStats.collectFor(df.sparkSession, Paths.get(s"$table/v=$v"))
     val delta = stats.map(_.map(_.rows).sum).getOrElse(
       df.sparkSession.read.parquet(s"$table/v=$v").count())
     val priorTotal = rowCountOf(table, vs.last)
@@ -300,7 +302,7 @@ object Snapshots {
                                        operation: String,
                                        commitTsMs: Option[Long] = None): Unit = {
     val df = spark.read.parquet(s"$table/v=$v")
-    val stats = FileStats.collect(Paths.get(s"$table/v=$v"))
+    val stats = FileStats.collectFor(spark, Paths.get(s"$table/v=$v"))
     val rows = stats.map(_.map(_.rows).sum).getOrElse(df.count())
     val cols = df.schema.fieldNames
       .map(c => "\"" + c + "\"").mkString("[", ",", "]")
@@ -336,7 +338,7 @@ object Snapshots {
     // group that matched nothing) may have written no files — the
     // empty directory keeps the version's read-set shape uniform
     Files.createDirectories(dir)
-    val stats = FileStats.collect(dir)
+    val stats = FileStats.collectFor(spark, dir)
     val ownRows = stats.map(_.map(_.rows).sum).getOrElse(
       if (scala.util.Using.resource(Files.list(dir))(
         _.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))))

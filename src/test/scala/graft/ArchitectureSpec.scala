@@ -49,20 +49,26 @@ class ArchitectureSpec extends AnyFunSuite {
     // DataChecks: gatedWrite reads the report — one row per check —
     //   to gate the write and re-plant the report as a local frame
     //   that survives the staging unpersist — |checks|-bounded metadata
+    // FileStats: collectFor's distributed footer-read job collects the
+    //   KB-sized per-file FileStats back to the driver for the
+    //   manifest — one small record per data file, manifest-plane by
+    //   design (the alternative IS a serial driver footer walk)
     // GraftCatalog: (a) collectAndCountFiles collects a 1-row aggregate
     //   before walking the AQE-final plan for scanned-file counts;
     //   (b) rewriteFilesOver reads the expire report — one row per
     //   snapshot version; (c) cowDmlOver collects two 1-row
     //   count/sum aggregates (current + AS OF), (d) mergePruneOver
-    //   one, and (e) colocatedJoinOver one (the join's 1-row
-    //   aggregate, collected before the plan walk) — all
-    //   metadata-plane by design
+    //   one, (e) colocatedJoinOver one (the join's 1-row
+    //   aggregate, collected before the plan walk), and
+    //   (f) statsPlaneOver one (the manifest-answered 1-row count
+    //   the oracle replays) — all metadata-plane by design
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 2,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 6)
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 7,
+      "FileStats.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))
   }
@@ -79,9 +85,12 @@ class ArchitectureSpec extends AnyFunSuite {
     //   envelope round trip (3)
     // ServingSink: JDBC writer iterates partitions for connection batching
     // LmBatchScorer: broadcast-model batch inference (the KenLM shape)
+    // FileStats: the distributed commit-time footer-read job — per-task
+    //   Hadoop conf + ParquetFileReader over a file-name RDD (there is
+    //   no DataFrame shape for "open this footer")
     val allow = Map("AsOfJoinExec.scala" -> 3,
       "Multimodal.scala" -> 3, "ServingSink.scala" -> 2,
-      "LmBatchScorer.scala" -> 1)
+      "LmBatchScorer.scala" -> 1, "FileStats.scala" -> 1)
     val hits = offenders("mapPartitions", allow) ++
       offenders(".toRdd",
         // Bench + TimeQueries: full-InternalRow materialization for

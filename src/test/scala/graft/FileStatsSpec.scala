@@ -189,4 +189,44 @@ class FileStatsSpec extends AnyFunSuite {
     assert(st("ts").tag == "tsu" &&
       st("ts").maxL - st("ts").minL == 99L * 1000000L)
   }
+
+  test("distributed collection is bit-identical to the serial walk and skips hidden sidecars") {
+    val dir = Paths.get(Files.createTempDirectory("graft_fs_dist_").toString, "data")
+    spark.range(0, 1000)
+      .selectExpr("id", "CAST(id AS DOUBLE) / 3 AS x", "CAST(id % 7 AS STRING) AS s")
+      .repartition(12)
+      .write.parquet(dir.toString)
+    // a metadata sidecar (merge-on-read delete shape) must be invisible
+    // to BOTH collection paths
+    spark.range(0, 3).selectExpr("'v=1/f.parquet' AS file", "id AS pos")
+      .coalesce(1).write.parquet(s"$dir/_deletes")
+    val serial = FileStats.collect(dir).get
+    val distributed = FileStats.collectFor(spark, dir).get
+    assert(serial.size == 12, s"expected 12 data files, got ${serial.size}")
+    assert(distributed == serial,
+      "distributed footer-read job must produce the exact manifest the driver walk does")
+    assert(serial.forall(f => !f.name.contains("_deletes")))
+  }
+
+  test("large commits perform zero serial driver footer opens; small deltas stay driver-side") {
+    val table = Files.createTempDirectory("graft_fs_commit_").toString + "/t"
+    val wide = spark.range(0, 1200).selectExpr("id", "id % 10 AS k").repartition(12)
+    // full-state commit of 12 files (> driverFooterMax 8): stats come
+    // from the distributed job — the driver-serial counter must not move
+    val before = FileStats.driverFooterOpens.get()
+    graft.sources.Snapshots.writeSnapshot(wide, table)
+    assert(FileStats.driverFooterOpens.get() - before == 0L,
+      "a >threshold commit must not footer-walk the driver")
+    // ... and the distributed-collected stats are real: manifest rows exact
+    val listed = graft.sources.Snapshots.snapshots(spark, table)
+      .select("row_count").collect().map(_.getLong(0)).toSeq
+    assert(listed == Seq(1200L))
+    // O(delta) fast append of 1 file: the driver walk is the cheap path
+    val before2 = FileStats.driverFooterOpens.get()
+    graft.sources.Snapshots.appendSnapshot(
+      spark.range(1200, 1210).selectExpr("id", "id % 10 AS k").coalesce(1), table)
+    assert(FileStats.driverFooterOpens.get() - before2 == 1L,
+      "a small delta should footer-walk serially (no job round-trip)")
+    assert(graft.sources.Snapshots.readLatest(spark, table).count() == 1210)
+  }
 }
