@@ -885,6 +885,76 @@ object GraftCatalog {
     |)
     |ORDER BY metric""".stripMargin
 
+  /** Driver query: the MERGE-ON-READ DML lifecycle observed end to end
+    * (the Iceberg format-version-2 capability,
+    * `bronze_ingestion.py:117`) — a 3-day DELETE from the middle band
+    * of a 3-band layout commits a positional-delete sidecar and
+    * rewrites ZERO data files (structural constants from the
+    * manifest), every read thereafter merges (current, pinned
+    * time-travel, single-column pruned), and `compact()` materializes
+    * the sidecar so the manifest-answered planner surfaces return.
+    * Every row/sum is replayed from silver, so the zero-rewrite
+    * commit is also proven row-exact. */
+  def morDmlOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_mor_$n"
+    val tablePath = s"$warehouseDir/marts/daily_mor_$n"
+    val v = s"__graft_mor_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date <= DATE '2024-01-10'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-20'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE event_date > DATE '2024-01-20'")
+    s.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try s.sql(s"DELETE FROM $t WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-14'")
+    finally s.conf.set("spark.graft.delete.mode", "copy-on-write")
+    val (morOwn, morCarried) = cowCounts(tablePath, 4)
+    val dels = Snapshots.liveDeletes(tablePath, 4)
+    val sidecarRows = dels.flatMap(_.targets).map(_.r).sum
+    val sidecarTargets = dels.flatMap(_.targets).size.toLong
+    val (cv, _, _) = Snapshots.compact(s, tablePath, targetFileBytes = 1L << 40)
+    val liveAfter = Snapshots.liveDeletes(tablePath, cv).size.toLong
+    s.sql(s"""
+      |SELECT * FROM (
+      |  SELECT 'compact_live_delete_files' AS metric, CAST($liveAfter AS BIGINT) AS value
+      |  UNION ALL SELECT 'dates_asof_v4', (SELECT count(DISTINCT event_date) FROM $t VERSION AS OF 4)
+      |  UNION ALL SELECT 'mor_files_carried', CAST($morCarried AS BIGINT)
+      |  UNION ALL SELECT 'mor_files_rewritten', CAST($morOwn AS BIGINT)
+      |  UNION ALL SELECT 'mor_sidecar_rows', CAST($sidecarRows AS BIGINT)
+      |  UNION ALL SELECT 'mor_sidecar_targets', CAST($sidecarTargets AS BIGINT)
+      |  UNION ALL SELECT 'post_compact_rows', (SELECT count(*) FROM $t)
+      |  UNION ALL SELECT 'rows_asof_v3', (SELECT count(*) FROM $t VERSION AS OF 3)
+      |  UNION ALL SELECT 'rows_asof_v4', (SELECT count(*) FROM $t VERSION AS OF 4)
+      |  UNION ALL SELECT 'sum_events_asof_v4',
+      |    (SELECT CAST(sum(total_events) AS BIGINT) FROM $t VERSION AS OF 4)
+      |)
+      |ORDER BY metric""".stripMargin)
+  }
+
+  /** DuckDB oracle for [[morDmlOver]]: commit structure as constants
+    * (zero rewrites, three carried bands, one sidecar target — the
+    * 3-day window lives entirely in the middle band), rows/sums
+    * replayed from silver with the window deleted. */
+  val morDmlSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, del AS (SELECT * FROM daily
+    |          WHERE event_date NOT BETWEEN DATE '2024-01-12' AND DATE '2024-01-14')
+    |SELECT * FROM (
+    |  SELECT 'compact_live_delete_files' AS metric, CAST(0 AS BIGINT) AS value
+    |  UNION ALL SELECT 'dates_asof_v4', (SELECT count(DISTINCT event_date) FROM del)
+    |  UNION ALL SELECT 'mor_files_carried', 3
+    |  UNION ALL SELECT 'mor_files_rewritten', 0
+    |  UNION ALL SELECT 'mor_sidecar_rows',
+    |    (SELECT count(*) FROM daily WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-14')
+    |  UNION ALL SELECT 'mor_sidecar_targets', 1
+    |  UNION ALL SELECT 'post_compact_rows', (SELECT count(*) FROM del)
+    |  UNION ALL SELECT 'rows_asof_v3', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'rows_asof_v4', (SELECT count(*) FROM del)
+    |  UNION ALL SELECT 'sum_events_asof_v4', (SELECT CAST(sum(total_events) AS BIGINT) FROM del)
+    |)
+    |ORDER BY metric""".stripMargin
+
   /** Driver query: the commit-plane stats story observed end to end —
     * a 12-file CTAS (above the driver-walk threshold) must collect its
     * manifest stats in the DISTRIBUTED footer-read job (zero serial
@@ -982,6 +1052,9 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
 
   private def spark: SparkSession = SparkSession.active
 
+  /** Table root path (for error messages and sidecar resolution). */
+  private[sources] def tableRoot: String = tablePath
+
   private def resolvedVersion: Option[Long] =
     pinned.orElse(Snapshots.versions(tablePath).lastOption)
 
@@ -1041,6 +1114,21 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     resolvedVersion match {
+      // live merge-on-read deletes (current OR time-travel view):
+      // route through the merge scan — clean files keep the stock
+      // pushdown path, affected files read whole with their recorded
+      // positions skipped. The manifest-answered planner surfaces
+      // (aggregates, limit planning, bucket grouping, exact stats) are
+      // deliberately absent until compaction materializes the deletes.
+      case Some(v) if Snapshots.liveDeletes(tablePath, v).nonEmpty =>
+        val dels = Snapshots.liveDeletes(tablePath, v)
+        val skips = MorDeletes.positions(spark, tablePath, dels)
+        val files = Snapshots.readSet(tablePath, v).flatMap(p =>
+          if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
+        val (affected, clean) =
+          files.partition(f => skips.contains(GraftFileTag.ref(f)))
+        new GraftMorScanBuilder(this, clean,
+          affected.map(f => (f, skips(GraftFileTag.ref(f)))), options)
       // current-state reads are also streamable (readStream.table):
       // the wrapper delegates every pushdown surface, so batch plans
       // are unchanged; pinned (time-travel) reads stay raw
@@ -1071,8 +1159,10 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
     val vs = Snapshots.versions(tablePath)
     require(vs.nonEmpty, s"$qualifiedName has no current snapshot")
     val reader = spark.read.option("mergeSchema", "true")
-    declaredSchema.fold(reader)(reader.schema)
-      .parquet(Snapshots.readSet(tablePath, vs.last): _*)
+    Snapshots.applyDeletes(
+      declaredSchema.fold(reader)(reader.schema)
+        .parquet(Snapshots.readSet(tablePath, vs.last): _*),
+      tablePath, Snapshots.liveDeletes(tablePath, vs.last))
   }
 
   /** `DELETE FROM … WHERE …` — FILE-PRUNED copy-on-write (the Iceberg
@@ -1100,10 +1190,15 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       .reduceOption(_ && _).getOrElse(lit(true))
     val vs = Snapshots.versions(tablePath)
     require(vs.nonEmpty, s"$qualifiedName has no current snapshot")
+    val priorDels = Snapshots.liveDeletes(tablePath, vs.last)
     // pruning with the TRANSLATED SUBSET of conjuncts is sound for the
     // carry test (a file failing any conjunct fails the conjunction);
     // the drop test additionally needs EVERY conjunct modeled — an
-    // unmodeled one could exempt rows the bounds claim as deleted
+    // unmodeled one could exempt rows the bounds claim as deleted.
+    // Both tests stay sound over files with recorded delete positions:
+    // bounds are OVER-approximations of the live rows (deletes only
+    // remove rows), so no-row-matches and all-live-rows-match proofs
+    // carry over, and a dropped file takes its positions with it.
     val translated = filters.toSeq.flatMap(f => FileStats.fromV1Filter(f, schema()).toSeq)
     val allTranslated = translated.size == filters.length
     val comps = Snapshots.stateComponents(tablePath, vs.last)
@@ -1116,49 +1211,80 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
     val dropped = stated.collect {
       case (p, st) if allTranslated && filters.nonEmpty && FileStats.mustMatch(st, translated) => p
     }.toSet
-    val rewrite = statlessFiles ++ stated.collect {
+    def straddled[A](f: (String, FileStats.FileStat) => A): Seq[A] = stated.collect {
       case (p, st) if !dropped.contains(p) &&
-        (translated.isEmpty || FileStats.mayMatch(st, translated)) => p
+        (translated.isEmpty || FileStats.mayMatch(st, translated)) => f(p, st)
     }
+    val rewrite = statlessFiles ++ straddled((p, _) => p)
     val v = vs.last + 1
+    val morMode = spark.conf.get(
+      "spark.graft.delete.mode", "copy-on-write") == "merge-on-read"
+    def mergedRead(paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+      val reader = spark.read.option("mergeSchema", "true")
+      Snapshots.applyDeletes(
+        declaredSchema.fold(reader)(reader.schema).parquet(paths: _*),
+        tablePath, priorDels)
+    }
     if (rewrite.isEmpty && carried.isEmpty) {
       // everything provably matched: the empty-table snapshot
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
       Snapshots.writeSnapshot(empty, tablePath, operation = "delete")
     } else if (rewrite.isEmpty) {
-      // metadata-only delete: no file read, no Spark job
-      Snapshots.commitCow(spark, tablePath, v, "delete", carried)
-    } else {
+      // metadata-only delete: no file read, no Spark job; prior delete
+      // entries follow their surviving targets
+      Snapshots.commitCow(spark, tablePath, v, "delete", carried,
+        deletes = MorDeletes.retarget(priorDels, carried.map(_.name).toSet))
+    } else if (morMode && statlessFiles.isEmpty) {
+      // MERGE-ON-READ: rewrite NOTHING — one read-only job finds the
+      // positions of matching LIVE rows in the straddled files and
+      // writes them as a (file, pos) sidecar under the new version's
+      // hidden _deletes dir; every data file is carried by reference.
+      // (Statless components can't be carried — with any present the
+      // delete falls through to the copy-on-write rewrite below.)
+      val sidecarDir = s"v=$v/_deletes"
       val reader = spark.read.option("mergeSchema", "true")
+      Snapshots.withLivePositions(
+          declaredSchema.fold(reader)(reader.schema)
+            .parquet(straddled((p, _) => p): _*),
+          tablePath, priorDels)
+        .filter(cond) // rows where the predicate IS TRUE are the deletions
+        .select(org.apache.spark.sql.functions.col("__graft_del_ref").as("file"),
+          org.apache.spark.sql.functions.col("__graft_del_pos").as("pos"))
+        .write.mode("errorifexists").parquet(s"$tablePath/$sidecarDir")
+      val targets = MorDeletes.sidecarTargets(spark, tablePath, sidecarDir)
+      val carriedAll = carried ++ straddled(
+        (p, st) => st.copy(name = Snapshots.rootRel(tablePath, p)))
+      val entries = MorDeletes.retarget(priorDels, carriedAll.map(_.name).toSet) ++
+        (if (targets.isEmpty) Nil
+         else Seq(MorDeletes.DeleteFile(sidecarDir, targets)))
+      Snapshots.commitCow(spark, tablePath, v, "delete", carriedAll, deletes = entries)
+    } else {
       // SQL DELETE removes rows where the condition is TRUE — rows
       // where it evaluates NULL (e.g. a NULL column compared with =)
       // must SURVIVE. `not(cond)` alone would drop them: not(NULL) is
       // NULL and filter discards NULL, silently deleting every
-      // NULL-valued row the predicate touches.
-      val df = declaredSchema.fold(reader)(reader.schema)
-        .parquet(rewrite: _*).filter(not(cond <=> lit(true)))
+      // NULL-valued row the predicate touches. The merged read also
+      // materializes any prior sidecar positions into the rewrite.
+      val df = mergedRead(rewrite).filter(not(cond <=> lit(true)))
       if (carried.isEmpty)
         // nothing prunable: the plain full-state commit (schema from
         // the input frame, so an all-rows delete lands as the empty
-        // snapshot, like TRUNCATE)
+        // snapshot, like TRUNCATE); clears all delete entries
         Snapshots.writeSnapshot(df, tablePath, operation = "delete")
       else {
         spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         df.write.mode("errorifexists").option("compression", "snappy")
           .parquet(s"$tablePath/v=$v")
-        Snapshots.commitCow(spark, tablePath, v, "delete", carried)
+        Snapshots.commitCow(spark, tablePath, v, "delete", carried,
+          deletes = MorDeletes.retarget(priorDels, carried.map(_.name).toSet))
       }
     }
     ()
   }
 
   private def listParquet(dir: String): Seq[String] =
-    scala.util.Using.resource(Files.walk(Paths.get(dir))) { w =>
-      w.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-        .map(_.toString).toVector.sorted
-    }
+    Snapshots.expandParquet(dir) // hidden-segment-aware data listing
 
   /** `TRUNCATE TABLE` — an empty full-state snapshot; history (and
     * time travel to pre-truncate versions) is preserved. */
@@ -1202,6 +1328,16 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
   private[sources] def latestScanBuilder(options: CaseInsensitiveStringMap,
                                          state: Option[GraftCowState]): ScanBuilder = {
     require(pinned.isEmpty, s"row-level DML cannot target a time-travel view of $qualifiedName")
+    // the group-based rewrite reads its group files RAW (per-file
+    // partitions, no merge) — running it over live positional deletes
+    // would resurrect deleted rows into the rewrite. Loud until
+    // compaction materializes them; simple DELETEs (SupportsDelete)
+    // handle sidecars natively and stay available.
+    Snapshots.versions(tablePath).lastOption.foreach { v =>
+      require(Snapshots.liveDeletes(tablePath, v).isEmpty,
+        s"UPDATE/MERGE on $qualifiedName requires materializing its live " +
+          "merge-on-read delete files first (Snapshots.compact)")
+    }
     state match {
       case Some(s) => new GraftCowScanBuilder(this, s, options)
       case None    => new GraftGroupScanBuilder(newScanBuilder(options))

@@ -1,0 +1,322 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ArrayNode
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Merge-on-read POSITIONAL DELETE files over the versioned-parquet
+  * store — the Iceberg format-version-2 capability the reference
+  * declares (`/root/reference/spark/jobs/bronze_ingestion.py:117`
+  * sets `format-version = 2`, whose hallmark is delete files merged
+  * at read time), re-expressed without Iceberg jars.
+  *
+  * Shape: a `DELETE` in merge-on-read mode
+  * (`spark.graft.delete.mode = merge-on-read`) never rewrites a
+  * straddled data file. It runs one read-only job over the affected
+  * files to find the POSITIONS of matching rows
+  * (`_metadata.row_index` — Spark's parquet reader produces the true
+  * in-file row index even under row-group skipping), writes them as a
+  * tiny `(file, pos)` parquet sidecar under the new version's hidden
+  * `v=N/_deletes/` directory, and commits a manifest that carries
+  * EVERY data file by reference plus a `deletes` entry naming the
+  * sidecar and its target files. Readers merge: a data file with
+  * recorded positions is read whole (no parquet-side filter pushdown,
+  * so physical row order is exact) and its deleted positions are
+  * skipped row-by-row; untouched files keep the stock vectorized
+  * pushdown path. `compact()` materializes (reads merge, writes a
+  * clean full-state snapshot, the sidecars age out with retention).
+  *
+  * Why it matters at 100 TB: a GDPR point-delete under copy-on-write
+  * rewrites the whole 512 MB file that holds the row; under
+  * merge-on-read it writes a KB sidecar. The read-time cost is
+  * confined to the affected files (vectorization and file skipping
+  * survive everywhere else) and is bounded by compaction cadence —
+  * exactly Iceberg's v2 amortization.
+  *
+  * Policy: merge-on-read is for SMALL deletes (the sidecar rides into
+  * scan planning driver-side); a delete expected to touch a large row
+  * fraction should run in the default copy-on-write mode, which
+  * already file-prunes. Carried stats of affected files stay sound:
+  * deletes only remove rows, so manifest [min,max]/row bounds remain
+  * valid OVER-approximations — `mayMatch`/`mustMatch` pruning keeps
+  * working, while exact-count surfaces (manifest-answered aggregates,
+  * limit-aware planning, exact scan statistics) are disabled until
+  * compaction by construction (the merge scan simply does not
+  * implement them). */
+object MorDeletes {
+
+  /** One target data file of a sidecar: root-relative ref + how many
+    * positions the sidecar holds for it (the row-count arithmetic
+    * behind live `row_count` in manifests). */
+  final case class Target(f: String, r: Long)
+
+  /** One delete sidecar: the hidden directory holding its `(file,
+    * pos)` parquet plus its targets. `dir` is table-root-relative
+    * (`v=N/_deletes`). */
+  final case class DeleteFile(dir: String, targets: Seq[Target])
+
+  private val mapper = new ObjectMapper()
+
+  /** The `"deletes":[...]` manifest fragment (valid JSON array text). */
+  def toJson(dels: Seq[DeleteFile]): String = {
+    val arr = mapper.createArrayNode()
+    dels.foreach { d =>
+      val o = arr.addObject()
+      o.put("dir", d.dir)
+      val ts = o.putArray("targets")
+      d.targets.foreach { t =>
+        val to = ts.addObject(); to.put("f", t.f); to.put("r", t.r); ()
+      }
+    }
+    mapper.writeValueAsString(arr)
+  }
+
+  /** Live delete sidecars recorded in a manifest (empty when the
+    * field is absent — every pre-MoR manifest). */
+  def fromManifest(manifestText: String): Seq[DeleteFile] =
+    try {
+      val root = mapper.readTree(manifestText)
+      Option(root.get("deletes")).collect { case arr: ArrayNode =>
+        arr.elements().asScala.map { e =>
+          DeleteFile(e.get("dir").asText(),
+            Option(e.get("targets")).collect { case ts: ArrayNode =>
+              ts.elements().asScala.map(t =>
+                Target(t.get("f").asText(), t.get("r").asLong())).toSeq
+            }.getOrElse(Seq.empty))
+        }.toSeq
+      }.getOrElse(Seq.empty)
+    } catch { case NonFatal(_) => Seq.empty }
+
+  /** Entries surviving a new commit: each entry's targets restricted
+    * to refs still in the live state (a dropped or rewritten file
+    * takes its recorded positions with it); entries with no surviving
+    * target disappear. */
+  def retarget(prior: Seq[DeleteFile], liveRefs: Set[String]): Seq[DeleteFile] =
+    prior.flatMap { d =>
+      val kept = d.targets.filter(t => liveRefs.contains(t.f))
+      if (kept.isEmpty) None else Some(d.copy(targets = kept))
+    }
+
+  /** Total recorded delete positions across entries (the live
+    * `row_count` subtrahend). */
+  def deletedRows(dels: Seq[DeleteFile]): Long =
+    dels.iterator.flatMap(_.targets).map(_.r).sum
+
+  /** Refs of every data file any entry targets. */
+  def targetRefs(dels: Seq[DeleteFile]): Set[String] =
+    dels.iterator.flatMap(_.targets).map(_.f).toSet
+
+  // ---- sidecar IO ---------------------------------------------------
+
+  /** Positions-to-skip per target ref, loaded from the sidecar parquet
+    * files and cached (version directories are immutable, so a
+    * sidecar's content never changes). Sidecars are KB–MB by policy —
+    * the one deliberately driver-sized piece of the merge path; the
+    * DataFrame-level merge ([[Snapshots.applyDeletes]]) stays fully
+    * distributed. Arrays are sorted ascending and de-duplicated. */
+  def positions(spark: SparkSession, table: String,
+                dels: Seq[DeleteFile]): Map[String, Array[Long]] = {
+    if (dels.isEmpty) return Map.empty
+    val key = table + "|" + dels.map(_.dir).sorted.mkString(",")
+    positionCache.computeIfAbsent(key, _ => {
+      val rows = spark.read.schema(SidecarSchema)
+        .parquet(dels.map(d => s"$table/${d.dir}"): _*)
+        .select("file", "pos").collect()
+      rows.groupBy(_.getString(0))
+        .map { case (f, rs) => f -> rs.map(_.getLong(1)).distinct.sorted }
+    })
+  }
+
+  private val positionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Array[Long]]]()
+
+  /** The sidecar's fixed schema: target data file ref + in-file row
+    * position. Always read with it specified — a sidecar written from
+    * an EMPTY deletion set may hold zero part files, where schema
+    * inference would error instead of answering "no targets". */
+  private[sources] val SidecarSchema =
+    StructType.fromDDL("file STRING, pos BIGINT")
+
+  /** Per-target position counts of a just-written sidecar directory,
+    * read back from the sidecar itself (single source of truth — the
+    * manifest can never disagree with the parquet). */
+  def sidecarTargets(spark: SparkSession, table: String, dir: String): Seq[Target] =
+    spark.read.schema(SidecarSchema).parquet(s"$table/$dir")
+      .groupBy("file").count().collect()
+      .map(r => Target(r.getString(0), r.getLong(1)))
+      .sortBy(_.f).toSeq
+}
+
+/** Scan builder for a snapshot with live merge-on-read deletes: clean
+  * files keep the stock parquet pushdown path (columns AND filters —
+  * row-group skipping intact); affected files get a column-pruned,
+  * FILTER-FREE scan so their physical row order is exact for position
+  * skipping. All filters report as post-scan, so Spark keeps the
+  * predicate in the plan and both halves stay row-exact. The
+  * manifest-answered surfaces (aggregates, limit planning, exact
+  * stats, bucket grouping) are deliberately absent — a deleted row
+  * would poison each of them; compaction restores them. */
+private[sources] class GraftMorScanBuilder(
+    table: GraftSnapshotTable,
+    cleanFiles: Seq[String],
+    affected: Seq[(String, Array[Long])],
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private val cleanBuilder =
+    if (cleanFiles.isEmpty) None else Some(table.builderOverFiles(cleanFiles, options))
+  private val affectedBuilder =
+    if (affected.isEmpty) None
+    else Some(table.builderOverFiles(affected.map(_._1), options))
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    Seq(cleanBuilder, affectedBuilder).flatten.foreach {
+      case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+        p.pruneColumns(requiredSchema)
+      case _ =>
+    }
+  }
+
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    // clean files may row-group-skip; affected files MUST NOT (their
+    // reader's row sequence is the position space)
+    cleanBuilder.foreach {
+      case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        f.pushFilters(filters); ()
+      case _ =>
+    }
+    filters // everything stays post-scan: Spark re-evaluates above the merge
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
+  override def build(): Scan =
+    new GraftMorScan(cleanBuilder.map(_.build()), affectedBuilder.map(_.build()),
+      // keyed by root-relative REF — partition planning sees URI paths,
+      // not the raw paths this builder was constructed over
+      affected.map { case (p, s) => (GraftFileTag.ref(p), s) }.toMap,
+      table.tableRoot)
+}
+
+/** The read-time merge scan: clean-file partitions pass through to the
+  * stock parquet reader (columnar, pushdown); each affected file plans
+  * as ONE partition covering the whole file in offset order, read
+  * row-based with its recorded delete positions skipped. */
+private[sources] class GraftMorScan(clean: Option[Scan], affectedScan: Option[Scan],
+                                    skips: Map[String, Array[Long]],
+                                    tablePath: String)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    clean.orElse(affectedScan).map(_.readSchema()).getOrElse(new StructType())
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-mor-merge(clean=${clean.map(_.description()).getOrElse("none")})"
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      s"streaming read of $tablePath: live merge-on-read delete files cannot replay " +
+        "as deltas — run Snapshots.compact() to materialize them first")
+
+  import GraftMorScan.{CleanPart, MorPart}
+
+  private lazy val cleanBatch = clean.map(_.toBatch)
+  private lazy val affectedBatch = affectedScan.map(_.toBatch)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val cleanParts: Array[InputPartition] =
+      cleanBatch.map(_.planInputPartitions().map(CleanPart(_): InputPartition))
+        .getOrElse(Array.empty)
+    // regroup the affected scan's (possibly split) file pieces into
+    // exactly one partition per file, pieces in offset order — the
+    // reader then yields the file's rows in physical order and the
+    // row counter IS the file position
+    val pieces = affectedBatch.map(_.planInputPartitions()).getOrElse(Array.empty)
+      .flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
+        case other => throw new IllegalStateException(
+          s"merge-on-read needs file partitions, got ${other.getClass.getName}")
+      }
+    val morParts: Array[InputPartition] = pieces.groupBy(_.filePath.toString).toArray
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((path, ps), i) =>
+        val sorted = ps.sortBy(_.start)
+        // pieces must tile the file exactly — a gap would silently
+        // shift every later position
+        val tiled = sorted.length == 1 ||
+          sorted.tail.map(_.start).zip(
+            sorted.init.map(p => p.start + p.length)).forall { case (s, e) => s == e }
+        require(tiled && sorted.head.start == 0L &&
+          sorted.map(_.length).sum == sorted.head.fileSize,
+          s"affected file $path split pieces do not tile the file")
+        val ref = GraftFileTag.ref(path)
+        MorPart(org.apache.spark.sql.execution.datasources.FilePartition(i, sorted),
+          skips.getOrElse(ref, Array.empty)): InputPartition
+      }
+    cleanParts ++ morParts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cf = cleanBatch.map(_.createReaderFactory())
+    val af = affectedBatch.map(_.createReaderFactory())
+    new PartitionReaderFactory {
+      // BatchScanExec refuses to MIX columnar and row-based partitions
+      // in one scan, and the position-skipping reader is row-based by
+      // construction — so the whole merge scan reads rows. Clean files
+      // still keep pushdown/row-group skipping; full vectorization
+      // returns when compaction materializes the sidecars.
+      override def supportColumnarReads(p: InputPartition): Boolean = false
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+        case CleanPart(inner) => cf.get.createReader(inner)
+        case MorPart(fp, skip) =>
+          val r = af.get.createReader(fp)
+          new PartitionReader[InternalRow] {
+            private var pos = -1L
+            private var si = 0
+            override def next(): Boolean = {
+              while (r.next()) {
+                pos += 1
+                if (si < skip.length && skip(si) == pos) si += 1
+                else return true
+              }
+              false
+            }
+            override def get(): InternalRow = r.get()
+            override def close(): Unit = r.close()
+          }
+        case other => throw new IllegalStateException(
+          s"merge factory got unknown partition ${other.getClass.getName}")
+      }
+    }
+  }
+}
+
+private[sources] object GraftMorScan {
+  /** A pass-through partition of the clean (no recorded deletes) half
+    * — top-level so task serialization never drags the scan along. */
+  final case class CleanPart(inner: InputPartition) extends InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  /** One whole affected file (its split pieces regrouped in offset
+    * order) + the sorted positions to skip. */
+  final case class MorPart(
+      inner: org.apache.spark.sql.execution.datasources.FilePartition,
+      skip: Array[Long]) extends InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+}

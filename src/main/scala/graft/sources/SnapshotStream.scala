@@ -148,8 +148,15 @@ private[graft] class SnapshotMicroBatchStream(tablePath: String,
     * layout subdirectories the stream must not partition-discover). */
   private def batchDirs(start: Long, end: Long): Seq[String] =
     if (end <= start) Seq.empty
-    else if (start == 0L) Snapshots.readSet(tablePath, end)
-    else {
+    else if (start == 0L) {
+      // the initial snapshot reads raw data files — live positional
+      // delete sidecars cannot merge into a delta stream (same class
+      // as the non-append guard below); compaction materializes them
+      require(Snapshots.liveDeletes(tablePath, end).isEmpty,
+        s"streaming read of $tablePath: live merge-on-read delete files cannot " +
+          "replay as deltas — run Snapshots.compact() to materialize them first")
+      Snapshots.readSet(tablePath, end)
+    } else {
       val vs = Snapshots.versions(tablePath).filter(v => v > start && v <= end)
       val nonAppend = vs.filter(v => Snapshots.operationOf(tablePath, v) != "append")
       require(nonAppend.isEmpty,

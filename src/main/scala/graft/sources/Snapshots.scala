@@ -154,13 +154,36 @@ object Snapshots {
     }
   }
 
-  /** All parquet files under `dir` (recursive, sorted). */
-  private[sources] def expandParquet(dir: String): Seq[String] =
-    scala.util.Using.resource(Files.walk(Paths.get(dir))) { w =>
+  /** All DATA parquet files under `dir` (recursive, sorted). Hidden
+    * segments below `dir` (Spark's `_`/`.` convention, `key=value`
+    * layout dirs exempt) are skipped, so metadata sidecars like the
+    * merge-on-read `v=N/_deletes/` never expand as data. */
+  private[sources] def expandParquet(dir: String): Seq[String] = {
+    val root = Paths.get(dir)
+    scala.util.Using.resource(Files.walk(root)) { w =>
       w.iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .filterNot(p => root.relativize(p).toString
+          .split('/').exists(FileStats.hiddenSegment))
         .map(_.toString).toVector.sorted
     }
+  }
+
+  /** The version anchoring `v`'s state: the most recent full-state
+    * version ≤ v (any operation but `append`), else the chain's first
+    * version. Its manifest also carries the state's live merge-on-read
+    * delete entries (appends never do). */
+  private[sources] def lastFullVersion(table: String, v: Long): Long = {
+    val upTo = versions(table).filter(_ <= v)
+    require(upTo.contains(v), s"no snapshot $v of $table")
+    upTo.reverse.find(x => operationOf(table, x) != "append").getOrElse(upTo.head)
+  }
+
+  /** Live merge-on-read delete sidecars of the state AS OF `v` (empty
+    * for every table that never took a MoR delete, and again after
+    * any full-state write — compaction/overwrite materialize). */
+  def liveDeletes(table: String, v: Long): Seq[MorDeletes.DeleteFile] =
+    MorDeletes.fromManifest(manifestText(table, lastFullVersion(table, v)))
 
   /** Data paths that make up the table state AS OF version `v`: the
     * most recent full-state version ≤ v (any operation but `append`)
@@ -178,10 +201,9 @@ object Snapshots {
   private[sources] def readSet(table: String, v: Long): Seq[String] = {
     val upTo = versions(table).filter(_ <= v)
     require(upTo.contains(v), s"no snapshot $v of $table")
-    val ops = upTo.map(x => (x, operationOf(table, x)))
-    val lastFull = ops.reverse.find(_._2 != "append").map(_._1).getOrElse(upTo.head)
+    val lastFull = lastFullVersion(table, v)
     val base = carriedOf(table, lastFull).map(f => s"$table/${f.name}") ++
-      ops.collect { case (x, _) if x >= lastFull => s"$table/v=$x" }
+      upTo.collect { case x if x >= lastFull => s"$table/v=$x" }
     if (layoutOf(table).isEmpty) base
     else base.flatMap(p => if (p.endsWith(".parquet")) Seq(p) else expandParquet(p))
   }
@@ -196,11 +218,10 @@ object Snapshots {
       : Seq[Either[String, (String, FileStats.FileStat)]] = {
     val upTo = versions(table).filter(_ <= v)
     require(upTo.contains(v), s"no snapshot $v of $table")
-    val ops = upTo.map(x => (x, operationOf(table, x)))
-    val lastFull = ops.reverse.find(_._2 != "append").map(_._1).getOrElse(upTo.head)
+    val lastFull = lastFullVersion(table, v)
     val carried = carriedOf(table, lastFull)
       .map(f => Right((s"$table/${f.name}", f)))
-    carried ++ ops.collect { case (x, _) if x >= lastFull => x }.flatMap { x =>
+    carried ++ upTo.collect { case x if x >= lastFull => x }.flatMap { x =>
       val d = s"$table/v=$x"
       FileStats.fromManifest(manifestText(table, x)) match {
         case Some(fs) => fs.map(f => Right((s"$d/${f.name}", f)))
@@ -331,26 +352,41 @@ object Snapshots {
   private[sources] def commitCow(spark: SparkSession, table: String, v: Long,
                                  operation: String,
                                  carried: Seq[FileStats.FileStat],
-                                 commitTsMs: Option[Long] = None): Unit = {
-    if (carried.isEmpty) { commitFullState(spark, table, v, operation, commitTsMs); return }
+                                 commitTsMs: Option[Long] = None,
+                                 deletes: Seq[MorDeletes.DeleteFile] = Nil): Unit = {
+    if (carried.isEmpty && deletes.isEmpty) {
+      commitFullState(spark, table, v, operation, commitTsMs); return
+    }
+    // every delete entry must target a carried file — a target that
+    // was dropped or rewritten takes its positions with it (callers
+    // retarget); committing a dangling target would corrupt the live
+    // row arithmetic and make readers chase a nonexistent ref
+    val carriedRefs = carried.map(_.name).toSet
+    require(MorDeletes.targetRefs(deletes).subsetOf(carriedRefs),
+      s"delete entries target files not carried by $table v$v")
     val dir = Paths.get(s"$table/v=$v")
     // a fully-carried commit (metadata-only delete / runtime-pruned
-    // group that matched nothing) may have written no files — the
-    // empty directory keeps the version's read-set shape uniform
+    // group that matched nothing / merge-on-read delete) may have
+    // written no data files — the (possibly sidecar-only) directory
+    // keeps the version's read-set shape uniform
     Files.createDirectories(dir)
     val stats = FileStats.collectFor(spark, dir)
     val ownRows = stats.map(_.map(_.rows).sum).getOrElse(
-      if (scala.util.Using.resource(Files.list(dir))(
-        _.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))))
+      if (expandParquet(dir.toString).nonEmpty)
         spark.read.parquet(s"$table/v=$v").count()
       else 0L)
-    val rows = ownRows + carried.map(_.rows).sum
+    // live rows = physical rows minus the positions recorded against
+    // still-carried files (FileStat.rows stays PHYSICAL — the position
+    // space — so bounds pruning and read planning keep exact file shapes)
+    val rows = ownRows + carried.map(_.rows).sum - MorDeletes.deletedRows(deletes)
     val schema = carriedSchemaOf(spark, table, v, stats.exists(_.nonEmpty))
     val cols = schema.map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
     val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
+    val delFrag =
+      if (deletes.isEmpty) "" else s""","deletes":${MorDeletes.toJson(deletes)}"""
     val manifest =
-      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}}"""
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}$delFrag}"""
     Files.createDirectories(metaDir(table))
     Files.write(metaDir(table).resolve(s"$v.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
@@ -377,11 +413,54 @@ object Snapshots {
     "\"row_count\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)
   }
 
+  /** A row's data file as a table-root-relative ref — the SQL twin of
+    * [[GraftFileTag.ref]] (everything from the last `/v=` segment on),
+    * built from the parquet reader's `_metadata.file_path`. */
+  private[sources] def refCol: org.apache.spark.sql.Column =
+    expr("concat('v=', element_at(split(_metadata.file_path, '/v='), -1))")
+
+  /** Read-time MERGE of positional delete sidecars at the DataFrame
+    * level (the library-API half; the DSv2 scan has its own
+    * position-skipping reader): drop every `(file, pos)` the live
+    * sidecars record, via a broadcast LEFT ANTI join on
+    * (`_metadata.file_path`-derived ref, `_metadata.row_index`).
+    * Fully distributed — the sidecar side is KB–MB by policy — and
+    * transparent to the caller's schema. `_metadata.row_index` is the
+    * TRUE in-file row position regardless of filter pushdown (Spark's
+    * parquet reader maintains it across row-group skipping), so the
+    * merge composes with any downstream pruning Catalyst applies. */
+  private[sources] def applyDeletes(df: DataFrame, table: String,
+                                    dels: Seq[MorDeletes.DeleteFile]): DataFrame = {
+    if (dels.isEmpty) return df
+    val out = df.columns.toSeq
+    withLivePositions(df, table, dels).select(out.map(col): _*)
+  }
+
+  /** [[applyDeletes]] keeping the `(ref, pos)` helper columns
+    * (`__graft_del_ref`/`__graft_del_pos`) in the output — the shape a
+    * stacked merge-on-read DELETE needs: `_metadata` resolves only on
+    * the file-source relation, so position-producing callers must ride
+    * the same projection the merge built rather than re-deriving it
+    * after the join. */
+  private[sources] def withLivePositions(df: DataFrame, table: String,
+                                         dels: Seq[MorDeletes.DeleteFile]): DataFrame = {
+    val tagged = df
+      .withColumn("__graft_del_ref", refCol)
+      .withColumn("__graft_del_pos", col("_metadata.row_index"))
+    if (dels.isEmpty) return tagged
+    val pos = df.sparkSession.read.schema(MorDeletes.SidecarSchema)
+      .parquet(dels.map(d => s"$table/${d.dir}"): _*)
+      .select(col("file").as("__graft_del_ref"), col("pos").as("__graft_del_pos"))
+    tagged.join(broadcast(pos), Seq("__graft_del_ref", "__graft_del_pos"), "left_anti")
+  }
+
   /** Time travel: the table exactly as of version `v` (one multi-path
     * scan over the version's [[readSet]] — a single directory unless
-    * `v` sits on a fast-append chain). */
+    * `v` sits on a fast-append chain), with any live merge-on-read
+    * delete sidecars merged out. */
   def readAsOf(spark: SparkSession, table: String, v: Long): DataFrame =
-    spark.read.parquet(readSet(table, v): _*)
+    applyDeletes(spark.read.parquet(readSet(table, v): _*), table,
+      liveDeletes(table, v))
 
   /** Small-file compaction (Iceberg `rewrite_data_files` shape): the
     * current state rewritten as ONE new full-state snapshot whose file
@@ -403,11 +482,8 @@ object Snapshots {
     val vs = versions(table)
     require(vs.nonEmpty, s"no snapshots of $table")
     val dataFiles = readSet(table, vs.last).flatMap { d =>
-      scala.util.Using.resource(Files.walk(Paths.get(d))) { w =>
-        w.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-          .map(p => Files.size(p)).toVector
-      }
+      if (d.endsWith(".parquet")) Seq(Files.size(Paths.get(d)))
+      else expandParquet(d).map(p => Files.size(Paths.get(p)))
     }
     val totalBytes = dataFiles.sum
     val numOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -600,8 +676,14 @@ object Snapshots {
     // expire_snapshots makes the same distinction between expiring a
     // snapshot and deleting its files)
     val verSeg = "(?:^|/)v=(\\d+)(?:/|$)".r
+    // pin every version a retained state still READS: its data
+    // directories/carried refs AND the versions hosting its live
+    // merge-on-read delete sidecars (a later CoW commit can carry a
+    // sidecar entry long after its own version fell out of the window
+    // — expiring that version would silently resurrect deleted rows)
     val pinnedDirs = retained
-      .flatMap(v => readSet(table, v))
+      .flatMap(v => readSet(table, v) ++
+        liveDeletes(table, v).map(_.dir))
       .flatMap(p => verSeg.findAllMatchIn(p).map(_.group(1).toLong)).toSet
     val expired = before.take(math.max(cut, 0)).map(_._1).toSet -- pinnedDirs
     expired.foreach { v =>

@@ -53,6 +53,12 @@ class ArchitectureSpec extends AnyFunSuite {
     //   KB-sized per-file FileStats back to the driver for the
     //   manifest — one small record per data file, manifest-plane by
     //   design (the alternative IS a serial driver footer walk)
+    // MorDeletes: (a) the positional-delete sidecar rides into scan
+    //   planning (KB–MB by policy — merge-on-read is for point
+    //   deletes; large deletes take the copy-on-write path), (b) the
+    //   per-target count readback that lands in the manifest — both
+    //   metadata-plane; the read-time merge itself is distributed
+    //   (broadcast anti-join / per-partition position skip)
     // GraftCatalog: (a) collectAndCountFiles collects a 1-row aggregate
     //   before walking the AQE-final plan for scanned-file counts;
     //   (b) rewriteFilesOver reads the expire report — one row per
@@ -68,7 +74,7 @@ class ArchitectureSpec extends AnyFunSuite {
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
       "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 7,
-      "FileStats.scala" -> 1)
+      "FileStats.scala" -> 1, "MorDeletes.scala" -> 2)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))
   }

@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GraftCatalog, MorDeletes, Snapshots}
+
+/** Merge-on-read positional delete files — the Iceberg
+  * format-version-2 capability (reference
+  * spark/jobs/bronze_ingestion.py:117): a small DELETE writes a
+  * (file, pos) sidecar instead of rewriting data files; scans merge at
+  * read time; compaction materializes. Pins the full lifecycle:
+  * zero-rewrite commits, read-time merge under column pruning, sidecar
+  * scoping (later appends are immune), stacking, interplay with
+  * copy-on-write DML and retention, and the loud guards. */
+class MorDeletesSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private lazy val wh = Files.createTempDirectory("graft_mor_spec_").toString
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.gms", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gms.warehouse", wh)
+    "gms"
+  }
+
+  /** 3 single-file bands: k∈[0,10) CTAS, [10,20) append, [20,30) append. */
+  private def banded(ns: String): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+    spark.range(0, 30).selectExpr("id AS k", "id * 10 AS v")
+      .createOrReplaceTempView(s"__mor_${ns}_src")
+    spark.sql(s"CREATE TABLE $cat.$ns.t AS SELECT /*+ COALESCE(1) */ * FROM __mor_${ns}_src WHERE k < 10")
+    spark.sql(s"INSERT INTO $cat.$ns.t SELECT /*+ COALESCE(1) */ * FROM __mor_${ns}_src WHERE k >= 10 AND k < 20")
+    spark.sql(s"INSERT INTO $cat.$ns.t SELECT /*+ COALESCE(1) */ * FROM __mor_${ns}_src WHERE k >= 20")
+    s"$wh/$ns/t"
+  }
+
+  private def morDelete(sql: String): Unit = {
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try { spark.sql(sql); () }
+    finally spark.conf.set("spark.graft.delete.mode", "copy-on-write")
+  }
+
+  private def manifestParts(tp: String, v: Long) = {
+    val m = new String(Files.readAllBytes(Paths.get(s"$tp/_meta/$v.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    (graft.sources.FileStats.fromManifest(m).getOrElse(Seq.empty),
+      graft.sources.FileStats.carriedFromManifest(m))
+  }
+
+  private def ks(table: String): Seq[Long] =
+    spark.sql(s"SELECT k FROM $table ORDER BY k").collect().map(_.getLong(0)).toSeq
+
+  test("MoR DELETE: zero data files rewritten, sidecar committed, reads merge everywhere") {
+    val tp = banded("basic")
+    morDelete(s"DELETE FROM $cat.basic.t WHERE k IN (12, 17)")
+    // commit shape: nothing rewritten, ALL 3 bands carried, 1 sidecar entry
+    val (own, carried) = manifestParts(tp, 4)
+    assert(own.isEmpty && carried.size == 3,
+      s"MoR delete must rewrite nothing, got own=${own.size} carried=${carried.size}")
+    val dels = Snapshots.liveDeletes(tp, 4)
+    assert(dels.size == 1 && dels.head.dir == "v=4/_deletes")
+    assert(dels.head.targets.map(t => (t.f.takeWhile(_ != '/'), t.r)) == Seq(("v=2", 2L)),
+      s"one target (the middle band) with 2 positions, got ${dels.head.targets}")
+    // live row_count is manifest arithmetic: 30 physical − 2 deleted
+    assert(Snapshots.snapshots(spark, tp).collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toMap.apply(4L) == 28L)
+    // SQL read (DSv2 merge scan): per-row exact
+    assert(ks(s"$cat.basic.t") == (0L until 30L).filterNot(Set(12L, 17L)))
+    // read-time merge under COLUMN PRUNING: a single-column projection
+    // over the affected band still merges (positions need no columns)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.basic.t WHERE k >= 10 AND k < 20").head().getLong(0)
+      == (10L until 20L).filterNot(Set(12L, 17L)).map(_ * 10).sum)
+    // library API read merges too
+    assert(Snapshots.readLatest(spark, tp).count() == 28)
+    // time travel: pre-delete snapshot intact, pinned post-delete view merges
+    assert(spark.sql(s"SELECT count(*) FROM $cat.basic.t VERSION AS OF 3").head().getLong(0) == 30)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.basic.t VERSION AS OF 4").head().getLong(0) == 28)
+    // SCOPING: a later append re-inserting a deleted key is IMMUNE to
+    // the old sidecar (positions pin (file, pos), never values)
+    spark.sql(s"INSERT INTO $cat.basic.t VALUES (12, 999)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.basic.t WHERE k = 12").head().getLong(0) == 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.basic.t").head().getLong(0) == 29)
+    // CDC diff across the MoR version surfaces exactly the deletions
+    val diff = Snapshots.diff(spark, tp, 3L, 4L, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(diff == Seq((12L, "DELETE"), (17L, "DELETE")), s"got ${diff.toList}")
+  }
+
+  test("MoR deletes stack; deleting an already-deleted row is a no-op; CoW DML composes") {
+    val tp = banded("stack")
+    morDelete(s"DELETE FROM $cat.stack.t WHERE k IN (12, 17)")
+    morDelete(s"DELETE FROM $cat.stack.t WHERE k = 25")
+    assert(Snapshots.liveDeletes(tp, 5).size == 2)
+    assert(ks(s"$cat.stack.t") == (0L until 30L).filterNot(Set(12L, 17L, 25L)))
+    // re-deleting a dead row: positions are found over the MERGED view,
+    // so the sidecar comes back empty and no entry is committed
+    morDelete(s"DELETE FROM $cat.stack.t WHERE k = 12")
+    assert(Snapshots.liveDeletes(tp, 6).size == 2, "empty sidecar must add no entry")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.stack.t").head().getLong(0) == 27)
+    // CoW delete DROPPING a clean band: entries retarget, counts stay live
+    spark.sql(s"DELETE FROM $cat.stack.t WHERE k < 10")
+    assert(Snapshots.liveDeletes(tp, 7).size == 2, "dropped band carried no positions")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.stack.t").head().getLong(0) == 17)
+    // CoW delete REWRITING an affected band: prior positions materialize
+    // into the rewrite (no resurrection) and its entry disappears
+    spark.sql(s"DELETE FROM $cat.stack.t WHERE k BETWEEN 10 AND 12")
+    val live = Snapshots.liveDeletes(tp, 8)
+    assert(live.size == 1 && live.head.targets.forall(_.f.startsWith("v=3/")),
+      s"band-2 entry must vanish with the rewrite, got $live")
+    assert(ks(s"$cat.stack.t") == Seq(13L, 14L, 15L, 16L, 18L, 19L,
+      20L, 21L, 22L, 23L, 24L, 26L, 27L, 28L, 29L))
+    // snapshots listing stays live-count-exact across the whole chain
+    assert(Snapshots.snapshots(spark, tp).collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toMap
+      .apply(8L) == 15L)
+  }
+
+  test("compaction materializes sidecars; retention pins carried sidecar versions") {
+    val tp = banded("comp")
+    morDelete(s"DELETE FROM $cat.comp.t WHERE k IN (3, 12)")
+    // a CoW delete AFTER the MoR delete carries the v4 sidecar forward
+    // into v5's manifest while v4 itself holds no data files
+    spark.sql(s"DELETE FROM $cat.comp.t WHERE k >= 20") // band-3 drop: metadata-only
+    assert(Snapshots.liveDeletes(tp, 5).nonEmpty)
+    // retention: keepLast=1 retains only v5, whose entries point into
+    // v=4/_deletes — v4 MUST stay on disk or deleted rows resurrect
+    val expired = Snapshots.expireSnapshots(spark, tp, keepLast = 1).collect()
+      .filter(_.getString(2) == "expired").map(_.getLong(0)).toSeq
+    assert(!expired.contains(4L), s"sidecar-hosting version must be pinned, expired=$expired")
+    assert(Files.isDirectory(Paths.get(s"$tp/v=4/_deletes")))
+    assert(ks(s"$cat.comp.t") == (0L until 20L).filterNot(Set(3L, 12L)))
+    // compact: reads merge, writes a clean full-state snapshot
+    val (cv, _, _) = Snapshots.compact(spark, tp)
+    assert(Snapshots.liveDeletes(tp, cv).isEmpty, "compaction materializes deletes")
+    assert(ks(s"$cat.comp.t") == (0L until 20L).filterNot(Set(3L, 12L)))
+    // with no live deletes the manifest-answered count path is back
+    assert(spark.sql(s"SELECT count(*) FROM $cat.comp.t").head().getLong(0) == 18)
+  }
+
+  test("loud guards: UPDATE/MERGE and streaming reads refuse live sidecars") {
+    val tp = banded("guard")
+    morDelete(s"DELETE FROM $cat.guard.t WHERE k = 7")
+    val upd = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.guard.t SET v = 0 WHERE k = 8")
+    }
+    assert(upd.getMessage.contains("merge-on-read"), upd.getMessage)
+    val ckpt = Files.createTempDirectory("graft_mor_stream_").toString
+    val q = spark.readStream.table(s"$cat.guard.t")
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val stream = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(stream.getMessage.contains("merge-on-read") ||
+      Option(stream.getCause).exists(_.getMessage.contains("merge-on-read")),
+      stream.getMessage)
+    // compaction lifts both guards
+    Snapshots.compact(spark, tp)
+    spark.sql(s"UPDATE $cat.guard.t SET v = 0 WHERE k = 8")
+    assert(spark.sql(s"SELECT v FROM $cat.guard.t WHERE k = 8").head().getLong(0) == 0)
+  }
+
+  test("manifest codec round-trips and retargeting drops emptied entries") {
+    import MorDeletes.{DeleteFile, Target}
+    val dels = Seq(
+      DeleteFile("v=4/_deletes", Seq(Target("v=1/a.parquet", 3), Target("v=2/b.parquet", 2))),
+      DeleteFile("v=6/_deletes", Seq(Target("v=2/b.parquet", 1))))
+    val json = s"""{"version":7,"deletes":${MorDeletes.toJson(dels)}}"""
+    assert(MorDeletes.fromManifest(json) == dels)
+    assert(MorDeletes.fromManifest("""{"version":7}""") == Seq.empty)
+    assert(MorDeletes.deletedRows(dels) == 6)
+    val re = MorDeletes.retarget(dels, Set("v=2/b.parquet"))
+    assert(re == Seq(
+      DeleteFile("v=4/_deletes", Seq(Target("v=2/b.parquet", 2))),
+      DeleteFile("v=6/_deletes", Seq(Target("v=2/b.parquet", 1)))))
+    assert(MorDeletes.retarget(dels, Set.empty) == Seq.empty)
+  }
+}
