@@ -462,6 +462,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.statsPlaneOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_mor_dml" -> ((s, dir) =>
       graft.sources.GraftCatalog.morDmlOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_days_layout" -> ((s, dir) =>
+      graft.sources.GraftCatalog.daysLayoutOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_rewrite_files" -> ((s, dir) =>
       graft.sources.GraftCatalog.rewriteFilesOver(s, DailySales.build(silver(s, dir)))),
     "stream_catalog_append" -> ((s, dir) =>
@@ -667,6 +669,7 @@ object SparkEntry {
     "meta_catalog_agg_pushdown" -> graft.sources.GraftCatalog.aggPushdownSql,
     "meta_catalog_stats_plane" -> graft.sources.GraftCatalog.statsPlaneSql,
     "meta_catalog_mor_dml" -> graft.sources.GraftCatalog.morDmlSql,
+    "meta_catalog_days_layout" -> graft.sources.GraftCatalog.daysLayoutSql,
     "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,
     "stream_catalog_append" -> graft.sources.GraftCatalog.streamAppendSql,
     "stream_catalog_table" -> graft.sources.SnapshotStream.catalogStreamSql,

@@ -63,3 +63,40 @@ private[sources] object GraftBucketFunction extends UnboundFunction {
     (((h % n) + n) % n).toInt
   }
 }
+
+/** The catalog's `days(col)` partition-transform function — the date
+  * half of the storage-partitioned-join surface (the reference's
+  * bronze layout, `bronze_ingestion.py:113`). Semantics: days since
+  * epoch of the column's date — which is exactly DATE's internal
+  * representation, so on date inputs the planner function is the
+  * identity; timestamps floor-divide their micros by a day. NULL
+  * inputs return NULL (a null layout value lands in the null
+  * partition directory, same as Iceberg). */
+private[sources] object GraftDaysFunction extends UnboundFunction {
+
+  override def name(): String = "days"
+
+  override def description(): String =
+    "days(col): days since epoch of the column's date — graft storage-partitioning transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      (inputType.fields(0).dataType == DataTypes.DateType ||
+        inputType.fields(0).dataType == DataTypes.TimestampType),
+      s"days expects (date|timestamp), got ${inputType.catalogString}")
+    val keyType = inputType.fields(0).dataType
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(keyType)
+      override def resultType(): DataType = DataTypes.IntegerType
+      override def name(): String = "days"
+      override def canonicalName(): String = s"graft.days(${keyType.catalogString})"
+      override def isResultNullable: Boolean = true
+      override def isDeterministic: Boolean = true
+      override def produceResult(input: InternalRow): Integer =
+        if (input.isNullAt(0)) null
+        else if (keyType == DataTypes.DateType) Integer.valueOf(input.getInt(0))
+        else Integer.valueOf(
+          java.lang.Math.floorDiv(input.getLong(0), 86400000000L).toInt)
+    }
+  }
+}

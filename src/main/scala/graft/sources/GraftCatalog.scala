@@ -210,7 +210,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val layout: Option[(Int, String)] = partitions.toSeq match {
+    // the name lands verbatim in the _layout.json marker and is
+    // later interpolated into generated SQL (backtick-quoted) —
+    // quotes/backslashes/backticks would corrupt the marker or the
+    // expression on every subsequent write, so gate the identifier
+    // at DDL time instead of escaping in N places
+    def layoutCol(t: Transform): String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"${t.name} transform must reference one top-level column, got $t")
+      val col = refs(0).fieldNames()(0)
+      require(schema.fieldNames.contains(col),
+        s"${t.name} column $col not in schema ${schema.fieldNames.mkString(",")}")
+      require(col.matches("[A-Za-z0-9_]+"),
+        s"${t.name} column name must match [A-Za-z0-9_]+ (it is persisted in the " +
+          s"layout marker and interpolated into layout expressions): '$col'")
+      col
+    }
+    val layout: Option[String] = partitions.toSeq match {
       case Seq() => None
       case Seq(t) if t.name == "bucket" =>
         val n = t.arguments().collectFirst {
@@ -218,33 +235,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             if l.dataType == org.apache.spark.sql.types.IntegerType =>
             l.value.asInstanceOf[Int]
         }
-        val refs = t.references()
-        require(n.exists(_ > 0) && refs.length == 1 && refs(0).fieldNames().length == 1,
-          s"bucket transform must be bucket(<n>, <top-level column>), got $t")
-        val col = refs(0).fieldNames()(0)
-        require(schema.fieldNames.contains(col),
-          s"bucket column $col not in schema ${schema.fieldNames.mkString(",")}")
-        // the name lands verbatim in the _layout.json marker and is
-        // later interpolated into generated SQL (backtick-quoted) —
-        // quotes/backslashes/backticks would corrupt the marker or the
-        // expression on every subsequent write, so gate the identifier
-        // at DDL time instead of escaping in N places
-        require(col.matches("[A-Za-z0-9_]+"),
-          s"bucket column name must match [A-Za-z0-9_]+ (it is persisted in the " +
-            s"layout marker and interpolated into layout expressions): '$col'")
-        Some((n.get, col))
+        require(n.exists(_ > 0), s"bucket transform must be bucket(<n>, <column>), got $t")
+        Some(s"""{"bucket_n":${n.get},"bucket_col":"${layoutCol(t)}"}""")
+      // the reference's bronze DDL shape, verbatim:
+      // PARTITIONED BY (days(_processing_date)) — bronze_ingestion.py:113
+      case Seq(t) if t.name == "days" =>
+        val col = layoutCol(t)
+        val dt = schema.fields(schema.fieldIndex(col)).dataType
+        require(dt == org.apache.spark.sql.types.DateType ||
+          dt == org.apache.spark.sql.types.TimestampType,
+          s"days($col) needs a DATE or TIMESTAMP column, got ${dt.catalogString}")
+        Some(s"""{"transform":"days","col":"$col"}""")
       case other => throw new UnsupportedOperationException(
-        s"graft catalog supports only bucket(n, col) partitioning, got ${other.mkString(", ")}; " +
-          "partitioned serving copies go through ServingSink")
+        s"graft catalog supports only bucket(n, col) and days(col) partitioning, " +
+          s"got ${other.mkString(", ")}; partitioned serving copies go through ServingSink")
     }
-    // __graft_bucket is the derived layout column bucketed writes
-    // partition directories by — a DATA column of that name would be
-    // silently overwritten by the derived id on every bucketed write
-    // (withColumn replaces it, partitionBy strips it), losing the
-    // user's values. Reserve it for all catalog tables so the
-    // collision fails loudly at DDL time.
-    require(!schema.fieldNames.contains(GraftSnapshotTable.BucketCol),
-      s"column name ${GraftSnapshotTable.BucketCol} is reserved for the bucketed layout")
+    // derived layout column names — a DATA column with one of these
+    // names would be silently overwritten by the derived value on
+    // every laid-out write (withColumn replaces it, partitionBy strips
+    // it), losing the user's values. Reserved for all catalog tables
+    // so the collision fails loudly at DDL time.
+    GraftLayout.reservedNames.foreach { r =>
+      require(!schema.fieldNames.contains(r),
+        s"column name $r is reserved for the storage layout")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
@@ -252,9 +266,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Files.createDirectories(dir)
     Files.write(dir.resolve("_schema.json"),
       schema.json.getBytes(StandardCharsets.UTF_8))
-    layout.foreach { case (n, c) =>
+    layout.foreach { marker =>
       Files.write(dir.resolve("_layout.json"),
-        s"""{"bucket_n":$n,"bucket_col":"$c"}""".getBytes(StandardCharsets.UTF_8))
+        marker.getBytes(StandardCharsets.UTF_8))
     }
     loadTable(ident)
   }
@@ -262,7 +276,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ---- functions (the SPJ resolution surface) ----------------------
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array(Identifier.of(namespace, "bucket"), Identifier.of(namespace, "days"))
 
   /** Spark's `V2ExpressionUtils` resolves a reported
     * `KeyGroupedPartitioning`'s transforms through here — matching
@@ -270,6 +284,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `EnsureRequirements` elide the exchanges. */
   override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name() == "bucket") GraftBucketFunction
+    else if (ident.name() == "days") GraftDaysFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   /** `ALTER TABLE … ADD COLUMN` (the reference's
@@ -291,8 +306,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           add.position() == null && add.defaultValue() == null =>
         require(!schema.fieldNames.contains(add.fieldNames()(0)),
           s"column ${add.fieldNames()(0)} already exists")
-        require(add.fieldNames()(0) != GraftSnapshotTable.BucketCol,
-          s"column name ${GraftSnapshotTable.BucketCol} is reserved for the bucketed layout")
+        require(!GraftLayout.reservedNames.contains(add.fieldNames()(0)),
+          s"column name ${add.fieldNames()(0)} is reserved for the storage layout")
         val field = org.apache.spark.sql.types.StructField(
           add.fieldNames()(0), add.dataType(), nullable = true)
         schema.add(Option(add.comment()).map(field.withComment).getOrElse(field))
@@ -480,6 +495,8 @@ object GraftCatalog {
         b.inputPartitions.flatMap {
           case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
             fp.files.map(_.filePath.toString).toSeq
+          case kp: GraftBucketed.BucketPartition =>
+            kp.inner.files.map(_.filePath.toString).toSeq
           case _ => Seq.empty
         }
       case _ => Seq.empty
@@ -1008,6 +1025,79 @@ object GraftCatalog {
     |)
     |ORDER BY metric""".stripMargin
 
+  /** Driver query: the `days(col)` layout observed end to end — the
+    * reference's bronze DDL (`PARTITIONED BY (days(_processing_date))`,
+    * `bronze_ingestion.py:113`) runs verbatim through the catalog as a
+    * CTAS, files lay out one-per-day, and scanned-file counts become
+    * DATA-DERIVED structural constants: the full read touches exactly
+    * one file per distinct date, a date-band probe exactly the band's
+    * dates, an impossible date zero. Two same-laid-out tables then
+    * join date-aligned with a pinned sort-merge join and the AQE-final
+    * plan must show ZERO shuffles below it (the catalog's `days`
+    * function resolving both sides' KeyGroupedPartitioning reports).
+    * Every row/sum replays from silver, so the pruned scans and the
+    * exchange-free join are also proven row-exact. */
+  def daysLayoutOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t1 = s"graft.marts.daily_dl_$n"
+    val t2 = s"graft.marts.daily_dr_$n"
+    val v = s"__graft_dl_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t1 PARTITIONED BY (days(event_date)) AS SELECT * FROM $v")
+    s.sql(s"CREATE TABLE $t2 PARTITIONED BY (days(event_date)) AS SELECT event_date, total_events AS te FROM $v")
+    def probe(where: String): (Long, Long, Long) = {
+      // the SUM keeps every probe a REAL data scan (a bare count is
+      // manifest-answered with zero files)
+      val (rows, files) = collectAndCountFiles(s.sql(
+        s"SELECT count(*) AS c, sum(total_events) AS se FROM $t1 $where"))
+      (files, rows(0).getLong(0), if (rows(0).isNullAt(1)) 0L else rows(0).getLong(1))
+    }
+    val (fullF, fullR, _) = probe("")
+    val (bandF, bandR, _) =
+      probe("WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'")
+    val (impF, impR, _) = probe("WHERE event_date > DATE '2030-01-01'")
+    val q = s.sql(s"""
+      SELECT /*+ MERGE(r) */ count(*) AS join_rows, sum(r.te) AS sum_events
+      FROM $t1 l JOIN $t2 r ON l.event_date = r.event_date""")
+    val joined = collectAndCountFiles(q)._1(0)
+    val (smjCount, shufflesBelow) = smjShuffleStats(q)
+    import s.implicits._
+    Seq(
+      "band_files" -> bandF, "band_rows" -> bandR,
+      "full_files" -> fullF, "full_rows" -> fullR,
+      "impossible_files" -> impF, "impossible_rows" -> impR,
+      "spj_join_rows" -> joined.getLong(0),
+      "spj_shuffles_below" -> shufflesBelow,
+      "spj_smj_count" -> smjCount,
+      "spj_sum_events" -> joined.getLong(1))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[daysLayoutOver]]: one file per distinct date
+    * makes every scanned-file count a silver-derived quantity; the
+    * join aggregates replay through the same date-equi join. */
+  val daysLayoutSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT 'band_files' AS metric,
+    |    (SELECT count(DISTINCT event_date) FROM daily
+    |     WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18') AS value
+    |  UNION ALL SELECT 'band_rows',
+    |    (SELECT count(*) FROM daily
+    |     WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18')
+    |  UNION ALL SELECT 'full_files', (SELECT count(DISTINCT event_date) FROM daily)
+    |  UNION ALL SELECT 'full_rows', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'impossible_files', 0
+    |  UNION ALL SELECT 'impossible_rows', 0
+    |  UNION ALL SELECT 'spj_join_rows', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'spj_shuffles_below', 0
+    |  UNION ALL SELECT 'spj_smj_count', 1
+    |  UNION ALL SELECT 'spj_sum_events', (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |)
+    |ORDER BY metric""".stripMargin
+
   /** DuckDB oracle for [[mergePruneOver]]. */
   val mergePruneSql: String = graft.marts.SilverEvents.oracleCte + """
     |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
@@ -1068,13 +1158,16 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         .asInstanceOf[StructType].toDDL))
   }
 
-  /** Declared storage-partitioning layout: (numBuckets, bucketColumn),
-    * None for unbucketed tables. */
-  private[sources] def layout: Option[(Int, String)] = Snapshots.layoutOf(tablePath)
+  /** Declared storage-partitioning layout, None for plain tables. */
+  private[sources] def layoutSpec: Option[GraftLayout] = Snapshots.layoutSpecOf(tablePath)
 
   override def partitioning(): Array[Transform] =
-    layout.map { case (n, c) =>
-      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c) }.toArray
+    layoutSpec.map {
+      case GraftLayout.Bucket(n, c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+      case GraftLayout.Days(c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.days(c)
+    }.toArray
 
   private def parquetTable(v: Long, userSchema: Option[StructType]): ParquetTable =
     // readSet expands bucketed tables to explicit file lists itself —
@@ -1147,7 +1240,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
               parquetTableOver(files, rs).newScanBuilder(options)
                 .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
           }),
-          bucketLayout = layout,
+          layout = layoutSpec,
           manifestAggVersion = Some(v))
       case Some(v) => parquetTable(v, readerSchema).newScanBuilder(options)
       case None    => new GraftEmptyScanBuilder(schema(), tablePath)
@@ -1407,18 +1500,21 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
                                 legacyOverwrite: Boolean): Unit = {
-              // bucketed layout: derive the bucket id with the SAME
-              // expression GraftBucketFunction evaluates, cluster one
-              // shuffle on it (≈1 file per bucket instead of
-              // tasks×buckets), and lay files out per bucket — the
-              // one-time write cost that co-located joins amortize
-              val (toWrite, pcols) = layout match {
-                case Some((n, c)) =>
+              // declared layout: derive the layout value with the SAME
+              // expression the catalog's planner function evaluates,
+              // cluster one shuffle on it (≈1 file per layout value
+              // instead of tasks×values), and lay files out per value —
+              // the one-time write cost that co-located joins and
+              // structural date pruning amortize
+              val (toWrite, pcols) = layoutSpec match {
+                case Some(spec) =>
                   import org.apache.spark.sql.functions.{col, expr}
-                  (data.withColumn(GraftSnapshotTable.BucketCol,
-                    expr(s"CAST(pmod(xxhash64(`$c`), ${n}L) AS INT)"))
-                    .repartition(n, col(GraftSnapshotTable.BucketCol)),
-                    Seq(GraftSnapshotTable.BucketCol))
+                  val derived = data.withColumn(spec.partCol, expr(spec.derivedExpr))
+                  val clustered = spec match {
+                    case GraftLayout.Bucket(n, _) => derived.repartition(n, col(spec.partCol))
+                    case _ => derived.repartition(col(spec.partCol))
+                  }
+                  (clustered, Seq(spec.partCol))
                 case None => (data, Nil)
               }
               val fullState = overwrite || legacyOverwrite ||
@@ -1444,20 +1540,32 @@ private[sources] object GraftSnapshotTable {
     * excluded from manifests/schema and readers never see it (bucketed
     * tables read explicit file lists, not directories). */
   val BucketCol = "__graft_bucket"
+  /** Same for `days(col)` layouts — days since epoch of the source
+    * column's date. */
+  val DaysCol = "__graft_days"
 }
 
-/** Bucket-grouped batch planning — the read half of the
-  * storage-partitioned join: every data file of a bucketed table
-  * lives under a `__graft_bucket=N/` layout directory, and this
-  * regroups a file-based batch into EXACTLY ONE input partition per
-  * bucket id (0..n-1, empty buckets included so both join sides
-  * always expose identical partition-value sets), each reporting its
-  * bucket through `HasPartitionKey`. Spark groups same-key partitions
-  * across the join and elides the exchanges. */
-private[sources] object GraftBucketed {
+/** Layout-grouped batch planning — the read half of the
+  * storage-partitioned join: every data file of a laid-out table
+  * lives under a `<partCol>=K/` layout directory
+  * (`__graft_bucket=N/`, `__graft_days=D/`), and this regroups a
+  * file-based batch into EXACTLY ONE input partition per layout key,
+  * each reporting its key through `HasPartitionKey`. Spark groups
+  * same-key partitions across the join and elides the exchanges.
+  * Bucket layouts plan 0..n-1 with empties included so both join
+  * sides always expose identical partition-value sets; days layouts
+  * plan the caller-provided key set (both sides over one date domain
+  * expose the same days, and Spark's push-part-values handling covers
+  * partial mismatches). */
+private[graft] object GraftBucketed {
 
   def bucketOf(path: String): Option[Int] =
-    (GraftSnapshotTable.BucketCol + "=(\\d+)/").r
+    keyOf(GraftSnapshotTable.BucketCol, path)
+
+  /** The layout key encoded in a file's directory path (None for a
+    * file outside the layout — e.g. a CoW rewrite that broke it). */
+  def keyOf(partCol: String, path: String): Option[Int] =
+    (java.util.regex.Pattern.quote(partCol) + "=(-?\\d+)/").r
       .findFirstMatchIn(path).map(_.group(1).toInt)
 
   final case class BucketPartition(
@@ -1471,10 +1579,11 @@ private[sources] object GraftBucketed {
     override def preferredLocations(): Array[String] = inner.preferredLocations()
   }
 
-  /** Regroup `innerBatch`'s file partitions per bucket; None if any
-    * partition isn't file-based or any file lacks a bucket segment
+  /** Regroup `innerBatch`'s file partitions per layout key (one
+    * partition per entry of `keys`, empty ones included); None if any
+    * partition isn't file-based or any file lacks a layout segment
     * (callers then keep the plain batch and report no partitioning). */
-  def group(innerBatch: Batch, n: Int): Option[Batch] = {
+  def group(innerBatch: Batch, partCol: String, keys: Seq[Int]): Option[Batch] = {
     val parts = innerBatch.planInputPartitions()
     val files = Array.newBuilder[org.apache.spark.sql.execution.datasources.PartitionedFile]
     parts.foreach {
@@ -1482,14 +1591,17 @@ private[sources] object GraftBucketed {
         files ++= fp.files
       case _ => return None
     }
-    val withBuckets = files.result().map(f => (bucketOf(f.filePath.toString), f))
-    if (withBuckets.exists(_._1.isEmpty)) return None
-    val byBucket = withBuckets.groupBy(_._1.get)
+    val withKeys = files.result().map(f => (keyOf(partCol, f.filePath.toString), f))
+    if (withKeys.exists(_._1.isEmpty)) return None
+    val byBucket = withKeys.groupBy(_._1.get)
+    // a file keyed OUTSIDE the declared set would silently drop from
+    // the grouped plan — refuse and fall back to ungrouped instead
+    if (!byBucket.keySet.subsetOf(keys.toSet)) return None
     Some(new Batch {
       override def planInputPartitions(): Array[InputPartition] =
-        (0 until n).map { b =>
+        keys.zipWithIndex.map { case (b, i) =>
           BucketPartition(b, org.apache.spark.sql.execution.datasources.FilePartition(
-            b, byBucket.getOrElse(b, Array.empty).map(_._2)))
+            i, byBucket.getOrElse(b, Array.empty).map(_._2)))
         }.toArray
       override def createReaderFactory(): PartitionReaderFactory = {
         val inner = innerBatch.createReaderFactory()

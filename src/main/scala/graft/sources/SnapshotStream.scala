@@ -164,7 +164,7 @@ private[graft] class SnapshotMicroBatchStream(tablePath: String,
           s"${nonAppend.map(v => s"$v(${Snapshots.operationOf(tablePath, v)})").mkString(", ")} " +
           "in the unprocessed range — a rewrite cannot replay as a delta; restart the stream")
       val dirs = vs.map(v => s"$tablePath/v=$v")
-      if (Snapshots.layoutOf(tablePath).isEmpty) dirs
+      if (Snapshots.layoutSpecOf(tablePath).isEmpty) dirs
       else dirs.flatMap(Snapshots.expandParquet)
     }
 
@@ -257,7 +257,7 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
                                                   tablePath: String,
                                                   fullSchema: StructType,
                                                   pruneRebuild: Option[GraftPruneRebuild] = None,
-                                                  bucketLayout: Option[(Int, String)] = None,
+                                                  layout: Option[GraftLayout] = None,
                                                   manifestAggVersion: Option[Long] = None)
   extends ScanBuilder
     with SupportsPushDownRequiredColumns
@@ -377,7 +377,7 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
     }
     val statiPruned = limited.orElse(rebuildFn.flatMap(f => f(Seq.empty)))
     new GraftStreamableScan(statiPruned.getOrElse(delegate.build()),
-      tablePath, fullSchema, rebuildFn, includeFileRef, bucketLayout)
+      tablePath, fullSchema, rebuildFn, includeFileRef, layout)
   }
 
   /** All files of the read set provably excluded by the filters: an
@@ -399,7 +399,7 @@ private[graft] class GraftStreamableScan(initialInner: Scan, tablePath: String,
                                            fullSchema: StructType,
                                            rebuild: Option[Seq[Expression] => Option[Scan]] = None,
                                            includeFileRef: Boolean = false,
-                                           bucketLayout: Option[(Int, String)] = None)
+                                           layout: Option[GraftLayout] = None)
   extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.internal.connector.SupportsMetadata
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -447,38 +447,50 @@ private[graft] class GraftStreamableScan(initialInner: Scan, tablePath: String,
         org.apache.spark.sql.types.StringType, nullable = false)
     else inner.readSchema()
 
-  /** The bucketed-layout report, pinned at first consultation (the
-    * planner reads `outputPartitioning` once; `toBatch` must honor
-    * the SAME decision even after a runtime-filter swap — a narrowed
-    * file set is a subset of an aligned one, so regrouping stays
-    * valid). Only a fully bucket-aligned, non-empty, file-backed scan
-    * reports; a CoW rewrite that broke alignment (or the file-ref
-    * metadata column, which needs per-file partitions of its own)
-    * degrades to unknown partitioning — never to a wrong plan. */
-  private lazy val alignedBuckets: Option[Int] = bucketLayout.flatMap { case (n, _) =>
+  /** The layout report, pinned at first consultation (the planner
+    * reads `outputPartitioning` once; `toBatch` must honor the SAME
+    * decision even after a runtime-filter swap — a narrowed file set
+    * is a subset of an aligned one, so regrouping stays valid). Only a
+    * fully layout-aligned, non-empty, file-backed scan reports; a CoW
+    * rewrite that broke alignment (or the file-ref metadata column,
+    * which needs per-file partitions of its own) degrades to unknown
+    * partitioning — never to a wrong plan. Bucket layouts report all
+    * n buckets (empties included); days layouts report the observed
+    * day set (both sides of one date domain expose the same days). */
+  private lazy val alignedKeys: Option[Seq[Int]] = layout.flatMap { spec =>
     if (includeFileRef) None
     else {
       val fs = scannedFileList
-      if (fs.nonEmpty && fs.forall(f => GraftBucketed.bucketOf(f).isDefined)) Some(n)
-      else None
+      val keys = fs.map(f => GraftBucketed.keyOf(spec.partCol, f))
+      if (fs.isEmpty || keys.exists(_.isEmpty)) None
+      else spec match {
+        case GraftLayout.Bucket(n, _) => Some(0 until n)
+        case _ => Some(keys.flatten.distinct.sorted)
+      }
     }
   }
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    alignedBuckets match {
-      case Some(n) =>
+    alignedKeys match {
+      case Some(keys) =>
+        val transform = layout.get match {
+          case GraftLayout.Bucket(n, c) =>
+            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+          case GraftLayout.Days(c) =>
+            org.apache.spark.sql.connector.expressions.Expressions.days(c)
+        }
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
-            n, bucketLayout.get._2)), n)
+          Array(transform), keys.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
 
   override def toBatch: Batch = {
     val base = inner.toBatch
-    alignedBuckets match {
-      case Some(n) => GraftBucketed.group(base, n).getOrElse(base)
-      case None    => if (includeFileRef) GraftFileTag.tag(base) else base
+    alignedKeys match {
+      case Some(keys) =>
+        GraftBucketed.group(base, layout.get.partCol, keys).getOrElse(base)
+      case None => if (includeFileRef) GraftFileTag.tag(base) else base
     }
   }
 

@@ -141,16 +141,28 @@ object Snapshots {
 
   /** Declared storage-partitioning layout marker ((numBuckets,
     * bucketColumn)) — written by the catalog's CREATE TABLE; None for
-    * plain tables. */
-  private[sources] def layoutOf(table: String): Option[(Int, String)] = {
+    * plain and days-partitioned tables. */
+  private[sources] def layoutOf(table: String): Option[(Int, String)] =
+    layoutSpecOf(table).collect { case GraftLayout.Bucket(n, c) => (n, c) }
+
+  /** The table's declared storage layout (bucket or days transform),
+    * None for plain tables. */
+  private[sources] def layoutSpecOf(table: String): Option[GraftLayout] = {
     val marker = Paths.get(table, "_layout.json")
     if (!Files.isRegularFile(marker)) None
     else {
       val text = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
-      for {
+      val bucket = for {
         n <- "\"bucket_n\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
         c <- "\"bucket_col\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
-      } yield (n, c)
+      } yield GraftLayout.Bucket(n, c)
+      bucket.orElse {
+        for {
+          t <- "\"transform\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
+          if t == "days"
+          c <- "\"col\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
+        } yield GraftLayout.Days(c)
+      }
     }
   }
 
@@ -204,7 +216,7 @@ object Snapshots {
     val lastFull = lastFullVersion(table, v)
     val base = carriedOf(table, lastFull).map(f => s"$table/${f.name}") ++
       upTo.collect { case x if x >= lastFull => s"$table/v=$x" }
-    if (layoutOf(table).isEmpty) base
+    if (layoutSpecOf(table).isEmpty) base
     else base.flatMap(p => if (p.endsWith(".parquet")) Seq(p) else expandParquet(p))
   }
 
@@ -487,18 +499,22 @@ object Snapshots {
     }
     val totalBytes = dataFiles.sum
     val numOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    // a bucketed table compacts PER BUCKET (file count = bucket count,
-    // not the byte target) so the compacted snapshot keeps the layout
-    // and co-located joins stay exchange-free across maintenance
-    val v = layoutOf(table) match {
-      case Some((n, c)) =>
+    // a laid-out table compacts PER LAYOUT VALUE (file count = bucket/
+    // day count, not the byte target) so the compacted snapshot keeps
+    // the layout and co-located joins stay exchange-free across
+    // maintenance
+    val v = layoutSpecOf(table) match {
+      case Some(spec) =>
         import org.apache.spark.sql.functions.{col, expr}
-        val bc = GraftSnapshotTable.BucketCol
-        writeSnapshot(
-          readLatest(spark, table)
-            .withColumn(bc, expr(s"CAST(pmod(xxhash64(`$c`), ${n}L) AS INT)"))
-            .repartition(n, col(bc)),
-          table, operation = "compact", partitionColumns = Seq(bc))
+        val pc = spec.partCol
+        val clustered = readLatest(spark, table)
+          .withColumn(pc, expr(spec.derivedExpr))
+        val repartitioned = spec match {
+          case GraftLayout.Bucket(n, _) => clustered.repartition(n, col(pc))
+          case _ => clustered.repartition(col(pc))
+        }
+        writeSnapshot(repartitioned, table,
+          operation = "compact", partitionColumns = Seq(pc))
       case None =>
         writeSnapshot(
           readLatest(spark, table).repartition(numOut), table, operation = "compact")
@@ -779,4 +795,43 @@ object Snapshots {
     |  UNION ALL SELECT 3, 'overwrite', (SELECT count(*) FROM daily), 13
     |)
     |ORDER BY version""".stripMargin
+}
+
+/** A catalog table's declared storage-partitioned layout — the
+  * transform every write lays files out by (one hidden `partCol=value/`
+  * directory level per transform value) and every scan reports as
+  * `KeyGroupedPartitioning`, so same-laid-out tables join with no
+  * exchange (Iceberg's storage-partitioned join design over its
+  * bucket/days transforms — reference `bronze_ingestion.py:113`
+  * declares `PARTITIONED BY (days(_processing_date))`). */
+private[sources] sealed trait GraftLayout {
+  /** Source column the transform derives from. */
+  def col: String
+  /** Hidden directory-level column the write path partitions by. */
+  def partCol: String
+  /** SQL deriving the layout value from the source column — the SAME
+    * definition the catalog's FunctionCatalog serves to the planner,
+    * so the layout on disk and the function the optimizer reasons
+    * with can never disagree. */
+  def derivedExpr: String
+}
+
+private[sources] object GraftLayout {
+  /** `bucket(n, col)`: pmod(xxhash64(col), n). */
+  final case class Bucket(n: Int, col: String) extends GraftLayout {
+    val partCol: String = GraftSnapshotTable.BucketCol
+    def derivedExpr: String = s"CAST(pmod(xxhash64(`$col`), ${n}L) AS INT)"
+  }
+  /** `days(col)`: days since epoch of the column's date — the Iceberg
+    * days transform (DATE's internal representation, so the planner
+    * function is the identity on date inputs). */
+  final case class Days(col: String) extends GraftLayout {
+    val partCol: String = GraftSnapshotTable.DaysCol
+    def derivedExpr: String = s"datediff(CAST(`$col` AS DATE), DATE '1970-01-01')"
+  }
+
+  /** All reserved derived-layout column names (data columns may not
+    * shadow them — the write path would silently overwrite). */
+  val reservedNames: Set[String] =
+    Set(GraftSnapshotTable.BucketCol, GraftSnapshotTable.DaysCol)
 }

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GraftCatalog, Snapshots}
+
+/** The `days(col)` partition transform through the DSv2 catalog — the
+  * reference's bronze DDL shape
+  * (`spark/jobs/bronze_ingestion.py:113` `PARTITIONED BY
+  * (days(_processing_date))`) running verbatim: per-day file layout,
+  * structural date pruning, storage-partitioned joins resolved through
+  * the catalog's `days` function, and layout-preserving compaction. */
+class DaysLayoutSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private lazy val wh = Files.createTempDirectory("graft_days_spec_").toString
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.gdl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdl.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    "gdl"
+  }
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    df.collect()
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectLeaves().flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+        case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case l => Seq(l)
+      }
+    leaves(df.queryExecution.executedPlan).flatMap {
+      case b: BatchScanExec => b.inputPartitions.flatMap {
+        case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+        case p: graft.sources.GraftBucketed.BucketPartition =>
+          p.inner.files.map(_.filePath.toString).toSeq
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }.distinct
+  }
+
+  private def smjShuffles(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    df.collect()
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => expand(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        expand(a.executedPlan)
+      case other => Seq(other)
+    }
+    def shufflesIn(p: SparkPlan): Long =
+      expand(p).map { n =>
+        (n match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1L
+          case _ => 0L
+        }) + n.children.map(shufflesIn).sum
+      }.sum
+    def smjs(p: SparkPlan): Seq[SparkPlan] =
+      expand(p).flatMap {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => Seq(j)
+        case n => n.children.flatMap(smjs)
+      }
+    val joins = smjs(df.queryExecution.executedPlan)
+    (joins.size.toLong, joins.map(j => j.children.map(shufflesIn).sum).sum)
+  }
+
+  test("the reference bronze DDL runs verbatim: days layout on disk, hidden from schema, per-row exact") {
+    spark.sql(s"CREATE NAMESPACE $cat.bronze")
+    // bronze_ingestion.py:113 shape, including USING iceberg
+    spark.sql(s"""CREATE TABLE $cat.bronze.t (event_date DATE, n BIGINT)
+      USING iceberg PARTITIONED BY (days(event_date))""")
+    spark.range(0, 40).selectExpr(
+      "DATE_ADD(DATE '2024-01-01', CAST(id % 8 AS INT)) AS event_date", "id AS n")
+      .createOrReplaceTempView("__days_src")
+    spark.sql(s"INSERT INTO $cat.bronze.t SELECT * FROM __days_src")
+    // per-day directories exist; the derived column stays out of the schema
+    val names = scala.util.Using.resource(Files.list(Paths.get(s"$wh/bronze/t/v=1"))) { ls =>
+      val b = Vector.newBuilder[String]
+      ls.iterator().forEachRemaining(p => b += p.getFileName.toString)
+      b.result()
+    }
+    assert(names.count(_.startsWith("__graft_days=")) == 8, names.mkString(","))
+    assert(spark.table(s"$cat.bronze.t").columns.toSeq == Seq("event_date", "n"))
+    assert(spark.sql(s"SELECT sum(n) FROM $cat.bronze.t").head().getLong(0) == (0L until 40L).sum)
+    // structural date pruning: a 2-day probe scans exactly 2 of 8 files
+    // (manifest bounds over the day-aligned layout); sum forces a real scan
+    val probe = spark.sql(s"SELECT count(*) AS c, sum(n) AS s FROM $cat.bronze.t " +
+      "WHERE event_date BETWEEN DATE '2024-01-02' AND DATE '2024-01-03'")
+    assert(scannedFiles(probe).size == 2, s"got ${scannedFiles(probe)}")
+    val impossible = spark.sql(s"SELECT count(*) AS c, sum(n) AS s FROM $cat.bronze.t " +
+      "WHERE event_date > DATE '2030-01-01'")
+    assert(scannedFiles(impossible).isEmpty)
+  }
+
+  test("storage-partitioned join over two days-laid-out tables plans zero shuffles") {
+    spark.sql(s"CREATE NAMESPACE $cat.spj")
+    spark.range(0, 64).selectExpr(
+      "DATE_ADD(DATE '2024-02-01', CAST(id % 8 AS INT)) AS d", "id AS a")
+      .createOrReplaceTempView("__days_spj_l")
+    spark.range(0, 32).selectExpr(
+      "DATE_ADD(DATE '2024-02-01', CAST(id % 8 AS INT)) AS d", "id * 2 AS b")
+      .createOrReplaceTempView("__days_spj_r")
+    spark.sql(s"CREATE TABLE $cat.spj.l PARTITIONED BY (days(d)) AS SELECT * FROM __days_spj_l")
+    spark.sql(s"CREATE TABLE $cat.spj.r PARTITIONED BY (days(d)) AS SELECT * FROM __days_spj_r")
+    val q = spark.sql(s"""
+      SELECT /*+ MERGE(r) */ count(*) AS c, sum(l.a) AS sa, sum(r.b) AS sb
+      FROM $cat.spj.l l JOIN $cat.spj.r r ON l.d = r.d""")
+    val (smj, below) = smjShuffles(q)
+    assert(smj == 1 && below == 0,
+      s"days-aligned join must elide both exchanges, got smj=$smj shuffles_below=$below")
+    // row-exactness of the exchange-free plan: 8 days × (8 l-rows × 4 r-rows)
+    val row = q.collect()(0)
+    assert(row.getLong(0) == 8L * 8L * 4L)
+  }
+
+  test("timestamp columns take the days transform; compaction preserves the layout") {
+    spark.sql(s"CREATE NAMESPACE $cat.ts")
+    spark.range(0, 30).selectExpr(
+      "TIMESTAMP '2024-03-01 06:00:00' + make_interval(0,0,0,CAST(id % 5 AS INT),0,0,0) AS ts",
+      "id AS n")
+      .createOrReplaceTempView("__days_ts_src")
+    spark.sql(s"CREATE TABLE $cat.ts.t PARTITIONED BY (days(ts)) AS SELECT * FROM __days_ts_src")
+    spark.sql(s"INSERT INTO $cat.ts.t SELECT * FROM __days_ts_src WHERE n < 10")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ts.t").head().getLong(0) == 40)
+    val tp = s"$wh/ts/t"
+    val (cv, _, after) = Snapshots.compact(spark, tp)
+    assert(after == 5, s"compaction must keep one file per day, got $after")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ts.t").head().getLong(0) == 40)
+    // layout survives: a 1-day probe over the compacted state scans 1 file
+    val probe = spark.sql(s"SELECT count(*) AS c, sum(n) AS s FROM $cat.ts.t " +
+      "WHERE ts >= TIMESTAMP '2024-03-02 00:00:00' AND ts < TIMESTAMP '2024-03-03 00:00:00'")
+    assert(scannedFiles(probe).size == 1, s"got ${scannedFiles(probe)}")
+    assert(cv == 3)
+  }
+
+  test("DDL validation: non-temporal days column and reserved layout names are loud") {
+    spark.sql(s"CREATE NAMESPACE $cat.val")
+    val wrongType = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.val.w (k BIGINT) PARTITIONED BY (days(k))")
+    }
+    assert(wrongType.getMessage.contains("DATE or TIMESTAMP"), wrongType.getMessage)
+    val reserved = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.val.r (__graft_days INT, d DATE)")
+    }
+    assert(reserved.getMessage.contains("reserved"), reserved.getMessage)
+    val unsupported = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.val.m (d DATE) PARTITIONED BY (months(d))")
+    }
+    assert(unsupported.getMessage.contains("days(col)"), unsupported.getMessage)
+  }
+}

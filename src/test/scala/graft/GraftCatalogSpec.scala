@@ -667,9 +667,10 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(tbl.partitioning().map(_.toString).toSeq == Seq("bucket(8, k)"),
       s"partitioning must surface the layout, got ${tbl.partitioning().mkString(",")}")
 
-    // unsupported transforms stay loud
+    // unsupported transforms stay loud (days(col) is supported since
+    // r14 — DaysLayoutSpec pins it; months is not)
     val bad = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.spj.bad (k BIGINT, d DATE) PARTITIONED BY (days(d))")
+      spark.sql(s"CREATE TABLE $cat.spj.bad (k BIGINT, d DATE) PARTITIONED BY (months(d))")
     }
     assert(bad.getMessage.contains("bucket"), bad.getMessage)
 
