@@ -464,6 +464,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.morDmlOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_days_layout" -> ((s, dir) =>
       graft.sources.GraftCatalog.daysLayoutOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_evolution" -> ((s, dir) =>
+      graft.sources.GraftCatalog.evolutionOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_rewrite_files" -> ((s, dir) =>
       graft.sources.GraftCatalog.rewriteFilesOver(s, DailySales.build(silver(s, dir)))),
     "stream_catalog_append" -> ((s, dir) =>
@@ -670,6 +672,7 @@ object SparkEntry {
     "meta_catalog_stats_plane" -> graft.sources.GraftCatalog.statsPlaneSql,
     "meta_catalog_mor_dml" -> graft.sources.GraftCatalog.morDmlSql,
     "meta_catalog_days_layout" -> graft.sources.GraftCatalog.daysLayoutSql,
+    "meta_catalog_evolution" -> graft.sources.GraftCatalog.evolutionSql,
     "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,
     "stream_catalog_append" -> graft.sources.GraftCatalog.streamAppendSql,
     "stream_catalog_table" -> graft.sources.SnapshotStream.catalogStreamSql,

@@ -287,15 +287,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.name() == "days") GraftDaysFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
-  /** `ALTER TABLE … ADD COLUMN` (the reference's
-    * schema_add_column.py:24-28, K6): metadata-only evolution — the
-    * merged schema lands in `_schema.json`, existing data directories
-    * are untouched, and current-state reads surface the new column as
-    * NULL on pre-evolution rows (Iceberg's add-column contract).
-    * Time travel keeps per-snapshot schemas: a pinned read infers
-    * from the snapshot's own files. Only nullable, top-level,
-    * position-free, default-free adds are supported — anything else
-    * is a full-state rewrite and stays loud. */
+  /** Metadata-only schema evolution (the reference's
+    * schema_add_column.py:24-28, K6 — extended to the Iceberg v2
+    * surface): `ADD COLUMN`, `DROP COLUMN`, and WIDENING `ALTER
+    * COLUMN … TYPE` all land in `_schema.json` without touching any
+    * data directory. Current-state reads honor the declared schema —
+    * a just-added column reads NULL on pre-evolution rows, a dropped
+    * column simply stops being read (parquet resolves by name), and a
+    * widened column upcasts in the reader (Spark's parquet type
+    * promotion: byte/short/int→wider integrals, float→double) so
+    * pre-widen files keep serving without a rewrite. Time travel
+    * keeps per-snapshot schemas: a pinned read infers from the
+    * snapshot's own files. Manifest stats of pre-widen files carry the
+    * NARROW tag and therefore stop pruning on that column (tag
+    * mismatch keeps the file — sound by refusal) until a rewrite
+    * refreshes them. RENAME stays loud: correct rename needs a
+    * field-identity mapping applied inside every scan
+    * (pre-rename files hold the old physical name), which this store
+    * does not carry yet. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
@@ -311,13 +320,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val field = org.apache.spark.sql.types.StructField(
           add.fieldNames()(0), add.dataType(), nullable = true)
         schema.add(Option(add.comment()).map(field.withComment).getOrElse(field))
+      case (schema, del: TableChange.DeleteColumn) if del.fieldNames().length == 1 =>
+        val name = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(name)) {
+          require(del.ifExists(), s"column $name does not exist"); schema
+        } else {
+          // the layout column is load-bearing (every write derives
+          // from it); dropping it would orphan the table's layout
+          Snapshots.layoutSpecOf(dir.toString).foreach(spec =>
+            require(spec.col != name,
+              s"cannot drop $name: it drives the table's ${spec.partCol} layout"))
+          require(schema.fields.length > 1, s"cannot drop the only column $name")
+          StructType(schema.fields.filterNot(_.name == name))
+        }
+      case (schema, upd: TableChange.UpdateColumnType) if upd.fieldNames().length == 1 =>
+        val name = upd.fieldNames()(0)
+        require(schema.fieldNames.contains(name), s"column $name does not exist")
+        // the layout derives from this column's HASHED/encoded value —
+        // xxhash64(int) != xxhash64(bigint) for the same number, so a
+        // widened layout column would scatter new writes across
+        // different buckets than the existing files
+        Snapshots.layoutSpecOf(dir.toString).foreach(spec =>
+          require(spec.col != name,
+            s"cannot retype $name: it drives the table's ${spec.partCol} layout"))
+        val from = schema.fields(schema.fieldIndex(name)).dataType
+        val to = upd.newDataType()
+        require(widens(from, to),
+          s"ALTER COLUMN $name TYPE ${to.catalogString}: only widening promotions " +
+            s"(${from.catalogString} is not promotable to ${to.catalogString}) are " +
+            "metadata-only; everything else is a full-state snapshot write — " +
+            "see graft.sources.SchemaEvolution")
+        StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f))
       case _ => throw new UnsupportedOperationException(
-        "only nullable top-level ADD COLUMN is metadata-only; everything else " +
-          "is a full-state snapshot write — see graft.sources.SchemaEvolution")
+        "metadata-only evolution covers nullable top-level ADD COLUMN, DROP COLUMN, " +
+          "and widening ALTER COLUMN TYPE; everything else (incl. RENAME, which needs " +
+          "a field-identity mapping) is a full-state snapshot write — see " +
+          "graft.sources.SchemaEvolution")
     }
     Files.write(dir.resolve("_schema.json"),
       evolved.json.getBytes(StandardCharsets.UTF_8))
     loadTable(ident)
+  }
+
+  /** Type promotions Spark's parquet readers perform on read (type
+    * promotion over a wider user schema) — the set for which a
+    * metadata-only TYPE change is safe with pre-widen files in place. */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val integralOrder: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    (integralOrder.indexOf(from), integralOrder.indexOf(to)) match {
+      case (f, t) if f >= 0 && t >= 0 => f < t
+      case _ => from == FloatType && to == DoubleType
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -1022,6 +1078,58 @@ object GraftCatalog {
     |  UNION ALL SELECT 'impossible_files_scanned', 0
     |  UNION ALL SELECT 'impossible_rows', 0
     |  UNION ALL SELECT 'rows_total', (SELECT count(*) FROM daily)
+    |)
+    |ORDER BY metric""".stripMargin
+
+  /** Driver query: metadata-only schema evolution observed end to end
+    * — the te column is created NARROW (INT), widened to BIGINT
+    * without a write, appended to in the wide era, then a scratch
+    * column is added and dropped — and the store must show exactly TWO
+    * data versions (all four ALTERs were manifest-plane) while every
+    * read upcasts the pre-widen INT32 files transparently: the sums
+    * replay from silver, including a band straddling the widen
+    * boundary. */
+  def evolutionOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_ev_$n"
+    val tablePath = s"$warehouseDir/marts/daily_ev_$n"
+    val v = s"__graft_ev_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ event_date, CAST(total_events AS INT) AS te FROM $v WHERE event_date <= DATE '2024-01-20'")
+    s.sql(s"ALTER TABLE $t ALTER COLUMN te TYPE BIGINT")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date > DATE '2024-01-20'")
+    s.sql(s"ALTER TABLE $t ADD COLUMN note STRING")
+    s.sql(s"ALTER TABLE $t DROP COLUMN note")
+    val dataVersions = Snapshots.versions(tablePath).size.toLong
+    val colsFinal = s.table(t).columns.length.toLong
+    s.sql(s"""
+      |SELECT * FROM (
+      |  SELECT 'columns_final' AS metric, CAST($colsFinal AS BIGINT) AS value
+      |  UNION ALL SELECT 'data_versions', CAST($dataVersions AS BIGINT)
+      |  UNION ALL SELECT 'rows_total', (SELECT count(*) FROM $t)
+      |  UNION ALL SELECT 'sum_te', (SELECT CAST(sum(te) AS BIGINT) FROM $t)
+      |  UNION ALL SELECT 'sum_te_band',
+      |    (SELECT CAST(sum(te) AS BIGINT) FROM $t
+      |     WHERE event_date BETWEEN DATE '2024-01-15' AND DATE '2024-01-25')
+      |)
+      |ORDER BY metric""".stripMargin)
+  }
+
+  /** DuckDB oracle for [[evolutionOver]]: evolution structure as
+    * constants (2 columns, 2 data versions despite 4 ALTERs), sums
+    * replayed from silver across the era boundary. */
+  val evolutionSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |SELECT * FROM (
+    |  SELECT 'columns_final' AS metric, CAST(2 AS BIGINT) AS value
+    |  UNION ALL SELECT 'data_versions', 2
+    |  UNION ALL SELECT 'rows_total', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'sum_te', (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |  UNION ALL SELECT 'sum_te_band',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily
+    |     WHERE event_date BETWEEN DATE '2024-01-15' AND DATE '2024-01-25')
     |)
     |ORDER BY metric""".stripMargin
 

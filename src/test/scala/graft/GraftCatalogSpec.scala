@@ -783,6 +783,71 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.evodml.t VERSION AS OF 4").head().getLong(0) == 2001)
   }
 
+  test("DROP COLUMN and widening TYPE changes are metadata-only; DML composes; RENAME stays loud") {
+    spark.sql(s"CREATE NAMESPACE $cat.evo2")
+    val tp = s"$wh/evo2/t"
+    spark.range(0, 2000).selectExpr(
+      "CAST(id AS INT) AS k", "CAST(id % 3 AS STRING) AS tag", "id * 2 AS v")
+      .createOrReplaceTempView("__evo2_src")
+    spark.sql(s"CREATE TABLE $cat.evo2.t AS SELECT /*+ COALESCE(1) */ * FROM __evo2_src WHERE k < 1000")
+    spark.sql(s"INSERT INTO $cat.evo2.t SELECT /*+ COALESCE(1) */ * FROM __evo2_src WHERE k >= 1000")
+
+    // WIDEN k INT→BIGINT: no data write, pre-widen INT32 files upcast on read
+    spark.sql(s"ALTER TABLE $cat.evo2.t ALTER COLUMN k TYPE BIGINT")
+    assert(Snapshots.versions(tp).size == 2, "widen must be metadata-only")
+    assert(spark.table(s"$cat.evo2.t").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.evo2.t").head().getLong(0) ==
+      (0L until 2000L).sum)
+    // post-widen rows may exceed INT range
+    spark.sql(s"INSERT INTO $cat.evo2.t VALUES (${Long.MaxValue - 5}, 'w', 0)")
+    assert(spark.sql(s"SELECT max(k) FROM $cat.evo2.t WHERE k > 100").head().getLong(0) ==
+      Long.MaxValue - 5)
+    // DML keyed on the widened column: pre-widen files carry i32 stats
+    // (tag mismatch keeps them — no wrong pruning), rows delete exactly
+    spark.sql(s"DELETE FROM $cat.evo2.t WHERE k BETWEEN 100 AND 199")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.evo2.t").head().getLong(0) == 1901)
+
+    // DROP COLUMN tag: metadata-only; narrower appends; history keeps it
+    spark.sql(s"ALTER TABLE $cat.evo2.t DROP COLUMN tag")
+    assert(Snapshots.versions(tp).size == 4, "drop must be metadata-only")
+    assert(spark.table(s"$cat.evo2.t").columns.toSeq == Seq("k", "v"))
+    spark.sql(s"INSERT INTO $cat.evo2.t VALUES (77777, 154)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.evo2.t").head().getLong(0) == 1902)
+    // per-snapshot schemas: the pre-drop snapshot still surfaces tag
+    assert(spark.sql(s"SELECT count(*) FROM $cat.evo2.t VERSION AS OF 2 WHERE tag = '1'")
+      .head().getLong(0) > 0)
+
+    // guards: RENAME needs a field-identity mapping — loud, not wrong
+    val ren = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evo2.t RENAME COLUMN v TO w")
+    }
+    assert(ren.getMessage.contains("SchemaEvolution"), ren.getMessage)
+    // narrowing stays loud (Spark's analyzer rejects it before the
+    // catalog; the catalog's own widening guard backstops non-SQL paths
+    // and analyzer-admitted promotions parquet cannot perform)
+    val narrow = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evo2.t ALTER COLUMN k TYPE INT")
+    }
+    assert(narrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      narrow.getMessage.contains("widening"), narrow.getMessage)
+    val notPromotable = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evo2.t ALTER COLUMN k TYPE DECIMAL(38,0)")
+    }
+    assert(notPromotable.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      notPromotable.getMessage.contains("widening"), notPromotable.getMessage)
+    // layout source columns are load-bearing: drop/retype refuse
+    spark.sql(s"CREATE TABLE $cat.evo2.b (u INT, x BIGINT) PARTITIONED BY (bucket(4, u))")
+    val dropLayout = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evo2.b DROP COLUMN u")
+    }
+    assert(dropLayout.getMessage.contains("layout"), dropLayout.getMessage)
+    val retypeLayout = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evo2.b ALTER COLUMN u TYPE BIGINT")
+    }
+    assert(retypeLayout.getMessage.contains("layout"), retypeLayout.getMessage)
+  }
+
   test("driver query matches its oracle shape and the DDL surface stays unsupported-loud") {
     val daily = graft.marts.DailySales.build(
       graft.marts.SilverEvents.build(graft.sources.Tables.events(spark, TestSession.sf)))
