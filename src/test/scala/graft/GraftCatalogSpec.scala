@@ -381,11 +381,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     // time travel keeps the per-snapshot schema: v1 has no payment_method
     assert(!spark.sql(s"SELECT * FROM $cat.evo.t VERSION AS OF 1")
       .columns.contains("payment_method"))
-    // non-metadata-only changes stay loud
-    val drop = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.evo.t DROP COLUMN name")
+    // non-metadata-only changes stay loud (DROP COLUMN became
+    // metadata-only in r14 — the evo2 test pins it; RENAME has not)
+    val rename = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evo.t RENAME COLUMN name TO label")
     }
-    assert(drop.getMessage.contains("SchemaEvolution"))
+    assert(rename.getMessage.contains("SchemaEvolution"))
     // idempotence guard: adding an existing column errors clearly
     val dup = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.evo.t ADD COLUMN payment_method STRING")
