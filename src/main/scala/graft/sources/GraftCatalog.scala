@@ -55,11 +55,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * touch only directory names and manifests — driver-side metadata,
   * never data.
   *
-  * Deliberately unsupported (documented, loud): partition transforms
-  * in CREATE TABLE (the store manages layout; partitioned serving
-  * goes through [[graft.sink.ServingSink]]) and non-metadata-only
-  * ALTER TABLE changes — type changes, drops, renames — which are
-  * full-state writes (see [[graft.sources.SchemaEvolution]]).
+  * Partition transforms: `bucket(n, col)` and `days(col)` declare
+  * storage-partitioned layouts (co-located joins, structural date
+  * pruning); other transforms stay loud ([[graft.sink.ServingSink]]
+  * covers partitioned serving copies). Schema evolution: ADD COLUMN,
+  * DROP COLUMN and widening type changes are metadata-only; RENAME
+  * (which needs a field-identity mapping inside every scan) and
+  * narrowing stay loud (see [[graft.sources.SchemaEvolution]]).
+  * Row-level deletes run copy-on-write by default or as merge-on-read
+  * positional delete files (`spark.graft.delete.mode`,
+  * [[graft.sources.MorDeletes]]).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog {

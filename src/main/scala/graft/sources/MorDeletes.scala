@@ -179,6 +179,12 @@ private[sources] class GraftMorScanBuilder(
     else Some(table.builderOverFiles(affected.map(_._1), options))
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    // the file-ref metadata column is served by the plain scan's
+    // per-file tagging, which the merge scan replaces — loud, not a
+    // silent schema mismatch at execution
+    require(!requiredSchema.fieldNames.contains(GraftGroupColumn.name()),
+      s"${GraftGroupColumn.name()} is unavailable while merge-on-read delete " +
+        "files are live — run Snapshots.compact() to materialize them first")
     Seq(cleanBuilder, affectedBuilder).flatten.foreach {
       case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
         p.pruneColumns(requiredSchema)
