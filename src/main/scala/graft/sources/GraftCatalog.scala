@@ -1334,7 +1334,8 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         val (affected, clean) =
           files.partition(f => skips.contains(GraftFileTag.ref(f)))
         new GraftMorScanBuilder(this, clean,
-          affected.map(f => (f, skips(GraftFileTag.ref(f)))), options)
+          affected.map(f => (f, skips(GraftFileTag.ref(f)))), options,
+          liveRows = Snapshots.rowCountOf(tablePath, v))
       // current-state reads are also streamable (readStream.table):
       // the wrapper delegates every pushdown surface, so batch plans
       // are unchanged; pinned (time-travel) reads stay raw
@@ -1526,24 +1527,20 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
     }
 
   /** Group-selection state for one row-level operation, pinned to the
-    * current version; None for a never-written table. */
+    * current version (live delete sidecars included — the group scan
+    * merges their positions so a rewrite can never resurrect deleted
+    * rows); None for a never-written table. */
   private[sources] def newCowState(): Option[GraftCowState] =
     Snapshots.versions(tablePath).lastOption
-      .map(v => new GraftCowState(tablePath, v))
+      .map { v =>
+        val dels = Snapshots.liveDeletes(tablePath, v)
+        new GraftCowState(tablePath, v, dels,
+          MorDeletes.positions(spark, tablePath, dels))
+      }
 
   private[sources] def latestScanBuilder(options: CaseInsensitiveStringMap,
                                          state: Option[GraftCowState]): ScanBuilder = {
     require(pinned.isEmpty, s"row-level DML cannot target a time-travel view of $qualifiedName")
-    // the group-based rewrite reads its group files RAW (per-file
-    // partitions, no merge) — running it over live positional deletes
-    // would resurrect deleted rows into the rewrite. Loud until
-    // compaction materializes them; simple DELETEs (SupportsDelete)
-    // handle sidecars natively and stay available.
-    Snapshots.versions(tablePath).lastOption.foreach { v =>
-      require(Snapshots.liveDeletes(tablePath, v).isEmpty,
-        s"UPDATE/MERGE on $qualifiedName requires materializing its live " +
-          "merge-on-read delete files first (Snapshots.compact)")
-    }
     state match {
       case Some(s) => new GraftCowScanBuilder(this, s, options)
       case None    => new GraftGroupScanBuilder(newScanBuilder(options))
@@ -1580,9 +1577,14 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
             delegate.commit(messages)
             // carried is read AT COMMIT TIME: runtime group filtering
             // may have narrowed the scanned group (and widened the
-            // carry set) long after this Write was built
-            Snapshots.commitCow(sparkRef, tablePath, v, operation,
-              state.map(_.carried).getOrElse(Seq.empty))
+            // carry set) long after this Write was built. Live delete
+            // entries follow their carried targets; rewritten files
+            // materialized their positions in the scan, so their
+            // entries die here.
+            val carried = state.map(_.carried).getOrElse(Seq.empty)
+            Snapshots.commitCow(sparkRef, tablePath, v, operation, carried,
+              deletes = state.map(st => MorDeletes.retarget(
+                st.priorDeletes, carried.map(_.name).toSet)).getOrElse(Nil))
           }
           override def abort(
               messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -1783,7 +1785,9 @@ private[sources] class GraftRowLevelOperation(
   * predate per-file stats) expand to their files and stay in the
   * group unconditionally: with no bounds there is no proof of
   * non-match, and only proven non-matching files may be carried. */
-private[sources] class GraftCowState(table: String, baseVersion: Long) {
+private[sources] class GraftCowState(table: String, baseVersion: Long,
+                                     val priorDeletes: Seq[MorDeletes.DeleteFile] = Nil,
+                                     val skips: Map[String, Array[Long]] = Map.empty) {
   import org.apache.spark.sql.catalyst.expressions.Expression
 
   private val comps = Snapshots.stateComponents(table, baseVersion)
@@ -1976,10 +1980,16 @@ private[sources] class GraftCowScan(table: GraftSnapshotTable,
   override def description(): String =
     s"graft-cow(${inner.map(_.description()).getOrElse("empty-group")})"
 
-  /** The batch actually executed: per-file partitions with the
-    * file-ref column appended when the plan asked for it. */
+  /** The batch actually executed: whole-file partitions with live
+    * delete positions skipped (the row-level scan must never feed
+    * deleted rows into a rewrite) and the file-ref column appended
+    * when the plan asked for it. The filter-free group scan
+    * (GraftCowScanBuilder forwards nothing to parquet) is what makes
+    * the physical row order the position space. */
   private def effectiveBatch: Option[Batch] = inner.map { s =>
-    if (includeGroup) GraftFileTag.tag(s.toBatch) else s.toBatch
+    if (includeGroup || state.skips.nonEmpty)
+      GraftFileTag.tagSkip(s.toBatch, state.skips, includeGroup)
+    else s.toBatch
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -2102,6 +2112,60 @@ private[sources] object GraftFileTag {
       inner: org.apache.spark.sql.execution.datasources.FilePartition,
       fileRef: String) extends InputPartition {
     override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  /** One whole data file + its delete positions + whether to append
+    * the file-ref column. */
+  final case class SkipTagPartition(
+      inner: org.apache.spark.sql.execution.datasources.FilePartition,
+      fileRef: String, skip: Array[Long], includeTag: Boolean) extends InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  /** Whole-file per-file partitions with live delete positions skipped
+    * and (optionally) the file-ref column appended — the row-level DML
+    * group scan over a delete-bearing snapshot. Requires a filter-free
+    * inner scan (physical row order IS the position space); the group
+    * scan builder forwards no filters to parquet by design. */
+  def tagSkip(innerBatch: Batch, skips: Map[String, Array[Long]],
+              includeTag: Boolean): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      MorDeletes.wholeFileGroups(innerBatch.planInputPartitions())
+        .map { case (fileRef, fp) =>
+          SkipTagPartition(fp, fileRef,
+            skips.getOrElse(fileRef, Array.empty), includeTag): InputPartition
+        }
+
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val inner = innerBatch.createReaderFactory()
+      new PartitionReaderFactory {
+        override def supportColumnarReads(p: InputPartition): Boolean = false
+        override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+          case SkipTagPartition(fp, fileRef, skip, withTag) =>
+            val r = inner.createReader(fp)
+            new PartitionReader[InternalRow] {
+              private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+              private val tag = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(fileRef)))
+              private var pos = -1L
+              private var si = 0
+              override def next(): Boolean = {
+                while (r.next()) {
+                  pos += 1
+                  if (si < skip.length && skip(si) == pos) si += 1
+                  else return true
+                }
+                false
+              }
+              override def get(): InternalRow =
+                if (withTag) joined(r.get(), tag) else r.get()
+              override def close(): Unit = r.close()
+            }
+          case other => throw new IllegalStateException(
+            s"tagSkip factory got unexpected partition ${other.getClass.getName}")
+        }
+      }
+    }
   }
 
   def tag(innerBatch: Batch): Batch = new Batch {

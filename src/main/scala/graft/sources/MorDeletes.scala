@@ -152,6 +152,51 @@ object MorDeletes {
       .groupBy("file").count().collect()
       .map(r => Target(r.getString(0), r.getLong(1)))
       .sortBy(_.f).toSeq
+
+  /** Regroup a file-based batch's (possibly split) pieces into exactly
+    * one `FilePartition` per data file, pieces in offset order and
+    * proven to tile the file — the precondition for position-exact
+    * row counting. Throws on non-file partitions or gaps (a silent
+    * gap would shift every later position). */
+  private[sources] def wholeFileGroups(parts: Array[InputPartition])
+      : Array[(String, org.apache.spark.sql.execution.datasources.FilePartition)] = {
+    val pieces = parts.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"position-exact reads need file partitions, got ${other.getClass.getName}")
+    }
+    pieces.groupBy(_.filePath.toString).toArray.sortBy(_._1).zipWithIndex
+      .map { case ((path, ps), i) =>
+        val sorted = ps.sortBy(_.start)
+        val tiled = sorted.length == 1 ||
+          sorted.tail.map(_.start).zip(
+            sorted.init.map(p => p.start + p.length)).forall { case (s, e) => s == e }
+        require(tiled && sorted.head.start == 0L &&
+          sorted.map(_.length).sum == sorted.head.fileSize,
+          s"file $path split pieces do not tile the file")
+        (GraftFileTag.ref(path),
+          org.apache.spark.sql.execution.datasources.FilePartition(i, sorted))
+      }
+  }
+
+  /** A filterless, ungrouped `COUNT(*)` over a delete-bearing snapshot
+    * is still manifest-answerable: the live `row_count` is exact
+    * arithmetic (physical rows minus recorded positions). Anything
+    * else bails to the merge scan. */
+  private[sources] def countStarAnswer(liveRows: Long,
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (agg.groupByExpressions().nonEmpty) return None
+    val answered = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        (StructField("count(*)", LongType, nullable = false),
+          java.lang.Long.valueOf(liveRows): Any)
+      case _ => return None
+    }
+    Some((StructType(answered.map(_._1)), answered.map(_._2)))
+  }
 }
 
 /** Scan builder for a snapshot with live merge-on-read deletes: clean
@@ -167,10 +212,12 @@ private[sources] class GraftMorScanBuilder(
     table: GraftSnapshotTable,
     cleanFiles: Seq[String],
     affected: Seq[(String, Array[Long])],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    liveRows: Long)
   extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val cleanBuilder =
     if (cleanFiles.isEmpty) None else Some(table.builderOverFiles(cleanFiles, options))
@@ -178,22 +225,42 @@ private[sources] class GraftMorScanBuilder(
     if (affected.isEmpty) None
     else Some(table.builderOverFiles(affected.map(_._1), options))
 
+  // a filterless COUNT(*) is exact from the live row_count even with
+  // sidecars live — `SELECT count(*)` stays a KB metadata read
+  private var sawFilters = false
+  private var aggAnswer: Option[(StructType, Array[Any])] = None
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    !sawFilters && MorDeletes.countStarAnswer(liveRows, agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (sawFilters) false
+    else {
+      aggAnswer = MorDeletes.countStarAnswer(liveRows, agg)
+      aggAnswer.isDefined
+    }
+  }
+
+  // the file-ref metadata column (`_graft_file`) is served by this
+  // wrapper's per-file tagging, never by the parquet delegates — the
+  // row-level runtime group filtering subquery reads it through the
+  // PLAIN scan path, so the merge scan must serve it too
+  private var includeFileRef = false
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // the file-ref metadata column is served by the plain scan's
-    // per-file tagging, which the merge scan replaces — loud, not a
-    // silent schema mismatch at execution
-    require(!requiredSchema.fieldNames.contains(GraftGroupColumn.name()),
-      s"${GraftGroupColumn.name()} is unavailable while merge-on-read delete " +
-        "files are live — run Snapshots.compact() to materialize them first")
+    includeFileRef = requiredSchema.fieldNames.contains(GraftGroupColumn.name())
+    val dataOnly = StructType(
+      requiredSchema.fields.filterNot(_.name == GraftGroupColumn.name()))
     Seq(cleanBuilder, affectedBuilder).flatten.foreach {
       case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-        p.pruneColumns(requiredSchema)
+        p.pruneColumns(dataOnly)
       case _ =>
     }
   }
 
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (filters.nonEmpty) sawFilters = true
     // clean files may row-group-skip; affected files MUST NOT (their
     // reader's row sequence is the position space)
     cleanBuilder.foreach {
@@ -207,12 +274,15 @@ private[sources] class GraftMorScanBuilder(
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     Array.empty
 
-  override def build(): Scan =
-    new GraftMorScan(cleanBuilder.map(_.build()), affectedBuilder.map(_.build()),
-      // keyed by root-relative REF — partition planning sees URI paths,
-      // not the raw paths this builder was constructed over
-      affected.map { case (p, s) => (GraftFileTag.ref(p), s) }.toMap,
-      table.tableRoot)
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, values)) => new GraftManifestAggScan(schema, values)
+    case None =>
+      new GraftMorScan(cleanBuilder.map(_.build()), affectedBuilder.map(_.build()),
+        // keyed by root-relative REF — partition planning sees URI paths,
+        // not the raw paths this builder was constructed over
+        affected.map { case (p, s) => (GraftFileTag.ref(p), s) }.toMap,
+        table.tableRoot, includeFileRef)
+  }
 }
 
 /** The read-time merge scan: clean-file partitions pass through to the
@@ -221,11 +291,18 @@ private[sources] class GraftMorScanBuilder(
   * row-based with its recorded delete positions skipped. */
 private[sources] class GraftMorScan(clean: Option[Scan], affectedScan: Option[Scan],
                                     skips: Map[String, Array[Long]],
-                                    tablePath: String)
+                                    tablePath: String,
+                                    includeFileRef: Boolean = false)
   extends Scan with Batch {
 
-  override def readSchema(): StructType =
+  private def dataSchema: StructType =
     clean.orElse(affectedScan).map(_.readSchema()).getOrElse(new StructType())
+
+  override def readSchema(): StructType =
+    if (includeFileRef)
+      dataSchema.add(GraftGroupColumn.name(),
+        org.apache.spark.sql.types.StringType, nullable = false)
+    else dataSchema
 
   override def toBatch: Batch = this
   override def description(): String =
@@ -237,41 +314,30 @@ private[sources] class GraftMorScan(clean: Option[Scan], affectedScan: Option[Sc
       s"streaming read of $tablePath: live merge-on-read delete files cannot replay " +
         "as deltas — run Snapshots.compact() to materialize them first")
 
-  import GraftMorScan.{CleanPart, MorPart}
+  import GraftMorScan.{CleanPart, CleanTagPart, MorPart}
 
   private lazy val cleanBatch = clean.map(_.toBatch)
   private lazy val affectedBatch = affectedScan.map(_.toBatch)
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // clean files pass through untouched unless the plan asked for the
+    // file-ref column — then they too regroup per file for tagging
     val cleanParts: Array[InputPartition] =
-      cleanBatch.map(_.planInputPartitions().map(CleanPart(_): InputPartition))
-        .getOrElse(Array.empty)
+      if (includeFileRef)
+        MorDeletes.wholeFileGroups(
+          cleanBatch.map(_.planInputPartitions()).getOrElse(Array.empty))
+          .map { case (ref, fp) => CleanTagPart(fp, ref): InputPartition }
+      else
+        cleanBatch.map(_.planInputPartitions().map(CleanPart(_): InputPartition))
+          .getOrElse(Array.empty)
     // regroup the affected scan's (possibly split) file pieces into
     // exactly one partition per file, pieces in offset order — the
     // reader then yields the file's rows in physical order and the
     // row counter IS the file position
-    val pieces = affectedBatch.map(_.planInputPartitions()).getOrElse(Array.empty)
-      .flatMap {
-        case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp.files
-        case other => throw new IllegalStateException(
-          s"merge-on-read needs file partitions, got ${other.getClass.getName}")
-      }
-    val morParts: Array[InputPartition] = pieces.groupBy(_.filePath.toString).toArray
-      .sortBy(_._1)
-      .zipWithIndex
-      .map { case ((path, ps), i) =>
-        val sorted = ps.sortBy(_.start)
-        // pieces must tile the file exactly — a gap would silently
-        // shift every later position
-        val tiled = sorted.length == 1 ||
-          sorted.tail.map(_.start).zip(
-            sorted.init.map(p => p.start + p.length)).forall { case (s, e) => s == e }
-        require(tiled && sorted.head.start == 0L &&
-          sorted.map(_.length).sum == sorted.head.fileSize,
-          s"affected file $path split pieces do not tile the file")
-        val ref = GraftFileTag.ref(path)
-        MorPart(org.apache.spark.sql.execution.datasources.FilePartition(i, sorted),
-          skips.getOrElse(ref, Array.empty)): InputPartition
+    val morParts: Array[InputPartition] = MorDeletes.wholeFileGroups(
+      affectedBatch.map(_.planInputPartitions()).getOrElse(Array.empty))
+      .map { case (ref, fp) =>
+        MorPart(fp, ref, skips.getOrElse(ref, Array.empty)): InputPartition
       }
     cleanParts ++ morParts
   }
@@ -279,6 +345,7 @@ private[sources] class GraftMorScan(clean: Option[Scan], affectedScan: Option[Sc
   override def createReaderFactory(): PartitionReaderFactory = {
     val cf = cleanBatch.map(_.createReaderFactory())
     val af = affectedBatch.map(_.createReaderFactory())
+    val withRef = includeFileRef
     new PartitionReaderFactory {
       // BatchScanExec refuses to MIX columnar and row-based partitions
       // in one scan, and the position-skipping reader is row-based by
@@ -286,24 +353,30 @@ private[sources] class GraftMorScan(clean: Option[Scan], affectedScan: Option[Sc
       // still keep pushdown/row-group skipping; full vectorization
       // returns when compaction materializes the sidecars.
       override def supportColumnarReads(p: InputPartition): Boolean = false
+      private def skipTag(r: PartitionReader[InternalRow], ref: String,
+                          skip: Array[Long]): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          private val tag = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ref)))
+          private var pos = -1L
+          private var si = 0
+          override def next(): Boolean = {
+            while (r.next()) {
+              pos += 1
+              if (si < skip.length && skip(si) == pos) si += 1
+              else return true
+            }
+            false
+          }
+          override def get(): InternalRow =
+            if (withRef) joined(r.get(), tag) else r.get()
+          override def close(): Unit = r.close()
+        }
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
         case CleanPart(inner) => cf.get.createReader(inner)
-        case MorPart(fp, skip) =>
-          val r = af.get.createReader(fp)
-          new PartitionReader[InternalRow] {
-            private var pos = -1L
-            private var si = 0
-            override def next(): Boolean = {
-              while (r.next()) {
-                pos += 1
-                if (si < skip.length && skip(si) == pos) si += 1
-                else return true
-              }
-              false
-            }
-            override def get(): InternalRow = r.get()
-            override def close(): Unit = r.close()
-          }
+        case CleanTagPart(fp, ref) => skipTag(cf.get.createReader(fp), ref, Array.empty)
+        case MorPart(fp, ref, skip) => skipTag(af.get.createReader(fp), ref, skip)
         case other => throw new IllegalStateException(
           s"merge factory got unknown partition ${other.getClass.getName}")
       }
@@ -318,11 +391,18 @@ private[sources] object GraftMorScan {
     override def preferredLocations(): Array[String] = inner.preferredLocations()
   }
 
+  /** One whole clean file regrouped for file-ref tagging. */
+  final case class CleanTagPart(
+      inner: org.apache.spark.sql.execution.datasources.FilePartition,
+      ref: String) extends InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
   /** One whole affected file (its split pieces regrouped in offset
     * order) + the sorted positions to skip. */
   final case class MorPart(
       inner: org.apache.spark.sql.execution.datasources.FilePartition,
-      skip: Array[Long]) extends InputPartition {
+      ref: String, skip: Array[Long]) extends InputPartition {
     override def preferredLocations(): Array[String] = inner.preferredLocations()
   }
 }

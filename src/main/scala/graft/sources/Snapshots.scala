@@ -419,7 +419,7 @@ object Snapshots {
         .getOrElse(Seq.empty)
     }
 
-  private def rowCountOf(table: String, v: Long): Long = {
+  private[sources] def rowCountOf(table: String, v: Long): Long = {
     val text = new String(
       Files.readAllBytes(metaDir(table).resolve(s"$v.json")), StandardCharsets.UTF_8)
     "\"row_count\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong).getOrElse(0L)

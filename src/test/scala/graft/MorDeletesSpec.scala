@@ -136,13 +136,63 @@ class MorDeletesSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.comp.t").head().getLong(0) == 18)
   }
 
-  test("loud guards: UPDATE/MERGE and streaming reads refuse live sidecars") {
+  test("UPDATE/MERGE over live sidecars merge positions: no resurrection, entries retarget") {
+    val tp = banded("upd")
+    morDelete(s"DELETE FROM $cat.upd.t WHERE k IN (7, 12)") // bands 1 and 2
+    assert(Snapshots.liveDeletes(tp, 4).head.targets.size == 2)
+    // UPDATE rewriting band 1 must NOT resurrect k=7; band-1's sidecar
+    // positions die with the rewrite, band-2's survive
+    spark.sql(s"UPDATE $cat.upd.t SET v = 0 WHERE k = 8")
+    val live = Snapshots.liveDeletes(tp, 5)
+    assert(live.flatMap(_.targets).map(_.f.takeWhile(_ != '/')) == Seq("v=2"),
+      s"rewritten band's entry must die, got $live")
+    assert(ks(s"$cat.upd.t") == (0L until 30L).filterNot(Set(7L, 12L)))
+    assert(spark.sql(s"SELECT v FROM $cat.upd.t WHERE k = 8").head().getLong(0) == 0)
+    // an UPDATE whose predicate matches ONLY a deleted row updates nothing
+    spark.sql(s"UPDATE $cat.upd.t SET v = 999 WHERE k = 12")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.upd.t WHERE v = 999").head().getLong(0) == 0)
+    assert(ks(s"$cat.upd.t") == (0L until 30L).filterNot(Set(7L, 12L)))
+    // MERGE composes too: bump only live rows of the affected band
+    spark.range(10, 14).selectExpr("id AS k", "id * 1000 AS nv")
+      .createOrReplaceTempView("__mor_upd_src")
+    spark.sql(s"""MERGE INTO $cat.upd.t t USING __mor_upd_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.nv""")
+    val merged = spark.sql(s"SELECT k, v FROM $cat.upd.t WHERE k >= 10 AND k < 14 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(merged == Seq((10L, 10000L), (11L, 11000L), (13L, 13000L)),
+      s"k=12 stays deleted through the MERGE, got $merged")
+    // live row_count stays exact through the whole chain
+    assert(Snapshots.snapshots(spark, tp).collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toMap
+      .apply(Snapshots.versions(tp).last) == 28L)
+  }
+
+  test("streaming reads refuse live sidecars until compaction; count(*) stays manifest-answered") {
     val tp = banded("guard")
     morDelete(s"DELETE FROM $cat.guard.t WHERE k = 7")
-    val upd = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.guard.t SET v = 0 WHERE k = 8")
+    // a filterless COUNT(*) is exact from the live row_count: zero files
+    val cnt = spark.sql(s"SELECT count(*) FROM $cat.guard.t")
+    assert(cnt.head().getLong(0) == 29)
+    val scanned = {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collectLeaves().flatMap {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+          case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+          case l => Seq(l)
+        }
+      leaves(cnt.queryExecution.executedPlan).flatMap {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.flatMap {
+            case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+              fp.files.map(_.filePath.toString).toSeq
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
     }
-    assert(upd.getMessage.contains("merge-on-read"), upd.getMessage)
+    assert(scanned.isEmpty, s"count(*) over live deletes must plan zero files, got $scanned")
     val ckpt = Files.createTempDirectory("graft_mor_stream_").toString
     val q = spark.readStream.table(s"$cat.guard.t")
       .writeStream.format("noop")
@@ -156,7 +206,7 @@ class MorDeletesSpec extends AnyFunSuite {
     assert(stream.getMessage.contains("merge-on-read") ||
       Option(stream.getCause).exists(_.getMessage.contains("merge-on-read")),
       stream.getMessage)
-    // compaction lifts both guards
+    // compaction lifts the streaming guard
     Snapshots.compact(spark, tp)
     spark.sql(s"UPDATE $cat.guard.t SET v = 0 WHERE k = 8")
     assert(spark.sql(s"SELECT v FROM $cat.guard.t WHERE k = 8").head().getLong(0) == 0)
