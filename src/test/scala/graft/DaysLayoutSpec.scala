@@ -138,6 +138,24 @@ class DaysLayoutSpec extends AnyFunSuite {
     assert(cv == 3)
   }
 
+  test("NULL dates land in the null partition and stay readable; grouping degrades, never drops") {
+    spark.sql(s"CREATE NAMESPACE $cat.nulls")
+    spark.range(0, 20).selectExpr(
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE DATE_ADD(DATE '2024-04-01', CAST(id % 4 AS INT)) END AS d",
+      "id AS n")
+      .createOrReplaceTempView("__days_null_src")
+    spark.sql(s"CREATE TABLE $cat.nulls.t PARTITIONED BY (days(d)) AS SELECT * FROM __days_null_src")
+    // every row survives, including the 4 NULL-date rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.nulls.t").head().getLong(0) == 20)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.nulls.t WHERE d IS NULL").head().getLong(0) == 4)
+    assert(spark.sql(s"SELECT sum(n) FROM $cat.nulls.t").head().getLong(0) == (0L until 20L).sum)
+    // a join over the null-bearing layout is row-correct (the null
+    // partition defeats key grouping — degradation, never loss)
+    spark.sql(s"CREATE TABLE $cat.nulls.r PARTITIONED BY (days(d)) AS SELECT d, n AS m FROM __days_null_src WHERE d IS NOT NULL")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.nulls.t a JOIN $cat.nulls.r b ON a.d = b.d")
+      .head().getLong(0) == 16L * 4L)
+  }
+
   test("DDL validation: non-temporal days column and reserved layout names are loud") {
     spark.sql(s"CREATE NAMESPACE $cat.val")
     val wrongType = intercept[Exception] {

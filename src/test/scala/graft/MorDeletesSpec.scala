@@ -212,6 +212,32 @@ class MorDeletesSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT v FROM $cat.guard.t WHERE k = 8").head().getLong(0) == 0)
   }
 
+  test("MoR on a bucketed table: refs carry the layout segment, SPJ degrades to correct plans") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.bkt")
+    spark.range(0, 200).selectExpr("id AS k", "id * 3 AS v")
+      .createOrReplaceTempView("__mor_bkt_src")
+    spark.sql(s"CREATE TABLE $cat.bkt.t PARTITIONED BY (bucket(4, k)) AS SELECT * FROM __mor_bkt_src")
+    morDelete(s"DELETE FROM $cat.bkt.t WHERE k IN (17, 99)")
+    val tp = s"$wh/bkt/t"
+    val dels = Snapshots.liveDeletes(tp, 2)
+    assert(dels.nonEmpty &&
+      dels.flatMap(_.targets).forall(_.f.contains("__graft_bucket=")),
+      s"sidecar refs must carry the bucket layout segment, got $dels")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.bkt.t").head().getLong(0) == 198)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.bkt.t WHERE k IN (17, 99)").head().getLong(0) == 0)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.bkt.t").head().getLong(0) ==
+      (0L until 200L).filterNot(Set(17L, 99L)).map(_ * 3).sum)
+    // a join is still row-correct (bucket grouping is absent while
+    // sidecars live — degradation, never a wrong plan)
+    spark.sql(s"CREATE TABLE $cat.bkt.r PARTITIONED BY (bucket(4, k)) AS SELECT k, v AS w FROM __mor_bkt_src")
+    assert(spark.sql(s"""SELECT count(*) FROM $cat.bkt.t a JOIN $cat.bkt.r b ON a.k = b.k""")
+      .head().getLong(0) == 198)
+    // compaction restores the bucketed layout itself
+    val (cv, _, after) = Snapshots.compact(spark, tp)
+    assert(Snapshots.liveDeletes(tp, cv).isEmpty && after == 4,
+      s"bucketed compaction keeps one file per bucket, got $after")
+  }
+
   test("manifest codec round-trips and retargeting drops emptied entries") {
     import MorDeletes.{DeleteFile, Target}
     val dels = Seq(
