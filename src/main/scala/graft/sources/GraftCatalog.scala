@@ -991,29 +991,41 @@ object GraftCatalog {
     val dels = Snapshots.liveDeletes(tablePath, 4)
     val sidecarRows = dels.flatMap(_.targets).map(_.r).sum
     val sidecarTargets = dels.flatMap(_.targets).size.toLong
+    // UPDATE composes with the live sidecar: the third band rewrites
+    // (pruned), the sidecar's entry (targeting the middle band)
+    // survives untouched, and the update sees only live rows
+    s.sql(s"UPDATE $t SET total_events = total_events + 10 WHERE event_date > DATE '2024-01-25'")
+    val (updOwn, updCarried) = cowCounts(tablePath, 5)
+    val entriesAfterUpdate = Snapshots.liveDeletes(tablePath, 5).size.toLong
     val (cv, _, _) = Snapshots.compact(s, tablePath, targetFileBytes = 1L << 40)
     val liveAfter = Snapshots.liveDeletes(tablePath, cv).size.toLong
     s.sql(s"""
       |SELECT * FROM (
       |  SELECT 'compact_live_delete_files' AS metric, CAST($liveAfter AS BIGINT) AS value
       |  UNION ALL SELECT 'dates_asof_v4', (SELECT count(DISTINCT event_date) FROM $t VERSION AS OF 4)
+      |  UNION ALL SELECT 'entries_after_update', CAST($entriesAfterUpdate AS BIGINT)
       |  UNION ALL SELECT 'mor_files_carried', CAST($morCarried AS BIGINT)
       |  UNION ALL SELECT 'mor_files_rewritten', CAST($morOwn AS BIGINT)
       |  UNION ALL SELECT 'mor_sidecar_rows', CAST($sidecarRows AS BIGINT)
       |  UNION ALL SELECT 'mor_sidecar_targets', CAST($sidecarTargets AS BIGINT)
       |  UNION ALL SELECT 'post_compact_rows', (SELECT count(*) FROM $t)
+      |  UNION ALL SELECT 'post_compact_sum', (SELECT CAST(sum(total_events) AS BIGINT) FROM $t)
       |  UNION ALL SELECT 'rows_asof_v3', (SELECT count(*) FROM $t VERSION AS OF 3)
       |  UNION ALL SELECT 'rows_asof_v4', (SELECT count(*) FROM $t VERSION AS OF 4)
       |  UNION ALL SELECT 'sum_events_asof_v4',
       |    (SELECT CAST(sum(total_events) AS BIGINT) FROM $t VERSION AS OF 4)
+      |  UNION ALL SELECT 'upd_files_carried', CAST($updCarried AS BIGINT)
+      |  UNION ALL SELECT 'upd_files_rewritten', CAST($updOwn AS BIGINT)
       |)
       |ORDER BY metric""".stripMargin)
   }
 
   /** DuckDB oracle for [[morDmlOver]]: commit structure as constants
     * (zero rewrites, three carried bands, one sidecar target — the
-    * 3-day window lives entirely in the middle band), rows/sums
-    * replayed from silver with the window deleted. */
+    * 3-day window lives entirely in the middle band; the UPDATE
+    * rewrites exactly the third band and leaves the sidecar entry
+    * alive), rows/sums replayed from silver with the window deleted
+    * and the late band bumped. */
   val morDmlSql: String = graft.marts.SilverEvents.oracleCte + """
     |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
     |, del AS (SELECT * FROM daily
@@ -1021,15 +1033,21 @@ object GraftCatalog {
     |SELECT * FROM (
     |  SELECT 'compact_live_delete_files' AS metric, CAST(0 AS BIGINT) AS value
     |  UNION ALL SELECT 'dates_asof_v4', (SELECT count(DISTINCT event_date) FROM del)
+    |  UNION ALL SELECT 'entries_after_update', 1
     |  UNION ALL SELECT 'mor_files_carried', 3
     |  UNION ALL SELECT 'mor_files_rewritten', 0
     |  UNION ALL SELECT 'mor_sidecar_rows',
     |    (SELECT count(*) FROM daily WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-14')
     |  UNION ALL SELECT 'mor_sidecar_targets', 1
     |  UNION ALL SELECT 'post_compact_rows', (SELECT count(*) FROM del)
+    |  UNION ALL SELECT 'post_compact_sum',
+    |    (SELECT CAST(sum(total_events)
+    |       + 10 * count(*) FILTER (WHERE event_date > DATE '2024-01-25') AS BIGINT) FROM del)
     |  UNION ALL SELECT 'rows_asof_v3', (SELECT count(*) FROM daily)
     |  UNION ALL SELECT 'rows_asof_v4', (SELECT count(*) FROM del)
     |  UNION ALL SELECT 'sum_events_asof_v4', (SELECT CAST(sum(total_events) AS BIGINT) FROM del)
+    |  UNION ALL SELECT 'upd_files_carried', 2
+    |  UNION ALL SELECT 'upd_files_rewritten', 1
     |)
     |ORDER BY metric""".stripMargin
 
