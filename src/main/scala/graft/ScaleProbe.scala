@@ -61,7 +61,12 @@ object ScaleProbe {
     // partial-DELETE — the rewrite cost must track the TOUCHED band)
     // and the storage-partitioned join (per-user marts grow with the
     // corpus; rows scale but ZERO shuffles move) as measured slopes
-    "meta_catalog_cow_dml", "q_catalog_colocated_join")
+    "meta_catalog_cow_dml", "q_catalog_colocated_join",
+    // r14: the merge-on-read DML lifecycle (positional-delete sidecar
+    // + merged reads + UPDATE over the sidecar + compaction — the
+    // zero-rewrite claim as a measured slope) and the days() layout
+    // (structural date pruning + the date-aligned zero-shuffle join)
+    "meta_catalog_mor_dml", "meta_catalog_days_layout")
 
   /** Per-query (warm seconds, staging seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its
