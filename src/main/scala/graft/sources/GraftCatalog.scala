@@ -1351,9 +1351,18 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
           if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
         val (affected, clean) =
           files.partition(f => skips.contains(GraftFileTag.ref(f)))
+        // ONE schema for BOTH halves: the clean and affected file sets
+        // can span a schema evolution (different physical widths), and
+        // the union of the two scans is positional — inferring each
+        // half separately would mis-join the rows. Current reads take
+        // the declared schema; pinned reads infer ONCE over the whole
+        // read set (the snapshot's own schema).
+        val unified = (if (pinned.isEmpty) declaredSchema else None)
+          .getOrElse(parquetTable(v, None).schema)
         new GraftMorScanBuilder(this, clean,
           affected.map(f => (f, skips(GraftFileTag.ref(f)))), options,
-          liveRows = Snapshots.rowCountOf(tablePath, v))
+          liveRows = Snapshots.rowCountOf(tablePath, v),
+          unifiedSchema = unified)
       // current-state reads are also streamable (readStream.table):
       // the wrapper delegates every pushdown surface, so batch plans
       // are unchanged; pinned (time-travel) reads stay raw
@@ -1570,6 +1579,14 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
   private[sources] def builderOverFiles(files: Seq[String],
                                         options: CaseInsensitiveStringMap): ScanBuilder =
     parquetTableOver(files, readerSchema).newScanBuilder(options)
+
+  /** Same with an EXPLICIT schema — the merge-on-read scan passes one
+    * unified schema to both of its halves so their positional union
+    * can never diverge across a schema evolution. */
+  private[sources] def builderOverFilesAs(files: Seq[String],
+                                          options: CaseInsensitiveStringMap,
+                                          schema: StructType): ScanBuilder =
+    parquetTableOver(files, Some(schema)).newScanBuilder(options)
 
   private[sources] def replaceDataWrite(
       info: LogicalWriteInfo, operation: String,

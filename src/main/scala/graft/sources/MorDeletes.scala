@@ -213,17 +213,19 @@ private[sources] class GraftMorScanBuilder(
     cleanFiles: Seq[String],
     affected: Seq[(String, Array[Long])],
     options: CaseInsensitiveStringMap,
-    liveRows: Long)
+    liveRows: Long,
+    unifiedSchema: StructType)
   extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val cleanBuilder =
-    if (cleanFiles.isEmpty) None else Some(table.builderOverFiles(cleanFiles, options))
+    if (cleanFiles.isEmpty) None
+    else Some(table.builderOverFilesAs(cleanFiles, options, unifiedSchema))
   private val affectedBuilder =
     if (affected.isEmpty) None
-    else Some(table.builderOverFiles(affected.map(_._1), options))
+    else Some(table.builderOverFilesAs(affected.map(_._1), options, unifiedSchema))
 
   // a filterless COUNT(*) is exact from the live row_count even with
   // sidecars live — `SELECT count(*)` stays a KB metadata read

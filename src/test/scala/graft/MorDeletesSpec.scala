@@ -238,6 +238,29 @@ class MorDeletesSpec extends AnyFunSuite {
       s"bucketed compaction keeps one file per bucket, got $after")
   }
 
+  test("pinned reads across a schema evolution unify the merge scan's two halves") {
+    // pre-evolution files become the AFFECTED half (narrow physical
+    // schema), the post-evolution append the CLEAN half (wide) — the
+    // positional union must read ONE unified schema or rows mis-join
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.evomor")
+    spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v")
+      .createOrReplaceTempView("__mor_evo_src")
+    spark.sql(s"CREATE TABLE $cat.evomor.t AS SELECT /*+ COALESCE(1) */ * FROM __mor_evo_src")
+    morDelete(s"DELETE FROM $cat.evomor.t WHERE k = 3")
+    spark.sql(s"ALTER TABLE $cat.evomor.t ADD COLUMN note STRING")
+    spark.sql(s"INSERT INTO $cat.evomor.t VALUES (100, 200, 'wide')")
+    // current read: declared schema on both halves
+    val cur = spark.sql(s"SELECT k, v, note FROM $cat.evomor.t ORDER BY k").collect()
+    assert(cur.length == 10 && cur.last.getString(2) == "wide" &&
+      cur.take(9).forall(_.isNullAt(2)), cur.mkString(","))
+    assert(!cur.map(_.getLong(0)).contains(3L))
+    // pinned read AFTER the append (v3): infers the snapshot's own
+    // unified schema over both eras; the deleted row stays deleted
+    val pinned = spark.sql(s"SELECT k, v, note FROM $cat.evomor.t VERSION AS OF 3 ORDER BY k").collect()
+    assert(pinned.length == 10 && pinned.last.getString(2) == "wide", pinned.mkString(","))
+    assert(pinned.take(9).forall(r => r.isNullAt(2) && r.getLong(1) == r.getLong(0) * 2))
+  }
+
   test("manifest codec round-trips and retargeting drops emptied entries") {
     import MorDeletes.{DeleteFile, Target}
     val dels = Seq(
