@@ -170,5 +170,15 @@ class DaysLayoutSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE $cat.val.m (d DATE) PARTITIONED BY (months(d))")
     }
     assert(unsupported.getMessage.contains("days(col)"), unsupported.getMessage)
+    // the SQL-callable days function agrees with the write-side layout
+    // expression (one definition; users can pre-compute a row's day)
+    val viaFn = spark.sql(s"SELECT $cat.system.days(DATE '2024-04-03') AS d").head().getInt(0)
+    val viaExpr = spark.sql(
+      "SELECT datediff(DATE '2024-04-03', DATE '1970-01-01')").head().getInt(0)
+    assert(viaFn == viaExpr && viaFn == 19816,
+      s"SQL-callable days ($viaFn) must agree with the layout expression ($viaExpr)")
+    // timestamp binding floors to the date's day
+    assert(spark.sql(s"SELECT $cat.system.days(TIMESTAMP '2024-04-03 23:59:59')")
+      .head().getInt(0) == 19816)
   }
 }
