@@ -156,6 +156,20 @@ class DaysLayoutSpec extends AnyFunSuite {
       .head().getLong(0) == 16L * 4L)
   }
 
+  test("INSERT OVERWRITE preserves the days layout") {
+    spark.sql(s"CREATE NAMESPACE $cat.ow")
+    spark.range(0, 24).selectExpr(
+      "DATE_ADD(DATE '2024-05-01', CAST(id % 6 AS INT)) AS d", "id AS n")
+      .createOrReplaceTempView("__days_ow_src")
+    spark.sql(s"CREATE TABLE $cat.ow.t PARTITIONED BY (days(d)) AS SELECT * FROM __days_ow_src")
+    spark.sql(s"INSERT OVERWRITE $cat.ow.t SELECT d, n * 10 AS n FROM __days_ow_src WHERE n < 12")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ow.t").head().getLong(0) == 12)
+    // overwrite re-laid the files per day: a 1-day probe scans 1 file
+    val probe = spark.sql(s"SELECT count(*) AS c, sum(n) AS s FROM $cat.ow.t WHERE d = DATE '2024-05-02'")
+    assert(scannedFiles(probe).size == 1, s"got ${scannedFiles(probe)}")
+    assert(spark.sql(s"SELECT sum(n) FROM $cat.ow.t").head().getLong(0) == (0L until 12L).map(_ * 10).sum)
+  }
+
   test("DDL validation: non-temporal days column and reserved layout names are loud") {
     spark.sql(s"CREATE NAMESPACE $cat.val")
     val wrongType = intercept[Exception] {

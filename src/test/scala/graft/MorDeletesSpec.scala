@@ -261,6 +261,40 @@ class MorDeletesSpec extends AnyFunSuite {
     assert(pinned.take(9).forall(r => r.isNullAt(2) && r.getLong(1) == r.getLong(0) * 2))
   }
 
+  test("NULL-predicate rows survive a MoR delete (the r13 CoW bug class, re-pinned for positions)") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.nulls")
+    spark.range(0, 12).selectExpr(
+      "id AS k", "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id % 2 AS STRING) END AS tag")
+      .createOrReplaceTempView("__mor_null_src")
+    spark.sql(s"CREATE TABLE $cat.nulls.t AS SELECT /*+ COALESCE(1) */ * FROM __mor_null_src")
+    // DELETE WHERE tag = '1': rows whose tag is NULL evaluate the
+    // predicate to NULL and MUST survive — the position job keeps only
+    // rows where the condition is TRUE
+    morDelete(s"DELETE FROM $cat.nulls.t WHERE tag = '1'")
+    val left = spark.sql(s"SELECT k FROM $cat.nulls.t ORDER BY k").collect().map(_.getLong(0)).toSeq
+    val expected = (0L until 12L).filterNot(k => k % 3 != 0 && k % 2 == 1)
+    assert(left == expected, s"NULL-tag rows must survive: got $left expected $expected")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.nulls.t WHERE tag IS NULL").head().getLong(0) == 4)
+  }
+
+  test("a file whose every live row matches deletes fully by positions and reads empty") {
+    val tp = banded("alldead")
+    // a single whole-band predicate would be PROVEN all-matching by
+    // the bounds (mustMatch) and dropped metadata-only in either mode;
+    // two half-band deletes are each unprovable (the band straddles
+    // both), so each commits a sidecar — after the second, every
+    // physical row of band 2 carries a recorded position
+    morDelete(s"DELETE FROM $cat.alldead.t WHERE k >= 10 AND k < 15")
+    morDelete(s"DELETE FROM $cat.alldead.t WHERE k >= 15 AND k < 20")
+    assert(Snapshots.liveDeletes(tp, 5).flatMap(_.targets).map(_.r).sum == 10)
+    assert(ks(s"$cat.alldead.t") == ((0L until 10L) ++ (20L until 30L)))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.alldead.t").head().getLong(0) == 20)
+    // compaction absorbs the fully-dead file
+    val (cv, _, _) = Snapshots.compact(spark, tp)
+    assert(Snapshots.liveDeletes(tp, cv).isEmpty)
+    assert(ks(s"$cat.alldead.t") == ((0L until 10L) ++ (20L until 30L)))
+  }
+
   test("manifest codec round-trips and retargeting drops emptied entries") {
     import MorDeletes.{DeleteFile, Target}
     val dels = Seq(
