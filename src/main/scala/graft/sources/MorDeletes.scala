@@ -124,7 +124,24 @@ object MorDeletes {
   def positions(spark: SparkSession, table: String,
                 dels: Seq[DeleteFile]): Map[String, Array[Long]] = {
     if (dels.isEmpty) return Map.empty
-    val key = table + "|" + dels.map(_.dir).sorted.mkString(",")
+    // key carries the sidecar FILE LISTING (names + sizes): version
+    // dirs are immutable while a table lives, but a dropped-and-
+    // recreated table can reuse the same version numbers — a
+    // path-only key would then serve the old table's positions
+    val fingerprint = dels.map(_.dir).sorted.map { d =>
+      val root = java.nio.file.Paths.get(s"$table/$d")
+      val listing =
+        if (!java.nio.file.Files.isDirectory(root)) ""
+        else scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
+          w.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}")
+            .toVector.sorted.mkString(",")
+        }
+      s"$d[$listing]"
+    }.mkString(";")
+    val key = table + "|" + fingerprint
     positionCache.computeIfAbsent(key, _ => {
       val rows = spark.read.schema(SidecarSchema)
         .parquet(dels.map(d => s"$table/${d.dir}"): _*)
