@@ -462,6 +462,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.statsPlaneOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_mor_dml" -> ((s, dir) =>
       graft.sources.GraftCatalog.morDmlOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_mor_upsert" -> ((s, dir) =>
+      graft.sources.GraftCatalog.morUpsertOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_days_layout" -> ((s, dir) =>
       graft.sources.GraftCatalog.daysLayoutOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_evolution" -> ((s, dir) =>
@@ -671,6 +673,7 @@ object SparkEntry {
     "meta_catalog_agg_pushdown" -> graft.sources.GraftCatalog.aggPushdownSql,
     "meta_catalog_stats_plane" -> graft.sources.GraftCatalog.statsPlaneSql,
     "meta_catalog_mor_dml" -> graft.sources.GraftCatalog.morDmlSql,
+    "meta_catalog_mor_upsert" -> graft.sources.GraftCatalog.morUpsertSql,
     "meta_catalog_days_layout" -> graft.sources.GraftCatalog.daysLayoutSql,
     "meta_catalog_evolution" -> graft.sources.GraftCatalog.evolutionSql,
     "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,

@@ -250,7 +250,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(dt == org.apache.spark.sql.types.DateType ||
           dt == org.apache.spark.sql.types.TimestampType,
           s"days($col) needs a DATE or TIMESTAMP column, got ${dt.catalogString}")
-        Some(s"""{"transform":"days","col":"$col"}""")
+        // the column TYPE rides in the marker: timestamp day keys are
+        // UTC epoch-micros arithmetic (matching GraftDaysFunction),
+        // date keys the tz-free internal day int — see GraftLayout.Days
+        val ct = if (dt == org.apache.spark.sql.types.TimestampType) "timestamp" else "date"
+        Some(s"""{"transform":"days","col":"$col","coltype":"$ct"}""")
       case other => throw new UnsupportedOperationException(
         s"graft catalog supports only bucket(n, col) and days(col) partitioning, " +
           s"got ${other.mkString(", ")}; partitioned serving copies go through ServingSink")
@@ -1051,6 +1055,114 @@ object GraftCatalog {
     |)
     |ORDER BY metric""".stripMargin
 
+  /** Driver query: merge-on-read UPDATE and MERGE observed end to end
+    * (the delta-based row-level operation, [[GraftDeltaOperation]]) —
+    * an UPDATE under `spark.graft.update.mode=merge-on-read` commits
+    * ONE positional-delete sidecar for the old rows plus ONE
+    * fast-append delta of the new rows with ZERO prior files
+    * rewritten (`upd_prior_carried=3` over the 3-band layout is the
+    * structural constant; at 100 TB this is a point-UPDATE writing KB
+    * instead of rewriting a 512 MB file); a MERGE with matched-update
+    * and not-matched-insert branches decomposes the same way over the
+    * now-4-file state. Sidecar position counts, every row count and
+    * every sum replay from silver — across time travel back over both
+    * DML commits and across the compaction that materializes the
+    * sidecars. */
+  def morUpsertOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_mu_$n"
+    val tablePath = s"$warehouseDir/marts/daily_mu_$n"
+    val v = s"__graft_mu_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date <= DATE '2024-01-10'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-20'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date > DATE '2024-01-20'")
+    def ownRowsAndCarried(ver: Long): (Long, Long) = {
+      val m = new String(Files.readAllBytes(
+        Paths.get(s"$tablePath/_meta/$ver.json")), StandardCharsets.UTF_8)
+      (FileStats.fromManifest(m).map(_.map(_.rows).sum).getOrElse(-1L),
+        FileStats.carriedFromManifest(m).size.toLong)
+    }
+    s.conf.set("spark.graft.update.mode", "merge-on-read")
+    try s.sql(s"UPDATE $t SET total_events = total_events + 5 WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-14'")
+    finally s.conf.set("spark.graft.update.mode", "copy-on-write")
+    val (updDeltaRows, updCarried) = ownRowsAndCarried(4)
+    val updDels = Snapshots.liveDeletes(tablePath, 4)
+    val updPositions = MorDeletes.deletedRows(updDels)
+    val updTargets = updDels.flatMap(_.targets).size.toLong
+    s.conf.set("spark.graft.merge.mode", "merge-on-read")
+    try s.sql(s"""
+      MERGE INTO $t t
+      USING (SELECT event_date, total_events + 100 AS total_events FROM $v
+             WHERE event_date > DATE '2024-01-26'
+             UNION ALL SELECT DATE '2030-01-01', 111
+             UNION ALL SELECT DATE '2030-01-02', 222) s
+      ON t.event_date = s.event_date
+      WHEN MATCHED THEN UPDATE SET t.total_events = s.total_events
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    finally s.conf.set("spark.graft.merge.mode", "copy-on-write")
+    val (_, mrgCarried) = ownRowsAndCarried(5)
+    val mrgEntries = Snapshots.liveDeletes(tablePath, 5)
+    val mrgPositions = MorDeletes.deletedRows(mrgEntries) - updPositions
+    val pre = s.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 3").collect()(0)
+    val postUpd = s.sql(s"SELECT CAST(sum(total_events) AS BIGINT) AS se FROM $t VERSION AS OF 4").collect()(0)
+    val cur = s.sql(s"SELECT count(*) AS c, CAST(sum(total_events) AS BIGINT) AS se FROM $t").collect()(0)
+    val (cv, _, _) = Snapshots.compact(s, tablePath, targetFileBytes = 1L << 40)
+    val liveAfter = Snapshots.liveDeletes(tablePath, cv).size.toLong
+    val postCompact = s.sql(s"SELECT CAST(sum(total_events) AS BIGINT) AS se FROM $t").collect()(0)
+    import s.implicits._
+    Seq(
+      "compact_live_delete_files" -> liveAfter,
+      "entries_after_merge" -> mrgEntries.size.toLong,
+      "mrg_prior_carried" -> mrgCarried,
+      "mrg_sidecar_positions" -> mrgPositions,
+      "post_compact_sum" -> postCompact.getLong(0),
+      "rows_asof_v3" -> pre.getLong(0),
+      "rows_current" -> cur.getLong(0),
+      "sum_asof_v4" -> postUpd.getLong(0),
+      "sum_current" -> cur.getLong(1),
+      "upd_delta_rows" -> updDeltaRows,
+      "upd_prior_carried" -> updCarried,
+      "upd_sidecar_positions" -> updPositions,
+      "upd_sidecar_targets" -> updTargets)
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[morUpsertOver]]: commit structure as
+    * constants (3 then 4 files carried, zero rewrites — the merge
+    * carries the update's own delta file too; 1 sidecar target — the
+    * 3-day window lives in the middle band), sidecar position counts
+    * and every row/sum replayed from silver (+5 on the update window,
+    * +100 on the merge window, the two literal inserts). */
+  val morUpsertSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, w1 AS (SELECT count(*) AS c FROM daily WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-14')
+    |, w2 AS (SELECT count(*) AS c FROM daily WHERE event_date > DATE '2024-01-26')
+    |SELECT * FROM (
+    |  SELECT 'compact_live_delete_files' AS metric, CAST(0 AS BIGINT) AS value
+    |  UNION ALL SELECT 'entries_after_merge', 2
+    |  UNION ALL SELECT 'mrg_prior_carried', 4
+    |  UNION ALL SELECT 'mrg_sidecar_positions', (SELECT c FROM w2)
+    |  UNION ALL SELECT 'post_compact_sum',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |      + 5 * (SELECT c FROM w1) + 100 * (SELECT c FROM w2) + 333
+    |  UNION ALL SELECT 'rows_asof_v3', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'rows_current', (SELECT count(*) FROM daily) + 2
+    |  UNION ALL SELECT 'sum_asof_v4',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily) + 5 * (SELECT c FROM w1)
+    |  UNION ALL SELECT 'sum_current',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |      + 5 * (SELECT c FROM w1) + 100 * (SELECT c FROM w2) + 333
+    |  UNION ALL SELECT 'upd_delta_rows', (SELECT c FROM w1)
+    |  UNION ALL SELECT 'upd_prior_carried', 3
+    |  UNION ALL SELECT 'upd_sidecar_positions', (SELECT c FROM w1)
+    |  UNION ALL SELECT 'upd_sidecar_targets', 1
+    |)
+    |ORDER BY metric""".stripMargin
+
   /** Driver query: the commit-plane stats story observed end to end —
     * a 12-file CTAS (above the driver-walk threshold) must collect its
     * manifest stats in the DISTRIBUTED footer-read job (zero serial
@@ -1269,7 +1381,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
     * to pin that contract; the default DataWriter.write(meta, row)
     * discards it on the way out. */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftGroupColumn)
+    Array(GraftGroupColumn, GraftPosColumn)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -1296,7 +1408,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
     layoutSpec.map {
       case GraftLayout.Bucket(n, c) =>
         org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-      case GraftLayout.Days(c) =>
+      case GraftLayout.Days(c, _) =>
         org.apache.spark.sql.connector.expressions.Expressions.days(c)
     }.toArray
 
@@ -1346,7 +1458,8 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       // deliberately absent until compaction materializes the deletes.
       case Some(v) if Snapshots.liveDeletes(tablePath, v).nonEmpty =>
         val dels = Snapshots.liveDeletes(tablePath, v)
-        val skips = MorDeletes.positions(spark, tablePath, dels)
+        val skips = MorDeletes.positions(spark, tablePath, dels,
+          Snapshots.deleteStateKey(tablePath, v))
         val files = Snapshots.readSet(tablePath, v).flatMap(p =>
           if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
         val (affected, clean) =
@@ -1549,8 +1662,28 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
-      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-        new GraftRowLevelOperation(info.command(), GraftSnapshotTable.this)
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation = {
+        import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+        // per-verb write modes, the Iceberg format-v2 table-property
+        // surface (write.update.mode / write.merge.mode /
+        // write.delete.mode = merge-on-read) as session confs
+        val modeKey = info.command() match {
+          case Command.UPDATE => "spark.graft.update.mode"
+          case Command.MERGE  => "spark.graft.merge.mode"
+          case _              => "spark.graft.delete.mode"
+        }
+        val state = newCowState()
+        val mor = spark.conf.get(modeKey, "copy-on-write") == "merge-on-read"
+        // the delta (merge-on-read) op carries EVERY prior file by
+        // manifest reference — possible only when every file has
+        // stats; statless components fall back to the group rewrite
+        state match {
+          case Some(st) if mor && st.allStated =>
+            new GraftDeltaOperation(info.command(), GraftSnapshotTable.this, st)
+          case _ =>
+            new GraftRowLevelOperation(info.command(), GraftSnapshotTable.this, state)
+        }
+      }
     }
 
   /** Group-selection state for one row-level operation, pinned to the
@@ -1562,7 +1695,8 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       .map { v =>
         val dels = Snapshots.liveDeletes(tablePath, v)
         new GraftCowState(tablePath, v, dels,
-          MorDeletes.positions(spark, tablePath, dels))
+          MorDeletes.positions(spark, tablePath, dels,
+            Snapshots.deleteStateKey(tablePath, v)))
       }
 
   private[sources] def latestScanBuilder(options: CaseInsensitiveStringMap,
@@ -1783,10 +1917,9 @@ private[graft] object GraftBucketed {
   * commits the complement. */
 private[sources] class GraftRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    table: GraftSnapshotTable)
+    table: GraftSnapshotTable,
+    cowState: Option[GraftCowState])
   extends org.apache.spark.sql.connector.write.RowLevelOperation {
-
-  private val cowState: Option[GraftCowState] = table.newCowState()
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
@@ -1844,6 +1977,17 @@ private[sources] class GraftCowState(table: String, baseVersion: Long,
 
   def hasStats: Boolean = stated.nonEmpty
 
+  /** Every file of the base state carries manifest stats — the
+    * precondition for a zero-rewrite (merge-on-read) commit, which
+    * must carry ALL of them by reference. */
+  def allStated: Boolean = statless.isEmpty
+
+  /** EVERY file of the base state as a carried reference (root-
+    * relative, stats preserved) — the merge-on-read commit shape:
+    * nothing is rewritten, so nothing leaves the manifest. */
+  def carryAll: Seq[FileStats.FileStat] =
+    stated.map { case (p, st) => st.copy(name = Snapshots.rootRel(table, p)) }
+
   /** The pushed operation condition (scan-build time). */
   def select(filters: Seq[Expression]): Unit = staticFilters = filters
 
@@ -1892,12 +2036,15 @@ private[sources] class GraftCowScanBuilder(table: GraftSnapshotTable,
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   private var includeGroup = false
+  private var includePos = false
   private var prunedData: Option[StructType] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     includeGroup = requiredSchema.fieldNames.contains(GraftGroupColumn.name())
+    includePos = requiredSchema.fieldNames.contains(GraftPosColumn.name())
     prunedData = Some(StructType(
-      requiredSchema.fields.filterNot(_.name == GraftGroupColumn.name())))
+      requiredSchema.fields.filterNot(f =>
+        f.name == GraftGroupColumn.name() || f.name == GraftPosColumn.name())))
   }
 
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -1910,7 +2057,7 @@ private[sources] class GraftCowScanBuilder(table: GraftSnapshotTable,
     Array.empty
 
   override def build(): Scan =
-    new GraftCowScan(table, state, prunedData, includeGroup, options)
+    new GraftCowScan(table, state, prunedData, includeGroup, includePos, options)
 }
 
 /** The file-pruned row-level scan: reads exactly the rewrite group,
@@ -1923,6 +2070,7 @@ private[sources] class GraftCowScan(table: GraftSnapshotTable,
                                     state: GraftCowState,
                                     prunedData: Option[StructType],
                                     includeGroup: Boolean,
+                                    includePos: Boolean,
                                     options: CaseInsensitiveStringMap)
   extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -2005,11 +2153,16 @@ private[sources] class GraftCowScan(table: GraftSnapshotTable,
   private def dataSchema: StructType =
     inner.map(_.readSchema()).orElse(prunedData).getOrElse(table.schema())
 
-  override def readSchema(): StructType =
+  override def readSchema(): StructType = {
+    var s = dataSchema
     if (includeGroup)
-      dataSchema.add(GraftGroupColumn.name(),
+      s = s.add(GraftGroupColumn.name(),
         org.apache.spark.sql.types.StringType, nullable = false)
-    else dataSchema
+    if (includePos)
+      s = s.add(GraftPosColumn.name(),
+        org.apache.spark.sql.types.LongType, nullable = false)
+    s
+  }
 
   override def toBatch: Batch = this
   override def description(): String =
@@ -2017,13 +2170,14 @@ private[sources] class GraftCowScan(table: GraftSnapshotTable,
 
   /** The batch actually executed: whole-file partitions with live
     * delete positions skipped (the row-level scan must never feed
-    * deleted rows into a rewrite) and the file-ref column appended
-    * when the plan asked for it. The filter-free group scan
-    * (GraftCowScanBuilder forwards nothing to parquet) is what makes
-    * the physical row order the position space. */
+    * deleted rows into a rewrite) and the file-ref / in-file-position
+    * columns appended when the plan asked for them. The filter-free
+    * group scan (GraftCowScanBuilder forwards nothing to parquet) is
+    * what makes the physical row order the position space — so the
+    * emitted `_graft_pos` IS the exact sidecar position. */
   private def effectiveBatch: Option[Batch] = inner.map { s =>
-    if (includeGroup || state.skips.nonEmpty)
-      GraftFileTag.tagSkip(s.toBatch, state.skips, includeGroup)
+    if (includeGroup || includePos || state.skips.nonEmpty)
+      GraftFileTag.tagSkip(s.toBatch, state.skips, includeGroup, includePos)
     else s.toBatch
   }
 
@@ -2126,6 +2280,24 @@ private[sources] object GraftGroupColumn
     "row's data file, table-root-relative (the copy-on-write group id)"
 }
 
+/** The second row-identity metadata column: the row's PHYSICAL in-file
+  * position — `(_graft_file, _graft_pos)` is the row id Spark's
+  * delta-based row-level operations ([[GraftDeltaOperation]]) delete
+  * by, i.e. exactly the `(file, pos)` a positional delete sidecar
+  * records (Iceberg's `_file`/`_pos`). Served only by the row-level
+  * DML scan, whose filter-free whole-file reads make the reader's row
+  * sequence the position space; plain reads refuse it loudly (their
+  * pushdown re-orders/skips rows — use `_metadata.row_index` there). */
+private[sources] object GraftPosColumn
+  extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = "_graft_pos"
+  override def dataType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "row's physical in-file position (the positional-delete row id)"
+}
+
 /** Per-file row tagging: splits a file-based batch into one input
   * partition PER FILE and appends each partition's table-root-relative
   * file ref as a trailing string column — the machinery behind
@@ -2149,26 +2321,30 @@ private[sources] object GraftFileTag {
     override def preferredLocations(): Array[String] = inner.preferredLocations()
   }
 
-  /** One whole data file + its delete positions + whether to append
-    * the file-ref column. */
+  /** One whole data file + its delete positions + which row-identity
+    * columns to append (file ref and/or physical position). */
   final case class SkipTagPartition(
       inner: org.apache.spark.sql.execution.datasources.FilePartition,
-      fileRef: String, skip: Array[Long], includeTag: Boolean) extends InputPartition {
+      fileRef: String, skip: Array[Long],
+      includeTag: Boolean, includePos: Boolean = false) extends InputPartition {
     override def preferredLocations(): Array[String] = inner.preferredLocations()
   }
 
   /** Whole-file per-file partitions with live delete positions skipped
-    * and (optionally) the file-ref column appended — the row-level DML
-    * group scan over a delete-bearing snapshot. Requires a filter-free
-    * inner scan (physical row order IS the position space); the group
-    * scan builder forwards no filters to parquet by design. */
+    * and (optionally) the file-ref / in-file-position columns appended
+    * — the row-level DML group scan over a delete-bearing snapshot.
+    * Requires a filter-free inner scan (physical row order IS the
+    * position space); the group scan builder forwards no filters to
+    * parquet by design. The emitted position counts SKIPPED rows too —
+    * it is the physical file position, the exact coordinate a new
+    * positional delete sidecar must record. */
   def tagSkip(innerBatch: Batch, skips: Map[String, Array[Long]],
-              includeTag: Boolean): Batch = new Batch {
+              includeTag: Boolean, includePos: Boolean = false): Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       MorDeletes.wholeFileGroups(innerBatch.planInputPartitions())
         .map { case (fileRef, fp) =>
           SkipTagPartition(fp, fileRef,
-            skips.getOrElse(fileRef, Array.empty), includeTag): InputPartition
+            skips.getOrElse(fileRef, Array.empty), includeTag, includePos): InputPartition
         }
 
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -2176,12 +2352,17 @@ private[sources] object GraftFileTag {
       new PartitionReaderFactory {
         override def supportColumnarReads(p: InputPartition): Boolean = false
         override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
-          case SkipTagPartition(fp, fileRef, skip, withTag) =>
+          case SkipTagPartition(fp, fileRef, skip, withTag, withPos) =>
             val r = inner.createReader(fp)
             new PartitionReader[InternalRow] {
               private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-              private val tag = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-                Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(fileRef)))
+              // tag row shape follows readSchema: [file][pos]
+              private val width = (if (withTag) 1 else 0) + (if (withPos) 1 else 0)
+              private val tag =
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(width)
+              if (withTag)
+                tag.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(fileRef))
+              private val posIdx = if (withTag) 1 else 0
               private var pos = -1L
               private var si = 0
               override def next(): Boolean = {
@@ -2193,7 +2374,11 @@ private[sources] object GraftFileTag {
                 false
               }
               override def get(): InternalRow =
-                if (withTag) joined(r.get(), tag) else r.get()
+                if (width == 0) r.get()
+                else {
+                  if (withPos) tag.setLong(posIdx, pos)
+                  joined(r.get(), tag)
+                }
               override def close(): Unit = r.close()
             }
           case other => throw new IllegalStateException(

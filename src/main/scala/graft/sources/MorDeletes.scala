@@ -120,39 +120,78 @@ object MorDeletes {
     * sidecar's content never changes). Sidecars are KB–MB by policy —
     * the one deliberately driver-sized piece of the merge path; the
     * DataFrame-level merge ([[Snapshots.applyDeletes]]) stays fully
-    * distributed. Arrays are sorted ascending and de-duplicated. */
+    * distributed. Arrays are sorted ascending and de-duplicated.
+    *
+    * `stateKey` is the manifest-recorded commit identity
+    * ([[Snapshots.deleteStateKey]]) — ZERO filesystem round-trips per
+    * read (on an object store, no listing RPC), and a dropped-and-
+    * recreated table can never hit the old table's entry (fresh
+    * uuid). Pre-uuid manifests (empty key) fall back to a sidecar
+    * file-listing fingerprint. The cache is a bounded LRU
+    * (`spark.graft.mor.positionCacheSize`, default 64 states) so a
+    * long-lived session iterating DML across many tables cannot
+    * accumulate forever, and loads run OUTSIDE the map lock — a slow
+    * Spark job warming one entry never blocks readers of others. */
   def positions(spark: SparkSession, table: String,
-                dels: Seq[DeleteFile]): Map[String, Array[Long]] = {
+                dels: Seq[DeleteFile], stateKey: String = ""): Map[String, Array[Long]] = {
     if (dels.isEmpty) return Map.empty
-    // key carries the sidecar FILE LISTING (names + sizes): version
-    // dirs are immutable while a table lives, but a dropped-and-
-    // recreated table can reuse the same version numbers — a
-    // path-only key would then serve the old table's positions
-    val fingerprint = dels.map(_.dir).sorted.map { d =>
-      val root = java.nio.file.Paths.get(s"$table/$d")
-      val listing =
-        if (!java.nio.file.Files.isDirectory(root)) ""
-        else scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
-          w.iterator().asScala
-            .filter(p => java.nio.file.Files.isRegularFile(p) &&
-              p.getFileName.toString.endsWith(".parquet"))
-            .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}")
-            .toVector.sorted.mkString(",")
-        }
-      s"$d[$listing]"
-    }.mkString(";")
-    val key = table + "|" + fingerprint
-    positionCache.computeIfAbsent(key, _ => {
+    val key = if (stateKey.nonEmpty) stateKey else {
+      // pre-uuid fallback: fingerprint the sidecar FILE LISTING
+      // (names + sizes) so recreated tables can't alias
+      table + "|" + dels.map(_.dir).sorted.map { d =>
+        val root = java.nio.file.Paths.get(s"$table/$d")
+        val listing =
+          if (!java.nio.file.Files.isDirectory(root)) ""
+          else scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
+            w.iterator().asScala
+              .filter(p => java.nio.file.Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet"))
+              .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}")
+              .toVector.sorted.mkString(",")
+          }
+        s"$d[$listing]"
+      }.mkString(";")
+    }
+    val cached = positionCache.synchronized(Option(positionCache.get(key)))
+    cached.getOrElse {
+      maxCacheEntries = spark.conf.get(
+        "spark.graft.mor.positionCacheSize", "64").toInt
+      sidecarLoads.incrementAndGet()
       val rows = spark.read.schema(SidecarSchema)
         .parquet(dels.map(d => s"$table/${d.dir}"): _*)
         .select("file", "pos").collect()
-      rows.groupBy(_.getString(0))
+      val loaded = rows.groupBy(_.getString(0))
         .map { case (f, rs) => f -> rs.map(_.getLong(1)).distinct.sorted }
-    })
+      positionCache.synchronized {
+        Option(positionCache.get(key)).getOrElse {
+          positionCache.put(key, loaded)
+          // trim to the cap (access order: eldest = least recently used);
+          // a lowered cap takes effect on the next insert
+          val it = positionCache.entrySet().iterator()
+          while (positionCache.size() > maxCacheEntries && it.hasNext) {
+            it.next(); it.remove()
+          }
+          loaded
+        }
+      }
+    }
   }
 
+  @volatile private var maxCacheEntries = 64
+
+  /** Cache misses that ran a sidecar-load job — spec instrumentation
+    * (one load per delete state, not per read). */
+  private[graft] val sidecarLoads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Current cache entry count — spec instrumentation for the bound. */
+  private[graft] def cachedStates: Int =
+    positionCache.synchronized(positionCache.size())
+
+  /** Access-ordered LRU, trimmed past [[maxCacheEntries]] at insert;
+    * guarded by its own monitor (all access sites synchronize on the
+    * map). */
   private val positionCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Array[Long]]]()
+    new java.util.LinkedHashMap[String, Map[String, Array[Long]]](16, 0.75f, true)
 
   /** The sidecar's fixed schema: target data file ref + in-file row
     * position. Always read with it specified — a sidecar written from
@@ -267,6 +306,9 @@ private[sources] class GraftMorScanBuilder(
   private var includeFileRef = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    require(!requiredSchema.fieldNames.contains(GraftPosColumn.name()),
+      s"${GraftPosColumn.name()} is served only on row-level DML scans — " +
+        "use _metadata.row_index for plain reads")
     includeFileRef = requiredSchema.fieldNames.contains(GraftGroupColumn.name())
     val dataOnly = StructType(
       requiredSchema.fields.filterNot(_.name == GraftGroupColumn.name()))

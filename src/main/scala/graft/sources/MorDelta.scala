@@ -1,0 +1,227 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Merge-on-read UPDATE / MERGE (and complex DELETE) — the second half
+  * of the Iceberg format-version-2 write-mode surface the reference
+  * declares (`/root/reference/spark/jobs/bronze_ingestion.py:117` sets
+  * `format-version = 2`, which pairs `write.update.mode` /
+  * `write.merge.mode = merge-on-read` with positional delete files):
+  * re-expressed through Spark's own DELTA-based row-level operation
+  * API ([[SupportsDelta]], the public DSv2 contract Iceberg itself
+  * implements) instead of the group-based copy-on-write rewrite.
+  *
+  * Shape: the operation's row id is `(_graft_file, _graft_pos)` — the
+  * row-level scan's whole-file, filter-free reads make the reader's
+  * row sequence the physical position space, so the id IS the
+  * coordinate a positional delete sidecar records. Spark plans the
+  * matched rows only (`representUpdateAsDeleteAndInsert`: an UPDATE
+  * arrives as a DELETE of the old row id plus a REINSERT of the new
+  * row); each task streams inserted rows through Spark's stock parquet
+  * batch writer into `v=N/` (a fast-append delta) and buffers deleted
+  * ids, which ride its commit MESSAGE back to the driver — the driver
+  * writes them as ONE `(file, pos)` sidecar under the hidden
+  * `v=N/_deletes/` directory at commit. The commit carries EVERY prior
+  * data file by manifest reference: ZERO data files are rewritten.
+  * Readers merge through the existing [[GraftMorScanBuilder]]
+  * machinery; `compact()` materializes.
+  *
+  * Why the ids travel in commit messages instead of a second
+  * distributed write: merge-on-read is FOR SMALL CHANGE SETS by policy
+  * (the sidecar rides into scan planning driver-side anyway, so its
+  * size is already bounded by that contract), a second file-committed
+  * write per task would fight the output commit coordinator (one
+  * authorized commit per partition), and the single driver-written
+  * sidecar file is atomic under the same crash story as the manifest
+  * (no visible snapshot until the manifest lands). A change set above
+  * `spark.graft.mor.maxBufferedDeletes` (per task) fails loudly with
+  * the copy-on-write escape hatch — the same "bulk restatements run
+  * copy-on-write" policy the MoR DELETE documents.
+  *
+  * Why it matters at 100 TB: a point-UPDATE of one row in a 512 MB
+  * file under copy-on-write rewrites the file; here it writes a KB
+  * sidecar plus a KB insert delta. MERGE decomposes identically
+  * (matched-update → delete+reinsert, matched-delete → delete,
+  * not-matched → insert), so a CDC upsert stream against a 100 TB
+  * table commits O(changed rows), not O(touched files).
+  *
+  * Enabled per verb: `spark.graft.update.mode` /
+  * `spark.graft.merge.mode` / `spark.graft.delete.mode` =
+  * `merge-on-read` (the Iceberg table-property names as session
+  * confs). Falls back to the copy-on-write op when any base file lacks
+  * manifest stats — a zero-rewrite commit must carry every file by
+  * reference, which needs their stats. */
+private[sources] class GraftDeltaOperation(
+    cmd: RowLevelOperation.Command,
+    table: GraftSnapshotTable,
+    state: GraftCowState)
+  extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** Same scan as the copy-on-write op: file-pruned statically from
+    * the pushed condition, whole-file filter-free reads with prior
+    * delete positions skipped (a deleted row can never be re-deleted
+    * or fed into an update), row-identity columns served on request.
+    * Narrowing only reduces what is READ — the commit carries all
+    * files regardless. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    table.latestScanBuilder(options, Some(state))
+
+  /** The row id IS the sidecar coordinate. */
+  override def rowId(): Array[NamedReference] = Array(
+    org.apache.spark.sql.connector.expressions.Expressions.column(GraftGroupColumn.name()),
+    org.apache.spark.sql.connector.expressions.Expressions.column(GraftPosColumn.name()))
+
+  /** An UPDATE splits into DELETE(old id) + REINSERT(new row) — exactly
+    * the sidecar + fast-append decomposition this operation commits. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty // the row id carries everything the writer needs
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(table, info,
+          cmd.toString.toLowerCase(java.util.Locale.ROOT), state)
+    }
+}
+
+/** One task's commit: the insert-delta file commit (absent when the
+  * task inserted nothing — no empty files) plus the deleted row ids
+  * it buffered (small by the merge-on-read policy). */
+private[sources] case class GraftDeltaMessage(
+    data: Option[WriterCommitMessage],
+    deletes: Array[(String, Long)]) extends WriterCommitMessage
+
+/** Executor-side delta writer: inserts stream into the stock parquet
+  * data writer (created lazily — a delete-only task leaves no empty
+  * file), deleted row ids buffer for the commit message. Top-level —
+  * it is task-serialized. */
+private[sources] class GraftDeltaWriterFactory(
+    dataFactory: DataWriterFactory,
+    maxBufferedDeletes: Long) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private var dataW: DataWriter[InternalRow] = _
+      private val deleted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit = {
+        if (deleted.length >= maxBufferedDeletes)
+          throw new IllegalStateException(
+            s"merge-on-read change set exceeds $maxBufferedDeletes deleted rows in one " +
+              "task — this operation is for small change sets (the sidecar is " +
+              "driver-planned metadata); run bulk restatements in copy-on-write mode " +
+              "(unset spark.graft.update/merge/delete.mode) or raise " +
+              "spark.graft.mor.maxBufferedDeletes")
+        deleted += ((id.getUTF8String(0).toString, id.getLong(1)))
+      }
+
+      override def insert(row: InternalRow): Unit = {
+        if (dataW == null) dataW = dataFactory.createWriter(partitionId, taskId)
+        dataW.write(row)
+      }
+
+      // defensive: with representUpdateAsDeleteAndInsert the planner
+      // never routes here, but the decomposition is the semantics
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        delete(meta, id); insert(row)
+      }
+
+      override def commit(): WriterCommitMessage =
+        GraftDeltaMessage(Option(dataW).map(_.commit()), deleted.toArray)
+
+      override def abort(): Unit = if (dataW != null) dataW.abort()
+
+      override def close(): Unit = if (dataW != null) dataW.close()
+    }
+}
+
+/** The zero-rewrite delta write: one delegated parquet batch write for
+  * the insert delta, one driver-written positional sidecar from the
+  * gathered delete ids, and the manifest commit that carries every
+  * prior file by reference. */
+private[sources] class GraftDeltaWrite(
+    table: GraftSnapshotTable,
+    info: LogicalWriteInfo,
+    operation: String,
+    state: GraftCowState) extends DeltaWrite {
+
+  private val spark: SparkSession = SparkSession.active
+  private val tablePath = table.tableRoot
+  private val v = Snapshots.versions(tablePath).lastOption.getOrElse(0L) + 1
+  private val dataDir = s"$tablePath/v=$v"
+  private val sidecarDir = s"v=$v/_deletes"
+
+  override def toBatch: DeltaBatchWrite = {
+    // Iceberg-parity timestamp encoding, same as every snapshot write
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val dataWrite = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
+      Seq(dataDir), "parquet", _ => true, info).toBatch
+    val maxBuffered = spark.conf.get(
+      "spark.graft.mor.maxBufferedDeletes", "10000000").toLong
+    val sparkRef = spark
+
+    new DeltaBatchWrite {
+      override def createBatchWriterFactory(p: PhysicalWriteInfo): DeltaWriterFactory =
+        new GraftDeltaWriterFactory(
+          dataWrite.createBatchWriterFactory(p), maxBuffered)
+
+      // the file commit protocol coordinates its own task commits
+      // (SparkHadoopMapRedUtil inside FileFormatDataWriter.commit) —
+      // same as FileBatchWrite, which this wraps
+      override def useCommitCoordinator: Boolean = false
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val pairs = messages.collect { case m: GraftDeltaMessage => m }
+        dataWrite.commit(pairs.flatMap(_.data))
+        val deleted = pairs.flatMap(_.deletes)
+        if (deleted.nonEmpty) {
+          // ONE driver-written sidecar file; atomic under the same
+          // crash story as the manifest (nothing is visible until the
+          // manifest commits below)
+          import sparkRef.implicits._
+          sparkRef.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+          deleted.toSeq.toDF("file", "pos").coalesce(1)
+            .write.mode("errorifexists").parquet(s"$tablePath/$sidecarDir")
+        }
+        // carried = EVERY prior file (zero rewrites by construction);
+        // prior delete entries all survive (their targets are all
+        // still carried), the new sidecar joins them
+        val carried = state.carryAll
+        val targets =
+          if (deleted.isEmpty) Nil
+          else MorDeletes.sidecarTargets(sparkRef, tablePath, sidecarDir)
+        val entries =
+          MorDeletes.retarget(state.priorDeletes, carried.map(_.name).toSet) ++
+            (if (targets.isEmpty) Nil
+             else Seq(MorDeletes.DeleteFile(sidecarDir, targets)))
+        Snapshots.commitCow(sparkRef, tablePath, v, operation, carried,
+          deletes = entries)
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val pairs = messages.collect { case m: GraftDeltaMessage => m }
+        dataWrite.abort(pairs.flatMap(_.data))
+        // no manifest was committed; remove the orphan version dir so
+        // the number stays free for the next writer
+        val orphan = Paths.get(dataDir)
+        if (Files.isDirectory(orphan)) {
+          scala.util.Using.resource(Files.walk(orphan)) { walk =>
+            walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => Files.deleteIfExists(p))
+          }
+        }
+      }
+    }
+  }
+}

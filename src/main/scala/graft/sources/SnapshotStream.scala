@@ -275,6 +275,13 @@ private[sources] class GraftStreamableScanBuilder(delegate: ParquetScanBuilder,
   private var includeFileRef = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    // the in-file-position column exists for row-level DML scans only:
+    // this path pushes filters into parquet (row-group skipping), so a
+    // counted position here would NOT be the physical file position
+    require(!requiredSchema.fieldNames.contains(GraftPosColumn.name()),
+      s"${GraftPosColumn.name()} is served only on row-level DML scans " +
+        "(plain reads push filters into parquet, which breaks position " +
+        "counting) — use _metadata.row_index for plain reads")
     includeFileRef = requiredSchema.fieldNames.contains(GraftGroupColumn.name())
     val dataOnly = StructType(
       requiredSchema.fields.filterNot(_.name == GraftGroupColumn.name()))
@@ -476,7 +483,7 @@ private[graft] class GraftStreamableScan(initialInner: Scan, tablePath: String,
         val transform = layout.get match {
           case GraftLayout.Bucket(n, c) =>
             org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
-          case GraftLayout.Days(c) =>
+          case GraftLayout.Days(c, _) =>
             org.apache.spark.sql.connector.expressions.Expressions.days(c)
         }
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(

@@ -32,6 +32,25 @@ object Snapshots {
 
   private def metaDir(table: String) = Paths.get(table, "_meta")
 
+  /** Every manifest carries a random commit identity: a
+    * dropped-and-recreated table reuses version NUMBERS, so caches
+    * keyed by (table, version) alone could serve the old table's
+    * state — the uuid distinguishes the commits without any
+    * filesystem round-trip (the fix for the per-read sidecar-listing
+    * walk the r14 position cache did). */
+  private def uuidFrag: String =
+    s""","commit_uuid":"${java.util.UUID.randomUUID()}""""
+
+  /** Cache identity of the delete state AS OF `v`: the anchoring
+    * full-state manifest's commit uuid (that manifest records the
+    * live sidecars). Empty for pre-uuid manifests — callers then fall
+    * back to a filesystem fingerprint. */
+  private[sources] def deleteStateKey(table: String, v: Long): String = {
+    val lf = lastFullVersion(table, v)
+    "\"commit_uuid\":\"([^\"]*)\"".r.findFirstMatchIn(manifestText(table, lf))
+      .map(m => s"$table|$lf|${m.group(1)}").getOrElse("")
+  }
+
   /** Versions present, ascending (from manifests). */
   def versions(table: String): Seq[Long] = {
     val dir = metaDir(table)
@@ -79,7 +98,7 @@ object Snapshots {
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
     val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
     val manifest =
-      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols${streamTagFrag(streamTag)}$filesFrag}"""
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols${streamTagFrag(streamTag)}$filesFrag$uuidFrag}"""
     Files.createDirectories(metaDir(table))
     Files.write(metaDir(table).resolve(s"$v.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
@@ -161,7 +180,9 @@ object Snapshots {
           t <- "\"transform\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
           if t == "days"
           c <- "\"col\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
-        } yield GraftLayout.Days(c)
+        } yield GraftLayout.Days(c,
+          timestampCol = "\"coltype\":\"([^\"]*)\"".r.findFirstMatchIn(text)
+            .exists(_.group(1) == "timestamp"))
       }
     }
   }
@@ -319,7 +340,7 @@ object Snapshots {
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
     val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
     val manifest =
-      s"""{"version":$v,"operation":"append","committed_at_ms":$ts,"row_count":${priorTotal + delta},"added_rows":$delta,"columns":$cols${streamTagFrag(streamTag)}$filesFrag}"""
+      s"""{"version":$v,"operation":"append","committed_at_ms":$ts,"row_count":${priorTotal + delta},"added_rows":$delta,"columns":$cols${streamTagFrag(streamTag)}$filesFrag$uuidFrag}"""
     Files.write(metaDir(table).resolve(s"$v.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
     v
@@ -342,7 +363,7 @@ object Snapshots {
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
     val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
     val manifest =
-      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag}"""
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag$uuidFrag}"""
     Files.createDirectories(metaDir(table))
     Files.write(metaDir(table).resolve(s"$v.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
@@ -398,7 +419,7 @@ object Snapshots {
     val delFrag =
       if (deletes.isEmpty) "" else s""","deletes":${MorDeletes.toJson(deletes)}"""
     val manifest =
-      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}$delFrag}"""
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}$delFrag$uuidFrag}"""
     Files.createDirectories(metaDir(table))
     Files.write(metaDir(table).resolve(s"$v.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
@@ -824,10 +845,23 @@ private[sources] object GraftLayout {
   }
   /** `days(col)`: days since epoch of the column's date — the Iceberg
     * days transform (DATE's internal representation, so the planner
-    * function is the identity on date inputs). */
-  final case class Days(col: String) extends GraftLayout {
+    * function is the identity on date inputs). `timestampCol` records
+    * the source column's type (persisted in the layout marker):
+    * timestamps floor-divide their raw epoch micros — UTC, the Iceberg
+    * timestamptz contract and EXACTLY what [[GraftDaysFunction]]
+    * computes. Deriving the timestamp day via `CAST(col AS DATE)`
+    * would go through the SESSION timezone and, near midnight in a
+    * non-UTC session, write a day key the planner function disagrees
+    * with — mis-routing SPJ shuffles and breaking the
+    * single-definition invariant. `pmod` keeps the floor-division
+    * exact in integer arithmetic (no double rounding at day
+    * boundaries), including for pre-epoch timestamps. */
+  final case class Days(col: String, timestampCol: Boolean = false) extends GraftLayout {
     val partCol: String = GraftSnapshotTable.DaysCol
-    def derivedExpr: String = s"datediff(CAST(`$col` AS DATE), DATE '1970-01-01')"
+    def derivedExpr: String =
+      if (timestampCol)
+        s"CAST((unix_micros(`$col`) - pmod(unix_micros(`$col`), 86400000000)) DIV 86400000000 AS INT)"
+      else s"datediff(CAST(`$col` AS DATE), DATE '1970-01-01')"
   }
 
   /** All reserved derived-layout column names (data columns may not

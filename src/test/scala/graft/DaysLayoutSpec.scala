@@ -170,6 +170,41 @@ class DaysLayoutSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT sum(n) FROM $cat.ow.t").head().getLong(0) == (0L until 12L).map(_ * 10).sum)
   }
 
+  test("timestamp day keys are UTC in non-UTC sessions: layout dirs and planner function agree per row") {
+    // the single-definition invariant under a non-UTC session: the
+    // write-side layout expression and the catalog's days() function
+    // must produce the SAME day for every timestamp, or SPJ would
+    // shuffle one side onto day keys the files don't use. LA-local
+    // evening timestamps cross UTC midnight — exactly where a
+    // CAST-to-DATE (session tz) derivation diverges from the UTC
+    // epoch-micros floor the function computes.
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.tz")
+      spark.sql(s"CREATE TABLE $cat.tz.t (ts TIMESTAMP, n BIGINT) PARTITIONED BY (days(ts))")
+      spark.sql(s"INSERT INTO $cat.tz.t VALUES " +
+        "(TIMESTAMP '2024-03-01 04:00:00', 1)," + // 2024-03-01T12:00Z → UTC day 19783
+        "(TIMESTAMP '2024-03-01 20:00:00', 2)," + // 2024-03-02T04:00Z → UTC day 19784
+        "(TIMESTAMP '2024-03-01 23:30:00', 3)")   // 2024-03-02T07:30Z → UTC day 19784
+      val dirs = scala.util.Using.resource(Files.list(Paths.get(s"$wh/tz/t/v=1"))) { ls =>
+        val b = Vector.newBuilder[String]
+        ls.iterator().forEachRemaining(p => b += p.getFileName.toString)
+        b.result()
+      }.filter(_.startsWith("__graft_days=")).map(_.stripPrefix("__graft_days=").toInt)
+      assert(dirs.toSet == Set(19783, 19784),
+        s"UTC day keys expected (session-tz CAST would put all three on 19783): $dirs")
+      // per-row: each row's file directory key IS the function's day
+      val rows = spark.sql(
+        s"SELECT $cat.system.days(ts) AS fd, _graft_file AS f FROM $cat.tz.t").collect()
+      assert(rows.length == 3)
+      rows.foreach { r =>
+        val key = "__graft_days=(-?\\d+)".r.findFirstMatchIn(r.getString(1)).get.group(1).toInt
+        assert(r.getInt(0) == key,
+          s"function day ${r.getInt(0)} != layout directory $key for ${r.getString(1)}")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("DDL validation: non-temporal days column and reserved layout names are loud") {
     spark.sql(s"CREATE NAMESPACE $cat.val")
     val wrongType = intercept[Exception] {

@@ -310,4 +310,40 @@ class MorDeletesSpec extends AnyFunSuite {
       DeleteFile("v=6/_deletes", Seq(Target("v=2/b.parquet", 1)))))
     assert(MorDeletes.retarget(dels, Set.empty) == Seq.empty)
   }
+
+  test("position cache: one sidecar load per delete state, bounded LRU, no drop-recreate aliasing") {
+    spark.conf.set("spark.graft.mor.positionCacheSize", "4")
+    try {
+      val tp = banded("cache")
+      morDelete(s"DELETE FROM $cat.cache.t WHERE k IN (3, 14)")
+      val loads0 = MorDeletes.sidecarLoads.get()
+      assert(ks(s"$cat.cache.t").size == 28)
+      val afterFirst = MorDeletes.sidecarLoads.get()
+      // repeated reads of the SAME delete state never re-load (the
+      // commit-uuid key needs no filesystem listing per read)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.cache.t").head().getLong(0) == 28)
+      assert(ks(s"$cat.cache.t").size == 28)
+      assert(MorDeletes.sidecarLoads.get() == afterFirst,
+        "a cached delete state must not re-run the sidecar load job")
+      assert(afterFirst >= loads0 + 1)
+      // drop-recreate under the SAME name and version numbers: the new
+      // table's delete state is a different commit uuid — the cache
+      // must miss (old positions would silently mis-delete)
+      spark.sql(s"DROP TABLE $cat.cache.t")
+      banded("cache")
+      morDelete(s"DELETE FROM $cat.cache.t WHERE k IN (5)")
+      assert(ks(s"$cat.cache.t") == (0L until 30L).filterNot(_ == 5L),
+        "recreated table must not inherit the dropped table's cached positions")
+      // bound: cycling >4 distinct delete states through the cache
+      // keeps at most 4 entries resident
+      (1 to 5).foreach { i =>
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cache$i")
+        spark.sql(s"CREATE TABLE $cat.cache$i.t AS SELECT /*+ COALESCE(1) */ id AS k, id AS v FROM range(10)")
+        morDelete(s"DELETE FROM $cat.cache$i.t WHERE k = $i")
+        assert(spark.sql(s"SELECT count(*) FROM $cat.cache$i.t").head().getLong(0) == 9)
+      }
+      assert(MorDeletes.cachedStates <= 4,
+        s"position cache must stay bounded at 4, got ${MorDeletes.cachedStates}")
+    } finally spark.conf.unset("spark.graft.mor.positionCacheSize")
+  }
 }
