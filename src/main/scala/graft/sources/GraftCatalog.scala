@@ -317,7 +317,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val base = new GraftSnapshotTable(ident.toString, dir.toString, pinned = None).schema()
+    val tablePath = dir.toString
+    // RAW marker (rename-history metadata preserved); the clean view
+    // is what users see, the raw one is what evolution rewrites
+    val base = Snapshots.declaredRawOf(tablePath).getOrElse(
+      new GraftSnapshotTable(ident.toString, tablePath, pinned = None).schema())
+    // names no field may take: every name some field EVER used (live
+    // histories + the retirement ledger) — a reused name would make
+    // two fields claim one physical column in pre-rename files
+    def historical(schema: StructType): Set[String] =
+      RenameEras.fromSchema(schema, RenameEras.retiredOf(tablePath)).allHistorical
     val evolved = changes.foldLeft(base) {
       case (schema, add: TableChange.AddColumn)
         if add.fieldNames().length == 1 && add.isNullable &&
@@ -326,6 +335,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"column ${add.fieldNames()(0)} already exists")
         require(!GraftLayout.reservedNames.contains(add.fieldNames()(0)),
           s"column name ${add.fieldNames()(0)} is reserved for the storage layout")
+        require(!historical(schema).contains(add.fieldNames()(0)),
+          s"column name ${add.fieldNames()(0)} was used by a renamed column — " +
+            "pre-rename files still carry it physically; pick another name")
         val field = org.apache.spark.sql.types.StructField(
           add.fieldNames()(0), add.dataType(), nullable = true)
         schema.add(Option(add.comment()).map(field.withComment).getOrElse(field))
@@ -336,10 +348,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         } else {
           // the layout column is load-bearing (every write derives
           // from it); dropping it would orphan the table's layout
-          Snapshots.layoutSpecOf(dir.toString).foreach(spec =>
+          Snapshots.layoutSpecOf(tablePath).foreach(spec =>
             require(spec.col != name,
               s"cannot drop $name: it drives the table's ${spec.partCol} layout"))
           require(schema.fields.length > 1, s"cannot drop the only column $name")
+          // a dropped RENAMED field retires its whole name lineage:
+          // old files carry those physical columns forever, so a new
+          // field reusing one would resurrect dead values
+          val f = schema.fields(schema.fieldIndex(name))
+          val lineage = RenameEras.entriesOf(f)
+          if (lineage.nonEmpty) RenameEras.retire(tablePath, lineage.toSet + name)
           StructType(schema.fields.filterNot(_.name == name))
         }
       case (schema, upd: TableChange.UpdateColumnType) if upd.fieldNames().length == 1 =>
@@ -349,7 +367,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // xxhash64(int) != xxhash64(bigint) for the same number, so a
         // widened layout column would scatter new writes across
         // different buckets than the existing files
-        Snapshots.layoutSpecOf(dir.toString).foreach(spec =>
+        Snapshots.layoutSpecOf(tablePath).foreach(spec =>
           require(spec.col != name,
             s"cannot retype $name: it drives the table's ${spec.partCol} layout"))
         val from = schema.fields(schema.fieldIndex(name)).dataType
@@ -361,11 +379,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "see graft.sources.SchemaEvolution")
         StructType(schema.fields.map(f =>
           if (f.name == name) f.copy(dataType = to) else f))
+      // metadata-only RENAME COLUMN (the last evolution verb): the
+      // field renames in the marker and its history gains an era
+      // entry — every scan maps pre-rename files through it
+      // ([[RenameEras]]); no data directory is touched
+      case (schema, rn: TableChange.RenameColumn) if rn.fieldNames().length == 1 =>
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        require(schema.fieldNames.contains(from), s"column $from does not exist")
+        require(!schema.fieldNames.contains(to), s"column $to already exists")
+        require(!GraftLayout.reservedNames.contains(to),
+          s"column name $to is reserved for the storage layout")
+        require(to.matches("[A-Za-z0-9_]+"),
+          s"RENAME COLUMN target must match [A-Za-z0-9_]+ (it is persisted in " +
+            s"manifests and era mappings): '$to'")
+        require(!historical(schema).contains(to),
+          s"column name $to was used by a renamed column — pre-rename files " +
+            "still carry it physically; pick another name")
+        // the layout marker carries the SOURCE column name verbatim
+        Snapshots.layoutSpecOf(tablePath).foreach(spec =>
+          require(spec.col != from,
+            s"cannot rename $from: it drives the table's ${spec.partCol} layout"))
+        // the merge-on-read scan reads one unified schema — it is
+        // era-unaware by design; compaction materializes the sidecars
+        Snapshots.versions(tablePath).lastOption.foreach(v =>
+          require(Snapshots.liveDeletes(tablePath, v).isEmpty,
+            s"cannot rename $from while merge-on-read delete sidecars are live — " +
+              "run Snapshots.compact() first"))
+        RenameEras.withRename(schema, from, to,
+          lastV = Snapshots.versions(tablePath).lastOption)
       case _ => throw new UnsupportedOperationException(
         "metadata-only evolution covers nullable top-level ADD COLUMN, DROP COLUMN, " +
-          "and widening ALTER COLUMN TYPE; everything else (incl. RENAME, which needs " +
-          "a field-identity mapping) is a full-state snapshot write — see " +
-          "graft.sources.SchemaEvolution")
+          "RENAME COLUMN, and widening ALTER COLUMN TYPE; everything else is a " +
+          "full-state snapshot write — see graft.sources.SchemaEvolution")
     }
     Files.write(dir.resolve("_schema.json"),
       evolved.json.getBytes(StandardCharsets.UTF_8))
@@ -555,15 +601,28 @@ object GraftCatalog {
           leaves(a.executedPlan)
         case l => Seq(l)
       }
+    def filesOf(p: org.apache.spark.sql.connector.read.InputPartition): Seq[String] = p match {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString).toSeq
+      case kp: GraftBucketed.BucketPartition =>
+        kp.inner.files.map(_.filePath.toString).toSeq
+      // merge-scan wrappers (delete-bearing states)
+      case cp: GraftMorScan.CleanPart => filesOf(cp.inner)
+      case ct: GraftMorScan.CleanTagPart =>
+        ct.inner.files.map(_.filePath.toString).toSeq
+      case mp: GraftMorScan.MorPart =>
+        mp.inner.files.map(_.filePath.toString).toSeq
+      // era-union wrappers (rename-spanning states)
+      case ep: GraftEraScan.EraPart => filesOf(ep.inner)
+      case tp: GraftFileTag.TaggedPartition =>
+        tp.inner.files.map(_.filePath.toString).toSeq
+      case sp: GraftFileTag.SkipTagPartition =>
+        sp.inner.files.map(_.filePath.toString).toSeq
+      case _ => Seq.empty
+    }
     val files = leaves(df.queryExecution.executedPlan).flatMap {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.inputPartitions.flatMap {
-          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-            fp.files.map(_.filePath.toString).toSeq
-          case kp: GraftBucketed.BucketPartition =>
-            kp.inner.files.map(_.filePath.toString).toSeq
-          case _ => Seq.empty
-        }
+        b.inputPartitions.flatMap(filesOf)
       case _ => Seq.empty
     }.distinct.size
     (rows, files.toLong)
@@ -1110,6 +1169,17 @@ object GraftCatalog {
     val pre = s.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 3").collect()(0)
     val postUpd = s.sql(s"SELECT CAST(sum(total_events) AS BIGINT) AS se FROM $t VERSION AS OF 4").collect()(0)
     val cur = s.sql(s"SELECT count(*) AS c, CAST(sum(total_events) AS BIGINT) AS se FROM $t").collect()(0)
+    // planner surfaces LIVE under the sidecars (r15): the update-window
+    // probe prunes to exactly the straddled band + the update's own
+    // delta file (2 of 5 files — carried bounds stay sound envelopes of
+    // the live rows), and a LIMIT 1 plans the shortest live-row-covering
+    // prefix (1 file). Rows/sums replayed from silver prove the pruned
+    // scans also MERGED exactly.
+    val (probeRows, probeFiles) = collectAndCountFiles(s.sql(
+      s"SELECT count(*) AS c, CAST(sum(total_events) AS BIGINT) AS se FROM $t " +
+        "WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-14'"))
+    val (limitRows, limitFiles) = collectAndCountFiles(
+      s.sql(s"SELECT event_date FROM $t LIMIT 1"))
     val (cv, _, _) = Snapshots.compact(s, tablePath, targetFileBytes = 1L << 40)
     val liveAfter = Snapshots.liveDeletes(tablePath, cv).size.toLong
     val postCompact = s.sql(s"SELECT CAST(sum(total_events) AS BIGINT) AS se FROM $t").collect()(0)
@@ -1117,9 +1187,14 @@ object GraftCatalog {
     Seq(
       "compact_live_delete_files" -> liveAfter,
       "entries_after_merge" -> mrgEntries.size.toLong,
+      "limit_files_scanned" -> limitFiles,
+      "limit_rows" -> limitRows.length.toLong,
       "mrg_prior_carried" -> mrgCarried,
       "mrg_sidecar_positions" -> mrgPositions,
       "post_compact_sum" -> postCompact.getLong(0),
+      "probe_files_scanned" -> probeFiles,
+      "probe_rows" -> probeRows(0).getLong(0),
+      "probe_sum" -> probeRows(0).getLong(1),
       "rows_asof_v3" -> pre.getLong(0),
       "rows_current" -> cur.getLong(0),
       "sum_asof_v4" -> postUpd.getLong(0),
@@ -1144,8 +1219,15 @@ object GraftCatalog {
     |SELECT * FROM (
     |  SELECT 'compact_live_delete_files' AS metric, CAST(0 AS BIGINT) AS value
     |  UNION ALL SELECT 'entries_after_merge', 2
+    |  UNION ALL SELECT 'limit_files_scanned', 1
+    |  UNION ALL SELECT 'limit_rows', 1
     |  UNION ALL SELECT 'mrg_prior_carried', 4
     |  UNION ALL SELECT 'mrg_sidecar_positions', (SELECT c FROM w2)
+    |  UNION ALL SELECT 'probe_files_scanned', 2
+    |  UNION ALL SELECT 'probe_rows', (SELECT c FROM w1)
+    |  UNION ALL SELECT 'probe_sum',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily
+    |     WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-14') + 5 * (SELECT c FROM w1)
     |  UNION ALL SELECT 'post_compact_sum',
     |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
     |      + 5 * (SELECT c FROM w1) + 100 * (SELECT c FROM w2) + 333
@@ -1160,6 +1242,115 @@ object GraftCatalog {
     |  UNION ALL SELECT 'upd_prior_carried', 3
     |  UNION ALL SELECT 'upd_sidecar_positions', (SELECT c FROM w1)
     |  UNION ALL SELECT 'upd_sidecar_targets', 1
+    |)
+    |ORDER BY metric""".stripMargin
+
+  /** Driver query: metadata-only RENAME COLUMN observed end to end
+    * (the era-split design, [[RenameEras]]) — ADD COLUMN then RENAME
+    * run with ZERO data versions written (the structural constant
+    * `data_versions_after_evolution=2`), a post-rename append mixes
+    * eras, an UPDATE KEYED ON THE RENAMED COLUMN rewrites exactly the
+    * straddled pre-rename band (era-mapped read, current-name write),
+    * an impossible-band DELETE on the renamed column stays
+    * metadata-only (the translated-bounds proof), a band probe over
+    * the era-spanning state scans exactly one file, time travel
+    * answers under the snapshot's OWN column name, and compaction
+    * deactivates the eras. Every row/sum replays from silver across
+    * the rename boundary. */
+  def renameOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_rn_$n"
+    val tablePath = s"$warehouseDir/marts/daily_rn_$n"
+    val v = s"__graft_rn_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date <= DATE '2024-01-10'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-20'")
+    s.sql(s"ALTER TABLE $t ADD COLUMN bonus BIGINT")
+    s.sql(s"ALTER TABLE $t RENAME COLUMN total_events TO events_n")
+    val versionsAfterEvolution = Snapshots.versions(tablePath).size.toLong
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ event_date, total_events AS events_n, total_events AS bonus FROM $v WHERE event_date > DATE '2024-01-20'")
+    // DML keyed on the RENAMED column, hitting the PRE-rename band
+    s.sql(s"UPDATE $t SET events_n = events_n + 7 WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-14'")
+    def ownRowsAndCarried(ver: Long): (Long, Long) = {
+      val m = new String(Files.readAllBytes(
+        Paths.get(s"$tablePath/_meta/$ver.json")), StandardCharsets.UTF_8)
+      (FileStats.fromManifest(m).map(_.map(_.rows).sum).getOrElse(-1L),
+        FileStats.carriedFromManifest(m).size.toLong)
+    }
+    val (updOwnRows, updCarried) = ownRowsAndCarried(4)
+    // impossible band on the renamed column: metadata-only iff the
+    // pruning bounds translated into the old era
+    s.sql(s"DELETE FROM $t WHERE events_n < 0")
+    val (delOwnRows, delCarried) = ownRowsAndCarried(5)
+    // era-spanning band probe: exactly the pre-rename band-1 file
+    val (probeRows, probeFiles) = collectAndCountFiles(s.sql(
+      s"SELECT count(*) AS c, CAST(sum(events_n) AS BIGINT) AS se FROM $t WHERE event_date <= DATE '2024-01-05'"))
+    // per-snapshot names: version 2 answers under the OLD name
+    val asof2 = s.sql(s"SELECT count(*) AS c, CAST(sum(total_events) AS BIGINT) AS se FROM $t VERSION AS OF 2").collect()(0)
+    val asof2Cols = s.sql(s"SELECT * FROM $t VERSION AS OF 2 LIMIT 0").columns.toSeq
+    val curCols = s.table(t).columns.toSeq
+    val cur = s.sql(s"SELECT count(*) AS c, CAST(sum(events_n) AS BIGINT) AS se, CAST(sum(bonus) AS BIGINT) AS sb FROM $t").collect()(0)
+    Snapshots.compact(s, tablePath, targetFileBytes = 1L << 40)
+    val post = s.sql(s"SELECT CAST(sum(events_n) AS BIGINT) AS se FROM $t").collect()(0)
+    import s.implicits._
+    Seq(
+      "asof2_has_new_name" -> (if (asof2Cols.contains("events_n")) 1L else 0L),
+      "asof2_has_old_name" -> (if (asof2Cols.contains("total_events")) 1L else 0L),
+      "asof2_rows" -> asof2.getLong(0),
+      "asof2_sum_old_name" -> asof2.getLong(1),
+      "cur_has_new_name" -> (if (curCols.contains("events_n")) 1L else 0L),
+      "cur_has_old_name" -> (if (curCols.contains("total_events")) 1L else 0L),
+      "data_versions_after_evolution" -> versionsAfterEvolution,
+      "del_files_carried" -> delCarried,
+      "del_rows_rewritten" -> delOwnRows,
+      "post_compact_sum" -> post.getLong(0),
+      "probe_files_scanned" -> probeFiles,
+      "probe_rows" -> probeRows(0).getLong(0),
+      "rows_current" -> cur.getLong(0),
+      "sum_bonus_current" -> cur.getLong(2),
+      "sum_events_current" -> cur.getLong(1),
+      "upd_files_carried" -> updCarried,
+      "upd_rows_rewritten" -> updOwnRows)
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[renameOver]]: evolution/commit structure as
+    * constants (2 data versions after both ALTERs, 1 band rewritten by
+    * the renamed-keyed UPDATE, 0 by the impossible DELETE, 1 file for
+    * the band probe, old-vs-new name flags per snapshot), every
+    * row/sum replayed from silver across the rename boundary (+7 on
+    * the update window; bonus populated only in the post-rename
+    * band). */
+  val renameSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, w1 AS (SELECT count(*) AS c FROM daily WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-14')
+    |SELECT * FROM (
+    |  SELECT 'asof2_has_new_name' AS metric, CAST(0 AS BIGINT) AS value
+    |  UNION ALL SELECT 'asof2_has_old_name', 1
+    |  UNION ALL SELECT 'asof2_rows',
+    |    (SELECT count(*) FROM daily WHERE event_date <= DATE '2024-01-20')
+    |  UNION ALL SELECT 'asof2_sum_old_name',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily WHERE event_date <= DATE '2024-01-20')
+    |  UNION ALL SELECT 'cur_has_new_name', 1
+    |  UNION ALL SELECT 'cur_has_old_name', 0
+    |  UNION ALL SELECT 'data_versions_after_evolution', 2
+    |  UNION ALL SELECT 'del_files_carried', 3
+    |  UNION ALL SELECT 'del_rows_rewritten', 0
+    |  UNION ALL SELECT 'post_compact_sum',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily) + 7 * (SELECT c FROM w1)
+    |  UNION ALL SELECT 'probe_files_scanned', 1
+    |  UNION ALL SELECT 'probe_rows',
+    |    (SELECT count(*) FROM daily WHERE event_date <= DATE '2024-01-05')
+    |  UNION ALL SELECT 'rows_current', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'sum_bonus_current',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily WHERE event_date > DATE '2024-01-20')
+    |  UNION ALL SELECT 'sum_events_current',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily) + 7 * (SELECT c FROM w1)
+    |  UNION ALL SELECT 'upd_files_carried', 2
+    |  UNION ALL SELECT 'upd_rows_rewritten',
+    |    (SELECT count(*) FROM daily WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-20')
     |)
     |ORDER BY metric""".stripMargin
 
@@ -1391,15 +1582,22 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
   private def resolvedVersion: Option[Long] =
     pinned.orElse(Snapshots.versions(tablePath).lastOption)
 
-  private def declaredSchema: Option[StructType] = {
-    val marker = Paths.get(tablePath, "_schema.json")
-    if (!Files.isRegularFile(marker)) None
-    else Some(StructType.fromDDL(
-      // StructType.json round-trip without private parsers:
-      org.apache.spark.sql.types.DataType.fromJson(new String(
-        Files.readAllBytes(marker), StandardCharsets.UTF_8))
-        .asInstanceOf[StructType].toDDL))
-  }
+  private def declaredSchema: Option[StructType] =
+    Snapshots.declaredCleanOf(tablePath)
+
+  /** Rename history + retirement ledger; empty for never-renamed
+    * tables, so every non-rename path below is byte-identical to the
+    * pre-rename code. */
+  private[sources] def renameInfo: RenameEras.Info =
+    Snapshots.renameInfoOf(tablePath)
+
+  /** Era mapping of one data file under output names as of `outV`
+    * (current names = Long.MaxValue); empty when aligned. */
+  private[sources] def eraMappingOf(path: String, info: RenameEras.Info,
+                                    outV: Long): Map[String, String] =
+    if (info.isEmpty) Map.empty
+    else info.mapping(
+      RenameEras.fileVersionOf(Snapshots.rootRel(tablePath, path)), outV)
 
   /** Declared storage-partitioning layout, None for plain tables. */
   private[sources] def layoutSpec: Option[GraftLayout] = Snapshots.layoutSpecOf(tablePath)
@@ -1439,7 +1637,19 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
   override def name(): String = qualifiedName
 
   override def schema(): StructType = resolvedVersion match {
-    case Some(v) => readerSchema.getOrElse(parquetTable(v, None).schema)
+    case Some(v) => readerSchema.getOrElse {
+      // pinned views normally infer the snapshot's own schema from its
+      // files — but an ERA-SPANNING pinned read set would infer the
+      // union of old and new names as separate columns. There the
+      // snapshot's names are the declared fields renamed as of the
+      // pinned version (the era scan's output contract).
+      if (eraGroups(v).isDefined) {
+        val info = renameInfo
+        val base = declaredSchema.getOrElse(new StructType())
+        StructType(base.fields.map(f =>
+          f.copy(name = info.nameAsOf(f.name, pinned.getOrElse(Long.MaxValue)))))
+      } else parquetTable(v, None).schema
+    }
     case None    => declaredSchema.getOrElse(new StructType())
   }
 
@@ -1447,6 +1657,19 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** The era groups of version `v`'s read set under this view's
+    * output names, or None when every file is aligned (the common
+    * case — and always after a compaction). */
+  private def eraGroups(v: Long): Option[Seq[(Map[String, String], Seq[String])]] = {
+    val info = renameInfo
+    if (info.isEmpty) return None
+    val outV = pinned.getOrElse(Long.MaxValue)
+    val files = Snapshots.readSet(tablePath, v).flatMap(p =>
+      if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
+    val groups = files.groupBy(eraMappingOf(_, info, outV)).toSeq
+    if (groups.forall(_._1.isEmpty)) None else Some(groups)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     resolvedVersion match {
@@ -1457,6 +1680,10 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       // (aggregates, limit planning, bucket grouping, exact stats) are
       // deliberately absent until compaction materializes the deletes.
       case Some(v) if Snapshots.liveDeletes(tablePath, v).nonEmpty =>
+        // invariant: rename refuses while sidecars live, MoR modes
+        // refuse while eras live — the merge scan never spans eras
+        require(eraGroups(v).isEmpty, s"$qualifiedName: live delete sidecars " +
+          "and live rename eras cannot coexist (corrupted metadata?)")
         val dels = Snapshots.liveDeletes(tablePath, v)
         val skips = MorDeletes.positions(spark, tablePath, dels,
           Snapshots.deleteStateKey(tablePath, v))
@@ -1472,10 +1699,32 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         // read set (the snapshot's own schema).
         val unified = (if (pinned.isEmpty) declaredSchema else None)
           .getOrElse(parquetTable(v, None).schema)
+        // per-file manifest stats (path-keyed): bounds keep PRUNING
+        // under live sidecars (over-approximations of the live rows)
+        // and live-row counts keep LIMIT planning — see the builder
+        val stats = Snapshots.stateComponents(tablePath, v)
+          .collect { case Right((p, st)) => p -> st }.toMap
         new GraftMorScanBuilder(this, clean,
           affected.map(f => (f, skips(GraftFileTag.ref(f)))), options,
           liveRows = Snapshots.rowCountOf(tablePath, v),
-          unifiedSchema = unified)
+          unifiedSchema = unified, stats = stats)
+      // live rename eras (current OR pinned view spanning a rename):
+      // the era-split union scan — per-era name mapping, translated
+      // pushdown/pruning; compaction deactivates the eras and every
+      // scan below returns. Pinned views show the snapshot's OWN
+      // names (declared fields renamed as of the pinned version).
+      case Some(v) if eraGroups(v).isDefined =>
+        val info = renameInfo
+        val base = declaredSchema.getOrElse(throw new IllegalStateException(
+          s"$qualifiedName has rename history but no schema marker"))
+        val output = pinned match {
+          case Some(p) => StructType(base.fields.map(f =>
+            f.copy(name = info.nameAsOf(f.name, p))))
+          case None => base
+        }
+        val stats = Snapshots.stateComponents(tablePath, v)
+          .collect { case Right((p, st)) => p -> st }.toMap
+        new GraftEraScanBuilder(this, eraGroups(v).get, output, stats, options)
       // current-state reads are also streamable (readStream.table):
       // the wrapper delegates every pushdown surface, so batch plans
       // are unchanged; pinned (time-travel) reads stay raw
@@ -1505,11 +1754,19 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
   private def currentDf: org.apache.spark.sql.DataFrame = {
     val vs = Snapshots.versions(tablePath)
     require(vs.nonEmpty, s"$qualifiedName has no current snapshot")
-    val reader = spark.read.option("mergeSchema", "true")
-    Snapshots.applyDeletes(
-      declaredSchema.fold(reader)(reader.schema)
-        .parquet(Snapshots.readSet(tablePath, vs.last): _*),
-      tablePath, Snapshots.liveDeletes(tablePath, vs.last))
+    val info = renameInfo
+    if (Snapshots.erasActive(tablePath, vs.last, info, Long.MaxValue))
+      // no sidecars while eras live (invariant) — the era union IS
+      // the current state
+      Snapshots.eraRead(spark, tablePath,
+        Snapshots.readSet(tablePath, vs.last), info, Long.MaxValue)
+    else {
+      val reader = spark.read.option("mergeSchema", "true")
+      Snapshots.applyDeletes(
+        declaredSchema.fold(reader)(reader.schema)
+          .parquet(Snapshots.readSet(tablePath, vs.last): _*),
+        tablePath, Snapshots.liveDeletes(tablePath, vs.last))
+    }
   }
 
   /** `DELETE FROM … WHERE …` — FILE-PRUNED copy-on-write (the Iceberg
@@ -1551,26 +1808,43 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
     val comps = Snapshots.stateComponents(tablePath, vs.last)
     val statlessFiles = comps.collect { case Left(d) => d }.flatMap(listParquet)
     val stated = comps.collect { case Right(x) => x }
+    // rename eras: the pruning algebra must speak each FILE's own
+    // column names — translate the predicate per era (identity for
+    // never-renamed tables)
+    val info = renameInfo
+    def eraExprs(p: String) =
+      RenameEras.translate(translated, eraMappingOf(p, info, Long.MaxValue))
     val carried = stated.collect {
-      case (p, st) if translated.nonEmpty && !FileStats.mayMatch(st, translated) =>
+      case (p, st) if translated.nonEmpty && !FileStats.mayMatch(st, eraExprs(p)) =>
         st.copy(name = Snapshots.rootRel(tablePath, p))
     }
     val dropped = stated.collect {
-      case (p, st) if allTranslated && filters.nonEmpty && FileStats.mustMatch(st, translated) => p
+      case (p, st) if allTranslated && filters.nonEmpty &&
+        FileStats.mustMatch(st, eraExprs(p)) => p
     }.toSet
     def straddled[A](f: (String, FileStats.FileStat) => A): Seq[A] = stated.collect {
       case (p, st) if !dropped.contains(p) &&
-        (translated.isEmpty || FileStats.mayMatch(st, translated)) => f(p, st)
+        (translated.isEmpty || FileStats.mayMatch(st, eraExprs(p))) => f(p, st)
     }
     val rewrite = statlessFiles ++ straddled((p, _) => p)
     val v = vs.last + 1
+    // merge-on-read sidecars are era-unaware by design (the positional
+    // merge scan reads ONE unified schema) — under live rename eras
+    // the delete runs copy-on-write, whose rewrite is era-aware
     val morMode = spark.conf.get(
-      "spark.graft.delete.mode", "copy-on-write") == "merge-on-read"
+      "spark.graft.delete.mode", "copy-on-write") == "merge-on-read" &&
+      !Snapshots.erasActive(tablePath, vs.last, info, Long.MaxValue)
     def mergedRead(paths: Seq[String]): org.apache.spark.sql.DataFrame = {
-      val reader = spark.read.option("mergeSchema", "true")
-      Snapshots.applyDeletes(
-        declaredSchema.fold(reader)(reader.schema).parquet(paths: _*),
-        tablePath, priorDels)
+      val files = paths.flatMap(p =>
+        if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
+      if (info.nonEmpty && files.exists(eraMappingOf(_, info, Long.MaxValue).nonEmpty))
+        Snapshots.eraRead(spark, tablePath, files, info, Long.MaxValue)
+      else {
+        val reader = spark.read.option("mergeSchema", "true")
+        Snapshots.applyDeletes(
+          declaredSchema.fold(reader)(reader.schema).parquet(paths: _*),
+          tablePath, priorDels)
+      }
     }
     if (rewrite.isEmpty && carried.isEmpty) {
       // everything provably matched: the empty-table snapshot
@@ -1676,9 +1950,11 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         val mor = spark.conf.get(modeKey, "copy-on-write") == "merge-on-read"
         // the delta (merge-on-read) op carries EVERY prior file by
         // manifest reference — possible only when every file has
-        // stats; statless components fall back to the group rewrite
+        // stats; statless components fall back to the group rewrite.
+        // Live rename eras also fall back (positional sidecars are
+        // era-unaware by design; the CoW rewrite is era-aware).
         state match {
-          case Some(st) if mor && st.allStated =>
+          case Some(st) if mor && st.allStated && !st.erasLive =>
             new GraftDeltaOperation(info.command(), GraftSnapshotTable.this, st)
           case _ =>
             new GraftRowLevelOperation(info.command(), GraftSnapshotTable.this, state)
@@ -1696,7 +1972,8 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         val dels = Snapshots.liveDeletes(tablePath, v)
         new GraftCowState(tablePath, v, dels,
           MorDeletes.positions(spark, tablePath, dels,
-            Snapshots.deleteStateKey(tablePath, v)))
+            Snapshots.deleteStateKey(tablePath, v)),
+          renameInfo)
       }
 
   private[sources] def latestScanBuilder(options: CaseInsensitiveStringMap,
@@ -1955,8 +2232,20 @@ private[sources] class GraftRowLevelOperation(
   * non-match, and only proven non-matching files may be carried. */
 private[sources] class GraftCowState(table: String, baseVersion: Long,
                                      val priorDeletes: Seq[MorDeletes.DeleteFile] = Nil,
-                                     val skips: Map[String, Array[Long]] = Map.empty) {
+                                     val skips: Map[String, Array[Long]] = Map.empty,
+                                     val renames: RenameEras.Info = RenameEras.Empty) {
   import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Era mapping of one group file under CURRENT output names. */
+  def eraMapping(path: String): Map[String, String] =
+    if (renames.isEmpty) Map.empty
+    else renames.mapping(
+      RenameEras.fileVersionOf(Snapshots.rootRel(table, path)), Long.MaxValue)
+
+  /** Any base file still carrying pre-rename physical names? */
+  lazy val erasLive: Boolean =
+    renames.nonEmpty &&
+      (statless ++ stated.map(_._1)).exists(p => eraMapping(p).nonEmpty)
 
   private val comps = Snapshots.stateComponents(table, baseVersion)
   private val statless: Seq[String] = comps.collect { case Left(d) => d }.flatMap { d =>
@@ -2004,7 +2293,9 @@ private[sources] class GraftCowState(table: String, baseVersion: Long,
   private def all: Seq[Expression] = staticFilters ++ runtimeFilters
 
   private def inGroup(p: String, st: FileStats.FileStat): Boolean =
-    FileStats.mayMatch(st, all) &&
+    // bounds speak each FILE's own column names (identity translation
+    // for never-renamed tables)
+    FileStats.mayMatch(st, RenameEras.translate(all, eraMapping(p))) &&
       refFilter.forall(_.contains(Snapshots.rootRel(table, p)))
 
   /** Files the rewrite must read and write back. Statless files stay
@@ -2075,26 +2366,32 @@ private[sources] class GraftCowScan(table: GraftSnapshotTable,
   extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
-  /** Inner parquet scan over the CURRENT group; None = empty group
-    * (every file provably unaffected — the rewrite writes nothing and
-    * the commit carries everything). */
-  private def buildInner(): Option[Scan] = {
+  /** Inner parquet scans over the CURRENT group, one per rename era
+    * (a single empty-mapping entry for never-renamed tables — the
+    * pre-rename path, byte-identical); empty = empty group (every
+    * file provably unaffected — the rewrite writes nothing and the
+    * commit carries everything). Era groups scan with their own
+    * physical names, positionally aligned with the output schema. */
+  private def buildInner(): Seq[(Map[String, String], Scan)] = {
     val files = state.groupFiles
-    if (files.isEmpty) None
-    else {
-      val b = table.builderOverFiles(files, options)
+    if (files.isEmpty) Seq.empty
+    else files.groupBy(state.eraMapping).toSeq.sortBy(_._1.size).map { case (mapping, fs) =>
+      val b =
+        if (mapping.isEmpty) table.builderOverFiles(fs, options)
+        else table.builderOverFilesAs(fs, options,
+          RenameEras.physicalSchema(table.schema(), mapping))
       prunedData.foreach { s =>
         b match {
           case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-            p.pruneColumns(s)
+            p.pruneColumns(RenameEras.physicalSchema(s, mapping))
           case _ =>
         }
       }
-      Some(b.build())
+      (mapping, b.build())
     }
   }
 
-  @volatile private var inner: Option[Scan] = buildInner()
+  @volatile private var inner: Seq[(Map[String, String], Scan)] = buildInner()
 
   /** ONE attribute — the file-ref metadata column. Spark's runtime
     * group filtering projects ALL advertised attributes as a single
@@ -2150,8 +2447,12 @@ private[sources] class GraftCowScan(table: GraftSnapshotTable,
     }
   }
 
-  private def dataSchema: StructType =
-    inner.map(_.readSchema()).orElse(prunedData).getOrElse(table.schema())
+  private def dataSchema: StructType = inner match {
+    // single aligned era: the negotiated parquet schema, as before
+    case Seq((m, s)) if m.isEmpty => s.readSchema()
+    // era union (or empty group): the OUTPUT names the plan requested
+    case _ => prunedData.getOrElse(table.schema())
+  }
 
   override def readSchema(): StructType = {
     var s = dataSchema
@@ -2166,7 +2467,8 @@ private[sources] class GraftCowScan(table: GraftSnapshotTable,
 
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-cow(${inner.map(_.description()).getOrElse("empty-group")})"
+    s"graft-cow(${if (inner.isEmpty) "empty-group"
+      else inner.map(_._2.description()).mkString(" ∪ ")})"
 
   /** The batch actually executed: whole-file partitions with live
     * delete positions skipped (the row-level scan must never feed
@@ -2175,10 +2477,17 @@ private[sources] class GraftCowScan(table: GraftSnapshotTable,
     * group scan (GraftCowScanBuilder forwards nothing to parquet) is
     * what makes the physical row order the position space — so the
     * emitted `_graft_pos` IS the exact sidecar position. */
-  private def effectiveBatch: Option[Batch] = inner.map { s =>
-    if (includeGroup || includePos || state.skips.nonEmpty)
-      GraftFileTag.tagSkip(s.toBatch, state.skips, includeGroup, includePos)
-    else s.toBatch
+  private def effectiveBatch: Option[Batch] = {
+    if (inner.isEmpty) return None
+    val eras = inner.exists(_._1.nonEmpty)
+    val batches = inner.map { case (_, s) =>
+      // era unions always regroup whole-file + row-based (uniform
+      // partitions; the union's readers must agree on mode)
+      if (includeGroup || includePos || state.skips.nonEmpty || eras)
+        GraftFileTag.tagSkip(s.toBatch, state.skips, includeGroup, includePos)
+      else s.toBatch
+    }
+    Some(if (batches.size == 1) batches.head else GraftBatchUnion(batches))
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -2304,7 +2613,7 @@ private[sources] object GraftPosColumn
   * [[GraftGroupColumn]]. Row-based reads only (like every file-path
   * metadata reader); plans one task per file, which is exactly the
   * granularity the copy-on-write commit reasons in. */
-private[sources] object GraftFileTag {
+private[graft] object GraftFileTag {
 
   /** Table-root-relative ref of an absolute/URI file path (everything
     * from the LAST `v=N` segment on — data files live flat in their

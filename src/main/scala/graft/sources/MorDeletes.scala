@@ -260,32 +260,40 @@ object MorDeletes {
   * row-group skipping intact); affected files get a column-pruned,
   * FILTER-FREE scan so their physical row order is exact for position
   * skipping. All filters report as post-scan, so Spark keeps the
-  * predicate in the plan and both halves stay row-exact. The
-  * manifest-answered surfaces (aggregates, limit planning, exact
-  * stats, bucket grouping) are deliberately absent — a deleted row
-  * would poison each of them; compaction restores them. */
+  * predicate in the plan and both halves stay row-exact.
+  *
+  * Manifest planner surfaces that stay LIVE under sidecars (recovered
+  * in r15 — refusal was sound but stronger than necessary):
+  *   - a filterless `COUNT(*)` answers from the manifest's live
+  *     `row_count` (exact arithmetic: physical rows − positions);
+  *   - min/max FILE PRUNING: carried bounds are OVER-approximations
+  *     of the live rows (deletes only remove rows), so a file whose
+  *     bounds cannot satisfy the filters is safely dropped — a date
+  *     probe over a delete-bearing table still scans only its band;
+  *   - LIMIT-aware planning: live rows per file =
+  *     `stat.rows − |positions|` is manifest arithmetic, so a LIMIT
+  *     plans the shortest covering file prefix.
+  * Exact ANSWERING surfaces (min/max aggregate pushdown, exact scan
+  * statistics) and bucket grouping stay refused — a deleted row could
+  * hold the extremum; compaction restores them. */
 private[sources] class GraftMorScanBuilder(
     table: GraftSnapshotTable,
     cleanFiles: Seq[String],
     affected: Seq[(String, Array[Long])],
     options: CaseInsensitiveStringMap,
     liveRows: Long,
-    unifiedSchema: StructType)
+    unifiedSchema: StructType,
+    stats: Map[String, FileStats.FileStat] = Map.empty)
   extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
-
-  private val cleanBuilder =
-    if (cleanFiles.isEmpty) None
-    else Some(table.builderOverFilesAs(cleanFiles, options, unifiedSchema))
-  private val affectedBuilder =
-    if (affected.isEmpty) None
-    else Some(table.builderOverFilesAs(affected.map(_._1), options, unifiedSchema))
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   // a filterless COUNT(*) is exact from the live row_count even with
   // sidecars live — `SELECT count(*)` stays a KB metadata read
   private var sawFilters = false
+  private var filterExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
   private var aggAnswer: Option[(StructType, Array[Any])] = None
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -299,50 +307,95 @@ private[sources] class GraftMorScanBuilder(
     }
   }
 
+  /** Live (post-delete) rows of a data file — manifest arithmetic. */
+  private def liveRowsOf(path: String, st: FileStats.FileStat): Long =
+    st.rows - affected.collectFirst { case (p, s) if p == path => s.length.toLong }
+      .getOrElse(0L)
+
+  // LIMIT planning on live-row arithmetic: only without filters (a
+  // filtered limit cannot bound rows per file), only when EVERY file
+  // has stats, and only if files actually drop. Spark keeps the
+  // limit operator (we return false), so over-planning is just waste,
+  // never wrong — and the prefix covers the limit by construction.
+  private var limitPrefix: Option[Set[String]] = None
+  override def pushLimit(limit: Int): Boolean = {
+    val all = cleanFiles ++ affected.map(_._1)
+    if (!sawFilters && limit >= 0 && all.forall(stats.contains)) {
+      val cum = all.map(p => liveRowsOf(p, stats(p))).scanLeft(0L)(_ + _).tail
+      val k = cum.indexWhere(_ >= limit)
+      if (k >= 0 && k + 1 < all.size)
+        limitPrefix = Some(all.take(k + 1).toSet)
+    }
+    false
+  }
+
   // the file-ref metadata column (`_graft_file`) is served by this
   // wrapper's per-file tagging, never by the parquet delegates — the
   // row-level runtime group filtering subquery reads it through the
   // PLAIN scan path, so the merge scan must serve it too
   private var includeFileRef = false
+  private var dataOnlySchema: Option[StructType] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     require(!requiredSchema.fieldNames.contains(GraftPosColumn.name()),
       s"${GraftPosColumn.name()} is served only on row-level DML scans — " +
         "use _metadata.row_index for plain reads")
     includeFileRef = requiredSchema.fieldNames.contains(GraftGroupColumn.name())
-    val dataOnly = StructType(
-      requiredSchema.fields.filterNot(_.name == GraftGroupColumn.name()))
-    Seq(cleanBuilder, affectedBuilder).flatten.foreach {
-      case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-        p.pruneColumns(dataOnly)
-      case _ =>
-    }
+    dataOnlySchema = Some(StructType(
+      requiredSchema.fields.filterNot(_.name == GraftGroupColumn.name())))
   }
 
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     if (filters.nonEmpty) sawFilters = true
-    // clean files may row-group-skip; affected files MUST NOT (their
-    // reader's row sequence is the position space)
-    cleanBuilder.foreach {
-      case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
-        f.pushFilters(filters); ()
-      case _ =>
-    }
+    filterExprs = filters
     filters // everything stays post-scan: Spark re-evaluates above the merge
   }
 
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     Array.empty
 
+  /** A file survives planning iff its carried bounds MAY satisfy the
+    * filters (missing stats keep the file — sound) and it is inside
+    * any limit prefix. */
+  private def keep(path: String): Boolean =
+    stats.get(path).forall(st => FileStats.mayMatch(st, filterExprs)) &&
+      limitPrefix.forall(_.contains(path))
+
+  /** Builders are constructed at BUILD time, over only the surviving
+    * files, with the negotiated pruning/pushdown replayed: columns to
+    * both halves, filters to the clean half only (affected files MUST
+    * NOT row-group-skip — their reader's row sequence is the position
+    * space). */
   override def build(): Scan = aggAnswer match {
     case Some((schema, values)) => new GraftManifestAggScan(schema, values)
     case None =>
-      new GraftMorScan(cleanBuilder.map(_.build()), affectedBuilder.map(_.build()),
+      val cleanKept = cleanFiles.filter(keep)
+      val affectedKept = affected.filter(t => keep(t._1))
+      def mk(files: Seq[String], pushFilt: Boolean): Option[Scan] =
+        if (files.isEmpty) None
+        else {
+          val b = table.builderOverFilesAs(files, options, unifiedSchema)
+          dataOnlySchema.foreach { s =>
+            b match {
+              case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+                p.pruneColumns(s)
+              case _ =>
+            }
+          }
+          if (pushFilt) b match {
+            case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+              f.pushFilters(filterExprs); ()
+            case _ =>
+          }
+          Some(b.build())
+        }
+      new GraftMorScan(mk(cleanKept, pushFilt = true), mk(affectedKept.map(_._1), pushFilt = false),
         // keyed by root-relative REF — partition planning sees URI paths,
         // not the raw paths this builder was constructed over
-        affected.map { case (p, s) => (GraftFileTag.ref(p), s) }.toMap,
-        table.tableRoot, includeFileRef)
+        affectedKept.map { case (p, s) => (GraftFileTag.ref(p), s) }.toMap,
+        table.tableRoot, includeFileRef,
+        fallbackSchema = dataOnlySchema.getOrElse(unifiedSchema))
   }
 }
 
@@ -353,11 +406,12 @@ private[sources] class GraftMorScanBuilder(
 private[sources] class GraftMorScan(clean: Option[Scan], affectedScan: Option[Scan],
                                     skips: Map[String, Array[Long]],
                                     tablePath: String,
-                                    includeFileRef: Boolean = false)
+                                    includeFileRef: Boolean = false,
+                                    fallbackSchema: StructType = new StructType())
   extends Scan with Batch {
 
   private def dataSchema: StructType =
-    clean.orElse(affectedScan).map(_.readSchema()).getOrElse(new StructType())
+    clean.orElse(affectedScan).map(_.readSchema()).getOrElse(fallbackSchema)
 
   override def readSchema(): StructType =
     if (includeFileRef)
@@ -445,7 +499,7 @@ private[sources] class GraftMorScan(clean: Option[Scan], affectedScan: Option[Sc
   }
 }
 
-private[sources] object GraftMorScan {
+private[graft] object GraftMorScan {
   /** A pass-through partition of the clean (no recorded deletes) half
     * — top-level so task serialization never drags the scan along. */
   final case class CleanPart(inner: InputPartition) extends InputPartition {

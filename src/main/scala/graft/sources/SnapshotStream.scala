@@ -155,6 +155,13 @@ private[graft] class SnapshotMicroBatchStream(tablePath: String,
       require(Snapshots.liveDeletes(tablePath, end).isEmpty,
         s"streaming read of $tablePath: live merge-on-read delete files cannot " +
           "replay as deltas — run Snapshots.compact() to materialize them first")
+      // same class: pre-rename files carry old physical names the
+      // stream's fixed schema would read as NULL — refuse until a
+      // compaction rewrites them under current names
+      require(!Snapshots.erasActive(tablePath, end,
+          Snapshots.renameInfoOf(tablePath), Long.MaxValue),
+        s"streaming read of $tablePath: live rename eras cannot replay " +
+          "(pre-rename files carry old physical names) — run Snapshots.compact() first")
       Snapshots.readSet(tablePath, end)
     } else {
       val vs = Snapshots.versions(tablePath).filter(v => v > start && v <= end)
@@ -163,6 +170,12 @@ private[graft] class SnapshotMicroBatchStream(tablePath: String,
         s"streaming read of $tablePath found non-append snapshot(s) " +
           s"${nonAppend.map(v => s"$v(${Snapshots.operationOf(tablePath, v)})").mkString(", ")} " +
           "in the unprocessed range — a rewrite cannot replay as a delta; restart the stream")
+      // a delta that predates a rename boundary carries old physical
+      // names — the stream's fixed schema would read them as NULL
+      require(vs.isEmpty ||
+          vs.min > Snapshots.renameInfoOf(tablePath).maxBoundary,
+        s"streaming read of $tablePath: unprocessed pre-rename delta(s) carry old " +
+          "physical names — run Snapshots.compact() and restart the stream")
       val dirs = vs.map(v => s"$tablePath/v=$v")
       if (Snapshots.layoutSpecOf(tablePath).isEmpty) dirs
       else dirs.flatMap(Snapshots.expandParquet)

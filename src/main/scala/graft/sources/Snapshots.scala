@@ -487,13 +487,88 @@ object Snapshots {
     tagged.join(broadcast(pos), Seq("__graft_del_ref", "__graft_del_pos"), "left_anti")
   }
 
+  /** The table's declared schema marker, parsed RAW (field metadata —
+    * incl. rename history — preserved). None for library tables that
+    * never went through the catalog. */
+  private[sources] def declaredRawOf(table: String): Option[org.apache.spark.sql.types.StructType] = {
+    val marker = Paths.get(table, "_schema.json")
+    if (!Files.isRegularFile(marker)) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(new String(
+      Files.readAllBytes(marker), StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Same, CLEANED for reporting/reads: the DDL round-trip strips
+    * field metadata and normalizes nullability exactly like the
+    * pre-rename code did. */
+  private[sources] def declaredCleanOf(table: String): Option[org.apache.spark.sql.types.StructType] =
+    declaredRawOf(table).map(raw =>
+      org.apache.spark.sql.types.StructType.fromDDL(raw.toDDL))
+
+  /** The table's rename state ([[RenameEras.Info]]); empty for every
+    * table that never took a RENAME COLUMN. */
+  private[sources] def renameInfoOf(table: String): RenameEras.Info =
+    declaredRawOf(table).map(raw =>
+      RenameEras.fromSchema(raw, RenameEras.retiredOf(table)))
+      .getOrElse(RenameEras.Empty)
+
+  /** Era-aware multi-path read: the read set grouped by each file's
+    * `output name → physical name` mapping, one stock parquet scan per
+    * era (same column order and types), positionally renamed to the
+    * output names and unioned — a distributed union of disjoint file
+    * sets, no shuffle. `outV` picks the OUTPUT name era: the pinned
+    * version for time travel (per-snapshot names), `Long.MaxValue`
+    * for current-state reads. */
+  private[sources] def eraRead(spark: SparkSession, table: String,
+                               paths: Seq[String], info: RenameEras.Info,
+                               outV: Long): DataFrame = {
+    val out0 = declaredCleanOf(table).getOrElse(throw new IllegalStateException(
+      s"$table has rename history but no schema marker"))
+    val out = org.apache.spark.sql.types.StructType(out0.fields.map(f =>
+      f.copy(name = info.nameAsOf(f.name, outV))))
+    val files = paths.flatMap(p =>
+      if (p.endsWith(".parquet")) Seq(p) else expandParquet(p))
+    val groups = files.groupBy(f =>
+      info.mapping(RenameEras.fileVersionOf(rootRel(table, f)), outV)
+        .filter { case (o, _) => out.fieldNames.contains(o) })
+    groups.toSeq.map { case (mapping, fs) =>
+      val phys = RenameEras.physicalSchema(out, mapping)
+      spark.read.option("mergeSchema", "true").schema(phys).parquet(fs: _*)
+        .toDF(out.fieldNames.toIndexedSeq: _*)
+    }.reduceLeft(_.union(_))
+  }
+
+  /** True iff reading version `v`'s state needs the era machinery:
+    * some file's physical names differ from the `outV` output names. */
+  private[sources] def erasActive(table: String, v: Long, info: RenameEras.Info,
+                                  outV: Long): Boolean =
+    info.nonEmpty && readSet(table, v)
+      .flatMap(p => if (p.endsWith(".parquet")) Seq(p) else expandParquet(p))
+      .exists(f => info.mapping(
+        RenameEras.fileVersionOf(rootRel(table, f)), outV).nonEmpty)
+
   /** Time travel: the table exactly as of version `v` (one multi-path
     * scan over the version's [[readSet]] — a single directory unless
     * `v` sits on a fast-append chain), with any live merge-on-read
-    * delete sidecars merged out. */
+    * delete sidecars merged out. Under rename history the columns
+    * carry version `v`'s OWN names — the per-snapshot schema
+    * contract. */
   def readAsOf(spark: SparkSession, table: String, v: Long): DataFrame =
-    applyDeletes(spark.read.parquet(readSet(table, v): _*), table,
+    readAsOfAs(spark, table, v, outV = v)
+
+  /** [[readAsOf]] with an explicit output-name era — `Long.MaxValue`
+    * reads a historical STATE under CURRENT names (what rollback and
+    * current-state reads want). */
+  private[sources] def readAsOfAs(spark: SparkSession, table: String, v: Long,
+                                  outV: Long): DataFrame = {
+    val info = renameInfoOf(table)
+    if (erasActive(table, v, info, outV))
+      // invariant: rename refuses while sidecars live and MoR modes
+      // refuse while eras live, so an era-active state carries none
+      eraRead(spark, table, readSet(table, v), info, outV)
+    else applyDeletes(spark.read.parquet(readSet(table, v): _*), table,
       liveDeletes(table, v))
+  }
 
   /** Small-file compaction (Iceberg `rewrite_data_files` shape): the
     * current state rewritten as ONE new full-state snapshot whose file
@@ -554,7 +629,10 @@ object Snapshots {
     * versions, so audits and time travel over the bad interval keep
     * working). Returns the new version number. */
   def rollback(spark: SparkSession, table: String, v: Long): Long =
-    writeSnapshot(readAsOf(spark, table, v), table, operation = s"rollback_to_$v")
+    // CURRENT names: rollback restores the STATE, not the schema — a
+    // new version directory must carry the names current readers map
+    writeSnapshot(readAsOfAs(spark, table, v, outV = Long.MaxValue), table,
+      operation = s"rollback_to_$v")
 
   /** Commit timestamp of each version (manifests written before the
     * field existed order by version number at epoch 0 — monotone, so
@@ -592,11 +670,12 @@ object Snapshots {
       .orderBy(col("snapshot_id"))
   }
 
-  /** The current (highest-version) table state. */
+  /** The current (highest-version) table state — CURRENT column names
+    * (a current-state read, unlike time travel's per-snapshot names). */
   def readLatest(spark: SparkSession, table: String): DataFrame = {
     val vs = versions(table)
     require(vs.nonEmpty, s"no snapshots of $table")
-    readAsOf(spark, table, vs.last)
+    readAsOfAs(spark, table, vs.last, outV = Long.MaxValue)
   }
 
   /** MERGE INTO emulation (the lakehouse upsert the reference's

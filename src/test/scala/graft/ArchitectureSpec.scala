@@ -67,16 +67,17 @@ class ArchitectureSpec extends AnyFunSuite {
     //   one, (e) colocatedJoinOver one (the join's 1-row
     //   aggregate, collected before the plan walk), and
     //   (f) statsPlaneOver one (the manifest-answered 1-row count
-    //   the oracle replays), and (g) morUpsertOver four 1-row
+    //   the oracle replays), (g) morUpsertOver four 1-row
     //   count/sum aggregates (AS OF v3/v4, current, post-compact —
-    //   the oracle replays each from silver) — all metadata-plane
-    //   by design
+    //   the oracle replays each from silver), and (h) renameOver
+    //   three 1-row count/sum aggregates (AS OF v2 under the old
+    //   name, current, post-compact) — all metadata-plane by design
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 2,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 11,
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 14,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))

@@ -381,12 +381,20 @@ class GraftCatalogSpec extends AnyFunSuite {
     // time travel keeps the per-snapshot schema: v1 has no payment_method
     assert(!spark.sql(s"SELECT * FROM $cat.evo.t VERSION AS OF 1")
       .columns.contains("payment_method"))
-    // non-metadata-only changes stay loud (DROP COLUMN became
-    // metadata-only in r14 — the evo2 test pins it; RENAME has not)
-    val rename = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.evo.t RENAME COLUMN name TO label")
+    // RENAME became metadata-only in r15 (era-split mapping,
+    // RenameColumnSpec pins the full lifecycle) — here just its
+    // metadata-only composition with ADD on this table
+    spark.sql(s"ALTER TABLE $cat.evo.t RENAME COLUMN name TO label")
+    assert(spark.table(s"$cat.evo.t").columns.toSeq ==
+      Seq("id", "label", "payment_method"))
+    assert(spark.sql(s"SELECT label FROM $cat.evo.t WHERE id = 99")
+      .head().getString(0) == "z")
+    // rename-BACK refuses: 'name' is now a historical physical name
+    // (pre-rename files still carry it) — the reuse guard
+    val reuse = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.evo.t RENAME COLUMN label TO name")
     }
-    assert(rename.getMessage.contains("SchemaEvolution"))
+    assert(reuse.getMessage.contains("renamed column"), reuse.getMessage)
     // idempotence guard: adding an existing column errors clearly
     val dup = intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.evo.t ADD COLUMN payment_method STRING")
@@ -819,11 +827,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.evo2.t VERSION AS OF 2 WHERE tag = '1'")
       .head().getLong(0) > 0)
 
-    // guards: RENAME needs a field-identity mapping — loud, not wrong
-    val ren = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.evo2.t RENAME COLUMN v TO w")
-    }
-    assert(ren.getMessage.contains("SchemaEvolution"), ren.getMessage)
+    // RENAME became metadata-only in r15 (era-split mapping — the
+    // full lifecycle is RenameColumnSpec's): over THIS table's mixed
+    // DML/evolution history, v renames without a data version and the
+    // pre-rename files still answer under the new name
+    val nvBefore = Snapshots.versions(tp).size
+    spark.sql(s"ALTER TABLE $cat.evo2.t RENAME COLUMN v TO w")
+    assert(Snapshots.versions(tp).size == nvBefore, "rename must be metadata-only")
+    assert(spark.table(s"$cat.evo2.t").columns.toSeq == Seq("k", "w"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.evo2.t WHERE w = 154")
+      .head().getLong(0) >= 1)
     // narrowing stays loud (Spark's analyzer rejects it before the
     // catalog; the catalog's own widening guard backstops non-SQL paths
     // and analyzer-admitted promotions parquet cannot perform)

@@ -311,6 +311,70 @@ class MorDeletesSpec extends AnyFunSuite {
     assert(MorDeletes.retarget(dels, Set.empty) == Seq.empty)
   }
 
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    df.collect()
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectLeaves().flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.executedPlan)
+        case l => Seq(l)
+      }
+    leaves(df.queryExecution.executedPlan).flatMap {
+      case b: BatchScanExec => b.inputPartitions.flatMap {
+        case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+        case gp: graft.sources.GraftMorScan.CleanPart => gp.inner match {
+          case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+          case _ => Seq.empty
+        }
+        case gp: graft.sources.GraftMorScan.CleanTagPart =>
+          gp.inner.files.map(_.filePath.toString).toSeq
+        case mp: graft.sources.GraftMorScan.MorPart =>
+          mp.inner.files.map(_.filePath.toString).toSeq
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }.distinct
+  }
+
+  test("planner surfaces stay live under sidecars: bounds prune files, LIMIT plans a live-row prefix") {
+    val tp = banded("plan")
+    // every band delete-bearing: 10 physical → 8 live rows each
+    morDelete(s"DELETE FROM $cat.plan.t WHERE k IN (1, 3, 11, 13, 21, 23)")
+    // date-band pruning survives live sidecars: a band-2 probe scans
+    // exactly the band-2 file (carried bounds are over-approximations
+    // of the live rows — sound to prune on) and merges exactly
+    val probe = spark.sql(s"SELECT sum(v) AS s, count(*) AS c FROM $cat.plan.t WHERE k >= 10 AND k < 20")
+    assert(scannedFiles(probe).size == 1, s"got ${scannedFiles(probe)}")
+    assert(probe.head().getLong(0) ==
+      (10L until 20L).filterNot(Set(11L, 13L)).map(_ * 10).sum)
+    assert(probe.head().getLong(1) == 8)
+    // LIMIT planning is live-row arithmetic: each file has 8 LIVE rows
+    // (10 physical), so LIMIT 8 plans 1 file but LIMIT 9 must take 2 —
+    // a physical-row prefix would plan 1 file (10 >= 9) and the query
+    // would RETURN ONLY 8 ROWS (visible wrong answer, not just waste)
+    val l8 = spark.sql(s"SELECT k FROM $cat.plan.t LIMIT 8")
+    assert(l8.count() == 8)
+    assert(scannedFiles(l8).size == 1, s"got ${scannedFiles(l8)}")
+    val l9 = spark.sql(s"SELECT k FROM $cat.plan.t LIMIT 9")
+    assert(l9.count() == 9)
+    assert(scannedFiles(l9).size == 2, s"got ${scannedFiles(l9)}")
+    assert(spark.sql(s"SELECT k FROM $cat.plan.t LIMIT 17").count() == 17)
+    // refusal legs stay refused: min/max over an affected band must
+    // SCAN (a deleted row could have held the extremum), never answer
+    // from the manifest — proven by exact values after the deletes
+    val mm = spark.sql(s"SELECT min(k) AS a, max(k) AS b FROM $cat.plan.t WHERE k < 10")
+    assert(scannedFiles(mm).nonEmpty, "min/max under sidecars must scan, not manifest-answer")
+    assert(mm.head().getLong(0) == 0 && mm.head().getLong(1) == 9)
+    // and the filterless count(*) still answers from live arithmetic
+    val cnt = spark.sql(s"SELECT count(*) FROM $cat.plan.t")
+    assert(scannedFiles(cnt).isEmpty, "count(*) must stay a manifest read")
+    assert(cnt.head().getLong(0) == 24)
+  }
+
   test("position cache: one sidecar load per delete state, bounded LRU, no drop-recreate aliasing") {
     spark.conf.set("spark.graft.mor.positionCacheSize", "4")
     try {
