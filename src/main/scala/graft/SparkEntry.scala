@@ -466,6 +466,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.morUpsertOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_rename" -> ((s, dir) =>
       graft.sources.GraftCatalog.renameOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_eq_upsert" -> ((s, dir) =>
+      graft.sources.GraftCatalog.eqUpsertOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_days_layout" -> ((s, dir) =>
       graft.sources.GraftCatalog.daysLayoutOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_evolution" -> ((s, dir) =>
@@ -677,6 +679,7 @@ object SparkEntry {
     "meta_catalog_mor_dml" -> graft.sources.GraftCatalog.morDmlSql,
     "meta_catalog_mor_upsert" -> graft.sources.GraftCatalog.morUpsertSql,
     "meta_catalog_rename" -> graft.sources.GraftCatalog.renameSql,
+    "meta_catalog_eq_upsert" -> graft.sources.GraftCatalog.eqUpsertSql,
     "meta_catalog_days_layout" -> graft.sources.GraftCatalog.daysLayoutSql,
     "meta_catalog_evolution" -> graft.sources.GraftCatalog.evolutionSql,
     "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,

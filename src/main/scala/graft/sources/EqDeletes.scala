@@ -1,0 +1,331 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ArrayNode
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** EQUALITY delete files — the second Iceberg format-version-2 delete
+  * flavor (the reference declares `format-version = 2`,
+  * `/root/reference/spark/jobs/bronze_ingestion.py:117`; equality
+  * deletes are what Flink-style streaming upsert ingest writes):
+  * a keyed retraction is a tiny parquet of KEY VALUES, not positions —
+  * the writer never reads a data file (no position scan at all), so a
+  * CDC upsert delivery against a 100 TB table commits O(batch) blind
+  * writes. Readers merge by key: an equality delete at commit bound B
+  * removes every matching-key row from files of ORIGIN VERSION ≤ B —
+  * later appends (origin > B) are immune, which is exactly what makes
+  * upsert semantics composable: each delivery retracts its keys from
+  * the PAST and appends its own rows above the bound.
+  *
+  * Shape here: [[Snapshots.upsertBatch]] commits one fast-append
+  * snapshot whose manifest carries an `eqdeletes` entry
+  * `{dir, cols, bound}` naming the key sidecar under the version's
+  * hidden `v=N/_eqdeletes/` directory; entries accumulate down the
+  * append chain and die at any full-state write (compaction
+  * materializes). Scan-side merge loads the key sets driver-side
+  * (small by the same policy as positional sidecars) and filters rows
+  * per file by origin-version applicability; the DataFrame-level
+  * merge is one broadcast anti-join with the bound as a join
+  * condition. Manifest `row_count` stays PHYSICAL while entries live
+  * (matches are unknown without scanning), so the manifest-answered
+  * COUNT(*) and limit planning refuse — min/max FILE PRUNING stays on
+  * (bounds over-approximate live rows). Row-level DML, rename, MoR
+  * positional deletes and streaming reads refuse while equality
+  * deletes live (and the upsert writer refuses their live states) —
+  * the two delete flavors and the era machinery each compose with
+  * APPENDS, and `compact()` clears any of them. */
+object EqDeletes {
+
+  /** One equality-delete entry: sidecar dir (table-root-relative),
+    * the key columns, and the origin-version bound it applies to. */
+  final case class EqDelete(dir: String, cols: Seq[String], bound: Long)
+
+  private val mapper = new ObjectMapper()
+
+  /** The `"eqdeletes":[...]` manifest fragment. */
+  def toJson(dels: Seq[EqDelete]): String = {
+    val arr = mapper.createArrayNode()
+    dels.foreach { d =>
+      val o = arr.addObject()
+      o.put("dir", d.dir)
+      o.put("bound", d.bound)
+      val cs = o.putArray("cols")
+      d.cols.foreach(cs.add)
+      ()
+    }
+    mapper.writeValueAsString(arr)
+  }
+
+  def fromManifest(manifestText: String): Seq[EqDelete] =
+    try {
+      val root = mapper.readTree(manifestText)
+      Option(root.get("eqdeletes")).collect { case arr: ArrayNode =>
+        arr.elements().asScala.map { e =>
+          EqDelete(e.get("dir").asText(),
+            Option(e.get("cols")).collect { case cs: ArrayNode =>
+              cs.elements().asScala.map(_.asText()).toSeq
+            }.getOrElse(Seq.empty),
+            e.get("bound").asLong())
+        }.toSeq
+      }.getOrElse(Seq.empty)
+    } catch { case NonFatal(_) => Seq.empty }
+
+  /** Key types equality deletes accept: types whose Spark internal
+    * values have well-defined equality/hashing (floats would make
+    * retraction a bitwise footgun). */
+  def supportedKeyType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           StringType | DateType | TimestampType => true
+      case _ => false
+    }
+  }
+
+  /** Key tuples of one sidecar, loaded driver-side as INTERNAL values
+    * (UTF8String for strings, days-int for dates, micros for
+    * timestamps) — the representation the scan reader compares
+    * against. NULL-bearing key rows are dropped: SQL equality never
+    * matches NULL, so they could retract nothing. Cached per commit
+    * identity like the positional cache. */
+  def keySet(spark: SparkSession, table: String, entry: EqDelete,
+             stateKey: String): Set[Seq[Any]] = {
+    val key = s"$stateKey|${entry.dir}"
+    val cached = keyCache.synchronized(Option(keyCache.get(key)))
+    cached.getOrElse {
+      val df = spark.read.parquet(s"$table/${entry.dir}")
+        .select(entry.cols.map(org.apache.spark.sql.functions.col): _*)
+        .na.drop("any")
+      val types = df.schema.fields.map(_.dataType)
+      val loaded: Set[Seq[Any]] = df.queryExecution.toRdd.map(
+        r => r.copy()).collect()
+        .map(r => types.indices.map(i => r.get(i, types(i))).toSeq: Seq[Any]).toSet
+      keyCache.synchronized {
+        Option(keyCache.get(key)).getOrElse {
+          keyCache.put(key, loaded)
+          val it = keyCache.entrySet().iterator()
+          while (keyCache.size() > 64 && it.hasNext) { it.next(); it.remove() }
+          loaded
+        }
+      }
+    }
+  }
+
+  private val keyCache =
+    new java.util.LinkedHashMap[String, Set[Seq[Any]]](16, 0.75f, true)
+}
+
+/** Scan builder for a snapshot with live equality deletes: files with
+  * no applicable entry (origin above every bound — the post-upsert
+  * appends) keep the stock pushdown path; files under some bound read
+  * WHOLE, unpruned, with matching-key rows dropped and the requested
+  * columns projected out. All filters report post-scan; manifest
+  * bounds still prune files (sound over-approximations). */
+private[sources] class GraftEqScanBuilder(
+    table: GraftSnapshotTable,
+    files: Seq[String], // full read set, paths
+    entries: Seq[EqDeletes.EqDelete], // sorted by bound ascending
+    suffixKeys: Array[Set[Seq[Any]]], // suffixKeys(i) = keys of entries(i..)
+    options: CaseInsensitiveStringMap,
+    unifiedSchema: StructType,
+    stats: Map[String, FileStats.FileStat],
+    tablePath: String)
+  extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private var dataOnly: StructType = unifiedSchema
+  private var filterExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    require(!requiredSchema.fieldNames.contains(GraftPosColumn.name()) &&
+      !requiredSchema.fieldNames.contains(GraftGroupColumn.name()),
+      "row-identity metadata columns are not served while equality deletes " +
+        "are live — run Snapshots.compact() first")
+    dataOnly = requiredSchema
+  }
+
+  override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    filterExprs = filters
+    filters // post-scan: Spark re-evaluates above the merge
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
+  /** First applicable entry index for a file (entries sorted by bound
+    * ascending): the suffix from the first bound ≥ origin; -1 = none
+    * (clean file). */
+  private def suffixOf(path: String): Int = {
+    val origin = RenameEras.fileVersionOf(Snapshots.rootRel(tablePath, path))
+    val i = entries.indexWhere(_.bound >= origin)
+    i
+  }
+
+  override def build(): Scan = {
+    val kept = files.filter(f =>
+      stats.get(f).forall(st => FileStats.mayMatch(st, filterExprs)))
+    val (affected, clean) = kept.partition(f => suffixOf(f) >= 0)
+    val cleanScan =
+      if (clean.isEmpty) None
+      else {
+        val b = table.builderOverFilesAs(clean, options, unifiedSchema)
+        b match {
+          case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+            p.pruneColumns(dataOnly)
+          case _ =>
+        }
+        b match {
+          case f: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+            f.pushFilters(filterExprs); ()
+          case _ =>
+        }
+        Some(b.build())
+      }
+    // affected files read the FULL unified schema (the key columns
+    // must be present to evaluate membership) with NO pushed filters;
+    // the reader projects the requested columns back out
+    val affectedScan =
+      if (affected.isEmpty) None
+      else Some(table.builderOverFilesAs(affected, options, unifiedSchema).build())
+    new GraftEqScan(cleanScan, affectedScan,
+      affected.map(f => GraftFileTag.ref(f) -> suffixOf(f)).toMap,
+      suffixKeys,
+      keyIdx = entries.headOption.map(_.cols.map(unifiedSchema.fieldIndex).toArray)
+        .getOrElse(Array.empty),
+      projIdx = dataOnly.fieldNames.map(unifiedSchema.fieldIndex),
+      output = dataOnly, tablePath)
+  }
+}
+
+/** The equality-merge scan: clean partitions pass through; each
+  * affected file reads whole (full schema), drops rows whose key
+  * tuple is in its applicable suffix key set, and projects the
+  * requested columns. */
+private[sources] class GraftEqScan(clean: Option[Scan], affectedScan: Option[Scan],
+                                   suffixByRef: Map[String, Int],
+                                   suffixKeys: Array[Set[Seq[Any]]],
+                                   keyIdx: Array[Int],
+                                   projIdx: Array[Int],
+                                   output: StructType,
+                                   tablePath: String)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = output
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-eq-merge(clean=${clean.map(_.description()).getOrElse("none")})"
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      s"streaming read of $tablePath: live equality-delete files cannot replay " +
+        "as deltas — run Snapshots.compact() to materialize them first")
+
+  import GraftEqScan.{CleanPart, EqPart}
+
+  private lazy val cleanBatch = clean.map(_.toBatch)
+  private lazy val affectedBatch = affectedScan.map(_.toBatch)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val cleanParts: Array[InputPartition] =
+      cleanBatch.map(_.planInputPartitions().map(CleanPart(_): InputPartition))
+        .getOrElse(Array.empty)
+    // per-file partitions so each carries its applicability suffix;
+    // whole-file grouping also keeps the partition → suffix map exact
+    val eqParts: Array[InputPartition] = MorDeletes.wholeFileGroups(
+      affectedBatch.map(_.planInputPartitions()).getOrElse(Array.empty))
+      .map { case (ref, fp) => EqPart(fp, suffixByRef(ref)): InputPartition }
+    cleanParts ++ eqParts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cf = cleanBatch.map(_.createReaderFactory())
+    val af = affectedBatch.map(_.createReaderFactory())
+    val keys = suffixKeys
+    val ki = keyIdx
+    val pi = projIdx
+    val types = output.fields.map(_.dataType)
+    val keyTypes = ki // indices into unified schema; types resolved below
+    val _ = keyTypes
+    new PartitionReaderFactory {
+      override def supportColumnarReads(p: InputPartition): Boolean = false
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+        case CleanPart(inner) => cf.get.createReader(inner)
+        case EqPart(fp, suffix) =>
+          val r = af.get.createReader(fp)
+          val keySet = keys(suffix)
+          new PartitionReader[InternalRow] {
+            private val out =
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(pi.length)
+            private var current: InternalRow = _
+            override def next(): Boolean = {
+              while (r.next()) {
+                val row = r.get()
+                val key = GraftEqScan.keyOf(row, ki, keySet.headOption)
+                if (key == null || !keySet.contains(key)) { current = row; return true }
+              }
+              false
+            }
+            override def get(): InternalRow = {
+              var i = 0
+              while (i < pi.length) {
+                out.update(i, if (current.isNullAt(pi(i))) null
+                  else current.get(pi(i), types(i)))
+                i += 1
+              }
+              out
+            }
+            override def close(): Unit = r.close()
+          }
+        case other => throw new IllegalStateException(
+          s"eq factory got unknown partition ${other.getClass.getName}")
+      }
+    }
+  }
+}
+
+private[graft] object GraftEqScan {
+  final case class CleanPart(inner: InputPartition) extends InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+  final case class EqPart(
+      inner: org.apache.spark.sql.execution.datasources.FilePartition,
+      suffix: Int) extends InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  /** Key tuple of a row in internal values, null when any key column
+    * is NULL (equality never matches NULL — the row survives). The
+    * sample tuple supplies the per-position runtime classes the
+    * untyped getters need. */
+  private[sources] def keyOf(row: InternalRow, idx: Array[Int],
+                             sample: Option[Seq[Any]]): Seq[Any] = {
+    val s = sample.getOrElse(return null)
+    val b = new Array[Any](idx.length)
+    var i = 0
+    while (i < idx.length) {
+      if (row.isNullAt(idx(i))) return null
+      b(i) = s(i) match {
+        case _: java.lang.Long => row.getLong(idx(i))
+        case _: java.lang.Integer => row.getInt(idx(i))
+        case _: java.lang.Short => row.getShort(idx(i))
+        case _: java.lang.Byte => row.getByte(idx(i))
+        case _: java.lang.Boolean => row.getBoolean(idx(i))
+        case _: org.apache.spark.unsafe.types.UTF8String => row.getUTF8String(idx(i))
+        case other => throw new IllegalStateException(
+          s"unsupported equality-delete key class ${other.getClass.getName}")
+      }
+      i += 1
+    }
+    b.toSeq
+  }
+}

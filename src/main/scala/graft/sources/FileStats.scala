@@ -423,7 +423,10 @@ object FileStats {
     * no row of the file satisfies `expr` (skip). Every unmodeled shape
     * answers true. */
   def mayMatch(file: FileStat, filters: Seq[Expression]): Boolean =
-    filters.forall(e => eval(file.stats, e))
+    // a zero-row file can satisfy nothing (empty task outputs — e.g. a
+    // sparse small append — record r:0 with no column stats, which
+    // would otherwise defeat every bound)
+    file.rows > 0 && filters.forall(e => eval(file.stats, e))
 
   private def eval(stats: Map[String, ColStat], e: Expression): Boolean = e match {
     case And(l, r) => eval(stats, l) && eval(stats, r)

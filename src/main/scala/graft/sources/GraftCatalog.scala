@@ -400,12 +400,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Snapshots.layoutSpecOf(tablePath).foreach(spec =>
           require(spec.col != from,
             s"cannot rename $from: it drives the table's ${spec.partCol} layout"))
-        // the merge-on-read scan reads one unified schema — it is
-        // era-unaware by design; compaction materializes the sidecars
-        Snapshots.versions(tablePath).lastOption.foreach(v =>
+        // the merge-on-read and equality-merge scans read one unified
+        // schema — era-unaware by design; compaction materializes
+        Snapshots.versions(tablePath).lastOption.foreach { v =>
           require(Snapshots.liveDeletes(tablePath, v).isEmpty,
             s"cannot rename $from while merge-on-read delete sidecars are live — " +
-              "run Snapshots.compact() first"))
+              "run Snapshots.compact() first")
+          require(Snapshots.liveEqDeletes(tablePath, v).isEmpty,
+            s"cannot rename $from while equality-delete entries are live — " +
+              "run Snapshots.compact() first")
+        }
         RenameEras.withRename(schema, from, to,
           lastV = Snapshots.versions(tablePath).lastOption)
       case _ => throw new UnsupportedOperationException(
@@ -614,6 +618,10 @@ object GraftCatalog {
         mp.inner.files.map(_.filePath.toString).toSeq
       // era-union wrappers (rename-spanning states)
       case ep: GraftEraScan.EraPart => filesOf(ep.inner)
+      // equality-merge wrappers (upsert-retraction states)
+      case cp: GraftEqScan.CleanPart => filesOf(cp.inner)
+      case qp: GraftEqScan.EqPart =>
+        qp.inner.files.map(_.filePath.toString).toSeq
       case tp: GraftFileTag.TaggedPartition =>
         tp.inner.files.map(_.filePath.toString).toSeq
       case sp: GraftFileTag.SkipTagPartition =>
@@ -1245,6 +1253,114 @@ object GraftCatalog {
     |)
     |ORDER BY metric""".stripMargin
 
+  /** Driver query: EQUALITY delete files observed end to end — the
+    * keyed streaming-upsert retraction flavor of Iceberg format-v2
+    * ([[EqDeletes]]): two keyed deliveries through the exactly-once
+    * upsert sink (one REDELIVERED mid-stream) each commit ONE
+    * fast-append snapshot carrying the batch's key sidecar — zero
+    * data files read or rewritten, `versions=3` and `ops_append=2`
+    * as structural constants prove both the zero-rewrite commits and
+    * the idempotent skip. Reads through the catalog (DSv2 merge scan)
+    * and the library agree; retraction is origin-scoped (the second
+    * delivery retracts the first's overlap); a band probe under live
+    * entries still prunes to one file; time travel answers the
+    * mid-stream state; compaction materializes. Every row/sum
+    * replays from silver (+3 on the first window, +10 on the
+    * second). */
+  def eqUpsertOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_eq_$n"
+    val tablePath = s"$warehouseDir/marts/daily_eq_$n"
+    val v = s"__graft_eq_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date <= DATE '2024-01-10'")
+    val panel = daily.select(col("event_date"), col("total_events"))
+    val write = Snapshots.idempotentUpsertWriter(tablePath, "graft_eq_stream", Seq("event_date"))
+    val b1 = panel.filter(col("event_date").between(lit("2024-01-06"), lit("2024-01-15")))
+      .withColumn("total_events", col("total_events") + 3).coalesce(1)
+    val b2 = panel.filter(col("event_date").between(lit("2024-01-12"), lit("2024-01-20")))
+      .withColumn("total_events", col("total_events") + 10).coalesce(1)
+    write(b1, 1L)
+    write(b1, 1L) // at-least-once: crash after write, marker lost, redelivered
+    write(b2, 2L)
+    val entries = Snapshots.liveEqDeletes(tablePath, Snapshots.versions(tablePath).last)
+    val eqKeysTotal = entries.map(e =>
+      s.read.parquet(s"$tablePath/${e.dir}").count()).sum
+    val cur = s.sql(s"SELECT count(*) AS c, CAST(sum(total_events) AS BIGINT) AS se FROM $t").collect()(0)
+    val lib = Snapshots.readLatest(s, tablePath)
+      .agg(org.apache.spark.sql.functions.count(lit(1)),
+        org.apache.spark.sql.functions.sum("total_events")).collect()(0)
+    val asof2 = s.sql(s"SELECT count(*) AS c, CAST(sum(total_events) AS BIGINT) AS se FROM $t VERSION AS OF 2").collect()(0)
+    val (probeRows, probeFiles) = collectAndCountFiles(s.sql(
+      s"SELECT count(*) AS c FROM $t WHERE event_date <= DATE '2024-01-03'"))
+    val (_, fullFiles) = collectAndCountFiles(s.sql(s"SELECT count(*) AS c FROM $t"))
+    Snapshots.compact(s, tablePath, targetFileBytes = 1L << 40)
+    val postEntries = Snapshots.liveEqDeletes(tablePath, Snapshots.versions(tablePath).last)
+    val post = s.sql(s"SELECT CAST(sum(total_events) AS BIGINT) AS se FROM $t").collect()(0)
+    import s.implicits._
+    Seq(
+      "compact_entries" -> postEntries.size.toLong,
+      "count_files_scanned" -> fullFiles,
+      "eq_entries" -> entries.size.toLong,
+      "eq_keys_total" -> eqKeysTotal,
+      "lib_rows_current" -> lib.getLong(0),
+      "lib_sum_current" -> lib.getLong(1),
+      "ops_append" -> Snapshots.versions(tablePath)
+        .count(x => Snapshots.operationOf(tablePath, x) == "append").toLong,
+      "post_compact_sum" -> post.getLong(0),
+      "probe_files_scanned" -> probeFiles,
+      "probe_rows" -> probeRows(0).getLong(0),
+      "rows_asof_v2" -> asof2.getLong(0),
+      "rows_current" -> cur.getLong(0),
+      "sum_asof_v2" -> asof2.getLong(1),
+      "sum_current" -> cur.getLong(1),
+      "versions_before_compact" ->
+        (Snapshots.versions(tablePath).size - 1).toLong)
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[eqUpsertOver]]: commit structure as
+    * constants (3 snapshots — the redelivered batch skipped — 2 of
+    * them appends, 2 live entries, 1-file band probe, 3-file full
+    * count), retraction arithmetic replayed from silver: the second
+    * delivery's window wins over the first's overlap, both win over
+    * the base. */
+  val eqUpsertSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, w1 AS (SELECT * FROM daily WHERE event_date BETWEEN DATE '2024-01-06' AND DATE '2024-01-15')
+    |, w2 AS (SELECT * FROM daily WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-20')
+    |, fin AS (
+    |  SELECT total_events FROM daily WHERE event_date <= DATE '2024-01-05'
+    |  UNION ALL SELECT total_events + 3 FROM daily
+    |    WHERE event_date BETWEEN DATE '2024-01-06' AND DATE '2024-01-11'
+    |  UNION ALL SELECT total_events + 10 FROM w2)
+    |, mid AS (
+    |  SELECT total_events FROM daily WHERE event_date <= DATE '2024-01-05'
+    |  UNION ALL SELECT total_events + 3 FROM w1)
+    |SELECT * FROM (
+    |  SELECT 'compact_entries' AS metric, CAST(0 AS BIGINT) AS value
+    |  UNION ALL SELECT 'count_files_scanned', 3
+    |  UNION ALL SELECT 'eq_entries', 2
+    |  UNION ALL SELECT 'eq_keys_total',
+    |    (SELECT count(*) FROM w1) + (SELECT count(*) FROM w2)
+    |  UNION ALL SELECT 'lib_rows_current', (SELECT count(*) FROM fin)
+    |  UNION ALL SELECT 'lib_sum_current', (SELECT CAST(sum(total_events) AS BIGINT) FROM fin)
+    |  UNION ALL SELECT 'ops_append', 2
+    |  UNION ALL SELECT 'post_compact_sum', (SELECT CAST(sum(total_events) AS BIGINT) FROM fin)
+    |  UNION ALL SELECT 'probe_files_scanned', 1
+    |  UNION ALL SELECT 'probe_rows',
+    |    (SELECT count(*) FROM daily WHERE event_date <= DATE '2024-01-03')
+    |  UNION ALL SELECT 'rows_asof_v2', (SELECT count(*) FROM mid)
+    |  UNION ALL SELECT 'rows_current', (SELECT count(*) FROM fin)
+    |  UNION ALL SELECT 'sum_asof_v2', (SELECT CAST(sum(total_events) AS BIGINT) FROM mid)
+    |  UNION ALL SELECT 'sum_current', (SELECT CAST(sum(total_events) AS BIGINT) FROM fin)
+    |  UNION ALL SELECT 'versions_before_compact', 3
+    |)
+    |ORDER BY metric""".stripMargin
+
   /** Driver query: metadata-only RENAME COLUMN observed end to end
     * (the era-split design, [[RenameEras]]) — ADD COLUMN then RENAME
     * run with ZERO data versions written (the structural constant
@@ -1708,6 +1824,26 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
           affected.map(f => (f, skips(GraftFileTag.ref(f)))), options,
           liveRows = Snapshots.rowCountOf(tablePath, v),
           unifiedSchema = unified, stats = stats)
+      // live EQUALITY deletes (the keyed-upsert retraction flavor):
+      // files under some entry's bound read whole with matching-key
+      // rows dropped; post-upsert appends keep the stock pushdown
+      // path. Exact-count/limit surfaces refuse (matches unknown
+      // without scanning); bounds file pruning stays live.
+      case Some(v) if Snapshots.liveEqDeletes(tablePath, v).nonEmpty =>
+        val entries = Snapshots.liveEqDeletes(tablePath, v)
+        val stateKey = Snapshots.deleteStateKey(tablePath, v)
+        val keySets = entries.map(e =>
+          EqDeletes.keySet(spark, tablePath, e, stateKey))
+        val suffixKeys = entries.indices.map(i =>
+          keySets.drop(i).reduceLeft(_ ++ _)).toArray
+        val files = Snapshots.readSet(tablePath, v).flatMap(p =>
+          if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
+        val unified = (if (pinned.isEmpty) declaredSchema else None)
+          .getOrElse(parquetTable(v, None).schema)
+        val stats = Snapshots.stateComponents(tablePath, v)
+          .collect { case Right((p, st)) => p -> st }.toMap
+        new GraftEqScanBuilder(this, files, entries, suffixKeys, options,
+          unified, stats, tablePath)
       // live rename eras (current OR pinned view spanning a rename):
       // the era-split union scan — per-era name mapping, translated
       // pushdown/pruning; compaction deactivates the eras and every
@@ -1789,6 +1925,10 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(pinned.isEmpty, s"cannot DELETE from a time-travel view of $qualifiedName")
+    Snapshots.versions(tablePath).lastOption.foreach(v =>
+      require(Snapshots.liveEqDeletes(tablePath, v).isEmpty,
+        s"cannot DELETE from $qualifiedName while equality-delete entries are live " +
+          "(a rewrite would resurrect retracted rows) — run Snapshots.compact() first"))
     import org.apache.spark.sql.functions.{lit, not}
     val cond = filters.toSeq.flatMap(GraftSourceFilters.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -1946,6 +2086,12 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
           case Command.MERGE  => "spark.graft.merge.mode"
           case _              => "spark.graft.delete.mode"
         }
+        Snapshots.versions(tablePath).lastOption.foreach(v =>
+          require(Snapshots.liveEqDeletes(tablePath, v).isEmpty,
+            s"cannot run row-level DML on $qualifiedName while equality-delete " +
+              "entries are live (the rewrite scan does not merge them, so a " +
+              "rewritten file would resurrect retracted rows) — run " +
+              "Snapshots.compact() first"))
         val state = newCowState()
         val mor = spark.conf.get(modeKey, "copy-on-write") == "merge-on-read"
         // the delta (merge-on-read) op carries EVERY prior file by

@@ -162,6 +162,9 @@ private[graft] class SnapshotMicroBatchStream(tablePath: String,
           Snapshots.renameInfoOf(tablePath), Long.MaxValue),
         s"streaming read of $tablePath: live rename eras cannot replay " +
           "(pre-rename files carry old physical names) — run Snapshots.compact() first")
+      require(Snapshots.liveEqDeletes(tablePath, end).isEmpty,
+        s"streaming read of $tablePath: live equality-delete entries cannot " +
+          "replay as deltas — run Snapshots.compact() first")
       Snapshots.readSet(tablePath, end)
     } else {
       val vs = Snapshots.versions(tablePath).filter(v => v > start && v <= end)
@@ -176,6 +179,13 @@ private[graft] class SnapshotMicroBatchStream(tablePath: String,
           vs.min > Snapshots.renameInfoOf(tablePath).maxBoundary,
         s"streaming read of $tablePath: unprocessed pre-rename delta(s) carry old " +
           "physical names — run Snapshots.compact() and restart the stream")
+      // an upsert append RETRACTS prior rows — not expressible as a
+      // pure insert delta
+      require(vs.forall(x =>
+          EqDeletes.fromManifest(Snapshots.manifestTextOf(tablePath, x)).isEmpty),
+        s"streaming read of $tablePath: an unprocessed upsert (equality-delete) " +
+          "snapshot retracts prior rows and cannot replay as a delta — " +
+          "run Snapshots.compact() and restart the stream")
       val dirs = vs.map(v => s"$tablePath/v=$v")
       if (Snapshots.layoutSpecOf(tablePath).isEmpty) dirs
       else dirs.flatMap(Snapshots.expandParquet)

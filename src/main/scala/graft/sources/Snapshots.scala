@@ -147,6 +147,11 @@ object Snapshots {
   private def manifestText(table: String, v: Long): String = new String(
     Files.readAllBytes(metaDir(table).resolve(s"$v.json")), StandardCharsets.UTF_8)
 
+  /** Package-visible manifest text (the streaming guard needs per-
+    * version eq-delete presence, not the accumulated view). */
+  private[sources] def manifestTextOf(table: String, v: Long): String =
+    manifestText(table, v)
+
   /** Operation recorded in version `v`'s manifest ("" if absent). */
   private[sources] def operationOf(table: String, v: Long): String =
     "\"operation\":\"([^\"]*)\"".r.findFirstMatchIn(manifestText(table, v))
@@ -217,6 +222,120 @@ object Snapshots {
     * any full-state write — compaction/overwrite materialize). */
   def liveDeletes(table: String, v: Long): Seq[MorDeletes.DeleteFile] =
     MorDeletes.fromManifest(manifestText(table, lastFullVersion(table, v)))
+
+  /** Live EQUALITY delete entries of the state AS OF `v`: unlike the
+    * positional entries (which ride the anchoring full-state
+    * manifest), equality deletes are committed by APPEND snapshots
+    * (the upsert shape) and accumulate down the chain — every
+    * manifest from the anchoring full-state version to `v`
+    * contributes; any full-state write clears them (its readers
+    * materialized the retractions). Sorted by bound ascending. */
+  def liveEqDeletes(table: String, v: Long): Seq[EqDeletes.EqDelete] = {
+    val lastFull = lastFullVersion(table, v)
+    versions(table).filter(x => x >= lastFull && x <= v)
+      .flatMap(x => EqDeletes.fromManifest(manifestText(table, x)))
+      .sortBy(_.bound)
+  }
+
+  /** One keyed UPSERT delivery (the streaming CDC shape — Iceberg v2
+    * equality deletes): retract every prior row whose `keys` tuple
+    * appears in `rows`, then append `rows` — committed as ONE
+    * fast-append snapshot carrying the batch's key sidecar as an
+    * equality-delete entry bounded at the PRIOR version. ZERO data
+    * files are read or rewritten (no position scan — the whole write
+    * is O(batch)); later appends are immune (origin above the bound),
+    * so re-inserting a retracted key sticks. Refuses while positional
+    * sidecars or rename eras are live (each flavor composes with
+    * appends, not with the others — `compact()` clears any of them).
+    * The first delivery on an empty table is the initial full-state
+    * snapshot (nothing to retract). */
+  def upsertBatch(spark: SparkSession, table: String, rows: DataFrame,
+                  keys: Seq[String], streamTag: Option[(String, Long)] = None): Long = {
+    require(keys.nonEmpty, "upsertBatch needs at least one key column")
+    keys.foreach { k =>
+      val f = rows.schema.fields(rows.schema.fieldIndex(k))
+      require(EqDeletes.supportedKeyType(f.dataType),
+        s"equality-delete key $k: ${f.dataType.catalogString} is not a supported " +
+          "key type (integral/string/date/timestamp/boolean)")
+    }
+    val vs = versions(table)
+    if (vs.isEmpty) return writeSnapshot(rows, table, streamTag = streamTag)
+    require(liveDeletes(table, vs.last).isEmpty,
+      s"upsert into $table: positional delete sidecars are live — run " +
+        "Snapshots.compact() first (the two delete flavors do not compose)")
+    require(renameInfoOf(table).isEmpty ||
+      !erasActive(table, vs.last, renameInfoOf(table), Long.MaxValue),
+      s"upsert into $table: rename eras are live — run Snapshots.compact() first")
+    val v = vs.last + 1
+    val sidecarDir = s"v=$v/_eqdeletes"
+    // NULL-bearing key tuples retract nothing (SQL equality) — drop
+    // them from the sidecar so readers never carry dead weight. The
+    // sidecar stages in a hidden temp dir (the data append's
+    // errorifexists write owns the version directory's creation) and
+    // moves in between the data write and the manifest — nothing is
+    // visible until the manifest lands.
+    val tmp = s"$table/_eqtmp_$v"
+    val keyRows = rows.select(keys.map(col): _*).na.drop("any").distinct()
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    keyRows.write.mode("overwrite").parquet(tmp)
+    val hasKeys = spark.read.parquet(tmp).head(1).nonEmpty
+    try appendSnapshot(rows, table, streamTag = streamTag,
+      eqDeletes = if (hasKeys)
+        Seq(EqDeletes.EqDelete(sidecarDir, keys, bound = vs.last)) else Nil,
+      preManifest = _ =>
+        if (hasKeys) {
+          Files.move(Paths.get(tmp), Paths.get(s"$table/$sidecarDir")); ()
+        })
+    finally {
+      if (Files.isDirectory(Paths.get(tmp))) {
+        scala.util.Using.resource(Files.walk(Paths.get(tmp))) { w =>
+          w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+      }
+    }
+  }
+
+  /** Exactly-once keyed upsert sink for `foreachBatch` — the equality-
+    * delete counterpart of [[idempotentAppendWriter]]: each
+    * micro-batch commits one [[upsertBatch]]; a batch id at or below
+    * the manifest ledger's high-water mark is SKIPPED, so at-least-
+    * once redelivery cannot double-retract or double-append. */
+  def idempotentUpsertWriter(table: String, streamId: String, keys: Seq[String])
+      : (DataFrame, Long) => Unit = (df, batchId) => {
+    if (committedStreamBatch(table, streamId).exists(_ >= batchId)) ()
+    else { upsertBatch(df.sparkSession, table, df, keys,
+      streamTag = Some((streamId, batchId))); () }
+  }
+
+  /** Read-time equality merge at the DataFrame level: one broadcast
+    * anti-join of the data rows against the union of live key sidecars,
+    * with each entry's origin-version BOUND as a join condition — a
+    * row dies iff its key matches some entry whose bound covers its
+    * file's origin version. Distributed; the key side is small by the
+    * upsert policy. */
+  private[sources] def applyEqDeletes(df: DataFrame, table: String,
+                                      dels: Seq[EqDeletes.EqDelete]): DataFrame = {
+    if (dels.isEmpty) return df
+    val spark = df.sparkSession
+    val cols0 = dels.head.cols
+    require(dels.forall(_.cols == cols0),
+      s"$table: equality-delete entries disagree on key columns")
+    val out = df.columns.toSeq
+    val tagged = df.withColumn("__graft_eq_origin",
+      expr("CAST(regexp_extract(_metadata.file_path, '/v=(\\\\d+)/[^/]*$', 1) AS BIGINT)"))
+    val keyFrames = dels.map { d =>
+      spark.read.parquet(s"$table/${d.dir}")
+        .select(cols0.map(c => col(c).as(s"__graft_eq_$c")): _*)
+        .withColumn("__graft_eq_bound", lit(d.bound))
+    }
+    val delKeys = keyFrames.reduceLeft(_.unionByName(_))
+    val cond = cols0.map(c => tagged(c) <=> delKeys(s"__graft_eq_$c"))
+      .reduceLeft(_ && _) &&
+      tagged("__graft_eq_origin") <= delKeys("__graft_eq_bound")
+    tagged.join(broadcast(delKeys), cond, "left_anti")
+      .select(out.map(col): _*)
+  }
 
   /** Data paths that make up the table state AS OF version `v`: the
     * most recent full-state version ≤ v (any operation but `append`)
@@ -308,7 +427,9 @@ object Snapshots {
                      commitTsMs: Option[Long] = None,
                      expectedSchema: Option[org.apache.spark.sql.types.StructType] = None,
                      streamTag: Option[(String, Long)] = None,
-                     partitionColumns: Seq[String] = Nil): Long = {
+                     partitionColumns: Seq[String] = Nil,
+                     eqDeletes: Seq[EqDeletes.EqDelete] = Nil,
+                     preManifest: Long => Unit = _ => ()): Long = {
     val vs = versions(table)
     require(vs.nonEmpty, s"cannot append to $table: no current snapshot")
     // the append must match the table's EFFECTIVE schema — the caller's
@@ -339,8 +460,14 @@ object Snapshots {
       .map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
     val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
+    // row_count stays PHYSICAL while equality deletes live (matches
+    // are unknown without scanning) — the eq scan refuses the
+    // manifest-answered count, so nothing reads it as live rows
+    val eqFrag =
+      if (eqDeletes.isEmpty) "" else s""","eqdeletes":${EqDeletes.toJson(eqDeletes)}"""
+    preManifest(v)
     val manifest =
-      s"""{"version":$v,"operation":"append","committed_at_ms":$ts,"row_count":${priorTotal + delta},"added_rows":$delta,"columns":$cols${streamTagFrag(streamTag)}$filesFrag$uuidFrag}"""
+      s"""{"version":$v,"operation":"append","committed_at_ms":$ts,"row_count":${priorTotal + delta},"added_rows":$delta,"columns":$cols${streamTagFrag(streamTag)}$filesFrag$eqFrag$uuidFrag}"""
     Files.write(metaDir(table).resolve(s"$v.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
     v
@@ -566,8 +693,10 @@ object Snapshots {
       // invariant: rename refuses while sidecars live and MoR modes
       // refuse while eras live, so an era-active state carries none
       eraRead(spark, table, readSet(table, v), info, outV)
-    else applyDeletes(spark.read.parquet(readSet(table, v): _*), table,
-      liveDeletes(table, v))
+    else applyEqDeletes(
+      applyDeletes(spark.read.parquet(readSet(table, v): _*), table,
+        liveDeletes(table, v)),
+      table, liveEqDeletes(table, v))
   }
 
   /** Small-file compaction (Iceberg `rewrite_data_files` shape): the

@@ -71,14 +71,21 @@ class ArchitectureSpec extends AnyFunSuite {
     //   count/sum aggregates (AS OF v3/v4, current, post-compact —
     //   the oracle replays each from silver), and (h) renameOver
     //   three 1-row count/sum aggregates (AS OF v2 under the old
-    //   name, current, post-compact) — all metadata-plane by design
+    //   name, current, post-compact), and (i) eqUpsertOver four
+    //   (current SQL + library, AS OF v2, post-compact) — all
+    //   metadata-plane by design
+    // EqDeletes: the equality-delete KEY SET rides into scan planning
+    //   driver-side (small by the upsert policy — the retraction keys
+    //   of recent deliveries; compaction clears them), cached per
+    //   commit identity like the positional cache
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 2,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 14,
-      "FileStats.scala" -> 1, "MorDeletes.scala" -> 2)
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 18,
+      "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,
+      "EqDeletes.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))
   }
@@ -98,14 +105,21 @@ class ArchitectureSpec extends AnyFunSuite {
     // FileStats: the distributed commit-time footer-read job — per-task
     //   Hadoop conf + ParquetFileReader over a file-name RDD (there is
     //   no DataFrame shape for "open this footer")
+    // EqDeletes: the key-set loader collects INTERNAL row values
+    //   (UTF8String/days-int/micros — what the scan reader compares
+    //   against); df.collect() would hand back EXTERNAL values and
+    //   force a second conversion layer per key type
     val allow = Map("AsOfJoinExec.scala" -> 3,
       "Multimodal.scala" -> 3, "ServingSink.scala" -> 2,
-      "LmBatchScorer.scala" -> 1, "FileStats.scala" -> 1)
+      "LmBatchScorer.scala" -> 1, "FileStats.scala" -> 1,
+      "EqDeletes.scala" -> 1)
     val hits = offenders("mapPartitions", allow) ++
       offenders(".toRdd",
         // Bench + TimeQueries: full-InternalRow materialization for
         // honest timing (a bare count() lets pruning skip the output)
-        Map("Bench.scala" -> 1, "TimeQueries.scala" -> 1))
+        // EqDeletes: internal-value key collection (reason above)
+        Map("Bench.scala" -> 1, "TimeQueries.scala" -> 1,
+          "EqDeletes.scala" -> 1))
     assert(hits.isEmpty, hits.mkString("; "))
   }
 

@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{EqDeletes, GraftCatalog, Snapshots}
+
+/** Equality delete files — the keyed-upsert retraction flavor of
+  * Iceberg format-v2 ([[graft.sources.EqDeletes]]): a delivery
+  * retracts its keys from files BELOW its bound and fast-appends its
+  * rows, with zero data files read or rewritten. Pins the upsert
+  * lifecycle (retraction exactness, origin scoping, idempotent
+  * redelivery), the scan-side merge (SQL through the catalog),
+  * pruning and count behavior under live entries, compaction
+  * materialization, NULL-key semantics, and every refusal guard. */
+class EqDeletesSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private lazy val wh = Files.createTempDirectory("graft_eq_spec_").toString
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.geq", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.geq.warehouse", wh)
+    "geq"
+  }
+
+  /** 2 single-file bands on (k, v): CTAS [0,10), append [10,20). */
+  private def banded(ns: String): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+    spark.range(0, 20).selectExpr("id AS k", "id * 10 AS v")
+      .createOrReplaceTempView(s"__eq_${ns}_src")
+    spark.sql(s"CREATE TABLE $cat.$ns.t AS SELECT /*+ COALESCE(1) */ * FROM __eq_${ns}_src WHERE k < 10")
+    spark.sql(s"INSERT INTO $cat.$ns.t SELECT /*+ COALESCE(1) */ * FROM __eq_${ns}_src WHERE k >= 10")
+    s"$wh/$ns/t"
+  }
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    df.collect()
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collectLeaves().flatMap {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.executedPlan)
+        case l => Seq(l)
+      }
+    def unwrap(p: org.apache.spark.sql.connector.read.InputPartition): Seq[String] = p match {
+      case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+      case cp: graft.sources.GraftEqScan.CleanPart => unwrap(cp.inner)
+      case ep: graft.sources.GraftEqScan.EqPart =>
+        ep.inner.files.map(_.filePath.toString).toSeq
+      case _ => Seq.empty
+    }
+    leaves(df.queryExecution.executedPlan).flatMap {
+      case b: BatchScanExec => b.inputPartitions.flatMap(unwrap)
+      case _ => Seq.empty
+    }.distinct
+  }
+
+  private def kvs(table: String): Seq[(Long, Long)] =
+    spark.sql(s"SELECT k, v FROM $table ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("keyed upsert: retraction + append with zero rewrites; origin scoping; both read paths merge") {
+    val tp = banded("ups")
+    // delivery: replace k in {3, 12} and add k=25 — ONE fast-append
+    val b1 = spark.range(0, 40).selectExpr("id AS k", "id * 1000 AS v")
+      .filter("k IN (3, 12, 25)")
+    Snapshots.upsertBatch(spark, tp, b1, Seq("k"))
+    // zero rewrites: v3 is an append whose own rows are the batch
+    val m3 = new String(Files.readAllBytes(Paths.get(s"$tp/_meta/3.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(m3.contains("\"operation\":\"append\"") && m3.contains("\"added_rows\":3"), m3)
+    assert(Snapshots.liveEqDeletes(tp, 3).map(_.bound) == Seq(2L))
+    val expect1 = (0L until 20L).map(k =>
+      (k, if (k == 3 || k == 12) k * 1000 else k * 10)) :+ (25L, 25000L)
+    // DSv2 (SQL through the catalog) merges
+    assert(kvs(s"$cat.ups.t") == expect1)
+    // library read merges identically
+    assert(Snapshots.readLatest(spark, tp).count() == 21)
+    // ORIGIN SCOPING: a later plain append re-inserting a retracted
+    // key is ABOVE the bound — it must stick
+    spark.sql(s"INSERT INTO $cat.ups.t VALUES (3, 777)")
+    assert(spark.sql(s"SELECT v FROM $cat.ups.t WHERE k = 3 ORDER BY v").collect()
+      .map(_.getLong(0)).toSeq == Seq(777L, 3000L),
+      "re-inserted key must survive the earlier retraction")
+    // a second upsert retracts across BOTH prior upserts' rows
+    val b2 = spark.range(0, 40).selectExpr("id AS k", "id * 100000 AS v")
+      .filter("k IN (12, 25)")
+    Snapshots.upsertBatch(spark, tp, b2, Seq("k"))
+    assert(spark.sql(s"SELECT v FROM $cat.ups.t WHERE k = 12").head().getLong(0) == 1200000L)
+    assert(spark.sql(s"SELECT v FROM $cat.ups.t WHERE k = 25").head().getLong(0) == 2500000L)
+    // time travel: pre-upsert snapshot intact; pinned post-upsert merges
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ups.t VERSION AS OF 2").head().getLong(0) == 20)
+    assert(spark.sql(s"SELECT v FROM $cat.ups.t VERSION AS OF 3 WHERE k = 3").head().getLong(0) == 3000L)
+    // compaction materializes: entries die, values keep
+    val (cv, _, _) = Snapshots.compact(spark, tp, targetFileBytes = 1L << 40)
+    assert(Snapshots.liveEqDeletes(tp, cv).isEmpty)
+    assert(spark.sql(s"SELECT v FROM $cat.ups.t WHERE k = 12").head().getLong(0) == 1200000L)
+  }
+
+  test("count(*) under live entries must SCAN (never manifest-answer) and be exact; pruning stays live") {
+    val tp = banded("cnt")
+    Snapshots.upsertBatch(spark, tp,
+      spark.range(5, 8).selectExpr("id AS k", "id AS v"), Seq("k"))
+    val cnt = spark.sql(s"SELECT count(*) FROM $cat.cnt.t")
+    assert(scannedFiles(cnt).nonEmpty,
+      "count(*) under equality deletes must scan — live rows are unknowable from the manifest")
+    assert(cnt.head().getLong(0) == 20, "3 retracted + 3 appended")
+    // bounds pruning: a probe outside the upsert band scans only the
+    // matching band file (band-2 file [10,20) — the upsert rows 5..7
+    // and band-1 are excluded by k-bounds)
+    val probe = spark.sql(s"SELECT sum(v) AS s FROM $cat.cnt.t WHERE k >= 15")
+    assert(scannedFiles(probe).size == 1, s"got ${scannedFiles(probe)}")
+    assert(probe.head().getLong(0) == (15L until 20L).map(_ * 10).sum)
+  }
+
+  test("idempotent keyed upsert sink: redelivery cannot double-retract or double-append") {
+    val tp = s"${Files.createTempDirectory("graft_eq_sink_")}/t"
+    val write = Snapshots.idempotentUpsertWriter(tp, "eq_demo", Seq("k"))
+    val b0 = spark.range(0, 10).selectExpr("id AS k", "id AS v")
+    val b1 = spark.range(5, 15).selectExpr("id AS k", "id * 2 AS v")
+    write(b0, 0L)
+    write(b1, 1L)
+    write(b1, 1L) // crash-after-write redelivery
+    write(b0, 0L) // stale replay
+    assert(Snapshots.versions(tp).size == 2, "one snapshot per DISTINCT batch")
+    val rows = Snapshots.readLatest(spark, tp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows == ((0L until 5L).map(k => (k, k)) ++ (5L until 15L).map(k => (k, k * 2))),
+      rows.toString)
+  }
+
+  test("NULL keys never retract; NULL-keyed data rows survive") {
+    val tp = s"${Files.createTempDirectory("graft_eq_null_")}/t"
+    Snapshots.writeSnapshot(spark.sql(
+      "SELECT CASE WHEN id = 2 THEN NULL ELSE id END AS k, id AS v FROM range(5)"), tp)
+    Snapshots.upsertBatch(spark, tp, spark.sql(
+      "SELECT CASE WHEN id = 9 THEN NULL ELSE id END AS k, id * 10 AS v FROM range(8, 10)"),
+      Seq("k"))
+    val vs = Snapshots.readLatest(spark, tp).collect().map(_.getLong(1)).sorted.toSeq
+    // originals 0,1,3,4 + NULL-keyed original (v=2) survive; batch adds v=80 (k=8), v=90 (k=NULL)
+    assert(vs == Seq(0L, 1L, 2L, 3L, 4L, 80L, 90L), vs.toString)
+  }
+
+  test("refusal guards: DML, rename and streaming under eq; upsert under sidecars/eras; key types") {
+    val tp = banded("grd")
+    Snapshots.upsertBatch(spark, tp,
+      spark.range(1, 2).selectExpr("id AS k", "id AS v"), Seq("k"))
+    val del = intercept[Exception](spark.sql(s"DELETE FROM $cat.grd.t WHERE k = 5"))
+    assert(del.getMessage.contains("equality-delete"), del.getMessage)
+    val upd = intercept[Exception](spark.sql(s"UPDATE $cat.grd.t SET v = 0 WHERE k = 5"))
+    assert(upd.getMessage.contains("equality-delete"), upd.getMessage)
+    val ren = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.grd.t RENAME COLUMN v TO w"))
+    assert(ren.getMessage.contains("equality-delete"), ren.getMessage)
+    val out = Files.createTempDirectory("graft_eq_out_").toString
+    val q = spark.readStream.table(s"$cat.grd.t").writeStream
+      .format("parquet").option("path", out + "/data")
+      .option("checkpointLocation", out + "/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val streamErr = intercept[Exception](q.awaitTermination(60000))
+    assert(streamErr.getMessage.contains("equality-delete") ||
+      Option(streamErr.getCause).exists(_.getMessage.contains("equality-delete")),
+      streamErr.getMessage)
+    // plain INSERT (append) is allowed; OVERWRITE clears the entries
+    spark.sql(s"INSERT INTO $cat.grd.t VALUES (50, 500)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.grd.t").head().getLong(0) == 21)
+    spark.sql(s"INSERT OVERWRITE $cat.grd.t SELECT * FROM __eq_grd_src")
+    assert(Snapshots.liveEqDeletes(tp, Snapshots.versions(tp).last).isEmpty)
+    // upsert refuses under live positional sidecars
+    val tp2 = banded("grd2")
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $cat.grd2.t WHERE k = 1")
+    finally spark.conf.set("spark.graft.delete.mode", "copy-on-write")
+    val mix = intercept[Exception](Snapshots.upsertBatch(spark, tp2,
+      spark.range(2, 3).selectExpr("id AS k", "id AS v"), Seq("k")))
+    assert(mix.getMessage.contains("positional"), mix.getMessage)
+    // upsert refuses under live rename eras
+    val tp3 = banded("grd3")
+    spark.sql(s"ALTER TABLE $cat.grd3.t RENAME COLUMN v TO w")
+    val eras = intercept[Exception](Snapshots.upsertBatch(spark, tp3,
+      spark.range(2, 3).selectExpr("id AS k", "id AS w"), Seq("k")))
+    assert(eras.getMessage.contains("rename eras"), eras.getMessage)
+    // float keys refuse (bitwise-equality footgun)
+    val tp4 = s"${Files.createTempDirectory("graft_eq_fl_")}/t"
+    Snapshots.writeSnapshot(spark.sql("SELECT CAST(id AS DOUBLE) AS k, id AS v FROM range(3)"), tp4)
+    val fl = intercept[Exception](Snapshots.upsertBatch(spark, tp4,
+      spark.sql("SELECT CAST(1.0 AS DOUBLE) AS k, 9 AS v"), Seq("k")))
+    assert(fl.getMessage.contains("key type"), fl.getMessage)
+  }
+
+  test("manifest codec round-trips") {
+    val dels = Seq(
+      EqDeletes.EqDelete("v=3/_eqdeletes", Seq("k"), 2),
+      EqDeletes.EqDelete("v=5/_eqdeletes", Seq("k"), 4))
+    val json = s"""{"version":5,"eqdeletes":${EqDeletes.toJson(dels)}}"""
+    assert(EqDeletes.fromManifest(json) == dels)
+    assert(EqDeletes.fromManifest("""{"version":5}""") == Seq.empty)
+  }
+}
