@@ -66,7 +66,14 @@ object ScaleProbe {
     // + merged reads + UPDATE over the sidecar + compaction — the
     // zero-rewrite claim as a measured slope) and the days() layout
     // (structural date pruning + the date-aligned zero-shuffle join)
-    "meta_catalog_mor_dml", "meta_catalog_days_layout")
+    "meta_catalog_mor_dml", "meta_catalog_days_layout",
+    // r15: the three new storage verbs as measured slopes — the
+    // delta-based MoR UPDATE/MERGE (sidecar + fast-append commit
+    // scales with the CHANGE SET, not the table), the era-split
+    // rename lifecycle (metadata-plane ALTERs + era-union reads),
+    // and the keyed upsert (O(batch) blind writes + key-set merge)
+    "meta_catalog_mor_upsert", "meta_catalog_rename",
+    "meta_catalog_eq_upsert")
 
   /** Per-query (warm seconds, staging seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its
