@@ -190,6 +190,31 @@ class EqDeletesSpec extends AnyFunSuite {
     assert(fl.getMessage.contains("key type"), fl.getMessage)
   }
 
+  test("composite and string keys: multi-column tuples retract exactly; partial matches survive") {
+    val tp = s"${Files.createTempDirectory("graft_eq_comp_")}/t"
+    Snapshots.writeSnapshot(spark.sql(
+      "SELECT CAST(id % 3 AS STRING) AS region, id AS k, id * 10 AS v FROM range(9)"), tp)
+    // retract ONLY ('1', 4) — rows matching one key column but not the
+    // other (('1',1), ('2',4)-shaped) must survive
+    Snapshots.upsertBatch(spark, tp, spark.sql(
+      "SELECT '1' AS region, CAST(4 AS BIGINT) AS k, CAST(999 AS BIGINT) AS v"),
+      Seq("region", "k"))
+    val rows = Snapshots.readLatest(spark, tp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2)).toSeq
+    val expect = (0L until 9L).map(i => ((i % 3).toString, i, if (i == 4) 999L else i * 10))
+      .sortBy(t => (t._1, t._2))
+    assert(rows == expect, rows.toString)
+    // the retention interplay: expiring pre-upsert history keeps the
+    // live chain (and its sidecars) intact
+    Snapshots.upsertBatch(spark, tp, spark.sql(
+      "SELECT '2' AS region, CAST(5 AS BIGINT) AS k, CAST(555 AS BIGINT) AS v"),
+      Seq("region", "k"))
+    Snapshots.expireSnapshots(spark, tp, keepLast = 1)
+    assert(Snapshots.readLatest(spark, tp).count() == 9)
+    assert(Snapshots.readLatest(spark, tp).filter("k = 5 AND region = '2'")
+      .head().getLong(2) == 555L)
+  }
+
   test("manifest codec round-trips") {
     val dels = Seq(
       EqDeletes.EqDelete("v=3/_eqdeletes", Seq("k"), 2),

@@ -120,6 +120,50 @@ class MorUpdateSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(2))).toMap.apply(4L) == 30L)
   }
 
+  test("MoR MERGE with NOT MATCHED BY SOURCE: unreferenced target rows delete by position, zero rewrites") {
+    val tp = banded("nmbs")
+    // source holds only k in [5, 25): everything else in the target is
+    // NOT MATCHED BY SOURCE and deletes — positions across ALL bands
+    spark.range(5, 25).selectExpr("id AS k", "id * 100 AS nv")
+      .createOrReplaceTempView("__moru_nmbs_src")
+    mor("merge")(spark.sql(s"""
+      MERGE INTO $cat.nmbs.t t
+      USING __moru_nmbs_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.v = s.nv
+      WHEN NOT MATCHED BY SOURCE THEN DELETE"""))
+    val (own, carried) = manifestParts(tp, 4)
+    assert(carried.size == 3, s"all bands carried, got ${carried.size}")
+    // matched = k 5..24 (20 rows, delete+reinsert); not matched by
+    // source = k 0..4 and 25..29 (10 rows, delete) — own rows are the
+    // 20 reinserts, deletes are 30 positions: the whole prior table is
+    // either updated or deleted, with zero files rewritten
+    assert(own.map(_.rows).sum == 20, s"own rows ${own.map(_.rows).sum}")
+    val dels = Snapshots.liveDeletes(tp, 4)
+    assert(MorDeletes.deletedRows(dels) == 30, dels.toString)
+    assert(kvs(s"$cat.nmbs.t") == (5L until 25L).map(k => (k, k * 100)))
+    // row count arithmetic: 30 physical carried − 30 deleted + 20 inserted
+    assert(Snapshots.snapshots(spark, tp).collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toMap.apply(4L) == 20L)
+    // compaction materializes to the same state
+    Snapshots.compact(spark, tp, targetFileBytes = 1L << 40)
+    assert(kvs(s"$cat.nmbs.t") == (5L until 25L).map(k => (k, k * 100)))
+  }
+
+  test("MoR UPDATE falls back to copy-on-write under live rename eras") {
+    val tp = banded("eras")
+    spark.sql(s"ALTER TABLE $cat.eras.t RENAME COLUMN v TO amount")
+    mor("update")(spark.sql(s"UPDATE $cat.eras.t SET amount = 0 WHERE k = 12"))
+    // the positional path is era-unaware: the op must have fallen back
+    // to the era-aware CoW rewrite (no sidecar, one band rewritten)
+    assert(Snapshots.liveDeletes(tp, Snapshots.versions(tp).last).isEmpty,
+      "MoR update under live eras must fall back to copy-on-write")
+    val (own, carried) = manifestParts(tp, Snapshots.versions(tp).last)
+    assert(own.map(_.rows).sum == 10 && carried.size == 2,
+      s"one band rewritten era-aware, two carried: own=${own.map(_.rows).sum} carried=${carried.size}")
+    assert(spark.sql(s"SELECT amount FROM $cat.eras.t WHERE k = 12").head().getLong(0) == 0)
+  }
+
   test("NULL-predicate rows survive a MoR UPDATE (condition NULL is not a match)") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.nul")
     spark.sql(s"CREATE TABLE $cat.nul.t AS SELECT /*+ COALESCE(1) */ " +

@@ -195,6 +195,57 @@ class RenameColumnSpec extends AnyFunSuite {
     assert(Snapshots.readAsOf(spark, tp, 2).columns.toSeq == Seq("k", "v"))
   }
 
+  test("rename on a days-layout table: non-layout column renames, date pruning stays exact, compact restores SPJ") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dl")
+    spark.range(0, 40).selectExpr(
+      "DATE_ADD(DATE '2024-06-01', CAST(id % 4 AS INT)) AS d", "id AS v")
+      .createOrReplaceTempView("__ren_dl_src")
+    spark.sql(s"CREATE TABLE $cat.dl.t PARTITIONED BY (days(d)) AS SELECT * FROM __ren_dl_src")
+    val tp = s"$wh/dl/t"
+    spark.sql(s"ALTER TABLE $cat.dl.t RENAME COLUMN v TO amount")
+    assert(Snapshots.versions(tp) == Seq(1L), "rename must be metadata-only")
+    // era-union reads stay value-exact over the laid-out files
+    assert(spark.sql(s"SELECT sum(amount) FROM $cat.dl.t").head().getLong(0)
+      == (0L until 40L).sum)
+    // structural date pruning survives the rename (the layout column
+    // is untouched; the 1-day probe scans exactly 1 of 4 day files)
+    val probe = spark.sql(
+      s"SELECT sum(amount) AS s FROM $cat.dl.t WHERE d = DATE '2024-06-02'")
+    assert(scannedFiles(probe).size == 1, s"got ${scannedFiles(probe)}")
+    assert(probe.head().getLong(0) == (0L until 40L).filter(_ % 4 == 1).sum)
+    // the era union degrades SPJ grouping; compaction rewrites under
+    // current names AND restores the key-grouped zero-shuffle join
+    spark.sql(s"CREATE TABLE $cat.dl.r PARTITIONED BY (days(d)) AS SELECT d, v AS m FROM __ren_dl_src")
+    Snapshots.compact(spark, tp)
+    val q = spark.sql(s"""
+      SELECT /*+ MERGE(r) */ count(*) AS c
+      FROM $cat.dl.t t JOIN $cat.dl.r r ON t.d = r.d""")
+    import org.apache.spark.sql.execution.SparkPlan
+    q.collect()
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case x: org.apache.spark.sql.execution.adaptive.QueryStageExec => expand(x.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        expand(a.executedPlan)
+      case other => Seq(other)
+    }
+    def shufflesIn(p: SparkPlan): Long =
+      expand(p).map { n =>
+        (n match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => 1L
+          case _ => 0L
+        }) + n.children.map(shufflesIn).sum
+      }.sum
+    def smjs(p: SparkPlan): Seq[SparkPlan] =
+      expand(p).flatMap {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => Seq(j)
+        case n => n.children.flatMap(smjs)
+      }
+    val joins = smjs(q.queryExecution.executedPlan)
+    assert(joins.size == 1 && joins.map(j => j.children.map(shufflesIn).sum).sum == 0,
+      "post-compact days join must elide both exchanges")
+    assert(q.collect()(0).getLong(0) == 4L * 10L * 10L)
+  }
+
   test("refusal guards: layout column, name reuse, sidecar interplay, streaming") {
     // layout source column refuses rename
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.grd")
