@@ -470,6 +470,10 @@ object SparkEntry {
       graft.sources.GraftCatalog.eqUpsertOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_days_layout" -> ((s, dir) =>
       graft.sources.GraftCatalog.daysLayoutOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_layout_evolution" -> ((s, dir) =>
+      graft.sources.GraftCatalog.layoutEvolutionOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_tags" -> ((s, dir) =>
+      graft.sources.GraftCatalog.tagsOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_evolution" -> ((s, dir) =>
       graft.sources.GraftCatalog.evolutionOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_rewrite_files" -> ((s, dir) =>
@@ -681,6 +685,8 @@ object SparkEntry {
     "meta_catalog_rename" -> graft.sources.GraftCatalog.renameSql,
     "meta_catalog_eq_upsert" -> graft.sources.GraftCatalog.eqUpsertSql,
     "meta_catalog_days_layout" -> graft.sources.GraftCatalog.daysLayoutSql,
+    "meta_catalog_layout_evolution" -> graft.sources.GraftCatalog.layoutEvolutionSql,
+    "meta_catalog_tags" -> graft.sources.GraftCatalog.tagsSql,
     "meta_catalog_evolution" -> graft.sources.GraftCatalog.evolutionSql,
     "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,
     "stream_catalog_append" -> graft.sources.GraftCatalog.streamAppendSql,

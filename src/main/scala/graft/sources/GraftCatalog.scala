@@ -165,15 +165,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table =
     loadPinned(ident, pinned = None)
 
-  /** `VERSION AS OF n` / `FOR SYSTEM_VERSION AS OF n`. Resolution
-    * failures surface as IllegalArgumentException, not
-    * NoSuchTableException — the analyzer rewrites the latter into a
-    * generic TABLE_OR_VIEW_NOT_FOUND that hides WHICH snapshot was
-    * missing. */
+  /** `VERSION AS OF n` / `FOR SYSTEM_VERSION AS OF n`, or a named TAG
+    * (`VERSION AS OF 'audit_2024q1'` — Iceberg ref semantics; tag
+    * names are never all-digits, so the numeric parse stays
+    * unambiguous). Resolution failures surface as
+    * IllegalArgumentException, not NoSuchTableException — the
+    * analyzer rewrites the latter into a generic
+    * TABLE_OR_VIEW_NOT_FOUND that hides WHICH snapshot was missing. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"${ident.name()} VERSION AS OF $version: snapshot versions are integers")
+      case _: NumberFormatException =>
+        val dir = tableDir(ident)
+        if (!isTable(dir)) throw new NoSuchTableException(ident)
+        Snapshots.tagsOf(dir.toString).getOrElse(version,
+          throw new IllegalArgumentException(
+            s"${ident.name()} VERSION AS OF $version: not a snapshot number and no " +
+              s"such tag (tags: ${Snapshots.tagsOf(dir.toString).keys.toSeq.sorted
+                .mkString(",")})"))
     }
     loadPinned(ident, pinned = Some(v))
   }
@@ -412,9 +420,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         RenameEras.withRename(schema, from, to,
           lastV = Snapshots.versions(tablePath).lastOption)
+      // metadata-only LAYOUT EVOLUTION (Iceberg partition-spec
+      // evolution, `ALTER TABLE … SET TBLPROPERTIES('graft.layout' =
+      // 'days(col)' | 'bucket(n, col)' | 'none')`): record a new
+      // layout era — existing files keep their directories forever,
+      // writes from the next version on use the new spec, and SPJ
+      // grouping gates on era alignment until compaction rewrites the
+      // live set ([[Snapshots.layoutErasOf]]). No data file is read
+      // or written; reads stay exact throughout (manifest-stats
+      // pruning never depended on directory layout).
+      case (schema, set: TableChange.SetProperty) if set.property() == "graft.layout" =>
+        Snapshots.evolveLayout(tablePath,
+          GraftCatalog.parseLayoutExpr(set.value(), schema))
+        schema
+      // named snapshot tags (Iceberg refs): SET TBLPROPERTIES
+      // ('graft.tag.<name>'='<version>') creates or moves the tag
+      // (property-set semantics overwrite), UNSET TBLPROPERTIES drops
+      // it. Tagged versions read as `VERSION AS OF '<name>'` and are
+      // retention-exempt in [[Snapshots.expireSnapshots]].
+      case (schema, set: TableChange.SetProperty) if set.property().startsWith("graft.tag.") =>
+        val name = set.property().stripPrefix("graft.tag.")
+        val v = try set.value().toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"${set.property()} must name a snapshot version number, got '${set.value()}'")
+        }
+        Snapshots.createTag(tablePath, name, v, replace = true)
+        schema
+      case (schema, rm: TableChange.RemoveProperty) if rm.property().startsWith("graft.tag.") =>
+        Snapshots.dropTag(tablePath, rm.property().stripPrefix("graft.tag."))
+        schema
       case _ => throw new UnsupportedOperationException(
         "metadata-only evolution covers nullable top-level ADD COLUMN, DROP COLUMN, " +
-          "RENAME COLUMN, and widening ALTER COLUMN TYPE; everything else is a " +
+          "RENAME COLUMN, widening ALTER COLUMN TYPE, SET TBLPROPERTIES" +
+          "('graft.layout'=…) layout evolution, and SET/UNSET TBLPROPERTIES" +
+          "('graft.tag.<name>'=…) snapshot tags; everything else is a " +
           "full-state snapshot write — see graft.sources.SchemaEvolution")
     }
     Files.write(dir.resolve("_schema.json"),
@@ -468,6 +507,39 @@ object GraftCatalog {
     * so the warehouse option must be JVM-stable). */
   private lazy val warehouseDir: String =
     Files.createTempDirectory("graft_warehouse_").toString
+
+  /** Parse + validate a layout-evolution expression (`none`,
+    * `days(col)`, `bucket(n, col)`) against the table's current
+    * visible schema — the string-DDL twin of [[GraftCatalog.createTable]]'s
+    * Transform validation, with the same identifier gate (the column
+    * name is persisted in the marker and interpolated into layout
+    * expressions). */
+  private[sources] def parseLayoutExpr(text: String, schema: StructType): Option[GraftLayout] = {
+    val days = "days\\(\\s*([A-Za-z0-9_]+)\\s*\\)".r
+    val bucket = "bucket\\(\\s*(\\d+)\\s*,\\s*([A-Za-z0-9_]+)\\s*\\)".r
+    def checked(col: String): String = {
+      require(schema.fieldNames.contains(col),
+        s"layout column $col not in schema ${schema.fieldNames.mkString(",")}")
+      col
+    }
+    text.trim match {
+      case "none" => None
+      case days(c) =>
+        val col = checked(c)
+        val dt = schema.fields(schema.fieldIndex(col)).dataType
+        require(dt == org.apache.spark.sql.types.DateType ||
+          dt == org.apache.spark.sql.types.TimestampType,
+          s"days($col) needs a DATE or TIMESTAMP column, got ${dt.catalogString}")
+        Some(GraftLayout.Days(col,
+          timestampCol = dt == org.apache.spark.sql.types.TimestampType))
+      case bucket(n, c) =>
+        require(n.toLong > 0 && n.toLong <= Int.MaxValue,
+          s"bucket transform must be bucket(<n > 0>, <column>), got $text")
+        Some(GraftLayout.Bucket(n.toInt, checked(c)))
+      case other => throw new UnsupportedOperationException(
+        s"graft.layout must be 'days(col)', 'bucket(n, col)' or 'none', got '$other'")
+    }
+  }
 
   /** Idempotently register this catalog as `graft` on the session.
     * Must run before the first `graft.`-qualified statement; calling
@@ -1648,6 +1720,187 @@ object GraftCatalog {
     |)
     |ORDER BY metric""".stripMargin
 
+  /** Driver query: metadata-only LAYOUT EVOLUTION (Iceberg partition
+    * spec evolution) observed end to end. A PLAIN CTAS (one file, the
+    * whole date range in its stats) evolves to `days(event_date)` via
+    * `ALTER TABLE … SET TBLPROPERTIES('graft.layout'=…)`; the verb
+    * commits NO snapshot and touches NO file (both pinned as
+    * structural constants). A post-evolution append lays its rows out
+    * one file per day, so a date-band probe scans the one wide-stats
+    * pre-evolution file plus exactly the band's new-era day files;
+    * an impossible-date probe scans zero (manifest-stats pruning is
+    * era-agnostic). `compact()` rewrites the live set under the
+    * CURRENT spec — the same probe then scans only the band's day
+    * files and a full read exactly one file per distinct date. Every
+    * row/sum replays from silver, so the per-era scan arithmetic is
+    * also proven row-exact. At 100 TB this is the verb that re-keys a
+    * mis-partitioned corpus without rewriting a byte until
+    * maintenance chooses to. */
+  def layoutEvolutionOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_evo_$n"
+    val path = s"$warehouseDir/marts/daily_evo_$n"
+    val v = s"__graft_evo_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ * FROM $v")
+    def fileState(): Map[String, (Long, java.nio.file.attribute.FileTime)] =
+      Snapshots.expandParquet(path)
+        .map(p => p -> ((Files.size(Paths.get(p)), Files.getLastModifiedTime(Paths.get(p))))).toMap
+    val versionsBefore = Snapshots.versions(path).size
+    val filesBefore = fileState()
+    s.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.layout'='days(event_date)')")
+    val newVersions = Snapshots.versions(path).size - versionsBefore
+    val filesAfter = fileState()
+    val touched = (filesBefore.keySet ++ filesAfter.keySet)
+      .count(k => filesBefore.get(k) != filesAfter.get(k))
+    val band = "event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'"
+    s.sql(s"INSERT INTO $t SELECT * FROM $v WHERE $band")
+    def probe(where: String): (Long, Long, Long) = {
+      // the SUM keeps every probe a REAL data scan (a bare count is
+      // manifest-answered with zero files)
+      val (rows, files) = collectAndCountFiles(s.sql(
+        s"SELECT count(*) AS c, sum(total_events) AS se FROM $t $where"))
+      (files, rows(0).getLong(0), if (rows(0).isNullAt(1)) 0L else rows(0).getLong(1))
+    }
+    val (bandF, bandR, bandS) = probe(s"WHERE $band")
+    val (impF, impR, _) = probe("WHERE event_date > DATE '2030-01-01'")
+    Snapshots.compact(s, path)
+    val (bandF2, bandR2, bandS2) = probe(s"WHERE $band")
+    val (fullF, fullR, _) = probe("")
+    import s.implicits._
+    Seq(
+      "band_files_post_compact" -> bandF2,
+      "band_files_pre_compact" -> bandF,
+      "band_rows" -> bandR, "band_rows_post_compact" -> bandR2,
+      "band_sum_events" -> bandS, "band_sum_events_post_compact" -> bandS2,
+      "evolve_files_touched" -> touched.toLong,
+      "evolve_new_versions" -> newVersions.toLong,
+      "full_files_post_compact" -> fullF, "full_rows" -> fullR,
+      "impossible_files" -> impF, "impossible_rows" -> impR)
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[layoutEvolutionOver]]: one file per distinct
+    * date after compaction makes every scanned-file count a
+    * silver-derived quantity; the pre-compaction band probe adds the
+    * single wide-stats pre-evolution file. */
+  val layoutEvolutionSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, band AS (SELECT * FROM daily
+    |   WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18')
+    |SELECT * FROM (
+    |  SELECT 'band_files_post_compact' AS metric,
+    |    (SELECT count(DISTINCT event_date) FROM band) AS value
+    |  UNION ALL SELECT 'band_files_pre_compact',
+    |    1 + (SELECT count(DISTINCT event_date) FROM band)
+    |  UNION ALL SELECT 'band_rows', 2 * (SELECT count(*) FROM band)
+    |  UNION ALL SELECT 'band_rows_post_compact', 2 * (SELECT count(*) FROM band)
+    |  UNION ALL SELECT 'band_sum_events',
+    |    2 * (SELECT CAST(sum(total_events) AS BIGINT) FROM band)
+    |  UNION ALL SELECT 'band_sum_events_post_compact',
+    |    2 * (SELECT CAST(sum(total_events) AS BIGINT) FROM band)
+    |  UNION ALL SELECT 'evolve_files_touched', 0
+    |  UNION ALL SELECT 'evolve_new_versions', 0
+    |  UNION ALL SELECT 'full_files_post_compact',
+    |    (SELECT count(DISTINCT event_date) FROM daily)
+    |  UNION ALL SELECT 'full_rows',
+    |    (SELECT count(*) FROM daily) + (SELECT count(*) FROM band)
+    |  UNION ALL SELECT 'impossible_files', 0
+    |  UNION ALL SELECT 'impossible_rows', 0
+    |)
+    |ORDER BY metric""".stripMargin
+
+  /** Driver query: NAMED SNAPSHOT TAGS (Iceberg refs) observed end to
+    * end — `ALTER TABLE … SET TBLPROPERTIES('graft.tag.audit'='2')`
+    * pins an audit snapshot by name; `VERSION AS OF 'audit'` reads it;
+    * retention (`expireSnapshots(keepLast=1)`) is REF-AWARE: the
+    * tagged version survives outside the keep window, and because it
+    * is a fast-append whose state still reads its predecessor's
+    * directory, the predecessor survives TRANSITIVELY — only the
+    * untagged, unreferenced version expires (kept/expired counts are
+    * structural constants). The tagged read returns the SAME
+    * silver-derived rows before and after expiry; dropping the tag
+    * (`UNSET TBLPROPERTIES`) makes the chain ordinary candidates and
+    * a second expiry reaps it to exactly the current version. At
+    * 100 TB this is how a compliance snapshot outlives aggressive
+    * retention without freezing the whole history. */
+  def tagsOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_tag_$n"
+    val path = s"$warehouseDir/marts/daily_tag_$n"
+    val v = s"__graft_tag_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ * FROM $v") // v1
+    val band1 = "event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'"
+    val band2 = "event_date BETWEEN DATE '2024-01-19' AND DATE '2024-01-25'"
+    s.sql(s"INSERT INTO $t SELECT * FROM $v WHERE $band1") // v2 append
+    s.sql(s"INSERT INTO $t SELECT * FROM $v WHERE $band2") // v3 append
+    s.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.tag.audit'='2')")
+    Snapshots.compact(s, path) // v4 seals the chain
+    def tagRead(): (Long, Long) = {
+      val r = s.sql(
+        s"SELECT count(*) AS c, sum(total_events) AS se FROM $t VERSION AS OF 'audit'")
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (tagR, tagS) = tagRead()
+    val statuses = Snapshots.expireSnapshots(s, path, keepLast = 1)
+      .select("status").collect().map(_.getString(0))
+    val (tagR2, tagS2) = tagRead()
+    s.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES('graft.tag.audit')")
+    Snapshots.expireSnapshots(s, path, keepLast = 1).collect()
+    val finalVersions = Snapshots.versions(path).size.toLong
+    val current =
+      s.sql(s"SELECT count(*) AS c, sum(total_events) AS se FROM $t").collect()(0)
+    import s.implicits._
+    Seq(
+      "current_rows" -> current.getLong(0),
+      "current_sum_events" -> current.getLong(1),
+      "tag_rows" -> tagR, "tag_rows_post_expire" -> tagR2,
+      "tag_sum_events" -> tagS, "tag_sum_events_post_expire" -> tagS2,
+      "versions_expired_first" -> statuses.count(_ == "expired").toLong,
+      "versions_final" -> finalVersions,
+      "versions_kept_first" -> statuses.count(_ == "kept").toLong)
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[tagsOver]]: the tagged state is (full daily +
+    * band1), the current state adds band2; kept/expired counts are
+    * structural constants of the ref-aware retention walk. */
+  val tagsSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, band1 AS (SELECT * FROM daily
+    |   WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18')
+    |, band2 AS (SELECT * FROM daily
+    |   WHERE event_date BETWEEN DATE '2024-01-19' AND DATE '2024-01-25')
+    |SELECT * FROM (
+    |  SELECT 'current_rows' AS metric,
+    |    (SELECT count(*) FROM daily) + (SELECT count(*) FROM band1)
+    |      + (SELECT count(*) FROM band2) AS value
+    |  UNION ALL SELECT 'current_sum_events',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |      + (SELECT CAST(sum(total_events) AS BIGINT) FROM band1)
+    |      + (SELECT CAST(sum(total_events) AS BIGINT) FROM band2)
+    |  UNION ALL SELECT 'tag_rows',
+    |    (SELECT count(*) FROM daily) + (SELECT count(*) FROM band1)
+    |  UNION ALL SELECT 'tag_rows_post_expire',
+    |    (SELECT count(*) FROM daily) + (SELECT count(*) FROM band1)
+    |  UNION ALL SELECT 'tag_sum_events',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |      + (SELECT CAST(sum(total_events) AS BIGINT) FROM band1)
+    |  UNION ALL SELECT 'tag_sum_events_post_expire',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |      + (SELECT CAST(sum(total_events) AS BIGINT) FROM band1)
+    |  UNION ALL SELECT 'versions_expired_first', 1
+    |  UNION ALL SELECT 'versions_final', 1
+    |  UNION ALL SELECT 'versions_kept_first', 3
+    |)
+    |ORDER BY metric""".stripMargin
+
   /** DuckDB oracle for [[mergePruneOver]]. */
   val mergePruneSql: String = graft.marts.SilverEvents.oracleCte + """
     |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
@@ -1717,6 +1970,29 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
 
   /** Declared storage-partitioning layout, None for plain tables. */
   private[sources] def layoutSpec: Option[GraftLayout] = Snapshots.layoutSpecOf(tablePath)
+
+  /** DESCRIBE EXTENDED observability: the current layout spec and
+    * every named tag surface as table properties — the same keys the
+    * `ALTER TABLE … SET TBLPROPERTIES` verbs take. */
+  override def properties(): util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    layoutSpec.foreach {
+      case GraftLayout.Bucket(n, c) => m.put("graft.layout", s"bucket($n, $c)")
+      case GraftLayout.Days(c, _)   => m.put("graft.layout", s"days($c)")
+    }
+    Snapshots.tagsOf(tablePath).foreach { case (n, v) => m.put(s"graft.tag.$n", v.toString) }
+    m
+  }
+
+  /** The layout the SCAN may group by: the current spec, but only
+    * while every live file of state `v` was written under it — after
+    * a layout evolution, pre-evolution files keep `partCol=K/`
+    * segments derived under the OLD spec (different bucket count or
+    * source column), and grouping them by segment value would route
+    * rows to the wrong SPJ partition. None degrades the join to a
+    * correct shuffle plan; `compact()` realigns. */
+  private def alignedLayoutSpec(v: Long): Option[GraftLayout] =
+    layoutSpec.filter(_ => Snapshots.layoutAligned(tablePath, v))
 
   override def partitioning(): Array[Transform] =
     layoutSpec.map {
@@ -1879,7 +2155,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
               parquetTableOver(files, rs).newScanBuilder(options)
                 .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
           }),
-          layout = layoutSpec,
+          layout = alignedLayoutSpec(v),
           manifestAggVersion = Some(v))
       case Some(v) => parquetTable(v, readerSchema).newScanBuilder(options)
       case None    => new GraftEmptyScanBuilder(schema(), tablePath)

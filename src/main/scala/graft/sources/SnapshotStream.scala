@@ -187,7 +187,7 @@ private[graft] class SnapshotMicroBatchStream(tablePath: String,
           "snapshot retracts prior rows and cannot replay as a delta — " +
           "run Snapshots.compact() and restart the stream")
       val dirs = vs.map(v => s"$tablePath/v=$v")
-      if (Snapshots.layoutSpecOf(tablePath).isEmpty) dirs
+      if (!Snapshots.everLaidOut(tablePath)) dirs
       else dirs.flatMap(Snapshots.expandParquet)
     }
 

@@ -169,27 +169,116 @@ object Snapshots {
   private[sources] def layoutOf(table: String): Option[(Int, String)] =
     layoutSpecOf(table).collect { case GraftLayout.Bucket(n, c) => (n, c) }
 
-  /** The table's declared storage layout (bucket or days transform),
-    * None for plain tables. */
-  private[sources] def layoutSpecOf(table: String): Option[GraftLayout] = {
+  /** The table's CURRENT declared storage layout (bucket or days
+    * transform) — the spec every new write lays files out by. None
+    * for plain tables and tables whose layout was evolved to `none`. */
+  private[sources] def layoutSpecOf(table: String): Option[GraftLayout] =
+    layoutErasOf(table).lastOption.flatMap(_.spec)
+
+  /** One spec-JSON fragment (the single-era marker body, or an era's
+    * `"spec"` object) parsed to a layout. */
+  private[sources] def parseSpecFragment(text: String): Option[GraftLayout] = {
+    val bucket = for {
+      n <- "\"bucket_n\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
+      c <- "\"bucket_col\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
+    } yield GraftLayout.Bucket(n, c)
+    bucket.orElse {
+      for {
+        t <- "\"transform\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
+        if t == "days"
+        c <- "\"col\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
+      } yield GraftLayout.Days(c,
+        timestampCol = "\"coltype\":\"([^\"]*)\"".r.findFirstMatchIn(text)
+          .exists(_.group(1) == "timestamp"))
+    }
+  }
+
+  /** The table's full layout-era history, oldest first: each era is
+    * `(fromV, spec)` — files whose origin version is ≥ `fromV` (and
+    * below the next era's) were written under `spec` (None = plain).
+    * A never-evolved table is ONE era from version 0 (the legacy
+    * single-spec marker parses as exactly that); a table with no
+    * marker returns Nil. Layout evolution ([[evolveLayout]]) appends
+    * eras — Iceberg partition-spec-evolution semantics: existing data
+    * files keep their old directory layout forever (metadata-only),
+    * new writes use the current spec, and planner surfaces that need
+    * layout homogeneity ([[layoutAligned]]) gate on the era split
+    * until compaction rewrites the live set under the current spec. */
+  private[sources] def layoutErasOf(table: String): Seq[GraftLayout.Era] = {
     val marker = Paths.get(table, "_layout.json")
-    if (!Files.isRegularFile(marker)) None
+    if (!Files.isRegularFile(marker)) Nil
     else {
       val text = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
-      val bucket = for {
-        n <- "\"bucket_n\":(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
-        c <- "\"bucket_col\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
-      } yield GraftLayout.Bucket(n, c)
-      bucket.orElse {
-        for {
-          t <- "\"transform\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
-          if t == "days"
-          c <- "\"col\":\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1))
-        } yield GraftLayout.Days(c,
-          timestampCol = "\"coltype\":\"([^\"]*)\"".r.findFirstMatchIn(text)
-            .exists(_.group(1) == "timestamp"))
+      if (!text.contains("\"eras\""))
+        Seq(GraftLayout.Era(0L, parseSpecFragment(text)))
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        node.get("eras") match {
+          case arr: com.fasterxml.jackson.databind.node.ArrayNode =>
+            arr.elements().asScala.map { e =>
+              val spec =
+                if (e.get("spec") == null || e.get("spec").isNull) None
+                else parseSpecFragment(e.get("spec").toString)
+              GraftLayout.Era(e.get("from_v").asLong(), spec)
+            }.toVector.sortBy(_.fromV)
+          case _ => throw new IllegalStateException(
+            s"corrupt layout marker of $table: $text")
+        }
       }
     }
+  }
+
+  /** Did ANY era of this table lay files out into `partCol=K/`
+    * directories? Gates the directory→file-list expansion every read
+    * of a laid-out table needs (a directory read would
+    * partition-discover the derived layout column into the schema) —
+    * a table evolved to `none` still holds old laid-out files. */
+  private[sources] def everLaidOut(table: String): Boolean =
+    layoutErasOf(table).exists(_.spec.nonEmpty)
+
+  /** Is the CURRENT era's layout the layout of EVERY live data file
+    * of state `v`? Single-era tables are trivially aligned; after an
+    * evolution, alignment returns only when a full-state write
+    * (compaction/overwrite) has rewritten the live set under the
+    * current spec. Storage-partitioned-join grouping MUST gate on
+    * this: a pre-evolution file's `partCol=K/` segment was derived
+    * under the OLD spec (e.g. bucket(4) keys under a bucket(8)
+    * era, or a different source column), so regrouping it by segment
+    * value would route rows to the wrong join partition — silently
+    * wrong results, not a slow plan. */
+  private[sources] def layoutAligned(table: String, v: Long): Boolean = {
+    val eras = layoutErasOf(table)
+    eras.isEmpty || (eras.size == 1 && eras.head.fromV == 0L) || {
+      val fromV = eras.last.fromV
+      readSet(table, v).forall { p =>
+        !p.endsWith(".parquet") ||
+          RenameEras.fileVersionOf(rootRel(table, p)) >= fromV
+      }
+    }
+  }
+
+  /** Metadata-only layout (partition-spec) evolution — the Iceberg
+    * `ALTER TABLE … ADD/REPLACE PARTITION FIELD` semantics: record
+    * that writes FROM THE NEXT VERSION ON use `newSpec`, touching no
+    * data file. Old files keep their directories; reads stay exact
+    * (manifest-stats pruning never depended on directories); SPJ
+    * grouping degrades to a correct shuffle join until `compact()`
+    * rewrites the live set under the new spec. A redefinition with no
+    * data written in between replaces the pending era (eras hold
+    * strictly increasing `from_v`); a no-op re-declaration of the
+    * current spec is ignored. */
+  private[sources] def evolveLayout(table: String, newSpec: Option[GraftLayout]): Unit = {
+    val eras = layoutErasOf(table)
+    if (eras.lastOption.flatMap(_.spec) == newSpec && (eras.nonEmpty || newSpec.isEmpty))
+      return
+    val fromV = versions(table).lastOption.map(_ + 1).getOrElse(0L)
+    val kept = eras.filter(_.fromV < fromV)
+    val next = kept :+ GraftLayout.Era(fromV, newSpec)
+    val body = next.map(e =>
+      s"""{"from_v":${e.fromV},"spec":${e.spec.map(GraftLayout.specJson).getOrElse("null")}}""")
+      .mkString("[", ",", "]")
+    Files.write(Paths.get(table, "_layout.json"),
+      s"""{"eras":$body}""".getBytes(StandardCharsets.UTF_8))
   }
 
   /** All DATA parquet files under `dir` (recursive, sorted). Hidden
@@ -356,7 +445,7 @@ object Snapshots {
     val lastFull = lastFullVersion(table, v)
     val base = carriedOf(table, lastFull).map(f => s"$table/${f.name}") ++
       upTo.collect { case x if x >= lastFull => s"$table/v=$x" }
-    if (layoutSpecOf(table).isEmpty) base
+    if (!everLaidOut(table)) base
     else base.flatMap(p => if (p.endsWith(".parquet")) Seq(p) else expandParquet(p))
   }
 
@@ -751,6 +840,50 @@ object Snapshots {
     (v, dataFiles.size, filesAfter)
   }
 
+  /** CLUSTERED compaction (Iceberg `rewrite_data_files` with the
+    * sort strategy and a `zorder(...)` sort order): rewrite the
+    * current state Z-ORDERED on `zcols` into ONE new full-state
+    * snapshot of ~`targetFiles` files, each covering a contiguous
+    * Morton-code range. The point is the MANIFEST: after the rewrite,
+    * every file's [min,max] envelope is tight on EVERY clustered
+    * column at once, so the catalog's stats-based file skipping
+    * prunes multi-dimension box probes — the two-sided lookup a
+    * single-column sort can only serve on its leading column. Same
+    * history contract as [[compact]] (append-only, seals the chain,
+    * materializes live sidecars/eras). Refuses on a laid-out table:
+    * the declared layout owns that table's clustering (and the
+    * z-range files would break SPJ alignment) — evolve the layout to
+    * 'none' first if z-clustering should take over.
+    *
+    * Scale: one stats pass (approxQuantile over the clustered
+    * columns) + one range shuffle of the live rows —
+    * write-bandwidth-bound by construction, the same adjudication as
+    * [[compact]]; at production scale run it per partition slice. */
+  def compactZOrdered(spark: SparkSession, table: String, zcols: Seq[String],
+                      targetFiles: Int = 0): (Long, Int, Int) = {
+    require(zcols.size >= 2,
+      s"z-order clustering needs at least 2 columns, got ${zcols.mkString(",")} — " +
+        "use compact() plus a sorted write for single-column clustering")
+    layoutSpecOf(table).foreach(spec => throw new IllegalArgumentException(
+      s"cannot z-order-compact $table: its declared ${spec.partCol} layout owns the " +
+        "clustering — ALTER TABLE … SET TBLPROPERTIES('graft.layout'='none') first"))
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no snapshots of $table")
+    val filesBefore = readSet(table, vs.last).map { d =>
+      if (d.endsWith(".parquet")) 1 else expandParquet(d).size
+    }.sum
+    val current = readLatest(spark, table)
+    val width = spark.sessionState.conf.numShufflePartitions
+    val n = if (targetFiles > 0) targetFiles else width
+    val clustered = graft.sink.ZOrder.withZValue(current.repartition(width), zcols)
+      .repartitionByRange(n, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+    val v = writeSnapshot(clustered, table, operation = "compact")
+    val filesAfter = expandParquet(s"$table/v=$v").size
+    (v, filesBefore, filesAfter)
+  }
+
   /** Rollback: restore the table's CURRENT state to what version `v`
     * held, as a NEW version (Iceberg's `rollback_to_snapshot`
     * semantics: history is append-only — a bad write is undone by
@@ -906,13 +1039,136 @@ object Snapshots {
     * rows — at 100 TB the deletes are object-store prefix removals, and
     * readers of retained versions are unaffected (immutable dirs).
     * Time travel to an expired version correctly fails afterwards. */
+  // ---- named refs (tags) ---------------------------------------------
+
+  /** The table's named snapshot tags (Iceberg tag refs): immutable
+    * name → version pointers, readable as `VERSION AS OF '<name>'`
+    * and honored by [[expireSnapshots]] — a tagged version (plus
+    * everything its state still reads) survives retention until the
+    * tag is dropped. Stored in `_refs.json` at the table root. */
+  def tagsOf(table: String): Map[String, Long] = {
+    val p = Paths.get(table, "_refs.json")
+    if (!Files.isRegularFile(p)) Map.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      Option(node.get("tags")).fold(Map.empty[String, Long]) { tags =>
+        tags.fieldNames().asScala.map(k => k -> tags.get(k).asLong()).toMap
+      }
+    }
+  }
+
+  private def writeTags(table: String, tags: Map[String, Long]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val t = root.putObject("tags")
+    tags.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
+    Files.write(Paths.get(table, "_refs.json"),
+      mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Create (or with `replace` move) tag `name` → version `v`.
+    * Digit-only names are refused — `VERSION AS OF '7'` must stay an
+    * unambiguous snapshot number. */
+  def createTag(table: String, name: String, v: Long, replace: Boolean = false): Unit = {
+    require(name.matches("[A-Za-z0-9_.-]+") && !name.matches("\\d+"),
+      s"tag name must match [A-Za-z0-9_.-]+ and not be all digits: '$name'")
+    require(versions(table).contains(v), s"no snapshot $v of $table to tag")
+    val tags = tagsOf(table)
+    require(replace || !tags.contains(name),
+      s"tag $name already exists (→ v${tags(name)}); pass replace=true to move it")
+    writeTags(table, tags + (name -> v))
+  }
+
+  /** Drop tag `name` (loud if absent) — the versions it pinned become
+    * ordinary [[expireSnapshots]] candidates again. */
+  def dropTag(table: String, name: String): Unit = {
+    val tags = tagsOf(table)
+    require(tags.contains(name), s"no tag $name of $table (tags: ${
+      tags.keys.toSeq.sorted.mkString(",")})")
+    writeTags(table, tags - name)
+  }
+
+  /** Orphan-file cleanup (Iceberg `remove_orphan_files`): delete
+    * debris under the table root that NO manifest references — a
+    * failed/killed write's version directory that never committed its
+    * manifest (files land first, the manifest is the commit point),
+    * and Spark `_temporary` staging trees. Never touches a manifested
+    * version directory's contents (expiry owns those) or root-level
+    * `_`-metadata files. `olderThanMs` is the in-flight-commit guard
+    * (Iceberg's `older_than` contract): an orphan candidate whose
+    * NEWEST file is younger than the window is left alone — it may be
+    * a commit between its write and manifest steps. Returns one row
+    * per removed tree (path, files). Driver-side directory-level
+    * listing — metadata-scale, no data read. */
+  def removeOrphanFiles(s: SparkSession, table: String,
+                        olderThanMs: Long = 24L * 3600 * 1000): DataFrame = {
+    val live = versions(table).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val verSeg = "^v=(\\d+)$".r
+    def newestMtime(p: java.nio.file.Path): Long =
+      scala.util.Using.resource(Files.walk(p)) { w =>
+        w.iterator().asScala.map(f => Files.getLastModifiedTime(f).toMillis)
+          .foldLeft(0L)(math.max)
+      }
+    def treeFiles(p: java.nio.file.Path): Long =
+      scala.util.Using.resource(Files.walk(p)) { w =>
+        w.iterator().asScala.count(Files.isRegularFile(_)).toLong
+      }
+    def deleteTree(p: java.nio.file.Path): Unit =
+      scala.util.Using.resource(Files.walk(p)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+    val root = Paths.get(table)
+    val topLevel = scala.util.Using.resource(Files.list(root)) { ls =>
+      ls.iterator().asScala.toVector
+    }
+    val orphanTrees =
+      // an uncommitted version directory: files exist, manifest never landed
+      topLevel.filter(p => Files.isDirectory(p) && (p.getFileName.toString match {
+        case verSeg(n) => !live.contains(n.toLong)
+        case _ => false
+      })) ++
+      // staging debris at root and inside LIVE version directories
+      (topLevel ++ live.toSeq.map(v => root.resolve(s"v=$v")).filter(Files.isDirectory(_))
+        .flatMap(d => scala.util.Using.resource(Files.list(d)) { ls =>
+          ls.iterator().asScala.toVector
+        }))
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString == "_temporary")
+    val (removed, kept) = orphanTrees.distinct.partition(newestMtime(_) < cutoff)
+    val rows = removed.map(p => (rootRel(table, p.toString), treeFiles(p), "removed")) ++
+      kept.map(p => (rootRel(table, p.toString), treeFiles(p), "kept-in-flight"))
+    removed.foreach(deleteTree)
+    import s.implicits._
+    rows.toDF("path", "files", "status").orderBy("path")
+  }
+
+  /** Retention by AGE (Iceberg `expire_snapshots(older_than => ts)`):
+    * expire every snapshot committed before `cutoffMs` except the
+    * current one, with the same tag- and read-chain pinning as the
+    * keepLast form. Commit times are monotone in version number, so
+    * the age cut is a prefix cut and the two forms share one walk. */
+  def expireSnapshotsOlderThan(s: SparkSession, table: String, cutoffMs: Long): DataFrame = {
+    val times = commitTimes(table).toMap
+    val vs = versions(table)
+    require(vs.nonEmpty, s"no snapshots of $table")
+    val old = vs.dropRight(1).count(v => times(v) < cutoffMs)
+    expireSnapshots(s, table, keepLast = vs.length - old)
+  }
+
   def expireSnapshots(s: SparkSession, table: String, keepLast: Int): DataFrame = {
     require(keepLast >= 1, "must retain at least the current version")
     val before = snapshots(s, table)
       .select("version", "row_count").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     val cut = before.length - keepLast
-    val retained = before.drop(math.max(cut, 0)).map(_._1)
+    // tagged versions are retention-exempt (Iceberg ref-aware expiry):
+    // the audit snapshot a tag pins must stay readable however far the
+    // keepLast window moves past it
+    val tagged = tagsOf(table).values.toSet
+    val retained = (before.drop(math.max(cut, 0)).map(_._1) ++
+      before.map(_._1).filter(tagged)).distinct
     // a retained fast-append version still READS its predecessors'
     // directories, and a retained copy-on-write version still reads
     // the directories its carried file refs live in (its readSet) —
@@ -1046,6 +1302,20 @@ private[sources] sealed trait GraftLayout {
 }
 
 private[sources] object GraftLayout {
+  /** One layout era: files originating at version ≥ `fromV` (and
+    * below the next era's bound) were laid out under `spec` (None =
+    * plain). See [[Snapshots.layoutErasOf]]. */
+  final case class Era(fromV: Long, spec: Option[GraftLayout])
+
+  /** The marker-JSON fragment of one spec — the SAME shapes the
+    * legacy single-spec marker used, so [[Snapshots.parseSpecFragment]]
+    * round-trips both formats. */
+  def specJson(spec: GraftLayout): String = spec match {
+    case Bucket(n, c) => s"""{"bucket_n":$n,"bucket_col":"$c"}"""
+    case Days(c, ts) =>
+      s"""{"transform":"days","col":"$c","coltype":"${if (ts) "timestamp" else "date"}"}"""
+  }
+
   /** `bucket(n, col)`: pmod(xxhash64(col), n). */
   final case class Bucket(n: Int, col: String) extends GraftLayout {
     val partCol: String = GraftSnapshotTable.BucketCol

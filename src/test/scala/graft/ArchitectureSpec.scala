@@ -72,8 +72,11 @@ class ArchitectureSpec extends AnyFunSuite {
     //   the oracle replays each from silver), and (h) renameOver
     //   three 1-row count/sum aggregates (AS OF v2 under the old
     //   name, current, post-compact), and (i) eqUpsertOver four
-    //   (current SQL + library, AS OF v2, post-compact) — all
-    //   metadata-plane by design
+    //   (current SQL + library, AS OF v2, post-compact), and
+    //   (j) tagsOver four: two expire reports (one row per snapshot
+    //   version) and three 1-row count/sum aggregates routed through
+    //   two call sites (tagRead ×2, current) — all metadata-plane
+    //   by design
     // EqDeletes: the equality-delete KEY SET rides into scan planning
     //   driver-side (small by the upsert policy — the retraction keys
     //   of recent deliveries; compaction clears them), cached per
@@ -83,7 +86,7 @@ class ArchitectureSpec extends AnyFunSuite {
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 2,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 18,
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 22,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,
       "EqDeletes.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
