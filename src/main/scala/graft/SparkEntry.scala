@@ -474,6 +474,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.layoutEvolutionOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_tags" -> ((s, dir) =>
       graft.sources.GraftCatalog.tagsOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_procedures" -> ((s, dir) =>
+      graft.sources.GraftCatalog.proceduresOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_evolution" -> ((s, dir) =>
       graft.sources.GraftCatalog.evolutionOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_rewrite_files" -> ((s, dir) =>
@@ -687,6 +689,7 @@ object SparkEntry {
     "meta_catalog_days_layout" -> graft.sources.GraftCatalog.daysLayoutSql,
     "meta_catalog_layout_evolution" -> graft.sources.GraftCatalog.layoutEvolutionSql,
     "meta_catalog_tags" -> graft.sources.GraftCatalog.tagsSql,
+    "meta_catalog_procedures" -> graft.sources.GraftCatalog.proceduresSql,
     "meta_catalog_evolution" -> graft.sources.GraftCatalog.evolutionSql,
     "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,
     "stream_catalog_append" -> graft.sources.GraftCatalog.streamAppendSql,

@@ -67,7 +67,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[graft.sources.MorDeletes]]).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -93,6 +93,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * is a namespace. */
   private def isTable(dir: Path): Boolean =
     Files.isDirectory(dir.resolve("_meta")) || Files.isRegularFile(dir.resolve("_schema.json"))
+
+  /** Resolve a procedure's `table` argument (`'ns.t'`, this-catalog
+    * relative) to the table's root path — loud on anything that is
+    * not an existing namespace-qualified table. */
+  private[sources] def resolveTablePath(table: String): String = {
+    val parts = table.split('.')
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"procedure table argument must be '<namespace>.<table>' (catalog-relative), got '$table'")
+    val dir = tableDir(Identifier.of(parts.init, parts.last))
+    require(isTable(dir), s"no such table $table in catalog $catalogName")
+    dir.toString
+  }
+
+  // ---- procedures (the SQL-callable maintenance surface) -----------
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the `system` namespace: CALL $catalogName.system.<name>(...), got $ident")
+    GraftProcedures.load(this, ident.name())
+  }
 
   // ---- namespaces -------------------------------------------------
 
@@ -1898,6 +1923,85 @@ object GraftCatalog {
     |  UNION ALL SELECT 'versions_expired_first', 1
     |  UNION ALL SELECT 'versions_final', 1
     |  UNION ALL SELECT 'versions_kept_first', 3
+    |)
+    |ORDER BY metric""".stripMargin
+
+  /** Driver query: the SQL-callable maintenance surface (Spark 4
+    * `ProcedureCatalog`, `CALL graft.system.<verb>(...)`) driven end
+    * to end — create_tag pins an audit snapshot, compact seals the
+    * chain (2 files → 1, both structural), rollback_to_snapshot
+    * commits v1's state FORWARD (current rows drop back to the plain
+    * daily mart — replayed from silver), and ref-aware
+    * expire_snapshots reaps exactly the unpinned compact snapshot
+    * while the tag keeps its append chain readable. Every report row
+    * a procedure returns is part of the oracle's hash, so the CALL
+    * plumbing (named-argument binding, defaults, LocalScan reports)
+    * is itself under test. */
+  def proceduresOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_proc_$n"
+    val v = s"__graft_proc_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ * FROM $v") // v1, 1 file
+    val band = "event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'"
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v WHERE $band") // v2, 1 file
+    val tag = s.sql(
+      s"CALL graft.system.create_tag(table => 'marts.daily_proc_$n', tag => 'audit', version => 2)")
+      .collect()(0)
+    val comp = s.sql(s"CALL graft.system.compact(table => 'marts.daily_proc_$n')")
+      .collect()(0) // v3
+    val rb = s.sql(
+      s"CALL graft.system.rollback_to_snapshot(table => 'marts.daily_proc_$n', version => 1)")
+      .collect()(0) // v4: v1's state committed forward
+    val statuses = s.sql(
+      s"CALL graft.system.expire_snapshots(table => 'marts.daily_proc_$n', keep_last => 1)")
+      .collect().map(_.getString(2))
+    val cur = s.sql(s"SELECT count(*) AS c, sum(total_events) AS se FROM $t").collect()(0)
+    val tagged = s.sql(
+      s"SELECT count(*) AS c, sum(total_events) AS se FROM $t VERSION AS OF 'audit'")
+      .collect()(0)
+    import s.implicits._
+    Seq(
+      "compact_files_after" -> comp.getInt(2).toLong,
+      "compact_files_before" -> comp.getInt(1).toLong,
+      "compact_version" -> comp.getLong(0),
+      "expire_expired" -> statuses.count(_ == "expired").toLong,
+      "expire_kept" -> statuses.count(_ == "kept").toLong,
+      "rollback_rows" -> cur.getLong(0),
+      "rollback_sum_events" -> cur.getLong(1),
+      "rollback_version" -> rb.getLong(0),
+      "tag_rows" -> tagged.getLong(0),
+      "tag_sum_events" -> tagged.getLong(1),
+      "tag_version" -> tag.getLong(1))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[proceduresOver]]: the tagged state is (full
+    * daily + band), the rolled-back current state is the plain daily
+    * mart; version numbers and file/kept/expired counts are
+    * structural constants of the lifecycle walk. */
+  val proceduresSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, band AS (SELECT * FROM daily
+    |   WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18')
+    |SELECT * FROM (
+    |  SELECT 'compact_files_after' AS metric, 1 AS value
+    |  UNION ALL SELECT 'compact_files_before', 2
+    |  UNION ALL SELECT 'compact_version', 3
+    |  UNION ALL SELECT 'expire_expired', 1
+    |  UNION ALL SELECT 'expire_kept', 3
+    |  UNION ALL SELECT 'rollback_rows', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'rollback_sum_events',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |  UNION ALL SELECT 'rollback_version', 4
+    |  UNION ALL SELECT 'tag_rows',
+    |    (SELECT count(*) FROM daily) + (SELECT count(*) FROM band)
+    |  UNION ALL SELECT 'tag_sum_events',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |      + (SELECT CAST(sum(total_events) AS BIGINT) FROM band)
+    |  UNION ALL SELECT 'tag_version', 2
     |)
     |ORDER BY metric""".stripMargin
 

@@ -75,20 +75,25 @@ class ArchitectureSpec extends AnyFunSuite {
     //   (current SQL + library, AS OF v2, post-compact), and
     //   (j) tagsOver four: two expire reports (one row per snapshot
     //   version) and three 1-row count/sum aggregates routed through
-    //   two call sites (tagRead ×2, current) — all metadata-plane
-    //   by design
+    //   two call sites (tagRead ×2, current), and (k) proceduresOver
+    //   six: five CALL report relations (1 row each, |versions| for
+    //   expire) plus two 1-row count/sum aggregates — all
+    //   metadata-plane by design
     // EqDeletes: the equality-delete KEY SET rides into scan planning
     //   driver-side (small by the upsert policy — the retraction keys
     //   of recent deliveries; compaction clears them), cached per
     //   commit identity like the positional cache
+    // GraftProcedures: reportOf materializes a maintenance verb's
+    //   report relation (one row per snapshot / orphan tree) into the
+    //   CALL result LocalScan — metadata-sized by construction
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 2,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 22,
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 28,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,
-      "EqDeletes.scala" -> 1)
+      "EqDeletes.scala" -> 1, "GraftProcedures.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))
   }
