@@ -476,6 +476,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.tagsOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_procedures" -> ((s, dir) =>
       graft.sources.GraftCatalog.proceduresOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_meta_tables" -> ((s, dir) =>
+      graft.sources.GraftCatalog.metaTablesOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_evolution" -> ((s, dir) =>
       graft.sources.GraftCatalog.evolutionOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_rewrite_files" -> ((s, dir) =>
@@ -690,6 +692,7 @@ object SparkEntry {
     "meta_catalog_layout_evolution" -> graft.sources.GraftCatalog.layoutEvolutionSql,
     "meta_catalog_tags" -> graft.sources.GraftCatalog.tagsSql,
     "meta_catalog_procedures" -> graft.sources.GraftCatalog.proceduresSql,
+    "meta_catalog_meta_tables" -> graft.sources.GraftCatalog.metaTablesSql,
     "meta_catalog_evolution" -> graft.sources.GraftCatalog.evolutionSql,
     "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,
     "stream_catalog_append" -> graft.sources.GraftCatalog.streamAppendSql,

@@ -187,8 +187,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `ns.t.snapshots/history/refs/
+    // files` — the parent path is a TABLE (tables are leaf
+    // directories, so this can never shadow a real child table)
+    if (!isTable(tableDir(ident)) && ident.namespace().nonEmpty &&
+        GraftMetadataTables.kinds.contains(ident.name())) {
+      val parent = nsDir(ident.namespace())
+      if (isTable(parent))
+        return new GraftMetadataTables.MetadataTable(ident.name(), parent.toString,
+          s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+    }
     loadPinned(ident, pinned = None)
+  }
 
   /** `VERSION AS OF n` / `FOR SYSTEM_VERSION AS OF n`, or a named TAG
     * (`VERSION AS OF 'audit_2024q1'` — Iceberg ref semantics; tag
@@ -2002,6 +2013,61 @@ object GraftCatalog {
     |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
     |      + (SELECT CAST(sum(total_events) AS BIGINT) FROM band)
     |  UNION ALL SELECT 'tag_version', 2
+    |)
+    |ORDER BY metric""".stripMargin
+
+  /** Driver query: the Iceberg-style METADATA TABLES (`t.snapshots`,
+    * `t.history`, `t.refs`, `t.files`) observed through plain SQL — a
+    * deterministic two-commit history (CTAS + one band append, one
+    * file each) plus a tag, then ONE query unioning scalar probes
+    * over all four relations: snapshot row counts, per-file manifest
+    * row counts, the current-version flag and the tag pointer. Every
+    * value replays from silver; no driver collect — the metadata
+    * relations are ordinary Catalyst relations (LocalScan), so
+    * filters/aggregates over them run as SQL. */
+  def metaTablesOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_mt_$n"
+    val v = s"__graft_mt_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ * FROM $v") // v1, 1 file
+    s.sql(s"""INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v
+      WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'""") // v2, 1 file
+    s.sql(s"CALL graft.system.create_tag(table => 'marts.daily_mt_$n', tag => 'audit', version => 1)")
+    s.sql(s"""
+      SELECT 'file_v1_rows' AS metric,
+        (SELECT row_count FROM $t.files WHERE version = 1) AS value
+      UNION ALL SELECT 'file_v2_rows', (SELECT row_count FROM $t.files WHERE version = 2)
+      UNION ALL SELECT 'files_count', (SELECT count(*) FROM $t.files)
+      UNION ALL SELECT 'history_current', (SELECT version FROM $t.history WHERE is_current)
+      UNION ALL SELECT 'ref_audit_version', (SELECT version FROM $t.refs WHERE name = 'audit')
+      UNION ALL SELECT 'refs_count', (SELECT count(*) FROM $t.refs)
+      UNION ALL SELECT 'snap_v1_rows', (SELECT row_count FROM $t.snapshots WHERE version = 1)
+      UNION ALL SELECT 'snap_v2_rows', (SELECT row_count FROM $t.snapshots WHERE version = 2)
+      UNION ALL SELECT 'snaps_count', (SELECT count(*) FROM $t.snapshots)
+      ORDER BY metric""")
+  }
+
+  /** DuckDB oracle for [[metaTablesOver]]: per-file manifest counts
+    * replay from silver (v1 = the full daily mart, v2 = the band
+    * append); snapshot row counts are cumulative state rows. */
+  val metaTablesSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, band AS (SELECT * FROM daily
+    |   WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18')
+    |SELECT * FROM (
+    |  SELECT 'file_v1_rows' AS metric, (SELECT count(*) FROM daily) AS value
+    |  UNION ALL SELECT 'file_v2_rows', (SELECT count(*) FROM band)
+    |  UNION ALL SELECT 'files_count', 2
+    |  UNION ALL SELECT 'history_current', 2
+    |  UNION ALL SELECT 'ref_audit_version', 1
+    |  UNION ALL SELECT 'refs_count', 1
+    |  UNION ALL SELECT 'snap_v1_rows', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'snap_v2_rows',
+    |    (SELECT count(*) FROM daily) + (SELECT count(*) FROM band)
+    |  UNION ALL SELECT 'snaps_count', 2
     |)
     |ORDER BY metric""".stripMargin
 

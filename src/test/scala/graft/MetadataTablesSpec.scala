@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GraftCatalog, Snapshots}
+
+/** Iceberg-style metadata tables: `SELECT * FROM graft.ns.t.snapshots
+  * / .history / .refs / .files` resolve through the catalog's suffix
+  * fallback to read-only relations over the manifest plane — no data
+  * file is opened. */
+class MetadataTablesSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private lazy val wh = Files.createTempDirectory("graft_metatbl_spec_").toString
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.gmt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmt.m")
+    "gmt"
+  }
+
+  test("snapshots, history, refs and files list the manifest plane exactly") {
+    val t = s"$cat.m.t"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k FROM range(0, 10)")
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id FROM range(10, 25)")
+    spark.sql(s"CALL $cat.system.create_tag(table => 'm.t', tag => 'audit', version => 1)")
+
+    val snaps = spark.sql(s"SELECT version, operation, row_count FROM $t.snapshots ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(snaps.length == 2)
+    // snapshot row_count is the STATE's cumulative rows (the library
+    // `snapshots()` contract), per-file counts live in `.files`
+    assert(snaps(0)._3 == 10L && snaps(1)._3 == 25L)
+    assert(snaps(1)._2 == "append")
+
+    val hist = spark.sql(s"SELECT version, is_current FROM $t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(hist.toSeq == Seq((1L, false), (2L, true)))
+
+    val refs = spark.sql(s"SELECT * FROM $t.refs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSeq == Seq(("audit", "tag", 1L)))
+
+    val files = spark.sql(s"SELECT file, version, row_count, bytes FROM $t.files ORDER BY file")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(files.length == 2, files.mkString(","))
+    assert(files.map(_._2).toSeq == Seq(1L, 2L))
+    assert(files.map(_._3).toSeq == Seq(10L, 15L))
+    assert(files.forall(f => f._1.startsWith(s"v=${f._2}/") && f._4 > 0))
+
+    // the listing is a metadata read: filters/projections work as SQL,
+    // joining against the data table stays possible
+    assert(spark.sql(
+      s"SELECT sum(row_count) FROM $t.files WHERE version = 2").collect()(0).getLong(0) == 15L)
+  }
+
+  test("resolution: a leaf table named like a kind is never shadowed; unknown suffixes stay loud") {
+    // a REAL table named 'files' under a namespace resolves as itself
+    spark.sql(s"CREATE TABLE $cat.m.files AS SELECT 1 AS a")
+    assert(spark.sql(s"SELECT * FROM $cat.m.files").collect()(0).getInt(0) == 1)
+    // metadata kinds only exist under a TABLE parent
+    assert(intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.m.ghost.snapshots").collect())
+      .getMessage.toLowerCase.contains("table"))
+    // an unknown suffix under a table parent is not a table
+    spark.sql(s"CREATE TABLE $cat.m.real AS SELECT 1 AS a")
+    assert(intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.m.real.bogus").collect())
+      .getMessage.toLowerCase.contains("table"))
+  }
+
+  test("files reflects carried refs and sidecar-bearing states by manifest row counts") {
+    val t = s"$cat.m.mor"
+    val path = s"$wh/m/mor"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k FROM range(0, 10)")
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE k = 3")
+    finally spark.conf.set("spark.graft.delete.mode", "copy-on-write")
+    // the data file is carried by reference under the live sidecar;
+    // files lists the PHYSICAL manifest row count (the sidecar is
+    // metadata, not a data file)
+    val files = spark.sql(s"SELECT file, row_count FROM $t.files").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(files.length == 1 && files(0)._2 == 10L, files.mkString(","))
+    assert(Snapshots.liveDeletes(path, Snapshots.versions(path).last).nonEmpty)
+  }
+}
