@@ -73,7 +73,14 @@ object ScaleProbe {
     // rename lifecycle (metadata-plane ALTERs + era-union reads),
     // and the keyed upsert (O(batch) blind writes + key-set merge)
     "meta_catalog_mor_upsert", "meta_catalog_rename",
-    "meta_catalog_eq_upsert")
+    "meta_catalog_eq_upsert",
+    // r15 (second batch): layout evolution (the metadata-only era
+    // append + per-era pruned probes + the realigning compaction —
+    // the verb must stay O(marker) while the probes track the BAND)
+    // and the ref-aware retention lifecycle through the SQL CALL
+    // surface (tag + compact + rollback + expiry walks are
+    // manifest-plane; only the compaction moves data)
+    "meta_catalog_layout_evolution", "meta_catalog_procedures")
 
   /** Per-query (warm seconds, staging seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its

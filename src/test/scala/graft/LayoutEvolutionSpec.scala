@@ -262,6 +262,57 @@ class LayoutEvolutionSpec extends AnyFunSuite {
       .head().getLong(0) == 1L)
   }
 
+  test("composes with live RENAME eras: the new spec binds the current name, era reads stay exact") {
+    val t = s"$cat.evo.rn"
+    val path = s"$wh/evo/rn"
+    spark.sql(s"CREATE TABLE $t (d DATE, k BIGINT) USING iceberg")
+    spark.sql(s"INSERT INTO $t SELECT DATE '2024-01-01', id FROM range(0, 8)")
+    // metadata-only rename leaves the old physical name in v=1's files
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk")
+    // evolving the layout onto the RENAMED column validates against
+    // current names; writes derive from current-name frames
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.layout'='bucket(2, kk)')")
+    spark.sql(s"INSERT INTO $t SELECT DATE '2024-01-02', id FROM range(100, 104)")
+    // the era-union read crosses rename AND layout eras exactly
+    val r = spark.sql(s"SELECT count(*) AS c, sum(kk) AS s FROM $t WHERE kk >= 0").head()
+    assert(r.getLong(0) == 12L && r.getLong(1) == (0L until 8L).sum + (100L until 104L).sum)
+    // compaction materializes both: current names, current layout
+    Snapshots.compact(spark, path)
+    val v = Snapshots.versions(path).last
+    val dirs = scala.util.Using.resource(Files.list(Paths.get(s"$path/v=$v"))) { ls =>
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.map(_.getFileName.toString).toVector
+    }
+    assert(dirs.count(_.startsWith("__graft_bucket=")) == 2, dirs.mkString(","))
+    val r2 = spark.sql(s"SELECT count(*) AS c, sum(kk) AS s FROM $t").head()
+    assert(r2.getLong(0) == 12L && r2.getLong(1) == r.getLong(1))
+  }
+
+  test("composes with equality-delete entries: upserts keep retracting across an evolution") {
+    val t = s"$cat.evo.eq"
+    val path = s"$wh/evo/eq"
+    spark.sql(s"CREATE TABLE $t (d DATE, k BIGINT, val BIGINT) USING iceberg")
+    spark.sql(s"INSERT INTO $t SELECT DATE '2024-01-01', id, id * 10 FROM range(0, 6)")
+    import spark.implicits._
+    val d1 = Seq((java.sql.Date.valueOf("2024-01-02"), 2L, 222L),
+      (java.sql.Date.valueOf("2024-01-02"), 9L, 999L)).toDF("d", "k", "val")
+    Snapshots.upsertBatch(spark, path, d1, keys = Seq("k")) // retracts k=2, adds k=9
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.layout'='days(d)')")
+    // the entry still retracts under the new era declaration
+    val r = spark.sql(s"SELECT count(*) AS c, sum(val) AS s FROM $t WHERE k >= 0").head()
+    val expSum = (0L until 6L).filter(_ != 2L).map(_ * 10).sum + 222L + 999L
+    assert(r.getLong(0) == 7L && r.getLong(1) == expSum)
+    // a post-evolution upsert lands in the new layout and retracts its key
+    val d2 = Seq((java.sql.Date.valueOf("2024-01-03"), 9L, 888L)).toDF("d", "k", "val")
+    Snapshots.upsertBatch(spark, path, d2, keys = Seq("k"))
+    val r2 = spark.sql(s"SELECT count(*) AS c, sum(val) AS s FROM $t WHERE k >= 0").head()
+    assert(r2.getLong(0) == 7L && r2.getLong(1) == expSum - 999L + 888L)
+    // compaction materializes retractions and lays out per day
+    Snapshots.compact(spark, path)
+    val r3 = spark.sql(s"SELECT count(*) AS c, sum(val) AS s FROM $t WHERE k >= 0").head()
+    assert(r3.getLong(0) == 7L && r3.getLong(1) == r2.getLong(1))
+  }
+
   test("composes with live merge-on-read sidecars: evolution is metadata-only, reads stay exact") {
     val t = s"$cat.evo.mor"
     val path = s"$wh/evo/mor"

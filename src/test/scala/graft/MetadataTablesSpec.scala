@@ -69,6 +69,16 @@ class MetadataTablesSpec extends AnyFunSuite {
       .getMessage.toLowerCase.contains("table"))
   }
 
+  test("files lists laid-out tables per expanded file with layout directory segments intact") {
+    val t = s"$cat.m.laid"
+    spark.sql(s"CREATE TABLE $t (d DATE, k BIGINT) PARTITIONED BY (days(d))")
+    spark.sql(s"INSERT INTO $t SELECT DATE_ADD(DATE '2024-01-01', CAST(id % 3 AS INT)), id FROM range(0, 9)")
+    val files = spark.sql(s"SELECT file, version, row_count FROM $t.files ORDER BY file")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(files.length == 3, files.mkString(","))
+    assert(files.forall(f => f._1.contains("__graft_days=") && f._2 == 1L && f._3 == 3L))
+  }
+
   test("files reflects carried refs and sidecar-bearing states by manifest row counts") {
     val t = s"$cat.m.mor"
     val path = s"$wh/m/mor"
