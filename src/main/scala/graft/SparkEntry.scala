@@ -478,6 +478,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.proceduresOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_meta_tables" -> ((s, dir) =>
       graft.sources.GraftCatalog.metaTablesOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_branch_wap" -> ((s, dir) =>
+      graft.sources.GraftCatalog.branchWapOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_evolution" -> ((s, dir) =>
       graft.sources.GraftCatalog.evolutionOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_rewrite_files" -> ((s, dir) =>
@@ -693,6 +695,7 @@ object SparkEntry {
     "meta_catalog_tags" -> graft.sources.GraftCatalog.tagsSql,
     "meta_catalog_procedures" -> graft.sources.GraftCatalog.proceduresSql,
     "meta_catalog_meta_tables" -> graft.sources.GraftCatalog.metaTablesSql,
+    "meta_catalog_branch_wap" -> graft.sources.GraftCatalog.branchWapSql,
     "meta_catalog_evolution" -> graft.sources.GraftCatalog.evolutionSql,
     "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,
     "stream_catalog_append" -> graft.sources.GraftCatalog.streamAppendSql,

@@ -454,6 +454,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"cannot rename $from while equality-delete entries are live — " +
               "run Snapshots.compact() first")
         }
+        // branch files carry TODAY's physical names but hold version
+        // numbers ABOVE the rename boundary (shared sequence) — the
+        // origin-version era mapping would mis-key them as post-rename
+        require(Snapshots.branchesOf(tablePath).isEmpty,
+          s"cannot rename $from while branches exist — fast-forward or drop them first")
         RenameEras.withRename(schema, from, to,
           lastV = Snapshots.versions(tablePath).lastOption)
       // metadata-only LAYOUT EVOLUTION (Iceberg partition-spec
@@ -2071,6 +2076,87 @@ object GraftCatalog {
     |)
     |ORDER BY metric""".stripMargin
 
+  /** Driver query: BRANCH REFS — the Iceberg write-audit-publish
+    * staging shape observed end to end. `CALL graft.system.
+    * create_branch` forks at the current version; a band append lands
+    * ON THE BRANCH (main reads stay at the pre-fork row count — the
+    * isolation the pattern exists for, replayed from silver); the
+    * audit frame ([[Snapshots.readBranch]]) sees base + delta; `CALL
+    * graft.system.fast_forward` publishes the WHOLE branch state to
+    * main as one metadata commit whose version directory holds ZERO
+    * data files and whose manifest carries exactly the base + branch
+    * files by reference (both structural constants) — zero bytes
+    * copied at publish time, the 100 TB WAP contract. Post-publish
+    * reads and pre-fork time travel both replay from silver. */
+  def branchWapOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_wap_$n"
+    val path = s"$warehouseDir/marts/daily_wap_$n"
+    val v = s"__graft_wap_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ * FROM $v") // v1, 1 file
+    val cb = s.sql(
+      s"CALL graft.system.create_branch(table => 'marts.daily_wap_$n', branch => 'staging')")
+      .collect()(0)
+    Snapshots.appendToBranch(s, path, "staging", s.sql(
+      s"""SELECT /*+ COALESCE(1) */ * FROM $v
+         WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'""")) // v2, branch
+    val mainStaged =
+      s.sql(s"SELECT count(*) AS c FROM $t").collect()(0).getLong(0)
+    val audit = Snapshots.readBranch(s, path, "staging")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("c"),
+        org.apache.spark.sql.functions.sum("total_events").as("se")).collect()(0)
+    val ff = s.sql(
+      s"CALL graft.system.fast_forward(table => 'marts.daily_wap_$n', branch => 'staging')")
+      .collect()(0)
+    val publishOwnFiles = Snapshots.expandParquet(s"$path/v=${ff.getLong(1)}").size.toLong
+    val publishCarried = Snapshots.carriedOf(path, ff.getLong(1)).size.toLong
+    val cur = s.sql(s"SELECT count(*) AS c, sum(total_events) AS se FROM $t").collect()(0)
+    val pinned = s.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 1").collect()(0)
+    import s.implicits._
+    Seq(
+      "audit_rows" -> audit.getLong(0),
+      "audit_sum_events" -> audit.getLong(1),
+      "base_version" -> cb.getLong(1),
+      "main_rows_while_staged" -> mainStaged,
+      "pinned_rows" -> pinned.getLong(0),
+      "publish_carried_files" -> publishCarried,
+      "publish_own_files" -> publishOwnFiles,
+      "publish_version" -> ff.getLong(1),
+      "published_rows" -> cur.getLong(0),
+      "published_sum_events" -> cur.getLong(1))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[branchWapOver]]: the staged/audit/published
+    * states replay from silver; fork/publish version numbers and the
+    * zero-copy publish file counts are structural constants. */
+  val branchWapSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, band AS (SELECT * FROM daily
+    |   WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18')
+    |SELECT * FROM (
+    |  SELECT 'audit_rows' AS metric,
+    |    (SELECT count(*) FROM daily) + (SELECT count(*) FROM band) AS value
+    |  UNION ALL SELECT 'audit_sum_events',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |      + (SELECT CAST(sum(total_events) AS BIGINT) FROM band)
+    |  UNION ALL SELECT 'base_version', 1
+    |  UNION ALL SELECT 'main_rows_while_staged', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'pinned_rows', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'publish_carried_files', 2
+    |  UNION ALL SELECT 'publish_own_files', 0
+    |  UNION ALL SELECT 'publish_version', 3
+    |  UNION ALL SELECT 'published_rows',
+    |    (SELECT count(*) FROM daily) + (SELECT count(*) FROM band)
+    |  UNION ALL SELECT 'published_sum_events',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |      + (SELECT CAST(sum(total_events) AS BIGINT) FROM band)
+    |)
+    |ORDER BY metric""".stripMargin
+
   /** DuckDB oracle for [[mergePruneOver]]. */
   val mergePruneSql: String = graft.marts.SilverEvents.oracleCte + """
     |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
@@ -2413,7 +2499,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         (translated.isEmpty || FileStats.mayMatch(st, eraExprs(p))) => f(p, st)
     }
     val rewrite = statlessFiles ++ straddled((p, _) => p)
-    val v = vs.last + 1
+    val v = Snapshots.nextVersion(tablePath)
     // merge-on-read sidecars are era-unaware by design (the positional
     // merge scan reads ONE unified schema) — under live rename eras
     // the delete runs copy-on-write, whose rewrite is era-aware
@@ -2594,7 +2680,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
   private[sources] def replaceDataWrite(
       info: LogicalWriteInfo, operation: String,
       state: Option[GraftCowState]): Write = {
-    val v = Snapshots.versions(tablePath).lastOption.getOrElse(0L) + 1
+    val v = Snapshots.nextVersion(tablePath)
     val dir = s"$tablePath/v=$v"
     val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
       Seq(dir), "parquet", supportsDataType, info)

@@ -77,9 +77,14 @@ private[sources] object GraftMetadataTables {
       vs.map(v => new GenericInternalRow(
         Array[Any](v, times(v), v == vs.last)): InternalRow).toArray
     case "refs" =>
-      Snapshots.tagsOf(table).toSeq.sortBy(_._1).map { case (n, v) =>
+      (Snapshots.tagsOf(table).toSeq.sortBy(_._1).map { case (n, v) =>
         new GenericInternalRow(Array[Any](utf8(n), utf8("tag"), v)): InternalRow
-      }.toArray
+      } ++
+        // a branch ref's version is its FORK BASE (the main version its
+        // reads anchor on); its own chain lists via branchVersions
+        Snapshots.branchesOf(table).toSeq.sortBy(_._1).map { case (n, b) =>
+          new GenericInternalRow(Array[Any](utf8(n), utf8("branch"), b)): InternalRow
+        }).toArray
     case "files" =>
       val vs = Snapshots.versions(table)
       if (vs.isEmpty) Array.empty

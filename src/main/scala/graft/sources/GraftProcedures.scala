@@ -151,6 +151,36 @@ private[sources] object GraftProcedures {
         val was = Snapshots.tagsOf(table).getOrElse(name, -1L)
         Snapshots.dropTag(table, name)
         Array(new GenericInternalRow(Array[Any](utf8(name), was)))
+      }),
+    Spec("create_branch",
+      "fork a staging branch at the current version (write-audit-publish)",
+      Seq(p("table", StringType), p("branch", StringType)),
+      out("branch" -> StringType, "base" -> LongType),
+      (cat, s, in) => {
+        val name = in.getUTF8String(1).toString
+        val base = Snapshots.createBranch(
+          cat.resolveTablePath(in.getUTF8String(0).toString), name)
+        Array(new GenericInternalRow(Array[Any](utf8(name), base)))
+      }),
+    Spec("fast_forward",
+      "publish the branch state to main as one zero-copy metadata commit",
+      Seq(p("table", StringType), p("branch", StringType)),
+      out("branch" -> StringType, "version" -> LongType),
+      (cat, s, in) => {
+        val name = in.getUTF8String(1).toString
+        val v = Snapshots.fastForward(s,
+          cat.resolveTablePath(in.getUTF8String(0).toString), name)
+        Array(new GenericInternalRow(Array[Any](utf8(name), v)))
+      }),
+    Spec("drop_branch",
+      "drop a branch; its unreferenced version directories are deleted",
+      Seq(p("table", StringType), p("branch", StringType)),
+      out("branch" -> StringType, "status" -> StringType),
+      (cat, s, in) => {
+        val name = in.getUTF8String(1).toString
+        Snapshots.dropBranch(s,
+          cat.resolveTablePath(in.getUTF8String(0).toString), name)
+        Array(new GenericInternalRow(Array[Any](utf8(name), utf8("dropped"))))
       }))
 
   private val byName: Map[String, Spec] = specs.map(s => s.name -> s).toMap

@@ -158,7 +158,7 @@ private[sources] class GraftDeltaWrite(
 
   private val spark: SparkSession = SparkSession.active
   private val tablePath = table.tableRoot
-  private val v = Snapshots.versions(tablePath).lastOption.getOrElse(0L) + 1
+  private val v = Snapshots.nextVersion(tablePath)
   private val dataDir = s"$tablePath/v=$v"
   private val sidecarDir = s"v=$v/_deletes"
 

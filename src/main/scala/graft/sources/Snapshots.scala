@@ -76,7 +76,9 @@ object Snapshots {
                     commitTsMs: Option[Long] = None,
                     streamTag: Option[(String, Long)] = None,
                     partitionColumns: Seq[String] = Nil): Long = {
-    val v = versions(table).lastOption.getOrElse(0L) + 1
+    // shared sequence across main AND branch chains — version data
+    // directories are unique table-wide
+    val v = nextVersion(table)
     // Iceberg-parity timestamp encoding (its spec mandates micros, not
     // INT96): INT96 carries no usable parquet statistics, so writing it
     // would silently exclude timestamp columns from file skipping
@@ -355,7 +357,7 @@ object Snapshots {
     require(renameInfoOf(table).isEmpty ||
       !erasActive(table, vs.last, renameInfoOf(table), Long.MaxValue),
       s"upsert into $table: rename eras are live — run Snapshots.compact() first")
-    val v = vs.last + 1
+    val v = nextVersion(table)
     val sidecarDir = s"v=$v/_eqdeletes"
     // NULL-bearing key tuples retract nothing (SQL equality) — drop
     // them from the sidecar so readers never carry dead weight. The
@@ -536,7 +538,7 @@ object Snapshots {
     require(shape(expect) == shape(df.schema),
       s"append schema mismatch: expected ${shape(expect).map { case (n, t) => s"$n:$t" }.mkString(",")} " +
         s"vs ${shape(df.schema).map { case (n, t) => s"$n:$t" }.mkString(",")}")
-    val v = vs.last + 1
+    val v = nextVersion(table)
     df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val writer = df.write.mode("errorifexists").option("compression", "snappy")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
@@ -1046,26 +1048,40 @@ object Snapshots {
     * and honored by [[expireSnapshots]] — a tagged version (plus
     * everything its state still reads) survives retention until the
     * tag is dropped. Stored in `_refs.json` at the table root. */
-  def tagsOf(table: String): Map[String, Long] = {
+  /** The refs document: (tags name→version, branches name→fork base). */
+  private def refsDoc(table: String): (Map[String, Long], Map[String, Long]) = {
     val p = Paths.get(table, "_refs.json")
-    if (!Files.isRegularFile(p)) Map.empty
+    if (!Files.isRegularFile(p)) (Map.empty, Map.empty)
     else {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      Option(node.get("tags")).fold(Map.empty[String, Long]) { tags =>
-        tags.fieldNames().asScala.map(k => k -> tags.get(k).asLong()).toMap
-      }
+      def section(name: String): Map[String, Long] =
+        Option(node.get(name)).fold(Map.empty[String, Long]) { s =>
+          s.fieldNames().asScala.map(k => k -> s.get(k).asLong()).toMap
+        }
+      (section("tags"), section("branches"))
     }
   }
 
-  private def writeTags(table: String, tags: Map[String, Long]): Unit = {
+  def tagsOf(table: String): Map[String, Long] = refsDoc(table)._1
+
+  /** The table's branches: name → fork-base main version. */
+  def branchesOf(table: String): Map[String, Long] = refsDoc(table)._2
+
+  private def writeRefs(table: String, tags: Map[String, Long],
+                        branches: Map[String, Long]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     val t = root.putObject("tags")
     tags.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
+    val b = root.putObject("branches")
+    branches.toSeq.sortBy(_._1).foreach { case (k, v) => b.put(k, v) }
     Files.write(Paths.get(table, "_refs.json"),
       mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
   }
+
+  private def writeTags(table: String, tags: Map[String, Long]): Unit =
+    writeRefs(table, tags, branchesOf(table))
 
   /** Create (or with `replace` move) tag `name` → version `v`.
     * Digit-only names are refused — `VERSION AS OF '7'` must stay an
@@ -1089,6 +1105,205 @@ object Snapshots {
     writeTags(table, tags - name)
   }
 
+  // ---- branches (the write-audit-publish staging shape) --------------
+
+  /** Branch manifests live OUTSIDE the main chain's `_meta` listing —
+    * under `_meta/branches/<name>/<v>.json` — so every main-path
+    * reader ([[versions]] and everything built on it) is branch-blind
+    * by construction. Version NUMBERS come from one shared sequence
+    * ([[nextVersion]]), so `v=K` data directories never collide
+    * across refs. */
+  private def branchMetaDir(table: String, name: String) =
+    metaDir(table).resolve("branches").resolve(name)
+
+  /** Versions committed to branch `name`, ascending (empty for a
+    * fresh branch). */
+  def branchVersions(table: String, name: String): Seq[Long] = {
+    val dir = branchMetaDir(table, name)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else scala.util.Using.resource(Files.list(dir)) { ls =>
+      ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.endsWith(".json") => s.stripSuffix(".json").toLong }
+        .toSeq.sorted
+    }
+  }
+
+  private def allBranchVersions(table: String): Seq[Long] =
+    branchesOf(table).keys.toSeq.flatMap(branchVersions(table, _))
+
+  /** Next version number of `table` — one sequence across the main
+    * chain AND every branch, so version data directories are unique
+    * table-wide. */
+  private[sources] def nextVersion(table: String): Long =
+    (versions(table) ++ allBranchVersions(table)).maxOption.getOrElse(0L) + 1
+
+  private def branchManifestText(table: String, name: String, v: Long): String =
+    new String(Files.readAllBytes(branchMetaDir(table, name).resolve(s"$v.json")),
+      StandardCharsets.UTF_8)
+
+  /** Create branch `name` forked at the CURRENT main version — the
+    * Iceberg write-audit-publish staging shape: writes land on the
+    * branch ([[appendToBranch]]), audits read it ([[readBranch]]),
+    * and a clean audit publishes the whole branch state to main in
+    * one zero-copy metadata commit ([[fastForward]]). Refuses while
+    * positional sidecars, equality-delete entries or rename eras are
+    * live on the base state (the branch read composes base + appended
+    * deltas; `compact()` clears any of them first) — the same
+    * composition doctrine every flavor pair follows. Returns the fork
+    * base version. */
+  def createBranch(table: String, name: String): Long = {
+    require(name.matches("[A-Za-z0-9_.-]+") && !name.matches("\\d+"),
+      s"branch name must match [A-Za-z0-9_.-]+ and not be all digits: '$name'")
+    val vs = versions(table)
+    require(vs.nonEmpty, s"cannot branch $table: no current snapshot")
+    val base = vs.last
+    require(liveDeletes(table, base).isEmpty,
+      s"cannot branch $table: positional delete sidecars are live — run " +
+        "Snapshots.compact() first")
+    require(liveEqDeletes(table, base).isEmpty,
+      s"cannot branch $table: equality-delete entries are live — run " +
+        "Snapshots.compact() first")
+    require(renameInfoOf(table).isEmpty ||
+      !erasActive(table, base, renameInfoOf(table), Long.MaxValue),
+      s"cannot branch $table: rename eras are live — run Snapshots.compact() first")
+    val (tags, branches) = refsDoc(table)
+    require(!branches.contains(name),
+      s"branch $name already exists (base v${branches(name)})")
+    writeRefs(table, tags, branches + (name -> base))
+    base
+  }
+
+  /** Fast-append `df` onto branch `name` — O(delta), same commit
+    * shape as [[appendSnapshot]] but with the manifest filed under
+    * the branch (invisible to every main read). Branches are
+    * append-only by design (the staging shape needs nothing else);
+    * schema must match the branch head's. */
+  def appendToBranch(spark: SparkSession, table: String, name: String,
+                     df: DataFrame, commitTsMs: Option[Long] = None): Long = {
+    val branches = branchesOf(table)
+    require(branches.contains(name), s"no branch $name of $table (branches: ${
+      branches.keys.toSeq.sorted.mkString(",")})")
+    val expect = readBranch(spark, table, name).schema
+    def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      s.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq
+    require(shape(expect) == shape(df.schema),
+      s"branch append schema mismatch: expected ${shape(expect).mkString(",")} " +
+        s"vs ${shape(df.schema).mkString(",")}")
+    val v = nextVersion(table)
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    df.write.mode("errorifexists").option("compression", "snappy")
+      .parquet(s"$table/v=$v")
+    val stats = FileStats.collectFor(spark, Paths.get(s"$table/v=$v"))
+    val delta = stats.map(_.map(_.rows).sum).getOrElse(
+      spark.read.parquet(s"$table/v=$v").count())
+    val prior = branchVersions(table, name).lastOption
+      .map(b => "\"row_count\":(\\d+)".r.findFirstMatchIn(
+        branchManifestText(table, name, b)).map(_.group(1).toLong).getOrElse(0L))
+      .getOrElse(rowCountOf(table, branches(name)))
+    val cols = df.schema.fieldNames.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    val ts = commitTsMs.getOrElse(System.currentTimeMillis())
+    val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
+    val manifest =
+      s"""{"version":$v,"operation":"append","committed_at_ms":$ts,"row_count":${prior + delta},"added_rows":$delta,"columns":$cols$filesFrag$uuidFrag}"""
+    Files.createDirectories(branchMetaDir(table, name))
+    Files.write(branchMetaDir(table, name).resolve(s"$v.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  /** The branch's current state: the fork-base main state plus every
+    * branch append — the frame audits run against before a publish. */
+  def readBranch(spark: SparkSession, table: String, name: String): DataFrame = {
+    val branches = branchesOf(table)
+    require(branches.contains(name), s"no branch $name of $table (branches: ${
+      branches.keys.toSeq.sorted.mkString(",")})")
+    val dirs = readSet(table, branches(name)) ++
+      branchVersions(table, name).map(v => s"$table/v=$v")
+    val paths =
+      if (!everLaidOut(table)) dirs
+      else dirs.flatMap(p => if (p.endsWith(".parquet")) Seq(p) else expandParquet(p))
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+  }
+
+  /** PUBLISH the branch to main — Iceberg `fast_forward`: one
+    * metadata-only main commit (operation `publish`) carrying the
+    * ENTIRE branch state by reference (the same carried-refs shape
+    * pruned copy-on-write commits use) — zero data files read,
+    * copied or rewritten; retention pins the referenced directories
+    * exactly like any carried ref. Refuses if main advanced past the
+    * fork base (divergence — Iceberg's fast-forward makes the same
+    * ancestor demand); the branch is consumed (dropped) on success.
+    * Falls back to a materializing full-state write if any component
+    * of the branch state predates per-file stats (carried refs need
+    * row counts for manifest arithmetic). Returns the new main
+    * version. */
+  def fastForward(spark: SparkSession, table: String, name: String): Long = {
+    val branches = branchesOf(table)
+    require(branches.contains(name), s"no branch $name of $table (branches: ${
+      branches.keys.toSeq.sorted.mkString(",")})")
+    val base = branches(name)
+    val vs = versions(table)
+    require(vs.last == base,
+      s"cannot fast-forward $name: main advanced past its fork base " +
+        s"(base v$base, main v${vs.last}) — read the branch, reconcile, recreate")
+    val bvs = branchVersions(table, name)
+    val baseCarried: Option[Seq[FileStats.FileStat]] = {
+      val comps = stateComponents(table, base)
+      if (comps.exists(_.isLeft)) None
+      else Some(comps.collect { case Right((p, st)) =>
+        st.copy(name = rootRel(table, p))
+      })
+    }
+    val branchCarried: Option[Seq[FileStats.FileStat]] = {
+      val per = bvs.map(v => FileStats.fromManifest(branchManifestText(table, name, v))
+        .map(_.map(f => f.copy(name = s"v=$v/${f.name}"))))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.flatten)
+    }
+    val v = nextVersion(table)
+    (baseCarried, branchCarried) match {
+      case (Some(bc), Some(brc)) =>
+        commitCow(spark, table, v, operation = "publish", carried = bc ++ brc)
+      case _ =>
+        // statless component somewhere: materialize (correct, not
+        // zero-copy; only pre-stats-era tables hit this)
+        writeSnapshot(readBranch(spark, table, name), table, operation = "publish")
+    }
+    val (tags, bs) = refsDoc(table)
+    writeRefs(table, tags, bs - name)
+    v
+  }
+
+  /** Drop branch `name`: remove its ref and manifests, and delete its
+    * version directories UNLESS some main state still references them
+    * (a published branch's directories are carried refs — deleting
+    * them would corrupt main; they fall to [[expireSnapshots]] once
+    * unreferenced). */
+  def dropBranch(spark: SparkSession, table: String, name: String): Unit = {
+    val (tags, branches) = refsDoc(table)
+    require(branches.contains(name), s"no branch $name of $table (branches: ${
+      branches.keys.toSeq.sorted.mkString(",")})")
+    val verSeg = "(?:^|/)v=(\\d+)(?:/|$)".r
+    val pinned = versions(table)
+      .flatMap(v => readSet(table, v))
+      .flatMap(p => verSeg.findAllMatchIn(p).map(_.group(1).toLong)).toSet
+    branchVersions(table, name).filterNot(pinned).foreach { v =>
+      val dir = Paths.get(table, s"v=$v")
+      if (Files.isDirectory(dir))
+        scala.util.Using.resource(Files.walk(dir)) { w =>
+          w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+    }
+    val bdir = branchMetaDir(table, name)
+    if (Files.isDirectory(bdir))
+      scala.util.Using.resource(Files.walk(bdir)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    writeRefs(table, tags, branches - name)
+  }
+
   /** Orphan-file cleanup (Iceberg `remove_orphan_files`): delete
     * debris under the table root that NO manifest references — a
     * failed/killed write's version directory that never committed its
@@ -1103,7 +1318,9 @@ object Snapshots {
     * listing — metadata-scale, no data read. */
   def removeOrphanFiles(s: SparkSession, table: String,
                         olderThanMs: Long = 24L * 3600 * 1000): DataFrame = {
-    val live = versions(table).toSet
+    // branch version directories have manifests too (filed under
+    // _meta/branches/) — they are committed state, not debris
+    val live = (versions(table) ++ allBranchVersions(table)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val verSeg = "^v=(\\d+)$".r
     def newestMtime(p: java.nio.file.Path): Long =
@@ -1182,9 +1399,13 @@ object Snapshots {
     // merge-on-read delete sidecars (a later CoW commit can carry a
     // sidecar entry long after its own version fell out of the window
     // — expiring that version would silently resurrect deleted rows)
-    val pinnedDirs = retained
+    val pinnedDirs = (retained
       .flatMap(v => readSet(table, v) ++
-        liveDeletes(table, v).map(_.dir))
+        liveDeletes(table, v).map(_.dir)) ++
+      // branches are refs too: a live branch still READS its fork-base
+      // state — expiring those directories would corrupt every branch
+      // read and the eventual fast-forward publish
+      branchesOf(table).values.toSeq.flatMap(b => readSet(table, b)))
       .flatMap(p => verSeg.findAllMatchIn(p).map(_.group(1).toLong)).toSet
     val expired = before.take(math.max(cut, 0)).map(_._1).toSet -- pinnedDirs
     expired.foreach { v =>

@@ -75,10 +75,12 @@ class ArchitectureSpec extends AnyFunSuite {
     //   (current SQL + library, AS OF v2, post-compact), and
     //   (j) tagsOver four: two expire reports (one row per snapshot
     //   version) and three 1-row count/sum aggregates routed through
-    //   two call sites (tagRead ×2, current), and (k) proceduresOver
+    //   two call sites (tagRead ×2, current), (k) proceduresOver
     //   six: five CALL report relations (1 row each, |versions| for
-    //   expire) plus two 1-row count/sum aggregates — all
-    //   metadata-plane by design
+    //   expire) plus two 1-row count/sum aggregates, and
+    //   (l) branchWapOver six: two CALL reports and four 1-row
+    //   count/sum aggregates (staged main, audit frame, published,
+    //   pinned) — all metadata-plane by design
     // EqDeletes: the equality-delete KEY SET rides into scan planning
     //   driver-side (small by the upsert policy — the retraction keys
     //   of recent deliveries; compaction clears them), cached per
@@ -91,7 +93,7 @@ class ArchitectureSpec extends AnyFunSuite {
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 2,
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 28,
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 34,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,
       "EqDeletes.scala" -> 1, "GraftProcedures.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,

@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GraftCatalog, Snapshots}
+
+/** Branch refs — the Iceberg write-audit-publish staging shape:
+  * `createBranch` forks at the current version, `appendToBranch`
+  * fast-appends deltas INVISIBLE to every main read, `readBranch`
+  * serves the audit frame, and `fastForward` publishes the whole
+  * branch state to main as ONE zero-copy metadata commit (the
+  * carried-refs shape pruned CoW commits use). Version numbers come
+  * from one shared sequence so data directories never collide. */
+class BranchesSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private lazy val wh = Files.createTempDirectory("graft_branch_spec_").toString
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.gbr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbr.m")
+    "gbr"
+  }
+
+  test("write-audit-publish: branch writes invisible to main, fast-forward is zero-copy, shared version sequence") {
+    val t = s"$cat.m.wap"
+    val path = s"$wh/m/wap"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k FROM range(0, 10)") // v1
+    val base = Snapshots.createBranch(path, "staging")
+    assert(base == 1L)
+
+    import spark.implicits._
+    val b2 = Snapshots.appendToBranch(spark, path, "staging",
+      (10L until 20L).toDF("k").coalesce(1)) // v2 on the branch
+    val b3 = Snapshots.appendToBranch(spark, path, "staging",
+      (20L until 25L).toDF("k").coalesce(1)) // v3 on the branch
+    assert((b2, b3) == ((2L, 3L)))
+
+    // main is branch-blind: versions, reads, metadata tables
+    assert(Snapshots.versions(path) == Seq(1L))
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $t.snapshots").collect()(0).getLong(0) == 1L)
+    // the branch rides t.refs with its fork base
+    assert(spark.sql(s"SELECT type, version FROM $t.refs WHERE name = 'staging'")
+      .collect()(0).toSeq == Seq("branch", 1L))
+
+    // the audit frame sees base + both deltas
+    val audit = Snapshots.readBranch(spark, path, "staging")
+    assert(audit.count() == 25L)
+    assert(audit.agg(org.apache.spark.sql.functions.sum("k")).collect()(0).getLong(0)
+      == (0L until 25L).sum)
+
+    // a MAIN write while the branch exists takes the NEXT shared
+    // version (no directory collision) — and makes the branch
+    // unpublishable (divergence)
+    // ... but first: publish cleanly.
+    val mainV = Snapshots.fastForward(spark, path, "staging")
+    assert(mainV == 4L)
+    // zero-copy: v=4 holds no data files, the manifest carries refs
+    assert(scala.util.Using.resource(Files.walk(Paths.get(path, "v=4"))) { w =>
+      import scala.jdk.CollectionConverters._
+      !w.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    })
+    val manifest = new String(Files.readAllBytes(
+      Paths.get(path, "_meta", "4.json")))
+    assert(manifest.contains("\"operation\":\"publish\"") && manifest.contains("\"carried\""))
+    // main now reads the full published state, exactly
+    val r = spark.sql(s"SELECT count(*) AS c, sum(k) AS s FROM $t").collect()(0)
+    assert(r.getLong(0) == 25L && r.getLong(1) == (0L until 25L).sum)
+    // the branch is consumed; time travel to the pre-publish main works
+    assert(Snapshots.branchesOf(path).isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").collect()(0).getLong(0) == 10L)
+    // count(*) above proves rows; also pin manifest arithmetic:
+    // row_count in the publish manifest equals the physical total
+    assert("\"row_count\":(\\d+)".r.findFirstMatchIn(manifest).get.group(1).toLong == 25L)
+  }
+
+  test("divergence: a main commit after the fork refuses fast-forward; branch stays readable; drop reclaims") {
+    val t = s"$cat.m.div"
+    val path = s"$wh/m/div"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 5)") // v1
+    Snapshots.createBranch(path, "exp")
+    import spark.implicits._
+    Snapshots.appendToBranch(spark, path, "exp", (5L until 8L).toDF("k")) // v2 (branch)
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(100, 102)")           // v3 (main!)
+    assert(Snapshots.versions(path) == Seq(1L, 3L))
+    assert(intercept[Exception](Snapshots.fastForward(spark, path, "exp"))
+      .getMessage.contains("advanced past its fork base"))
+    // the branch audit frame still reads (fork-base state + delta)
+    assert(Snapshots.readBranch(spark, path, "exp").count() == 8L)
+    // dropping deletes the unreferenced branch directory
+    Snapshots.dropBranch(spark, path, "exp")
+    assert(!Files.exists(Paths.get(path, "v=2")))
+    assert(Snapshots.branchesOf(path).isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 7L)
+  }
+
+  test("retention pins a live branch's fork-base chain; publish survives expiry; dropped-after-publish dirs stay") {
+    val t = s"$cat.m.ret"
+    val path = s"$wh/m/ret"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 6)")  // v1
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(6, 12)")          // v2 (append)
+    Snapshots.createBranch(path, "hold")
+    import spark.implicits._
+    Snapshots.appendToBranch(spark, path, "hold", (12L until 15L).toDF("k")) // v3 (branch)
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(100, 103)")       // v4 main — diverges
+    Snapshots.compact(spark, path)                                    // v5 seals main
+    // keepLast=1 would reap v1..v4, but the branch still reads v1+v2
+    Snapshots.expireSnapshots(spark, path, keepLast = 1).collect()
+    assert(Snapshots.versions(path).contains(1L) && Snapshots.versions(path).contains(2L))
+    assert(Snapshots.readBranch(spark, path, "hold").count() == 15L)
+    Snapshots.dropBranch(spark, path, "hold")
+    // with the branch gone the chain is ordinary again
+    Snapshots.expireSnapshots(spark, path, keepLast = 1).collect()
+    assert(Snapshots.versions(path) == Seq(5L))
+
+    // publish-then-expire: carried branch dirs are pinned like any ref
+    Snapshots.createBranch(path, "pub")
+    Snapshots.appendToBranch(spark, path, "pub", (200L until 203L).toDF("k"))
+    val pubV = Snapshots.fastForward(spark, path, "pub")
+    Snapshots.expireSnapshots(spark, path, keepLast = 1).collect()
+    val r = spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0)
+    assert(r == 15L + 3L) // 12 original + 3 main append = 15 post-compact, + 3 published
+    assert(Snapshots.versions(path).last == pubV)
+  }
+
+  test("guards: duplicate/bad names, live sidecars refuse branching, rename refuses while branches live") {
+    val t = s"$cat.m.g"
+    val path = s"$wh/m/g"
+    // ONE file holding several rows, so the MoR delete below is a
+    // partial-file retraction (a fully-dead file would drop
+    // metadata-only and leave no sidecar to refuse on)
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k FROM range(1, 5)")
+    assert(intercept[Exception](Snapshots.createBranch(path, "7"))
+      .getMessage.contains("not be all digits"))
+    Snapshots.createBranch(path, "b1")
+    assert(intercept[Exception](Snapshots.createBranch(path, "b1"))
+      .getMessage.contains("already exists"))
+    assert(intercept[Exception](
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk"))
+      .getMessage.contains("while branches exist"))
+    Snapshots.dropBranch(spark, path, "b1")
+    // live positional sidecars refuse branching
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE k = 1")
+    finally spark.conf.set("spark.graft.delete.mode", "copy-on-write")
+    assert(intercept[Exception](Snapshots.createBranch(path, "b2"))
+      .getMessage.contains("sidecars are live"))
+  }
+
+  test("CALL surface: create_branch, fast_forward, drop_branch") {
+    val t = s"$cat.m.c"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 4)")
+    val cb = spark.sql(s"CALL $cat.system.create_branch(table => 'm.c', branch => 'st')")
+      .collect()(0)
+    assert(cb.getString(0) == "st" && cb.getLong(1) == 1L)
+    import spark.implicits._
+    Snapshots.appendToBranch(spark, s"$wh/m/c", "st", (4L until 6L).toDF("k"))
+    val ff = spark.sql(s"CALL $cat.system.fast_forward(table => 'm.c', branch => 'st')")
+      .collect()(0)
+    assert(ff.getLong(1) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 6L)
+    spark.sql(s"CALL $cat.system.create_branch(table => 'm.c', branch => 'tmp')")
+    val db = spark.sql(s"CALL $cat.system.drop_branch(table => 'm.c', branch => 'tmp')")
+      .collect()(0)
+    assert(db.getString(1) == "dropped")
+  }
+}
