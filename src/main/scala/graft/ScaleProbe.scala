@@ -80,7 +80,11 @@ object ScaleProbe {
     // and the ref-aware retention lifecycle through the SQL CALL
     // surface (tag + compact + rollback + expiry walks are
     // manifest-plane; only the compaction moves data)
-    "meta_catalog_layout_evolution", "meta_catalog_procedures")
+    "meta_catalog_layout_evolution", "meta_catalog_procedures",
+    // r15: the write-audit-publish branch lifecycle — branch appends
+    // are O(delta), the publish is O(manifest); only the audit read
+    // scales with the corpus
+    "meta_catalog_branch_wap")
 
   /** Per-query (warm seconds, staging seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its

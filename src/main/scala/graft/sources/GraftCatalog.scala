@@ -213,11 +213,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _: NumberFormatException =>
         val dir = tableDir(ident)
         if (!isTable(dir)) throw new NoSuchTableException(ident)
-        Snapshots.tagsOf(dir.toString).getOrElse(version,
-          throw new IllegalArgumentException(
-            s"${ident.name()} VERSION AS OF $version: not a snapshot number and no " +
-              s"such tag (tags: ${Snapshots.tagsOf(dir.toString).keys.toSeq.sorted
-                .mkString(",")})"))
+        val table = dir.toString
+        Snapshots.tagsOf(table).get(version) match {
+          case Some(tagged) => tagged
+          case None if Snapshots.branchesOf(table).contains(version) =>
+            // BRANCH read (Iceberg's `VERSION AS OF '<branch>'`): the
+            // fork-base state plus the branch's appends, served by the
+            // stock parquet table over the explicit path set — full
+            // pushdown/vectorization, read-only by surface (AS OF
+            // contexts take no writes)
+            return ParquetTable(
+              s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}@$version",
+              SparkSession.active,
+              new CaseInsensitiveStringMap(
+                java.util.Collections.singletonMap("mergeSchema", "true")),
+              Snapshots.branchReadSet(table, version),
+              userSpecifiedSchema = None,
+              fallbackFileFormat = classOf[ParquetFileFormat])
+          case None => throw new IllegalArgumentException(
+            s"${ident.name()} VERSION AS OF $version: not a snapshot number, tag or " +
+              s"branch (tags: ${Snapshots.tagsOf(table).keys.toSeq.sorted.mkString(",")}; " +
+              s"branches: ${Snapshots.branchesOf(table).keys.toSeq.sorted.mkString(",")})")
+        }
     }
     loadPinned(ident, pinned = Some(v))
   }

@@ -1212,19 +1212,23 @@ object Snapshots {
     v
   }
 
-  /** The branch's current state: the fork-base main state plus every
-    * branch append — the frame audits run against before a publish. */
-  def readBranch(spark: SparkSession, table: String, name: String): DataFrame = {
+  /** Data paths of branch `name`'s state: the fork-base main read set
+    * plus every branch append directory. */
+  private[sources] def branchReadSet(table: String, name: String): Seq[String] = {
     val branches = branchesOf(table)
     require(branches.contains(name), s"no branch $name of $table (branches: ${
       branches.keys.toSeq.sorted.mkString(",")})")
     val dirs = readSet(table, branches(name)) ++
       branchVersions(table, name).map(v => s"$table/v=$v")
-    val paths =
-      if (!everLaidOut(table)) dirs
-      else dirs.flatMap(p => if (p.endsWith(".parquet")) Seq(p) else expandParquet(p))
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    if (!everLaidOut(table)) dirs
+    else dirs.flatMap(p => if (p.endsWith(".parquet")) Seq(p) else expandParquet(p))
   }
+
+  /** The branch's current state: the fork-base main state plus every
+    * branch append — the frame audits run against before a publish. */
+  def readBranch(spark: SparkSession, table: String, name: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(branchReadSet(table, name): _*)
 
   /** PUBLISH the branch to main — Iceberg `fast_forward`: one
     * metadata-only main commit (operation `publish`) carrying the

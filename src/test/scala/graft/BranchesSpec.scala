@@ -49,6 +49,12 @@ class BranchesSpec extends AnyFunSuite {
     assert(audit.count() == 25L)
     assert(audit.agg(org.apache.spark.sql.functions.sum("k")).collect()(0).getLong(0)
       == (0L until 25L).sum)
+    // SQL branch read (Iceberg's VERSION AS OF '<branch>') agrees,
+    // with pushdown intact (filtered count through the stock scan)
+    val sqlBranch = spark.sql(
+      s"SELECT count(*) AS c, sum(k) AS s FROM $t VERSION AS OF 'staging' WHERE k >= 10")
+      .collect()(0)
+    assert(sqlBranch.getLong(0) == 15L && sqlBranch.getLong(1) == (10L until 25L).sum)
 
     // a MAIN write while the branch exists takes the NEXT shared
     // version (no directory collision) — and makes the branch

@@ -53,10 +53,10 @@ class SnapshotTagsSpec extends AnyFunSuite {
       .getMessage.contains("already exists"))
     spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES('graft.tag.audit')")
     assert(Snapshots.tagsOf(path).isEmpty)
-    // a dropped tag no longer resolves; the message names the live tags
+    // a dropped tag no longer resolves; the message names the live refs
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM $t VERSION AS OF 'audit'").collect())
-    assert(e.getMessage.contains("no such tag"), e.getMessage)
+    assert(e.getMessage.contains("not a snapshot number, tag or branch"), e.getMessage)
   }
 
   test("validation: digit-only names, unknown versions, dropping absent tags") {
