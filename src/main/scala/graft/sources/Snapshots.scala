@@ -1278,6 +1278,35 @@ object Snapshots {
     v
   }
 
+  /** The COMPLETE write-audit-publish loop in one call: run
+    * `checksFor` over the branch's staged state ([[readBranch]] — the
+    * exact frame a publish would expose) and publish via
+    * [[fastForward]] only if every check passes; a failing audit
+    * leaves main untouched and names the failing checks (the branch
+    * stays for inspection — fix or [[dropBranch]]). This is
+    * [[graft.quality.DataChecks.gatedWrite]]'s posture lifted onto
+    * refs: the staged artifact is DURABLE (a branch, not a persisted
+    * frame), so the audit and the publish see the same bytes by
+    * construction, across sessions and failures. Returns (new main
+    * version, audit report rows). */
+  def wapPublish(spark: SparkSession, table: String, name: String,
+                 checksFor: DataFrame => Seq[graft.quality.DataChecks.Check])
+      : (Long, DataFrame) = {
+    val staged = readBranch(spark, table, name)
+    val rep = graft.quality.DataChecks.report(checksFor(staged))
+    // one row per check — |checks|-bounded metadata
+    val repRows = rep.collect()
+    val failing = repRows.filter(!_.getBoolean(2))
+    if (failing.nonEmpty)
+      throw new IllegalStateException(
+        s"publish of branch $name aborted, checks failed: " + failing
+          .map(r => s"${r.getString(0)} (${r.getLong(1)} violations)")
+          .mkString(", "))
+    val v = fastForward(spark, table, name)
+    (v, spark.createDataFrame(
+      spark.sparkContext.parallelize(repRows.toIndexedSeq, 1), rep.schema))
+  }
+
   /** Drop branch `name`: remove its ref and manifests, and delete its
     * version directories UNLESS some main state still references them
     * (a published branch's directories are carried refs — deleting

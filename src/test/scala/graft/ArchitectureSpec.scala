@@ -91,7 +91,10 @@ class ArchitectureSpec extends AnyFunSuite {
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 2,
-      "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 1,
+      // Snapshots: (a) one |checks|-bounded audit-report read in
+      // wapPublish (same contract as DataChecks.gatedWrite), plus the
+      // pre-existing metadata-plane read
+      "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 2,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
       "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 34,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,

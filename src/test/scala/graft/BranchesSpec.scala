@@ -154,6 +154,65 @@ class BranchesSpec extends AnyFunSuite {
       .getMessage.contains("sidecars are live"))
   }
 
+  test("wapPublish: a failing audit leaves main untouched and the branch inspectable; a clean one publishes") {
+    import graft.quality.DataChecks
+    val t = s"$cat.m.wp"
+    val path = s"$wh/m/wp"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 6)")
+    Snapshots.createBranch(path, "staging")
+    import spark.implicits._
+    // stage a bad batch: duplicate keys
+    Snapshots.appendToBranch(spark, path, "staging", Seq(3L, 3L).toDF("k"))
+    val checks = (df: org.apache.spark.sql.DataFrame) =>
+      Seq(DataChecks.unique(df, Seq("k")))
+    val e = intercept[IllegalStateException](
+      Snapshots.wapPublish(spark, path, "staging", checks))
+    assert(e.getMessage.contains("checks failed"))
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 6L)
+    assert(Snapshots.branchesOf(path).contains("staging"))
+    // replace the staged state with a clean batch and publish
+    Snapshots.dropBranch(spark, path, "staging")
+    Snapshots.createBranch(path, "staging")
+    Snapshots.appendToBranch(spark, path, "staging", Seq(6L, 7L).toDF("k"))
+    val (v, rep) = Snapshots.wapPublish(spark, path, "staging", checks)
+    assert(rep.filter("passed = false").count() == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 8L)
+    assert(Snapshots.versions(path).last == v)
+  }
+
+  test("hardening: schema mismatch refuses, empty-branch publish works, laid-out tables round-trip") {
+    import spark.implicits._
+    val t = s"$cat.m.h"
+    val path = s"$wh/m/h"
+    spark.sql(s"CREATE TABLE $t (d DATE, k BIGINT) PARTITIONED BY (days(d))")
+    spark.sql(s"INSERT INTO $t SELECT DATE_ADD(DATE '2024-05-01', CAST(id % 2 AS INT)), id FROM range(0, 8)")
+    Snapshots.createBranch(path, "st")
+    // schema mismatch is loud
+    assert(intercept[Exception](
+      Snapshots.appendToBranch(spark, path, "st", Seq(1L).toDF("wrong")))
+      .getMessage.contains("schema mismatch"))
+    // branch appends on a laid-out table are plain files (staging is
+    // layout-free); reads stay exact, and the post-publish compaction
+    // restores the per-day layout
+    Snapshots.appendToBranch(spark, path, "st",
+      Seq((java.sql.Date.valueOf("2024-05-03"), 100L)).toDF("d", "k"))
+    assert(Snapshots.readBranch(spark, path, "st").count() == 9L)
+    val v = Snapshots.fastForward(spark, path, "st")
+    assert(spark.sql(s"SELECT sum(k) FROM $t").collect()(0).getLong(0)
+      == (0L until 8L).sum + 100L)
+    Snapshots.compact(spark, path)
+    val probe = spark.sql(s"SELECT count(*) AS c, sum(k) AS s FROM $t WHERE d = DATE '2024-05-03'")
+    assert(probe.collect()(0).getLong(0) == 1L)
+
+    // empty-branch publish: a fork with zero appends re-commits base
+    val t2 = s"$cat.m.h2"
+    val path2 = s"$wh/m/h2"
+    spark.sql(s"CREATE TABLE $t2 AS SELECT id AS k FROM range(0, 3)")
+    Snapshots.createBranch(path2, "noop")
+    val v2 = Snapshots.fastForward(spark, path2, "noop")
+    assert(spark.sql(s"SELECT count(*) FROM $t2 VERSION AS OF $v2").collect()(0).getLong(0) == 3L)
+  }
+
   test("CALL surface: create_branch, fast_forward, drop_branch") {
     val t = s"$cat.m.c"
     spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 4)")
