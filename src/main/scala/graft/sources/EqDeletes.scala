@@ -254,8 +254,6 @@ private[sources] class GraftEqScan(clean: Option[Scan], affectedScan: Option[Sca
     val ki = keyIdx
     val pi = projIdx
     val types = output.fields.map(_.dataType)
-    val keyTypes = ki // indices into unified schema; types resolved below
-    val _ = keyTypes
     new PartitionReaderFactory {
       override def supportColumnarReads(p: InputPartition): Boolean = false
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {

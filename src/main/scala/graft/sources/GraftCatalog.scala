@@ -412,6 +412,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Snapshots.layoutSpecOf(tablePath).foreach(spec =>
             require(spec.col != name,
               s"cannot drop $name: it drives the table's ${spec.partCol} layout"))
+          // a live equality-delete entry retracts BY this column —
+          // dropping it would leave the merge scan resolving a key
+          // index against a schema that no longer has it (unreadable
+          // until compaction)
+          Snapshots.versions(tablePath).lastOption.foreach(v =>
+            require(!Snapshots.liveEqDeletes(tablePath, v).exists(_.cols.contains(name)),
+              s"cannot drop $name: live equality-delete entries retract by it — " +
+                "run Snapshots.compact() first"))
           require(schema.fields.length > 1, s"cannot drop the only column $name")
           // a dropped RENAMED field retires its whole name lineage:
           // old files carry those physical columns forever, so a new
@@ -431,6 +439,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Snapshots.layoutSpecOf(tablePath).foreach(spec =>
           require(spec.col != name,
             s"cannot retype $name: it drives the table's ${spec.partCol} layout"))
+        // a live equality-delete entry's sidecar holds key values in
+        // the OLD type — widening the column would compare retraction
+        // keys across types
+        Snapshots.versions(tablePath).lastOption.foreach(v =>
+          require(!Snapshots.liveEqDeletes(tablePath, v).exists(_.cols.contains(name)),
+            s"cannot retype $name: live equality-delete entries retract by it — " +
+              "run Snapshots.compact() first"))
         val from = schema.fields(schema.fieldIndex(name)).dataType
         val to = upd.newDataType()
         require(widens(from, to),
@@ -2338,100 +2353,118 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     resolvedVersion match {
-      // live merge-on-read deletes (current OR time-travel view):
-      // route through the merge scan — clean files keep the stock
-      // pushdown path, affected files read whole with their recorded
-      // positions skipped. The manifest-answered planner surfaces
-      // (aggregates, limit planning, bucket grouping, exact stats) are
-      // deliberately absent until compaction materializes the deletes.
-      case Some(v) if Snapshots.liveDeletes(tablePath, v).nonEmpty =>
-        // invariant: rename refuses while sidecars live, MoR modes
-        // refuse while eras live — the merge scan never spans eras
-        require(eraGroups(v).isEmpty, s"$qualifiedName: live delete sidecars " +
-          "and live rename eras cannot coexist (corrupted metadata?)")
+      case Some(v) =>
+        // state guards computed ONCE per scan build: each walks the
+        // manifest chain, and eraGroups additionally lists + regroups
+        // the whole read set — evaluating them in match guards AND
+        // bodies doubled the planning-path metadata I/O
         val dels = Snapshots.liveDeletes(tablePath, v)
-        val skips = MorDeletes.positions(spark, tablePath, dels,
-          Snapshots.deleteStateKey(tablePath, v))
-        val files = Snapshots.readSet(tablePath, v).flatMap(p =>
-          if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
-        val (affected, clean) =
-          files.partition(f => skips.contains(GraftFileTag.ref(f)))
-        // ONE schema for BOTH halves: the clean and affected file sets
-        // can span a schema evolution (different physical widths), and
-        // the union of the two scans is positional — inferring each
-        // half separately would mis-join the rows. Current reads take
-        // the declared schema; pinned reads infer ONCE over the whole
-        // read set (the snapshot's own schema).
-        val unified = (if (pinned.isEmpty) declaredSchema else None)
-          .getOrElse(parquetTable(v, None).schema)
-        // per-file manifest stats (path-keyed): bounds keep PRUNING
-        // under live sidecars (over-approximations of the live rows)
-        // and live-row counts keep LIMIT planning — see the builder
-        val stats = Snapshots.stateComponents(tablePath, v)
-          .collect { case Right((p, st)) => p -> st }.toMap
-        new GraftMorScanBuilder(this, clean,
-          affected.map(f => (f, skips(GraftFileTag.ref(f)))), options,
-          liveRows = Snapshots.rowCountOf(tablePath, v),
-          unifiedSchema = unified, stats = stats)
-      // live EQUALITY deletes (the keyed-upsert retraction flavor):
-      // files under some entry's bound read whole with matching-key
-      // rows dropped; post-upsert appends keep the stock pushdown
-      // path. Exact-count/limit surfaces refuse (matches unknown
-      // without scanning); bounds file pruning stays live.
-      case Some(v) if Snapshots.liveEqDeletes(tablePath, v).nonEmpty =>
-        val entries = Snapshots.liveEqDeletes(tablePath, v)
-        val stateKey = Snapshots.deleteStateKey(tablePath, v)
-        val keySets = entries.map(e =>
-          EqDeletes.keySet(spark, tablePath, e, stateKey))
-        val suffixKeys = entries.indices.map(i =>
-          keySets.drop(i).reduceLeft(_ ++ _)).toArray
-        val files = Snapshots.readSet(tablePath, v).flatMap(p =>
-          if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
-        val unified = (if (pinned.isEmpty) declaredSchema else None)
-          .getOrElse(parquetTable(v, None).schema)
-        val stats = Snapshots.stateComponents(tablePath, v)
-          .collect { case Right((p, st)) => p -> st }.toMap
-        new GraftEqScanBuilder(this, files, entries, suffixKeys, options,
-          unified, stats, tablePath)
-      // live rename eras (current OR pinned view spanning a rename):
-      // the era-split union scan — per-era name mapping, translated
-      // pushdown/pruning; compaction deactivates the eras and every
-      // scan below returns. Pinned views show the snapshot's OWN
-      // names (declared fields renamed as of the pinned version).
-      case Some(v) if eraGroups(v).isDefined =>
-        val info = renameInfo
-        val base = declaredSchema.getOrElse(throw new IllegalStateException(
-          s"$qualifiedName has rename history but no schema marker"))
-        val output = pinned match {
-          case Some(p) => StructType(base.fields.map(f =>
-            f.copy(name = info.nameAsOf(f.name, p))))
-          case None => base
-        }
-        val stats = Snapshots.stateComponents(tablePath, v)
-          .collect { case Right((p, st)) => p -> st }.toMap
-        new GraftEraScanBuilder(this, eraGroups(v).get, output, stats, options)
-      // current-state reads are also streamable (readStream.table):
-      // the wrapper delegates every pushdown surface, so batch plans
-      // are unchanged; pinned (time-travel) reads stay raw
-      case Some(v) if pinned.isEmpty =>
-        val rs = readerSchema
-        new GraftStreamableScanBuilder(
-          parquetTable(v, rs).newScanBuilder(options), tablePath, schema(),
-          // manifest-stats file skipping: at build() time the pushed
-          // filters prune the read set to only files whose [min,max]
-          // may match, and the scan is rebuilt over that file list
-          pruneRebuild = Some(new GraftPruneRebuild {
-            override def prunedFiles(
-                filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
-              Snapshots.pruneReadSet(tablePath, v, filters)
-            override def builderOver(files: Seq[String]) =
-              parquetTableOver(files, rs).newScanBuilder(options)
-                .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
-          }),
-          layout = alignedLayoutSpec(v),
-          manifestAggVersion = Some(v))
-      case Some(v) => parquetTable(v, readerSchema).newScanBuilder(options)
-      case None    => new GraftEmptyScanBuilder(schema(), tablePath)
+        val eqs = Snapshots.liveEqDeletes(tablePath, v)
+        lazy val groups = eraGroups(v)
+        if (dels.nonEmpty) {
+          // live merge-on-read deletes (current OR time-travel view):
+          // route through the merge scan — clean files keep the stock
+          // pushdown path, affected files read whole with their
+          // recorded positions skipped. The manifest-answered planner
+          // surfaces (aggregates, limit planning, bucket grouping,
+          // exact stats) are deliberately absent until compaction
+          // materializes the deletes.
+          // invariant: rename refuses while sidecars live, MoR modes
+          // refuse while eras live — the merge scan never spans eras
+          require(groups.isEmpty, s"$qualifiedName: live delete sidecars " +
+            "and live rename eras cannot coexist (corrupted metadata?)")
+          val skips = MorDeletes.positions(spark, tablePath, dels,
+            Snapshots.deleteStateKey(tablePath, v))
+          val files = Snapshots.readSet(tablePath, v).flatMap(p =>
+            if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
+          val (affected, clean) =
+            files.partition(f => skips.contains(GraftFileTag.ref(f)))
+          // ONE schema for BOTH halves: the clean and affected file
+          // sets can span a schema evolution (different physical
+          // widths), and the union of the two scans is positional —
+          // inferring each half separately would mis-join the rows.
+          // Current reads take the declared schema; pinned reads infer
+          // ONCE over the whole read set (the snapshot's own schema).
+          val unified = (if (pinned.isEmpty) declaredSchema else None)
+            .getOrElse(parquetTable(v, None).schema)
+          // per-file manifest stats (path-keyed): bounds keep PRUNING
+          // under live sidecars (over-approximations of the live rows)
+          // and live-row counts keep LIMIT planning — see the builder
+          val stats = Snapshots.stateComponents(tablePath, v)
+            .collect { case Right((p, st)) => p -> st }.toMap
+          new GraftMorScanBuilder(this, clean,
+            affected.map(f => (f, skips(GraftFileTag.ref(f)))), options,
+            liveRows = Snapshots.rowCountOf(tablePath, v),
+            unifiedSchema = unified, stats = stats)
+        } else if (eqs.nonEmpty) {
+          // live EQUALITY deletes (the keyed-upsert retraction
+          // flavor): files under some entry's bound read whole with
+          // matching-key rows dropped; post-upsert appends keep the
+          // stock pushdown path. Exact-count/limit surfaces refuse
+          // (matches unknown without scanning); bounds file pruning
+          // stays live.
+          // the reader extracts key tuples at ONE set of column
+          // indices — heterogeneous key sets would silently skip the
+          // later entries' retractions. upsertBatch refuses mixed
+          // keys at write time; this guards stale/foreign state.
+          require(eqs.forall(_.cols == eqs.head.cols),
+            s"$qualifiedName: live equality-delete entries disagree on key " +
+              s"columns (${eqs.map(_.cols.mkString("+")).distinct.mkString(", ")}) — " +
+              "run Snapshots.compact() first")
+          val stateKey = Snapshots.deleteStateKey(tablePath, v)
+          val keySets = eqs.map(e =>
+            EqDeletes.keySet(spark, tablePath, e, stateKey))
+          val suffixKeys = eqs.indices.map(i =>
+            keySets.drop(i).reduceLeft(_ ++ _)).toArray
+          val files = Snapshots.readSet(tablePath, v).flatMap(p =>
+            if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
+          val unified = (if (pinned.isEmpty) declaredSchema else None)
+            .getOrElse(parquetTable(v, None).schema)
+          val stats = Snapshots.stateComponents(tablePath, v)
+            .collect { case Right((p, st)) => p -> st }.toMap
+          new GraftEqScanBuilder(this, files, eqs, suffixKeys, options,
+            unified, stats, tablePath)
+        } else if (groups.isDefined) {
+          // live rename eras (current OR pinned view spanning a
+          // rename): the era-split union scan — per-era name mapping,
+          // translated pushdown/pruning; compaction deactivates the
+          // eras and every scan below returns. Pinned views show the
+          // snapshot's OWN names (declared fields renamed as of the
+          // pinned version).
+          val info = renameInfo
+          val base = declaredSchema.getOrElse(throw new IllegalStateException(
+            s"$qualifiedName has rename history but no schema marker"))
+          val output = pinned match {
+            case Some(p) => StructType(base.fields.map(f =>
+              f.copy(name = info.nameAsOf(f.name, p))))
+            case None => base
+          }
+          val stats = Snapshots.stateComponents(tablePath, v)
+            .collect { case Right((p, st)) => p -> st }.toMap
+          new GraftEraScanBuilder(this, groups.get, output, stats, options)
+        } else if (pinned.isEmpty) {
+          // current-state reads are also streamable (readStream
+          // .table): the wrapper delegates every pushdown surface, so
+          // batch plans are unchanged; pinned (time-travel) reads
+          // stay raw
+          val rs = readerSchema
+          new GraftStreamableScanBuilder(
+            parquetTable(v, rs).newScanBuilder(options), tablePath, schema(),
+            // manifest-stats file skipping: at build() time the pushed
+            // filters prune the read set to only files whose [min,max]
+            // may match, and the scan is rebuilt over that file list
+            pruneRebuild = Some(new GraftPruneRebuild {
+              override def prunedFiles(
+                  filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+                Snapshots.pruneReadSet(tablePath, v, filters)
+              override def builderOver(files: Seq[String]) =
+                parquetTableOver(files, rs).newScanBuilder(options)
+                  .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder]
+            }),
+            layout = alignedLayoutSpec(v),
+            manifestAggVersion = Some(v))
+        } else parquetTable(v, readerSchema).newScanBuilder(options)
+      case None => new GraftEmptyScanBuilder(schema(), tablePath)
     }
 
   /** Current table state as a DataFrame (declared schema honored for

@@ -357,6 +357,14 @@ object Snapshots {
     require(renameInfoOf(table).isEmpty ||
       !erasActive(table, vs.last, renameInfoOf(table), Long.MaxValue),
       s"upsert into $table: rename eras are live — run Snapshots.compact() first")
+    // ONE key-column set per live chain: the equality-merge readers
+    // extract key tuples at a single set of column indices, so a
+    // delivery with different keys would silently skip retractions
+    val liveKeyCols = liveEqDeletes(table, vs.last).map(_.cols).distinct
+    require(liveKeyCols.isEmpty || liveKeyCols == Seq(keys),
+      s"upsert into $table: live equality-delete entries retract by " +
+        s"(${liveKeyCols.map(_.mkString("+")).mkString(", ")}) — a delivery must keep " +
+        "the same key columns, or run Snapshots.compact() first")
     val v = nextVersion(table)
     val sidecarDir = s"v=$v/_eqdeletes"
     // NULL-bearing key tuples retract nothing (SQL equality) — drop
@@ -377,14 +385,7 @@ object Snapshots {
         if (hasKeys) {
           Files.move(Paths.get(tmp), Paths.get(s"$table/$sidecarDir")); ()
         })
-    finally {
-      if (Files.isDirectory(Paths.get(tmp))) {
-        scala.util.Using.resource(Files.walk(Paths.get(tmp))) { w =>
-          w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => Files.deleteIfExists(p))
-        }
-      }
-    }
+    finally deleteTree(Paths.get(tmp))
   }
 
   /** Exactly-once keyed upsert sink for `foreachBatch` — the equality-
@@ -413,8 +414,13 @@ object Snapshots {
     require(dels.forall(_.cols == cols0),
       s"$table: equality-delete entries disagree on key columns")
     val out = df.columns.toSeq
+    // origin = the LAST `v=N` path segment (greedy prefix), NOT the
+    // segment adjacent to the basename: laid-out tables nest files
+    // under `v=N/<partCol>=K/part.parquet`, where a basename-adjacent
+    // parse returns '' → NULL origin → the bound condition never
+    // matches and retractions silently vanish from library reads
     val tagged = df.withColumn("__graft_eq_origin",
-      expr("CAST(regexp_extract(_metadata.file_path, '/v=(\\\\d+)/[^/]*$', 1) AS BIGINT)"))
+      expr("CAST(regexp_extract(_metadata.file_path, '.*/v=(\\\\d+)/', 1) AS BIGINT)"))
     val keyFrames = dels.map { d =>
       spark.read.parquet(s"$table/${d.dir}")
         .select(cols0.map(c => col(c).as(s"__graft_eq_$c")): _*)
@@ -1041,6 +1047,16 @@ object Snapshots {
     * rows — at 100 TB the deletes are object-store prefix removals, and
     * readers of retained versions are unaffected (immutable dirs).
     * Time travel to an expired version correctly fails afterwards. */
+  /** Recursively delete `root`, children first (a no-op when absent).
+    * The ONE tree-delete idiom every maintenance path shares —
+    * Files.walk holds directory handles, so the stream is closed. */
+  private[sources] def deleteTree(root: java.nio.file.Path): Unit =
+    if (Files.exists(root))
+      scala.util.Using.resource(Files.walk(root)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+
   // ---- named refs (tags) ---------------------------------------------
 
   /** The table's named snapshot tags (Iceberg tag refs): immutable
@@ -1170,6 +1186,10 @@ object Snapshots {
     val (tags, branches) = refsDoc(table)
     require(!branches.contains(name),
       s"branch $name already exists (base v${branches(name)})")
+    // defense in depth: manifests under this name with NO ref are a
+    // crashed publish's leftovers (their data dirs are carried by
+    // main) — a fresh branch must start empty, not resurrect them
+    deleteTree(branchMetaDir(table, name))
     writeRefs(table, tags, branches + (name -> base))
     base
   }
@@ -1273,6 +1293,12 @@ object Snapshots {
         // zero-copy; only pre-stats-era tables hit this)
         writeSnapshot(readBranch(spark, table, name), table, operation = "publish")
     }
+    // the branch is CONSUMED: its manifests go first (their data
+    // directories now ride main's carried refs — re-creating the name
+    // must never resurrect them and double-count rows), then the ref.
+    // A crash between the two leaves a ref with no versions — ff then
+    // refuses on divergence and dropBranch cleans up.
+    deleteTree(branchMetaDir(table, name))
     val (tags, bs) = refsDoc(table)
     writeRefs(table, tags, bs - name)
     v
@@ -1320,20 +1346,9 @@ object Snapshots {
     val pinned = versions(table)
       .flatMap(v => readSet(table, v))
       .flatMap(p => verSeg.findAllMatchIn(p).map(_.group(1).toLong)).toSet
-    branchVersions(table, name).filterNot(pinned).foreach { v =>
-      val dir = Paths.get(table, s"v=$v")
-      if (Files.isDirectory(dir))
-        scala.util.Using.resource(Files.walk(dir)) { w =>
-          w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => Files.deleteIfExists(p))
-        }
-    }
-    val bdir = branchMetaDir(table, name)
-    if (Files.isDirectory(bdir))
-      scala.util.Using.resource(Files.walk(bdir)) { w =>
-        w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      }
+    branchVersions(table, name).filterNot(pinned)
+      .foreach(v => deleteTree(Paths.get(table, s"v=$v")))
+    deleteTree(branchMetaDir(table, name))
     writeRefs(table, tags, branches - name)
   }
 
@@ -1351,9 +1366,17 @@ object Snapshots {
     * listing — metadata-scale, no data read. */
   def removeOrphanFiles(s: SparkSession, table: String,
                         olderThanMs: Long = 24L * 3600 * 1000): DataFrame = {
-    // branch version directories have manifests too (filed under
-    // _meta/branches/) — they are committed state, not debris
-    val live = (versions(table) ++ allBranchVersions(table)).toSet
+    // live version numbers: the main chain, branch chains (manifests
+    // filed under _meta/branches/ — committed state, not debris), AND
+    // every version some main state still references through carried
+    // refs — a published branch's data directories live inside main
+    // manifests even though no version of their own number remains
+    // (deleting them would destroy main's current rows)
+    val verSegL = "(?:^|/)v=(\\d+)(?:/|$)".r
+    val carriedLive = versions(table)
+      .flatMap(v => readSet(table, v))
+      .flatMap(p => verSegL.findAllMatchIn(p).map(_.group(1).toLong))
+    val live = (versions(table) ++ allBranchVersions(table) ++ carriedLive).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val verSeg = "^v=(\\d+)$".r
     def newestMtime(p: java.nio.file.Path): Long =
@@ -1364,11 +1387,6 @@ object Snapshots {
     def treeFiles(p: java.nio.file.Path): Long =
       scala.util.Using.resource(Files.walk(p)) { w =>
         w.iterator().asScala.count(Files.isRegularFile(_)).toLong
-      }
-    def deleteTree(p: java.nio.file.Path): Unit =
-      scala.util.Using.resource(Files.walk(p)) { w =>
-        w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.deleteIfExists(f))
       }
     val root = Paths.get(table)
     val topLevel = scala.util.Using.resource(Files.list(root)) { ls =>
@@ -1442,14 +1460,7 @@ object Snapshots {
       .flatMap(p => verSeg.findAllMatchIn(p).map(_.group(1).toLong)).toSet
     val expired = before.take(math.max(cut, 0)).map(_._1).toSet -- pinnedDirs
     expired.foreach { v =>
-      val dir = Paths.get(table, s"v=$v")
-      if (Files.isDirectory(dir)) {
-        // Files.walk holds directory handles — close the stream
-        scala.util.Using.resource(Files.walk(dir)) { walk =>
-          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => Files.deleteIfExists(p))
-        }
-      }
+      deleteTree(Paths.get(table, s"v=$v"))
       Files.deleteIfExists(metaDir(table).resolve(s"$v.json"))
     }
     import s.implicits._

@@ -213,6 +213,38 @@ class BranchesSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $t2 VERSION AS OF $v2").collect()(0).getLong(0) == 3L)
   }
 
+  test("published branch data survives orphan cleanup and name reuse: publish consumes the manifests") {
+    import spark.implicits._
+    val t = s"$cat.m.pub"
+    val path = s"$wh/m/pub"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 5)") // v1
+    Snapshots.createBranch(path, "st")
+    Snapshots.appendToBranch(spark, path, "st", (5L until 9L).toDF("k")) // v2 (branch)
+    Snapshots.fastForward(spark, path, "st") // v3 publish, carries v=1 + v=2
+
+    // THE ORPHAN TRAP: v=2 has no version of its own number anywhere
+    // (the branch manifests were consumed), but main's publish
+    // manifest carries its files — cleanup must treat it as live
+    val swept = Snapshots.removeOrphanFiles(spark, path, olderThanMs = 0)
+    assert(swept.count() == 0L, swept.collect().mkString(","))
+    assert(Files.exists(Paths.get(path, "v=2")))
+    val r = spark.sql(s"SELECT count(*) AS c, sum(k) AS s FROM $t").collect()(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == (0L until 9L).sum)
+
+    // THE NAME-REUSE TRAP: a fresh branch under the published name
+    // must start EMPTY — resurrecting the consumed manifests would
+    // double-count v=2 in the audit frame and a second publish would
+    // carry its files twice
+    Snapshots.createBranch(path, "st")
+    assert(Snapshots.branchVersions(path, "st").isEmpty)
+    assert(Snapshots.readBranch(spark, path, "st").count() == 9L)
+    Snapshots.appendToBranch(spark, path, "st", Seq(100L).toDF("k"))
+    val v2 = Snapshots.fastForward(spark, path, "st")
+    val r2 = spark.sql(s"SELECT count(*) AS c, sum(k) AS s FROM $t").collect()(0)
+    assert(r2.getLong(0) == 10L && r2.getLong(1) == (0L until 9L).sum + 100L)
+    assert(Snapshots.versions(path).last == v2)
+  }
+
   test("CALL surface: create_branch, fast_forward, drop_branch") {
     val t = s"$cat.m.c"
     spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 4)")

@@ -215,6 +215,54 @@ class EqDeletesSpec extends AnyFunSuite {
       .head().getLong(2) == 555L)
   }
 
+  test("mixed key columns refuse at write time; DROP/retype of a live key column refuse") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.mk")
+    val t = s"$cat.mk.t"
+    val tp = s"$wh/mk/t"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ CAST(id % 3 AS STRING) AS region, id AS k, id * 10 AS v FROM range(0, 9)")
+    Snapshots.upsertBatch(spark, tp, spark.sql(
+      "SELECT '9' AS region, CAST(100 AS BIGINT) AS k, CAST(1 AS BIGINT) AS v"), Seq("k"))
+    // a second delivery with DIFFERENT key columns would leave the
+    // merge readers extracting tuples at the wrong indices — refuse
+    assert(intercept[Exception](Snapshots.upsertBatch(spark, tp, spark.sql(
+      "SELECT '9' AS region, CAST(101 AS BIGINT) AS k, CAST(2 AS BIGINT) AS v"),
+      Seq("region", "k"))).getMessage.contains("same key columns"))
+    // dropping or widening a LIVE key column would break the key-index
+    // resolution / compare retraction keys across types — refuse
+    assert(intercept[Exception](
+      spark.sql(s"ALTER TABLE $t DROP COLUMN k"))
+      .getMessage.contains("equality-delete entries retract by it"))
+    assert(intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE DECIMAL(20,0)"))
+      .getMessage.contains("equality-delete entries retract by it"))
+    // an unrelated column still drops fine under live entries
+    spark.sql(s"ALTER TABLE $t DROP COLUMN region")
+    assert(spark.table(t).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("retractions hit rows in laid-out files: the origin parse survives layout subdirectories") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lay")
+    val t = s"$cat.lay.t"
+    val tp = s"$wh/lay/t"
+    // the base files live under v=1/__graft_days=K/ — an origin parse
+    // keyed to the basename-adjacent v= segment would return NULL and
+    // silently resurrect every retracted row in library reads
+    spark.sql(s"CREATE TABLE $t (d DATE, k BIGINT, v BIGINT) PARTITIONED BY (days(d))")
+    spark.sql(s"INSERT INTO $t SELECT DATE_ADD(DATE '2024-07-01', CAST(id % 3 AS INT)), id, id * 10 FROM range(0, 9)")
+    Snapshots.upsertBatch(spark, tp, spark.sql(
+      "SELECT DATE '2024-07-05' AS d, CAST(4 AS BIGINT) AS k, CAST(999 AS BIGINT) AS v"),
+      Seq("k"))
+    val expectSum = (0L until 9L).filter(_ != 4).map(_ * 10).sum + 999L
+    // library read path (applyEqDeletes)
+    val lib = Snapshots.readLatest(spark, tp)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("v")).collect()(0)
+    assert(lib.getLong(0) == 9L && lib.getLong(1) == expectSum, lib.toString)
+    // catalog read path agrees
+    val sql = spark.sql(s"SELECT count(*) AS c, sum(v) AS s FROM $t WHERE k >= 0").collect()(0)
+    assert(sql.getLong(0) == 9L && sql.getLong(1) == expectSum)
+  }
+
   test("manifest codec round-trips") {
     val dels = Seq(
       EqDeletes.EqDelete("v=3/_eqdeletes", Seq("k"), 2),
