@@ -245,6 +245,33 @@ class BranchesSpec extends AnyFunSuite {
     assert(Snapshots.versions(path).last == v2)
   }
 
+  test("streams are branch-blind: a branch append between triggers never enters the delta feed") {
+    import spark.implicits._
+    val t = s"$cat.m.stream"
+    val path = s"$wh/m/stream"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 5)") // v1
+    val ckpt = Files.createTempDirectory("graft_branch_stream_").toString
+    def drain(): Long = {
+      val cnt = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = spark.readStream.table(t).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          cnt.addAndGet(df.count()); () }
+        .option("checkpointLocation", s"$ckpt/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "drain timed out")
+      cnt.get()
+    }
+    assert(drain() == 5L)
+    Snapshots.createBranch(path, "st")
+    Snapshots.appendToBranch(spark, path, "st", (100L until 110L).toDF("k")) // v2 (branch)
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(5, 8)") // v3 (main)
+    // the delta feed walks ACTUAL main versions, never numeric ranges:
+    // the branch's v=2 sits numerically inside (1, 3] but must not leak
+    assert(drain() == 3L)
+    Snapshots.dropBranch(spark, path, "st")
+  }
+
   test("CALL surface: create_branch, fast_forward, drop_branch") {
     val t = s"$cat.m.c"
     spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 4)")
