@@ -228,7 +228,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               new CaseInsensitiveStringMap(
                 java.util.Collections.singletonMap("mergeSchema", "true")),
               Snapshots.branchReadSet(table, version),
-              userSpecifiedSchema = None,
+              // declared schema honored like main reads — a branch
+              // read across a metadata-only ADD/DROP COLUMN must not
+              // infer a stale shape from files
+              userSpecifiedSchema = Snapshots.declaredCleanOf(table),
               fallbackFileFormat = classOf[ParquetFileFormat])
           case None => throw new IllegalArgumentException(
             s"${ident.name()} VERSION AS OF $version: not a snapshot number, tag or " +

@@ -1106,7 +1106,13 @@ object Snapshots {
     require(name.matches("[A-Za-z0-9_.-]+") && !name.matches("\\d+"),
       s"tag name must match [A-Za-z0-9_.-]+ and not be all digits: '$name'")
     require(versions(table).contains(v), s"no snapshot $v of $table to tag")
-    val tags = tagsOf(table)
+    val (tags, branches) = refsDoc(table)
+    // tags and branches share ONE ref namespace (Iceberg refuses the
+    // collision too): `VERSION AS OF '<name>'` resolves tags first, so
+    // a name naming both would silently shadow the branch state
+    require(!branches.contains(name),
+      s"ref $name already names a branch (base v${branches.getOrElse(name, -1L)}) — " +
+        "tags and branches share one namespace")
     require(replace || !tags.contains(name),
       s"tag $name already exists (→ v${tags(name)}); pass replace=true to move it")
     writeTags(table, tags + (name -> v))
@@ -1186,6 +1192,11 @@ object Snapshots {
     val (tags, branches) = refsDoc(table)
     require(!branches.contains(name),
       s"branch $name already exists (base v${branches(name)})")
+    // one ref namespace with tags — `VERSION AS OF '<name>'` resolves
+    // tags first, so a shared name would shadow this branch's state
+    require(!tags.contains(name),
+      s"ref $name already names a tag (→ v${tags.getOrElse(name, -1L)}) — " +
+        "tags and branches share one namespace")
     // defense in depth: manifests under this name with NO ref are a
     // crashed publish's leftovers (their data dirs are carried by
     // main) — a fresh branch must start empty, not resurrect them
@@ -1196,9 +1207,12 @@ object Snapshots {
 
   /** Fast-append `df` onto branch `name` — O(delta), same commit
     * shape as [[appendSnapshot]] but with the manifest filed under
-    * the branch (invisible to every main read). Branches are
-    * append-only by design (the staging shape needs nothing else);
-    * schema must match the branch head's. */
+    * the branch (invisible to every main read). The table's declared
+    * layout spec is honored exactly like the main write path (derive
+    * the layout column, cluster, lay files out per value), so a
+    * fast-forward publish carries ALIGNED files — co-located joins
+    * and per-layout-value file guarantees survive the staging trip.
+    * Schema must match the branch head's. */
   def appendToBranch(spark: SparkSession, table: String, name: String,
                      df: DataFrame, commitTsMs: Option[Long] = None): Long = {
     val branches = branchesOf(table)
@@ -1210,9 +1224,22 @@ object Snapshots {
     require(shape(expect) == shape(df.schema),
       s"branch append schema mismatch: expected ${shape(expect).mkString(",")} " +
         s"vs ${shape(df.schema).mkString(",")}")
+    // same layout derivation as the catalog's main insert path: the
+    // derived column is directory structure, never schema
+    val (toWrite, pcols) = layoutSpecOf(table) match {
+      case Some(spec) =>
+        val derived = df.withColumn(spec.partCol, expr(spec.derivedExpr))
+        val clustered = spec match {
+          case GraftLayout.Bucket(n, _) => derived.repartition(n, col(spec.partCol))
+          case _ => derived.repartition(col(spec.partCol))
+        }
+        (clustered, Seq(spec.partCol))
+      case None => (df, Seq.empty[String])
+    }
     val v = nextVersion(table)
     df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    df.write.mode("errorifexists").option("compression", "snappy")
+    val writer = toWrite.write.mode("errorifexists").option("compression", "snappy")
+    (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
       .parquet(s"$table/v=$v")
     val stats = FileStats.collectFor(spark, Paths.get(s"$table/v=$v"))
     val delta = stats.map(_.map(_.rows).sum).getOrElse(
@@ -1221,7 +1248,8 @@ object Snapshots {
       .map(b => "\"row_count\":(\\d+)".r.findFirstMatchIn(
         branchManifestText(table, name, b)).map(_.group(1).toLong).getOrElse(0L))
       .getOrElse(rowCountOf(table, branches(name)))
-    val cols = df.schema.fieldNames.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    val cols = df.schema.fieldNames.filterNot(pcols.contains)
+      .map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
     val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
     val manifest =
@@ -1245,10 +1273,17 @@ object Snapshots {
   }
 
   /** The branch's current state: the fork-base main state plus every
-    * branch append — the frame audits run against before a publish. */
-  def readBranch(spark: SparkSession, table: String, name: String): DataFrame =
-    spark.read.option("mergeSchema", "true")
+    * branch append — the frame audits run against before a publish.
+    * The DECLARED schema is honored exactly like main current-state
+    * reads: after a metadata-only ADD/DROP COLUMN on main, branch
+    * reads neither resurrect dropped columns nor miss added ones
+    * (and [[appendToBranch]]'s schema gate compares against the
+    * declared shape, not a stale file-inferred one). */
+  def readBranch(spark: SparkSession, table: String, name: String): DataFrame = {
+    val reader = spark.read.option("mergeSchema", "true")
+    declaredCleanOf(table).fold(reader)(reader.schema)
       .parquet(branchReadSet(table, name): _*)
+  }
 
   /** PUBLISH the branch to main — Iceberg `fast_forward`: one
     * metadata-only main commit (operation `publish`) carrying the
@@ -1415,28 +1450,38 @@ object Snapshots {
   /** Retention by AGE (Iceberg `expire_snapshots(older_than => ts)`):
     * expire every snapshot committed before `cutoffMs` except the
     * current one, with the same tag- and read-chain pinning as the
-    * keepLast form. Commit times are monotone in version number, so
-    * the age cut is a prefix cut and the two forms share one walk. */
+    * keepLast form. The expire set is selected by TIMESTAMP directly
+    * — [[writeSnapshot]]/[[appendSnapshot]] accept caller-injected
+    * commit times, so a non-monotone history must not be prefix-cut
+    * by version position (that would keep versions older than the
+    * cutoff and expire younger ones). */
   def expireSnapshotsOlderThan(s: SparkSession, table: String, cutoffMs: Long): DataFrame = {
     val times = commitTimes(table).toMap
     val vs = versions(table)
     require(vs.nonEmpty, s"no snapshots of $table")
-    val old = vs.dropRight(1).count(v => times(v) < cutoffMs)
-    expireSnapshots(s, table, keepLast = vs.length - old)
+    expireVersions(s, table,
+      vs.dropRight(1).filter(v => times.getOrElse(v, Long.MaxValue) < cutoffMs).toSet)
   }
 
   def expireSnapshots(s: SparkSession, table: String, keepLast: Int): DataFrame = {
     require(keepLast >= 1, "must retain at least the current version")
+    val vs = versions(table)
+    expireVersions(s, table, vs.take(math.max(vs.length - keepLast, 0)).toSet)
+  }
+
+  /** The shared expiry walk: `candidates` may expire, minus tag pins
+    * and read-chain pins. */
+  private def expireVersions(s: SparkSession, table: String,
+                             candidates: Set[Long]): DataFrame = {
     val before = snapshots(s, table)
       .select("version", "row_count").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
-    val cut = before.length - keepLast
     // tagged versions are retention-exempt (Iceberg ref-aware expiry):
     // the audit snapshot a tag pins must stay readable however far the
-    // keepLast window moves past it
+    // retention window moves past it
     val tagged = tagsOf(table).values.toSet
-    val retained = (before.drop(math.max(cut, 0)).map(_._1) ++
-      before.map(_._1).filter(tagged)).distinct
+    val retained = before.map(_._1)
+      .filter(v => !candidates.contains(v) || tagged.contains(v))
     // a retained fast-append version still READS its predecessors'
     // directories, and a retained copy-on-write version still reads
     // the directories its carried file refs live in (its readSet) —
@@ -1458,7 +1503,7 @@ object Snapshots {
       // read and the eventual fast-forward publish
       branchesOf(table).values.toSeq.flatMap(b => readSet(table, b)))
       .flatMap(p => verSeg.findAllMatchIn(p).map(_.group(1).toLong)).toSet
-    val expired = before.take(math.max(cut, 0)).map(_._1).toSet -- pinnedDirs
+    val expired = candidates -- tagged -- pinnedDirs
     expired.foreach { v =>
       deleteTree(Paths.get(table, s"v=$v"))
       Files.deleteIfExists(metaDir(table).resolve(s"$v.json"))

@@ -191,11 +191,17 @@ class BranchesSpec extends AnyFunSuite {
     assert(intercept[Exception](
       Snapshots.appendToBranch(spark, path, "st", Seq(1L).toDF("wrong")))
       .getMessage.contains("schema mismatch"))
-    // branch appends on a laid-out table are plain files (staging is
-    // layout-free); reads stay exact, and the post-publish compaction
-    // restores the per-day layout
-    Snapshots.appendToBranch(spark, path, "st",
+    // branch appends on a laid-out table derive the layout column and
+    // lay files out per value, exactly like the main write path — a
+    // fast-forward publish carries ALIGNED files, so co-located joins
+    // and per-layout-value guarantees survive the staging trip
+    val bv = Snapshots.appendToBranch(spark, path, "st",
       Seq((java.sql.Date.valueOf("2024-05-03"), 100L)).toDF("d", "k"))
+    assert(scala.util.Using.resource(Files.list(Paths.get(path, s"v=$bv"))) { ls =>
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.exists(p =>
+        Files.isDirectory(p) && p.getFileName.toString.startsWith("__graft_days="))
+    }, "branch append did not lay files out per layout value")
     assert(Snapshots.readBranch(spark, path, "st").count() == 9L)
     val v = Snapshots.fastForward(spark, path, "st")
     assert(spark.sql(s"SELECT sum(k) FROM $t").collect()(0).getLong(0)
@@ -270,6 +276,51 @@ class BranchesSpec extends AnyFunSuite {
     // the branch's v=2 sits numerically inside (1, 3] but must not leak
     assert(drain() == 3L)
     Snapshots.dropBranch(spark, path, "st")
+  }
+
+  test("branch reads honor the DECLARED schema across metadata-only column add/drop") {
+    import spark.implicits._
+    val t = s"$cat.m.sch"
+    val path = s"$wh/m/sch"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, junk STRING) USING parquet")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    Snapshots.createBranch(path, "st")
+    // main evolves metadata-only while the branch exists: drop a
+    // column old files still carry physically, add a new one
+    spark.sql(s"ALTER TABLE $t DROP COLUMN junk")
+    spark.sql(s"ALTER TABLE $t ADD COLUMN note STRING")
+    // library + SQL branch reads follow the declared shape — no
+    // resurrected `junk`, `note` present (NULL for pre-add files)
+    val lib = Snapshots.readBranch(spark, path, "st")
+    assert(lib.schema.fieldNames.toSeq == Seq("k", "note"))
+    assert(lib.filter("note IS NULL").count() == 2L)
+    val sql = spark.sql(s"SELECT * FROM $t VERSION AS OF 'st'")
+    assert(sql.schema.fieldNames.toSeq == Seq("k", "note"))
+    // the append schema gate compares against the DECLARED shape too
+    assert(intercept[Exception](
+      Snapshots.appendToBranch(spark, path, "st", Seq((3L, "x")).toDF("k", "junk")))
+      .getMessage.contains("schema mismatch"))
+    Snapshots.appendToBranch(spark, path, "st", Seq((3L, "n")).toDF("k", "note"))
+    val v = Snapshots.fastForward(spark, path, "st")
+    val r = spark.sql(s"SELECT count(*) AS c, count(note) AS n FROM $t").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(Snapshots.versions(path).last == v)
+  }
+
+  test("tags and branches share one ref namespace: collisions refuse loudly both ways") {
+    val t = s"$cat.m.ns"
+    val path = s"$wh/m/ns"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 4)")
+    Snapshots.createTag(path, "audit", 1L)
+    assert(intercept[Exception](Snapshots.createBranch(path, "audit"))
+      .getMessage.contains("one namespace"))
+    Snapshots.createBranch(path, "staging")
+    assert(intercept[Exception](Snapshots.createTag(path, "staging", 1L))
+      .getMessage.contains("one namespace"))
+    // non-colliding names still work side by side
+    Snapshots.createTag(path, "audit2", 1L)
+    assert(Snapshots.tagsOf(path).keySet == Set("audit", "audit2") &&
+      Snapshots.branchesOf(path).keySet == Set("staging"))
   }
 
   test("CALL surface: create_branch, fast_forward, drop_branch") {

@@ -96,6 +96,23 @@ class SnapshotTagsSpec extends AnyFunSuite {
       .getMessage.contains("no snapshot 2"))
   }
 
+  test("age-based expiry selects by TIMESTAMP, not version position: non-monotone commit times expire correctly") {
+    import spark.implicits._
+    val path = s"$wh/refs/nonmono"
+    // caller-injected commit times make the history non-monotone:
+    // v1 is YOUNG (t=5000), v2..v3 are OLD (t=1000, 2000) — a
+    // prefix-cut-by-position would expire young v1 and keep old v2
+    Snapshots.writeSnapshot(Seq(1L).toDF("k"), path, commitTsMs = Some(5000L))
+    Snapshots.writeSnapshot(Seq(2L).toDF("k"), path, commitTsMs = Some(1000L))
+    Snapshots.writeSnapshot(Seq(3L).toDF("k"), path, commitTsMs = Some(2000L))
+    Snapshots.writeSnapshot(Seq(4L).toDF("k"), path, commitTsMs = Some(6000L)) // current
+    val out = Snapshots.expireSnapshotsOlderThan(spark, path, cutoffMs = 3000L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // old v2 and v3 expire; young v1 survives the cutoff; current kept
+    assert(out == Map(1L -> "kept", 2L -> "expired", 3L -> "expired", 4L -> "kept"), out)
+    assert(Snapshots.versions(path) == Seq(1L, 4L))
+  }
+
   test("age-based expiry (older_than): prefix cut, current always kept, tags still pin") {
     val (t, path) = mkChain("age")
     spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.tag.keepme'='2')")
