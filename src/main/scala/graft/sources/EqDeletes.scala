@@ -44,8 +44,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object EqDeletes {
 
   /** One equality-delete entry: sidecar dir (table-root-relative),
-    * the key columns, and the origin-version bound it applies to. */
-  final case class EqDelete(dir: String, cols: Seq[String], bound: Long)
+    * the key columns, the origin-version bound it applies to, and the
+    * sidecar's key-tuple count (`rows`; -1 for entries committed
+    * before the count rode the manifest — [[entryRows]] recovers it
+    * from the sidecar footers). */
+  final case class EqDelete(dir: String, cols: Seq[String], bound: Long,
+                            rows: Long = -1L)
 
   private val mapper = new ObjectMapper()
 
@@ -56,6 +60,7 @@ object EqDeletes {
       val o = arr.addObject()
       o.put("dir", d.dir)
       o.put("bound", d.bound)
+      if (d.rows >= 0) o.put("rows", d.rows)
       val cs = o.putArray("cols")
       d.cols.foreach(cs.add)
       ()
@@ -72,10 +77,19 @@ object EqDeletes {
             Option(e.get("cols")).collect { case cs: ArrayNode =>
               cs.elements().asScala.map(_.asText()).toSeq
             }.getOrElse(Seq.empty),
-            e.get("bound").asLong())
+            e.get("bound").asLong(),
+            Option(e.get("rows")).map(_.asLong()).getOrElse(-1L))
         }.toSeq
       }.getOrElse(Seq.empty)
     } catch { case NonFatal(_) => Seq.empty }
+
+  /** An entry's key-tuple count: the manifest-recorded value when it
+    * rode the commit, else KB footer arithmetic over the sidecar
+    * (driver-side metadata read — no data scan, no Spark job). */
+  def entryRows(table: String, entry: EqDelete): Long =
+    if (entry.rows >= 0) entry.rows
+    else FileStats.footerRowCount(java.nio.file.Paths.get(s"$table/${entry.dir}"))
+      .getOrElse(0L)
 
   /** Key types equality deletes accept: types whose Spark internal
     * values have well-defined equality/hashing (floats would make

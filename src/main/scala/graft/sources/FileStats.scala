@@ -124,6 +124,12 @@ object FileStats {
       })
     } catch { case NonFatal(_) => None }
 
+  /** Total parquet rows under `dir` from FOOTER arithmetic alone (KB
+    * tail reads on the driver, no Spark job) — the emptiness/volume
+    * probe sidecar writers use. None when the walk fails. */
+  def footerRowCount(dir: Path): Option[Long] =
+    collect(dir).map(_.map(_.rows).sum)
+
   /** Commit-time collection: the serial driver walk for small file
     * sets (≤ `spark.graft.stats.driverFooterMax`, default 8 — the
     * fast-append shape), a distributed footer-read job for everything

@@ -377,15 +377,44 @@ object Snapshots {
     val keyRows = rows.select(keys.map(col): _*).na.drop("any").distinct()
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     keyRows.write.mode("overwrite").parquet(tmp)
-    val hasKeys = spark.read.parquet(tmp).head(1).nonEmpty
-    try appendSnapshot(rows, table, streamTag = streamTag,
-      eqDeletes = if (hasKeys)
-        Seq(EqDeletes.EqDelete(sidecarDir, keys, bound = vs.last)) else Nil,
-      preManifest = _ =>
-        if (hasKeys) {
-          Files.move(Paths.get(tmp), Paths.get(s"$table/$sidecarDir")); ()
-        })
-    finally deleteTree(Paths.get(tmp))
+    // delivery size from the sidecar's own FOOTERS (KB tail reads, no
+    // second Spark job) — the single source of truth the manifest and
+    // the volume guards both use
+    val keyCount = FileStats.footerRowCount(Paths.get(tmp))
+      .getOrElse(keyRows.count())
+    try {
+      // LOUD volume guards (the positional flavor's maxBufferedDeletes
+      // posture): the scan loads live key sets driver-side, so "small
+      // by the upsert policy" must be a check, not a comment. A single
+      // oversized delivery should run as copy-on-write DML instead; an
+      // oversized ACCUMULATION down the append chain names compact().
+      val maxDelivery = spark.conf.get(
+        "spark.graft.eq.maxKeysPerDelivery", "1000000").toLong
+      require(keyCount <= maxDelivery,
+        s"upsert into $table: this delivery retracts $keyCount keys, above " +
+          s"spark.graft.eq.maxKeysPerDelivery=$maxDelivery — equality deletes are " +
+          "for small keyed retractions (the scan plans their key sets " +
+          "driver-side); run a bulk restatement as copy-on-write DML (MERGE/" +
+          "DELETE), or raise the cap")
+      val maxAccum = spark.conf.get(
+        "spark.graft.eq.maxAccumulatedKeys", "10000000").toLong
+      val accumulated = liveEqDeletes(table, vs.last)
+        .map(e => EqDeletes.entryRows(table, e)).sum
+      require(accumulated + keyCount <= maxAccum,
+        s"upsert into $table: live equality-delete entries already hold " +
+          s"$accumulated keys and this delivery adds $keyCount, above " +
+          s"spark.graft.eq.maxAccumulatedKeys=$maxAccum — run Snapshots.compact() " +
+          "to materialize the retractions (clearing every entry), or raise the cap")
+      val hasKeys = keyCount > 0
+      appendSnapshot(rows, table, streamTag = streamTag,
+        eqDeletes = if (hasKeys)
+          Seq(EqDeletes.EqDelete(sidecarDir, keys, bound = vs.last,
+            rows = keyCount)) else Nil,
+        preManifest = _ =>
+          if (hasKeys) {
+            Files.move(Paths.get(tmp), Paths.get(s"$table/$sidecarDir")); ()
+          })
+    } finally deleteTree(Paths.get(tmp))
   }
 
   /** Exactly-once keyed upsert sink for `foreachBatch` — the equality-

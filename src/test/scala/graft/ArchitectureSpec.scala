@@ -141,8 +141,12 @@ class ArchitectureSpec extends AnyFunSuite {
     // ServingSink: one 4-double min/max stats row for the z-order key bounds
     // BloomJoin: the serialized Bloom sketch (optimalNumBits/8 bytes —
     //   broadcast state, same class as trained ANN codebooks)
+    // The needle is `.head(` (not `.head()`): the N-ary form
+    // `.head(1)` is the same driver-side read by another arity —
+    // upsertBatch once sniffed sidecar emptiness with it; that probe
+    // now runs on footer arithmetic (FileStats.footerRowCount)
     assert(offenders(".first()", Map.empty).isEmpty)
-    assert(offenders(".head()",
+    assert(offenders(".head(",
       Map("ServingSink.scala" -> 1, "BloomJoin.scala" -> 1)).isEmpty)
   }
 

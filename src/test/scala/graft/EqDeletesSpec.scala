@@ -263,6 +263,46 @@ class EqDeletesSpec extends AnyFunSuite {
     assert(sql.getLong(0) == 9L && sql.getLong(1) == expectSum)
   }
 
+  test("volume guards: oversized deliveries and oversized accumulations refuse loudly") {
+    import spark.implicits._
+    val tp = banded("vol")
+    try {
+      // per-delivery cap: the refusal names the conf and the
+      // copy-on-write escape hatch (bulk restatements are DML's job)
+      spark.conf.set("spark.graft.eq.maxKeysPerDelivery", "3")
+      val e1 = intercept[IllegalArgumentException] {
+        Snapshots.upsertBatch(spark, tp,
+          (0L until 5L).map(k => (k, k)).toDF("k", "v"), keys = Seq("k"))
+      }
+      assert(e1.getMessage.contains("maxKeysPerDelivery") &&
+        e1.getMessage.contains("copy-on-write"), e1.getMessage)
+      assert(Snapshots.versions(tp).size == 2, "refused delivery must not commit")
+      // within the cap: commits, and the key count rides the manifest
+      Snapshots.upsertBatch(spark, tp,
+        Seq((1L, 111L), (2L, 222L)).toDF("k", "v"), keys = Seq("k"))
+      val entry = Snapshots.liveEqDeletes(tp, Snapshots.versions(tp).last).head
+      assert(entry.rows == 2L, entry)
+      assert(EqDeletes.entryRows(tp, entry) == 2L)
+      // accumulated cap across the live chain: the refusal names compact()
+      spark.conf.set("spark.graft.eq.maxAccumulatedKeys", "3")
+      val e2 = intercept[IllegalArgumentException] {
+        Snapshots.upsertBatch(spark, tp,
+          Seq((3L, 333L), (4L, 444L)).toDF("k", "v"), keys = Seq("k"))
+      }
+      assert(e2.getMessage.contains("maxAccumulatedKeys") &&
+        e2.getMessage.contains("compact()"), e2.getMessage)
+      // compaction clears the accumulation; the same delivery then lands
+      Snapshots.compact(spark, tp)
+      Snapshots.upsertBatch(spark, tp,
+        Seq((3L, 333L), (4L, 444L)).toDF("k", "v"), keys = Seq("k"))
+      assert(kvs(s"$cat.vol.t").toMap.view.filterKeys(Set(1L, 2L, 3L, 4L)).toMap ==
+        Map(1L -> 111L, 2L -> 222L, 3L -> 333L, 4L -> 444L))
+    } finally {
+      spark.conf.unset("spark.graft.eq.maxKeysPerDelivery")
+      spark.conf.unset("spark.graft.eq.maxAccumulatedKeys")
+    }
+  }
+
   test("manifest codec round-trips") {
     val dels = Seq(
       EqDeletes.EqDelete("v=3/_eqdeletes", Seq("k"), 2),
