@@ -468,6 +468,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.renameOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_eq_upsert" -> ((s, dir) =>
       graft.sources.GraftCatalog.eqUpsertOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_delete_compose" -> ((s, dir) =>
+      graft.sources.GraftCatalog.deleteComposeOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_days_layout" -> ((s, dir) =>
       graft.sources.GraftCatalog.daysLayoutOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_layout_evolution" -> ((s, dir) =>
@@ -690,6 +692,7 @@ object SparkEntry {
     "meta_catalog_mor_upsert" -> graft.sources.GraftCatalog.morUpsertSql,
     "meta_catalog_rename" -> graft.sources.GraftCatalog.renameSql,
     "meta_catalog_eq_upsert" -> graft.sources.GraftCatalog.eqUpsertSql,
+    "meta_catalog_delete_compose" -> graft.sources.GraftCatalog.deleteComposeSql,
     "meta_catalog_days_layout" -> graft.sources.GraftCatalog.daysLayoutSql,
     "meta_catalog_layout_evolution" -> graft.sources.GraftCatalog.layoutEvolutionSql,
     "meta_catalog_tags" -> graft.sources.GraftCatalog.tagsSql,

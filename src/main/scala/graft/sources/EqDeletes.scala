@@ -136,12 +136,15 @@ object EqDeletes {
     new java.util.LinkedHashMap[String, Set[Seq[Any]]](16, 0.75f, true)
 }
 
-/** Scan builder for a snapshot with live equality deletes: files with
-  * no applicable entry (origin above every bound — the post-upsert
-  * appends) keep the stock pushdown path; files under some bound read
-  * WHOLE, unpruned, with matching-key rows dropped and the requested
-  * columns projected out. All filters report post-scan; manifest
-  * bounds still prune files (sound over-approximations). */
+/** Scan builder for a snapshot with live equality deletes — and,
+  * COMPOSED, any live positional sidecars (`skips`, the Iceberg
+  * format-v2 single-scan merge of both delete file kinds): files with
+  * no applicable entry and no recorded positions (origin above every
+  * bound — the post-upsert appends) keep the stock pushdown path;
+  * affected files read WHOLE, unpruned, with recorded positions
+  * skipped, matching-key rows dropped, and the requested columns
+  * projected out. All filters report post-scan; manifest bounds still
+  * prune files (sound over-approximations under both flavors). */
 private[sources] class GraftEqScanBuilder(
     table: GraftSnapshotTable,
     files: Seq[String], // full read set, paths
@@ -150,20 +153,26 @@ private[sources] class GraftEqScanBuilder(
     options: CaseInsensitiveStringMap,
     unifiedSchema: StructType,
     stats: Map[String, FileStats.FileStat],
-    tablePath: String)
+    tablePath: String,
+    skips: Map[String, Array[Long]] = Map.empty) // positional, by ref
   extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   private var dataOnly: StructType = unifiedSchema
+  private var includeFileRef = false
   private var filterExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Seq.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    require(!requiredSchema.fieldNames.contains(GraftPosColumn.name()) &&
-      !requiredSchema.fieldNames.contains(GraftGroupColumn.name()),
-      "row-identity metadata columns are not served while equality deletes " +
-        "are live — run Snapshots.compact() first")
-    dataOnly = requiredSchema
+    // the file-ref column IS served (row-level DML's runtime group
+    // filtering reads it through the plain scan path — composition
+    // needs it); the position column is not a plain-read surface
+    require(!requiredSchema.fieldNames.contains(GraftPosColumn.name()),
+      s"${GraftPosColumn.name()} is served only on row-level DML scans — " +
+        "use _metadata.row_index for plain reads")
+    includeFileRef = requiredSchema.fieldNames.contains(GraftGroupColumn.name())
+    dataOnly = StructType(
+      requiredSchema.fields.filterNot(_.name == GraftGroupColumn.name()))
   }
 
   override def pushFilters(filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -187,7 +196,8 @@ private[sources] class GraftEqScanBuilder(
   override def build(): Scan = {
     val kept = files.filter(f =>
       stats.get(f).forall(st => FileStats.mayMatch(st, filterExprs)))
-    val (affected, clean) = kept.partition(f => suffixOf(f) >= 0)
+    val (affected, clean) = kept.partition(f =>
+      suffixOf(f) >= 0 || skips.contains(GraftFileTag.ref(f)))
     val cleanScan =
       if (clean.isEmpty) None
       else {
@@ -216,24 +226,33 @@ private[sources] class GraftEqScanBuilder(
       keyIdx = entries.headOption.map(_.cols.map(unifiedSchema.fieldIndex).toArray)
         .getOrElse(Array.empty),
       projIdx = dataOnly.fieldNames.map(unifiedSchema.fieldIndex),
-      output = dataOnly, tablePath)
+      output = dataOnly, tablePath, skips, includeFileRef)
   }
 }
 
-/** The equality-merge scan: clean partitions pass through; each
-  * affected file reads whole (full schema), drops rows whose key
-  * tuple is in its applicable suffix key set, and projects the
-  * requested columns. */
+/** The composed merge scan: clean partitions pass through; each
+  * affected file reads whole (full schema) in physical row order,
+  * skips its recorded delete positions, drops rows whose key tuple is
+  * in its applicable suffix key set, and projects the requested
+  * columns. The two per-row predicates are independent (a row dies if
+  * EITHER flavor kills it); positions are counted over PHYSICAL rows,
+  * before the key check, so sidecar coordinates stay exact. */
 private[sources] class GraftEqScan(clean: Option[Scan], affectedScan: Option[Scan],
                                    suffixByRef: Map[String, Int],
                                    suffixKeys: Array[Set[Seq[Any]]],
                                    keyIdx: Array[Int],
                                    projIdx: Array[Int],
                                    output: StructType,
-                                   tablePath: String)
+                                   tablePath: String,
+                                   skips: Map[String, Array[Long]] = Map.empty,
+                                   includeFileRef: Boolean = false)
   extends Scan with Batch {
 
-  override def readSchema(): StructType = output
+  override def readSchema(): StructType =
+    if (includeFileRef)
+      output.add(GraftGroupColumn.name(),
+        org.apache.spark.sql.types.StringType, nullable = false)
+    else output
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-eq-merge(clean=${clean.map(_.description()).getOrElse("none")})"
@@ -244,20 +263,32 @@ private[sources] class GraftEqScan(clean: Option[Scan], affectedScan: Option[Sca
       s"streaming read of $tablePath: live equality-delete files cannot replay " +
         "as deltas — run Snapshots.compact() to materialize them first")
 
-  import GraftEqScan.{CleanPart, EqPart}
+  import GraftEqScan.{CleanPart, CleanTagPart, EqPart}
 
   private lazy val cleanBatch = clean.map(_.toBatch)
   private lazy val affectedBatch = affectedScan.map(_.toBatch)
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // clean files pass through untouched unless the plan asked for
+    // the file-ref column — then they too regroup per file for tagging
     val cleanParts: Array[InputPartition] =
-      cleanBatch.map(_.planInputPartitions().map(CleanPart(_): InputPartition))
-        .getOrElse(Array.empty)
-    // per-file partitions so each carries its applicability suffix;
-    // whole-file grouping also keeps the partition → suffix map exact
+      if (includeFileRef)
+        MorDeletes.wholeFileGroups(
+          cleanBatch.map(_.planInputPartitions()).getOrElse(Array.empty))
+          .map { case (ref, fp) => CleanTagPart(fp, ref): InputPartition }
+      else
+        cleanBatch.map(_.planInputPartitions().map(CleanPart(_): InputPartition))
+          .getOrElse(Array.empty)
+    // per-file partitions so each carries its applicability suffix
+    // and its position-skip set; whole-file grouping (pieces tiling
+    // the file in offset order) is what makes the reader's row
+    // counter the physical position space
     val eqParts: Array[InputPartition] = MorDeletes.wholeFileGroups(
       affectedBatch.map(_.planInputPartitions()).getOrElse(Array.empty))
-      .map { case (ref, fp) => EqPart(fp, suffixByRef(ref)): InputPartition }
+      .map { case (ref, fp) =>
+        EqPart(fp, suffixByRef(ref),
+          skips.getOrElse(ref, Array.empty), ref): InputPartition
+      }
     cleanParts ++ eqParts
   }
 
@@ -268,22 +299,43 @@ private[sources] class GraftEqScan(clean: Option[Scan], affectedScan: Option[Sca
     val ki = keyIdx
     val pi = projIdx
     val types = output.fields.map(_.dataType)
+    val withRef = includeFileRef
     new PartitionReaderFactory {
       override def supportColumnarReads(p: InputPartition): Boolean = false
+      private def tagged(r: PartitionReader[InternalRow], ref: String)
+          : PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+          private val tag = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ref)))
+          override def next(): Boolean = r.next()
+          override def get(): InternalRow = joined(r.get(), tag)
+          override def close(): Unit = r.close()
+        }
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
         case CleanPart(inner) => cf.get.createReader(inner)
-        case EqPart(fp, suffix) =>
+        case CleanTagPart(fp, ref) => tagged(cf.get.createReader(fp), ref)
+        case EqPart(fp, suffix, skip, ref) =>
           val r = af.get.createReader(fp)
-          val keySet = keys(suffix)
-          new PartitionReader[InternalRow] {
+          // suffix -1: the file has recorded positions but sits above
+          // every equality bound — position-skip only
+          val keySet = if (suffix >= 0) keys(suffix) else null
+          val merged = new PartitionReader[InternalRow] {
             private val out =
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(pi.length)
             private var current: InternalRow = _
+            private var pos = -1L
+            private var si = 0
             override def next(): Boolean = {
               while (r.next()) {
-                val row = r.get()
-                val key = GraftEqScan.keyOf(row, ki, keySet.headOption)
-                if (key == null || !keySet.contains(key)) { current = row; return true }
+                pos += 1
+                if (si < skip.length && skip(si) == pos) si += 1
+                else {
+                  val row = r.get()
+                  val key = if (keySet == null) null
+                    else GraftEqScan.keyOf(row, ki, keySet.headOption)
+                  if (key == null || !keySet.contains(key)) { current = row; return true }
+                }
               }
               false
             }
@@ -298,6 +350,7 @@ private[sources] class GraftEqScan(clean: Option[Scan], affectedScan: Option[Sca
             }
             override def close(): Unit = r.close()
           }
+          if (withRef) tagged(merged, ref) else merged
         case other => throw new IllegalStateException(
           s"eq factory got unknown partition ${other.getClass.getName}")
       }
@@ -311,7 +364,15 @@ private[graft] object GraftEqScan {
   }
   final case class EqPart(
       inner: org.apache.spark.sql.execution.datasources.FilePartition,
-      suffix: Int) extends InputPartition {
+      suffix: Int, skip: Array[Long] = Array.empty,
+      ref: String = "") extends InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  /** One whole clean file regrouped for file-ref tagging. */
+  final case class CleanTagPart(
+      inner: org.apache.spark.sql.execution.datasources.FilePartition,
+      ref: String) extends InputPartition {
     override def preferredLocations(): Array[String] = inner.preferredLocations()
   }
 

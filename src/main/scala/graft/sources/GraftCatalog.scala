@@ -766,8 +766,11 @@ object GraftCatalog {
         mp.inner.files.map(_.filePath.toString).toSeq
       // era-union wrappers (rename-spanning states)
       case ep: GraftEraScan.EraPart => filesOf(ep.inner)
-      // equality-merge wrappers (upsert-retraction states)
+      // equality-merge wrappers (upsert-retraction states, possibly
+      // composed with positional sidecars)
       case cp: GraftEqScan.CleanPart => filesOf(cp.inner)
+      case ct: GraftEqScan.CleanTagPart =>
+        ct.inner.files.map(_.filePath.toString).toSeq
       case qp: GraftEqScan.EqPart =>
         qp.inner.files.map(_.filePath.toString).toSeq
       case tp: GraftFileTag.TaggedPartition =>
@@ -1506,6 +1509,169 @@ object GraftCatalog {
     |  UNION ALL SELECT 'sum_asof_v2', (SELECT CAST(sum(total_events) AS BIGINT) FROM mid)
     |  UNION ALL SELECT 'sum_current', (SELECT CAST(sum(total_events) AS BIGINT) FROM fin)
     |  UNION ALL SELECT 'versions_before_compact', 3
+    |)
+    |ORDER BY metric""".stripMargin
+
+  /** Driver query: BOTH delete flavors COMPOSED in one live chain —
+    * the Iceberg format-v2 single-scan merge of position and equality
+    * delete files, with no `compact()` between (r16; the mutual
+    * refusals narrowed to genuinely unsound combinations only): a
+    * keyed upsert delivery (equality entry), then a MoR point-DELETE
+    * (positional sidecar over the live eq chain — `del_data_files=0`),
+    * then a MoR UPDATE (delta op: old-row sidecar + insert delta,
+    * `upd_prior_carried=3`), then a second MoR UPDATE keyed on an
+    * EQ-RETRACTED date — it must hit only the upsert delta's live row,
+    * never resurrect the retracted base row
+    * (`upd2_target_origin_v3=1` pins the sidecar target). All three
+    * entries and the eq entry stay live at once
+    * (`live_pos_entries=3`, `live_eq_entries=1`); reads through the
+    * catalog (composed DSv2 merge scan) and the library agree; bounds
+    * pruning stays on (1-file band probe); time travel replays each
+    * intermediate state; compaction materializes everything. Every
+    * row/sum replays from silver. */
+  def deleteComposeOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_dc_$n"
+    val tablePath = s"$warehouseDir/marts/daily_dc_$n"
+    val v = s"__graft_dc_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date <= DATE '2024-01-10'")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date > DATE '2024-01-10'")
+    // 1) keyed upsert: retract the window, deliver +5 — v3 append + eq entry
+    val delivery = daily.select(col("event_date"), col("total_events"))
+      .filter(col("event_date").between(lit("2024-01-06"), lit("2024-01-12")))
+      .withColumn("total_events", col("total_events") + 5).coalesce(1)
+    Snapshots.upsertBatch(s, tablePath, delivery, Seq("event_date"))
+    // 2) MoR point-DELETE of a NON-retracted date in the eq-affected
+    // band: position sidecar over the live eq chain, zero data files
+    s.conf.set("spark.graft.delete.mode", "merge-on-read")
+    s.conf.set("spark.graft.update.mode", "merge-on-read")
+    try {
+      s.sql(s"DELETE FROM $t WHERE event_date = DATE '2024-01-03'") // v4
+      val delFiles = Snapshots.expandParquet(s"$tablePath/v=4").size.toLong
+      val delPositions = MorDeletes.deletedRows(Snapshots.liveDeletes(tablePath, 4))
+      val delCarried = Snapshots.carriedOf(tablePath, 4).size.toLong
+      // 3) MoR UPDATE outside the eq window — delta op
+      s.sql(s"UPDATE $t SET total_events = total_events + 100 WHERE event_date = DATE '2024-01-18'") // v5
+      val updDeltaRows =
+        FileStats.footerRowCount(Paths.get(s"$tablePath/v=5")).getOrElse(-1L)
+      val updCarried = Snapshots.carriedOf(tablePath, 5).size.toLong
+      val updPositions =
+        MorDeletes.deletedRows(Snapshots.liveDeletes(tablePath, 5)) - delPositions
+      // 4) MoR UPDATE keyed on an EQ-RETRACTED date: only the upsert
+      // delta's live row may match — the dead base row must not
+      // resurrect as an updated copy
+      s.sql(s"UPDATE $t SET total_events = 999 WHERE event_date = DATE '2024-01-07'") // v6
+      val upd2Carried = Snapshots.carriedOf(tablePath, 6).size.toLong
+      val allDels = Snapshots.liveDeletes(tablePath, 6)
+      val upd2Entry = allDels.filter(_.dir.startsWith("v=6/"))
+      val upd2Positions = MorDeletes.deletedRows(upd2Entry)
+      val upd2TargetsDelta = upd2Entry.flatMap(_.targets)
+        .count(_.f.startsWith("v=3/")).toLong
+      val liveEq = Snapshots.liveEqDeletes(tablePath, 6)
+      // composed merged reads: SQL through the catalog + library agree
+      val cur = s.sql(s"SELECT count(*) AS c, CAST(sum(total_events) AS BIGINT) AS se FROM $t").collect()(0)
+      val lib = Snapshots.readLatest(s, tablePath)
+        .agg(org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.sum("total_events")).collect()(0)
+      val asof3 = s.sql(s"SELECT count(*) AS c, CAST(sum(total_events) AS BIGINT) AS se FROM $t VERSION AS OF 3").collect()(0)
+      val asof5 = s.sql(s"SELECT CAST(sum(total_events) AS BIGINT) AS se FROM $t VERSION AS OF 5").collect()(0)
+      val (probeRows, probeFiles) = collectAndCountFiles(s.sql(
+        s"SELECT count(*) AS c, CAST(sum(total_events) AS BIGINT) AS se FROM $t " +
+          "WHERE event_date <= DATE '2024-01-03'"))
+      val (cv, _, _) = Snapshots.compact(s, tablePath, targetFileBytes = 1L << 40)
+      val post = s.sql(s"SELECT CAST(sum(total_events) AS BIGINT) AS se FROM $t").collect()(0)
+      import s.implicits._
+      Seq(
+        "compact_eq_entries" -> Snapshots.liveEqDeletes(tablePath, cv).size.toLong,
+        "compact_pos_entries" -> Snapshots.liveDeletes(tablePath, cv).size.toLong,
+        "del_data_files" -> delFiles,
+        "del_prior_carried" -> delCarried,
+        "del_sidecar_positions" -> delPositions,
+        "lib_rows_current" -> lib.getLong(0),
+        "lib_sum_current" -> lib.getLong(1),
+        "live_eq_entries" -> liveEq.size.toLong,
+        "live_pos_entries" -> allDels.size.toLong,
+        "post_compact_sum" -> post.getLong(0),
+        "probe_files_scanned" -> probeFiles,
+        "probe_rows" -> probeRows(0).getLong(0),
+        "probe_sum" -> probeRows(0).getLong(1),
+        "rows_asof_v3" -> asof3.getLong(0),
+        "rows_current" -> cur.getLong(0),
+        "sum_asof_v3" -> asof3.getLong(1),
+        "sum_asof_v5" -> asof5.getLong(0),
+        "sum_current" -> cur.getLong(1),
+        "upd2_positions" -> upd2Positions,
+        "upd2_prior_carried" -> upd2Carried,
+        "upd2_target_origin_v3" -> upd2TargetsDelta,
+        "upd_delta_rows" -> updDeltaRows,
+        "upd_prior_carried" -> updCarried,
+        "upd_sidecar_positions" -> updPositions,
+        "versions_before_compact" -> (cv - 1))
+        .toDF("metric", "value").orderBy("metric")
+    } finally {
+      s.conf.set("spark.graft.delete.mode", "copy-on-write")
+      s.conf.set("spark.graft.update.mode", "copy-on-write")
+    }
+  }
+
+  /** DuckDB oracle for [[deleteComposeOver]]: the commit structure as
+    * constants (zero data files on the point-DELETE, 3 carried files
+    * under the first UPDATE, the second UPDATE's sidecar targeting
+    * the v3 delta — the no-resurrection pin), every row/sum replayed
+    * from silver through the upsert window, the point-delete, and
+    * both updates. */
+  val deleteComposeSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, w AS (SELECT * FROM daily WHERE event_date BETWEEN DATE '2024-01-06' AND DATE '2024-01-12')
+    |, fin AS (
+    |  SELECT event_date, total_events AS te FROM daily
+    |  WHERE (event_date < DATE '2024-01-06' OR event_date > DATE '2024-01-12')
+    |    AND event_date NOT IN (DATE '2024-01-03', DATE '2024-01-18')
+    |  UNION ALL SELECT event_date, total_events + 5 FROM w
+    |    WHERE event_date <> DATE '2024-01-07'
+    |  UNION ALL SELECT DATE '2024-01-07', 999
+    |  UNION ALL SELECT event_date, total_events + 100 FROM daily
+    |    WHERE event_date = DATE '2024-01-18')
+    |, mid AS (
+    |  SELECT event_date, total_events AS te FROM daily
+    |  WHERE event_date < DATE '2024-01-06' OR event_date > DATE '2024-01-12'
+    |  UNION ALL SELECT event_date, total_events + 5 FROM w)
+    |SELECT * FROM (
+    |  SELECT 'compact_eq_entries' AS metric, CAST(0 AS BIGINT) AS value
+    |  UNION ALL SELECT 'compact_pos_entries', 0
+    |  UNION ALL SELECT 'del_data_files', 0
+    |  UNION ALL SELECT 'del_prior_carried', 3
+    |  UNION ALL SELECT 'del_sidecar_positions', 1
+    |  UNION ALL SELECT 'lib_rows_current', (SELECT count(*) FROM fin)
+    |  UNION ALL SELECT 'lib_sum_current', (SELECT CAST(sum(te) AS BIGINT) FROM fin)
+    |  UNION ALL SELECT 'live_eq_entries', 1
+    |  UNION ALL SELECT 'live_pos_entries', 3
+    |  UNION ALL SELECT 'post_compact_sum', (SELECT CAST(sum(te) AS BIGINT) FROM fin)
+    |  UNION ALL SELECT 'probe_files_scanned', 1
+    |  UNION ALL SELECT 'probe_rows',
+    |    (SELECT count(*) FROM daily WHERE event_date < DATE '2024-01-03')
+    |  UNION ALL SELECT 'probe_sum',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily
+    |     WHERE event_date < DATE '2024-01-03')
+    |  UNION ALL SELECT 'rows_asof_v3', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'rows_current', (SELECT count(*) FROM fin)
+    |  UNION ALL SELECT 'sum_asof_v3', (SELECT CAST(sum(te) AS BIGINT) FROM mid)
+    |  UNION ALL SELECT 'sum_asof_v5',
+    |    (SELECT CAST(sum(te) AS BIGINT) FROM mid)
+    |      - (SELECT total_events FROM daily WHERE event_date = DATE '2024-01-03')
+    |      + 100
+    |  UNION ALL SELECT 'sum_current', (SELECT CAST(sum(te) AS BIGINT) FROM fin)
+    |  UNION ALL SELECT 'upd2_positions', 1
+    |  UNION ALL SELECT 'upd2_prior_carried', 4
+    |  UNION ALL SELECT 'upd2_target_origin_v3', 1
+    |  UNION ALL SELECT 'upd_delta_rows', 1
+    |  UNION ALL SELECT 'upd_prior_carried', 3
+    |  UNION ALL SELECT 'upd_sidecar_positions', 1
+    |  UNION ALL SELECT 'versions_before_compact', 6
     |)
     |ORDER BY metric""".stripMargin
 
@@ -2364,7 +2530,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         val dels = Snapshots.liveDeletes(tablePath, v)
         val eqs = Snapshots.liveEqDeletes(tablePath, v)
         lazy val groups = eraGroups(v)
-        if (dels.nonEmpty) {
+        if (dels.nonEmpty && eqs.isEmpty) {
           // live merge-on-read deletes (current OR time-travel view):
           // route through the merge scan — clean files keep the stock
           // pushdown path, affected files read whole with their
@@ -2401,11 +2567,13 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
             unifiedSchema = unified, stats = stats)
         } else if (eqs.nonEmpty) {
           // live EQUALITY deletes (the keyed-upsert retraction
-          // flavor): files under some entry's bound read whole with
-          // matching-key rows dropped; post-upsert appends keep the
-          // stock pushdown path. Exact-count/limit surfaces refuse
-          // (matches unknown without scanning); bounds file pruning
-          // stays live.
+          // flavor), possibly COMPOSED with positional sidecars (the
+          // Iceberg format-v2 single-scan merge of both delete file
+          // kinds): files under some entry's bound or with recorded
+          // positions read whole with matching-key rows dropped and
+          // positions skipped; untouched appends keep the stock
+          // pushdown path. Exact-count/limit surfaces refuse (matches
+          // unknown without scanning); bounds file pruning stays live.
           // the reader extracts key tuples at ONE set of column
           // indices — heterogeneous key sets would silently skip the
           // later entries' retractions. upsertBatch refuses mixed
@@ -2414,6 +2582,8 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
             s"$qualifiedName: live equality-delete entries disagree on key " +
               s"columns (${eqs.map(_.cols.mkString("+")).distinct.mkString(", ")}) — " +
               "run Snapshots.compact() first")
+          require(groups.isEmpty, s"$qualifiedName: live delete entries " +
+            "and live rename eras cannot coexist (corrupted metadata?)")
           val stateKey = Snapshots.deleteStateKey(tablePath, v)
           val keySets = eqs.map(e =>
             EqDeletes.keySet(spark, tablePath, e, stateKey))
@@ -2426,7 +2596,9 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
           val stats = Snapshots.stateComponents(tablePath, v)
             .collect { case Right((p, st)) => p -> st }.toMap
           new GraftEqScanBuilder(this, files, eqs, suffixKeys, options,
-            unified, stats, tablePath)
+            unified, stats, tablePath,
+            skips = MorDeletes.positions(spark, tablePath, dels,
+              Snapshots.deleteStateKey(tablePath, v)))
         } else if (groups.isDefined) {
           // live rename eras (current OR pinned view spanning a
           // rename): the era-split union scan — per-era name mapping,
@@ -2483,10 +2655,11 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         Snapshots.readSet(tablePath, vs.last), info, Long.MaxValue)
     else {
       val reader = spark.read.option("mergeSchema", "true")
-      Snapshots.applyDeletes(
+      Snapshots.applyAllDeletes(
         declaredSchema.fold(reader)(reader.schema)
           .parquet(Snapshots.readSet(tablePath, vs.last): _*),
-        tablePath, Snapshots.liveDeletes(tablePath, vs.last))
+        tablePath, Snapshots.liveDeletes(tablePath, vs.last),
+        Snapshots.liveEqDeletes(tablePath, vs.last))
     }
   }
 
@@ -2510,16 +2683,16 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(pinned.isEmpty, s"cannot DELETE from a time-travel view of $qualifiedName")
-    Snapshots.versions(tablePath).lastOption.foreach(v =>
-      require(Snapshots.liveEqDeletes(tablePath, v).isEmpty,
-        s"cannot DELETE from $qualifiedName while equality-delete entries are live " +
-          "(a rewrite would resurrect retracted rows) — run Snapshots.compact() first"))
     import org.apache.spark.sql.functions.{lit, not}
     val cond = filters.toSeq.flatMap(GraftSourceFilters.toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     val vs = Snapshots.versions(tablePath)
     require(vs.nonEmpty, s"$qualifiedName has no current snapshot")
     val priorDels = Snapshots.liveDeletes(tablePath, vs.last)
+    // live equality entries COMPOSE: every read below merges them out
+    // (rewrites materialize the retractions), and carried-ref commits
+    // keep the surviving entries riding their manifests
+    val priorEqs = Snapshots.liveEqDeletes(tablePath, vs.last)
     // pruning with the TRANSLATED SUBSET of conjuncts is sound for the
     // carry test (a file failing any conjunct fails the conjunction);
     // the drop test additionally needs EVERY conjunct modeled — an
@@ -2566,9 +2739,9 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         Snapshots.eraRead(spark, tablePath, files, info, Long.MaxValue)
       else {
         val reader = spark.read.option("mergeSchema", "true")
-        Snapshots.applyDeletes(
+        Snapshots.applyAllDeletes(
           declaredSchema.fold(reader)(reader.schema).parquet(paths: _*),
-          tablePath, priorDels)
+          tablePath, priorDels, priorEqs)
       }
     }
     if (rewrite.isEmpty && carried.isEmpty) {
@@ -2578,9 +2751,10 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       Snapshots.writeSnapshot(empty, tablePath, operation = "delete")
     } else if (rewrite.isEmpty) {
       // metadata-only delete: no file read, no Spark job; prior delete
-      // entries follow their surviving targets
+      // entries (both flavors) follow their surviving targets
       Snapshots.commitCow(spark, tablePath, v, "delete", carried,
-        deletes = MorDeletes.retarget(priorDels, carried.map(_.name).toSet))
+        deletes = MorDeletes.retarget(priorDels, carried.map(_.name).toSet),
+        eqDeletes = Snapshots.survivingEqEntries(priorEqs, carried))
     } else if (morMode && statlessFiles.isEmpty) {
       // MERGE-ON-READ: rewrite NOTHING — one read-only job finds the
       // positions of matching LIVE rows in the straddled files and
@@ -2590,10 +2764,15 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       // delete falls through to the copy-on-write rewrite below.)
       val sidecarDir = s"v=$v/_deletes"
       val reader = spark.read.option("mergeSchema", "true")
-      Snapshots.withLivePositions(
-          declaredSchema.fold(reader)(reader.schema)
-            .parquet(straddled((p, _) => p): _*),
-          tablePath, priorDels)
+      // the position scan sees only LIVE rows: prior positions are
+      // skipped and eq-retracted rows are merged out (their positions
+      // must not be re-recorded — they are already dead by key)
+      Snapshots.applyEqDeletesTagged(
+          Snapshots.withLivePositions(
+            declaredSchema.fold(reader)(reader.schema)
+              .parquet(straddled((p, _) => p): _*),
+            tablePath, priorDels),
+          tablePath, priorEqs)
         .filter(cond) // rows where the predicate IS TRUE are the deletions
         .select(org.apache.spark.sql.functions.col("__graft_del_ref").as("file"),
           org.apache.spark.sql.functions.col("__graft_del_pos").as("pos"))
@@ -2604,7 +2783,8 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       val entries = MorDeletes.retarget(priorDels, carriedAll.map(_.name).toSet) ++
         (if (targets.isEmpty) Nil
          else Seq(MorDeletes.DeleteFile(sidecarDir, targets)))
-      Snapshots.commitCow(spark, tablePath, v, "delete", carriedAll, deletes = entries)
+      Snapshots.commitCow(spark, tablePath, v, "delete", carriedAll, deletes = entries,
+        eqDeletes = Snapshots.survivingEqEntries(priorEqs, carriedAll))
     } else {
       // SQL DELETE removes rows where the condition is TRUE — rows
       // where it evaluates NULL (e.g. a NULL column compared with =)
@@ -2623,7 +2803,8 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         df.write.mode("errorifexists").option("compression", "snappy")
           .parquet(s"$tablePath/v=$v")
         Snapshots.commitCow(spark, tablePath, v, "delete", carried,
-          deletes = MorDeletes.retarget(priorDels, carried.map(_.name).toSet))
+          deletes = MorDeletes.retarget(priorDels, carried.map(_.name).toSet),
+          eqDeletes = Snapshots.survivingEqEntries(priorEqs, carried))
       }
     }
     ()
@@ -2671,12 +2852,10 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
           case Command.MERGE  => "spark.graft.merge.mode"
           case _              => "spark.graft.delete.mode"
         }
-        Snapshots.versions(tablePath).lastOption.foreach(v =>
-          require(Snapshots.liveEqDeletes(tablePath, v).isEmpty,
-            s"cannot run row-level DML on $qualifiedName while equality-delete " +
-              "entries are live (the rewrite scan does not merge them, so a " +
-              "rewritten file would resurrect retracted rows) — run " +
-              "Snapshots.compact() first"))
+        // live equality entries COMPOSE with row-level DML: the group
+        // scan merges them out (a rewrite materializes retractions, a
+        // delta op can never touch a retracted row), and both commit
+        // shapes keep the surviving entries riding their manifests
         val state = newCowState()
         val mor = spark.conf.get(modeKey, "copy-on-write") == "merge-on-read"
         // the delta (merge-on-read) op carries EVERY prior file by
@@ -2701,10 +2880,15 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
     Snapshots.versions(tablePath).lastOption
       .map { v =>
         val dels = Snapshots.liveDeletes(tablePath, v)
+        val eqs = Snapshots.liveEqDeletes(tablePath, v)
+        val stateKey = Snapshots.deleteStateKey(tablePath, v)
+        val keySets = eqs.map(e => EqDeletes.keySet(spark, tablePath, e, stateKey))
         new GraftCowState(tablePath, v, dels,
-          MorDeletes.positions(spark, tablePath, dels,
-            Snapshots.deleteStateKey(tablePath, v)),
-          renameInfo)
+          MorDeletes.positions(spark, tablePath, dels, stateKey),
+          renameInfo,
+          priorEq = eqs,
+          eqSuffixKeys = eqs.indices.map(i =>
+            keySets.drop(i).reduceLeft(_ ++ _)).toArray)
       }
 
   private[sources] def latestScanBuilder(options: CaseInsensitiveStringMap,
@@ -2761,7 +2945,9 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
             val carried = state.map(_.carried).getOrElse(Seq.empty)
             Snapshots.commitCow(sparkRef, tablePath, v, operation, carried,
               deletes = state.map(st => MorDeletes.retarget(
-                st.priorDeletes, carried.map(_.name).toSet)).getOrElse(Nil))
+                st.priorDeletes, carried.map(_.name).toSet)).getOrElse(Nil),
+              eqDeletes = state.map(st => Snapshots.survivingEqEntries(
+                st.priorEq, carried)).getOrElse(Nil))
           }
           override def abort(
               messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -2964,8 +3150,22 @@ private[sources] class GraftRowLevelOperation(
 private[sources] class GraftCowState(table: String, baseVersion: Long,
                                      val priorDeletes: Seq[MorDeletes.DeleteFile] = Nil,
                                      val skips: Map[String, Array[Long]] = Map.empty,
-                                     val renames: RenameEras.Info = RenameEras.Empty) {
+                                     val renames: RenameEras.Info = RenameEras.Empty,
+                                     val priorEq: Seq[EqDeletes.EqDelete] = Nil,
+                                     val eqSuffixKeys: Array[Set[Seq[Any]]] = Array.empty) {
   import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Key columns of the live equality entries (one set per chain —
+    * upsertBatch enforces it); empty when none live. */
+  def eqKeyCols: Seq[String] = priorEq.headOption.map(_.cols).getOrElse(Nil)
+
+  /** First applicable equality-entry index for a group file's
+    * root-relative ref (entries sorted by bound ascending — the
+    * suffix from there applies); -1 when the file's origin is above
+    * every bound. */
+  def eqSuffixOfRef(ref: String): Int =
+    if (priorEq.isEmpty) -1
+    else priorEq.indexWhere(_.bound >= RenameEras.fileVersionOf(ref))
 
   /** Era mapping of one group file under CURRENT output names. */
   def eraMapping(path: String): Map[String, String] =
@@ -3103,6 +3303,29 @@ private[sources] class GraftCowScan(table: GraftSnapshotTable,
     * file provably unaffected — the rewrite writes nothing and the
     * commit carries everything). Era groups scan with their own
     * physical names, positionally aligned with the output schema. */
+  /** What the inner parquet scans READ: the plan's pruned columns
+    * plus any live equality-delete KEY columns the pruning dropped —
+    * the reader needs them to evaluate retraction membership, then
+    * projects them back out ([[eqProj]]). Identity when no equality
+    * entries live. */
+  private def scanData: Option[StructType] = prunedData.map { s =>
+    val missing = state.eqKeyCols.filterNot(s.fieldNames.contains)
+    if (missing.isEmpty) s
+    else StructType(s.fields ++
+      missing.map(c => table.schema()(table.schema().fieldIndex(c))))
+  }
+
+  /** (keyIdx into the read schema, output projection into the read
+    * schema) for the equality merge; empty when no entries live. */
+  private def eqProj: (Array[Int], Array[Int]) =
+    if (state.priorEq.isEmpty) (Array.empty, Array.empty)
+    else {
+      val read = scanData.getOrElse(table.schema())
+      val out = prunedData.getOrElse(table.schema())
+      (state.eqKeyCols.map(read.fieldIndex).toArray,
+        out.fieldNames.map(read.fieldIndex))
+    }
+
   private def buildInner(): Seq[(Map[String, String], Scan)] = {
     val files = state.groupFiles
     if (files.isEmpty) Seq.empty
@@ -3111,7 +3334,7 @@ private[sources] class GraftCowScan(table: GraftSnapshotTable,
         if (mapping.isEmpty) table.builderOverFiles(fs, options)
         else table.builderOverFilesAs(fs, options,
           RenameEras.physicalSchema(table.schema(), mapping))
-      prunedData.foreach { s =>
+      scanData.foreach { s =>
         b match {
           case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
             p.pruneColumns(RenameEras.physicalSchema(s, mapping))
@@ -3179,9 +3402,12 @@ private[sources] class GraftCowScan(table: GraftSnapshotTable,
   }
 
   private def dataSchema: StructType = inner match {
-    // single aligned era: the negotiated parquet schema, as before
-    case Seq((m, s)) if m.isEmpty => s.readSchema()
-    // era union (or empty group): the OUTPUT names the plan requested
+    // single aligned era, no equality merge: the negotiated parquet
+    // schema, as before
+    case Seq((m, s)) if m.isEmpty && state.priorEq.isEmpty => s.readSchema()
+    // era union, empty group, or an equality merge whose reader
+    // projects appended key columns back out: the OUTPUT the plan
+    // requested
     case _ => prunedData.getOrElse(table.schema())
   }
 
@@ -3211,11 +3437,17 @@ private[sources] class GraftCowScan(table: GraftSnapshotTable,
   private def effectiveBatch: Option[Batch] = {
     if (inner.isEmpty) return None
     val eras = inner.exists(_._1.nonEmpty)
+    val (keyIdx, projIdx) = eqProj
     val batches = inner.map { case (_, s) =>
       // era unions always regroup whole-file + row-based (uniform
       // partitions; the union's readers must agree on mode)
-      if (includeGroup || includePos || state.skips.nonEmpty || eras)
-        GraftFileTag.tagSkip(s.toBatch, state.skips, includeGroup, includePos)
+      if (includeGroup || includePos || state.skips.nonEmpty || eras ||
+          state.priorEq.nonEmpty)
+        GraftFileTag.tagSkip(s.toBatch, state.skips, includeGroup, includePos,
+          eqSuffixOf = state.eqSuffixOfRef, eqSuffixKeys = state.eqSuffixKeys,
+          eqKeyIdx = keyIdx, eqProjIdx = projIdx,
+          eqProjTypes = prunedData.getOrElse(table.schema())
+            .fields.map(_.dataType))
       else s.toBatch
     }
     Some(if (batches.size == 1) batches.head else GraftBatchUnion(batches))
@@ -3362,11 +3594,13 @@ private[graft] object GraftFileTag {
   }
 
   /** One whole data file + its delete positions + which row-identity
-    * columns to append (file ref and/or physical position). */
+    * columns to append (file ref and/or physical position) + the
+    * file's applicable equality-delete suffix (-1 = none). */
   final case class SkipTagPartition(
       inner: org.apache.spark.sql.execution.datasources.FilePartition,
       fileRef: String, skip: Array[Long],
-      includeTag: Boolean, includePos: Boolean = false) extends InputPartition {
+      includeTag: Boolean, includePos: Boolean = false,
+      eqSuffix: Int = -1) extends InputPartition {
     override def preferredLocations(): Array[String] = inner.preferredLocations()
   }
 
@@ -3377,23 +3611,42 @@ private[graft] object GraftFileTag {
     * position space); the group scan builder forwards no filters to
     * parquet by design. The emitted position counts SKIPPED rows too —
     * it is the physical file position, the exact coordinate a new
-    * positional delete sidecar must record. */
+    * positional delete sidecar must record.
+    *
+    * When equality-delete entries are live (`eqKeyIdx` non-empty),
+    * rows whose key tuple sits in the file's applicable suffix key
+    * set are dropped AFTER position counting (their coordinates stay
+    * physical — they are dead by key, not renumbered), and the key
+    * columns the scan appended for membership evaluation are
+    * projected back out via `eqProjIdx`/`eqProjTypes`. */
   def tagSkip(innerBatch: Batch, skips: Map[String, Array[Long]],
-              includeTag: Boolean, includePos: Boolean = false): Batch = new Batch {
+              includeTag: Boolean, includePos: Boolean = false,
+              eqSuffixOf: String => Int = _ => -1,
+              eqSuffixKeys: Array[Set[Seq[Any]]] = Array.empty,
+              eqKeyIdx: Array[Int] = Array.empty,
+              eqProjIdx: Array[Int] = Array.empty,
+              eqProjTypes: Array[org.apache.spark.sql.types.DataType] = Array.empty)
+      : Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       MorDeletes.wholeFileGroups(innerBatch.planInputPartitions())
         .map { case (fileRef, fp) =>
           SkipTagPartition(fp, fileRef,
-            skips.getOrElse(fileRef, Array.empty), includeTag, includePos): InputPartition
+            skips.getOrElse(fileRef, Array.empty), includeTag, includePos,
+            eqSuffix = if (eqKeyIdx.isEmpty) -1 else eqSuffixOf(fileRef)): InputPartition
         }
 
     override def createReaderFactory(): PartitionReaderFactory = {
       val inner = innerBatch.createReaderFactory()
+      val suffixKeys = eqSuffixKeys
+      val keyIdx = eqKeyIdx
+      val projIdx = eqProjIdx
+      val projTypes = eqProjTypes
       new PartitionReaderFactory {
         override def supportColumnarReads(p: InputPartition): Boolean = false
         override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
-          case SkipTagPartition(fp, fileRef, skip, withTag, withPos) =>
+          case SkipTagPartition(fp, fileRef, skip, withTag, withPos, eqSuffix) =>
             val r = inner.createReader(fp)
+            val keySet = if (eqSuffix >= 0) suffixKeys(eqSuffix) else null
             new PartitionReader[InternalRow] {
               private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
               // tag row shape follows readSchema: [file][pos]
@@ -3403,21 +3656,42 @@ private[graft] object GraftFileTag {
               if (withTag)
                 tag.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(fileRef))
               private val posIdx = if (withTag) 1 else 0
+              // reusable projection row: the scan read (pruned + key)
+              // columns; the plan's output is the pruned set only
+              private val proj =
+                if (keyIdx.isEmpty) null
+                else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(projIdx.length)
               private var pos = -1L
               private var si = 0
               override def next(): Boolean = {
                 while (r.next()) {
                   pos += 1
                   if (si < skip.length && skip(si) == pos) si += 1
-                  else return true
+                  else if (keySet == null) return true
+                  else {
+                    val key = GraftEqScan.keyOf(r.get(), keyIdx, keySet.headOption)
+                    if (key == null || !keySet.contains(key)) return true
+                  }
                 }
                 false
               }
+              private def dataRow: InternalRow =
+                if (proj == null) r.get()
+                else {
+                  val row = r.get()
+                  var i = 0
+                  while (i < projIdx.length) {
+                    proj.update(i, if (row.isNullAt(projIdx(i))) null
+                      else row.get(projIdx(i), projTypes(i)))
+                    i += 1
+                  }
+                  proj
+                }
               override def get(): InternalRow =
-                if (width == 0) r.get()
+                if (width == 0) dataRow
                 else {
                   if (withPos) tag.setLong(posIdx, pos)
-                  joined(r.get(), tag)
+                  joined(dataRow, tag)
                 }
               override def close(): Unit = r.close()
             }

@@ -206,7 +206,11 @@ private[sources] class GraftDeltaWrite(
             (if (targets.isEmpty) Nil
              else Seq(MorDeletes.DeleteFile(sidecarDir, targets)))
         Snapshots.commitCow(sparkRef, tablePath, v, operation, carried,
-          deletes = entries)
+          deletes = entries,
+          // composition: live equality entries ride along (every prior
+          // file is carried, so they all keep applying; the insert
+          // delta's origin is this version — above every bound)
+          eqDeletes = Snapshots.survivingEqEntries(state.priorEq, carried))
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -328,6 +328,20 @@ object Snapshots {
       .sortBy(_.bound)
   }
 
+  /** Equality entries surviving a carried-ref commit: an entry stays
+    * live iff some carried file's ORIGIN version sits at or below its
+    * bound (rewritten files take origin = the new version, above
+    * every bound — immune by construction; an entry no carried file
+    * can satisfy is dead weight and drops from the manifest). */
+  private[sources] def survivingEqEntries(entries: Seq[EqDeletes.EqDelete],
+      carried: Seq[FileStats.FileStat]): Seq[EqDeletes.EqDelete] = {
+    if (entries.isEmpty) Nil
+    else {
+      val origins = carried.map(f => RenameEras.fileVersionOf(f.name))
+      entries.filter(e => origins.exists(_ <= e.bound))
+    }
+  }
+
   /** One keyed UPSERT delivery (the streaming CDC shape — Iceberg v2
     * equality deletes): retract every prior row whose `keys` tuple
     * appears in `rows`, then append `rows` — committed as ONE
@@ -351,9 +365,11 @@ object Snapshots {
     }
     val vs = versions(table)
     if (vs.isEmpty) return writeSnapshot(rows, table, streamTag = streamTag)
-    require(liveDeletes(table, vs.last).isEmpty,
-      s"upsert into $table: positional delete sidecars are live — run " +
-        "Snapshots.compact() first (the two delete flavors do not compose)")
+    // positional sidecars COMPOSE with equality entries (both flavors
+    // accumulate down one chain; readers apply the equality merge by
+    // key+bound and the position skip independently per row) — only
+    // rename eras still refuse: the merge scans resolve key columns
+    // at ONE set of physical names, which era-spanning files break
     require(renameInfoOf(table).isEmpty ||
       !erasActive(table, vs.last, renameInfoOf(table), Long.MaxValue),
       s"upsert into $table: rename eras are live — run Snapshots.compact() first")
@@ -429,27 +445,46 @@ object Snapshots {
       streamTag = Some((streamId, batchId))); () }
   }
 
-  /** Read-time equality merge at the DataFrame level: one broadcast
-    * anti-join of the data rows against the union of live key sidecars,
-    * with each entry's origin-version BOUND as a join condition — a
-    * row dies iff its key matches some entry whose bound covers its
+  /** BOTH delete flavors merged at the DataFrame level — the library
+    * read path's single-scan composition (Iceberg format-v2 readers
+    * merge position AND equality delete files in one pass): tag each
+    * row with its file ref + physical position once, anti-join the
+    * positional sidecars on `(ref, pos)`, anti-join the equality key
+    * sidecars on `(key tuple, origin ≤ bound)`, then project the
+    * caller's columns back out. The two merges are independent
+    * per-row predicates (a row dies if EITHER flavor kills it), so
+    * order is immaterial; both join sides are KB–MB by policy and
+    * broadcast. */
+  private[sources] def applyAllDeletes(df: DataFrame, table: String,
+                                       dels: Seq[MorDeletes.DeleteFile],
+                                       eqs: Seq[EqDeletes.EqDelete]): DataFrame = {
+    if (dels.isEmpty && eqs.isEmpty) return df
+    val out = df.columns.toSeq
+    applyEqDeletesTagged(withLivePositions(df, table, dels), table, eqs)
+      .select(out.map(col): _*)
+  }
+
+  /** Read-time equality merge over a frame already carrying the
+    * `__graft_del_ref` file-ref column ([[withLivePositions]]'s
+    * tagging — which resolves `_metadata` on the file-source relation
+    * BEFORE any join, the only place it can): one broadcast anti-join
+    * of the data rows against the union of live key sidecars, with
+    * each entry's origin-version BOUND as a join condition — a row
+    * dies iff its key matches some entry whose bound covers its
     * file's origin version. Distributed; the key side is small by the
-    * upsert policy. */
-  private[sources] def applyEqDeletes(df: DataFrame, table: String,
-                                      dels: Seq[EqDeletes.EqDelete]): DataFrame = {
-    if (dels.isEmpty) return df
-    val spark = df.sparkSession
+    * upsert volume guards. */
+  private[sources] def applyEqDeletesTagged(t: DataFrame, table: String,
+                                            dels: Seq[EqDeletes.EqDelete]): DataFrame = {
+    if (dels.isEmpty) return t
+    val spark = t.sparkSession
     val cols0 = dels.head.cols
     require(dels.forall(_.cols == cols0),
       s"$table: equality-delete entries disagree on key columns")
-    val out = df.columns.toSeq
-    // origin = the LAST `v=N` path segment (greedy prefix), NOT the
-    // segment adjacent to the basename: laid-out tables nest files
-    // under `v=N/<partCol>=K/part.parquet`, where a basename-adjacent
-    // parse returns '' → NULL origin → the bound condition never
-    // matches and retractions silently vanish from library reads
-    val tagged = df.withColumn("__graft_eq_origin",
-      expr("CAST(regexp_extract(_metadata.file_path, '.*/v=(\\\\d+)/', 1) AS BIGINT)"))
+    // origin = the ref's LEADING `v=N` segment (the ref itself starts
+    // at the file's LAST `/v=` path segment, so laid-out subdirs like
+    // `v=N/<partCol>=K/part.parquet` parse correctly)
+    val tagged = t.withColumn("__graft_eq_origin",
+      expr("CAST(regexp_extract(__graft_del_ref, '^v=(\\\\d+)/', 1) AS BIGINT)"))
     val keyFrames = dels.map { d =>
       spark.read.parquet(s"$table/${d.dir}")
         .select(cols0.map(c => col(c).as(s"__graft_eq_$c")): _*)
@@ -460,7 +495,7 @@ object Snapshots {
       .reduceLeft(_ && _) &&
       tagged("__graft_eq_origin") <= delKeys("__graft_eq_bound")
     tagged.join(broadcast(delKeys), cond, "left_anti")
-      .select(out.map(col): _*)
+      .drop("__graft_eq_origin")
   }
 
   /** Data paths that make up the table state AS OF version `v`: the
@@ -639,8 +674,9 @@ object Snapshots {
                                  operation: String,
                                  carried: Seq[FileStats.FileStat],
                                  commitTsMs: Option[Long] = None,
-                                 deletes: Seq[MorDeletes.DeleteFile] = Nil): Unit = {
-    if (carried.isEmpty && deletes.isEmpty) {
+                                 deletes: Seq[MorDeletes.DeleteFile] = Nil,
+                                 eqDeletes: Seq[EqDeletes.EqDelete] = Nil): Unit = {
+    if (carried.isEmpty && deletes.isEmpty && eqDeletes.isEmpty) {
       commitFullState(spark, table, v, operation, commitTsMs); return
     }
     // every delete entry must target a carried file — a target that
@@ -671,8 +707,18 @@ object Snapshots {
     val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
     val delFrag =
       if (deletes.isEmpty) "" else s""","deletes":${MorDeletes.toJson(deletes)}"""
+    // live equality entries SURVIVE a carried-ref commit by riding its
+    // manifest (this commit is the chain's new anchoring full-state
+    // version, so [[liveEqDeletes]] reads them from here): carried
+    // files keep their original origin versions, so each entry's
+    // bound keeps selecting exactly the rows it always did, while
+    // rewritten files (origin = this version, above every bound) are
+    // immune — the composition invariant that lets positional DML run
+    // over a live upsert chain without materializing it
+    val eqFrag =
+      if (eqDeletes.isEmpty) "" else s""","eqdeletes":${EqDeletes.toJson(eqDeletes)}"""
     val manifest =
-      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}$delFrag$uuidFrag}"""
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}$delFrag$eqFrag$uuidFrag}"""
     Files.createDirectories(metaDir(table))
     Files.write(metaDir(table).resolve(s"$v.json"),
       manifest.getBytes(StandardCharsets.UTF_8))
@@ -819,10 +865,8 @@ object Snapshots {
       // invariant: rename refuses while sidecars live and MoR modes
       // refuse while eras live, so an era-active state carries none
       eraRead(spark, table, readSet(table, v), info, outV)
-    else applyEqDeletes(
-      applyDeletes(spark.read.parquet(readSet(table, v): _*), table,
-        liveDeletes(table, v)),
-      table, liveEqDeletes(table, v))
+    else applyAllDeletes(spark.read.parquet(readSet(table, v): _*), table,
+      liveDeletes(table, v), liveEqDeletes(table, v))
   }
 
   /** Small-file compaction (Iceberg `rewrite_data_files` shape): the
@@ -1438,7 +1482,10 @@ object Snapshots {
     // (deleting them would destroy main's current rows)
     val verSegL = "(?:^|/)v=(\\d+)(?:/|$)".r
     val carriedLive = versions(table)
-      .flatMap(v => readSet(table, v))
+      .flatMap(v => readSet(table, v) ++
+        // delete sidecar hosts are live too: a carried-ref commit can
+        // keep another version's sidecar dirs load-bearing
+        liveDeletes(table, v).map(_.dir) ++ liveEqDeletes(table, v).map(_.dir))
       .flatMap(p => verSegL.findAllMatchIn(p).map(_.group(1).toLong))
     val live = (versions(table) ++ allBranchVersions(table) ++ carriedLive).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -1526,7 +1573,10 @@ object Snapshots {
     // — expiring that version would silently resurrect deleted rows)
     val pinnedDirs = (retained
       .flatMap(v => readSet(table, v) ++
-        liveDeletes(table, v).map(_.dir)) ++
+        liveDeletes(table, v).map(_.dir) ++
+        // equality sidecars too: a carried-ref commit keeps entries
+        // live long after their own version fell out of the window
+        liveEqDeletes(table, v).map(_.dir)) ++
       // branches are refs too: a live branch still READS its fork-base
       // state — expiring those directories would corrupt every branch
       // read and the eventual fast-forward publish

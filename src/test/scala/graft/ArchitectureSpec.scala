@@ -80,7 +80,10 @@ class ArchitectureSpec extends AnyFunSuite {
     //   expire) plus two 1-row count/sum aggregates, and
     //   (l) branchWapOver six: two CALL reports and four 1-row
     //   count/sum aggregates (staged main, audit frame, published,
-    //   pinned) — all metadata-plane by design
+    //   pinned), and (m) deleteComposeOver five 1-row count/sum
+    //   aggregates (current SQL + library, AS OF v3/v5, post-compact
+    //   — the composed-delete-flavor oracle replays each from
+    //   silver) — all metadata-plane by design
     // EqDeletes: the equality-delete KEY SET rides into scan planning
     //   driver-side (small by the upsert policy — the retraction keys
     //   of recent deliveries; compaction clears them), cached per
@@ -96,7 +99,7 @@ class ArchitectureSpec extends AnyFunSuite {
       // pre-existing metadata-plane read
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 2,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 34,
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 39,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,
       "EqDeletes.scala" -> 1, "GraftProcedures.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,

@@ -143,14 +143,13 @@ class EqDeletesSpec extends AnyFunSuite {
     assert(vs == Seq(0L, 1L, 2L, 3L, 4L, 80L, 90L), vs.toString)
   }
 
-  test("refusal guards: DML, rename and streaming under eq; upsert under sidecars/eras; key types") {
+  test("guards narrowed to the genuinely unsound: rename/streaming under eq and eras refuse; DML and sidecar mixes compose") {
     val tp = banded("grd")
     Snapshots.upsertBatch(spark, tp,
       spark.range(1, 2).selectExpr("id AS k", "id AS v"), Seq("k"))
-    val del = intercept[Exception](spark.sql(s"DELETE FROM $cat.grd.t WHERE k = 5"))
-    assert(del.getMessage.contains("equality-delete"), del.getMessage)
-    val upd = intercept[Exception](spark.sql(s"UPDATE $cat.grd.t SET v = 0 WHERE k = 5"))
-    assert(upd.getMessage.contains("equality-delete"), upd.getMessage)
+    // STILL refused — rename eras and delta-replay streaming are the
+    // genuinely unsound combinations (the merge scans resolve key
+    // columns at one set of physical names; retractions don't replay)
     val ren = intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.grd.t RENAME COLUMN v TO w"))
     assert(ren.getMessage.contains("equality-delete"), ren.getMessage)
@@ -163,19 +162,37 @@ class EqDeletesSpec extends AnyFunSuite {
     assert(streamErr.getMessage.contains("equality-delete") ||
       Option(streamErr.getCause).exists(_.getMessage.contains("equality-delete")),
       streamErr.getMessage)
+    // row-level DML now COMPOSES with live entries (r16; the full
+    // lifecycle is pinned in the composition test + oracle row): the
+    // rewrite materializes retractions, carried files keep the
+    // surviving entries riding the CoW manifest
+    spark.sql(s"DELETE FROM $cat.grd.t WHERE k = 5")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.grd.t").head().getLong(0) == 19)
+    assert(Snapshots.liveEqDeletes(tp, Snapshots.versions(tp).last).nonEmpty,
+      "the carried band still sits under the entry's bound — it must survive")
+    spark.sql(s"UPDATE $cat.grd.t SET v = 0 WHERE k = 6")
+    assert(spark.sql(s"SELECT v FROM $cat.grd.t WHERE k = 6").head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.grd.t WHERE k = 1 AND v = 1")
+      .head().getLong(0) == 1L, "the upserted row must survive DML")
     // plain INSERT (append) is allowed; OVERWRITE clears the entries
     spark.sql(s"INSERT INTO $cat.grd.t VALUES (50, 500)")
-    assert(spark.sql(s"SELECT count(*) FROM $cat.grd.t").head().getLong(0) == 21)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.grd.t").head().getLong(0) == 20)
     spark.sql(s"INSERT OVERWRITE $cat.grd.t SELECT * FROM __eq_grd_src")
     assert(Snapshots.liveEqDeletes(tp, Snapshots.versions(tp).last).isEmpty)
-    // upsert refuses under live positional sidecars
+    // upsert over live positional sidecars composes too (r16): the
+    // retraction lands as one fast-append, the sidecars stay anchored
     val tp2 = banded("grd2")
     spark.conf.set("spark.graft.delete.mode", "merge-on-read")
     try spark.sql(s"DELETE FROM $cat.grd2.t WHERE k = 1")
     finally spark.conf.set("spark.graft.delete.mode", "copy-on-write")
-    val mix = intercept[Exception](Snapshots.upsertBatch(spark, tp2,
-      spark.range(2, 3).selectExpr("id AS k", "id AS v"), Seq("k")))
-    assert(mix.getMessage.contains("positional"), mix.getMessage)
+    Snapshots.upsertBatch(spark, tp2,
+      spark.range(2, 3).selectExpr("id AS k", "id * 100 AS v"), Seq("k"))
+    assert(Snapshots.liveDeletes(tp2, Snapshots.versions(tp2).last).nonEmpty &&
+      Snapshots.liveEqDeletes(tp2, Snapshots.versions(tp2).last).nonEmpty,
+      "both flavors must be live at once")
+    val merged = spark.sql(s"SELECT count(*) AS c, sum(v) AS s FROM $cat.grd2.t").head()
+    assert(merged.getLong(0) == 19, merged) // 20 - deleted k=1; k=2 replaced
+    assert(merged.getLong(1) == (0L until 20L).map(_ * 10).sum - 10L - 20L + 200L, merged)
     // upsert refuses under live rename eras
     val tp3 = banded("grd3")
     spark.sql(s"ALTER TABLE $cat.grd3.t RENAME COLUMN v TO w")
@@ -300,6 +317,75 @@ class EqDeletesSpec extends AnyFunSuite {
     } finally {
       spark.conf.unset("spark.graft.eq.maxKeysPerDelivery")
       spark.conf.unset("spark.graft.eq.maxAccumulatedKeys")
+    }
+  }
+
+  /** Non-hidden data parquet files under a version dir (sidecar dirs
+    * like `_deletes`/`_eqdeletes` excluded). */
+  private def dataFilesIn(dir: String): Seq[String] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) Seq.empty
+    else scala.util.Using.resource(Files.walk(root)) { w =>
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString)
+        .filterNot(_.split('/').exists(_.startsWith("_")))
+        .toVector
+    }
+  }
+
+  test("composed lifecycle: upsert → MoR point-DELETE → MoR UPDATE, zero rewrites, no compact() between") {
+    val tp = banded("lfc") // v1 [0,10), v2 [10,20); v = k*10
+    // 1) keyed upsert: retract k∈{3,12}, deliver (3,333),(12,1212),(25,2525)
+    Snapshots.upsertBatch(spark, tp, spark.sql(
+      "SELECT * FROM VALUES (CAST(3 AS BIGINT), CAST(333 AS BIGINT)), " +
+        "(12, 1212), (25, 2525) AS t(k, v)"), Seq("k")) // v3
+    // 2) MoR point-DELETE k=7: positional sidecar over the live eq chain
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    spark.conf.set("spark.graft.update.mode", "merge-on-read")
+    try {
+      spark.sql(s"DELETE FROM $cat.lfc.t WHERE k = 7") // v4
+      val v4 = Snapshots.versions(tp).last
+      assert(dataFilesIn(s"$tp/v=$v4").isEmpty,
+        "MoR DELETE must write no data files (sidecar only)")
+      assert(Snapshots.liveDeletes(tp, v4).nonEmpty &&
+        Snapshots.liveEqDeletes(tp, v4).nonEmpty,
+        "both delete flavors must be live after the MoR DELETE")
+      // 3) MoR UPDATE k=15: delta op (old-row sidecar + insert delta)
+      spark.sql(s"UPDATE $cat.lfc.t SET v = 999 WHERE k = 15") // v5
+      val v5 = Snapshots.versions(tp).last
+      assert(dataFilesIn(s"$tp/v=$v5").size == 1,
+        "MoR UPDATE writes exactly the insert delta")
+      assert(Snapshots.liveDeletes(tp, v5).size == 2 &&
+        Snapshots.liveEqDeletes(tp, v5).size == 1,
+        "both positional sidecars and the eq entry must ride the delta commit")
+      // merged reads (SQL scan + library) agree on the composed state
+      val expect = ((0L until 20L).filterNot(k => k == 3 || k == 7 || k == 12 || k == 15)
+        .map(k => k -> k * 10) ++ Seq(3L -> 333L, 12L -> 1212L, 15L -> 999L, 25L -> 2525L))
+        .sortBy(_._1)
+      assert(kvs(s"$cat.lfc.t") == expect)
+      assert(Snapshots.readLatest(spark, tp).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq == expect)
+      // time travel through the chain stays exact
+      assert(spark.sql(s"SELECT v FROM $cat.lfc.t VERSION AS OF 3 WHERE k = 15")
+        .head().getLong(0) == 150L, "pre-UPDATE snapshot must show the old value")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.lfc.t VERSION AS OF 3 WHERE k = 7")
+        .head().getLong(0) == 1L, "pre-DELETE snapshot must still hold k=7")
+      assert(spark.sql(s"SELECT v FROM $cat.lfc.t VERSION AS OF 3 WHERE k = 3")
+        .head().getLong(0) == 333L, "the upsert applies from v3 on")
+      // filters push through the composed scan correctly
+      assert(spark.sql(s"SELECT sum(v) FROM $cat.lfc.t WHERE k >= 10")
+        .head().getLong(0) == expect.filter(_._1 >= 10).map(_._2).sum)
+      // compaction materializes everything; values identical
+      Snapshots.compact(spark, tp)
+      val cv = Snapshots.versions(tp).last
+      assert(Snapshots.liveDeletes(tp, cv).isEmpty &&
+        Snapshots.liveEqDeletes(tp, cv).isEmpty)
+      assert(kvs(s"$cat.lfc.t") == expect)
+    } finally {
+      spark.conf.set("spark.graft.delete.mode", "copy-on-write")
+      spark.conf.set("spark.graft.update.mode", "copy-on-write")
     }
   }
 
