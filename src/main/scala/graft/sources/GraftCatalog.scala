@@ -2358,6 +2358,109 @@ object GraftCatalog {
     |)
     |ORDER BY metric""".stripMargin
 
+  /** Driver query: the COMPLETE audit-fix-publish loop on branch refs
+    * (r16 — branch DML): a staged batch carries poison rows, the
+    * first `wapPublish` audit FAILS (main untouched), the fix runs ON
+    * THE BRANCH via `CALL graft.system.delete_from_branch` +
+    * `update_branch` (branch-local copy-on-write — `fix_del_carried=1`
+    * and `fix_upd_carried=1` pin that the provably-unaffected file
+    * was carried by reference, never read), main stays BIT-IDENTICAL
+    * through both fixes (`main_versions_during_fix=1` + replayed row
+    * count), and the second audit passes and publishes the fixed
+    * state as one zero-copy metadata commit (`publish_own_files=0`).
+    * Every row/sum replays from silver. */
+  def branchFixOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_bf_$n"
+    val path = s"$warehouseDir/marts/daily_bf_$n"
+    val v = s"__graft_bf_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v") // v1
+    s.sql(s"CALL graft.system.create_branch(table => 'marts.daily_bf_$n', branch => 'staging')")
+    // staged batch: the band PLUS two poison rows (negative totals)
+    Snapshots.appendToBranch(s, path, "staging", s.sql(
+      s"""SELECT /*+ COALESCE(1) */ * FROM (
+         SELECT event_date, total_events FROM $v
+         WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'
+         UNION ALL SELECT DATE '2030-01-01', CAST(-5 AS BIGINT)
+         UNION ALL SELECT DATE '2030-01-02', CAST(-6 AS BIGINT))""")) // v2, branch
+    val checks = (df: org.apache.spark.sql.DataFrame) =>
+      Seq(graft.quality.DataChecks.Check("non_negative", df.filter("total_events < 0")))
+    val auditFailed =
+      try { Snapshots.wapPublish(s, path, "staging", checks); 0L }
+      catch { case e: IllegalStateException if e.getMessage.contains("non_negative") => 1L }
+    // FIX ON THE BRANCH (SQL surface): delete the poison, adjust a date
+    val dv = s.sql(s"CALL graft.system.delete_from_branch(table => 'marts.daily_bf_$n', " +
+      "branch => 'staging', condition => 'total_events < 0')").collect()(0).getLong(1)
+    def branchCarried(bv: Long): Long = FileStats.carriedFromManifest(new String(
+      Files.readAllBytes(Paths.get(path, "_meta", "branches", "staging", s"$bv.json")),
+      StandardCharsets.UTF_8)).size.toLong
+    val fixDelCarried = branchCarried(dv)
+    val uv = s.sql(s"CALL graft.system.update_branch(table => 'marts.daily_bf_$n', " +
+      "branch => 'staging', set_column => 'total_events', " +
+      "set_expr => 'total_events + 7', condition => \"event_date = DATE '2024-01-03'\")")
+      .collect()(0).getLong(1)
+    val fixUpdCarried = branchCarried(uv)
+    // main bit-identical through both fixes
+    val mainDuring = s.sql(s"SELECT count(*) AS c FROM $t").collect()(0).getLong(0)
+    val mainVersionsDuring = Snapshots.versions(path).size.toLong
+    val auditClean = Snapshots.readBranch(s, path, "staging")
+      .filter("total_events < 0").count()
+    val (pv, _) = Snapshots.wapPublish(s, path, "staging", checks)
+    val publishOwn = Snapshots.expandParquet(s"$path/v=$pv").size.toLong
+    val publishCarried = Snapshots.carriedOf(path, pv).size.toLong
+    val cur = s.sql(s"SELECT count(*) AS c, CAST(sum(total_events) AS BIGINT) AS se FROM $t").collect()(0)
+    val pinned = s.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF 1").collect()(0)
+    import s.implicits._
+    Seq(
+      "audit_failed_first" -> auditFailed,
+      "audit_negatives_after_fix" -> auditClean,
+      "fix_del_carried" -> fixDelCarried,
+      "fix_del_version" -> dv,
+      "fix_upd_carried" -> fixUpdCarried,
+      "fix_upd_version" -> uv,
+      "main_rows_during_fix" -> mainDuring,
+      "main_versions_during_fix" -> mainVersionsDuring,
+      "pinned_rows" -> pinned.getLong(0),
+      "publish_carried_files" -> publishCarried,
+      "publish_own_files" -> publishOwn,
+      "publish_version" -> pv,
+      "published_rows" -> cur.getLong(0),
+      "published_sum_events" -> cur.getLong(1))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[branchFixOver]]: commit structure as
+    * constants (shared version sequence v1..v5, one carried file per
+    * fix, zero-copy publish), rows/sums replayed from silver through
+    * the poison-delete and the +7 update. */
+  val branchFixSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, band AS (SELECT * FROM daily
+    |   WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18')
+    |SELECT * FROM (
+    |  SELECT 'audit_failed_first' AS metric, CAST(1 AS BIGINT) AS value
+    |  UNION ALL SELECT 'audit_negatives_after_fix', 0
+    |  UNION ALL SELECT 'fix_del_carried', 1
+    |  UNION ALL SELECT 'fix_del_version', 3
+    |  UNION ALL SELECT 'fix_upd_carried', 1
+    |  UNION ALL SELECT 'fix_upd_version', 4
+    |  UNION ALL SELECT 'main_rows_during_fix', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'main_versions_during_fix', 1
+    |  UNION ALL SELECT 'pinned_rows', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'publish_carried_files', 2
+    |  UNION ALL SELECT 'publish_own_files', 0
+    |  UNION ALL SELECT 'publish_version', 5
+    |  UNION ALL SELECT 'published_rows',
+    |    (SELECT count(*) FROM daily) + (SELECT count(*) FROM band)
+    |  UNION ALL SELECT 'published_sum_events',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily)
+    |      + (SELECT CAST(sum(total_events) AS BIGINT) FROM band) + 7
+    |)
+    |ORDER BY metric""".stripMargin
+
   /** DuckDB oracle for [[mergePruneOver]]. */
   val mergePruneSql: String = graft.marts.SilverEvents.oracleCte + """
     |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)

@@ -181,6 +181,41 @@ private[sources] object GraftProcedures {
         Snapshots.dropBranch(s,
           cat.resolveTablePath(in.getUTF8String(0).toString), name)
         Array(new GenericInternalRow(Array[Any](utf8(name), utf8("dropped"))))
+      }),
+    Spec("rebase_branch",
+      "move the branch's fork base to the main head (append-only histories only)",
+      Seq(p("table", StringType), p("branch", StringType)),
+      out("branch" -> StringType, "base" -> LongType),
+      (cat, s, in) => {
+        val name = in.getUTF8String(1).toString
+        val base = Snapshots.rebaseBranch(s,
+          cat.resolveTablePath(in.getUTF8String(0).toString), name)
+        Array(new GenericInternalRow(Array[Any](utf8(name), base)))
+      }),
+    Spec("delete_from_branch",
+      "branch-local copy-on-write DELETE of rows where the condition is true (the WAP audit-fix verb)",
+      Seq(p("table", StringType), p("branch", StringType), p("condition", StringType)),
+      out("branch" -> StringType, "version" -> LongType),
+      (cat, s, in) => {
+        val name = in.getUTF8String(1).toString
+        val v = Snapshots.deleteFromBranch(s,
+          cat.resolveTablePath(in.getUTF8String(0).toString), name,
+          in.getUTF8String(2).toString)
+        Array(new GenericInternalRow(Array[Any](utf8(name), v)))
+      }),
+    Spec("update_branch",
+      "branch-local copy-on-write UPDATE: set column := expression on rows where the condition is true",
+      Seq(p("table", StringType), p("branch", StringType),
+        p("set_column", StringType), p("set_expr", StringType),
+        p("condition", StringType)),
+      out("branch" -> StringType, "version" -> LongType),
+      (cat, s, in) => {
+        val name = in.getUTF8String(1).toString
+        val v = Snapshots.updateBranch(s,
+          cat.resolveTablePath(in.getUTF8String(0).toString), name,
+          Map(in.getUTF8String(2).toString -> in.getUTF8String(3).toString),
+          in.getUTF8String(4).toString)
+        Array(new GenericInternalRow(Array[Any](utf8(name), v)))
       }))
 
   private val byName: Map[String, Spec] = specs.map(s => s.name -> s).toMap

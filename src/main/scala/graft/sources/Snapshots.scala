@@ -1333,14 +1333,45 @@ object Snapshots {
     v
   }
 
-  /** Data paths of branch `name`'s state: the fork-base main read set
-    * plus every branch append directory. */
-  private[sources] def branchReadSet(table: String, name: String): Seq[String] = {
+  private def branchOpOf(table: String, name: String, v: Long): String =
+    "\"operation\":\"([^\"]+)\"".r
+      .findFirstMatchIn(branchManifestText(table, name, v))
+      .map(_.group(1)).getOrElse("append")
+
+  /** Branch `name`'s state broken into prunable components, exactly
+    * like [[stateComponents]] for main: anchored at the last
+    * branch-local COW commit when one exists (its carried refs + own
+    * files + later branch appends), else at the fork-base main state
+    * plus every branch append. */
+  private[sources] def branchStateComponents(table: String, name: String)
+      : Seq[Either[String, (String, FileStats.FileStat)]] = {
     val branches = branchesOf(table)
     require(branches.contains(name), s"no branch $name of $table (branches: ${
       branches.keys.toSeq.sorted.mkString(",")})")
-    val dirs = readSet(table, branches(name)) ++
-      branchVersions(table, name).map(v => s"$table/v=$v")
+    val bvs = branchVersions(table, name)
+    def ownComps(v: Long): Seq[Either[String, (String, FileStats.FileStat)]] =
+      FileStats.fromManifest(branchManifestText(table, name, v)) match {
+        case Some(fs) => fs.map(f => Right((s"$table/v=$v/${f.name}", f)))
+        case None =>
+          val d = s"$table/v=$v"
+          if (expandParquet(d).isEmpty) Seq.empty else Seq(Left(d))
+      }
+    bvs.reverse.find(v => branchOpOf(table, name, v) != "append") match {
+      case Some(anchor) =>
+        FileStats.carriedFromManifest(branchManifestText(table, name, anchor))
+          .map(f => Right((s"$table/${f.name}", f)): Either[String, (String, FileStats.FileStat)]) ++
+          ownComps(anchor) ++ bvs.filter(_ > anchor).flatMap(ownComps)
+      case None =>
+        stateComponents(table, branches(name)) ++ bvs.flatMap(ownComps)
+    }
+  }
+
+  /** Data paths of branch `name`'s state. */
+  private[sources] def branchReadSet(table: String, name: String): Seq[String] = {
+    val dirs = branchStateComponents(table, name).map {
+      case Left(d) => d
+      case Right((p, _)) => p
+    }
     if (!everLaidOut(table)) dirs
     else dirs.flatMap(p => if (p.endsWith(".parquet")) Seq(p) else expandParquet(p))
   }
@@ -1356,6 +1387,167 @@ object Snapshots {
     val reader = spark.read.option("mergeSchema", "true")
     declaredCleanOf(table).fold(reader)(reader.schema)
       .parquet(branchReadSet(table, name): _*)
+  }
+
+  /** DELETE on a branch (r16 — the audit-fix half of the WAP loop:
+    * an audit that finds bad STAGED rows fixes them on the branch and
+    * publishes, instead of dropping and restaging): copy-on-write
+    * WITHIN the branch — files whose manifest bounds provably cannot
+    * hold a matching row are carried by reference (never read), the
+    * rest rewrite with the predicate filtered out, and the commit is
+    * a branch-local `cow` manifest that anchors the branch's own
+    * chain. Main is untouched — bit-identical — throughout.
+    * `condSql` is an ANSI boolean expression over the table's
+    * columns; rows where it is TRUE are deleted (NULL survives, SQL
+    * DELETE semantics). Returns the branch commit version. */
+  def deleteFromBranch(spark: SparkSession, table: String, name: String,
+                       condSql: String): Long =
+    branchDml(spark, table, name, condSql, "delete",
+      (df, cond) => df.filter(!(cond <=> lit(true))))
+
+  /** UPDATE on a branch: `assignments` maps column name → ANSI SQL
+    * expression (evaluated over the old row); rows where `condSql` is
+    * TRUE take the assignments, all others pass through. Same
+    * branch-local copy-on-write commit shape as
+    * [[deleteFromBranch]]. */
+  def updateBranch(spark: SparkSession, table: String, name: String,
+                   assignments: Map[String, String], condSql: String): Long =
+    branchDml(spark, table, name, condSql, "update",
+      (df, cond) => {
+        assignments.keys.foreach(c => require(df.columns.contains(c),
+          s"updateBranch: no column $c (columns: ${df.columns.mkString(",")})"))
+        assignments.foldLeft(df) { case (d, (c, e)) =>
+          d.withColumn(c, when(cond <=> lit(true), expr(e)).otherwise(col(c)))
+        }
+      })
+
+  /** One conjunct of `e` per element (the bounds algebra evaluates
+    * conjuncts independently). */
+  private def splitConjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Best-effort name resolution of a parsed predicate against the
+    * table schema — the shape [[FileStats.mayMatch]] evaluates. None
+    * when anything stays unresolved (the caller then keeps the file:
+    * pruning is an optimization, never a correctness gate). */
+  private def resolveForBounds(
+      schema: org.apache.spark.sql.types.StructType,
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, Cast, Literal}
+    var ok = true
+    val named = e.transformUp {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if ua.nameParts.length == 1 =>
+        schema.fields.find(_.name == ua.nameParts.head) match {
+          case Some(f) => AttributeReference(f.name, f.dataType)()
+          case None => ok = false; ua
+        }
+    }
+    // a bare `k = 5` parses its literal as INT while the column is
+    // BIGINT — without the analyzer, widen up-castable literals to
+    // the attribute type so the comparison resolves
+    def widen(l: Literal, dt: org.apache.spark.sql.types.DataType): Literal =
+      if (l.dataType == dt || !Cast.canUpCast(l.dataType, dt)) l
+      else Literal(Cast(l, dt).eval(), dt)
+    val out = named.transformUp {
+      case bc @ BinaryComparison(a: AttributeReference, l: Literal) =>
+        bc.withNewChildren(Seq(a, widen(l, a.dataType)))
+      case bc @ BinaryComparison(l: Literal, a: AttributeReference) =>
+        bc.withNewChildren(Seq(widen(l, a.dataType), a))
+    }
+    if (ok && out.resolved) Some(out) else None
+  }
+
+  /** The shared branch copy-on-write walk. */
+  private def branchDml(spark: SparkSession, table: String, name: String,
+                        condSql: String, operation: String,
+                        transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
+    val comps = branchStateComponents(table, name)
+    val schema = declaredCleanOf(table).getOrElse(readBranch(spark, table, name).schema)
+    val conjuncts = splitConjuncts(
+      spark.sessionState.sqlParser.parseExpression(condSql))
+    val resolved = conjuncts.flatMap(resolveForBounds(schema, _))
+    val statless = comps.collect { case Left(d) => d }.flatMap(expandParquet)
+    val stated = comps.collect { case Right(x) => x }
+    // carry test: any resolved conjunct proving no-row-matches carries
+    // the file (sound for the conjunction); drop test (DELETE only):
+    // EVERY conjunct must be modeled and prove all-rows-match
+    val allResolved = resolved.size == conjuncts.size
+    val dropped = stated.collect {
+      case (p, st) if operation == "delete" && allResolved && resolved.nonEmpty &&
+        FileStats.mustMatch(st, resolved) => p
+    }.toSet
+    val carried = stated.collect {
+      case (p, st) if !dropped.contains(p) && resolved.nonEmpty &&
+        !FileStats.mayMatch(st, resolved) =>
+        st.copy(name = rootRel(table, p))
+    }
+    val rewrite = statless ++ stated.collect {
+      case (p, st) if !dropped.contains(p) &&
+        (resolved.isEmpty || FileStats.mayMatch(st, resolved)) => p
+    }
+    val v = nextVersion(table)
+    val dir = Paths.get(s"$table/v=$v")
+    val cond = expr(condSql)
+    if (rewrite.nonEmpty) {
+      val reader = spark.read.option("mergeSchema", "true")
+      val df = transform(
+        declaredCleanOf(table).fold(reader)(reader.schema).parquet(rewrite: _*), cond)
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      df.write.mode("errorifexists").option("compression", "snappy")
+        .parquet(dir.toString)
+    } else Files.createDirectories(dir)
+    val stats = FileStats.collectFor(spark, dir).getOrElse(Seq.empty)
+    val rows = stats.map(_.rows).sum + carried.map(_.rows).sum
+    val cols = schema.fieldNames.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+    val ts = System.currentTimeMillis()
+    val filesFrag = if (stats.isEmpty) "" else s""","files":${FileStats.toJson(stats)}"""
+    val manifest =
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}$uuidFrag}"""
+    Files.createDirectories(branchMetaDir(table, name))
+    Files.write(branchMetaDir(table, name).resolve(s"$v.json"),
+      manifest.getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  /** REBASE the branch onto the advanced main head (the divergence
+    * escape hatch fast-forward points at): sound exactly when the
+    * replay is append-only on BOTH sides — every main commit past the
+    * fork base is a plain fast-append (no full-state rewrite, no
+    * DML, no equality-delete retraction, which could retroactively
+    * apply to branch rows through its bound) and every branch commit
+    * is a fast-append (a branch-DML cow anchors a base state that
+    * main has since replaced — publish order matters, so it refuses).
+    * Appends commute, so moving the fork base to the head preserves
+    * the published result exactly. Returns the new fork base. */
+  def rebaseBranch(spark: SparkSession, table: String, name: String): Long = {
+    val (tags, branches) = refsDoc(table)
+    require(branches.contains(name), s"no branch $name of $table (branches: ${
+      branches.keys.toSeq.sorted.mkString(",")})")
+    val base = branches(name)
+    val head = versions(table).last
+    if (head == base) return base
+    versions(table).filter(_ > base).foreach { v =>
+      val op = operationOf(table, v)
+      require(op == "append",
+        s"cannot rebase $name: main v$v is a full-state '$op' commit — " +
+          "append-only histories replay soundly; drop and restage the branch")
+      require(EqDeletes.fromManifest(manifestText(table, v)).isEmpty,
+        s"cannot rebase $name: main v$v carries equality-delete entries whose " +
+          "bound could retroactively retract branch rows — drop and restage")
+    }
+    branchVersions(table, name).foreach { v =>
+      require(branchOpOf(table, name, v) == "append",
+        s"cannot rebase $name: branch v$v is a branch-DML commit anchored on " +
+          "the old base — publish order matters; drop and restage")
+    }
+    writeRefs(table, tags, branches + (name -> head))
+    head
   }
 
   /** PUBLISH the branch to main — Iceberg `fast_forward`: one
@@ -1378,25 +1570,21 @@ object Snapshots {
     val vs = versions(table)
     require(vs.last == base,
       s"cannot fast-forward $name: main advanced past its fork base " +
-        s"(base v$base, main v${vs.last}) — read the branch, reconcile, recreate")
-    val bvs = branchVersions(table, name)
-    val baseCarried: Option[Seq[FileStats.FileStat]] = {
-      val comps = stateComponents(table, base)
+        s"(base v$base, main v${vs.last}) — rebaseBranch (append-only histories) " +
+        "or drop and restage")
+    // the WHOLE branch state (base + appends + any branch-DML cow
+    // anchor) as carried refs — one zero-copy metadata commit
+    val comps = branchStateComponents(table, name)
+    val allCarried: Option[Seq[FileStats.FileStat]] =
       if (comps.exists(_.isLeft)) None
       else Some(comps.collect { case Right((p, st)) =>
         st.copy(name = rootRel(table, p))
       })
-    }
-    val branchCarried: Option[Seq[FileStats.FileStat]] = {
-      val per = bvs.map(v => FileStats.fromManifest(branchManifestText(table, name, v))
-        .map(_.map(f => f.copy(name = s"v=$v/${f.name}"))))
-      if (per.exists(_.isEmpty)) None else Some(per.flatten.flatten)
-    }
     val v = nextVersion(table)
-    (baseCarried, branchCarried) match {
-      case (Some(bc), Some(brc)) =>
-        commitCow(spark, table, v, operation = "publish", carried = bc ++ brc)
-      case _ =>
+    allCarried match {
+      case Some(c) =>
+        commitCow(spark, table, v, operation = "publish", carried = c)
+      case None =>
         // statless component somewhere: materialize (correct, not
         // zero-copy; only pre-stats-era tables hit this)
         writeSnapshot(readBranch(spark, table, name), table, operation = "publish")

@@ -83,7 +83,10 @@ class ArchitectureSpec extends AnyFunSuite {
     //   pinned), and (m) deleteComposeOver five 1-row count/sum
     //   aggregates (current SQL + library, AS OF v3/v5, post-compact
     //   — the composed-delete-flavor oracle replays each from
-    //   silver) — all metadata-plane by design
+    //   silver), and (n) branchFixOver five: two CALL report relations
+    //   (the branch-DML fix verbs, 1 row each) and three 1-row
+    //   count/sum aggregates (main-during-fix, published, pinned) —
+    //   all metadata-plane by design
     // EqDeletes: the equality-delete KEY SET rides into scan planning
     //   driver-side (small by the upsert policy — the retraction keys
     //   of recent deliveries; compaction clears them), cached per
@@ -99,7 +102,7 @@ class ArchitectureSpec extends AnyFunSuite {
       // pre-existing metadata-plane read
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 2,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 39,
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 44,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,
       "EqDeletes.scala" -> 1, "GraftProcedures.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,

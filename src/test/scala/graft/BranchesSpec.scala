@@ -278,6 +278,105 @@ class BranchesSpec extends AnyFunSuite {
     Snapshots.dropBranch(spark, path, "st")
   }
 
+  test("branch DML closes the WAP loop: failing audit → DELETE/UPDATE fix ON the branch → clean publish; main bit-identical throughout") {
+    import spark.implicits._
+    import graft.quality.DataChecks
+    val t = s"$cat.m.fix"
+    val path = s"$wh/m/fix"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id * 10 AS v FROM range(0, 6)") // v1
+    Snapshots.createBranch(path, "st")
+    // stage a batch with two poison rows (negative v)
+    Snapshots.appendToBranch(spark, path, "st",
+      Seq((6L, 60L), (7L, -1L), (8L, -2L)).toDF("k", "v").coalesce(1)) // v2
+    val checks = (df: org.apache.spark.sql.DataFrame) =>
+      Seq(DataChecks.Check("non_negative", df.filter("v < 0")))
+    assert(intercept[IllegalStateException](
+      Snapshots.wapPublish(spark, path, "st", checks))
+      .getMessage.contains("non_negative"))
+    // FIX on the branch: delete the poison rows (branch-local CoW)
+    val dv = Snapshots.deleteFromBranch(spark, path, "st", "v < 0") // v3
+    // pruning worked: the base file (v ∈ [0,50]) provably holds no
+    // negative row — carried by reference, never read
+    val cowText = new String(Files.readAllBytes(
+      Paths.get(path, "_meta", "branches", "st", s"$dv.json")))
+    assert(graft.sources.FileStats.carriedFromManifest(cowText).size == 1, cowText)
+    // main is BIT-IDENTICAL throughout the fix: no new versions, same rows
+    assert(Snapshots.versions(path) == Seq(1L))
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 6L)
+    assert(Snapshots.readBranch(spark, path, "st").filter("v < 0").count() == 0L)
+    assert(Snapshots.readBranch(spark, path, "st").count() == 7L)
+    // a second fix: UPDATE on the branch
+    Snapshots.updateBranch(spark, path, "st", Map("v" -> "v + 5"), "k = 6") // v4
+    assert(Snapshots.readBranch(spark, path, "st").filter("k = 6")
+      .collect()(0).getLong(1) == 65L)
+    // audit now passes; publish carries the fixed state zero-copy
+    val (pv, rep) = Snapshots.wapPublish(spark, path, "st", checks) // v5
+    assert(rep.filter("passed = false").count() == 0L)
+    assert(scala.util.Using.resource(Files.walk(Paths.get(path, s"v=$pv"))) { w =>
+      import scala.jdk.CollectionConverters._
+      !w.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    }, "publish must own zero data files")
+    val r = spark.sql(s"SELECT count(*) AS c, sum(v) AS s FROM $t").collect()(0)
+    assert(r.getLong(0) == 7L && r.getLong(1) == (0L until 6L).map(_ * 10).sum + 60L + 5L)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").collect()(0).getLong(0) == 6L)
+  }
+
+  test("rebaseBranch: append-only histories replay onto advanced main; DML/full-state/eq commits refuse") {
+    import spark.implicits._
+    val t = s"$cat.m.rb"
+    val path = s"$wh/m/rb"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 4)") // v1
+    Snapshots.createBranch(path, "st")
+    Snapshots.appendToBranch(spark, path, "st", Seq(100L, 101L).toDF("k")) // v2 branch
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(4, 6)") // v3 main append
+    // diverged: fast-forward refuses, rebase succeeds (both sides append-only)
+    assert(intercept[Exception](Snapshots.fastForward(spark, path, "st"))
+      .getMessage.contains("rebase"))
+    val nb = Snapshots.rebaseBranch(spark, path, "st")
+    assert(nb == 3L)
+    // the rebased audit frame sees BOTH the main append and the branch delta
+    assert(Snapshots.readBranch(spark, path, "st").count() == 8L)
+    val pv = Snapshots.fastForward(spark, path, "st")
+    val r = spark.sql(s"SELECT count(*) AS c, sum(k) AS s FROM $t").collect()(0)
+    assert(r.getLong(0) == 8L && r.getLong(1) == (0L until 6L).sum + 201L)
+    assert(Snapshots.versions(path).last == pv)
+
+    // refusal: main advanced with a FULL-STATE commit (CoW DML)
+    val t2 = s"$cat.m.rb2"
+    val path2 = s"$wh/m/rb2"
+    spark.sql(s"CREATE TABLE $t2 AS SELECT id AS k FROM range(0, 4)")
+    Snapshots.createBranch(path2, "st")
+    Snapshots.appendToBranch(spark, path2, "st", Seq(100L).toDF("k"))
+    spark.sql(s"DELETE FROM $t2 WHERE k = 1")
+    assert(intercept[Exception](Snapshots.rebaseBranch(spark, path2, "st"))
+      .getMessage.contains("full-state"))
+    // refusal: main advanced with an equality-delete-bearing append
+    val t3 = s"$cat.m.rb3"
+    val path3 = s"$wh/m/rb3"
+    spark.sql(s"CREATE TABLE $t3 AS SELECT id AS k, id AS v FROM range(0, 4)")
+    Snapshots.createBranch(path3, "st")
+    Snapshots.appendToBranch(spark, path3, "st", Seq((100L, 1L)).toDF("k", "v"))
+    Snapshots.upsertBatch(spark, path3, Seq((1L, 11L)).toDF("k", "v"), Seq("k"))
+    assert(intercept[Exception](Snapshots.rebaseBranch(spark, path3, "st"))
+      .getMessage.contains("equality-delete"))
+    // refusal: the BRANCH took a DML commit (anchored on the old base)
+    val t4 = s"$cat.m.rb4"
+    val path4 = s"$wh/m/rb4"
+    spark.sql(s"CREATE TABLE $t4 AS SELECT id AS k FROM range(0, 4)")
+    Snapshots.createBranch(path4, "st")
+    Snapshots.appendToBranch(spark, path4, "st", Seq(100L).toDF("k"))
+    Snapshots.deleteFromBranch(spark, path4, "st", "k = 100")
+    spark.sql(s"INSERT INTO $t4 SELECT id FROM range(4, 5)")
+    assert(intercept[Exception](Snapshots.rebaseBranch(spark, path4, "st"))
+      .getMessage.contains("branch-DML"))
+    // no-op rebase: base already at head
+    val t5 = s"$cat.m.rb5"
+    val path5 = s"$wh/m/rb5"
+    spark.sql(s"CREATE TABLE $t5 AS SELECT id AS k FROM range(0, 4)")
+    Snapshots.createBranch(path5, "st")
+    assert(Snapshots.rebaseBranch(spark, path5, "st") == 1L)
+  }
+
   test("branch reads honor the DECLARED schema across metadata-only column add/drop") {
     import spark.implicits._
     val t = s"$cat.m.sch"
