@@ -525,6 +525,11 @@ object Bench {
       // projection work (the 10x codec cost lives in the staging,
       // at both scales)
       warmSf1("mm_media_meta")
+      // stage the gold-mart audit's one-time costs (checkpoint
+      // shuffle files, codegen) so its billed repeats compare query
+      // work to query work — its sf1 ratio read as a consistent
+      // ~1.6-2.0x staging epoch for two rounds (r15 verdict #2)
+      warmSf1("quality_gold_report")
       Seq("brute", "lsh", "ivf", "ivf_upsert", "sq8", "bq", "pq", "ivfpq")
         .foreach(m => warmSf1(s"sim_embed_topk_$m"))
       // abs: failed stages record NEGATED elapsed — see the base

@@ -2242,12 +2242,30 @@ object GraftCatalog {
     s.sql(s"""INSERT INTO $t SELECT /*+ COALESCE(1) */ * FROM $v
       WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18'""") // v2, 1 file
     s.sql(s"CALL graft.system.create_tag(table => 'marts.daily_mt_$n', tag => 'audit', version => 1)")
+    // a days-laid-out sibling for the per-partition rollup (r16:
+    // `t.partitions` / `t.manifests`, Iceberg's operator-first audit
+    // surfaces): one partition per event_date, one file each — the
+    // rollup is manifest + directory-metadata arithmetic, zero data
+    // files opened
+    val tp = s"graft.marts.daily_mtp_$n"
+    s.sql(s"CREATE TABLE $tp (event_date DATE, total_events BIGINT) PARTITIONED BY (days(event_date))")
+    s.sql(s"INSERT INTO $tp SELECT event_date, total_events FROM $v")
     s.sql(s"""
       SELECT 'file_v1_rows' AS metric,
         (SELECT row_count FROM $t.files WHERE version = 1) AS value
       UNION ALL SELECT 'file_v2_rows', (SELECT row_count FROM $t.files WHERE version = 2)
       UNION ALL SELECT 'files_count', (SELECT count(*) FROM $t.files)
       UNION ALL SELECT 'history_current', (SELECT version FROM $t.history WHERE is_current)
+      UNION ALL SELECT 'm_carried_total', (SELECT sum(carried_files) FROM $t.manifests)
+      UNION ALL SELECT 'm_count', (SELECT count(*) FROM $t.manifests)
+      UNION ALL SELECT 'm_delete_entries', (SELECT sum(pos_delete_entries + eq_delete_entries) FROM $t.manifests)
+      UNION ALL SELECT 'm_v2_own_files', (SELECT own_files FROM $t.manifests WHERE version = 2)
+      UNION ALL SELECT 'p_count', (SELECT count(*) FROM $tp.partitions)
+      UNION ALL SELECT 'p_day_records',
+        (SELECT record_count FROM $tp.partitions
+         WHERE `partition` = concat('__graft_days=', CAST(DATEDIFF(DATE '2024-01-03', DATE '1970-01-01') AS STRING)))
+      UNION ALL SELECT 'p_files_total', (SELECT sum(file_count) FROM $tp.partitions)
+      UNION ALL SELECT 'p_records_total', (SELECT sum(record_count) FROM $tp.partitions)
       UNION ALL SELECT 'ref_audit_version', (SELECT version FROM $t.refs WHERE name = 'audit')
       UNION ALL SELECT 'refs_count', (SELECT count(*) FROM $t.refs)
       UNION ALL SELECT 'snap_v1_rows', (SELECT row_count FROM $t.snapshots WHERE version = 1)
@@ -2268,6 +2286,15 @@ object GraftCatalog {
     |  UNION ALL SELECT 'file_v2_rows', (SELECT count(*) FROM band)
     |  UNION ALL SELECT 'files_count', 2
     |  UNION ALL SELECT 'history_current', 2
+    |  UNION ALL SELECT 'm_carried_total', 0
+    |  UNION ALL SELECT 'm_count', 2
+    |  UNION ALL SELECT 'm_delete_entries', 0
+    |  UNION ALL SELECT 'm_v2_own_files', 1
+    |  UNION ALL SELECT 'p_count', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'p_day_records',
+    |    (SELECT count(*) FROM daily WHERE event_date = DATE '2024-01-03')
+    |  UNION ALL SELECT 'p_files_total', (SELECT count(*) FROM daily)
+    |  UNION ALL SELECT 'p_records_total', (SELECT count(*) FROM daily)
     |  UNION ALL SELECT 'ref_audit_version', 1
     |  UNION ALL SELECT 'refs_count', 1
     |  UNION ALL SELECT 'snap_v1_rows', (SELECT count(*) FROM daily)

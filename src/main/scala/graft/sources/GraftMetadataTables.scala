@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * needed at any tested scale). */
 private[sources] object GraftMetadataTables {
 
-  val kinds: Set[String] = Set("snapshots", "history", "refs", "files")
+  val kinds: Set[String] =
+    Set("snapshots", "history", "refs", "files", "partitions", "manifests")
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -58,7 +59,21 @@ private[sources] object GraftMetadataTables {
       StructField("file", StringType, nullable = false),
       StructField("version", LongType, nullable = false),
       StructField("row_count", LongType, nullable = true),
-      StructField("bytes", LongType, nullable = false))))
+      StructField("bytes", LongType, nullable = false))),
+    "partitions" -> StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("file_count", LongType, nullable = false),
+      StructField("record_count", LongType, nullable = true),
+      StructField("total_size_bytes", LongType, nullable = false))),
+    "manifests" -> StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("committed_at_ms", LongType, nullable = false),
+      StructField("own_files", LongType, nullable = true),
+      StructField("carried_files", LongType, nullable = false),
+      StructField("pos_delete_entries", LongType, nullable = false),
+      StructField("eq_delete_entries", LongType, nullable = false),
+      StructField("path", StringType, nullable = false))))
 
   private def rowsOf(kind: String, table: String): Array[InternalRow] = kind match {
     case "snapshots" =>
@@ -101,6 +116,58 @@ private[sources] object GraftMetadataTables {
             null, Files.size(Paths.get(p)))): InternalRow
         }
       }.sortBy(_.getUTF8String(0).toString).toArray
+    case "partitions" =>
+      // per-LAYOUT-partition rollup (Iceberg `t.partitions`): pure
+      // manifest + directory-metadata arithmetic — zero data files
+      // opened. Partition = the file's `key=value` layout segment
+      // (between the version dir and the basename); plain files
+      // group under '<unpartitioned>'. Record counts are manifest
+      // (physical) rows — NULL when any contributing file predates
+      // per-file stats.
+      val vs = Snapshots.versions(table)
+      if (vs.isEmpty) Array.empty
+      else {
+        def partOf(rel: String): String = {
+          val segs = rel.split('/')
+          segs.slice(1, segs.length - 1).find(_.contains("="))
+            .getOrElse("<unpartitioned>")
+        }
+        val files: Seq[(String, Option[Long], Long)] =
+          Snapshots.stateComponents(table, vs.last).flatMap {
+            case Right((p, st)) =>
+              Seq((partOf(Snapshots.rootRel(table, p)), Some(st.rows),
+                Files.size(Paths.get(p))))
+            case Left(dir) => Snapshots.expandParquet(dir).map { p =>
+              (partOf(Snapshots.rootRel(table, p)), None: Option[Long],
+                Files.size(Paths.get(p)))
+            }
+          }
+        files.groupBy(_._1).toSeq.sortBy(_._1).map { case (part, fs) =>
+          val recs: Any =
+            if (fs.exists(_._2.isEmpty)) null
+            else java.lang.Long.valueOf(fs.flatMap(_._2).sum)
+          new GenericInternalRow(Array[Any](
+            utf8(part), fs.size.toLong, recs, fs.map(_._3).sum)): InternalRow
+        }.toArray
+      }
+    case "manifests" =>
+      // one row per commit manifest (Iceberg `t.manifests`): own file
+      // count (NULL for pre-stats manifests), carried refs, and both
+      // delete-entry kinds — the audit surface for the commit chain
+      val times = Snapshots.commitTimes(table).toMap
+      Snapshots.versions(table).map { v =>
+        val text = Snapshots.manifestTextOf(table, v)
+        val op = "\"operation\":\"([^\"]*)\"".r.findFirstMatchIn(text)
+          .map(_.group(1)).getOrElse("")
+        val own: Any = FileStats.fromManifest(text)
+          .map(fs => java.lang.Long.valueOf(fs.size.toLong)).orNull
+        new GenericInternalRow(Array[Any](
+          v, utf8(op), times(v), own,
+          FileStats.carriedFromManifest(text).size.toLong,
+          MorDeletes.fromManifest(text).size.toLong,
+          EqDeletes.fromManifest(text).size.toLong,
+          utf8(s"_meta/$v.json"))): InternalRow
+      }.toArray
     case other => throw new IllegalArgumentException(s"no metadata table $other")
   }
 

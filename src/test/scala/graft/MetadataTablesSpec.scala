@@ -79,6 +79,56 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(files.forall(f => f._1.contains("__graft_days=") && f._2 == 1L && f._3 == 3L))
   }
 
+  test("partitions rolls up per layout value from manifest arithmetic — zero data files planned") {
+    val t = s"$cat.m.part"
+    spark.sql(s"CREATE TABLE $t (d DATE, k BIGINT) PARTITIONED BY (days(d))")
+    spark.sql(s"INSERT INTO $t SELECT DATE_ADD(DATE '2024-01-01', CAST(id % 3 AS INT)), id FROM range(0, 9)") // v1: 3 days × 3 rows
+    spark.sql(s"INSERT INTO $t SELECT DATE_ADD(DATE '2024-01-03', CAST(id AS INT)), id FROM range(0, 2)") // v2: +1 row on day 3, +1 new day 4
+    val df = spark.sql(
+      s"SELECT `partition`, file_count, record_count, total_size_bytes FROM $t.partitions ORDER BY `partition`")
+    // the listing is a LocalScan over the manifest plane: the plan
+    // must contain NO file scan at all
+    assert(!df.queryExecution.executedPlan.toString.contains("BatchScan"),
+      df.queryExecution.executedPlan.toString)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def day(d: String) = s"__graft_days=${java.time.LocalDate.parse(d).toEpochDay}"
+    assert(rows.map(x => (x._1, x._2, x._3)).toSeq == Seq(
+      (day("2024-01-01"), 1L, 3L),
+      (day("2024-01-02"), 1L, 3L),
+      (day("2024-01-03"), 2L, 4L),
+      (day("2024-01-04"), 1L, 1L)), rows.mkString(","))
+    assert(rows.forall(_._4 > 0))
+    // an unlaid table rolls up as one '<unpartitioned>' row
+    val t2 = s"$cat.m.part2"
+    spark.sql(s"CREATE TABLE $t2 AS SELECT /*+ COALESCE(1) */ id AS k FROM range(0, 5)")
+    val flat = spark.sql(s"SELECT `partition`, file_count, record_count FROM $t2.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(flat.toSeq == Seq(("<unpartitioned>", 1L, 5L)))
+  }
+
+  test("manifests lists the commit chain: own/carried files and both delete-entry kinds") {
+    import spark.implicits._
+    val t = s"$cat.m.man"
+    val path = s"$wh/m/man"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id AS v FROM range(0, 10)") // v1
+    Snapshots.upsertBatch(spark, path, Seq((1L, 11L)).toDF("k", "v"), Seq("k")) // v2: eq entry
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE k = 2") // v3: positional sidecar, all carried
+    finally spark.conf.set("spark.graft.delete.mode", "copy-on-write")
+    val df = spark.sql(s"SELECT version, operation, own_files, carried_files, " +
+      s"pos_delete_entries, eq_delete_entries, path FROM $t.manifests ORDER BY version")
+    assert(!df.queryExecution.executedPlan.toString.contains("BatchScan"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(rows.length == 3, rows.mkString(","))
+    assert(rows(0) == ((1L, "overwrite", 1L, 0L, 0L, 0L, "_meta/1.json")), rows(0))
+    assert(rows(1) == ((2L, "append", 1L, 0L, 0L, 1L, "_meta/2.json")), rows(1))
+    // the MoR DELETE owns no data files, carries both priors, and its
+    // manifest re-carries the surviving equality entry
+    assert(rows(2) == ((3L, "delete", 0L, 2L, 1L, 1L, "_meta/3.json")), rows(2))
+  }
+
   test("files reflects carried refs and sidecar-bearing states by manifest row counts") {
     val t = s"$cat.m.mor"
     val path = s"$wh/m/mor"
