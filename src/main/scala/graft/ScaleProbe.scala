@@ -84,7 +84,13 @@ object ScaleProbe {
     // r15: the write-audit-publish branch lifecycle — branch appends
     // are O(delta), the publish is O(manifest); only the audit read
     // scales with the corpus
-    "meta_catalog_branch_wap")
+    "meta_catalog_branch_wap",
+    // r16: the COMPOSED delete-flavor chain (upsert + positional
+    // point-DML stacking with zero rewrites — every write stays
+    // O(change set); only the merged reads scale with the corpus)
+    // and the audit-fix-publish loop (branch DML is bounds-pruned
+    // CoW over the STAGED band; main untouched; publish O(manifest))
+    "meta_catalog_delete_compose", "meta_catalog_branch_fix")
 
   /** Per-query (warm seconds, staging seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its

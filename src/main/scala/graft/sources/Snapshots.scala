@@ -1384,9 +1384,19 @@ object Snapshots {
     * (and [[appendToBranch]]'s schema gate compares against the
     * declared shape, not a stale file-inferred one). */
   def readBranch(spark: SparkSession, table: String, name: String): DataFrame = {
+    val paths = branchReadSet(table, name)
+    if (paths.isEmpty || paths.forall(p =>
+        !p.endsWith(".parquet") && expandParquet(p).isEmpty)) {
+      // a branch DML that deleted every row leaves an empty state —
+      // serve it as an empty frame (schema from the marker, else the
+      // fork-base state), not a parquet-inference error
+      val schema = declaredCleanOf(table).getOrElse(
+        readAsOf(spark, table, branchesOf(table)(name)).schema)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val reader = spark.read.option("mergeSchema", "true")
-    declaredCleanOf(table).fold(reader)(reader.schema)
-      .parquet(branchReadSet(table, name): _*)
+    declaredCleanOf(table).fold(reader)(reader.schema).parquet(paths: _*)
   }
 
   /** DELETE on a branch (r16 — the audit-fix half of the WAP loop:
@@ -1416,9 +1426,15 @@ object Snapshots {
       (df, cond) => {
         assignments.keys.foreach(c => require(df.columns.contains(c),
           s"updateBranch: no column $c (columns: ${df.columns.mkString(",")})"))
-        assignments.foldLeft(df) { case (d, (c, e)) =>
-          d.withColumn(c, when(cond <=> lit(true), expr(e)).otherwise(col(c)))
-        }
+        // ONE projection, so every assignment's RHS sees the OLD row
+        // (SQL UPDATE semantics — chained withColumn would feed one
+        // assignment's result into the next's expression)
+        df.select(df.columns.map { c =>
+          assignments.get(c) match {
+            case Some(e) => when(cond <=> lit(true), expr(e)).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }.toIndexedSeq: _*)
       })
 
   /** One conjunct of `e` per element (the bounds algebra evaluates
@@ -1502,11 +1518,15 @@ object Snapshots {
       df.write.mode("errorifexists").option("compression", "snappy")
         .parquet(dir.toString)
     } else Files.createDirectories(dir)
-    val stats = FileStats.collectFor(spark, dir).getOrElse(Seq.empty)
-    val rows = stats.map(_.rows).sum + carried.map(_.rows).sum
+    val statsOpt = FileStats.collectFor(spark, dir)
+    val rows = statsOpt.map(_.map(_.rows).sum).getOrElse(
+      if (expandParquet(dir.toString).nonEmpty)
+        spark.read.parquet(dir.toString).count() else 0L) +
+      carried.map(_.rows).sum
     val cols = schema.fieldNames.map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val ts = System.currentTimeMillis()
-    val filesFrag = if (stats.isEmpty) "" else s""","files":${FileStats.toJson(stats)}"""
+    val filesFrag = statsOpt.filter(_.nonEmpty)
+      .fold("")(s => s""","files":${FileStats.toJson(s)}""")
     val manifest =
       s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}$uuidFrag}"""
     Files.createDirectories(branchMetaDir(table, name))
@@ -1582,11 +1602,12 @@ object Snapshots {
       })
     val v = nextVersion(table)
     allCarried match {
-      case Some(c) =>
+      case Some(c) if c.nonEmpty =>
         commitCow(spark, table, v, operation = "publish", carried = c)
-      case None =>
-        // statless component somewhere: materialize (correct, not
-        // zero-copy; only pre-stats-era tables hit this)
+      case _ =>
+        // statless component somewhere (pre-stats-era tables) or an
+        // EMPTY branch state (a branch DML deleted every row):
+        // materialize — correct, not zero-copy
         writeSnapshot(readBranch(spark, table, name), table, operation = "publish")
     }
     // the branch is CONSUMED: its manifests go first (their data

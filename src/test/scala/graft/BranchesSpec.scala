@@ -321,6 +321,33 @@ class BranchesSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").collect()(0).getLong(0) == 6L)
   }
 
+  test("updateBranch multi-assignment evaluates every RHS against the OLD row") {
+    val t = s"$cat.m.swap"
+    val path = s"$wh/m/swap"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id * 10 AS v FROM range(1, 4)")
+    Snapshots.createBranch(path, "st")
+    // a swap: chained withColumn would feed the new k into v's RHS
+    Snapshots.updateBranch(spark, path, "st", Map("k" -> "v", "v" -> "k"), "k = 2")
+    val rows = Snapshots.readBranch(spark, path, "st").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
+    assert(rows.contains((20L, 2L)), rows.toString)
+    assert(rows.toSet == Set((1L, 10L), (20L, 2L), (3L, 30L)), rows.toString)
+  }
+
+  test("a branch DML that deletes EVERY row leaves a readable empty branch state; publish materializes it") {
+    val t = s"$cat.m.empty"
+    val path = s"$wh/m/empty"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k FROM range(0, 4)")
+    Snapshots.createBranch(path, "st")
+    Snapshots.deleteFromBranch(spark, path, "st", "k >= 0")
+    val empty = Snapshots.readBranch(spark, path, "st")
+    assert(empty.schema.fieldNames.toSeq == Seq("k") && empty.count() == 0L)
+    val pv = Snapshots.fastForward(spark, path, "st")
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 1").collect()(0).getLong(0) == 4L)
+    assert(Snapshots.versions(path).last == pv)
+  }
+
   test("rebaseBranch: append-only histories replay onto advanced main; DML/full-state/eq commits refuse") {
     import spark.implicits._
     val t = s"$cat.m.rb"

@@ -389,6 +389,51 @@ class EqDeletesSpec extends AnyFunSuite {
     }
   }
 
+  test("composition on laid-out and evolved tables: layout files take both flavors; ADD COLUMN mid-chain merges") {
+    // BOTH flavors over a days-laid table: positions key refs with
+    // their layout segments; eq bounds key origins through subdirs
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.cl")
+    val t = s"$cat.cl.t"
+    val tp = s"$wh/cl/t"
+    spark.sql(s"CREATE TABLE $t (d DATE, k BIGINT, v BIGINT) PARTITIONED BY (days(d))")
+    spark.sql(s"INSERT INTO $t SELECT DATE_ADD(DATE '2024-07-01', CAST(id % 3 AS INT)), id, id * 10 FROM range(0, 9)")
+    Snapshots.upsertBatch(spark, tp, spark.sql(
+      "SELECT DATE '2024-07-05' AS d, CAST(4 AS BIGINT) AS k, CAST(999 AS BIGINT) AS v"),
+      Seq("k"))
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE k = 7")
+    finally spark.conf.set("spark.graft.delete.mode", "copy-on-write")
+    val last = Snapshots.versions(tp).last
+    assert(Snapshots.liveDeletes(tp, last).nonEmpty &&
+      Snapshots.liveEqDeletes(tp, last).nonEmpty)
+    val expectSum = (0L until 9L).filter(x => x != 4 && x != 7).map(_ * 10).sum + 999L
+    val sql = spark.sql(s"SELECT count(*) AS c, sum(v) AS s FROM $t").collect()(0)
+    assert(sql.getLong(0) == 8L && sql.getLong(1) == expectSum, sql.toString)
+    val lib = Snapshots.readLatest(spark, tp)
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("v")).collect()(0)
+    assert(lib.getLong(0) == 8L && lib.getLong(1) == expectSum, lib.toString)
+
+    // metadata-only ADD COLUMN mid-chain: old files are narrower than
+    // the unified schema the composed scan reads — missing column
+    // serves NULL, retractions and positions still land
+    val t2 = s"$cat.cl.ev"
+    val tp2 = s"$wh/cl/ev"
+    spark.sql(s"CREATE TABLE $t2 AS SELECT /*+ COALESCE(1) */ id AS k, id * 10 AS v FROM range(0, 6)")
+    Snapshots.upsertBatch(spark, tp2, spark.sql(
+      "SELECT CAST(2 AS BIGINT) AS k, CAST(222 AS BIGINT) AS v"), Seq("k"))
+    spark.sql(s"ALTER TABLE $t2 ADD COLUMN note STRING")
+    spark.sql(s"INSERT INTO $t2 VALUES (10, 100, 'x')")
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $t2 WHERE k = 5")
+    finally spark.conf.set("spark.graft.delete.mode", "copy-on-write")
+    val r = spark.sql(
+      s"SELECT count(*) AS c, sum(v) AS s, count(note) AS n FROM $t2").collect()(0)
+    assert(r.getLong(0) == 6L &&
+      r.getLong(1) == Seq(0L, 10L, 222L, 30L, 40L, 100L).sum &&
+      r.getLong(2) == 1L, r.toString)
+  }
+
   test("manifest codec round-trips") {
     val dels = Seq(
       EqDeletes.EqDelete("v=3/_eqdeletes", Seq("k"), 2),
