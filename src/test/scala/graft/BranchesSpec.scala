@@ -309,6 +309,11 @@ class BranchesSpec extends AnyFunSuite {
     Snapshots.updateBranch(spark, path, "st", Map("v" -> "v + 5"), "k = 6") // v4
     assert(Snapshots.readBranch(spark, path, "st").filter("k = 6")
       .collect()(0).getLong(1) == 65L)
+    // the SQL branch read walks the cow anchor too
+    val sqlBr = spark.sql(
+      s"SELECT count(*) AS c, sum(v) AS s FROM $t VERSION AS OF 'st'").collect()(0)
+    assert(sqlBr.getLong(0) == 7L &&
+      sqlBr.getLong(1) == (0L until 6L).map(_ * 10).sum + 60L + 5L, sqlBr)
     // audit now passes; publish carries the fixed state zero-copy
     val (pv, rep) = Snapshots.wapPublish(spark, path, "st", checks) // v5
     assert(rep.filter("passed = false").count() == 0L)
