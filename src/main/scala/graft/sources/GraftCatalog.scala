@@ -1438,8 +1438,9 @@ object GraftCatalog {
     write(b1, 1L) // at-least-once: crash after write, marker lost, redelivered
     write(b2, 2L)
     val entries = Snapshots.liveEqDeletes(tablePath, Snapshots.versions(tablePath).last)
-    val eqKeysTotal = entries.map(e =>
-      s.read.parquet(s"$tablePath/${e.dir}").count()).sum
+    // manifest-recorded key counts (footer arithmetic for pre-count
+    // entries) — no per-sidecar Spark job
+    val eqKeysTotal = entries.map(e => EqDeletes.entryRows(tablePath, e)).sum
     val cur = s.sql(s"SELECT count(*) AS c, CAST(sum(total_events) AS BIGINT) AS se FROM $t").collect()(0)
     val lib = Snapshots.readLatest(s, tablePath)
       .agg(org.apache.spark.sql.functions.count(lit(1)),
@@ -2253,6 +2254,8 @@ object GraftCatalog {
     s.sql(s"""
       SELECT 'file_v1_rows' AS metric,
         (SELECT row_count FROM $t.files WHERE version = 1) AS value
+      UNION ALL SELECT 'e_added', (SELECT count(*) FROM $t.entries WHERE status = 'added')
+      UNION ALL SELECT 'e_v1_rows', (SELECT sum(row_count) FROM $t.entries WHERE version = 1)
       UNION ALL SELECT 'file_v2_rows', (SELECT row_count FROM $t.files WHERE version = 2)
       UNION ALL SELECT 'files_count', (SELECT count(*) FROM $t.files)
       UNION ALL SELECT 'history_current', (SELECT version FROM $t.history WHERE is_current)
@@ -2283,6 +2286,8 @@ object GraftCatalog {
     |   WHERE event_date BETWEEN DATE '2024-01-12' AND DATE '2024-01-18')
     |SELECT * FROM (
     |  SELECT 'file_v1_rows' AS metric, (SELECT count(*) FROM daily) AS value
+    |  UNION ALL SELECT 'e_added', 2
+    |  UNION ALL SELECT 'e_v1_rows', (SELECT count(*) FROM daily)
     |  UNION ALL SELECT 'file_v2_rows', (SELECT count(*) FROM band)
     |  UNION ALL SELECT 'files_count', 2
     |  UNION ALL SELECT 'history_current', 2

@@ -24,8 +24,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     data file of the current state with its manifest row count
   *     (NULL for files whose manifest predates per-file stats) and
   *     filesystem size
+  *   - `t.partitions` — per-layout-partition file/record/size rollup
+  *     of the current state (r16; plain files group under
+  *     '<unpartitioned>')
+  *   - `t.manifests` — one row per commit manifest: operation, time,
+  *     own/carried file counts, both delete-entry kinds (r16)
+  *   - `t.entries`   — every (version, data file) pair across the
+  *     chain, 'added' vs 'carried', with the file's origin version —
+  *     the provenance walk (r16)
   *
-  * All four are served as a `LocalScan` over driver-side manifest
+  * All are served as a `LocalScan` over driver-side manifest
   * reads — the same metadata plane every planner surface already
   * walks (no data file is opened; `files` sizes come from directory
   * metadata). `files` is |live files|-sized: fine through the
@@ -37,7 +45,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object GraftMetadataTables {
 
   val kinds: Set[String] =
-    Set("snapshots", "history", "refs", "files", "partitions", "manifests")
+    Set("snapshots", "history", "refs", "files", "partitions", "manifests",
+      "entries")
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -73,7 +82,13 @@ private[sources] object GraftMetadataTables {
       StructField("carried_files", LongType, nullable = false),
       StructField("pos_delete_entries", LongType, nullable = false),
       StructField("eq_delete_entries", LongType, nullable = false),
-      StructField("path", StringType, nullable = false))))
+      StructField("path", StringType, nullable = false))),
+    "entries" -> StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("origin_version", LongType, nullable = false))))
 
   private def rowsOf(kind: String, table: String): Array[InternalRow] = kind match {
     case "snapshots" =>
@@ -167,6 +182,27 @@ private[sources] object GraftMetadataTables {
           MorDeletes.fromManifest(text).size.toLong,
           EqDeletes.fromManifest(text).size.toLong,
           utf8(s"_meta/$v.json"))): InternalRow
+      }.toArray
+    case "entries" =>
+      // per-manifest FILE ENTRIES (Iceberg `t.entries`): every
+      // (version, data file) pair across the whole chain — 'added'
+      // for files the manifest's own version directory holds,
+      // 'carried' for refs a CoW commit kept; origin_version is the
+      // file's physical home (= version for added entries). The
+      // manifest-plane provenance walk: which commit added a file,
+      // which commits still reference it.
+      Snapshots.versions(table).flatMap { v =>
+        val text = Snapshots.manifestTextOf(table, v)
+        val added = FileStats.fromManifest(text).getOrElse(Seq.empty).map { f =>
+          new GenericInternalRow(Array[Any](
+            v, utf8("added"), utf8(s"v=$v/${f.name}"), f.rows, v)): InternalRow
+        }
+        val carried = FileStats.carriedFromManifest(text).map { f =>
+          new GenericInternalRow(Array[Any](
+            v, utf8("carried"), utf8(f.name), f.rows,
+            RenameEras.fileVersionOf(f.name))): InternalRow
+        }
+        added ++ carried
       }.toArray
     case other => throw new IllegalArgumentException(s"no metadata table $other")
   }

@@ -407,6 +407,20 @@ class BranchesSpec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE $t5 AS SELECT id AS k FROM range(0, 4)")
     Snapshots.createBranch(path5, "st")
     assert(Snapshots.rebaseBranch(spark, path5, "st") == 1L)
+    // staging continues AFTER a rebase: append against the new base,
+    // then publish carries main's append + both branch deltas
+    import spark.implicits._
+    val t6 = s"$cat.m.rb6"
+    val path6 = s"$wh/m/rb6"
+    spark.sql(s"CREATE TABLE $t6 AS SELECT id AS k FROM range(0, 3)")
+    Snapshots.createBranch(path6, "st")
+    Snapshots.appendToBranch(spark, path6, "st", Seq(100L).toDF("k"))
+    spark.sql(s"INSERT INTO $t6 SELECT id FROM range(3, 5)")
+    Snapshots.rebaseBranch(spark, path6, "st")
+    Snapshots.appendToBranch(spark, path6, "st", Seq(200L).toDF("k"))
+    Snapshots.fastForward(spark, path6, "st")
+    val r6 = spark.sql(s"SELECT count(*) AS c, sum(k) AS s FROM $t6").collect()(0)
+    assert(r6.getLong(0) == 7L && r6.getLong(1) == (0L until 5L).sum + 300L, r6)
   }
 
   test("branch reads honor the DECLARED schema across metadata-only column add/drop") {

@@ -434,6 +434,26 @@ class EqDeletesSpec extends AnyFunSuite {
       r.getLong(2) == 1L, r.toString)
   }
 
+  test("the exactly-once keyed upsert sink composes with live positional sidecars") {
+    val t = s"$cat.snk.t"
+    val tp = s"$wh/snk/t"
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.snk")
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id * 10 AS v FROM range(0, 10)")
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE k = 4")
+    finally spark.conf.set("spark.graft.delete.mode", "copy-on-write")
+    // micro-batches through the idempotent sink land over the sidecar
+    val write = Snapshots.idempotentUpsertWriter(tp, "snk_demo", Seq("k"))
+    val b0 = spark.range(1, 3).selectExpr("id AS k", "id * 100 AS v")
+    write(b0, 0L)
+    write(b0, 0L) // redelivery skipped
+    assert(Snapshots.liveDeletes(tp, Snapshots.versions(tp).last).nonEmpty &&
+      Snapshots.liveEqDeletes(tp, Snapshots.versions(tp).last).nonEmpty)
+    val rows = kvs(s"$cat.snk.t").toMap
+    assert(!rows.contains(4L) && rows(1L) == 100L && rows(2L) == 200L &&
+      rows(3L) == 30L && rows.size == 9, rows.toString)
+  }
+
   test("manifest codec round-trips") {
     val dels = Seq(
       EqDeletes.EqDelete("v=3/_eqdeletes", Seq("k"), 2),

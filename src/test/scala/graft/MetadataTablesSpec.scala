@@ -129,6 +129,32 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(rows(2) == ((3L, "delete", 0L, 2L, 1L, 1L, "_meta/3.json")), rows(2))
   }
 
+  test("entries lists every (version, file) pair with added/carried status and origin provenance") {
+    val t = s"$cat.m.ent"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k FROM range(0, 10)") // v1
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id FROM range(10, 15)") // v2
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE k = 3") // v3: carries both by ref
+    finally spark.conf.set("spark.graft.delete.mode", "copy-on-write")
+    val df = spark.sql(s"SELECT version, status, file, row_count, origin_version " +
+      s"FROM $t.entries ORDER BY version, file")
+    assert(!df.queryExecution.executedPlan.toString.contains("BatchScan"))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // v1/v2 each add one file at their own origin; v3 adds none and
+    // carries both priors at their ORIGINAL origins
+    assert(rows.count(_._2 == "added") == 2 && rows.count(_._2 == "carried") == 2,
+      rows.mkString(","))
+    val carried = rows.filter(_._2 == "carried")
+    assert(carried.forall(_._1 == 3L) &&
+      carried.map(_._5).sorted.toSeq == Seq(1L, 2L), rows.mkString(","))
+    assert(rows.filter(_._2 == "added").forall(e => e._1 == e._5 &&
+      e._3.startsWith(s"v=${e._1}/")))
+    // provenance join: which commits still reference v1's file
+    assert(spark.sql(s"SELECT count(*) FROM $t.entries WHERE origin_version = 1")
+      .collect()(0).getLong(0) == 2L)
+  }
+
   test("files reflects carried refs and sidecar-bearing states by manifest row counts") {
     val t = s"$cat.m.mor"
     val path = s"$wh/m/mor"
