@@ -89,7 +89,12 @@ object EqDeletes {
   def entryRows(table: String, entry: EqDelete): Long =
     if (entry.rows >= 0) entry.rows
     else FileStats.footerRowCount(java.nio.file.Paths.get(s"$table/${entry.dir}"))
-      .getOrElse(0L)
+      .getOrElse(throw new IllegalStateException(
+        s"cannot count keys of equality-delete sidecar $table/${entry.dir} " +
+          "(missing or corrupt parquet footer) — the volume guard would silently " +
+          "under-count; the entry is unreadable by the merge scan too, so run " +
+          "Snapshots.compact() only after restoring the sidecar, or restore from " +
+          "a snapshot that predates it"))
 
   /** Key types equality deletes accept: types whose Spark internal
     * values have well-defined equality/hashing (floats would make

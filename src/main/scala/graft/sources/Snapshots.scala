@@ -1317,10 +1317,7 @@ object Snapshots {
     val stats = FileStats.collectFor(spark, Paths.get(s"$table/v=$v"))
     val delta = stats.map(_.map(_.rows).sum).getOrElse(
       spark.read.parquet(s"$table/v=$v").count())
-    val prior = branchVersions(table, name).lastOption
-      .map(b => "\"row_count\":(\\d+)".r.findFirstMatchIn(
-        branchManifestText(table, name, b)).map(_.group(1).toLong).getOrElse(0L))
-      .getOrElse(rowCountOf(table, branches(name)))
+    val prior = branchCurrentRowCount(table, name)
     val cols = df.schema.fieldNames.filterNot(pcols.contains)
       .map(c => "\"" + c + "\"").mkString("[", ",", "]")
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
@@ -1337,6 +1334,29 @@ object Snapshots {
     "\"operation\":\"([^\"]+)\"".r
       .findFirstMatchIn(branchManifestText(table, name, v))
       .map(_.group(1)).getOrElse("append")
+
+  /** The branch state's current row count, recomputed from the LIVE
+    * fork base each call — never from a prior branch manifest's chained
+    * `row_count`, which goes stale when [[rebaseBranch]] moves the fork
+    * base (the base's row count changed, the branch appends' deltas did
+    * not). Anchored at the last branch-local non-append commit when one
+    * exists (its row_count was computed from its own files + carried
+    * refs, and rebase refuses branch-DML chains, so it can never be
+    * rebased stale). */
+  private def branchCurrentRowCount(table: String, name: String): Long = {
+    val bvs = branchVersions(table, name)
+    def added(v: Long): Long =
+      "\"added_rows\":(\\d+)".r.findFirstMatchIn(branchManifestText(table, name, v))
+        .map(_.group(1).toLong).getOrElse(0L)
+    bvs.reverse.find(v => branchOpOf(table, name, v) != "append") match {
+      case Some(anchor) =>
+        "\"row_count\":(\\d+)".r.findFirstMatchIn(
+          branchManifestText(table, name, anchor)).map(_.group(1).toLong).getOrElse(0L) +
+          bvs.filter(_ > anchor).map(added).sum
+      case None =>
+        rowCountOf(table, branchesOf(table)(name)) + bvs.map(added).sum
+    }
+  }
 
   /** Branch `name`'s state broken into prunable components, exactly
     * like [[stateComponents]] for main: anchored at the last
@@ -1429,12 +1449,26 @@ object Snapshots {
         // ONE projection, so every assignment's RHS sees the OLD row
         // (SQL UPDATE semantics — chained withColumn would feed one
         // assignment's result into the next's expression)
-        df.select(df.columns.map { c =>
+        val out = df.select(df.columns.map { c =>
           assignments.get(c) match {
             case Some(e) => when(cond <=> lit(true), expr(e)).otherwise(col(c)).as(c)
             case None    => col(c)
           }
         }.toIndexedSeq: _*)
+        // an assignment must not move the column off its declared type:
+        // when()'s branch coercion silently widens (bigint + a double
+        // RHS → double), and the widened branch files would then fail
+        // every later readBranch/publish at parquet read — refuse HERE,
+        // named, before anything is written
+        assignments.keys.foreach { c =>
+          val want = df.schema(df.schema.fieldIndex(c)).dataType
+          val got = out.schema(out.schema.fieldIndex(c)).dataType
+          require(got == want,
+            s"updateBranch: assignment to $c yields ${got.catalogString} but the " +
+              s"column is ${want.catalogString} — branch files must keep the declared " +
+              "schema; CAST the assignment expression explicitly")
+        }
+        out
       })
 
   /** One conjunct of `e` per element (the bounds algebra evaluates
@@ -1467,9 +1501,16 @@ object Snapshots {
     // a bare `k = 5` parses its literal as INT while the column is
     // BIGINT — without the analyzer, widen up-castable literals to
     // the attribute type so the comparison resolves
+    // timezone-needing casts (DATE→TIMESTAMP) get the session zone;
+    // any eval failure keeps the literal unwidened — the comparison
+    // then stays unresolved, this returns None, and the caller
+    // conservatively rewrites the file (pruning is an optimization,
+    // never a correctness gate)
     def widen(l: Literal, dt: org.apache.spark.sql.types.DataType): Literal =
       if (l.dataType == dt || !Cast.canUpCast(l.dataType, dt)) l
-      else Literal(Cast(l, dt).eval(), dt)
+      else scala.util.Try(Literal(Cast(l, dt, Option(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)).eval(), dt))
+        .getOrElse(l)
     val out = named.transformUp {
       case bc @ BinaryComparison(a: AttributeReference, l: Literal) =>
         bc.withNewChildren(Seq(a, widen(l, a.dataType)))
@@ -1512,10 +1553,25 @@ object Snapshots {
     val cond = expr(condSql)
     if (rewrite.nonEmpty) {
       val reader = spark.read.option("mergeSchema", "true")
-      val df = transform(
+      val df0 = transform(
         declaredCleanOf(table).fold(reader)(reader.schema).parquet(rewrite: _*), cond)
+      // the rewrite honors the declared layout spec exactly like
+      // [[appendToBranch]]: a branch DELETE/UPDATE on a laid-out table
+      // must publish laid-out files, or the staging trip would lose
+      // the per-layout-value alignment the append path preserves
+      val (df, pcols) = layoutSpecOf(table) match {
+        case Some(spec) =>
+          val derived = df0.withColumn(spec.partCol, expr(spec.derivedExpr))
+          val clustered = spec match {
+            case GraftLayout.Bucket(n, _) => derived.repartition(n, col(spec.partCol))
+            case _ => derived.repartition(col(spec.partCol))
+          }
+          (clustered, Seq(spec.partCol))
+        case None => (df0, Seq.empty[String])
+      }
       spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      df.write.mode("errorifexists").option("compression", "snappy")
+      val writer = df.write.mode("errorifexists").option("compression", "snappy")
+      (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
         .parquet(dir.toString)
     } else Files.createDirectories(dir)
     val statsOpt = FileStats.collectFor(spark, dir)

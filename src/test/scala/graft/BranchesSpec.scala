@@ -485,4 +485,82 @@ class BranchesSpec extends AnyFunSuite {
       .collect()(0)
     assert(db.getString(1) == "dropped")
   }
+
+  test("branch DML on a laid-out table writes laid-out files (layout survives the fix)") {
+    val t = s"$cat.m.dml_lay"
+    val path = s"$wh/m/dml_lay"
+    spark.sql(s"CREATE TABLE $t (d DATE, k BIGINT) PARTITIONED BY (days(d))")
+    spark.sql(s"INSERT INTO $t SELECT DATE_ADD(DATE '2024-05-01', CAST(id % 2 AS INT)), id FROM range(0, 8)")
+    Snapshots.createBranch(path, "st")
+    val uv = Snapshots.updateBranch(spark, path, "st",
+      Map("k" -> "k + 100"), "d = DATE '2024-05-02'")
+    // the DML rewrite must lay files out per layout value like the
+    // append path — plain files here would lose alignment at publish
+    assert(scala.util.Using.resource(Files.list(Paths.get(path, s"v=$uv"))) { ls =>
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.exists(p =>
+        Files.isDirectory(p) && p.getFileName.toString.startsWith("__graft_days="))
+    }, "branch DML rewrite did not lay files out per layout value")
+    val fixed = Snapshots.readBranch(spark, path, "st")
+    assert(fixed.columns.toSeq == Seq("d", "k"), fixed.columns.toSeq)
+    assert(fixed.agg(org.apache.spark.sql.functions.sum("k")).collect()(0).getLong(0)
+      == (0L until 8L).sum + 4 * 100L)
+    Snapshots.fastForward(spark, path, "st")
+    assert(spark.sql(s"SELECT sum(k) FROM $t WHERE d = DATE '2024-05-02'")
+      .collect()(0).getLong(0) == (1L + 3 + 5 + 7) + 400L)
+  }
+
+  test("updateBranch refuses a type-changing assignment loudly (no widened branch files)") {
+    val t = s"$cat.m.dml_ty"
+    val path = s"$wh/m/dml_ty"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k, id AS v FROM range(0, 4)")
+    Snapshots.createBranch(path, "st")
+    val e = intercept[IllegalArgumentException](
+      Snapshots.updateBranch(spark, path, "st", Map("v" -> "v * 1.5"), "k = 2"))
+    assert(e.getMessage.contains("decimal") && e.getMessage.contains("CAST"),
+      e.getMessage)
+    // nothing committed to the branch, and an explicit CAST works
+    assert(Snapshots.readBranch(spark, path, "st").count() == 4L)
+    Snapshots.updateBranch(spark, path, "st",
+      Map("v" -> "CAST(v * 3 AS BIGINT)"), "k = 2")
+    val got = Snapshots.readBranch(spark, path, "st")
+      .filter("k = 2").collect()(0).getLong(1)
+    assert(got == 6L)
+  }
+
+  test("branch DML with a DATE literal against a TIMESTAMP column prunes safely (no crash)") {
+    val t = s"$cat.m.dml_tz"
+    val path = s"$wh/m/dml_tz"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ " +
+      "TIMESTAMP '2024-01-01 12:00:00' + make_interval(0,0,0,CAST(id AS INT)) AS ts, id AS k " +
+      "FROM range(0, 6)")
+    Snapshots.createBranch(path, "st")
+    // pre-fix this crashed inside bounds resolution (DATE→TIMESTAMP
+    // literal widening needs a timezone); the DML must run — pruning
+    // is an optimization, never a correctness gate. The date literal
+    // promotes to midnight, so ids 2..5 (ts ≥ 01-03 12:00) delete.
+    Snapshots.deleteFromBranch(spark, path, "st", "ts > DATE '2024-01-03'")
+    assert(Snapshots.readBranch(spark, path, "st").count() == 2L)
+    // main untouched
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 6L)
+  }
+
+  test("branch manifest row_count stays truthful after a rebase moves the fork base") {
+    import spark.implicits._
+    val t = s"$cat.m.rb_rc"
+    val path = s"$wh/m/rb_rc"
+    spark.sql(s"CREATE TABLE $t AS SELECT id AS k FROM range(0, 4)") // v1: 4 rows
+    Snapshots.createBranch(path, "st")
+    Snapshots.appendToBranch(spark, path, "st", Seq(100L, 101L).toDF("k")) // +2
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(4, 7)") // main +3
+    Snapshots.rebaseBranch(spark, path, "st")
+    val bv = Snapshots.appendToBranch(spark, path, "st", Seq(200L).toDF("k")) // +1
+    // the append after the rebase must chain from the NEW base's row
+    // count (4+3), not the pre-rebase branch manifest's stale baseline
+    val manifest = new String(Files.readAllBytes(
+      Paths.get(path, "_meta", "branches", "st", s"$bv.json")))
+    val rc = "\"row_count\":(\\d+)".r.findFirstMatchIn(manifest).get.group(1).toLong
+    assert(rc == 10L, s"branch manifest row_count=$rc, want 10: $manifest")
+    assert(Snapshots.readBranch(spark, path, "st").count() == 10L)
+  }
 }

@@ -454,6 +454,24 @@ class EqDeletesSpec extends AnyFunSuite {
       rows(3L) == 30L && rows.size == 9, rows.toString)
   }
 
+  test("entryRows fails loudly on an unreadable pre-count sidecar (never under-counts the guard)") {
+    val dir = Files.createTempDirectory("graft_eq_corrupt_")
+    val side = dir.resolve("v=3/_eqdeletes")
+    Files.createDirectories(side)
+    // a truncated parquet: magic header, no footer — the KB tail read
+    // cannot recover a row count
+    Files.write(side.resolve("part-00000.parquet"),
+      "PAR1garbage-no-footer".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val entry = graft.sources.EqDeletes.EqDelete("v=3/_eqdeletes", Seq("k"), 2L) // rows = -1
+    val e = intercept[IllegalStateException](
+      graft.sources.EqDeletes.entryRows(dir.toString, entry))
+    assert(e.getMessage.contains("_eqdeletes") &&
+      e.getMessage.contains("under-count"), e.getMessage)
+    // a manifest-counted entry never touches the sidecar
+    assert(graft.sources.EqDeletes.entryRows(dir.toString,
+      entry.copy(rows = 7L)) == 7L)
+  }
+
   test("manifest codec round-trips") {
     val dels = Seq(
       EqDeletes.EqDelete("v=3/_eqdeletes", Seq("k"), 2),
