@@ -484,6 +484,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.branchWapOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_branch_fix" -> ((s, dir) =>
       graft.sources.GraftCatalog.branchFixOver(s, DailySales.build(silver(s, dir)))),
+    "meta_catalog_branch_wap_compose" -> ((s, dir) =>
+      graft.sources.GraftCatalog.branchWapComposeOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_evolution" -> ((s, dir) =>
       graft.sources.GraftCatalog.evolutionOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_rewrite_files" -> ((s, dir) =>
@@ -702,6 +704,7 @@ object SparkEntry {
     "meta_catalog_meta_tables" -> graft.sources.GraftCatalog.metaTablesSql,
     "meta_catalog_branch_wap" -> graft.sources.GraftCatalog.branchWapSql,
     "meta_catalog_branch_fix" -> graft.sources.GraftCatalog.branchFixSql,
+    "meta_catalog_branch_wap_compose" -> graft.sources.GraftCatalog.branchWapComposeSql,
     "meta_catalog_evolution" -> graft.sources.GraftCatalog.evolutionSql,
     "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,
     "stream_catalog_append" -> graft.sources.GraftCatalog.streamAppendSql,

@@ -218,10 +218,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case Some(tagged) => tagged
           case None if Snapshots.branchesOf(table).contains(version) =>
             // BRANCH read (Iceberg's `VERSION AS OF '<branch>'`): the
-            // fork-base state plus the branch's appends, served by the
-            // stock parquet table over the explicit path set — full
+            // fork-base state plus the branch's appends. A
+            // delete-bearing branch state (fork over live sidecars/eq
+            // entries, or a branch-DML anchor carrying survivors — r17)
+            // routes through the same composed merge scan main uses;
+            // a clean state keeps the stock parquet table — full
             // pushdown/vectorization, read-only by surface (AS OF
             // contexts take no writes)
+            if (Snapshots.liveBranchDeletes(table, version).nonEmpty ||
+                Snapshots.liveBranchEqDeletes(table, version).nonEmpty)
+              return new GraftBranchTable(
+                loadPinned(ident, pinned = None).asInstanceOf[GraftSnapshotTable],
+                table, version)
             return ParquetTable(
               s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}@$version",
               SparkSession.active,
@@ -2493,6 +2501,123 @@ object GraftCatalog {
     |)
     |ORDER BY metric""".stripMargin
 
+  /** Driver query (r17): the WAP loop OVER A DELETE-BEARING BASE —
+    * the two r16 flagships composed. A keyed upsert (live equality
+    * entry) and a merge-on-read point-DELETE (live positional
+    * sidecar) land on main; `create_branch` forks OVER both (no
+    * compact), the staged band audits through the composed branch
+    * read (library AND `VERSION AS OF 'staging'` SQL — the eq/pos
+    * merges must hold through both), a keyed restatement fixes a
+    * staged date via `mergeIntoBranch` (bounds-pruned:
+    * `merge_carried=2` pins that both base files were carried, never
+    * read), and the publish is ZERO-COPY with both delete flavors
+    * riding the manifest intact (`publish_own_files=0`,
+    * `publish_pos_entries=1`, `publish_eq_entries=1`). Main is
+    * bit-identical until the publish; every row/sum replays from
+    * silver. */
+  def branchWapComposeOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_bwc_$n"
+    val path = s"$warehouseDir/marts/daily_bwc_$n"
+    val v = s"__graft_bwc_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date <= DATE '2024-01-20'") // v1
+    // v2: keyed upsert restating 01-05 (+7) — live equality entry
+    Snapshots.upsertBatch(s, path, s.sql(
+      s"SELECT event_date, total_events + 7 AS total_events FROM $v WHERE event_date = DATE '2024-01-05'")
+      .coalesce(1), keys = Seq("event_date"))
+    // v3: merge-on-read point-DELETE of 01-03 — live positional sidecar
+    s.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try s.sql(s"DELETE FROM $t WHERE event_date = DATE '2024-01-03'")
+    finally s.conf.unset("spark.graft.delete.mode")
+    // fork OVER the delete-bearing base — no compact() between
+    val base = Snapshots.createBranch(path, "staging")
+    Snapshots.appendToBranch(s, path, "staging", s.sql(
+      s"SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date > DATE '2024-01-20' AND event_date <= DATE '2024-01-25'")) // v4
+    // the audit reads the COMPOSED branch state: retraction + position
+    // skip + staged band, via the library AND the SQL branch read
+    val auditRows = Snapshots.readBranch(s, path, "staging").count()
+    val auditRestatedSql = s.sql(
+      s"SELECT CAST(sum(total_events) AS BIGINT) FROM $t VERSION AS OF 'staging' " +
+        "WHERE event_date = DATE '2024-01-05'").collect()(0).getLong(0)
+    // keyed restatement fix ON the branch: 01-22 takes +100 via MERGE
+    s.sql(s"SELECT event_date, total_events + 100 AS total_events FROM $v WHERE event_date = DATE '2024-01-22'")
+      .coalesce(1).createOrReplaceTempView(s"__graft_bwc_fix_$n")
+    val mv = s.sql(s"CALL graft.system.merge_into_branch(table => 'marts.daily_bwc_$n', " +
+      s"branch => 'staging', source => '__graft_bwc_fix_$n', keys => 'event_date')")
+      .collect()(0).getLong(1)
+    val mergeCarried = FileStats.carriedFromManifest(new String(
+      Files.readAllBytes(Paths.get(path, "_meta", "branches", "staging", s"$mv.json")),
+      StandardCharsets.UTF_8)).size.toLong
+    // main bit-identical through the staging trip
+    val mainSumDuring = s.sql(s"SELECT CAST(sum(total_events) AS BIGINT) FROM $t")
+      .collect()(0).getLong(0)
+    val mainVersionsDuring = Snapshots.versions(path).size.toLong
+    // zero-copy publish with BOTH delete flavors riding the manifest
+    val pv = Snapshots.fastForward(s, path, "staging")
+    val publishOwn = Snapshots.expandParquet(s"$path/v=$pv").size.toLong
+    val posEntries = Snapshots.liveDeletes(path, pv).size.toLong
+    val eqEntries = Snapshots.liveEqDeletes(path, pv).size.toLong
+    val cur = s.sql(s"SELECT count(*) AS c, CAST(sum(total_events) AS BIGINT) AS se FROM $t").collect()(0)
+    val pinnedBase = s.sql(s"SELECT count(*) AS c FROM $t VERSION AS OF $base").collect()(0)
+    import s.implicits._
+    Seq(
+      "audit_restated_sql" -> auditRestatedSql,
+      "audit_rows" -> auditRows,
+      "branch_base" -> base,
+      "main_sum_during_fix" -> mainSumDuring,
+      "main_versions_during_fix" -> mainVersionsDuring,
+      "merge_carried" -> mergeCarried,
+      "merge_version" -> mv,
+      "pinned_rows_base" -> pinnedBase.getLong(0),
+      "publish_eq_entries" -> eqEntries,
+      "publish_own_files" -> publishOwn,
+      "publish_pos_entries" -> posEntries,
+      "publish_version" -> pv,
+      "published_rows" -> cur.getLong(0),
+      "published_sum_events" -> cur.getLong(1))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
+  /** DuckDB oracle for [[branchWapComposeOver]]: commit structure as
+    * constants (shared sequence v1..v6, two base files carried by the
+    * bounds-pruned merge, zero-copy publish with one entry of each
+    * delete flavor), rows/sums replayed from silver through the
+    * upsert (+7 on 01-05), the point-delete (01-03 gone) and the
+    * branch restatement (+100 on 01-22). */
+  val branchWapComposeSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, head AS (SELECT * FROM daily WHERE event_date <= DATE '2024-01-20')
+    |, band AS (SELECT * FROM daily
+    |   WHERE event_date > DATE '2024-01-20' AND event_date <= DATE '2024-01-25')
+    |, main_during AS (SELECT CAST(sum(total_events) AS BIGINT) + 7
+    |    - (SELECT total_events FROM head WHERE event_date = DATE '2024-01-03') AS s
+    |  FROM head)
+    |SELECT * FROM (
+    |  SELECT 'audit_restated_sql' AS metric,
+    |    (SELECT CAST(total_events + 7 AS BIGINT) FROM head WHERE event_date = DATE '2024-01-05') AS value
+    |  UNION ALL SELECT 'audit_rows',
+    |    (SELECT count(*) FROM head) - 1 + (SELECT count(*) FROM band)
+    |  UNION ALL SELECT 'branch_base', 3
+    |  UNION ALL SELECT 'main_sum_during_fix', (SELECT s FROM main_during)
+    |  UNION ALL SELECT 'main_versions_during_fix', 3
+    |  UNION ALL SELECT 'merge_carried', 2
+    |  UNION ALL SELECT 'merge_version', 5
+    |  UNION ALL SELECT 'pinned_rows_base', (SELECT count(*) FROM head) - 1
+    |  UNION ALL SELECT 'publish_eq_entries', 1
+    |  UNION ALL SELECT 'publish_own_files', 0
+    |  UNION ALL SELECT 'publish_pos_entries', 1
+    |  UNION ALL SELECT 'publish_version', 6
+    |  UNION ALL SELECT 'published_rows',
+    |    (SELECT count(*) FROM head) - 1 + (SELECT count(*) FROM band)
+    |  UNION ALL SELECT 'published_sum_events',
+    |    (SELECT s FROM main_during)
+    |      + (SELECT CAST(sum(total_events) AS BIGINT) FROM band) + 100
+    |)
+    |ORDER BY metric""".stripMargin
+
   /** DuckDB oracle for [[mergePruneOver]]. */
   val mergePruneSql: String = graft.marts.SilverEvents.oracleCte + """
     |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
@@ -2860,7 +2985,9 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         (translated.isEmpty || FileStats.mayMatch(st, eraExprs(p))) => f(p, st)
     }
     val rewrite = statlessFiles ++ straddled((p, _) => p)
-    val v = Snapshots.nextVersion(tablePath)
+    // atomic reservation + gated publish: a concurrent commit between
+    // this plan (against vs.last) and the manifest fails LOUDLY
+    val v = Snapshots.reserveVersion(tablePath)
     // merge-on-read sidecars are era-unaware by design (the positional
     // merge scan reads ONE unified schema) — under live rename eras
     // the delete runs copy-on-write, whose rewrite is era-aware
@@ -2879,17 +3006,22 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
           tablePath, priorDels, priorEqs)
       }
     }
+    try {
     if (rewrite.isEmpty && carried.isEmpty) {
       // everything provably matched: the empty-table snapshot
+      // (writeSnapshot mints its own reservation; release ours)
+      Snapshots.releaseVersion(tablePath, v)
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
-      Snapshots.writeSnapshot(empty, tablePath, operation = "delete")
+      Snapshots.writeSnapshot(empty, tablePath, operation = "delete",
+        basedOn = Some(vs.last))
     } else if (rewrite.isEmpty) {
       // metadata-only delete: no file read, no Spark job; prior delete
       // entries (both flavors) follow their surviving targets
       Snapshots.commitCow(spark, tablePath, v, "delete", carried,
         deletes = MorDeletes.retarget(priorDels, carried.map(_.name).toSet),
-        eqDeletes = Snapshots.survivingEqEntries(priorEqs, carried))
+        eqDeletes = Snapshots.survivingEqEntries(priorEqs, carried),
+        basedOn = Some(vs.last))
     } else if (morMode && statlessFiles.isEmpty) {
       // MERGE-ON-READ: rewrite NOTHING — one read-only job finds the
       // positions of matching LIVE rows in the straddled files and
@@ -2919,7 +3051,8 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
         (if (targets.isEmpty) Nil
          else Seq(MorDeletes.DeleteFile(sidecarDir, targets)))
       Snapshots.commitCow(spark, tablePath, v, "delete", carriedAll, deletes = entries,
-        eqDeletes = Snapshots.survivingEqEntries(priorEqs, carriedAll))
+        eqDeletes = Snapshots.survivingEqEntries(priorEqs, carriedAll),
+        basedOn = Some(vs.last))
     } else {
       // SQL DELETE removes rows where the condition is TRUE — rows
       // where it evaluates NULL (e.g. a NULL column compared with =)
@@ -2928,19 +3061,29 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       // NULL-valued row the predicate touches. The merged read also
       // materializes any prior sidecar positions into the rewrite.
       val df = mergedRead(rewrite).filter(not(cond <=> lit(true)))
-      if (carried.isEmpty)
+      if (carried.isEmpty) {
         // nothing prunable: the plain full-state commit (schema from
         // the input frame, so an all-rows delete lands as the empty
         // snapshot, like TRUNCATE); clears all delete entries
-        Snapshots.writeSnapshot(df, tablePath, operation = "delete")
-      else {
+        Snapshots.releaseVersion(tablePath, v)
+        Snapshots.writeSnapshot(df, tablePath, operation = "delete",
+          basedOn = Some(vs.last))
+      } else {
         spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        df.write.mode("errorifexists").option("compression", "snappy")
+        df.write.mode("append").option("compression", "snappy")
           .parquet(s"$tablePath/v=$v")
         Snapshots.commitCow(spark, tablePath, v, "delete", carried,
           deletes = MorDeletes.retarget(priorDels, carried.map(_.name).toSet),
-          eqDeletes = Snapshots.survivingEqEntries(priorEqs, carried))
+          eqDeletes = Snapshots.survivingEqEntries(priorEqs, carried),
+          basedOn = Some(vs.last))
       }
+    }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // a mid-flight failure must not leave the reservation blocking
+        // later writers (published versions are left alone)
+        Snapshots.abortReservation(tablePath, v)
+        throw e
     }
     ()
   }
@@ -3052,7 +3195,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
   private[sources] def replaceDataWrite(
       info: LogicalWriteInfo, operation: String,
       state: Option[GraftCowState]): Write = {
-    val v = Snapshots.nextVersion(tablePath)
+    val v = Snapshots.reserveVersion(tablePath)
     val dir = s"$tablePath/v=$v"
     val inner = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetWrite(
       Seq(dir), "parquet", supportsDataType, info)
@@ -3082,7 +3225,10 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
               deletes = state.map(st => MorDeletes.retarget(
                 st.priorDeletes, carried.map(_.name).toSet)).getOrElse(Nil),
               eqDeletes = state.map(st => Snapshots.survivingEqEntries(
-                st.priorEq, carried)).getOrElse(Nil))
+                st.priorEq, carried)).getOrElse(Nil),
+              // gate on the version this operation's group scan pinned —
+              // a commit racing the rewrite loses LOUDLY, never silently
+              basedOn = state.map(_.baseVersion))
           }
           override def abort(
               messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -3096,6 +3242,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
                   .forEach(p => Files.deleteIfExists(p))
               }
             }
+            Snapshots.resolveVersion(tablePath, v)
           }
         }
     }
@@ -3282,7 +3429,51 @@ private[sources] class GraftRowLevelOperation(
   * predate per-file stats) expand to their files and stay in the
   * group unconditionally: with no bounds there is no proof of
   * non-match, and only proven non-matching files may be carried. */
-private[sources] class GraftCowState(table: String, baseVersion: Long,
+/** Read-only table serving a DELETE-BEARING branch state (r17): the
+  * branch read set routed through the same composed merge scan main
+  * uses for live positional + equality delete entries
+  * ([[GraftEqScanBuilder]] — its suffix/skip machinery covers every
+  * flavor mix, including positional-only). Constructed by `loadTable`
+  * only when the branch state actually carries entries; clean branch
+  * states keep the stock parquet fast path. */
+private[sources] class GraftBranchTable(inner: GraftSnapshotTable,
+                                        tablePath: String,
+                                        branch: String)
+  extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"${inner.name()}@$branch"
+
+  override def schema(): StructType =
+    Snapshots.declaredCleanOf(tablePath).getOrElse(inner.schema())
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val dels = Snapshots.liveBranchDeletes(tablePath, branch)
+    val eqs = Snapshots.liveBranchEqDeletes(tablePath, branch)
+    require(eqs.isEmpty || eqs.forall(_.cols == eqs.head.cols),
+      s"$name: live equality-delete entries disagree on key columns — " +
+        "run Snapshots.compact() on the base first")
+    val files = Snapshots.branchReadSet(tablePath, branch).flatMap(p =>
+      if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
+    val unified = Snapshots.declaredCleanOf(tablePath).getOrElse(
+      spark.read.option("mergeSchema", "true").parquet(files: _*).schema)
+    val stats = Snapshots.branchStateComponents(tablePath, branch)
+      .collect { case Right((p, st)) => p -> st }.toMap
+    val stateKey = Snapshots.branchDeleteStateKey(tablePath, branch)
+    val keySets = eqs.map(e => EqDeletes.keySet(spark, tablePath, e, stateKey))
+    val suffixKeys = eqs.indices.map(i =>
+      keySets.drop(i).reduceLeft(_ ++ _)).toArray
+    new GraftEqScanBuilder(inner, files, eqs, suffixKeys, options,
+      unified, stats, tablePath,
+      skips = MorDeletes.positions(spark, tablePath, dels, stateKey))
+  }
+}
+
+private[sources] class GraftCowState(table: String, val baseVersion: Long,
                                      val priorDeletes: Seq[MorDeletes.DeleteFile] = Nil,
                                      val skips: Map[String, Array[Long]] = Map.empty,
                                      val renames: RenameEras.Info = RenameEras.Empty,

@@ -216,6 +216,19 @@ private[sources] object GraftProcedures {
           Map(in.getUTF8String(2).toString -> in.getUTF8String(3).toString),
           in.getUTF8String(4).toString)
         Array(new GenericInternalRow(Array[Any](utf8(name), v)))
+      }),
+    Spec("merge_into_branch",
+      "branch-local copy-on-write MERGE: keyed restatement from a source table/view (matched rows take the source row, unmatched source rows insert)",
+      Seq(p("table", StringType), p("branch", StringType),
+        p("source", StringType), p("keys", StringType)),
+      out("branch" -> StringType, "version" -> LongType),
+      (cat, s, in) => {
+        val name = in.getUTF8String(1).toString
+        val v = Snapshots.mergeIntoBranch(s,
+          cat.resolveTablePath(in.getUTF8String(0).toString), name,
+          s.table(in.getUTF8String(2).toString),
+          in.getUTF8String(3).toString.split(',').map(_.trim).toSeq)
+        Array(new GenericInternalRow(Array[Any](utf8(name), v)))
       }))
 
   private val byName: Map[String, Spec] = specs.map(s => s.name -> s).toMap

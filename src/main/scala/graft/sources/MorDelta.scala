@@ -158,7 +158,7 @@ private[sources] class GraftDeltaWrite(
 
   private val spark: SparkSession = SparkSession.active
   private val tablePath = table.tableRoot
-  private val v = Snapshots.nextVersion(tablePath)
+  private val v = Snapshots.reserveVersion(tablePath)
   private val dataDir = s"$tablePath/v=$v"
   private val sidecarDir = s"v=$v/_deletes"
 
@@ -210,7 +210,9 @@ private[sources] class GraftDeltaWrite(
           // composition: live equality entries ride along (every prior
           // file is carried, so they all keep applying; the insert
           // delta's origin is this version — above every bound)
-          eqDeletes = Snapshots.survivingEqEntries(state.priorEq, carried))
+          eqDeletes = Snapshots.survivingEqEntries(state.priorEq, carried),
+          // gate on the pinned base: a racing commit loses loudly
+          basedOn = Some(state.baseVersion))
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -225,6 +227,7 @@ private[sources] class GraftDeltaWrite(
               .forEach(p => Files.deleteIfExists(p))
           }
         }
+        Snapshots.resolveVersion(tablePath, v)
       }
     }
   }

@@ -32,6 +32,167 @@ object Snapshots {
 
   private def metaDir(table: String) = Paths.get(table, "_meta")
 
+  // ---- commit plane (concurrent-writer safety) ------------------------
+  //
+  // The reference delegates commit arbitration to an Iceberg REST
+  // catalog (its docker-compose runs one as the table-metadata tier):
+  // an Iceberg commit is an atomic compare-and-swap of the metadata
+  // pointer with conflict validation and retry. This store has no
+  // catalog server, so the filesystem primitives play that role:
+  //
+  //  - VERSION MINT = atomic directory creation (`v=N` is the
+  //    reservation; `Files.createDirectory` fails if it exists), so two
+  //    writers can never write data into one version directory;
+  //  - COMMIT POINT = the manifest, published with CREATE_NEW — a
+  //    same-version manifest race fails LOUDLY instead of truncating
+  //    the earlier writer's commit;
+  //  - COMMUTING commits (fast appends, upsert appends) just take the
+  //    next reservation — both racers land as distinct readable
+  //    versions, the optimistic-retry case;
+  //  - NON-COMMUTING commits (CoW DML, compaction, rollback, merge,
+  //    fast-forward — anything that read the state it replaces) gate on
+  //    [[assertSerializable]]: any main-chain version minted after the
+  //    operation's planning base fails the commit with a named
+  //    [[GraftConcurrentCommitException]] — the everyday lost-update
+  //    case (compaction racing a streaming append) degrades loudly,
+  //    never silently.
+  //
+  // An in-JVM ledger additionally orders manifest publication by
+  // version number (reservation order), so concurrent same-process
+  // appends — the local[32] reality — record exact `row_count`
+  // arithmetic. Cross-process writers are still correct (mint + commit
+  // are filesystem-atomic, conflicts stay loud); only the append-chain
+  // row_count metadata can drift in a cross-process append race, and
+  // any full-state write re-derives it exactly (documented in
+  // MIGRATION.md).
+
+  /** Reserved-but-unpublished versions per table (absolute path key) —
+    * the in-JVM publication ledger. */
+  private val inflightVersions =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]]()
+  private val turnMonitor = new Object
+  private def inflightOf(table: String) =
+    inflightVersions.computeIfAbsent(
+      Paths.get(table).toAbsolutePath.normalize.toString,
+      _ => new java.util.concurrent.ConcurrentSkipListSet[java.lang.Long]())
+
+  /** Atomically mint the next version of `table`: the `v=N` directory
+    * IS the reservation (atomic create; a collision with any concurrent
+    * writer — same process or not — just probes upward). The caller
+    * owns the directory exclusively until [[resolveVersion]]. */
+  private[graft] def reserveVersion(table: String): Long = {
+    Files.createDirectories(Paths.get(table))
+    var v = nextVersion(table)
+    var out = -1L
+    while (out < 0) {
+      try {
+        Files.createDirectory(Paths.get(table, s"v=$v"))
+        inflightOf(table).add(v)
+        out = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
+    out
+  }
+
+  /** Clear a reservation from the in-JVM ledger (publish, abort or
+    * fallback) and wake waiting publishers. Idempotent. */
+  private[graft] def resolveVersion(table: String, v: Long): Unit = {
+    inflightOf(table).remove(v)
+    turnMonitor.synchronized { turnMonitor.notifyAll() }
+  }
+
+  /** Abort a MAIN-chain reservation after a mid-flight failure: if the
+    * version never published its manifest, its directory is
+    * unreachable debris — remove it (so it never blocks a later
+    * writer's gate) and clear the ledger. A published version is left
+    * alone. */
+  private[sources] def abortReservation(table: String, v: Long): Unit = {
+    if (!Files.isRegularFile(metaDir(table).resolve(s"$v.json")))
+      deleteTree(Paths.get(table, s"v=$v"))
+    resolveVersion(table, v)
+  }
+
+  /** [[resolveVersion]] plus removal of the reserved directory when
+    * the commit will never happen and nothing was written into it. */
+  private[graft] def releaseVersion(table: String, v: Long): Unit = {
+    resolveVersion(table, v)
+    val d = Paths.get(table, s"v=$v")
+    if (Files.isDirectory(d)) {
+      try Files.delete(d)
+      catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+    }
+  }
+
+  /** Wait (bounded) until every in-JVM reservation below `v` has
+    * published or aborted, so same-process manifests land in version
+    * order and append row_count arithmetic reads a settled chain.
+    * Reservations whose directory vanished (aborted writers) are
+    * skipped; the timeout keeps a stuck writer from wedging the table
+    * (cross-process writers are invisible here anyway — see the
+    * commit-plane contract above). */
+  private def awaitPublicationTurn(table: String, v: Long): Unit = {
+    val ledger = inflightOf(table)
+    val deadline = System.currentTimeMillis() + 60000
+    def blockers(): Boolean = {
+      val it = ledger.headSet(java.lang.Long.valueOf(v)).iterator()
+      var any = false
+      while (it.hasNext && !any) {
+        val k = it.next()
+        if (Files.isDirectory(Paths.get(table, s"v=$k"))) any = true
+        else it.remove() // aborted writer's stale entry
+      }
+      any
+    }
+    turnMonitor.synchronized {
+      while (blockers() && System.currentTimeMillis() < deadline)
+        turnMonitor.wait(200)
+    }
+  }
+
+  /** Publish a manifest with CREATE_NEW semantics — the atomic commit
+    * point. A same-version collision (two writers minting one number,
+    * possible only for pre-reservation debris or an external actor)
+    * fails LOUDLY: the earlier commit is never truncated. */
+  private def publishManifest(path: java.nio.file.Path, manifest: String): Unit =
+    try {
+      Files.write(path, manifest.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      ()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new GraftConcurrentCommitException(
+          s"manifest $path already exists — a concurrent writer committed this " +
+            "version first; this commit was NOT published (no silent overwrite). " +
+            "Re-run the operation against the new head.")
+    }
+
+  /** The serializability gate for NON-COMMUTING commits (anything that
+    * read the state it replaces): any main-chain version minted in
+    * (basedOn, v) — committed manifest or in-flight reservation —
+    * means the state this operation planned against is no longer the
+    * head, and committing would silently drop the intervening rows.
+    * Branch-owned versions are not conflicts (branch commits never
+    * change main state; the shared sequence just numbers them). */
+  private def assertSerializable(table: String, basedOn: Long, v: Long,
+                                 operation: String): Unit = {
+    val branchOwned = allBranchVersions(table).toSet
+    val committed = versions(table).toSet
+    val conflicts = ((basedOn + 1) until v).filter { k =>
+      !branchOwned.contains(k) &&
+        (committed.contains(k) || Files.isDirectory(Paths.get(table, s"v=$k")))
+    }
+    if (conflicts.nonEmpty)
+      throw new GraftConcurrentCommitException(
+        s"cannot commit $operation v$v of $table: version(s) " +
+          s"${conflicts.mkString(", ")} landed after this operation planned " +
+          s"against v$basedOn — a non-commuting commit must re-plan against the " +
+          "new head (re-run the operation); if a listed version is a crashed " +
+          "writer's leftover directory, removeOrphanFiles reclaims it")
+  }
+
   /** Every manifest carries a random commit identity: a
     * dropped-and-recreated table reuses version NUMBERS, so caches
     * keyed by (table, version) alone could serve the old table's
@@ -75,36 +236,52 @@ object Snapshots {
   def writeSnapshot(df: DataFrame, table: String, operation: String = "overwrite",
                     commitTsMs: Option[Long] = None,
                     streamTag: Option[(String, Long)] = None,
-                    partitionColumns: Seq[String] = Nil): Long = {
-    // shared sequence across main AND branch chains — version data
-    // directories are unique table-wide
-    val v = nextVersion(table)
-    // Iceberg-parity timestamp encoding (its spec mandates micros, not
-    // INT96): INT96 carries no usable parquet statistics, so writing it
-    // would silently exclude timestamp columns from file skipping
-    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val writer = df.write.mode("errorifexists").option("compression", "snappy")
-    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
-      .parquet(s"$table/v=$v")
-    // exact row count + per-file min/max column bounds for
-    // planning-time file skipping — KB footer tail reads; small
-    // versions walk on the driver, large ones (CTAS/OVERWRITE at
-    // scale) collect in a distributed footer-read job
-    val stats = FileStats.collectFor(df.sparkSession, Paths.get(s"$table/v=$v"))
-    val rows = stats.map(_.map(_.rows).sum).getOrElse(
-      df.sparkSession.read.parquet(s"$table/v=$v").count())
-    // layout-only partition columns (e.g. the derived bucket id) are
-    // directory structure, not table schema
-    val cols = df.schema.fieldNames.filterNot(partitionColumns.contains)
-      .map(c => "\"" + c + "\"").mkString("[", ",", "]")
-    val ts = commitTsMs.getOrElse(System.currentTimeMillis())
-    val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
-    val manifest =
-      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols${streamTagFrag(streamTag)}$filesFrag$uuidFrag}"""
-    Files.createDirectories(metaDir(table))
-    Files.write(metaDir(table).resolve(s"$v.json"),
-      manifest.getBytes(StandardCharsets.UTF_8))
-    v
+                    partitionColumns: Seq[String] = Nil,
+                    basedOn: Option[Long] = None): Long = {
+    // shared sequence across main AND branch chains — the atomic
+    // directory reservation makes version data directories unique
+    // table-wide even under concurrent writers
+    val v = reserveVersion(table)
+    try {
+      // Iceberg-parity timestamp encoding (its spec mandates micros, not
+      // INT96): INT96 carries no usable parquet statistics, so writing it
+      // would silently exclude timestamp columns from file skipping
+      df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // "append" into the exclusively-reserved (empty) directory — the
+      // reservation already provides the exclusivity errorifexists gave
+      val writer = df.write.mode("append").option("compression", "snappy")
+      (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
+        .parquet(s"$table/v=$v")
+      // exact row count + per-file min/max column bounds for
+      // planning-time file skipping — KB footer tail reads; small
+      // versions walk on the driver, large ones (CTAS/OVERWRITE at
+      // scale) collect in a distributed footer-read job
+      val stats = FileStats.collectFor(df.sparkSession, Paths.get(s"$table/v=$v"))
+      val rows = stats.map(_.map(_.rows).sum).getOrElse(
+        df.sparkSession.read.parquet(s"$table/v=$v").count())
+      // layout-only partition columns (e.g. the derived bucket id) are
+      // directory structure, not table schema
+      val cols = df.schema.fieldNames.filterNot(partitionColumns.contains)
+        .map(c => "\"" + c + "\"").mkString("[", ",", "]")
+      val ts = commitTsMs.getOrElse(System.currentTimeMillis())
+      val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
+      val manifest =
+        s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols${streamTagFrag(streamTag)}$filesFrag$uuidFrag}"""
+      awaitPublicationTurn(table, v)
+      // full-state commits that read the state they replace (compact /
+      // rollback / merge / DML rewrites) pass their planning base and
+      // fail LOUDLY if anything landed since
+      basedOn.foreach(b => assertSerializable(table, b, v, operation))
+      Files.createDirectories(metaDir(table))
+      publishManifest(metaDir(table).resolve(s"$v.json"), manifest)
+      v
+    } catch {
+      case e: GraftConcurrentCommitException =>
+        // the data directory of a refused commit is unreachable debris —
+        // remove it so it never blocks a later writer's gate
+        deleteTree(Paths.get(s"$table/v=$v"))
+        throw e
+    } finally resolveVersion(table, v)
   }
 
   /** Manifest fragment identifying the streaming (stream, batch) that
@@ -381,15 +558,13 @@ object Snapshots {
       s"upsert into $table: live equality-delete entries retract by " +
         s"(${liveKeyCols.map(_.mkString("+")).mkString(", ")}) — a delivery must keep " +
         "the same key columns, or run Snapshots.compact() first")
-    val v = nextVersion(table)
-    val sidecarDir = s"v=$v/_eqdeletes"
     // NULL-bearing key tuples retract nothing (SQL equality) — drop
     // them from the sidecar so readers never carry dead weight. The
-    // sidecar stages in a hidden temp dir (the data append's
-    // errorifexists write owns the version directory's creation) and
-    // moves in between the data write and the manifest — nothing is
-    // visible until the manifest lands.
-    val tmp = s"$table/_eqtmp_$v"
+    // sidecar stages in a hidden temp dir and moves in between the
+    // data write and the manifest — nothing is visible until the
+    // manifest lands. (uuid-named: the version is minted only after
+    // the volume guards pass, so a refused delivery reserves nothing.)
+    val tmp = s"$table/_eqtmp_${java.util.UUID.randomUUID().toString.take(8)}"
     val keyRows = rows.select(keys.map(col): _*).na.drop("any").distinct()
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     keyRows.write.mode("overwrite").parquet(tmp)
@@ -422,14 +597,44 @@ object Snapshots {
           s"spark.graft.eq.maxAccumulatedKeys=$maxAccum — run Snapshots.compact() " +
           "to materialize the retractions (clearing every entry), or raise the cap")
       val hasKeys = keyCount > 0
-      appendSnapshot(rows, table, streamTag = streamTag,
-        eqDeletes = if (hasKeys)
-          Seq(EqDeletes.EqDelete(sidecarDir, keys, bound = vs.last,
-            rows = keyCount)) else Nil,
-        preManifest = _ =>
-          if (hasKeys) {
-            Files.move(Paths.get(tmp), Paths.get(s"$table/$sidecarDir")); ()
-          })
+      val v = reserveVersion(table)
+      try {
+        val sidecarDir = s"v=$v/_eqdeletes"
+        // retraction bound = the main chain's COMMITTED head at mint
+        // time (never the shared-sequence predecessor: a concurrently
+        // staged branch version below v must stay immune — its rows,
+        // once published, were committed AFTER this delivery)
+        val bound = versions(table).last
+        appendSnapshot(rows, table, streamTag = streamTag,
+          eqDeletes = if (hasKeys)
+            Seq(EqDeletes.EqDelete(sidecarDir, keys, bound = bound,
+              rows = keyCount)) else Nil,
+          preManifest = _ => {
+            // upserts commute with PLAIN appends but not with each
+            // other (two racing retractions of one key would both land
+            // above each other's bound — duplicate keys): any
+            // eq-bearing commit that landed since this delivery's
+            // bound-read fails LOUDLY. Runs after the in-JVM
+            // publication turn, so same-process races are exact.
+            versions(table).filter(x => x > bound && x < v).foreach { x =>
+              if (EqDeletes.fromManifest(manifestTextOf(table, x)).nonEmpty)
+                throw new GraftConcurrentCommitException(
+                  s"cannot commit upsert v$v of $table: a concurrent upsert " +
+                    s"committed v$x after this delivery read its retraction bound " +
+                    s"(v$bound) — keyed upsert writers are single-writer per table " +
+                    "(the idempotentUpsertWriter streaming contract); re-run the " +
+                    "delivery")
+            }
+            if (hasKeys) {
+              Files.move(Paths.get(tmp), Paths.get(s"$table/$sidecarDir")); ()
+            }
+          },
+          reservedV = Some(v))
+      } catch {
+        case e: GraftConcurrentCommitException =>
+          deleteTree(Paths.get(s"$table/v=$v")); resolveVersion(table, v); throw e
+        case scala.util.control.NonFatal(e) => releaseVersion(table, v); throw e
+      }
     } finally deleteTree(Paths.get(tmp))
   }
 
@@ -590,7 +795,8 @@ object Snapshots {
                      streamTag: Option[(String, Long)] = None,
                      partitionColumns: Seq[String] = Nil,
                      eqDeletes: Seq[EqDeletes.EqDelete] = Nil,
-                     preManifest: Long => Unit = _ => ()): Long = {
+                     preManifest: Long => Unit = _ => (),
+                     reservedV: Option[Long] = None): Long = {
     val vs = versions(table)
     require(vs.nonEmpty, s"cannot append to $table: no current snapshot")
     // the append must match the table's EFFECTIVE schema — the caller's
@@ -608,30 +814,36 @@ object Snapshots {
     require(shape(expect) == shape(df.schema),
       s"append schema mismatch: expected ${shape(expect).map { case (n, t) => s"$n:$t" }.mkString(",")} " +
         s"vs ${shape(df.schema).map { case (n, t) => s"$n:$t" }.mkString(",")}")
-    val v = nextVersion(table)
-    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val writer = df.write.mode("errorifexists").option("compression", "snappy")
-    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
-      .parquet(s"$table/v=$v")
-    val stats = FileStats.collectFor(df.sparkSession, Paths.get(s"$table/v=$v"))
-    val delta = stats.map(_.map(_.rows).sum).getOrElse(
-      df.sparkSession.read.parquet(s"$table/v=$v").count())
-    val priorTotal = rowCountOf(table, vs.last)
-    val cols = df.schema.fieldNames.filterNot(partitionColumns.contains)
-      .map(c => "\"" + c + "\"").mkString("[", ",", "]")
-    val ts = commitTsMs.getOrElse(System.currentTimeMillis())
-    val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
-    // row_count stays PHYSICAL while equality deletes live (matches
-    // are unknown without scanning) — the eq scan refuses the
-    // manifest-answered count, so nothing reads it as live rows
-    val eqFrag =
-      if (eqDeletes.isEmpty) "" else s""","eqdeletes":${EqDeletes.toJson(eqDeletes)}"""
-    preManifest(v)
-    val manifest =
-      s"""{"version":$v,"operation":"append","committed_at_ms":$ts,"row_count":${priorTotal + delta},"added_rows":$delta,"columns":$cols${streamTagFrag(streamTag)}$filesFrag$eqFrag$uuidFrag}"""
-    Files.write(metaDir(table).resolve(s"$v.json"),
-      manifest.getBytes(StandardCharsets.UTF_8))
-    v
+    val v = reservedV.getOrElse(reserveVersion(table))
+    try {
+      df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val writer = df.write.mode("append").option("compression", "snappy")
+      (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
+        .parquet(s"$table/v=$v")
+      val stats = FileStats.collectFor(df.sparkSession, Paths.get(s"$table/v=$v"))
+      val delta = stats.map(_.map(_.rows).sum).getOrElse(
+        df.sparkSession.read.parquet(s"$table/v=$v").count())
+      // in-JVM publication order = version order, so the prior total is
+      // read AFTER earlier reservations settle: two racing appends both
+      // land and both record exact row_count arithmetic (appends
+      // commute — no serializability gate here, by design)
+      awaitPublicationTurn(table, v)
+      val priorTotal = rowCountOf(table, versions(table).last)
+      val cols = df.schema.fieldNames.filterNot(partitionColumns.contains)
+        .map(c => "\"" + c + "\"").mkString("[", ",", "]")
+      val ts = commitTsMs.getOrElse(System.currentTimeMillis())
+      val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
+      // row_count stays PHYSICAL while equality deletes live (matches
+      // are unknown without scanning) — the eq scan refuses the
+      // manifest-answered count, so nothing reads it as live rows
+      val eqFrag =
+        if (eqDeletes.isEmpty) "" else s""","eqdeletes":${EqDeletes.toJson(eqDeletes)}"""
+      preManifest(v)
+      val manifest =
+        s"""{"version":$v,"operation":"append","committed_at_ms":$ts,"row_count":${priorTotal + delta},"added_rows":$delta,"columns":$cols${streamTagFrag(streamTag)}$filesFrag$eqFrag$uuidFrag}"""
+      publishManifest(metaDir(table).resolve(s"$v.json"), manifest)
+      v
+    } finally resolveVersion(table, v)
   }
 
   /** Commit the manifest for a full-state version directory whose
@@ -642,7 +854,8 @@ object Snapshots {
     * a data scan. */
   private[sources] def commitFullState(spark: SparkSession, table: String, v: Long,
                                        operation: String,
-                                       commitTsMs: Option[Long] = None): Unit = {
+                                       commitTsMs: Option[Long] = None,
+                                       basedOn: Option[Long] = None): Unit = {
     val df = spark.read.parquet(s"$table/v=$v")
     val stats = FileStats.collectFor(spark, Paths.get(s"$table/v=$v"))
     val rows = stats.map(_.map(_.rows).sum).getOrElse(df.count())
@@ -652,11 +865,26 @@ object Snapshots {
     val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
     val manifest =
       s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag$uuidFrag}"""
-    Files.createDirectories(metaDir(table))
-    Files.write(metaDir(table).resolve(s"$v.json"),
-      manifest.getBytes(StandardCharsets.UTF_8))
-    ()
+    publishGated(table, v, operation, basedOn, manifest)
   }
+
+  /** The shared gated publication tail of the v-supplied commit paths
+    * (the caller reserved `v` and wrote its data): order in-JVM, gate
+    * non-commuting commits on their planning base, publish CREATE_NEW,
+    * and on refusal remove the unreachable data so it never blocks a
+    * later writer's gate. */
+  private def publishGated(table: String, v: Long, operation: String,
+                           basedOn: Option[Long], manifest: String): Unit =
+    try {
+      awaitPublicationTurn(table, v)
+      basedOn.foreach(b => assertSerializable(table, b, v, operation))
+      Files.createDirectories(metaDir(table))
+      publishManifest(metaDir(table).resolve(s"$v.json"), manifest)
+    } catch {
+      case e: GraftConcurrentCommitException =>
+        deleteTree(Paths.get(s"$table/v=$v"))
+        throw e
+    } finally resolveVersion(table, v)
 
   /** Commit a FILE-PRUNED copy-on-write version: `v=N` holds only the
     * rewritten group's rows (already written by Spark's parquet batch
@@ -675,9 +903,10 @@ object Snapshots {
                                  carried: Seq[FileStats.FileStat],
                                  commitTsMs: Option[Long] = None,
                                  deletes: Seq[MorDeletes.DeleteFile] = Nil,
-                                 eqDeletes: Seq[EqDeletes.EqDelete] = Nil): Unit = {
+                                 eqDeletes: Seq[EqDeletes.EqDelete] = Nil,
+                                 basedOn: Option[Long] = None): Unit = {
     if (carried.isEmpty && deletes.isEmpty && eqDeletes.isEmpty) {
-      commitFullState(spark, table, v, operation, commitTsMs); return
+      commitFullState(spark, table, v, operation, commitTsMs, basedOn); return
     }
     // every delete entry must target a carried file — a target that
     // was dropped or rewritten takes its positions with it (callers
@@ -719,10 +948,7 @@ object Snapshots {
       if (eqDeletes.isEmpty) "" else s""","eqdeletes":${EqDeletes.toJson(eqDeletes)}"""
     val manifest =
       s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}$delFrag$eqFrag$uuidFrag}"""
-    Files.createDirectories(metaDir(table))
-    Files.write(metaDir(table).resolve(s"$v.json"),
-      manifest.getBytes(StandardCharsets.UTF_8))
-    ()
+    publishGated(table, v, operation, basedOn, manifest)
   }
 
   /** Column names for a CoW manifest: the new files' schema when any
@@ -909,10 +1135,12 @@ object Snapshots {
           case _ => clustered.repartition(col(pc))
         }
         writeSnapshot(repartitioned, table,
-          operation = "compact", partitionColumns = Seq(pc))
+          operation = "compact", partitionColumns = Seq(pc),
+          basedOn = Some(vs.last))
       case None =>
         writeSnapshot(
-          readLatest(spark, table).repartition(numOut), table, operation = "compact")
+          readLatest(spark, table).repartition(numOut), table, operation = "compact",
+          basedOn = Some(vs.last))
     }
     val filesAfter = scala.util.Using.resource(Files.walk(Paths.get(s"$table/v=$v"))) { w =>
       w.iterator().asScala.count(p =>
@@ -960,7 +1188,8 @@ object Snapshots {
       .repartitionByRange(n, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
-    val v = writeSnapshot(clustered, table, operation = "compact")
+    val v = writeSnapshot(clustered, table, operation = "compact",
+      basedOn = Some(vs.last))
     val filesAfter = expandParquet(s"$table/v=$v").size
     (v, filesBefore, filesAfter)
   }
@@ -971,11 +1200,15 @@ object Snapshots {
     * committing its predecessor's state forward, never by deleting
     * versions, so audits and time travel over the bad interval keep
     * working). Returns the new version number. */
-  def rollback(spark: SparkSession, table: String, v: Long): Long =
+  def rollback(spark: SparkSession, table: String, v: Long): Long = {
+    // basedOn captured at PLAN time: a commit racing this rollback must
+    // fail the publication gate, not silently vanish under it
+    val head = versions(table).lastOption
     // CURRENT names: rollback restores the STATE, not the schema — a
     // new version directory must carry the names current readers map
     writeSnapshot(readAsOfAs(spark, table, v, outV = Long.MaxValue), table,
-      operation = s"rollback_to_$v")
+      operation = s"rollback_to_$v", basedOn = head)
+  }
 
   /** Commit timestamp of each version (manifests written before the
     * field existed order by version number at epoch 0 — monotone, so
@@ -1032,13 +1265,15 @@ object Snapshots {
     * current version; no driver-side row handling. */
   def mergeInto(spark: SparkSession, table: String, updates: DataFrame,
                 keys: Seq[String]): Long = {
+    val head = versions(table).lastOption // planning base, gated at publish
     val current = readLatest(spark, table)
     require(current.columns.sorted.sameElements(updates.columns.sorted),
       s"merge schema mismatch: ${current.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     val kept = current.join(
       updates.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
       keys, "left_anti")
-    writeSnapshot(kept.unionByName(updates), table, operation = "merge")
+    writeSnapshot(kept.unionByName(updates), table, operation = "merge",
+      basedOn = head)
   }
 
   /** CDC-style diff between two snapshot versions (Delta CHANGE DATA
@@ -1165,8 +1400,15 @@ object Snapshots {
     tags.toSeq.sortBy(_._1).foreach { case (k, v) => t.put(k, v) }
     val b = root.putObject("branches")
     branches.toSeq.sortBy(_._1).foreach { case (k, v) => b.put(k, v) }
-    Files.write(Paths.get(table, "_refs.json"),
-      mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
+    // temp + atomic move: a reader (or crashed writer) can never see a
+    // torn refs document — the mutable-pointer half of the commit
+    // plane's atomicity story (manifests themselves are CREATE_NEW)
+    val tmp = Files.createTempFile(Paths.get(table), "_refs", ".tmp")
+    Files.write(tmp, mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(table, "_refs.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 
   private def writeTags(table: String, tags: Map[String, Long]): Unit =
@@ -1241,24 +1483,21 @@ object Snapshots {
     * Iceberg write-audit-publish staging shape: writes land on the
     * branch ([[appendToBranch]]), audits read it ([[readBranch]]),
     * and a clean audit publishes the whole branch state to main in
-    * one zero-copy metadata commit ([[fastForward]]). Refuses while
-    * positional sidecars, equality-delete entries or rename eras are
-    * live on the base state (the branch read composes base + appended
-    * deltas; `compact()` clears any of them first) — the same
-    * composition doctrine every flavor pair follows. Returns the fork
-    * base version. */
+    * one zero-copy metadata commit ([[fastForward]]). Branching over
+    * a DELETE-BEARING base (live positional sidecars and/or equality
+    * entries — r17) is sound: branch reads run the same composed
+    * merge scan main runs, branch appends sit above every bound, and
+    * a publish carries the surviving entries with their origin
+    * bounds intact (the carried-ref argument CoW commits use). Only
+    * rename eras still refuse — the merge scans resolve key columns
+    * at ONE set of physical names, which era-spanning files break.
+    * Returns the fork base version. */
   def createBranch(table: String, name: String): Long = {
     require(name.matches("[A-Za-z0-9_.-]+") && !name.matches("\\d+"),
       s"branch name must match [A-Za-z0-9_.-]+ and not be all digits: '$name'")
     val vs = versions(table)
     require(vs.nonEmpty, s"cannot branch $table: no current snapshot")
     val base = vs.last
-    require(liveDeletes(table, base).isEmpty,
-      s"cannot branch $table: positional delete sidecars are live — run " +
-        "Snapshots.compact() first")
-    require(liveEqDeletes(table, base).isEmpty,
-      s"cannot branch $table: equality-delete entries are live — run " +
-        "Snapshots.compact() first")
     require(renameInfoOf(table).isEmpty ||
       !erasActive(table, base, renameInfoOf(table), Long.MaxValue),
       s"cannot branch $table: rename eras are live — run Snapshots.compact() first")
@@ -1309,31 +1548,72 @@ object Snapshots {
         (clustered, Seq(spec.partCol))
       case None => (df, Seq.empty[String])
     }
-    val v = nextVersion(table)
-    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val writer = toWrite.write.mode("errorifexists").option("compression", "snappy")
-    (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
-      .parquet(s"$table/v=$v")
-    val stats = FileStats.collectFor(spark, Paths.get(s"$table/v=$v"))
-    val delta = stats.map(_.map(_.rows).sum).getOrElse(
-      spark.read.parquet(s"$table/v=$v").count())
-    val prior = branchCurrentRowCount(table, name)
-    val cols = df.schema.fieldNames.filterNot(pcols.contains)
-      .map(c => "\"" + c + "\"").mkString("[", ",", "]")
-    val ts = commitTsMs.getOrElse(System.currentTimeMillis())
-    val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
-    val manifest =
-      s"""{"version":$v,"operation":"append","committed_at_ms":$ts,"row_count":${prior + delta},"added_rows":$delta,"columns":$cols$filesFrag$uuidFrag}"""
-    Files.createDirectories(branchMetaDir(table, name))
-    Files.write(branchMetaDir(table, name).resolve(s"$v.json"),
-      manifest.getBytes(StandardCharsets.UTF_8))
-    v
+    val v = reserveVersion(table)
+    try {
+      df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      val writer = toWrite.write.mode("append").option("compression", "snappy")
+      (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
+        .parquet(s"$table/v=$v")
+      val stats = FileStats.collectFor(spark, Paths.get(s"$table/v=$v"))
+      val delta = stats.map(_.map(_.rows).sum).getOrElse(
+        spark.read.parquet(s"$table/v=$v").count())
+      awaitPublicationTurn(table, v)
+      val prior = branchCurrentRowCount(table, name)
+      val cols = df.schema.fieldNames.filterNot(pcols.contains)
+        .map(c => "\"" + c + "\"").mkString("[", ",", "]")
+      val ts = commitTsMs.getOrElse(System.currentTimeMillis())
+      val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
+      val manifest =
+        s"""{"version":$v,"operation":"append","committed_at_ms":$ts,"row_count":${prior + delta},"added_rows":$delta,"columns":$cols$filesFrag$uuidFrag}"""
+      Files.createDirectories(branchMetaDir(table, name))
+      publishManifest(branchMetaDir(table, name).resolve(s"$v.json"), manifest)
+      v
+    } finally resolveVersion(table, v)
   }
 
   private def branchOpOf(table: String, name: String, v: Long): String =
     "\"operation\":\"([^\"]+)\"".r
       .findFirstMatchIn(branchManifestText(table, name, v))
       .map(_.group(1)).getOrElse("append")
+
+  /** The branch's own anchoring non-append commit, if any (a branch
+    * DML's cow manifest) — the branch-chain analogue of
+    * [[lastFullVersion]]. */
+  private def branchAnchor(table: String, name: String): Option[Long] =
+    branchVersions(table, name).reverse
+      .find(v => branchOpOf(table, name, v) != "append")
+
+  /** Live positional delete entries of branch `name`'s state: the
+    * branch anchor's surviving entries when a branch-local cow commit
+    * exists, else the fork base state's (r17 — branches fork over
+    * delete-bearing bases; the branch read is the same composed scan
+    * main uses). */
+  def liveBranchDeletes(table: String, name: String): Seq[MorDeletes.DeleteFile] =
+    branchAnchor(table, name) match {
+      case Some(a) => MorDeletes.fromManifest(branchManifestText(table, name, a))
+      case None    => liveDeletes(table, branchesOf(table)(name))
+    }
+
+  /** Live equality-delete entries of branch `name`'s state (same
+    * anchor rule; branch appends never add entries — the upsert writer
+    * targets main). Sorted by bound ascending like [[liveEqDeletes]]. */
+  def liveBranchEqDeletes(table: String, name: String): Seq[EqDeletes.EqDelete] =
+    (branchAnchor(table, name) match {
+      case Some(a) => EqDeletes.fromManifest(branchManifestText(table, name, a))
+      case None    => liveEqDeletes(table, branchesOf(table)(name))
+    }).sortBy(_.bound)
+
+  /** Cache identity of branch `name`'s delete state (the branch
+    * analogue of [[deleteStateKey]]): the anchor manifest's commit
+    * uuid when one exists, else the fork base's key. */
+  private[sources] def branchDeleteStateKey(table: String, name: String): String =
+    branchAnchor(table, name) match {
+      case Some(a) =>
+        "\"commit_uuid\":\"([^\"]*)\"".r
+          .findFirstMatchIn(branchManifestText(table, name, a))
+          .map(m => s"$table|$name|$a|${m.group(1)}").getOrElse("")
+      case None => deleteStateKey(table, branchesOf(table)(name))
+    }
 
   /** The branch state's current row count, recomputed from the LIVE
     * fork base each call — never from a prior branch manifest's chained
@@ -1416,7 +1696,12 @@ object Snapshots {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val reader = spark.read.option("mergeSchema", "true")
-    declaredCleanOf(table).fold(reader)(reader.schema).parquet(paths: _*)
+    // a delete-bearing state (base sidecars/entries, or a branch DML
+    // anchor's survivors) merges out exactly like main reads; branch
+    // appends are immune by construction (origin above every bound)
+    applyAllDeletes(
+      declaredCleanOf(table).fold(reader)(reader.schema).parquet(paths: _*),
+      table, liveBranchDeletes(table, name), liveBranchEqDeletes(table, name))
   }
 
   /** DELETE on a branch (r16 — the audit-fix half of the WAP loop:
@@ -1524,7 +1809,15 @@ object Snapshots {
   private def branchDml(spark: SparkSession, table: String, name: String,
                         condSql: String, operation: String,
                         transform: (DataFrame, org.apache.spark.sql.Column) => DataFrame): Long = {
+    // branch-chain planning base: a concurrent branch commit between
+    // here and publication is a lost update — gated before publish
+    val bvs0 = branchVersions(table, name)
     val comps = branchStateComponents(table, name)
+    // live delete state of the PRIOR branch state (base entries or a
+    // prior branch anchor's survivors): the rewrite merges them out
+    // (never resurrects a deleted row), carried files keep theirs
+    val priorDels = liveBranchDeletes(table, name)
+    val priorEqs = liveBranchEqDeletes(table, name)
     val schema = declaredCleanOf(table).getOrElse(readBranch(spark, table, name).schema)
     val conjuncts = splitConjuncts(
       spark.sessionState.sqlParser.parseExpression(condSql))
@@ -1548,47 +1841,176 @@ object Snapshots {
       case (p, st) if !dropped.contains(p) &&
         (resolved.isEmpty || FileStats.mayMatch(st, resolved)) => p
     }
-    val v = nextVersion(table)
+    commitBranchCow(spark, table, name, operation, carried,
+      priorDels, priorEqs, schema, bvs0, dir =>
+        if (rewrite.nonEmpty) {
+          val reader = spark.read.option("mergeSchema", "true")
+          val df = transform(
+            applyAllDeletes(
+              declaredCleanOf(table).fold(reader)(reader.schema).parquet(rewrite: _*),
+              table, priorDels, priorEqs), expr(condSql))
+          writeBranchRewrite(spark, table, df, dir)
+        } else Files.createDirectories(dir))
+  }
+
+  /** A branch rewrite's data write, honoring the declared layout spec
+    * exactly like [[appendToBranch]] (derive, cluster, lay files out
+    * per value) — a branch fix on a laid-out table must publish
+    * laid-out files or the staging trip would lose alignment. */
+  private def writeBranchRewrite(spark: SparkSession, table: String,
+                                 df0: DataFrame, dir: java.nio.file.Path): Unit = {
+    val (df, pcols) = layoutSpecOf(table) match {
+      case Some(spec) =>
+        val derived = df0.withColumn(spec.partCol, expr(spec.derivedExpr))
+        val clustered = spec match {
+          case GraftLayout.Bucket(n, _) => derived.repartition(n, col(spec.partCol))
+          case _ => derived.repartition(col(spec.partCol))
+        }
+        (clustered, Seq(spec.partCol))
+      case None => (df0, Seq.empty[String])
+    }
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val writer = df.write.mode("append").option("compression", "snappy")
+    (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
+      .parquet(dir.toString)
+  }
+
+  /** The shared branch copy-on-write commit tail: reserve a version,
+    * run the rewrite writer into it, account live rows, carry the
+    * surviving delete entries (retargeted positional + bound-covered
+    * equality — the same composition rule main CoW commits use), gate
+    * the branch chain against concurrent branch commits, and publish
+    * the branch manifest CREATE_NEW. */
+  private def commitBranchCow(spark: SparkSession, table: String, name: String,
+                              operation: String,
+                              carried: Seq[FileStats.FileStat],
+                              priorDels: Seq[MorDeletes.DeleteFile],
+                              priorEqs: Seq[EqDeletes.EqDelete],
+                              schema: org.apache.spark.sql.types.StructType,
+                              bvs0: Seq[Long],
+                              writeRewrite: java.nio.file.Path => Unit): Long = {
+    val v = reserveVersion(table)
     val dir = Paths.get(s"$table/v=$v")
-    val cond = expr(condSql)
-    if (rewrite.nonEmpty) {
-      val reader = spark.read.option("mergeSchema", "true")
-      val df0 = transform(
-        declaredCleanOf(table).fold(reader)(reader.schema).parquet(rewrite: _*), cond)
-      // the rewrite honors the declared layout spec exactly like
-      // [[appendToBranch]]: a branch DELETE/UPDATE on a laid-out table
-      // must publish laid-out files, or the staging trip would lose
-      // the per-layout-value alignment the append path preserves
-      val (df, pcols) = layoutSpecOf(table) match {
-        case Some(spec) =>
-          val derived = df0.withColumn(spec.partCol, expr(spec.derivedExpr))
-          val clustered = spec match {
-            case GraftLayout.Bucket(n, _) => derived.repartition(n, col(spec.partCol))
-            case _ => derived.repartition(col(spec.partCol))
-          }
-          (clustered, Seq(spec.partCol))
-        case None => (df0, Seq.empty[String])
+    try {
+      writeRewrite(dir)
+      val statsOpt = FileStats.collectFor(spark, dir)
+      val carriedNames = carried.map(_.name).toSet
+      val survDels = MorDeletes.retarget(priorDels, carriedNames)
+      val survEqs = survivingEqEntries(priorEqs, carried)
+      // live rows = own + carried physical minus carried positional
+      // retractions; physical-ish while eq entries live (main's rule)
+      val rows = statsOpt.map(_.map(_.rows).sum).getOrElse(
+        if (expandParquet(dir.toString).nonEmpty)
+          spark.read.parquet(dir.toString).count() else 0L) +
+        carried.map(_.rows).sum - MorDeletes.deletedRows(survDels)
+      val cols = schema.fieldNames.map(c => "\"" + c + "\"").mkString("[", ",", "]")
+      val ts = System.currentTimeMillis()
+      val filesFrag = statsOpt.filter(_.nonEmpty)
+        .fold("")(s => s""","files":${FileStats.toJson(s)}""")
+      val delFrag =
+        if (survDels.isEmpty) "" else s""","deletes":${MorDeletes.toJson(survDels)}"""
+      val eqFrag =
+        if (survEqs.isEmpty) "" else s""","eqdeletes":${EqDeletes.toJson(survEqs)}"""
+      val manifest =
+        s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}$delFrag$eqFrag$uuidFrag}"""
+      awaitPublicationTurn(table, v)
+      if (branchVersions(table, name) != bvs0)
+        throw new GraftConcurrentCommitException(
+          s"cannot commit branch $operation v$v of $table@$name: the branch chain " +
+            s"advanced past ${bvs0.lastOption.getOrElse(branchesOf(table)(name))} while " +
+            "this operation planned — re-run it against the new branch state")
+      Files.createDirectories(branchMetaDir(table, name))
+      publishManifest(branchMetaDir(table, name).resolve(s"$v.json"), manifest)
+      v
+    } catch {
+      case e: GraftConcurrentCommitException => deleteTree(dir); throw e
+    } finally resolveVersion(table, v)
+  }
+
+  /** MERGE INTO a branch (r17 — the keyed-restatement fix verb the WAP
+    * loop was missing): staged rows whose `keys` tuple appears in
+    * `updates` take the update row (matched-UPDATE), update rows with
+    * no staged match insert (not-matched-INSERT), everything else
+    * carries over — copy-on-write WITHIN the branch with the same
+    * bounds pruning the other branch verbs use: files whose manifest
+    * bounds cannot hold any update key (tested against the update
+    * set's per-key min/max — one tiny aggregation over the updates)
+    * are carried by reference, never read. NULL update keys match
+    * nothing (SQL equality). Main is bit-identical throughout.
+    * Schemas must match by name and type. Returns the branch commit
+    * version. */
+  def mergeIntoBranch(spark: SparkSession, table: String, name: String,
+                      updates: DataFrame, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "mergeIntoBranch needs at least one key column")
+    val bvs0 = branchVersions(table, name)
+    val comps = branchStateComponents(table, name)
+    val priorDels = liveBranchDeletes(table, name)
+    val priorEqs = liveBranchEqDeletes(table, name)
+    val schema = declaredCleanOf(table).getOrElse(readBranch(spark, table, name).schema)
+    def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      s.fields.map(f => (f.name, f.dataType.catalogString)).sortBy(_._1).toSeq
+    require(shape(schema) == shape(updates.schema),
+      s"branch merge schema mismatch: expected ${shape(schema).mkString(",")} " +
+        s"vs ${shape(updates.schema).mkString(",")}")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"mergeIntoBranch: no key column $k (columns: ${schema.fieldNames.mkString(",")})"))
+    // bounds pruning from the update set's own key envelope: one tiny
+    // agg over the updates, then `k BETWEEN lo AND hi` conjuncts the
+    // manifest-stats algebra evaluates per file
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    val aggRow = updates.agg(
+      min(col(keys.head)).as("lo0"),
+      (keys.tail.flatMap(k => Seq(min(col(k)), max(col(k)))) :+ max(col(keys.head))): _*
+    ).collect()(0)
+    // column order in aggRow: lo0, (lo_i, hi_i for tail), hi0 — rebuild
+    // positionally per key
+    val loHi: Seq[(Any, Any)] = {
+      val lo0 = aggRow.get(0)
+      val hi0 = aggRow.get(aggRow.length - 1)
+      (lo0, hi0) +: keys.tail.zipWithIndex.map { case (_, i) =>
+        (aggRow.get(1 + 2 * i), aggRow.get(2 + 2 * i))
       }
-      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      val writer = df.write.mode("errorifexists").option("compression", "snappy")
-      (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
-        .parquet(dir.toString)
-    } else Files.createDirectories(dir)
-    val statsOpt = FileStats.collectFor(spark, dir)
-    val rows = statsOpt.map(_.map(_.rows).sum).getOrElse(
-      if (expandParquet(dir.toString).nonEmpty)
-        spark.read.parquet(dir.toString).count() else 0L) +
-      carried.map(_.rows).sum
-    val cols = schema.fieldNames.map(c => "\"" + c + "\"").mkString("[", ",", "]")
-    val ts = System.currentTimeMillis()
-    val filesFrag = statsOpt.filter(_.nonEmpty)
-      .fold("")(s => s""","files":${FileStats.toJson(s)}""")
-    val manifest =
-      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}$uuidFrag}"""
-    Files.createDirectories(branchMetaDir(table, name))
-    Files.write(branchMetaDir(table, name).resolve(s"$v.json"),
-      manifest.getBytes(StandardCharsets.UTF_8))
-    v
+    }
+    val resolved = keys.zip(loHi).flatMap { case (k, (lo, hi)) =>
+      val dt = schema(schema.fieldIndex(k)).dataType
+      if (lo == null || hi == null) Nil // all-NULL key column: matches nothing
+      else {
+        val attr = AttributeReference(k, dt)()
+        Seq(GreaterThanOrEqual(attr, Literal.create(lo, dt)),
+          LessThanOrEqual(attr, Literal.create(hi, dt)))
+      }
+    }
+    val statless = comps.collect { case Left(d) => d }.flatMap(expandParquet)
+    val stated = comps.collect { case Right(x) => x }
+    val carried = stated.collect {
+      case (p, st) if resolved.nonEmpty && !FileStats.mayMatch(st, resolved) =>
+        st.copy(name = rootRel(table, p))
+    }
+    val rewrite = statless ++ stated.collect {
+      case (p, st) if resolved.isEmpty || FileStats.mayMatch(st, resolved) => p
+    }
+    val outCols = schema.fieldNames.toSeq
+    val upd = updates.select(outCols.map(col): _*)
+    commitBranchCow(spark, table, name, "merge", carried,
+      priorDels, priorEqs, schema, bvs0, dir => {
+        val base =
+          if (rewrite.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else {
+            val reader = spark.read.option("mergeSchema", "true")
+            applyAllDeletes(
+              declaredCleanOf(table).fold(reader)(reader.schema).parquet(rewrite: _*),
+              table, priorDels, priorEqs).select(outCols.map(col): _*)
+          }
+        // matched rows drop (their update replaces them), the update
+        // set unions in whole — matched-UPDATE and not-matched-INSERT
+        // in one pass; NULL staged keys survive the anti-join (SQL
+        // equality never matches them)
+        val kept = base.join(
+          upd.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        writeBranchRewrite(spark, table, kept.unionByName(upd), dir)
+      })
   }
 
   /** REBASE the branch onto the advanced main head (the divergence
@@ -1656,15 +2078,30 @@ object Snapshots {
       else Some(comps.collect { case Right((p, st)) =>
         st.copy(name = rootRel(table, p))
       })
-    val v = nextVersion(table)
-    allCarried match {
+    val v = reserveVersion(table)
+    val publishedV = allCarried match {
       case Some(c) if c.nonEmpty =>
-        commitCow(spark, table, v, operation = "publish", carried = c)
+        // a delete-bearing branch state publishes ZERO-COPY with its
+        // entries intact: carried files keep their origin versions, so
+        // every equality bound keeps selecting exactly the rows it
+        // always did, and positional sidecars follow their carried
+        // targets — the same carried-ref argument CoW commits use
+        val carriedNames = c.map(_.name).toSet
+        // gate on the fork base: a main commit racing this publish
+        // would otherwise vanish under the carried-ref full state
+        commitCow(spark, table, v, operation = "publish", carried = c,
+          deletes = MorDeletes.retarget(liveBranchDeletes(table, name), carriedNames),
+          eqDeletes = survivingEqEntries(liveBranchEqDeletes(table, name), c),
+          basedOn = Some(base))
+        v
       case _ =>
         // statless component somewhere (pre-stats-era tables) or an
         // EMPTY branch state (a branch DML deleted every row):
-        // materialize — correct, not zero-copy
-        writeSnapshot(readBranch(spark, table, name), table, operation = "publish")
+        // materialize — correct, not zero-copy. writeSnapshot mints its
+        // own reservation; release ours first.
+        releaseVersion(table, v)
+        writeSnapshot(readBranch(spark, table, name), table, operation = "publish",
+          basedOn = Some(base))
     }
     // the branch is CONSUMED: its manifests go first (their data
     // directories now ride main's carried refs — re-creating the name
@@ -1674,7 +2111,7 @@ object Snapshots {
     deleteTree(branchMetaDir(table, name))
     val (tags, bs) = refsDoc(table)
     writeRefs(table, tags, bs - name)
-    v
+    publishedV
   }
 
   /** The COMPLETE write-audit-publish loop in one call: run
@@ -1844,8 +2281,10 @@ object Snapshots {
         liveEqDeletes(table, v).map(_.dir)) ++
       // branches are refs too: a live branch still READS its fork-base
       // state — expiring those directories would corrupt every branch
-      // read and the eventual fast-forward publish
-      branchesOf(table).values.toSeq.flatMap(b => readSet(table, b)))
+      // read and the eventual fast-forward publish; its base's delete
+      // sidecar hosts are load-bearing the same way
+      branchesOf(table).values.toSeq.flatMap(b => readSet(table, b) ++
+        liveDeletes(table, b).map(_.dir) ++ liveEqDeletes(table, b).map(_.dir)))
       .flatMap(p => verSeg.findAllMatchIn(p).map(_.group(1).toLong)).toSet
     val expired = candidates -- tagged -- pinnedDirs
     expired.foreach { v =>
@@ -1935,6 +2374,15 @@ object Snapshots {
     |)
     |ORDER BY version""".stripMargin
 }
+
+/** A non-commuting commit lost its race: the state it planned against
+  * is no longer the table head (or its version number was taken by a
+  * concurrent writer). The commit was NOT published — re-run the
+  * operation against the new head. This is the loud analogue of the
+  * Iceberg catalog's commit-conflict validation (the reference's REST
+  * catalog tier arbitrates exactly this); fast appends never throw it
+  * (they re-mint and land as their own versions — appends commute). */
+class GraftConcurrentCommitException(msg: String) extends IllegalStateException(msg)
 
 /** A catalog table's declared storage-partitioned layout — the
   * transform every write lays files out by (one hidden `partCol=value/`

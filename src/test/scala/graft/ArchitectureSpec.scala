@@ -85,8 +85,16 @@ class ArchitectureSpec extends AnyFunSuite {
     //   — the composed-delete-flavor oracle replays each from
     //   silver), and (n) branchFixOver five: two CALL report relations
     //   (the branch-DML fix verbs, 1 row each) and three 1-row
-    //   count/sum aggregates (main-during-fix, published, pinned) —
-    //   all metadata-plane by design
+    //   count/sum aggregates (main-during-fix, published, pinned),
+    //   and (o) branchWapComposeOver five: one CALL report relation
+    //   (merge_into_branch, 1 row) and four 1-row count/sum
+    //   aggregates (SQL branch-read probe, main-during-fix,
+    //   published, pinned-base — the composed-WAP oracle replays
+    //   each from silver) — all metadata-plane by design
+    // Snapshots (3rd site, r17): mergeIntoBranch's bounds-pruning
+    //   envelope — ONE 1-row min/max aggregate over the update set's
+    //   key columns (2×|keys| scalars), the metadata that lets the
+    //   merge carry every out-of-range file by reference
     // EqDeletes: the equality-delete KEY SET rides into scan planning
     //   driver-side (small by the upsert policy — the retraction keys
     //   of recent deliveries; compaction clears them), cached per
@@ -100,9 +108,9 @@ class ArchitectureSpec extends AnyFunSuite {
       // Snapshots: (a) one |checks|-bounded audit-report read in
       // wapPublish (same contract as DataChecks.gatedWrite), plus the
       // pre-existing metadata-plane read
-      "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 2,
+      "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 3,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 44,
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 49,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,
       "EqDeletes.scala" -> 1, "GraftProcedures.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,

@@ -130,12 +130,12 @@ class BranchesSpec extends AnyFunSuite {
     assert(Snapshots.versions(path).last == pubV)
   }
 
-  test("guards: duplicate/bad names, live sidecars refuse branching, rename refuses while branches live") {
+  test("guards: duplicate/bad names, rename refuses while branches live; delete-bearing bases branch fine (r17)") {
     val t = s"$cat.m.g"
     val path = s"$wh/m/g"
     // ONE file holding several rows, so the MoR delete below is a
     // partial-file retraction (a fully-dead file would drop
-    // metadata-only and leave no sidecar to refuse on)
+    // metadata-only and leave nothing live to compose over)
     spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k FROM range(1, 5)")
     assert(intercept[Exception](Snapshots.createBranch(path, "7"))
       .getMessage.contains("not be all digits"))
@@ -146,12 +146,15 @@ class BranchesSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE $t RENAME COLUMN k TO kk"))
       .getMessage.contains("while branches exist"))
     Snapshots.dropBranch(spark, path, "b1")
-    // live positional sidecars refuse branching
+    // r17: live positional sidecars no longer refuse branching — the
+    // branch read is the composed merge scan (the full lifecycle is
+    // pinned in the delete-bearing-base test); rename eras still do
     spark.conf.set("spark.graft.delete.mode", "merge-on-read")
     try spark.sql(s"DELETE FROM $t WHERE k = 1")
     finally spark.conf.set("spark.graft.delete.mode", "copy-on-write")
-    assert(intercept[Exception](Snapshots.createBranch(path, "b2"))
-      .getMessage.contains("sidecars are live"))
+    Snapshots.createBranch(path, "b2")
+    assert(Snapshots.readBranch(spark, path, "b2").count() == 3L)
+    Snapshots.dropBranch(spark, path, "b2")
   }
 
   test("wapPublish: a failing audit leaves main untouched and the branch inspectable; a clean one publishes") {
@@ -543,6 +546,122 @@ class BranchesSpec extends AnyFunSuite {
     assert(Snapshots.readBranch(spark, path, "st").count() == 2L)
     // main untouched
     assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 6L)
+  }
+
+  test("branches fork over a DELETE-BEARING base: composed reads, branch DML, zero-copy publish with entries intact") {
+    import spark.implicits._
+    val t = s"$cat.m.wap_del"
+    val path = s"$wh/m/wap_del"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id * 10 AS v FROM range(0, 10)") // v1
+    // live equality entry: retract k=2, restate as v=222
+    Snapshots.upsertBatch(spark, path, Seq((2L, 222L)).toDF("k", "v").coalesce(1), Seq("k")) // v2
+    // live positional sidecar: MoR point-delete of k=5 (partial file)
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE k = 5")
+    finally spark.conf.unset("spark.graft.delete.mode")                  // v3
+    assert(Snapshots.liveDeletes(path, 3L).nonEmpty &&
+      Snapshots.liveEqDeletes(path, 3L).nonEmpty, "precondition: both flavors live")
+
+    // fork OVER both flavors — no compact()
+    val base = Snapshots.createBranch(path, "st")
+    assert(base == 3L)
+    Snapshots.appendToBranch(spark, path, "st",
+      Seq((100L, 1000L), (101L, 1010L)).toDF("k", "v").coalesce(1))      // v4
+    // the audit frame merges BOTH flavors: k=5 gone, k=2 → 222 once
+    val audit = Snapshots.readBranch(spark, path, "st")
+    assert(audit.count() == 11L, audit.collect().mkString(","))
+    assert(audit.filter("k = 2").collect().map(_.getLong(1)).toSeq == Seq(222L))
+    assert(audit.filter("k = 5").count() == 0L)
+    // SQL branch read routes the same composed scan
+    val sqlProbe = spark.sql(
+      s"SELECT count(*) AS c, sum(v) AS s FROM $t VERSION AS OF 'st' WHERE k IN (2, 5, 100)")
+      .collect()(0)
+    assert(sqlProbe.getLong(0) == 2L && sqlProbe.getLong(1) == 222L + 1000L, sqlProbe)
+
+    // branch DML over the composed state: the rewrite must NOT
+    // resurrect the position-deleted or retracted rows
+    Snapshots.updateBranch(spark, path, "st", Map("v" -> "v + 1"), "k = 101") // v5 anchor
+    val fixed = Snapshots.readBranch(spark, path, "st")
+    assert(fixed.count() == 11L)
+    assert(fixed.filter("k = 101").collect()(0).getLong(1) == 1011L)
+    assert(fixed.filter("k = 5").count() == 0L &&
+      fixed.filter("k = 2").collect().map(_.getLong(1)).toSeq == Seq(222L))
+
+    // main bit-identical through the whole trip (10 base rows, k=2
+    // retracted+restated = net 10, k=5 position-deleted → 9)
+    assert(Snapshots.versions(path) == Seq(1L, 2L, 3L))
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 9L)
+
+    // zero-copy publish: entries ride the manifest intact
+    val pv = Snapshots.fastForward(spark, path, "st")
+    // zero-copy: the publish version directory holds no data files
+    assert(scala.util.Using.resource(Files.walk(Paths.get(path, s"v=$pv"))) { w =>
+      import scala.jdk.CollectionConverters._
+      !w.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    }, "publish wrote data files — not zero-copy")
+    assert(Snapshots.liveDeletes(path, pv).nonEmpty &&
+      Snapshots.liveEqDeletes(path, pv).nonEmpty,
+      "publish must carry both delete flavors")
+    val pub = spark.sql(s"SELECT count(*) AS c, sum(v) AS s FROM $t").collect()(0)
+    assert(pub.getLong(0) == 11L)
+    assert(pub.getLong(1) ==
+      (0L until 10L).map(_ * 10).sum - 20L + 222L - 50L + 1000L + 1011L, pub)
+    // retention keeps the published composed state readable
+    Snapshots.expireSnapshots(spark, path, keepLast = 1)
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 11L)
+    // compaction still materializes everything afterwards
+    Snapshots.compact(spark, path)
+    val cv = Snapshots.versions(path).last
+    assert(Snapshots.liveDeletes(path, cv).isEmpty &&
+      Snapshots.liveEqDeletes(path, cv).isEmpty)
+    assert(spark.sql(s"SELECT sum(v) FROM $t").collect()(0).getLong(0) == pub.getLong(1))
+  }
+
+  test("mergeIntoBranch: keyed restatement fix, bounds-pruned, main untouched; CALL surface") {
+    import spark.implicits._
+    val t = s"$cat.m.mib"
+    val path = s"$wh/m/mib"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id * 10 AS v FROM range(0, 8)") // v1, bounds k∈[0,7]
+    Snapshots.createBranch(path, "st")
+    Snapshots.appendToBranch(spark, path, "st",
+      Seq((100L, 0L), (101L, 0L)).toDF("k", "v").coalesce(1)) // v2, bounds k∈[100,101]
+    // restate k=100 (matched-UPDATE) and insert k=200 (not-matched-INSERT)
+    val updates = Seq((100L, 5555L), (200L, 2000L)).toDF("k", "v")
+    val mv = Snapshots.mergeIntoBranch(spark, path, "st", updates, Seq("k"))
+    // bounds pruning: the base file (k ≤ 7 < 100) was carried, never read
+    val manifest = new String(Files.readAllBytes(
+      Paths.get(path, "_meta", "branches", "st", s"$mv.json")))
+    assert(graft.sources.FileStats.carriedFromManifest(manifest).size == 1, manifest)
+    val fixed = Snapshots.readBranch(spark, path, "st").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed(100L) == 5555L && fixed(101L) == 0L && fixed(200L) == 2000L &&
+      fixed.size == 11, fixed.toString)
+    // main bit-identical
+    assert(Snapshots.versions(path) == Seq(1L) &&
+      spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 8L)
+    // schema / key guards are loud
+    assert(intercept[IllegalArgumentException](
+      Snapshots.mergeIntoBranch(spark, path, "st", Seq(1L).toDF("k"), Seq("k")))
+      .getMessage.contains("schema mismatch"))
+    assert(intercept[IllegalArgumentException](
+      Snapshots.mergeIntoBranch(spark, path, "st", updates, Seq("zzz")))
+      .getMessage.contains("no key column"))
+    // publish lands the fix
+    Snapshots.fastForward(spark, path, "st")
+    assert(spark.sql(s"SELECT sum(v) FROM $t WHERE k >= 100").collect()(0).getLong(0)
+      == 5555L + 0L + 2000L)
+
+    // CALL surface over a source view
+    val t2 = s"$cat.m.mib2"
+    val path2 = s"$wh/m/mib2"
+    spark.sql(s"CREATE TABLE $t2 AS SELECT id AS k, id AS v FROM range(0, 4)")
+    Snapshots.createBranch(path2, "st")
+    Seq((1L, 99L)).toDF("k", "v").createOrReplaceTempView("mib2_fix")
+    val call = spark.sql(s"CALL $cat.system.merge_into_branch(table => 'm.mib2', " +
+      "branch => 'st', source => 'mib2_fix', keys => 'k')").collect()(0)
+    assert(call.getString(0) == "st" && call.getLong(1) == 2L)
+    assert(Snapshots.readBranch(spark, path2, "st").filter("k = 1")
+      .collect()(0).getLong(1) == 99L)
   }
 
   test("branch manifest row_count stays truthful after a rebase moves the fork base") {
