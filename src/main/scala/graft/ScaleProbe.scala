@@ -91,7 +91,7 @@ object ScaleProbe {
     // and the audit-fix-publish loop (branch DML is bounds-pruned
     // CoW over the STAGED band; main untouched; publish O(manifest))
     "meta_catalog_delete_compose", "meta_catalog_branch_fix",
-    "meta_catalog_branch_wap_compose")
+    "meta_catalog_branch_wap_compose", "stream_changelog_cdc")
 
   /** Per-query (warm seconds, staging seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its

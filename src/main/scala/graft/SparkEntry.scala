@@ -486,6 +486,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.branchFixOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_branch_wap_compose" -> ((s, dir) =>
       graft.sources.GraftCatalog.branchWapComposeOver(s, DailySales.build(silver(s, dir)))),
+    "stream_changelog_cdc" -> ((s, dir) =>
+      graft.sources.GraftCatalog.changelogStreamOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_evolution" -> ((s, dir) =>
       graft.sources.GraftCatalog.evolutionOver(s, DailySales.build(silver(s, dir)))),
     "maintenance_rewrite_files" -> ((s, dir) =>
@@ -705,6 +707,7 @@ object SparkEntry {
     "meta_catalog_branch_wap" -> graft.sources.GraftCatalog.branchWapSql,
     "meta_catalog_branch_fix" -> graft.sources.GraftCatalog.branchFixSql,
     "meta_catalog_branch_wap_compose" -> graft.sources.GraftCatalog.branchWapComposeSql,
+    "stream_changelog_cdc" -> graft.sources.GraftCatalog.changelogStreamSql,
     "meta_catalog_evolution" -> graft.sources.GraftCatalog.evolutionSql,
     "maintenance_rewrite_files" -> graft.sources.GraftCatalog.rewriteFilesSql,
     "stream_catalog_append" -> graft.sources.GraftCatalog.streamAppendSql,

@@ -266,7 +266,9 @@ private[sources] class GraftEqScan(clean: Option[Scan], affectedScan: Option[Sca
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     throw new UnsupportedOperationException(
       s"streaming read of $tablePath: live equality-delete files cannot replay " +
-        "as deltas — run Snapshots.compact() to materialize them first")
+        "as deltas — run Snapshots.compact() to materialize them first, or " +
+        "stream row-level CHANGES via readStream.table(\"<table>.changes\") " +
+        "(changelog-enabled tables)")
 
   import GraftEqScan.{CleanPart, CleanTagPart, EqPart}
 

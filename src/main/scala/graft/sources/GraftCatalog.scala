@@ -192,11 +192,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // files` — the parent path is a TABLE (tables are leaf
     // directories, so this can never shadow a real child table)
     if (!isTable(tableDir(ident)) && ident.namespace().nonEmpty &&
-        GraftMetadataTables.kinds.contains(ident.name())) {
+        (GraftMetadataTables.kinds.contains(ident.name()) ||
+          ident.name() == "changes")) {
       val parent = nsDir(ident.namespace())
-      if (isTable(parent))
+      if (isTable(parent)) {
+        // `t.changes` is DATA-plane (the CDC changelog), unlike the
+        // manifest-walk metadata tables — its own table class
+        if (ident.name() == "changes")
+          return new GraftChangesTable(parent.toString,
+            s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")
         return new GraftMetadataTables.MetadataTable(ident.name(), parent.toString,
           s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+      }
     }
     loadPinned(ident, pinned = None)
   }
@@ -533,11 +540,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (schema, rm: TableChange.RemoveProperty) if rm.property().startsWith("graft.tag.") =>
         Snapshots.dropTag(tablePath, rm.property().stripPrefix("graft.tag."))
         schema
+      // changelog enablement (Delta's delta.enableChangeDataFeed with
+      // Iceberg's identifier-field keys): SET TBLPROPERTIES
+      // ('graft.changelog.keys'='k1,k2') — DML commits from here on
+      // capture row-level changes, served by `t.changes`
+      case (schema, set: TableChange.SetProperty) if set.property() == "graft.changelog.keys" =>
+        Changelog.enableChangelog(tablePath,
+          set.value().split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        schema
       case _ => throw new UnsupportedOperationException(
         "metadata-only evolution covers nullable top-level ADD COLUMN, DROP COLUMN, " +
           "RENAME COLUMN, widening ALTER COLUMN TYPE, SET TBLPROPERTIES" +
-          "('graft.layout'=…) layout evolution, and SET/UNSET TBLPROPERTIES" +
-          "('graft.tag.<name>'=…) snapshot tags; everything else is a " +
+          "('graft.layout'=…) layout evolution, SET/UNSET TBLPROPERTIES" +
+          "('graft.tag.<name>'=…) snapshot tags, and SET TBLPROPERTIES" +
+          "('graft.changelog.keys'=…) changelog enablement; everything else is a " +
           "full-state snapshot write — see graft.sources.SchemaEvolution")
     }
     Files.write(dir.resolve("_schema.json"),
@@ -2615,6 +2631,121 @@ object GraftCatalog {
     |  UNION ALL SELECT 'published_sum_events',
     |    (SELECT s FROM main_during)
     |      + (SELECT CAST(sum(total_events) AS BIGINT) FROM band) + 100
+    |)
+    |ORDER BY metric""".stripMargin
+
+  /** Driver query (r17): the CHANGELOG STREAM — `readStream.table
+    * ("….changes")` crossing DML snapshots, the read the plain
+    * table-as-stream correctly refuses. A changelog-enabled daily
+    * table takes a plain append (fast path: NO capture sidecar —
+    * `append_capture_dirs=0` structural), a keyed upsert (+7 on
+    * 01-05), a merge-on-read point-DELETE (01-03) and a CoW UPDATE
+    * (+100 on 01-08); one AvailableNow drain delivers every
+    * (op, version, row); the stream then resumes FROM ITS CHECKPOINT
+    * across another append + a compaction (which provably contributes
+    * zero changes). Every count/sum replays from silver. */
+  def changelogStreamOver(s: SparkSession, daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ensureRegistered(s)
+    val n = runCounter.incrementAndGet()
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.marts")
+    val t = s"graft.marts.daily_cl_$n"
+    val path = s"$warehouseDir/marts/daily_cl_$n"
+    val v = s"__graft_cl_src_$n"
+    daily.createOrReplaceTempView(v)
+    s.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date <= DATE '2024-01-10'") // v1
+    s.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.changelog.keys'='event_date')")
+    s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date > DATE '2024-01-10' AND event_date <= DATE '2024-01-15'") // v2 plain append
+    Snapshots.upsertBatch(s, path, s.sql(
+      s"SELECT event_date, total_events + 7 AS total_events FROM $v WHERE event_date = DATE '2024-01-05'")
+      .coalesce(1), keys = Seq("event_date")) // v3
+    s.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try s.sql(s"DELETE FROM $t WHERE event_date = DATE '2024-01-03'") // v4
+    finally s.conf.unset("spark.graft.delete.mode")
+    s.sql(s"UPDATE $t SET total_events = total_events + 100 WHERE event_date = DATE '2024-01-08'") // v5
+    // the plain-append fast path captured nothing — structural
+    val appendCaptureDirs =
+      if (Files.isDirectory(Paths.get(path, "v=2", "_changes"))) 1L else 0L
+
+    val ckpt = Files.createTempDirectory("graft_cl_ck_").toString
+    // per-(phase, change_type) count + sum accumulators — each
+    // micro-batch contributes one |types|-bounded aggregate collect
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    def drain(phase: String): Unit = {
+      val q = s.readStream.table(s"$t.changes").writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.groupBy("_change_type")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("c"),
+              org.apache.spark.sql.functions.sum("total_events").as("se"))
+            .collect().foreach { r =>
+              acc.merge(s"${phase}_${r.getString(0).toLowerCase}",
+                (r.getLong(1), r.getLong(2)),
+                (a, b) => (a._1 + b._1, a._2 + b._2))
+            }
+          ()
+        }
+        .option("checkpointLocation", s"$ckpt/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"changelog drain of $t did not finish within 180s")
+      }
+    }
+    try {
+      drain("p1")
+      // while the stream is down: one more append + a compaction
+      s.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ event_date, total_events FROM $v WHERE event_date > DATE '2024-01-15' AND event_date <= DATE '2024-01-20'") // v6
+      Snapshots.compact(s, path) // v7 — zero changes by contract
+      drain("p2")
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val rows = acc.asScala.toSeq.flatMap { case (k, (c, se)) =>
+        Seq((s"${k}_rows", c), (s"${k}_sum", se))
+      } ++ Seq(
+        ("append_capture_dirs", appendCaptureDirs),
+        ("p2_types", acc.keySet.asScala.count(_.startsWith("p2_")).toLong))
+      rows.toDF("metric", "value").orderBy("metric")
+    } finally {
+      val root = new java.io.File(ckpt)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(root)
+    }
+  }
+
+  /** DuckDB oracle for [[changelogStreamOver]]: each phase's per-type
+    * counts and sums replayed from silver (phase 1: initial INSERTs ≤
+    * 01-15, the upsert pair on 01-05, the 01-03 DELETE, the +100
+    * UPDATE pair on 01-08; phase 2: only the (01-15, 01-20] INSERTs —
+    * the compaction contributes nothing). */
+  val changelogStreamSql: String = graft.marts.SilverEvents.oracleCte + """
+    |, daily AS (SELECT event_date, count(*) AS total_events FROM silver GROUP BY event_date)
+    |, head15 AS (SELECT * FROM daily WHERE event_date <= DATE '2024-01-15')
+    |, band AS (SELECT * FROM daily
+    |   WHERE event_date > DATE '2024-01-15' AND event_date <= DATE '2024-01-20')
+    |SELECT * FROM (
+    |  SELECT 'append_capture_dirs' AS metric, CAST(0 AS BIGINT) AS value
+    |  UNION ALL SELECT 'p1_delete_rows', 1
+    |  UNION ALL SELECT 'p1_delete_sum',
+    |    (SELECT CAST(total_events AS BIGINT) FROM daily WHERE event_date = DATE '2024-01-03')
+    |  UNION ALL SELECT 'p1_insert_rows', (SELECT count(*) FROM head15)
+    |  UNION ALL SELECT 'p1_insert_sum',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM head15)
+    |  UNION ALL SELECT 'p1_update_post_rows', 2
+    |  UNION ALL SELECT 'p1_update_post_sum',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) + 107 FROM daily
+    |     WHERE event_date IN (DATE '2024-01-05', DATE '2024-01-08'))
+    |  UNION ALL SELECT 'p1_update_pre_rows', 2
+    |  UNION ALL SELECT 'p1_update_pre_sum',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM daily
+    |     WHERE event_date IN (DATE '2024-01-05', DATE '2024-01-08'))
+    |  UNION ALL SELECT 'p2_insert_rows', (SELECT count(*) FROM band)
+    |  UNION ALL SELECT 'p2_insert_sum',
+    |    (SELECT CAST(sum(total_events) AS BIGINT) FROM band)
+    |  UNION ALL SELECT 'p2_types', 1
     |)
     |ORDER BY metric""".stripMargin
 

@@ -172,7 +172,9 @@ private[graft] class SnapshotMicroBatchStream(tablePath: String,
       require(nonAppend.isEmpty,
         s"streaming read of $tablePath found non-append snapshot(s) " +
           s"${nonAppend.map(v => s"$v(${Snapshots.operationOf(tablePath, v)})").mkString(", ")} " +
-          "in the unprocessed range — a rewrite cannot replay as a delta; restart the stream")
+          "in the unprocessed range — a rewrite cannot replay as a delta; restart " +
+          "the stream, or stream row-level CHANGES across DML via " +
+          "readStream.table(\"<table>.changes\") (changelog-enabled tables)")
       // a delta that predates a rename boundary carries old physical
       // names — the stream's fixed schema would read them as NULL
       require(vs.isEmpty ||

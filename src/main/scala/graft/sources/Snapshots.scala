@@ -267,6 +267,9 @@ object Snapshots {
       val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
       val manifest =
         s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols${streamTagFrag(streamTag)}$filesFrag$uuidFrag}"""
+      // changelog-enabled tables capture this commit's row-level
+      // effect before it becomes visible (no-op without the marker)
+      Changelog.captureCow(df.sparkSession, table, v, operation, Nil, Nil, Nil)
       awaitPublicationTurn(table, v)
       // full-state commits that read the state they replace (compact /
       // rollback / merge / DML rewrites) pass their planning base and
@@ -605,6 +608,10 @@ object Snapshots {
         // staged branch version below v must stay immune — its rows,
         // once published, were committed AFTER this delivery)
         val bound = versions(table).last
+        // changelog-enabled tables capture the delivery's row-level
+        // effect (one prior-state semi-join — the Delta CDF trade;
+        // no-op, and zero reads, without the marker)
+        Changelog.captureUpsert(spark, table, v, bound, rows, keys)
         appendSnapshot(rows, table, streamTag = streamTag,
           eqDeletes = if (hasKeys)
             Seq(EqDeletes.EqDelete(sidecarDir, keys, bound = bound,
@@ -865,6 +872,7 @@ object Snapshots {
     val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
     val manifest =
       s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag$uuidFrag}"""
+    Changelog.captureCow(spark, table, v, operation, Nil, Nil, Nil)
     publishGated(table, v, operation, basedOn, manifest)
   }
 
@@ -948,6 +956,7 @@ object Snapshots {
       if (eqDeletes.isEmpty) "" else s""","eqdeletes":${EqDeletes.toJson(eqDeletes)}"""
     val manifest =
       s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}$delFrag$eqFrag$uuidFrag}"""
+    Changelog.captureCow(spark, table, v, operation, carried, deletes, eqDeletes)
     publishGated(table, v, operation, basedOn, manifest)
   }
 

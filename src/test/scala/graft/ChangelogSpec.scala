@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Changelog, GraftCatalog, Snapshots}
+
+/** The CDC changelog (`t.changes`, batch + streaming) — the
+  * Delta-CDF-shaped surface: plain appends serve INSERTs by reference
+  * (zero capture cost, spec-pinned), DML commits on changelog-enabled
+  * tables capture their row-level effect at commit time, compaction
+  * provably contributes nothing, and a stream crosses DML snapshots
+  * with checkpoint resume — the read the plain table-as-stream
+  * correctly refuses. */
+class ChangelogSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private lazy val wh = Files.createTempDirectory("graft_cdc_spec_").toString
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.gcl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcl.m")
+    "gcl"
+  }
+
+  private def changesOf(t: String): Map[(String, Long), Seq[(Long, Long)]] =
+    spark.sql(s"SELECT k, v, _change_type, _commit_version FROM $t.changes")
+      .collect()
+      .groupBy(r => (r.getString(2), r.getLong(3)))
+      .view.mapValues(_.map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted).toMap
+
+  test("append-only history serves INSERT changes by reference — no enablement, no capture files") {
+    val t = s"$cat.m.cdc_app"
+    val path = s"$wh/m/cdc_app"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id * 10 AS v FROM range(0, 3)") // v1
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id, id * 10 FROM range(3, 5)") // v2
+    val got = changesOf(t)
+    assert(got(("INSERT", 1L)) == Seq((0L, 0L), (1L, 10L), (2L, 20L)))
+    assert(got(("INSERT", 2L)) == Seq((3L, 30L), (4L, 40L)))
+    assert(got.size == 2)
+    // the fast path never writes capture sidecars
+    assert(!Files.exists(Paths.get(path, "v=1", "_changes")) &&
+      !Files.exists(Paths.get(path, "v=2", "_changes")))
+  }
+
+  test("DML lifecycle: upsert/MoR-delete/CoW-update capture exact pre/post pairs; compact contributes nothing") {
+    import spark.implicits._
+    val t = s"$cat.m.cdc_dml"
+    val path = s"$wh/m/cdc_dml"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id * 10 AS v FROM range(0, 6)") // v1
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.changelog.keys'='k')")
+    assert(Changelog.keysOf(path).contains(Seq("k")))
+    // v2: plain append — STILL no capture on an enabled table
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id, id * 10 FROM range(6, 8)")
+    assert(!Files.exists(Paths.get(path, "v=2", "_changes")),
+      "plain appends must keep their zero-capture fast path")
+    // v3: keyed upsert — k=1 restates (UPDATE pair), k=100 inserts
+    Snapshots.upsertBatch(spark, path,
+      Seq((1L, 111L), (100L, 1000L)).toDF("k", "v").coalesce(1), Seq("k"))
+    // v4: MoR point-delete of k=2 — DELETE pre-image
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE k = 2")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    // v5: CoW UPDATE — k=3 takes +5 (UPDATE pair; untouched rewritten
+    // rows must net out of the capture diff)
+    spark.sql(s"UPDATE $t SET v = v + 5 WHERE k = 3")
+    // v6: compaction — state-identical, zero changes
+    Snapshots.compact(spark, path)
+
+    val got = changesOf(t)
+    assert(got(("INSERT", 1L)).size == 6 && got(("INSERT", 2L)).size == 2)
+    assert(got(("UPDATE_pre", 3L)) == Seq((1L, 10L)))
+    assert(got(("UPDATE_post", 3L)) == Seq((1L, 111L)))
+    assert(got(("INSERT", 3L)) == Seq((100L, 1000L)))
+    assert(got(("DELETE", 4L)) == Seq((2L, 20L)))
+    assert(got(("UPDATE_pre", 5L)) == Seq((3L, 30L)))
+    assert(got(("UPDATE_post", 5L)) == Seq((3L, 35L)))
+    assert(!got.keys.exists(_._2 == 6L), "compaction must contribute no changes")
+    // the changelog REPLAYS to the current state: inserts minus
+    // deletes plus net updates
+    val current = spark.sql(s"SELECT k, v FROM $t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val replayed = got.toSeq.flatMap { case ((tpe, _), rows) => rows.map((tpe, _)) }
+    val replayState = scala.collection.mutable.Map[Long, Long]()
+    got.toSeq.sortBy(_._1._2).foreach { case ((tpe, _), rows) =>
+      rows.foreach { case (k, v) =>
+        tpe match {
+          case "INSERT" | "UPDATE_post" => replayState(k) = v
+          case "DELETE"                 => replayState.remove(k); ()
+          case "UPDATE_pre"             => ()
+        }
+      }
+    }
+    assert(replayState.toSet == current, s"replay=$replayState current=$current")
+    assert(replayed.nonEmpty)
+  }
+
+  test("a DML commit that predates enablement refuses the changelog read loudly") {
+    val t = s"$cat.m.cdc_late"
+    val path = s"$wh/m/cdc_late"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id AS v FROM range(0, 4)")
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE k = 1") // v2, NOT captured
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.changelog.keys'='k')")
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $t.changes").collect())
+    assert(e.getMessage.contains("predates changelog enablement") ||
+      Option(e.getCause).exists(_.getMessage.contains("predates changelog enablement")),
+      e.getMessage)
+    // enablement guards: unknown key column refuses
+    assert(intercept[IllegalArgumentException](
+      Changelog.enableChangelog(path, Seq("nope")))
+      .getMessage.contains("not a column"))
+  }
+
+  test("streaming: the changelog stream crosses DML snapshots and resumes from its checkpoint") {
+    import spark.implicits._
+    val t = s"$cat.m.cdc_stream"
+    val path = s"$wh/m/cdc_stream"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id * 10 AS v FROM range(0, 4)") // v1
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.changelog.keys'='k')")
+    Snapshots.upsertBatch(spark, path,
+      Seq((0L, 7L)).toDF("k", "v").coalesce(1), Seq("k")) // v2: UPDATE pair
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE k = 3")      // v3: UPDATE pair
+
+    val ckpt = Files.createTempDirectory("graft_cdc_ck_").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$t.changes").writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => seen.add((
+            r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"),
+            r.getAs[Long]("k"), r.getAs[Long]("v"))))
+          ()
+        }
+        .option("checkpointLocation", s"$ckpt/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        throw new IllegalStateException("changelog drain did not finish in 120s")
+      }
+    }
+    drain()
+    import scala.jdk.CollectionConverters._
+    val p1 = seen.asScala.toSet
+    assert(p1.contains(("INSERT", 1L, 0L, 0L)) && p1.contains(("INSERT", 1L, 3L, 30L)))
+    assert(p1.contains(("UPDATE_pre", 2L, 0L, 0L)) && p1.contains(("UPDATE_post", 2L, 0L, 7L)))
+    assert(p1.contains(("UPDATE_pre", 3L, 3L, 30L)) && p1.contains(("UPDATE_post", 3L, 3L, 31L)))
+    assert(p1.size == 4 + 4, p1.toString) // 4 inserts + 2 UPDATE pairs
+
+    // while the stream is down: one plain append + one MoR delete
+    seen.clear()
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id, id * 10 FROM range(10, 12)") // v4
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE k = 1")
+    finally spark.conf.unset("spark.graft.delete.mode") // v5
+    drain()
+    val p2 = seen.asScala.toSet
+    assert(p2 == Set(
+      ("INSERT", 4L, 10L, 100L), ("INSERT", 4L, 11L, 110L),
+      ("DELETE", 5L, 1L, 10L)), p2.toString)
+  }
+}
