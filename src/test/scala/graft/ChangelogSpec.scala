@@ -110,6 +110,41 @@ class ChangelogSpec extends AnyFunSuite {
       .getMessage.contains("not a column"))
   }
 
+  test("interplay: changelog over a days-laid-out table (capture and serve through layout subdirs)") {
+    val t = s"$cat.m.cdc_lay"
+    val path = s"$wh/m/cdc_lay"
+    spark.sql(s"CREATE TABLE $t (d DATE, k BIGINT) PARTITIONED BY (days(d))")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.changelog.keys'='k')")
+    spark.sql(s"INSERT INTO $t SELECT DATE_ADD(DATE '2024-05-01', CAST(id % 2 AS INT)), id FROM range(0, 6)") // v1
+    spark.sql(s"UPDATE $t SET k = k + 100 WHERE k = 3") // v2 CoW over laid-out files
+    val got = spark.sql(s"SELECT k, _change_type, _commit_version FROM $t.changes")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.filter(_._3 == 1L).map(_._1) == (0L until 6L).toSet)
+    // the UPDATE changed the IDENTIFIER key itself — the standard CDC
+    // answer is an unpaired DELETE + INSERT (no UPDATE pair exists for
+    // a row whose identity changed), and the carried-along rows of the
+    // rewritten laid-out file still net out
+    assert(got.filter(_._3 == 2L) == Set((3L, "DELETE", 2L), (103L, "INSERT", 2L)), got)
+  }
+
+  test("interplay: a branch publish on a changelog-enabled table captures the staged additions and fixes") {
+    import spark.implicits._
+    val t = s"$cat.m.cdc_pub"
+    val path = s"$wh/m/cdc_pub"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id AS v FROM range(0, 4)") // v1
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.changelog.keys'='k')")
+    Snapshots.createBranch(path, "st")
+    Snapshots.appendToBranch(spark, path, "st", Seq((100L, 1L), (101L, -1L)).toDF("k", "v").coalesce(1)) // v2 branch
+    Snapshots.deleteFromBranch(spark, path, "st", "v < 0") // v3 branch fix
+    val pv = Snapshots.fastForward(spark, path, "st") // v4 publish
+    // nothing on the branch hit the main changelog until the publish;
+    // the publish captures exactly the NET staged effect
+    val got = spark.sql(s"SELECT k, _change_type, _commit_version FROM $t.changes")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.count(_._3 == 1L) == 4)
+    assert(got.filter(_._3 > 1L) == Set((100L, "INSERT", pv)), got)
+  }
+
   test("streaming: the changelog stream crosses DML snapshots and resumes from its checkpoint") {
     import spark.implicits._
     val t = s"$cat.m.cdc_stream"
