@@ -90,7 +90,10 @@ class ArchitectureSpec extends AnyFunSuite {
     //   (merge_into_branch, 1 row) and four 1-row count/sum
     //   aggregates (SQL branch-read probe, main-during-fix,
     //   published, pinned-base — the composed-WAP oracle replays
-    //   each from silver) — all metadata-plane by design
+    //   each from silver), and (p) changelogStreamOver one: the
+    //   foreachBatch per-change-type count/sum aggregate — one row
+    //   per change TYPE (≤4) per micro-batch, the accumulator the
+    //   DuckDB oracle replays — all metadata-plane by design
     // Snapshots (3rd site, r17): mergeIntoBranch's bounds-pruning
     //   envelope — ONE 1-row min/max aggregate over the update set's
     //   key columns (2×|keys| scalars), the metadata that lets the
@@ -110,7 +113,7 @@ class ArchitectureSpec extends AnyFunSuite {
       // pre-existing metadata-plane read
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 3,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 49,
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 50,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,
       "EqDeletes.scala" -> 1, "GraftProcedures.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
