@@ -116,6 +116,15 @@ object Changelog {
     val vs = Snapshots.versions(table)
     if (vs.isEmpty) return
     val priorV = vs.last
+    // capture reads resolve columns at ONE set of physical names —
+    // live rename eras break that (pre-rename files would read the
+    // declared names as NULL, corrupting pre-images), the same
+    // argument every merge surface makes. Refuse the COMMIT loudly:
+    // a silent mis-capture would poison the changelog forever.
+    require(!Snapshots.erasActive(table, priorV, Snapshots.renameInfoOf(table),
+        Long.MaxValue),
+      s"changelog capture on $table: rename eras are live — run " +
+        "Snapshots.compact() before DML on a changelog-enabled table")
     val priorFiles = Snapshots.readSet(table, priorV).flatMap(p =>
       if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
     val priorRefs = priorFiles.map(p => Snapshots.rootRel(table, p)).toSet
@@ -215,6 +224,16 @@ object Changelog {
     * Throws, named, for a DML commit that predates enablement. */
   private[graft] def changesPlanFor(table: String, v: Long)
       : Seq[(Seq[String], Option[String])] = {
+    // history at or below a rename boundary carries OLD physical
+    // names the current schema would read as NULL — refuse, named
+    // (post-boundary versions serve fine: their files and captures
+    // already carry current names)
+    val info = Snapshots.renameInfoOf(table)
+    if (info.nonEmpty && v <= info.maxBoundary)
+      throw new IllegalStateException(
+        s"changelog of $table: version $v predates a column rename (boundary " +
+          s"v${info.maxBoundary}) — pre-rename history carries old physical " +
+          "names; start the changelog from the current state")
     val cap = capFiles(table, v)
     if (Files.isDirectory(capDir(table, v)))
       return if (cap.isEmpty) Nil else Seq((cap, None))
@@ -271,8 +290,19 @@ private[graft] class GraftChangesTable(tablePath: String, tableName: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val out = schema()
     val ds = dataSchema
+    // Delta-CDF-style range options for BATCH reads: startingVersion /
+    // endingVersion, both INCLUSIVE (streaming ignores them — its
+    // range comes from offsets)
+    def longOpt(k: String): Option[Long] =
+      Option(options.get(k)).map(v => try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$name option $k must be a snapshot version number, got '$v'")
+      })
+    val starting = longOpt("startingVersion")
+    val ending = longOpt("endingVersion")
     new ScanBuilder {
-      override def build(): Scan = new GraftChangesScan(tablePath, ds, out)
+      override def build(): Scan =
+        new GraftChangesScan(tablePath, ds, out, starting, ending)
     }
   }
 }
@@ -286,7 +316,9 @@ private[graft] class GraftChangesTable(tablePath: String, tableName: String)
   * checkpoint resume across DML commits for free. */
 private[graft] class GraftChangesScan(tablePath: String,
                                       dataSchema: StructType,
-                                      output: StructType)
+                                      output: StructType,
+                                      startingVersion: Option[Long] = None,
+                                      endingVersion: Option[Long] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = output
@@ -301,8 +333,18 @@ private[graft] class GraftChangesScan(tablePath: String,
 
   private[graft] def planRange(startExclusive: Long, endInclusive: Long)
       : Array[InputPartition] = {
-    val vs = Snapshots.versions(tablePath)
-      .filter(v => v > startExclusive && v <= endInclusive)
+    val all = Snapshots.versions(tablePath)
+    // a non-zero start below the oldest SURVIVING version means the
+    // range's history was expired by retention — serving the oldest
+    // survivor as a full-state INSERT would double-count everything
+    // the consumer already took; refuse loudly (Delta CDF makes the
+    // same demand), the remedy is a fresh stream from offset 0
+    if (startExclusive > 0 && all.nonEmpty && startExclusive < all.head)
+      throw new IllegalStateException(
+        s"changelog of $tablePath: the range starts after version $startExclusive " +
+          s"but retention expired history up to v${all.head} — the changes in " +
+          "between are gone; restart the changelog read from scratch")
+    val vs = all.filter(v => v > startExclusive && v <= endInclusive)
     val gs = Seq.newBuilder[Group]
     vs.foreach { v =>
       Changelog.changesPlanFor(tablePath, v).foreach { case (files, constType) =>
@@ -326,7 +368,9 @@ private[graft] class GraftChangesScan(tablePath: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val vs = Snapshots.versions(tablePath)
-    if (vs.isEmpty) Array.empty else planRange(0L, vs.last)
+    if (vs.isEmpty) Array.empty
+    else planRange(startingVersion.map(_ - 1).getOrElse(0L),
+      endingVersion.getOrElse(vs.last))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

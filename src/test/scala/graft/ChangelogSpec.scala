@@ -145,6 +145,65 @@ class ChangelogSpec extends AnyFunSuite {
     assert(got.filter(_._3 > 1L) == Set((100L, "INSERT", pv)), got)
   }
 
+  test("batch range options (startingVersion/endingVersion, inclusive) slice the changelog") {
+    val t = s"$cat.m.cdc_rng"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id AS v FROM range(0, 2)") // v1
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id, id FROM range(10, 12)")             // v2
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id, id FROM range(20, 22)")             // v3
+    val sliced = spark.read.option("startingVersion", "2").option("endingVersion", "2")
+      .table(s"$t.changes").collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(sliced == Set((10L, 2L), (11L, 2L)), sliced)
+    val from2 = spark.read.option("startingVersion", "2").table(s"$t.changes").count()
+    assert(from2 == 4L)
+    assert(intercept[IllegalArgumentException](
+      spark.read.option("startingVersion", "abc").table(s"$t.changes").collect())
+      .getMessage.contains("snapshot version number"))
+  }
+
+  test("retention that expired requested history refuses the changelog read (no silent double-count)") {
+    val t = s"$cat.m.cdc_exp"
+    val path = s"$wh/m/cdc_exp"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id AS v FROM range(0, 2)") // v1
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id, id FROM range(10, 12)") // v2
+    Snapshots.compact(spark, path) // v3 seals the chain
+    Snapshots.expireSnapshots(spark, path, keepLast = 1) // v1, v2 gone
+    // a stale range into the expired interval refuses loudly…
+    val e = intercept[Exception](spark.read.option("startingVersion", "2")
+      .table(s"$t.changes").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(5).map(_.getMessage).toSeq
+    assert(msgs(e).exists(m => m != null && m.contains("retention expired")), msgs(e))
+    // …while a fresh read serves the oldest survivor as the initial
+    // INSERT set (correct re-sync semantics from offset 0)
+    val fresh = spark.sql(s"SELECT _change_type, _commit_version FROM $t.changes")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fresh == Set(("INSERT", 3L)), fresh)
+  }
+
+  test("rename history refuses changelog capture and pre-boundary serving, loudly") {
+    val t = s"$cat.m.cdc_ren"
+    val path = s"$wh/m/cdc_ren"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id AS v FROM range(0, 4)") // v1
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.changelog.keys'='k')")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO val") // metadata-only, eras now live
+    // capture over live eras would read pre-rename files as NULL —
+    // the DML refuses toward compact(), never mis-captures
+    val e = intercept[Exception](spark.sql(s"UPDATE $t SET val = val + 1 WHERE k = 1"))
+    def msgs(th: Throwable): Seq[String] =
+      Iterator.iterate(th)(_.getCause).takeWhile(_ != null).take(6).map(_.getMessage).toSeq
+    assert(msgs(e).exists(m => m != null && m.contains("rename eras are live")), msgs(e))
+    // pre-boundary history refuses the read, named
+    val e2 = intercept[Exception](spark.sql(s"SELECT * FROM $t.changes").collect())
+    assert(msgs(e2).exists(m => m != null && m.contains("predates a column rename")), msgs(e2))
+    // post-compaction, post-boundary serving works again
+    Snapshots.compact(spark, path) // v2: rewrites under current names
+    spark.sql(s"UPDATE $t SET val = val + 1 WHERE k = 1") // v3: captured
+    val got = spark.read.option("startingVersion", (3L).toString)
+      .table(s"$t.changes").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("val"), r.getAs[String]("_change_type"))).toSet
+    assert(got == Set((1L, 1L, "UPDATE_pre"), (1L, 2L, "UPDATE_post")), got)
+  }
+
   test("streaming: the changelog stream crosses DML snapshots and resumes from its checkpoint") {
     import spark.implicits._
     val t = s"$cat.m.cdc_stream"
