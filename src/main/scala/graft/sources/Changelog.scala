@@ -196,7 +196,29 @@ object Changelog {
                                      keys: Seq[String]): Unit = {
     if (keysOf(table).isEmpty) return
     val cols = rows.columns.toSeq
-    val prior = Snapshots.readAsOf(spark, table, priorV)
+    // the pre-image scan is FILE-PRUNED by the delivery's own key
+    // envelope (the same manifest-bounds carry mergeIntoBranch uses):
+    // at 100 TB the capture reads only files that can hold a delivered
+    // key, never the table — statless components are kept whole
+    // (pruning is an optimization, never a correctness gate)
+    val envelope = Snapshots.keyEnvelope(rows, keys, rows.schema)
+    val comps = Snapshots.stateComponents(table, priorV)
+    val keepFiles = comps.flatMap {
+      case Left(d) => Snapshots.expandParquet(d)
+      case Right((p, st)) =>
+        if (envelope.isEmpty || FileStats.mayMatch(st, envelope)) Seq(p) else Nil
+    }
+    val outSchema = Snapshots.declaredCleanOf(table)
+      .getOrElse(Snapshots.readAsOf(spark, table, priorV).schema)
+    val prior =
+      if (keepFiles.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+      else Snapshots.applyAllDeletes(
+        spark.read.option("mergeSchema", "true").schema(outSchema)
+          .parquet(keepFiles: _*),
+        table, Snapshots.liveDeletes(table, priorV),
+        Snapshots.liveEqDeletes(table, priorV))
     val newKeys = rows.select(keys.map(col): _*).na.drop("any").distinct()
     val matchedPre = prior.join(newKeys, keys.toSeq, "left_semi")
     val matchedKeys = matchedPre.select(keys.map(col): _*).distinct()

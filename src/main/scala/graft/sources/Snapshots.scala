@@ -1936,6 +1936,41 @@ object Snapshots {
     } finally resolveVersion(table, v)
   }
 
+  /** The per-key [min, max] envelope of a keyed change set as bounds
+    * conjuncts (`k >= lo AND k <= hi` per key) — ONE tiny aggregation
+    * over the change set, then the manifest-stats algebra
+    * ([[FileStats.mayMatch]]) carries every out-of-envelope file by
+    * reference. Empty when a key column is all-NULL (SQL equality
+    * matches nothing). Shared by [[mergeIntoBranch]] and the
+    * changelog's upsert pre-image scan. */
+  private[sources] def keyEnvelope(changeSet: DataFrame, keys: Seq[String],
+                                   schema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    val aggRow = changeSet.agg(
+      min(col(keys.head)).as("lo0"),
+      (keys.tail.flatMap(k => Seq(min(col(k)), max(col(k)))) :+ max(col(keys.head))): _*
+    ).collect()(0)
+    // column order in aggRow: lo0, (lo_i, hi_i for tail), hi0 — rebuild
+    // positionally per key
+    val loHi: Seq[(Any, Any)] = {
+      val lo0 = aggRow.get(0)
+      val hi0 = aggRow.get(aggRow.length - 1)
+      (lo0, hi0) +: keys.tail.zipWithIndex.map { case (_, i) =>
+        (aggRow.get(1 + 2 * i), aggRow.get(2 + 2 * i))
+      }
+    }
+    keys.zip(loHi).flatMap { case (k, (lo, hi)) =>
+      val dt = schema(schema.fieldIndex(k)).dataType
+      if (lo == null || hi == null) Nil // all-NULL key column: matches nothing
+      else {
+        val attr = AttributeReference(k, dt)()
+        Seq(GreaterThanOrEqual(attr, Literal.create(lo, dt)),
+          LessThanOrEqual(attr, Literal.create(hi, dt)))
+      }
+    }
+  }
+
   /** MERGE INTO a branch (r17 — the keyed-restatement fix verb the WAP
     * loop was missing): staged rows whose `keys` tuple appears in
     * `updates` take the update row (matched-UPDATE), update rows with
@@ -1963,32 +1998,7 @@ object Snapshots {
         s"vs ${shape(updates.schema).mkString(",")}")
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"mergeIntoBranch: no key column $k (columns: ${schema.fieldNames.mkString(",")})"))
-    // bounds pruning from the update set's own key envelope: one tiny
-    // agg over the updates, then `k BETWEEN lo AND hi` conjuncts the
-    // manifest-stats algebra evaluates per file
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
-    val aggRow = updates.agg(
-      min(col(keys.head)).as("lo0"),
-      (keys.tail.flatMap(k => Seq(min(col(k)), max(col(k)))) :+ max(col(keys.head))): _*
-    ).collect()(0)
-    // column order in aggRow: lo0, (lo_i, hi_i for tail), hi0 — rebuild
-    // positionally per key
-    val loHi: Seq[(Any, Any)] = {
-      val lo0 = aggRow.get(0)
-      val hi0 = aggRow.get(aggRow.length - 1)
-      (lo0, hi0) +: keys.tail.zipWithIndex.map { case (_, i) =>
-        (aggRow.get(1 + 2 * i), aggRow.get(2 + 2 * i))
-      }
-    }
-    val resolved = keys.zip(loHi).flatMap { case (k, (lo, hi)) =>
-      val dt = schema(schema.fieldIndex(k)).dataType
-      if (lo == null || hi == null) Nil // all-NULL key column: matches nothing
-      else {
-        val attr = AttributeReference(k, dt)()
-        Seq(GreaterThanOrEqual(attr, Literal.create(lo, dt)),
-          LessThanOrEqual(attr, Literal.create(hi, dt)))
-      }
-    }
+    val resolved = keyEnvelope(updates, keys, schema)
     val statless = comps.collect { case Left(d) => d }.flatMap(expandParquet)
     val stated = comps.collect { case Right(x) => x }
     val carried = stated.collect {
