@@ -664,6 +664,35 @@ class BranchesSpec extends AnyFunSuite {
       .collect()(0).getLong(1) == 99L)
   }
 
+  test("mergeIntoBranch over a delete-bearing base composes: retracted and position-deleted rows never resurrect into the rewrite") {
+    import spark.implicits._
+    val t = s"$cat.m.mib_del"
+    val path = s"$wh/m/mib_del"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id * 10 AS v FROM range(0, 8)") // v1
+    Snapshots.upsertBatch(spark, path, Seq((1L, 111L)).toDF("k", "v").coalesce(1), Seq("k")) // v2 eq entry
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE k = 4")
+    finally spark.conf.unset("spark.graft.delete.mode") // v3 positional sidecar
+    Snapshots.createBranch(path, "st")
+    // the merge restates k=1 (the UPSERT-restated key — its RETRACTED
+    // base row must not resurrect into the rewrite) and k=4 (the
+    // position-deleted key — this is a NEW insert, the dead row must
+    // not resurrect either); envelope [1,4] forces the base file to
+    // REWRITE, which is exactly where resurrection would happen
+    val mv = Snapshots.mergeIntoBranch(spark, path, "st",
+      Seq((1L, 5555L), (4L, 4444L)).toDF("k", "v"), Seq("k"))
+    val fixed = Snapshots.readBranch(spark, path, "st").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed.size == 8, fixed.toString) // 8 live rows: 0..7 minus 4 plus new 4
+    assert(fixed(1L) == 5555L && fixed(4L) == 4444L, fixed.toString)
+    // main untouched; publish lands the composed fix
+    assert(spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) == 7L)
+    Snapshots.fastForward(spark, path, "st")
+    val pub = spark.sql(s"SELECT count(*) AS c, sum(v) AS s FROM $t").collect()(0)
+    assert(pub.getLong(0) == 8L)
+    assert(pub.getLong(1) == (0L until 8L).map(_ * 10).sum - 10 - 40 + 5555 + 4444, pub)
+  }
+
   test("branch manifest row_count stays truthful after a rebase moves the fork base") {
     import spark.implicits._
     val t = s"$cat.m.rb_rc"

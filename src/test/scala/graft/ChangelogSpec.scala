@@ -204,6 +204,46 @@ class ChangelogSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, "UPDATE_pre"), (1L, 2L, "UPDATE_post")), got)
   }
 
+  test("replay invariant: folding the changelog in version order reconstructs the final state across a mixed DML history") {
+    import spark.implicits._
+    val t = s"$cat.m.cdc_replay"
+    val path = s"$wh/m/cdc_replay"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id AS v FROM range(0, 10)")
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.changelog.keys'='k')")
+    // a deterministic mixed history: appends, upserts, MoR deletes,
+    // CoW updates, a MERGE, a truncating delete band, a compaction
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id, id FROM range(10, 14)")
+    Snapshots.upsertBatch(spark, path,
+      Seq((2L, 222L), (50L, 500L)).toDF("k", "v").coalesce(1), Seq("k"))
+    spark.conf.set("spark.graft.delete.mode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE k IN (3, 11)")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    spark.sql(s"UPDATE $t SET v = v * 2 WHERE k BETWEEN 5 AND 7")
+    Seq((6L, 66L), (60L, 600L)).toDF("k", "v").createOrReplaceTempView("cdc_replay_src")
+    spark.sql(s"MERGE INTO $t tgt USING cdc_replay_src src ON tgt.k = src.k " +
+      "WHEN MATCHED THEN UPDATE SET v = src.v WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)")
+    spark.sql(s"DELETE FROM $t WHERE k >= 12 AND k <= 13")
+    Snapshots.compact(spark, path)
+    Snapshots.upsertBatch(spark, path,
+      Seq((0L, 1000L)).toDF("k", "v").coalesce(1), Seq("k"))
+
+    val state = scala.collection.mutable.Map[Long, Long]()
+    spark.sql(s"SELECT k, v, _change_type, _commit_version FROM $t.changes")
+      .collect()
+      .sortBy(r => (r.getLong(3), r.getString(2) == "INSERT" || r.getString(2) == "UPDATE_post"))
+      .foreach { r =>
+        r.getString(2) match {
+          case "INSERT" | "UPDATE_post" => state(r.getLong(0)) = r.getLong(1)
+          case "DELETE"                 => state.remove(r.getLong(0)); ()
+          case "UPDATE_pre"             => ()
+        }
+      }
+    val current = spark.sql(s"SELECT k, v FROM $t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(state.toMap == current,
+      s"replayed=${state.toMap.toSeq.sorted} current=${current.toSeq.sorted}")
+  }
+
   test("streaming: the changelog stream crosses DML snapshots and resumes from its checkpoint") {
     import spark.implicits._
     val t = s"$cat.m.cdc_stream"

@@ -131,6 +131,45 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(Set(111L, 222L).contains(rows(0).getLong(1)))
   }
 
+  test("stress: appenders racing a compactor — every append survives exactly once, the compactor wins or loses loudly") {
+    import spark.implicits._
+    val path = s"$wh/conc_stress"
+    Snapshots.writeSnapshot((0L until 4L).toDF("k").coalesce(1), path) // v1
+    val barrier = new CyclicBarrier(4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appender(lo: Long): Thread = new Thread(() => {
+      try {
+        val df = Seq(lo, lo + 1).toDF("k").coalesce(1)
+        barrier.await()
+        Snapshots.appendSnapshot(df, path)
+        ()
+      } catch { case t: Throwable => errs.add(t); () }
+    })
+    val compactorLost = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactor = new Thread(() => {
+      try { barrier.await(); Snapshots.compact(spark, path); () }
+      catch {
+        case t: Throwable =>
+          if (causeChain(t).exists(_.isInstanceOf[GraftConcurrentCommitException]))
+            compactorLost.set(true)
+          else errs.add(t)
+          ()
+      }
+    })
+    val ts = Seq(appender(100), appender(200), appender(300), compactor)
+    ts.foreach(_.start()); ts.foreach(_.join(180000))
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    // invariant: all 6 appended rows present exactly once, base rows
+    // intact, regardless of whether the compactor won its race
+    val rows = Snapshots.readLatest(spark, path).collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == ((0L until 4L) ++ Seq(100L, 101L, 200L, 201L, 300L, 301L)).sorted,
+      s"rows=${rows.mkString(",")} compactorLost=${compactorLost.get()}")
+    // and the chain stays serviceable either way
+    val (cv, _, _) = Snapshots.compact(spark, path)
+    assert(Snapshots.versions(path).last == cv)
+    assert(Snapshots.readLatest(spark, path).count() == 10L)
+  }
+
   test("an abandoned reservation is orphan debris: the age-guarded walk reclaims it and the chain continues") {
     import spark.implicits._
     val path = s"$wh/conc_orph"
