@@ -322,9 +322,13 @@ private[graft] class GraftChangesTable(tablePath: String, tableName: String)
       })
     val starting = longOpt("startingVersion")
     val ending = longOpt("endingVersion")
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var required: StructType = out
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan =
-        new GraftChangesScan(tablePath, ds, out, starting, ending)
+        new GraftChangesScan(tablePath, ds, required, starting, ending)
     }
   }
 }
@@ -332,7 +336,9 @@ private[graft] class GraftChangesTable(tablePath: String, tableName: String)
 /** The changes scan: per version in range, one stock parquet batch
   * over either the version's capture files (change type in-file) or
   * its append delta (constant INSERT), with the commit version (and
-  * constant type) appended by a thin reader wrapper. Batch reads
+  * constant type) appended by a thin reader wrapper. Column pruning
+  * is honored (the inner parquet scans read only the requested data
+  * columns; the meta columns are in-file or constants). Batch reads
   * serve the full surviving history; the micro-batch stream serves
   * `(start, end]` version ranges with snapshot-version offsets —
   * checkpoint resume across DML commits for free. */
@@ -348,6 +354,14 @@ private[graft] class GraftChangesScan(tablePath: String,
   override def description(): String = s"graft-changes($tablePath)"
 
   private def spark: SparkSession = SparkSession.active
+
+  // the requested projection, split: data columns (read from parquet,
+  // in table-schema order — Spark's pruning preserves it) and the two
+  // meta columns (in-file for capture groups / constants otherwise)
+  private val typeRequested = output.fieldNames.contains(Changelog.TypeCol)
+  private val versionRequested = output.fieldNames.contains(Changelog.VersionCol)
+  private val prunedData = StructType(output.fields.filterNot(f =>
+    f.name == Changelog.TypeCol || f.name == Changelog.VersionCol))
 
   import GraftChangesScan.{ChangePart, Group}
 
@@ -370,9 +384,12 @@ private[graft] class GraftChangesScan(tablePath: String,
     val gs = Seq.newBuilder[Group]
     vs.foreach { v =>
       Changelog.changesPlanFor(tablePath, v).foreach { case (files, constType) =>
+        // capture groups read the type column FROM FILE iff requested;
+        // insert groups read data only and the type rides as a const
         val schemaFor =
-          if (constType.isDefined) dataSchema
-          else dataSchema.add(Changelog.TypeCol, StringType, nullable = true)
+          if (constType.isEmpty && typeRequested)
+            prunedData.add(Changelog.TypeCol, StringType, nullable = true)
+          else prunedData
         val batch = ParquetTable(s"graft-changes($tablePath@v$v)", spark,
           new CaseInsensitiveStringMap(
             java.util.Collections.singletonMap("mergeSchema", "true")),
@@ -398,6 +415,8 @@ private[graft] class GraftChangesScan(tablePath: String,
   override def createReaderFactory(): PartitionReaderFactory = {
     val fs = groups.map(g =>
       (g.batch.createReaderFactory(), g.constType, g.version))
+    val wantType = typeRequested
+    val wantVersion = versionRequested
     new PartitionReaderFactory {
       override def supportColumnarReads(p: InputPartition): Boolean = false
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -405,17 +424,21 @@ private[graft] class GraftChangesScan(tablePath: String,
           case ChangePart(inner, gi) =>
             val (f, constType, version) = fs(gi)
             val r = f.createReader(inner)
-            val consts: Array[Any] = constType match {
-              case Some(t) => Array(UTF8String.fromString(t), version)
-              case None    => Array(version)
-            }
-            val tail = new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(consts)
-            val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-            new PartitionReader[InternalRow] {
-              override def next(): Boolean = r.next()
-              override def get(): InternalRow = joined(r.get(), tail)
-              override def close(): Unit = r.close()
+            val consts: Array[Any] =
+              (constType match {
+                case Some(t) if wantType => Seq[Any](UTF8String.fromString(t))
+                case _                   => Seq.empty[Any]
+              }).toArray ++ (if (wantVersion) Array[Any](version) else Array.empty[Any])
+            if (consts.isEmpty) r
+            else {
+              val tail = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(consts)
+              val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+              new PartitionReader[InternalRow] {
+                override def next(): Boolean = r.next()
+                override def get(): InternalRow = joined(r.get(), tail)
+                override def close(): Unit = r.close()
+              }
             }
           case other => throw new IllegalStateException(
             s"changes factory got unknown partition ${other.getClass.getName}")

@@ -204,6 +204,28 @@ class ChangelogSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, "UPDATE_pre"), (1L, 2L, "UPDATE_post")), got)
   }
 
+  test("column pruning reaches the changelog's inner parquet scans (every projection shape)") {
+    val t = s"$cat.m.cdc_prune"
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id * 10 AS v, CAST(id AS STRING) AS w FROM range(0, 3)") // v1
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.changelog.keys'='k')")
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE k = 1") // v2 captured
+    // one data column + version (insert groups: both meta are consts)
+    val kv = spark.sql(s"SELECT k, _commit_version FROM $t.changes")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(kv == Seq((0L, 1L), (1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L)), kv)
+    // type only (capture groups read it from file, inserts const)
+    val types = spark.sql(s"SELECT _change_type FROM $t.changes")
+      .collect().map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(types == Map("INSERT" -> 3, "UPDATE_pre" -> 1, "UPDATE_post" -> 1), types)
+    // a bare count (no columns at all)
+    assert(spark.sql(s"SELECT count(*) FROM $t.changes").collect()(0).getLong(0) == 5L)
+    // the plan's parquet ReadSchema carries only the requested data
+    // columns — w never loads for the k+version projection
+    val plan = spark.sql(s"SELECT k, _commit_version FROM $t.changes")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("w"), "unrequested data column leaked into the scan:\n" + plan)
+  }
+
   test("replay invariant: folding the changelog in version order reconstructs the final state across a mixed DML history") {
     import spark.implicits._
     val t = s"$cat.m.cdc_replay"
