@@ -91,7 +91,11 @@ object ScaleProbe {
     // and the audit-fix-publish loop (branch DML is bounds-pruned
     // CoW over the STAGED band; main untouched; publish O(manifest))
     "meta_catalog_delete_compose", "meta_catalog_branch_fix",
-    "meta_catalog_branch_wap_compose", "stream_changelog_cdc")
+    "meta_catalog_branch_wap_compose", "stream_changelog_cdc",
+    // r17: bloom file skipping — the point SELECT / point DELETE costs
+    // are O(one band file) by construction; only the 3-band staging
+    // CTAS+INSERTs scale with the corpus
+    "meta_catalog_bloom_skip")
 
   /** Per-query (warm seconds, staging seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its

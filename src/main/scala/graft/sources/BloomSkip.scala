@@ -1,0 +1,316 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.parquet.column.values.bloomfilter.BloomFilter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bloom-filter file skipping for POINT predicates — the pruning class
+  * min/max bounds cannot serve. Manifest bounds prune range-shaped
+  * data (dates, sequence ids) because writes cluster those naturally;
+  * a hash-distributed key (uuid / md5 doc ids — the shape every
+  * training-data corpus keys on) spans the full value range in EVERY
+  * file, so `WHERE doc_id = 'x'` survives bounds pruning everywhere
+  * and a point lookup or point DML scans the whole table. Parquet's
+  * own column bloom filters (format spec "Bloom filter"; the split
+  * block bloom both parquet-mr and Iceberg write) close exactly this
+  * gap: Delta calls the idea a bloom filter index, Iceberg reads the
+  * same structure in its row-group evaluators.
+  *
+  * Design, Spark-first:
+  *   - WRITE side: a table opted in via `_bloom.json` (ALTER TABLE …
+  *     SET TBLPROPERTIES('graft.bloom.columns'='k1,k2')) has every
+  *     data-file write pass `parquet.bloom.filter.enabled#<col>`
+  *     writer options — the bloom lives INSIDE the data file, sized by
+  *     the parquet writer, zero extra artifacts to track, and Spark's
+  *     stock parquet reader already uses it for row-group skipping on
+  *     pushed point filters (`parquet.filter.bloom.enabled`, on by
+  *     default).
+  *   - PLAN side (this object): for Eq/In conjuncts on opted-in
+  *     columns, candidate files that SURVIVED bounds pruning get their
+  *     bloom region tested (a KB-sized footer-offset read per file —
+  *     never a data scan). A bloom that proves every lookup value
+  *     absent from every row group removes the FILE from the read or
+  *     rewrite set: a point SELECT plans one file instead of all, and
+  *     a point CoW DML carries everything else by reference instead of
+  *     rewriting it.
+  *
+  * Soundness: skipping only ever happens on a bloom's definitive "not
+  * present" for an equality lookup (NULL rows never satisfy equality,
+  * so nulls need no care); a missing bloom (pre-enablement file,
+  * unmodeled type, dictionary-only chunk) keeps the file; false
+  * positives only KEEP files. Floating zeros test both ±0.0 (SQL
+  * `0.0 = -0.0` is true, raw-bits hashing is not); NaN lookups keep
+  * the file.
+  *
+  * Scale: the test runs driver-side over the candidates LEFT AFTER
+  * layout + bounds pruning, capped at
+  * `spark.graft.bloom.maxPlanningChecks` (default 512; beyond the cap
+  * remaining files are kept unchecked — pruning stays an optimization,
+  * never a correctness gate). At 100 TB the win is the DML shape: a
+  * GDPR point-delete on a bloom'd key column carries every untouched
+  * file by reference and rewrites only true hosts.
+  */
+object BloomSkip {
+
+  /** The opt-in marker: which columns get write-time blooms, and the
+    * per-row-group sizing hints passed to the parquet writer. */
+  final case class Spec(columns: Seq[String], ndv: Long, fpp: Double)
+
+  private val mapper = new ObjectMapper()
+
+  private def markerPath(table: String): Path = Paths.get(table, "_bloom.json")
+
+  /** Enable write-time bloom filters on `columns` of `table` (from the
+    * next commit on — existing files are untouched; their absence of a
+    * bloom simply keeps them candidates, and `compact()` rewrites the
+    * live set with blooms). `ndv` is the expected distinct count PER
+    * ROW GROUP the parquet writer sizes the filter for; `fpp` the
+    * false-positive rate (false positives only cost reads). */
+  def enable(table: String, columns: Seq[String],
+             ndv: Long = 100000L, fpp: Double = 0.01): Unit = {
+    require(columns.nonEmpty, s"bloom enablement of $table needs at least one column")
+    require(ndv > 0 && fpp > 0 && fpp < 1,
+      s"bloom enablement of $table: ndv=$ndv fpp=$fpp out of range")
+    // floating-point columns are REFUSED, loudly: parquet's own
+    // row-group bloom evaluator hashes raw bits, so a file holding
+    // -0.0 row-group-skips an eq(0.0) probe INSIDE the stock reader —
+    // silently wrong rows the moment the bloom is written, independent
+    // of this engine's planning layer (which probes both zero signs).
+    // Floats are not equality keys anyway; the supported set matches
+    // the equality-delete key types.
+    Snapshots.declaredCleanOf(table).foreach { sch =>
+      columns.foreach { c =>
+        sch.fields.find(_.name == c).map(_.dataType).foreach {
+          case FloatType | DoubleType => throw new IllegalArgumentException(
+            s"graft.bloom.columns: $c is floating-point — parquet bloom " +
+              "equality is unsound across ±0.0; bloom keys must be " +
+              "integral/string/date/timestamp")
+          case _ =>
+        }
+      }
+    }
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("columns")
+    columns.foreach(arr.add)
+    root.put("ndv", ndv)
+    root.put("fpp", fpp)
+    Files.write(markerPath(table),
+      mapper.writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** The table's bloom spec, None when never enabled (the common case
+    * — every layer below then no-ops). */
+  def specOf(table: String): Option[Spec] =
+    try {
+      val p = markerPath(table)
+      if (!Files.isRegularFile(p)) None
+      else {
+        val root = mapper.readTree(Files.readString(p))
+        val cols = root.get("columns").elements().asScala.map(_.asText()).toSeq
+        Some(Spec(cols, root.get("ndv").asLong(), root.get("fpp").asDouble()))
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** Writer options for one data-file write of `table` — empty (and
+    * free) for tables never opted in. Applied by every committed data
+    * write (snapshot, append, branch staging, branch rewrites) so the
+    * bloom invariant holds across the whole chain. */
+  def writerOptions(table: String, fields: Seq[String]): Map[String, String] =
+    specOf(table) match {
+      case None => Map.empty
+      case Some(s) =>
+        s.columns.filter(fields.contains).flatMap { c =>
+          Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
+            s"parquet.bloom.filter.expected.ndv#$c" -> s.ndv.toString,
+            s"parquet.bloom.filter.fpp#$c" -> s.fpp.toString)
+        }.toMap
+    }
+
+  // ---- planning-time observables (tests / gate rows read deltas) ----
+
+  /** Files whose bloom regions were read at planning time. */
+  val planningReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Files removed from a read or rewrite set by a bloom miss. */
+  val filesSkipped = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def maxPlanningChecks: Int = {
+    val d = 512
+    SparkSession.getActiveSession.fold(d) { s =>
+      try s.conf.get("spark.graft.bloom.maxPlanningChecks", d.toString).toInt
+      catch { case NonFatal(_) => d }
+    }
+  }
+
+  // ---- lookup extraction ---------------------------------------------
+
+  /** Point lookups per column from the TOP-LEVEL conjuncts of pushed
+    * filters: `col = lit`, `col IN (lits…)`, `InSet`. NULL values drop
+    * (SQL equality never matches them); a conjunct left with no values
+    * contributes nothing (bounds algebra owns never-true shapes). Only
+    * columns in `cols` participate — blooms exist only where writes
+    * were told to put them. */
+  private[graft] def pointLookups(filters: Seq[Expression], cols: Set[String])
+      : Map[String, Seq[Any]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    filters.flatMap(conjuncts).flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null => Seq(a -> Seq(v))
+      case EqualTo(Literal(v, _), a: AttributeReference) if v != null => Seq(a -> Seq(v))
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null => Seq(a -> Seq(v))
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null => Seq(a -> Seq(v))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        val lits = vs.collect { case Literal(v, _) if v != null => v }
+        if (lits.nonEmpty) Seq(a -> lits) else Nil
+      case InSet(a: AttributeReference, hset) =>
+        val vs = hset.toSeq.filter(_ != null)
+        if (vs.nonEmpty) Seq(a -> vs) else Nil
+      case _ => Nil
+    }
+      .filter { case (a, _) => cols.contains(a.name) }
+      .groupBy(_._1.name)
+      // several conjuncts on one column: each is a separate proof
+      // opportunity — keep the SMALLEST value set (strongest test)
+      .map { case (name, entries) => name -> entries.map(_._2).minBy(_.size) }
+  }
+
+  /** The internal catalyst value rendered as the parquet-hash input
+    * for the column's physical type; None = unmodeled pairing (keep).
+    * Floating zeros expand to both sign variants by the caller. */
+  private def hashInput(v: Any, dt: DataType, pt: PrimitiveTypeName): Option[Any] =
+    (dt, pt) match {
+      case (StringType, PrimitiveTypeName.BINARY) => v match {
+        case u: UTF8String => Some(Binary.fromConstantByteArray(u.getBytes))
+        case s: String => Some(Binary.fromString(s))
+        case _ => None
+      }
+      case (LongType | TimestampType | TimestampNTZType, PrimitiveTypeName.INT64) => v match {
+        case l: Long => Some(java.lang.Long.valueOf(l))
+        case i: Int => Some(java.lang.Long.valueOf(i.toLong))
+        case _ => None
+      }
+      case (IntegerType | ShortType | ByteType | DateType, PrimitiveTypeName.INT32) => v match {
+        case i: Int => Some(java.lang.Integer.valueOf(i))
+        case s: Short => Some(java.lang.Integer.valueOf(s.toInt))
+        case b: Byte => Some(java.lang.Integer.valueOf(b.toInt))
+        case _ => None
+      }
+      case (DoubleType, PrimitiveTypeName.DOUBLE) => v match {
+        case d: Double if !d.isNaN => Some(java.lang.Double.valueOf(d))
+        case _ => None
+      }
+      case (FloatType, PrimitiveTypeName.FLOAT) => v match {
+        case f: Float if !f.isNaN => Some(java.lang.Float.valueOf(f))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def hashOf(bf: BloomFilter, input: Any): Long = input match {
+    case b: Binary => bf.hash(b)
+    case l: java.lang.Long => bf.hash(l.longValue())
+    case i: java.lang.Integer => bf.hash(i.intValue())
+    case d: java.lang.Double => bf.hash(d.doubleValue())
+    case f: java.lang.Float => bf.hash(f.floatValue())
+    case _ => 0L // unreachable by construction of hashInput
+  }
+
+  /** ±0.0 expansion: SQL equality unifies the zeros, raw-bits hashing
+    * does not — a 0.0 lookup must also probe -0.0 (and vice versa). */
+  private def variants(v: Any): Seq[Any] = v match {
+    case d: Double if d == 0.0d => Seq(0.0d, -0.0d)
+    case f: Float if f == 0.0f => Seq(0.0f, -0.0f)
+    case x => Seq(x)
+  }
+
+  // ---- the file test ---------------------------------------------------
+
+  /** True = the file MAY hold a row satisfying every lookup conjunct;
+    * false = some conjunct's every value is PROVABLY absent from every
+    * row group. Missing bloom, missing chunk, unmodeled type, any read
+    * failure → true (keep). One footer open per call. */
+  private def fileMayContain(path: String, lookups: Map[String, Seq[Any]]): Boolean = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    try {
+      val reader = ParquetFileReader.open(conf,
+        new org.apache.hadoop.fs.Path(new java.io.File(path).toURI))
+      try {
+        planningReads.incrementAndGet()
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        if (blocks.isEmpty) return true
+        lookups.forall { case (colName, values) =>
+          // the conjunct may be satisfied iff SOME value may be present
+          // in SOME row group
+          values.exists { v =>
+            blocks.exists { b =>
+              b.getColumns.asScala.find(c =>
+                c.getPath.size() == 1 && c.getPath.toDotString == colName) match {
+                case None => true // column absent in this file: unmodeled here — keep
+                case Some(chunk) =>
+                  val bf = reader.getBloomFilterDataReader(b).readBloomFilter(chunk)
+                  if (bf == null) true // no bloom written: maybe
+                  else {
+                    val pt = chunk.getPrimitiveType.getPrimitiveTypeName
+                    val dt = lookupTypes.get().getOrElse(colName, NullType)
+                    variants(v).exists { vv =>
+                      hashInput(vv, dt, pt) match {
+                        case Some(in) => bf.findHash(hashOf(bf, in))
+                        case None => true // unmodeled pairing: maybe
+                      }
+                    }
+                  }
+              }
+            }
+          }
+        }
+      } finally reader.close()
+    } catch { case NonFatal(_) => true }
+  }
+
+  // the catalyst type per lookup column for the CURRENT prune call —
+  // threaded thread-locally so fileMayContain stays a pure path test
+  private val lookupTypes = new ThreadLocal[Map[String, DataType]] {
+    override def initialValue(): Map[String, DataType] = Map.empty
+  }
+
+  /** The planning entry point: of `candidates` (file paths that
+    * already survived bounds pruning), return the subset a bloom
+    * PROVES cannot satisfy `filters` — the caller drops them from its
+    * read or rewrite set. Empty (and O(1)) when the table was never
+    * opted in, the filters carry no point lookup on an opted-in
+    * column, or the candidate list exceeds the planning cap. */
+  def provablyAbsent(table: String, candidates: Seq[String],
+                     filters: Seq[Expression]): Set[String] = {
+    if (candidates.isEmpty || filters.isEmpty) return Set.empty
+    val spec = specOf(table).getOrElse(return Set.empty)
+    val lookups = pointLookups(filters, spec.columns.toSet)
+    if (lookups.isEmpty) return Set.empty
+    if (candidates.size > maxPlanningChecks) return Set.empty
+    val types: Map[String, DataType] = {
+      def attrs(e: Expression): Seq[AttributeReference] =
+        e.collect { case a: AttributeReference => a }
+      filters.flatMap(attrs).map(a => a.name -> a.dataType).toMap
+    }
+    lookupTypes.set(types)
+    try {
+      val absent = candidates.filterNot(p => fileMayContain(p, lookups)).toSet
+      filesSkipped.addAndGet(absent.size.toLong)
+      absent
+    } finally lookupTypes.remove()
+  }
+}

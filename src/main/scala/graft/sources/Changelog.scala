@@ -84,6 +84,43 @@ object Changelog {
     }
   }
 
+  /** Library-level batch read of the changelog over a VERSION RANGE —
+    * the same per-version plan the `t.changes` DSv2 scan serves
+    * ([[changesPlanFor]]), composed as one DataFrame: capture files
+    * read with the change type in-file, append deltas as constant
+    * INSERT, each tagged with its commit version. `(fromVExclusive,
+    * toV]` matches the streaming offset convention. Cost is O(changed
+    * rows in range) — the base table is never read. */
+  def readRange(spark: SparkSession, table: String,
+                fromVExclusive: Long, toV: Long): DataFrame = {
+    val ds = Snapshots.declaredCleanOf(table).getOrElse {
+      val vs = Snapshots.versions(table)
+      require(vs.nonEmpty, s"changelog of $table: no snapshots")
+      val files = Snapshots.readSet(table, vs.last).flatMap(p =>
+        if (p.endsWith(".parquet")) Seq(p) else Snapshots.expandParquet(p))
+      spark.read.option("mergeSchema", "true").parquet(files: _*).schema
+    }
+    val withType = org.apache.spark.sql.types.StructType(
+      ds.fields :+ org.apache.spark.sql.types.StructField(TypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false))
+    val vs = Snapshots.versions(table).filter(v => v > fromVExclusive && v <= toV)
+    val parts = vs.flatMap { v =>
+      changesPlanFor(table, v).map { case (files, constType) =>
+        val base = constType match {
+          case Some(t) => spark.read.schema(ds).parquet(files: _*)
+            .withColumn(TypeCol, lit(t))
+          case None => spark.read.schema(withType).parquet(files: _*)
+        }
+        base.withColumn(VersionCol, lit(v))
+      }
+    }
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(withType.fields :+
+          org.apache.spark.sql.types.StructField(VersionCol,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   private def capDir(table: String, v: Long) =
     Paths.get(table, s"v=$v", "_changes")
 
@@ -203,10 +240,19 @@ object Changelog {
     // (pruning is an optimization, never a correctness gate)
     val envelope = Snapshots.keyEnvelope(rows, keys, rows.schema)
     val comps = Snapshots.stateComponents(table, priorV)
-    val keepFiles = comps.flatMap {
-      case Left(d) => Snapshots.expandParquet(d)
+    val boundsKept = comps.flatMap {
+      case Left(d) => Snapshots.expandParquet(d).map((_, false))
       case Right((p, st)) =>
-        if (envelope.isEmpty || FileStats.mayMatch(st, envelope)) Seq(p) else Nil
+        if (envelope.isEmpty || FileStats.mayMatch(st, envelope)) Seq((p, true)) else Nil
+    }
+    // bloom layer: small deliveries carry their exact key set as In
+    // conjuncts in the envelope — on a bloom-opted key column, files
+    // provably holding none of the delivered keys drop from the
+    // pre-image scan even when bounds can't prune (hash-shaped keys)
+    val bloomAbsent = BloomSkip.provablyAbsent(table,
+      boundsKept.collect { case (p, true) => p }, envelope)
+    val keepFiles = boundsKept.collect {
+      case (p, _) if !bloomAbsent.contains(p) => p
     }
     val outSchema = Snapshots.declaredCleanOf(table)
       .getOrElse(Snapshots.readAsOf(spark, table, priorV).schema)

@@ -199,8 +199,13 @@ private[sources] class GraftEqScanBuilder(
   }
 
   override def build(): Scan = {
-    val kept = files.filter(f =>
+    val boundsKept = files.filter(f =>
       stats.get(f).forall(st => FileStats.mayMatch(st, filterExprs)))
+    // bloom layer: point lookups on bloom-opted columns drop files
+    // whose bloom proves the value absent (rows of a skipped file
+    // would all be filtered above the equality merge — sound)
+    val absent = BloomSkip.provablyAbsent(tablePath, boundsKept, filterExprs)
+    val kept = boundsKept.filterNot(absent.contains)
     val (affected, clean) = kept.partition(f =>
       suffixOf(f) >= 0 || skips.contains(GraftFileTag.ref(f)))
     val cleanScan =

@@ -370,8 +370,15 @@ private[sources] class GraftMorScanBuilder(
   override def build(): Scan = aggAnswer match {
     case Some((schema, values)) => new GraftManifestAggScan(schema, values)
     case None =>
-      val cleanKept = cleanFiles.filter(keep)
-      val affectedKept = affected.filter(t => keep(t._1))
+      val boundsClean = cleanFiles.filter(keep)
+      val boundsAffected = affected.filter(t => keep(t._1))
+      // bloom layer: point lookups on bloom-opted columns drop files
+      // whose bloom proves the value absent — sound for affected files
+      // too (their rows would all be filtered above the merge)
+      val absent = BloomSkip.provablyAbsent(table.tableRoot,
+        boundsClean ++ boundsAffected.map(_._1), filterExprs)
+      val cleanKept = boundsClean.filterNot(absent.contains)
+      val affectedKept = boundsAffected.filterNot(t => absent.contains(t._1))
       def mk(files: Seq[String], pushFilt: Boolean): Option[Scan] =
         if (files.isEmpty) None
         else {

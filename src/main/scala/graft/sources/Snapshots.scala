@@ -250,6 +250,7 @@ object Snapshots {
       // "append" into the exclusively-reserved (empty) directory — the
       // reservation already provides the exclusivity errorifexists gave
       val writer = df.write.mode("append").option("compression", "snappy")
+        .options(BloomSkip.writerOptions(table, df.schema.fieldNames))
       (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
         .parquet(s"$table/v=$v")
       // exact row count + per-file min/max column bounds for
@@ -777,14 +778,24 @@ object Snapshots {
     if (filters.isEmpty) return None
     var statsSeen = false
     var removed = 0
-    val out = Seq.newBuilder[String]
+    val boundsKept = Seq.newBuilder[(String, Boolean)] // (path, bloomCandidate)
     stateComponents(table, v).foreach {
-      case Left(dir) => out += dir
+      case Left(dir) => boundsKept += ((dir, false))
       case Right((path, stat)) =>
         statsSeen = true
-        if (FileStats.mayMatch(stat, filters)) out += path else removed += 1
+        if (FileStats.mayMatch(stat, filters)) boundsKept += ((path, true))
+        else removed += 1
     }
-    if (!statsSeen || removed == 0) None else Some(out.result())
+    // bloom layer: point lookups on opted-in columns test the parquet
+    // bloom region of each bounds-surviving file — the pruning class
+    // bounds can't serve (hash-distributed keys span every file's
+    // [min,max]); no-op unless the table carries a _bloom.json marker
+    val kept0 = boundsKept.result()
+    val absent = BloomSkip.provablyAbsent(table,
+      kept0.collect { case (p, true) => p }, filters)
+    removed += absent.size
+    val out = kept0.collect { case (p, _) if !absent.contains(p) => p }
+    if (!statsSeen || removed == 0) None else Some(out)
   }
 
   /** Fast append (Iceberg `append` snapshot semantics): version N+1's
@@ -825,6 +836,7 @@ object Snapshots {
     try {
       df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       val writer = df.write.mode("append").option("compression", "snappy")
+        .options(BloomSkip.writerOptions(table, df.schema.fieldNames))
       (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
         .parquet(s"$table/v=$v")
       val stats = FileStats.collectFor(df.sparkSession, Paths.get(s"$table/v=$v"))
@@ -1561,6 +1573,7 @@ object Snapshots {
     try {
       df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       val writer = toWrite.write.mode("append").option("compression", "snappy")
+        .options(BloomSkip.writerOptions(table, df.schema.fieldNames))
       (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
         .parquet(s"$table/v=$v")
       val stats = FileStats.collectFor(spark, Paths.get(s"$table/v=$v"))
@@ -1841,13 +1854,20 @@ object Snapshots {
       case (p, st) if operation == "delete" && allResolved && resolved.nonEmpty &&
         FileStats.mustMatch(st, resolved) => p
     }.toSet
+    // bloom layer: a point predicate on an opted-in key column proves
+    // files without the key hold no matching row — they carry by
+    // reference instead of rewriting (no-op without a _bloom.json)
+    val bloomAbsent = BloomSkip.provablyAbsent(table, stated.collect {
+      case (p, st) if !dropped.contains(p) &&
+        (resolved.isEmpty || FileStats.mayMatch(st, resolved)) => p
+    }, resolved)
     val carried = stated.collect {
-      case (p, st) if !dropped.contains(p) && resolved.nonEmpty &&
-        !FileStats.mayMatch(st, resolved) =>
+      case (p, st) if !dropped.contains(p) && ((resolved.nonEmpty &&
+        !FileStats.mayMatch(st, resolved)) || bloomAbsent.contains(p)) =>
         st.copy(name = rootRel(table, p))
     }
     val rewrite = statless ++ stated.collect {
-      case (p, st) if !dropped.contains(p) &&
+      case (p, st) if !dropped.contains(p) && !bloomAbsent.contains(p) &&
         (resolved.isEmpty || FileStats.mayMatch(st, resolved)) => p
     }
     commitBranchCow(spark, table, name, operation, carried,
@@ -1880,6 +1900,7 @@ object Snapshots {
     }
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val writer = df.write.mode("append").option("compression", "snappy")
+      .options(BloomSkip.writerOptions(table, df.schema.fieldNames))
     (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
       .parquet(dir.toString)
   }
@@ -1946,13 +1967,17 @@ object Snapshots {
   private[sources] def keyEnvelope(changeSet: DataFrame, keys: Seq[String],
                                    schema: org.apache.spark.sql.types.StructType)
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, In, LessThanOrEqual, Literal}
+    // one agg job: per-key min/max (the range envelope) plus an
+    // approximate distinct count that decides whether an EXACT value
+    // set is cheap enough to collect for per-key In pruning
     val aggRow = changeSet.agg(
       min(col(keys.head)).as("lo0"),
-      (keys.tail.flatMap(k => Seq(min(col(k)), max(col(k)))) :+ max(col(keys.head))): _*
+      (keys.tail.flatMap(k => Seq(min(col(k)), max(col(k)))) ++
+        keys.map(k => approx_count_distinct(col(k))) :+ max(col(keys.head))): _*
     ).collect()(0)
-    // column order in aggRow: lo0, (lo_i, hi_i for tail), hi0 — rebuild
-    // positionally per key
+    // column order in aggRow: lo0, (lo_i, hi_i for tail), (ndv per
+    // key), hi0 — rebuild positionally per key
     val loHi: Seq[(Any, Any)] = {
       val lo0 = aggRow.get(0)
       val hi0 = aggRow.get(aggRow.length - 1)
@@ -1960,13 +1985,44 @@ object Snapshots {
         (aggRow.get(1 + 2 * i), aggRow.get(2 + 2 * i))
       }
     }
+    val ndvBase = 1 + 2 * keys.tail.size
+    val ndvOf: Seq[Long] = keys.indices.map(i => aggRow.getLong(ndvBase + i))
+    // per-key exact value sets, when small (default cap 1024 — KBs of
+    // driver memory; approx_count_distinct's ±5% error only flips
+    // borderline sets, never correctness): In conjuncts sharpen BOTH
+    // pruning layers — the bounds algebra evaluates In per value, and
+    // the bloom layer turns each value into a definitive absent-test.
+    // Per-column In over-approximates the delivered TUPLE set (sound).
+    val inCap = changeSet.sparkSession.conf
+      .get("spark.graft.envelope.maxInValues", "1024").toLong
+    val smallKeys: Map[String, Seq[Any]] =
+      if (keys.indices.forall(i => ndvOf(i) > inCap * 2)) Map.empty
+      else {
+        val wanted = keys.zipWithIndex.filter { case (_, i) => ndvOf(i) <= inCap * 2 }
+        if (wanted.isEmpty) Map.empty
+        else {
+          val sets = changeSet.agg(
+            collect_set(col(wanted.head._1)),
+            wanted.tail.map { case (k, _) => collect_set(col(k)) }: _*
+          ).collect()(0)
+          wanted.zipWithIndex.flatMap { case ((k, _), j) =>
+            val vs = sets.getSeq[Any](j)
+            if (vs.size <= inCap) Some(k -> vs) else None
+          }.toMap
+        }
+      }
     keys.zip(loHi).flatMap { case (k, (lo, hi)) =>
       val dt = schema(schema.fieldIndex(k)).dataType
       if (lo == null || hi == null) Nil // all-NULL key column: matches nothing
       else {
         val attr = AttributeReference(k, dt)()
-        Seq(GreaterThanOrEqual(attr, Literal.create(lo, dt)),
+        val ranges = Seq(GreaterThanOrEqual(attr, Literal.create(lo, dt)),
           LessThanOrEqual(attr, Literal.create(hi, dt)))
+        smallKeys.get(k) match {
+          case Some(vs) =>
+            ranges :+ In(attr, vs.map(v => Literal.create(v, dt)).toIndexedSeq)
+          case None => ranges
+        }
       }
     }
   }
@@ -2001,12 +2057,22 @@ object Snapshots {
     val resolved = keyEnvelope(updates, keys, schema)
     val statless = comps.collect { case Left(d) => d }.flatMap(expandParquet)
     val stated = comps.collect { case Right(x) => x }
+    // bloom layer: when the update keys are a small exact set (the
+    // envelope carries them as In conjuncts) and the key column is
+    // bloom-opted, files provably holding none of the keys carry by
+    // reference even when their [min,max] spans the key range (the
+    // hash-key shape); no-op without a _bloom.json marker
+    val bloomAbsent = BloomSkip.provablyAbsent(table, stated.collect {
+      case (p, st) if resolved.isEmpty || FileStats.mayMatch(st, resolved) => p
+    }, resolved)
     val carried = stated.collect {
-      case (p, st) if resolved.nonEmpty && !FileStats.mayMatch(st, resolved) =>
+      case (p, st) if (resolved.nonEmpty && !FileStats.mayMatch(st, resolved)) ||
+        bloomAbsent.contains(p) =>
         st.copy(name = rootRel(table, p))
     }
     val rewrite = statless ++ stated.collect {
-      case (p, st) if resolved.isEmpty || FileStats.mayMatch(st, resolved) => p
+      case (p, st) if !bloomAbsent.contains(p) &&
+        (resolved.isEmpty || FileStats.mayMatch(st, resolved)) => p
     }
     val outCols = schema.fieldNames.toSeq
     val upd = updates.select(outCols.map(col): _*)

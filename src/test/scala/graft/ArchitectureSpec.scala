@@ -93,11 +93,18 @@ class ArchitectureSpec extends AnyFunSuite {
     //   each from silver), and (p) changelogStreamOver one: the
     //   foreachBatch per-change-type count/sum aggregate — one row
     //   per change TYPE (≤4) per micro-batch, the accumulator the
-    //   DuckDB oracle replays — all metadata-plane by design
+    //   DuckDB oracle replays — all metadata-plane by design, and
+    //   (q) bloomSkipOver one 1-row count/sum aggregate (post-delete
+    //   state — the bloom-skip oracle replays it from documents)
     // Snapshots (3rd site, r17): mergeIntoBranch's bounds-pruning
     //   envelope — ONE 1-row min/max aggregate over the update set's
     //   key columns (2×|keys| scalars), the metadata that lets the
     //   merge carry every out-of-range file by reference
+    // Snapshots (4th site, r17): keyEnvelope's exact-key-set collect —
+    //   gated to run only when the SAME aggregate's approx distinct
+    //   count is under spark.graft.envelope.maxInValues (default 1024;
+    //   KBs of driver memory), producing the In conjuncts that let the
+    //   bloom layer prove files keyless — bounded metadata by the gate
     // EqDeletes: the equality-delete KEY SET rides into scan planning
     //   driver-side (small by the upsert policy — the retraction keys
     //   of recent deliveries; compaction clears them), cached per
@@ -111,9 +118,9 @@ class ArchitectureSpec extends AnyFunSuite {
       // Snapshots: (a) one |checks|-bounded audit-report read in
       // wapPublish (same contract as DataChecks.gatedWrite), plus the
       // pre-existing metadata-plane read
-      "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 3,
+      "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 4,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 50,
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 51,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,
       "EqDeletes.scala" -> 1, "GraftProcedures.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
