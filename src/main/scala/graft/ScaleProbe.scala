@@ -95,7 +95,11 @@ object ScaleProbe {
     // r17: bloom file skipping — the point SELECT / point DELETE costs
     // are O(one band file) by construction; only the 3-band staging
     // CTAS+INSERTs scale with the corpus
-    "meta_catalog_bloom_skip")
+    "meta_catalog_bloom_skip",
+    // r17: incremental view maintenance — refreshes are O(delta)
+    // changelog reads + O(one band) mart rewrites; only the base
+    // staging and the initialize full-aggregate scale with the corpus
+    "meta_catalog_ivm_refresh")
 
   /** Per-query (warm seconds, staging seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its

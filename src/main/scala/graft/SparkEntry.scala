@@ -456,6 +456,8 @@ object SparkEntry {
       graft.sources.GraftCatalog.mergePruneOver(s, DailySales.build(silver(s, dir)))),
     "meta_catalog_bloom_skip" -> ((s, dir) =>
       graft.sources.GraftCatalog.bloomSkipOver(s, graft.sources.Tables.documents(s, dir))),
+    "meta_catalog_ivm_refresh" -> ((s, dir) =>
+      graft.sources.GraftCatalog.ivmRefreshOver(s, silver(s, dir))),
     "q_catalog_colocated_join" -> ((s, dir) =>
       graft.sources.GraftCatalog.colocatedJoinOver(s, silver(s, dir))),
     "meta_catalog_agg_pushdown" -> ((s, dir) =>
@@ -694,6 +696,7 @@ object SparkEntry {
     "meta_catalog_cow_dml" -> graft.sources.GraftCatalog.cowDmlSql,
     "meta_catalog_merge_prune" -> graft.sources.GraftCatalog.mergePruneSql,
     "meta_catalog_bloom_skip" -> graft.sources.GraftCatalog.bloomSkipSql,
+    "meta_catalog_ivm_refresh" -> graft.sources.GraftCatalog.ivmRefreshSql,
     "q_catalog_colocated_join" -> graft.sources.GraftCatalog.colocatedJoinSql,
     "meta_catalog_agg_pushdown" -> graft.sources.GraftCatalog.aggPushdownSql,
     "meta_catalog_stats_plane" -> graft.sources.GraftCatalog.statsPlaneSql,

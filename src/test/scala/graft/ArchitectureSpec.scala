@@ -95,7 +95,10 @@ class ArchitectureSpec extends AnyFunSuite {
     //   per change TYPE (≤4) per micro-batch, the accumulator the
     //   DuckDB oracle replays — all metadata-plane by design, and
     //   (q) bloomSkipOver one 1-row count/sum aggregate (post-delete
-    //   state — the bloom-skip oracle replays it from documents)
+    //   state — the bloom-skip oracle replays it from documents), and
+    //   (r) ivmRefreshOver two 1-row collects: the deterministic
+    //   point-fix fingerprints (one min-CASE row for both) and the
+    //   final mart totals the oracle replays from silver
     // Snapshots (3rd site, r17): mergeIntoBranch's bounds-pruning
     //   envelope — ONE 1-row min/max aggregate over the update set's
     //   key columns (2×|keys| scalars), the metadata that lets the
@@ -120,7 +123,7 @@ class ArchitectureSpec extends AnyFunSuite {
       // pre-existing metadata-plane read
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 4,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 51,
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 53,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,
       "EqDeletes.scala" -> 1, "GraftProcedures.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{BloomSkip, FileStats, GraftCatalog, IncrementalMart, Snapshots}
+
+/** Incremental view maintenance off the changelog
+  * ([[graft.sources.IncrementalMart]]): a count/sum aggregate mart
+  * refreshed O(delta) from `t.changes` must stay BIT-IDENTICAL to a
+  * full rebuild through appends, keyed upserts, point deletes, CoW
+  * updates, group births and group deaths — and the mart commit must
+  * carry untouched band files by reference. Pins the delta algebra,
+  * the no-op fast path, NULL-dim group pairing, and the refusals. */
+class IncrementalMartSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private lazy val wh = Files.createTempDirectory("graft_ivm_spec_").toString
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.givm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.givm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS givm.m")
+    "givm"
+  }
+
+  /** Base rows (k, g, m): key k, group g = k % mod, measure m = k * 10. */
+  private def freshBase(ns: String, n: Int, mod: Int = 3): (String, String) = {
+    val t = s"$cat.m.$ns"
+    val path = s"$wh/m/$ns"
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES('graft.changelog.keys'='k') AS " +
+      s"SELECT /*+ COALESCE(1) */ id AS k, id % $mod AS g, id * 10 AS m FROM range(0, $n)")
+    (t, path)
+  }
+
+  private def rebuild(base: String): Seq[(Long, Long, Long)] =
+    Snapshots.readLatest(spark, base).groupBy("g")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("row_count"),
+        org.apache.spark.sql.functions.sum("m").as("sum_m"))
+      .orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  private def martRows(mart: String): Seq[(Long, Long, Long)] =
+    Snapshots.readLatest(spark, mart).orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("append + upsert + delete + update: every refresh matches a full rebuild; no-op refresh is -1") {
+    import spark.implicits._
+    val (t, base) = freshBase("b1", 9)
+    val mart = s"$wh/m/b1_mart"
+    IncrementalMart.initialize(spark, base, mart, Seq("g"), Seq("m"), bandFiles = 3)
+    assert(martRows(mart) == rebuild(base))
+    // no base change: marker read, no commit, no job
+    val martV0 = Snapshots.versions(mart).last
+    assert(IncrementalMart.refresh(spark, mart) == -1L)
+    assert(Snapshots.versions(mart).last == martV0)
+    // append (INSERT fast path — no capture files)
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ id, id % 3, id * 10 FROM range(9, 12)")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(martRows(mart) == rebuild(base))
+    // keyed upsert: restate k=1 (m 10 -> 999), insert k=100 (new row, g=1)
+    Snapshots.upsertBatch(spark, base,
+      Seq((1L, 1L, 999L), (100L, 100L % 3, 1000L)).toDF("k", "g", "m").coalesce(1), Seq("k"))
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(martRows(mart) == rebuild(base))
+    // point CoW delete
+    spark.sql(s"DELETE FROM $t WHERE k = 5")
+    // CoW update moving a row ACROSS groups (g 0 -> 2): one refresh
+    // must subtract from the old group and add to the new
+    spark.sql(s"UPDATE $t SET g = 2 WHERE k = 6")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(martRows(mart) == rebuild(base))
+    // idempotent tail
+    assert(IncrementalMart.refresh(spark, mart) == -1L)
+  }
+
+  test("group death and birth: a group deleted to zero rows drops; a new group appears") {
+    val (t, base) = freshBase("b2", 6) // groups 0,1,2 with 2 rows each
+    val mart = s"$wh/m/b2_mart"
+    IncrementalMart.initialize(spark, base, mart, Seq("g"), Seq("m"), bandFiles = 2)
+    // kill group 1 entirely (k=1, k=4)
+    spark.sql(s"DELETE FROM $t WHERE g = 1")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(martRows(mart).map(_._1) == Seq(0L, 2L))
+    assert(martRows(mart) == rebuild(base))
+    // birth: a group never seen before
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ 50, 7, 500")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(martRows(mart).map(_._1) == Seq(0L, 2L, 7L))
+    assert(martRows(mart) == rebuild(base))
+  }
+
+  test("a point change rewrites one bloom'd band and carries the rest by reference") {
+    val (t, base) = freshBase("b3", 300, mod = 10) // groups 0..9
+    val mart = s"$wh/m/b3_mart"
+    // bloom the mart's dim BEFORE initialize so every band file
+    // carries a bloom from birth (hash-banded longs: every band's
+    // [min,max] spans most groups — the bloom is the pruning layer)
+    Files.createDirectories(Paths.get(mart))
+    BloomSkip.enable(mart, Seq("g"))
+    IncrementalMart.initialize(spark, base, mart, Seq("g"), Seq("m"), bandFiles = 4)
+    val filesBefore = {
+      val v = Snapshots.versions(mart).last
+      val m = new String(Files.readAllBytes(Paths.get(s"$mart/_meta/$v.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      FileStats.fromManifest(m).map(_.size).getOrElse(0) +
+        FileStats.carriedFromManifest(m).size
+    }
+    assert(filesBefore >= 3, s"banding produced only $filesBefore files")
+    // point change touching ONE group
+    spark.sql(s"UPDATE $t SET m = m + 5 WHERE k = 13") // g = 3 only
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    val v = Snapshots.versions(mart).last
+    val mTxt = new String(Files.readAllBytes(Paths.get(s"$mart/_meta/$v.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val carried = FileStats.carriedFromManifest(mTxt).size
+    assert(carried == filesBefore - 1,
+      s"expected all but one of $filesBefore files carried, got $carried: $mTxt")
+    assert(martRows(mart) == rebuild(base))
+  }
+
+  test("NULL group values pair null-safely (no duplicate NULL rows, exact merge)") {
+    import spark.implicits._
+    val (t, base) = freshBase("b4", 4)
+    val mart = s"$wh/m/b4_mart"
+    // make k=0 a NULL-group row BEFORE the mart exists
+    spark.sql(s"UPDATE $t SET g = NULL WHERE k = 0")
+    IncrementalMart.initialize(spark, base, mart, Seq("g"), Seq("m"), bandFiles = 2)
+    // touch the NULL group incrementally: k=3 moves into it
+    spark.sql(s"UPDATE $t SET g = NULL WHERE k = 3")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    val got = Snapshots.readLatest(spark, mart).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val nullRows = got.filter(_._1 == -1L)
+    assert(nullRows == Seq((-1L, 2L, 0L + 30L)), got)
+    assert(Snapshots.readLatest(spark, mart).count() == got.size) // no duplicated groups
+    // and it still equals the rebuild (null-safe on both sides)
+    val reb = Snapshots.readLatest(spark, base).groupBy("g")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("row_count"),
+        org.apache.spark.sql.functions.sum("m").as("sum_m")).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(got == reb)
+  }
+
+  test("refusals: non-changelog base; refresh without initialize") {
+    spark.sql(s"CREATE TABLE $cat.m.b5 AS SELECT id AS k, id % 3 AS g, id AS m FROM range(0, 3)")
+    val e1 = intercept[Exception] {
+      IncrementalMart.initialize(spark, s"$wh/m/b5", s"$wh/m/b5_mart", Seq("g"), Seq("m"))
+    }
+    assert(e1.getMessage.contains("changelog-enabled"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      IncrementalMart.refresh(spark, s"$wh/m/never_init")
+    }
+    assert(e2.getMessage.contains("initialize"), e2.getMessage)
+  }
+}
