@@ -81,6 +81,10 @@ object BloomSkip {
   def enable(table: String, columns: Seq[String],
              ndv: Long = 100000L, fpp: Double = 0.01): Unit = {
     require(columns.nonEmpty, s"bloom enablement of $table needs at least one column")
+    // names land verbatim in parquet writer conf keys
+    // (parquet.bloom.filter.enabled#<col>) and the JSON marker
+    columns.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"bloom column must be a plain top-level column name: '$c'"))
     require(ndv > 0 && fpp > 0 && fpp < 1,
       s"bloom enablement of $table: ndv=$ndv fpp=$fpp out of range")
     // floating-point columns are REFUSED, loudly: parquet's own

@@ -106,6 +106,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     dir.toString
   }
 
+  /** [[resolveTablePath]] for a table a procedure is about to CREATE
+    * (e.g. `init_mart`'s target): the namespace must exist, the table
+    * must not. */
+  private[sources] def resolveNewTablePath(table: String): String = {
+    val parts = table.split('.')
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"procedure table argument must be '<namespace>.<table>' (catalog-relative), got '$table'")
+    val id = Identifier.of(parts.init, parts.last)
+    require(namespaceExists(id.namespace()),
+      s"no such namespace ${id.namespace().mkString(".")} in catalog $catalogName")
+    val dir = tableDir(id)
+    require(!isTable(dir), s"table $table already exists in catalog $catalogName")
+    dir.toString
+  }
+
   // ---- procedures (the SQL-callable maintenance surface) -----------
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =

@@ -229,6 +229,37 @@ private[sources] object GraftProcedures {
           s.table(in.getUTF8String(2).toString),
           in.getUTF8String(3).toString.split(',').map(_.trim).toSeq)
         Array(new GenericInternalRow(Array[Any](utf8(name), v)))
+      }),
+    Spec("init_mart",
+      "build an incremental count/sum mart over a changelog-enabled base table (dims/sums are comma lists; bloom_dims additionally blooms the mart's dim columns for point-fix pruning)",
+      Seq(p("base", StringType), p("mart", StringType),
+        p("dims", StringType), p("sums", StringType),
+        pd("band_files", IntegerType, "8"),
+        pd("bloom_dims", BooleanType, "false")),
+      out("mart" -> StringType, "version" -> LongType),
+      (cat, s, in) => {
+        val martName = in.getUTF8String(1).toString
+        val martPath = cat.resolveNewTablePath(martName)
+        val dims = in.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        if (in.getBoolean(5)) {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(martPath))
+          BloomSkip.enable(martPath, dims)
+        }
+        val v = IncrementalMart.initialize(s,
+          cat.resolveTablePath(in.getUTF8String(0).toString), martPath,
+          dims,
+          in.getUTF8String(3).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          bandFiles = in.getInt(4))
+        Array(new GenericInternalRow(Array[Any](utf8(martName), v)))
+      }),
+    Spec("refresh_mart",
+      "fold base commits since the mart's recorded version into the mart — O(delta) changelog read, bounds+bloom-pruned band rewrite; -1 = base unchanged (marker read, no commit)",
+      Seq(p("mart", StringType)),
+      out("mart" -> StringType, "version" -> LongType),
+      (cat, s, in) => {
+        val martName = in.getUTF8String(0).toString
+        val v = IncrementalMart.refresh(s, cat.resolveTablePath(martName))
+        Array(new GenericInternalRow(Array[Any](utf8(martName), v)))
       }))
 
   private val byName: Map[String, Spec] = specs.map(s => s.name -> s).toMap

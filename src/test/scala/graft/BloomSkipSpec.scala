@@ -246,6 +246,27 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(150L))
   }
 
+  test("compact() retrofits blooms onto a pre-enablement live set") {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rf")
+    spark.range(0, 30)
+      .selectExpr("md5(CAST(id AS STRING)) AS sk", "id AS v")
+      .createOrReplaceTempView("__bl_rf_src")
+    // three bloomless bands
+    spark.sql(s"CREATE TABLE $cat.rf.t AS SELECT /*+ COALESCE(1) */ * FROM __bl_rf_src WHERE v < 10")
+    spark.sql(s"INSERT INTO $cat.rf.t SELECT /*+ COALESCE(1) */ * FROM __bl_rf_src WHERE v >= 10 AND v < 20")
+    spark.sql(s"INSERT INTO $cat.rf.t SELECT /*+ COALESCE(1) */ * FROM __bl_rf_src WHERE v >= 20")
+    spark.sql(s"ALTER TABLE $cat.rf.t SET TBLPROPERTIES('graft.bloom.columns'='sk')")
+    // pre-retrofit: no blooms anywhere, point query scans all 3
+    assert(scannedFiles(spark.sql(s"SELECT v FROM $cat.rf.t WHERE sk = '${keyOf(15)}'")).size == 3)
+    Snapshots.compact(spark, s"$wh/rf/t")
+    // post-retrofit: the compacted file(s) carry blooms — an absent
+    // key scans ZERO files (one compacted file would always bounds-
+    // survive; only a bloom can prove absence)
+    val none = spark.sql(s"SELECT v FROM $cat.rf.t WHERE sk = 'not-a-real-key'")
+    assert(scannedFiles(none).isEmpty)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.rf.t").collect()(0).getLong(0) == (0 until 30).sum)
+  }
+
   test("the enablement surface validates columns and rides DESCRIBE properties") {
     val tp = hashBanded("meta")
     assert(BloomSkip.specOf(tp).map(_.columns) == Some(Seq("sk")))

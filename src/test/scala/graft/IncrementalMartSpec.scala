@@ -144,6 +144,29 @@ class IncrementalMartSpec extends AnyFunSuite {
     assert(got == reb)
   }
 
+  test("compaction crossing refreshes: base compact contributes zero changes; mart compact re-bands safely") {
+    val (t, base) = freshBase("b6", 9)
+    val mart = s"$wh/m/b6_mart"
+    IncrementalMart.initialize(spark, base, mart, Seq("g"), Seq("m"), bandFiles = 2)
+    // base compact between refreshes: state-identical by contract —
+    // the refresh advances the marker with NO commit
+    Snapshots.compact(spark, base)
+    val martV = Snapshots.versions(mart).last
+    assert(IncrementalMart.refresh(spark, mart) == -1L)
+    assert(Snapshots.versions(mart).last == martV)
+    // a fix AFTER the compact folds through normally
+    spark.sql(s"UPDATE $t SET m = m + 5 WHERE k = 4")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(martRows(mart) == rebuild(base))
+    // compact the MART (band structure replaced wholesale), then
+    // another fix: the refresh re-collects stats over the compacted
+    // layout and stays exact
+    Snapshots.compact(spark, mart)
+    spark.sql(s"DELETE FROM $t WHERE k = 7")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(martRows(mart) == rebuild(base))
+  }
+
   test("refusals: non-changelog base; refresh without initialize") {
     spark.sql(s"CREATE TABLE $cat.m.b5 AS SELECT id AS k, id % 3 AS g, id AS m FROM range(0, 3)")
     val e1 = intercept[Exception] {

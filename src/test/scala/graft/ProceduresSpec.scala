@@ -108,4 +108,33 @@ class ProceduresSpec extends AnyFunSuite {
       spark.sql(s"CALL $cat.system.compact(table => 'unqualified')").collect())
       .getMessage.contains("namespace"))
   }
+
+  test("init_mart / refresh_mart through CALL: the IVM loop as SQL verbs") {
+    val t = s"$cat.m.ivmb"
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES('graft.changelog.keys'='k') AS " +
+      "SELECT /*+ COALESCE(1) */ id AS k, id % 3 AS g, id * 10 AS m FROM range(0, 9)")
+    val init = spark.sql(s"CALL $cat.system.init_mart(base => 'm.ivmb', " +
+      "mart => 'm.ivm_mart', dims => 'g', sums => 'm', band_files => 2, bloom_dims => true)")
+      .collect()(0)
+    assert(init.getString(0) == "m.ivm_mart" && init.getLong(1) == 1L)
+    assert(graft.sources.BloomSkip.specOf(s"$wh/m/ivm_mart").map(_.columns) == Some(Seq("g")))
+    // the mart IS a catalog table now — SQL-readable
+    assert(spark.sql(s"SELECT count(*) FROM $cat.m.ivm_mart").collect()(0).getLong(0) == 3L)
+    // quiet refresh: -1, no commit
+    assert(spark.sql(s"CALL $cat.system.refresh_mart(mart => 'm.ivm_mart')")
+      .collect()(0).getLong(1) == -1L)
+    // a point fix folds through
+    spark.sql(s"UPDATE $t SET m = m + 5 WHERE k = 4")
+    assert(spark.sql(s"CALL $cat.system.refresh_mart(mart => 'm.ivm_mart')")
+      .collect()(0).getLong(1) > 0)
+    val got = spark.sql(s"SELECT g, row_count, sum_m FROM $cat.m.ivm_mart ORDER BY g")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 3L, 0L + 30L + 60L), (1L, 3L, 10L + 40L + 5L + 70L),
+      (2L, 3L, 20L + 50L + 80L)), got)
+    // creating over an existing table refuses
+    assert(intercept[Exception](
+      spark.sql(s"CALL $cat.system.init_mart(base => 'm.ivmb', mart => 'm.ivm_mart', " +
+        "dims => 'g', sums => 'm')").collect())
+      .getMessage.contains("already exists"))
+  }
 }
