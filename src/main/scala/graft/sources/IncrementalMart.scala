@@ -52,6 +52,13 @@ object IncrementalMart {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** The mart's CRASH-SAFE reflected base version: the higher of the
+    * marker and the manifest stream-batch ledger. Every refresh commit
+    * carries `(ivm.<base-id>, foldedBaseVersion)` in the mart manifest
+    * itself — the same exactly-once ledger the streaming writers use —
+    * so a crash AFTER the commit but BEFORE the marker write cannot
+    * make the next refresh re-fold (and double-apply) the same range:
+    * the ledger already says the commit reflects `head`. */
   def stateOf(mart: String): Option[State] =
     try {
       val p = marker(mart)
@@ -60,10 +67,18 @@ object IncrementalMart {
         val root = mapper.readTree(Files.readString(p))
         import scala.jdk.CollectionConverters._
         def arr(f: String) = root.get(f).elements().asScala.map(_.asText()).toSeq
-        Some(State(root.get("base").asText(), root.get("base_version").asLong(),
-          arr("dims"), arr("sums")))
+        val st = State(root.get("base").asText(), root.get("base_version").asLong(),
+          arr("dims"), arr("sums"))
+        val ledger = Snapshots.committedStreamBatch(mart, streamId(st.baseTable))
+          .getOrElse(-1L)
+        Some(if (ledger > st.baseVersion) st.copy(baseVersion = ledger) else st)
       }
     } catch { case NonFatal(_) => None }
+
+  /** Stable per-base stream id for the mart's manifest ledger. */
+  private def streamId(base: String): String =
+    "ivm." + org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(Paths.get(base).toAbsolutePath.toString).take(12)
 
   private def writeState(mart: String, st: State): Unit = {
     val root = mapper.createObjectNode()
@@ -229,7 +244,10 @@ object IncrementalMart {
       Snapshots.commitCow(spark, mart, v, "merge", carried,
         deletes = MorDeletes.retarget(priorDels, carried.map(_.name).toSet),
         eqDeletes = Snapshots.survivingEqEntries(priorEqs, carried),
-        basedOn = Some(martHead))
+        basedOn = Some(martHead),
+        // the folded base version rides the mart manifest (crash-safe
+        // marker — see stateOf)
+        streamTag = Some((streamId(st.baseTable), head)))
       writeState(mart, st.copy(baseVersion = head))
       v
     } catch {

@@ -874,7 +874,8 @@ object Snapshots {
   private[sources] def commitFullState(spark: SparkSession, table: String, v: Long,
                                        operation: String,
                                        commitTsMs: Option[Long] = None,
-                                       basedOn: Option[Long] = None): Unit = {
+                                       basedOn: Option[Long] = None,
+                                       streamTag: Option[(String, Long)] = None): Unit = {
     val df = spark.read.parquet(s"$table/v=$v")
     val stats = FileStats.collectFor(spark, Paths.get(s"$table/v=$v"))
     val rows = stats.map(_.map(_.rows).sum).getOrElse(df.count())
@@ -883,7 +884,7 @@ object Snapshots {
     val ts = commitTsMs.getOrElse(System.currentTimeMillis())
     val filesFrag = stats.fold("")(s => s""","files":${FileStats.toJson(s)}""")
     val manifest =
-      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag$uuidFrag}"""
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols${streamTagFrag(streamTag)}$filesFrag$uuidFrag}"""
     Changelog.captureCow(spark, table, v, operation, Nil, Nil, Nil)
     publishGated(table, v, operation, basedOn, manifest)
   }
@@ -924,9 +925,11 @@ object Snapshots {
                                  commitTsMs: Option[Long] = None,
                                  deletes: Seq[MorDeletes.DeleteFile] = Nil,
                                  eqDeletes: Seq[EqDeletes.EqDelete] = Nil,
-                                 basedOn: Option[Long] = None): Unit = {
+                                 basedOn: Option[Long] = None,
+                                 streamTag: Option[(String, Long)] = None): Unit = {
     if (carried.isEmpty && deletes.isEmpty && eqDeletes.isEmpty) {
-      commitFullState(spark, table, v, operation, commitTsMs, basedOn); return
+      commitFullState(spark, table, v, operation, commitTsMs, basedOn, streamTag)
+      return
     }
     // every delete entry must target a carried file — a target that
     // was dropped or rewritten takes its positions with it (callers
@@ -967,7 +970,7 @@ object Snapshots {
     val eqFrag =
       if (eqDeletes.isEmpty) "" else s""","eqdeletes":${EqDeletes.toJson(eqDeletes)}"""
     val manifest =
-      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols$filesFrag,"carried":${FileStats.toJson(carried)}$delFrag$eqFrag$uuidFrag}"""
+      s"""{"version":$v,"operation":"$operation","committed_at_ms":$ts,"row_count":$rows,"columns":$cols${streamTagFrag(streamTag)}$filesFrag,"carried":${FileStats.toJson(carried)}$delFrag$eqFrag$uuidFrag}"""
     Changelog.captureCow(spark, table, v, operation, carried, deletes, eqDeletes)
     publishGated(table, v, operation, basedOn, manifest)
   }

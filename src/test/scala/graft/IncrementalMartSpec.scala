@@ -167,6 +167,50 @@ class IncrementalMartSpec extends AnyFunSuite {
     assert(martRows(mart) == rebuild(base))
   }
 
+  test("full-state restatements fold through: rollback re-materializes, TRUNCATE empties the mart") {
+    val (t, base) = freshBase("b8", 6)
+    val mart = s"$wh/m/b8_mart"
+    IncrementalMart.initialize(spark, base, mart, Seq("g"), Seq("m"), bandFiles = 2)
+    spark.sql(s"UPDATE $t SET m = m + 100 WHERE k = 2") // v2
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    // rollback to v1 (a full-state commit whose capture is the keyed
+    // diff of the restatement — the +100 retracts)
+    Snapshots.rollback(spark, base, 1L)
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(martRows(mart) == rebuild(base))
+    assert(martRows(mart).map(_._3).sum == (0 until 6).map(_ * 10).sum)
+    // TRUNCATE: every row retracts, every group dies, the mart empties
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(Snapshots.readLatest(spark, mart).count() == 0)
+  }
+
+  test("crash after commit, before marker write: the manifest ledger prevents double-apply") {
+    val (t, base) = freshBase("b7", 6)
+    val mart = s"$wh/m/b7_mart"
+    IncrementalMart.initialize(spark, base, mart, Seq("g"), Seq("m"), bandFiles = 2)
+    val markerPath = Paths.get(mart, "_ivm.json")
+    val preFix = new String(Files.readAllBytes(markerPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    spark.sql(s"UPDATE $t SET m = m + 100 WHERE k = 2")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    val folded = martRows(mart)
+    assert(folded == rebuild(base))
+    // simulate the crash: the commit (and its ledger tag) are durable,
+    // the marker write never happened
+    Files.write(markerPath, preFix.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the ledger says the mart already reflects the base head — a
+    // re-fold would double-apply the +100; refresh must no-op
+    val martV = Snapshots.versions(mart).last
+    assert(IncrementalMart.refresh(spark, mart) == -1L)
+    assert(Snapshots.versions(mart).last == martV)
+    assert(martRows(mart) == folded)
+    // and the NEXT real change folds exactly once on top
+    spark.sql(s"UPDATE $t SET m = m + 1 WHERE k = 3")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(martRows(mart) == rebuild(base))
+  }
+
   test("refusals: non-changelog base; refresh without initialize") {
     spark.sql(s"CREATE TABLE $cat.m.b5 AS SELECT id AS k, id % 3 AS g, id AS m FROM range(0, 3)")
     val e1 = intercept[Exception] {
