@@ -211,6 +211,31 @@ class IncrementalMartSpec extends AnyFunSuite {
     assert(martRows(mart) == rebuild(base))
   }
 
+  test("streaming composition: the exactly-once upsert sink feeds a maintained mart per micro-batch") {
+    val (_, base) = freshBase("b9", 6)
+    val mart = s"$wh/m/b9_mart"
+    IncrementalMart.initialize(spark, base, mart, Seq("g"), Seq("m"), bandFiles = 2)
+    // the foreachBatch loop a streaming pipeline runs: upsert the
+    // micro-batch, then refresh the mart
+    val write = Snapshots.idempotentUpsertWriter(base, "ivm_stream", Seq("k"))
+    val b0 = spark.range(1, 3).selectExpr("id AS k", "id % 3 AS g", "id * 1000 AS m")
+    write(b0, 0L)
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(martRows(mart) == rebuild(base))
+    // at-least-once REDELIVERY of the same batch: the sink skips (no
+    // new base version), so the refresh is a marker read — the mart
+    // cannot double-count the restated rows
+    write(b0, 0L)
+    assert(IncrementalMart.refresh(spark, mart) == -1L)
+    assert(martRows(mart) == rebuild(base))
+    // the next batch inserts a brand-new key (and group)
+    val b1 = spark.range(30, 31).selectExpr("id AS k", "CAST(7 AS BIGINT) AS g", "id * 1000 AS m")
+    write(b1, 1L)
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(martRows(mart) == rebuild(base))
+    assert(martRows(mart).exists(_._1 == 7L))
+  }
+
   test("refusals: non-changelog base; refresh without initialize") {
     spark.sql(s"CREATE TABLE $cat.m.b5 AS SELECT id AS k, id % 3 AS g, id AS m FROM range(0, 3)")
     val e1 = intercept[Exception] {
