@@ -131,15 +131,28 @@ object BloomSkip {
   /** Writer options for one data-file write of `table` — empty (and
     * free) for tables never opted in. Applied by every committed data
     * write (snapshot, append, branch staging, branch rewrites) so the
-    * bloom invariant holds across the whole chain. */
-  def writerOptions(table: String, fields: Seq[String]): Map[String, String] =
+    * bloom invariant holds across the whole chain. Takes the WRITE's
+    * own schema so the float/double refusal holds even when [[enable]]
+    * ran without a declared schema to check against (library marts
+    * have no `_schema.json`): a float bloom is never written, from any
+    * path — the ±0.0 unsoundness lives in the stock reader, so the
+    * only safe place to stop it is the write. */
+  def writerOptions(table: String, schema: org.apache.spark.sql.types.StructType): Map[String, String] =
     specOf(table) match {
       case None => Map.empty
       case Some(s) =>
-        s.columns.filter(fields.contains).flatMap { c =>
-          Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
-            s"parquet.bloom.filter.expected.ndv#$c" -> s.ndv.toString,
-            s"parquet.bloom.filter.fpp#$c" -> s.fpp.toString)
+        s.columns.flatMap { c =>
+          schema.fields.find(_.name == c).map(_.dataType) match {
+            case Some(FloatType | DoubleType) => throw new IllegalArgumentException(
+              s"bloom column $c of $table is floating-point — parquet bloom " +
+                "equality is unsound across ±0.0; bloom keys must be " +
+                "integral/string/date/timestamp (fix the _bloom.json marker)")
+            case Some(_) =>
+              Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
+                s"parquet.bloom.filter.expected.ndv#$c" -> s.ndv.toString,
+                s"parquet.bloom.filter.fpp#$c" -> s.fpp.toString)
+            case None => Nil
+          }
         }.toMap
     }
 
@@ -259,26 +272,25 @@ object BloomSkip {
         if (blocks.isEmpty) return true
         lookups.forall { case (colName, values) =>
           // the conjunct may be satisfied iff SOME value may be present
-          // in SOME row group
-          values.exists { v =>
-            blocks.exists { b =>
-              b.getColumns.asScala.find(c =>
-                c.getPath.size() == 1 && c.getPath.toDotString == colName) match {
-                case None => true // column absent in this file: unmodeled here — keep
-                case Some(chunk) =>
-                  val bf = reader.getBloomFilterDataReader(b).readBloomFilter(chunk)
-                  if (bf == null) true // no bloom written: maybe
-                  else {
-                    val pt = chunk.getPrimitiveType.getPrimitiveTypeName
-                    val dt = lookupTypes.get().getOrElse(colName, NullType)
-                    variants(v).exists { vv =>
-                      hashInput(vv, dt, pt) match {
-                        case Some(in) => bf.findHash(hashOf(bf, in))
-                        case None => true // unmodeled pairing: maybe
-                      }
+          // in SOME row group. Block-outer/value-inner so each chunk's
+          // bloom region is read ONCE, not once per lookup value.
+          blocks.exists { b =>
+            b.getColumns.asScala.find(c =>
+              c.getPath.size() == 1 && c.getPath.toDotString == colName) match {
+              case None => true // column absent in this file: unmodeled here — keep
+              case Some(chunk) =>
+                val bf = reader.getBloomFilterDataReader(b).readBloomFilter(chunk)
+                if (bf == null) true // no bloom written: maybe
+                else {
+                  val pt = chunk.getPrimitiveType.getPrimitiveTypeName
+                  val dt = lookupTypes.get().getOrElse(colName, NullType)
+                  values.exists(v => variants(v).exists { vv =>
+                    hashInput(vv, dt, pt) match {
+                      case Some(in) => bf.findHash(hashOf(bf, in))
+                      case None => true // unmodeled pairing: maybe
                     }
-                  }
-              }
+                  })
+                }
             }
           }
         }
@@ -304,7 +316,10 @@ object BloomSkip {
     val spec = specOf(table).getOrElse(return Set.empty)
     val lookups = pointLookups(filters, spec.columns.toSet)
     if (lookups.isEmpty) return Set.empty
-    if (candidates.size > maxPlanningChecks) return Set.empty
+    // past the cap, the REMAINING files are kept unchecked (graceful
+    // degradation — crossing the cap by one file must not flip a
+    // 1-file rewrite back into a full-table one)
+    val checked = candidates.take(maxPlanningChecks)
     val types: Map[String, DataType] = {
       def attrs(e: Expression): Seq[AttributeReference] =
         e.collect { case a: AttributeReference => a }
@@ -312,7 +327,7 @@ object BloomSkip {
     }
     lookupTypes.set(types)
     try {
-      val absent = candidates.filterNot(p => fileMayContain(p, lookups)).toSet
+      val absent = checked.filterNot(p => fileMayContain(p, lookups)).toSet
       filesSkipped.addAndGet(absent.size.toLong)
       absent
     } finally lookupTypes.remove()

@@ -2927,7 +2927,11 @@ object GraftCatalog {
       .groupBy(org.apache.spark.sql.functions.col("event_date"))
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("row_count"),
-        org.apache.spark.sql.functions.sum("amount").as("sum_amount"))
+        org.apache.spark.sql.functions.sum("amount").as("sum_amount"),
+        // the mart's per-measure non-null companion (what keeps sums
+        // NULL-exact under retraction) joins the rebuild compare
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.col("amount")).as("nn_amount"))
     val matches = mart.exceptAll(rebuilt).count() + rebuilt.exceptAll(mart).count() == 0
     val totals = mart.agg(
       org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("dates"),
@@ -3453,7 +3457,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
       } else {
         spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         df.write.mode("append").option("compression", "snappy")
-          .options(BloomSkip.writerOptions(tablePath, df.schema.fieldNames))
+          .options(BloomSkip.writerOptions(tablePath, df.schema))
           .parquet(s"$tablePath/v=$v")
         Snapshots.commitCow(spark, tablePath, v, "delete", carried,
           deletes = MorDeletes.retarget(priorDels, carried.map(_.name).toSet),
@@ -3583,7 +3587,7 @@ private[sources] class GraftSnapshotTable(qualifiedName: String, tablePath: Stri
     // bloom-opted tables keep their write-time blooms through CoW
     // rewrites: ParquetWrite builds its hadoop conf from the write
     // info's options, so the per-column bloom enablement rides there
-    val bloomOpts = BloomSkip.writerOptions(tablePath, info0.schema().fieldNames)
+    val bloomOpts = BloomSkip.writerOptions(tablePath, info0.schema())
     val info: LogicalWriteInfo =
       if (bloomOpts.isEmpty) info0
       else new LogicalWriteInfo {
@@ -3958,14 +3962,28 @@ private[sources] class GraftCowState(table: String, val baseVersion: Long,
   /** Files a bloom PROVES hold no row of the operation condition —
     * they leave the rewrite group and carry by reference (a point
     * UPDATE/MERGE on a bloom-opted hash key rewrites only true
-    * hosts). Recomputed per call from the CURRENT filter set, so
-    * [[groupFiles]] and [[carried]] always partition consistently.
+    * hosts). Derived from the CURRENT filter set, so [[groupFiles]]
+    * and [[carried]] always partition consistently — MEMOIZED per
+    * filter snapshot, since both call it (once at scan planning, once
+    * at commit) and the footer/bloom reads would otherwise double.
     * Disabled under live rename eras (lookups key on current names;
     * era files carry old physical names — conservative keep). */
-  private def bloomAbsent(): Set[String] =
-    if (renames.nonEmpty) Set.empty
-    else BloomSkip.provablyAbsent(table,
-      stated.collect { case (p, st) if inGroup(p, st) => p }, all)
+  @volatile private var bloomMemo
+    : Option[((Seq[Expression], Option[Set[String]]), Set[String])] = None
+  private def bloomAbsent(): Set[String] = {
+    if (renames.nonEmpty) return Set.empty
+    // the key carries the ref narrowing too — inGroup depends on it,
+    // so a memo from before a narrowRefs call must not be served
+    val key = (all, refFilter)
+    bloomMemo match {
+      case Some((k, r)) if k == key => r
+      case _ =>
+        val r = BloomSkip.provablyAbsent(table,
+          stated.collect { case (p, st) if inGroup(p, st) => p }, key._1)
+        bloomMemo = Some((key, r))
+        r
+    }
+  }
 
   /** Files the rewrite must read and write back. Statless files stay
     * unconditionally: carrying needs manifest rows+bounds, which they

@@ -30,11 +30,15 @@ import org.apache.spark.sql.functions._
   * refresh is a marker read: no Spark job, no commit.
   *
   * Maintainable aggregates: `count(*)` plus `sum` of integral
-  * measures (additive, sign-invertible). `min/max` are NOT
-  * self-maintainable under deletes (a retracted extremum needs a
-  * rescan of its group) — refused at [[initialize]] by taking only
-  * sum columns. Groups whose count reaches zero DROP from the mart
-  * (never a count-0 tombstone row).
+  * measures (additive, sign-invertible). Each sum travels with a
+  * `nn_<m>` non-null count — the additive algebra alone cannot tell
+  * "sums to 0" from "no non-null values" (SQL sum of an all-NULL
+  * group is NULL), so the companion keeps sums NULL-exact under any
+  * retraction history. `min/max` are NOT self-maintainable under
+  * deletes (a retracted extremum needs a rescan of its group) —
+  * refused at [[initialize]] by taking only sum columns. Groups whose
+  * count reaches zero DROP from the mart (never a count-0 tombstone
+  * row).
   *
   * Correctness spine: the mart after any refresh sequence is
   * bit-identical to a full rebuild at the same base version — the
@@ -59,21 +63,26 @@ object IncrementalMart {
     * so a crash AFTER the commit but BEFORE the marker write cannot
     * make the next refresh re-fold (and double-apply) the same range:
     * the ledger already says the commit reflects `head`. */
-  def stateOf(mart: String): Option[State] =
-    try {
-      val p = marker(mart)
-      if (!Files.isRegularFile(p)) None
-      else {
-        val root = mapper.readTree(Files.readString(p))
-        import scala.jdk.CollectionConverters._
-        def arr(f: String) = root.get(f).elements().asScala.map(_.asText()).toSeq
-        val st = State(root.get("base").asText(), root.get("base_version").asLong(),
-          arr("dims"), arr("sums"))
-        val ledger = Snapshots.committedStreamBatch(mart, streamId(st.baseTable))
-          .getOrElse(-1L)
-        Some(if (ledger > st.baseVersion) st.copy(baseVersion = ledger) else st)
-      }
-    } catch { case NonFatal(_) => None }
+  def stateOf(mart: String): Option[State] = {
+    val p = marker(mart)
+    // None means exactly "never initialized". An UNREADABLE marker or
+    // ledger throws instead — mapping it to None would make refresh
+    // say "run initialize first", and re-initializing over a live
+    // mart (bypassing the crash ledger) is the one wrong remedy.
+    if (!Files.isRegularFile(p)) return None
+    val root =
+      try mapper.readTree(Files.readString(p))
+      catch { case NonFatal(e) => throw new IllegalStateException(
+        s"unreadable incremental-mart marker $p — fix or remove it " +
+          "(do NOT re-initialize over a live mart)", e) }
+    import scala.jdk.CollectionConverters._
+    def arr(f: String) = root.get(f).elements().asScala.map(_.asText()).toSeq
+    val st = State(root.get("base").asText(), root.get("base_version").asLong(),
+      arr("dims"), arr("sums"))
+    val ledger = Snapshots.committedStreamBatch(mart, streamId(st.baseTable))
+      .getOrElse(-1L)
+    Some(if (ledger > st.baseVersion) st.copy(baseVersion = ledger) else st)
+  }
 
   /** Stable per-base stream id for the mart's manifest ledger. */
   private def streamId(base: String): String =
@@ -111,12 +120,24 @@ object IncrementalMart {
     }
   }
 
-  private def fullAggregate(spark: SparkSession, base: String,
+  /** Per-measure NON-NULL count column — the maintenance companion
+    * every sum needs: the additive algebra cannot distinguish "sums
+    * to 0" from "no non-null values" (SQL sum of an all-NULL group is
+    * NULL), so the mart carries `nn_<m>` and surfaces `sum_<m>` as
+    * NULL exactly when its non-null count is zero — bit-identical to
+    * a rebuild under any retraction history. */
+  private def nnCol(m: String) = s"nn_$m"
+
+  /** The full rebuild shape AT A PINNED VERSION (never `readLatest`:
+    * a base commit racing initialize would bake data the marker does
+    * not account for, double-applying it on the first refresh). */
+  private def fullAggregate(spark: SparkSession, base: String, v: Long,
                             dims: Seq[String], sums: Seq[String]): DataFrame =
-    Snapshots.readLatest(spark, base)
+    Snapshots.readAsOf(spark, base, v)
       .groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as("row_count"),
-        sums.map(m => sum(col(m)).as(sumCol(m))): _*)
+        sums.flatMap(m => Seq(sum(col(m)).as(sumCol(m)),
+          count(col(m)).as(nnCol(m)))): _*)
 
   /** Build the mart from scratch at the base's current version and
     * record the maintenance state. `bandFiles` hash-clusters the mart
@@ -134,7 +155,7 @@ object IncrementalMart {
         "refresh() folds t.changes, which must capture every DML from here on")
     val head = Snapshots.versions(base).lastOption.getOrElse(
       throw new IllegalArgumentException(s"incremental mart over $base: no snapshots"))
-    val full = fullAggregate(spark, base, dims, sums)
+    val full = fullAggregate(spark, base, head, dims, sums)
       .repartition(bandFiles, col(dims.head))
     val v = withExactBanding(spark) {
       Snapshots.writeSnapshot(full, mart, operation = "overwrite")
@@ -162,12 +183,25 @@ object IncrementalMart {
     }
     // the additive delta algebra: +1 weight for arriving rows, -1 for
     // retracted pre-images; identical pre/post pairs were already
-    // netted out by the capture, so every change row carries signal
+    // netted out by the capture, so every change row carries signal.
+    // The grouped delta is CACHED for the refresh: the null probe, the
+    // key envelope, its gated collect, and the merge all consume it —
+    // without the cache each would re-read the capture files and
+    // re-shuffle the same aggregation.
     val w = when(col(Changelog.TypeCol).isin("INSERT", "UPDATE_post"), 1L)
       .otherwise(-1L)
     val delta = ch.groupBy(st.dims.map(col): _*)
       .agg(sum(w).as("__dcnt"),
-        st.sums.map(m => sum(col(m) * w).as(s"__d_$m")): _*)
+        st.sums.flatMap(m => Seq(
+          sum(col(m) * w).as(s"__d_$m"),
+          sum(when(col(m).isNotNull, w).otherwise(0L)).as(s"__dnn_$m"))): _*)
+      .persist()
+    try refreshWith(spark, mart, st, head, delta)
+    finally { delta.unpersist(); () }
+  }
+
+  private def refreshWith(spark: SparkSession, mart: String, st: State,
+                          head: Long, delta: DataFrame): Long = {
     // merge: touched groups take (old + delta), zero-count groups drop
     val martSchema = Snapshots.declaredCleanOf(mart).getOrElse(
       Snapshots.readLatest(spark, mart).schema)
@@ -227,9 +261,18 @@ object IncrementalMart {
       .select((st.dims.map(d0 => coalesce(col(s"c.$d0"), col(s"d.$d0")).as(d0)) ++ Seq(
         (coalesce(col("c.row_count"), lit(0L)) + coalesce(col("d.__dcnt"), lit(0L)))
           .as("row_count")) ++
-        st.sums.map(m =>
-          (coalesce(col(s"c.${sumCol(m)}"), lit(0L)) + coalesce(col(s"d.__d_$m"), lit(0L)))
-            .as(sumCol(m)))): _*)
+        st.sums.flatMap { m =>
+          // a sum is NULL exactly when its non-null count is zero — the
+          // nn companion is what lets "retracted back to all-NULL"
+          // surface as NULL like a rebuild would, not as 0
+          val nn = coalesce(col(s"c.${nnCol(m)}"), lit(0L)) +
+            coalesce(col(s"d.__dnn_$m"), lit(0L))
+          Seq(
+            when(nn > 0,
+              coalesce(col(s"c.${sumCol(m)}"), lit(0L)) +
+                coalesce(col(s"d.__d_$m"), lit(0L))).as(sumCol(m)),
+            nn.as(nnCol(m)))
+        }): _*)
       .filter(col("row_count") > 0)
       .select(outCols.map(col): _*)
     val v = Snapshots.reserveVersion(mart)
@@ -238,7 +281,7 @@ object IncrementalMart {
       withExactBanding(spark) {
         merged.repartition(math.max(1, rewrite.size + 1), col(st.dims.head))
           .write.mode("append").option("compression", "snappy")
-          .options(BloomSkip.writerOptions(mart, merged.schema.fieldNames))
+          .options(BloomSkip.writerOptions(mart, merged.schema))
           .parquet(s"$mart/v=$v")
       }
       Snapshots.commitCow(spark, mart, v, "merge", carried,

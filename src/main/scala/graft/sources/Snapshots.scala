@@ -250,7 +250,7 @@ object Snapshots {
       // "append" into the exclusively-reserved (empty) directory — the
       // reservation already provides the exclusivity errorifexists gave
       val writer = df.write.mode("append").option("compression", "snappy")
-        .options(BloomSkip.writerOptions(table, df.schema.fieldNames))
+        .options(BloomSkip.writerOptions(table, df.schema))
       (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
         .parquet(s"$table/v=$v")
       // exact row count + per-file min/max column bounds for
@@ -836,7 +836,7 @@ object Snapshots {
     try {
       df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       val writer = df.write.mode("append").option("compression", "snappy")
-        .options(BloomSkip.writerOptions(table, df.schema.fieldNames))
+        .options(BloomSkip.writerOptions(table, df.schema))
       (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
         .parquet(s"$table/v=$v")
       val stats = FileStats.collectFor(df.sparkSession, Paths.get(s"$table/v=$v"))
@@ -1576,7 +1576,7 @@ object Snapshots {
     try {
       df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       val writer = toWrite.write.mode("append").option("compression", "snappy")
-        .options(BloomSkip.writerOptions(table, df.schema.fieldNames))
+        .options(BloomSkip.writerOptions(table, df.schema))
       (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
         .parquet(s"$table/v=$v")
       val stats = FileStats.collectFor(spark, Paths.get(s"$table/v=$v"))
@@ -1903,7 +1903,7 @@ object Snapshots {
     }
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val writer = df.write.mode("append").option("compression", "snappy")
-      .options(BloomSkip.writerOptions(table, df.schema.fieldNames))
+      .options(BloomSkip.writerOptions(table, df.schema))
     (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
       .parquet(dir.toString)
   }

@@ -236,6 +236,41 @@ class IncrementalMartSpec extends AnyFunSuite {
     assert(martRows(mart).exists(_._1 == 7L))
   }
 
+  test("NULL measures stay rebuild-exact: all-NULL groups keep NULL sums, and a retraction back to all-NULL restores NULL (not 0)") {
+    val t = s"$cat.m.b10"
+    val base = s"$wh/m/b10"
+    // group 0: all-NULL measures; group 1: one non-null row (k=1)
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES('graft.changelog.keys'='k') AS " +
+      "SELECT /*+ COALESCE(1) */ id AS k, id % 2 AS g, " +
+      "CASE WHEN id = 1 THEN id * 10 END AS m FROM range(0, 4)")
+    val mart = s"$wh/m/b10_mart"
+    IncrementalMart.initialize(spark, base, mart, Seq("g"), Seq("m"), bandFiles = 2)
+    def sums: Map[Long, Option[Long]] =
+      Snapshots.readLatest(spark, mart).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(sums == Map(0L -> None, 1L -> Some(10L)))
+    // touch BOTH groups so their bands rewrite: the all-NULL group's
+    // sum must re-emit as NULL, never as coalesced 0
+    spark.sql(s"INSERT INTO $t SELECT 10, 0, NULL UNION ALL SELECT 11, 1, NULL")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(sums == Map(0L -> None, 1L -> Some(10L)))
+    // retract group 1's ONLY non-null row: additively 10-10 would be
+    // 0, but the non-null count hits zero — the sum must be NULL,
+    // exactly like a rebuild
+    spark.sql(s"DELETE FROM $t WHERE k = 1")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(sums == Map(0L -> None, 1L -> None))
+    // and the whole mart still equals the rebuild bit-for-bit
+    val reb = Snapshots.readLatest(spark, base).groupBy("g")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("row_count"),
+        org.apache.spark.sql.functions.sum("m").as("sum_m"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.col("m")).as("nn_m"))
+    val martDf = Snapshots.readLatest(spark, mart)
+    assert(martDf.exceptAll(reb).count() == 0 && reb.exceptAll(martDf).count() == 0)
+  }
+
   test("refusals: non-changelog base; refresh without initialize") {
     spark.sql(s"CREATE TABLE $cat.m.b5 AS SELECT id AS k, id % 3 AS g, id AS m FROM range(0, 3)")
     val e1 = intercept[Exception] {
