@@ -405,11 +405,7 @@ object Bench {
     * change is recorded "explained:<reason>" instead of "regressed".
     * Keep entries only for the round that changed them (stale entries
     * would launder real regressions). */
-  private[graft] val explainedRegressions: Map[String, String] = Map(
-    // r16: the gate gained a days-laid-out sibling table (one file per
-    // event_date) plus nine t.partitions/t.manifests/t.entries probes
-    // — the metadata-table surface grew, the per-probe cost did not
-    "meta_catalog_meta_tables" -> "r16-added-partitions-manifests-entries-probes")
+  private[graft] val explainedRegressions: Map[String, String] = Map.empty
 
   /** Sub-2s queries that drifted >1.3x between the r6 and r7 boards
     * (scheduling-granularity band): board numbers come from the full

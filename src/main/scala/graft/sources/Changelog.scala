@@ -103,7 +103,21 @@ object Changelog {
     val withType = org.apache.spark.sql.types.StructType(
       ds.fields :+ org.apache.spark.sql.types.StructField(TypeCol,
         org.apache.spark.sql.types.StringType, nullable = false))
-    val vs = Snapshots.versions(table).filter(v => v > fromVExclusive && v <= toV)
+    val all = Snapshots.versions(table)
+    // same expired-history guard as the streaming path (planRange): a
+    // non-zero start below the oldest SURVIVING version means retention
+    // removed versions inside the range — serving the oldest survivor
+    // as a full-state INSERT would double-apply the whole base into
+    // any incremental consumer (IncrementalMart.refresh folds this
+    // range and advances its marker: a silent gap here is permanent
+    // mart corruption). Refuse loudly; the remedy is re-initializing
+    // the consumer from the current state.
+    if (fromVExclusive > 0 && all.nonEmpty && fromVExclusive < all.head)
+      throw new IllegalStateException(
+        s"changelog of $table: the range starts after version $fromVExclusive " +
+          s"but retention expired history up to v${all.head} — the changes in " +
+          "between are gone; re-initialize the consumer from the current state")
+    val vs = all.filter(v => v > fromVExclusive && v <= toV)
     val parts = vs.flatMap { v =>
       changesPlanFor(table, v).map { case (files, constType) =>
         val base = constType match {

@@ -365,6 +365,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
+    // bloom columns validate BEFORE any filesystem write — existence
+    // AND the float refusal, against the in-hand schema (not
+    // _schema.json, which does not exist yet): a refusal deferred to
+    // BloomSkip.enable or the first write would leave a half-born
+    // table (directory + schema + marker) behind a failed CREATE/CTAS
+    val bloomCols = Option(properties.get("graft.bloom.columns"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    bloomCols.foreach(_.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft.bloom.columns: no column $c in schema ${schema.fieldNames.mkString(",")}")
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.FloatType |
+                  org.apache.spark.sql.types.DoubleType) =>
+          throw new IllegalArgumentException(
+            s"graft.bloom.columns: $c is a floating-point column — parquet " +
+              "bloom probes hash raw bits, so 0.0 and -0.0 (SQL-equal) hash " +
+              "differently and skipping would silently lose -0.0 rows; key " +
+              "on a non-float column (or cast at write)")
+        case _ => ()
+      }
+    })
     val dir = tableDir(ident)
     Files.createDirectories(dir)
     Files.write(dir.resolve("_schema.json"),
@@ -376,12 +397,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // bloom file-skipping opted in at DDL time: CREATE TABLE …
     // TBLPROPERTIES('graft.bloom.columns'='k1,k2') — every write of
     // the table's life carries the per-column blooms
-    Option(properties.get("graft.bloom.columns")).foreach { v =>
-      val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      cols.foreach(c => require(schema.fieldNames.contains(c),
-        s"graft.bloom.columns: no column $c in schema ${schema.fieldNames.mkString(",")}"))
-      BloomSkip.enable(dir.toString, cols)
-    }
+    bloomCols.foreach(cols => BloomSkip.enable(dir.toString, cols))
     // changelog enabled at DDL time captures the table's WHOLE life —
     // including the CTAS initial state (served as the v1 INSERT set)
     Option(properties.get("graft.changelog.keys")).foreach { v =>

@@ -226,6 +226,11 @@ class BloomSkipSpec extends AnyFunSuite {
     def chain(t: Throwable): String =
       if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
     assert(chain(err).contains("floating-point"), chain(err))
+    // the refusal is ATOMIC: it fires before any filesystem write, so
+    // the failed CTAS leaves no half-born table behind (no directory,
+    // no _schema.json, no _bloom.json marker)
+    assert(!Files.exists(Paths.get(wh, "zz", "t")),
+      "refused CTAS left a table directory behind")
     // without the bloom the same data and probe stay exact — the
     // refusal is what keeps `d = 0.0` finding the -0.0 row
     spark.sql(s"CREATE TABLE $cat.zz.t2 AS SELECT /*+ COALESCE(1) */ * FROM __bl_zz_src")

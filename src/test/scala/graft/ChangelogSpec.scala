@@ -173,6 +173,14 @@ class ChangelogSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(5).map(_.getMessage).toSeq
     assert(msgs(e).exists(m => m != null && m.contains("retention expired")), msgs(e))
+    // the LIBRARY batch range (the path IncrementalMart.refresh folds)
+    // carries the same guard: a marker inside the expired interval
+    // must refuse, never silently serve the oldest survivor as a
+    // full-state INSERT set (that would double-apply the base into
+    // any incremental consumer and corrupt its mart permanently)
+    val e2 = intercept[IllegalStateException](
+      Changelog.readRange(spark, path, 1L, 3L).collect())
+    assert(e2.getMessage.contains("retention expired"), e2.getMessage)
     // …while a fresh read serves the oldest survivor as the initial
     // INSERT set (correct re-sync semantics from offset 0)
     val fresh = spark.sql(s"SELECT _change_type, _commit_version FROM $t.changes")

@@ -271,6 +271,190 @@ class IncrementalMartSpec extends AnyFunSuite {
     assert(martDf.exceptAll(reb).count() == 0 && reb.exceptAll(martDf).count() == 0)
   }
 
+  // ---- r18: expression measures, COUNT(DISTINCT) side state, filters ----
+
+  private def rebuildD(base: String): org.apache.spark.sql.DataFrame =
+    Snapshots.readLatest(spark, base).groupBy("g")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("row_count"),
+        org.apache.spark.sql.functions.sum("m").as("sum_m"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.col("m")).as("nn_m"),
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("u")).as("cd_u"))
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+
+  test("COUNT(DISTINCT): multiplicity side state keeps the count exact through duplicate births and deaths") {
+    import IncrementalMart.{MartDef, Measure}
+    val t = s"$cat.m.d1"
+    val base = s"$wh/m/d1"
+    // u = k % 5 gives in-group duplicates; g = k % 3
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES('graft.changelog.keys'='k') AS " +
+      "SELECT /*+ COALESCE(1) */ id AS k, id % 3 AS g, id * 10 AS m, id % 5 AS u FROM range(0, 12)")
+    val mart = s"$wh/m/d1_mart"
+    IncrementalMart.initialize(spark, base, mart,
+      MartDef(Seq("g"), Seq(Measure("m", "m")), Seq(Measure("u", "u"))),
+      bandFiles = 2)
+    assert(sameRows(Snapshots.readLatest(spark, mart), rebuildD(base)))
+    // duplicate birth: (g=0, u=0) already exists via k=0 — cd_u must
+    // NOT move; also a brand-new value u=9 in g=1 — cd_u +1 there
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ 100, 0, 1, 0 UNION ALL SELECT 101, 1, 1, 9")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(sameRows(Snapshots.readLatest(spark, mart), rebuildD(base)))
+    // retract ONE of two (g=0, u=0) holders: multiplicity 2 -> 1, the
+    // distinct count must NOT decrement
+    spark.sql(s"DELETE FROM $t WHERE k = 100")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(sameRows(Snapshots.readLatest(spark, mart), rebuildD(base)))
+    // retract the LAST holder: multiplicity 1 -> 0, decrement
+    spark.sql(s"DELETE FROM $t WHERE k = 0")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(sameRows(Snapshots.readLatest(spark, mart), rebuildD(base)))
+    // UPDATE moving a value: u 4 -> 7 for k=4 (g=1): one transition
+    // out and one in — the distinct COUNT nets to zero, so the mart
+    // commit is SKIPPED (net-zero groups never force band rewrites)
+    // while the side state still advances
+    val sideVsBefore = Snapshots.versions(s"$mart/_dstate/u").size
+    spark.sql(s"UPDATE $t SET u = 7 WHERE k = 4")
+    assert(IncrementalMart.refresh(spark, mart) == -1L)
+    assert(Snapshots.versions(s"$mart/_dstate/u").size == sideVsBefore + 1,
+      "the multiplicity side state must still fold the moved value")
+    assert(sameRows(Snapshots.readLatest(spark, mart), rebuildD(base)))
+    // NULL distinct values are ignored, like SQL COUNT(DISTINCT)
+    spark.sql(s"INSERT INTO $t SELECT 200, 0, 5, NULL")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(sameRows(Snapshots.readLatest(spark, mart), rebuildD(base)))
+    // quiet tail
+    assert(IncrementalMart.refresh(spark, mart) == -1L)
+  }
+
+  test("expression measures + filter: the gold_daily_sales shape (conditional DECIMAL sum, conditional distinct) stays rebuild-exact") {
+    import IncrementalMart.{MartDef, Measure}
+    val t = s"$cat.m.d2"
+    val base = s"$wh/m/d2"
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES('graft.changelog.keys'='k') AS " +
+      "SELECT /*+ COALESCE(1) */ id AS k, id % 2 AS d, " +
+      "CASE WHEN id % 3 = 0 THEN 'p' WHEN id % 3 = 1 THEN 'v' END AS typ, " +
+      "id * 100 AS price, id % 4 AS uid FROM range(0, 12)")
+    val mart = s"$wh/m/d2_mart"
+    val defn = MartDef(Seq("d"),
+      sums = Seq(
+        Measure("rev", "CAST(CASE WHEN typ = 'p' THEN price ELSE 0 END AS DECIMAL(12,2))"),
+        Measure("orders", "CASE WHEN typ = 'p' THEN 1 ELSE 0 END")),
+      distincts = Seq(Measure("buyers", "CASE WHEN typ = 'p' THEN uid END")),
+      filter = Some("typ IS NOT NULL"))
+    IncrementalMart.initialize(spark, base, mart, defn, bandFiles = 2)
+    def reb: org.apache.spark.sql.DataFrame =
+      Snapshots.readLatest(spark, base).filter("typ IS NOT NULL").groupBy("d")
+        .agg(org.apache.spark.sql.functions.expr("count(1)").as("row_count"),
+          org.apache.spark.sql.functions.expr(
+            "sum(CAST(CASE WHEN typ = 'p' THEN price ELSE 0 END AS DECIMAL(12,2)))").as("sum_rev"),
+          org.apache.spark.sql.functions.expr(
+            "count(CAST(CASE WHEN typ = 'p' THEN price ELSE 0 END AS DECIMAL(12,2)))").as("nn_rev"),
+          org.apache.spark.sql.functions.expr(
+            "sum(CASE WHEN typ = 'p' THEN 1 ELSE 0 END)").as("sum_orders"),
+          org.apache.spark.sql.functions.expr(
+            "count(CASE WHEN typ = 'p' THEN 1 ELSE 0 END)").as("nn_orders"),
+          org.apache.spark.sql.functions.expr(
+            "count(DISTINCT CASE WHEN typ = 'p' THEN uid END)").as("cd_buyers"))
+        .selectExpr("d", "row_count", "CAST(sum_rev AS DECIMAL(22,2)) AS sum_rev",
+          "nn_rev", "sum_orders", "nn_orders", "cd_buyers")
+    assert(sameRows(Snapshots.readLatest(spark, mart), reb))
+    // a row crosses the FILTER boundary (typ -> NULL: leaves the mart)
+    spark.sql(s"UPDATE $t SET typ = NULL WHERE k = 3")
+    // a row crosses the CASE boundary (view -> purchase: revenue and
+    // buyers move without the row entering or leaving)
+    spark.sql(s"UPDATE $t SET typ = 'p' WHERE k = 4")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(sameRows(Snapshots.readLatest(spark, mart), reb))
+    // and back across the filter inward
+    spark.sql(s"UPDATE $t SET typ = 'v' WHERE k = 3")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(sameRows(Snapshots.readLatest(spark, mart), reb))
+  }
+
+  test("a crashed refresh (side state committed, mart commit failed) completes exactly on the next refresh") {
+    import IncrementalMart.{MartDef, Measure}
+    val t = s"$cat.m.d3"
+    val base = s"$wh/m/d3"
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES('graft.changelog.keys'='k') AS " +
+      "SELECT /*+ COALESCE(1) */ id AS k, id % 3 AS g, id * 10 AS m, id % 5 AS u FROM range(0, 12)")
+    val mart = s"$wh/m/d3_mart"
+    IncrementalMart.initialize(spark, base, mart,
+      MartDef(Seq("g"), Seq(Measure("m", "m")), Seq(Measure("u", "u"))),
+      bandFiles = 2)
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ 100, 1, 1, 9 UNION ALL SELECT 101, 2, 2, 0")
+    // force the MART commit to fail AFTER the side-state commit
+    // succeeded: a debris version directory trips the serializability
+    // gate (the real mid-refresh crash shape, injected end to end)
+    val debris = Paths.get(mart, s"v=${Snapshots.versions(mart).last + 1}")
+    Files.createDirectory(debris)
+    intercept[Exception](IncrementalMart.refresh(spark, mart))
+    // the side table committed its fold; the mart did not
+    val side = s"$mart/_dstate/u"
+    assert(Snapshots.versions(side).size == 2, "side state should have committed")
+    // clear the debris (what removeOrphanFiles would do) and refresh:
+    // the recovery path must SKIP the side merge (ledger already at
+    // target), recompute the transitions from the side's pre-commit
+    // version, and land the mart exactly once
+    Files.delete(debris)
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(sameRows(Snapshots.readLatest(spark, mart), rebuildD(base)))
+    assert(Snapshots.versions(side).size == 2, "recovery must not re-merge the side state")
+    // a further change folds once on top
+    spark.sql(s"DELETE FROM $t WHERE k = 100")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(sameRows(Snapshots.readLatest(spark, mart), rebuildD(base)))
+  }
+
+  test("recovery crossing extra base commits: the crashed target completes first, then the loop reaches the head") {
+    import IncrementalMart.{MartDef, Measure}
+    val t = s"$cat.m.d4"
+    val base = s"$wh/m/d4"
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES('graft.changelog.keys'='k') AS " +
+      "SELECT /*+ COALESCE(1) */ id AS k, id % 3 AS g, id * 10 AS m, id % 5 AS u FROM range(0, 9)")
+    val mart = s"$wh/m/d4_mart"
+    IncrementalMart.initialize(spark, base, mart,
+      MartDef(Seq("g"), Seq(Measure("m", "m")), Seq(Measure("u", "u"))),
+      bandFiles = 2)
+    spark.sql(s"INSERT INTO $t SELECT /*+ COALESCE(1) */ 50, 0, 5, 9")
+    val debris = Paths.get(mart, s"v=${Snapshots.versions(mart).last + 1}")
+    Files.createDirectory(debris)
+    intercept[Exception](IncrementalMart.refresh(spark, mart))
+    Files.delete(debris)
+    // MORE base commits land before the recovery runs
+    spark.sql(s"DELETE FROM $t WHERE k = 50")
+    spark.sql(s"UPDATE $t SET u = 9 WHERE k = 1")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    assert(sameRows(Snapshots.readLatest(spark, mart), rebuildD(base)))
+    assert(IncrementalMart.refresh(spark, mart) == -1L)
+  }
+
+  test("float sum measures are refused loudly; DECIMAL casts are the remedy") {
+    import IncrementalMart.{MartDef, Measure}
+    val t = s"$cat.m.d5"
+    val base = s"$wh/m/d5"
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES('graft.changelog.keys'='k') AS " +
+      "SELECT /*+ COALESCE(1) */ id AS k, id % 2 AS g, CAST(id AS DOUBLE) AS x FROM range(0, 4)")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalMart.initialize(spark, base, s"$wh/m/d5_mart",
+        MartDef(Seq("g"), Seq(Measure("x", "x"))), bandFiles = 2)
+    }
+    assert(e.getMessage.contains("DECIMAL"), e.getMessage)
+    // the cast IS accepted and maintains exactly
+    val mart = s"$wh/m/d5_mart_ok"
+    IncrementalMart.initialize(spark, base, mart,
+      MartDef(Seq("g"), Seq(Measure("x", "CAST(x AS DECIMAL(10,2))"))), bandFiles = 2)
+    spark.sql(s"INSERT INTO $t SELECT 10, 0, 2.5")
+    assert(IncrementalMart.refresh(spark, mart) > 0)
+    val got = Snapshots.readLatest(spark, mart).selectExpr("g", "CAST(sum_x AS STRING)")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "4.50", 1L -> "4.00"), got)
+  }
+
   test("refusals: non-changelog base; refresh without initialize") {
     spark.sql(s"CREATE TABLE $cat.m.b5 AS SELECT id AS k, id % 3 AS g, id AS m FROM range(0, 3)")
     val e1 = intercept[Exception] {
