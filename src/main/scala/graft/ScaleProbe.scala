@@ -99,7 +99,12 @@ object ScaleProbe {
     // r17: incremental view maintenance — refreshes are O(delta)
     // changelog reads + O(one band) mart rewrites; only the base
     // staging and the initialize full-aggregate scale with the corpus
-    "meta_catalog_ivm_refresh")
+    "meta_catalog_ivm_refresh",
+    // r18: the reference's own gold shapes maintained incrementally —
+    // distinct-measure side state and the decomposed flagship join
+    // mart; refreshes stay O(delta)+O(touched bands), serve layers
+    // run over mart-sized data only
+    "meta_catalog_ivm_gold", "meta_catalog_ivm_flagship")
 
   /** Per-query (warm seconds, staging seconds) at one scale. Staging
     * runs each query once COLD (stage-build + query, full work) — its

@@ -458,6 +458,10 @@ object SparkEntry {
       graft.sources.GraftCatalog.bloomSkipOver(s, graft.sources.Tables.documents(s, dir))),
     "meta_catalog_ivm_refresh" -> ((s, dir) =>
       graft.sources.GraftCatalog.ivmRefreshOver(s, silver(s, dir))),
+    "meta_catalog_ivm_gold" -> ((s, dir) =>
+      graft.sources.GraftCatalog.ivmGoldDailyOver(s, silver(s, dir))),
+    "meta_catalog_ivm_flagship" -> ((s, dir) =>
+      graft.sources.GraftCatalog.ivmFlagshipOver(s, silver(s, dir))),
     "q_catalog_colocated_join" -> ((s, dir) =>
       graft.sources.GraftCatalog.colocatedJoinOver(s, silver(s, dir))),
     "meta_catalog_agg_pushdown" -> ((s, dir) =>
@@ -697,6 +701,8 @@ object SparkEntry {
     "meta_catalog_merge_prune" -> graft.sources.GraftCatalog.mergePruneSql,
     "meta_catalog_bloom_skip" -> graft.sources.GraftCatalog.bloomSkipSql,
     "meta_catalog_ivm_refresh" -> graft.sources.GraftCatalog.ivmRefreshSql,
+    "meta_catalog_ivm_gold" -> graft.sources.GraftCatalog.ivmGoldDailySql,
+    "meta_catalog_ivm_flagship" -> graft.sources.GraftCatalog.ivmFlagshipSql,
     "q_catalog_colocated_join" -> graft.sources.GraftCatalog.colocatedJoinSql,
     "meta_catalog_agg_pushdown" -> graft.sources.GraftCatalog.aggPushdownSql,
     "meta_catalog_stats_plane" -> graft.sources.GraftCatalog.statsPlaneSql,

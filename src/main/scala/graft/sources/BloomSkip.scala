@@ -257,10 +257,58 @@ object BloomSkip {
 
   // ---- the file test ---------------------------------------------------
 
+  /** Is every data page of the chunk dictionary-encoded? Then the
+    * dictionary page is an EXACT membership list for the chunk (no
+    * false positives at all) — which matters doubly because parquet-mr
+    * deliberately OMITS the bloom filter for fully-dict chunks (the
+    * dictionary subsumes it), so low-cardinality columns (dates,
+    * categories, enum-ish dims) would otherwise never skip. The
+    * encoding-stats check with the encoding-list fallback is the
+    * public `DictionaryFilter` contract of parquet-mr itself. */
+  private def allDictEncoded(
+      chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
+    val es = chunk.getEncodingStats
+    if (es != null) es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages
+    else chunk.getDictionaryPageOffset > 0 &&
+      !chunk.getEncodings.asScala.exists(_ == org.apache.parquet.column.Encoding.PLAIN)
+  }
+
+  /** The chunk's dictionary entries as hash-input-shaped values
+    * (Binary / boxed Long / Integer / Double / Float), or None when
+    * the dictionary cannot be read. Entry count is bounded by the
+    * writer's dictionary page size — KBs by construction. */
+  private def dictionaryEntries(reader: ParquetFileReader,
+                                block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+                                colName: String): Option[Set[Any]] =
+    try {
+      val desc = reader.getFooter.getFileMetaData.getSchema.getColumns.asScala
+        .find(d => d.getPath.length == 1 && d.getPath()(0) == colName)
+        .getOrElse(return None)
+      val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+        reader.getDictionaryReader(block)
+      val page = store.readDictionaryPage(desc)
+      if (page == null) return None
+      val dict = page.getEncoding.initDictionary(desc, page)
+      val n = dict.getMaxId + 1
+      import PrimitiveTypeName._
+      desc.getPrimitiveType.getPrimitiveTypeName match {
+        case BINARY | FIXED_LEN_BYTE_ARRAY =>
+          Some((0 until n).map(i => dict.decodeToBinary(i): Any).toSet)
+        case INT64 => Some((0 until n).map(i => java.lang.Long.valueOf(dict.decodeToLong(i)): Any).toSet)
+        case INT32 => Some((0 until n).map(i => java.lang.Integer.valueOf(dict.decodeToInt(i)): Any).toSet)
+        case DOUBLE => Some((0 until n).map(i => java.lang.Double.valueOf(dict.decodeToDouble(i)): Any).toSet)
+        case FLOAT => Some((0 until n).map(i => java.lang.Float.valueOf(dict.decodeToFloat(i)): Any).toSet)
+        case _ => None
+      }
+    } catch { case NonFatal(_) => None }
+
   /** True = the file MAY hold a row satisfying every lookup conjunct;
     * false = some conjunct's every value is PROVABLY absent from every
-    * row group. Missing bloom, missing chunk, unmodeled type, any read
-    * failure → true (keep). One footer open per call. */
+    * row group. Each chunk proves absence through its bloom when one
+    * was written, else through its DICTIONARY when every data page is
+    * dictionary-encoded (exact membership — see [[allDictEncoded]]).
+    * Missing both, missing chunk, unmodeled type, any read failure →
+    * true (keep). One footer open per call. */
   private def fileMayContain(path: String, lookups: Map[String, Seq[Any]]): Boolean = {
     val conf = new org.apache.hadoop.conf.Configuration()
     try {
@@ -273,24 +321,35 @@ object BloomSkip {
         lookups.forall { case (colName, values) =>
           // the conjunct may be satisfied iff SOME value may be present
           // in SOME row group. Block-outer/value-inner so each chunk's
-          // bloom region is read ONCE, not once per lookup value.
+          // bloom (or dictionary) region is read ONCE, not once per
+          // lookup value.
           blocks.exists { b =>
             b.getColumns.asScala.find(c =>
               c.getPath.size() == 1 && c.getPath.toDotString == colName) match {
               case None => true // column absent in this file: unmodeled here — keep
               case Some(chunk) =>
+                val pt = chunk.getPrimitiveType.getPrimitiveTypeName
+                val dt = lookupTypes.get().getOrElse(colName, NullType)
                 val bf = reader.getBloomFilterDataReader(b).readBloomFilter(chunk)
-                if (bf == null) true // no bloom written: maybe
-                else {
-                  val pt = chunk.getPrimitiveType.getPrimitiveTypeName
-                  val dt = lookupTypes.get().getOrElse(colName, NullType)
+                if (bf != null)
                   values.exists(v => variants(v).exists { vv =>
                     hashInput(vv, dt, pt) match {
                       case Some(in) => bf.findHash(hashOf(bf, in))
                       case None => true // unmodeled pairing: maybe
                     }
                   })
-                }
+                else if (allDictEncoded(chunk))
+                  dictionaryEntries(reader, b, colName) match {
+                    case Some(entries) =>
+                      values.exists(v => variants(v).exists { vv =>
+                        hashInput(vv, dt, pt) match {
+                          case Some(in) => entries.contains(in)
+                          case None => true
+                        }
+                      })
+                    case None => true // unreadable dictionary: maybe
+                  }
+                else true // neither bloom nor exact dictionary: maybe
             }
           }
         }

@@ -294,7 +294,18 @@ object IncrementalMart {
     // side state first, mart second, marker last (the marker is the
     // "initialize completed" commit point — a crash in between leaves
     // re-runnable overwrites and no marker)
+    //
+    // the mart's bloom spec PROPAGATES to side tables on the shared
+    // dim columns: a side table is keyed (dims…, value) and its merge
+    // prunes exactly like the mart's, so the same point-fix refresh
+    // that rewrites one mart band should rewrite one side band too
+    val martBloomDims = BloomSkip.specOf(mart).toSeq
+      .flatMap(_.columns).filter(defn.dims.contains)
     defn.distincts.foreach { d =>
+      if (martBloomDims.nonEmpty) {
+        Files.createDirectories(Paths.get(sidePath(mart, d.name)))
+        BloomSkip.enable(sidePath(mart, d.name), martBloomDims)
+      }
       val sd = baseRows
         .select(defn.dims.map(col) :+ expr(d.expr).as(DValCol): _*)
         .filter(col(DValCol).isNotNull)

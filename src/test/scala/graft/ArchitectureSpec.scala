@@ -98,7 +98,14 @@ class ArchitectureSpec extends AnyFunSuite {
     //   state — the bloom-skip oracle replays it from documents), and
     //   (r) ivmRefreshOver two 1-row collects: the deterministic
     //   point-fix fingerprints (one min-CASE row for both) and the
-    //   final mart totals the oracle replays from silver
+    //   final mart totals the oracle replays from silver, and
+    //   (s) ivmGoldDailyOver two 1-row collects: the deterministic
+    //   delete/flip fingerprints (one min/min-struct row) and the
+    //   final mart totals (dates, cents, orders, audiences) the
+    //   oracle replays from silver, and
+    //   (t) ivmFlagshipOver two 1-row collects: the deterministic
+    //   min/max purchase fingerprints and the served join-view
+    //   totals (groups, cents, buyers) the oracle replays from silver
     // Snapshots (3rd site, r17): mergeIntoBranch's bounds-pruning
     //   envelope — ONE 1-row min/max aggregate over the update set's
     //   key columns (2×|keys| scalars), the metadata that lets the
@@ -123,7 +130,7 @@ class ArchitectureSpec extends AnyFunSuite {
       // pre-existing metadata-plane read
       "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 4,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
-      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 53,
+      "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 57,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,
       "EqDeletes.scala" -> 1, "GraftProcedures.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,

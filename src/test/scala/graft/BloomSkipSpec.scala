@@ -251,6 +251,45 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(150L))
   }
 
+  test("fully-dict chunks prove absence through their DICTIONARY (parquet-mr omits blooms there)") {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    import graft.sources.IncrementalMart
+    import IncrementalMart.{MartDef, Measure}
+    // low-cardinality dims land fully dictionary-encoded, and
+    // parquet-mr deliberately writes NO bloom for fully-dict chunks
+    // (the dictionary subsumes it) — the planner must read the
+    // dictionary page as the exact membership list, or enum-ish
+    // columns (dates, categories) would never skip
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.dd")
+    val t = s"$cat.dd.t"
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES('graft.changelog.keys'='k') AS " +
+      "SELECT /*+ COALESCE(1) */ id AS k, DATE '2024-01-01' + CAST(id % 30 AS INT) AS d, " +
+      "CAST(id % 5 AS INT) AS c1, id * 10 AS m FROM range(0, 300)")
+    val mart = s"$wh/dd/t_mart"
+    Files.createDirectories(Paths.get(mart))
+    BloomSkip.enable(mart, Seq("d"))
+    IncrementalMart.initialize(spark, mart.stripSuffix("_mart"), mart,
+      MartDef(Seq("d", "c1"), Seq(Measure("m", "m"))), bandFiles = 3)
+    // the band files carry a dictionary-encoded date chunk and no bloom
+    val files = scala.util.Using.resource(Files.walk(Paths.get(s"$mart/v=1"))) { w =>
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toVector.sorted
+    }
+    assert(files.size == 3)
+    val dAttr = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "d", org.apache.spark.sql.types.DateType)()
+    val days = java.time.LocalDate.of(2024, 1, 14).toEpochDay.toInt
+    val absent = BloomSkip.provablyAbsent(mart, files, Seq(EqualTo(dAttr,
+      Literal(days, org.apache.spark.sql.types.DateType))))
+    assert(absent.size == 2, s"dictionary proof should drop 2 of 3 bands, got $absent")
+    // a point fix through the merge path rewrites exactly the one
+    // band whose dictionary holds the date
+    spark.sql(s"UPDATE $t SET m = m + 5 WHERE k = 13")
+    val r = IncrementalMart.refresh(spark, mart)
+    val mTxt = manifestText(mart, r)
+    assert(FileStats.carriedFromManifest(mTxt).size == 2, mTxt)
+  }
+
   test("compact() retrofits blooms onto a pre-enablement live set") {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.rf")
     spark.range(0, 30)
