@@ -57,14 +57,17 @@ object Snapshots {
   //    case (compaction racing a streaming append) degrades loudly,
   //    never silently.
   //
-  // An in-JVM ledger additionally orders manifest publication by
-  // version number (reservation order), so concurrent same-process
-  // appends — the local[32] reality — record exact `row_count`
-  // arithmetic. Cross-process writers are still correct (mint + commit
-  // are filesystem-atomic, conflicts stay loud); only the append-chain
-  // row_count metadata can drift in a cross-process append race, and
-  // any full-state write re-derives it exactly (documented in
-  // MIGRATION.md).
+  // An in-JVM ledger orders same-process manifest publication by
+  // version number (reservation order), and appends additionally
+  // honor CROSS-PROCESS writers through the filesystem (a minted
+  // directory below with no manifest is another process mid-commit —
+  // bounded wait for its publish/abort), so concurrent appends from
+  // ANY mix of processes record exact cumulative `row_count`
+  // arithmetic. The arithmetic itself is chain-derived (anchor
+  // full-state count + published per-append added_rows), so even a
+  // writer that stalls past the wait window and publishes out of
+  // order cannot make a LATER commit's stored count wrong — each
+  // term is the publishing commit's own local truth.
 
   /** Reserved-but-unpublished versions per table (absolute path key) —
     * the in-JVM publication ledger. */
@@ -126,14 +129,26 @@ object Snapshots {
     }
   }
 
-  /** Wait (bounded) until every in-JVM reservation below `v` has
-    * published or aborted, so same-process manifests land in version
-    * order and append row_count arithmetic reads a settled chain.
-    * Reservations whose directory vanished (aborted writers) are
-    * skipped; the timeout keeps a stuck writer from wedging the table
-    * (cross-process writers are invisible here anyway — see the
-    * commit-plane contract above). */
-  private def awaitPublicationTurn(table: String, v: Long): Unit = {
+  /** Wait (bounded) until every reservation below `v` has published
+    * or aborted, so manifests land in version order and append
+    * row_count arithmetic reads a settled chain. In-JVM reservations
+    * are tracked by the ledger (entries whose directory vanished —
+    * aborted writers — are dropped); with `waitForeign`,
+    * CROSS-PROCESS writers are honored too: a version directory below
+    * `v` with no main manifest and no branch ownership is another
+    * process between its mint and its commit point, and the wait
+    * polls for its manifest (publish), branch manifest (branch
+    * commit) or directory removal (abort). Only APPENDS pass
+    * `waitForeign` — their cumulative row_count is order-sensitive
+    * arithmetic; non-commuting commits skip it because their
+    * serializability gate refuses on the same directories anyway, and
+    * full-state commits re-derive their count from their own files.
+    * The timeout keeps a stuck or crashed writer from wedging the
+    * table (debris then falls to remove_orphan_files, and
+    * [[chainRowCount]] keeps the arithmetic exact against whatever IS
+    * published). */
+  private def awaitPublicationTurn(table: String, v: Long,
+                                   waitForeign: Boolean = false): Unit = {
     val ledger = inflightOf(table)
     val deadline = System.currentTimeMillis() + 60000
     def blockers(): Boolean = {
@@ -146,10 +161,83 @@ object Snapshots {
       }
       any
     }
+    // cross-process candidates, computed ONCE at entry (no number
+    // below v can be minted after ours): version directories below v
+    // with no main manifest and no branch ownership. The expensive
+    // refinement — dropping directories the published state still
+    // REFERENCES (consumed branch directories after a zero-copy
+    // publish, pinned predecessors kept past retention) — runs only
+    // when the cheap listing found candidates at all, so the everyday
+    // no-foreign-writer append pays one directory listing.
+    val foreign: Seq[Long] = {
+      if (!waitForeign) Nil
+      else {
+        val root = Paths.get(table)
+        val verSeg = "^v=(\\d+)$".r
+        val published = versions(table).toSet
+        val branchOwned = allBranchVersions(table).toSet
+        val cands =
+          if (!Files.isDirectory(root)) Nil
+          else scala.util.Using.resource(Files.list(root)) { ls =>
+            ls.iterator().asScala.flatMap(p => p.getFileName.toString match {
+              case verSeg(num) =>
+                val k = num.toLong
+                if (k < v && !published.contains(k) && !branchOwned.contains(k) &&
+                  Files.isDirectory(p)) Some(k)
+                else None
+              case _ => None
+            }).toVector
+          }
+        if (cands.isEmpty) Nil
+        else {
+          val seg = "(?:^|/)v=(\\d+)(?:/|$)".r
+          val referenced = (versions(table).flatMap(x =>
+            readSet(table, x) ++ liveDeletes(table, x).map(_.dir) ++
+              liveEqDeletes(table, x).map(_.dir)) ++
+            branchesOf(table).keys.toSeq.flatMap(b => branchReadSet(table, b)))
+            .flatMap(p => seg.findAllMatchIn(p).map(_.group(1).toLong)).toSet
+          cands.filterNot(referenced.contains)
+        }
+      }
+    }
+    def foreignBlockers(): Boolean = foreign.exists { k =>
+      // a candidate resolves by publishing its manifest, publishing a
+      // BRANCH manifest (it was a branch writer mid-commit), or
+      // vanishing (abort / orphan reclamation)
+      !Files.isRegularFile(metaDir(table).resolve(s"$k.json")) &&
+        Files.isDirectory(Paths.get(table, s"v=$k")) &&
+        !allBranchVersions(table).contains(k)
+    }
     turnMonitor.synchronized {
-      while (blockers() && System.currentTimeMillis() < deadline)
+      while ((blockers() || foreignBlockers()) &&
+        System.currentTimeMillis() < deadline)
         turnMonitor.wait(200)
     }
+  }
+
+  /** EXACT cumulative row count of the published main chain: the
+    * anchoring full-state manifest's count (self-derived at commit
+    * from its own + carried files, order-independent) plus the
+    * `added_rows` of every published append above it. Unlike reading
+    * the NEWEST manifest's stored row_count, this derivation cannot
+    * go stale when manifests published out of version order (a
+    * cross-process racer that stalls past the publication-turn window
+    * and lands late): each term is the publishing commit's own local
+    * truth. Falls back to the newest stored count for pre-added_rows
+    * history. */
+  private def chainRowCount(table: String): Long = {
+    val pubs = versions(table)
+    if (pubs.isEmpty) return 0L
+    val last = pubs.last
+    val anchor = lastFullVersion(table, last)
+    var total = rowCountOf(table, anchor)
+    pubs.filter(_ > anchor).foreach { x =>
+      "\"added_rows\":(\\d+)".r.findFirstMatchIn(manifestText(table, x)) match {
+        case Some(m) => total += m.group(1).toLong
+        case None => return rowCountOf(table, last) // legacy append manifest
+      }
+    }
+    total
   }
 
   /** Publish a manifest with CREATE_NEW semantics — the atomic commit
@@ -842,12 +930,16 @@ object Snapshots {
       val stats = FileStats.collectFor(df.sparkSession, Paths.get(s"$table/v=$v"))
       val delta = stats.map(_.map(_.rows).sum).getOrElse(
         df.sparkSession.read.parquet(s"$table/v=$v").count())
-      // in-JVM publication order = version order, so the prior total is
-      // read AFTER earlier reservations settle: two racing appends both
-      // land and both record exact row_count arithmetic (appends
-      // commute — no serializability gate here, by design)
-      awaitPublicationTurn(table, v)
-      val priorTotal = rowCountOf(table, versions(table).last)
+      // publication order = version order ACROSS PROCESSES (the
+      // foreign wait honors another process's minted-but-unpublished
+      // directories), so the prior total is read after earlier
+      // reservations settle: racing appends all land and all record
+      // exact row_count arithmetic (appends commute — no
+      // serializability gate here, by design). The chain derivation
+      // keeps the total exact even if a racer stalled past the wait
+      // window and published late.
+      awaitPublicationTurn(table, v, waitForeign = true)
+      val priorTotal = chainRowCount(table)
       val cols = df.schema.fieldNames.filterNot(partitionColumns.contains)
         .map(c => "\"" + c + "\"").mkString("[", ",", "]")
       val ts = commitTsMs.getOrElse(System.currentTimeMillis())

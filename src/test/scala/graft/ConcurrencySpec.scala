@@ -170,6 +170,52 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(Snapshots.readLatest(spark, path).count() == 10L)
   }
 
+  test("cross-process append race: both manifests record exact cumulative row_count") {
+    import spark.implicits._
+    val path = s"$wh/conc_xproc"
+    Snapshots.writeSnapshot((0L until 4L).toDF("k").coalesce(1), path) // v1, 4 rows
+    // writer A lives in "another process": it minted its version, but
+    // its reservation is NOT in this JVM's ledger (the exact state a
+    // second pipeline worker is in between mint and commit)
+    val vA = Snapshots.reserveVersion(path)
+    Snapshots.resolveVersion(path, vA) // clear the in-JVM entry only
+    // writer B (this process) races: it must NOT publish past A's
+    // minted-but-unpublished directory — the foreign wait holds B at
+    // its publication turn until A's manifest lands
+    val vB = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tB = new Thread(() => {
+      try vB.set(Snapshots.appendSnapshot((10L until 16L).toDF("k").coalesce(1), path))
+      catch { case t: Throwable => errs.add(t); () }
+    })
+    tB.start()
+    // wait until B has written its data and is parked at the turn
+    // (B's version directory exists with data, manifest absent)
+    val deadline = System.currentTimeMillis() + 60000
+    def bParked: Boolean = {
+      val dirs = scala.util.Using.resource(Files.list(Paths.get(path))) { ls =>
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString).toVector
+      }
+      dirs.exists(d => d.startsWith("v=") && d.stripPrefix("v=").toLong > vA) &&
+        !Files.exists(Paths.get(path, "_meta", s"${vA + 1}.json"))
+    }
+    while (!bParked && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    Thread.sleep(500) // let B actually reach the wait
+    // A publishes (5 rows) — then B's turn arrives
+    val vAOut = Snapshots.appendSnapshot((20L until 25L).toDF("k").coalesce(1),
+      path, reservedV = Some(vA))
+    tB.join(120000)
+    assert(errs.isEmpty, errs.toArray.mkString("; "))
+    assert(vAOut == vA && vB.get() == vA + 1, s"A=$vAOut B=${vB.get()}")
+    // BOTH manifests carry the exact cumulative count: A = 4+5, B =
+    // 4+5+6 — the cross-process staleness the pre-r18 contract
+    // documented is gone
+    assert(rowCountOfManifest(path, vA) == 9L)
+    assert(rowCountOfManifest(path, vB.get()) == 15L)
+    assert(Snapshots.readLatest(spark, path).count() == 15L)
+  }
+
   test("an abandoned reservation is orphan debris: the age-guarded walk reclaims it and the chain continues") {
     import spark.implicits._
     val path = s"$wh/conc_orph"
