@@ -54,13 +54,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `0.0 = -0.0` is true, raw-bits hashing is not); NaN lookups keep
   * the file.
   *
-  * Scale: the test runs driver-side over the candidates LEFT AFTER
-  * layout + bounds pruning, capped at
-  * `spark.graft.bloom.maxPlanningChecks` (default 512; beyond the cap
-  * remaining files are kept unchecked — pruning stays an optimization,
-  * never a correctness gate). At 100 TB the win is the DML shape: a
-  * GDPR point-delete on a bloom'd key column carries every untouched
-  * file by reference and rewrites only true hosts.
+  * Scale: the test runs over the candidates LEFT AFTER layout +
+  * bounds pruning — serially on the driver up to
+  * `spark.graft.bloom.maxPlanningChecks` (default 512), and as ONE
+  * small distributed probe job past it (a boolean per file back to
+  * the driver), so a 100k-file corpus keeps full pruning coverage.
+  * At 100 TB the win is the DML shape: a GDPR point-delete on a
+  * bloom'd key column carries every untouched file by reference and
+  * rewrites only true hosts.
   */
 object BloomSkip {
 
@@ -308,8 +309,10 @@ object BloomSkip {
     * was written, else through its DICTIONARY when every data page is
     * dictionary-encoded (exact membership — see [[allDictEncoded]]).
     * Missing both, missing chunk, unmodeled type, any read failure →
-    * true (keep). One footer open per call. */
-  private def fileMayContain(path: String, lookups: Map[String, Seq[Any]]): Boolean = {
+    * true (keep). One footer open per call. Pure function of its
+    * arguments — safe to ship into the distributed planning job. */
+  private def fileMayContain(path: String, lookups: Map[String, Seq[Any]],
+                             types: Map[String, DataType]): Boolean = {
     val conf = new org.apache.hadoop.conf.Configuration()
     try {
       val reader = ParquetFileReader.open(conf,
@@ -329,7 +332,7 @@ object BloomSkip {
               case None => true // column absent in this file: unmodeled here — keep
               case Some(chunk) =>
                 val pt = chunk.getPrimitiveType.getPrimitiveTypeName
-                val dt = lookupTypes.get().getOrElse(colName, NullType)
+                val dt = types.getOrElse(colName, NullType)
                 val bf = reader.getBloomFilterDataReader(b).readBloomFilter(chunk)
                 if (bf != null)
                   values.exists(v => variants(v).exists { vv =>
@@ -357,38 +360,55 @@ object BloomSkip {
     } catch { case NonFatal(_) => true }
   }
 
-  // the catalyst type per lookup column for the CURRENT prune call —
-  // threaded thread-locally so fileMayContain stays a pure path test
-  private val lookupTypes = new ThreadLocal[Map[String, DataType]] {
-    override def initialValue(): Map[String, DataType] = Map.empty
-  }
-
   /** The planning entry point: of `candidates` (file paths that
-    * already survived bounds pruning), return the subset a bloom
-    * PROVES cannot satisfy `filters` — the caller drops them from its
-    * read or rewrite set. Empty (and O(1)) when the table was never
-    * opted in, the filters carry no point lookup on an opted-in
-    * column, or the candidate list exceeds the planning cap. */
+    * already survived bounds pruning), return the subset a bloom (or
+    * exact dictionary) PROVES cannot satisfy `filters` — the caller
+    * drops them from its read or rewrite set. Empty (and O(1)) when
+    * the table was never opted in or the filters carry no point
+    * lookup on an opted-in column.
+    *
+    * Candidate lists up to `spark.graft.bloom.maxPlanningChecks`
+    * (default 512) probe serially on the driver — a KB footer-region
+    * read per file. PAST the cap the probes run as ONE small Spark
+    * job over the candidate list (a boolean per file back to the
+    * driver — the [[FileStats.collectFor]] shape), so a 100k-file
+    * corpus gets full bloom pruning exactly where it matters most
+    * instead of a silently-kept tail; the cap is a
+    * parallelize-beyond threshold, not a coverage limit. Without an
+    * active session the tail is kept unchecked (sound — pruning is an
+    * optimization, never a correctness gate). The planning counters
+    * are driver-exact in local mode; under a remote cluster the
+    * distributed leg's increments stay on executors (observability
+    * only, never semantics). */
   def provablyAbsent(table: String, candidates: Seq[String],
                      filters: Seq[Expression]): Set[String] = {
     if (candidates.isEmpty || filters.isEmpty) return Set.empty
     val spec = specOf(table).getOrElse(return Set.empty)
     val lookups = pointLookups(filters, spec.columns.toSet)
     if (lookups.isEmpty) return Set.empty
-    // past the cap, the REMAINING files are kept unchecked (graceful
-    // degradation — crossing the cap by one file must not flip a
-    // 1-file rewrite back into a full-table one)
-    val checked = candidates.take(maxPlanningChecks)
     val types: Map[String, DataType] = {
       def attrs(e: Expression): Seq[AttributeReference] =
         e.collect { case a: AttributeReference => a }
       filters.flatMap(attrs).map(a => a.name -> a.dataType).toMap
     }
-    lookupTypes.set(types)
-    try {
-      val absent = checked.filterNot(p => fileMayContain(p, lookups)).toSet
-      filesSkipped.addAndGet(absent.size.toLong)
-      absent
-    } finally lookupTypes.remove()
+    val cap = maxPlanningChecks
+    val absent: Set[String] =
+      if (candidates.size <= cap)
+        candidates.filterNot(p => fileMayContain(p, lookups, types)).toSet
+      else SparkSession.getActiveSession match {
+        case Some(s) =>
+          // one probe task per ~64 files: each opens its footers and
+          // returns only the proven-absent paths
+          val slices = math.max(1, math.min(candidates.size / 64 + 1,
+            s.sparkContext.defaultParallelism * 2))
+          s.sparkContext.parallelize(candidates, slices)
+            .filter(p => !fileMayContain(p, lookups, types))
+            .collect().toSet
+        case None =>
+          // no session to distribute with: keep the tail unchecked
+          candidates.take(cap).filterNot(p => fileMayContain(p, lookups, types)).toSet
+      }
+    filesSkipped.addAndGet(absent.size.toLong)
+    absent
   }
 }

@@ -330,12 +330,77 @@ object Changelog {
       // changelog — zero capture cost by design
       if (own.isEmpty) Nil else Seq((own, Some("INSERT")))
     else if (op == "compact") Nil // state-identical by contract
-    else throw new IllegalStateException(
-      s"changelog of $table: version $v is a '$op' commit with no captured " +
-        "change files — it predates changelog enablement. Enable the changelog " +
-        "(Snapshots.enableChangelog / TBLPROPERTIES 'graft.changelog.keys') " +
-        "BEFORE DML commits, or start the stream from the current state after " +
-        "a compact()")
+    else keysOf(table) match {
+      // the BACKFILL slow path: a DML commit from BEFORE the changelog
+      // was enabled has no capture files, but the identifier keys are
+      // declared NOW — its row-level effect is recomputable as the
+      // keyed diff of the two adjacent surviving states (the
+      // diff-on-read trade: two state reads for this one version,
+      // paid once and cached as a sidecar). Post-enablement ranges
+      // never come here — their captures serve byte-identically.
+      case Some(keys) => backfillDiffPlan(table, v, keys)
+      case None => throw new IllegalStateException(
+        s"changelog of $table: version $v is a '$op' commit with no captured " +
+          "change files — it predates changelog enablement and no identifier " +
+          "keys are declared. Enable the changelog (Snapshots.enableChangelog " +
+          "/ TBLPROPERTIES 'graft.changelog.keys'); with keys declared, " +
+          "historical DML ranges are served via diff-on-read backfill")
+    }
+  }
+
+  private def diffDir(table: String, v: Long) =
+    Paths.get(table, s"v=$v", "_changes_diff")
+
+  /** Serve pre-enablement DML version `v` as a keyed diff of the two
+    * adjacent SURVIVING states, materialized once into a
+    * `v=N/_changes_diff/` sidecar (atomic directory rename; a racing
+    * planner loses the rename and reuses the winner's files). If
+    * retention expired versions between `v` and its surviving
+    * predecessor, their collapsed effect is attributed to `v` — the
+    * range's overall semantics stay exact (no loss, no double count).
+    * Cost: two full-state reads for THIS version only — the
+    * diff-on-read trade a backfill pays once; the files then serve
+    * like capture files (change type in-file), so batch and streaming
+    * consumers are byte-identical to the fast path downstream. */
+  private def backfillDiffPlan(table: String, v: Long, keys: Seq[String])
+      : Seq[(Seq[String], Option[String])] = {
+    val dir = diffDir(table, v)
+    if (!Files.isDirectory(dir)) {
+      val spark = SparkSession.active
+      val prev = Snapshots.versions(table).filter(_ < v).lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"changelog backfill of $table v$v: no surviving predecessor"))
+      val outSchema = Snapshots.declaredCleanOf(table).getOrElse(
+        Snapshots.readAsOf(spark, table, v).schema)
+      keys.foreach(k => require(outSchema.fieldNames.contains(k),
+        s"changelog key $k is not a column of $table"))
+      val cols = outSchema.fieldNames.toSeq
+      val pre = Snapshots.readAsOf(spark, table, prev).select(cols.map(col): _*)
+      val post = Snapshots.readAsOf(spark, table, v).select(cols.map(col): _*)
+      val tmp = Paths.get(table, s"v=$v",
+        s"_changes_diff.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      diffByKey(pre, post, keys,
+        org.apache.spark.sql.types.StructType(outSchema.fields))
+        .write.mode("errorifexists").option("compression", "snappy")
+        .parquet(tmp.toString)
+      try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          // a racing planner won — its files are equivalent; drop ours
+          scala.util.Using.resource(Files.walk(tmp)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { Files.deleteIfExists(p); () })
+          }
+      }
+    }
+    val files = scala.util.Using.resource(Files.walk(dir)) { w =>
+      w.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toVector.sorted
+    }
+    if (files.isEmpty) Nil else Seq((files, None))
   }
 }
 

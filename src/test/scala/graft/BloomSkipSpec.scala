@@ -251,6 +251,37 @@ class BloomSkipSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(150L))
   }
 
+  test("past the planning cap the probes distribute: pruning coverage is complete, not truncated") {
+    val tp = hashBanded("cap")
+    val key = keyOf(5) // lives in exactly one of the 3 bands
+    val files = (1 to 3).flatMap { v =>
+      scala.util.Using.resource(Files.walk(Paths.get(s"$tp/v=$v"))) { w =>
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toVector
+      }
+    }
+    assert(files.size == 3)
+    val flt = Seq(EqualTo(sk, S(key)): Expression)
+    val prior = spark.conf.getOption("spark.graft.bloom.maxPlanningChecks")
+    spark.conf.set("spark.graft.bloom.maxPlanningChecks", "2")
+    try {
+      val skip0 = BloomSkip.filesSkipped.get()
+      // 3 candidates > cap 2 → the probes run as one small Spark job
+      // over the whole candidate list: BOTH keyless bands prove
+      // absent — the cap is a parallelize-beyond threshold, never a
+      // silently-kept tail
+      val absent = BloomSkip.provablyAbsent(tp, files, flt)
+      assert(absent.size == 2, s"expected 2 proven-absent past the cap, got $absent")
+      assert(BloomSkip.filesSkipped.get() - skip0 == 2)
+      // and the end-to-end point SELECT stays exact under the low cap
+      assert(spark.sql(s"SELECT v FROM $cat.cap.t WHERE sk = '$key'")
+        .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.graft.bloom.maxPlanningChecks", v)
+      case None => spark.conf.unset("spark.graft.bloom.maxPlanningChecks")
+    }
+  }
+
   test("fully-dict chunks prove absence through their DICTIONARY (parquet-mr omits blooms there)") {
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
     import graft.sources.IncrementalMart

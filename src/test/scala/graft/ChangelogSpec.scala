@@ -94,16 +94,59 @@ class ChangelogSpec extends AnyFunSuite {
     assert(replayed.nonEmpty)
   }
 
-  test("a DML commit that predates enablement refuses the changelog read loudly") {
+  test("pre-enablement DML history backfills via diff-on-read once keys are declared; refusal only without keys") {
     val t = s"$cat.m.cdc_late"
     val path = s"$wh/m/cdc_late"
-    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id AS v FROM range(0, 4)")
+    spark.sql(s"CREATE TABLE $t AS SELECT /*+ COALESCE(1) */ id AS k, id AS v FROM range(0, 4)") // v1
     spark.sql(s"UPDATE $t SET v = v + 1 WHERE k = 1") // v2, NOT captured
-    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.changelog.keys'='k')")
+    spark.sql(s"DELETE FROM $t WHERE k = 2")          // v3, NOT captured
+    // with NO identifier keys the historical DML range refuses loudly,
+    // naming the remedy (the diff has no pairing identity without keys)
     val e = intercept[Exception](spark.sql(s"SELECT * FROM $t.changes").collect())
-    assert(e.getMessage.contains("predates changelog enablement") ||
-      Option(e.getCause).exists(_.getMessage.contains("predates changelog enablement")),
-      e.getMessage)
+    def msgs(x: Throwable): Seq[String] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null).take(5)
+        .map(m => Option(m.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("no identifier keys")), msgs(e))
+    // declare keys — enable-then-stream now works on day one: the
+    // historical DML versions serve as keyed diffs of adjacent states
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES('graft.changelog.keys'='k')")
+    spark.sql(s"UPDATE $t SET v = v + 1 WHERE k = 3") // v4, CAPTURED at write
+    val got = changesOf(t)
+    assert(got(("INSERT", 1L)) == Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(got(("UPDATE_pre", 2L)) == Seq((1L, 1L)) &&
+      got(("UPDATE_post", 2L)) == Seq((1L, 2L)))
+    assert(got(("DELETE", 3L)) == Seq((2L, 2L)))
+    assert(got(("UPDATE_pre", 4L)) == Seq((3L, 3L)) &&
+      got(("UPDATE_post", 4L)) == Seq((3L, 4L)))
+    // the slow path is OBSERVABLE and scoped: backfilled versions carry
+    // a _changes_diff sidecar (computed once, reused), while the
+    // post-enablement version rides its write-time capture — the fast
+    // path stays byte-identical
+    assert(Files.isDirectory(Paths.get(path, "v=2", "_changes_diff")) &&
+      !Files.isDirectory(Paths.get(path, "v=2", "_changes")))
+    assert(Files.isDirectory(Paths.get(path, "v=3", "_changes_diff")))
+    assert(Files.isDirectory(Paths.get(path, "v=4", "_changes")) &&
+      !Files.isDirectory(Paths.get(path, "v=4", "_changes_diff")))
+    // STREAMING drains the same history (offsets cross the backfilled
+    // versions like any other)
+    val ckpt = Files.createTempDirectory("graft_cdc_bf_ck_").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long)]()
+    val q = spark.readStream.table(s"$t.changes").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => seen.add((
+          r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"),
+          r.getAs[Long]("k"), r.getAs[Long]("v"))))
+        ()
+      }
+      .option("checkpointLocation", s"$ckpt/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    import scala.jdk.CollectionConverters._
+    val streamed = seen.asScala.toSet
+    assert(streamed.contains(("UPDATE_post", 2L, 1L, 2L)) &&
+      streamed.contains(("DELETE", 3L, 2L, 2L)) &&
+      streamed.contains(("UPDATE_post", 4L, 3L, 4L)), streamed)
     // enablement guards: unknown key column refuses
     assert(intercept[IllegalArgumentException](
       Changelog.enableChangelog(path, Seq("nope")))
