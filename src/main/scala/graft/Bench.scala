@@ -176,6 +176,12 @@ object Bench {
       graft.sources.Tables.lineitem(spark, sfDir).count() }
     warm("silver_events") {
       materialize(SparkEntry.queries("silver_events")(spark, sfDir)) }
+    // r18: the daily-sales mart is the shared BASE TABLE of the ~28
+    // catalog/lifecycle/stream queries — staged once (30 rows at any
+    // SF) like silver, so lifecycle rows time commit-plane work, not
+    // 2–4 rebuilds each of the same mart (see SparkEntry.goldDaily)
+    warm("gold_daily_staged") {
+      materialize(SparkEntry.stageGoldDaily(spark, sfDir)) }
     // the staged duplicate-pair and cluster frames are shared across
     // the dedup/curation queries the same way silver is shared by
     // the marts — warm them so the alphabetically-first consumer
@@ -512,6 +518,18 @@ object Bench {
         }
       }
       warmSf1("silver_events")
+      // the sf1 curve carries two catalog rows (cow_dml, agg_pushdown)
+      // — stage their shared base mart like the base run's warmup
+      locally {
+        val t0 = System.nanoTime()
+        try {
+          materialize(SparkEntry.stageGoldDaily(spark, dest))
+          warmupSf1("gold_daily_staged") = (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(e) =>
+          warmupSf1("gold_daily_staged") = -((System.nanoTime() - t0) / 1e9)
+          System.err.println(s"[bench] sf1 warmup stage gold_daily_staged FAILED: ${e.getMessage}")
+        }
+      }
       warmSf1("dedup_ngram_jaccard")
       warmSf1("dedup_clusters")
       warmSf1("sim_embed_neardup")

@@ -110,6 +110,22 @@ object SparkEntry {
     * q_sql_* comment in [[queries]]). */
   private def silverSqlFrame(s: SparkSession, dir: String): DataFrame =
     staged(s, dir, "silver_sqlview")(silver(s, dir))
+  /** The materialized daily-sales mart (30 rows at any SF — |dates|-
+    * sized): the shared BASE TABLE of the ~28 catalog/lifecycle/stream
+    * queries, which write it, mutate it and replay it but never change
+    * how it is built. r18 (optimization guide §1/§5): previously every
+    * lifecycle query re-ran the silver→mart aggregation 2–4× per run
+    * (CTAS select + INSERT select + delivery filters each re-executed
+    * the groupBy plan — 3-stage, 32-task jobs for a 30-row frame);
+    * production materializes gold_daily_sales ONCE and the pipelines
+    * consume the table. Same amortization contract as silver/pairs:
+    * staged, Bench-warmed, evicted with the session. */
+  private def goldDaily(s: SparkSession, dir: String): DataFrame =
+    staged(s, dir, "gold_daily")(DailySales.build(silver(s, dir)))
+  /** Bench warmup hook for the staged daily mart (creation is the
+    * materialization — [[staged]] localCheckpoints eagerly). */
+  private[graft] def stageGoldDaily(s: SparkSession, dir: String): DataFrame =
+    goldDaily(s, dir)
   private def annTopK(s: SparkSession, dir: String, method: String): DataFrame =
     staged(s, dir, s"ann_$method")(method match {
       case "brute" => graft.sim.EmbeddingSim.bruteForceTopKQuery(s, dir)
@@ -201,7 +217,7 @@ object SparkEntry {
     "q_ewma_scan_report" -> (graft.ops.EwmaScan.ewmaScanReport _),
     "gold_daily_sales_approx" -> ((s, dir) => DailySales.approxErrorReport(silver(s, dir))),
     "q_unpivot_daily_metrics" -> ((s, dir) =>
-      DailySales.unpivotMetrics(DailySales.build(silver(s, dir)))),
+      DailySales.unpivotMetrics(goldDaily(s, dir))),
     "q_scd2_user_stages" -> (Scd2.userStageHistory _),
     "q_customer_ltv_deciles" -> (LtvDeciles.build _),
     "gold_hourly_traffic" -> ((s, dir) => HourlyTraffic.build(silver(s, dir))),
@@ -441,19 +457,19 @@ object SparkEntry {
       graft.quality.DataChecks.report(graft.quality.DataChecks.goldSuite(silver(s, dir)))
         .orderBy(org.apache.spark.sql.functions.col("check_name"))),
     "meta_snapshots" -> ((s, dir) =>
-      graft.sources.Snapshots.snapshotsOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.Snapshots.snapshotsOver(s, goldDaily(s, dir))),
     "meta_cdc_diff" -> ((s, dir) =>
-      graft.sources.Snapshots.cdcDiffOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.Snapshots.cdcDiffOver(s, goldDaily(s, dir))),
     "meta_catalog_time_travel" -> ((s, dir) =>
-      graft.sources.GraftCatalog.timeTravelOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.timeTravelOver(s, goldDaily(s, dir))),
     "meta_catalog_merge" -> ((s, dir) =>
-      graft.sources.GraftCatalog.mergeOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.mergeOver(s, goldDaily(s, dir))),
     "meta_catalog_file_skip" -> ((s, dir) =>
-      graft.sources.GraftCatalog.fileSkipOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.fileSkipOver(s, goldDaily(s, dir))),
     "meta_catalog_cow_dml" -> ((s, dir) =>
-      graft.sources.GraftCatalog.cowDmlOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.cowDmlOver(s, goldDaily(s, dir))),
     "meta_catalog_merge_prune" -> ((s, dir) =>
-      graft.sources.GraftCatalog.mergePruneOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.mergePruneOver(s, goldDaily(s, dir))),
     "meta_catalog_bloom_skip" -> ((s, dir) =>
       graft.sources.GraftCatalog.bloomSkipOver(s, graft.sources.Tables.documents(s, dir))),
     "meta_catalog_ivm_refresh" -> ((s, dir) =>
@@ -465,49 +481,49 @@ object SparkEntry {
     "q_catalog_colocated_join" -> ((s, dir) =>
       graft.sources.GraftCatalog.colocatedJoinOver(s, silver(s, dir))),
     "meta_catalog_agg_pushdown" -> ((s, dir) =>
-      graft.sources.GraftCatalog.aggPushdownOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.aggPushdownOver(s, goldDaily(s, dir))),
     "meta_catalog_stats_plane" -> ((s, dir) =>
-      graft.sources.GraftCatalog.statsPlaneOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.statsPlaneOver(s, goldDaily(s, dir))),
     "meta_catalog_mor_dml" -> ((s, dir) =>
-      graft.sources.GraftCatalog.morDmlOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.morDmlOver(s, goldDaily(s, dir))),
     "meta_catalog_mor_upsert" -> ((s, dir) =>
-      graft.sources.GraftCatalog.morUpsertOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.morUpsertOver(s, goldDaily(s, dir))),
     "meta_catalog_rename" -> ((s, dir) =>
-      graft.sources.GraftCatalog.renameOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.renameOver(s, goldDaily(s, dir))),
     "meta_catalog_eq_upsert" -> ((s, dir) =>
-      graft.sources.GraftCatalog.eqUpsertOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.eqUpsertOver(s, goldDaily(s, dir))),
     "meta_catalog_delete_compose" -> ((s, dir) =>
-      graft.sources.GraftCatalog.deleteComposeOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.deleteComposeOver(s, goldDaily(s, dir))),
     "meta_catalog_days_layout" -> ((s, dir) =>
-      graft.sources.GraftCatalog.daysLayoutOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.daysLayoutOver(s, goldDaily(s, dir))),
     "meta_catalog_layout_evolution" -> ((s, dir) =>
-      graft.sources.GraftCatalog.layoutEvolutionOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.layoutEvolutionOver(s, goldDaily(s, dir))),
     "meta_catalog_tags" -> ((s, dir) =>
-      graft.sources.GraftCatalog.tagsOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.tagsOver(s, goldDaily(s, dir))),
     "meta_catalog_procedures" -> ((s, dir) =>
-      graft.sources.GraftCatalog.proceduresOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.proceduresOver(s, goldDaily(s, dir))),
     "meta_catalog_meta_tables" -> ((s, dir) =>
-      graft.sources.GraftCatalog.metaTablesOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.metaTablesOver(s, goldDaily(s, dir))),
     "meta_catalog_branch_wap" -> ((s, dir) =>
-      graft.sources.GraftCatalog.branchWapOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.branchWapOver(s, goldDaily(s, dir))),
     "meta_catalog_branch_fix" -> ((s, dir) =>
-      graft.sources.GraftCatalog.branchFixOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.branchFixOver(s, goldDaily(s, dir))),
     "meta_catalog_branch_wap_compose" -> ((s, dir) =>
-      graft.sources.GraftCatalog.branchWapComposeOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.branchWapComposeOver(s, goldDaily(s, dir))),
     "stream_changelog_cdc" -> ((s, dir) =>
-      graft.sources.GraftCatalog.changelogStreamOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.changelogStreamOver(s, goldDaily(s, dir))),
     "meta_catalog_evolution" -> ((s, dir) =>
-      graft.sources.GraftCatalog.evolutionOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.evolutionOver(s, goldDaily(s, dir))),
     "maintenance_rewrite_files" -> ((s, dir) =>
-      graft.sources.GraftCatalog.rewriteFilesOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.rewriteFilesOver(s, goldDaily(s, dir))),
     "stream_catalog_append" -> ((s, dir) =>
-      graft.sources.GraftCatalog.streamAppendOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.GraftCatalog.streamAppendOver(s, goldDaily(s, dir))),
     "stream_catalog_table" -> ((s, dir) =>
-      graft.sources.SnapshotStream.catalogStreamOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.SnapshotStream.catalogStreamOver(s, goldDaily(s, dir))),
     "meta_column_stats" -> (graft.quality.ColumnStats.lineitemStatsQuery _),
     "meta_skew_report" -> (graft.quality.ColumnStats.skewReportQuery _),
     "maintenance_vacuum" -> ((s, dir) =>
-      graft.sources.Snapshots.vacuumOver(s, DailySales.build(silver(s, dir)))),
+      graft.sources.Snapshots.vacuumOver(s, goldDaily(s, dir))),
     "maintenance_compaction" -> (graft.sink.Compaction.compactionQuery _),
     "maintenance_zorder" -> (graft.sink.ZOrder.zorderQuery _),
     "pipeline_serving_sink" -> ((s, dir) => {

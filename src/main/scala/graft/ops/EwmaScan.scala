@@ -60,11 +60,15 @@ object EwmaScan {
     val wChunk = Window.partitionBy(ent :+ col("__chunk"): _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // r18: native EwmaFold (same doubles, same order — one JIT'd loop)
+    // replaces the interpreted `aggregate` HOF: the fold runs once PER
+    // ROW over that row's whole history window, so HOF interpretation
+    // cost was O(len²) lambda dispatches per chunk (guide §4)
     val folded = chunked
       .withColumn("__hist", collect_list(col(valueCol)).over(wChunk))
       .withColumn("__pos", size(col("__hist")))
-      .withColumn("__c", aggregate(col("__hist"), lit(0.0),
-        (acc, x) => lit(alpha) * x + lit(beta) * acc))
+      .withColumn("__c", org.apache.spark.sql.graftext.VectorCodec
+        .ewmaFold(col("__hist"), lit(0.0), alpha))
       .withColumn("__d", pow(lit(beta), col("__pos")))
       .drop("__hist")
 
@@ -98,11 +102,13 @@ object EwmaScan {
                          alpha: Double): DataFrame = {
     val w = Window.partitionBy(entityCols.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // native EwmaFold — see the stage-1 comment in [[ewma]]; the
+    // sequential baseline's history is UNBOUNDED, so the interpreted
+    // fold here was O(series²) lambda dispatches
     df.withColumn("__hist", collect_list(col(valueCol)).over(w))
-      .withColumn("ewma_seq", aggregate(
-        slice(col("__hist"), lit(2), size(col("__hist"))),
-        element_at(col("__hist"), 1),
-        (acc, x) => lit(alpha) * x + lit(1 - alpha) * acc))
+      .withColumn("ewma_seq", org.apache.spark.sql.graftext.VectorCodec
+        .ewmaFold(slice(col("__hist"), lit(2), size(col("__hist"))),
+          element_at(col("__hist"), 1), alpha))
       .drop("__hist")
   }
 

@@ -220,19 +220,19 @@ object EmbeddingSim {
       |WHERE NOT (SELECT scores_exact AND nonempty AND recall_ok FROM gates)""".stripMargin
 
   /** 4-bit sign chunks over 16 hyperplanes → (band_id, band_val) keys
-    * per vector. */
+    * per vector. r18: ONE native [[graftext.LshBandVals]] expression
+    * computes all 16 sign dots per row (same float→double widening,
+    * array-order fold and `dot > 0` bit test as the per-band
+    * when(dot(emb, planeLit))·2^bit HOF sum — bit-identity pinned in
+    * VectorCodecSpec) and posexplode unrolls the band array; the
+    * previous form evaluated 16 interpreted zip_with+aggregate dots
+    * per row and carried 16 spliced 64-double literals in the plan. */
   private def banded(df: DataFrame, emb: Column, idCols: Seq[Column],
                      bands: Int = 4, bitsPerBand: Int = 4): DataFrame = {
     val planes = hyperplanes(bands * bitsPerBand)
-    val bandCols = (0 until bands).map { bnd =>
-      val bits = (0 until bitsPerBand).map { bit =>
-        val h = planes(bnd * bitsPerBand + bit)
-        when(dot(emb, typedLit(h)) > 0, 1 << bit).otherwise(0)
-      }
-      struct(lit(bnd).as("band_id"), bits.reduce(_ + _).as("band_val"))
-    }
-    df.select(idCols :+ explode(array(bandCols: _*)).as("b"): _*)
-      .select(idCols :+ col("b.band_id") :+ col("b.band_val"): _*)
+    val vals = org.apache.spark.sql.graftext.VectorCodec
+      .lshBandVals(emb, planes, bitsPerBand)
+    df.select(idCols :+ posexplode(vals).as(Seq("band_id", "band_val")): _*)
   }
 
   /** LSH-bucketed ANN top-k: probes only score corpus vectors sharing

@@ -46,24 +46,18 @@ object ProductQuantAnn {
   val SubDim = 4
   val K = 16
 
-  /** Σ in DOUBLE, fold order = array order (deterministic). */
-  private def fsum(v: Column): Column =
-    aggregate(v, lit(0.0), (acc, x) => acc + x)
-
-  /** Squared L2 between a double subvector and a codebook centroid. */
-  private def l2sq(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => (x - y) * (x - y)))
-
   /** Unit-L2 normalization in double. Cosine is invariant to scaling
     * the corpus vector, but subspace codebooks are shared across
     * vectors of different magnitudes — normalizing first removes the
     * magnitude axis from what the codebooks must spend centroids on
-    * (the standard pre-step for PQ under cosine/IP metrics). */
-  private[sim] def normalized(emb: Column): Column = {
-    val d = transform(emb, x => x.cast("double"))
-    val n = sqrt(fsum(transform(d, x => x * x)))
-    when(n === 0.0, d).otherwise(transform(d, x => x / n))
-  }
+    * (the standard pre-step for PQ under cosine/IP metrics).
+    *
+    * r18: the native fused [[graftext.L2NormalizeDouble]] Expression
+    * replaces the interpreted transform→aggregate→divide HOF chain —
+    * same double widening, Σx² fold order and zero-norm branch
+    * (bit-identity pinned in VectorCodecSpec), one JIT'd loop. */
+  private[sim] def normalized(emb: Column): Column =
+    org.apache.spark.sql.graftext.VectorCodec.l2normalize(emb)
 
   /** (vec_id, m, sub) rows: the given double-array vector column
     * exploded into its M contiguous subvectors. */
@@ -73,19 +67,17 @@ object ProductQuantAnn {
         posexplode(array((0 until M).map(m =>
           slice(col("__v"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
 
-  /** argmin code (0-based) of `sub` against ONE subspace codebook
-    * literal; ties → lowest code (array_position = first minimum).
-    * The single source of encode truth — training assignment and scan
-    * reconstruction must agree on borderline codes. */
-  private def argminCodeIn(bookLit: Column, sub: Column): Column = {
-    val scores = transform(bookLit, c => l2sq(sub, c))
-    (array_position(scores, array_min(scores)) - 1).cast("int")
-  }
-
-  /** [[argminCodeIn]] over the nested (M × K × SubDim) literal with a
-    * runtime subspace index `m` (the exploded-training-rows shape). */
-  private def argminCode(booksLit: Column, m: Column, sub: Column): Column =
-    argminCodeIn(element_at(booksLit, m + 1), sub)
+  /** argmin code (0-based) of `sub` against the codebook of runtime
+    * subspace `m`; ties → lowest code (first minimum). r18: native
+    * [[graftext.PqArgminAt]] — the same Σ(x−c)² fold order and
+    * first-minimum tie-break as the previous array_min/array_position
+    * HOF tree (bit-identity pinned in VectorCodecSpec), evaluated as
+    * one compiled loop instead of K interpreted l2sq folds. The
+    * single source of encode truth is now [[graftext.PqBooks]] —
+    * training assignment and scan reconstruction share its loop. */
+  private def argminCode(books: Seq[Seq[Seq[Double]]], m: Column,
+                         sub: Column): Column =
+    org.apache.spark.sql.graftext.VectorCodec.pqArgminAt(m, sub, books)
 
   /** Train per-subspace codebooks over the unit-normalized embedding
     * column (the cosine-metric default). */
@@ -112,9 +104,8 @@ object ProductQuantAnn {
         .orderBy("vec_id").limit(K)), "vec_id")
         .select("m", "vec_id", "sub"))
     for (_ <- 1 to iters) {
-      val booksLit = typedLit(books)
       val assigned = subs.select(col("m"),
-        argminCode(booksLit, col("m"), col("sub")).as("code"), col("sub"))
+        argminCode(books, col("m"), col("sub")).as("code"), col("sub"))
       val means = assigned
         .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "v")))
         .groupBy("m", "code", "pos").agg(avg(col("v")).as("mu"))
@@ -158,13 +149,12 @@ object ProductQuantAnn {
 
   /** Reconstruction of any double-array vector column under trained
     * books: per subspace, the argmin code's centroid, concatenated —
-    * one fused encode+decode projection (doubles out), no shuffle. */
+    * one fused encode+decode projection (doubles out), no shuffle.
+    * r18: native [[graftext.PqReconstruct]] (one compiled loop, one
+    * plan node) replaces the flatten-of-M-argmin-HOF-trees form —
+    * same math, bit-identity pinned in VectorCodecSpec. */
   def reconstructionOf(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
-    flatten(array((0 until M).map { m =>
-      val bookLit = typedLit(books(m))
-      val sub = slice(vec, m * SubDim + 1, SubDim)
-      element_at(bookLit, argminCodeIn(bookLit, sub) + 1)
-    }: _*))
+    org.apache.spark.sql.graftext.VectorCodec.pqReconstruct(vec, books)
 
   def reconstruct(embeddings: DataFrame,
                   books: Seq[Seq[Seq[Double]]]): DataFrame =

@@ -122,6 +122,11 @@ class ArchitectureSpec extends AnyFunSuite {
     // GraftProcedures: reportOf materializes a maintenance verb's
     //   report relation (one row per snapshot / orphan tree) into the
     //   CALL result LocalScan — metadata-sized by construction
+    // BloomSkip (r18): the distributed planning probe past
+    //   maxPlanningChecks collects only the PROVEN-ABSENT file paths
+    //   (a path per pruned file — strictly smaller than the candidate
+    //   list the driver already holds; the FileStats.collectFor shape
+    //   the r17 verdict prescribed for >cap candidate sets)
     val allow = Map("GlobalRank.scala" -> 1,
       "ConnectedComponents.scala" -> 1, "ScalarQuantAnn.scala" -> 1,
       "ProductQuantAnn.scala" -> 1, "EwmaScan.scala" -> 2,
@@ -132,7 +137,8 @@ class ArchitectureSpec extends AnyFunSuite {
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
       "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 57,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,
-      "EqDeletes.scala" -> 1, "GraftProcedures.scala" -> 1)
+      "EqDeletes.scala" -> 1, "GraftProcedures.scala" -> 1,
+      "BloomSkip.scala" -> 1)
     assert(offenders(".collect()", allow).isEmpty,
       offenders(".collect()", allow).mkString("; "))
   }

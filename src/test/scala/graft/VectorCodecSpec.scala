@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.VectorCodec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-identity pins for the r18 native vector-codec expressions
+  * (optimization guide §4): each native Expression must reproduce the
+  * higher-order-function composition it replaced EXACTLY — same
+  * double widening, same fold order, same first-minimum tie-break —
+  * over the real embeddings table, so swapping them cannot move any
+  * oracle-checked result. Each test evaluates BOTH formulations and
+  * asserts equality with === (no tolerance: the claim is bit-identity,
+  * not approximation). */
+class VectorCodecSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val dir = sf
+  private lazy val emb = embs
+
+  private def fsum(v: org.apache.spark.sql.Column) =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  test("L2NormalizeDouble ≡ transform/aggregate HOF normalization") {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    val n = sqrt(fsum(transform(d, x => x * x)))
+    val hof = when(n === 0.0, d).otherwise(transform(d, x => x / n))
+    val rows = emb.select(
+      VectorCodec.l2normalize(col("embedding")).as("nat"), hof.as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) === r.getSeq[Double](1))
+    }
+    // zero-vector branch: returns the widened vector unscaled
+    val z = spark.sql("SELECT array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)) AS v")
+      .select(VectorCodec.l2normalize(col("v"))).collect()(0).getSeq[Double](0)
+    assert(z === Seq(0.0, 0.0))
+  }
+
+  test("PqReconstruct / PqArgminAt ≡ the argmin/element_at HOF trees") {
+    import graft.sim.ProductQuantAnn.{M, SubDim}
+    val books = graft.sim.ProductQuantAnn.trainCodebooks(emb, iters = 1)
+    val vec = VectorCodec.l2normalize(col("embedding"))
+
+    // reference: the original flatten-of-M HOF reconstruction
+    def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      fsum(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+    def argminIn(bookLit: org.apache.spark.sql.Column, sub: org.apache.spark.sql.Column) = {
+      val scores = transform(bookLit, c => l2sq(sub, c))
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    val refRecon = flatten(array((0 until M).map { m =>
+      val bookLit = typedLit(books(m))
+      val sub = slice(vec, m * SubDim + 1, SubDim)
+      element_at(bookLit, argminIn(bookLit, sub) + 1)
+    }: _*))
+
+    val rows = emb.select(
+      VectorCodec.pqReconstruct(vec, books).as("nat"), refRecon.as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Double](0) === r.getSeq[Double](1)))
+
+    // the exploded-training-row argmin agrees with the HOF form too
+    val booksLit = typedLit(books)
+    val subs = emb.select(col("vec_id"), vec.as("__v"))
+      .select(col("vec_id"), posexplode(array((0 until M).map(m =>
+        slice(col("__v"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sub")))
+    val codes = subs.select(
+      VectorCodec.pqArgminAt(col("m"), col("sub"), books).as("nat"),
+      argminIn(element_at(booksLit, col("m") + 1), col("sub")).as("ref")).collect()
+    assert(codes.nonEmpty)
+    codes.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("EwmaFold ≡ interpreted aggregate fold (zero seed and seeded slice)") {
+    val hist = sort_array(collect_list(col("o_totalprice").cast("double")))
+    val histDf = graft.sources.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority")).agg(hist.as("h"))
+    val alpha = 0.3
+    val zeroRef = aggregate(col("h"), lit(0.0),
+      (acc, x) => lit(alpha) * x + lit(1 - alpha) * acc)
+    val seededRef = aggregate(
+      slice(col("h"), lit(2), size(col("h"))), element_at(col("h"), 1),
+      (acc, x) => lit(alpha) * x + lit(1 - alpha) * acc)
+    val rows = histDf.select(
+      VectorCodec.ewmaFold(col("h"), lit(0.0), alpha).as("nz"), zeroRef.as("rz"),
+      VectorCodec.ewmaFold(slice(col("h"), lit(2), size(col("h"))),
+        element_at(col("h"), 1), alpha).as("ns"), seededRef.as("rs")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(2) === r.getDouble(3))
+    }
+  }
+
+  test("LshBandVals ≡ per-band when(dot>0)·2^bit HOF sums") {
+    // same deterministic planes as EmbeddingSim.hyperplanes(16)
+    val rnd = new scala.util.Random(7)
+    val planes = Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    def dotHof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val refVals = array((0 until 4).map { bnd =>
+      (0 until 4).map { bit =>
+        val h = planes(bnd * 4 + bit)
+        when(dotHof(col("embedding"), typedLit(h)) > 0, 1 << bit).otherwise(0)
+      }.reduce(_ + _)
+    }: _*)
+    val rows = emb.select(
+      VectorCodec.lshBandVals(col("embedding"), planes, 4).as("nat"),
+      refVals.as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+  }
+}
