@@ -26,7 +26,14 @@ object PlanDump {
       "ivfpq" -> (() => graft.sim.IvfPqAnn.ivfPqTopK(emb)),
       "neardup" -> (() => graft.sim.EmbeddingSim.nearDupPairs(emb)),
       "lsh" -> (() => graft.sim.EmbeddingSim.lshTopK(emb)),
-      "ewma_audit" -> (() => graft.ops.EwmaScan.auditMaxima(spark, dir)))
+      "ewma_audit" -> (() => graft.ops.EwmaScan.auditMaxima(spark, dir)),
+      // r18 batch 2: the minhash signature/banding and the 2-gram
+      // repetition constructions (their query-surface dumps are
+      // staged-checkpoint scans)
+      "minhash_pairs" -> (() => graft.dedup.NearDup.minhashPairs(
+        graft.sources.Tables.documents(spark, dir))),
+      "repetition" -> (() => graft.text.QualityFilters.repetitionProfileQuery(spark, dir)),
+      "bigram_lm" -> (() => graft.text.QualityFilters.bigramLmScoresQuery(spark, dir)))
     entries.foreach { case (name, f) =>
       val df = f()
       val bos = new java.io.ByteArrayOutputStream()

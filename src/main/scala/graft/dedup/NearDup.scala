@@ -125,13 +125,15 @@ object NearDup {
     * fewer than k tokens. */
   def shingles(documents: DataFrame, k: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokensCol(col("text"))
+    // r18 (guide §4): native ShinglesOf — one compiled window walk per
+    // row instead of an interpreted transform building |doc| concat_ws
+    // trees (short-token and null-text rows still explode to nothing;
+    // bit-identity incl. first-occurrence dedup order pinned in
+    // VectorCodecSpec)
     documents
       .withColumn("__toks", toks)
-      .withColumn("shingle", explode(when(size(col("__toks")) >= k,
-        array_distinct(transform(
-          sequence(lit(1), size(col("__toks")) - (k - 1)),
-          i => concat_ws(" ", (0 until k).map(o => element_at(col("__toks"), i + o)): _*))))
-        .otherwise(typedLit(Seq.empty[String]))))
+      .withColumn("shingle", explode(
+        org.apache.spark.sql.graftext.VectorCodec.shinglesOf(col("__toks"), k)))
       .select(col("doc_id"), col("shingle"))
   }
 
@@ -493,16 +495,23 @@ object NearDup {
     * element and shared by every affine signature (md5 costs ~16× the
     * affine transform and Catalyst does not CSE across the k
     * independent lambda trees; hashing inside each sig column made
-    * the md5 pass the dominant signature cost). */
+    * the md5 pass the dominant signature cost).
+    *
+    * r18 (guide §4): native [[graftext.H60FoldArray]] — the first 15
+    * hex chars of an md5 ARE its top 60 bits, so the fold reads the
+    * digest bytes directly instead of materializing a 32-char hex
+    * string + conv() per shingle; exact integer arithmetic,
+    * bit-identity pinned in VectorCodecSpec. */
   private def h60Folds(set: Column): Column =
-    transform(set, s => pmod(h60(s), lit(MinhashP)))
+    org.apache.spark.sql.graftext.VectorCodec.h60Fold(set)
 
-  /** sig_i column derived NARROWLY from the pre-hashed fold array:
-    * `array_min(transform(hashes, h → (h·a + b) mod p))` — no shuffle
-    * (min over distinct set == min over exploded occurrences). */
-  private def sigFromHashes(hashes: Column, a: Long, b: Long): Column =
-    array_min(transform(hashes, h =>
-      pmod(h * lit(a) + lit(b), lit(MinhashP))))
+  /** All k signature minima from the pre-hashed fold array in ONE
+    * native pass ([[graftext.MinhashSigs]], r18): the previous k
+    * independent `array_min(transform(hashes, affine))` columns each
+    * re-walked the fold array interpreted; same exact integer
+    * arithmetic (bit-identity pinned in VectorCodecSpec). */
+  private def sigsArray(hashes: Column, k: Int): Column =
+    org.apache.spark.sql.graftext.VectorCodec.minhashSigs(hashes, hashParams(k))
 
   /** Per-doc sorted shingle sets — ONE grouped shuffle; signatures and
     * the exact-Jaccard verification both derive from it. */
@@ -518,11 +527,13 @@ object NearDup {
     * string_agg — engine-portable where an xxhash64 of the sigs would
     * not be. */
   private[graft] def bandedSignatures(sets: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
-    val sigCols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
-      sigFromHashes(col("__h60"), a, b).as(s"sig_$i")
-    }
-    val sig = sets.withColumn("__h60", h60Folds(col("sh_set")))
-      .select(col("doc_id") +: sigCols: _*)
+    // __sigs staged as its own column so the k sig projections read
+    // element_at of ONE evaluated array (CollapseProject keeps the
+    // split — re-inlining a non-cheap expression referenced k× would
+    // duplicate it; the ZOrder staged-bucket precedent)
+    val sig = sets.withColumn("__sigs", sigsArray(h60Folds(col("sh_set")), k))
+      .select(col("doc_id") +: (0 until k).map(i =>
+        element_at(col("__sigs"), i + 1).as(s"sig_$i")): _*)
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band_id"),
@@ -542,13 +553,10 @@ object NearDup {
 
   /** Signature columns over a pre-built (doc_id, sh_set) frame — the
     * sets-level entry the permutation-invariance property pins. */
-  private[graft] def signaturesFromSets(sets: DataFrame, k: Int = 16): DataFrame = {
-    val cols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
-      sigFromHashes(col("__h60"), a, b).as(s"sig_$i")
-    }
-    sets.withColumn("__h60", h60Folds(col("sh_set")))
-      .select(col("doc_id") +: cols: _*)
-  }
+  private[graft] def signaturesFromSets(sets: DataFrame, k: Int = 16): DataFrame =
+    sets.withColumn("__sigs", sigsArray(h60Folds(col("sh_set")), k))
+      .select(col("doc_id") +: (0 until k).map(i =>
+        element_at(col("__sigs"), i + 1).as(s"sig_$i")): _*)
 
   /** MinHash-LSH candidate pairs, verified with exact Jaccard — but
     * ONLY on the candidates (this is the whole point of LSH: the

@@ -2938,7 +2938,11 @@ object GraftCatalog {
     s.sql(s"UPDATE $t SET amount = amount + 1000 WHERE event_unique_id = '${keys.getString(1)}'")
     val r3 = IncrementalMart.refresh(s, martPath)
     val (r3Own, r3Carried) = martFiles(r3)
-    val mart = Snapshots.readLatest(s, martPath)
+    // r18: both audit frames are read/aggregated ONCE (localCheckpoint)
+    // and the two exceptAll legs run as one job — the equality audit
+    // previously re-executed the mart read and the full-rebuild
+    // aggregation once per leg plus once more for the totals
+    val mart = Snapshots.readLatest(s, martPath).localCheckpoint()
     val rebuilt = Snapshots.readLatest(s, basePath)
       .groupBy(org.apache.spark.sql.functions.col("event_date"))
       .agg(org.apache.spark.sql.functions.count(
@@ -2948,7 +2952,9 @@ object GraftCatalog {
         // NULL-exact under retraction) joins the rebuild compare
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.col("amount")).as("nn_amount"))
-    val matches = mart.exceptAll(rebuilt).count() + rebuilt.exceptAll(mart).count() == 0
+      .localCheckpoint()
+    val matches = mart.exceptAll(rebuilt)
+      .unionAll(rebuilt.exceptAll(mart)).isEmpty
     val totals = mart.agg(
       org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("dates"),
       org.apache.spark.sql.functions.sum("sum_amount").as("total"),
@@ -3074,7 +3080,10 @@ object GraftCatalog {
     s.sql(s"UPDATE $t SET event_type = 'purchase' WHERE event_unique_id = '$updk'")
     val r3 = IncrementalMart.refresh(s, martPath)
     val (r3Own, r3Carried) = martFiles(r3)
-    val mart = Snapshots.readLatest(s, martPath)
+    // r18: checkpoint both audit frames once; one-job symmetric diff
+    // (the audit previously re-ran the rebuild aggregation per
+    // exceptAll leg and again under serveOf and the totals)
+    val mart = Snapshots.readLatest(s, martPath).localCheckpoint()
     val rebuilt = Snapshots.readLatest(s, basePath).groupBy(col("event_date"))
       .agg(count(lit(1)).as("row_count"),
         Seq(sum(expr(revE)).as("sum_revenue"), count(expr(revE)).as("nn_revenue"),
@@ -3083,7 +3092,9 @@ object GraftCatalog {
           sum(expr(cartE)).as("sum_carts"), count(expr(cartE)).as("nn_carts"),
           countDistinct(expr(custE)).as("cd_customers"),
           countDistinct(expr(vwrE)).as("cd_viewers")): _*)
-    val matches = mart.exceptAll(rebuilt).count() + rebuilt.exceptAll(mart).count() == 0
+      .localCheckpoint()
+    val matches = mart.exceptAll(rebuilt)
+      .unionAll(rebuilt.exceptAll(mart)).isEmpty
     // the reference's published columns derive from the maintained
     // core alone — the serve layer never rescans the base
     def serveOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -3093,8 +3104,8 @@ object GraftCatalog {
         "cd_viewers AS unique_viewers", "sum_views AS total_views",
         "sum_carts AS total_carts",
         "round(sum_orders * 100.0 / nullif(sum_views, 0), 2) AS conversion_rate")
-    val serveMatches = serveOf(mart).exceptAll(serveOf(rebuilt)).count() +
-      serveOf(rebuilt).exceptAll(serveOf(mart)).count() == 0
+    val serveMatches = serveOf(mart).exceptAll(serveOf(rebuilt))
+      .unionAll(serveOf(rebuilt).exceptAll(serveOf(mart))).isEmpty
     val sideCust = Snapshots.versions(s"$martPath/_dstate/customers").size.toLong
     val sideVwr = Snapshots.versions(s"$martPath/_dstate/viewers").size.toLong
     val tot = mart.agg(
@@ -3259,8 +3270,13 @@ object GraftCatalog {
     val b3 = IncrementalMart.refresh(s, brandPath)
     val (c3Own, c3Carried) = files(corePath, c3)
     val (b3Own, b3Carried) = files(brandPath, b3)
-    val coreMart = Snapshots.readLatest(s, corePath)
-    val brandMart = Snapshots.readLatest(s, brandPath)
+    // r18: every compared frame is materialized ONCE (localCheckpoint)
+    // and each equality audit is ONE symmetric-diff job — previously
+    // the two mart reads, both rebuild aggregations and the serve
+    // composition each re-executed per exceptAll leg and again for
+    // the totals (the audit dominated the query at 252 jobs)
+    val coreMart = Snapshots.readLatest(s, corePath).localCheckpoint()
+    val brandMart = Snapshots.readLatest(s, brandPath).localCheckpoint()
     val baseF = Snapshots.readLatest(s, basePath)
       .filter("category_level_1 IS NOT NULL")
     val coreReb = baseF.groupBy(coreDims.map(col): _*)
@@ -3268,14 +3284,16 @@ object GraftCatalog {
         Seq(sum(expr(revE)).as("sum_revenue"), count(expr(revE)).as("nn_revenue"),
           sum(expr(ordE)).as("sum_orders"), count(expr(ordE)).as("nn_orders"),
           countDistinct(expr(custE)).as("cd_customers")): _*)
+      .localCheckpoint()
     val brandReb = baseF
       .filter("event_type = 'purchase' AND brand IS NOT NULL")
       .groupBy((coreDims :+ "brand").map(col): _*)
       .agg(count(lit(1)).as("row_count"),
         sum(col("price")).as("sum_brand_revenue"),
         count(col("price")).as("nn_brand_revenue"))
+      .localCheckpoint()
     def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
-      a.exceptAll(b).count() + b.exceptAll(a).count() == 0
+      a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
     val coreMatches = same(coreMart, coreReb)
     val brandMatches = same(brandMart, brandReb)
     // the serve layer: argmax + 3-key LEFT JOIN over MART-SIZED data
@@ -3296,7 +3314,7 @@ object GraftCatalog {
         col("cd_customers").as("unique_customers"): _*)
         .join(top, coreDims, "left")
     }
-    val serve = serveFrom(coreMart, brandMart)
+    val serve = serveFrom(coreMart, brandMart).localCheckpoint()
     val serveMatches = same(serve, serveFrom(coreReb, brandReb))
     val tot = serve.agg(
       expr("count(1)"),

@@ -19,12 +19,14 @@ object QualityFilters {
     * duplicate grams — the duplicates ARE the signal here. */
   def repetitionStats(documents: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokensCol(col("text"))
+    // r18 (guide §4): native ShinglesOf in non-distinct mode — one
+    // compiled window walk instead of an interpreted transform
+    // building |doc| concat_ws trees per row (VectorCodecSpec pins
+    // value identity; duplicates kept — they ARE the signal)
     val grams = documents
       .withColumn("__toks", toks)
-      .withColumn("shingle", explode(when(size(col("__toks")) >= 2,
-        transform(sequence(lit(1), size(col("__toks")) - 1),
-          i => concat_ws(" ", element_at(col("__toks"), i), element_at(col("__toks"), i + 1))))
-        .otherwise(typedLit(Seq.empty[String]))))
+      .withColumn("shingle", explode(org.apache.spark.sql.graftext.VectorCodec
+        .shinglesOf(col("__toks"), 2, distinct = false)))
       .select(col("doc_id"), col("shingle"))
     val counts = grams.groupBy(col("doc_id"), col("shingle"))
       .agg(count(lit(1)).as("n"))
@@ -321,14 +323,16 @@ object QualityFilters {
     * have no bigrams and drop out, in both engines. */
   def bigramLmScores(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
     val toksArr = TextAnalysis.tokensCol(col("text"))
+    // r18 (guide §4): native ShinglesOf (non-distinct) emits each
+    // bigram as "prev cur"; tokens are [a-z0-9]+ runs so the space
+    // split is bijective and substring_index recovers the exact pair
+    // — same rows as the previous interpreted struct transform
     val bigrams = documents
       .withColumn("__toks", toksArr)
-      .select(col("doc_id"), explode(when(size(col("__toks")) >= 2,
-        transform(sequence(lit(1), size(col("__toks")) - 1),
-          i => struct(element_at(col("__toks"), i).as("prev"),
-            element_at(col("__toks"), i + 1).as("cur"))))
-        .otherwise(array().cast("array<struct<prev:string,cur:string>>"))).as("b"))
-      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .select(col("doc_id"), explode(org.apache.spark.sql.graftext.VectorCodec
+        .shinglesOf(col("__toks"), 2, distinct = false)).as("bg"))
+      .select(col("doc_id"), substring_index(col("bg"), " ", 1).as("prev"),
+        substring_index(col("bg"), " ", -1).as("cur"))
     // the bigram count table is the LM — materialize it once and
     // derive the context marginals from it (c1(prev) ≡ Σ_cur
     // c2(prev, cur)) instead of a second bigram pass; the corpus is

@@ -29,7 +29,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Unit-L2 normalization of a FLOAT vector into DOUBLE — the fused
   * form of `transform(cast double) → sqrt(aggregate(x*x)) → divide`:
@@ -288,6 +288,159 @@ case class LshBandVals(child: Expression, planes: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** Per-shingle 60-bit md5 fold modulo the Mersenne prime 2³¹−1 — the
+  * native form of `transform(set, s → pmod(conv(substr(md5(s),1,15),
+  * 16,10) AS LONG, P))`: the first 15 hex chars of the md5 digest ARE
+  * its top 60 bits, so the digest's first 8 bytes yield the value
+  * directly without materializing a 32-char hex string per element.
+  * Input ARRAY<STRING>, output ARRAY<LONG> (null elements preserved —
+  * transform maps NULL to NULL). */
+case class H60FoldArray(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  private val P = (1L << 31) - 1
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "h60_fold"
+
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) out(i) = null
+      else {
+        md.reset()
+        val d = md.digest(a.getUTF8String(i).getBytes)
+        // top 60 bits of the digest == BIGINT of its first 15 hex chars
+        var v = 0L
+        var b = 0
+        while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        v = (v << 4) | ((d(7) >> 4) & 0xfL)
+        out(i) = v % P
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("h60f", this, classOf[H60FoldArray].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All k MinHash signature minima in ONE pass — the native form of k
+  * independent `array_min(transform(hashes, h → (h·aᵢ + bᵢ) mod P))`
+  * columns: one loop over the fold array updates every signature's
+  * running minimum (exact integer arithmetic — bit-identical by
+  * construction). Output ARRAY<LONG> of length k; an empty or
+  * all-null input yields NULL elements (array_min of an empty/null
+  * projection is NULL). */
+case class MinhashSigs(child: Expression, params: Seq[(Long, Long)])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  private val P = (1L << 31) - 1
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sigs"
+
+  @transient private lazy val as: Array[Long] = params.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = params.map(_._2).toArray
+
+  def compute(h: ArrayData): ArrayData = {
+    val k = as.length
+    val mins = new Array[Long](k)
+    val seen = new Array[Boolean](k)
+    val n = h.numElements()
+    var i = 0
+    while (i < n) {
+      if (!h.isNullAt(i)) {
+        val hv = h.getLong(i)
+        var j = 0
+        while (j < k) {
+          val s = (hv * as(j) + bs(j)) % P
+          if (!seen(j) || s < mins(j)) { mins(j) = s; seen(j) = true }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) { out(j) = if (seen(j)) java.lang.Long.valueOf(mins(j)) else null; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mhs", this, classOf[MinhashSigs].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct k-token shingles of a token array — the native form of
+  * `when(size(toks) >= k, array_distinct(transform(sequence(1,
+  * n−k+1), i → concat_ws(" ", toks[i…i+k−1])))).otherwise(empty)`:
+  * one pass building each window's space-joined string and keeping
+  * first occurrences (array_distinct order). Short token lists yield
+  * the empty array (the `when` branch, folded in). Null elements
+  * cannot occur in regexp_extract_all output; concat_ws semantics for
+  * the non-null case are plain space-joining. */
+case class ShinglesOf(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "shingles_of"
+
+  def compute(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    // LinkedHashSet when distinct (array_distinct first-occurrence
+    // order); ArrayList when duplicates are the signal (the
+    // repetition/bigram family keeps every window)
+    val out: java.util.Collection[org.apache.spark.unsafe.types.UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      else new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shg", this, classOf[ShinglesOf].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorCodec {
   def l2normalize(v: Column): Column =
     ExpressionUtils.column(L2NormalizeDouble(ExpressionUtils.expression(v)))
@@ -302,4 +455,10 @@ object VectorCodec {
   def lshBandVals(emb: Column, planes: Seq[Seq[Double]], bitsPerBand: Int): Column =
     ExpressionUtils.column(LshBandVals(
       ExpressionUtils.expression(emb), planes, bitsPerBand))
+  def h60Fold(set: Column): Column =
+    ExpressionUtils.column(H60FoldArray(ExpressionUtils.expression(set)))
+  def minhashSigs(h60s: Column, params: Seq[(Long, Long)]): Column =
+    ExpressionUtils.column(MinhashSigs(ExpressionUtils.expression(h60s), params))
+  def shinglesOf(tokens: Column, k: Int, distinct: Boolean = true): Column =
+    ExpressionUtils.column(ShinglesOf(ExpressionUtils.expression(tokens), k, distinct))
 }

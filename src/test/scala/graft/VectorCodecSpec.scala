@@ -93,6 +93,57 @@ class VectorCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("H60FoldArray / MinhashSigs ≡ md5-hex conv fold and k array_min transforms") {
+    val P = (1L << 31) - 1
+    def h60(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val sets = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("sh_set"))
+    val refFolds = transform(col("sh_set"), s => pmod(h60(s), lit(P)))
+    val foldRows = sets.select(
+      VectorCodec.h60Fold(col("sh_set")).as("nat"), refFolds.as("ref")).collect()
+    assert(foldRows.nonEmpty)
+    foldRows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+
+    // same deterministic affine family as NearDup.hashParams(16)
+    val rnd = new scala.util.Random(42)
+    val params = Seq.fill(16)((math.abs(rnd.nextLong()) % (P - 1)) + 1 ->
+      math.abs(rnd.nextLong()) % P)
+    val refSigs = array(params.map { case (a, b) =>
+      array_min(transform(col("h"), h => pmod(h * lit(a) + lit(b), lit(P))))
+    }: _*)
+    val sigRows = sets.select(VectorCodec.h60Fold(col("sh_set")).as("h"))
+      .select(VectorCodec.minhashSigs(col("h"), params).as("nat"), refSigs.as("ref"))
+      .collect()
+    assert(sigRows.nonEmpty)
+    sigRows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // empty input: every signature is NULL (array_min of empty)
+    val empty = spark.sql("SELECT array() AS h")
+      .select(VectorCodec.minhashSigs(col("h").cast("array<bigint>"), params))
+      .collect()(0).getSeq[Any](0)
+    assert(empty.size === 16 && empty.forall(_ == null))
+  }
+
+  test("ShinglesOf ≡ when/array_distinct/transform/concat_ws composition") {
+    val k = 3
+    val toks = graft.text.TextAnalysis.tokensCol(col("text"))
+    val ref = when(size(col("__toks")) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(col("__toks")) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(o => element_at(col("__toks"), i + o)): _*))))
+      .otherwise(typedLit(Seq.empty[String]))
+    val rows = graft.sources.Tables.documents(spark, dir)
+      .withColumn("__toks", toks)
+      .select(VectorCodec.shinglesOf(col("__toks"), k).as("nat"), ref.as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // short docs: empty shingle set, matching the when() branch
+    val short = spark.sql("SELECT array('one', 'two') AS t")
+      .select(VectorCodec.shinglesOf(col("t"), k)).collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("LshBandVals ≡ per-band when(dot>0)·2^bit HOF sums") {
     // same deterministic planes as EmbeddingSim.hyperplanes(16)
     val rnd = new scala.util.Random(7)
