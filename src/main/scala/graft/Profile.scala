@@ -35,18 +35,30 @@ object Profile {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[JobRow]()
     val taskCounts = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicInteger]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val execSite = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(event: SparkListenerEvent): Unit = event match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execSite.put(s.executionId, s.description); ()
+        case _ => ()
+      }
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val desc = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        val props = Option(e.properties)
+        val desc = props.flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(props.flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .flatMap(id => Option(execSite.get(id.toLong))))
+          .getOrElse("")
         jobs.put(e.jobId, (System.nanoTime(), e.stageIds.size, desc))
         e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
         taskCounts.put(e.jobId, new java.util.concurrent.atomic.AtomicInteger(0))
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val jid = stageToJob.get(e.stageId)
-        val c = taskCounts.get(jid)
-        if (c != null) { c.incrementAndGet(); () }
+        // CHM.get of a missing stage unboxes null to 0 — skip unknown
+        // stages instead of crediting their tasks to job 0
+        if (stageToJob.containsKey(e.stageId)) {
+          val c = taskCounts.get(stageToJob.get(e.stageId))
+          if (c != null) { c.incrementAndGet(); () }
+        }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val st = jobs.remove(e.jobId)

@@ -2953,17 +2953,22 @@ object GraftCatalog {
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.col("amount")).as("nn_amount"))
       .localCheckpoint()
-    val matches = mart.exceptAll(rebuilt)
-      .unionAll(rebuilt.exceptAll(mart)).isEmpty
-    val totals = mart.agg(
-      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("dates"),
-      org.apache.spark.sql.functions.sum("sum_amount").as("total"),
-      org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.when(
-          org.apache.spark.sql.functions.col("event_date") ===
-            org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("2024-01-12")),
-          org.apache.spark.sql.functions.col("sum_amount"))).as("upd_date_sum"))
-      .collect()(0)
+    // r19: audit actions over mart-sized checkpointed frames run with
+    // AQE off (planningAction) — one job per audit instead of one per
+    // adaptive stage
+    val (matches, totals) = Snapshots.planningAction(s) {
+      (mart.exceptAll(rebuilt)
+        .unionAll(rebuilt.exceptAll(mart)).isEmpty,
+        mart.agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("dates"),
+          org.apache.spark.sql.functions.sum("sum_amount").as("total"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(
+              org.apache.spark.sql.functions.col("event_date") ===
+                org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("2024-01-12")),
+              org.apache.spark.sql.functions.col("sum_amount"))).as("upd_date_sum"))
+          .collect()(0))
+    }
     import s.implicits._
     Seq(
       "mart_matches_rebuild" -> (if (matches) 1L else 0L),
@@ -3093,8 +3098,6 @@ object GraftCatalog {
           countDistinct(expr(custE)).as("cd_customers"),
           countDistinct(expr(vwrE)).as("cd_viewers")): _*)
       .localCheckpoint()
-    val matches = mart.exceptAll(rebuilt)
-      .unionAll(rebuilt.exceptAll(mart)).isEmpty
     // the reference's published columns derive from the maintained
     // core alone — the serve layer never rescans the base
     def serveOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -3104,17 +3107,24 @@ object GraftCatalog {
         "cd_viewers AS unique_viewers", "sum_views AS total_views",
         "sum_carts AS total_carts",
         "round(sum_orders * 100.0 / nullif(sum_views, 0), 2) AS conversion_rate")
-    val serveMatches = serveOf(mart).exceptAll(serveOf(rebuilt))
-      .unionAll(serveOf(rebuilt).exceptAll(serveOf(mart))).isEmpty
+    // r19: audit actions over mart-sized checkpointed frames run with
+    // AQE off (planningAction) — one job per audit instead of one per
+    // adaptive stage
+    val (matches, serveMatches, tot) = Snapshots.planningAction(s) {
+      (mart.exceptAll(rebuilt)
+        .unionAll(rebuilt.exceptAll(mart)).isEmpty,
+        serveOf(mart).exceptAll(serveOf(rebuilt))
+          .unionAll(serveOf(rebuilt).exceptAll(serveOf(mart))).isEmpty,
+        mart.agg(
+          expr("count(1)"),
+          expr("CAST(sum(sum_revenue) * 100 AS BIGINT)"),
+          expr("sum(sum_orders)"),
+          expr("sum(cd_viewers)"),
+          expr(s"max(CASE WHEN event_date = DATE '$updDate' THEN cd_customers END)"))
+          .collect()(0))
+    }
     val sideCust = Snapshots.versions(s"$martPath/_dstate/customers").size.toLong
     val sideVwr = Snapshots.versions(s"$martPath/_dstate/viewers").size.toLong
-    val tot = mart.agg(
-      expr("count(1)"),
-      expr("CAST(sum(sum_revenue) * 100 AS BIGINT)"),
-      expr("sum(sum_orders)"),
-      expr("sum(cd_viewers)"),
-      expr(s"max(CASE WHEN event_date = DATE '$updDate' THEN cd_customers END)"))
-      .collect()(0)
     import s.implicits._
     Seq(
       "customers_upd_date" -> tot.getLong(4),
@@ -3292,8 +3302,13 @@ object GraftCatalog {
         sum(col("price")).as("sum_brand_revenue"),
         count(col("price")).as("nn_brand_revenue"))
       .localCheckpoint()
+    // r19: audit actions over mart-sized checkpointed frames run with
+    // AQE off (planningAction) — one job per audit instead of one per
+    // adaptive stage
     def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
-      a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
+      Snapshots.planningAction(s) {
+        a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty
+      }
     val coreMatches = same(coreMart, coreReb)
     val brandMatches = same(brandMart, brandReb)
     // the serve layer: argmax + 3-key LEFT JOIN over MART-SIZED data
@@ -3316,11 +3331,13 @@ object GraftCatalog {
     }
     val serve = serveFrom(coreMart, brandMart).localCheckpoint()
     val serveMatches = same(serve, serveFrom(coreReb, brandReb))
-    val tot = serve.agg(
-      expr("count(1)"),
-      expr("CAST(sum(total_revenue) * 100 AS BIGINT)"),
-      expr("CAST(sum(top_brand_revenue) * 100 AS BIGINT)"),
-      expr("sum(unique_customers)")).collect()(0)
+    val tot = Snapshots.planningAction(s) {
+      serve.agg(
+        expr("count(1)"),
+        expr("CAST(sum(total_revenue) * 100 AS BIGINT)"),
+        expr("CAST(sum(top_brand_revenue) * 100 AS BIGINT)"),
+        expr("sum(unique_customers)")).collect()(0)
+    }
     import s.implicits._
     Seq(
       "brand_matches_rebuild" -> (if (brandMatches) 1L else 0L),

@@ -210,6 +210,14 @@ object IncrementalMart {
     * a fixed internal name so any expression shape fits the schema). */
   private val DValCol = "__dval"
 
+  /** Delta row cap under which the merge broadcasts the delta side
+    * instead of shuffling (the stats job counts the delta exactly, so
+    * the choice is measurement-driven, not estimate-driven). Grouped
+    * delta rows are narrow; the default keeps broadcasts in the
+    * low-MB range. */
+  private def broadcastDeltaRows(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.ivm.broadcastDeltaRows", "100000").toLong
+
   /** Run `body` with AQE partition coalescing off: the mart's band
     * files ARE the pruning unit, so an explicit `repartition(n, dim)`
     * must land as n files even when each band is tiny (at production
@@ -225,20 +233,6 @@ object IncrementalMart {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
-  }
-
-  /** The full rebuild shape AT A PINNED VERSION (never `readLatest`:
-    * a base commit racing initialize would bake data the marker does
-    * not account for, double-applying it on the first refresh). */
-  private def fullAggregate(spark: SparkSession, base: String, v: Long,
-                            defn: MartDef): DataFrame = {
-    val rows = filtered(Snapshots.readAsOf(spark, base, v), defn)
-    rows.groupBy(defn.dims.map(col): _*)
-      .agg(count(lit(1)).as("row_count"),
-        defn.sums.flatMap(m => Seq(sum(expr(m.expr)).as(sumCol(m.name)),
-          count(expr(m.expr)).as(nnCol(m.name)))) ++
-          defn.distincts.map(d =>
-            countDistinct(expr(d.expr)).as(cdCol(d.name))): _*)
   }
 
   private def filtered(df: DataFrame, defn: MartDef): DataFrame =
@@ -277,7 +271,13 @@ object IncrementalMart {
         (defn.sums ++ defn.distincts).map(_.name).mkString(","))
     val head = Snapshots.versions(base).lastOption.getOrElse(
       throw new IllegalArgumentException(s"incremental mart over $base: no snapshots"))
-    val baseRows = filtered(Snapshots.readAsOf(spark, base, head), defn)
+    // read AT THE PINNED head version (never `readLatest`: a base
+    // commit racing initialize would bake data the marker does not
+    // account for, double-applying it on the first refresh); one base
+    // scan serves every side-state build AND the full aggregate (r19,
+    // guide §1.2: was one scan per distinct measure plus one for the
+    // mart) — unpersisted before returning
+    val baseRows = filtered(Snapshots.readAsOf(spark, base, head), defn).persist()
     // float/double sums refused LOUDLY at definition time: the whole
     // contract is "bit-identical to a rebuild", and FP addition breaks
     // it silently (non-associative; +x then -x need not restore)
@@ -301,28 +301,35 @@ object IncrementalMart {
     // that rewrites one mart band should rewrite one side band too
     val martBloomDims = BloomSkip.specOf(mart).toSeq
       .flatMap(_.columns).filter(defn.dims.contains)
-    defn.distincts.foreach { d =>
-      if (martBloomDims.nonEmpty) {
-        Files.createDirectories(Paths.get(sidePath(mart, d.name)))
-        BloomSkip.enable(sidePath(mart, d.name), martBloomDims)
+    try {
+      defn.distincts.foreach { d =>
+        if (martBloomDims.nonEmpty) {
+          Files.createDirectories(Paths.get(sidePath(mart, d.name)))
+          BloomSkip.enable(sidePath(mart, d.name), martBloomDims)
+        }
+        val sd = baseRows
+          .select(defn.dims.map(col) :+ expr(d.expr).as(DValCol): _*)
+          .filter(col(DValCol).isNotNull)
+          .groupBy((defn.dims :+ DValCol).map(col): _*)
+          .agg(count(lit(1)).as("row_count"))
+          .repartition(bandFiles, col(defn.dims.head))
+        withExactBanding(spark) {
+          Snapshots.writeSnapshot(sd, sidePath(mart, d.name), operation = "overwrite")
+        }
       }
-      val sd = baseRows
-        .select(defn.dims.map(col) :+ expr(d.expr).as(DValCol): _*)
-        .filter(col(DValCol).isNotNull)
-        .groupBy((defn.dims :+ DValCol).map(col): _*)
-        .agg(count(lit(1)).as("row_count"))
+      val full = baseRows.groupBy(defn.dims.map(col): _*)
+        .agg(count(lit(1)).as("row_count"),
+          defn.sums.flatMap(m => Seq(sum(expr(m.expr)).as(sumCol(m.name)),
+            count(expr(m.expr)).as(nnCol(m.name)))) ++
+            defn.distincts.map(d =>
+              countDistinct(expr(d.expr)).as(cdCol(d.name))): _*)
         .repartition(bandFiles, col(defn.dims.head))
-      withExactBanding(spark) {
-        Snapshots.writeSnapshot(sd, sidePath(mart, d.name), operation = "overwrite")
+      val v = withExactBanding(spark) {
+        Snapshots.writeSnapshot(full, mart, operation = "overwrite")
       }
-    }
-    val full = fullAggregate(spark, base, head, defn)
-      .repartition(bandFiles, col(defn.dims.head))
-    val v = withExactBanding(spark) {
-      Snapshots.writeSnapshot(full, mart, operation = "overwrite")
-    }
-    writeState(mart, State(base, head, defn))
-    v
+      writeState(mart, State(base, head, defn))
+      v
+    } finally { baseRows.unpersist(); () }
   }
 
   /** Fold base commits `(recorded, head]` into the mart (completing
@@ -373,11 +380,10 @@ object IncrementalMart {
       Changelog.readRange(spark, st.baseTable, st.baseVersion, target), defn)
       .persist()
     try {
-      // compact-only / zero-change ranges: advance the marker, commit
-      // nothing (a refresh over a quiet base stays a metadata read)
-      if (ch.limit(1).count() == 0) {
-        writeState(mart, st.copy(baseVersion = target)); return -1L
-      }
+      // r19 (guide §1.2): no separate changelog emptiness probe — a
+      // compact-only / zero-change range surfaces as an empty mart
+      // delta in the ONE stats job below (marker advances, nothing
+      // commits, exactly as before)
       // the additive delta algebra: +1 weight for arriving rows, -1
       // for retracted pre-images; identical pre/post pairs were
       // already netted out by the capture
@@ -416,11 +422,16 @@ object IncrementalMart {
       val mdelta = mdelta0.filter(nonzero.reduceLeft(_ or _)).persist()
       try {
         val already = Snapshots.committedStreamBatch(mart, sid).exists(_ >= target)
+        // r19: ONE stats job (count + null-dim flags + envelope)
+        // replaces the delta emptiness probe and the merge's own
+        // null-probe + envelope aggregations (guide §1.2)
+        val stats =
+          if (already) None else Some(Snapshots.keyStats(mdelta, defn.dims))
         val v =
-          if (already || mdelta.limit(1).count() == 0) -1L
+          if (already || stats.exists(_.count == 0L)) -1L
           else mergeAdditive(spark, mart, defn.dims,
             defn.sums.map(_.name), defn.distincts.map(_.name), mdelta,
-            (sid, target))
+            (sid, target), stats)
         writeState(mart, st.copy(baseVersion = target))
         v
       } finally { mdelta.unpersist(); () }
@@ -447,11 +458,16 @@ object IncrementalMart {
       .filter(col("__dcnt") =!= 0L)
       .persist()
     try {
+      val keyCols = dims :+ DValCol
+      // r19: ONE stats job serves the emptiness probe, the null-key
+      // probe and BOTH envelope uses (the pruned pre-state read and
+      // the side merge prune over the same delta keys) — guide §1.2
+      val stats = Snapshots.keyStats(dDelta, keyCols)
       // an empty multiplicity delta (this fold never touched the
       // measure's values) merges nothing — and MUST short-circuit: an
       // empty key set has an empty envelope, which reads as "no
       // pruning possible" and would rewrite the whole side table
-      if (dDelta.limit(1).count() == 0)
+      if (stats.count == 0L)
         return ch.select(st.defn.dims.map(col): _*).limit(0)
           .withColumn(s"__dcd_${d.name}", lit(0L))
       val sideVs = Snapshots.versions(side)
@@ -466,8 +482,7 @@ object IncrementalMart {
             s"side state $side has no version before its tagged commit v$tv"))
         case None => sideVs.last
       }
-      val keyCols = dims :+ DValCol
-      val pre = prunedStateRead(spark, side, preV, dDelta, keyCols)
+      val pre = prunedStateRead(spark, side, preV, keyCols, stats)
         .select(keyCols.map(col) :+ col("row_count").as("__old"): _*)
       val a = dDelta.alias("d"); val b = pre.alias("p")
       val cond = keyCols.map(k => col(s"d.$k") <=> col(s"p.$k"))
@@ -480,18 +495,27 @@ object IncrementalMart {
       try {
         // a multiplicity below zero means the changelog retracted a
         // value the side state never held — corrupt, never guess
-        require(tr.filter(col("__new") < 0).limit(1).count() == 0,
+        // (one full-scan agg — it also materializes tr's cache — in
+        // place of the old multi-job incremental-limit probe)
+        val minNew = Snapshots.planningAction(spark) {
+          tr.agg(min(col("__new"))).collect()(0)
+        }
+        require(minNew.isNullAt(0) || minNew.getLong(0) >= 0L,
           s"distinct side state $side is inconsistent with the changelog " +
             s"(a multiplicity went negative) — re-initialize the mart")
         if (committed.isEmpty) {
-          mergeAdditive(spark, side, keyCols, Nil, Nil, dDelta, (sid, target))
+          mergeAdditive(spark, side, keyCols, Nil, Nil, dDelta, (sid, target),
+            Some(stats))
           ()
         }
         val contrib = when(col("__old") === 0L && col("__new") > 0L, 1L)
           .when(col("__old") > 0L && col("__new") === 0L, -1L)
           .otherwise(0L)
-        tr.groupBy(dims.map(col): _*)
+        val dcd = tr.groupBy(dims.map(col): _*)
           .agg(sum(contrib).as(s"__dcd_${d.name}"))
+        // ≤ one row per touched (group, value) pair — broadcast the
+        // graft join when the delta is provably small (guide §3.1)
+        if (stats.count <= broadcastDeltaRows(spark)) broadcast(dcd) else dcd
       } finally { tr.unpersist(); () }
     } finally { dDelta.unpersist(); () }
   }
@@ -506,20 +530,19 @@ object IncrementalMart {
     }
 
   /** Read `table` AS OF `v` pruned to files that can host a key of
-    * `keyDf` (manifest bounds + bloom over the keys' envelope), with
-    * live deletes applied. A NULL key value disables pruning for the
-    * read (the bounds algebra cannot see NULL groups — same
-    * conservatism as the merge). */
+    * the delta whose precomputed [[Snapshots.KeyStats]] is `stats`
+    * (manifest bounds + bloom over the keys' envelope), with live
+    * deletes applied. A NULL key value disables pruning for the read
+    * (the bounds algebra cannot see NULL groups — same conservatism
+    * as the merge). */
   private def prunedStateRead(spark: SparkSession, table: String, v: Long,
-                              keyDf: DataFrame, keys: Seq[String]): DataFrame = {
+                              keys: Seq[String],
+                              stats: Snapshots.KeyStats): DataFrame = {
     val schema = Snapshots.declaredCleanOf(table).getOrElse(
       Snapshots.readAsOf(spark, table, v).schema)
-    val nullTouched = keyDf
-      .filter(keys.map(col(_).isNull).reduceLeft(_ or _))
-      .limit(1).count() > 0
     val envelope =
-      if (nullTouched) Nil
-      else Snapshots.keyEnvelope(keyDf, keys, schema)
+      if (stats.nullTouched) Nil
+      else Snapshots.envelopeFrom(stats, keys, schema)
     val comps = Snapshots.stateComponents(table, v)
     val statless = comps.collect { case Left(dir) => dir }
       .flatMap(Snapshots.expandParquet)
@@ -550,25 +573,23 @@ object IncrementalMart {
   private def mergeAdditive(spark: SparkSession, table: String,
                             dims: Seq[String], sums: Seq[String],
                             cds: Seq[String], delta: DataFrame,
-                            tag: (String, Long)): Long = {
+                            tag: (String, Long),
+                            precomputed: Option[Snapshots.KeyStats] = None): Long = {
     val martSchema = Snapshots.declaredCleanOf(table).getOrElse(
       Snapshots.readLatest(spark, table).schema)
     val martHead = Snapshots.versions(table).last
     val priorDels = Snapshots.liveDeletes(table, martHead)
     val priorEqs = Snapshots.liveEqDeletes(table, martHead)
-    val touchedKeys = delta.select(dims.map(col): _*)
     // a NULL dim value is a REAL group (groupBy keeps it) that the
     // bounds algebra cannot see (comparisons never match NULL rows) —
     // pruning would carry the NULL group's host file while the merge
     // rewrites the group elsewhere, duplicating it. Conservative: any
     // NULL touched dim disables pruning for this refresh (rare — dims
     // are usually derived non-null).
-    val nullTouched = touchedKeys
-      .filter(dims.map(col(_).isNull).reduceLeft(_ or _))
-      .limit(1).count() > 0
+    val stats = precomputed.getOrElse(Snapshots.keyStats(delta, dims))
     val envelope =
-      if (nullTouched) Nil
-      else Snapshots.keyEnvelope(touchedKeys, dims, martSchema)
+      if (stats.nullTouched) Nil
+      else Snapshots.envelopeFrom(stats, dims, martSchema)
     val comps = Snapshots.stateComponents(table, martHead)
     val statless = comps.collect { case Left(d) => d }.flatMap(Snapshots.expandParquet)
     val stated = comps.collect { case Right(x) => x }
@@ -602,7 +623,12 @@ object IncrementalMart {
     // group pairing: a NULL dim group must pair with itself (plain
     // SQL equality would keep both sides, duplicating the group).
     val cur = current.alias("c")
-    val del = delta.alias("d")
+    // the stats job already counted the delta EXACTLY — broadcast it
+    // when small (guide §3.1: hint when you know the size) so the
+    // merge never shuffles the rewrite set by group key; past the cap
+    // the planner keeps its estimate-driven choice
+    val del = (if (stats.count <= broadcastDeltaRows(spark)) broadcast(delta)
+               else delta).alias("d")
     val pairCond = dims.map(d0 => col(s"c.$d0") <=> col(s"d.$d0"))
       .reduceLeft(_ && _)
     val merged = cur.join(del, pairCond, "full_outer")

@@ -2052,6 +2052,84 @@ object Snapshots {
     } finally resolveVersion(table, v)
   }
 
+  /** Planning statistics of a keyed change set, from ONE aggregation
+    * job: row count, whether any key column holds a NULL, per-key
+    * [min, max], and per-key EXACT value sets when small enough for
+    * `In` pruning (size-capped in executor memory by
+    * [[org.apache.spark.sql.graftext.BoundedCollectSet]] — r19, guide
+    * §1.2: this folds what used to be separate emptiness probes,
+    * null-presence probes and a two-job envelope into one action). */
+  private[sources] final case class KeyStats(count: Long, nullTouched: Boolean,
+                                             loHi: Seq[(Any, Any)],
+                                             smallSets: Map[String, Seq[Any]])
+
+  /** Run `body` (a metadata-sized PLANNING action — one-row stats
+    * collects, emptiness audits) with AQE off: AQE materializes every
+    * exchange as its own Spark job, which for a tiny planning
+    * aggregation triples the job count for zero adaptive benefit (the
+    * result is one row; there is nothing to re-optimize). Data-scale
+    * work — merges, writes, the changelog fold itself — keeps AQE.
+    * Restores the prior setting afterwards. */
+  private[sources] def planningAction[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private[sources] def keyStats(changeSet: DataFrame, keys: Seq[String]): KeyStats = {
+    // per-key exact value sets, when small (default cap 1024 — KBs of
+    // driver memory): In conjuncts sharpen BOTH pruning layers — the
+    // bounds algebra evaluates In per value, and the bloom layer turns
+    // each value into a definitive absent-test. Per-column In
+    // over-approximates the delivered TUPLE set (sound).
+    val inCap = changeSet.sparkSession.conf
+      .get("spark.graft.envelope.maxInValues", "1024").toInt
+    val row = planningAction(changeSet.sparkSession) {
+      changeSet.agg(count(lit(1)).as("__cnt"),
+        keys.flatMap(k => Seq(
+          min(col(k)), max(col(k)),
+          max(when(col(k).isNull, 1).otherwise(0)),
+          org.apache.spark.sql.graftext.VectorCodec.boundedCollectSet(col(k), inCap))): _*
+      ).collect()(0)
+    }
+    val cnt = row.getLong(0)
+    val loHi = keys.indices.map(i => (row.get(1 + 4 * i), row.get(2 + 4 * i)))
+    val nullTouched = keys.indices.exists(i =>
+      !row.isNullAt(3 + 4 * i) && row.getInt(3 + 4 * i) == 1)
+    val sets = keys.zipWithIndex.flatMap { case (k, i) =>
+      if (row.isNullAt(4 + 4 * i)) None else Some(k -> row.getSeq[Any](4 + 4 * i))
+    }.toMap
+    KeyStats(cnt, nullTouched, loHi, sets)
+  }
+
+  /** Bounds conjuncts (`k >= lo AND k <= hi` per key, plus `In` for
+    * small exact sets) from precomputed [[KeyStats]]. Empty conjunct
+    * for an all-NULL key column (SQL equality matches nothing). */
+  private[sources] def envelopeFrom(stats: KeyStats, keys: Seq[String],
+                                    schema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, In, LessThanOrEqual, Literal}
+    keys.zip(stats.loHi).flatMap { case (k, (lo, hi)) =>
+      val dt = schema(schema.fieldIndex(k)).dataType
+      if (lo == null || hi == null) Nil // all-NULL key column: matches nothing
+      else {
+        val attr = AttributeReference(k, dt)()
+        val ranges = Seq(GreaterThanOrEqual(attr, Literal.create(lo, dt)),
+          LessThanOrEqual(attr, Literal.create(hi, dt)))
+        stats.smallSets.get(k) match {
+          case Some(vs) =>
+            ranges :+ In(attr, vs.map(v => Literal.create(v, dt)).toIndexedSeq)
+          case None => ranges
+        }
+      }
+    }
+  }
+
   /** The per-key [min, max] envelope of a keyed change set as bounds
     * conjuncts (`k >= lo AND k <= hi` per key) — ONE tiny aggregation
     * over the change set, then the manifest-stats algebra
@@ -2061,66 +2139,8 @@ object Snapshots {
     * changelog's upsert pre-image scan. */
   private[sources] def keyEnvelope(changeSet: DataFrame, keys: Seq[String],
                                    schema: org.apache.spark.sql.types.StructType)
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, In, LessThanOrEqual, Literal}
-    // one agg job: per-key min/max (the range envelope) plus an
-    // approximate distinct count that decides whether an EXACT value
-    // set is cheap enough to collect for per-key In pruning
-    val aggRow = changeSet.agg(
-      min(col(keys.head)).as("lo0"),
-      (keys.tail.flatMap(k => Seq(min(col(k)), max(col(k)))) ++
-        keys.map(k => approx_count_distinct(col(k))) :+ max(col(keys.head))): _*
-    ).collect()(0)
-    // column order in aggRow: lo0, (lo_i, hi_i for tail), (ndv per
-    // key), hi0 — rebuild positionally per key
-    val loHi: Seq[(Any, Any)] = {
-      val lo0 = aggRow.get(0)
-      val hi0 = aggRow.get(aggRow.length - 1)
-      (lo0, hi0) +: keys.tail.zipWithIndex.map { case (_, i) =>
-        (aggRow.get(1 + 2 * i), aggRow.get(2 + 2 * i))
-      }
-    }
-    val ndvBase = 1 + 2 * keys.tail.size
-    val ndvOf: Seq[Long] = keys.indices.map(i => aggRow.getLong(ndvBase + i))
-    // per-key exact value sets, when small (default cap 1024 — KBs of
-    // driver memory; approx_count_distinct's ±5% error only flips
-    // borderline sets, never correctness): In conjuncts sharpen BOTH
-    // pruning layers — the bounds algebra evaluates In per value, and
-    // the bloom layer turns each value into a definitive absent-test.
-    // Per-column In over-approximates the delivered TUPLE set (sound).
-    val inCap = changeSet.sparkSession.conf
-      .get("spark.graft.envelope.maxInValues", "1024").toLong
-    val smallKeys: Map[String, Seq[Any]] =
-      if (keys.indices.forall(i => ndvOf(i) > inCap * 2)) Map.empty
-      else {
-        val wanted = keys.zipWithIndex.filter { case (_, i) => ndvOf(i) <= inCap * 2 }
-        if (wanted.isEmpty) Map.empty
-        else {
-          val sets = changeSet.agg(
-            collect_set(col(wanted.head._1)),
-            wanted.tail.map { case (k, _) => collect_set(col(k)) }: _*
-          ).collect()(0)
-          wanted.zipWithIndex.flatMap { case ((k, _), j) =>
-            val vs = sets.getSeq[Any](j)
-            if (vs.size <= inCap) Some(k -> vs) else None
-          }.toMap
-        }
-      }
-    keys.zip(loHi).flatMap { case (k, (lo, hi)) =>
-      val dt = schema(schema.fieldIndex(k)).dataType
-      if (lo == null || hi == null) Nil // all-NULL key column: matches nothing
-      else {
-        val attr = AttributeReference(k, dt)()
-        val ranges = Seq(GreaterThanOrEqual(attr, Literal.create(lo, dt)),
-          LessThanOrEqual(attr, Literal.create(hi, dt)))
-        smallKeys.get(k) match {
-          case Some(vs) =>
-            ranges :+ In(attr, vs.map(v => Literal.create(v, dt)).toIndexedSeq)
-          case None => ranges
-        }
-      }
-    }
-  }
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    envelopeFrom(keyStats(changeSet, keys), keys, schema)
 
   /** MERGE INTO a branch (r17 — the keyed-restatement fix verb the WAP
     * loop was missing): staged rows whose `keys` tuple appears in

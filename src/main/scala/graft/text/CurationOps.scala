@@ -220,11 +220,16 @@ object CurationOps {
     * if a pathological boilerplate line dominated. */
   def passageDedup(documents: DataFrame, stride: Int = 10): DataFrame = {
     val nChunks = ceil(size(col("__toks")).cast("double") / stride).cast("int")
+    // r19 (guide §4): explode the chunk INDEX, not a transform-built
+    // passage array — the slice+concat_ws then run as post-explode
+    // projections under whole-stage codegen instead of inside an
+    // interpreted lambda (same chunks, same order)
     val passages = documents
       .withColumn("__toks", TextAnalysis.tokensCol(col("text")))
       .filter(size(col("__toks")) >= 1)
-      .withColumn("passage", explode(transform(sequence(lit(0), nChunks - 1),
-        c => concat_ws(" ", slice(col("__toks"), c * stride + 1, lit(stride))))))
+      .withColumn("__c", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("passage",
+        concat_ws(" ", slice(col("__toks"), col("__c") * stride + 1, lit(stride))))
       .select(col("doc_id"), col("passage"))
     // first occurrence by doc order keeps; within a doc the tie order
     // among identical passages doesn't change the per-doc counts

@@ -230,11 +230,12 @@ object QualityFilters {
     * comparison. Pure higher-order array math — no tokenizer library,
     * no UDF, linear scan. */
   /** Per-text BPE-unit estimate (the ~4-chars-per-token heuristic),
-    * shared by [[tokenEstimates]] and [[CurationOps.packSequences]]. */
+    * shared by [[tokenEstimates]] and [[CurationOps.packSequences]].
+    * r19: the `aggregate(transform(...))` HOF pair ran interpreted
+    * per token (guide §4) — the native [[graftext.BpeEstimate]] is
+    * one compiled fold, bit-identical (VectorCodecSpec pin). */
   private[text] def bpeEstimateCol(text: org.apache.spark.sql.Column) =
-    aggregate(transform(TextAnalysis.tokensCol(text),
-        t => ceil(length(t).cast("double") / 4.0).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.graftext.VectorCodec.bpeEstimate(TextAnalysis.tokensCol(text))
 
   def tokenEstimates(documents: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokensCol(col("text"))

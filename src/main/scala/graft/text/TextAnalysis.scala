@@ -217,35 +217,25 @@ object TextAnalysis {
     * whole-document digest). All higher-order Column expressions —
     * codegen'd, no UDF; the ragged tail past the last full window is
     * ignored (standard winnowing). */
-  private val FpMod = 1000000007L
-  private val FpWin = 64
-  private val FpStride = 32
-
-  /** Fold a pre-computed char-code slice. Taking codes (not text) means
-    * the O(|doc|) split+ascii runs once per ROW, not once per window —
-    * the round-2 formulation re-split the document inside every
-    * window's lambda (no common-subexpression elimination across
-    * higher-order-function boundaries), ~150× redundant work on a
-    * 5 KB doc. */
-  private def windowHash(codes: Column, start: Column, len: Column): Column =
-    aggregate(
-      slice(codes, start, len),
-      lit(0L),
-      (acc, x) => pmod(acc * 31 + x, lit(FpMod)))
+  // window/stride/mod constants live in graftext.RollingFp; the HOF
+  // reference formulation (slice + aggregate fold per window) is kept
+  // in VectorCodecSpec as the bit-identity pin
 
   def rollingFingerprints(documents: DataFrame): DataFrame = {
-    val len = length(col("text"))
-    val nWin = when(len <= FpWin, lit(1))
-      .otherwise(floor((len - FpWin) / FpStride).cast("int") + 1)
-    val starts = sequence(lit(1), (nWin - 1) * FpStride + 1, lit(FpStride))
+    // r19 (guide §4): the former per-row codes array
+    // (`transform(split(text,''), ascii)`) plus one interpreted
+    // `aggregate(slice(codes, start, 64), fold)` PER WINDOW is now one
+    // compiled pass per document ([[graftext.RollingFp]] — same window
+    // grid, same mod-prime fold, bit-identical; VectorCodecSpec pins
+    // it against this HOF formulation)
     documents
-      .withColumn("__codes", transform(split(col("text"), ""), c => ascii(c)))
+      .withColumn("__fp",
+        org.apache.spark.sql.graftext.VectorCodec.rollingFp(col("text")))
       .select(
         col("doc_id"),
-        nWin.as("n_windows"),
-        array_min(transform(starts,
-          s => windowHash(col("__codes"), s, least(lit(FpWin), len)))).as("min_window_hash"),
-        windowHash(col("__codes"), lit(1), len).as("full_hash"))
+        col("__fp.n_windows").as("n_windows"),
+        col("__fp.min_window_hash").as("min_window_hash"),
+        col("__fp.full_hash").as("full_hash"))
       .orderBy(col("doc_id"))
   }
 

@@ -461,4 +461,11 @@ object VectorCodec {
     ExpressionUtils.column(MinhashSigs(ExpressionUtils.expression(h60s), params))
   def shinglesOf(tokens: Column, k: Int, distinct: Boolean = true): Column =
     ExpressionUtils.column(ShinglesOf(ExpressionUtils.expression(tokens), k, distinct))
+  def boundedCollectSet(c: Column, cap: Int): Column =
+    ExpressionUtils.column(
+      BoundedCollectSet(ExpressionUtils.expression(c), cap).toAggregateExpression())
+  def bpeEstimate(tokens: Column): Column =
+    ExpressionUtils.column(BpeEstimate(ExpressionUtils.expression(tokens)))
+  def rollingFp(text: Column): Column =
+    ExpressionUtils.column(RollingFp(ExpressionUtils.expression(text)))
 }

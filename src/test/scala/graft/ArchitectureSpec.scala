@@ -110,11 +110,15 @@ class ArchitectureSpec extends AnyFunSuite {
     //   envelope — ONE 1-row min/max aggregate over the update set's
     //   key columns (2×|keys| scalars), the metadata that lets the
     //   merge carry every out-of-range file by reference
-    // Snapshots (4th site, r17): keyEnvelope's exact-key-set collect —
-    //   gated to run only when the SAME aggregate's approx distinct
-    //   count is under spark.graft.envelope.maxInValues (default 1024;
-    //   KBs of driver memory), producing the In conjuncts that let the
-    //   bloom layer prove files keyless — bounded metadata by the gate
+    // Snapshots (3rd site, r19): keyStats' ONE-row planning collect —
+    //   per-key min/max/null-flag scalars plus exact key sets bounded
+    //   in EXECUTOR memory by BoundedCollectSet (≤ maxInValues values
+    //   per key, default 1024 — KBs of driver memory), replacing the
+    //   r17 two-job envelope (min/max agg + approx-gated collect_set)
+    // IncrementalMart (r19): distinctDelta's side-state consistency
+    //   check — ONE 1-row min(__new) scalar over the multiplicity
+    //   transitions (replaces a multi-job incremental-limit probe;
+    //   also materializes tr's cache for the downstream dcd fold)
     // EqDeletes: the equality-delete KEY SET rides into scan planning
     //   driver-side (small by the upsert policy — the retraction keys
     //   of recent deliveries; compaction clears them), cached per
@@ -133,7 +137,8 @@ class ArchitectureSpec extends AnyFunSuite {
       // Snapshots: (a) one |checks|-bounded audit-report read in
       // wapPublish (same contract as DataChecks.gatedWrite), plus the
       // pre-existing metadata-plane read
-      "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 4,
+      "LmBatchScorer.scala" -> 1, "Snapshots.scala" -> 3,
+      "IncrementalMart.scala" -> 1,
       "BinaryQuantAnn.scala" -> 1, "JsonlShards.scala" -> 1,
       "DataChecks.scala" -> 1, "GraftCatalog.scala" -> 57,
       "FileStats.scala" -> 1, "MorDeletes.scala" -> 2,

@@ -162,4 +162,87 @@ class VectorCodecSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
   }
+
+  test("BpeEstimate ≡ aggregate/transform ceil(len/4) fold over the corpus") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val toks = graft.text.TextAnalysis.tokensCol(col("text"))
+    val hof = aggregate(transform(toks,
+        t => ceil(length(t).cast("double") / 4.0).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val rows = docs.select(
+      VectorCodec.bpeEstimate(toks).as("nat"), hof.as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // empty token array → 0 (the HOF's zero seed)
+    val e = spark.sql("SELECT array() AS t")
+      .select(VectorCodec.bpeEstimate(col("t").cast("array<string>"))).collect()(0)
+    assert(e.getLong(0) === 0L)
+    // a NULL element nulls the sum, like acc + NULL
+    val n = spark.sql("SELECT array('ab', CAST(NULL AS STRING)) AS t")
+      .select(VectorCodec.bpeEstimate(col("t"))).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("RollingFp ≡ per-window slice/aggregate mod-prime folds over the corpus") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val FpMod = 1000000007L; val FpWin = 64; val FpStride = 32
+    def windowHash(codes: org.apache.spark.sql.Column,
+                   start: org.apache.spark.sql.Column,
+                   len: org.apache.spark.sql.Column) =
+      aggregate(slice(codes, start, len), lit(0L),
+        (acc, x) => pmod(acc * 31 + x, lit(FpMod)))
+    val len = length(col("text"))
+    val nWin = when(len <= FpWin, lit(1))
+      .otherwise(floor((len - FpWin) / FpStride).cast("int") + 1)
+    val starts = sequence(lit(1), (nWin - 1) * FpStride + 1, lit(FpStride))
+    val rows = docs
+      .withColumn("__codes", transform(split(col("text"), ""), c => ascii(c)))
+      .select(
+        VectorCodec.rollingFp(col("text")).as("nat"),
+        nWin.as("ref_n"),
+        array_min(transform(starts,
+          s => windowHash(col("__codes"), s, least(lit(FpWin), len)))).as("ref_min"),
+        windowHash(col("__codes"), lit(1), len).as("ref_full"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getStruct(0)
+      assert(s.getInt(0) === r.getInt(1))
+      assert(s.getLong(1) === r.getLong(2))
+      assert(s.getLong(2) === r.getLong(3))
+    }
+    // short-doc branch: one window ⇒ min == full
+    val one = spark.sql("SELECT 'short text' AS text")
+      .select(VectorCodec.rollingFp(col("text"))).collect()(0).getStruct(0)
+    assert(one.getInt(0) === 1)
+    assert(one.getLong(1) === one.getLong(2))
+  }
+
+  test("BoundedCollectSet ≡ collect_set under the cap, NULL past it") {
+    import spark.implicits._
+    // mixed types through one partition-shuffled frame: the set must
+    // be exact (as a set) while ≤ cap and NULL-definite past it
+    val df = (1 to 100).map(i => (i % 7, s"v${i % 7}", i.toLong))
+      .toDF("k", "s", "x").repartition(8)
+    val r = df.agg(
+      VectorCodec.boundedCollectSet(col("k"), 10),
+      VectorCodec.boundedCollectSet(col("s"), 10),
+      VectorCodec.boundedCollectSet(col("x"), 10),
+      collect_set(col("k")), collect_set(col("s"))).collect()(0)
+    assert(r.getSeq[Int](0).sorted === r.getSeq[Int](3).sorted)
+    assert(r.getSeq[String](1).sorted === r.getSeq[String](4).sorted)
+    assert(r.isNullAt(2)) // 100 distinct longs > cap 10 → NULL
+    // boundary: exactly cap distinct values still returns the set
+    val b = (1 to 10).map(i => Tuple1(i)).toDF("k").repartition(4)
+      .agg(VectorCodec.boundedCollectSet(col("k"), 10)).collect()(0)
+    assert(b.getSeq[Int](0).sorted === (1 to 10))
+    // cap+1 distinct values overflows
+    val o = (0 to 10).map(i => Tuple1(i)).toDF("k").repartition(4)
+      .agg(VectorCodec.boundedCollectSet(col("k"), 10)).collect()(0)
+    assert(o.isNullAt(0))
+    // NULLs are ignored like collect_set; all-NULL input → empty set
+    val n = Seq[Option[Int]](None, Some(1), None).toDF("k")
+      .agg(VectorCodec.boundedCollectSet(col("k"), 10)).collect()(0)
+    assert(n.getSeq[Int](0) === Seq(1))
+  }
 }
