@@ -504,10 +504,12 @@ object Bench {
       // (ride in the board as "warmup_sf1"), and a failure is LOGGED
       // and skipped without aborting the stages after it.
       // NonFatal only — same rationale as the base warm() wrapper
-      def warmSf1(name: String): Unit = {
+      // r19 (review item): ONE shared stage wrapper — the gold_daily
+      // staging previously duplicated this timing/error logic inline
+      def warmSf1Stage(name: String)(body: => Unit): Unit = {
         val t0 = System.nanoTime()
         try {
-          materialize(SparkEntry.queries(name)(spark, dest))
+          body
           warmupSf1(name) = (System.nanoTime() - t0) / 1e9
         } catch { case scala.util.control.NonFatal(e) =>
           // NEGATED elapsed = this stage FAILED after that many
@@ -517,18 +519,13 @@ object Bench {
           System.err.println(s"[bench] sf1 warmup stage $name FAILED: ${e.getMessage}")
         }
       }
+      def warmSf1(name: String): Unit =
+        warmSf1Stage(name)(materialize(SparkEntry.queries(name)(spark, dest)))
       warmSf1("silver_events")
       // the sf1 curve carries two catalog rows (cow_dml, agg_pushdown)
       // — stage their shared base mart like the base run's warmup
-      locally {
-        val t0 = System.nanoTime()
-        try {
-          materialize(SparkEntry.stageGoldDaily(spark, dest))
-          warmupSf1("gold_daily_staged") = (System.nanoTime() - t0) / 1e9
-        } catch { case scala.util.control.NonFatal(e) =>
-          warmupSf1("gold_daily_staged") = -((System.nanoTime() - t0) / 1e9)
-          System.err.println(s"[bench] sf1 warmup stage gold_daily_staged FAILED: ${e.getMessage}")
-        }
+      warmSf1Stage("gold_daily_staged") {
+        materialize(SparkEntry.stageGoldDaily(spark, dest))
       }
       warmSf1("dedup_ngram_jaccard")
       warmSf1("dedup_clusters")

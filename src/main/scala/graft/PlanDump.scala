@@ -33,7 +33,47 @@ object PlanDump {
       "minhash_pairs" -> (() => graft.dedup.NearDup.minhashPairs(
         graft.sources.Tables.documents(spark, dir))),
       "repetition" -> (() => graft.text.QualityFilters.repetitionProfileQuery(spark, dir)),
-      "bigram_lm" -> (() => graft.text.QualityFilters.bigramLmScoresQuery(spark, dir)))
+      "bigram_lm" -> (() => graft.text.QualityFilters.bigramLmScoresQuery(spark, dir)),
+      // r19: the z-order WRITE pipeline (the query surface only shows
+      // the post-write read-back sort). `zorder_native` is the live
+      // path (one z_morton expression); `zorder_case_chain` rebuilds
+      // the pre-r19 staged-CASE-chain + interleave formulation (kept
+      // in ZOrder as the spec's reference) so the plan diff is
+      // auditable without running the old commit.
+      "zorder_native" -> (() => {
+        val li = graft.sources.Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        val width = spark.sessionState.conf.numShufflePartitions
+        graft.sink.ZOrder.withZValue(li.repartition(width),
+            Seq("l_partkey", "l_suppkey"), quantileSource = Some(li))
+          .repartitionByRange(width, org.apache.spark.sql.functions.col("_z"))
+          .sortWithinPartitions(org.apache.spark.sql.functions.col("_z"))
+          .drop("_z")
+      }),
+      "zorder_case_chain" -> (() => {
+        import org.apache.spark.sql.functions._
+        val li = graft.sources.Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        val width = spark.sessionState.conf.numShufflePartitions
+        val zcols = Seq("l_partkey", "l_suppkey")
+        val asDouble = zcols.map(c => s"__zd_$c" -> col(c).cast("double"))
+        val typed = asDouble.foldLeft(li.repartition(width)) {
+          case (d, (n, e)) => d.withColumn(n, e) }
+        val probs = (1 until 64).map(_.toDouble / 64).toArray
+        val cuts = li.select(zcols.map(c => col(c).cast("double").as(c)): _*)
+          .stat.approxQuantile(zcols.toArray, probs, 0.001)
+        val staged = asDouble.zip(cuts).zipWithIndex.foldLeft(typed) {
+          case (d, (((n, _), cut), i)) =>
+            d.withColumn(s"__zb_$i", graft.sink.ZOrder.bucketOf(col(n), cut.distinct.sorted))
+        }
+        staged
+          .withColumn("_z", graft.sink.ZOrder.interleave(
+            zcols.indices.map(i => col(s"__zb_$i"))))
+          .drop(asDouble.map(_._1) ++ zcols.indices.map(i => s"__zb_$i"): _*)
+          .repartitionByRange(width, col("_z"))
+          .sortWithinPartitions(col("_z"))
+          .drop("_z")
+      }))
     entries.foreach { case (name, f) =>
       val df = f()
       val bos = new java.io.ByteArrayOutputStream()

@@ -446,7 +446,9 @@ object SparkEntry {
     // streaming semantic dedup replayed from a crash-shaped checkpoint
     // vs sequential batch application — at the dir's data scale
     "stream_semdedup_replay_audit" -> (graft.streaming.ReplayAudit.semReplayAuditQuery _),
-    "incremental_rebuild_diff" -> (graft.ops.IncrementalRebuild.diffQuery _),
+    "incremental_rebuild_diff" -> ((s, dir) =>
+      graft.ops.IncrementalRebuild.diffQuery(s, dir,
+        fullSilver = Some(silver(s, dir)))),
     "q_merge_restatement" -> (graft.ops.MergeUpsert.restatedDailySales _),
     // report/snapshot queries run over the shared silver cache (they
     // rebuild several marts internally — same amortization the marts get)
@@ -454,7 +456,8 @@ object SparkEntry {
       graft.quality.DataChecks.report(graft.quality.DataChecks.silverSuite(silver(s, dir)))
         .orderBy(org.apache.spark.sql.functions.col("check_name"))),
     "quality_gold_report" -> ((s, dir) =>
-      graft.quality.DataChecks.report(graft.quality.DataChecks.goldSuite(silver(s, dir)))
+      graft.quality.DataChecks.report(graft.quality.DataChecks.goldSuite(silver(s, dir),
+          dailyStaged = Some(goldDaily(s, dir))))
         .orderBy(org.apache.spark.sql.functions.col("check_name"))),
     "meta_snapshots" -> ((s, dir) =>
       graft.sources.Snapshots.snapshotsOver(s, goldDaily(s, dir))),

@@ -204,14 +204,23 @@ object DailySales {
     val isPurchase = col("event_type") === "purchase"
     val daily = silver.groupBy(col("event_date"))
       .agg(moneySumIf(isPurchase, col("price")).as("revenue"))
+    // UNPARTITIONED by design and SIZE-BOUNDED (r19 window audit): the
+    // window runs over the per-date aggregate — |dates| rows (30 at
+    // any SF; ≤3 653 for a 10-year daily calendar, see the grain
+    // contract above), never over |events|. The single-partition
+    // WindowExec warning is benign here; any finer grain must
+    // partition by entity first.
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_date"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     daily
       .withColumn("hist", collect_list(col("revenue")).over(w))
+      // r19: native EwmaFold (same doubles, same order — the r18
+      // EwmaScan swap, applied to this remaining interpreted
+      // `aggregate` fold; O(|series|²) lambda dispatches otherwise)
       .withColumn("ewma_revenue", roundPortable(
-        aggregate(slice(col("hist"), lit(2), size(col("hist"))),
-          element_at(col("hist"), 1),
-          (acc, x) => lit(alpha) * x + lit(1 - alpha) * acc), 4))
+        org.apache.spark.sql.graftext.VectorCodec.ewmaFold(
+          slice(col("hist"), lit(2), size(col("hist"))),
+          element_at(col("hist"), 1), alpha), 4))
       .select(col("event_date"), col("revenue"), col("ewma_revenue"))
       .orderBy(col("event_date"))
   }

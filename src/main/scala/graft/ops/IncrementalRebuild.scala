@@ -67,9 +67,15 @@ object IncrementalRebuild {
     target.unionByName(fresh)
   }
 
-  def diffQuery(s: SparkSession, dir: String): DataFrame = {
+  def diffQuery(s: SparkSession, dir: String,
+                fullSilver: Option[DataFrame] = None): DataFrame = {
     val ev = Tables.events(s, dir)
-    val full = SilverEvents.build(ev)
+    // r19 (guide §1.2): the full-rebuild side IS the shared silver
+    // frame — take the caller's cached build instead of re-running
+    // the silver transform a third time. The delivery slices (b1/b2)
+    // must still build from their filtered deliveries: silver's
+    // cross-row dedup does not commute with the delivery filter.
+    val full = fullSilver.getOrElse(SilverEvents.build(ev))
     val inc = incrementalSilver(ev)
     def tag(d: DataFrame, kind: String) = d.select(lit(kind).as("diff_kind"),
       col("event_id"), col("event_unique_id"), col("event_time_str"))

@@ -155,7 +155,8 @@ object DataChecks {
   /** The reference's GOLD-layer test suite (dbt gold/schema.yml: unique
     * + not_null mart keys, accepted_values on segment/stage domains,
     * non-negative revenue) over our gold marts. */
-  def goldSuite(silver: DataFrame): Seq[Check] = {
+  def goldSuite(silver: DataFrame,
+                dailyStaged: Option[DataFrame] = None): Seq[Check] = {
     import graft.marts._
     // Each mart feeds 2-3 union branches of the report; without a
     // materialization point every branch re-aggregates silver (RFM —
@@ -166,7 +167,11 @@ object DataChecks {
     // eager=false: materialization happens inside the report job's own
     // stages (parallel across marts) instead of four serial driver-
     // blocking jobs; later branches reuse the stored partitions.
-    val daily = DailySales.build(silver).localCheckpoint(false)
+    // r19 (guide §1.2): a caller that already materialized the daily
+    // mart (SparkEntry's shared staged gold_daily — same build, same
+    // checkpoint pinning) passes it in instead of aggregating silver
+    // a second time; the audited rows are identical by construction.
+    val daily = dailyStaged.getOrElse(DailySales.build(silver).localCheckpoint(false))
     val item = ItemPerformance.build(silver).localCheckpoint(false)
     val journey = UserJourneyFunnel.build(silver).localCheckpoint(false)
     val rfm = RfmSegments.build(silver).localCheckpoint(false)

@@ -37,8 +37,10 @@ object ZOrder {
 
   /** Bucket index (0..2^bits-1) of `c` among the given ascending
     * cutoffs: count of cutoffs strictly below the value. NULLs land in
-    * bucket 0 (they sort first, like NULLS FIRST). */
-  private def bucketOf(c: Column, cuts: Array[Double]): Column =
+    * bucket 0 (they sort first, like NULLS FIRST). r19: kept as the
+    * REFERENCE formulation for ZOrderSpec's bit-identity pin — the
+    * data path uses the native [[graftext.ZMorton]]. */
+  private[graft] def bucketOf(c: Column, cuts: Array[Double]): Column =
     cuts.map(q => when(c > q, 1).otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0))
 
@@ -69,21 +71,33 @@ object ZOrder {
     * evaluated once; CollapseProject keeps the projection split
     * because re-inlining a non-cheap expression referenced 8× would
     * duplicate it. */
-  def withZValue(df: DataFrame, zcols: Seq[String]): DataFrame = {
+  def withZValue(df: DataFrame, zcols: Seq[String],
+                 quantileSource: Option[DataFrame] = None): DataFrame = {
     val nBuckets = 1 << BitsPerDim
     val asDouble = zcols.map(c => s"__zd_$c" -> col(c).cast("double"))
     val typed = asDouble.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val cuts = typed.stat.approxQuantile(asDouble.map(_._1).toArray, probs, 0.001)
-    val staged = asDouble.zip(cuts).zipWithIndex.foldLeft(typed) {
-      case (d, (((n, _), cut), i)) =>
-        // distinct cutoffs only: heavy skew repeats a cutoff value,
-        // which would otherwise multi-count one boundary
-        d.withColumn(s"__zb_$i", bucketOf(col(n), cut.distinct.sorted))
-    }
-    staged
-      .withColumn("_z", interleave(zcols.indices.map(i => col(s"__zb_$i"))))
-      .drop(asDouble.map(_._1) ++ zcols.indices.map(i => s"__zb_$i"): _*)
+    // quantiles are order-independent — compute them on the UNSHUFFLED
+    // source when the caller staged `df` behind a repartition (r19,
+    // guide §2.4: the stats pass was re-executing the round-robin
+    // exchange a second time just to read the same values)
+    val qsrc = quantileSource.map(q =>
+      asDouble.foldLeft(q) { case (d, (n, e)) => d.withColumn(n, e) })
+      .getOrElse(typed)
+    val cuts = qsrc.stat.approxQuantile(asDouble.map(_._1).toArray, probs, 0.001)
+    // distinct cutoffs only: heavy skew repeats a cutoff value, which
+    // would otherwise multi-count one boundary. r19 (guide §4): bucket
+    // rank + interleave run as ONE native expression — the staged
+    // 63-comparison CASE chain per dimension plus the 48-term
+    // shift/or tree dominated the rewrite (the plan fell out of
+    // whole-stage codegen); ZMorton binary-searches the cutoffs in
+    // compiled code, bit-identical (VectorCodecSpec pin).
+    val cutSeqs: Seq[Seq[Double]] =
+      cuts.map(c => c.distinct.sorted.toSeq).toSeq
+    typed
+      .withColumn("_z", org.apache.spark.sql.graftext.VectorCodec.zMorton(
+        array(asDouble.map(p => col(p._1)): _*), cutSeqs, BitsPerDim))
+      .drop(asDouble.map(_._1): _*)
   }
 
   /** Rewrite `df` into a Z-ordered parquet layout at `path`:
@@ -93,16 +107,25 @@ object ZOrder {
     * driver query's oracle pins that. */
   def writeZOrdered(df: DataFrame, path: String, zcols: Seq[String],
                     maxRecordsPerFile: Long = 5000000L): Unit = {
-    // round-robin repartition BEFORE evaluating _z: the range exchange
-    // computes the z-value on the child's partitioning, and a source
-    // that arrives as a handful of parquet files would evaluate the
-    // bucket CASE chains near-serially (measured 30 s vs sub-second on
-    // the same rows). One extra rotation of the data buys full-width
-    // parallel z evaluation; the z-range shuffle follows regardless.
+    // round-robin repartition BEFORE evaluating _z: the range
+    // exchange's sampling and map passes run on the child's
+    // partitioning, and a source arriving as a handful of parquet
+    // files would run them near-serially (stable 2.7-2.9 s with the
+    // rotation vs 3-18 s erratic without it at sf0.1, r19 re-measure
+    // — even with the native ZMorton the narrow sort/sample/shuffle
+    // stages dominate). One extra rotation of the (projected, narrow)
+    // rows buys full-width parallelism; the z-range shuffle follows
+    // regardless.
     val spark = df.sparkSession
     val width = spark.sessionState.conf.numShufflePartitions
-    withZValue(df.repartition(width), zcols)
-      .repartitionByRange(col("_z"))
+    withZValue(df.repartition(width), zcols, quantileSource = Some(df))
+      // EXPLICIT partition count (r19, guide §2): a bare
+      // repartitionByRange is an AQE-coalescible exchange — at mart
+      // scale AQE merges the tiny range partitions into one writer
+      // task, serializing the sort AND the maxRecordsPerFile-split
+      // file writes; the explicit width pins full-width parallel
+      // writers at any scale (width follows shuffle.partitions)
+      .repartitionByRange(width, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("overwrite")

@@ -140,3 +140,74 @@ case class RollingFp(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Morton (Z-order) code of a point given per-dimension quantile
+  * cutoffs, in ONE compiled expression — the fused form of the
+  * z-order writer's bucket CASE chains + bit-interleave tree: per
+  * dimension the bucket is the count of cutoffs strictly below the
+  * value (a binary search over the sorted distinct cutoffs — the CASE
+  * chain evaluated all 2^bits−1 comparisons per row, and the chained
+  * `when(c > q, 1) + …` tree is too large for whole-stage codegen at
+  * realistic bucket counts), then bucket bits interleave round-robin
+  * from the high bit down with dimension 0 owning the highest bit —
+  * bit-identical to `ZOrder.interleave` (VectorCodecSpec pin).
+  * Semantics matched to the HOF form: a NULL coordinate lands in
+  * bucket 0 (`when(NULL > q)` never fires); NaN counts above every
+  * cutoff (Spark's NaN-largest comparison ordering). */
+case class ZMorton(child: Expression, cuts: Seq[Seq[Double]], bitsPerDim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(cuts.nonEmpty && bitsPerDim > 0)
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "z_morton"
+
+  @transient private lazy val cutArr: Array[Array[Double]] =
+    cuts.map(_.toArray).toArray
+
+  def compute(a: ArrayData): Long = {
+    val dims = cutArr.length
+    var z = 0L
+    var d = 0
+    while (d < dims) {
+      val cs = cutArr(d)
+      val bucket =
+        if (a.isNullAt(d)) 0
+        else {
+          val v = a.getDouble(d)
+          if (java.lang.Double.isNaN(v)) cs.length
+          else {
+            // count of cutoffs strictly below v: lower-bound index
+            var lo = 0
+            var hi = cs.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (cs(mid) < v) lo = mid + 1 else hi = mid
+            }
+            lo
+          }
+        }
+      var bit = bitsPerDim - 1
+      while (bit >= 0) {
+        val outPos = bit * dims + (dims - 1 - d)
+        z |= ((bucket >> bit) & 1).toLong << outPos
+        bit -= 1
+      }
+      d += 1
+    }
+    z
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("zm", this, classOf[ZMorton].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

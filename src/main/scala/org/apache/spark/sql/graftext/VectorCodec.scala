@@ -35,7 +35,14 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * form of `transform(cast double) → sqrt(aggregate(x*x)) → divide`:
   * widen each element, accumulate Σx² in array order, divide unless
   * the norm is exactly 0.0 (then return the widened vector as-is,
-  * matching the HOF `when(n === 0.0, d)` branch). */
+  * matching the HOF `when(n === 0.0, d)` branch).
+  *
+  * INPUT CONTRACT (r19, per review): elements must be NON-NULL — the
+  * embeddings table's vectors are dense fixed-width floats, and every
+  * call site feeds that column. A null slot would read as 0.0 here
+  * where the replaced HOF null-propagated the whole norm; there is no
+  * such slot in any feed, and the corpus-wide VectorCodecSpec
+  * equality pin would catch a feed that grew one. */
 case class L2NormalizeDouble(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
 
@@ -165,7 +172,15 @@ case class PqArgminAt(left: Expression, right: Expression,
 
   /** Exploded rows carry the subvector alone — index from offset 0 of
     * a standalone SubDim array by reusing the shared loop with a
-    * zero-based view. */
+    * zero-based view.
+    *
+    * NaN note (r19, per review): distances here are Σ(x−c)² over
+    * finite trained centroids and finite inputs — never NaN in any
+    * feed. Under a hypothetical NaN input this first-minimum loop
+    * (NaN comparisons false ⇒ code 0) and the replaced
+    * `array_min`/`array_position` HOF (NaN-greatest ordering) could
+    * disagree; the finite-input contract is what the corpus-wide
+    * VectorCodecSpec equality pin guards. */
   def compute(mi: Int, sub: ArrayData): Int = {
     val book = pq.books(mi)
     var best = 0
@@ -244,7 +259,15 @@ case class EwmaFold(left: Expression, right: Expression, alpha: Double)
   * zip_with+aggregate dots per row). Input ARRAY<FLOAT>, output
   * ARRAY<INT> of length planes/bitsPerBand; dot folds in array order
   * with float→double widening, bit set iff dot > 0 — bit-identical
-  * band values. */
+  * band values.
+  *
+  * INPUT CONTRACT (r19, per review): vectors are NON-NULL,
+  * plane-width (64-dim) dense floats — the embeddings column every
+  * call site feeds. A NULL embedding here nulls the whole band array
+  * (posexplode then drops the row) where the HOF emitted band 0
+  * rows, and a length-mismatched vector truncates the dot at
+  * min(len, 64); neither shape exists in any feed, and the
+  * corpus-wide VectorCodecSpec pin would catch one growing. */
 case class LshBandVals(child: Expression, planes: Seq[Seq[Double]],
                        bitsPerBand: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -468,4 +491,6 @@ object VectorCodec {
     ExpressionUtils.column(BpeEstimate(ExpressionUtils.expression(tokens)))
   def rollingFp(text: Column): Column =
     ExpressionUtils.column(RollingFp(ExpressionUtils.expression(text)))
+  def zMorton(point: Column, cuts: Seq[Seq[Double]], bitsPerDim: Int): Column =
+    ExpressionUtils.column(ZMorton(ExpressionUtils.expression(point), cuts, bitsPerDim))
 }

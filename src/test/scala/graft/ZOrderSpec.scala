@@ -25,6 +25,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z._4 === 0xBL)              // 3=0b11 -> bits 3,1; 1 -> bit 0
   }
 
+  test("ZMorton ≡ staged bucket CASE chains + interleave (r19 native pin)") {
+    // real quantile cutoffs over real key distributions, so the
+    // binary-search rank is pinned against the 63-comparison CASE
+    // chain on the exact boundaries approxQuantile produced
+    val li = graft.sources.Tables.lineitem(spark, TestSession.sf)
+      .select(col("l_partkey").cast("double").as("d0"),
+        col("l_suppkey").cast("double").as("d1"))
+    val probs = (1 until 64).map(_.toDouble / 64).toArray
+    val cuts = li.stat.approxQuantile(Array("d0", "d1"), probs, 0.001)
+      .map(_.distinct.sorted)
+    val rows = li.select(
+      org.apache.spark.sql.graftext.VectorCodec.zMorton(
+        array(col("d0"), col("d1")), cuts.map(_.toSeq).toSeq, ZOrder.BitsPerDim).as("nat"),
+      ZOrder.interleave(Seq(
+        ZOrder.bucketOf(col("d0"), cuts(0)),
+        ZOrder.bucketOf(col("d1"), cuts(1)))).as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // NULL coordinate lands in bucket 0, like when(NULL > q)
+    val n = spark.sql("SELECT array(CAST(NULL AS DOUBLE), CAST(5.0 AS DOUBLE)) AS p")
+      .select(org.apache.spark.sql.graftext.VectorCodec.zMorton(
+        col("p"), Seq(Seq(1.0, 2.0), Seq(1.0, 2.0)), 2)).collect()(0)
+    // d1 value 5.0 > both cuts -> bucket 2 (0b10) on the even bits
+    assert(n.getLong(0) === ((2L >> 1) << 2 | (2L & 1) << 0))
+  }
+
   test("zorder layout skips files on both dimensions, linear only on its key") {
     import spark.implicits._
     // 200x200 uniform grid, one row per cell
