@@ -190,6 +190,12 @@ object Bench {
       materialize(SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)) }
     warm("dedup_clusters") {
       materialize(SparkEntry.queries("dedup_clusters")(spark, sfDir)) }
+    // r19: the curation-verdict frame (3 consumers: apply/listing/
+    // dashboard) joins the staged pool the same way — its
+    // alphabetically-first consumer (text_apply_curation) was billed
+    // ~2-3 s of verdict staging the other two then read for free
+    warm("curation_verdicts") {
+      materialize(SparkEntry.queries("text_curation_verdicts")(spark, sfDir)) }
     // MinHash/SimHash signature frames likewise have two consumers
     // (their listing query + the gate report) but the report sorts
     // ALPHABETICALLY FIRST, so without warmup the report is billed

@@ -62,6 +62,9 @@ object TimeQueries {
     // targeted timings of the ~29 staged-mart consumers match the board
     warm("gold_daily_staged", Seq("events")) {
       SparkEntry.stageGoldDaily(spark, sfDir); () }
+    // r19: mirror Bench's curation-verdict staging (3 consumers)
+    warm("curation_verdicts", Seq("documents")) {
+      materialize(SparkEntry.queries("text_curation_verdicts")(spark, sfDir)) }
     System.err.println(s"[time] warmed: ${warmed.mkString(", ")}" +
       (if (skipped.nonEmpty) s"; skipped (missing inputs): ${skipped.mkString(", ")}" else ""))
     names.foreach { name =>

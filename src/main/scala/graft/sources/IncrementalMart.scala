@@ -623,12 +623,12 @@ object IncrementalMart {
     // group pairing: a NULL dim group must pair with itself (plain
     // SQL equality would keep both sides, duplicating the group).
     val cur = current.alias("c")
-    // the stats job already counted the delta EXACTLY — broadcast it
-    // when small (guide §3.1: hint when you know the size) so the
-    // merge never shuffles the rewrite set by group key; past the cap
-    // the planner keeps its estimate-driven choice
-    val del = (if (stats.count <= broadcastDeltaRows(spark)) broadcast(delta)
-               else delta).alias("d")
+    // NOTE (r19): no broadcast hint here — Spark 4.1's broadcast hash
+    // join does not support FULL OUTER (verified: the hint silently
+    // falls back to SortMergeJoin), and rewriting the merge as
+    // left-join ∪ anti-join legs would double-read the rewrite set.
+    // The dcd graft joins (left outer, build right) DO broadcast.
+    val del = delta.alias("d")
     val pairCond = dims.map(d0 => col(s"c.$d0") <=> col(s"d.$d0"))
       .reduceLeft(_ && _)
     val merged = cur.join(del, pairCond, "full_outer")
